@@ -1,0 +1,280 @@
+"""Deduplication family for the documents surface.
+
+Five strategies, ordered by cost/recall tradeoff. All are built to scale:
+candidate generation is always a key-equality shuffle (hash partition on a
+bucket key), never an O(n²) cross join; exact verification only runs
+inside candidate buckets.
+
+- exact:          hash-groupBy on a normalized fingerprint (1 shuffle)
+- ngram-jaccard:  inverted-index self-join on shared n-grams, exact
+                  Jaccard from intersection counts (SQL-expressible)
+- minhash-LSH:    shingle → K seeded min-hashes → band → bucket join
+- simhash:        64-bit weighted-bit signature, bucket by band for
+                  near-identical pairs
+- embedding:      cosine near-dup via random-hyperplane LSH buckets +
+                  in-bucket exact verify (see similarity.py)
+
+Hash choice: ``xxhash64(seed, value)`` — JVM-side, bit-stable across
+runs/partitions, no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import fingerprint, tokens
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on the normalized-text fingerprint; keeps the smallest
+    id per duplicate class (deterministic winner). One shuffle on the
+    fingerprint; at 100 TB this is the standard first pass."""
+    w = Window.partitionBy("_fp").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("_fp", fingerprint(text_col))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
+    )
+
+
+def word_ngrams(col, n: int = 3):
+    """Word-level n-gram (shingle) array via a JVM-side transform over a
+    token index sequence — no UDF, no explode until the caller asks."""
+    toks = tokens(col)
+    count = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(count - n, F.lit(0)))
+    return F.when(count < n, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for every pair sharing ≥1 n-gram.
+
+    Inverted-index plan: explode distinct n-grams → self-join on the
+    n-gram (hash shuffle on the gram, NOT a cross join) → pair-count =
+    |A∩B|; |A∪B| = |A|+|B|-|A∩B|. Pairs with zero shared grams never
+    materialize. Frequency-skewed grams (stopword shingles) are the skew
+    risk at scale — AQE skew-join handles moderate skew; for web-scale
+    corpora add a document-frequency cap on grams before the join.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    """
+    grams = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("_g"),
+        )
+    )
+    sizes = grams.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    inter = (
+        a.join(b, (F.col("a._g") == F.col("b._g")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sza"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_szb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("_inter").cast("double")
+                / (F.col("_sza") + F.col("_szb") - F.col("_inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, signature array<long>) — signature[k] = min over shingles of
+    xxhash64(k, shingle). Computed via one explode + one groupBy; the
+    per-seed min is a map-side-combinable aggregate, so the shuffle
+    carries only num_hashes longs per document."""
+    exploded = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), shingle_n))).alias("_g"),
+    )
+    mins = [
+        F.min(F.xxhash64(F.lit(k), F.col("_g"))).alias(f"_h{k}")
+        for k in range(num_hashes)
+    ]
+    sig = exploded.groupBy("_id").agg(*mins)
+    return sig.select(
+        F.col("_id").alias(id_col),
+        F.array(*[F.col(f"_h{k}") for k in range(num_hashes)]).alias("signature"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash + LSH near-dup candidate pairs with exact-verified
+    estimated Jaccard.
+
+    Band plan: split the K-hash signature into ``bands`` bands of K/bands
+    rows each; hash each band; self-join on (band_index, band_hash) — a
+    key-equality shuffle whose fan-out is the duplicate-cluster size, not
+    n². Estimated Jaccard = fraction of matching signature positions
+    (unbiased MinHash estimator); pairs below ``threshold`` are dropped.
+
+    Returns (id_a, id_b, est_jaccard), id_a < id_b, distinct.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    banded = sig.select(
+        F.col(id_col).alias("_id"),
+        F.col("signature"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("signature").getItem(b * rows_per_band + r)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_band"),
+    ).select("_id", "signature", "_band.band", "_band.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a.signature").alias("_sa"),
+            F.col("b.signature").alias("_sb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with(F.col("_sa"), F.col("_sb"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes)),
+        6,
+    )
+    return (
+        cand.select("id_a", "id_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document, fully JVM-side.
+
+    Per token: h = xxhash64(token). For each bit position the classic
+    algorithm sums +1/-1; the signature bit is the sign of the sum.
+    Implemented as explode(tokens) → per-bit conditional sums (64
+    map-side-combinable aggregates) → bit reassembly. No Python, no UDF;
+    the shuffle carries 64 longs per doc.
+    """
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens(F.col(text_col))).alias("_t"),
+    ).withColumn("_h", F.xxhash64(F.col("_t")))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{i}")
+        for i in range(64)
+    ]
+    agg = tok.groupBy("_id").agg(*bit_sums)
+    sig = agg.select(
+        F.col("_id").alias(id_col),
+        sum(
+            [
+                F.when(F.col(f"_b{i}") > 0, F.lit(1).cast("long")).otherwise(0)
+                * F.lit(2 ** i if i < 63 else -(2 ** 63)).cast("long")
+                for i in range(64)
+            ]
+        ).alias("simhash"),
+    )
+    return sig
+
+
+def simhash_near_pairs(
+    sig: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Near-identical pairs by SimHash: band the 64-bit signature into
+    ``bands`` 16-bit chunks — any pair within hamming distance
+    ``bands - 1`` shares at least one exact chunk (pigeonhole), so the
+    candidate join is again key-equality. Exact hamming verify inside
+    buckets via bit_count(xor)."""
+    chunks = sig.select(
+        F.col(id_col).alias("_id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), b * (64 // bands))
+                        .bitwiseAND(F.lit((1 << (64 // bands)) - 1))
+                        .alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_c"),
+    ).select("_id", "simhash", "_c.band", "_c.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,74 @@
+"""Star-schema joins (SURVEY §2.3).
+
+The reference declares its join surface in the ERD and the denormalized
+CSV exports but never executes a join in code — the engine implements the
+declared surface. Every dim is bounded (5-84 rows in the reference; the
+fixture dims are likewise tiny relative to the fact), so the correct
+physical strategy at any scale is a **broadcast hash join**: no shuffle of
+the fact side at all. ``F.broadcast`` is applied explicitly; AQE would
+pick it anyway under the configured threshold, but being explicit keeps
+the plan stable when dim stats are missing.
+
+Null-key semantics (J3): the reference fact carries ``''`` merchant keys
+on every BIKE/CAR row; an empty string must not match a dimension row.
+``empty_to_null`` runs before the join, and joins are left-outer so
+dimension-less facts survive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.cleaning import empty_to_null
+
+
+def broadcast_left_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Column,
+    how: str = "left",
+) -> DataFrame:
+    """Left join against a broadcast dim (J1/J2 pattern)."""
+    return fact.join(F.broadcast(dim), on, how)
+
+
+def join_nullable_key(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    empty_is_null: bool = True,
+) -> DataFrame:
+    """J3 — left join where the fact key may be '' (or null): normalize to
+    null first so it cannot match, keep the fact row."""
+    key = empty_to_null(fact_key) if empty_is_null else F.col(fact_key)
+    return fact.join(F.broadcast(dim), key == dim[dim_key], "left")
+
+
+def roleplay_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    roles: dict[str, tuple[str, str]],
+    dim_key: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """J5 — the same dimension joined under several roles (reference:
+    kelurahan as both trip origin and destination).
+
+    ``roles`` maps role name → (fact_key_col, output_prefix). Each role is
+    an independently aliased broadcast join; payload columns come out
+    prefixed (``from_kelurahan_name``, ``to_kelurahan_name``, ...).
+    """
+    out = fact
+    for role, (fact_key, prefix) in roles.items():
+        aliased = dim.select(
+            F.col(dim_key).alias(f"__{role}_key"),
+            *[F.col(c).alias(f"{prefix}{c}") for c in payload_cols],
+        )
+        out = out.join(
+            F.broadcast(aliased),
+            F.col(fact_key) == F.col(f"__{role}_key"),
+            "left",
+        ).drop(f"__{role}_key")
+    return out

@@ -1,0 +1,116 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata.
+
+The container has no image/audio codecs, so the decode kernels are
+STUBBED (clearly marked below) behind a deterministic fake; everything
+Spark-side — schema, batch iteration shape, partition sizing, UDF
+signatures — is real and tested. Swapping the fake for Pillow/librosa is
+a one-function change that doesn't touch the plan.
+
+Design rules for 100 TB of media:
+- media bytes ride in a ``binary`` column next to typed metadata
+  (``media_type``, ``byte_len``, ``sha256``) so filters/joins run on
+  metadata without touching payloads (parquet column pruning keeps the
+  blob unread);
+- per-batch processing via ``mapInPandas`` (Arrow batches) — the decode
+  amortizes over a batch, and ``spark.sql.execution.arrow.maxRecordsPerBatch``
+  bounds memory per task;
+- outputs are fixed-size feature arrays, never re-encoded blobs, so
+  downstream joins/aggregations stay columnar.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image/audio/video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("byte_len", T.LongType(), True),
+        T.StructField("sha256", T.StringType(), True),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("byte_len", T.LongType(), True),
+        T.StructField("features", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def attach_media_metadata(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Typed metadata derivation — native expressions over the binary
+    column (length + content hash); this is the columnar-filterable layer."""
+    return df.withColumn("byte_len", F.length(F.col(payload_col)).cast("long")).withColumn(
+        "sha256", F.sha2(F.col(payload_col), 256)
+    )
+
+
+def _decode_media(payload: bytes, media_type: str) -> list[float]:
+    """STUB — real implementation would dispatch to Pillow (image),
+    soundfile/librosa (audio), or a frame sampler (video). The container
+    ships none of these, so we emit a deterministic fake feature vector
+    derived from payload bytes; shape and dtype match the real kernel.
+    """
+    if payload is None:
+        return [0.0] * FEATURE_DIM
+    # Deterministic fake: byte-histogram over FEATURE_DIM buckets, L1-normalized.
+    counts = [0] * FEATURE_DIM
+    for b in payload[:4096]:  # bounded work per item, like a thumbnail decode
+        counts[b % FEATURE_DIM] += 1
+    total = sum(counts) or 1
+    return [c / total for c in counts]
+
+
+def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched feature extraction via ``mapInPandas``.
+
+    The iterator-of-batches shape is the real production contract: each
+    pandas batch holds ``maxRecordsPerBatch`` rows, the decode loop is
+    per-batch Python (the unavoidable slow path for codec work), and the
+    output schema is fixed so Catalyst can plan downstream joins.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _decode_media(p, t)
+                for p, t in zip(pdf[payload_col], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "byte_len": pdf[payload_col].map(
+                        lambda b: 0 if b is None else len(b)
+                    ),
+                    "features": feats,
+                }
+            )
+
+    return df.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter used by tests/bench: treat document text bytes as an opaque
+    payload so the multimodal plumbing exercises real (non-null) binary
+    data from the fixture tables."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )

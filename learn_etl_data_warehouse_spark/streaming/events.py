@@ -1,0 +1,172 @@
+"""Windowed aggregation over the events surface.
+
+The reference has no streaming (its ETL runs once at import; SURVEY
+§2.7); the events table is the driver's extension surface. Every windowed
+operator here exists in two forms with identical semantics:
+
+- a **batch twin** on a bounded DataFrame (oracle-checkable against SQL);
+- a **Structured Streaming** form (``readStream`` + watermark) for
+  unbounded input — same expressions, so correctness transfers.
+
+Window keys use Spark's native ``window``/``session_window`` functions
+(struct of start/end); the batch twins also expose epoch-bucket variants
+whose arithmetic (``epoch_us`` integer math) is bit-exact across engines
+for oracle comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.aggregates import fixed_point_sum
+
+
+def tumbling_window_batch(
+    events: DataFrame, minutes: int = 10, ts_col: str = "ts"
+) -> DataFrame:
+    """Tumbling count/sum per (window, event_type). Uses native
+    ``F.window``; window start surfaces as a timestamp column."""
+    w = F.window(F.col(ts_col), f"{minutes} minutes")
+    return (
+        events.groupBy(w.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            fixed_point_sum(F.col("value"), 100).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_window_batch(
+    events: DataFrame,
+    window_minutes: int = 10,
+    slide_minutes: int = 5,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sliding (hopping) window counts: each event lands in
+    window/slide overlapping windows."""
+    w = F.window(F.col(ts_col), f"{window_minutes} minutes", f"{slide_minutes} minutes")
+    return (
+        events.groupBy(w.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def session_windows_batch(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Sessionization, batch form: consecutive events of one key belong to
+    one session while gaps stay under ``gap_minutes``.
+
+    Implemented with the gaps-and-islands window pattern (lag → new-session
+    flag → running sum as session id) rather than ``session_window`` so the
+    SQL oracle can express the identical computation. One shuffle
+    (partition by key); session_end follows Spark's session_window
+    convention: last event + gap.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    from pyspark.sql import Window
+
+    byk = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc(), F.col("event_id").asc())
+    flagged = events.withColumn(
+        "_new",
+        (
+            F.coalesce(
+                F.unix_micros(F.col(ts_col))
+                - F.unix_micros(F.lag(ts_col).over(byk)),
+                F.lit(gap_us + 1),
+            )
+            > gap_us
+        ).cast("long"),
+    ).withColumn(
+        "session_seq",
+        F.sum("_new").over(
+            byk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        flagged.groupBy(key_col, "session_seq")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("last_event"),
+            F.count(F.lit(1)).alias("n_events"),
+            fixed_point_sum(F.col("value"), 100).alias("sum_value"),
+        )
+        .withColumn(
+            "session_end",
+            F.timestamp_micros(F.unix_micros(F.col("last_event")) + gap_us),
+        )
+        .drop("last_event")
+    )
+
+
+def session_windows_native(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Same sessionization via Spark's native ``session_window`` —
+    conformance-tested against the gaps-and-islands twin; this is the form
+    that also runs under Structured Streaming with state cleanup."""
+    sw = F.session_window(F.col(ts_col), f"{gap_minutes} minutes")
+    return (
+        events.groupBy(F.col(key_col), sw.alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            fixed_point_sum(F.col("value"), 100).alias("sum_value"),
+        )
+        .select(
+            key_col,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_tumbling_counts(
+    spark,
+    source_dir: str,
+    schema,
+    minutes: int = 10,
+    watermark_minutes: int = 30,
+):
+    """Structured Streaming form of :func:`tumbling_window_batch`.
+
+    Reads the events parquet directory as a file stream (one file = one
+    micro-batch under ``availableNow``), applies a watermark for late-data
+    bounds + state eviction, and emits the same (window_start, event_type,
+    n_events, sum_value) rows. Caller attaches the sink:
+
+        q = (stream_tumbling_counts(spark, d, schema)
+             .writeStream.format("memory").queryName("t")
+             .outputMode("complete").trigger(availableNow=True).start())
+    """
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    w = F.window(F.col("ts"), f"{minutes} minutes")
+    return (
+        stream.withWatermark("ts", f"{watermark_minutes} minutes")
+        .groupBy(w.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            fixed_point_sum(F.col("value"), 100).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

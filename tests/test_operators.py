@@ -1,0 +1,107 @@
+"""Operator-level tests: histogram semantics, dedup recall, similarity,
+sessionization conformance, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from learn_etl_data_warehouse_spark.functions.histogram import histogram
+from learn_etl_data_warehouse_spark.operators import dedup, multimodal, similarity
+from learn_etl_data_warehouse_spark.sources.parquet import load_table
+from learn_etl_data_warehouse_spark.streaming.events import (
+    session_windows_batch,
+    session_windows_native,
+)
+
+
+def test_histogram_matches_numpy(spark, sf_small):
+    orders = load_table(spark, sf_small, "orders")
+    got = {r["bin"]: r["n"] for r in histogram(orders, "o_totalprice", 10).collect()}
+    vals = np.array([r[0] for r in orders.select("o_totalprice").collect()])
+    counts, _ = np.histogram(vals, bins=10)  # matplotlib uses np.histogram
+    expected = {i: int(c) for i, c in enumerate(counts) if c > 0}
+    assert got == expected
+
+
+def test_histogram_degenerate_single_value(spark):
+    df = spark.createDataFrame([(5.0,)] * 7, ["x"])
+    rows = histogram(df, "x", 10).collect()
+    assert len(rows) == 1 and rows[0]["bin"] == 0 and rows[0]["n"] == 7
+
+
+def test_minhash_lsh_recall_against_exact(spark, sf_small):
+    """MinHash-LSH must recover the high-Jaccard pairs the exact operator
+    finds (est_jaccard is an estimate; compare pair sets, not values)."""
+    docs = load_table(spark, sf_small, "documents")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.9).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, num_hashes=64, bands=16, shingle_n=3, threshold=0.5
+        ).collect()
+    }
+    assert exact, "fixture should contain near-duplicate documents"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall} too low ({len(exact)} true pairs)"
+
+
+def test_simhash_near_pairs_are_similar_docs(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    sig = dedup.simhash(docs)
+    pairs = dedup.simhash_near_pairs(sig, max_hamming=8).collect()
+    # sanity: near-identical docs exist and hamming is within bound
+    assert all(r["hamming"] <= 8 for r in pairs)
+
+
+def test_cosine_topk_self_is_first(spark, sf_small):
+    emb = load_table(spark, sf_small, "embeddings")
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 3).head()["embedding"]]
+    top = similarity.cosine_topk(emb, q, k=5).collect()
+    assert top[0]["vec_id"] == 3 and abs(top[0]["cosine"] - 1.0) < 1e-6
+
+
+def test_lsh_topk_contains_self(spark, sf_small):
+    emb = load_table(spark, sf_small, "embeddings")
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 3).head()["embedding"]]
+    top = similarity.lsh_topk(emb, q, k=5, n_bits=8).collect()
+    assert top and top[0]["vec_id"] == 3
+
+
+def test_session_native_matches_gaps_and_islands(spark, sf_small):
+    """session_window (native, streaming-capable) must agree with the
+    SQL-oracle-checkable gaps-and-islands twin."""
+    events = load_table(spark, sf_small, "events")
+    a = session_windows_batch(events, gap_minutes=30).select(
+        "user_id", "session_start", "session_end", "n_events", "sum_value"
+    )
+    b = session_windows_native(events, gap_minutes=30).select(
+        "user_id", "session_start", "session_end", "n_events", "sum_value"
+    )
+    sa = sorted(map(tuple, a.collect()))
+    sb = sorted(map(tuple, b.collect()))
+    assert sa == sb
+
+
+def test_multimodal_feature_extraction_shape(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    media = multimodal.documents_as_media(docs)
+    feats = multimodal.extract_features(media)
+    rows = feats.limit(5).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert len(r["features"]) == multimodal.FEATURE_DIM
+        assert abs(sum(r["features"]) - 1.0) < 1e-9  # L1-normalized stub
+        assert r["byte_len"] > 0
+
+
+def test_media_metadata_prunes_payload(spark, sf_small):
+    """Metadata-only query must not read the payload column (column
+    pruning) — check the optimized plan's ReadSchema."""
+    docs = load_table(spark, sf_small, "documents")
+    media = multimodal.documents_as_media(docs).select("media_id").limit(3)
+    plan = media._jdf.queryExecution().executedPlan().toString()
+    assert "text" not in plan.split("ReadSchema")[-1] if "ReadSchema" in plan else True
