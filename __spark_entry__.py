@@ -226,6 +226,111 @@ def q_e04(spark, sf_dir):
     )
 
 
+def q_p13(spark, sf_dir):
+    """JSON property extraction from the events props column."""
+    df = _t(spark, sf_dir, "events")
+    return df.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions (SURVEY §2.5 extension)
+# --------------------------------------------------------------------------
+
+
+def q_w01(spark, sf_dir):
+    from pyspark.sql import Window
+
+    df = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    running = F.round(F.sum(cents).over(w).cast("double") / 100, 2)
+    return df.select("o_custkey", "o_orderkey", running.alias("running_total"))
+
+
+def q_w02(spark, sf_dir):
+    from pyspark.sql import Window
+
+    df = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).cast("long")
+    return df.select("o_custkey", "o_orderkey", gap.alias("gap_days"))
+
+
+def q_w03(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("o_totalprice").desc())
+    return (
+        joined.withColumn("rnk", F.rank().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Semi/anti joins and set-style predicates
+# --------------------------------------------------------------------------
+
+
+def q_set01(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    pending = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return customer.join(
+        pending, customer.c_custkey == pending.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_set02(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    open_orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return customer.join(
+        open_orders, customer.c_custkey == open_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+def q_ad01(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_a09(spark, sf_dir):
+    """Approximate distinct (HLL) — implementation-specific values, so
+    rows-only check by design; exact twin is ad01."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts")
+    )
+
+
+def q_a10(spark, sf_dir):
+    df = _t(spark, sf_dir, "orders")
+    df.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT year, o_orderstatus, count(*) AS n
+        FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS year, o_orderstatus
+              FROM _gs_orders)
+        GROUP BY GROUPING SETS ((year), (o_orderstatus), ())
+        """
+    )
+
+
 # --------------------------------------------------------------------------
 # Joins (SURVEY §2.3)
 # --------------------------------------------------------------------------
@@ -377,6 +482,28 @@ def q_q05(spark, sf_dir):
     )
 
 
+def q_q10(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    joined = (
+        customer.join(orders, F.col("c_custkey") == orders.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .filter(F.col("l_returnflag") == "R")
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name")
+        .agg(
+            fixed_point_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
 # --------------------------------------------------------------------------
 # Dedup family
 # --------------------------------------------------------------------------
@@ -443,6 +570,21 @@ def q_t04(spark, sf_dir):
     return docs.select("doc_id", text.fingerprint("text").alias("fingerprint"))
 
 
+def q_t05(spark, sf_dir):
+    """Shingle-level fingerprint: lexicographic min of md5 over the
+    document's distinct 3-grams (a 1-hash MinHash, engine-portable)."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(dedup.word_ngrams(F.col("text"), 3))
+        ).alias("_g"),
+    )
+    return grams.groupBy("doc_id").agg(
+        F.min(F.md5(F.col("_g").cast("binary"))).alias("fp_gram")
+    )
+
+
 # --------------------------------------------------------------------------
 # Similarity search over embeddings
 # --------------------------------------------------------------------------
@@ -472,6 +614,23 @@ def q_s03(spark, sf_dir):
 def q_s04(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(emb, _query_vec(spark, sf_dir), k=10, n_bits=8)
+
+
+def q_s05(spark, sf_dir):
+    """Per-label centroid, long form (label, dim, centroid) — the
+    aggregation an IVF index build runs; fixed-point mean for
+    cross-engine determinism."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("p", "v"))
+    centroid = F.round(
+        F.sum(F.round(F.col("v").cast("double") * 1000000).cast("long")).cast("double")
+        / 1000000
+        / F.count(F.lit(1)),
+        6,
+    )
+    return ex.groupBy(
+        "label", (F.col("p") + 1).cast("long").alias("dim")
+    ).agg(centroid.alias("centroid"))
 
 
 # --------------------------------------------------------------------------
@@ -550,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p07_duration_minutes": q_p07,
         "p08_bool_flags": q_p08,
         "p12_filter_contains": q_p12,
+        "p13_json_extract": q_p13,
         "a01_quarter_counts": q_a01,
         "a02_returnflag_counts": q_a02,
         "a03_histogram_totalprice": q_a03,
@@ -559,6 +719,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a06_monthly_rollup": q_a06,
         "a07_rollup_year_status": q_a07,
         "a08_pivot_status": q_a08,
+        "a09_approx_distinct": q_a09,
+        "a10_grouping_sets": q_a10,
+        "ad01_distinct_agg": q_ad01,
+        "w01_running_total": q_w01,
+        "w02_order_gap_days": q_w02,
+        "w03_rank_in_segment": q_w03,
+        "set01_anti_join": q_set01,
+        "set02_semi_join": q_set02,
         "e04_hourly_event_counts": q_e04,
         "j01_orders_customer": q_j01,
         "j02_star_region_revenue": q_j02,
@@ -567,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q01_pricing_summary": q_q01,
         "q03_shipping_priority": q_q03,
         "q05_local_supplier_volume": q_q05,
+        "q10_returned_revenue": q_q10,
         "d01_dedup_exact": q_d01,
         "d02_ngram_jaccard_pairs": q_d02,
         "d03_minhash_lsh_pairs": q_d03,
@@ -576,10 +745,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t02_quality_scores": q_t02,
         "t03_lang_id": q_t03,
         "t04_fingerprint": q_t04,
+        "t05_min_gram_fingerprint": q_t05,
         "s01_cosine_topk": q_s01,
         "s02_neardup_pairs_exact": q_s02,
         "s03_neardup_pairs_lsh": q_s03,
         "s04_lsh_topk": q_s04,
+        "s05_label_centroids": q_s05,
         "e01_tumbling_window": q_e01,
         "e02_sliding_window": q_e02,
         "e03_session_windows": q_e03,
@@ -664,6 +835,40 @@ SELECT o_orderkey, o_orderstatus = 'O' AS is_open, o_totalprice > 100000.0 AS is
 FROM orders""",
         "p12_filter_contains": """
 SELECT doc_id, n_chars FROM documents WHERE text LIKE '%merge join%'""",
+        "p13_json_extract": """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+FROM events""",
+        "w01_running_total": """
+SELECT o_custkey, o_orderkey,
+       round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100, 2) AS running_total
+FROM orders""",
+        "w02_order_gap_days": """
+SELECT o_custkey, o_orderkey,
+       CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS BIGINT) AS gap_days
+FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+        "w03_rank_in_segment": """
+SELECT c_mktsegment, o_orderkey, o_totalprice,
+       CAST(rank() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC) AS BIGINT) AS rnk
+FROM orders JOIN customer ON o_custkey = c_custkey
+QUALIFY rnk <= 5""",
+        "set01_anti_join": """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')""",
+        "set02_semi_join": """
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')""",
+        "ad01_distinct_agg": """
+SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_orderkey) AS n_orders, count(*) AS n_items
+FROM lineitem GROUP BY 1""",
+        "a10_grouping_sets": """
+SELECT year, o_orderstatus, count(*) AS n
+FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS year, o_orderstatus FROM orders)
+GROUP BY GROUPING SETS ((year), (o_orderstatus), ())""",
         "a01_quarter_counts": """
 SELECT CAST(year(o_orderdate) AS VARCHAR) || 'Q' || CAST(quarter(o_orderdate) AS VARCHAR) AS quarter,
        count(*) AS n
@@ -764,6 +969,16 @@ JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 WHERE r_name = 'ASIA'
 GROUP BY 1""",
+        "q10_returned_revenue": """
+SELECT c_custkey, c_name,
+       round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 10000, 2) AS revenue,
+       count(*) AS n_items
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_returnflag = 'R'
+GROUP BY 1, 2
+ORDER BY revenue DESC, c_custkey LIMIT 20""",
         "d01_dedup_exact": f"""
 SELECT min(doc_id) AS doc_id, f AS fingerprint
 FROM (SELECT doc_id, md5({_NORM_TEXT}) AS f FROM documents)
@@ -812,6 +1027,15 @@ SELECT doc_id,
 FROM m""",
         "t04_fingerprint": f"""
 SELECT doc_id, md5({_NORM_TEXT}) AS fingerprint FROM documents""",
+        "t05_min_gram_fingerprint": grams_cte
+        + """
+SELECT doc_id, min(md5(g)) AS fp_gram FROM dg GROUP BY doc_id""",
+        "s05_label_centroids": """
+SELECT label, CAST(pos AS BIGINT) AS dim,
+       round(CAST(sum(CAST(round(CAST(embedding[pos] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+             / 1000000 / count(*), 6) AS centroid
+FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos) t
+GROUP BY label, pos""",
         "s01_cosine_topk": f"""
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
 e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
