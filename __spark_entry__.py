@@ -482,6 +482,67 @@ def q_q05(spark, sf_dir):
     )
 
 
+def q_q04(spark, sf_dir):
+    """Order-priority check: orders with at least one late lineitem
+    (semi join with a correlated predicate)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = li.filter(F.col("l_shipdate") > "1999-06-30")
+    sub = orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+    return sub.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+def q_q06(spark, sf_dir):
+    """Forecast-revenue filter: tight predicate + single global aggregate —
+    the pushdown/codegen showcase."""
+    li = _t(spark, sf_dir, "lineitem")
+    filtered = li.filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return filtered.agg(
+        fixed_point_sum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_q12(spark, sf_dir):
+    """Shipping-mode-ish split: conditional aggregation over a join
+    (the CASE-WHEN partial-agg pattern)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    joined = orders.join(li, orders.o_orderkey == li.l_orderkey)
+    high = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    return joined.groupBy("l_linestatus").agg(
+        F.sum(high).alias("high_line_count"),
+        F.sum(1 - high).alias("low_line_count"),
+    )
+
+
+def q_q14(spark, sf_dir):
+    """Promo-revenue ratio: conditional numerator over a broadcast join."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+    )
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), disc).otherwise(F.lit(0.0))
+    return joined.agg(
+        fixed_point_sum(promo).alias("promo_revenue"),
+        fixed_point_sum(disc).alias("total_revenue"),
+    )
+
+
 def q_q10(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
@@ -734,8 +795,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j05_roleplay_nations": q_j05,
         "q01_pricing_summary": q_q01,
         "q03_shipping_priority": q_q03,
+        "q04_priority_check": q_q04,
         "q05_local_supplier_volume": q_q05,
+        "q06_forecast_revenue": q_q06,
         "q10_returned_revenue": q_q10,
+        "q12_priority_split": q_q12,
+        "q14_promo_ratio": q_q14,
         "d01_dedup_exact": q_d01,
         "d02_ngram_jaccard_pairs": q_d02,
         "d03_minhash_lsh_pairs": q_d03,
@@ -969,6 +1034,33 @@ JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 WHERE r_name = 'ASIA'
 GROUP BY 1""",
+        "q04_priority_check": """
+SELECT o_orderpriority, count(*) AS n_orders FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > TIMESTAMP '1999-06-30 00:00:00')
+GROUP BY 1""",
+        "q06_forecast_revenue": """
+SELECT round(CAST(sum(CAST(round((l_extendedprice * l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000, 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+        "q12_priority_split": """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1""",
+        "q14_promo_ratio": """
+SELECT round(CAST(sum(CAST(round((CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) * 10000) AS BIGINT)) AS DOUBLE) / 10000, 2) AS promo_revenue,
+       round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 10000, 2) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""",
         "q10_returned_revenue": """
 SELECT c_custkey, c_name,
        round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 10000, 2) AS revenue,

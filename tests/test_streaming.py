@@ -12,6 +12,36 @@ from learn_etl_data_warehouse_spark.streaming.events import (
 )
 
 
+def test_stream_session_window_matches_batch(spark, sf_small, tmp_path):
+    """session_window under Structured Streaming (availableNow) must
+    reproduce the batch sessionization."""
+    from pyspark.sql import functions as F
+
+    from learn_etl_data_warehouse_spark.streaming.events import (
+        session_windows_native,
+    )
+
+    events = load_table(spark, sf_small, "events")
+    staged = str(tmp_path / "events_sess")
+    events.write.mode("overwrite").parquet(staged)
+    stream = spark.readStream.schema(events.schema).parquet(staged)
+    agg = session_windows_native(stream.withWatermark("ts", "1 hour"), gap_minutes=30)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_stream_session")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.table("t_stream_session").collect()))
+    want = sorted(map(tuple, session_windows_native(events, gap_minutes=30).collect()))
+    assert got == want
+
+
 def test_stream_tumbling_matches_batch(spark, sf_small, tmp_path):
     events = load_table(spark, sf_small, "events")
     # Re-stage as microsecond-timestamp parquet (the raw fixture's NANOS
