@@ -268,9 +268,7 @@ def q_w03(spark, sf_dir):
 
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
-    joined = orders.join(
-        F.broadcast(customer), orders.o_custkey == customer.c_custkey
-    )
+    joined = orders.join(customer, orders.o_custkey == customer.c_custkey)
     w = Window.partitionBy("c_mktsegment").orderBy(F.col("o_totalprice").desc())
     return (
         joined.withColumn("rnk", F.rank().over(w).cast("long"))
@@ -339,9 +337,7 @@ def q_a10(spark, sf_dir):
 def q_j01(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
-    joined = orders.join(
-        F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner"
-    )
+    joined = orders.join(customer, orders.o_custkey == customer.c_custkey, "inner")
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.countDistinct("o_custkey").alias("n_customers"),
@@ -355,7 +351,7 @@ def q_j02(spark, sf_dir):
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
     joined = (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
@@ -375,7 +371,7 @@ def q_j03(spark, sf_dir):
         ),
     )
     joined = o.join(
-        F.broadcast(customer),
+        customer,
         empty_to_null(F.col("mkey")) == customer.c_custkey.cast("string"),
         "left",
     )
@@ -395,9 +391,9 @@ def q_j05(spark, sf_dir):
         F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation")
     )
     joined = (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(n_cust), customer.c_nationkey == F.col("_cn_key"))
         .join(F.broadcast(n_supp), supplier.s_nationkey == F.col("_sn_key"))
     )
@@ -464,10 +460,10 @@ def q_q05(spark, sf_dir):
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
     joined = (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(
-            F.broadcast(supplier),
+            supplier,
             (li.l_suppkey == supplier.s_suppkey)
             & (customer.c_nationkey == supplier.s_nationkey),
         )
@@ -534,7 +530,7 @@ def q_q14(spark, sf_dir):
         (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
     )
     part = _t(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type").startswith("PROMO"), disc).otherwise(F.lit(0.0))
     return joined.agg(
@@ -749,7 +745,7 @@ def entry(spark: SparkSession) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
     joined = (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .withColumn("quarter", quarter_key("o_orderdate"))

@@ -192,7 +192,23 @@ def minhash_lsh_pairs(
     banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    # Compute the estimate inside the join projection and filter BEFORE
+    # deduplicating: the dedup shuffle then carries 3 scalars per
+    # surviving pair instead of two 64-long signature arrays per
+    # candidate — at corpus scale the candidate set dwarfs the result.
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with(
+                    F.col("a.signature"), F.col("b.signature"), lambda x, y: x == y
+                ),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes)),
+        6,
+    )
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -202,24 +218,10 @@ def minhash_lsh_pairs(
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            F.col("a.signature").alias("_sa"),
-            F.col("b.signature").alias("_sb"),
+            est.alias("est_jaccard"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    est = F.round(
-        F.size(
-            F.filter(
-                F.zip_with(F.col("_sa"), F.col("_sb"), lambda x, y: x == y),
-                lambda eq: eq,
-            )
-        ).cast("double")
-        / F.lit(float(num_hashes)),
-        6,
-    )
-    return (
-        cand.select("id_a", "id_b", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -297,6 +299,6 @@ def simhash_near_pairs(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )

@@ -42,6 +42,55 @@ def test_stream_session_window_matches_batch(spark, sf_small, tmp_path):
     assert got == want
 
 
+def test_stateful_running_totals_across_microbatches(spark, sf_small, tmp_path):
+    """applyInPandasWithState must accumulate across micro-batches: stage
+    the events as 4 files, force 1 file per trigger, and check the final
+    per-user row equals the batch aggregate."""
+    from learn_etl_data_warehouse_spark.streaming.stateful import (
+        batch_user_totals,
+        stream_running_user_totals,
+    )
+
+    events = load_table(spark, sf_small, "events")
+    staged = str(tmp_path / "events_state")
+    events.repartition(4).write.mode("overwrite").parquet(staged)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    q = (
+        stream_running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("t_state_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    # update mode appends one row per user per micro-batch; the final
+    # state is the row with the highest n_events per user
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    emitted = spark.table("t_state_totals")
+    assert emitted.count() > emitted.select("user_id").distinct().count(), (
+        "expected multiple micro-batches to emit interim rows"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    got = sorted(map(tuple, final.collect()))
+    want = sorted(map(tuple, batch_user_totals(events).collect()))
+    assert got == want
+
+
 def test_stream_tumbling_matches_batch(spark, sf_small, tmp_path):
     events = load_table(spark, sf_small, "events")
     # Re-stage as microsecond-timestamp parquet (the raw fixture's NANOS
