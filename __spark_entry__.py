@@ -42,7 +42,13 @@ from learn_etl_data_warehouse_spark.functions.histogram import (
     categorical_histogram,
     histogram,
 )
-from learn_etl_data_warehouse_spark.operators import dedup, multimodal, similarity, text
+from learn_etl_data_warehouse_spark.operators import (
+    asof,
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
 from learn_etl_data_warehouse_spark.operators.rollups import (
     distinct_keys,
     monthly_rollup,
@@ -274,6 +280,57 @@ def q_w03(spark, sf_dir):
         joined.withColumn("rnk", F.rank().over(w).cast("long"))
         .filter(F.col("rnk") <= 5)
         .select("c_mktsegment", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# As-of / range joins (operators Spark lacks natively)
+# --------------------------------------------------------------------------
+
+
+def q_r01(spark, sf_dir):
+    """As-of join: for each purchase event, the latest click value at or
+    before it for the same user."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    return asof.asof_join(
+        purchases, clicks, key="user_id", ts="ts", payload_cols=["click_value"]
+    ).select("event_id", "user_id", "ts", "click_value")
+
+
+def q_r02(spark, sf_dir):
+    """Range pair join: pairs of events of one user within 5 minutes."""
+    ev = _t(spark, sf_dir, "events")
+    return asof.event_pairs_within(
+        ev, key="user_id", ts="ts", id_col="event_id", tolerance_seconds=300
+    )
+
+
+def q_a11(spark, sf_dir):
+    """Exact interpolated percentiles per group (the approx path is
+    percentile_approx; exact is verifiable against the oracle)."""
+    df = _t(spark, sf_dir, "orders")
+    return df.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90_price"),
+    )
+
+
+def q_a12(spark, sf_dir):
+    """Unpivot (long-form melt) of the lineitem measure columns."""
+    df = _t(spark, sf_dir, "lineitem")
+    return df.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
     )
 
 
@@ -673,6 +730,17 @@ def q_s04(spark, sf_dir):
     return similarity.lsh_topk(emb, _query_vec(spark, sf_dir), k=10, n_bits=8)
 
 
+def q_s06(spark, sf_dir):
+    """IVF approximate top-k: deterministic k-means-lite cells, probe the
+    4 nearest cells. Approximate by design → rows-only check; exactness
+    and recall are pinned in tests/test_operators.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_build_centroids(emb, n_cells=16, iterations=1)
+    return similarity.ivf_topk(
+        emb, cents, _query_vec(spark, sf_dir), k=10, nprobe=4
+    )
+
+
 def q_s05(spark, sf_dir):
     """Per-label centroid, long form (label, dim, centroid) — the
     aggregation an IVF index build runs; fixed-point mean for
@@ -730,6 +798,18 @@ def q_m02(spark, sf_dir):
     return feats.select("media_id", "media_type", "byte_len", "features")
 
 
+def q_m03(spark, sf_dir):
+    """Image resize plumbing (stubbed decode, real batch contract)."""
+    media = multimodal.documents_as_media(_t(spark, sf_dir, "documents"))
+    return multimodal.resize_images(media)
+
+
+def q_m04(spark, sf_dir):
+    """Video frame-sampling plumbing (1→N mapInPandas)."""
+    media = multimodal.documents_as_media(_t(spark, sf_dir, "documents"))
+    return multimodal.sample_frames(media, n_frames=4)
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -784,6 +864,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w03_rank_in_segment": q_w03,
         "set01_anti_join": q_set01,
         "set02_semi_join": q_set02,
+        "r01_asof_join": q_r01,
+        "r02_event_pairs_range": q_r02,
+        "a11_exact_percentiles": q_a11,
+        "a12_unpivot": q_a12,
         "e04_hourly_event_counts": q_e04,
         "j01_orders_customer": q_j01,
         "j02_star_region_revenue": q_j02,
@@ -812,11 +896,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s03_neardup_pairs_lsh": q_s03,
         "s04_lsh_topk": q_s04,
         "s05_label_centroids": q_s05,
+        "s06_ivf_topk": q_s06,
         "e01_tumbling_window": q_e01,
         "e02_sliding_window": q_e02,
         "e03_session_windows": q_e03,
         "m01_media_metadata": q_m01,
         "m02_media_features": q_m02,
+        "m03_media_resize": q_m03,
+        "m04_frame_sampling": q_m04,
     }
 
 
@@ -922,6 +1009,29 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
 SELECT c_custkey, c_mktsegment FROM customer c
 WHERE EXISTS (SELECT 1 FROM orders o
               WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')""",
+        "r01_asof_join": """
+WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, max(value) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+SELECT p.event_id, p.user_id, p.ts, c.click_value
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""",
+        "r02_event_pairs_range": """
+SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+       abs(epoch_us(a.ts) - epoch_us(b.ts)) AS delta_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+WHERE abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000""",
+        "a11_exact_percentiles": """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price
+FROM orders GROUP BY 1""",
+        "a12_unpivot": """
+SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS measure, l_extendedprice AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""",
         "ad01_distinct_agg": """
 SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,
        count(DISTINCT l_orderkey) AS n_orders, count(*) AS n_items

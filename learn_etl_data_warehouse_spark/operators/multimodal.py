@@ -105,6 +105,89 @@ def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
+THUMB_H, THUMB_W = 4, 4
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("pixels", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_index", T.IntegerType(), False),
+        T.StructField("byte_offset", T.LongType(), False),
+        T.StructField("frame_feature", T.DoubleType(), True),
+    ]
+)
+
+
+def _resize_stub(payload: bytes, h: int, w: int) -> list[float]:
+    """STUB for an image decode+resize (Pillow in production): emits a
+    deterministic h×w 'grayscale' grid from payload byte means — same
+    output shape/dtype as the real kernel."""
+    if not payload:
+        return [0.0] * (h * w)
+    n = h * w
+    chunk = max(len(payload) // n, 1)
+    return [
+        sum(payload[i * chunk : (i + 1) * chunk]) / max(len(payload[i * chunk : (i + 1) * chunk]), 1) / 255.0
+        for i in range(n)
+    ]
+
+
+def resize_images(df: DataFrame, h: int = THUMB_H, w: int = THUMB_W) -> DataFrame:
+    """Batch image resize via mapInPandas — the per-batch loop is where a
+    real decoder amortizes; output is a fixed-size pixel array so the
+    result is columnar again."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "height": h,
+                    "width": w,
+                    "pixels": [_resize_stub(p, h, w) for p in pdf["payload"]],
+                }
+            )
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Video frame sampling plumbing: emit ``n_frames`` evenly spaced
+    (frame_index, byte_offset, feature) rows per media item — a 1→N
+    mapInPandas, the shape a real demuxer (PyAV) would produce. The
+    frame decode is STUBBED with a deterministic byte-mean feature."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [],
+                "frame_index": [],
+                "byte_offset": [],
+                "frame_feature": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                size = len(payload) if payload is not None else 0
+                for i in range(n_frames):
+                    off = (size * i) // n_frames
+                    window = payload[off : off + 64] if payload else b""
+                    feat = (sum(window) / max(len(window), 1)) / 255.0
+                    out["media_id"].append(mid)
+                    out["frame_index"].append(i)
+                    out["byte_offset"].append(off)
+                    out["frame_feature"].append(feat)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter used by tests/bench: treat document text bytes as an opaque
     payload so the multimodal plumbing exercises real (non-null) binary

@@ -201,6 +201,104 @@ def lsh_near_pairs(
     )
 
 
+def ivf_build_centroids(
+    df: DataFrame,
+    n_cells: int = 16,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Deterministic k-means-lite for an IVF index: seed cells by
+    ``id % n_cells`` (no RNG → reproducible across runs/cluster sizes),
+    then run Lloyd iterations with the argmin computed JVM-side. Only the
+    n_cells×dim centroid matrix ever reaches the driver — the data-side
+    work is two narrow passes per iteration plus one small aggregation."""
+    assigned = df.select(
+        (F.col(id_col) % n_cells).cast("int").alias("_cell"), F.col(vec_col).alias("_v")
+    )
+    for _ in range(iterations):
+        cents = (
+            assigned.select("_cell", F.posexplode("_v").alias("_p", "_x"))
+            .groupBy("_cell", "_p")
+            .agg(
+                (
+                    F.sum(F.round(F.col("_x").cast("double") * 1e6).cast("long")).cast(
+                        "double"
+                    )
+                    / 1e6
+                    / F.count(F.lit(1))
+                ).alias("_m")
+            )
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in cents:
+            by_cell.setdefault(r["_cell"], {})[r["_p"]] = r["_m"]
+        centroids = [
+            [by_cell[c][p] for p in sorted(by_cell[c])] for c in sorted(by_cell)
+        ]
+        assigned = ivf_assign(
+            assigned.withColumnRenamed("_v", vec_col), centroids, vec_col
+        ).select(F.col("ivf_cell").alias("_cell"), F.col(vec_col).alias("_v"))
+    return centroids
+
+
+def ivf_assign(
+    df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Attach ``ivf_cell`` = argmax-cosine centroid, fully JVM-side
+    (array of (score, cell) structs → array_max; ties break to the
+    highest cell id, deterministically)."""
+    scored = F.array(
+        *[
+            F.struct(
+                cosine_similarity(
+                    F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])
+                ).alias("score"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return df.withColumn("ivf_cell", F.array_max(scored)["cell"])
+
+
+def ivf_topk(
+    df: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF search: rank cells by centroid similarity to the query
+    (driver-side, tiny), probe the top ``nprobe`` cells, exact cosine
+    rank within them. At scale the table is written partitioned/bucketed
+    by ``ivf_cell`` so the probe is a partition-pruned scan."""
+    import math
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    ranked = sorted(
+        range(len(centroids)), key=lambda i: (-cos(centroids[i], query_vec), i)
+    )
+    probes = ranked[:nprobe]
+    assigned = ivf_assign(df, centroids, vec_col)
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    sim = F.round(cosine_similarity(F.col(vec_col), q), 6)
+    return (
+        assigned.filter(F.col("ivf_cell").isin(probes))
+        .select(F.col(id_col), sim.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def lsh_topk(
     df: DataFrame,
     query_vec: list[float],

@@ -71,6 +71,33 @@ def test_lsh_topk_contains_self(spark, sf_small):
     assert top and top[0]["vec_id"] == 3
 
 
+def test_ivf_recall_scales_with_nprobe(spark, sf_small):
+    emb = load_table(spark, sf_small, "embeddings")
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    cents = similarity.ivf_build_centroids(emb, n_cells=16, iterations=1)
+    exact = [r["vec_id"] for r in similarity.cosine_topk(emb, q, k=10).collect()]
+    rec = {}
+    for nprobe in (4, 16):
+        got = [
+            r["vec_id"]
+            for r in similarity.ivf_topk(emb, cents, q, k=10, nprobe=nprobe).collect()
+        ]
+        rec[nprobe] = len(set(exact) & set(got)) / 10
+    assert rec[16] == 1.0, f"nprobe=all must be exact, got {rec}"
+    assert rec[4] >= 0.4, f"nprobe=4 recall too low: {rec}"
+
+
+def test_ivf_cells_are_balanced(spark, sf_small):
+    emb = load_table(spark, sf_small, "embeddings")
+    cents = similarity.ivf_build_centroids(emb, n_cells=8, iterations=2)
+    sizes = [
+        r["count"]
+        for r in similarity.ivf_assign(emb, cents).groupBy("ivf_cell").count().collect()
+    ]
+    assert len(sizes) == 8
+    assert max(sizes) < 4 * min(sizes), f"degenerate clustering: {sizes}"
+
+
 def test_session_native_matches_gaps_and_islands(spark, sf_small):
     """session_window (native, streaming-capable) must agree with the
     SQL-oracle-checkable gaps-and-islands twin."""
@@ -96,6 +123,19 @@ def test_multimodal_feature_extraction_shape(spark, sf_small):
         assert len(r["features"]) == multimodal.FEATURE_DIM
         assert abs(sum(r["features"]) - 1.0) < 1e-9  # L1-normalized stub
         assert r["byte_len"] > 0
+
+
+def test_resize_and_frame_sampling_shapes(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    media = multimodal.documents_as_media(docs)
+    thumbs = multimodal.resize_images(media).limit(3).collect()
+    assert all(len(r["pixels"]) == 16 and r["height"] == 4 for r in thumbs)
+    frames = multimodal.sample_frames(media, n_frames=4)
+    per_item = frames.groupBy("media_id").count().collect()
+    assert all(r["count"] == 4 for r in per_item)
+    one = frames.filter(F.col("media_id") == per_item[0]["media_id"]).collect()
+    offs = [r["byte_offset"] for r in sorted(one, key=lambda r: r["frame_index"])]
+    assert offs == sorted(offs) and all(0.0 <= r["frame_feature"] <= 1.0 for r in one)
 
 
 def test_media_metadata_prunes_payload(spark, sf_small):

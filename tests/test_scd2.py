@@ -1,0 +1,79 @@
+"""SCD2 merge semantics over the customer dim."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from learn_etl_data_warehouse_spark.plans.scd2 import scd2_init, scd2_merge
+from learn_etl_data_warehouse_spark.sources.parquet import load_table
+
+ATTRS = ["c_acctbal", "c_mktsegment"]
+
+
+def test_scd2_versioning(spark, sf_small):
+    cust = load_table(spark, sf_small, "customer")
+    hist = scd2_init(cust, "c_custkey", "2024-01-01 00:00:00")
+    n0 = cust.count()
+
+    # batch 1: change acctbal for keys % 10 == 0, add one new key
+    changed = cust.filter(F.col("c_custkey") % 10 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 100.0
+    )
+    new_row = spark.createDataFrame(
+        [(999999, "new customer", 0, 50.0, "BUILDING")], cust.columns
+    )
+    updates = changed.unionByName(new_row).select("c_custkey", *ATTRS)
+    n_changed = changed.count()
+
+    hist2 = scd2_merge(hist, updates, "c_custkey", ATTRS, "2024-02-01 00:00:00")
+    hist2 = hist2.cache()
+
+    # every original key still has exactly one open row; new key too
+    open_rows = hist2.filter(F.col("is_current"))
+    assert open_rows.count() == n0 + 1
+    assert open_rows.groupBy("c_custkey").count().filter("count > 1").count() == 0
+    # changed keys have exactly one closed historical version
+    closed = hist2.filter(~F.col("is_current"))
+    assert closed.count() == n_changed
+    assert set(
+        r["c_custkey"] for r in closed.select("c_custkey").collect()
+    ) == set(r["c_custkey"] for r in changed.select("c_custkey").collect())
+    # the open version of a changed key carries the new value and window
+    one = changed.select("c_custkey").head()["c_custkey"]
+    v = open_rows.filter(F.col("c_custkey") == one).collect()[0]
+    assert v["valid_from"].isoformat().startswith("2024-02-01")
+    assert v["valid_to"] is None
+
+    # idempotence: re-applying the same updates is a no-op
+    hist3 = scd2_merge(hist2, updates, "c_custkey", ATTRS, "2024-03-01 00:00:00")
+    assert hist3.count() == hist2.count()
+    assert hist3.filter(F.col("is_current")).count() == n0 + 1
+
+
+def test_j6_dim_denormalization_consistent(spark):
+    """J6 (SURVEY §2.3): the masters carry denormalized kelurahan names;
+    re-deriving them through the kelurahan dim must agree."""
+    import os
+
+    import pytest
+
+    assets = "/root/reference/assets/oltp"
+    if not os.path.exists(assets + "/master_user.xlsx"):
+        pytest.skip("reference assets not present")
+    from learn_etl_data_warehouse_spark.plans.warehouse import load_ojol_dims
+
+    dims = load_ojol_dims(spark, assets)
+    kel = dims["kelurahan"].select(
+        F.col("kelurahan_id").alias("_kid"),
+        F.col("kelurahan_name").alias("_kname"),
+        F.col("kecamatan_name").alias("_cname"),
+    )
+    for name in ["user", "driver"]:
+        joined = dims[name].join(
+            F.broadcast(kel), dims[name]["kelurahan_id"] == F.col("_kid"), "left"
+        )
+        bad = joined.filter(
+            (F.col("kelurahan_name") != F.col("_kname"))
+            | (F.col("kecamatan_name") != F.col("_cname"))
+        ).count()
+        assert bad == 0, f"{name}: denormalized names disagree with the dim"
