@@ -596,6 +596,111 @@ def q_q14(spark, sf_dir):
     )
 
 
+def q_q18(spark, sf_dir):
+    """Large-volume customers: orders whose lineitem quantity sum exceeds
+    a threshold (aggregate-filtered semi join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(fixed_point_sum(F.col("l_quantity"), 100).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150.0)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty")
+    )
+
+
+def q_q19(spark, sf_dir):
+    """Discounted revenue under OR-of-AND predicate groups (Catalyst
+    pushes the common join key, evaluates the disjunction post-join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 35)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return joined.filter(cond).agg(
+        fixed_point_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_q22(spark, sf_dir):
+    """Rich-idle customers: above-average balance, no orders (scalar
+    aggregate subquery + anti join). The average threshold is computed
+    fixed-point so the comparison is engine-deterministic."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        F.round(
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).cast("double")
+            / 100
+            / F.count(F.lit(1)),
+            2,
+        ).alias("avg_bal")
+    )
+    rich = (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+    )
+    return rich.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        fixed_point_sum(F.col("c_acctbal"), 100).alias("total_bal"),
+    )
+
+
+def q_f01(spark, sf_dir):
+    """Event funnel: users progressing signup → later click → later
+    purchase (the sequential-conversion query a training-data/product
+    pipeline runs constantly)."""
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("ts1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("ts2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts3"))
+    )
+    return (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after")))
+    )
+
+
 def q_q10(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
@@ -881,6 +986,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_revenue": q_q10,
         "q12_priority_split": q_q12,
         "q14_promo_ratio": q_q14,
+        "q18_large_volume_customers": q_q18,
+        "q19_disjunctive_predicates": q_q19,
+        "q22_rich_idle_customers": q_q22,
+        "f01_event_funnel": q_f01,
         "d01_dedup_exact": q_d01,
         "d02_ngram_jaccard_pairs": q_d02,
         "d03_minhash_lsh_pairs": q_d03,
@@ -1167,6 +1276,41 @@ SELECT round(CAST(sum(CAST(round((CASE WHEN p_type LIKE 'PROMO%' THEN l_extended
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""",
+        "q18_large_volume_customers": """
+WITH big AS (
+  SELECT l_orderkey,
+         round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_qty
+  FROM lineitem GROUP BY 1
+  HAVING round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100, 2) > 150.0)
+SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+FROM orders JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey""",
+        "q19_disjunctive_predicates": """
+SELECT round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 10000, 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)""",
+        "q22_rich_idle_customers": """
+WITH t AS (
+  SELECT round(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100 / count(*), 2) AS avg_bal
+  FROM customer WHERE c_acctbal > 0.0)
+SELECT c_mktsegment, count(*) AS n_customers,
+       round(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS total_bal
+FROM customer, t
+WHERE c_acctbal > t.avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY 1""",
+        "f01_event_funnel": """
+WITH s AS (SELECT user_id, min(ts) AS ts1 FROM events WHERE event_type = 'signup' GROUP BY 1),
+c AS (SELECT e.user_id, min(e.ts) AS ts2 FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'click' AND e.ts > s.ts1 GROUP BY 1),
+p AS (SELECT e.user_id, min(e.ts) AS ts3 FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.ts2 GROUP BY 1)
+SELECT (SELECT count(*) FROM s) AS n_signup,
+       (SELECT count(*) FROM c) AS n_click_after,
+       (SELECT count(*) FROM p) AS n_purchase_after""",
         "q10_returned_revenue": """
 SELECT c_custkey, c_name,
        round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 10000, 2) AS revenue,

@@ -87,6 +87,7 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("_g"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    grams.count()  # eager: three plan branches race on a cold cache otherwise
     sizes = grams.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
     a = grams.alias("a")
     b = grams.alias("b")
@@ -166,10 +167,20 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    # Persist the signatures eagerly: the banding branch and the two
+    # verify joins all read them.
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sig.count()
+    # Candidate generation on a SLIM (id, band, bucket) relation — no
+    # signature payload. With heavy duplicate clusters a bucket of c docs
+    # emits c² candidate rows in EVERY band; carrying arrays (or
+    # computing the 64-way comparison) per candidate multiplies that
+    # cost ×bands. Dedup the bare id pairs first, then join the cached
+    # signatures back exactly once per distinct pair.
     banded = sig.select(
         F.col(id_col).alias("_id"),
-        F.col("signature"),
         F.explode(
             F.array(
                 *[
@@ -186,22 +197,25 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("_band"),
-    ).select("_id", "signature", "_band.band", "_band.bucket")
-    # Both self-join sides read the banded signatures; persist so the
-    # MinHash aggregation (explode + K min-hashes) runs once, not twice.
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    ).select("_id", "_band.band", "_band.bucket")
     a = banded.alias("a")
     b = banded.alias("b")
-    # Compute the estimate inside the join projection and filter BEFORE
-    # deduplicating: the dedup shuffle then carries 3 scalars per
-    # surviving pair instead of two 64-long signature arrays per
-    # candidate — at corpus scale the candidate set dwarfs the result.
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("signature").alias("_sa"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("signature").alias("_sb"))
     est = F.round(
         F.size(
             F.filter(
-                F.zip_with(
-                    F.col("a.signature"), F.col("b.signature"), lambda x, y: x == y
-                ),
+                F.zip_with(F.col("_sa"), F.col("_sb"), lambda x, y: x == y),
                 lambda eq: eq,
             )
         ).cast("double")
@@ -209,19 +223,10 @@ def minhash_lsh_pairs(
         6,
     )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            est.alias("est_jaccard"),
-        )
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -266,9 +271,12 @@ def simhash_near_pairs(
     ``bands - 1`` shares at least one exact chunk (pigeonhole), so the
     candidate join is again key-equality. Exact hamming verify inside
     buckets via bit_count(xor)."""
+    # Same slim-candidates shape as minhash_lsh_pairs: id-only bucket
+    # join → dedup → verify via two lookups into the cached signatures.
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    sig.count()
     chunks = sig.select(
         F.col(id_col).alias("_id"),
-        F.col("simhash"),
         F.explode(
             F.array(
                 *[
@@ -282,23 +290,27 @@ def simhash_near_pairs(
                 ]
             )
         ).alias("_c"),
-    ).select("_id", "simhash", "_c.band", "_c.chunk")
-    chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
+    ).select("_id", "_c.band", "_c.chunk")
     a, b = chunks.alias("a"), chunks.alias("b")
-    return (
+    cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a._id") < F.col("b._id")),
         )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ha = sig.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("_ha"))
+    hb = sig.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("_hb"))
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
         .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["id_a", "id_b"])
     )
