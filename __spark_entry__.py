@@ -339,6 +339,31 @@ def q_a12(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
+def q_g01(spark, sf_dir):
+    """Per-customer z-score of order values — native window form
+    (the applyInPandas twin is conformance-tested in tests)."""
+    from learn_etl_data_warehouse_spark.operators.grouped import zscore_native
+
+    return zscore_native(_t(spark, sf_dir, "orders"))
+
+
+def q_a13(spark, sf_dir):
+    """Equal-frequency (quantile) binning via ntile — the complement of
+    the equal-width histogram (a03)."""
+    from pyspark.sql import Window
+
+    df = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    binned = df.select(
+        F.ntile(4).over(w).cast("long").alias("quartile"), F.col("o_totalprice")
+    )
+    return binned.groupBy("quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
 def q_set01(spark, sf_dir):
     customer = _t(spark, sf_dir, "customer")
     pending = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
@@ -652,12 +677,7 @@ def q_q22(spark, sf_dir):
     customer = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     avg_bal = customer.filter(F.col("c_acctbal") > 0.0).agg(
-        F.round(
-            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).cast("double")
-            / 100
-            / F.count(F.lit(1)),
-            2,
-        ).alias("avg_bal")
+        fixed_point_avg(F.col("c_acctbal"), 100, 2).alias("avg_bal")
     )
     rich = (
         customer.crossJoin(F.broadcast(avg_bal))
@@ -973,6 +993,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r02_event_pairs_range": q_r02,
         "a11_exact_percentiles": q_a11,
         "a12_unpivot": q_a12,
+        "a13_quantile_bins": q_a13,
+        "g01_grouped_zscore": q_g01,
         "e04_hourly_event_counts": q_e04,
         "j01_orders_customer": q_j01,
         "j02_star_region_revenue": q_j02,
@@ -1141,6 +1163,21 @@ UNION ALL
 SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
 UNION ALL
 SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""",
+        "a13_quantile_bins": """
+WITH b AS (
+  SELECT CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile,
+         o_totalprice
+  FROM orders)
+SELECT quartile, count(*) AS n,
+       round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
+FROM b GROUP BY 1""",
+        "g01_grouped_zscore": """
+SELECT o_custkey, o_orderkey,
+       round(CASE WHEN stddev_samp(o_totalprice) OVER w > 0
+                  THEN (o_totalprice - avg(o_totalprice) OVER w)
+                       / stddev_samp(o_totalprice) OVER w
+             END, 6) AS zscore
+FROM orders WINDOW w AS (PARTITION BY o_custkey)""",
         "ad01_distinct_agg": """
 SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,
        count(DISTINCT l_orderkey) AS n_orders, count(*) AS n_items

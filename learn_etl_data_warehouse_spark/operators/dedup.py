@@ -16,6 +16,11 @@ inside candidate buckets.
 
 Hash choice: ``xxhash64(seed, value)`` — JVM-side, bit-stable across
 runs/partitions, no Python in the loop.
+
+Cache lifetime: the sketch tables (grams / signatures) are persisted
+eagerly because several plan branches read them; entries are released by
+Spark's ContextCleaner once the returned DataFrame is garbage-collected,
+or explicitly via ``spark.catalog.clearCache()`` between batch jobs.
 """
 
 from __future__ import annotations

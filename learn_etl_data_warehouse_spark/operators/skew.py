@@ -31,10 +31,26 @@ def salted_join(
 
     ``small`` is replicated ``salt_buckets``× (only viable when it is
     orders of magnitude smaller — the same precondition as broadcasting,
-    but without the single-executor memory bound)."""
+    but without the single-executor memory bound).
+
+    Only ``inner`` and ``left`` are supported: with the small side
+    replicated, right/full outer joins would emit each unmatched small
+    row once per salt — silently wrong, so they are rejected.
+
+    The salt mixes in ``monotonically_increasing_id`` so even byte-equal
+    duplicate rows (the classic dirty-ingest hot key) fan out across
+    buckets; which salt a row gets never affects the join result, so
+    output determinism is preserved."""
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left only, got {how!r}: the "
+            "replicated small side would duplicate unmatched rows"
+        )
     salted_big = big.withColumn(
         "_salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets)),
+        F.pmod(
+            F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)
+        ),
     )
     replicated_small = small.withColumn(
         "_salt",

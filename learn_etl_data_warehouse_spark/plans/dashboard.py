@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.datetime_fns import hour_of
-from ..functions.histogram import categorical_histogram, histogram
+from ..functions.histogram import categorical_histogram, histogram  # noqa: F401
 from ..operators.rollups import distinct_keys
 
 
@@ -34,7 +34,9 @@ def quarterly_dashboard(cleaned: DataFrame, quarter: str) -> dict[str, DataFrame
         "geo_from": part.select("from_lat", "from_lng", "mode"),
         "geo_to": part.select("to_lat", "to_lng", "mode"),
         "table": part,
+        # the reference template renders BOTH nav lists (server.py:216-220)
         "nav_quarters": distinct_keys(cleaned, "quarter"),
+        "nav_modes": distinct_keys(cleaned, "mode"),
     }
 
 
@@ -49,10 +51,14 @@ def mode_dashboard(cleaned: DataFrame, mode: str) -> dict[str, DataFrame]:
         "hist_amount_delivery": histogram(part, "amount_delivery", 10),
         "hist_distance_rounded": histogram(part, "distance_rounded", 10),
         "hist_duration": histogram(part, "duration", 10),
-        "hist_hour_start": categorical_histogram(hours_start, "h"),
-        "hist_hour_end": categorical_histogram(hours_end, "h"),
+        # the reference feeds numeric hours to plt.hist → 10 equal-width
+        # bins over [min_hour, max_hour], NOT per-hour value counts
+        "hist_hour_start": histogram(hours_start, "h", 10),
+        "hist_hour_end": histogram(hours_end, "h", 10),
         "geo_from": part.select("from_lat", "from_lng"),
         "geo_to": part.select("to_lat", "to_lng"),
         "table": part,
+        # both nav lists, as in the reference template (server.py:296-299)
+        "nav_quarters": distinct_keys(cleaned, "quarter"),
         "nav_modes": distinct_keys(cleaned, "mode"),
     }

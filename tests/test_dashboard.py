@@ -53,16 +53,28 @@ def test_quarterly_dashboard_2018q4(cleaned):
 
 
 def test_mode_dashboard_bike(cleaned):
+    import numpy as np
+
     dash = mode_dashboard(cleaned, "BIKE")
     assert dash["table"].count() == 594  # golden mode size
-    hours = {r["h"]: r["n"] for r in dash["hist_hour_start"].collect()}
-    assert sum(hours.values()) == 594
-    assert all(0 <= h <= 23 for h in hours)
+    # hour chart = plt.hist on numeric hours: 10 equal-width bins
+    hour_vals = np.array(
+        [r[0] for r in dash["table"].select(F.hour("date_start")).collect()]
+    )
+    want, _ = np.histogram(hour_vals, bins=10)
+    got = {r["bin"]: r["n"] for r in dash["hist_hour_start"].collect()}
+    assert got == {i: int(c) for i, c in enumerate(want) if c > 0}
     navs = [r["mode"] for r in dash["nav_modes"].collect()]
     assert navs == ["BIKE", "CAR", "FOOD", "SHOP"]
-    assert (
-        float(
-            dash["table"].agg(F.sum("amount_delivery")).collect()[0][0]
-        )
-        == 4_137_000.0
-    )
+    assert [r["quarter"] for r in dash["nav_quarters"].collect()] == [
+        "2018Q3",
+        "2018Q4",
+        "2019Q1",
+    ]
+    # fixed-point, order-independent money check (CLAUDE.md invariant 1)
+    from learn_etl_data_warehouse_spark.functions.aggregates import fixed_point_sum
+
+    total = dash["table"].agg(
+        fixed_point_sum(F.col("amount_delivery"), 100).alias("s")
+    ).collect()[0]["s"]
+    assert total == 4_137_000.0

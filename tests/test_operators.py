@@ -71,6 +71,26 @@ def test_lsh_topk_contains_self(spark, sf_small):
     assert top and top[0]["vec_id"] == 3
 
 
+def test_zscore_native_vs_applyinpandas(spark, sf_small):
+    """Grouped-map UDF surface: the applyInPandas z-score must equal the
+    native window twin row-for-row (same contract as the cleaning UDFs)."""
+    from learn_etl_data_warehouse_spark.operators.grouped import (
+        zscore_grouped_pandas,
+        zscore_native,
+    )
+
+    orders = load_table(spark, sf_small, "orders")
+    a = sorted(map(tuple, zscore_native(orders).collect()))
+    b = sorted(map(tuple, zscore_grouped_pandas(orders).collect()))
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        assert ra[0] == rb[0] and ra[1] == rb[1]
+        if ra[2] is None or rb[2] is None:
+            assert ra[2] == rb[2]
+        else:
+            assert abs(ra[2] - rb[2]) <= 1e-6
+
+
 def test_ivf_recall_scales_with_nprobe(spark, sf_small):
     emb = load_table(spark, sf_small, "embeddings")
     q = [float(v) for v in emb.filter(F.col("vec_id") == 0).head()["embedding"]]

@@ -33,6 +33,7 @@ def test_bucketed_join_has_no_shuffle(spark, sf_small, tmp_path):
         F.col("o_orderkey") == F.col("l_orderkey"),
     )
     # disable broadcast so the test exercises the co-located path
+    prev_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         plan = joined._jdf.queryExecution().executedPlan().toString()
@@ -42,9 +43,7 @@ def test_bucketed_join_has_no_shuffle(spark, sf_small, tmp_path):
         )
         assert joined.count() == li.count()
     finally:
-        spark.conf.set(
-            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
-        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_threshold)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
@@ -67,13 +66,26 @@ def test_salted_join_equals_plain_join(spark, sf_small):
     assert sorted(map(tuple, plain.collect())) == sorted(
         map(tuple, salted.collect())
     )
-    # the salted big side actually fans the hot key across buckets
+    # the salted big side actually fans the hot key across buckets —
+    # even for byte-identical duplicate rows (id-based salt)
+    dup_rows = li.limit(1).unionByName(li.limit(1)).unionByName(li)
     salted_keys = (
-        li.withColumn(
+        dup_rows.withColumn(
             "_salt",
-            F.pmod(F.xxhash64(*[F.col(c) for c in li.columns]), F.lit(8)),
+            F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(8)),
         )
         .groupBy("l_suppkey")
         .agg(F.countDistinct("_salt").alias("n_salts"))
     )
     assert salted_keys.agg(F.min("n_salts")).collect()[0][0] >= 2
+
+
+def test_salted_join_rejects_outer(spark, sf_small):
+    li = load_table(spark, sf_small, "lineitem")
+    supplier = load_table(spark, sf_small, "supplier").withColumnRenamed(
+        "s_suppkey", "l_suppkey"
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(li, supplier, "l_suppkey", how="full")
