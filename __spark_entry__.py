@@ -621,6 +621,65 @@ def q_q14(spark, sf_dir):
     )
 
 
+def q_q02(spark, sf_dir):
+    """Min-per-group correlated pattern: for each part type, the supplier
+    row(s) achieving the minimum supplier account balance among suppliers
+    of that type's parts (TPC-H Q2's min-cost-supplier shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    triplet = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .select("p_type", "s_suppkey", "s_name", "s_acctbal")
+        .dropDuplicates(["p_type", "s_suppkey"])
+    )
+    mins = triplet.groupBy("p_type").agg(F.min("s_acctbal").alias("_min_bal"))
+    return (
+        triplet.join(mins, "p_type")
+        .filter(F.col("s_acctbal") == F.col("_min_bal"))
+        .select("p_type", "s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+def q_q15(spark, sf_dir):
+    """Top-revenue supplier(s): aggregate-then-self-compare (TPC-H Q15's
+    view + max shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        fixed_point_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("total_revenue")
+    )
+    top = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(supplier, rev.l_suppkey == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q_q17(spark, sf_dir):
+    """Small-quantity-order revenue: correlated average subquery (TPC-H
+    Q17 shape) — lineitems below 50%% of their part's average quantity."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    avg_qty = li.groupBy("l_partkey").agg(
+        fixed_point_avg(F.col("l_quantity"), 100, 6).alias("_avg_qty")
+    )
+    joined = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(avg_qty, "l_partkey")
+        .filter(F.col("l_quantity") < 0.5 * F.col("_avg_qty"))
+    )
+    return joined.agg(
+        fixed_point_sum(F.col("l_extendedprice"), 100).alias("total_price"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 def q_q18(spark, sf_dir):
     """Large-volume customers: orders whose lineitem quantity sum exceeds
     a threshold (aggregate-filtered semi join)."""
@@ -746,6 +805,16 @@ def q_q10(spark, sf_dir):
 # --------------------------------------------------------------------------
 # Dedup family
 # --------------------------------------------------------------------------
+
+
+def q_d06(spark, sf_dir):
+    """Composed corpus-cleaning pipeline (exact dedup → MinHash near-dup
+    removal → quality gate). Rows-only: the survivor set depends on the
+    xxhash64 sketch; stage counts are asserted in tests."""
+    from learn_etl_data_warehouse_spark.plans.corpus import clean_corpus
+
+    clean, _ = clean_corpus(_t(spark, sf_dir, "documents"))
+    return clean.select("doc_id", "lang_pred", "quality", "token_count")
 
 
 def q_d01(spark, sf_dir):
@@ -1008,6 +1077,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_revenue": q_q10,
         "q12_priority_split": q_q12,
         "q14_promo_ratio": q_q14,
+        "q02_min_balance_supplier": q_q02,
+        "q15_top_supplier": q_q15,
+        "q17_small_quantity_revenue": q_q17,
         "q18_large_volume_customers": q_q18,
         "q19_disjunctive_predicates": q_q19,
         "q22_rich_idle_customers": q_q22,
@@ -1017,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d03_minhash_lsh_pairs": q_d03,
         "d04_simhash": q_d04,
         "d05_simhash_near_pairs": q_d05,
+        "d06_corpus_clean_pipeline": q_d06,
         "t01_token_counts": q_t01,
         "t02_quality_scores": q_t02,
         "t03_lang_id": q_t03,
@@ -1313,6 +1386,33 @@ SELECT round(CAST(sum(CAST(round((CASE WHEN p_type LIKE 'PROMO%' THEN l_extended
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""",
+        "q02_min_balance_supplier": """
+WITH triplet AS (
+  SELECT DISTINCT p_type, s_suppkey, s_name, s_acctbal
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey)
+SELECT p_type, s_suppkey, s_name, s_acctbal
+FROM triplet t
+WHERE s_acctbal = (SELECT min(s_acctbal) FROM triplet t2 WHERE t2.p_type = t.p_type)""",
+        "q15_top_supplier": """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 10000, 2) AS total_revenue
+  FROM lineitem GROUP BY 1)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""",
+        "q17_small_quantity_revenue": """
+WITH avg_qty AS (
+  SELECT l_partkey,
+         round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 / count(*), 6) AS aq
+  FROM lineitem GROUP BY 1)
+SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS total_price,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN avg_qty USING (l_partkey)
+WHERE p_brand = 'Brand#1' AND l_quantity < 0.5 * aq""",
         "q18_large_volume_customers": """
 WITH big AS (
   SELECT l_orderkey,

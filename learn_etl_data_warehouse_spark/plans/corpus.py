@@ -1,0 +1,56 @@
+"""Corpus-cleaning pipeline: the composed flow a training-data prep job
+runs over a document collection — the end-to-end counterpart of the
+individual operators in ``operators/dedup.py`` / ``operators/text.py``.
+
+Stages (all shuffle-bounded, SCALE.md):
+1. exact dedup on the normalized fingerprint (1 shuffle);
+2. near-dup removal via MinHash-LSH: from every near-dup pair, the
+   higher id is dropped (deterministic survivor rule);
+3. quality gate: language detected, quality score above threshold;
+4. feature attachment for downstream sampling/packing.
+
+Returns (clean_corpus, stats) — stats is a 1-row DataFrame with
+per-stage counts so the job can be monitored without a second pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import dedup, text
+
+
+def clean_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    minhash_threshold: float = 0.7,
+    quality_threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    n_input = docs.count()
+
+    # 1. exact dedup
+    exact = dedup.dedup_exact(docs, text_col, id_col)
+    n_exact = exact.count()
+
+    # 2. near-dup removal: drop the higher id of every surviving pair
+    pairs = dedup.minhash_lsh_pairs(
+        exact, text_col, id_col, num_hashes=64, bands=16, threshold=minhash_threshold
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    neardup_free = exact.join(losers, id_col, "left_anti")
+    n_neardup = neardup_free.count()
+
+    # 3. quality gate
+    featured = text.add_text_features(neardup_free, text_col)
+    clean = featured.filter(
+        (F.col("quality") >= quality_threshold) & (F.col("lang_pred") != "und")
+    )
+    n_clean = clean.count()
+
+    stats = docs.sparkSession.createDataFrame(
+        [(n_input, n_exact, n_neardup, n_clean)],
+        "n_input long, n_after_exact long, n_after_neardup long, n_clean long",
+    )
+    return clean, stats
