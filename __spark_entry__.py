@@ -817,6 +817,39 @@ def q_d06(spark, sf_dir):
     return clean.select("doc_id", "lang_pred", "quality", "token_count")
 
 
+def q_d07(spark, sf_dir):
+    """Deterministic train/val/test split by md5 hash bucket (stable
+    under corpus growth — the split property that matters)."""
+    from learn_etl_data_warehouse_spark.operators.sampling import (
+        train_val_test_split,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return train_val_test_split(docs).select("doc_id", "lang", "split")
+
+
+def q_d08(spark, sf_dir):
+    """Stratified sampling by language (rows-only: Bernoulli sampling is
+    partitioning-dependent; proportions pinned in tests)."""
+    from learn_etl_data_warehouse_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    fractions = {lang: 0.5 for lang in langs}
+    return stratified_sample(docs, "lang", fractions).select("doc_id", "lang")
+
+
+def q_t06(spark, sf_dir):
+    """Sequence packing placement: concat-then-chunk token packing per
+    source shard."""
+    from learn_etl_data_warehouse_spark.operators.sampling import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, max_tokens=512)
+
+
 def q_d01(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     kept = dedup.dedup_exact(docs)
@@ -1090,6 +1123,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d04_simhash": q_d04,
         "d05_simhash_near_pairs": q_d05,
         "d06_corpus_clean_pipeline": q_d06,
+        "d07_train_val_split": q_d07,
+        "d08_stratified_sample": q_d08,
+        "t06_sequence_packing": q_t06,
         "t01_token_counts": q_t01,
         "t02_quality_scores": q_t02,
         "t03_lang_id": q_t03,
@@ -1506,6 +1542,30 @@ SELECT doc_id,
 FROM m""",
         "t04_fingerprint": f"""
 SELECT doc_id, md5({_NORM_TEXT}) AS fingerprint FROM documents""",
+        "d07_train_val_split": """
+WITH b AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bk
+  FROM documents)
+SELECT doc_id, lang,
+       CASE WHEN bk < 90 THEN 'train' WHEN bk < 95 THEN 'val' ELSE 'test' END AS split
+FROM b""",
+        "t06_sequence_packing": """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+  FROM documents),
+o AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS token_offset
+  FROM t)
+SELECT doc_id, source, n_tokens, token_offset,
+       CAST(floor(token_offset / 512.0) AS BIGINT) AS pack_first,
+       CAST(floor((token_offset + greatest(n_tokens, 1) - 1) / 512.0) AS BIGINT) AS pack_last
+FROM o""",
         "t05_min_gram_fingerprint": grams_cte
         + """
 SELECT doc_id, min(md5(g)) AS fp_gram FROM dg GROUP BY doc_id""",

@@ -9,6 +9,53 @@ from learn_etl_data_warehouse_spark.plans.corpus import clean_corpus
 from learn_etl_data_warehouse_spark.sources.parquet import load_table
 
 
+def test_stratified_sample_proportions_and_determinism(spark, sf_small):
+    from learn_etl_data_warehouse_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    fractions = {lang: 0.5 for lang in langs}
+    s1 = stratified_sample(docs, "lang", fractions, seed=7)
+    s2 = stratified_sample(docs, "lang", fractions, seed=7)
+    ids1 = sorted(r["doc_id"] for r in s1.select("doc_id").collect())
+    ids2 = sorted(r["doc_id"] for r in s2.select("doc_id").collect())
+    assert ids1 == ids2  # same seed + partitioning → same sample
+    per_lang = {
+        r["lang"]: r["count"] for r in s1.groupBy("lang").count().collect()
+    }
+    totals = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    for lang, total in totals.items():
+        frac = per_lang.get(lang, 0) / total
+        assert 0.25 <= frac <= 0.75, f"{lang}: {frac}"
+
+
+def test_split_is_stable_under_corpus_growth(spark, sf_small):
+    """The hash split must not move documents when the corpus grows —
+    the whole point of hashing over random assignment."""
+    from learn_etl_data_warehouse_spark.operators.sampling import (
+        train_val_test_split,
+    )
+    from pyspark.sql import functions as F2
+
+    docs = load_table(spark, sf_small, "documents")
+    small = docs.filter(F2.col("doc_id") < 100)
+    full_split = {
+        r["doc_id"]: r["split"]
+        for r in train_val_test_split(docs).select("doc_id", "split").collect()
+    }
+    small_split = {
+        r["doc_id"]: r["split"]
+        for r in train_val_test_split(small).select("doc_id", "split").collect()
+    }
+    assert all(full_split[k] == v for k, v in small_split.items())
+    from collections import Counter
+
+    dist = Counter(full_split.values())
+    assert dist["train"] > dist["val"] and dist["train"] > dist["test"]
+
+
 def test_clean_corpus_stages(spark, sf_small):
     docs = load_table(spark, sf_small, "documents")
     clean, stats = clean_corpus(docs, minhash_threshold=0.7, quality_threshold=0.3)
