@@ -149,6 +149,95 @@ def q_p12(spark, sf_dir):
     return df.filter(F.col("text").contains("merge join")).select("doc_id", "n_chars")
 
 
+def q_p14(spark, sf_dir):
+    """Null-handling surface: nullif / coalesce / null-safe equality."""
+    df = _t(spark, sf_dir, "orders")
+    a = F.nullif(F.col("o_custkey") % 3, F.lit(1))
+    b = F.nullif(F.col("o_custkey") % 5, F.lit(2))
+    return df.select(
+        "o_orderkey",
+        F.coalesce(a, b, F.lit(-1)).alias("coalesced"),
+        a.eqNullSafe(b).alias("ns_eq"),
+        F.when(a.isNull(), "null").otherwise("set").alias("a_state"),
+    )
+
+
+def q_p15(spark, sf_dir):
+    """String-function surface over part names."""
+    df = _t(spark, sf_dir, "part")
+    c = F.col("p_name")
+    return df.select(
+        "p_partkey",
+        F.upper(c).alias("up"),
+        F.substring(c, 1, 5).alias("first5"),
+        F.translate(c, "ae", "xy").alias("translated"),
+        F.reverse(c).alias("rev"),
+        F.lpad(c, 12, "_").alias("padded"),
+        F.instr(c, "a").cast("long").alias("a_pos"),
+        F.length(c).cast("long").alias("len"),
+    )
+
+
+def q_p16(spark, sf_dir):
+    """Date-function surface: month truncation, month end, ISO weekday,
+    day-of-year."""
+    df = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    # dates surface as timestamps: a DATE column becomes datetime64 in
+    # the pandas/Arrow roundtrip anyway, so emit the unambiguous type
+    return df.select(
+        "o_orderkey",
+        F.trunc(d, "month").cast("timestamp").alias("month_start"),
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        (F.weekday(d) + 1).cast("long").alias("isodow"),
+        F.dayofyear(d).cast("long").alias("doy"),
+    )
+
+
+def q_w04(spark, sf_dir):
+    """Rolling 7-day revenue per customer (RANGE frame over event time)."""
+    from pyspark.sql import Window
+
+    df = _t(spark, sf_dir, "orders")
+    epoch_s = F.unix_timestamp("o_orderdate")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch_s)
+        .rangeBetween(-604800, 0)
+    )
+    rolling = F.round(F.sum(cents).over(w).cast("double") / 100, 2)
+    return df.select(
+        "o_custkey", "o_orderkey", rolling.alias("rolling_7d_revenue")
+    )
+
+
+def q_e05(spark, sf_dir):
+    """Top-3 most active users per 1-hour tumbling window (window agg +
+    per-window rank — the composite a leaderboard pipeline runs)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.withColumn(
+            "window_start",
+            F.timestamp_micros(
+                (F.unix_micros(F.col("ts")) / F.lit(3600000000)).cast("long")
+                * F.lit(3600000000)
+            ),
+        )
+        .groupBy("window_start", "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("user_id").asc()
+    )
+    return (
+        hourly.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
 # --------------------------------------------------------------------------
 # Aggregations (SURVEY §2.4)
 # --------------------------------------------------------------------------
@@ -1074,6 +1163,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p08_bool_flags": q_p08,
         "p12_filter_contains": q_p12,
         "p13_json_extract": q_p13,
+        "p14_null_handling": q_p14,
+        "p15_string_functions": q_p15,
+        "p16_date_functions": q_p16,
+        "w04_rolling_7day_revenue": q_w04,
+        "e05_windowed_topk_users": q_e05,
         "a01_quarter_counts": q_a01,
         "a02_returnflag_counts": q_a02,
         "a03_histogram_totalprice": q_a03,
@@ -1226,6 +1320,44 @@ SELECT doc_id, n_chars FROM documents WHERE text LIKE '%merge join%'""",
         "p13_json_extract": """
 SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
 FROM events""",
+        "p14_null_handling": """
+WITH t AS (
+  SELECT o_orderkey, nullif(o_custkey % 3, 1) AS a, nullif(o_custkey % 5, 2) AS b
+  FROM orders)
+SELECT o_orderkey, coalesce(a, b, -1) AS coalesced,
+       a IS NOT DISTINCT FROM b AS ns_eq,
+       CASE WHEN a IS NULL THEN 'null' ELSE 'set' END AS a_state
+FROM t""",
+        "p15_string_functions": """
+SELECT p_partkey, upper(p_name) AS up, substr(p_name, 1, 5) AS first5,
+       translate(p_name, 'ae', 'xy') AS translated, reverse(p_name) AS rev,
+       lpad(p_name, 12, '_') AS padded,
+       CAST(strpos(p_name, 'a') AS BIGINT) AS a_pos,
+       CAST(length(p_name) AS BIGINT) AS len
+FROM part""",
+        "p16_date_functions": """
+SELECT o_orderkey,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+       CAST(isodow(o_orderdate) AS BIGINT) AS isodow,
+       CAST(dayofyear(o_orderdate) AS BIGINT) AS doy
+FROM orders""",
+        "w04_rolling_7day_revenue": """
+SELECT o_custkey, o_orderkey,
+       round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                        RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100, 2)
+         AS rolling_7d_revenue
+FROM orders""",
+        "e05_windowed_topk_users": """
+WITH hourly AS (
+  SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
+         user_id, count(*) AS n_events
+  FROM events GROUP BY 1, 2)
+SELECT window_start, user_id, n_events,
+       CAST(row_number() OVER (PARTITION BY window_start
+                               ORDER BY n_events DESC, user_id) AS BIGINT) AS rnk
+FROM hourly QUALIFY rnk <= 3""",
         "w01_running_total": """
 SELECT o_custkey, o_orderkey,
        round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
