@@ -906,6 +906,15 @@ def q_d06(spark, sf_dir):
     return clean.select("doc_id", "lang_pred", "quality", "token_count")
 
 
+def q_d09(spark, sf_dir):
+    """Duplicate clusters: connected components over the exact n-gram
+    Jaccard pair graph (iterative min-label propagation; the oracle uses
+    a recursive CTE — same fixpoint, different engine idiom)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.7)
+    return dedup.connected_components(pairs)
+
+
 def q_d07(spark, sf_dir):
     """Deterministic train/val/test split by md5 hash bucket (stable
     under corpus growth — the split property that matters)."""
@@ -1218,6 +1227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d05_simhash_near_pairs": q_d05,
         "d06_corpus_clean_pipeline": q_d06,
         "d07_train_val_split": q_d07,
+        "d09_dup_clusters": q_d09,
         "d08_stratified_sample": q_d08,
         "t06_sequence_packing": q_t06,
         "t01_token_counts": q_t01,
@@ -1674,6 +1684,21 @@ SELECT doc_id,
 FROM m""",
         "t04_fingerprint": f"""
 SELECT doc_id, md5({_NORM_TEXT}) AS fingerprint FROM documents""",
+        "d09_dup_clusters": (
+            grams_cte.replace("WITH toks", "WITH RECURSIVE toks")
+            + """,
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+  WHERE round(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) >= 0.7),
+sym AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT s, d FROM sym UNION SELECT s, s FROM sym
+  UNION
+  SELECT reach.id, sym.d FROM reach JOIN sym ON reach.r = sym.s
+)
+SELECT id, min(r) AS component FROM reach GROUP BY id"""
+        ),
         "d07_train_val_split": """
 WITH b AS (
   SELECT doc_id, lang,

@@ -34,11 +34,16 @@ def clean_corpus(
     exact = dedup.dedup_exact(docs, text_col, id_col)
     n_exact = exact.count()
 
-    # 2. near-dup removal: drop the higher id of every surviving pair
+    # 2. near-dup removal: one survivor (min id) per CONNECTED COMPONENT
+    # of the near-dup graph — pairwise loser-dropping would over-keep on
+    # incomplete pair sets (see dedup.connected_components docstring)
     pairs = dedup.minhash_lsh_pairs(
         exact, text_col, id_col, num_hashes=64, bands=16, threshold=minhash_threshold
     )
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    comp = dedup.connected_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
     neardup_free = exact.join(losers, id_col, "left_anti")
     n_neardup = neardup_free.count()
 

@@ -66,10 +66,35 @@ def test_clean_corpus_stages(spark, sf_small):
     # near-dup stage actually removed something (fixture has near-dups)
     assert s["n_after_neardup"] < s["n_after_exact"]
     assert clean.count() == s["n_clean"] > 0
-    # survivor rule: for every dropped near-dup pair the LOWER id survives
+    # survivor rule: exactly the minimum id of each near-dup component
+    # survives the near-dup stage (before the quality gate)
     pairs = dedup.minhash_lsh_pairs(docs, threshold=0.7)
-    survivors = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    comp = {
+        (r["id"], r["component"])
+        for r in dedup.connected_components(pairs).collect()
+    }
+    # python-side reference components (tiny graph)
+    import itertools
+
+    adj: dict[int, set[int]] = {}
     for r in pairs.collect():
-        assert r["id_b"] not in survivors or r["id_a"] in survivors
+        adj.setdefault(r["id_a"], set()).add(r["id_b"])
+        adj.setdefault(r["id_b"], set()).add(r["id_a"])
+    seen: set[int] = set()
+    expected = set()
+    for start in adj:
+        if start in seen:
+            continue
+        stack, members = [start], set()
+        while stack:
+            n = stack.pop()
+            if n in members:
+                continue
+            members.add(n)
+            stack.extend(adj[n] - members)
+        seen |= members
+        rep = min(members)
+        expected |= {(m, rep) for m in members}
+    assert comp == expected
     # output schema carries the features downstream jobs need
     assert {"doc_id", "lang_pred", "quality", "token_count"} <= set(clean.columns)
