@@ -488,16 +488,12 @@ def q_a09(spark, sf_dir):
 
 
 def q_a10(spark, sf_dir):
-    df = _t(spark, sf_dir, "orders")
-    df.createOrReplaceTempView("_gs_orders")
-    return spark.sql(
-        """
-        SELECT year, o_orderstatus, count(*) AS n
-        FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS year, o_orderstatus
-              FROM _gs_orders)
-        GROUP BY GROUPING SETS ((year), (o_orderstatus), ())
-        """
+    df = _t(spark, sf_dir, "orders").withColumn(
+        "year", F.year("o_orderdate").cast("long")
     )
+    return df.groupingSets(
+        [["year"], ["o_orderstatus"], []], "year", "o_orderstatus"
+    ).agg(F.count(F.lit(1)).alias("n"))
 
 
 # --------------------------------------------------------------------------

@@ -91,6 +91,136 @@ def test_stateful_running_totals_across_microbatches(spark, sf_small, tmp_path):
     assert got == want
 
 
+def test_foreachbatch_sink_is_idempotent(spark, sf_small, tmp_path):
+    """Replaying a batch id must replace, not duplicate, its output."""
+    from learn_etl_data_warehouse_spark.streaming.sinks import (
+        idempotent_parquet_sink,
+        start_idempotent_stream,
+    )
+
+    events = load_table(spark, sf_small, "events")
+    staged = str(tmp_path / "src")
+    events.repartition(2).write.mode("overwrite").parquet(staged)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    q = start_idempotent_stream(stream.select("event_id", "user_id"), out, ckpt)
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    first = spark.read.parquet(out).count()
+    assert first == events.count()
+    # simulate a replay of batch 0: the sink must overwrite, not append
+    replay_df = events.select("event_id", "user_id").limit(50)
+    idempotent_parquet_sink(out)(replay_df, 0)
+    after = spark.read.parquet(out)
+    # batch 0's directory now holds exactly the replayed 50 rows
+    b0 = after.where("batch_id = 0").count()
+    assert b0 == 50
+    # and no duplicate event ids across the whole sink for other batches
+    others = after.where("batch_id != 0")
+    assert others.count() == others.select("event_id").distinct().count()
+
+
+def test_watermark_drops_late_data(spark, sf_small, tmp_path):
+    """Append-mode aggregation with a watermark must drop events that
+    arrive after the watermark passed their window."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    schema = "ts timestamp, k string"
+    staged = str(tmp_path / "late_src")
+    out = str(tmp_path / "late_out")
+    ckpt = str(tmp_path / "late_ckpt")
+    base = datetime.datetime(2024, 6, 1, 12, 0, 0)
+
+    def write_file(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(staged)
+
+    def run_once():
+        # two runs share the checkpoint: the watermark persists across
+        # restarts, so run 2 sees run 1's high-water mark
+        stream = spark.readStream.schema(schema).parquet(staged)
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "10 minutes").alias("w"), "k")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "k", "n")
+        )
+        q = (
+            agg.writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    # run 1: on-time event at 13:00 → watermark checkpointed at 12:50
+    write_file([(base + datetime.timedelta(hours=1), "on_time")])
+    run_once()
+    # run 2: an event a full hour behind the watermark must be dropped;
+    # a second 13:01 event closes nothing yet (watermark still < 13:10)
+    write_file(
+        [
+            (base, "too_late"),
+            (base + datetime.timedelta(hours=1, minutes=1), "on_time"),
+        ]
+    )
+    run_once()
+    # run 3: a much later event finalizes every surviving window
+    write_file([(base + datetime.timedelta(hours=3), "closer")])
+    run_once()
+    emitted = [r["k"] for r in spark.read.parquet(out).collect()]
+    assert "too_late" not in emitted
+    assert "on_time" in emitted  # the finalized on-time window did emit
+
+
+def test_stream_sliding_matches_batch(spark, sf_small, tmp_path):
+    from pyspark.sql import functions as F
+
+    from learn_etl_data_warehouse_spark.streaming.events import (
+        sliding_window_batch,
+    )
+
+    events = load_table(spark, sf_small, "events")
+    staged = str(tmp_path / "events_slide")
+    events.write.mode("overwrite").parquet(staged)
+    stream = spark.readStream.schema(events.schema).parquet(staged)
+    w = F.window(F.col("ts"), "10 minutes", "5 minutes")
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(w.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_stream_sliding")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.table("t_stream_sliding").collect()))
+    want = sorted(map(tuple, sliding_window_batch(events).collect()))
+    assert got == want
+
+
 def test_stream_tumbling_matches_batch(spark, sf_small, tmp_path):
     events = load_table(spark, sf_small, "events")
     # Re-stage as microsecond-timestamp parquet (the raw fixture's NANOS
