@@ -865,6 +865,68 @@ def q_f01(spark, sf_dir):
     )
 
 
+def q_q09(spark, sf_dir):
+    """Profit by supplier nation and order year (5-way join + date-part
+    group; profit formula adapted to the fixture columns)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("a"))
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.1
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    joined = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+    )
+    return (
+        joined.withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .groupBy("n_name", "o_year")
+        .agg(fixed_point_sum(profit).alias("profit"))
+    )
+
+
+def q_q21(spark, sf_dir):
+    """Suppliers-who-kept-waiting shape (TPC-H Q21): the only late
+    supplier in a multi-supplier order — correlated EXISTS + NOT EXISTS
+    (semi + anti joins with inequality conditions). 'Late' adapted to
+    the fixture: shipped > 60 days after the order date."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supplier = _t(spark, sf_dir, "supplier")
+    base = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate"
+    )
+    late = base.filter(
+        F.col("l_shipdate") > F.date_add("o_orderdate", 60).cast("timestamp")
+    )
+    l2 = base.select(
+        F.col("l_orderkey").alias("_ok2"), F.col("l_suppkey").alias("_sk2")
+    )
+    with_other = late.join(
+        l2,
+        (late.l_orderkey == F.col("_ok2")) & (late.l_suppkey != F.col("_sk2")),
+        "left_semi",
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("_ok3"), F.col("l_suppkey").alias("_sk3")
+    )
+    only_late = with_other.join(
+        l3,
+        (with_other.l_orderkey == F.col("_ok3"))
+        & (with_other.l_suppkey != F.col("_sk3")),
+        "left_anti",
+    )
+    return (
+        only_late.join(supplier, only_late.l_suppkey == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
 def q_q10(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
@@ -1206,7 +1268,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q04_priority_check": q_q04,
         "q05_local_supplier_volume": q_q05,
         "q06_forecast_revenue": q_q06,
+        "q09_profit_by_nation_year": q_q09,
         "q10_returned_revenue": q_q10,
+        "q21_waiting_suppliers": q_q21,
         "q12_priority_split": q_q12,
         "q14_promo_ratio": q_q14,
         "q02_min_balance_supplier": q_q02,
@@ -1587,6 +1651,30 @@ FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN avg_qty USING (l_partkey)
 WHERE p_brand = 'Brand#1' AND l_quantity < 0.5 * aq""",
+        "q09_profit_by_nation_year": """
+SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount) - 0.1 * p_retailprice * l_quantity) * 10000) AS BIGINT)) AS DOUBLE) / 10000, 2) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%a%'
+GROUP BY 1, 2""",
+        "q21_waiting_suppliers": """
+WITH base AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'),
+late AS (
+  SELECT * FROM base WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY)
+SELECT s_name, count(*) AS numwait
+FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM base l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY 1""",
         "q18_large_volume_customers": """
 WITH big AS (
   SELECT l_orderkey,

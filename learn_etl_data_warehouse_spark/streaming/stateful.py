@@ -58,6 +58,102 @@ def stream_running_user_totals(stream_df) -> Any:
     )
 
 
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, sum_cents long"
+)
+SESSION_STATE_SCHEMA = (
+    "start_us long, last_us long, n long, cents long"
+)
+
+
+def make_session_fn(gap_minutes: int = 30):
+    """Custom sessionizer with explicit state + event-time timeout:
+    emits a session row only when the gap passes (or the state times
+    out), i.e. closed sessions — the semantics ``session_window`` gives
+    you, rebuilt on raw GroupState to show the full control surface
+    (custom gap logic, per-session payloads, side outputs all slot in
+    here).
+
+    State: (start_us, last_us, n, cents). Events inside a micro-batch
+    are sorted by ts; a gap > gap_minutes closes the current session,
+    emits it, and starts the next. The event-time timeout closes the
+    final session once the watermark passes last_ts + gap.
+
+    Contract: per-key events must arrive in event-time order ACROSS
+    micro-batches (the Kafka-partition-per-key guarantee); the fold is
+    incremental and does not reorder history. For sources violating
+    that, use the native ``session_window`` path
+    (:func:`..events.session_windows_native`), which buffers
+    out-of-order rows up to the watermark."""
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (user_id,) = key
+        out: list[tuple] = []
+
+        def emit(start_us: int, last_us: int, n: int, cents: int) -> None:
+            out.append(
+                (
+                    user_id,
+                    pd.Timestamp(start_us, unit="us"),
+                    pd.Timestamp(last_us + gap_us, unit="us"),
+                    n,
+                    cents,
+                )
+            )
+
+        if state.hasTimedOut:
+            if state.exists:
+                emit(*state.get)
+            state.remove()
+        else:
+            rows = pd.concat(list(pdfs)).sort_values("ts")
+            if state.exists:
+                start_us, last_us, n, cents = state.get
+            else:
+                start_us = last_us = n = cents = None
+            for ts, value in zip(rows["ts"], rows["value"]):
+                ts_us = int(ts.value // 1000)
+                v_cents = int(round(value * 100))
+                if start_us is None:
+                    start_us, last_us, n, cents = ts_us, ts_us, 1, v_cents
+                elif ts_us - last_us > gap_us:
+                    emit(start_us, last_us, n, cents)
+                    start_us, last_us, n, cents = ts_us, ts_us, 1, v_cents
+                else:
+                    last_us, n, cents = ts_us, n + 1, cents + v_cents
+            # If the watermark already passed this session's close time,
+            # close it now — a timeout in the past is invalid.
+            wm_ms = state.getCurrentWatermarkMs()
+            close_ms = last_us // 1000 + gap_us // 1000
+            if wm_ms > 0 and close_ms <= wm_ms:
+                emit(start_us, last_us, n, cents)
+                if state.exists:
+                    state.remove()
+            else:
+                state.update((start_us, last_us, n, cents))
+                state.setTimeoutTimestamp(close_ms)
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "session_start", "session_end", "n_events", "sum_cents"],
+        )
+
+    return fn
+
+
+def stream_sessions_custom(stream_df, gap_minutes: int = 30):
+    """Closed-session stream via the custom stateful sessionizer.
+    Requires a watermark on ts (drives the event-time timeout)."""
+    return stream_df.groupBy("user_id").applyInPandasWithState(
+        make_session_fn(gap_minutes),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def batch_user_totals(events):
     """Batch twin of :func:`stream_running_user_totals` (same cents
     arithmetic)."""

@@ -91,6 +91,74 @@ def test_stateful_running_totals_across_microbatches(spark, sf_small, tmp_path):
     assert got == want
 
 
+def test_custom_stateful_sessionizer_matches_batch(spark, sf_small, tmp_path):
+    """The GroupState sessionizer must produce the same CLOSED sessions
+    as the batch gaps-and-islands twin (sessions still open at end of
+    stream stay in state — exclude sessions whose end is past the final
+    watermark from the comparison)."""
+    from pyspark.sql import functions as F
+
+    from learn_etl_data_warehouse_spark.streaming.events import (
+        session_windows_batch,
+    )
+    from learn_etl_data_warehouse_spark.streaming.stateful import (
+        stream_sessions_custom,
+    )
+
+    import datetime
+
+    events = load_table(spark, sf_small, "events")
+    staged = str(tmp_path / "events_custom_sess")
+    out = str(tmp_path / "custom_sess_out")
+    ckpt = str(tmp_path / "custom_sess_ckpt")
+    # the operator's contract is in-order per-key arrival: stage the
+    # stream as time-contiguous chunks delivered via checkpointed runs
+    mid = events.agg(F.percentile_approx("ts", 0.5)).collect()[0][0]
+    far_future = events.agg(F.max("ts")).collect()[0][0] + datetime.timedelta(
+        days=30
+    )
+
+    def run_once():
+        stream = spark.readStream.schema(events.schema).parquet(staged)
+        q = (
+            stream_sessions_custom(stream.withWatermark("ts", "30 minutes"))
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    events.filter(F.col("ts") <= mid).coalesce(1).write.mode("append").parquet(staged)
+    run_once()
+    events.filter(F.col("ts") > mid).coalesce(1).write.mode("append").parquet(staged)
+    run_once()
+    # flush: one far-future event advances the watermark past every
+    # open session's close time
+    spark.createDataFrame(
+        [(10**9, far_future, 10**6, "click", 0.0, "{}")], events.schema
+    ).coalesce(1).write.mode("append").parquet(staged)
+    run_once()
+    emitted = spark.read.parquet(out).filter(F.col("user_id") != 10**6)
+    # after the flush every session is closed: the stream must equal the
+    # batch twin EXACTLY (cents for exact arithmetic)
+    batch = session_windows_batch(events, gap_minutes=30).select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.round(F.col("sum_value") * 100).cast("long").alias("sum_cents"),
+    )
+    got = sorted(map(tuple, emitted.collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert len(got) == len(want), (len(got), len(want))
+    assert got == want
+
+
 def test_foreachbatch_sink_is_idempotent(spark, sf_small, tmp_path):
     """Replaying a batch id must replace, not duplicate, its output."""
     from learn_etl_data_warehouse_spark.streaming.sinks import (
