@@ -1093,6 +1093,31 @@ def _query_vec(spark, sf_dir):
     return [float(v) for v in row[0]]
 
 
+def q_t07(spark, sf_dir):
+    """Token rarity scoring against corpus statistics: per document, the
+    average document-frequency of its distinct tokens (the unigram
+    building block of KenLM-style quality filters; integer DFs keep it
+    engine-exact)."""
+    docs = _t(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(text.tokens(F.lower(F.col("text"))))).alias(
+            "tok"
+        ),
+    )
+    dfreq = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        dt.join(dfreq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.round(F.sum("df").cast("double") / F.count(F.lit(1)), 4).alias(
+                "avg_token_df"
+            ),
+        )
+    )
+
+
 def q_s01(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
@@ -1295,6 +1320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t03_lang_id": q_t03,
         "t04_fingerprint": q_t04,
         "t05_min_gram_fingerprint": q_t05,
+        "t07_token_df_score": q_t07,
         "s01_cosine_topk": q_s01,
         "s02_neardup_pairs_exact": q_s02,
         "s03_neardup_pairs_lsh": q_s03,
@@ -1807,6 +1833,15 @@ SELECT doc_id, source, n_tokens, token_offset,
        CAST(floor(token_offset / 512.0) AS BIGINT) AS pack_first,
        CAST(floor((token_offset + greatest(n_tokens, 1) - 1) / 512.0) AS BIGINT) AS pack_last
 FROM o""",
+        "t07_token_df_score": """
+WITH dt AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents),
+dfreq AS (SELECT tok, count(*) AS df FROM dt GROUP BY 1)
+SELECT doc_id, count(*) AS n_distinct_tokens,
+       round(CAST(sum(df) AS DOUBLE) / count(*), 4) AS avg_token_df
+FROM dt JOIN dfreq USING (tok) GROUP BY doc_id""",
         "t05_min_gram_fingerprint": grams_cte
         + """
 SELECT doc_id, min(md5(g)) AS fp_gram FROM dg GROUP BY doc_id""",

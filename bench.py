@@ -53,6 +53,10 @@ def main() -> None:
         extra_conf={
             "spark.sql.shuffle.partitions": str(max(int(cpus) * 2, 8)),
             "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+            # sf0.1 files are ~1-25 MB: split small so scans parallelize
+            # across all cores (cluster-scale default of 128m stays right
+            # when files are row-group-rich — SCALE.md scan layer)
+            "spark.sql.files.maxPartitionBytes": "4m",
         },
     )
     queries = entrymod.queries()
