@@ -1111,7 +1111,7 @@ def q_t07(spark, sf_dir):
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_distinct_tokens"),
-            F.round(F.sum("df").cast("double") / F.count(F.lit(1)), 4).alias(
+            fixed_point_avg(F.col("df").cast("double"), 1, 4).alias(
                 "avg_token_df"
             ),
         )
@@ -1155,12 +1155,7 @@ def q_s05(spark, sf_dir):
     cross-engine determinism."""
     emb = _t(spark, sf_dir, "embeddings")
     ex = emb.select("label", F.posexplode("embedding").alias("p", "v"))
-    centroid = F.round(
-        F.sum(F.round(F.col("v").cast("double") * 1000000).cast("long")).cast("double")
-        / 1000000
-        / F.count(F.lit(1)),
-        6,
-    )
+    centroid = fixed_point_avg(F.col("v").cast("double"), 1000000, 6)
     return ex.groupBy(
         "label", (F.col("p") + 1).cast("long").alias("dim")
     ).agg(centroid.alias("centroid"))
@@ -1584,7 +1579,7 @@ LEFT JOIN customer ON nullif(o.mkey, '') = CAST(c_custkey AS VARCHAR)""",
         "j05_roleplay_nations": """
 SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
        count(*) AS n_items,
-       round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 10000, 2) AS revenue
+       CAST(round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 100) AS BIGINT) / CAST(100 AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1596,15 +1591,16 @@ GROUP BY 1, 2""",
 SELECT l_returnflag, l_linestatus,
        round(CAST(sum(CAST(round((l_quantity) * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_qty,
        round(CAST(sum(CAST(round((l_extendedprice) * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_base_price,
-       round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 10000, 2) AS sum_disc_price,
-       round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 10000) AS BIGINT)) AS DOUBLE) / 10000, 2) AS sum_charge,
-       round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 / count(*), 4) AS avg_qty,
+       CAST(round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 100) AS BIGINT) / CAST(100 AS DOUBLE) AS sum_disc_price,
+       CAST(round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 10000) AS BIGINT)) AS DOUBLE) / 100) AS BIGINT) / CAST(100 AS DOUBLE) AS sum_charge,
+       CAST(floor((2 * sum(CAST(round(l_quantity * 100) AS BIGINT)) * 10000 + 100 * count(*))
+                  / (2 * 100 * count(*))) AS DOUBLE) / 10000 AS avg_qty,
        count(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
 GROUP BY 1, 2""",
         "q03_shipping_priority": """
 SELECT o_orderkey, o_orderdate,
-       round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 10000, 2) AS revenue
+       CAST(round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 100) AS BIGINT) / CAST(100 AS DOUBLE) AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -1614,7 +1610,7 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY 1, 2
 ORDER BY revenue DESC, o_orderkey LIMIT 10""",
         "q05_local_supplier_volume": """
-SELECT n_name, round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 10000, 2) AS revenue
+SELECT n_name, CAST(round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 100) AS BIGINT) / CAST(100 AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1630,7 +1626,7 @@ WHERE EXISTS (SELECT 1 FROM lineitem l
                 AND l.l_shipdate > TIMESTAMP '1999-06-30 00:00:00')
 GROUP BY 1""",
         "q06_forecast_revenue": """
-SELECT round(CAST(sum(CAST(round((l_extendedprice * l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000, 2) AS revenue,
+SELECT CAST(round(CAST(sum(CAST(round((l_extendedprice * l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 100) AS BIGINT) / CAST(100 AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -1645,8 +1641,8 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
 GROUP BY 1""",
         "q14_promo_ratio": """
-SELECT round(CAST(sum(CAST(round((CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) * 10000) AS BIGINT)) AS DOUBLE) / 10000, 2) AS promo_revenue,
-       round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 10000, 2) AS total_revenue
+SELECT CAST(round(CAST(sum(CAST(round((CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) * 10000) AS BIGINT)) AS DOUBLE) / 100) AS BIGINT) / CAST(100 AS DOUBLE) AS promo_revenue,
+       CAST(round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 100) AS BIGINT) / CAST(100 AS DOUBLE) AS total_revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""",
@@ -1661,7 +1657,7 @@ WHERE s_acctbal = (SELECT min(s_acctbal) FROM triplet t2 WHERE t2.p_type = t.p_t
         "q15_top_supplier": """
 WITH rev AS (
   SELECT l_suppkey,
-         round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 10000, 2) AS total_revenue
+         CAST(round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 100) AS BIGINT) / CAST(100 AS DOUBLE) AS total_revenue
   FROM lineitem GROUP BY 1)
 SELECT s_suppkey, s_name, total_revenue
 FROM rev JOIN supplier ON l_suppkey = s_suppkey
@@ -1669,7 +1665,8 @@ WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""",
         "q17_small_quantity_revenue": """
 WITH avg_qty AS (
   SELECT l_partkey,
-         round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 / count(*), 6) AS aq
+         CAST(floor((2 * sum(CAST(round(l_quantity * 100) AS BIGINT)) * 1000000 + 100 * count(*))
+                    / (2 * 100 * count(*))) AS DOUBLE) / 1000000 AS aq
   FROM lineitem GROUP BY 1)
 SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS total_price,
        count(*) AS n_items
@@ -1679,7 +1676,7 @@ JOIN avg_qty USING (l_partkey)
 WHERE p_brand = 'Brand#1' AND l_quantity < 0.5 * aq""",
         "q09_profit_by_nation_year": """
 SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-       round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount) - 0.1 * p_retailprice * l_quantity) * 10000) AS BIGINT)) AS DOUBLE) / 10000, 2) AS profit
+       CAST(round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount) - 0.1 * p_retailprice * l_quantity) * 10000) AS BIGINT)) AS DOUBLE) / 100) AS BIGINT) / CAST(100 AS DOUBLE) AS profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -1711,7 +1708,7 @@ SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
 FROM orders JOIN big ON o_orderkey = l_orderkey
 JOIN customer ON o_custkey = c_custkey""",
         "q19_disjunctive_predicates": """
-SELECT round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 10000, 2) AS revenue,
+SELECT CAST(round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 100) AS BIGINT) / CAST(100 AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
@@ -1719,7 +1716,8 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 
    OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)""",
         "q22_rich_idle_customers": """
 WITH t AS (
-  SELECT round(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100 / count(*), 2) AS avg_bal
+  SELECT CAST(floor((2 * sum(CAST(round(c_acctbal * 100) AS BIGINT)) * 100 + 100 * count(*))
+                    / (2 * 100 * count(*))) AS DOUBLE) / 100 AS avg_bal
   FROM customer WHERE c_acctbal > 0.0)
 SELECT c_mktsegment, count(*) AS n_customers,
        round(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS total_bal
@@ -1738,7 +1736,7 @@ SELECT (SELECT count(*) FROM s) AS n_signup,
        (SELECT count(*) FROM p) AS n_purchase_after""",
         "q10_returned_revenue": """
 SELECT c_custkey, c_name,
-       round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 10000, 2) AS revenue,
+       CAST(round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 100) AS BIGINT) / CAST(100 AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM customer
 JOIN orders ON c_custkey = o_custkey
@@ -1840,15 +1838,18 @@ WITH dt AS (
   FROM documents),
 dfreq AS (SELECT tok, count(*) AS df FROM dt GROUP BY 1)
 SELECT doc_id, count(*) AS n_distinct_tokens,
-       round(CAST(sum(df) AS DOUBLE) / count(*), 4) AS avg_token_df
+       CAST(floor((2 * sum(df) * 10000 + count(*)) / (2 * count(*))) AS DOUBLE) / 10000 AS avg_token_df
 FROM dt JOIN dfreq USING (tok) GROUP BY doc_id""",
         "t05_min_gram_fingerprint": grams_cte
         + """
 SELECT doc_id, min(md5(g)) AS fp_gram FROM dg GROUP BY doc_id""",
         "s05_label_centroids": """
 SELECT label, CAST(pos AS BIGINT) AS dim,
-       round(CAST(sum(CAST(round(CAST(embedding[pos] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
-             / 1000000 / count(*), 6) AS centroid
+       CAST(CASE WHEN sum(CAST(round(CAST(embedding[pos] AS DOUBLE) * 1000000) AS BIGINT)) < 0
+            THEN -floor((2 * abs(sum(CAST(round(CAST(embedding[pos] AS DOUBLE) * 1000000) AS BIGINT))) + count(*))
+                        / (2 * count(*)))
+            ELSE floor((2 * sum(CAST(round(CAST(embedding[pos] AS DOUBLE) * 1000000) AS BIGINT)) + count(*))
+                       / (2 * count(*))) END AS DOUBLE) / 1000000 AS centroid
 FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos) t
 GROUP BY label, pos""",
         "s01_cosine_topk": f"""

@@ -8,11 +8,22 @@ in one engine and .80 in the other).
 
 ``fixed_point_sum`` removes the nondeterminism for decimal-valued
 measures (money, quantities): round each term to a fixed scale, sum exact
-integers (associative, order-independent), scale back once. This is the
-engine's standard for every monetary aggregate; it is also how the DuckDB
-oracle SQL is written, so results are bit-identical across engines and
-across partitionings — a property plain ``sum(double)`` cannot give at
-any scale, let alone 100 TB.
+integers (associative, order-independent), scale back once.
+
+A second, subtler hazard: even on IDENTICAL doubles, engines can round
+differently at half boundaries — Spark rounds the exact decimal
+expansion of the double (BigDecimal HALF_UP) while DuckDB rounds via
+float multiply — observed live at a 6th-decimal centroid boundary
+(0.0032135). The cure is to perform the FINAL rounding in integer
+space too: divide exact integers so any half boundary lands on an
+exactly-representable binary value (m.5 with small m), where both
+algorithms agree. ``fixed_point_sum`` and ``fixed_point_avg`` below do
+this; the oracle SQL mirrors the same arithmetic.
+
+Magnitude precondition (documented, generous): intermediate integers
+must stay below 2^53 so the double arithmetic on them is exact —
+≈ 9e15, i.e. sums up to ~90 trillion cents. Beyond that, switch the
+helpers to DecimalType.
 """
 
 from __future__ import annotations
@@ -21,25 +32,39 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def fixed_point_sum(col: Column, scale: int = 10_000, round_to: int = 2) -> Column:
-    """Order-independent sum of a decimal-valued double column.
+def _half_up_div(num: Column, den: int) -> Column:
+    """Exact round-half-away-from-zero of integer ``num / den``
+    (den a positive int literal), computed with floor on exactly
+    representable doubles: floor((2|n| + d) / (2d)), sign restored."""
+    mag = F.floor((2 * F.abs(num) + F.lit(den)) / F.lit(2 * den)).cast("long")
+    return F.when(num < 0, -mag).otherwise(mag)
 
-    round(term * scale) must be integral-exact in double (|term| * scale
-    < 2^53) — true for money/quantity columns at any realistic magnitude.
-    """
-    return F.round(
-        F.sum(F.round(col * scale).cast("long")).cast("double") / F.lit(scale),
-        round_to,
-    )
+
+def fixed_point_sum(col: Column, scale: int = 10_000, round_to: int = 2) -> Column:
+    """Order-independent, engine-exact sum of a decimal-valued double
+    column, reported at ``round_to`` decimals."""
+    s = F.sum(F.round(col * scale).cast("long"))
+    out_scale = 10**round_to
+    f = scale // out_scale
+    if f <= 1:
+        # the integer sum is already at (or finer than) the output scale
+        return F.round(s.cast("double") / F.lit(scale), round_to)
+    # integer rounding to the output scale, then one exact scale-back
+    return _half_up_div(s, f).cast("double") / F.lit(out_scale)
 
 
 def fixed_point_avg(
     col: Column, scale: int = 100, round_to: int = 4
 ) -> Column:
-    """Order-independent average built from the exact integer sum."""
-    return F.round(
-        F.sum(F.round(col * scale).cast("long")).cast("double")
-        / F.lit(scale)
-        / F.count(F.lit(1)),
-        round_to,
-    )
+    """Order-independent, engine-exact average: round-half-up of
+    (sum_scaled * 10^round_to) / (scale * count) in integer space, then
+    one exact scale-back. Avoids the cross-engine half-boundary
+    divergence a float division + round would reintroduce."""
+    s = F.sum(F.round(col * scale).cast("long"))
+    n = F.count(F.lit(1))
+    out_scale = 10**round_to
+    num = s * F.lit(out_scale)
+    den = F.lit(scale).cast("long") * n
+    mag = F.floor((2 * F.abs(num) + den) / (2 * den)).cast("long")
+    rounded = F.when(num < 0, -mag).otherwise(mag)
+    return rounded.cast("double") / F.lit(out_scale)
