@@ -960,7 +960,9 @@ def q_d06(spark, sf_dir):
     xxhash64 sketch; stage counts are asserted in tests."""
     from learn_etl_data_warehouse_spark.plans.corpus import clean_corpus
 
-    clean, _ = clean_corpus(_t(spark, sf_dir, "documents"))
+    clean, _ = clean_corpus(
+        _t(spark, sf_dir, "documents"), compute_stats=False
+    )
     return clean.select("doc_id", "lang_pred", "quality", "token_count")
 
 

@@ -32,11 +32,13 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def _half_up_div(num: Column, den: int) -> Column:
+def _half_up_div(num: Column, den: Column | int) -> Column:
     """Exact round-half-away-from-zero of integer ``num / den``
-    (den a positive int literal), computed with floor on exactly
-    representable doubles: floor((2|n| + d) / (2d)), sign restored."""
-    mag = F.floor((2 * F.abs(num) + F.lit(den)) / F.lit(2 * den)).cast("long")
+    (den a positive integer column or literal), computed with floor on
+    exactly representable doubles: floor((2|n| + d) / (2d)), sign
+    restored."""
+    d = F.lit(den).cast("long") if isinstance(den, int) else den
+    mag = F.floor((2 * F.abs(num) + d) / (2 * d)).cast("long")
     return F.when(num < 0, -mag).otherwise(mag)
 
 
@@ -65,6 +67,4 @@ def fixed_point_avg(
     out_scale = 10**round_to
     num = s * F.lit(out_scale)
     den = F.lit(scale).cast("long") * n
-    mag = F.floor((2 * F.abs(num) + den) / (2 * den)).cast("long")
-    rounded = F.when(num < 0, -mag).otherwise(mag)
-    return rounded.cast("double") / F.lit(out_scale)
+    return _half_up_div(num, den).cast("double") / F.lit(out_scale)

@@ -248,43 +248,53 @@ def connected_components(
     (pairs (b,c),(a,c) without (a,b) keep both a and b from one duplicate
     cluster). Components give exactly one survivor per cluster.
 
-    Algorithm: min-label propagation — each node repeatedly adopts the
-    minimum label among itself and its neighbors; converges in
-    O(component diameter) rounds. Each round is one join + one map-side-
-    combinable min aggregation; duplicate-cluster graphs from LSH are
-    dense and shallow, so rounds stay in single digits. The convergence
-    check is a cheap count of changed labels.
+    Algorithm: min-label propagation with pointer jumping — each round a
+    node adopts the minimum label among itself and its neighbors, then
+    additionally the label of its current label (path halving), giving
+    O(log diameter) rounds instead of O(diameter). Each round is two
+    joins + a map-side-combinable min; lineage is truncated per round
+    with localCheckpoint (without it the plan doubles every round and
+    Catalyst re-analysis stack-overflows on deep graphs). The
+    convergence check is a cheap count of changed labels.
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = (
-        edges.unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    # localCheckpoint (not persist): each round's plan must TRUNCATE
+    # lineage, or the logical plan doubles per iteration and Catalyst
+    # re-analysis blows up (observed: 8-round chain → StackOverflowError).
+    edges = edges.localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
-    labels.count()
     for _ in range(max_iter):
         neigh = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
+        stepped = labels.join(neigh, labels.id == neigh.src, "left").select(
+            "id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jumping: labels only ever decrease and label[x] <= x,
+        # so adopting label[label] is always an improvement-or-equal
+        lab_map = stepped.select(
+            F.col("id").alias("_lid"), F.col("label").alias("_llabel")
+        )
         new_labels = (
-            labels.join(neigh, labels.id == neigh.src, "left")
+            stepped.join(lab_map, stepped.label == F.col("_lid"), "left")
             .select(
                 "id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
+                F.coalesce(F.col("_llabel"), F.col("label")).alias("label"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -292,11 +302,9 @@ def connected_components(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
     return labels.select(F.col("id"), F.col("label").alias("component"))
 
 

@@ -34,8 +34,16 @@ def _running_totals_fn(
         n, cents = 0, 0
     for pdf in pdfs:
         n += len(pdf)
-        # integer cents: order-independent, batch-boundary-independent
-        cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+        # integer cents: order-independent, batch-boundary-independent.
+        # Half-up rounding (floor(|x|+0.5), sign restored) — pandas/python
+        # round() is half-to-even and would diverge from the batch twin's
+        # Spark F.round at half-cent values.
+        import numpy as np
+
+        v = pdf["value"].to_numpy() * 100
+        cents += int(
+            (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64").sum()
+        )
     state.update((n, cents))
     yield pd.DataFrame(
         {"user_id": [user_id], "n_events": [n], "sum_value": [round(cents / 100, 2)]}
@@ -113,9 +121,15 @@ def make_session_fn(gap_minutes: int = 30):
                 start_us, last_us, n, cents = state.get
             else:
                 start_us = last_us = n = cents = None
+            import math
+
             for ts, value in zip(rows["ts"], rows["value"]):
                 ts_us = int(ts.value // 1000)
-                v_cents = int(round(value * 100))
+                # half-up, sign-aware — python round() is half-to-even
+                # and would diverge from the batch twin's F.round
+                v_cents = int(
+                    math.copysign(math.floor(abs(value * 100) + 0.5), value)
+                )
                 if start_us is None:
                     start_us, last_us, n, cents = ts_us, ts_us, 1, v_cents
                 elif ts_us - last_us > gap_us:

@@ -74,8 +74,6 @@ def test_clean_corpus_stages(spark, sf_small):
         for r in dedup.connected_components(pairs).collect()
     }
     # python-side reference components (tiny graph)
-    import itertools
-
     adj: dict[int, set[int]] = {}
     for r in pairs.collect():
         adj.setdefault(r["id_a"], set()).add(r["id_b"])
@@ -96,5 +94,20 @@ def test_clean_corpus_stages(spark, sf_small):
         rep = min(members)
         expected |= {(m, rep) for m in members}
     assert comp == expected
+
+    # and the PIPELINE's output is exactly (survivors ∩ gate-passers):
+    # a regression that drops winners instead of losers must fail here
+    from learn_etl_data_warehouse_spark.operators import text as text_ops
+    from pyspark.sql import functions as F
+
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    dropped = {m for m, rep in expected if m != rep}
+    survivors = all_ids - dropped
+    gate = text_ops.add_text_features(docs).filter(
+        (F.col("quality") >= 0.3) & (F.col("lang_pred") != "und")
+    )
+    gate_pass = {r["doc_id"] for r in gate.select("doc_id").collect()}
+    clean_ids = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    assert clean_ids == (survivors & gate_pass)
     # output schema carries the features downstream jobs need
     assert {"doc_id", "lang_pred", "quality", "token_count"} <= set(clean.columns)
