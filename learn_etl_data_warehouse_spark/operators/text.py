@@ -67,8 +67,10 @@ def marker_hits(col: Column | str, markers: list[str]) -> Column:
 
 def lang_id(col: Column | str, langs: dict[str, list[str]] | None = None) -> Column:
     """Stopword-marker language ID: argmax of per-language marker hits,
-    'und' (undetermined) when nothing matches. Ties break by language code
-    order (deterministic)."""
+    'und' (undetermined) when nothing matches. On tied hit counts the
+    lexicographically LARGEST language code wins (array_max compares the
+    (hits, code) struct fields in order: id > fr > es > en > de) — the t03
+    oracle encodes the same reverse order."""
     langs = langs or LANG_MARKERS
     scored = F.array(
         *[

@@ -51,15 +51,12 @@ def scd2_merge(
         F.col(key).alias("_uk"), *[F.col(a).alias(f"_u_{a}") for a in attrs]
     )
     joined = open_rows.join(upd, open_rows[key] == F.col("_uk"), "left")
+    # eqNullSafe: plain equality yields NULL for a null<->value transition,
+    # which would drop the row from the 'changed' branch AND leave the stale
+    # open version in 'untouched' — the update silently vanishes.
     changed_pred = F.col("_uk").isNotNull() & reduce(
         lambda a, b: a | b,
-        [
-            ~(
-                (F.col(a) == F.col(f"_u_{a}"))
-                | (F.col(a).isNull() & F.col(f"_u_{a}").isNull())
-            )
-            for a in attrs
-        ],
+        [~F.col(a).eqNullSafe(F.col(f"_u_{a}")) for a in attrs],
     )
     hist_cols = history.columns
     # 1. close changed versions

@@ -31,9 +31,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name != "events":
         return spark.read.parquet(path)
+    # Scope the legacy-conf flip: restore the prior value after planning the
+    # scan, so an unrelated raw read of a NANOS file elsewhere still fails
+    # loudly instead of silently returning bigint (order-dependent behavior).
+    prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
-    if dict(df.dtypes).get("ts") == "bigint":
+    try:
+        df = spark.read.parquet(path)
+        # Force schema resolution while the flag is on; the parquet footer is
+        # read at analysis time, so the resolved bigint type sticks to `df`
+        # even after the conf is restored.
+        dtypes = dict(df.dtypes)
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
+    if dtypes.get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 

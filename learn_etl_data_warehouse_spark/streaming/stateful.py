@@ -15,6 +15,7 @@ memory, no per-event growth.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from decimal import ROUND_HALF_UP, Decimal
 from typing import Any
 
 import pandas as pd
@@ -22,6 +23,16 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id long, n_events long, sum_value double"
 STATE_SCHEMA = "n long, cents long"
+
+
+def _cents_half_up(x) -> int:
+    """Mirror Spark's ``F.round`` on doubles exactly: Java does
+    ``BigDecimal.valueOf(double)`` (shortest decimal repr, same as Python
+    ``repr``) then ``setScale(0, HALF_UP)``. The float trick
+    ``floor(|x|+0.5)`` diverges for doubles just below a half boundary —
+    e.g. ``m + 0.49999999999999994``, where adding 0.5 rounds up in binary
+    — so it must not be used here."""
+    return int(Decimal(repr(float(x))).quantize(Decimal(1), rounding=ROUND_HALF_UP))
 
 
 def _running_totals_fn(
@@ -35,15 +46,8 @@ def _running_totals_fn(
     for pdf in pdfs:
         n += len(pdf)
         # integer cents: order-independent, batch-boundary-independent.
-        # Half-up rounding (floor(|x|+0.5), sign restored) — pandas/python
-        # round() is half-to-even and would diverge from the batch twin's
-        # Spark F.round at half-cent values.
-        import numpy as np
-
-        v = pdf["value"].to_numpy() * 100
-        cents += int(
-            (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64").sum()
-        )
+        # _cents_half_up mirrors the batch twin's F.round bit-exactly.
+        cents += sum(_cents_half_up(v) for v in pdf["value"].to_numpy() * 100)
     state.update((n, cents))
     yield pd.DataFrame(
         {"user_id": [user_id], "n_events": [n], "sum_value": [round(cents / 100, 2)]}
@@ -121,15 +125,11 @@ def make_session_fn(gap_minutes: int = 30):
                 start_us, last_us, n, cents = state.get
             else:
                 start_us = last_us = n = cents = None
-            import math
 
             for ts, value in zip(rows["ts"], rows["value"]):
                 ts_us = int(ts.value // 1000)
-                # half-up, sign-aware — python round() is half-to-even
-                # and would diverge from the batch twin's F.round
-                v_cents = int(
-                    math.copysign(math.floor(abs(value * 100) + 0.5), value)
-                )
+                # _cents_half_up mirrors the batch twin's F.round bit-exactly
+                v_cents = _cents_half_up(value * 100)
                 if start_us is None:
                     start_us, last_us, n, cents = ts_us, ts_us, 1, v_cents
                 elif ts_us - last_us > gap_us:

@@ -77,3 +77,37 @@ def test_j6_dim_denormalization_consistent(spark):
             | (F.col("kecamatan_name") != F.col("_cname"))
         ).count()
         assert bad == 0, f"{name}: denormalized names disagree with the dim"
+
+
+def test_scd2_null_value_transitions(spark):
+    """A null->value or value->null attribute change must close the old
+    version and open a new one (plain equality yields a NULL predicate and
+    silently drops the update — regression test for the eqNullSafe fix)."""
+    base = spark.createDataFrame(
+        [(1, None, "SEG_A"), (2, 5.0, None), (3, 7.0, "SEG_C")],
+        "c_custkey int, c_acctbal double, c_mktsegment string",
+    )
+    hist = scd2_init(base, "c_custkey", "2024-01-01 00:00:00")
+    updates = spark.createDataFrame(
+        [
+            (1, 9.0, "SEG_A"),   # null -> value
+            (2, 5.0, "SEG_B"),   # null -> value (other attr)
+            (3, None, "SEG_C"),  # value -> null
+        ],
+        "c_custkey int, c_acctbal double, c_mktsegment string",
+    )
+    hist2 = scd2_merge(hist, updates, "c_custkey", ATTRS, "2024-02-01 00:00:00").cache()
+
+    open_rows = {r["c_custkey"]: r for r in hist2.filter("is_current").collect()}
+    closed = {r["c_custkey"]: r for r in hist2.filter("NOT is_current").collect()}
+    assert set(open_rows) == {1, 2, 3} and set(closed) == {1, 2, 3}
+    assert open_rows[1]["c_acctbal"] == 9.0
+    assert open_rows[2]["c_mktsegment"] == "SEG_B"
+    assert open_rows[3]["c_acctbal"] is None
+    for k in (1, 2, 3):
+        assert open_rows[k]["valid_from"].isoformat().startswith("2024-02-01")
+        assert closed[k]["valid_to"].isoformat().startswith("2024-02-01")
+
+    # idempotence still holds with nulls in play
+    hist3 = scd2_merge(hist2, updates, "c_custkey", ATTRS, "2024-03-01 00:00:00")
+    assert hist3.count() == hist2.count()

@@ -314,3 +314,40 @@ def test_stream_tumbling_matches_batch(spark, sf_small, tmp_path):
     got = sorted(map(tuple, spark.table("t_stream_tumbling").collect()))
     want = sorted(map(tuple, batch.collect()))
     assert got == want
+
+
+def test_cents_half_up_matches_spark_round(spark):
+    """_cents_half_up must be bit-identical to the batch twin's F.round on
+    doubles, including values just below a half boundary where the old
+    float floor(|x|+0.5) trick rounds the wrong way (ADVICE r1)."""
+    from pyspark.sql import functions as F
+
+    from learn_etl_data_warehouse_spark.streaming.stateful import _cents_half_up
+
+    # 0.49999999999999994 is the largest double < 0.5: adding 0.5 yields
+    # exactly 1.0 in binary, so the float trick says 1 but HALF_UP says 0.
+    boundary = [
+        0.49999999999999994,
+        -0.49999999999999994,
+        2.5,
+        -2.5,
+        3.5000000000000004,
+        1.4999999999999998,
+        0.0,
+        17.495,
+        -17.495,
+        123.455,
+        8.795 * 100 / 100,  # CLAUDE.md's observed x.795 boundary
+    ]
+    import random
+
+    rng = random.Random(42)
+    vals = boundary + [rng.uniform(-1000, 1000) for _ in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    spark_rounded = [
+        r["r"]
+        for r in df.select(F.round("x").cast("long").alias("r"))
+        .collect()
+    ]
+    ours = [_cents_half_up(v) for v in vals]
+    assert ours == spark_rounded
