@@ -165,3 +165,25 @@ def test_media_metadata_prunes_payload(spark, sf_small):
     media = multimodal.documents_as_media(docs).select("media_id").limit(3)
     plan = media._jdf.queryExecution().executedPlan().toString()
     assert "text" not in plan.split("ReadSchema")[-1] if "ReadSchema" in plan else True
+
+
+def test_cosine_pairs_blocked_exact_vs_bruteforce(spark, sf_small):
+    """The distributed block-pair exact all-pairs operator must equal the
+    brute-force cross self-join bit-for-bit (recall exactly 1, no dupes),
+    for both even and odd block counts (odd exercises same-block dedup
+    across differently-shaped block pairs)."""
+    emb = load_table(spark, sf_small, "embeddings")
+    want = sorted(
+        map(tuple, similarity.pairwise_near_dups(emb, threshold=0.4).collect())
+    )
+    assert want, "fixture should contain near pairs at 0.4"
+    for nb in (3, 8):
+        got = sorted(
+            map(
+                tuple,
+                similarity.cosine_pairs_blocked(
+                    emb, threshold=0.4, n_blocks=nb
+                ).collect(),
+            )
+        )
+        assert got == want, f"n_blocks={nb}"
