@@ -971,7 +971,7 @@ def q_d09(spark, sf_dir):
     Jaccard pair graph (iterative min-label propagation; the oracle uses
     a recursive CTE — same fixpoint, different engine idiom)."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.7)
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.7, max_doc_freq=50)
     return dedup.connected_components(pairs)
 
 
@@ -1015,8 +1015,11 @@ def q_d01(spark, sf_dir):
 
 
 def q_d02(spark, sf_dir):
+    """max_doc_freq=50 is the web-scale skew guard (one stopword shingle
+    would otherwise fan out O(df²) in the self-join); the oracle mirrors
+    the same cap, so parity holds even where the cap bites."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.7)
+    return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.7, max_doc_freq=50)
 
 
 def q_d03(spark, sf_dir):
@@ -1352,7 +1355,9 @@ grams AS (
          unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
                 ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)] END) AS g
   FROM toks),
-dg AS (SELECT DISTINCT doc_id, g FROM grams),
+dg0 AS (SELECT DISTINCT doc_id, g FROM grams),
+hot AS (SELECT g FROM dg0 GROUP BY g HAVING count(*) > 50),
+dg AS (SELECT doc_id, g FROM dg0 WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.g = dg0.g)),
 sz AS (SELECT doc_id, count(*) AS sz FROM dg GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i

@@ -72,15 +72,25 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for every pair sharing ≥1 n-gram.
 
     Inverted-index plan: explode distinct n-grams → self-join on the
     n-gram (hash shuffle on the gram, NOT a cross join) → pair-count =
     |A∩B|; |A∪B| = |A|+|B|-|A∩B|. Pairs with zero shared grams never
-    materialize. Frequency-skewed grams (stopword shingles) are the skew
-    risk at scale — AQE skew-join handles moderate skew; for web-scale
-    corpora add a document-frequency cap on grams before the join.
+    materialize.
+
+    ``max_doc_freq`` is the web-scale skew guard: a gram present in d
+    documents fans out into d·(d-1)/2 candidate rows in the self-join, so
+    ONE stopword shingle ("of the and"-class) turns the plan quadratic —
+    AQE skew splitting rebalances tasks but cannot shrink the row count.
+    With the cap, grams whose document frequency exceeds it are dropped
+    from the gram universe entirely (blacklist semantics: they count
+    toward neither intersections nor set sizes — the standard stopword
+    treatment, and exactly mirrorable in the SQL oracle). Candidate count
+    is then bounded by Σ_g df(g)² ≤ max_doc_freq · Σ_g df(g), i.e. linear
+    in corpus size. ``None`` = exact, no cap.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     """
@@ -93,6 +103,17 @@ def ngram_jaccard_pairs(
         F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("_g"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     grams.count()  # eager: three plan branches race on a cold cache otherwise
+    if max_doc_freq is not None:
+        # hot-gram list is small BY CONSTRUCTION (df > cap ⇒ at most
+        # |grams|/cap entries), so the anti-join broadcasts; each plan
+        # branch re-applies it against the persisted gram table — cheap.
+        hot = (
+            grams.groupBy("_g")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("_g")
+        )
+        grams = grams.join(F.broadcast(hot), "_g", "left_anti")
     sizes = grams.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
     a = grams.alias("a")
     b = grams.alias("b")

@@ -187,3 +187,29 @@ def test_cosine_pairs_blocked_exact_vs_bruteforce(spark, sf_small):
             )
         )
         assert got == want, f"n_blocks={nb}"
+
+
+def test_ngram_jaccard_max_doc_freq_caps_hot_gram(spark):
+    """A shingle shared by every document fans out O(df^2) in the
+    inverted-index self-join; max_doc_freq must drop it from the gram
+    universe (blacklist semantics: neither intersections nor sizes)."""
+    n_docs = 40
+    # every doc: one global hot shingle + one unique tail of 3 words
+    rows = [
+        (i, f"common hot gram unique{i} tail{i} word{i}") for i in range(n_docs)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.01)
+    # 'common hot gram' links every pair: candidate explosion
+    assert uncapped.count() == n_docs * (n_docs - 1) // 2
+
+    capped = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.01, max_doc_freq=10)
+    # the hot gram is gone; remaining grams are unique per doc -> no pairs
+    assert capped.count() == 0
+
+    # cap above the hot gram's df is a no-op: bit-identical to uncapped
+    noop = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.01, max_doc_freq=n_docs)
+    assert sorted(map(tuple, noop.collect())) == sorted(
+        map(tuple, uncapped.collect())
+    )
