@@ -437,15 +437,62 @@ def q_g01(spark, sf_dir):
 
 
 def q_a13(spark, sf_dir):
-    """Equal-frequency (quantile) binning via ntile — the complement of
-    the equal-width histogram (a03)."""
-    from pyspark.sql import Window
+    """Equal-frequency (quantile) binning — distributed ntile, the
+    complement of the equal-width histogram (a03).
 
-    df = _t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
-    binned = df.select(
-        F.ntile(4).over(w).cast("long").alias("quartile"), F.col("o_totalprice")
+    ``ntile(4) OVER (ORDER BY ...)`` with no partitionBy funnels the whole
+    table through ONE task's sort at scale. Distributed-exact instead
+    (TeraSort-style ranking): range-repartition on the sort key (balanced
+    shuffle — the range partitioner samples boundaries), count rows per
+    partition (a #partitions-sized metadata collect, NOT data), convert
+    the per-partition offsets to exact global ranks in one narrow
+    mapInPandas pass, and bin by the exact ntile bucket boundaries.
+    Bit-identical to the window form; every stage is parallel.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.storagelevel import StorageLevel
+
+    df = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    n_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
+    ranged = (
+        df.repartitionByRange(
+            n_parts, F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+        )
+        .sortWithinPartitions("o_totalprice", "o_orderkey")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    sizes = {
+        r["_pid"]: r["cnt"]
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    n = sum(sizes.values())
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    base, rem = divmod(n, 4)
+    cuts = np.cumsum([base + (1 if i < rem else 0) for i in range(4)])
+
+    def assign(batches):
+        local = 0
+        for b in batches:
+            if len(b) == 0:
+                continue
+            start = offsets[int(b["_pid"].iloc[0])] + local
+            ranks = np.arange(start, start + len(b))
+            local += len(b)
+            yield pd.DataFrame(
+                {
+                    "quartile": (
+                        np.searchsorted(cuts, ranks, side="right") + 1
+                    ).astype("int64"),
+                    "o_totalprice": b["o_totalprice"],
+                }
+            )
+
+    binned = ranged.mapInPandas(assign, schema="quartile long, o_totalprice double")
     return binned.groupBy("quartile").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.min("o_totalprice"), 2).alias("lo"),
