@@ -213,3 +213,25 @@ def test_ngram_jaccard_max_doc_freq_caps_hot_gram(spark):
     assert sorted(map(tuple, noop.collect())) == sorted(
         map(tuple, uncapped.collect())
     )
+
+
+def test_a09_hll_within_tolerance(spark, sf_small):
+    """a09 is declared rows-only (HLL estimates are engine-specific, so
+    no DuckDB oracle can hash-match); this pins its actual contract:
+    same keys as the exact twin, estimates within the default rsd
+    envelope (5% rsd -> allow 15% = 3 sigma), stable schema."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as entrymod
+
+    approx = {
+        r["l_suppkey"]: r["approx_parts"]
+        for r in entrymod.queries()["a09_approx_distinct"](spark, sf_small).collect()
+    }
+    exact = {
+        r["l_suppkey"]: r["n_parts"]
+        for r in entrymod.queries()["ad01_distinct_agg"](spark, sf_small).collect()
+    }
+    assert set(approx) == set(exact)
+    for k, est in approx.items():
+        assert abs(est - exact[k]) <= max(3, 0.15 * exact[k]), (k, est, exact[k])
