@@ -260,6 +260,16 @@ def q_a03(spark, sf_dir):
     return histogram(_t(spark, sf_dir, "orders"), "o_totalprice", 10)
 
 
+def q_a03c(spark, sf_dir):
+    """HISTOGRAM(col, n) SQL sugar (r2 extension): a pure SQL UDF
+    (inlined at analysis, codegen'd) + macro expansion to the same
+    two-phase min/max + bin plan a03 builds with the DataFrame API."""
+    from learn_etl_data_warehouse_spark.functions.histogram import histogram_sql
+
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_hist_sugar")
+    return histogram_sql(spark, "orders_hist_sugar", "o_totalprice", 10)
+
+
 def q_a03b(spark, sf_dir):
     return categorical_histogram(_t(spark, sf_dir, "events"), "event_type")
 
@@ -1310,6 +1320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a01_quarter_counts": q_a01,
         "a02_returnflag_counts": q_a02,
         "a03_histogram_totalprice": q_a03,
+        "a03c_histogram_sql": q_a03c,
         "a03b_event_type_counts": q_a03b,
         "a04_distinct_quarters": q_a04,
         "a05_top3_orders_per_customer": q_a05,
@@ -1590,6 +1601,16 @@ SELECT bin, vmin + bin * w AS bin_start, vmin + (bin + 1) * w AS bin_end, count(
 FROM b GROUP BY bin, vmin, w""",
         "a03b_event_type_counts": """
 SELECT event_type, count(*) AS n FROM events GROUP BY 1""",
+        "a03c_histogram_sql": """
+WITH s AS (SELECT min(o_totalprice) AS vmin, max(o_totalprice) AS vmax FROM orders),
+b AS (
+  SELECT CASE WHEN s.vmax = s.vmin THEN 0
+         ELSE least(CAST(floor((o.o_totalprice - s.vmin) / ((s.vmax - s.vmin) / 10)) AS BIGINT), 9)
+         END AS bin,
+         s.vmin AS vmin, (s.vmax - s.vmin) / 10 AS w
+  FROM orders o, s)
+SELECT bin, vmin + bin * w AS bin_start, vmin + (bin + 1) * w AS bin_end, count(*) AS n
+FROM b GROUP BY bin, vmin, w""",
         "a04_distinct_quarters": """
 SELECT DISTINCT CAST(year(o_orderdate) AS VARCHAR) || 'Q' || CAST(quarter(o_orderdate) AS VARCHAR) AS quarter
 FROM orders""",

@@ -18,6 +18,8 @@ right-open, except the last bin which includes the max
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -64,6 +66,57 @@ def histogram(df: DataFrame, col: str, nbins: int = 10) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+#: Matches the sugar form ``SELECT HISTOGRAM(col, nbins) FROM source``
+#: (source = a table/view name). Deliberately narrow: the macro is sugar
+#: for the canonical call shape, not a general rewriter.
+_HISTOGRAM_SUGAR = re.compile(
+    r"^\s*SELECT\s+HISTOGRAM\(\s*([A-Za-z_][\w]*)\s*,\s*(\d+)\s*\)\s+FROM\s+"
+    r"([A-Za-z_][\w.]*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def register_histogram_sql(spark) -> None:
+    """Register ``histogram_bin(x, vmin, vmax, nbins)`` as a pure SQL UDF
+    (Spark 4 ``CREATE FUNCTION ... RETURN``): the body is inlined into the
+    caller's plan at analysis time, so it constant-folds and stays inside
+    whole-stage codegen — zero Python in the path, unlike a @udf."""
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION histogram_bin(
+    x DOUBLE, vmin DOUBLE, vmax DOUBLE, nbins INT) RETURNS BIGINT
+    RETURN CASE WHEN vmax = vmin THEN CAST(0 AS BIGINT)
+           ELSE least(CAST(floor((x - vmin) / ((vmax - vmin) / nbins)) AS BIGINT),
+                      CAST(nbins - 1 AS BIGINT)) END"""
+    )
+
+
+def expand_histogram_sql(sql: str) -> str:
+    """Expand the ``SELECT HISTOGRAM(col, n) FROM source`` sugar into the
+    two-phase min/max + bin plan (the same shape :func:`histogram` builds
+    with the DataFrame API). Returns non-matching statements unchanged so
+    the expander can sit in front of every ``spark.sql`` call."""
+    m = _HISTOGRAM_SUGAR.match(sql)
+    if not m:
+        return sql
+    col, nbins, source = m.group(1), int(m.group(2)), m.group(3)
+    return f"""
+WITH s AS (SELECT min({col}) AS vmin, max({col}) AS vmax FROM {source}),
+b AS (SELECT histogram_bin(CAST(t.{col} AS DOUBLE), s.vmin, s.vmax, {nbins}) AS bin,
+             s.vmin AS vmin, (s.vmax - s.vmin) / {nbins} AS w
+      FROM {source} t CROSS JOIN s)
+SELECT bin, vmin + bin * w AS bin_start, vmin + (bin + 1) * w AS bin_end,
+       count(*) AS n
+FROM b GROUP BY bin, vmin, w ORDER BY bin"""
+
+
+def histogram_sql(spark, source: str, col: str, nbins: int = 10) -> DataFrame:
+    """Run the HISTOGRAM sugar end-to-end: register the SQL UDF, expand
+    the macro, execute. Equivalent to :func:`histogram` over the same
+    table (conformance-pinned in tests and the a03c oracle query)."""
+    register_histogram_sql(spark)
+    return spark.sql(expand_histogram_sql(f"SELECT HISTOGRAM({col}, {nbins}) FROM {source}"))
 
 
 def categorical_histogram(df: DataFrame, col: str) -> DataFrame:

@@ -235,3 +235,23 @@ def test_a09_hll_within_tolerance(spark, sf_small):
     assert set(approx) == set(exact)
     for k, est in approx.items():
         assert abs(est - exact[k]) <= max(3, 0.15 * exact[k]), (k, est, exact[k])
+
+
+def test_histogram_sql_sugar_matches_dataframe_form(spark, sf_small):
+    """HISTOGRAM(col, n) SQL sugar must produce exactly the DataFrame
+    histogram()'s rows, and the macro must leave non-matching SQL alone."""
+    from learn_etl_data_warehouse_spark.functions.histogram import (
+        expand_histogram_sql,
+        histogram,
+        histogram_sql,
+    )
+
+    orders = load_table(spark, sf_small, "orders")
+    orders.createOrReplaceTempView("t_hist_orders")
+    got = sorted(
+        map(tuple, histogram_sql(spark, "t_hist_orders", "o_totalprice", 10).collect())
+    )
+    want = sorted(map(tuple, histogram(orders, "o_totalprice", 10).collect()))
+    assert got == want
+    passthrough = "SELECT count(*) FROM t_hist_orders"
+    assert expand_histogram_sql(passthrough) == passthrough
