@@ -351,3 +351,144 @@ def test_cents_half_up_matches_spark_round(spark):
     ]
     ours = [_cents_half_up(v) for v in vals]
     assert ours == spark_rounded
+
+
+def test_sessionizer_v2_out_of_order_across_restarts(spark, tmp_path):
+    """State-API-v2 sessionizer: per-key OUT-OF-ORDER delivery across
+    checkpointed availableNow restarts must still reproduce the batch
+    sessionization exactly — the caveat the GroupState sessionizer
+    carries (CLAUDE.md invariant 8) is gone. Disorder stays inside the
+    4h watermark delay; a far-future flush event closes everything.
+
+    transformWithStateInPandas's driver worker speaks protobuf to the
+    JVM (StateMessage_pb2); the container has no google.protobuf and
+    installing packages is out of scope, so this skips where the
+    dependency is absent (the operator itself is complete)."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas needs protobuf (absent in image)",
+    )
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from learn_etl_data_warehouse_spark.streaming.events import (
+        session_windows_batch,
+    )
+    from learn_etl_data_warehouse_spark.streaming.stateful_v2 import (
+        stream_sessions_v2,
+    )
+
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+
+    def ev(eid, user, minutes, value):
+        return (eid, base + datetime.timedelta(minutes=minutes), user, "click", value, "{}")
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    # u1: sessions {0,10,20} and {120,125}; u2: sessions {5} and {200}
+    all_events = [
+        ev(1, 1, 0, 1.25), ev(2, 1, 10, 2.5), ev(3, 1, 20, 0.75),
+        ev(4, 1, 120, 10.0), ev(5, 1, 125, 0.05),
+        ev(6, 2, 5, 3.33), ev(7, 2, 200, 7.77),
+    ]
+    # deliberately out of per-key time order across the two runs
+    run1 = [all_events[3], all_events[1], all_events[6]]   # ts 120, 10, 200
+    run2 = [all_events[0], all_events[2], all_events[4], all_events[5]]
+    flush = [(999, base + datetime.timedelta(days=30), 10**6, "click", 0.0, "{}")]
+
+    staged = str(tmp_path / "v2_src")
+    out = str(tmp_path / "v2_out")
+    ckpt = str(tmp_path / "v2_ckpt")
+
+    def run_once(batch_rows):
+        spark.createDataFrame(batch_rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(staged)
+        stream = spark.readStream.schema(
+            spark.read.parquet(staged).schema
+        ).parquet(staged)
+        q = (
+            stream_sessions_v2(stream.withWatermark("ts", "4 hours"), gap_minutes=30)
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    run_once(run1)
+    run_once(run2)
+    run_once(flush)
+
+    emitted = spark.read.parquet(out).filter(F.col("user_id") != 10**6)
+    batch = session_windows_batch(
+        spark.createDataFrame(all_events, schema), gap_minutes=30
+    ).select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.round(F.col("sum_value") * 100).cast("long").alias("sum_cents"),
+    )
+    got = sorted(map(tuple, emitted.collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert len(got) == len(want), (got, want)
+    assert got == want
+
+
+def test_sessionizer_v2_flush_logic_out_of_order():
+    """The v2 sessionizer's core (_flush) must cut correct sessions from
+    an out-of-order buffer — unit-level, no streaming runtime, so it runs
+    even where protobuf (needed by the TWS worker) is absent."""
+    from learn_etl_data_warehouse_spark.streaming.stateful_v2 import SessionizerV2
+
+    class FakeBuf:
+        def __init__(self):
+            self.v = []
+
+        def get(self):
+            return list(self.v)
+
+        def clear(self):
+            self.v = []
+
+        def appendList(self, xs):
+            self.v.extend(xs)
+
+    class FakeHandle:
+        def __init__(self):
+            self.timers = []
+
+        def listTimers(self):
+            return list(self.timers)
+
+        def deleteTimer(self, t):
+            self.timers.remove(t)
+
+        def registerTimer(self, t):
+            self.timers.append(t)
+
+    p = SessionizerV2(30)
+    p.handle, p.buf = FakeHandle(), FakeBuf()
+    m = 60 * 1_000_000  # one minute in µs
+    # delivered out of order: sessions {0, 10min} and {120min}
+    p.buf.appendList([(10 * m, 250), (0, 125), (120 * m, 1000)])
+
+    # watermark before any close: nothing emits, one timer at first close
+    out = p._flush(7, 5 * 60 * 1000)
+    assert out == [] and len(p.buf.v) == 3
+    assert p.handle.timers == [(10 * m + 30 * m) // 1000]
+
+    # watermark past first session's close but not the second's
+    out = p._flush(7, 100 * 60 * 1000)
+    assert [(r[3], r[4]) for r in out] == [(2, 375)]
+    assert len(p.buf.v) == 1 and p.handle.timers == [(120 * m + 30 * m) // 1000]
+
+    # far-future watermark: remaining session emits, state + timers empty
+    out = p._flush(7, 10**15)
+    assert [(r[3], r[4]) for r in out] == [(1, 1000)]
+    assert p.buf.v == [] and p.handle.timers == []
