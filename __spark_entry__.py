@@ -1051,6 +1051,9 @@ def q_d08(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
+    # driver-side collect is BOUNDED: distinct languages, not rows — a few
+    # dozen values at any corpus size (ISO-639-ish domain), and inherent
+    # to the sampleBy API, which takes per-stratum fractions as a dict.
     langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
     fractions = {lang: 0.5 for lang in langs}
     return stratified_sample(docs, "lang", fractions).select("doc_id", "lang")
