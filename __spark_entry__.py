@@ -1193,6 +1193,16 @@ def q_s02(spark, sf_dir):
     return similarity.cosine_pairs_blocked(emb, threshold=0.4)
 
 
+def q_d10(spark, sf_dir):
+    """Semantic dedup clusters (r2 extension): connected components over
+    the EXACT embedding-cosine near-pair graph — s02's distributed
+    block-pair operator feeding d09's component operator, i.e. the
+    semantic-dedup pass a training pipeline runs after lexical dedup."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = similarity.cosine_pairs_blocked(emb, threshold=0.4)
+    return dedup.connected_components(pairs)
+
+
 def q_s03(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.lsh_near_pairs(emb, dim=64, threshold=0.4, n_bits=4)
@@ -1384,6 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t07_token_df_score": q_t07,
         "s01_cosine_topk": q_s01,
         "s02_neardup_pairs_exact": q_s02,
+        "d10_semantic_clusters": q_d10,
         "s03_neardup_pairs_lsh": q_s03,
         "s04_lsh_topk": q_s04,
         "s05_label_centroids": q_s05,
@@ -1940,6 +1951,19 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS.format(a='a.v', b='b.v')} AS cosine
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE {_COS.format(a='a.v', b='b.v')} >= 0.4""",
+        "d10_semantic_clusters": f"""
+WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE {_COS.format(a='a.v', b='b.v')} >= 0.4),
+sym AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT s, d FROM sym UNION SELECT s, s FROM sym
+  UNION
+  SELECT reach.id, sym.d FROM reach JOIN sym ON reach.r = sym.s
+)
+SELECT id, min(r) AS component FROM reach GROUP BY id""",
         "e01_tumbling_window": """
 SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS window_start,
        event_type, count(*) AS n_events, round(CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_value
