@@ -891,6 +891,189 @@ def q_q22(spark, sf_dir):
     )
 
 
+def q_q07(spark, sf_dir):
+    """Volume shipping (TPC-H q7 analog): bilateral trade revenue by
+    (supplier nation, customer nation, year) for one nation pair. The
+    nation dim role-plays twice (broadcast both times); the disjunctive
+    pair filter sits on the two broadcast joins' outputs, so the
+    fact-side shuffles stay pair-agnostic."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("_cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n1), supplier.s_nationkey == F.col("_sn_key"))
+        .join(F.broadcast(n2), customer.c_nationkey == F.col("_cn_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_3")
+                & (F.col("cust_nation") == "NATION_7")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_7")
+                & (F.col("cust_nation") == "NATION_3")
+            )
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+    ).agg(
+        fixed_point_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("revenue")
+    )
+
+
+def q_q08(spark, sf_dir):
+    """Market share (TPC-H q8 analog): per order-year, NATION_2's revenue
+    and the total revenue for PROMO parts sold into ASIA. Numerator and
+    denominator are reported separately (q14 precedent): a cross-engine
+    float DIVISION would reintroduce the half-boundary rounding drift the
+    fixed-point sums exist to kill."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    cn = nation.select(
+        F.col("n_nationkey").alias("_cn_key"), F.col("n_regionkey").alias("_cr_key")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    joined = (
+        li.join(part.filter(F.col("p_type") == "PROMO"), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(cn), customer.c_nationkey == F.col("_cn_key"))
+        .join(F.broadcast(region), F.col("_cr_key") == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(sn), supplier.s_nationkey == F.col("_sn_key"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy(
+        F.year("o_orderdate").cast("long").alias("o_year")
+    ).agg(
+        fixed_point_sum(
+            F.when(F.col("supp_nation") == "NATION_2", rev).otherwise(F.lit(0.0))
+        ).alias("nation_revenue"),
+        fixed_point_sum(rev).alias("total_revenue"),
+    )
+
+
+def q_q11(spark, sf_dir):
+    """Important parts (TPC-H q11 analog; no partsupp table in the slim
+    schema, so lineitem value stands in for stock value): parts whose
+    NATION_5-supplied value exceeds 0.1% of the global such value. The
+    fraction compare runs in INTEGER cent space (value_cents * 1000 >
+    total_cents) — a float threshold would be engine-dependent at the
+    boundary."""
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    nat = nation.filter(F.col("n_name") == "NATION_5").select("n_nationkey")
+    scoped = (
+        li.join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nat), supplier.s_nationkey == F.col("n_nationkey"))
+    )
+    cents = F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+    per_part = scoped.groupBy("l_partkey").agg(cents.alias("_vc"))
+    total = scoped.agg(cents.alias("_tc"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("_vc") * 1000 > F.col("_tc"))
+        .select(
+            "l_partkey",
+            (F.col("_vc").cast("double") / 100).alias("value"),
+        )
+    )
+
+
+def q_q13(spark, sf_dir):
+    """Customer order-count distribution (TPC-H q13 analog): LEFT join
+    customer→orders with a join-side predicate (non-urgent orders only),
+    count per customer (nulls count 0), then histogram the counts — the
+    outer-join + count-distribution shape the other q's don't cover."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q_q16(spark, sf_dir):
+    """Supplier diversity per part config (TPC-H q16 analog): distinct
+    suppliers per (brand, type, size) for selected sizes, excluding one
+    brand and all red-balance suppliers (NOT IN via anti join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    bad = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    parts = part.filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin([1, 5, 9, 13, 17, 21, 25, 29])
+    )
+    return (
+        li.join(parts, li.l_partkey == parts.p_partkey)
+        .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_q20(spark, sf_dir):
+    """Dominant promo suppliers (TPC-H q20 analog; no partsupp, so the
+    availability threshold becomes a share-of-part threshold): suppliers
+    who shipped more than 25% of a PROMO part's total 1997 quantity.
+    Quantity share compares in integer cent space (qty_cents * 4 >
+    total_cents), engine-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    promo_li = (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(
+            part.filter(F.col("p_type") == "PROMO").select("p_partkey"),
+            li.l_partkey == F.col("p_partkey"),
+        )
+    )
+    qc = F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
+    per = promo_li.groupBy("l_partkey", "l_suppkey").agg(qc.alias("_qc"))
+    tot = promo_li.groupBy(F.col("l_partkey").alias("_pk")).agg(qc.alias("_tc"))
+    dominant = (
+        per.join(tot, per.l_partkey == F.col("_pk"))
+        .filter(F.col("_qc") * 4 > F.col("_tc"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return supplier.join(
+        dominant, supplier.s_suppkey == dominant.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
 def q_f01(spark, sf_dir):
     """Event funnel: users progressing signup → later click → later
     purchase (the sequential-conversion query a training-data/product
@@ -1375,6 +1558,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_volume_customers": q_q18,
         "q19_disjunctive_predicates": q_q19,
         "q22_rich_idle_customers": q_q22,
+        "q07_nation_pair_volume": q_q07,
+        "q08_market_share": q_q08,
+        "q11_important_parts": q_q11,
+        "q13_order_count_distribution": q_q13,
+        "q16_supplier_diversity": q_q16,
+        "q20_dominant_promo_suppliers": q_q20,
         "f01_event_funnel": q_f01,
         "d01_dedup_exact": q_d01,
         "d02_ngram_jaccard_pairs": q_d02,
@@ -1814,6 +2003,78 @@ FROM customer, t
 WHERE c_acctbal > t.avg_bal
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 GROUP BY 1""",
+        "q07_nation_pair_volume": """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 100) AS BIGINT) / CAST(100 AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+    OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+GROUP BY 1, 2, 3""",
+        "q08_market_share": """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(round(CAST(sum(CAST(round((CASE WHEN sn.n_name = 'NATION_2' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) * 10000) AS BIGINT)) AS DOUBLE) / 100) AS BIGINT) / CAST(100 AS DOUBLE) AS nation_revenue,
+       CAST(round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 100) AS BIGINT) / CAST(100 AS DOUBLE) AS total_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+GROUP BY 1""",
+        "q11_important_parts": """
+WITH scoped AS (
+  SELECT l_partkey, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_5'),
+per_part AS (SELECT l_partkey, CAST(sum(cents) AS BIGINT) AS vc FROM scoped GROUP BY 1),
+total AS (SELECT CAST(sum(cents) AS BIGINT) AS tc FROM scoped)
+SELECT l_partkey, CAST(vc AS DOUBLE) / 100 AS value
+FROM per_part, total
+WHERE vc * 1000 > tc""",
+        "q13_order_count_distribution": """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT') o
+    ON c_custkey = o.o_custkey
+  GROUP BY 1)
+SELECT c_count, count(*) AS custdist FROM per_cust GROUP BY 1""",
+        "q16_supplier_diversity": """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3""",
+        "q20_dominant_promo_suppliers": """
+WITH promo_li AS (
+  SELECT l_partkey, l_suppkey, CAST(round(l_quantity * 100) AS BIGINT) AS qc
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'PROMO'
+    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'),
+per AS (SELECT l_partkey, l_suppkey, CAST(sum(qc) AS BIGINT) AS sqc FROM promo_li GROUP BY 1, 2),
+tot AS (SELECT l_partkey, CAST(sum(qc) AS BIGINT) AS tqc FROM promo_li GROUP BY 1),
+dominant AS (
+  SELECT DISTINCT per.l_suppkey FROM per JOIN tot ON per.l_partkey = tot.l_partkey
+  WHERE per.sqc * 4 > tot.tqc)
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM dominant)""",
         "f01_event_funnel": """
 WITH s AS (SELECT user_id, min(ts) AS ts1 FROM events WHERE event_type = 'signup' GROUP BY 1),
 c AS (SELECT e.user_id, min(e.ts) AS ts2 FROM events e JOIN s ON e.user_id = s.user_id
