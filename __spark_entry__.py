@@ -1376,6 +1376,14 @@ def q_s02(spark, sf_dir):
     return similarity.cosine_pairs_blocked(emb, threshold=0.4)
 
 
+def q_s07(spark, sf_dir):
+    """int8 embedding quantization (r2 extension): the compression pass
+    before an ANN index build — per-vector symmetric scale, values
+    rounded to integers (engine-exact; see quantize_int8)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.quantize_int8(emb)
+
+
 def q_d10(spark, sf_dir):
     """Semantic dedup clusters (r2 extension): connected components over
     the EXACT embedding-cosine near-pair graph — s02's distributed
@@ -1584,6 +1592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s01_cosine_topk": q_s01,
         "s02_neardup_pairs_exact": q_s02,
         "d10_semantic_clusters": q_d10,
+        "s07_quantize_int8": q_s07,
         "s03_neardup_pairs_lsh": q_s03,
         "s04_lsh_topk": q_s04,
         "s05_label_centroids": q_s05,
@@ -2212,6 +2221,14 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS.format(a='a.v', b='b.v')} AS cosine
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE {_COS.format(a='a.v', b='b.v')} >= 0.4""",
+        "s07_quantize_int8": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e)
+SELECT vec_id, amax / 127 AS scale,
+       CASE WHEN amax = 0 THEN list_transform(v, x -> 0)
+            ELSE list_transform(v, x -> CAST(greatest(-127, least(127, round(x / (amax / 127)))) AS INT))
+       END AS qvec
+FROM s""",
         "d10_semantic_clusters": f"""
 WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 pairs AS (

@@ -180,6 +180,40 @@ def cosine_pairs_blocked(
     )
 
 
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric int8 quantization per vector — the standard compression
+    step before shipping an embedding corpus into an ANN index (4×
+    smaller than float32, dot products stay SIMD-friendly).
+
+    scale = max|x| / 127; q[i] = round(x[i] / scale) ∈ [-127, 127].
+    All-zero vectors quantize to zeros with scale 0. Pure Column
+    expressions (transform/array_max — codegen'd, no Python).
+
+    Engine-exactness note: the rounding is round-to-INTEGER of an
+    identically-computed double — both engines agree there. round(x, k>0)
+    would NOT be safe (DuckDB's pre-multiply by 10^k perturbs the value;
+    CLAUDE.md invariant 1), which is why the scale is emitted raw.
+    """
+    v = F.col(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = (amax / F.lit(127.0)).alias("scale")
+    q = F.when(amax == 0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(
+            v,
+            lambda x: F.greatest(
+                F.lit(-127),
+                F.least(
+                    F.lit(127),
+                    F.round(x.cast("double") / (amax / F.lit(127.0))).cast("int"),
+                ),
+            ),
+        )
+    )
+    return df.select(F.col(id_col), scale, q.alias("qvec"))
+
+
 def _hyperplane(dim: int, bit: int, seed: int = 42) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane: component j of
     plane `bit` is a signed value derived from xxhash64-style mixing done

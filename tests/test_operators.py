@@ -255,3 +255,18 @@ def test_histogram_sql_sugar_matches_dataframe_form(spark, sf_small):
     assert got == want
     passthrough = "SELECT count(*) FROM t_hist_orders"
     assert expand_histogram_sql(passthrough) == passthrough
+
+
+def test_quantize_int8_reconstruction(spark, sf_small):
+    """int8 quantization must bound reconstruction error by scale/2 per
+    component and keep values in [-127, 127]."""
+    emb = load_table(spark, sf_small, "embeddings")
+    q = similarity.quantize_int8(emb)
+    joined = emb.join(q, "vec_id").select("embedding", "scale", "qvec")
+    rows = joined.collect()
+    assert rows
+    for r in rows:
+        v, s, qv = r["embedding"], r["scale"], r["qvec"]
+        assert all(-127 <= x <= 127 for x in qv)
+        for x, qx in zip(v, qv):
+            assert abs(float(x) - qx * s) <= s / 2 + 1e-12
