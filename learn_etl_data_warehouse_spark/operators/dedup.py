@@ -209,6 +209,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     threshold: float = 0.7,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH near-dup candidate pairs with exact-verified
     estimated Jaccard.
@@ -218,6 +219,15 @@ def minhash_lsh_pairs(
     key-equality shuffle whose fan-out is the duplicate-cluster size, not
     n². Estimated Jaccard = fraction of matching signature positions
     (unbiased MinHash estimator); pairs below ``threshold`` are dropped.
+
+    ``max_bucket_size`` is the web-scale guard for MEGA duplicate
+    clusters (boilerplate pages, templated spam): a band bucket of c
+    docs emits c·(c-1)/2 candidates in EVERY band, so one 10⁵-doc
+    cluster is 5·10⁹ rows × bands. Buckets over the cap are dropped
+    before the self-join (the standard MinHashLSH treatment — such
+    clusters are better handled by the exact-fingerprint pass that runs
+    first in the corpus pipeline). Recall within the cap is unchanged;
+    ``None`` keeps every bucket.
 
     Returns (id_a, id_b, est_jaccard), id_a < id_b, distinct.
     """
@@ -254,6 +264,16 @@ def minhash_lsh_pairs(
             )
         ).alias("_band"),
     ).select("_id", "_band.band", "_band.bucket")
+    if max_bucket_size is not None:
+        # over-cap bucket list is small by construction (≤ rows/cap);
+        # broadcast anti-join against the banded relation
+        big = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        banded = banded.join(F.broadcast(big), ["band", "bucket"], "left_anti")
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (

@@ -270,3 +270,24 @@ def test_quantize_int8_reconstruction(spark, sf_small):
         assert all(-127 <= x <= 127 for x in qv)
         for x, qx in zip(v, qv):
             assert abs(float(x) - qx * s) <= s / 2 + 1e-12
+
+
+def test_minhash_lsh_max_bucket_size_caps_mega_cluster(spark):
+    """A mega duplicate cluster (c identical docs) emits c*(c-1)/2
+    candidates per band; max_bucket_size must drop those buckets while
+    leaving normal-sized clusters' recall untouched."""
+    mega = [(i, "spam spam spam template page boilerplate") for i in range(30)]
+    pair = [(100, "a genuinely unique document about spark"),
+            (101, "a genuinely unique document about spark engines")]
+    docs = spark.createDataFrame(mega + pair, "doc_id long, text string")
+
+    uncapped = dedup.minhash_lsh_pairs(docs, num_hashes=64, bands=16, threshold=0.5)
+    assert uncapped.filter("id_a < 100").count() == 30 * 29 // 2
+
+    capped = dedup.minhash_lsh_pairs(
+        docs, num_hashes=64, bands=16, threshold=0.5, max_bucket_size=10
+    )
+    got = sorted(map(tuple, capped.select("id_a", "id_b").collect()))
+    # mega-cluster buckets gone; the small near-dup pair survives
+    assert all(a >= 100 for a, _ in got)
+    assert (100, 101) in got
