@@ -413,13 +413,22 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 
 
 def simhash_near_pairs(
-    sig: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, bands: int = 4
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-identical pairs by SimHash: band the 64-bit signature into
     ``bands`` 16-bit chunks — any pair within hamming distance
     ``bands - 1`` shares at least one exact chunk (pigeonhole), so the
     candidate join is again key-equality. Exact hamming verify inside
-    buckets via bit_count(xor)."""
+    buckets via bit_count(xor).
+
+    ``max_bucket_size`` mirrors :func:`minhash_lsh_pairs`' mega-cluster
+    guard: a chunk bucket of c docs fans out c·(c-1)/2 candidates, so
+    over-cap buckets (boilerplate clusters — handled by the exact pass)
+    drop before the self-join."""
     # Same slim-candidates shape as minhash_lsh_pairs: id-only bucket
     # join → dedup → verify via two lookups into the cached signatures.
     sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
@@ -440,6 +449,14 @@ def simhash_near_pairs(
             )
         ).alias("_c"),
     ).select("_id", "_c.band", "_c.chunk")
+    if max_bucket_size is not None:
+        big = (
+            chunks.groupBy("band", "chunk")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket_size)
+            .select("band", "chunk")
+        )
+        chunks = chunks.join(F.broadcast(big), ["band", "chunk"], "left_anti")
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(

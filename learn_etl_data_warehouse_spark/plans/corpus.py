@@ -31,7 +31,13 @@ def clean_corpus(
     minhash_threshold: float = 0.7,
     quality_threshold: float = 0.5,
     compute_stats: bool = True,
+    max_bucket_size: int | None = None,
 ) -> tuple[DataFrame, DataFrame | None]:
+    """``max_bucket_size`` threads through to the MinHash-LSH banding
+    (mega-cluster guard). Safe default here is None because stage 1's
+    exact dedup has ALREADY collapsed identical documents — the guard
+    matters when near-identical (not byte-identical) boilerplate
+    families survive the fingerprint pass; set it at web scale."""
     # 1. exact dedup
     exact = dedup.dedup_exact(docs, text_col, id_col)
     if compute_stats:
@@ -45,7 +51,13 @@ def clean_corpus(
     # of the near-dup graph — pairwise loser-dropping would over-keep on
     # incomplete pair sets (see dedup.connected_components docstring)
     pairs = dedup.minhash_lsh_pairs(
-        exact, text_col, id_col, num_hashes=64, bands=16, threshold=minhash_threshold
+        exact,
+        text_col,
+        id_col,
+        num_hashes=64,
+        bands=16,
+        threshold=minhash_threshold,
+        max_bucket_size=max_bucket_size,
     )
     comp = dedup.connected_components(pairs)
     losers = comp.filter(F.col("id") != F.col("component")).select(
