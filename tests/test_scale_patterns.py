@@ -89,3 +89,54 @@ def test_salted_join_rejects_outer(spark, sf_small):
 
     with pytest.raises(ValueError, match="inner/left"):
         salted_join(li, supplier, "l_suppkey", how="full")
+
+
+def test_lsh_probe_prunes_partitioned_index(spark, sf_small, tmp_path):
+    """The ANN scale story (similarity.py::lsh_topk docstring): write the
+    corpus partitioned by the LSH bucket key and the probe's IN-list
+    filter must become partition pruning — only the probed buckets'
+    files are read, no full scan."""
+    from pyspark.sql import functions as F
+
+    from learn_etl_data_warehouse_spark.operators import similarity
+    from learn_etl_data_warehouse_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    indexed = similarity.add_lsh_buckets(emb, dim=64, n_bits=4)
+    path = str(tmp_path / "emb_by_bucket")
+    indexed.write.mode("overwrite").partitionBy("lsh_bucket").parquet(path)
+
+    table = spark.read.parquet(path)
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 3).head()["embedding"]]
+    # recompute the probe buckets exactly as lsh_topk does
+    probes = []
+    q_bucket = 0
+    for bit in range(4):
+        plane = similarity._hyperplane(64, bit, 42)
+        dot = sum(float(a) * b for a, b in zip(q, plane))
+        q_bucket += (1 if dot >= 0 else 0) << bit
+    probes = [q_bucket] + [q_bucket ^ (1 << b) for b in range(4)]
+
+    probed = table.filter(F.col("lsh_bucket").isin(probes))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "lsh_bucket" in pf, plan[:500]
+    # and the probe scoring over the pruned scan matches the in-memory path
+    sim = F.round(
+        similarity.cosine_similarity(
+            F.col("embedding"), F.array(*[F.lit(v) for v in q])
+        ),
+        6,
+    )
+    got = [
+        r["vec_id"]
+        for r in probed.select("vec_id", sim.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(5)
+        .collect()
+    ]
+    want = [
+        r["vec_id"]
+        for r in similarity.lsh_topk(emb, q, k=5, n_bits=4).collect()
+    ]
+    assert got == want
