@@ -526,6 +526,40 @@ def q_set02(spark, sf_dir):
     ).select("c_custkey", "c_mktsegment")
 
 
+def q_set03(spark, sf_dir):
+    """INTERSECT set op (§2.5 family beyond union/semi/anti): customers
+    active in both 1997 and 1998."""
+    orders = _t(spark, sf_dir, "orders")
+    y97 = orders.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    y98 = orders.filter(F.year("o_orderdate") == 1998).select("o_custkey")
+    return y97.intersect(y98)
+
+
+def q_set04(spark, sf_dir):
+    """EXCEPT set op: customers active in 1997 but gone in 1998 (churn
+    candidates)."""
+    orders = _t(spark, sf_dir, "orders")
+    y97 = orders.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    y98 = orders.filter(F.year("o_orderdate") == 1998).select("o_custkey")
+    return y97.distinct().subtract(y98)
+
+
+def q_w05(spark, sf_dir):
+    """percent_rank + cume_dist per segment (window shapes w01-w04 don't
+    cover): both are rank ratios of small integers, so the doubles are
+    engine-identical without rounding."""
+    from pyspark.sql import Window
+
+    customer = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
 def q_ad01(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_suppkey").agg(
@@ -1539,6 +1573,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w03_rank_in_segment": q_w03,
         "set01_anti_join": q_set01,
         "set02_semi_join": q_set02,
+        "set03_intersect": q_set03,
+        "set04_except": q_set04,
+        "w05_percent_rank": q_w05,
         "r01_asof_join": q_r01,
         "r02_event_pairs_range": q_r02,
         "a11_exact_percentiles": q_a11,
@@ -1749,6 +1786,19 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
 SELECT c_custkey, c_mktsegment FROM customer c
 WHERE EXISTS (SELECT 1 FROM orders o
               WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')""",
+        "set03_intersect": """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998""",
+        "set04_except": """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+EXCEPT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998""",
+        "w05_percent_rank": """
+SELECT c_custkey, c_mktsegment,
+       percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)""",
         "r01_asof_join": """
 WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
 c AS (SELECT user_id, ts, max(value) AS click_value
