@@ -291,3 +291,41 @@ def test_minhash_lsh_max_bucket_size_caps_mega_cluster(spark):
     # mega-cluster buckets gone; the small near-dup pair survives
     assert all(a >= 100 for a, _ in got)
     assert (100, 101) in got
+
+
+def test_fixed_point_sum_engine_exact_at_boundaries(spark):
+    """Invariant 1 hardening: fixed_point_sum must agree with the DuckDB
+    oracle formulation bit-for-bit on adversarial half-cent boundary
+    values and random amounts, per group, regardless of partitioning."""
+    import random
+
+    import duckdb
+
+    from learn_etl_data_warehouse_spark.functions.aggregates import fixed_point_sum
+
+    rng = random.Random(7)
+    boundary = [8.795, 17.495, 0.005, -0.005, 2.675, -2.675, 1.005, 123.455]
+    rows = []
+    for i in range(2000):
+        v = boundary[i % len(boundary)] if i % 3 == 0 else round(
+            rng.uniform(-10_000, 10_000), 3
+        )
+        rows.append((i % 7, float(v)))
+    df = spark.createDataFrame(rows, "g int, v double")
+
+    got = {
+        r["g"]: r["s"]
+        for r in df.repartition(13)  # deliberately weird partitioning
+        .groupBy("g")
+        .agg(fixed_point_sum(F.col("v"), 100).alias("s"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g INT, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = dict(
+        con.execute(
+            "SELECT g, round(CAST(sum(CAST(round(v * 100) AS BIGINT)) AS DOUBLE) / 100, 2) FROM t GROUP BY g"
+        ).fetchall()
+    )
+    assert got == want
