@@ -1495,6 +1495,23 @@ def q_m01(spark, sf_dir):
     return meta.select("media_id", "media_type", "byte_len", "sha256")
 
 
+def q_m05(spark, sf_dir):
+    """Decode-batch packing (r2 extension): per-modality byte-budgeted
+    batches (the GPU-decode scheduling step before m02-m04's kernels).
+    Modality is derived deterministically from the id so the fixture
+    exercises multiple partitions."""
+    media = multimodal.documents_as_media(_t(spark, sf_dir, "documents"))
+    typed = multimodal.attach_media_metadata(media).select(
+        "media_id",
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("media_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        "byte_len",
+    )
+    return multimodal.decode_batches(typed, byte_budget=64 * 1024)
+
+
 def q_m02(spark, sf_dir):
     media = multimodal.documents_as_media(_t(spark, sf_dir, "documents"))
     feats = multimodal.extract_features(media)
@@ -1638,6 +1655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e02_sliding_window": q_e02,
         "e03_session_windows": q_e03,
         "m01_media_metadata": q_m01,
+        "m05_decode_batches": q_m05,
         "m02_media_features": q_m02,
         "m03_media_resize": q_m03,
         "m04_frame_sampling": q_m04,
@@ -2323,4 +2341,18 @@ SELECT doc_id AS media_id, 'image' AS media_type,
        CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
        sha256(text) AS sha256
 FROM documents""",
+        "m05_decode_batches": """
+WITH typed AS (
+  SELECT doc_id AS media_id,
+         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+  FROM documents)
+SELECT media_id, media_type, byte_len,
+       CAST(coalesce(sum(byte_len) OVER (PARTITION BY media_type ORDER BY media_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS byte_offset,
+       CAST(floor(coalesce(sum(byte_len) OVER (PARTITION BY media_type ORDER BY media_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 65536.0) AS BIGINT)
+         AS batch_id
+FROM typed""",
     }

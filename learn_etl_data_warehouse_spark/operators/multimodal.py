@@ -188,6 +188,39 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
     return df.mapInPandas(run, schema=FRAMES_SCHEMA)
 
 
+def decode_batches(
+    df: DataFrame,
+    byte_budget: int,
+    id_col: str = "media_id",
+    type_col: str = "media_type",
+    size_col: str = "byte_len",
+) -> DataFrame:
+    """Decode-batch scheduling: assign each media item to a per-modality
+    batch so one batch's payload bytes fit a decoder's memory budget —
+    the grouping step before the mapInPandas decode kernels (m02-m04)
+    run, sized so an Arrow batch ≈ one GPU/worker decode call.
+
+    Same plan shape as t06 sequence packing: one shuffle on the modality,
+    a running prefix-sum window within it, batch = floor(offset/budget).
+    Deterministic (ordered by id), SQL-mirrorable, no Python.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(type_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum(size_col).over(w), F.lit(0)).cast("long")
+    return df.select(
+        F.col(id_col),
+        F.col(type_col),
+        F.col(size_col).cast("long").alias(size_col),
+        offset.alias("byte_offset"),
+        F.floor(offset / F.lit(byte_budget)).cast("long").alias("batch_id"),
+    )
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter used by tests/bench: treat document text bytes as an opaque
     payload so the multimodal plumbing exercises real (non-null) binary
