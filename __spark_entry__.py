@@ -503,11 +503,19 @@ def q_a13(spark, sf_dir):
             )
 
     binned = ranged.mapInPandas(assign, schema="quartile long, o_totalprice double")
-    return binned.groupBy("quartile").agg(
+    result = binned.groupBy("quartile").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.min("o_totalprice"), 2).alias("lo"),
         F.round(F.max("o_totalprice"), 2).alias("hi"),
     )
+    # The rank offsets above were computed from the PERSISTED partition
+    # layout, so `ranged` must stay cached until the result materializes —
+    # but leaving it cached leaks across the driver's ~100-query session
+    # (r2 ADVICE). The result is exactly 4 rows: materialize it here,
+    # release the cache, and hand back a local DataFrame.
+    rows = result.collect()
+    ranged.unpersist()
+    return spark.createDataFrame(rows, schema="quartile long, n long, lo double, hi double")
 
 
 def q_set01(spark, sf_dir):
@@ -1557,7 +1565,68 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
+    # FIRST 50 entries only. Positions 1-50 hold oracle-backed queries that
+    # have never earned a driver row (the LLM-pipeline family + TPC-H
+    # analogs q02/q06-q22) plus a few banked re-verifications; queries
+    # already green in r1/r2 sit behind position 50, and all rows-only
+    # (no-oracle) queries come last so the window stays 100% hash-checkable.
     return {
+        # -- never driver-checked, oracle-backed (36) ----------------------
+        "d01_dedup_exact": q_d01,
+        "d02_ngram_jaccard_pairs": q_d02,
+        "d07_train_val_split": q_d07,
+        "d09_dup_clusters": q_d09,
+        "d10_semantic_clusters": q_d10,
+        "t01_token_counts": q_t01,
+        "t02_quality_scores": q_t02,
+        "t03_lang_id": q_t03,
+        "t04_fingerprint": q_t04,
+        "t05_min_gram_fingerprint": q_t05,
+        "t06_sequence_packing": q_t06,
+        "t07_token_df_score": q_t07,
+        "s01_cosine_topk": q_s01,
+        "s02_neardup_pairs_exact": q_s02,
+        "s05_label_centroids": q_s05,
+        "s07_quantize_int8": q_s07,
+        "e01_tumbling_window": q_e01,
+        "e02_sliding_window": q_e02,
+        "e03_session_windows": q_e03,
+        "m01_media_metadata": q_m01,
+        "m05_decode_batches": q_m05,
+        "f01_event_funnel": q_f01,
+        "q02_min_balance_supplier": q_q02,
+        "q07_nation_pair_volume": q_q07,
+        "q08_market_share": q_q08,
+        "q11_important_parts": q_q11,
+        "q12_priority_split": q_q12,
+        "q13_order_count_distribution": q_q13,
+        "q14_promo_ratio": q_q14,
+        "q15_top_supplier": q_q15,
+        "q16_supplier_diversity": q_q16,
+        "q17_small_quantity_revenue": q_q17,
+        "q18_large_volume_customers": q_q18,
+        "q19_disjunctive_predicates": q_q19,
+        "q20_dominant_promo_suppliers": q_q20,
+        "q22_rich_idle_customers": q_q22,
+        # -- driver-green in r1 only; re-verify post-r2 aggregate work (4) -
+        "q06_forecast_revenue": q_q06,
+        "q09_profit_by_nation_year": q_q09,
+        "q10_returned_revenue": q_q10,
+        "q21_waiting_suppliers": q_q21,
+        # -- banked fillers to complete the 50-window (10) -----------------
+        "q01_pricing_summary": q_q01,
+        "q03_shipping_priority": q_q03,
+        "q04_priority_check": q_q04,
+        "q05_local_supplier_volume": q_q05,
+        "j02_star_region_revenue": q_j02,
+        "j05_roleplay_nations": q_j05,
+        "a06_monthly_rollup": q_a06,
+        "a13_quantile_bins": q_a13,
+        "w05_percent_rank": q_w05,
+        "set03_intersect": q_set03,
+        # ================= position 51+: outside driver window ============
+        # banked oracle-backed (green in r1+r2)
         "p01_clean_sci_notation": q_p01,
         "p02_remove_after_dot": q_p02,
         "p03_split_date_process": q_p03,
@@ -1570,92 +1639,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p14_null_handling": q_p14,
         "p15_string_functions": q_p15,
         "p16_date_functions": q_p16,
-        "w04_rolling_7day_revenue": q_w04,
-        "e05_windowed_topk_users": q_e05,
-        "a01_quarter_counts": q_a01,
-        "a02_returnflag_counts": q_a02,
-        "a03_histogram_totalprice": q_a03,
-        "a03c_histogram_sql": q_a03c,
-        "a03b_event_type_counts": q_a03b,
-        "a04_distinct_quarters": q_a04,
-        "a05_top3_orders_per_customer": q_a05,
-        "a06_monthly_rollup": q_a06,
-        "a07_rollup_year_status": q_a07,
-        "a08_pivot_status": q_a08,
-        "a09_approx_distinct": q_a09,
-        "a10_grouping_sets": q_a10,
-        "ad01_distinct_agg": q_ad01,
         "w01_running_total": q_w01,
         "w02_order_gap_days": q_w02,
         "w03_rank_in_segment": q_w03,
-        "set01_anti_join": q_set01,
-        "set02_semi_join": q_set02,
-        "set03_intersect": q_set03,
-        "set04_except": q_set04,
-        "w05_percent_rank": q_w05,
-        "r01_asof_join": q_r01,
-        "r02_event_pairs_range": q_r02,
+        "w04_rolling_7day_revenue": q_w04,
+        "a01_quarter_counts": q_a01,
+        "a02_returnflag_counts": q_a02,
+        "a03_histogram_totalprice": q_a03,
+        "a03b_event_type_counts": q_a03b,
+        "a03c_histogram_sql": q_a03c,
+        "a04_distinct_quarters": q_a04,
+        "a05_top3_orders_per_customer": q_a05,
+        "a07_rollup_year_status": q_a07,
+        "a08_pivot_status": q_a08,
+        "a10_grouping_sets": q_a10,
         "a11_exact_percentiles": q_a11,
         "a12_unpivot": q_a12,
-        "a13_quantile_bins": q_a13,
+        "ad01_distinct_agg": q_ad01,
         "g01_grouped_zscore": q_g01,
         "e04_hourly_event_counts": q_e04,
+        "e05_windowed_topk_users": q_e05,
         "j01_orders_customer": q_j01,
-        "j02_star_region_revenue": q_j02,
         "j03_empty_key_left_join": q_j03,
-        "j05_roleplay_nations": q_j05,
-        "q01_pricing_summary": q_q01,
-        "q03_shipping_priority": q_q03,
-        "q04_priority_check": q_q04,
-        "q05_local_supplier_volume": q_q05,
-        "q06_forecast_revenue": q_q06,
-        "q09_profit_by_nation_year": q_q09,
-        "q10_returned_revenue": q_q10,
-        "q21_waiting_suppliers": q_q21,
-        "q12_priority_split": q_q12,
-        "q14_promo_ratio": q_q14,
-        "q02_min_balance_supplier": q_q02,
-        "q15_top_supplier": q_q15,
-        "q17_small_quantity_revenue": q_q17,
-        "q18_large_volume_customers": q_q18,
-        "q19_disjunctive_predicates": q_q19,
-        "q22_rich_idle_customers": q_q22,
-        "q07_nation_pair_volume": q_q07,
-        "q08_market_share": q_q08,
-        "q11_important_parts": q_q11,
-        "q13_order_count_distribution": q_q13,
-        "q16_supplier_diversity": q_q16,
-        "q20_dominant_promo_suppliers": q_q20,
-        "f01_event_funnel": q_f01,
-        "d01_dedup_exact": q_d01,
-        "d02_ngram_jaccard_pairs": q_d02,
+        "set01_anti_join": q_set01,
+        "set02_semi_join": q_set02,
+        "set04_except": q_set04,
+        "r01_asof_join": q_r01,
+        "r02_event_pairs_range": q_r02,
+        # rows-only (no oracle by nature) — declared via absence from
+        # oracle_sql(); kept behind the window so the driver's 50 checked
+        # rows are all hash-verifiable
+        "a09_approx_distinct": q_a09,
         "d03_minhash_lsh_pairs": q_d03,
         "d04_simhash": q_d04,
         "d05_simhash_near_pairs": q_d05,
         "d06_corpus_clean_pipeline": q_d06,
-        "d07_train_val_split": q_d07,
-        "d09_dup_clusters": q_d09,
         "d08_stratified_sample": q_d08,
-        "t06_sequence_packing": q_t06,
-        "t01_token_counts": q_t01,
-        "t02_quality_scores": q_t02,
-        "t03_lang_id": q_t03,
-        "t04_fingerprint": q_t04,
-        "t05_min_gram_fingerprint": q_t05,
-        "t07_token_df_score": q_t07,
-        "s01_cosine_topk": q_s01,
-        "s02_neardup_pairs_exact": q_s02,
-        "d10_semantic_clusters": q_d10,
-        "s07_quantize_int8": q_s07,
         "s03_neardup_pairs_lsh": q_s03,
         "s04_lsh_topk": q_s04,
-        "s05_label_centroids": q_s05,
         "s06_ivf_topk": q_s06,
-        "e01_tumbling_window": q_e01,
-        "e02_sliding_window": q_e02,
-        "e03_session_windows": q_e03,
-        "m01_media_metadata": q_m01,
-        "m05_decode_batches": q_m05,
         "m02_media_features": q_m02,
         "m03_media_resize": q_m03,
         "m04_frame_sampling": q_m04,

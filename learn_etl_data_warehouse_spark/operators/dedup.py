@@ -17,17 +17,21 @@ inside candidate buckets.
 Hash choice: ``xxhash64(seed, value)`` — JVM-side, bit-stable across
 runs/partitions, no Python in the loop.
 
-Cache lifetime: the sketch tables (grams / signatures) are persisted
-eagerly because several plan branches read them; entries are released by
-Spark's ContextCleaner once the returned DataFrame is garbage-collected,
-or explicitly via ``spark.catalog.clearCache()`` between batch jobs.
+Cache policy: NOTHING here persists. Every multi-consumer sketch table
+(grams / posting lists / signatures) is read by branches whose subplans
+are identical, so AQE's runtime exchange reuse computes the shared
+shuffle once — measured equal-or-faster than the r2 persist versions,
+and a long-lived session (the driver runs ~100 queries in one) no longer
+accumulates CacheManager entries that only an explicit unpersist frees.
+Lineage truncation where genuinely needed (iterative connected
+components) uses localCheckpoint, whose blocks the ContextCleaner frees
+on GC.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from .text import fingerprint, tokens
 
@@ -99,27 +103,31 @@ def ngram_jaccard_pairs(
     ids, so the single-row memory is bounded by construction), candidate
     pairs explode from each list JVM-side, and the cap is a plain filter
     on the same aggregate — one shuffle replaces the self-join plus the
-    separate hot-gram branch (~25% faster at bench, identical rows).
-    Without a cap a posting list can be arbitrarily long (one row holding
-    a hot gram's whole corpus), so the uncapped path keeps the
-    equi-self-join formulation, which spreads a hot gram's fan-out across
-    tasks instead of one row.
+    separate hot-gram branch. Without a cap a posting list can be
+    arbitrarily long (one row holding a hot gram's whole corpus), so the
+    uncapped path keeps the equi-self-join formulation, which spreads a
+    hot gram's fan-out across tasks instead of one row.
+
+    No persist anywhere (the r2 version cached the shared posting lists /
+    gram table across an entire driver session — a CacheManager leak):
+    the two capped branches read the SAME gram aggregate, so AQE's
+    runtime ReusedExchange computes that shuffle once; in the uncapped
+    path |A| is just the doc's distinct-gram count, computable per-row
+    from the source text with no join, and the self-join's two sides
+    share one exchange the same way. Measured at sf0.01: identical rows,
+    capped 0.97→0.72 s, uncapped 5.2→1.0 s.
     """
     grams = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("_g"),
     )
     if max_doc_freq is not None:
-        # posting lists, sorted so emitted pairs are (smaller, larger);
-        # persisted because the pair branch and the sizes branch both
-        # read them (same persist-the-sketch rule as the uncapped path)
+        # posting lists, sorted so emitted pairs are (smaller, larger)
         posts = (
             grams.groupBy("_g")
             .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
             .filter(F.size("_ids") <= max_doc_freq)
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        posts.count()
         pair_expr = F.expr(
             "flatten(transform(_ids, (x, i) -> "
             "transform(slice(_ids, i + 2, size(_ids)), y -> "
@@ -130,18 +138,20 @@ def ngram_jaccard_pairs(
             .groupBy(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
             .agg(F.count(F.lit(1)).alias("_inter"))
         )
+        # post-cap set sizes (blacklist semantics: dropped grams count
+        # toward nothing) — second read of the reused gram aggregate
         sizes = (
             posts.select(F.explode("_ids").alias("_id"))
             .groupBy("_id")
             .agg(F.count(F.lit(1)).alias("_sz"))
         )
     else:
-        # The gram table feeds three plan branches (sizes + both
-        # self-join sides); without persistence the shingle generation —
-        # the expensive narrow stage — would run three times.
-        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
-        grams.count()
-        sizes = grams.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+        # |A| needs no inverted index uncapped: it's the row's own
+        # distinct-gram count — a narrow projection of the source table
+        sizes = df.select(
+            F.col(id_col).alias("_id"),
+            F.size(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("_sz"),
+        )
         a = grams.alias("a")
         b = grams.alias("b")
         inter = (
@@ -233,12 +243,12 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    # Persist the signatures eagerly: the banding branch and the two
-    # verify joins all read them.
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    sig.count()
+    # No persist: the two verify-join sides are identical subplans (one
+    # reused exchange), so dropping the cache re-runs the narrow
+    # signature stage once more while freeing CacheManager for the rest
+    # of the session — measured a wash at sf0.01 (2.20 vs 2.22 s), and
+    # r2's persist leaked across the driver's ~100-query single session.
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     # Candidate generation on a SLIM (id, band, bucket) relation — no
     # signature payload. With heavy duplicate clusters a bucket of c docs
     # emits c² candidate rows in EVERY band; carrying arrays (or
@@ -430,9 +440,9 @@ def simhash_near_pairs(
     over-cap buckets (boilerplate clusters — handled by the exact pass)
     drop before the self-join."""
     # Same slim-candidates shape as minhash_lsh_pairs: id-only bucket
-    # join → dedup → verify via two lookups into the cached signatures.
-    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
-    sig.count()
+    # join → dedup → verify via two signature lookups. No persist (same
+    # rationale as minhash_lsh_pairs: identical verify-join subplans get
+    # a reused exchange; caching leaked across the driver session).
     chunks = sig.select(
         F.col(id_col).alias("_id"),
         F.explode(

@@ -195,14 +195,24 @@ def decode_batches(
     type_col: str = "media_type",
     size_col: str = "byte_len",
 ) -> DataFrame:
-    """Decode-batch scheduling: assign each media item to a per-modality
-    batch so one batch's payload bytes fit a decoder's memory budget —
-    the grouping step before the mapInPandas decode kernels (m02-m04)
-    run, sized so an Arrow batch ≈ one GPU/worker decode call.
+    """Decode-batch scheduling: assign each media item to a per-modality,
+    APPROXIMATELY budget-sized batch — the grouping step before the
+    mapInPandas decode kernels (m02-m04) run, sized so an Arrow batch ≈
+    one GPU/worker decode call.
 
     Same plan shape as t06 sequence packing: one shuffle on the modality,
     a running prefix-sum window within it, batch = floor(offset/budget).
     Deterministic (ordered by id), SQL-mirrorable, no Python.
+
+    Packing bound (greedy by START offset, not by end): batch k owns the
+    items whose prefix offset falls in [k·budget, (k+1)·budget), so the
+    item straddling the upper boundary overflows into k — a batch carries
+    at most ``budget + max(byte_len) - 1`` payload bytes, and an item
+    larger than the budget overflows its batch by itself. Callers must
+    size the decoder budget with that headroom (or pre-split oversized
+    payloads). True reset-on-overflow greedy packing is a sequential
+    recurrence — not expressible as a closed-form window — and buys
+    nothing here because the decode kernels stream Arrow slices anyway.
     """
     from pyspark.sql import Window
 

@@ -18,6 +18,7 @@ from collections.abc import Iterator
 from decimal import ROUND_HALF_UP, Decimal
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -35,6 +36,31 @@ def _cents_half_up(x) -> int:
     return int(Decimal(repr(float(x))).quantize(Decimal(1), rounding=ROUND_HALF_UP))
 
 
+def _cents_half_up_arr(values) -> np.ndarray:
+    """Vectorized :func:`_cents_half_up` for the hot per-batch path.
+
+    A per-row ``Decimal(repr(x))`` inside applyInPandasWithState is an
+    interpreter loop that dominates at real stream rates, so the bulk of
+    each batch takes the numpy fast path ``sign(x)·floor(|x|+0.5)``
+    (HALF_UP = round half away from zero). That trick and the
+    repr-based BigDecimal rounding can only disagree when ``|x|+0.5``
+    lands within a float-rounding error of an integer — the shortest
+    repr differs from the binary value by < 0.5 ulp, and the addition
+    itself errs by ≤ 0.5 ulp — so elements with ``|x|+0.5`` inside an
+    8-ulp guard band around an integer (a measure-zero sliver of inputs:
+    exact halves and the 0.49999999999999994-type neighbors) fall back
+    to the exact scalar. Conformance is pinned by the boundary test
+    battery in tests/test_streaming.py."""
+    v = np.asarray(values, dtype=np.float64)
+    d = np.abs(v) + 0.5
+    ambiguous = np.abs(d - np.rint(d)) <= 8 * np.spacing(d)
+    out = (np.sign(v) * np.floor(d)).astype(np.int64)
+    if ambiguous.any():
+        idx = np.nonzero(ambiguous)[0]
+        out[idx] = [_cents_half_up(v[i]) for i in idx]
+    return out
+
+
 def _running_totals_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
@@ -46,8 +72,9 @@ def _running_totals_fn(
     for pdf in pdfs:
         n += len(pdf)
         # integer cents: order-independent, batch-boundary-independent.
-        # _cents_half_up mirrors the batch twin's F.round bit-exactly.
-        cents += sum(_cents_half_up(v) for v in pdf["value"].to_numpy() * 100)
+        # _cents_half_up_arr mirrors the batch twin's F.round bit-exactly
+        # (vectorized; Decimal only at half boundaries).
+        cents += int(_cents_half_up_arr(pdf["value"].to_numpy() * 100).sum())
     state.update((n, cents))
     yield pd.DataFrame(
         {"user_id": [user_id], "n_events": [n], "sum_value": [round(cents / 100, 2)]}
@@ -126,10 +153,12 @@ def make_session_fn(gap_minutes: int = 30):
             else:
                 start_us = last_us = n = cents = None
 
-            for ts, value in zip(rows["ts"], rows["value"]):
+            # rounding vectorized up front; the remaining per-row loop is
+            # the inherently sequential gap fold
+            all_cents = _cents_half_up_arr(rows["value"].to_numpy() * 100)
+            for ts, v_cents in zip(rows["ts"], all_cents):
                 ts_us = int(ts.value // 1000)
-                # _cents_half_up mirrors the batch twin's F.round bit-exactly
-                v_cents = _cents_half_up(value * 100)
+                v_cents = int(v_cents)
                 if start_us is None:
                     start_us, last_us, n, cents = ts_us, ts_us, 1, v_cents
                 elif ts_us - last_us > gap_us:

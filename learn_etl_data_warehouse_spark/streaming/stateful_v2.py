@@ -27,6 +27,7 @@ dependency of PySpark's streaming extras).
 
 from __future__ import annotations
 
+import contextlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -131,20 +132,46 @@ class SessionizerV2(StatefulProcessor):
         pass
 
 
+_PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+@contextlib.contextmanager
+def rocksdb_state_store(spark):
+    """Scope ``spark.sql.streaming.stateStore.providerClass`` = RocksDB to a
+    ``with`` block, restoring (or unsetting) the prior value on exit.
+
+    transformWithState only runs on the RocksDB state store (the default
+    HDFS-backed provider lacks the column-family support the v2 state
+    primitives need), but the conf is session-wide and captured per query
+    at START — so start the v2 query inside this block; once started it
+    keeps its provider, and later queries (e.g. the v1 GroupState
+    sessionizer, validated on the default provider) see the session conf
+    they were validated on. Same save/restore discipline as the scoped
+    ``nanosAsLong`` conf in ``sources/parquet.py``.
+    """
+    prior = spark.conf.get(_PROVIDER_CONF, None)
+    spark.conf.set(_PROVIDER_CONF, _ROCKSDB_PROVIDER)
+    try:
+        yield
+    finally:
+        if prior is None:
+            spark.conf.unset(_PROVIDER_CONF)
+        else:
+            spark.conf.set(_PROVIDER_CONF, prior)
+
+
 def stream_sessions_v2(stream_df, gap_minutes: int = 30):
     """Closed-session stream via the state-API-v2 sessionizer; tolerant
     of out-of-order per-key arrival up to the watermark delay (which the
     caller sets via ``withWatermark('ts', ...)``).
 
-    transformWithState only runs on the RocksDB state store (the default
-    HDFS-backed provider lacks the column-family support the v2 state
-    primitives need), so the session conf is flipped here — it applies
-    per-query at stream start."""
-    spark = stream_df.sparkSession
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
+    Does NOT mutate session conf: the caller must start the query under
+    :func:`rocksdb_state_store` (or set the provider conf themselves) —
+    the conf is read at query start, after this function returns, so
+    setting it here would have to leak session-wide."""
     return stream_df.groupBy("user_id").transformWithStateInPandas(
         SessionizerV2(gap_minutes),
         outputStructType=SESSION_OUTPUT_SCHEMA,

@@ -167,6 +167,43 @@ def test_media_metadata_prunes_payload(spark, sf_small):
     assert "text" not in plan.split("ReadSchema")[-1] if "ReadSchema" in plan else True
 
 
+def test_decode_batches_packing_bound(spark):
+    """Pin decode_batches' documented packing bound: greedy by START
+    offset, so a batch carries at most budget + max(byte_len) - 1 payload
+    bytes (the straddling item overflows), batches are contiguous in id
+    order per modality, and batch_id == floor(prefix_offset/budget)."""
+    budget = 100
+    rows = [
+        # (media_id, media_type, byte_len) — includes an item > budget
+        (1, "image", 60), (2, "image", 60), (3, "image", 250),
+        (4, "image", 10), (5, "audio", 99), (6, "audio", 1), (7, "audio", 1),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, media_type string, byte_len long")
+    out = multimodal.decode_batches(df, byte_budget=budget).collect()
+    by_mod = {}
+    for r in sorted(out, key=lambda r: (r["media_type"], r["media_id"])):
+        by_mod.setdefault(r["media_type"], []).append(r)
+    max_len = max(r["byte_len"] for r in out)
+    for mod, items in by_mod.items():
+        # offsets are the exclusive prefix sum in id order
+        acc = 0
+        for r in items:
+            assert r["byte_offset"] == acc
+            assert r["batch_id"] == acc // budget
+            acc += r["byte_len"]
+        # batch ids are non-decreasing (contiguous packing)
+        bids = [r["batch_id"] for r in items]
+        assert bids == sorted(bids)
+        # the documented bound holds for every batch
+        sums = {}
+        for r in items:
+            sums[r["batch_id"]] = sums.get(r["batch_id"], 0) + r["byte_len"]
+        assert all(s <= budget + max_len - 1 for s in sums.values()), sums
+    # and the bound is TIGHT here: item 3 (250 bytes) straddles its batch
+    img = {r["media_id"]: r for r in by_mod["image"]}
+    assert img[3]["batch_id"] == 1 and img[3]["byte_len"] > budget
+
+
 def test_cosine_pairs_blocked_exact_vs_bruteforce(spark, sf_small):
     """The distributed block-pair exact all-pairs operator must equal the
     brute-force cross self-join bit-for-bit (recall exactly 1, no dupes),

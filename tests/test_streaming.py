@@ -352,6 +352,23 @@ def test_cents_half_up_matches_spark_round(spark):
     ours = [_cents_half_up(v) for v in vals]
     assert ours == spark_rounded
 
+    # the vectorized hot-path twin must agree element-for-element on the
+    # same battery (boundary slivers take its Decimal fallback branch)
+    from learn_etl_data_warehouse_spark.streaming.stateful import _cents_half_up_arr
+
+    vec = _cents_half_up_arr(vals)
+    assert list(vec) == spark_rounded
+
+    # cents-scale sweep around every half boundary in [-10.00, 10.00]:
+    # k + 0.5 for all integer k, plus their nextafter neighbors each side
+    import math
+
+    halves = [k + 0.5 for k in range(-1000, 1000)]
+    tricky = halves + [math.nextafter(h, -math.inf) for h in halves] + [
+        math.nextafter(h, math.inf) for h in halves
+    ]
+    assert list(_cents_half_up_arr(tricky)) == [_cents_half_up(v) for v in tricky]
+
 
 def test_sessionizer_v2_out_of_order_across_restarts(spark, tmp_path):
     """State-API-v2 sessionizer: per-key OUT-OF-ORDER delivery across
@@ -376,6 +393,7 @@ def test_sessionizer_v2_out_of_order_across_restarts(spark, tmp_path):
         session_windows_batch,
     )
     from learn_etl_data_warehouse_spark.streaming.stateful_v2 import (
+        rocksdb_state_store,
         stream_sessions_v2,
     )
 
@@ -407,16 +425,19 @@ def test_sessionizer_v2_out_of_order_across_restarts(spark, tmp_path):
         stream = spark.readStream.schema(
             spark.read.parquet(staged).schema
         ).parquet(staged)
-        q = (
-            stream_sessions_v2(stream.withWatermark("ts", "4 hours"), gap_minutes=30)
-            .writeStream.foreachBatch(
-                lambda df, bid: df.write.mode("append").parquet(out)
+        with rocksdb_state_store(spark):
+            q = (
+                stream_sessions_v2(
+                    stream.withWatermark("ts", "4 hours"), gap_minutes=30
+                )
+                .writeStream.foreachBatch(
+                    lambda df, bid: df.write.mode("append").parquet(out)
+                )
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
             )
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
         q.awaitTermination(180)
         q.stop()
 
@@ -492,3 +513,33 @@ def test_sessionizer_v2_flush_logic_out_of_order():
     out = p._flush(7, 10**15)
     assert [(r[3], r[4]) for r in out] == [(1, 1000)]
     assert p.buf.v == [] and p.handle.timers == []
+
+
+def test_rocksdb_state_store_conf_restored(spark):
+    """rocksdb_state_store must scope the provider conf to the with-block:
+    set inside, restored (here: unset back to default) outside — so later
+    streaming queries run on the provider they were validated on."""
+    from learn_etl_data_warehouse_spark.streaming.stateful_v2 import (
+        _PROVIDER_CONF,
+        _ROCKSDB_PROVIDER,
+        rocksdb_state_store,
+    )
+
+    prior = spark.conf.get(_PROVIDER_CONF, None)
+    with rocksdb_state_store(spark):
+        assert spark.conf.get(_PROVIDER_CONF) == _ROCKSDB_PROVIDER
+    assert spark.conf.get(_PROVIDER_CONF, None) == prior
+
+    # restore also fires on exception, and round-trips an explicit prior
+    spark.conf.set(_PROVIDER_CONF, "com.example.CustomProvider")
+    try:
+        with pytest.raises(RuntimeError):
+            with rocksdb_state_store(spark):
+                assert spark.conf.get(_PROVIDER_CONF) == _ROCKSDB_PROVIDER
+                raise RuntimeError("boom")
+        assert spark.conf.get(_PROVIDER_CONF) == "com.example.CustomProvider"
+    finally:
+        if prior is None:
+            spark.conf.unset(_PROVIDER_CONF)
+        else:
+            spark.conf.set(_PROVIDER_CONF, prior)
