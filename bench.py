@@ -32,13 +32,50 @@ HEADLINE = [
     "a06_monthly_rollup",
     "d02_ngram_jaccard_pairs",
     "d03_minhash_lsh_pairs",
+    "d10_semantic_clusters",
     "s01_cosine_topk",
     "s02_neardup_pairs_exact",
+    "s07_quantize_int8",
     "e01_tumbling_window",
     "e03_session_windows",
     "t02_quality_scores",
     "m02_media_features",
+    "m05_decode_batches",
 ]
+
+# Reference-parity ETL (EP1 at shard grain): not a queries() entry — it
+# writes a partitioned warehouse — so it's timed as a special bench stage
+# over the reference's raw ojol fact when those assets are present.
+_OJOL_DB = "/root/reference/assets/oltp/dummy_ojol_transactions_raw_only.sqlite"
+_OJOL_TABLE = (
+    "dummy_ojol_transactions_raw_only_query_get_transaction_list_koto"
+)
+
+
+def _run_sharded_etl(spark) -> float | None:
+    if not os.path.exists(_OJOL_DB):
+        return None
+    import shutil
+    import tempfile
+
+    from learn_etl_data_warehouse_spark.plans.sharded_etl import (
+        build_sharded_warehouse,
+        write_sharded_exports,
+    )
+    from learn_etl_data_warehouse_spark.sources.sqlite import read_sqlite_table
+
+    raw = read_sqlite_table(spark, _OJOL_DB, _OJOL_TABLE, all_string=True)
+    tmp = tempfile.mkdtemp(prefix="bench_etl_")
+    try:
+        landing = f"{tmp}/landing"
+        write_sharded_exports(raw, landing, n_shards=8)
+        # timed section: the steady-state job — one scan over the landing
+        # zone, narrow clean, partitioned warehouse write
+        start = time.perf_counter()
+        build_sharded_warehouse(spark, landing, f"{tmp}/wh")
+        return time.perf_counter() - start
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def main() -> None:
@@ -78,6 +115,11 @@ def main() -> None:
         second = run(name)
         spark.catalog.clearCache()
         timings[name] = round(min(first, second), 3)
+
+    etl = _run_sharded_etl(spark)
+    if etl is not None:
+        second = _run_sharded_etl(spark)
+        timings["etl01_sharded_warehouse"] = round(min(etl, second), 3)
 
     total = round(sum(timings.values()), 3)
     print(
