@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The container has no image/audio codecs, so the decode kernels are
-STUBBED (clearly marked below) behind a deterministic fake; everything
-Spark-side — schema, batch iteration shape, partition sizing, UDF
-signatures — is real and tested. Swapping the fake for Pillow/librosa is
-a one-function change that doesn't touch the plan.
+Decode kernels are selected per modality by an executor-side codec probe
+(:func:`decode_backend`): Pillow/cv2 for images and PyAV for video when
+importable, else a clearly-marked deterministic STUB with the same
+output shape/dtype. This container ships no codecs (verified), so CI
+exercises the stub path plus the selection logic; on a deployment with
+Pillow installed the real kernels activate with zero plan changes —
+everything Spark-side (schema, batch iteration shape, partition sizing,
+UDF signatures) is identical for both.
 
 Design rules for 100 TB of media:
 - media bytes ride in a ``binary`` column next to typed metadata
@@ -21,6 +24,8 @@ Design rules for 100 TB of media:
 
 from __future__ import annotations
 
+import functools
+import io
 from collections.abc import Iterator
 
 import pandas as pd
@@ -60,20 +65,98 @@ def attach_media_metadata(
     )
 
 
-def _decode_media(payload: bytes, media_type: str) -> list[float]:
-    """STUB — real implementation would dispatch to Pillow (image),
-    soundfile/librosa (audio), or a frame sampler (video). The container
-    ships none of these, so we emit a deterministic fake feature vector
-    derived from payload bytes; shape and dtype match the real kernel.
-    """
+# ---------------------------------------------------------------------------
+# Codec probe + kernel registry
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def decode_backend(media_type: str) -> str:
+    """Probe (once per Python worker) which decoder serves a modality:
+    'pillow' | 'cv2' for images, 'pyav' for video, else 'stub'. Runs
+    EXECUTOR-side — the kernels call it inside the mapInPandas closure —
+    so a heterogeneous cluster picks per-worker and the driver needs no
+    codec installed. Audio (soundfile/librosa) follows the same pattern
+    when a real kernel lands."""
+    if media_type == "image":
+        try:
+            import PIL.Image  # noqa: F401
+
+            return "pillow"
+        except Exception:
+            pass
+        try:
+            import cv2  # noqa: F401
+
+            return "cv2"
+        except Exception:
+            pass
+    elif media_type == "video":
+        try:
+            import av  # noqa: F401
+
+            return "pyav"
+        except Exception:
+            pass
+    return "stub"
+
+
+def _decode_media_stub(payload: bytes) -> list[float]:
+    """STUB feature kernel — deterministic byte-histogram over
+    FEATURE_DIM buckets, L1-normalized; shape/dtype match the real
+    kernels so downstream plans are identical."""
     if payload is None:
         return [0.0] * FEATURE_DIM
-    # Deterministic fake: byte-histogram over FEATURE_DIM buckets, L1-normalized.
     counts = [0] * FEATURE_DIM
     for b in payload[:4096]:  # bounded work per item, like a thumbnail decode
         counts[b % FEATURE_DIM] += 1
     total = sum(counts) or 1
     return [c / total for c in counts]
+
+
+def _image_features_pillow(payload: bytes) -> list[float]:
+    """REAL image kernel (Pillow): decode → grayscale → 16-bin luminance
+    histogram, L1-normalized. Undecodable payloads (corrupt files — or
+    this repo's text-byte fixtures) yield the zero vector rather than
+    failing the task; production would tee them to a quarantine sink."""
+    from PIL import Image
+
+    try:
+        img = Image.open(io.BytesIO(payload)).convert("L")
+    except Exception:
+        return [0.0] * FEATURE_DIM
+    hist = img.histogram()  # 256 luminance bins
+    step = 256 // FEATURE_DIM
+    counts = [sum(hist[j * step : (j + 1) * step]) for j in range(FEATURE_DIM)]
+    total = sum(counts) or 1
+    return [c / total for c in counts]
+
+
+def _image_features_cv2(payload: bytes) -> list[float]:
+    """REAL image kernel (OpenCV): same 16-bin luminance histogram as the
+    Pillow kernel (decoder parity keeps features comparable cross-worker)."""
+    import cv2
+    import numpy as np
+
+    img = cv2.imdecode(np.frombuffer(payload, dtype=np.uint8), cv2.IMREAD_GRAYSCALE)
+    if img is None:
+        return [0.0] * FEATURE_DIM
+    hist = cv2.calcHist([img], [0], None, [FEATURE_DIM], [0, 256]).ravel()
+    total = float(hist.sum()) or 1.0
+    return [float(c) / total for c in hist]
+
+
+def _decode_media(payload: bytes, media_type: str) -> list[float]:
+    """Feature kernel dispatch: real decoder when the worker has one for
+    the modality, stub otherwise."""
+    if payload is None:
+        return [0.0] * FEATURE_DIM
+    backend = decode_backend(media_type)
+    if backend == "pillow":
+        return _image_features_pillow(payload)
+    if backend == "cv2":
+        return _image_features_cv2(payload)
+    return _decode_media_stub(payload)
 
 
 def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -140,10 +223,30 @@ def _resize_stub(payload: bytes, h: int, w: int) -> list[float]:
     ]
 
 
+def _resize_pillow(payload: bytes, h: int, w: int) -> list[float]:
+    """REAL resize kernel (Pillow): decode → grayscale → box-resample to
+    h×w → row-major pixels in [0,1]. Undecodable payloads → zero grid
+    (same quarantine note as the feature kernel)."""
+    from PIL import Image
+
+    try:
+        img = Image.open(io.BytesIO(payload)).convert("L").resize((w, h))
+    except Exception:
+        return [0.0] * (h * w)
+    return [p / 255.0 for p in img.getdata()]
+
+
+def _resize_one(payload: bytes, h: int, w: int) -> list[float]:
+    if decode_backend("image") == "pillow":
+        return _resize_pillow(payload, h, w)
+    return _resize_stub(payload, h, w)
+
+
 def resize_images(df: DataFrame, h: int = THUMB_H, w: int = THUMB_W) -> DataFrame:
     """Batch image resize via mapInPandas — the per-batch loop is where a
     real decoder amortizes; output is a fixed-size pixel array so the
-    result is columnar again."""
+    result is columnar again. Kernel chosen by the executor-side codec
+    probe (Pillow when importable, stub otherwise)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -152,20 +255,64 @@ def resize_images(df: DataFrame, h: int = THUMB_H, w: int = THUMB_W) -> DataFram
                     "media_id": pdf["media_id"],
                     "height": h,
                     "width": w,
-                    "pixels": [_resize_stub(p, h, w) for p in pdf["payload"]],
+                    "pixels": [_resize_one(p, h, w) for p in pdf["payload"]],
                 }
             )
 
     return df.mapInPandas(run, schema=RESIZED_SCHEMA)
 
 
+def _sample_frames_stub(payload: bytes, n_frames: int) -> list[tuple[int, int, float]]:
+    """STUB frame sampler: evenly spaced byte offsets, byte-mean feature."""
+    size = len(payload) if payload is not None else 0
+    rows = []
+    for i in range(n_frames):
+        off = (size * i) // n_frames
+        window = payload[off : off + 64] if payload else b""
+        rows.append((i, off, (sum(window) / max(len(window), 1)) / 255.0))
+    return rows
+
+
+def _sample_frames_pyav(payload: bytes, n_frames: int) -> list[tuple[int, int, float]]:
+    """REAL frame sampler (PyAV): demux the container from memory, seek
+    to ``n_frames`` evenly spaced timestamps, decode one frame each and
+    emit its mean luminance in [0,1]; byte_offset is the demuxer's packet
+    position when the container reports one. Un-demuxable payloads fall
+    back to the stub rows (quarantine note as above). Untestable in this
+    image (no PyAV — the selection test pins the fallback instead)."""
+    import av
+
+    try:
+        with av.open(io.BytesIO(payload)) as container:
+            stream = container.streams.video[0]
+            duration = container.duration  # microseconds (AV_TIME_BASE)
+            rows = []
+            for i in range(n_frames):
+                ts = (duration * i) // n_frames if duration else 0
+                container.seek(ts, any_frame=False, backward=True)
+                frame = next(container.decode(stream), None)
+                if frame is None:
+                    return _sample_frames_stub(payload, n_frames)
+                plane = frame.reformat(format="gray").to_ndarray()
+                off = getattr(frame, "pts", None)
+                rows.append((i, int(off or 0), float(plane.mean()) / 255.0))
+            return rows
+    except Exception:
+        return _sample_frames_stub(payload, n_frames)
+
+
 def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
-    """Video frame sampling plumbing: emit ``n_frames`` evenly spaced
+    """Video frame sampling: emit ``n_frames`` evenly spaced
     (frame_index, byte_offset, feature) rows per media item — a 1→N
-    mapInPandas, the shape a real demuxer (PyAV) would produce. The
-    frame decode is STUBBED with a deterministic byte-mean feature."""
+    mapInPandas. Kernel chosen by the executor-side codec probe: PyAV
+    demux+decode when importable, deterministic byte-mean stub otherwise."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sampler = (
+            _sample_frames_pyav
+            if decode_backend("video") == "pyav"
+            else _sample_frames_stub
+        )
         for pdf in batches:
             out: dict[str, list] = {
                 "media_id": [],
@@ -174,11 +321,7 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
                 "frame_feature": [],
             }
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                size = len(payload) if payload is not None else 0
-                for i in range(n_frames):
-                    off = (size * i) // n_frames
-                    window = payload[off : off + 64] if payload else b""
-                    feat = (sum(window) / max(len(window), 1)) / 255.0
+                for i, off, feat in sampler(payload, n_frames):
                     out["media_id"].append(mid)
                     out["frame_index"].append(i)
                     out["byte_offset"].append(off)

@@ -139,10 +139,46 @@ def test_multimodal_feature_extraction_shape(spark, sf_small):
     feats = multimodal.extract_features(media)
     rows = feats.limit(5).collect()
     assert len(rows) == 5
+    stub = multimodal.decode_backend("image") == "stub"
     for r in rows:
         assert len(r["features"]) == multimodal.FEATURE_DIM
-        assert abs(sum(r["features"]) - 1.0) < 1e-9  # L1-normalized stub
+        if stub:
+            assert abs(sum(r["features"]) - 1.0) < 1e-9  # L1-normalized stub
+        # real kernels on these text-byte fixtures emit the zero vector
+        # (undecodable-payload quarantine semantics)
         assert r["byte_len"] > 0
+
+
+def test_decode_backend_selection(monkeypatch):
+    """The codec probe must pick the real kernel exactly when its module
+    imports, and fall back to the stub otherwise (this image has no
+    codecs, so CI pins the fallback; the fake-module branch pins the
+    selection logic a codec-equipped deployment would take)."""
+    import sys
+    import types
+
+    # this container genuinely has none of the codecs
+    multimodal.decode_backend.cache_clear()
+    for mod in ("PIL", "cv2", "av"):
+        assert mod not in sys.modules
+    assert multimodal.decode_backend("image") == "stub"
+    assert multimodal.decode_backend("video") == "stub"
+    assert multimodal.decode_backend("audio") == "stub"
+
+    # inject importable fakes -> the probe must choose the real backends
+    multimodal.decode_backend.cache_clear()
+    pil = types.ModuleType("PIL")
+    pil.Image = types.ModuleType("PIL.Image")
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", pil.Image)
+    monkeypatch.setitem(sys.modules, "av", types.ModuleType("av"))
+    try:
+        assert multimodal.decode_backend("image") == "pillow"
+        assert multimodal.decode_backend("video") == "pyav"
+        assert multimodal.decode_backend("audio") == "stub"
+    finally:
+        # never leak fake-module probe results into other tests
+        multimodal.decode_backend.cache_clear()
 
 
 def test_resize_and_frame_sampling_shapes(spark, sf_small):
