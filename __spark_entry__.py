@@ -1421,9 +1421,22 @@ def q_s02(spark, sf_dir):
 def q_s07(spark, sf_dir):
     """int8 embedding quantization (r2 extension): the compression pass
     before an ANN index build — per-vector symmetric scale, values
-    rounded to integers (engine-exact; see quantize_int8)."""
+    rounded to integers (engine-exact; see quantize_int8).
+
+    Driver-facing shape (r4): the operator returns `qvec ARRAY<INT>`,
+    but the driver's pandas canonicalizer cannot sort list cells
+    (r3's one red row), so this query posexplodes to scalar
+    (vec_id, pos, q, scale) rows — the same long form s05 uses."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.quantize_int8(emb)
+    q = similarity.quantize_int8(emb)
+    return q.select(
+        "vec_id", "scale", F.posexplode("qvec").alias("p", "qv")
+    ).select(
+        "vec_id",
+        (F.col("p") + 1).cast("long").alias("pos"),
+        F.col("qv").cast("long").alias("q"),
+        "scale",
+    )
 
 
 def q_d10(spark, sf_dir):
@@ -2312,13 +2325,15 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS.format(a='a.v', b='b.v')} AS co
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE {_COS.format(a='a.v', b='b.v')} >= 0.4""",
         "s07_quantize_int8": """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e)
-SELECT vec_id, amax / 127 AS scale,
-       CASE WHEN amax = 0 THEN list_transform(v, x -> 0)
-            ELSE list_transform(v, x -> CAST(greatest(-127, least(127, round(x / (amax / 127)))) AS INT))
-       END AS qvec
-FROM s""",
+WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS amax
+           FROM embeddings)
+SELECT vec_id, CAST(pos AS BIGINT) AS pos,
+       CASE WHEN amax = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(greatest(-127, least(127, round(v[pos] / (amax / 127)))) AS BIGINT)
+       END AS q,
+       amax / 127 AS scale
+FROM s, LATERAL (SELECT unnest(generate_series(1, len(v))) AS pos) t""",
         "d10_semantic_clusters": f"""
 WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 pairs AS (
