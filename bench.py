@@ -106,20 +106,24 @@ def main() -> None:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - start
 
-    # Two passes per query, report the min: first execution pays one-off
-    # codegen/JIT; steady state is what a long-running cluster job sees.
+    # Three passes per query, report the min: first execution pays one-off
+    # codegen/JIT; steady state is what a long-running cluster job sees,
+    # and n=3 damps the same-JVM jitter documented in SCALE.md (r4: was
+    # min-of-two, which let single outliers through — see j05).
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        first = run(name)
-        spark.catalog.clearCache()
-        second = run(name)
-        spark.catalog.clearCache()
-        timings[name] = round(min(first, second), 3)
+        samples = []
+        for _ in range(3):
+            samples.append(run(name))
+            spark.catalog.clearCache()
+        timings[name] = round(min(samples), 3)
 
     etl = _run_sharded_etl(spark)
     if etl is not None:
-        second = _run_sharded_etl(spark)
-        timings["etl01_sharded_warehouse"] = round(min(etl, second), 3)
+        # repeats may return None (source sqlite vanished / early-return);
+        # fall back to the measurements we have rather than min(x, None)
+        repeats = [r for r in (_run_sharded_etl(spark) for _ in range(2)) if r is not None]
+        timings["etl01_sharded_warehouse"] = round(min([etl] + repeats), 3)
 
     total = round(sum(timings.values()), 3)
     print(

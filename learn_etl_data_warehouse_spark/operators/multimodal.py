@@ -73,11 +73,11 @@ def attach_media_metadata(
 @functools.lru_cache(maxsize=None)
 def decode_backend(media_type: str) -> str:
     """Probe (once per Python worker) which decoder serves a modality:
-    'pillow' | 'cv2' for images, 'pyav' for video, else 'stub'. Runs
-    EXECUTOR-side — the kernels call it inside the mapInPandas closure —
-    so a heterogeneous cluster picks per-worker and the driver needs no
-    codec installed. Audio (soundfile/librosa) follows the same pattern
-    when a real kernel lands."""
+    'pillow' | 'cv2' for images, 'pyav' for video,
+    'soundfile' | 'librosa' for audio, else 'stub'. Runs EXECUTOR-side —
+    the kernels call it inside the mapInPandas closure — so a
+    heterogeneous cluster picks per-worker and the driver needs no codec
+    installed."""
     if media_type == "image":
         try:
             import PIL.Image  # noqa: F401
@@ -96,6 +96,19 @@ def decode_backend(media_type: str) -> str:
             import av  # noqa: F401
 
             return "pyav"
+        except Exception:
+            pass
+    elif media_type == "audio":
+        try:
+            import soundfile  # noqa: F401
+
+            return "soundfile"
+        except Exception:
+            pass
+        try:
+            import librosa  # noqa: F401
+
+            return "librosa"
         except Exception:
             pass
     return "stub"
@@ -146,6 +159,46 @@ def _image_features_cv2(payload: bytes) -> list[float]:
     return [float(c) / total for c in hist]
 
 
+def _audio_features_soundfile(payload: bytes) -> list[float]:
+    """REAL audio kernel (soundfile): decode → mono mix → 16-bin
+    amplitude histogram over [-1, 1], L1-normalized. Undecodable payloads
+    yield the zero vector (quarantine semantics, same as images)."""
+    import numpy as np
+    import soundfile as sf
+
+    try:
+        data, _sr = sf.read(io.BytesIO(payload), dtype="float64")
+    except Exception:
+        return [0.0] * FEATURE_DIM
+    wave = np.asarray(data, dtype=np.float64)
+    if wave.ndim > 1:
+        wave = wave.mean(axis=1)
+    if wave.size == 0:
+        return [0.0] * FEATURE_DIM
+    hist, _ = np.histogram(np.clip(wave, -1.0, 1.0), bins=FEATURE_DIM, range=(-1.0, 1.0))
+    total = float(hist.sum()) or 1.0
+    return [float(c) / total for c in hist]
+
+
+def _audio_features_librosa(payload: bytes) -> list[float]:
+    """REAL audio kernel (librosa fallback): same 16-bin amplitude
+    histogram as the soundfile kernel (decoder parity keeps features
+    comparable across workers with different audio stacks)."""
+    import librosa
+    import numpy as np
+
+    try:
+        wave, _sr = librosa.load(io.BytesIO(payload), sr=None, mono=True)
+    except Exception:
+        return [0.0] * FEATURE_DIM
+    wave = np.asarray(wave, dtype=np.float64)
+    if wave.size == 0:
+        return [0.0] * FEATURE_DIM
+    hist, _ = np.histogram(np.clip(wave, -1.0, 1.0), bins=FEATURE_DIM, range=(-1.0, 1.0))
+    total = float(hist.sum()) or 1.0
+    return [float(c) / total for c in hist]
+
+
 def _decode_media(payload: bytes, media_type: str) -> list[float]:
     """Feature kernel dispatch: real decoder when the worker has one for
     the modality, stub otherwise."""
@@ -156,6 +209,10 @@ def _decode_media(payload: bytes, media_type: str) -> list[float]:
         return _image_features_pillow(payload)
     if backend == "cv2":
         return _image_features_cv2(payload)
+    if backend == "soundfile":
+        return _audio_features_soundfile(payload)
+    if backend == "librosa":
+        return _audio_features_librosa(payload)
     return _decode_media_stub(payload)
 
 
@@ -236,9 +293,27 @@ def _resize_pillow(payload: bytes, h: int, w: int) -> list[float]:
     return [p / 255.0 for p in img.getdata()]
 
 
+def _resize_cv2(payload: bytes, h: int, w: int) -> list[float]:
+    """REAL resize kernel (OpenCV): decode → grayscale → area-resample to
+    h×w → row-major pixels in [0,1]. Mirrors the Pillow kernel so a
+    cv2-only worker produces real (not stub) thumbnails — without this,
+    extract_features and resize_images disagreed on the same payloads."""
+    import cv2
+    import numpy as np
+
+    img = cv2.imdecode(np.frombuffer(payload, dtype=np.uint8), cv2.IMREAD_GRAYSCALE)
+    if img is None:
+        return [0.0] * (h * w)
+    small = cv2.resize(img, (w, h), interpolation=cv2.INTER_AREA)
+    return [float(p) / 255.0 for p in small.ravel()]
+
+
 def _resize_one(payload: bytes, h: int, w: int) -> list[float]:
-    if decode_backend("image") == "pillow":
+    backend = decode_backend("image")
+    if backend == "pillow":
         return _resize_pillow(payload, h, w)
+    if backend == "cv2":
+        return _resize_cv2(payload, h, w)
     return _resize_stub(payload, h, w)
 
 

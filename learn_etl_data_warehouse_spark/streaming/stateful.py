@@ -52,9 +52,16 @@ def _cents_half_up_arr(values) -> np.ndarray:
     to the exact scalar. Conformance is pinned by the boundary test
     battery in tests/test_streaming.py."""
     v = np.asarray(values, dtype=np.float64)
-    d = np.abs(v) + 0.5
-    ambiguous = np.abs(d - np.rint(d)) <= 8 * np.spacing(d)
-    out = (np.sign(v) * np.floor(d)).astype(np.int64)
+    # NaN/Inf: the fast path's floor(...).astype(int64) is
+    # platform-defined garbage for non-finite values — mask them out of
+    # the vector lanes and route them to the scalar path, which raises
+    # loudly (InvalidOperation/OverflowError) as the pre-vectorized
+    # code did.
+    finite = np.isfinite(v)
+    vf = np.where(finite, v, 0.0)
+    d = np.abs(vf) + 0.5
+    ambiguous = (np.abs(d - np.rint(d)) <= 8 * np.spacing(d)) | ~finite
+    out = (np.sign(vf) * np.floor(d)).astype(np.int64)
     if ambiguous.any():
         idx = np.nonzero(ambiguous)[0]
         out[idx] = [_cents_half_up(v[i]) for i in idx]

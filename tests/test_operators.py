@@ -159,7 +159,7 @@ def test_decode_backend_selection(monkeypatch):
 
     # this container genuinely has none of the codecs
     multimodal.decode_backend.cache_clear()
-    for mod in ("PIL", "cv2", "av"):
+    for mod in ("PIL", "cv2", "av", "soundfile", "librosa"):
         assert mod not in sys.modules
     assert multimodal.decode_backend("image") == "stub"
     assert multimodal.decode_backend("video") == "stub"
@@ -172,12 +172,22 @@ def test_decode_backend_selection(monkeypatch):
     monkeypatch.setitem(sys.modules, "PIL", pil)
     monkeypatch.setitem(sys.modules, "PIL.Image", pil.Image)
     monkeypatch.setitem(sys.modules, "av", types.ModuleType("av"))
+    monkeypatch.setitem(sys.modules, "soundfile", types.ModuleType("soundfile"))
     try:
         assert multimodal.decode_backend("image") == "pillow"
         assert multimodal.decode_backend("video") == "pyav"
-        assert multimodal.decode_backend("audio") == "stub"
+        assert multimodal.decode_backend("audio") == "soundfile"
     finally:
         # never leak fake-module probe results into other tests
+        multimodal.decode_backend.cache_clear()
+
+    # audio fallback order: librosa serves when soundfile is absent
+    multimodal.decode_backend.cache_clear()
+    monkeypatch.delitem(sys.modules, "soundfile")
+    monkeypatch.setitem(sys.modules, "librosa", types.ModuleType("librosa"))
+    try:
+        assert multimodal.decode_backend("audio") == "librosa"
+    finally:
         multimodal.decode_backend.cache_clear()
 
 

@@ -369,6 +369,15 @@ def test_cents_half_up_matches_spark_round(spark):
     ]
     assert list(_cents_half_up_arr(tricky)) == [_cents_half_up(v) for v in tricky]
 
+    # non-finite inputs must fail LOUDLY via the scalar Decimal path
+    # (r4 advice: the numpy fast path would silently fold NaN→garbage
+    # int64 into the running total)
+    import pytest as _pytest
+
+    for bad in (float("nan"), float("inf"), float("-inf")):
+        with _pytest.raises(Exception):
+            _cents_half_up_arr([1.0, bad, 2.0])
+
 
 def test_sessionizer_v2_out_of_order_across_restarts(spark, tmp_path):
     """State-API-v2 sessionizer: per-key OUT-OF-ORDER delivery across
