@@ -59,7 +59,7 @@ def _run_sharded_etl(spark) -> float | None:
     import tempfile
 
     from learn_etl_data_warehouse_spark.plans.sharded_etl import (
-        build_sharded_warehouse,
+        atomic_replace_warehouse,
         write_sharded_exports,
     )
     from learn_etl_data_warehouse_spark.sources.sqlite import read_sqlite_table
@@ -70,9 +70,10 @@ def _run_sharded_etl(spark) -> float | None:
         landing = f"{tmp}/landing"
         write_sharded_exports(raw, landing, n_shards=8)
         # timed section: the steady-state job — one scan over the landing
-        # zone, narrow clean, partitioned warehouse write
+        # zone, narrow clean, partitioned warehouse write, rename-commit
+        # (r4: atomic path; commit cost is a handful of renames)
         start = time.perf_counter()
-        build_sharded_warehouse(spark, landing, f"{tmp}/wh")
+        atomic_replace_warehouse(spark, landing, f"{tmp}/wh")
         return time.perf_counter() - start
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
