@@ -1627,7 +1627,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q09_profit_by_nation_year": q_q09,
         "q10_returned_revenue": q_q10,
         "q21_waiting_suppliers": q_q21,
-        # -- banked fillers to complete the 50-window (10) -----------------
+        # -- window fillers (10): rotate so driver evidence stays fresh ----
+        # r4 rotation: the ten r3 fillers (q01/q03/q04/q05/j02/j05/a06/
+        # a13/w05/set03) are now thrice-verified and moved behind the
+        # window; these ten had only r1-era driver rows. Next rotation
+        # candidates: a12, r02, ad01, g01, p-family.
+        "w01_running_total": q_w01,
+        "w02_order_gap_days": q_w02,
+        "w03_rank_in_segment": q_w03,
+        "w04_rolling_7day_revenue": q_w04,
+        "a07_rollup_year_status": q_a07,
+        "a08_pivot_status": q_a08,
+        "a10_grouping_sets": q_a10,
+        "a11_exact_percentiles": q_a11,
+        "set04_except": q_set04,
+        "r01_asof_join": q_r01,
+        # ================= position 51+: outside driver window ============
+        # banked oracle-backed (green in r1+r2; q/j/a/w/set fillers green
+        # again in r3)
         "q01_pricing_summary": q_q01,
         "q03_shipping_priority": q_q03,
         "q04_priority_check": q_q04,
@@ -1638,8 +1655,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a13_quantile_bins": q_a13,
         "w05_percent_rank": q_w05,
         "set03_intersect": q_set03,
-        # ================= position 51+: outside driver window ============
-        # banked oracle-backed (green in r1+r2)
         "p01_clean_sci_notation": q_p01,
         "p02_remove_after_dot": q_p02,
         "p03_split_date_process": q_p03,
@@ -1652,10 +1667,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p14_null_handling": q_p14,
         "p15_string_functions": q_p15,
         "p16_date_functions": q_p16,
-        "w01_running_total": q_w01,
-        "w02_order_gap_days": q_w02,
-        "w03_rank_in_segment": q_w03,
-        "w04_rolling_7day_revenue": q_w04,
         "a01_quarter_counts": q_a01,
         "a02_returnflag_counts": q_a02,
         "a03_histogram_totalprice": q_a03,
@@ -1663,10 +1674,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a03c_histogram_sql": q_a03c,
         "a04_distinct_quarters": q_a04,
         "a05_top3_orders_per_customer": q_a05,
-        "a07_rollup_year_status": q_a07,
-        "a08_pivot_status": q_a08,
-        "a10_grouping_sets": q_a10,
-        "a11_exact_percentiles": q_a11,
         "a12_unpivot": q_a12,
         "ad01_distinct_agg": q_ad01,
         "g01_grouped_zscore": q_g01,
@@ -1676,8 +1683,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j03_empty_key_left_join": q_j03,
         "set01_anti_join": q_set01,
         "set02_semi_join": q_set02,
-        "set04_except": q_set04,
-        "r01_asof_join": q_r01,
         "r02_event_pairs_range": q_r02,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
