@@ -1408,6 +1408,27 @@ def q_t07(spark, sf_dir):
     )
 
 
+def q_t08(spark, sf_dir):
+    """Benchmark decontamination (r4 extension): training docs (19/20 of
+    the corpus by hash) checked for 3-gram overlap against a held-out
+    eval slice (doc_id % 20 == 0) — the leak check a pretraining
+    pipeline runs before every corpus release."""
+    docs = _t(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 20 == 0)
+    train_docs = docs.filter(F.col("doc_id") % 20 != 0)
+    return text.contamination(train_docs, eval_docs, n=3)
+
+
+def q_t09(spark, sf_dir):
+    """Gopher-style repetition quality signals (r4 extension)."""
+    return text.repetition_metrics(_t(spark, sf_dir, "documents"))
+
+
+def q_t10(spark, sf_dir):
+    """Per-doc top-3 tf-idf terms, fixed-point scoring (r4 extension)."""
+    return text.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
 def q_s01(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
@@ -1684,6 +1705,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set01_anti_join": q_set01,
         "set02_semi_join": q_set02,
         "r02_event_pairs_range": q_r02,
+        # r4 additions (oracle-backed; window candidates for r5 rotation)
+        "t08_decontamination": q_t08,
+        "t09_repetition_metrics": q_t09,
+        "t10_tfidf_top_terms": q_t10,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
         # rows are all hash-verifiable
@@ -2310,6 +2335,56 @@ FROM dt JOIN dfreq USING (tok) GROUP BY doc_id""",
         "t05_min_gram_fingerprint": grams_cte
         + """
 SELECT doc_id, min(md5(g)) AS fp_gram FROM dg GROUP BY doc_id""",
+        "t08_decontamination": """
+WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)] END) AS g
+  FROM toks),
+dg AS (SELECT DISTINCT doc_id, g FROM grams),
+ev AS (SELECT DISTINCT g FROM dg WHERE doc_id % 20 = 0),
+hits AS (
+  SELECT dg.doc_id, count(*) AS n
+  FROM dg JOIN ev USING (g) WHERE dg.doc_id % 20 <> 0 GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(n, 0) AS BIGINT) AS n_shared_grams,
+       coalesce(n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+WHERE d.doc_id % 20 <> 0""",
+        "t09_repetition_metrics": """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t
+  FROM documents),
+base AS (SELECT doc_id, t, len(t) AS n FROM toks),
+big AS (
+  SELECT doc_id, unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS g
+  FROM base WHERE n >= 2),
+cnt AS (SELECT doc_id, g, count(*) AS c FROM big GROUP BY 1, 2),
+top AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM cnt GROUP BY 1)
+SELECT b.doc_id,
+       round(CASE WHEN n = 0 THEN 0.0
+             ELSE 1.0 - len(list_distinct(t)) * 1.0 / n END, 6) AS dup_token_frac,
+       round(coalesce(mx * 1.0 / tot, 0.0), 6) AS top_bigram_frac
+FROM base b LEFT JOIN top USING (doc_id)""",
+        "t10_tfidf_top_terms": """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT doc_id, term,
+         CAST(c AS BIGINT) * CAST(round(1000000.0 * n.n / df) AS BIGINT) AS score_fp
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_fp DESC, term) AS rnk
+  FROM scored)
+SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, score_fp
+FROM ranked WHERE rnk <= 3""",
         "s05_label_centroids": """
 SELECT label, CAST(pos AS BIGINT) AS dim,
        CAST(CASE WHEN sum(CAST(round(CAST(embedding[pos] AS DOUBLE) * 1000000) AS BIGINT)) < 0

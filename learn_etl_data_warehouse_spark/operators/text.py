@@ -122,3 +122,155 @@ def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("quality", quality_score(text_col))
         .withColumn("fingerprint", fingerprint(text_col))
     )
+
+
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+    - ``dup_token_frac``  = 1 - distinct_tokens / tokens (0 for empty) —
+      pure array expressions, no explode, no shuffle;
+    - ``top_bigram_frac`` = occurrences of the most frequent word bigram
+      / total bigrams (0 when the doc has < 2 tokens) — one explode +
+      two partial-aggregating shuffles keyed by doc, so the plan scales
+      linearly in corpus size.
+
+    These are the repetition filters a pretraining pipeline runs to drop
+    boilerplate/spam (high top_bigram_frac) and token-loop degenerate
+    text (high dup_token_frac).
+    """
+    col = F.lower(F.col(text_col))
+    tc = token_count(text_col)
+    toks = tokens(col)
+    dup = F.when(tc == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0)
+        - F.size(F.array_distinct(toks)).cast("double") / tc.cast("double")
+    )
+    base = df.select(
+        F.col(id_col),
+        F.round(dup, 6).alias("dup_token_frac"),
+        F.when(
+            tc < 2, F.array().cast("array<string>")
+        ).otherwise(
+            F.zip_with(
+                F.slice(toks, 1, F.size(toks) - 1),
+                F.slice(toks, 2, F.size(toks) - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("_bigrams"),
+    )
+    counts = (
+        base.select(id_col, F.explode("_bigrams").alias("_g"))
+        .groupBy(id_col, "_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            (F.max("_c").cast("double") / F.sum("_c").cast("double")).alias(
+                "_frac"
+            )
+        )
+    )
+    return base.join(counts, id_col, "left").select(
+        id_col,
+        "dup_token_frac",
+        F.round(F.coalesce(F.col("_frac"), F.lit(0.0)), 6).alias(
+            "top_bigram_frac"
+        ),
+    )
+
+
+def contamination(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: per training document, how many of its
+    distinct word n-grams appear anywhere in the eval corpus, plus a
+    ``contaminated`` flag. The Dolma/RedPajama-style overlap check run
+    before training so eval answers don't leak into the corpus.
+
+    Plan: distinct n-grams per doc (JVM-side shingling, one explode) →
+    inner join against the eval corpus's distinct gram SET → count per
+    doc → left join back so clean docs report 0. The eval side is a
+    benchmark — bounded by construction — so it broadcasts
+    (``broadcast_eval=False`` for the shuffle-join path when the "eval"
+    side is actually another corpus).
+    """
+    from .dedup import word_ngrams
+
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("_g"),
+    )
+    eval_grams = eval_docs.select(
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("_g")
+    ).distinct()
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
+    hits = (
+        doc_grams.join(eval_grams, "_g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return docs.select(id_col).join(hits, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_shared_grams"),
+        (F.coalesce(F.col("_n"), F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k terms per document by a fixed-point tf-idf score.
+
+    score_fp = tf × round(1e6 × N / df)  — idf kept transcendental-free
+    (no ln) so the score is integer math on both engines; a log-scaled
+    idf would hash-differently cross-engine at ulp boundaries (libm ln is
+    not IEEE-pinned the way +,×,/ are). Ranking ties break on the term
+    string, so top-k is fully deterministic.
+
+    Plan: one explode → (doc, term) term frequencies; document
+    frequencies then AGGREGATE THE TF OUTPUT (tf's rows are exactly the
+    distinct (doc, term) pairs), so the corpus is scanned and shuffled
+    once and the dfreq branch reuses tf's exchange instead of running
+    its own distinct. Corpus size N joins in as a 1-row broadcast,
+    keeping the whole thing lazy and distributed. Final top-k is a
+    per-doc window on the scored rows.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("_tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score_fp",
+            (
+                F.col("_tf")
+                * F.round(
+                    F.lit(1000000.0) * F.col("_n") / F.col("_df")
+                ).cast("long")
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_fp").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "rnk", "term", "score_fp")
+    )

@@ -412,3 +412,66 @@ def test_fixed_point_sum_engine_exact_at_boundaries(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_repetition_metrics_edge_cases(spark):
+    from learn_etl_data_warehouse_spark.operators import text as textops
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),        # one bigram repeated 3x
+            (2, "all words here differ now"),  # no repetition
+            (3, ""),                           # empty
+            (4, "single"),                     # < 2 tokens
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in textops.repetition_metrics(df).collect()}
+    assert got[1]["dup_token_frac"] == 0.75       # 1 distinct / 4 tokens
+    assert got[1]["top_bigram_frac"] == 1.0       # "spam spam" is every bigram
+    assert got[2]["dup_token_frac"] == 0.0
+    assert got[2]["top_bigram_frac"] == 0.25      # 4 distinct bigrams
+    assert got[3]["dup_token_frac"] == 0.0 and got[3]["top_bigram_frac"] == 0.0
+    assert got[4]["top_bigram_frac"] == 0.0
+
+
+def test_contamination_flags_overlap_only(spark):
+    from learn_etl_data_warehouse_spark.operators import text as textops
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # shares "the quick brown"+
+            (2, "completely unrelated training text here"),
+            (3, "quick brown fox somewhere else"),  # shares "quick brown fox"
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox ran away")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in textops.contamination(train, ev, n=3).collect()}
+    # doc 1 shares "the quick brown" and "quick brown fox" with the eval set
+    assert got[1]["contaminated"] and got[1]["n_shared_grams"] == 2
+    assert not got[2]["contaminated"] and got[2]["n_shared_grams"] == 0
+    assert got[3]["contaminated"] and got[3]["n_shared_grams"] == 1
+    # eval side must broadcast (bounded benchmark corpus)
+    plan = textops.contamination(train, ev, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tfidf_top_terms_deterministic_ties(spark):
+    from learn_etl_data_warehouse_spark.operators import text as textops
+
+    df = spark.createDataFrame(
+        [
+            (1, "zebra apple zebra"),   # zebra tf=2 wins; apple rank 2
+            (2, "apple banana"),        # banana df=1 out-idfs apple df=2
+        ],
+        "doc_id long, text string",
+    )
+    rows = textops.tfidf_top_terms(df, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["rnk"], r["term"]))
+    assert sorted(by_doc[1]) == [(1, "zebra"), (2, "apple")]
+    assert sorted(by_doc[2]) == [(1, "banana"), (2, "apple")]
