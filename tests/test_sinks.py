@@ -49,3 +49,57 @@ def test_partitioned_write_prunes(spark, sf_small, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert back.count() == orders.filter(F.col("o_orderstatus") == "O").count()
     assert "PartitionFilters: [isnotnull(o_orderstatus" in plan or "o_orderstatus" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_jsonl_roundtrip_documents(spark, sf_small, tmp_path):
+    """documents -> JSONL -> back must be value-identical (the corpus
+    interchange contract)."""
+    from learn_etl_data_warehouse_spark.sources.jsonl import (
+        read_jsonl,
+        split_corrupt,
+        write_jsonl,
+    )
+    from learn_etl_data_warehouse_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_small, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, out)
+    back = read_jsonl(spark, out, docs.schema)
+    clean, bad = split_corrupt(back)
+    assert bad.count() == 0
+    a = sorted(map(tuple, docs.collect()))
+    b = sorted(map(tuple, clean.select(*docs.columns).collect()))
+    assert a == b
+
+
+def test_jsonl_corrupt_lines_quarantine_not_fail(spark, tmp_path):
+    """One malformed line must quarantine into _corrupt, not kill the
+    scan (PERMISSIVE contract for 1000-executor jobs)."""
+    import json as _json
+
+    from learn_etl_data_warehouse_spark.sources.jsonl import (
+        read_jsonl,
+        split_corrupt,
+    )
+    from pyspark.sql import types as T
+
+    p = tmp_path / "mixed.jsonl"
+    lines = [
+        _json.dumps({"doc_id": 1, "text": "ok one"}),
+        '{"doc_id": 2, "text": "broken',  # truncated JSON
+        _json.dumps({"doc_id": 3, "text": "ok three"}),
+        "not json at all",
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    clean, bad = split_corrupt(read_jsonl(spark, str(p), schema))
+    assert sorted(r["doc_id"] for r in clean.collect()) == [1, 3]
+    raw = [r["raw_line"] for r in bad.collect()]
+    assert len(raw) == 2 and any("not json" in x for x in raw)
