@@ -55,6 +55,7 @@ from learn_etl_data_warehouse_spark.operators.rollups import (
     top_n_per_group,
 )
 from learn_etl_data_warehouse_spark.streaming.events import (
+    attribution_pairs_batch,
     session_windows_batch,
     sliding_window_batch,
     tumbling_window_batch,
@@ -1519,6 +1520,13 @@ def q_e02(spark, sf_dir):
     )
 
 
+def q_e06(spark, sf_dir):
+    """Click→purchase attribution pairs (r4): batch twin of the
+    watermarked stream-stream join (streaming/events.py —
+    stream==batch conformance-tested)."""
+    return attribution_pairs_batch(_t(spark, sf_dir, "events"), 30)
+
+
 def q_e03(spark, sf_dir):
     out = session_windows_batch(_t(spark, sf_dir, "events"), gap_minutes=30)
     return out.select(
@@ -1709,6 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t08_decontamination": q_t08,
         "t09_repetition_metrics": q_t09,
         "t10_tfidf_top_terms": q_t10,
+        "e06_attribution_pairs": q_e06,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
         # rows are all hash-verifiable
@@ -2427,6 +2436,15 @@ reach(id, r) AS (
   SELECT reach.id, sym.d FROM reach JOIN sym ON reach.r = sym.s
 )
 SELECT id, min(r) AS component FROM reach GROUP BY id""",
+        "e06_attribution_pairs": """
+WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+           FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase')
+SELECT c.user_id, click_id, purchase_id,
+       epoch_us(purchase_ts) - epoch_us(click_ts) AS lag_us
+FROM c JOIN p USING (user_id)
+WHERE epoch_us(purchase_ts) - epoch_us(click_ts) BETWEEN 0 AND 1800000000""",
         "e01_tumbling_window": """
 SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS window_start,
        event_type, count(*) AS n_events, round(CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_value

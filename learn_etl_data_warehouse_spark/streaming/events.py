@@ -136,6 +136,99 @@ def session_windows_native(
     )
 
 
+def attribution_pairs_batch(
+    events: DataFrame, attribution_minutes: int = 30
+) -> DataFrame:
+    """Click→purchase attribution: every (click, purchase) pair of one
+    user where the purchase lands within ``attribution_minutes`` after
+    the click. Batch twin of :func:`stream_attribution_pairs` — same
+    expressions, oracle-checkable.
+
+    The time bound is compared in integer microseconds (``unix_micros``)
+    so the oracle (``epoch_us``) is bit-exact; the join itself is an
+    equi-join on user_id with the range as a post-join filter, which
+    Spark executes as one hash shuffle per side — never a cross join.
+    """
+    lag_bound_us = attribution_minutes * 60 * 1_000_000
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    lag_us = F.unix_micros(F.col("purchase_ts")) - F.unix_micros(
+        F.col("click_ts")
+    )
+    return (
+        clicks.join(purchases, "user_id")
+        .filter((lag_us >= 0) & (lag_us <= lag_bound_us))
+        .select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            lag_us.alias("lag_us"),
+        )
+    )
+
+
+def stream_attribution_pairs(
+    spark,
+    source_dir: str,
+    schema,
+    attribution_minutes: int = 30,
+    watermark_minutes: int = 30,
+):
+    """STREAM-STREAM inner join form of :func:`attribution_pairs_batch`.
+
+    Both sides carry watermarks and the join condition time-bounds
+    purchase_ts relative to click_ts in BOTH directions — that pair of
+    constraints is what lets Spark evict join state: a buffered click
+    can be dropped once the purchase-side watermark passes
+    click_ts + attribution window. Without the bound the state store
+    grows forever; with it, state is O(events within one attribution
+    window per user), which is the 100-TB-safe shape.
+    """
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", f"{watermark_minutes} minutes")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", f"{watermark_minutes} minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"""
+            user_id = p_user_id AND
+            purchase_ts >= click_ts AND
+            purchase_ts <= click_ts + INTERVAL {attribution_minutes} MINUTES
+            """
+        ),
+    )
+    lag_us = F.unix_micros(F.col("purchase_ts")) - F.unix_micros(
+        F.col("click_ts")
+    )
+    return joined.select(
+        "user_id", "click_id", "purchase_id", lag_us.alias("lag_us")
+    )
+
+
 def stream_tumbling_counts(
     spark,
     source_dir: str,

@@ -552,3 +552,36 @@ def test_rocksdb_state_store_conf_restored(spark):
             spark.conf.unset(_PROVIDER_CONF)
         else:
             spark.conf.set(_PROVIDER_CONF, prior)
+
+
+def test_stream_stream_attribution_join_matches_batch(spark, sf_small, tmp_path):
+    """Stream-stream inner join (watermarked both sides, time-bounded
+    condition) must emit exactly the batch twin's attribution pairs."""
+    from learn_etl_data_warehouse_spark.streaming.events import (
+        attribution_pairs_batch,
+        stream_attribution_pairs,
+    )
+
+    events = load_table(spark, sf_small, "events")
+    staged = str(tmp_path / "events_attr")
+    events.write.mode("overwrite").parquet(staged)
+    joined = stream_attribution_pairs(
+        spark, staged, events.schema, attribution_minutes=30
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_stream_attr")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.table("t_stream_attr").collect()))
+    want = sorted(
+        map(tuple, attribution_pairs_batch(events, attribution_minutes=30).collect())
+    )
+    assert want, "fixture should contain attributable click->purchase pairs"
+    assert got == want
