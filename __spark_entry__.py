@@ -1430,6 +1430,12 @@ def q_t10(spark, sf_dir):
     return text.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
 
 
+def q_t11(spark, sf_dir):
+    """PII scrub audit (r4 extension): typed redaction with per-category
+    counts — the release gate before a corpus ships."""
+    return text.scrub_pii(_t(spark, sf_dir, "documents"))
+
+
 def q_s01(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
@@ -1717,6 +1723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t08_decontamination": q_t08,
         "t09_repetition_metrics": q_t09,
         "t10_tfidf_top_terms": q_t10,
+        "t11_pii_scrub": q_t11,
         "e06_attribution_pairs": q_e06,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
@@ -2344,6 +2351,23 @@ FROM dt JOIN dfreq USING (tok) GROUP BY doc_id""",
         "t05_min_gram_fingerprint": grams_cte
         + """
 SELECT doc_id, min(md5(g)) AS fp_gram FROM dg GROUP BY doc_id""",
+        "t11_pii_scrub": r"""
+WITH s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t
+  FROM documents),
+s2 AS (
+  SELECT doc_id, n_email,
+         CAST(len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+         regexp_replace(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g') AS t
+  FROM s1),
+s3 AS (
+  SELECT doc_id, n_email, n_ipv4,
+         CAST(len(regexp_extract_all(t, '\+?\d[\d\- ]{7,}\d')) AS BIGINT) AS n_phone,
+         regexp_replace(t, '\+?\d[\d\- ]{7,}\d', '[PHONE]', 'g') AS t
+  FROM s2)
+SELECT doc_id, n_email, n_ipv4, n_phone, t AS text_clean FROM s3""",
         "t08_decontamination": """
 WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
 grams AS (

@@ -223,6 +223,43 @@ def contamination(
     )
 
 
+#: PII patterns, ordered: each stage's replacement token must not match a
+#: later pattern (emails scrub first so their digits can't look like
+#: phone fragments). Deliberately simple regexes — deterministic and
+#: cross-engine identical; production swaps in a vetted ruleset.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
+    ("phone", r"\+?\d[\d\- ]{7,}\d", "[PHONE]"),
+]
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII redaction pass: emails, IPv4 addresses, and phone-like digit
+    runs replaced by typed tokens, with per-category match counts (the
+    audit trail a corpus release ships). Pure ``regexp_replace`` /
+    ``regexp_extract_all`` column expressions — codegen'd, no Python,
+    order-pinned by PII_PATTERNS.
+
+    DuckDB-parity note: DuckDB's ``regexp_replace`` needs the ``'g'``
+    flag to match Spark's replace-all (CLAUDE.md invariant 4); counts
+    use ``regexp_extract_all`` lengths on both engines.
+    """
+    # counts are computed on each stage's PRE-redaction text, then the
+    # stage's replace feeds the next pattern — one projection, no joins
+    t = F.col(text_col)
+    exprs = [F.col(id_col)]
+    for name, pat, token in PII_PATTERNS:
+        exprs.append(
+            F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("long").alias(f"n_{name}")
+        )
+        t = F.regexp_replace(t, pat, token)
+    exprs.append(t.alias("text_clean"))
+    return df.select(*exprs)
+
+
 def tfidf_top_terms(
     df: DataFrame,
     k: int = 3,

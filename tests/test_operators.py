@@ -475,3 +475,23 @@ def test_tfidf_top_terms_deterministic_ties(spark):
         by_doc.setdefault(r["doc_id"], []).append((r["rnk"], r["term"]))
     assert sorted(by_doc[1]) == [(1, "zebra"), (2, "apple")]
     assert sorted(by_doc[2]) == [(1, "banana"), (2, "apple")]
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from learn_etl_data_warehouse_spark.operators import text as textops
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@example.co.uk or call +62 812-3456-7890"),
+            (2, "server at 10.0.255.7 responded"),
+            (3, "clean text, nothing to scrub"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in textops.scrub_pii(df).collect()}
+    assert got[1]["n_email"] == 1 and got[1]["n_phone"] == 1
+    assert "[EMAIL]" in got[1]["text_clean"] and "[PHONE]" in got[1]["text_clean"]
+    assert "example.co.uk" not in got[1]["text_clean"]
+    assert got[2]["n_ipv4"] == 1 and "[IP]" in got[2]["text_clean"]
+    assert got[3]["text_clean"] == "clean text, nothing to scrub"
+    assert got[3]["n_email"] == got[3]["n_ipv4"] == got[3]["n_phone"] == 0

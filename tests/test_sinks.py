@@ -103,3 +103,30 @@ def test_jsonl_corrupt_lines_quarantine_not_fail(spark, tmp_path):
     assert sorted(r["doc_id"] for r in clean.collect()) == [1, 3]
     raw = [r["raw_line"] for r in bad.collect()]
     assert len(raw) == 2 and any("not json" in x for x in raw)
+
+
+def test_jsonl_reads_gzip_transparently(spark, tmp_path):
+    """Corpus drops arrive gzipped; the text-scan path must read .jsonl.gz
+    without configuration (Hadoop codec inference from the extension)."""
+    import gzip
+    import json as _json
+
+    from learn_etl_data_warehouse_spark.sources.jsonl import (
+        read_jsonl,
+        split_corrupt,
+    )
+    from pyspark.sql import types as T
+
+    p = tmp_path / "docs.jsonl.gz"
+    with gzip.open(p, "wt") as fh:
+        for i in range(100):
+            fh.write(_json.dumps({"doc_id": i, "text": f"doc {i}"}) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    clean, bad = split_corrupt(read_jsonl(spark, str(p), schema))
+    assert bad.count() == 0 and clean.count() == 100
+    assert clean.agg({"doc_id": "sum"}).collect()[0][0] == 4950
