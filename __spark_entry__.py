@@ -1269,6 +1269,21 @@ def q_d07(spark, sf_dir):
     return train_val_test_split(docs).select("doc_id", "lang", "split")
 
 
+def q_d11(spark, sf_dir):
+    """Deterministic exactly-k per-language sample by md5 rank (r4):
+    RNG-free, engine-portable, growth-stable — the reproducible-sample
+    contract a corpus release needs (d08's Bernoulli twin is rows-only;
+    this one is oracle-exact)."""
+    from learn_etl_data_warehouse_spark.operators.sampling import (
+        hash_ranked_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_ranked_sample(docs, k=20, strata_col="lang").select(
+        "doc_id", "lang", "sample_rank"
+    )
+
+
 def q_d08(spark, sf_dir):
     """Stratified sampling by language (rows-only: Bernoulli sampling is
     partitioning-dependent; proportions pinned in tests)."""
@@ -1725,6 +1740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t10_tfidf_top_terms": q_t10,
         "t11_pii_scrub": q_t11,
         "e06_attribution_pairs": q_e06,
+        "d11_hash_ranked_sample": q_d11,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
         # rows are all hash-verifiable
@@ -2351,6 +2367,15 @@ FROM dt JOIN dfreq USING (tok) GROUP BY doc_id""",
         "t05_min_gram_fingerprint": grams_cte
         + """
 SELECT doc_id, min(md5(g)) AS fp_gram FROM dg GROUP BY doc_id""",
+        "d11_hash_ranked_sample": """
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS sample_rank
+  FROM documents)
+SELECT doc_id, lang, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM r WHERE sample_rank <= 20""",
         "t11_pii_scrub": r"""
 WITH s1 AS (
   SELECT doc_id,

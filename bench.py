@@ -41,6 +41,10 @@ HEADLINE = [
     "t02_quality_scores",
     "m02_media_features",
     "m05_decode_batches",
+    # r4 operators (totals not comparable to earlier rounds; per-query)
+    "t08_decontamination",
+    "t10_tfidf_top_terms",
+    "e06_attribution_pairs",
 ]
 
 # Reference-parity ETL (EP1 at shard grain): not a queries() entry — it

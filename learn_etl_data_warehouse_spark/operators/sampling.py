@@ -55,6 +55,30 @@ def stratified_sample(
     return df.sampleBy(strata_col, fractions, seed=seed)
 
 
+def hash_ranked_sample(
+    df: DataFrame,
+    k: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum k-sample: rank rows inside each stratum
+    by the md5 of their id (a uniform-ish, engine-portable pseudo-random
+    order — the same construction as :func:`hash_bucket`) and keep the
+    first ``k``. Unlike Bernoulli sampling this is (a) exactly-k per
+    stratum, (b) RNG-free and reproducible on any engine, and (c)
+    GROWTH-STABLE in the membership-ranking sense: a document's sort key
+    never changes, so re-running on a grown corpus only evicts documents
+    out-ranked by new arrivals — it never reshuffles the survivors'
+    order. One shuffle on the stratum key; ties on the (astronomically
+    unlikely) equal digest break on the id."""
+    key = F.md5(F.col(id_col).cast("string").cast("binary"))
+    w = Window.partitionBy(strata_col).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     max_tokens: int = 512,

@@ -495,3 +495,30 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert got[2]["n_ipv4"] == 1 and "[IP]" in got[2]["text_clean"]
     assert got[3]["text_clean"] == "clean text, nothing to scrub"
     assert got[3]["n_email"] == got[3]["n_ipv4"] == got[3]["n_phone"] == 0
+
+
+def test_hash_ranked_sample_growth_stable(spark):
+    """Growing the corpus must never reorder surviving sample members —
+    a new doc can only out-rank (evict from the tail), not reshuffle."""
+    from learn_etl_data_warehouse_spark.operators.sampling import (
+        hash_ranked_sample,
+    )
+
+    small = spark.createDataFrame(
+        [(i, "en") for i in range(50)], "doc_id long, lang string"
+    )
+    grown = spark.createDataFrame(
+        [(i, "en") for i in range(80)], "doc_id long, lang string"
+    )
+    k = 10
+    a = [r["doc_id"] for r in hash_ranked_sample(small, k)
+         .orderBy("sample_rank").collect()]
+    b = [r["doc_id"] for r in hash_ranked_sample(grown, k)
+         .orderBy("sample_rank").collect()]
+    assert len(a) == len(b) == k
+    # survivors keep their relative order
+    surv = [d for d in b if d in set(a)]
+    assert surv == [d for d in a if d in set(b)]
+    # and both are deterministic across invocations
+    assert a == [r["doc_id"] for r in hash_ranked_sample(small, k)
+                 .orderBy("sample_rank").collect()]
