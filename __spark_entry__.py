@@ -1315,6 +1315,20 @@ def q_d01(spark, sf_dir):
     return kept.select("doc_id", text.fingerprint("text").alias("fingerprint"))
 
 
+def q_d12(spark, sf_dir):
+    """Incremental exact dedup (r4): the src0-src4 'daily drop' deduped
+    against the accumulated corpus (every other source) by normalized
+    fingerprint — the steady-state ingest path."""
+    docs = _t(spark, sf_dir, "documents")
+    new_sources = ["src0", "src1", "src2", "src3", "src4"]
+    new = docs.filter(F.col("source").isin(new_sources))
+    corpus = docs.filter(~F.col("source").isin(new_sources))
+    kept = dedup.dedup_against(new, corpus)
+    return kept.select(
+        "doc_id", "source", text.fingerprint("text").alias("fingerprint")
+    )
+
+
 def q_d02(spark, sf_dir):
     """max_doc_freq=50 is the web-scale skew guard (one stopword shingle
     would otherwise fan out O(df²) in the self-join); the oracle mirrors
@@ -1639,13 +1653,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (tests/test_driver_window.py) and sf0.1-swept in the round it
     # rotates in.
     return {
-        # -- never driver-checked (r4 additions) (6) -----------------------
+        # -- never driver-checked (r4 additions) (7) -----------------------
         "t08_decontamination": q_t08,
         "t09_repetition_metrics": q_t09,
         "t10_tfidf_top_terms": q_t10,
         "t11_pii_scrub": q_t11,
         "e06_attribution_pairs": q_e06,
         "d11_hash_ranked_sample": q_d11,
+        "d12_incremental_dedup": q_d12,
         # -- red in r3, reshaped in r4: must re-earn its driver row (1) ----
         "s07_quantize_int8": q_s07,
         # -- r1-era rows only (10) -----------------------------------------
@@ -1689,13 +1704,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set01_anti_join": q_set01,
         "set02_semi_join": q_set02,
         "r02_event_pairs_range": q_r02,
-        # -- continuously-verified core (4): headline LLM-pipeline ops ----
+        # -- continuously-verified core (3): headline LLM-pipeline ops ----
         "d01_dedup_exact": q_d01,
         "d02_ngram_jaccard_pairs": q_d02,
         "e01_tumbling_window": q_e01,
-        "f01_event_funnel": q_f01,
         # ================= position 51+: outside driver window ============
         # driver-green in r3 (and mostly r1/r2 too)
+        "f01_event_funnel": q_f01,
         "d07_train_val_split": q_d07,
         "d09_dup_clusters": q_d09,
         "d10_semantic_clusters": q_d10,
@@ -2272,6 +2287,15 @@ ORDER BY revenue DESC, c_custkey LIMIT 20""",
 SELECT min(doc_id) AS doc_id, f AS fingerprint
 FROM (SELECT doc_id, md5({_NORM_TEXT}) AS f FROM documents)
 GROUP BY f""",
+        "d12_incremental_dedup": f"""
+WITH f AS (SELECT doc_id, source, md5({_NORM_TEXT}) AS fp FROM documents),
+new AS (SELECT * FROM f WHERE source IN ('src0','src1','src2','src3','src4')),
+corp AS (SELECT DISTINCT fp FROM f
+         WHERE source NOT IN ('src0','src1','src2','src3','src4'))
+SELECT n.doc_id, n.source, n.fp AS fingerprint
+FROM new n
+WHERE n.doc_id = (SELECT min(doc_id) FROM new n2 WHERE n2.fp = n.fp)
+  AND NOT EXISTS (SELECT 1 FROM corp c WHERE c.fp = n.fp)""",
         "d02_ngram_jaccard_pairs": grams_cte
         + """
 SELECT id_a, id_b,

@@ -49,6 +49,30 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def dedup_against(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup (r4): keep only new-batch documents whose
+    normalized-text fingerprint does NOT already exist in the corpus —
+    the steady-state ingest path (a daily crawl drop deduped against the
+    accumulated corpus, vs :func:`dedup_exact`'s one-shot pass).
+
+    LEFT ANTI join on the fingerprint: the corpus side reduces to its
+    DISTINCT fingerprints before the join (one column, aggressively
+    compressible), the new batch — typically orders of magnitude
+    smaller — shuffles against it, and nothing is collected. The new
+    batch is also deduped within itself (min-id winner), so the output
+    is ingestible as-is."""
+    fp_new = dedup_exact(new_docs, text_col, id_col).withColumn(
+        "_fp", fingerprint(text_col)
+    )
+    corpus_fps = corpus.select(fingerprint(text_col).alias("_fp")).distinct()
+    return fp_new.join(corpus_fps, "_fp", "left_anti").drop("_fp")
+
+
 def word_ngrams(col, n: int = 3):
     """Word-level n-gram (shingle) array, fully JVM-side.
 

@@ -522,3 +522,23 @@ def test_hash_ranked_sample_growth_stable(spark):
     # and both are deterministic across invocations
     assert a == [r["doc_id"] for r in hash_ranked_sample(small, k)
                  .orderBy("sample_rank").collect()]
+
+
+def test_dedup_against_incremental(spark):
+    from learn_etl_data_warehouse_spark.operators import dedup as dd
+
+    corpus = spark.createDataFrame(
+        [(1, "already  IN the corpus"), (2, "other corpus doc")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "ALREADY in THE corpus"),   # normalized dup of corpus doc 1
+            (11, "genuinely new document"),
+            (12, "genuinely new document"),  # in-batch dup of 11 -> min id wins
+            (13, "another fresh one"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in dd.dedup_against(new, corpus).collect())
+    assert kept == [11, 13]
