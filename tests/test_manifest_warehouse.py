@@ -1,0 +1,153 @@
+"""Manifest-versioned warehouse: cross-partition snapshot isolation
+without Delta/Iceberg jars. The properties under test are exactly the
+ones the rename-swap path can't give: a whole-table-consistent view, a
+stable snapshot across concurrent commits, and all-or-nothing
+publication via the atomic manifest swap."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from learn_etl_data_warehouse_spark.plans.manifest_warehouse import (
+    commit_versioned,
+    read_manifest,
+    read_snapshot,
+    vacuum,
+)
+from learn_etl_data_warehouse_spark.plans.sharded_etl import (
+    SHARD_COL,
+    read_sharded_fact,
+    write_sharded_exports,
+)
+
+REF_DB = "/root/reference/assets/oltp/dummy_ojol_transactions_raw_only.sqlite"
+FACT_TABLE = "dummy_ojol_transactions_raw_only_query_get_transaction_list_koto"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(REF_DB), reason="reference assets not present"
+)
+
+
+@pytest.fixture()
+def landings(spark, tmp_path):
+    from learn_etl_data_warehouse_spark.sources.sqlite import read_sqlite_table
+
+    raw = read_sqlite_table(spark, REF_DB, FACT_TABLE, all_string=True)
+    landing = str(tmp_path / "landing")
+    write_sharded_exports(raw, landing, n_shards=8)
+    sharded = read_sharded_fact(spark, landing)
+    redo = (
+        sharded.filter(F.col(SHARD_COL) == 3)
+        .withColumn(
+            "distance", (F.col("distance").cast("double") * 2).cast("string")
+        )
+        .drop(SHARD_COL)
+    )
+    landing2 = str(tmp_path / "landing2")
+    write_sharded_exports(redo, landing2, n_shards=8)
+    return landing, landing2
+
+
+def test_snapshot_is_all_or_nothing(spark, tmp_path, landings):
+    landing, landing2 = landings
+    table = str(tmp_path / "vtable")
+    os.makedirs(table)
+    t1 = commit_versioned(spark, landing, table)
+    snap1 = read_snapshot(spark, table)
+    n1 = snap1.count()
+    assert n1 == 1878  # golden fact size
+    assert read_manifest(table)["txn"] == t1
+
+    # a second txn backfills shard 3 with doubled distances
+    t2 = commit_versioned(spark, landing2, table, shards=[3])
+    snap2 = read_snapshot(spark, table)
+    assert snap2.count() == n1
+    # whole-table consistency: shard 3 is ENTIRELY t2, others entirely t1
+    m = read_manifest(table)
+    owners = {rel: txn for rel, txn in m["partitions"].items()}
+    assert all(
+        txn == (t2 if rel.startswith(f"{SHARD_COL}=3") else t1)
+        for rel, txn in owners.items()
+    )
+    doubled = snap2.filter(F.col(SHARD_COL) == 3).agg(
+        F.sum("distance")
+    ).collect()[0][0]
+    base = snap1.filter(F.col(SHARD_COL) == 3).agg(
+        F.sum("distance")
+    ).collect()[0][0]
+    assert doubled == pytest.approx(2 * base)
+
+
+def test_reader_snapshot_stable_across_concurrent_commit(
+    spark, tmp_path, landings
+):
+    """A snapshot resolved BEFORE a new commit keeps reading the old
+    version after it — the isolation property in-place swaps can't give."""
+    landing, landing2 = landings
+    table = str(tmp_path / "vtable2")
+    os.makedirs(table)
+    commit_versioned(spark, landing, table)
+    snap_old = read_snapshot(spark, table)  # paths resolved NOW
+    before = snap_old.filter(F.col(SHARD_COL) == 3).agg(
+        F.sum("distance")
+    ).collect()[0][0]
+
+    commit_versioned(spark, landing2, table, shards=[3])  # concurrent writer
+
+    # the old reader's already-resolved snapshot is untouched
+    after_old_reader = snap_old.filter(F.col(SHARD_COL) == 3).agg(
+        F.sum("distance")
+    ).collect()[0][0]
+    assert after_old_reader == before
+    # a fresh reader sees the new snapshot
+    fresh = read_snapshot(spark, table).filter(F.col(SHARD_COL) == 3).agg(
+        F.sum("distance")
+    ).collect()[0][0]
+    assert fresh == pytest.approx(2 * before)
+
+
+def test_crash_before_manifest_swap_publishes_nothing(
+    spark, tmp_path, landings, monkeypatch
+):
+    import learn_etl_data_warehouse_spark.plans.manifest_warehouse as mod
+
+    landing, landing2 = landings
+    table = str(tmp_path / "vtable3")
+    os.makedirs(table)
+    commit_versioned(spark, landing, table)
+    m_before = read_manifest(table)
+
+    real_replace = os.replace
+
+    def crash_replace(src, dst):
+        raise OSError("injected crash: died before manifest swap")
+
+    monkeypatch.setattr(mod.os, "replace", crash_replace)
+    with pytest.raises(OSError, match="injected crash"):
+        commit_versioned(spark, landing2, table, shards=[3])
+    monkeypatch.setattr(mod.os, "replace", real_replace)
+
+    # nothing published: manifest identical, snapshot identical
+    assert read_manifest(table) == m_before
+    assert read_snapshot(spark, table).count() == 1878
+    # the orphaned txn dirs are garbage -> vacuum removes them
+    removed = vacuum(table)
+    assert removed > 0
+    assert read_snapshot(spark, table).count() == 1878  # still intact
+
+
+def test_vacuum_keeps_only_live_versions(spark, tmp_path, landings):
+    landing, landing2 = landings
+    table = str(tmp_path / "vtable4")
+    os.makedirs(table)
+    commit_versioned(spark, landing, table)
+    commit_versioned(spark, landing2, table, shards=[3])  # supersedes shard 3
+    removed = vacuum(table)
+    assert removed > 0  # shard 3's superseded t1 versions
+    snap = read_snapshot(spark, table)
+    assert snap.count() == 1878
+    # second vacuum is a no-op
+    assert vacuum(table) == 0
