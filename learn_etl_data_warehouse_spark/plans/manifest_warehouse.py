@@ -101,21 +101,38 @@ def commit_versioned(
         os.rename(src, dst)
         manifest["partitions"][rel] = txn_id
     shutil.rmtree(staging, ignore_errors=True)
-    # PUBLICATION POINT: one atomic file swap flips the whole snapshot
+    _publish(table, manifest, txn_id)
+    return txn_id
+
+
+def _publish(table: str, manifest: dict, txn_id: str) -> None:
+    """PUBLICATION POINT: one atomic file swap flips the whole snapshot.
+    The per-txn manifest copy is retained first (time-travel log — the
+    Delta transaction-log analog; vacuum prunes copies whose data is
+    gone)."""
     manifest["txn"] = txn_id
+    with open(os.path.join(table, f"_MANIFEST-{txn_id}.json"), "w") as fh:
+        json.dump(manifest, fh)
     tmp = _manifest_path(table) + f".tmp-{txn_id}"
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
     os.replace(tmp, _manifest_path(table))
-    return txn_id
 
 
-def read_snapshot(spark: SparkSession, table: str) -> DataFrame:
-    """Load the table AS OF the current manifest: explicit versioned
-    paths (so uncommitted txn dirs are invisible), ``basePath`` derives
-    the Hive partition columns, and the snapshot stays stable even if a
-    writer commits mid-query — the resolved paths don't change."""
-    manifest = read_manifest(table)
+def read_snapshot(
+    spark: SparkSession, table: str, as_of: str | None = None
+) -> DataFrame:
+    """Load the table AS OF the current manifest — or a historical one
+    (``as_of=<txn id>``, time travel: any retained txn manifest whose
+    data hasn't been vacuumed). Explicit versioned paths (so uncommitted
+    txn dirs are invisible), ``basePath`` derives the Hive partition
+    columns, and the snapshot stays stable even if a writer commits
+    mid-query — the resolved paths don't change."""
+    if as_of is not None:
+        with open(os.path.join(table, f"_MANIFEST-{as_of}.json")) as fh:
+            manifest = json.load(fh)
+    else:
+        manifest = read_manifest(table)
     paths = [
         os.path.join(table, rel, f"{TXN_COL_PREFIX}{txn}")
         for rel, txn in sorted(manifest["partitions"].items())
@@ -129,11 +146,37 @@ def read_snapshot(spark: SparkSession, table: str) -> DataFrame:
     )
 
 
+def compact_partition(
+    spark: SparkSession, table: str, rel: str, target_files: int = 1
+) -> str:
+    """OPTIMIZE analog: rewrite one partition's current version into
+    ``target_files`` files as a NEW txn, then republish. Data is
+    bit-identical (a coalesce rewrite, no shuffle of other partitions);
+    readers holding the old snapshot are unaffected until vacuum. This is
+    the small-file compaction a streaming/backfill-heavy table needs at
+    100 TB — run it per hot partition, not table-wide."""
+    manifest = read_manifest(table)
+    if rel not in manifest["partitions"]:
+        raise KeyError(f"unknown partition {rel}")
+    txn_id = uuid.uuid4().hex[:12]
+    cur = os.path.join(table, rel, f"{TXN_COL_PREFIX}{manifest['partitions'][rel]}")
+    dst = os.path.join(table, rel, f"{TXN_COL_PREFIX}{txn_id}")
+    spark.read.parquet(cur).coalesce(target_files).write.mode(
+        "overwrite"
+    ).parquet(dst)
+    manifest["partitions"][rel] = txn_id
+    _publish(table, manifest, txn_id)
+    return txn_id
+
+
 def vacuum(table: str) -> int:
-    """Delete txn directories the manifest no longer references (old
-    snapshots + crashed writes). Returns the number removed. Safe at any
-    time: the manifest swap is the only publication point, so anything
-    unreferenced is garbage by definition."""
+    """Delete txn directories the CURRENT manifest no longer references
+    (old snapshots + crashed writes), plus the time-travel manifests
+    whose data just became unreadable. Returns the number of data dirs
+    removed. Safe at any time: the manifest swap is the only publication
+    point, so anything unreferenced is garbage by definition — but it
+    ends time travel to the vacuumed versions, exactly like Delta's
+    VACUUM retention floor."""
     manifest = read_manifest(table)
     live = {
         os.path.join(rel, f"{TXN_COL_PREFIX}{txn}")
@@ -153,4 +196,9 @@ def vacuum(table: str) -> int:
         if entry.startswith(".txn-staging-"):
             shutil.rmtree(os.path.join(table, entry), ignore_errors=True)
             removed += 1
+    # historical manifests other than the live one now point at vacuumed
+    # data — drop them so time travel fails loudly at open, not mid-scan
+    for entry in os.listdir(table):
+        if entry.startswith("_MANIFEST-") and entry != f"_MANIFEST-{manifest['txn']}.json":
+            os.remove(os.path.join(table, entry))
     return removed

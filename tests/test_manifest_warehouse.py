@@ -151,3 +151,53 @@ def test_vacuum_keeps_only_live_versions(spark, tmp_path, landings):
     assert snap.count() == 1878
     # second vacuum is a no-op
     assert vacuum(table) == 0
+
+
+def test_time_travel_reads_prior_snapshot(spark, tmp_path, landings):
+    landing, landing2 = landings
+    table = str(tmp_path / "vtable5")
+    os.makedirs(table)
+    t1 = commit_versioned(spark, landing, table)
+    t2 = commit_versioned(spark, landing2, table, shards=[3])
+
+    cur = read_snapshot(spark, table).filter(F.col(SHARD_COL) == 3)
+    old = read_snapshot(spark, table, as_of=t1).filter(F.col(SHARD_COL) == 3)
+    s_cur = cur.agg(F.sum("distance")).collect()[0][0]
+    s_old = old.agg(F.sum("distance")).collect()[0][0]
+    assert s_cur == pytest.approx(2 * s_old)
+    assert read_manifest(table)["txn"] == t2
+    # vacuum ends time travel to t1 (loudly, at open)
+    vacuum(table)
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, table, as_of=t1)
+
+
+def test_compaction_is_value_identical_and_shrinks_files(
+    spark, tmp_path, landings
+):
+    from learn_etl_data_warehouse_spark.plans.manifest_warehouse import (
+        compact_partition,
+    )
+
+    landing, _ = landings
+    table = str(tmp_path / "vtable6")
+    os.makedirs(table)
+    commit_versioned(spark, landing, table)
+    m = read_manifest(table)
+    rel = sorted(m["partitions"])[0]
+    before = sorted(
+        map(tuple, read_snapshot(spark, table).collect())
+    )
+
+    t_compact = compact_partition(spark, table, rel, target_files=1)
+    assert read_manifest(table)["partitions"][rel] == t_compact
+    after = sorted(map(tuple, read_snapshot(spark, table).collect()))
+    assert after == before  # bit-identical data
+    part_files = [
+        f
+        for f in os.listdir(
+            os.path.join(table, rel, f"txn={t_compact}")
+        )
+        if f.endswith(".parquet")
+    ]
+    assert len(part_files) == 1
