@@ -49,6 +49,51 @@ MANIFEST = "_MANIFEST.json"
 TXN_COL_PREFIX = "txn="
 
 
+def _version_stats(version_dir: str) -> dict:
+    """Per-column [min, max] over one partition version's parquet files,
+    read from the footers (no data scan). This is the Delta/Iceberg
+    file-statistics analog at partition-version grain: the manifest
+    carries the stats, so a reader prunes partitions at PLANNING time
+    from one small JSON — no footer opens, no directory listing of data
+    it will skip. Here the footers are read driver-side at commit (the
+    commit just wrote these files, so they're hot); at 100 TB you'd have
+    the write job's tasks report min/max through an accumulator or a
+    follow-up distributed footer scan — the manifest shape is the same.
+
+    Only JSON-comparable scalar types (int/float/str) are kept; columns
+    with binary/NaN-poisoned or absent statistics are simply omitted,
+    which readers treat as "can't prune" — always safe."""
+    import pyarrow.parquet as pq
+
+    mins: dict = {}
+    maxs: dict = {}
+    for fname in os.listdir(version_dir):
+        if not fname.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(version_dir, fname)).metadata
+        for rg in range(md.num_row_groups):
+            group = md.row_group(rg)
+            for ci in range(group.num_columns):
+                col = group.column(ci)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    try:
+                        mn, mx = mn.decode(), mx.decode()
+                    except UnicodeDecodeError:
+                        continue
+                if not isinstance(mn, (int, float, str)) or isinstance(
+                    mn, bool
+                ):
+                    continue
+                name = col.path_in_schema
+                mins[name] = mn if name not in mins else min(mins[name], mn)
+                maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+    return {name: [mins[name], maxs[name]] for name in mins}
+
+
 def _manifest_path(table: str) -> str:
     return os.path.join(table, MANIFEST)
 
@@ -100,6 +145,7 @@ def commit_versioned(
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         os.rename(src, dst)
         manifest["partitions"][rel] = txn_id
+        manifest.setdefault("stats", {})[rel] = _version_stats(dst)
     shutil.rmtree(staging, ignore_errors=True)
     _publish(table, manifest, txn_id)
     return txn_id
@@ -119,25 +165,70 @@ def _publish(table: str, manifest: dict, txn_id: str) -> None:
     os.replace(tmp, _manifest_path(table))
 
 
+def _stats_may_match(stats: dict, prune: dict) -> bool:
+    """True unless the stats PROVE the partition holds no row satisfying
+    ``prune`` ({col: (lo, hi)} conjunctive ranges; ``None`` bound =
+    unbounded). Missing stats for a column → can't prove → keep."""
+    for col, (lo, hi) in prune.items():
+        if col not in stats:
+            continue
+        mn, mx = stats[col]
+        if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+            return False
+    return True
+
+
 def read_snapshot(
-    spark: SparkSession, table: str, as_of: str | None = None
+    spark: SparkSession,
+    table: str,
+    as_of: str | None = None,
+    prune: dict | None = None,
 ) -> DataFrame:
     """Load the table AS OF the current manifest — or a historical one
     (``as_of=<txn id>``, time travel: any retained txn manifest whose
     data hasn't been vacuumed). Explicit versioned paths (so uncommitted
     txn dirs are invisible), ``basePath`` derives the Hive partition
     columns, and the snapshot stays stable even if a writer commits
-    mid-query — the resolved paths don't change."""
+    mid-query — the resolved paths don't change.
+
+    ``prune={col: (lo, hi)}`` applies manifest-level DATA SKIPPING: a
+    partition version whose committed [min, max] stats prove it can't
+    satisfy the conjunctive ranges is dropped from the path list before
+    Spark ever sees it — the caller still applies the real filter, this
+    only shrinks the scan. That's the Delta/Iceberg planning story: at
+    100 TB the win isn't row-group skipping (parquet already does that,
+    per file, after opening footers) but never listing or opening the
+    99% of files the manifest already proves irrelevant."""
     if as_of is not None:
         with open(os.path.join(table, f"_MANIFEST-{as_of}.json")) as fh:
             manifest = json.load(fh)
     else:
         manifest = read_manifest(table)
+    parts = sorted(manifest["partitions"].items())
+    if prune:
+        stats = manifest.get("stats", {})
+        parts = [
+            (rel, txn)
+            for rel, txn in parts
+            if _stats_may_match(stats.get(rel, {}), prune)
+        ]
     paths = [
         os.path.join(table, rel, f"{TXN_COL_PREFIX}{txn}")
-        for rel, txn in sorted(manifest["partitions"].items())
+        for rel, txn in parts
     ]
     if not paths:
+        if prune and manifest["partitions"]:
+            # everything pruned: correct answer is an empty frame with
+            # the table schema (one footer read; folds to LocalRelation)
+            any_rel, any_txn = next(iter(sorted(manifest["partitions"].items())))
+            return (
+                spark.read.option("basePath", table)
+                .parquet(
+                    os.path.join(table, any_rel, f"{TXN_COL_PREFIX}{any_txn}")
+                )
+                .drop("txn")
+                .filter(F.lit(False))
+            )
         raise FileNotFoundError(f"no committed snapshot at {table}")
     return (
         spark.read.option("basePath", table)
@@ -165,8 +256,193 @@ def compact_partition(
         "overwrite"
     ).parquet(dst)
     manifest["partitions"][rel] = txn_id
+    manifest.setdefault("stats", {})[rel] = _version_stats(dst)
     _publish(table, manifest, txn_id)
     return txn_id
+
+
+def _leaf_partitions(root: str):
+    """Relative ``key=value[/key=value...]`` dirs under ``root`` that
+    directly hold parquet files — the generic-depth analog of
+    ``_written_partitions`` for arbitrary ``partitionBy`` layouts."""
+    for dirpath, dirnames, filenames in os.walk(root):
+        if any(f.endswith(".parquet") for f in filenames):
+            rel = os.path.relpath(dirpath, root)
+            if rel != "." and all(
+                "=" in seg for seg in rel.split(os.sep)
+            ):
+                yield rel
+
+
+def _partition_cols(manifest: dict) -> list[str]:
+    """Partition column names, parsed from any manifest rel path."""
+    rel = next(iter(manifest["partitions"]))
+    return [seg.split("=", 1)[0] for seg in rel.split(os.sep)]
+
+
+def _rel_for_row(row, part_cols: list[str]) -> str:
+    return os.sep.join(f"{c}={row[c]}" for c in part_cols)
+
+
+def _rewrite_partitions(
+    spark: SparkSession,
+    table: str,
+    manifest: dict,
+    new_rows: DataFrame,
+    affected: set[str],
+    part_cols: list[str],
+    txn_id: str,
+) -> None:
+    """Shared tail of DELETE/MERGE: land ``new_rows`` (the affected
+    partitions' complete replacement content) under ``txn=<id>`` version
+    dirs, drop affected partitions that came back empty, refresh stats.
+    ONE Spark write job regardless of partition count; the caller
+    publishes. Untouched partitions keep their current version — at
+    100 TB a keyed merge rewrites only the partitions the keys route to,
+    never the table."""
+    staging = os.path.join(table, f".txn-staging-{txn_id}")
+    new_rows.write.partitionBy(*part_cols).mode("overwrite").parquet(staging)
+    written = set(_leaf_partitions(staging))
+    for rel in sorted(written):
+        src = os.path.join(staging, rel)
+        dst = os.path.join(table, rel, f"{TXN_COL_PREFIX}{txn_id}")
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.rename(src, dst)
+        manifest["partitions"][rel] = txn_id
+        manifest.setdefault("stats", {})[rel] = _version_stats(dst)
+    for rel in affected - written:  # every row deleted / moved away
+        manifest["partitions"].pop(rel, None)
+        manifest.setdefault("stats", {}).pop(rel, None)
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def delete_where(
+    spark: SparkSession, table: str, condition
+) -> str | None:
+    """Transactional DELETE: remove rows where ``condition`` is TRUE
+    (SQL semantics — NULL keeps the row), rewriting ONLY the partitions
+    that contain matches, and publish all of them in one atomic manifest
+    swap — a reader never sees a half-deleted table. Returns the txn id,
+    or None if nothing matched.
+
+    Two jobs total: (1) an aggregation finding the affected partitions,
+    (2) one write of those partitions' kept rows. Partition count
+    doesn't add jobs, and untouched partitions aren't read or written —
+    the Delta DELETE shape."""
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    manifest = read_manifest(table)
+    if not manifest["partitions"]:
+        raise FileNotFoundError(f"no committed snapshot at {table}")
+    part_cols = _partition_cols(manifest)
+    snap = read_snapshot(spark, table)
+    affected = {
+        _rel_for_row(r, part_cols)
+        for r in snap.filter(cond).select(*part_cols).distinct().collect()
+    }
+    if not affected:
+        return None
+    txn_id = uuid.uuid4().hex[:12]
+    in_affected = F.concat_ws(
+        os.sep,
+        *[
+            F.concat(F.lit(f"{c}="), F.col(c).cast("string"))
+            for c in part_cols
+        ],
+    ).isin(sorted(affected))
+    kept = snap.filter(in_affected).filter(
+        ~F.coalesce(cond, F.lit(False))
+    )
+    _rewrite_partitions(
+        spark, table, manifest, kept, affected, part_cols, txn_id
+    )
+    _publish(table, manifest, txn_id)
+    return txn_id
+
+
+def merge_upsert(
+    spark: SparkSession,
+    table: str,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> str:
+    """Transactional keyed MERGE (upsert): rows whose ``key_cols`` match
+    an existing row replace it; unmatched rows insert. ``updates`` must
+    carry the full table schema including the partition columns (they
+    route inserts). Affected partitions = partitions holding a matched
+    key ∪ partitions the updates route to; only those rewrite, and the
+    whole multi-partition result publishes in one atomic manifest swap.
+
+    Plan shape: one semi-join aggregation to find affected partitions,
+    then one anti-join + union write. Both join on ``key_cols`` — at
+    scale they shuffle-partition by key once and Catalyst broadcasts the
+    (small) update set automatically under AQE."""
+    manifest = read_manifest(table)
+    if not manifest["partitions"]:
+        raise FileNotFoundError(f"no committed snapshot at {table}")
+    part_cols = _partition_cols(manifest)
+    snap = read_snapshot(spark, table)
+    updates = updates.select(*snap.columns)  # align column order
+    keys = updates.select(*key_cols).distinct()
+    affected = {
+        _rel_for_row(r, part_cols)
+        for r in (
+            snap.join(keys, key_cols, "left_semi")
+            .select(*part_cols)
+            .distinct()
+            .collect()
+        )
+    } | {
+        _rel_for_row(r, part_cols)
+        for r in updates.select(*part_cols).distinct().collect()
+    }
+    txn_id = uuid.uuid4().hex[:12]
+    in_affected = F.concat_ws(
+        os.sep,
+        *[
+            F.concat(F.lit(f"{c}="), F.col(c).cast("string"))
+            for c in part_cols
+        ],
+    ).isin(sorted(affected))
+    survivors = snap.filter(in_affected).join(
+        keys, key_cols, "left_anti"
+    )
+    _rewrite_partitions(
+        spark,
+        table,
+        manifest,
+        survivors.unionByName(updates),
+        affected,
+        part_cols,
+        txn_id,
+    )
+    _publish(table, manifest, txn_id)
+    return txn_id
+
+
+def manifest_stream_sink(table: str):
+    """``foreachBatch`` function committing each micro-batch as ONE
+    manifest transaction under its own ``batch_id=N`` partition —
+    end-to-end exactly-once into the versioned warehouse: a replayed
+    batch re-maps ``batch_id=N`` to a fresh txn (same content, old
+    version becomes vacuumable garbage) instead of appending a
+    duplicate, and the atomic manifest swap means a reader sees each
+    batch entirely or not at all. Combines ``streaming/sinks.py``'s
+    idempotent-by-batch-id layout with snapshot isolation."""
+
+    def commit_batch(df, batch_id: int) -> None:
+        manifest = read_manifest(table)
+        rel = f"batch_id={batch_id}"
+        txn_id = f"b{batch_id}-{uuid.uuid4().hex[:8]}"
+        staging = os.path.join(table, f".txn-staging-{txn_id}")
+        df.write.mode("overwrite").parquet(staging)
+        dst = os.path.join(table, rel, f"{TXN_COL_PREFIX}{txn_id}")
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.rename(staging, dst)
+        manifest["partitions"][rel] = txn_id
+        manifest.setdefault("stats", {})[rel] = _version_stats(dst)
+        _publish(table, manifest, txn_id)
+
+    return commit_batch
 
 
 def vacuum(table: str) -> int:
@@ -183,13 +459,16 @@ def vacuum(table: str) -> int:
         for rel, txn in manifest["partitions"].items()
     }
     removed = 0
-    for root in list(_written_partitions(table)):
-        part_dir = os.path.join(table, root)
-        for entry in os.listdir(part_dir):
+    for dirpath, dirnames, _ in os.walk(table):
+        for entry in list(dirnames):
             if not entry.startswith(TXN_COL_PREFIX):
                 continue
-            if os.path.join(root, entry) not in live:
-                shutil.rmtree(os.path.join(part_dir, entry), ignore_errors=True)
+            dirnames.remove(entry)  # never descend into version dirs
+            rel = os.path.relpath(dirpath, table)
+            if os.path.join(rel, entry) not in live:
+                shutil.rmtree(
+                    os.path.join(dirpath, entry), ignore_errors=True
+                )
                 removed += 1
     # crashed staging roots are garbage too
     for entry in os.listdir(table):

@@ -1,0 +1,179 @@
+"""Manifest warehouse round-4b surface: data-skipping stats, DELETE /
+MERGE partition-version rewrite, and the exactly-once streaming commit.
+
+The properties under test are the Delta/Iceberg ones the plain layout
+can't give: planning-time partition pruning from manifest stats, keyed
+mutations that rewrite ONLY affected partition versions and publish
+atomically, and a replayed micro-batch that replaces itself instead of
+appending a duplicate."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from learn_etl_data_warehouse_spark.plans.manifest_warehouse import (
+    delete_where,
+    manifest_stream_sink,
+    merge_upsert,
+    read_manifest,
+    read_snapshot,
+    vacuum,
+)
+
+
+@pytest.fixture()
+def vtable(spark, tmp_path):
+    """Synthetic two-batch manifest table with disjoint value ranges:
+    batch 0 holds ids 0-9 (v 0-9, one NULL-v row), batch 1 holds ids
+    100-109 (v 100-109)."""
+    table = str(tmp_path / "vtable")
+    os.makedirs(table)
+    sink = manifest_stream_sink(table)
+    b0 = spark.createDataFrame(
+        [(i, float(i), "a" if i % 2 == 0 else "b") for i in range(10)]
+        + [(99, None, "a")],
+        "id INT, v DOUBLE, cat STRING",
+    )
+    b1 = spark.createDataFrame(
+        [(i, float(i), "c") for i in range(100, 110)],
+        "id INT, v DOUBLE, cat STRING",
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+    return table, sink
+
+
+def test_stats_data_skipping_prunes_partitions(spark, vtable):
+    table, _ = vtable
+    m = read_manifest(table)
+    # commit recorded min/max for the numeric and string columns
+    assert m["stats"]["batch_id=1"]["v"] == [100.0, 109.0]
+
+    pruned = read_snapshot(spark, table, prune={"v": (100, None)})
+    assert all("batch_id=1" in f for f in pruned.inputFiles())
+    # pruning is planning-only: the caller's filter still applies
+    assert pruned.filter(F.col("v") >= 100).count() == 10
+
+    # a range no partition can satisfy -> empty frame, schema intact
+    none = read_snapshot(spark, table, prune={"v": (1000, None)})
+    assert none.count() == 0
+    assert "cat" in none.columns
+
+    # missing stats column -> can't prove -> nothing pruned
+    both = read_snapshot(spark, table, prune={"nosuchcol": (0, 1)})
+    assert both.count() == 21
+
+
+def test_replayed_batch_is_exactly_once(spark, vtable):
+    table, sink = vtable
+    before = read_snapshot(spark, table).count()
+    b0_again = spark.createDataFrame(
+        [(i, float(i), "a" if i % 2 == 0 else "b") for i in range(10)]
+        + [(99, None, "a")],
+        "id INT, v DOUBLE, cat STRING",
+    )
+    sink(b0_again, 0)  # the retry: same batch id, fresh txn
+    assert read_snapshot(spark, table).count() == before  # no duplicates
+    assert vacuum(table) == 1  # exactly the superseded batch-0 version
+
+
+def test_delete_where_rewrites_only_affected_partition(spark, vtable):
+    table, _ = vtable
+    t_b0_before = read_manifest(table)["partitions"]["batch_id=0"]
+    txn = delete_where(spark, table, "v >= 100 AND v <= 104")
+    m = read_manifest(table)
+    assert m["txn"] == txn
+    assert m["partitions"]["batch_id=1"] == txn  # rewritten
+    assert m["partitions"]["batch_id=0"] == t_b0_before  # untouched
+    assert read_snapshot(spark, table).count() == 16
+    # stats refreshed for the rewritten version
+    assert m["stats"]["batch_id=1"]["v"] == [105.0, 109.0]
+
+
+def test_delete_where_null_condition_keeps_row(spark, vtable):
+    table, _ = vtable
+    # SQL DELETE semantics: rows where the predicate is NULL survive
+    delete_where(spark, table, "v <= 3")
+    snap = read_snapshot(spark, table)
+    assert snap.count() == 21 - 4  # v in {0,1,2,3} gone, NULL-v row kept
+    assert snap.filter(F.col("v").isNull()).count() == 1
+
+
+def test_delete_where_drops_emptied_partition(spark, vtable):
+    table, _ = vtable
+    delete_where(spark, table, "id >= 100")
+    m = read_manifest(table)
+    assert "batch_id=1" not in m["partitions"]
+    assert "batch_id=1" not in m["stats"]
+    assert read_snapshot(spark, table).count() == 11
+
+
+def test_delete_where_no_match_is_noop(spark, vtable):
+    table, _ = vtable
+    m_before = read_manifest(table)
+    assert delete_where(spark, table, "v > 99999") is None
+    assert read_manifest(table) == m_before
+
+
+def test_merge_upsert_updates_inserts_and_isolates(spark, vtable):
+    table, _ = vtable
+    t_b1_before = read_manifest(table)["partitions"]["batch_id=1"]
+    snap_old = read_snapshot(spark, table)  # resolved BEFORE the merge
+
+    updates = spark.createDataFrame(
+        [
+            (5, 555.0, "z", 0),  # matched key -> replaces in batch 0
+            (200, 200.0, "new", 2),  # unmatched -> inserts, NEW partition
+        ],
+        "id INT, v DOUBLE, cat STRING, batch_id INT",
+    )
+    txn = merge_upsert(spark, table, updates, ["id"])
+
+    m = read_manifest(table)
+    assert m["txn"] == txn
+    assert m["partitions"]["batch_id=0"] == txn  # held a matched key
+    assert m["partitions"]["batch_id=2"] == txn  # created by the insert
+    assert m["partitions"]["batch_id=1"] == t_b1_before  # untouched
+
+    snap = read_snapshot(spark, table)
+    assert snap.count() == 22  # 21 + 1 insert (the match replaced in place)
+    assert snap.filter(F.col("id") == 5).select("v", "cat").collect()[0][
+        :
+    ] == (555.0, "z")
+    assert snap.filter(F.col("id") == 200).count() == 1
+
+    # snapshot isolation: the pre-merge reader still sees the old row
+    assert snap_old.filter(F.col("id") == 5).select("v").collect()[0][
+        0
+    ] == 5.0
+    assert snap_old.count() == 21
+
+
+def test_streaming_availablenow_commits_through_manifest(spark, tmp_path):
+    src = str(tmp_path / "src")
+    events = spark.createDataFrame(
+        [(i, f"u{i % 3}") for i in range(30)], "seq INT, user STRING"
+    )
+    events.repartition(3).write.parquet(src)
+
+    table = str(tmp_path / "stream_table")
+    os.makedirs(table)
+    q = (
+        spark.readStream.schema("seq INT, user STRING")
+        .option("maxFilesPerTrigger", 1)  # force multiple micro-batches
+        .parquet(src)
+        .writeStream.foreachBatch(manifest_stream_sink(table))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    m = read_manifest(table)
+    assert len(m["partitions"]) >= 2  # really ran as multiple batches
+    snap = read_snapshot(spark, table)
+    assert snap.count() == 30
+    assert snap.agg(F.sum("seq")).collect()[0][0] == sum(range(30))
