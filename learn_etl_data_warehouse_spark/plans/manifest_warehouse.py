@@ -183,6 +183,7 @@ def read_snapshot(
     table: str,
     as_of: str | None = None,
     prune: dict | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Load the table AS OF the current manifest — or a historical one
     (``as_of=<txn id>``, time travel: any retained txn manifest whose
@@ -198,7 +199,12 @@ def read_snapshot(
     only shrinks the scan. That's the Delta/Iceberg planning story: at
     100 TB the win isn't row-group skipping (parquet already does that,
     per file, after opening footers) but never listing or opening the
-    99% of files the manifest already proves irrelevant."""
+    99% of files the manifest already proves irrelevant.
+
+    ``merge_schema=True`` is the schema-evolution read: partition
+    versions committed with extra columns union into one schema (absent
+    columns read NULL) — pay the footer-merge cost only when evolution
+    actually happened."""
     if as_of is not None:
         with open(os.path.join(table, f"_MANIFEST-{as_of}.json")) as fh:
             manifest = json.load(fh)
@@ -232,6 +238,7 @@ def read_snapshot(
         raise FileNotFoundError(f"no committed snapshot at {table}")
     return (
         spark.read.option("basePath", table)
+        .option("mergeSchema", str(merge_schema).lower())
         .parquet(*paths)
         .drop("txn")  # the version dir surfaces as a partition column
     )
@@ -417,6 +424,64 @@ def merge_upsert(
     )
     _publish(table, manifest, txn_id)
     return txn_id
+
+
+def _manifest_as_of(table: str, txn: str | None) -> dict:
+    if txn is None:
+        return read_manifest(table)
+    with open(os.path.join(table, f"_MANIFEST-{txn}.json")) as fh:
+        return json.load(fh)
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    table: str,
+    from_txn: str,
+    to_txn: str | None = None,
+) -> DataFrame:
+    """Change-data-feed between two snapshots (``to_txn=None`` = the
+    current one): multiset row diff labeled ``_change_type`` =
+    ``insert``/``delete`` (an update surfaces as a delete+insert pair —
+    key-agnostic CDF, like diffing Delta versions without a merge key).
+
+    The manifest makes this scale: partitions whose owning txn is the
+    SAME in both manifests are bit-identical by construction and are
+    never read — diff cost is proportional to the partitions that
+    actually changed, not the table. Requires ``from_txn``'s manifest to
+    still be retained (vacuum ends the diff window, loudly at open)."""
+    m_old = _manifest_as_of(table, from_txn)
+    m_new = _manifest_as_of(table, to_txn)
+    changed = {
+        rel
+        for rel in set(m_old["partitions"]) | set(m_new["partitions"])
+        if m_old["partitions"].get(rel) != m_new["partitions"].get(rel)
+    }
+
+    def _side(manifest: dict) -> DataFrame | None:
+        paths = [
+            os.path.join(
+                table, rel, f"{TXN_COL_PREFIX}{manifest['partitions'][rel]}"
+            )
+            for rel in sorted(changed)
+            if rel in manifest["partitions"]
+        ]
+        if not paths:
+            return None
+        return (
+            spark.read.option("basePath", table).parquet(*paths).drop("txn")
+        )
+
+    old, new = _side(m_old), _side(m_new)
+    if old is None and new is None:  # no partition changed at all
+        base = read_snapshot(spark, table, as_of=to_txn).filter(F.lit(False))
+        return base.withColumn("_change_type", F.lit(""))
+    if old is None:
+        return new.withColumn("_change_type", F.lit("insert"))
+    if new is None:
+        return old.withColumn("_change_type", F.lit("delete"))
+    inserts = new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
+    deletes = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
+    return inserts.unionByName(deletes)
 
 
 def manifest_stream_sink(table: str):

@@ -19,6 +19,7 @@ from learn_etl_data_warehouse_spark.plans.manifest_warehouse import (
     manifest_stream_sink,
     merge_upsert,
     read_manifest,
+    snapshot_diff,
     read_snapshot,
     vacuum,
 )
@@ -177,3 +178,55 @@ def test_streaming_availablenow_commits_through_manifest(spark, tmp_path):
     snap = read_snapshot(spark, table)
     assert snap.count() == 30
     assert snap.agg(F.sum("seq")).collect()[0][0] == sum(range(30))
+
+
+def test_snapshot_diff_reads_only_changed_partitions(spark, vtable):
+    table, _ = vtable
+    t1 = read_manifest(table)["txn"]
+    t2 = delete_where(spark, table, "id = 100")
+    up = spark.createDataFrame(
+        [(5, 555.0, "z", 0)], "id INT, v DOUBLE, cat STRING, batch_id INT"
+    )
+    t3 = merge_upsert(spark, table, up, ["id"])
+
+    cdf = snapshot_diff(spark, table, from_txn=t1)
+    rows = {(r["id"], r["_change_type"]) for r in cdf.collect()}
+    assert rows == {
+        (100, "delete"),  # the delete
+        (5, "delete"),  # update preimage
+        (5, "insert"),  # update postimage
+    }
+    # manifest-aware pruning: unchanged batch_id=1's files never read
+    # (after t2 deleted id=100, batch_id=1 changed vs t1 -> compare t2->t3
+    #  where only batch_id=0 changed)
+    cdf23 = snapshot_diff(spark, table, from_txn=t2, to_txn=t3)
+    assert all("batch_id=0" in f for f in cdf23.inputFiles())
+    assert {(r["id"], r["_change_type"]) for r in cdf23.collect()} == {
+        (5, "delete"),
+        (5, "insert"),
+    }
+
+
+def test_snapshot_diff_no_change_is_empty(spark, vtable):
+    table, _ = vtable
+    t1 = read_manifest(table)["txn"]
+    cdf = snapshot_diff(spark, table, from_txn=t1, to_txn=t1)
+    assert cdf.count() == 0
+    assert "_change_type" in cdf.columns
+
+
+def test_schema_evolution_merge_schema_read(spark, vtable):
+    table, sink = vtable
+    evolved = spark.createDataFrame(
+        [(300, 1.0, "d", "extra")],
+        "id INT, v DOUBLE, cat STRING, note STRING",
+    )
+    sink(evolved, 2)  # new batch commits with an extra column
+    snap = read_snapshot(spark, table, merge_schema=True)
+    assert "note" in snap.columns
+    assert snap.count() == 22
+    assert snap.filter(F.col("note").isNotNull()).count() == 1
+    # old rows read NULL for the evolved column
+    assert (
+        snap.filter(F.col("id") == 0).select("note").collect()[0][0] is None
+    )
