@@ -1329,6 +1329,26 @@ def q_d12(spark, sf_dir):
     )
 
 
+def q_d13(spark, sf_dir):
+    """Edit-distance near-dup pairs (r4b): (lang, length-bucket)
+    blocking, levenshtein verification on the 64-char prefix — the
+    record-linkage-style fuzzy dedup the hash families (d02/d03/d04)
+    can't express. Levenshtein is an exact integer metric, identical in
+    every engine, so the query is fully oracle-checkable."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.edit_distance_pairs(
+        docs, prefix_len=64, bucket_width=8, max_distance=5
+    )
+
+
+def q_s08(spark, sf_dir):
+    """Random-projection sketch (r4b): hash-derived ±1 signs, fixed-point
+    floor contributions — engine-exact dimensionality reduction ahead of
+    an ANN stage (see operators/similarity.py::random_projection)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.random_projection(emb, k=8)
+
+
 def q_d02(spark, sf_dir):
     """max_doc_freq=50 is the web-scale skew guard (one stopword shingle
     would otherwise fan out O(df²) in the self-join); the oracle mirrors
@@ -1661,6 +1681,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e06_attribution_pairs": q_e06,
         "d11_hash_ranked_sample": q_d11,
         "d12_incremental_dedup": q_d12,
+        "d13_edit_distance_pairs": q_d13,
+        "s08_random_projection": q_s08,
         # -- red in r3, reshaped in r4: must re-earn its driver row (1) ----
         "s07_quantize_int8": q_s07,
         # -- r1-era rows only (10) -----------------------------------------
@@ -1685,8 +1707,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p12_filter_contains": q_p12,
         "p13_json_extract": q_p13,
         "p14_null_handling": q_p14,
-        "p15_string_functions": q_p15,
-        "p16_date_functions": q_p16,
         "a01_quarter_counts": q_a01,
         "a02_returnflag_counts": q_a02,
         "a03_histogram_totalprice": q_a03,
@@ -1709,6 +1729,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d02_ngram_jaccard_pairs": q_d02,
         "e01_tumbling_window": q_e01,
         # ================= position 51+: outside driver window ============
+        # r1+r2-banked, displaced in r4b by d13/s08 (staleness policy:
+        # never-checked beats twice-banked)
+        "p15_string_functions": q_p15,
+        "p16_date_functions": q_p16,
         # driver-green in r3 (and mostly r1/r2 too)
         "f01_event_funnel": q_f01,
         "d07_train_val_split": q_d07,
@@ -2486,6 +2510,27 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS.format(a='a.v', b='b.v')} AS cosine
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE {_COS.format(a='a.v', b='b.v')} >= 0.4""",
+        "d13_edit_distance_pairs": """
+WITH d AS (SELECT doc_id, lang, CAST(floor(n_chars / 8) AS BIGINT) AS b,
+                  substr(text, 1, 64) AS p
+           FROM documents)
+SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+       CAST(levenshtein(a.p, b2.p) AS BIGINT) AS edit_distance
+FROM d a JOIN d b2
+  ON a.lang = b2.lang AND a.b = b2.b AND a.doc_id < b2.doc_id
+WHERE levenshtein(a.p, b2.p) <= 5""",
+        "s08_random_projection": """
+SELECT vec_id, CAST(j AS BIGINT) AS j,
+       CAST(sum(
+         (CASE WHEN ascii(substr(md5(CAST(pos - 1 AS VARCHAR) || '_' ||
+                                     CAST(j AS VARCHAR)), 1, 1)) % 2 = 0
+               THEN 1 ELSE -1 END)
+         * CAST(floor(CAST(embedding[pos] AS DOUBLE) * 1000000) AS BIGINT)
+       ) AS BIGINT) AS proj_q
+FROM embeddings,
+     LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos) t,
+     LATERAL (SELECT unnest(generate_series(0, 7)) AS j) u
+GROUP BY vec_id, j""",
         "s07_quantize_int8": """
 WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                   list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS amax

@@ -514,3 +514,50 @@ def simhash_near_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    prefix_len: int = 64,
+    bucket_width: int = 8,
+    max_distance: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    len_col: str = "n_chars",
+) -> DataFrame:
+    """Fuzzy near-dup candidates via EDIT DISTANCE: block on
+    (lang, ⌊n_chars/bucket_width⌋) — the standard record-linkage
+    length+attribute blocking — then verify ``levenshtein`` on the
+    ``prefix_len``-char prefix within each block.
+
+    Recall caveat (documented, same class as d02's doc-frequency cap and
+    d03's band count): a true near-dup pair whose lengths straddle a
+    bucket boundary is missed; narrower buckets trade recall for
+    candidate count. Cost is Σ|block|² over blocks — bounded by the
+    blocking key's fan-in, never corpus², and the join is key-equality
+    so it shuffles both sides once on the block key. levenshtein runs
+    only on candidates and on a fixed-length prefix, keeping the DP cost
+    O(prefix_len²) per pair at any corpus size."""
+    d = df.select(
+        F.col(id_col),
+        F.col(lang_col).alias("_lang"),
+        F.floor(F.col(len_col) / bucket_width).alias("_b"),
+        F.substring(F.col(text_col), 1, prefix_len).alias("_p"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    lev = F.levenshtein(F.col("a._p"), F.col("b._p"))
+    return (
+        a.join(
+            b,
+            (F.col("a._lang") == F.col("b._lang"))
+            & (F.col("a._b") == F.col("b._b"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            lev.cast("bigint").alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= max_distance)
+    )

@@ -392,3 +392,59 @@ def lsh_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def random_projection(
+    df: DataFrame,
+    k: int = 8,
+    scale: int = 1_000_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Data-independent random-projection sketch (Achlioptas-style ±1
+    signs): ``proj_q[j] = Σ_pos sign(pos, j) · floor(v[pos]·scale)`` —
+    the dimensionality-reduction pass before a brute/IVF ANN stage when
+    the native dimension is large.
+
+    Engine- and scale-portable by construction:
+
+    - the "projection matrix" is never materialized or broadcast — the
+      ±1 sign is ``ascii(md5(pos_j)) % 2``, recomputable on any executor
+      (and in any engine: md5/ascii are bit-identical everywhere), so at
+      100 TB nothing ships with the task but the expression;
+    - contributions are ``sign · floor(v·scale)`` integers: the double
+      product is IEEE-exact-rounded identically in every engine and
+      ``floor`` has no half-boundary ambiguity (unlike ``round``), so
+      the integer sum is partial-aggregation-order-independent and
+      cross-engine exact.
+
+    Plan: one posexplode (×dim), one generated ×k fanout, one partial
+    agg + shuffle on (id, j). Returns (id, j, proj_q) scalar rows.
+    """
+    e = df.select(id_col, F.posexplode(vec_col).alias("pos", "val"))
+    fanout = e.select(
+        id_col,
+        "pos",
+        "val",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j"),
+    )
+    seed = F.ascii(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "_",
+                    F.col("pos").cast("string"),
+                    F.col("j").cast("string"),
+                ).cast("binary")
+            ),
+            1,
+            1,
+        )
+    )
+    sign = F.when(seed % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+    contrib = sign * F.floor(F.col("val").cast("double") * scale).cast("long")
+    return (
+        fanout.withColumn("_c", contrib)
+        .groupBy(F.col(id_col), F.col("j").cast("bigint").alias("j"))
+        .agg(F.sum("_c").alias("proj_q"))
+    )

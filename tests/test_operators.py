@@ -542,3 +542,53 @@ def test_dedup_against_incremental(spark):
     )
     kept = sorted(r["doc_id"] for r in dd.dedup_against(new, corpus).collect())
     assert kept == [11, 13]
+
+
+def test_random_projection_is_deterministic_and_contractive(spark, sf_small):
+    from learn_etl_data_warehouse_spark.operators.similarity import (
+        random_projection,
+    )
+    from learn_etl_data_warehouse_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    a = {(r["vec_id"], r["j"]): r["proj_q"] for r in
+         random_projection(emb, k=4).collect()}
+    b = {(r["vec_id"], r["j"]): r["proj_q"] for r in
+         random_projection(emb, k=4).collect()}
+    assert a == b  # partial-agg order cannot change integer sums
+    n_vecs = emb.count()
+    assert len(a) == n_vecs * 4  # k sketch dims per vector
+    # identical vectors must sketch identically (the dedup use-case)
+    twin = emb.limit(1).unionByName(emb.limit(1))
+    t = random_projection(twin, k=4).collect()
+    by_j = {}
+    for r in t:
+        by_j.setdefault(r["j"], set()).add(r["proj_q"])
+    assert all(len(v) == 1 for v in by_j.values())
+
+
+def test_edit_distance_pairs_blocking_and_symmetry(spark):
+    from learn_etl_data_warehouse_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps", "en", 25),
+            (2, "the quick brown fox jumped", "en", 26),  # lev 2, same bucket? 25//8=3, 26//8=3
+            (3, "the quick brown fox jumps", "en", 25),  # exact dup of 1
+            (4, "the quick brown fox jumps", "de", 25),  # other lang: blocked out
+            (5, "completely different text here!!", "en", 32),  # other bucket
+        ],
+        "doc_id LONG, text STRING, lang STRING, n_chars LONG",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["edit_distance"]
+        for r in edit_distance_pairs(
+            docs, prefix_len=64, bucket_width=8, max_distance=5
+        ).collect()
+    }
+    assert pairs[(1, 3)] == 0  # exact dup found with distance 0
+    assert pairs[(1, 2)] == 2 and pairs[(2, 3)] == 2
+    assert all(a < b for a, b in pairs)  # canonical ordering, no mirrors
+    assert not any(4 in p or 5 in p for p in pairs)  # blocked out
