@@ -45,6 +45,8 @@ HEADLINE = [
     "t08_decontamination",
     "t10_tfidf_top_terms",
     "e06_attribution_pairs",
+    "d13_edit_distance_pairs",
+    "s08_random_projection",
 ]
 
 # Reference-parity ETL (EP1 at shard grain): not a queries() entry — it

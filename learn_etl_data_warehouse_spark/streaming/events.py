@@ -263,3 +263,28 @@ def stream_tumbling_counts(
             "sum_value",
         )
     )
+
+
+def stream_dedup(
+    spark,
+    source_dir: str,
+    schema,
+    keys: list[str] | None = None,
+    watermark_minutes: int = 30,
+):
+    """At-least-once ingest dedup: drop duplicate events by ``keys``
+    (default ``event_id``) as they stream in — the first arrival wins,
+    replays and double-sends are discarded. The watermark bounds the
+    dedup state: a key is remembered only until its event time falls
+    behind the watermark, so state is O(keys per watermark window), not
+    O(stream history) — the property that makes exactly-once ingest
+    dedup viable on an unbounded 100 TB/day feed.
+
+    Batch twin for conformance: ``df.dropDuplicates(keys)`` (identical
+    result when every duplicate carries the same event time, the replay
+    case; duplicates arriving later than the watermark are dropped by
+    design — that's the documented at-least-once window)."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return stream.withWatermark("ts", f"{watermark_minutes} minutes").dropDuplicates(
+        keys or ["event_id"]
+    )

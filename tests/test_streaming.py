@@ -585,3 +585,38 @@ def test_stream_stream_attribution_join_matches_batch(spark, sf_small, tmp_path)
     )
     assert want, "fixture should contain attributable click->purchase pairs"
     assert got == want
+
+
+def test_stream_dedup_matches_batch_distinct(spark, sf_small, tmp_path):
+    """Replayed/duplicated events across micro-batches dedup to exactly
+    the batch dropDuplicates result — first arrival wins, state bounded
+    by the watermark."""
+    from learn_etl_data_warehouse_spark.streaming.events import stream_dedup
+
+    events = load_table(spark, sf_small, "events").limit(200)
+    staged = str(tmp_path / "events_dup_stream")
+    # file 1: the events; file 2: a full replay plus a partial replay —
+    # duplicates arrive in LATER micro-batches than the originals
+    events.coalesce(1).write.mode("append").parquet(staged)
+    events.limit(120).coalesce(1).write.mode("append").parquet(staged)
+    schema = events.schema
+
+    q = (
+        stream_dedup(spark, staged, schema)
+        .writeStream.format("memory")
+        .queryName("t_stream_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = sorted(
+        map(tuple, spark.table("t_stream_dedup").select("event_id").collect())
+    )
+    want = sorted(
+        map(tuple, events.dropDuplicates(["event_id"]).select("event_id").collect())
+    )
+    assert got == want  # every duplicate dropped, nothing else lost
