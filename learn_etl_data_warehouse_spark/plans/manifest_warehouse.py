@@ -245,23 +245,41 @@ def read_snapshot(
 
 
 def compact_partition(
-    spark: SparkSession, table: str, rel: str, target_files: int = 1
+    spark: SparkSession,
+    table: str,
+    rel: str,
+    target_files: int = 1,
+    cluster_by: list[str] | None = None,
 ) -> str:
     """OPTIMIZE analog: rewrite one partition's current version into
     ``target_files`` files as a NEW txn, then republish. Data is
-    bit-identical (a coalesce rewrite, no shuffle of other partitions);
-    readers holding the old snapshot are unaffected until vacuum. This is
-    the small-file compaction a streaming/backfill-heavy table needs at
-    100 TB — run it per hot partition, not table-wide."""
+    value-identical; readers holding the old snapshot are unaffected
+    until vacuum. This is the small-file compaction a streaming/
+    backfill-heavy table needs at 100 TB — run it per hot partition, not
+    table-wide.
+
+    ``cluster_by`` is the ZORDER-lite option: range-partition the
+    rewrite across ``target_files`` files and sort within each, so each
+    file (and each parquet row group inside it) covers a narrow,
+    near-disjoint range of the clustering columns — parquet row-group
+    min/max skipping then prunes most of the partition for point/range
+    predicates on those columns, on top of the manifest's
+    partition-grain stats. Plain ``coalesce`` (no shuffle) otherwise."""
     manifest = read_manifest(table)
     if rel not in manifest["partitions"]:
         raise KeyError(f"unknown partition {rel}")
     txn_id = uuid.uuid4().hex[:12]
     cur = os.path.join(table, rel, f"{TXN_COL_PREFIX}{manifest['partitions'][rel]}")
     dst = os.path.join(table, rel, f"{TXN_COL_PREFIX}{txn_id}")
-    spark.read.parquet(cur).coalesce(target_files).write.mode(
-        "overwrite"
-    ).parquet(dst)
+    df = spark.read.parquet(cur)
+    if cluster_by:
+        cols = [F.col(c) for c in cluster_by]
+        df = df.repartitionByRange(target_files, *cols).sortWithinPartitions(
+            *cols
+        )
+    else:
+        df = df.coalesce(target_files)
+    df.write.mode("overwrite").parquet(dst)
     manifest["partitions"][rel] = txn_id
     manifest.setdefault("stats", {})[rel] = _version_stats(dst)
     _publish(table, manifest, txn_id)

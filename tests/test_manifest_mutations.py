@@ -230,3 +230,46 @@ def test_schema_evolution_merge_schema_read(spark, vtable):
     assert (
         snap.filter(F.col("id") == 0).select("note").collect()[0][0] is None
     )
+
+
+def test_clustered_compaction_tightens_file_ranges(spark, tmp_path):
+    """cluster_by compaction: value-identical rewrite whose files cover
+    near-disjoint ranges of the clustering column (the ZORDER-lite
+    property row-group skipping feeds on)."""
+    import pyarrow.parquet as pq
+
+    from learn_etl_data_warehouse_spark.plans.manifest_warehouse import (
+        compact_partition,
+    )
+
+    table = str(tmp_path / "ztable")
+    os.makedirs(table)
+    sink = manifest_stream_sink(table)
+    # interleaved values -> every file initially spans the whole range
+    rows = [(i, float((i * 37) % 100)) for i in range(200)]
+    sink(spark.createDataFrame(rows, "id INT, v DOUBLE").repartition(4), 0)
+
+    before = sorted(map(tuple, read_snapshot(spark, table).collect()))
+    txn = compact_partition(
+        spark, table, "batch_id=0", target_files=4, cluster_by=["v"]
+    )
+    after = sorted(map(tuple, read_snapshot(spark, table).collect()))
+    assert after == before  # value-identical
+
+    vdir = os.path.join(table, "batch_id=0", f"txn={txn}")
+    ranges = []
+    for f in os.listdir(vdir):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(vdir, f)).metadata
+        st = md.row_group(0).column(1).statistics
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            s = md.row_group(rg).column(1).statistics
+            lo = s.min if lo is None else min(lo, s.min)
+            hi = s.max if hi is None else max(hi, s.max)
+        ranges.append((lo, hi))
+    ranges.sort()
+    assert len(ranges) >= 2
+    # consecutive files overlap at most at the boundary value
+    assert all(a[1] <= b[0] for a, b in zip(ranges, ranges[1:]))
