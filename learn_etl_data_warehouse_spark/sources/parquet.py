@@ -23,10 +23,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     authoritative — written by the driver); we intentionally do not force
     TESTDATA_SCHEMAS here so timestamp precision survives as-written.
 
-    The events fixture stores TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects outright. We flip the session to read nanos as long and
-    floor-convert to microsecond timestamps — the same truncation DuckDB
-    and pandas apply, so oracle comparisons stay bit-identical.
+    The events fixture has shipped in two flavors across driver rounds:
+    TIMESTAMP(NANOS) (r1-r3), which Spark's parquet reader rejects
+    outright, and plain microsecond timestamps without isAdjustedToUTC
+    (r4+), which Spark reads as TIMESTAMP_NTZ. Both are normalized to the
+    session-zone TIMESTAMP type the whole query surface was built on: the
+    nanos path flips the session to read nanos as long and floor-converts
+    to microseconds (the same truncation DuckDB and pandas apply), and the
+    NTZ path casts under the UTC session (value-identical to DuckDB's
+    naive read), so oracle comparisons stay bit-identical either way.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name != "events":
@@ -49,6 +54,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
     if dtypes.get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dtypes.get("ts") == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
