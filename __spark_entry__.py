@@ -1284,6 +1284,40 @@ def q_d11(spark, sf_dir):
     )
 
 
+def q_d14(spark, sf_dir):
+    """Deterministic global training-order shuffle (r4c) WITHOUT a total
+    sort: md5 shard assignment + per-shard md5 rank + broadcast shard
+    offsets compose a bijective global position — the scalable epoch-
+    shuffle construction (operators/sampling.py::shuffle_shards). Every
+    position is a pure function of the id, so the oracle reproduces the
+    exact permutation from md5 alone."""
+    from learn_etl_data_warehouse_spark.operators.sampling import (
+        shuffle_shards,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return shuffle_shards(docs, n_shards=16)
+
+
+def q_d15(spark, sf_dir):
+    """Weighted domain mixing (r4c): per-source subsampling rates applied
+    by md5-bucket threshold — RNG-free, growth-stable, shuffle-free (the
+    pretraining mix knob; operators/sampling.py::domain_mix)."""
+    from learn_etl_data_warehouse_spark.operators.sampling import domain_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = {
+        "src0": 1.0,
+        "src1": 0.75,
+        "src2": 0.5,
+        "src3": 0.25,
+        "src4": 0.1,
+    }
+    return domain_mix(docs, rates, default_rate=0.05).select(
+        "doc_id", "source", "lang"
+    )
+
+
 def q_d08(spark, sf_dir):
     """Stratified sampling by language (rows-only: Bernoulli sampling is
     partitioning-dependent; proportions pinned in tests)."""
@@ -1485,6 +1519,15 @@ def q_t11(spark, sf_dir):
     return text.scrub_pii(_t(spark, sf_dir, "documents"))
 
 
+def q_t12(spark, sf_dir):
+    """C4-style heuristic document filters (r4c): word-count bounds, mean
+    word length, terminal-punctuation line fraction, brace/lorem flags,
+    and the conjunction ``kept`` — the cheap shuffle-free cleaning pass
+    that fronts every pretraining corpus build
+    (operators/text.py::c4_filters)."""
+    return text.c4_filters(_t(spark, sf_dir, "documents"))
+
+
 def q_s01(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
@@ -1673,15 +1716,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (tests/test_driver_window.py) and sf0.1-swept in the round it
     # rotates in.
     return {
-        # -- never driver-checked (r4 additions) (7) -----------------------
+        # -- never driver-checked (r4 additions) (12) ----------------------
         "t08_decontamination": q_t08,
         "t09_repetition_metrics": q_t09,
         "t10_tfidf_top_terms": q_t10,
         "t11_pii_scrub": q_t11,
+        "t12_c4_filters": q_t12,
         "e06_attribution_pairs": q_e06,
         "d11_hash_ranked_sample": q_d11,
         "d12_incremental_dedup": q_d12,
         "d13_edit_distance_pairs": q_d13,
+        "d14_shuffle_shards": q_d14,
+        "d15_domain_mix": q_d15,
         "s08_random_projection": q_s08,
         # -- red in r3, reshaped in r4: must re-earn its driver row (1) ----
         "s07_quantize_int8": q_s07,
@@ -1696,7 +1742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a11_exact_percentiles": q_a11,
         "set04_except": q_set04,
         "r01_asof_join": q_r01,
-        # -- r1+r2 bank: last verified r2 (29) -----------------------------
+        # -- r1+r2 bank: last verified r2 (26) -----------------------------
         "p01_clean_sci_notation": q_p01,
         "p02_remove_after_dot": q_p02,
         "p03_split_date_process": q_p03,
@@ -1704,9 +1750,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p06_truncate_distance": q_p06,
         "p07_duration_minutes": q_p07,
         "p08_bool_flags": q_p08,
-        "p12_filter_contains": q_p12,
-        "p13_json_extract": q_p13,
-        "p14_null_handling": q_p14,
         "a01_quarter_counts": q_a01,
         "a02_returnflag_counts": q_a02,
         "a03_histogram_totalprice": q_a03,
@@ -1729,8 +1772,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d02_ngram_jaccard_pairs": q_d02,
         "e01_tumbling_window": q_e01,
         # ================= position 51+: outside driver window ============
-        # r1+r2-banked, displaced in r4b by d13/s08 (staleness policy:
-        # never-checked beats twice-banked)
+        # r1+r2-banked, displaced in r4b/r4c by d13/s08/t12/d14/d15
+        # (staleness policy: never-checked beats twice-banked)
+        "p12_filter_contains": q_p12,
+        "p13_json_extract": q_p13,
+        "p14_null_handling": q_p14,
         "p15_string_functions": q_p15,
         "p16_date_functions": q_p16,
         # driver-green in r3 (and mostly r1/r2 too)
@@ -2424,6 +2470,50 @@ WITH r AS (
   FROM documents)
 SELECT doc_id, lang, CAST(sample_rank AS BIGINT) AS sample_rank
 FROM r WHERE sample_rank <= 20""",
+        "d14_shuffle_shards": """
+WITH b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS shard,
+         md5('ord:' || CAST(doc_id AS VARCHAR)) AS ok
+  FROM documents)
+SELECT doc_id,
+       CAST(shard AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id) AS BIGINT) AS shard_pos,
+       CAST(row_number() OVER (ORDER BY shard, ok, doc_id) AS BIGINT) AS global_pos
+FROM b""",
+        "d15_domain_mix": """
+WITH b AS (
+  SELECT doc_id, source, lang,
+         ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 AS bk
+  FROM documents)
+SELECT doc_id, source, lang FROM b
+WHERE bk < CASE source WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 750000
+                       WHEN 'src2' THEN 500000 WHEN 'src3' THEN 250000
+                       WHEN 'src4' THEN 100000 ELSE 50000 END""",
+        "t12_c4_filters": r"""
+WITH t AS (
+  SELECT doc_id, text,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_words,
+         len(regexp_replace(text, '\s', '', 'g')) AS nonws,
+         list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines
+  FROM documents),
+m AS (
+  SELECT doc_id, text, n_words, lines,
+         round(CASE WHEN n_words = 0 THEN 0.0 ELSE nonws * 1.0 / n_words END, 6)
+           AS mean_word_len,
+         (contains(text, '{') OR contains(text, '}')) AS has_brace,
+         contains(lower(text), 'lorem ipsum') AS has_lorem
+  FROM t)
+SELECT doc_id, n_words, mean_word_len,
+       round(CASE WHEN len(lines) = 0 THEN 0.0
+             ELSE len(list_filter(lines, x -> regexp_matches(rtrim(x), '[.!?"]$')))
+                  * 1.0 / len(lines) END, 6) AS line_term_frac,
+       has_brace, has_lorem,
+       (n_words >= 10 AND n_words <= 100000
+        AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+        AND NOT has_brace AND NOT has_lorem) AS kept
+FROM m""",
         "t11_pii_scrub": r"""
 WITH s1 AS (
   SELECT doc_id,

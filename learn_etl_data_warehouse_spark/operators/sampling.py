@@ -79,6 +79,93 @@ def hash_ranked_sample(
     )
 
 
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training-order shuffle WITHOUT a global sort.
+
+    A pretraining run wants every epoch to read the corpus in a fixed
+    pseudo-random order. The naive ``ORDER BY random_key`` is a total
+    sort — a single range-partitioned ordering whose skew/stragglers you
+    don't want at 100 TB, and whose sampled range boundaries aren't
+    engine-portable. Instead the classic two-level construction:
+
+    1. ``shard``      = md5-bucket of the id (independent salt) — the
+       file/worker assignment, one hash, no shuffle;
+    2. ``shard_pos``  = rank of an md5 order key WITHIN the shard — a
+       per-shard window, parallel across shards;
+    3. ``global_pos`` = shard-offset + shard_pos, where the per-shard row
+       counts (n_shards rows, tiny) prefix-sum into offsets and broadcast
+       back.
+
+    The result is a bijective position assignment, shard-major in
+    (shard, order_key, id) lexicographic order — reproducible on any
+    engine from md5 alone, and computed with one narrow hash pass, one
+    per-shard window, and a broadcast join against an n_shards-row table.
+    """
+    ord_key = F.md5(
+        F.concat(F.lit("ord:"), F.col(id_col).cast("string")).cast("binary")
+    )
+    base = df.select(
+        F.col(id_col),
+        hash_bucket(
+            F.concat(F.lit("shard:"), F.col(id_col).cast("string")), n_shards
+        ).alias("shard"),
+        ord_key.alias("_ord"),
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("_ord").asc(), F.col(id_col).asc()
+    )
+    ranked = base.withColumn("shard_pos", F.row_number().over(w).cast("long"))
+    counts = ranked.groupBy("shard").agg(F.count(F.lit(1)).alias("_n"))
+    off_w = (
+        Window.orderBy(F.col("shard").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "shard", F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_off")
+    )
+    return ranked.join(F.broadcast(offsets), "shard").select(
+        F.col(id_col),
+        F.col("shard").cast("long").alias("shard"),
+        F.col("shard_pos"),
+        (F.col("_off") + F.col("shard_pos")).cast("long").alias("global_pos"),
+    )
+
+
+def domain_mix(
+    df: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted domain mixing: keep each document with a per-domain target
+    rate (the "2 epochs of wiki, 0.3 of common crawl" knob every
+    pretraining mix spec has, restricted here to rates ≤ 1 — subsampling).
+
+    Membership is decided by md5-bucket-vs-threshold, NOT an RNG: a
+    document's keep/drop is a pure function of its id, so the mix is
+    reproducible on any engine, stable under corpus growth, and re-runs
+    incrementally (a new document's fate doesn't disturb old ones). The
+    whole operator is a narrow filter — no shuffle, safe in front of
+    100 TB. Rates are applied at ppm precision (bucket < round(rate·1e6)).
+    """
+    b = hash_bucket(
+        F.concat(F.lit("mix:"), F.col(id_col).cast("string")), 1_000_000
+    )
+    rate = F.lit(float(default_rate))
+    for dom, r in sorted(rates.items()):
+        rate = F.when(F.col(domain_col) == dom, F.lit(float(r))).otherwise(rate)
+    return (
+        df.withColumn("_bk", b)
+        .filter(F.col("_bk") < F.round(rate * 1_000_000).cast("long"))
+        .drop("_bk")
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     max_tokens: int = 512,

@@ -260,6 +260,71 @@ def scrub_pii(
     return df.select(*exprs)
 
 
+def c4_filters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+) -> DataFrame:
+    """C4-style heuristic document filters (Raffel et al., the cleaning
+    pass behind the C4 corpus): per document, the classic cheap signals —
+
+    - ``n_words``          whitespace word count;
+    - ``mean_word_len``    non-whitespace chars / words (0 when empty);
+    - ``line_term_frac``   fraction of non-blank lines ending in terminal
+      punctuation (``. ! ? "``) — C4's "keep lines that look like prose"
+      rule, reported per-document here;
+    - ``has_brace``        curly brace anywhere (C4 drops code-ish pages);
+    - ``has_lorem``        case-folded "lorem ipsum" placeholder text;
+    - ``kept``             the conjunction: word count in
+      [min_words, max_words], mean word length in
+      [min_mean_word_len, max_mean_word_len], no braces, no lorem.
+
+    Everything is native Column expressions (split / filter lambdas /
+    regexp), codegen'd and shuffle-free — the filter pass is a pure map
+    over the corpus, which is exactly what you want in front of 100 TB:
+    it prunes before any shuffle-bearing operator runs. Ratios are
+    integer-division results rounded to 6 places, so oracle comparison is
+    bit-stable cross-engine.
+    """
+    c = _c(text_col)
+    nw = token_count(text_col)
+    nonws = F.length(F.regexp_replace(c, r"\s", ""))
+    mean_wl = F.when(nw == 0, F.lit(0.0)).otherwise(
+        nonws.cast("double") / nw.cast("double")
+    )
+    lines = F.filter(
+        F.split(c, r"\n"), lambda x: F.trim(x) != F.lit("")
+    )
+    term_lines = F.filter(lines, lambda x: F.rtrim(x).rlike(r'[.!?"]$'))
+    line_frac = F.when(F.size(lines) == 0, F.lit(0.0)).otherwise(
+        F.size(term_lines).cast("double") / F.size(lines).cast("double")
+    )
+    has_brace = c.contains("{") | c.contains("}")
+    has_lorem = F.lower(c).contains("lorem ipsum")
+    mean_wl_r = F.round(mean_wl, 6)
+    kept = (
+        (nw >= min_words)
+        & (nw <= max_words)
+        & (mean_wl_r >= min_mean_word_len)
+        & (mean_wl_r <= max_mean_word_len)
+        & ~has_brace
+        & ~has_lorem
+    )
+    return df.select(
+        F.col(id_col),
+        nw.alias("n_words"),
+        mean_wl_r.alias("mean_word_len"),
+        F.round(line_frac, 6).alias("line_term_frac"),
+        has_brace.alias("has_brace"),
+        has_lorem.alias("has_lorem"),
+        kept.alias("kept"),
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     k: int = 3,

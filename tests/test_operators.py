@@ -592,3 +592,78 @@ def test_edit_distance_pairs_blocking_and_symmetry(spark):
     assert pairs[(1, 2)] == 2 and pairs[(2, 3)] == 2
     assert all(a < b for a, b in pairs)  # canonical ordering, no mirrors
     assert not any(4 in p or 5 in p for p in pairs)  # blocked out
+
+
+def test_c4_filters_flags_and_kept(spark):
+    from learn_etl_data_warehouse_spark.operators.text import c4_filters
+
+    docs = spark.createDataFrame(
+        [
+            # prose: 12 words, lines end in terminal punct → kept
+            (1, "One two three four five six.\nSeven eight nine ten eleven twelve!"),
+            (2, "short doc"),  # under min_words → dropped
+            (3, "function foo() { return 1; } " + "word " * 12),  # brace → dropped
+            (4, "Lorem Ipsum dolor sit amet " + "word " * 10),  # lorem → dropped
+            (5, "a b c d e f g h i j k l"),  # mean word len 1.0 < 2 → dropped
+            (6, ""),  # empty → dropped (0 words)
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r["doc_id"]: r for r in c4_filters(docs).collect()}
+    assert rows[1]["kept"] and rows[1]["n_words"] == 12
+    assert rows[1]["line_term_frac"] == 1.0
+    assert not rows[2]["kept"]
+    assert rows[3]["has_brace"] and not rows[3]["kept"]
+    assert rows[4]["has_lorem"] and not rows[4]["kept"]
+    assert rows[5]["mean_word_len"] == 1.0 and not rows[5]["kept"]
+    assert rows[6]["n_words"] == 0 and rows[6]["mean_word_len"] == 0.0
+    assert not rows[6]["kept"]
+
+
+def test_shuffle_shards_is_bijective_and_stable(spark, sf_small):
+    from learn_etl_data_warehouse_spark.operators.sampling import shuffle_shards
+
+    docs = load_table(spark, sf_small, "documents")
+    out = shuffle_shards(docs, n_shards=16).collect()
+    n = docs.count()
+    # global_pos is a permutation of 1..N
+    assert sorted(r["global_pos"] for r in out) == list(range(1, n + 1))
+    # shard-major: all positions in shard s precede shard s+1
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["global_pos"])
+    shards = sorted(by_shard)
+    for a, b in zip(shards, shards[1:]):
+        assert max(by_shard[a]) < min(by_shard[b])
+    # shard_pos is 1..len within each shard
+    for s in shards:
+        assert sorted(
+            r["shard_pos"] for r in out if r["shard"] == s
+        ) == list(range(1, len(by_shard[s]) + 1))
+    # deterministic: same permutation on re-run
+    again = {r["doc_id"]: r["global_pos"] for r in shuffle_shards(docs, 16).collect()}
+    assert all(again[r["doc_id"]] == r["global_pos"] for r in out)
+
+
+def test_domain_mix_rates_and_growth_stability(spark, sf_small):
+    from learn_etl_data_warehouse_spark.operators.sampling import domain_mix
+
+    docs = load_table(spark, sf_small, "documents")
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+    kept = domain_mix(docs, rates, default_rate=0.25).select("doc_id", "source")
+    by_src = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    totals = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_src["src0"] == totals["src0"]  # rate 1.0 keeps everything
+    assert "src2" not in by_src  # rate 0.0 drops everything
+    assert 0 < by_src["src1"] < totals["src1"]
+    # growth stability: membership on a subset equals membership filtered
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    kept_half = {r["doc_id"] for r in domain_mix(half, rates, 0.25).collect()}
+    kept_full = {r["doc_id"] for r in kept.collect() if r["doc_id"] % 2 == 0}
+    assert kept_half == kept_full
