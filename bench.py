@@ -47,6 +47,8 @@ HEADLINE = [
     "e06_attribution_pairs",
     "d13_edit_distance_pairs",
     "s08_random_projection",
+    "t12_c4_filters",
+    "d14_shuffle_shards",
 ]
 
 # Reference-parity ETL (EP1 at shard grain): not a queries() entry — it
