@@ -1632,6 +1632,22 @@ def q_e03(spark, sf_dir):
     )
 
 
+def q_e07(spark, sf_dir):
+    """Continuous-aggregate merge (r4c): daily stats per event_type
+    computed FROM the hourly pre-agg by merging partial states (sum of
+    integer sums, min of mins …) — the hypertable-rollup pattern
+    (operators/rollups.py::hourly_preagg/merge_rollup). The oracle
+    aggregates raw events directly at daily grain, so the driver row
+    certifies merge ≡ direct aggregation end-to-end."""
+    from learn_etl_data_warehouse_spark.operators.rollups import (
+        hourly_preagg,
+        merge_rollup,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    return merge_rollup(hourly_preagg(events), grain="day")
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing
 # --------------------------------------------------------------------------
@@ -1716,13 +1732,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (tests/test_driver_window.py) and sf0.1-swept in the round it
     # rotates in.
     return {
-        # -- never driver-checked (r4 additions) (12) ----------------------
+        # -- never driver-checked (r4 additions) (13) ----------------------
         "t08_decontamination": q_t08,
         "t09_repetition_metrics": q_t09,
         "t10_tfidf_top_terms": q_t10,
         "t11_pii_scrub": q_t11,
         "t12_c4_filters": q_t12,
         "e06_attribution_pairs": q_e06,
+        "e07_rollup_merge": q_e07,
         "d11_hash_ranked_sample": q_d11,
         "d12_incremental_dedup": q_d12,
         "d13_edit_distance_pairs": q_d13,
@@ -1742,14 +1759,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a11_exact_percentiles": q_a11,
         "set04_except": q_set04,
         "r01_asof_join": q_r01,
-        # -- r1+r2 bank: last verified r2 (26) -----------------------------
+        # -- r1+r2 bank: last verified r2 (25) -----------------------------
         "p01_clean_sci_notation": q_p01,
         "p02_remove_after_dot": q_p02,
         "p03_split_date_process": q_p03,
         "p04_latlng_extract": q_p04,
         "p06_truncate_distance": q_p06,
         "p07_duration_minutes": q_p07,
-        "p08_bool_flags": q_p08,
         "a01_quarter_counts": q_a01,
         "a02_returnflag_counts": q_a02,
         "a03_histogram_totalprice": q_a03,
@@ -1772,8 +1788,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d02_ngram_jaccard_pairs": q_d02,
         "e01_tumbling_window": q_e01,
         # ================= position 51+: outside driver window ============
-        # r1+r2-banked, displaced in r4b/r4c by d13/s08/t12/d14/d15
+        # r1+r2-banked, displaced in r4b/r4c by d13/s08/t12/d14/d15/e07
         # (staleness policy: never-checked beats twice-banked)
+        "p08_bool_flags": q_p08,
         "p12_filter_contains": q_p12,
         "p13_json_extract": q_p13,
         "p14_null_handling": q_p14,
@@ -2656,6 +2673,13 @@ WHERE epoch_us(purchase_ts) - epoch_us(click_ts) BETWEEN 0 AND 1800000000""",
         "e01_tumbling_window": """
 SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS window_start,
        event_type, count(*) AS n_events, round(CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_value
+FROM events GROUP BY 1, 2""",
+        "e07_rollup_merge": """
+SELECT date_trunc('day', ts) AS period, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(round(CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE) / 100) AS BIGINT) / CAST(100 AS DOUBLE) AS sum_value,
+       min(value) AS min_value,
+       max(value) AS max_value
 FROM events GROUP BY 1, 2""",
         "e02_sliding_window": """
 WITH starts AS (

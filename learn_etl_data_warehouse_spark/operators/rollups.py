@@ -42,6 +42,71 @@ def top_n_per_group(
     )
 
 
+def hourly_preagg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_cols: list[str] | None = None,
+    value_col: str = "value",
+    scale: int = 10_000,
+) -> DataFrame:
+    """Mergeable hourly pre-aggregate — the continuous-aggregate /
+    hypertable-rollup pattern: per (hour, keys) keep ONLY states that
+    merge associatively (count, fixed-point integer sum, min, max), so
+    any coarser grain re-aggregates from this table without touching raw
+    events. The sum stays an INTEGER (``sum_fp`` = Σ round(value·scale))
+    through every merge level — scaling back to money happens once, at
+    the final grain — which is what keeps multi-level rollups
+    order-independent and engine-exact (see functions/aggregates.py).
+
+    At 100 TB this is the storage/append side of a streaming rollup: raw
+    events aggregate once into hour partitions (map-side partial agg, one
+    small shuffle), and every dashboard grain (day/week/month) reads the
+    pre-agg, ~10³-10⁴× smaller than raw."""
+    keys = key_cols if key_cols is not None else ["event_type"]
+    return events.groupBy(
+        F.date_trunc("hour", F.col(ts_col)).alias("hour"), *keys
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col(value_col) * scale).cast("long")).alias("sum_fp"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+    )
+
+
+def merge_rollup(
+    preagg: DataFrame,
+    grain: str = "day",
+    time_col: str = "hour",
+    key_cols: list[str] | None = None,
+    scale: int = 10_000,
+    round_to: int = 2,
+) -> DataFrame:
+    """Re-aggregate a :func:`hourly_preagg` table to a coarser grain by
+    MERGING partial states (sum of counts, sum of integer sums, min of
+    mins, max of maxes) — never re-reading raw events. The defining
+    correctness property (merge ≡ direct aggregation over raw data) is
+    what the e07 oracle checks end-to-end."""
+    from ..functions.aggregates import _half_up_div
+
+    keys = key_cols if key_cols is not None else ["event_type"]
+    s = F.sum("sum_fp")
+    out_scale = 10**round_to
+    f = scale // out_scale
+    money = (
+        _half_up_div(s, f).cast("double") / F.lit(out_scale)
+        if f > 1
+        else F.round(s.cast("double") / F.lit(scale), round_to)
+    )
+    return preagg.groupBy(
+        F.date_trunc(grain, F.col(time_col)).alias("period"), *keys
+    ).agg(
+        F.sum("n").cast("long").alias("n"),
+        money.alias("sum_value"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )
+
+
 def monthly_rollup(
     df: DataFrame,
     ts_col: str,

@@ -667,3 +667,57 @@ def test_domain_mix_rates_and_growth_stability(spark, sf_small):
     kept_half = {r["doc_id"] for r in domain_mix(half, rates, 0.25).collect()}
     kept_full = {r["doc_id"] for r in kept.collect() if r["doc_id"] % 2 == 0}
     assert kept_half == kept_full
+
+
+def test_rollup_merge_equals_direct_aggregation(spark, sf_small):
+    from learn_etl_data_warehouse_spark.functions.aggregates import (
+        fixed_point_sum,
+    )
+    from learn_etl_data_warehouse_spark.operators.rollups import (
+        hourly_preagg,
+        merge_rollup,
+    )
+
+    events = load_table(spark, sf_small, "events")
+    merged = {
+        (r["period"], r["event_type"]): (
+            r["n"], r["sum_value"], r["min_value"], r["max_value"]
+        )
+        for r in merge_rollup(hourly_preagg(events), grain="day").collect()
+    }
+    direct = {
+        (r["period"], r["event_type"]): (
+            r["n"], r["sum_value"], r["min_value"], r["max_value"]
+        )
+        for r in events.groupBy(
+            F.date_trunc("day", "ts").alias("period"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            fixed_point_sum(F.col("value"), 10_000).alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    assert merged == direct
+    # second merge level: month-from-day-preagg == month-from-hour-preagg
+    hours = hourly_preagg(events)
+    month_a = {
+        (r["period"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in merge_rollup(hours, grain="month").collect()
+    }
+    # day-grain intermediate keeping integer state (scale back only at the end)
+    days = hours.groupBy(
+        F.date_trunc("day", "hour").alias("hour"), "event_type"
+    ).agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("sum_fp").alias("sum_fp"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )
+    month_b = {
+        (r["period"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in merge_rollup(days, grain="month").collect()
+    }
+    assert month_a == month_b
