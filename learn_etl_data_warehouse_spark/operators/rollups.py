@@ -107,6 +107,106 @@ def merge_rollup(
     )
 
 
+def maintain_rollup(
+    prev: DataFrame,
+    diff: DataFrame,
+    time_col: str = "ts",
+    key_cols: list[str] | None = None,
+    value_col: str = "value",
+    scale: int = 10_000,
+) -> tuple[DataFrame, DataFrame]:
+    """Incrementally maintain an :func:`hourly_preagg` table from a
+    change-data-feed (rows labeled ``_change_type`` insert/delete, e.g.
+    ``plans/manifest_warehouse.py::snapshot_diff``) — incremental view
+    maintenance, the alternative to recomputing a 100 TB rollup because
+    one day's partitions changed.
+
+    The classic measure taxonomy applies:
+
+    - count and the integer fixed-point sum are ADDITIVE — inserts add,
+      deletes subtract, exactly, with no rescan of raw data;
+    - min/max are insert-mergeable (least/greatest with the incoming
+      batch's extrema) but NOT subtractable — a delete may remove the
+      extremum, so groups touched by deletes get their min/max marked
+      unknown (null) and listed in the returned ``dirty`` frame.
+
+    Returns ``(maintained, dirty)``: ``maintained`` is the updated
+    pre-agg (groups whose count reaches 0 drop out; dirty groups carry
+    null min/max), ``dirty`` is the (hour, keys) list to hand to
+    :func:`refresh_rollup_groups`. Cost: one shuffle over the DIFF (not
+    the corpus) + a key-equality join against the pre-agg."""
+    keys = key_cols if key_cols is not None else ["event_type"]
+    hour = F.date_trunc("hour", F.col(time_col)).alias("hour")
+    is_ins = F.col("_change_type") == "insert"
+    sign = F.when(is_ins, F.lit(1)).otherwise(F.lit(-1))
+    d = diff.groupBy(hour, *keys).agg(
+        F.sum(sign).cast("long").alias("_dn"),
+        F.sum(sign * F.round(F.col(value_col) * scale).cast("long")).alias(
+            "_dsum"
+        ),
+        F.min(F.when(is_ins, F.col(value_col))).alias("_ins_min"),
+        F.max(F.when(is_ins, F.col(value_col))).alias("_ins_max"),
+        F.max((~is_ins).cast("int")).alias("_had_del"),
+    )
+    j = prev.join(d, ["hour", *keys], "full_outer")
+    n_new = (
+        F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("_dn"), F.lit(0))
+    ).cast("long")
+    dirty_flag = F.coalesce(F.col("_had_del"), F.lit(0)) == 1
+    maintained = (
+        j.withColumn("_n_new", n_new)
+        .filter(F.col("_n_new") > 0)
+        .select(
+            "hour",
+            *keys,
+            F.col("_n_new").alias("n"),
+            (
+                F.coalesce(F.col("sum_fp"), F.lit(0))
+                + F.coalesce(F.col("_dsum"), F.lit(0))
+            ).cast("long").alias("sum_fp"),
+            F.when(dirty_flag, F.lit(None).cast("double"))
+            .otherwise(F.least("min_value", "_ins_min"))
+            .alias("min_value"),
+            F.when(dirty_flag, F.lit(None).cast("double"))
+            .otherwise(F.greatest("max_value", "_ins_max"))
+            .alias("max_value"),
+            dirty_flag.alias("_dirty"),
+        )
+    )
+    dirty = maintained.filter("_dirty").select("hour", *keys)
+    return maintained.drop("_dirty"), dirty
+
+
+def refresh_rollup_groups(
+    maintained: DataFrame,
+    raw: DataFrame,
+    dirty: DataFrame,
+    time_col: str = "ts",
+    key_cols: list[str] | None = None,
+    value_col: str = "value",
+    scale: int = 10_000,
+) -> DataFrame:
+    """Recompute the dirty groups' full states from raw rows and splice
+    them into the maintained pre-agg. The raw scan is restricted by a
+    semi join on the (hour, keys) group — dirty groups are bounded by
+    the diff's group count (broadcastable), and on a partitioned
+    warehouse the hour predicate prunes partitions, so the rescan cost
+    follows the CHANGE volume, not the table."""
+    keys = key_cols if key_cols is not None else ["event_type"]
+    sub = (
+        raw.withColumn("hour", F.date_trunc("hour", F.col(time_col)))
+        .join(F.broadcast(dirty), ["hour", *keys], "left_semi")
+        .drop("hour")
+    )
+    recomputed = hourly_preagg(
+        sub, ts_col=time_col, key_cols=keys, value_col=value_col, scale=scale
+    )
+    clean = maintained.join(
+        F.broadcast(dirty), ["hour", *keys], "left_anti"
+    )
+    return clean.unionByName(recomputed)
+
+
 def monthly_rollup(
     df: DataFrame,
     ts_col: str,

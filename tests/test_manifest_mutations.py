@@ -273,3 +273,70 @@ def test_clustered_compaction_tightens_file_ranges(spark, tmp_path):
     assert len(ranges) >= 2
     # consecutive files overlap at most at the boundary value
     assert all(a[1] <= b[0] for a, b in zip(ranges, ranges[1:]))
+
+
+def test_incremental_rollup_maintenance_from_cdf(spark, tmp_path):
+    """IVM end-to-end: snapshot_diff's CDF drives maintain_rollup /
+    refresh_rollup_groups, and the maintained pre-agg must equal a full
+    recompute over the new snapshot — including a delete that removes a
+    group's maximum (the non-subtractable min/max path) and a group that
+    disappears entirely."""
+    from datetime import datetime
+
+    from learn_etl_data_warehouse_spark.operators.rollups import (
+        hourly_preagg,
+        maintain_rollup,
+        refresh_rollup_groups,
+    )
+
+    table = str(tmp_path / "etable")
+    os.makedirs(table)
+    sink = manifest_stream_sink(table)
+
+    def t(h, m):
+        return datetime(2026, 1, 1, h, m)
+
+    b0 = spark.createDataFrame(
+        [
+            (t(10, 0), "click", 1.0),
+            (t(10, 10), "click", 99.0),   # the 10:00/click max — deleted below
+            (t(10, 20), "click", 2.0),
+            (t(10, 5), "view", 5.0),      # whole group deleted below
+            (t(11, 0), "click", 3.0),     # untouched group
+        ],
+        "ts TIMESTAMP, event_type STRING, value DOUBLE",
+    )
+    sink(b0, 0)
+    t1 = read_manifest(table)["txn"]
+    rollup1 = hourly_preagg(read_snapshot(spark, table, as_of=t1))
+
+    delete_where(spark, table, F.col("value") >= 99.0)  # kills the max
+    delete_where(spark, table, F.col("event_type") == "view")
+    b1 = spark.createDataFrame(
+        [
+            (t(10, 30), "click", 0.5),    # insert into a dirty group
+            (t(12, 0), "purchase", 7.0),  # brand-new group
+        ],
+        "ts TIMESTAMP, event_type STRING, value DOUBLE",
+    )
+    sink(b1, 1)
+
+    cdf = snapshot_diff(spark, table, from_txn=t1)
+    maintained, dirty = maintain_rollup(rollup1, cdf)
+    # the delete-touched group is flagged; insert-only groups are not
+    dirty_keys = {(r["hour"], r["event_type"]) for r in dirty.collect()}
+    assert (t(10, 0), "click") in dirty_keys
+    assert (t(12, 0), "purchase") not in dirty_keys
+
+    refreshed = refresh_rollup_groups(
+        maintained, read_snapshot(spark, table), dirty
+    )
+    expected = hourly_preagg(read_snapshot(spark, table))
+    as_set = lambda df: {
+        (r["hour"], r["event_type"], r["n"], r["sum_fp"],
+         r["min_value"], r["max_value"])
+        for r in df.collect()
+    }
+    assert as_set(refreshed) == as_set(expected)
+    # the vanished (view) group must not linger
+    assert not any(k[1] == "view" for k in as_set(refreshed))
