@@ -49,6 +49,7 @@ HEADLINE = [
     "s08_random_projection",
     "t12_c4_filters",
     "d14_shuffle_shards",
+    "e07_rollup_merge",
 ]
 
 # Reference-parity ETL (EP1 at shard grain): not a queries() entry — it
