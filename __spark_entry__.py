@@ -1318,6 +1318,37 @@ def q_d15(spark, sf_dir):
     )
 
 
+def q_d16(spark, sf_dir):
+    """End-to-end deterministic corpus build (r4c): C4 heuristic filter →
+    exact dedup (min-id winner) → weighted domain mix → epoch shuffle.
+    Every stage is md5-deterministic, so the ENTIRE four-stage pipeline
+    is oracle-checkable value-exact — the full training-data build as one
+    lazy engine-portable plan (contrast d06, whose MinHash stage makes it
+    rows-only). Plan: narrow filter stages fuse into the scan; the only
+    shuffles are dedup's fingerprint key and the shuffle's shard key."""
+    from learn_etl_data_warehouse_spark.operators.sampling import (
+        domain_mix,
+        shuffle_shards,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = (
+        text.c4_filters(docs, keep_cols=["text", "source"])
+        .filter("kept")
+        .select("doc_id", "text", "source")
+    )
+    deduped = dedup.dedup_exact(kept)
+    rates = {
+        "src0": 1.0,
+        "src1": 0.75,
+        "src2": 0.5,
+        "src3": 0.25,
+        "src4": 0.1,
+    }
+    mixed = domain_mix(deduped, rates, default_rate=0.05)
+    return shuffle_shards(mixed, n_shards=8)
+
+
 def q_d08(spark, sf_dir):
     """Stratified sampling by language (rows-only: Bernoulli sampling is
     partitioning-dependent; proportions pinned in tests)."""
@@ -1732,7 +1763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (tests/test_driver_window.py) and sf0.1-swept in the round it
     # rotates in.
     return {
-        # -- never driver-checked (r4 additions) (13) ----------------------
+        # -- never driver-checked (r4 additions) (14) ----------------------
         "t08_decontamination": q_t08,
         "t09_repetition_metrics": q_t09,
         "t10_tfidf_top_terms": q_t10,
@@ -1745,6 +1776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d13_edit_distance_pairs": q_d13,
         "d14_shuffle_shards": q_d14,
         "d15_domain_mix": q_d15,
+        "d16_corpus_build": q_d16,
         "s08_random_projection": q_s08,
         # -- red in r3, reshaped in r4: must re-earn its driver row (1) ----
         "s07_quantize_int8": q_s07,
@@ -1759,13 +1791,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a11_exact_percentiles": q_a11,
         "set04_except": q_set04,
         "r01_asof_join": q_r01,
-        # -- r1+r2 bank: last verified r2 (25) -----------------------------
+        # -- r1+r2 bank: last verified r2 (24) -----------------------------
         "p01_clean_sci_notation": q_p01,
         "p02_remove_after_dot": q_p02,
         "p03_split_date_process": q_p03,
         "p04_latlng_extract": q_p04,
         "p06_truncate_distance": q_p06,
-        "p07_duration_minutes": q_p07,
         "a01_quarter_counts": q_a01,
         "a02_returnflag_counts": q_a02,
         "a03_histogram_totalprice": q_a03,
@@ -1788,8 +1819,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d02_ngram_jaccard_pairs": q_d02,
         "e01_tumbling_window": q_e01,
         # ================= position 51+: outside driver window ============
-        # r1+r2-banked, displaced in r4b/r4c by d13/s08/t12/d14/d15/e07
+        # r1+r2-banked, displaced in r4b/r4c by d13/s08/t12/d14/d15/e07/d16
         # (staleness policy: never-checked beats twice-banked)
+        "p07_duration_minutes": q_p07,
         "p08_bool_flags": q_p08,
         "p12_filter_contains": q_p12,
         "p13_json_extract": q_p13,
@@ -2507,6 +2539,38 @@ SELECT doc_id, source, lang FROM b
 WHERE bk < CASE source WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 750000
                        WHEN 'src2' THEN 500000 WHEN 'src3' THEN 250000
                        WHEN 'src4' THEN 100000 ELSE 50000 END""",
+        "d16_corpus_build": f"""
+WITH t AS (
+  SELECT doc_id, text, source,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_words,
+         len(regexp_replace(text, '\\s', '', 'g')) AS nonws
+  FROM documents),
+kept AS (
+  SELECT doc_id, text, source FROM t
+  WHERE n_words >= 10 AND n_words <= 100000
+    AND round(CASE WHEN n_words = 0 THEN 0.0 ELSE nonws * 1.0 / n_words END, 6)
+        BETWEEN 2.0 AND 12.0
+    AND NOT (contains(text, '{{') OR contains(text, '}}'))
+    AND NOT contains(lower(text), 'lorem ipsum')),
+fp AS (SELECT doc_id, source, md5({_NORM_TEXT}) AS f FROM kept),
+dd AS (SELECT doc_id, source FROM fp
+       WHERE doc_id = (SELECT min(doc_id) FROM fp f2 WHERE f2.f = fp.f)),
+mix AS (
+  SELECT doc_id FROM dd
+  WHERE ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
+        < CASE source WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 750000
+                      WHEN 'src2' THEN 500000 WHEN 'src3' THEN 250000
+                      WHEN 'src4' THEN 100000 ELSE 50000 END),
+b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard,
+         md5('ord:' || CAST(doc_id AS VARCHAR)) AS ok
+  FROM mix)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id) AS BIGINT) AS shard_pos,
+       CAST(row_number() OVER (ORDER BY shard, ok, doc_id) AS BIGINT) AS global_pos
+FROM b""",
         "t12_c4_filters": r"""
 WITH t AS (
   SELECT doc_id, text,

@@ -268,6 +268,7 @@ def c4_filters(
     max_words: int = 100_000,
     min_mean_word_len: float = 2.0,
     max_mean_word_len: float = 12.0,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """C4-style heuristic document filters (Raffel et al., the cleaning
     pass behind the C4 corpus): per document, the classic cheap signals —
@@ -289,6 +290,11 @@ def c4_filters(
     it prunes before any shuffle-bearing operator runs. Ratios are
     integer-division results rounded to 6 places, so oracle comparison is
     bit-stable cross-engine.
+
+    ``keep_cols`` passes source columns through the output so a pipeline
+    can ``.filter("kept")`` directly — a narrow map — instead of
+    re-joining the flags back to the corpus (a pointless shuffle at
+    scale; d16 uses this).
     """
     c = _c(text_col)
     nw = token_count(text_col)
@@ -316,6 +322,7 @@ def c4_filters(
     )
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in (keep_cols or [])],
         nw.alias("n_words"),
         mean_wl_r.alias("mean_word_len"),
         F.round(line_frac, 6).alias("line_term_frac"),
