@@ -1,0 +1,94 @@
+"""Property-based tests for the r4c corpus operators: c4_filters fuzzed
+over arbitrary unicode text (flag consistency + no crashes), and
+shuffle_shards / domain_mix fuzzed over arbitrary id sets (bijectivity,
+membership determinism, growth stability).
+
+Same batching strategy as test_property_cleaning.py: each hypothesis
+example is a whole batch evaluated in ONE Spark job.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+texts = st.lists(
+    st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs",)  # no lone surrogates
+        ),
+        max_size=200,
+    ),
+    min_size=1,
+    max_size=20,
+)
+id_sets = st.lists(
+    st.integers(0, 2**40), min_size=1, max_size=60, unique=True
+)
+
+
+@given(batch=texts)
+@SETTINGS
+def test_c4_filters_flag_consistency(spark, batch):
+    from learn_etl_data_warehouse_spark.operators.text import c4_filters
+
+    df = spark.createDataFrame(
+        list(enumerate(batch)), "doc_id LONG, text STRING"
+    )
+    rows = c4_filters(df).collect()
+    assert len(rows) == len(batch)
+    for r in rows:
+        txt = batch[r["doc_id"]]
+        # flags agree with a direct python model
+        assert r["has_brace"] == ("{" in txt or "}" in txt)
+        assert r["has_lorem"] == ("lorem ipsum" in txt.lower())
+        assert r["n_words"] >= 0 and 0.0 <= r["line_term_frac"] <= 1.0
+        if r["kept"]:
+            assert 10 <= r["n_words"] <= 100_000
+            assert 2.0 <= r["mean_word_len"] <= 12.0
+            assert not r["has_brace"] and not r["has_lorem"]
+
+
+@given(ids=id_sets)
+@SETTINGS
+def test_shuffle_shards_bijective_on_arbitrary_ids(spark, ids):
+    from learn_etl_data_warehouse_spark.operators.sampling import (
+        shuffle_shards,
+    )
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id LONG")
+    out = shuffle_shards(df, n_shards=4).collect()
+    assert sorted(r["global_pos"] for r in out) == list(
+        range(1, len(ids) + 1)
+    )
+    assert {r["doc_id"] for r in out} == set(ids)
+
+
+@given(ids=id_sets, rate_ppm=st.integers(0, 1_000_000))
+@SETTINGS
+def test_domain_mix_membership_is_pointwise_deterministic(
+    spark, ids, rate_ppm
+):
+    from learn_etl_data_warehouse_spark.operators.sampling import domain_mix
+
+    rate = rate_ppm / 1_000_000
+    df = spark.createDataFrame(
+        [(i, "d") for i in ids], "doc_id LONG, source STRING"
+    )
+    kept = {r["doc_id"] for r in domain_mix(df, {"d": rate}).collect()}
+    # growth stability: any subset keeps exactly its members' fates
+    half = df.filter(F.col("doc_id") % 2 == 0)
+    kept_half = {r["doc_id"] for r in domain_mix(half, {"d": rate}).collect()}
+    assert kept_half == {i for i in kept if i % 2 == 0}
+    # boundary rates
+    if rate_ppm == 1_000_000:
+        assert kept == set(ids)
+    if rate_ppm == 0:
+        assert kept == set()
