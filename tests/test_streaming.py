@@ -620,3 +620,65 @@ def test_stream_dedup_matches_batch_distinct(spark, sf_small, tmp_path):
         map(tuple, events.dropDuplicates(["event_id"]).select("event_id").collect())
     )
     assert got == want  # every duplicate dropped, nothing else lost
+
+
+def test_streaming_continuous_aggregate_matches_batch(spark, sf_small, tmp_path):
+    """Streaming continuous aggregate: maintain_rollup inside foreachBatch.
+    Micro-batches are insert-only diffs, so maintenance is a pure state
+    merge (no dirty groups ever), and after the stream drains the
+    maintained pre-agg must equal the batch hourly_preagg over all events
+    — the streaming twin of e07's merge ≡ direct property."""
+    from pyspark.sql import functions as F
+
+    from learn_etl_data_warehouse_spark.operators.rollups import (
+        hourly_preagg,
+        maintain_rollup,
+    )
+
+    events = load_table(spark, sf_small, "events")
+    staged = str(tmp_path / "events_stream")
+    # several files so availableNow produces real micro-batch boundaries
+    events.repartition(4).write.mode("overwrite").parquet(staged)
+    schema = events.schema
+
+    rollup_dir = str(tmp_path / "rollup")
+    empty = hourly_preagg(events.limit(0))
+    empty.write.mode("overwrite").parquet(rollup_dir)
+
+    def update_rollup(batch_df, batch_id):
+        prev = batch_df.sparkSession.read.parquet(rollup_dir)
+        diff = batch_df.withColumn("_change_type", F.lit("insert"))
+        maintained, dirty = maintain_rollup(prev, diff)
+        assert dirty.isEmpty()  # insert-only: min/max always mergeable
+        out = maintained.collect()  # materialize before overwriting input
+        batch_df.sparkSession.createDataFrame(
+            out, maintained.schema
+        ).coalesce(1).write.mode("overwrite").parquet(rollup_dir)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .writeStream.foreachBatch(update_rollup)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+
+    got = {
+        (r["hour"], r["event_type"]): (
+            r["n"], r["sum_fp"], r["min_value"], r["max_value"]
+        )
+        for r in spark.read.parquet(rollup_dir).collect()
+    }
+    want = {
+        (r["hour"], r["event_type"]): (
+            r["n"], r["sum_fp"], r["min_value"], r["max_value"]
+        )
+        for r in hourly_preagg(events).collect()
+    }
+    assert got == want
