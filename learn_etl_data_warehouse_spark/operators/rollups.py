@@ -152,7 +152,17 @@ def maintain_rollup(
     n_new = (
         F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("_dn"), F.lit(0))
     ).cast("long")
-    dirty_flag = F.coalesce(F.col("_had_del"), F.lit(0)) == 1
+    # Dirtiness is STICKY: a prev row whose min/max are null is a
+    # delete-touched group that refresh_rollup_groups has not yet healed.
+    # Without this, a second insert-only diff would let least/greatest
+    # skip the nulls and adopt the batch extrema as the group's min/max —
+    # silently wrong, with the group no longer flagged dirty.
+    prev_dirty = (
+        F.col("n").isNotNull()
+        & F.col("min_value").isNull()
+        & F.col("max_value").isNull()
+    )
+    dirty_flag = (F.coalesce(F.col("_had_del"), F.lit(0)) == 1) | prev_dirty
     maintained = (
         j.withColumn("_n_new", n_new)
         .filter(F.col("_n_new") > 0)

@@ -296,6 +296,16 @@ def c4_filters(
     re-joining the flags back to the corpus (a pointless shuffle at
     scale; d16 uses this).
     """
+    reserved = {
+        "n_words", "mean_word_len", "line_term_frac",
+        "has_brace", "has_lorem", "kept", id_col,
+    }
+    clash = sorted(set(keep_cols or []) & reserved)
+    if clash:
+        raise ValueError(
+            f"c4_filters keep_cols {clash} collide with output columns "
+            f"(reserved: sorted({sorted(reserved)})); rename them upstream"
+        )
     c = _c(text_col)
     nw = token_count(text_col)
     nonws = F.length(F.regexp_replace(c, r"\s", ""))

@@ -66,7 +66,11 @@ def violation_counts(
     df: DataFrame, rules: dict[str, str | Column]
 ) -> dict[str, int]:
     """Per-rule violation counts in one aggregate job (conditional
-    count per rule — no explode, no second scan per rule)."""
+    count per rule — no explode, no second scan per rule). An empty rule
+    set short-circuits to {} — ``df.agg()`` with zero expressions is a
+    Spark error, and 'no rules' simply means 'no violations'."""
+    if not rules:
+        return {}
     aggs = [
         F.count(
             F.when(~F.coalesce(_as_col(rule), F.lit(False)), F.lit(1))

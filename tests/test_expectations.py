@@ -103,3 +103,7 @@ def test_drop_mode_and_bad_config(spark, frame, tmp_path, RULES):
         checked_stream_sink(table, RULES, on_violation="nope")
     with pytest.raises(ValueError):
         checked_stream_sink(table, RULES, on_violation="quarantine")
+
+
+def test_violation_counts_empty_rules(spark, frame):
+    assert violation_counts(frame, {}) == {}

@@ -4,6 +4,7 @@ sessionization conformance, multimodal plumbing."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from learn_etl_data_warehouse_spark.functions.histogram import histogram
@@ -721,3 +722,66 @@ def test_rollup_merge_equals_direct_aggregation(spark, sf_small):
         for r in merge_rollup(days, grain="month").collect()
     }
     assert month_a == month_b
+
+
+def test_maintain_rollup_dirtiness_is_sticky(spark):
+    """A second, insert-only diff applied to an UNREFRESHED pre-agg must
+    not 'heal' a dirty group: least/greatest skip nulls, so without the
+    sticky-dirty guard the insert batch's extrema would silently become
+    the group's min/max and the group would vanish from the dirty list
+    (r4 ADVICE)."""
+    from datetime import datetime
+
+    from learn_etl_data_warehouse_spark.operators.rollups import (
+        hourly_preagg,
+        maintain_rollup,
+    )
+
+    t0 = datetime(2026, 1, 1, 10, 0)
+    raw = spark.createDataFrame(
+        [(t0, "click", 1.0), (t0, "click", 99.0)],
+        "ts TIMESTAMP, event_type STRING, value DOUBLE",
+    )
+    prev = hourly_preagg(raw)
+    # diff 1: delete the max → group goes dirty (null min/max)
+    d1 = spark.createDataFrame(
+        [(t0, "click", 99.0, "delete")],
+        "ts TIMESTAMP, event_type STRING, value DOUBLE, _change_type STRING",
+    )
+    m1, dirty1 = maintain_rollup(prev, d1)
+    r1 = m1.collect()[0]
+    assert r1["min_value"] is None and r1["max_value"] is None
+    assert dirty1.count() == 1
+    # diff 2: INSERT-ONLY into the still-unrefreshed group
+    d2 = spark.createDataFrame(
+        [(t0, "click", 50.0, "insert")],
+        "ts TIMESTAMP, event_type STRING, value DOUBLE, _change_type STRING",
+    )
+    m2, dirty2 = maintain_rollup(m1, d2)
+    r2 = m2.collect()[0]
+    # additive states advance exactly; min/max stay unknown, group stays dirty
+    assert r2["n"] == 2 and r2["sum_fp"] == 510_000
+    assert r2["min_value"] is None and r2["max_value"] is None
+    assert dirty2.count() == 1
+    # a brand-new group in the same batch is NOT dirty (null-prev ≠ dirty-prev)
+    d3 = spark.createDataFrame(
+        [(datetime(2026, 1, 1, 12, 0), "view", 7.0, "insert")],
+        "ts TIMESTAMP, event_type STRING, value DOUBLE, _change_type STRING",
+    )
+    m3, dirty3 = maintain_rollup(m2, d3)
+    new = [r for r in m3.collect() if r["event_type"] == "view"][0]
+    assert new["min_value"] == 7.0 and new["max_value"] == 7.0
+    assert dirty3.count() == 1  # only the old click group
+
+
+def test_c4_filters_rejects_reserved_keep_cols(spark):
+    from learn_etl_data_warehouse_spark.operators.text import c4_filters
+
+    docs = spark.createDataFrame(
+        [("a", "hello world one two three four five six seven eight")],
+        "doc_id STRING, text STRING",
+    )
+    with pytest.raises(ValueError, match="keep_cols"):
+        c4_filters(docs, keep_cols=["n_words"])
+    with pytest.raises(ValueError, match="keep_cols"):
+        c4_filters(docs, keep_cols=["doc_id"])
