@@ -2682,13 +2682,21 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS.format(a='a.v', b='b.v')} AS co
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE {_COS.format(a='a.v', b='b.v')} >= 0.4""",
         "d13_edit_distance_pairs": """
-WITH d AS (SELECT doc_id, lang, CAST(floor(n_chars / 8) AS BIGINT) AS b,
-                  substr(text, 1, 64) AS p
-           FROM documents)
+WITH d0 AS (SELECT doc_id, lang, CAST(floor(n_chars / 8) AS BIGINT) AS b,
+                   substr(text, 1, 64) AS p
+            FROM documents),
+d1 AS (SELECT *, count(*) OVER (PARTITION BY lang, b) AS n1 FROM d0),
+d2 AS (SELECT doc_id, lang, b, p,
+              CASE WHEN n1 > 1000 THEN substr(p, 1, 16) ELSE '' END AS sub
+       FROM d1),
+d AS (SELECT doc_id, lang, b, p, sub FROM
+        (SELECT *, count(*) OVER (PARTITION BY lang, b, sub) AS n2 FROM d2)
+      WHERE n2 <= 1000)
 SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
        CAST(levenshtein(a.p, b2.p) AS BIGINT) AS edit_distance
 FROM d a JOIN d b2
-  ON a.lang = b2.lang AND a.b = b2.b AND a.doc_id < b2.doc_id
+  ON a.lang = b2.lang AND a.b = b2.b AND a.sub = b2.sub
+     AND a.doc_id < b2.doc_id
 WHERE levenshtein(a.p, b2.p) <= 5""",
         "s08_random_projection": """
 SELECT vec_id, CAST(j AS BIGINT) AS j,

@@ -525,25 +525,52 @@ def edit_distance_pairs(
     id_col: str = "doc_id",
     lang_col: str = "lang",
     len_col: str = "n_chars",
+    max_block_size: int = 1000,
+    sub_prefix_len: int = 16,
 ) -> DataFrame:
     """Fuzzy near-dup candidates via EDIT DISTANCE: block on
     (lang, ⌊n_chars/bucket_width⌋) — the standard record-linkage
     length+attribute blocking — then verify ``levenshtein`` on the
     ``prefix_len``-char prefix within each block.
 
-    Recall caveat (documented, same class as d02's doc-frequency cap and
-    d03's band count): a true near-dup pair whose lengths straddle a
-    bucket boundary is missed; narrower buckets trade recall for
-    candidate count. Cost is Σ|block|² over blocks — bounded by the
-    blocking key's fan-in, never corpus², and the join is key-equality
-    so it shuffles both sides once on the block key. levenshtein runs
-    only on candidates and on a fixed-length prefix, keeping the DP cost
-    O(prefix_len²) per pair at any corpus size."""
-    d = df.select(
+    Block fan-in is HARD-BOUNDED (the web-scale skew guard, same class
+    as d02's doc-frequency cap and d03's oversized-bucket anti-join): a
+    block larger than ``max_block_size`` is split by a secondary key —
+    the first ``sub_prefix_len`` chars of the prefix — and any sub-block
+    STILL over the cap is dropped from pair generation. Every block that
+    reaches the self-join therefore holds ≤ max_block_size docs, so one
+    hot (lang, length) key costs at most cap² comparisons instead of a
+    corpus-killing |block|². Recall trades, all documented: pairs whose
+    lengths straddle a bucket boundary are missed; in an oversized block,
+    pairs differing inside the first sub_prefix_len chars are missed;
+    a >cap cluster sharing its sub-prefix (boilerplate headers) is
+    skipped entirely — exact members of it are d01's job, hashed
+    near-dups d03's. The secondary key only activates above the cap, so
+    small-corpus results are unchanged.
+
+    Plan: window counts partition by the same keys the join shuffles on
+    (Catalyst reuses the exchange), levenshtein runs only on surviving
+    candidates and a fixed-length prefix — O(prefix_len²) per pair at
+    any corpus size."""
+    d0 = df.select(
         F.col(id_col),
         F.col(lang_col).alias("_lang"),
         F.floor(F.col(len_col) / bucket_width).alias("_b"),
         F.substring(F.col(text_col), 1, prefix_len).alias("_p"),
+    )
+    w1 = Window.partitionBy("_lang", "_b")
+    d1 = d0.withColumn(
+        "_sub",
+        F.when(
+            F.count(F.lit(1)).over(w1) > max_block_size,
+            F.substring(F.col("_p"), 1, sub_prefix_len),
+        ).otherwise(F.lit("")),
+    )
+    w2 = Window.partitionBy("_lang", "_b", "_sub")
+    d = (
+        d1.withColumn("_n2", F.count(F.lit(1)).over(w2))
+        .filter(F.col("_n2") <= max_block_size)
+        .drop("_n2")
     )
     a, b = d.alias("a"), d.alias("b")
     lev = F.levenshtein(F.col("a._p"), F.col("b._p"))
@@ -552,6 +579,7 @@ def edit_distance_pairs(
             b,
             (F.col("a._lang") == F.col("b._lang"))
             & (F.col("a._b") == F.col("b._b"))
+            & (F.col("a._sub") == F.col("b._sub"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(

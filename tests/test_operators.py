@@ -595,6 +595,46 @@ def test_edit_distance_pairs_blocking_and_symmetry(spark):
     assert not any(4 in p or 5 in p for p in pairs)  # blocked out
 
 
+def test_edit_distance_pairs_hot_block_is_bounded(spark):
+    """Skew guard: a hot (lang, length-bucket) block larger than
+    max_block_size must (a) split on the secondary sub-prefix key so
+    distinct-prefix groups never cross-compare, and (b) drop a sub-block
+    that is STILL over the cap — so no surviving block exceeds
+    max_block_size and per-key cost is ≤ cap², not |block|²."""
+    from learn_etl_data_warehouse_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+
+    # one hot block: 30 docs, all lang=en, all n_chars=24 (bucket 3).
+    # Sub-prefix groups (first 16 chars): 'boilerplate AAAA' ×20 (over a
+    # cap of 8 → dropped), 'unique head BBBB' ×6 and 'unique head CCCC'
+    # ×4 (kept, but must not cross-compare).
+    rows = (
+        [(i, "boilerplate AAAA tail%02d" % i, "en", 24) for i in range(20)]
+        + [(100 + i, "unique head BBBB tail%02d" % i, "en", 24) for i in range(6)]
+        + [(200 + i, "unique head CCCC tail%02d" % i, "en", 24) for i in range(4)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, n_chars LONG"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in edit_distance_pairs(
+            docs, max_distance=30, max_block_size=8
+        ).collect()
+    }
+    # dropped sub-block contributes nothing
+    assert not any(a < 100 for a, _ in pairs)
+    # kept sub-blocks compare within themselves only: C(6,2) + C(4,2)
+    assert len(pairs) == 15 + 6
+    assert all((a < 200) == (b < 200) for a, b in pairs)
+    # below the cap nothing changes: same frame, big cap → full block join
+    full = edit_distance_pairs(
+        docs, max_distance=30, max_block_size=1000
+    ).count()
+    assert full == 30 * 29 // 2
+
+
 def test_c4_filters_flags_and_kept(spark):
     from learn_etl_data_warehouse_spark.operators.text import c4_filters
 
