@@ -1679,6 +1679,44 @@ def q_e07(spark, sf_dir):
     return merge_rollup(hourly_preagg(events), grain="day")
 
 
+def q_ivm01(spark, sf_dir):
+    """Incremental view maintenance end-to-end (r5): a scripted
+    insert+delete transaction drives maintain_rollup (additive states
+    updated exactly from the diff; delete-touched groups' min/max marked
+    dirty) then refresh_rollup_groups (dirty groups rescanned via a
+    broadcast semi-join on the final snapshot). The published state must
+    equal a direct hourly aggregation over the post-txn snapshot — the
+    defining IVM property, here certified by the driver's oracle rather
+    than only the repo's conformance test. Txn script: delete the
+    event_id%17==3 cohort, insert the %17==5 cohort (absent from the
+    initial snapshot)."""
+    from learn_etl_data_warehouse_spark.operators.rollups import (
+        hourly_preagg,
+        maintain_rollup,
+        refresh_rollup_groups,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    cohort = F.col("event_id") % 17
+    s0 = events.filter(cohort != 5)  # pre-txn snapshot (inserts absent)
+    prev = hourly_preagg(s0)
+    diff = (
+        s0.filter(cohort == 3)
+        .withColumn("_change_type", F.lit("delete"))
+        .unionByName(
+            events.filter(cohort == 5).withColumn(
+                "_change_type", F.lit("insert")
+            )
+        )
+        .select("ts", "event_type", "value", "_change_type")
+    )
+    maintained, dirty = maintain_rollup(prev, diff)
+    final_raw = events.filter(cohort != 3)  # post-txn snapshot
+    return refresh_rollup_groups(maintained, final_raw, dirty).select(
+        "hour", "event_type", "n", "sum_fp", "min_value", "max_value"
+    )
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing
 # --------------------------------------------------------------------------
@@ -1753,17 +1791,72 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
-    # FIRST 50 entries only. Window policy (r4): slots go to the queries
-    # with the STALEST driver evidence — (1) never driver-checked, (2)
-    # r1-era rows only, (3) the r1+r2 bank — plus a small continuously-
-    # verified core (headline dedup/streaming ops and s07, whose r3 red
-    # row must flip green). Everything with a fresh r3 row sits behind
-    # position 50; rows-only (no-oracle) queries come last so the window
-    # stays 100% hash-checkable. Every window entry must be scalar-only
-    # (tests/test_driver_window.py) and sf0.1-swept in the round it
-    # rotates in.
+    # FIRST 50 entries only. Window policy (standing, r3+): slots go to
+    # the queries with the STALEST driver evidence. r5 rotation: the new
+    # ivm01 + the r3-green cohort (last driver-checked r3; its 50 r4
+    # evidence rows pushed it to stalest) + 4 displaced r1+r2-bank
+    # fillers; the entire r4-green cohort moves behind position 50.
+    # Rows-only (no-oracle) queries stay last so the window is 100%
+    # hash-checkable. Every window entry must be scalar-only AND
+    # oracle-backed (both pinned by tests/test_driver_window.py) and
+    # sf0.01+sf0.1-swept in the round it rotates in.
     return {
-        # -- never driver-checked (r4 additions) (14) ----------------------
+        # -- never driver-checked (r5 addition) (1) ------------------------
+        "ivm01_maintained_rollup": q_ivm01,
+        # -- r3-green cohort: stalest driver evidence (last checked r3, on
+        #    pre-regen data; re-swept value-exact post-regen in r4c) (45) --
+        "f01_event_funnel": q_f01,
+        "d07_train_val_split": q_d07,
+        "d09_dup_clusters": q_d09,
+        "d10_semantic_clusters": q_d10,
+        "t01_token_counts": q_t01,
+        "t02_quality_scores": q_t02,
+        "t03_lang_id": q_t03,
+        "t04_fingerprint": q_t04,
+        "t05_min_gram_fingerprint": q_t05,
+        "t06_sequence_packing": q_t06,
+        "t07_token_df_score": q_t07,
+        "s01_cosine_topk": q_s01,
+        "s02_neardup_pairs_exact": q_s02,
+        "s05_label_centroids": q_s05,
+        "e02_sliding_window": q_e02,
+        "e03_session_windows": q_e03,
+        "m01_media_metadata": q_m01,
+        "m05_decode_batches": q_m05,
+        "q01_pricing_summary": q_q01,
+        "q02_min_balance_supplier": q_q02,
+        "q03_shipping_priority": q_q03,
+        "q04_priority_check": q_q04,
+        "q05_local_supplier_volume": q_q05,
+        "q06_forecast_revenue": q_q06,
+        "q07_nation_pair_volume": q_q07,
+        "q08_market_share": q_q08,
+        "q09_profit_by_nation_year": q_q09,
+        "q10_returned_revenue": q_q10,
+        "q11_important_parts": q_q11,
+        "q12_priority_split": q_q12,
+        "q13_order_count_distribution": q_q13,
+        "q14_promo_ratio": q_q14,
+        "q15_top_supplier": q_q15,
+        "q16_supplier_diversity": q_q16,
+        "q17_small_quantity_revenue": q_q17,
+        "q18_large_volume_customers": q_q18,
+        "q19_disjunctive_predicates": q_q19,
+        "q20_dominant_promo_suppliers": q_q20,
+        "q21_waiting_suppliers": q_q21,
+        "q22_rich_idle_customers": q_q22,
+        "j02_star_region_revenue": q_j02,
+        "j05_roleplay_nations": q_j05,
+        "a06_monthly_rollup": q_a06,
+        "w05_percent_rank": q_w05,
+        "set03_intersect": q_set03,
+        # -- r1+r2 bank, displaced in r4b/r4c before earning an r4 row (4) -
+        "p07_duration_minutes": q_p07,
+        "p08_bool_flags": q_p08,
+        "p12_filter_contains": q_p12,
+        "p13_json_extract": q_p13,
+        # ================= position 51+: outside driver window ============
+        # r4-green cohort: freshest driver evidence (CORRECTNESS_r04 50/50)
         "t08_decontamination": q_t08,
         "t09_repetition_metrics": q_t09,
         "t10_tfidf_top_terms": q_t10,
@@ -1777,10 +1870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d14_shuffle_shards": q_d14,
         "d15_domain_mix": q_d15,
         "d16_corpus_build": q_d16,
-        "s08_random_projection": q_s08,
-        # -- red in r3, reshaped in r4: must re-earn its driver row (1) ----
         "s07_quantize_int8": q_s07,
-        # -- r1-era rows only (10) -----------------------------------------
+        "s08_random_projection": q_s08,
         "w01_running_total": q_w01,
         "w02_order_gap_days": q_w02,
         "w03_rank_in_segment": q_w03,
@@ -1791,7 +1882,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a11_exact_percentiles": q_a11,
         "set04_except": q_set04,
         "r01_asof_join": q_r01,
-        # -- r1+r2 bank: last verified r2 (24) -----------------------------
         "p01_clean_sci_notation": q_p01,
         "p02_remove_after_dot": q_p02,
         "p03_split_date_process": q_p03,
@@ -1814,67 +1904,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set01_anti_join": q_set01,
         "set02_semi_join": q_set02,
         "r02_event_pairs_range": q_r02,
-        # -- continuously-verified core (3): headline LLM-pipeline ops ----
         "d01_dedup_exact": q_d01,
         "d02_ngram_jaccard_pairs": q_d02,
         "e01_tumbling_window": q_e01,
-        # ================= position 51+: outside driver window ============
-        # r1+r2-banked, displaced in r4b/r4c by d13/s08/t12/d14/d15/e07/d16
-        # (staleness policy: never-checked beats twice-banked)
-        "p07_duration_minutes": q_p07,
-        "p08_bool_flags": q_p08,
-        "p12_filter_contains": q_p12,
-        "p13_json_extract": q_p13,
+        # r1+r2-banked fillers and the documented eager-exec exception
         "p14_null_handling": q_p14,
         "p15_string_functions": q_p15,
         "p16_date_functions": q_p16,
-        # driver-green in r3 (and mostly r1/r2 too)
-        "f01_event_funnel": q_f01,
-        "d07_train_val_split": q_d07,
-        "d09_dup_clusters": q_d09,
-        "d10_semantic_clusters": q_d10,
-        "t01_token_counts": q_t01,
-        "t02_quality_scores": q_t02,
-        "t03_lang_id": q_t03,
-        "t04_fingerprint": q_t04,
-        "t05_min_gram_fingerprint": q_t05,
-        "t06_sequence_packing": q_t06,
-        "t07_token_df_score": q_t07,
-        "s01_cosine_topk": q_s01,
-        "s02_neardup_pairs_exact": q_s02,
-        "s05_label_centroids": q_s05,
-        "e02_sliding_window": q_e02,
-        "e03_session_windows": q_e03,
-        "m01_media_metadata": q_m01,
-        "m05_decode_batches": q_m05,
-        "q02_min_balance_supplier": q_q02,
-        "q06_forecast_revenue": q_q06,
-        "q07_nation_pair_volume": q_q07,
-        "q08_market_share": q_q08,
-        "q09_profit_by_nation_year": q_q09,
-        "q10_returned_revenue": q_q10,
-        "q11_important_parts": q_q11,
-        "q12_priority_split": q_q12,
-        "q13_order_count_distribution": q_q13,
-        "q14_promo_ratio": q_q14,
-        "q15_top_supplier": q_q15,
-        "q16_supplier_diversity": q_q16,
-        "q17_small_quantity_revenue": q_q17,
-        "q18_large_volume_customers": q_q18,
-        "q19_disjunctive_predicates": q_q19,
-        "q20_dominant_promo_suppliers": q_q20,
-        "q21_waiting_suppliers": q_q21,
-        "q22_rich_idle_customers": q_q22,
-        "q01_pricing_summary": q_q01,
-        "q03_shipping_priority": q_q03,
-        "q04_priority_check": q_q04,
-        "q05_local_supplier_volume": q_q05,
-        "j02_star_region_revenue": q_j02,
-        "j05_roleplay_nations": q_j05,
-        "a06_monthly_rollup": q_a06,
         "a13_quantile_bins": q_a13,
-        "w05_percent_rank": q_w05,
-        "set03_intersect": q_set03,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
         # rows are all hash-verifiable
@@ -2746,6 +2783,14 @@ WHERE epoch_us(purchase_ts) - epoch_us(click_ts) BETWEEN 0 AND 1800000000""",
 SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS window_start,
        event_type, count(*) AS n_events, round(CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_value
 FROM events GROUP BY 1, 2""",
+        "ivm01_maintained_rollup": """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS sum_fp,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events WHERE event_id % 17 <> 3
+GROUP BY 1, 2""",
         "e07_rollup_merge": """
 SELECT date_trunc('day', ts) AS period, event_type,
        CAST(count(*) AS BIGINT) AS n,

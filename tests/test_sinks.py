@@ -130,3 +130,44 @@ def test_jsonl_reads_gzip_transparently(spark, tmp_path):
     clean, bad = split_corrupt(read_jsonl(spark, str(p), schema))
     assert bad.count() == 0 and clean.count() == 100
     assert clean.agg({"doc_id": "sum"}).collect()[0][0] == 4950
+
+
+def test_sqlite_jdbc_probe_is_safe_and_shim_forced(spark, sf_small, tmp_path):
+    """The jar probe must never throw, and force_shim must pin the
+    sqlite3 path regardless of classpath (the golden parity tests'
+    byte-level expectations depend on the shim's str() formatting)."""
+    from learn_etl_data_warehouse_spark.sources.sqlite import (
+        sqlite_jdbc_available,
+    )
+
+    assert sqlite_jdbc_available(spark) in (True, False)
+    db = str(tmp_path / "p.db")
+    nation = load_table(spark, sf_small, "nation")
+    write_sqlite_table(nation, db, "nation")
+    shim = read_sqlite_table(spark, db, "nation", force_shim=True)
+    assert shim.count() == 25
+    assert all(f.dataType.typeName() == "string" for f in shim.schema.fields)
+
+
+def test_sqlite_jdbc_partitioned_read_matches_shim(spark, sf_small, tmp_path):
+    """JDBC path (jar present only): partitioned rowid-range extract must
+    return the same all-string rows as the shim, across >1 partition."""
+    import pytest
+
+    from learn_etl_data_warehouse_spark.sources.sqlite import (
+        sqlite_jdbc_available,
+    )
+
+    if not sqlite_jdbc_available(spark):
+        pytest.skip(
+            "sqlite-jdbc jar not on the session classpath (documented: "
+            "absent from this image; see CLAUDE.md r5 notes)"
+        )
+    db = str(tmp_path / "j.db")
+    customer = load_table(spark, sf_small, "customer")
+    write_sqlite_table(customer, db, "customer")
+    jdbc = read_sqlite_table(spark, db, "customer", num_partitions=4)
+    shim = read_sqlite_table(spark, db, "customer", force_shim=True)
+    assert jdbc.rdd.getNumPartitions() > 1
+    assert sorted(jdbc.columns) == sorted(shim.columns)
+    assert jdbc.count() == shim.count()
