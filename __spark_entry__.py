@@ -1559,6 +1559,56 @@ def q_t12(spark, sf_dir):
     return text.c4_filters(_t(spark, sf_dir, "documents"))
 
 
+def q_t13(spark, sf_dir):
+    """Gopher-style quality rules (r5): word-count / mean-word-length
+    bounds, symbol-soup ratio, alphabetic-word fraction, distinct-
+    stopword prose signal, and the conjunction ``kept`` — MassiveText's
+    filtering battery next to t12's C4 set, one shuffle-free projection
+    (operators/text.py::gopher_rules). Thresholds tuned to the fixture's
+    short synthetic docs so ``kept`` is non-degenerate."""
+    return text.gopher_rules(
+        _t(spark, sf_dir, "documents"),
+        min_words=10,
+        min_mean_word_len=2.0,
+        max_mean_word_len=12.0,
+        min_stopwords=1,
+    )
+
+
+def q_d17(spark, sf_dir):
+    """Cross-document duplicate-span scrub (r5): token 6-grams occurring
+    in >1 distinct documents are 'hot'; every covered token is removed
+    and the text rebuilt in order — C4's repeated-span cleaning at token
+    granularity, finer than d01-d05's whole/near-doc dedup
+    (operators/dedup.py::hot_span_scrub)."""
+    return dedup.hot_span_scrub(
+        _t(spark, sf_dir, "documents"), span_len=6, max_df=1
+    )
+
+
+def q_s09(spark, sf_dir):
+    """Product-quantization encode (r5): deterministic per-subspace
+    k-means codebooks, vectors compressed to m=4 codes — the memory-side
+    half of billion-scale ANN (similarity.py::pq_train/pq_encode).
+    Rows-only by nature (codewords are kmeans floats); recall + encode
+    determinism pinned by test_pq_adc_recall_and_determinism."""
+    emb = _t(spark, sf_dir, "embeddings")
+    books = similarity.pq_train(emb, m=4, n_codes=16, iterations=2)
+    return similarity.pq_encode(emb, books).select(
+        "vec_id",
+        F.posexplode("pq_codes").alias("sub", "code"),
+    )
+
+
+def q_s10(spark, sf_dir):
+    """PQ asymmetric-distance search (r5): full-precision query against
+    the compressed index via the m×n_codes ADC lookup table
+    (similarity.py::pq_topk). Rows-only; recall contract in tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    books = similarity.pq_train(emb, m=4, n_codes=16, iterations=2)
+    return similarity.pq_topk(emb, books, _query_vec(spark, sf_dir), k=10)
+
+
 def q_s01(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
@@ -1801,8 +1851,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle-backed (both pinned by tests/test_driver_window.py) and
     # sf0.01+sf0.1-swept in the round it rotates in.
     return {
-        # -- never driver-checked (r5 addition) (1) ------------------------
+        # -- never driver-checked (r5 additions) (3) -----------------------
         "ivm01_maintained_rollup": q_ivm01,
+        "t13_gopher_rules": q_t13,
+        "d17_hot_span_scrub": q_d17,
         # -- r3-green cohort: stalest driver evidence (last checked r3, on
         #    pre-regen data; re-swept value-exact post-regen in r4c) (45) --
         "f01_event_funnel": q_f01,
@@ -1850,12 +1902,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a06_monthly_rollup": q_a06,
         "w05_percent_rank": q_w05,
         "set03_intersect": q_set03,
-        # -- r1+r2 bank, displaced in r4b/r4c before earning an r4 row (4) -
+        # -- r1+r2 bank, displaced in r4b/r4c before earning an r4 row (2) -
         "p07_duration_minutes": q_p07,
         "p08_bool_flags": q_p08,
+        # ================= position 51+: outside driver window ============
+        # displaced by the r5 t13/d17 additions (staleness policy)
         "p12_filter_contains": q_p12,
         "p13_json_extract": q_p13,
-        # ================= position 51+: outside driver window ============
         # r4-green cohort: freshest driver evidence (CORRECTNESS_r04 50/50)
         "t08_decontamination": q_t08,
         "t09_repetition_metrics": q_t09,
@@ -1924,6 +1977,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s03_neardup_pairs_lsh": q_s03,
         "s04_lsh_topk": q_s04,
         "s06_ivf_topk": q_s06,
+        "s09_pq_codes": q_s09,
+        "s10_pq_adc_topk": q_s10,
         "m02_media_features": q_m02,
         "m03_media_resize": q_m03,
         "m04_frame_sampling": q_m04,
@@ -2783,6 +2838,48 @@ WHERE epoch_us(purchase_ts) - epoch_us(click_ts) BETWEEN 0 AND 1800000000""",
 SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS window_start,
        event_type, count(*) AS n_events, round(CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_value
 FROM events GROUP BY 1, 2""",
+        "t13_gopher_rules": f"""
+WITH f AS (
+  SELECT doc_id,
+         {_TC} AS nw,
+         {_TOKS} AS t,
+         length(regexp_replace(text, '\\s', '', 'g')) AS nonws,
+         length(text) - length(replace(text, '#', '')) AS nhash,
+         (length(text) - length(replace(text, '...', ''))) / 3 AS nell
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(nw AS BIGINT) AS n_words,
+         round(CASE WHEN nw = 0 THEN 0.0 ELSE nonws / CAST(nw AS DOUBLE) END, 6) AS mean_word_len,
+         round(CASE WHEN nw = 0 THEN 0.0 ELSE (nhash + nell) / CAST(nw AS DOUBLE) END, 6) AS symbol_ratio,
+         round(CASE WHEN nw = 0 THEN 0.0
+               ELSE len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) / CAST(nw AS DOUBLE) END, 6) AS alpha_word_frac,
+         CAST(len(list_intersect(list_transform(t, x -> lower(x)),
+              ['and','be','have','of','that','the','to','with'])) AS BIGINT) AS n_stopwords
+  FROM f)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_frac, n_stopwords,
+       (n_words >= 10 AND n_words <= 100000
+        AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+        AND symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8
+        AND n_stopwords >= 1) AS kept
+FROM m""",
+        "d17_hot_span_scrub": """
+WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+sh AS (SELECT doc_id, pos, array_to_string(t[pos:pos+5], ' ') AS g
+       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 5)) AS pos) p
+       WHERE len(t) >= 6),
+hot AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df FROM sh GROUP BY g) WHERE df > 1),
+cov AS (SELECT DISTINCT s.doc_id, cp
+        FROM sh s JOIN hot USING (g),
+             LATERAL (SELECT unnest(generate_series(s.pos, s.pos + 5)) AS cp) c),
+tok AS (SELECT doc_id, pos, t[pos] AS tok
+        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS pos) p)
+SELECT tok.doc_id,
+       CAST(sum(CASE WHEN cov.cp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN cov.cp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       coalesce(string_agg(CASE WHEN cov.cp IS NULL THEN tok.tok END, ' ' ORDER BY tok.pos), '') AS text_clean
+FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.cp
+GROUP BY tok.doc_id""",
         "ivm01_maintained_rollup": """
 SELECT date_trunc('hour', ts) AS hour, event_type,
        CAST(count(*) AS BIGINT) AS n,

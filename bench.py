@@ -50,6 +50,9 @@ HEADLINE = [
     "t12_c4_filters",
     "d14_shuffle_shards",
     "e07_rollup_merge",
+    # r5 operators
+    "ivm01_maintained_rollup",
+    "d17_hot_span_scrub",
 ]
 
 # Reference-parity ETL (EP1 at shard grain): not a queries() entry — it

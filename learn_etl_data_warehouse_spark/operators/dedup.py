@@ -589,3 +589,94 @@ def edit_distance_pairs(
         )
         .filter(F.col("edit_distance") <= max_distance)
     )
+
+
+def hot_span_scrub(
+    df: DataFrame,
+    span_len: int = 6,
+    max_df: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicate SPAN removal — the C4 'repeated
+    three-sentence span' cleaning pass (Raffel et al.) re-expressed over
+    token spans: any run of ``span_len`` consecutive tokens occurring in
+    more than ``max_df`` distinct documents is 'hot', and every token
+    covered by a hot-span occurrence is scrubbed from every document.
+    Finer-grained than whole/near-doc dedup (d01-d05): boilerplate
+    (headers, license blocks, navigation chrome) is removed while the
+    unique remainder of each page survives.
+
+    Returns one row per input document: ``n_kept`` / ``n_removed`` token
+    counts and ``text_clean`` (surviving tokens, original order; empty
+    string when everything was boilerplate — the row still appears, so a
+    downstream ``filter(n_kept > 0)`` is explicit, not implicit).
+
+    Plan shape, all key-hash shuffles, nothing driver-side: span
+    doc-frequency is one groupBy on the span string; hot spans join back
+    to span occurrences by key EQUALITY — each occurrence matches its one
+    span, so a stop-span hot key fans out linearly in its occurrence
+    count, never quadratically (no pair join anywhere); coverage expands
+    each hot occurrence to ``span_len`` (doc, pos) rows and distincts;
+    the final per-doc rebuild is a groupBy on the doc id with an
+    array_sort over (pos, tok) structs — per-doc state bounded by doc
+    length. Every operation is exact string/integer work, so the result
+    is engine-portable and oracle-checkable."""
+    toks = df.select(
+        F.col(id_col), tokens(text_col).alias("_t")
+    )
+    tok = toks.select(
+        F.col(id_col), F.posexplode("_t").alias("_pos0", "_tok")
+    ).select(
+        F.col(id_col), (F.col("_pos0") + 1).alias("_pos"), F.col("_tok")
+    )
+    sh = toks.filter(F.size("_t") >= span_len).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_t") - span_len + 1),
+                lambda p: F.array_join(F.slice("_t", p, span_len), " "),
+            )
+        ).alias("_p0", "_g"),
+    ).select(F.col(id_col), (F.col("_p0") + 1).alias("_spos"), F.col("_g"))
+    hot = (
+        sh.groupBy("_g")
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select("_g")
+    )
+    cov = (
+        sh.join(hot, "_g")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(
+                    F.col("_spos"), F.col("_spos") + span_len - 1
+                )
+            ).alias("_pos"),
+        )
+        .distinct()
+    )
+    flagged = tok.join(
+        cov.withColumn("_hit", F.lit(1)),
+        [id_col, "_pos"],
+        "left",
+    )
+    kept_struct = F.when(
+        F.col("_hit").isNull(), F.struct(F.col("_pos"), F.col("_tok"))
+    )
+    return flagged.groupBy(id_col).agg(
+        F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda x: x["_tok"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )

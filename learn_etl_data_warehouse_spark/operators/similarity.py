@@ -448,3 +448,173 @@ def random_projection(
         .groupBy(F.col(id_col), F.col("j").cast("bigint").alias("j"))
         .agg(F.sum("_c").alias("proj_q"))
     )
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Product-quantization codebook training (Jégou et al., the standard
+    ANN compression stage): split the D-dim space into ``m`` subspaces of
+    D/m dims and k-means each to ``n_codes`` codewords — so a vector
+    stores as m small codes (m bytes at n_codes=256) instead of D floats,
+    a 10²-10³× memory cut that makes billion-vector search feasible.
+
+    Same deterministic k-means-lite recipe as :func:`ivf_build_centroids`
+    (seed = id % n_codes, no RNG; fixed-point means so training is
+    run/partition-order independent), but ALL m subspaces train in the
+    same two jobs per iteration: one posexplode keyed by
+    (sub = p // subdim, code) for the means, one narrow projection for
+    the reassign. Only the m×n_codes×subdim codebook (= D×n_codes floats)
+    ever reaches the driver."""
+    first = df.select(vec_col).head()
+    dim = len(first[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sd = dim // m
+    assigned = df.select(
+        F.col(vec_col).alias("_v"),
+        F.array(
+            *[(F.col(id_col) % n_codes).cast("int") for _ in range(m)]
+        ).alias("_codes"),
+    )
+    codebooks: list[list[list[float]]] = []
+    for _ in range(iterations):
+        rows = (
+            assigned.select(
+                F.posexplode("_v").alias("_p", "_x"), F.col("_codes")
+            )
+            .select(
+                (F.col("_p") / sd).cast("int").alias("_sub"),
+                (F.col("_p") % sd).alias("_d"),
+                F.element_at(
+                    F.col("_codes"), (F.col("_p") / sd).cast("int") + 1
+                ).alias("_code"),
+                F.col("_x"),
+            )
+            .groupBy("_sub", "_code", "_d")
+            .agg(
+                (
+                    F.sum(
+                        F.round(F.col("_x").cast("double") * 1e6).cast("long")
+                    ).cast("double")
+                    / 1e6
+                    / F.count(F.lit(1))
+                ).alias("_m")
+            )
+            .collect()
+        )
+        book: dict[int, dict[int, dict[int, float]]] = {}
+        for r in rows:
+            book.setdefault(r["_sub"], {}).setdefault(r["_code"], {})[
+                r["_d"]
+            ] = r["_m"]
+        codebooks = [
+            [
+                [book[s][c][d] for d in sorted(book[s][c])]
+                for c in sorted(book[s])
+            ]
+            for s in sorted(book)
+        ]
+        assigned = assigned.select(
+            "_v", _pq_assign_expr(codebooks, sd, "_v").alias("_codes")
+        )
+    return codebooks
+
+
+def _pq_assign_expr(
+    codebooks: list[list[list[float]]], sd: int, vec_col: str
+) -> Column:
+    """array<int> of per-subspace argmin-L2² codeword ids, fully JVM-side
+    (struct array_min per subspace; ties break to the LOWEST code id)."""
+    subs = []
+    for s, book in enumerate(codebooks):
+        sub = F.slice(F.col(vec_col), s * sd + 1, sd)
+        scored = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            sub,
+                            F.array(*[F.lit(float(x)) for x in cw]),
+                            lambda a, b: (a.cast("double") - b)
+                            * (a.cast("double") - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("d2"),
+                    F.lit(c).alias("code"),
+                )
+                for c, cw in enumerate(book)
+            ]
+        )
+        subs.append(F.array_min(scored)["code"])
+    return F.array(*subs)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, pq_codes array<int>) — the compressed representation. A
+    narrow map (no shuffle); at scale this is what lands in the index
+    table, 4-8 bytes per vector instead of 256-1024."""
+    sd = len(codebooks[0][0])
+    return df.select(
+        F.col(id_col), _pq_assign_expr(codebooks, sd, vec_col).alias("pq_codes")
+    )
+
+
+def pq_topk(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: the query stays full-precision;
+    each subspace contributes table[sub][code] = L2²(query_sub, codeword)
+    from an m×n_codes lookup table computed driver-side (tiny) and baked
+    into the plan as literals. Scoring a vector is m array lookups + a
+    sum — no vector math per row at query time, which is the entire point
+    of PQ at billion scale. Returns (id, adc_distance) ascending,
+    deterministic tie-break on id."""
+    sd = len(codebooks[0][0])
+    table = [
+        [
+            sum(
+                (float(query_vec[s * sd + d]) - cw[d]) ** 2
+                for d in range(sd)
+            )
+            for cw in book
+        ]
+        for s, book in enumerate(codebooks)
+    ]
+    codes = pq_encode(df, codebooks, vec_col, id_col)
+    tbl = F.array(
+        *[F.array(*[F.lit(round(v, 9)) for v in row]) for row in table]
+    )
+    dist = F.aggregate(
+        F.transform(
+            F.col("pq_codes"),
+            lambda code, s: F.element_at(
+                F.element_at(tbl, s.cast("int") + 1), code + 1
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        codes.select(
+            F.col(id_col), F.round(dist, 6).alias("adc_distance")
+        )
+        .orderBy(F.col("adc_distance").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -393,3 +393,86 @@ def tfidf_top_terms(
         .filter(F.col("rnk") <= k)
         .select(id_col, "rnk", "term", "score_fp")
     )
+
+
+GOPHER_STOPWORDS = ["and", "be", "have", "of", "that", "the", "to", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, the
+    MassiveText filtering battery) — the second classic heuristic set
+    next to :func:`c4_filters`:
+
+    - ``n_words``          whitespace word count in [min_words, max_words];
+    - ``mean_word_len``    non-whitespace chars / words in
+      [min_mean_word_len, max_mean_word_len];
+    - ``symbol_ratio``     (# ``#`` + # ``...`` occurrences) / words,
+      ≤ max_symbol_ratio — the 'symbol soup' rule;
+    - ``alpha_word_frac``  fraction of words containing ≥1 ASCII letter,
+      ≥ min_alpha_word_frac — drops digit/punctuation streams;
+    - ``n_stopwords``      DISTINCT members of the 8-word Gopher stopword
+      list present (case-folded), ≥ min_stopwords — the 'is this prose'
+      signal;
+    - ``kept``             the conjunction.
+
+    Like c4_filters this is ONE codegen'd projection — no shuffle, no
+    UDF, no explode — so it composes in front of any 100 TB pipeline as
+    a pure map. Ratios round to 6 places (integer-count divisions, IEEE
+    division — bit-stable cross-engine, same idiom as t02/t12)."""
+    c = _c(text_col)
+    t = tokens(text_col)
+    nw = token_count(text_col)
+    nwd = nw.cast("double")
+    nonws = F.length(F.regexp_replace(c, r"\s", ""))
+    mean_wl = F.round(
+        F.when(nw == 0, F.lit(0.0)).otherwise(nonws.cast("double") / nwd), 6
+    )
+    n_hash = F.length(c) - F.length(F.regexp_replace(c, r"#", ""))
+    n_ellipsis = (
+        F.length(c) - F.length(F.replace(c, F.lit("...")))
+    ) / F.lit(3)
+    symbol_ratio = F.round(
+        F.when(nw == 0, F.lit(0.0)).otherwise(
+            (n_hash + n_ellipsis).cast("double") / nwd
+        ),
+        6,
+    )
+    n_alpha = F.size(F.filter(t, lambda x: x.rlike("[A-Za-z]")))
+    alpha_frac = F.round(
+        F.when(nw == 0, F.lit(0.0)).otherwise(n_alpha.cast("double") / nwd), 6
+    )
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(
+        F.array_intersect(
+            F.transform(t, lambda x: F.lower(x)), stop_arr
+        )
+    ).cast("long")
+    kept = (
+        (nw >= min_words)
+        & (nw <= max_words)
+        & (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (alpha_frac >= min_alpha_word_frac)
+        & (n_stop >= min_stopwords)
+    )
+    return df.select(
+        F.col(id_col),
+        nw.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_stop.alias("n_stopwords"),
+        kept.alias("kept"),
+    )

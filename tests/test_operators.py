@@ -825,3 +825,111 @@ def test_c4_filters_rejects_reserved_keep_cols(spark):
         c4_filters(docs, keep_cols=["n_words"])
     with pytest.raises(ValueError, match="keep_cols"):
         c4_filters(docs, keep_cols=["doc_id"])
+
+
+def test_hot_span_scrub_removes_shared_boilerplate(spark):
+    from learn_etl_data_warehouse_spark.operators.dedup import hot_span_scrub
+
+    boiler = "all rights reserved by the publisher"  # 6-token hot span
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " alpha beta gamma"),
+            (2, "delta epsilon " + boiler),
+            (3, "zeta eta theta iota kappa lam"),  # unique, untouched
+            (4, boiler),  # nothing but boilerplate
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in hot_span_scrub(docs, span_len=6, max_df=1).collect()
+    }
+    assert len(out) == 4  # every doc emits a row, even fully-scrubbed
+    assert out[1]["text_clean"] == "alpha beta gamma"
+    assert out[2]["text_clean"] == "delta epsilon"
+    assert out[3]["text_clean"] == "zeta eta theta iota kappa lam"
+    assert out[3]["n_removed"] == 0
+    assert out[4]["text_clean"] == "" and out[4]["n_kept"] == 0
+    assert out[1]["n_removed"] == 6 and out[1]["n_kept"] == 3
+    # overlapping occurrences: a doc repeating the span back-to-back
+    rep = spark.createDataFrame(
+        [(1, boiler + " " + boiler), (2, boiler + " x")],
+        "doc_id LONG, text STRING",
+    )
+    r = {
+        x["doc_id"]: x
+        for x in hot_span_scrub(rep, span_len=6, max_df=1).collect()
+    }
+    assert r[1]["n_kept"] == 0  # both occurrences fully covered
+    assert r[2]["text_clean"] == "x"
+
+
+def test_gopher_rules_flags(spark):
+    from learn_etl_data_warehouse_spark.operators.text import gopher_rules
+
+    prose = (
+        "the quick brown fox jumps over the lazy dog and then runs "
+        "to the river with great speed because it must escape now"
+    )
+    docs = spark.createDataFrame(
+        [
+            ("good", prose),
+            ("symbols", "# " * 30 + prose),           # symbol soup
+            ("digits", " ".join(str(i) for i in range(30))),  # no alpha words
+            ("nostop", "lorem ipsum dolor sit amet " * 5),    # no stopwords
+            ("short", "too short"),
+        ],
+        "doc_id STRING, text STRING",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in gopher_rules(docs, min_words=10, min_stopwords=2).collect()
+    }
+    assert rows["good"]["kept"] is True
+    assert rows["symbols"]["kept"] is False
+    assert rows["symbols"]["symbol_ratio"] > 0.1
+    assert rows["digits"]["kept"] is False
+    assert rows["digits"]["alpha_word_frac"] == 0.0
+    assert rows["nostop"]["kept"] is False
+    assert rows["nostop"]["n_stopwords"] == 0
+    assert rows["short"]["kept"] is False
+    assert rows["good"]["n_stopwords"] >= 4  # the, and, to, with
+
+
+def test_pq_adc_recall_and_determinism(spark, sf_small):
+    """PQ: codes in range, encode deterministic across runs, and ADC
+    top-k must recover a healthy fraction of the exact-L2 top-k (recall
+    is the operator's contract; values are kmeans-dependent so this is
+    the rows-only evidence pattern, like IVF/LSH)."""
+    emb = load_table(spark, sf_small, "embeddings")
+    books = similarity.pq_train(emb, m=4, n_codes=16, iterations=2)
+    assert len(books) == 4
+    assert all(len(b) <= 16 for b in books)
+    assert all(len(cw) == 16 for b in books for cw in b)  # 64/4 dims
+
+    codes = similarity.pq_encode(emb, books)
+    rows = codes.collect()
+    assert all(len(r["pq_codes"]) == 4 for r in rows)
+    assert all(0 <= c < 16 for r in rows for c in r["pq_codes"])
+    again = {r["vec_id"]: r["pq_codes"] for r in similarity.pq_encode(emb, books).collect()}
+    assert all(again[r["vec_id"]] == r["pq_codes"] for r in rows)
+
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 7).head()["embedding"]]
+    approx = [r["vec_id"] for r in similarity.pq_topk(emb, books, q, k=10).collect()]
+    # exact L2 top-10 (same metric as ADC approximates)
+    qa = F.array(*[F.lit(v) for v in q])
+    l2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"), qa,
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    exact = [
+        r["vec_id"]
+        for r in emb.select("vec_id", l2.alias("d"))
+        .orderBy(F.col("d").asc(), F.col("vec_id").asc()).limit(10).collect()
+    ]
+    recall = len(set(approx) & set(exact)) / 10
+    assert 7 in approx  # the query vector itself must be found
+    assert recall >= 0.3, f"ADC recall@10 too low: {recall} ({approx} vs {exact})"

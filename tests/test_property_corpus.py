@@ -92,3 +92,44 @@ def test_domain_mix_membership_is_pointwise_deterministic(
         assert kept == set(ids)
     if rate_ppm == 0:
         assert kept == set()
+
+
+# token streams with a deliberately tiny vocabulary so hot spans actually
+# occur across random docs
+token_texts = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "dd", "ee"]), min_size=0, max_size=30
+    ).map(" ".join),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(batch=token_texts)
+@SETTINGS
+def test_hot_span_scrub_conservation(spark, batch):
+    """Invariants for any corpus: every doc emits exactly one row;
+    n_kept + n_removed == doc token count; text_clean is a subsequence
+    of the doc's tokens (order preserved) with exactly n_kept tokens."""
+    from learn_etl_data_warehouse_spark.operators.dedup import hot_span_scrub
+
+    df = spark.createDataFrame(
+        list(enumerate(batch)), "doc_id LONG, text STRING"
+    )
+    rows = {r["doc_id"]: r for r in hot_span_scrub(df, span_len=3, max_df=1).collect()}
+    assert len(rows) == len(batch)
+    for i, text in enumerate(batch):
+        toks = text.split() if text.strip() else [""]
+        r = rows[i]
+        assert r["n_kept"] + r["n_removed"] == len(toks)
+        kept = r["text_clean"].split(" ") if r["text_clean"] != "" else []
+        if r["n_kept"] > 0 or toks == [""]:
+            kept_expected_len = r["n_kept"]
+            # blank-doc sentinel: the single empty token joins to ""
+            if toks == [""]:
+                assert r["text_clean"] == ""
+            else:
+                assert len(kept) == kept_expected_len
+                # subsequence check
+                it = iter(toks)
+                assert all(tok in it for tok in kept)
