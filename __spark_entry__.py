@@ -587,6 +587,29 @@ def q_a09(spark, sf_dir):
     )
 
 
+def q_a14(spark, sf_dir):
+    """Approximate percentiles (r5): percentile_approx (GK sketch) per
+    order status — the mergeable quantile sketch a 100 TB profiler runs
+    instead of an exact sort (exact twin: a11). Sketch values are
+    implementation-specific → rows-only; the repo pins accuracy against
+    the exact percentile in test_approx_percentiles_tolerance."""
+    orders = _t(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderstatus").agg(
+        F.percentile_approx(
+            "o_totalprice", [0.25, 0.5, 0.75, 0.95], 10_000
+        ).alias("_q")
+    )
+    qs = F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.95)])
+    return agg.select(
+        "o_orderstatus",
+        F.posexplode(F.arrays_zip(qs.alias("q"), F.col("_q").alias("v"))),
+    ).select(
+        "o_orderstatus",
+        F.col("col.q").alias("quantile"),
+        F.col("col.v").alias("approx_value"),
+    )
+
+
 def q_a10(spark, sf_dir):
     df = _t(spark, sf_dir, "orders").withColumn(
         "year", F.year("o_orderdate").cast("long")
@@ -643,6 +666,37 @@ def q_j03(spark, sf_dir):
         "left",
     )
     return joined.select("o_orderkey", "c_mktsegment")
+
+
+def q_j06(spark, sf_dir):
+    """Salted skew join (r5): a pathologically hot key — every third
+    order's lineitems are rerouted to supplier 1 — joined through
+    operators/skew.py::salted_join, which splits the hot key across 16
+    salt buckets (small side replicated 16×, deterministic content salt).
+    Salting is semantics-preserving, so the oracle is the PLAIN join+agg
+    — the driver row certifies exactly that equivalence, the repo's skew
+    test already pins it at operator level. The 100 TB story: AQE's skew
+    splitter handles moderate skew; this is the explicit guard for the
+    one-key-owns-half-the-table distributions where a single reducer
+    would otherwise absorb the key (see SCALE.md)."""
+    from learn_etl_data_warehouse_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "skew_key",
+        F.when(F.col("l_orderkey") % 3 == 0, F.lit(1).cast("long")).otherwise(
+            F.col("l_suppkey")
+        ),
+    )
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("skew_key"), "s_nationkey"
+    )
+    joined = salted_join(li, sup, "skew_key", salt_buckets=16)
+    return joined.groupBy(F.col("s_nationkey")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        fixed_point_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("revenue"),
+    )
 
 
 def q_j05(spark, sf_dir):
@@ -1706,6 +1760,21 @@ def q_e06(spark, sf_dir):
     return attribution_pairs_batch(_t(spark, sf_dir, "events"), 30)
 
 
+def q_e08(spark, sf_dir):
+    """LEFT-OUTER attribution (r5): every click with its in-window
+    purchases or a null row when none arrived — batch twin of the
+    watermark-evicting stream-stream leftOuter join
+    (streaming/events.py::stream_attribution_outer; the stream emits
+    null rows only after the joint watermark passes click_ts +
+    attribution window, conformance-tested on the watermark-closed
+    region)."""
+    from learn_etl_data_warehouse_spark.streaming.events import (
+        attribution_outer_batch,
+    )
+
+    return attribution_outer_batch(_t(spark, sf_dir, "events"), 30)
+
+
 def q_e03(spark, sf_dir):
     out = session_windows_batch(_t(spark, sf_dir, "events"), gap_minutes=30)
     return out.select(
@@ -1851,10 +1920,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle-backed (both pinned by tests/test_driver_window.py) and
     # sf0.01+sf0.1-swept in the round it rotates in.
     return {
-        # -- never driver-checked (r5 additions) (3) -----------------------
+        # -- never driver-checked (r5 additions) (5) -----------------------
         "ivm01_maintained_rollup": q_ivm01,
         "t13_gopher_rules": q_t13,
         "d17_hot_span_scrub": q_d17,
+        "j06_salted_hot_join": q_j06,
+        "e08_outer_attribution": q_e08,
         # -- r3-green cohort: stalest driver evidence (last checked r3, on
         #    pre-regen data; re-swept value-exact post-regen in r4c) (45) --
         "f01_event_funnel": q_f01,
@@ -1902,11 +1973,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a06_monthly_rollup": q_a06,
         "w05_percent_rank": q_w05,
         "set03_intersect": q_set03,
-        # -- r1+r2 bank, displaced in r4b/r4c before earning an r4 row (2) -
+        # ================= position 51+: outside driver window ============
+        # displaced by the r5 t13/d17/j06/e08 additions (staleness policy)
         "p07_duration_minutes": q_p07,
         "p08_bool_flags": q_p08,
-        # ================= position 51+: outside driver window ============
-        # displaced by the r5 t13/d17 additions (staleness policy)
         "p12_filter_contains": q_p12,
         "p13_json_extract": q_p13,
         # r4-green cohort: freshest driver evidence (CORRECTNESS_r04 50/50)
@@ -1969,6 +2039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle_sql(); kept behind the window so the driver's 50 checked
         # rows are all hash-verifiable
         "a09_approx_distinct": q_a09,
+        "a14_approx_percentiles": q_a14,
         "d03_minhash_lsh_pairs": q_d03,
         "d04_simhash": q_d04,
         "d05_simhash_near_pairs": q_d05,
@@ -2838,6 +2909,28 @@ WHERE epoch_us(purchase_ts) - epoch_us(click_ts) BETWEEN 0 AND 1800000000""",
 SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS window_start,
        event_type, count(*) AS n_events, round(CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_value
 FROM events GROUP BY 1, 2""",
+        "e08_outer_attribution": """
+WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+           FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id AS p_user_id, event_id AS purchase_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase')
+SELECT user_id, click_id, purchase_id,
+       CASE WHEN purchase_id IS NULL THEN NULL
+            ELSE epoch_us(purchase_ts) - epoch_us(click_ts) END AS lag_us,
+       purchase_id IS NOT NULL AS attributed
+FROM c LEFT JOIN p ON user_id = p_user_id
+  AND epoch_us(purchase_ts) - epoch_us(click_ts) >= 0
+  AND epoch_us(purchase_ts) - epoch_us(click_ts) <= 30 * 60 * 1000000""",
+        "j06_salted_hot_join": """
+WITH li AS (
+  SELECT CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE l_suppkey END AS skew_key,
+         l_extendedprice, l_discount
+  FROM lineitem)
+SELECT s_nationkey,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 100) AS BIGINT) / CAST(100 AS DOUBLE) AS revenue
+FROM li JOIN supplier ON skew_key = s_suppkey
+GROUP BY 1""",
         "t13_gopher_rules": f"""
 WITH f AS (
   SELECT doc_id,

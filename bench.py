@@ -53,6 +53,8 @@ HEADLINE = [
     # r5 operators
     "ivm01_maintained_rollup",
     "d17_hot_span_scrub",
+    "j06_salted_hot_join",
+    "e08_outer_attribution",
 ]
 
 # Reference-parity ETL (EP1 at shard grain): not a queries() entry — it

@@ -288,3 +288,104 @@ def stream_dedup(
     return stream.withWatermark("ts", f"{watermark_minutes} minutes").dropDuplicates(
         keys or ["event_id"]
     )
+
+
+def attribution_outer_batch(
+    events: DataFrame, attribution_minutes: int = 30
+) -> DataFrame:
+    """LEFT-OUTER attribution: every click, with its in-window purchases
+    when they exist and nulls when none arrived — the 'campaign touch
+    without conversion' report. Batch twin of
+    :func:`stream_attribution_outer`; oracle-checkable (plain LEFT JOIN
+    with the time bound inside the join condition, so unmatched clicks
+    survive — a post-join WHERE would silently turn it inner)."""
+    lag_bound_us = attribution_minutes * 60 * 1_000_000
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    lag_us = F.unix_micros(F.col("purchase_ts")) - F.unix_micros(
+        F.col("click_ts")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (lag_us >= 0)
+        & (lag_us <= lag_bound_us),
+        "left",
+    )
+    return joined.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        lag_us.alias("lag_us"),
+        F.col("purchase_id").isNotNull().alias("attributed"),
+    )
+
+
+def stream_attribution_outer(
+    spark,
+    source_dir: str,
+    schema,
+    attribution_minutes: int = 30,
+    watermark_minutes: int = 30,
+):
+    """STREAM-STREAM left-outer form of :func:`attribution_outer_batch`.
+
+    Same watermark + two-sided time bound as the inner join (state stays
+    O(one attribution window per user)), but unmatched clicks emit a
+    null-purchase row — and they can only emit once the purchase-side
+    watermark passes ``click_ts + attribution window`` (before that a
+    matching purchase could still arrive). That is the semantic cost of
+    outer results on unbounded input: null rows trail the watermark, so
+    a terminating run (availableNow) leaves clicks younger than
+    watermark+attribution unemitted — the conformance test compares the
+    watermark-closed region exactly and checks the open tail is a subset
+    of the batch twin."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", f"{watermark_minutes} minutes")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", f"{watermark_minutes} minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"""
+            user_id = p_user_id AND
+            purchase_ts >= click_ts AND
+            purchase_ts <= click_ts + INTERVAL {attribution_minutes} MINUTES
+            """
+        ),
+        "leftOuter",
+    )
+    lag_us = F.unix_micros(F.col("purchase_ts")) - F.unix_micros(
+        F.col("click_ts")
+    )
+    return joined.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        lag_us.alias("lag_us"),
+        F.col("purchase_id").isNotNull().alias("attributed"),
+        F.col("click_ts"),
+    )

@@ -933,3 +933,31 @@ def test_pq_adc_recall_and_determinism(spark, sf_small):
     recall = len(set(approx) & set(exact)) / 10
     assert 7 in approx  # the query vector itself must be found
     assert recall >= 0.3, f"ADC recall@10 too low: {recall} ({approx} vs {exact})"
+
+
+def test_approx_percentiles_tolerance(spark, sf_small):
+    """a14's GK sketch (accuracy 10k) must land within 1% relative error
+    of the exact percentile on the same grouping."""
+    import __spark_entry__ as entrymod
+
+    approx = {
+        (r["o_orderstatus"], r["quantile"]): r["approx_value"]
+        for r in entrymod.queries()["a14_approx_percentiles"](
+            spark, sf_small
+        ).collect()
+    }
+    orders = load_table(spark, sf_small, "orders")
+    exact_rows = orders.groupBy("o_orderstatus").agg(
+        F.expr(
+            "percentile(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.95D))"
+        ).alias("q")
+    ).collect()
+    checked = 0
+    for r in exact_rows:
+        for q, ev in zip((0.25, 0.5, 0.75, 0.95), r["q"]):
+            av = approx[(r["o_orderstatus"], q)]
+            assert abs(av - ev) <= 0.01 * abs(ev) + 1e-9, (
+                r["o_orderstatus"], q, av, ev,
+            )
+            checked += 1
+    assert checked >= 12

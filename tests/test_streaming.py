@@ -4,6 +4,7 @@ operator must produce the same rows as its batch twin."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from learn_etl_data_warehouse_spark.sources.parquet import load_table
 from learn_etl_data_warehouse_spark.streaming.events import (
@@ -682,3 +683,61 @@ def test_streaming_continuous_aggregate_matches_batch(spark, sf_small, tmp_path)
         for r in hourly_preagg(events).collect()
     }
     assert got == want
+
+
+def test_stream_stream_outer_attribution_matches_batch(spark, sf_small, tmp_path):
+    """Left-outer stream-stream join: in the watermark-closed region the
+    stream must emit EXACTLY the batch twin's rows (including the
+    null-purchase rows); in the open tail it may only emit a subset
+    (null rows there would be premature — a purchase could still come)."""
+    from learn_etl_data_warehouse_spark.streaming.events import (
+        attribution_outer_batch,
+        stream_attribution_outer,
+    )
+
+    events = load_table(spark, sf_small, "events")
+    staged = str(tmp_path / "events_outer_attr")
+    events.write.mode("overwrite").parquet(staged)
+    joined = stream_attribution_outer(
+        spark, staged, events.schema, attribution_minutes=30,
+        watermark_minutes=30,
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_stream_outer_attr")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    import datetime
+
+    # the joint watermark follows the SLOWEST side: min over the two
+    # sides' max event times, minus the watermark delay; an unmatched
+    # click is only emittable once that passes click_ts + attribution
+    side_max = events.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).groupBy("event_type").agg(F.max("ts").alias("m")).collect()
+    joint = min(r["m"] for r in side_max)
+    closed = joint - datetime.timedelta(minutes=30 + 30 + 1)
+    got_all = spark.table("t_stream_outer_attr").collect()
+    key = lambda r: (r["user_id"], r["click_id"], r["purchase_id"],
+                     r["lag_us"], r["attributed"])
+    got_closed = sorted(key(r) for r in got_all if r["click_ts"] <= closed)
+    batch = attribution_outer_batch(events, attribution_minutes=30)
+    batch_rows = batch.join(
+        events.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+        ),
+        "click_id",
+    ).collect()
+    want_closed = sorted(key(r) for r in batch_rows if r["click_ts"] <= closed)
+    assert want_closed, "closed region should be non-empty"
+    assert any(not r[4] for r in want_closed), "should contain unattributed clicks"
+    assert got_closed == want_closed
+    # open tail: stream rows must be a subset of batch rows
+    want_all = {key(r) for r in batch_rows}
+    assert all(key(r) in want_all for r in got_all)
