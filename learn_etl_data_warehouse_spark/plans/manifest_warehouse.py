@@ -250,6 +250,7 @@ def compact_partition(
     rel: str,
     target_files: int = 1,
     cluster_by: list[str] | None = None,
+    zorder: bool = False,
 ) -> str:
     """OPTIMIZE analog: rewrite one partition's current version into
     ``target_files`` files as a NEW txn, then republish. Data is
@@ -258,13 +259,16 @@ def compact_partition(
     backfill-heavy table needs at 100 TB — run it per hot partition, not
     table-wide.
 
-    ``cluster_by`` is the ZORDER-lite option: range-partition the
-    rewrite across ``target_files`` files and sort within each, so each
-    file (and each parquet row group inside it) covers a narrow,
-    near-disjoint range of the clustering columns — parquet row-group
-    min/max skipping then prunes most of the partition for point/range
-    predicates on those columns, on top of the manifest's
-    partition-grain stats. Plain ``coalesce`` (no shuffle) otherwise."""
+    ``cluster_by`` is the clustering option: lexicographic by default —
+    range-partition the rewrite across ``target_files`` files and sort
+    within each, so each file (and each parquet row group inside it)
+    covers a narrow range of the FIRST clustering column (later columns
+    only sub-sort within ties, the classic lexicographic blind spot).
+    ``zorder=True`` switches to the bit-interleaved Morton key
+    (``plans/layout.py``): every clustered column gets partial locality,
+    so min/max skipping prunes on ANY predicated subset of them — the
+    Delta/Iceberg ``OPTIMIZE ZORDER BY``. Plain ``coalesce`` (no
+    shuffle) when no clustering is requested."""
     manifest = read_manifest(table)
     if rel not in manifest["partitions"]:
         raise KeyError(f"unknown partition {rel}")
@@ -272,7 +276,16 @@ def compact_partition(
     cur = os.path.join(table, rel, f"{TXN_COL_PREFIX}{manifest['partitions'][rel]}")
     dst = os.path.join(table, rel, f"{TXN_COL_PREFIX}{txn_id}")
     df = spark.read.parquet(cur)
-    if cluster_by:
+    if cluster_by and zorder:
+        from .layout import zorder_key
+
+        zdf, zc = zorder_key(df, cluster_by)
+        df = (
+            zdf.repartitionByRange(target_files, F.col(zc))
+            .sortWithinPartitions(zc)
+            .drop(zc)
+        )
+    elif cluster_by:
         cols = [F.col(c) for c in cluster_by]
         df = df.repartitionByRange(target_files, *cols).sortWithinPartitions(
             *cols

@@ -340,3 +340,46 @@ def test_incremental_rollup_maintenance_from_cdf(spark, tmp_path):
     assert as_set(refreshed) == as_set(expected)
     # the vanished (view) group must not linger
     assert not any(k[1] == "view" for k in as_set(refreshed))
+
+
+def test_zorder_compaction_beats_lexicographic_skipping(spark, tmp_path):
+    """OPTIMIZE ZORDER: compacting a partition with zorder=True must give
+    strictly better file-level min/max skipping than the lexicographic
+    cluster_by for a 2-dim box predicate, with value-identical data and
+    the manifest republished atomically each time."""
+    from learn_etl_data_warehouse_spark.plans.layout import files_touched
+    from learn_etl_data_warehouse_spark.plans.manifest_warehouse import (
+        compact_partition,
+    )
+    from learn_etl_data_warehouse_spark.sources.parquet import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "value"
+    )
+    table = str(tmp_path / "ztab")
+    os.makedirs(table)
+    sink = manifest_stream_sink(table)
+    sink(events, 0)
+    rel = sorted(read_manifest(table)["partitions"])[0]
+    before = sorted(map(tuple, read_snapshot(spark, table).collect()))
+
+    t_lex = compact_partition(
+        spark, table, rel, target_files=16, cluster_by=["user_id", "value"]
+    )
+    lex_dir = os.path.join(table, rel, f"txn={t_lex}")
+    t_z = compact_partition(
+        spark, table, rel, target_files=16,
+        cluster_by=["user_id", "value"], zorder=True,
+    )
+    z_dir = os.path.join(table, rel, f"txn={t_z}")
+    assert read_manifest(table)["partitions"][rel] == t_z
+
+    preds = {"user_id": (10.0, 14.0), "value": (100.0, 200.0)}
+    z_touched, z_total = files_touched(spark, z_dir, preds)
+    l_touched, l_total = files_touched(spark, lex_dir, preds)
+    assert z_total >= 8 and l_total >= 8
+    assert z_touched < l_touched, (
+        f"zorder={z_touched}/{z_total} vs lex={l_touched}/{l_total}"
+    )
+    after = sorted(map(tuple, read_snapshot(spark, table).collect()))
+    assert after == before
