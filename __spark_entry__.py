@@ -1663,6 +1663,19 @@ def q_s10(spark, sf_dir):
     return similarity.pq_topk(emb, books, _query_vec(spark, sf_dir), k=10)
 
 
+def q_s11(spark, sf_dir):
+    """IVF-PQ search (r5): probe the nearest cells, ADC-score within —
+    the standard billion-scale composition (IVF prunes WHICH vectors,
+    PQ bounds WHAT scoring costs). Rows-only; equality-to-plain-ADC at
+    nprobe=all + recall floor pinned by test_ivfpq_recall_and_pruning."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_build_centroids(emb, n_cells=8, iterations=1)
+    books = similarity.pq_train(emb, m=4, n_codes=16, iterations=2)
+    return similarity.ivfpq_topk(
+        emb, cents, books, _query_vec(spark, sf_dir), k=10, nprobe=3
+    )
+
+
 def q_s01(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
@@ -2050,6 +2063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s06_ivf_topk": q_s06,
         "s09_pq_codes": q_s09,
         "s10_pq_adc_topk": q_s10,
+        "s11_ivfpq_topk": q_s11,
         "m02_media_features": q_m02,
         "m03_media_resize": q_m03,
         "m04_frame_sampling": q_m04,

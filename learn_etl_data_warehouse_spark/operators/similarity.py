@@ -618,3 +618,42 @@ def pq_topk(
         .orderBy(F.col("adc_distance").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ: the standard billion-scale ANN composition — IVF limits
+    WHICH vectors are scored (probe the ``nprobe`` cells nearest the
+    query; on a real table the cell is a partition key, so this is a
+    partition-pruned scan), PQ limits WHAT scoring costs (ADC lookup
+    table, no per-row vector math). Memory per indexed vector is m codes
+    + a cell id; the full-precision column is only needed at build/
+    re-rank time. Returns (id, adc_distance) ascending.
+
+    Residual-free variant (codes quantize the raw vectors, not the
+    cell-relative residuals) — simpler, slightly lower recall, same
+    plan shape; the recall test pins the composition's floor."""
+    import math
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    ranked = sorted(
+        range(len(centroids)), key=lambda i: (-cos(centroids[i], query_vec), i)
+    )
+    probes = ranked[:nprobe]
+    candidates = ivf_assign(df, centroids, vec_col).filter(
+        F.col("ivf_cell").isin(probes)
+    )
+    return pq_topk(candidates, codebooks, query_vec, k, vec_col, id_col)

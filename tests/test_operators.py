@@ -961,3 +961,27 @@ def test_approx_percentiles_tolerance(spark, sf_small):
             )
             checked += 1
     assert checked >= 12
+
+
+def test_ivfpq_recall_and_pruning(spark, sf_small):
+    """IVF-PQ composition: probing all cells must equal plain PQ search
+    (the IVF stage prunes, never re-scores); a partial probe must still
+    find the query vector itself and keep reasonable recall vs plain
+    ADC."""
+    emb = load_table(spark, sf_small, "embeddings")
+    cents = similarity.ivf_build_centroids(emb, n_cells=8, iterations=1)
+    books = similarity.pq_train(emb, m=4, n_codes=16, iterations=2)
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 7).head()["embedding"]]
+    full_pq = [r["vec_id"] for r in similarity.pq_topk(emb, books, q, k=10).collect()]
+    all_probe = [
+        r["vec_id"]
+        for r in similarity.ivfpq_topk(emb, cents, books, q, k=10, nprobe=8).collect()
+    ]
+    assert all_probe == full_pq  # nprobe=all cells == plain ADC
+    partial = [
+        r["vec_id"]
+        for r in similarity.ivfpq_topk(emb, cents, books, q, k=10, nprobe=3).collect()
+    ]
+    assert 7 in partial
+    recall = len(set(partial) & set(full_pq)) / 10
+    assert recall >= 0.3, f"IVF-PQ nprobe=3 recall vs ADC too low: {recall}"

@@ -133,3 +133,32 @@ def test_hot_span_scrub_conservation(spark, batch):
                 # subsequence check
                 it = iter(toks)
                 assert all(tok in it for tok in kept)
+
+
+@given(batch=texts)
+@SETTINGS
+def test_gopher_rules_flag_consistency(spark, batch):
+    """Fuzz gopher_rules over arbitrary unicode: no crashes, ratios in
+    range, kept == the conjunction recomputed from the emitted metrics."""
+    from learn_etl_data_warehouse_spark.operators.text import gopher_rules
+
+    df = spark.createDataFrame(
+        list(enumerate(batch)), "doc_id LONG, text STRING"
+    )
+    rows = gopher_rules(
+        df, min_words=3, min_mean_word_len=1.0, max_mean_word_len=50.0,
+        min_alpha_word_frac=0.5, min_stopwords=0,
+    ).collect()
+    assert len(rows) == len(batch)
+    for r in rows:
+        assert r["n_words"] >= 0
+        assert 0.0 <= r["alpha_word_frac"] <= 1.0
+        assert r["symbol_ratio"] >= 0.0
+        assert 0 <= r["n_stopwords"] <= 8
+        expect = (
+            3 <= r["n_words"] <= 100_000
+            and 1.0 <= r["mean_word_len"] <= 50.0
+            and r["symbol_ratio"] <= 0.1
+            and r["alpha_word_frac"] >= 0.5
+        )
+        assert r["kept"] == expect, r
