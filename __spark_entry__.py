@@ -1613,6 +1613,47 @@ def q_t12(spark, sf_dir):
     return text.c4_filters(_t(spark, sf_dir, "documents"))
 
 
+def q_d18(spark, sf_dir):
+    """Corpus build v2 (r5): d16's deterministic pipeline with the
+    cross-doc SPAN SCRUB as a stage — C4 filter → hot-span scrub
+    (boilerplate spans removed, docs rebuilt; span doc-frequency
+    computed on the FILTERED subset, the order a real pipeline uses) →
+    exact dedup on the rebuilt text → weighted domain mix → epoch
+    shuffle. Every stage is md5/string-deterministic, so the whole
+    five-stage build stays value-exact cross-engine. The scrub stage's
+    shuffles (span df, coverage, doc rebuild) are the added cost; dedup
+    then keys on the REBUILT text, catching docs that became identical
+    once boilerplate was removed — which is the point of scrubbing
+    before deduping."""
+    from learn_etl_data_warehouse_spark.operators.sampling import (
+        domain_mix,
+        shuffle_shards,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = (
+        text.c4_filters(docs, keep_cols=["text", "source"])
+        .filter("kept")
+        .select("doc_id", "text", "source")
+    )
+    scrubbed = dedup.hot_span_scrub(kept, span_len=6, max_df=1)
+    rebuilt = (
+        scrubbed.filter("n_kept > 0")
+        .select("doc_id", F.col("text_clean").alias("text"))
+        .join(kept.select("doc_id", "source"), "doc_id")
+    )
+    deduped = dedup.dedup_exact(rebuilt)
+    rates = {
+        "src0": 1.0,
+        "src1": 0.75,
+        "src2": 0.5,
+        "src3": 0.25,
+        "src4": 0.1,
+    }
+    mixed = domain_mix(deduped, rates, default_rate=0.05)
+    return shuffle_shards(mixed, n_shards=8)
+
+
 def q_t13(spark, sf_dir):
     """Gopher-style quality rules (r5): word-count / mean-word-length
     bounds, symbol-soup ratio, alphabetic-word fraction, distinct-
@@ -2006,6 +2047,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d14_shuffle_shards": q_d14,
         "d15_domain_mix": q_d15,
         "d16_corpus_build": q_d16,
+        # r5 addition, banked behind the swept window (oracle-backed; the
+        # parity gate + full sweeps cover it)
+        "d18_corpus_build_scrubbed": q_d18,
         "s07_quantize_int8": q_s07,
         "s08_random_projection": q_s08,
         "w01_running_total": q_w01,
@@ -2923,6 +2967,61 @@ WHERE epoch_us(purchase_ts) - epoch_us(click_ts) BETWEEN 0 AND 1800000000""",
 SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS window_start,
        event_type, count(*) AS n_events, round(CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_value
 FROM events GROUP BY 1, 2""",
+        "d18_corpus_build_scrubbed": f"""
+WITH t AS (
+  SELECT doc_id, text, source,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_words,
+         len(regexp_replace(text, '\\s', '', 'g')) AS nonws
+  FROM documents),
+kept AS (
+  SELECT doc_id, text, source FROM t
+  WHERE n_words >= 10 AND n_words <= 100000
+    AND round(CASE WHEN n_words = 0 THEN 0.0 ELSE nonws * 1.0 / n_words END, 6)
+        BETWEEN 2.0 AND 12.0
+    AND NOT (contains(text, '{{') OR contains(text, '}}'))
+    AND NOT contains(lower(text), 'lorem ipsum')),
+toks AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS tt FROM kept),
+sh AS (SELECT doc_id, pos, array_to_string(tt[pos:pos+5], ' ') AS g
+       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tt) - 5)) AS pos) p
+       WHERE len(tt) >= 6),
+hot AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df FROM sh GROUP BY g) WHERE df > 1),
+cov AS (SELECT DISTINCT s.doc_id, cp
+        FROM sh s JOIN hot USING (g),
+             LATERAL (SELECT unnest(generate_series(s.pos, s.pos + 5)) AS cp) c),
+tok AS (SELECT doc_id, pos, tt[pos] AS tok
+        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tt))) AS pos) p),
+rebuilt AS (
+  SELECT tok.doc_id,
+         coalesce(string_agg(CASE WHEN cov.cp IS NULL THEN tok.tok END,
+                             ' ' ORDER BY tok.pos), '') AS text,
+         CAST(sum(CASE WHEN cov.cp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.cp
+  GROUP BY tok.doc_id),
+rb AS (
+  SELECT r.doc_id, r.text, k.source
+  FROM rebuilt r JOIN kept k ON r.doc_id = k.doc_id
+  WHERE r.n_kept > 0),
+fp AS (SELECT doc_id, source,
+              md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+       FROM rb),
+dd AS (SELECT doc_id, source FROM fp
+       WHERE doc_id = (SELECT min(doc_id) FROM fp f2 WHERE f2.f = fp.f)),
+mix AS (
+  SELECT doc_id FROM dd
+  WHERE ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
+        < CASE source WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 750000
+                      WHEN 'src2' THEN 500000 WHEN 'src3' THEN 250000
+                      WHEN 'src4' THEN 100000 ELSE 50000 END),
+b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard,
+         md5('ord:' || CAST(doc_id AS VARCHAR)) AS ok
+  FROM mix)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id) AS BIGINT) AS shard_pos,
+       CAST(row_number() OVER (ORDER BY shard, ok, doc_id) AS BIGINT) AS global_pos
+FROM b""",
         "e08_outer_attribution": """
 WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
            FROM events WHERE event_type = 'click'),
