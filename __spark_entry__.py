@@ -1654,6 +1654,18 @@ def q_d18(spark, sf_dir):
     return shuffle_shards(mixed, n_shards=8)
 
 
+def q_d19(spark, sf_dir):
+    """Quality-weighted sampling (r5): per-document keep probability =
+    its quality score (md5-bucket threshold, RNG-free) — the CCNet-style
+    quality-proportional mix next to d15's flat per-domain rates
+    (operators/sampling.py::quality_weighted_sample)."""
+    from learn_etl_data_warehouse_spark.operators.sampling import (
+        quality_weighted_sample,
+    )
+
+    return quality_weighted_sample(_t(spark, sf_dir, "documents"))
+
+
 def q_t13(spark, sf_dir):
     """Gopher-style quality rules (r5): word-count / mean-word-length
     bounds, symbol-soup ratio, alphabetic-word fraction, distinct-
@@ -2047,9 +2059,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d14_shuffle_shards": q_d14,
         "d15_domain_mix": q_d15,
         "d16_corpus_build": q_d16,
-        # r5 addition, banked behind the swept window (oracle-backed; the
-        # parity gate + full sweeps cover it)
+        # r5 additions, banked behind the swept window (oracle-backed; the
+        # parity gate + full sweeps cover them)
         "d18_corpus_build_scrubbed": q_d18,
+        "d19_quality_weighted_sample": q_d19,
         "s07_quantize_int8": q_s07,
         "s08_random_projection": q_s08,
         "w01_running_total": q_w01,
@@ -2967,6 +2980,29 @@ WHERE epoch_us(purchase_ts) - epoch_us(click_ts) BETWEEN 0 AND 1800000000""",
 SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS window_start,
        event_type, count(*) AS n_events, round(CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_value
 FROM events GROUP BY 1, 2""",
+        "d19_quality_weighted_sample": f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST({_TC} AS BIGINT) AS tc,
+         len(list_distinct({_TOKS_L})) AS dt,
+         length(text) AS n,
+         length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS stripped
+  FROM documents),
+r AS (
+  SELECT doc_id, tc, dt,
+         CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE)
+              ELSE CAST(n - stripped AS DOUBLE) / CAST(n AS DOUBLE) END AS pr
+  FROM base),
+q AS (
+  SELECT doc_id,
+         round(CAST(0.4 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), CAST(tc AS DOUBLE) / CAST(64.0 AS DOUBLE))
+               + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - pr)
+               + CAST(0.3 AS DOUBLE) * (CASE WHEN tc = 0 THEN CAST(0.0 AS DOUBLE)
+                                        ELSE CAST(dt AS DOUBLE) / CAST(tc AS DOUBLE) END), 6) AS quality
+  FROM r)
+SELECT doc_id, quality FROM q
+WHERE ('0x' || substr(md5('qws:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
+      < CAST(round(least(CAST(1.0 AS DOUBLE), greatest(CAST(0.0 AS DOUBLE), quality)) * 1000000) AS BIGINT)""",
         "d18_corpus_build_scrubbed": f"""
 WITH t AS (
   SELECT doc_id, text, source,

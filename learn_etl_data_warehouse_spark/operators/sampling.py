@@ -200,3 +200,35 @@ def pack_sequences(
         / max_tokens
     ).cast("long")
     return out.withColumn("pack_first", first).withColumn("pack_last", last)
+
+
+def quality_weighted_sample(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: float = 1.0,
+) -> DataFrame:
+    """Per-document QUALITY-WEIGHTED sampling — the CCNet/LLaMA-style
+    step where a document's keep probability is its quality score (×
+    ``scale``, clamped to [0,1]) instead of a flat per-domain rate
+    (:func:`domain_mix`): high-quality docs are kept ~always, junk is
+    kept rarely but not never, preserving distributional coverage.
+
+    Same determinism contract as the rest of the sampling family: the
+    decision is md5-bucket < round(weight·1e6) — a pure function of
+    (id, text), no RNG, reproducible on any engine, stable under corpus
+    growth, incremental-rerun safe. A narrow filter, no shuffle.
+    Returns the kept docs with their ``quality`` attached."""
+    from .text import quality_score
+
+    q = quality_score(F.col(text_col))
+    w = F.least(F.lit(1.0), F.greatest(F.lit(0.0), q * F.lit(float(scale))))
+    thresh = F.round(w * 1_000_000).cast("long")
+    b = hash_bucket(
+        F.concat(F.lit("qws:"), F.col(id_col).cast("string")), 1_000_000
+    )
+    return (
+        df.withColumn("quality", q)
+        .filter(b < thresh)
+        .select(F.col(id_col), "quality")
+    )

@@ -111,3 +111,28 @@ def test_clean_corpus_stages(spark, sf_small):
     assert clean_ids == (survivors & gate_pass)
     # output schema carries the features downstream jobs need
     assert {"doc_id", "lang_pred", "quality", "token_count"} <= set(clean.columns)
+
+
+def test_quality_weighted_sample_rate_tracks_quality(spark, sf_small):
+    """Keep-rate must track the quality score: the kept fraction of
+    above-median-quality docs exceeds that of below-median docs, and the
+    decision is deterministic across runs."""
+    from learn_etl_data_warehouse_spark.operators.sampling import (
+        quality_weighted_sample,
+    )
+    from learn_etl_data_warehouse_spark.operators.text import quality_score
+    from learn_etl_data_warehouse_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_small, "documents")
+    scored = docs.select("doc_id", quality_score(F.col("text")).alias("q"))
+    kept = {r["doc_id"] for r in quality_weighted_sample(docs).collect()}
+    again = {r["doc_id"] for r in quality_weighted_sample(docs).collect()}
+    assert kept == again  # RNG-free
+    rows = scored.collect()
+    med = sorted(r["q"] for r in rows)[len(rows) // 2]
+    hi = [r for r in rows if r["q"] > med]
+    lo = [r for r in rows if r["q"] <= med]
+    rate = lambda grp: sum(1 for r in grp if r["doc_id"] in kept) / len(grp)
+    assert rate(hi) > rate(lo)
+    assert 0 < len(kept) < len(rows)
