@@ -1666,6 +1666,16 @@ def q_d19(spark, sf_dir):
     return quality_weighted_sample(_t(spark, sf_dir, "documents"))
 
 
+def q_d20(spark, sf_dir):
+    """Bag-of-words dedup (r5): order-insensitive exact dedup — md5 of
+    the sorted token multiset, collapsing token-permuted duplicates d01's
+    order-sensitive fingerprint keeps (operators/dedup.py::
+    dedup_bag_of_words)."""
+    return dedup.dedup_bag_of_words(
+        _t(spark, sf_dir, "documents")
+    ).select("doc_id", "source", "lang")
+
+
 def q_t13(spark, sf_dir):
     """Gopher-style quality rules (r5): word-count / mean-word-length
     bounds, symbol-soup ratio, alphabetic-word fraction, distinct-
@@ -2063,6 +2073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # parity gate + full sweeps cover them)
         "d18_corpus_build_scrubbed": q_d18,
         "d19_quality_weighted_sample": q_d19,
+        "d20_bag_of_words_dedup": q_d20,
         "s07_quantize_int8": q_s07,
         "s08_random_projection": q_s08,
         "w01_running_total": q_w01,
@@ -2980,6 +2991,13 @@ WHERE epoch_us(purchase_ts) - epoch_us(click_ts) BETWEEN 0 AND 1800000000""",
 SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS window_start,
        event_type, count(*) AS n_events, round(CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_value
 FROM events GROUP BY 1, 2""",
+        "d20_bag_of_words_dedup": """
+WITH fp AS (
+  SELECT doc_id, source, lang,
+         md5(array_to_string(list_sort(regexp_split_to_array(trim(lower(text)), '\\s+')), ' ')) AS f
+  FROM documents)
+SELECT doc_id, source, lang FROM fp
+WHERE doc_id = (SELECT min(doc_id) FROM fp f2 WHERE f2.f = fp.f)""",
         "d19_quality_weighted_sample": f"""
 WITH base AS (
   SELECT doc_id,

@@ -680,3 +680,27 @@ def hot_span_scrub(
             " ",
         ).alias("text_clean"),
     )
+
+
+def dedup_bag_of_words(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Order-insensitive exact dedup: the fingerprint is the md5 of the
+    SORTED token multiset, so documents that differ only in token order
+    (shuffled boilerplate, reordered lists, template permutations)
+    collapse into one class — a real web-corpus failure mode d01's
+    order-sensitive fingerprint keeps. Same plan as d01: one shuffle on
+    the fingerprint, min-id winner. Between d01 (exact) and d02+
+    (similarity): still exact-match semantics, just on the bag."""
+    bag = F.md5(
+        F.array_join(
+            F.array_sort(tokens(F.lower(F.col(text_col)))), " "
+        ).cast("binary")
+    )
+    w = Window.partitionBy("_bfp").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("_bfp", bag)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_bfp", "_rn")
+    )

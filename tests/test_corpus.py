@@ -136,3 +136,24 @@ def test_quality_weighted_sample_rate_tracks_quality(spark, sf_small):
     rate = lambda grp: sum(1 for r in grp if r["doc_id"] in kept) / len(grp)
     assert rate(hi) > rate(lo)
     assert 0 < len(kept) < len(rows)
+
+
+def test_bag_of_words_dedup_collapses_permutations(spark):
+    from learn_etl_data_warehouse_spark.operators.dedup import (
+        dedup_bag_of_words,
+        dedup_exact,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "gamma beta alpha"),   # permutation of 1 → collapses
+            (3, "alpha beta beta"),    # different multiset → kept
+            (4, "Alpha  beta   gamma"),  # case/ws-normalized perm of 1
+        ],
+        "doc_id LONG, text STRING",
+    )
+    bag = sorted(r["doc_id"] for r in dedup_bag_of_words(docs).collect())
+    assert bag == [1, 3]  # min-id winner per multiset class
+    exact = sorted(r["doc_id"] for r in dedup_exact(docs).collect())
+    assert 2 in exact  # order-sensitive dedup keeps the permutation
