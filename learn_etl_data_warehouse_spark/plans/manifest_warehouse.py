@@ -577,3 +577,42 @@ def vacuum(table: str) -> int:
         if entry.startswith("_MANIFEST-") and entry != f"_MANIFEST-{manifest['txn']}.json":
             os.remove(os.path.join(table, entry))
     return removed
+
+
+def clone_table(src: str, dst: str) -> str:
+    """CLONE (Delta/Iceberg analog): materialize ``dst`` as an
+    independent table holding ``src``'s CURRENT snapshot — zero data
+    copied when the filesystem supports hard links (each version file is
+    linked, not duplicated; version files are immutable by construction
+    and deletion only unlinks a name, so the clone survives a later
+    ``vacuum``/``delete_where`` on the source and vice versa). Falls
+    back to a real copy cross-device.
+
+    The clone starts its own txn history: its manifest is a fresh
+    publication (new txn id), and subsequent commits/compactions/vacuums
+    on either table never touch the other — the test pins exactly that
+    divergence-isolation property. Returns the clone's txn id."""
+    manifest = read_manifest(src)
+    if manifest["txn"] is None:
+        raise FileNotFoundError(f"no committed snapshot to clone at {src}")
+    os.makedirs(dst, exist_ok=True)
+    txn_id = uuid.uuid4().hex[:12]
+    new_manifest = {"txn": None, "partitions": {}, "stats": {}}
+    for rel, txn in sorted(manifest["partitions"].items()):
+        src_dir = os.path.join(src, rel, f"{TXN_COL_PREFIX}{txn}")
+        dst_dir = os.path.join(dst, rel, f"{TXN_COL_PREFIX}{txn_id}")
+        os.makedirs(dst_dir, exist_ok=True)
+        for name in sorted(os.listdir(src_dir)):
+            if not name.endswith(".parquet"):
+                continue
+            s, d = os.path.join(src_dir, name), os.path.join(dst_dir, name)
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
+        new_manifest["partitions"][rel] = txn_id
+        stats = manifest.get("stats", {}).get(rel)
+        if stats is not None:
+            new_manifest["stats"][rel] = stats
+    _publish(dst, new_manifest, txn_id)
+    return txn_id

@@ -383,3 +383,39 @@ def test_zorder_compaction_beats_lexicographic_skipping(spark, tmp_path):
     )
     after = sorted(map(tuple, read_snapshot(spark, table).collect()))
     assert after == before
+
+
+def test_clone_is_independent_of_source(spark, tmp_path):
+    """CLONE: same values as the source snapshot at clone time, then full
+    divergence isolation — mutations and vacuum on either side never
+    change the other."""
+    from learn_etl_data_warehouse_spark.plans.manifest_warehouse import (
+        clone_table,
+        delete_where,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    os.makedirs(src)
+    sink = manifest_stream_sink(src)
+    frame = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "id LONG, v DOUBLE"
+    )
+    sink(frame, 0)
+    clone_table(src, dst)
+    as_set = lambda t: {
+        (r["id"], r["v"]) for r in read_snapshot(spark, t).collect()
+    }
+    assert as_set(dst) == as_set(src)
+
+    # mutate the SOURCE + vacuum it: clone unchanged (hardlinked files
+    # survive the unlink — immutability makes the zero-copy clone safe)
+    delete_where(spark, src, F.col("id") < 50)
+    vacuum(src)
+    assert len(as_set(src)) == 50
+    assert len(as_set(dst)) == 100
+
+    # mutate the CLONE: source unchanged
+    delete_where(spark, dst, F.col("id") >= 90)
+    assert len(as_set(dst)) == 90
+    assert len(as_set(src)) == 50
