@@ -140,3 +140,56 @@ def files_touched(
         if overlap:
             touched += 1
     return touched, total
+
+
+def _rank_scaled(col: Column, bounds: list[float], bits: int) -> Column:
+    """Bucket index via the precomputed quantile boundaries: the count of
+    boundaries ≤ value (a JVM-side filter over a literal array — 2^bits
+    comparisons per row, no join, no window). Nulls → 0."""
+    arr = F.array(*[F.lit(float(b)) for b in bounds])
+    idx = F.size(F.filter(arr, lambda b: b <= col.cast("double")))
+    top = (1 << bits) - 1
+    return F.coalesce(
+        F.least(idx.cast("long"), F.lit(top).cast("long")), F.lit(0).cast("long")
+    )
+
+
+def zorder_key_ranked(
+    df: DataFrame, cols: list[str], bits: int = 8
+) -> tuple[DataFrame, str]:
+    """Skew-robust variant of :func:`zorder_key`: scale each column by
+    its RANK (approx-quantile bucket) instead of linearly, so a column
+    where 99% of values share one narrow range still spreads across the
+    full 2^bits space — the fix for the linear-scale caveat, same as
+    Delta's OPTIMIZE uses range-partitioned rank internally.
+
+    Cost model at 100 TB: ONE pass computing 2^bits approximate quantile
+    boundaries per column (percentile_approx — mergeable GK sketches, no
+    sort), then a narrow map; vs the global sort a percent_rank window
+    would need. ``bits`` ≤ 8 keeps the boundary arrays codegen-friendly
+    (256 literals/column)."""
+    if not cols:
+        raise ValueError("zorder_key_ranked needs at least one column")
+    if len(cols) * bits > 63:
+        raise ValueError("cols × bits exceeds a signed long; lower bits")
+    n_b = (1 << bits) - 1
+    qs = [(i + 1) / (n_b + 1) for i in range(n_b)]
+    aggs = []
+    for i, c in enumerate(cols):
+        aggs.append(
+            F.percentile_approx(
+                F.col(c).cast("double"), qs, 10_000
+            ).alias(f"_q_{i}")
+        )
+    row = df.agg(*aggs).collect()[0]
+    z = F.lit(0).cast("long")
+    k = len(cols)
+    for i, c in enumerate(cols):
+        bounds = row[f"_q_{i}"]
+        if bounds is None:
+            continue
+        s = _rank_scaled(F.col(c), list(bounds), bits)
+        for b in range(bits):
+            bit = F.shiftright(s, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * k + i))
+    return df.withColumn("_z", z), "_z"

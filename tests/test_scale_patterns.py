@@ -183,3 +183,43 @@ def test_zorder_layout_skips_more_files_than_linear_sort(spark, sf_small, tmp_pa
     a = sorted(r["event_id"] for r in spark.read.parquet(zpath).filter(cond).collect())
     b = sorted(r["event_id"] for r in spark.read.parquet(lpath).filter(cond).collect())
     assert a == b and a, "same non-empty rows from both layouts"
+
+
+def test_ranked_zorder_resists_skew(spark, tmp_path):
+    """Linear z-scaling collapses under skew (99% of values in one
+    narrow range → everything lands in one z-cell on that dim); the
+    rank-scaled key must keep spreading, giving strictly better skipping
+    on a skewed column."""
+    from learn_etl_data_warehouse_spark.plans.layout import (
+        files_touched,
+        zorder_key,
+        zorder_key_ranked,
+    )
+
+    # value: 99% uniform in [0, 1), 1% outliers at 1e9 — linear scaling
+    # maps the bulk to bucket 0
+    rows = [(i, float(i % 100), (1e9 if i % 100 == 99 else i % 97 / 97.0))
+            for i in range(5000)]
+    df = spark.createDataFrame(rows, "id LONG, a DOUBLE, v DOUBLE")
+
+    for name, keyer in (("lin", zorder_key), ("rank", zorder_key_ranked)):
+        zdf, zc = keyer(df, ["a", "v"], bits=8)
+        (
+            zdf.repartitionByRange(16, F.col(zc)).sortWithinPartitions(zc)
+            .drop(zc).write.mode("overwrite")
+            .parquet(str(tmp_path / name))
+        )
+    # predicate on the SKEWED dim's bulk: linear scaling put the whole
+    # bulk in z-bucket 0, so no file can be distinguished on v; the
+    # rank key spreads the bulk, so files carry narrow v ranges
+    preds = {"v": (0.2, 0.4)}
+    lin_t, lin_n = files_touched(spark, str(tmp_path / "lin"), preds)
+    rank_t, rank_n = files_touched(spark, str(tmp_path / "rank"), preds)
+    assert rank_n >= 8 and lin_n >= 8
+    assert lin_t == lin_n, "linear-z should touch everything on the skewed dim"
+    assert rank_t < lin_t, f"rank={rank_t}/{rank_n} vs linear={lin_t}/{lin_n}"
+    # identical rows through the normal reader
+    cond = (F.col("v") >= 0.2) & (F.col("v") <= 0.4)
+    a = sorted(r["id"] for r in spark.read.parquet(str(tmp_path / "lin")).filter(cond).collect())
+    b = sorted(r["id"] for r in spark.read.parquet(str(tmp_path / "rank")).filter(cond).collect())
+    assert a == b and a
