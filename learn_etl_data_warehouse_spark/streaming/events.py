@@ -389,3 +389,36 @@ def stream_attribution_outer(
         F.col("purchase_id").isNotNull().alias("attributed"),
         F.col("click_ts"),
     )
+
+
+def enriched_stream_sink(
+    dim_table: str,
+    out_path: str,
+    dim_key: str = "event_type",
+):
+    """Stream-dim ENRICHMENT with per-batch dim re-resolution: a
+    ``foreachBatch`` function that left-joins each micro-batch against
+    the dimension's CURRENT manifest snapshot
+    (plans/manifest_warehouse.py::read_snapshot) and appends the result.
+
+    Why not a plain stream-static join on a parquet path: the static
+    side's file listing is resolved ONCE at plan time, so a dimension
+    rewritten in place either goes unseen or — with overwrite — kills
+    the query with FILE_NOT_EXIST mid-batch (observed; the torn-read
+    hazard made concrete). Re-reading the manifest snapshot inside
+    foreachBatch gives each batch the latest ATOMICALLY-published dim
+    version: updates land between batches, never inside one, and a
+    half-written dim is unreachable by construction. No join state is
+    kept — each batch probes the dim fresh (broadcast at dim scale by
+    AQE)."""
+    from ..plans.manifest_warehouse import read_snapshot
+
+    def enrich(df, batch_id: int) -> None:
+        dim = read_snapshot(df.sparkSession, dim_table)
+        (
+            df.join(dim, dim_key, "left")
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    return enrich

@@ -741,3 +741,69 @@ def test_stream_stream_outer_attribution_matches_batch(spark, sf_small, tmp_path
     # open tail: stream rows must be a subset of batch rows
     want_all = {key(r) for r in batch_rows}
     assert all(key(r) in want_all for r in got_all)
+
+
+def test_stream_enrichment_sees_atomic_dim_updates(spark, sf_small, tmp_path):
+    """Per-batch dim re-resolution: a dimension version ATOMICALLY
+    republished (idempotent manifest commit replacing its batch) between
+    micro-batches is picked up by the next batch, without restarting the
+    stream and without any torn read."""
+    import os
+
+    from learn_etl_data_warehouse_spark.plans.manifest_warehouse import (
+        manifest_stream_sink,
+    )
+    from learn_etl_data_warehouse_spark.streaming.events import (
+        enriched_stream_sink,
+    )
+
+    events = load_table(spark, sf_small, "events")
+    src = str(tmp_path / "stream_src")
+    dim_table = str(tmp_path / "dim_table")
+    os.makedirs(src)
+    os.makedirs(dim_table)
+    types = [r["event_type"] for r in events.select("event_type").distinct().collect()]
+    dim_sink = manifest_stream_sink(dim_table)
+    dim_sink(
+        spark.createDataFrame(
+            [(t, "v1") for t in types], "event_type STRING, label STRING"
+        ),
+        0,
+    )
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(
+                enriched_stream_sink(dim_table, out)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    events.limit(100).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    # dim v2: replayed manifest batch 0 REPLACES v1 in one atomic publish
+    dim_sink(
+        spark.createDataFrame(
+            [(t, "v2") for t in types], "event_type STRING, label STRING"
+        ),
+        0,
+    )
+    events.limit(250).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    got = spark.read.parquet(out)
+    labels = {r["label"] for r in got.select("label").distinct().collect()}
+    assert labels == {"v1", "v2"}  # each batch saw its era's dim version
+    assert got.filter(F.col("label").isNull()).count() == 0
+    assert got.count() >= 250
