@@ -422,3 +422,50 @@ def enriched_stream_sink(
         )
 
     return enrich
+
+
+def stream_windowed_user_counts(
+    spark,
+    source_dir: str,
+    schema,
+    minutes: int = 60,
+    watermark_minutes: int = 30,
+):
+    """Streaming per-(window, user) event counts — the aggregation half
+    of a windowed leaderboard. Append mode + watermark: a window's rows
+    emit exactly once, together, when the watermark passes its end."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        stream.withWatermark("ts", f"{watermark_minutes} minutes")
+        .groupBy(
+            F.window(F.col("ts"), f"{minutes} minutes").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "user_id", "n_events")
+    )
+
+
+def windowed_topk_sink(out_path: str, k: int = 3):
+    """foreachBatch ranking stage of the streaming leaderboard: because
+    append-mode window rows FINALIZE together (one batch contains every
+    row of a closed window, never a partial window), per-window top-k
+    inside the batch equals the batch-twin rank over the same window —
+    no cross-batch state needed. This is the standard shape for
+    rank-after-windowed-agg, which Structured Streaming cannot express
+    as a single continuous query (ranking over an append stream)."""
+
+    def rank(df, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("window_start").orderBy(
+            F.col("n_events").desc(), F.col("user_id").asc()
+        )
+        (
+            df.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= k)
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    return rank

@@ -807,3 +807,49 @@ def test_stream_enrichment_sees_atomic_dim_updates(spark, sf_small, tmp_path):
     assert labels == {"v1", "v2"}  # each batch saw its era's dim version
     assert got.filter(F.col("label").isNull()).count() == 0
     assert got.count() >= 250
+
+
+def test_stream_windowed_topk_matches_batch(spark, sf_small, tmp_path):
+    """Streaming leaderboard (windowed counts → per-window rank in
+    foreachBatch) must equal the batch twin on every window the
+    watermark closed; open windows are withheld, not partially ranked."""
+    import os
+
+    from learn_etl_data_warehouse_spark.streaming.events import (
+        stream_windowed_user_counts,
+        windowed_topk_sink,
+    )
+
+    events = load_table(spark, sf_small, "events")
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    events.coalesce(1).write.mode("append").parquet(src)
+
+    agg = stream_windowed_user_counts(spark, src, events.schema, minutes=60)
+    q = (
+        agg.writeStream.foreachBatch(windowed_topk_sink(out, k=3))
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    import __spark_entry__ as entrymod
+
+    got_df = spark.read.parquet(out)
+    batch = entrymod.queries()["e05_windowed_topk_users"](spark, sf_small)
+    # the stream only emits watermark-closed windows: compare on those
+    closed = {r["window_start"] for r in got_df.select("window_start").distinct().collect()}
+    key = lambda r: (r["window_start"], r["user_id"], r["n_events"], r["rnk"])
+    got = sorted(key(r) for r in got_df.collect())
+    want = sorted(
+        key(r) for r in batch.collect() if r["window_start"] in closed
+    )
+    assert len(closed) >= 5, "expected several closed windows"
+    assert got == want
