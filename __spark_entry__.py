@@ -1958,6 +1958,46 @@ def q_m04(spark, sf_dir):
     return multimodal.sample_frames(media, n_frames=4)
 
 
+def q_e09(spark, sf_dir):
+    """Time-spine gap fill (r5): dense per-event_type hourly series —
+    zero-filled counts, forward-filled sums, gap flag — the hypertable
+    ``time_bucket_gapfill`` analog (operators/timeseries.py::
+    hourly_gapfill: spine from the hourly aggregate's own bounds via
+    sequence+explode, left join, last(ignorenulls) window)."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        hourly_gapfill,
+    )
+
+    return hourly_gapfill(_t(spark, sf_dir, "events"))
+
+
+def q_a15(spark, sf_dir):
+    """Grouped Pearson correlation + regression slope (r5), engine-exact
+    via integer moment sums (operators/grouped.py::grouped_corr — native
+    ``corr()`` accumulates doubles in partition order and is not
+    cross-engine stable; the moment form is)."""
+    from learn_etl_data_warehouse_spark.operators.grouped import grouped_corr
+
+    return grouped_corr(
+        _t(spark, sf_dir, "lineitem"),
+        keys=["l_returnflag", "l_linestatus"],
+        x="l_quantity",
+        y="l_extendedprice",
+    )
+
+
+def q_d21(spark, sf_dir):
+    """SemDeDup-style embedding dedup (r5): within each cluster, drop
+    vectors with a lower-id cosine-neighbor ≥ 0.4
+    (operators/similarity.py::semantic_dedup). Cluster = the fixture's
+    given ``label`` partition so the run is oracle-exact; the production
+    path swaps in ivf_assign cells — same plan."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(emb, cluster_col="label").select(
+        "vec_id", "label"
+    )
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -2074,6 +2114,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d18_corpus_build_scrubbed": q_d18,
         "d19_quality_weighted_sample": q_d19,
         "d20_bag_of_words_dedup": q_d20,
+        "d21_semantic_dedup": q_d21,
+        "e09_hourly_gapfill": q_e09,
+        "a15_grouped_corr": q_a15,
         "s07_quantize_int8": q_s07,
         "s08_random_projection": q_s08,
         "w01_running_total": q_w01,
@@ -3196,4 +3239,55 @@ SELECT media_id, media_type, byte_len,
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 65536.0) AS BIGINT)
          AS batch_id
 FROM typed""",
+        "e09_hourly_gapfill": """
+WITH hourly AS (
+  SELECT event_type,
+         make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS hour,
+         count(*) AS n,
+         round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS hour_sum
+  FROM events GROUP BY 1, 2),
+bounds AS (SELECT event_type, min(hour) AS mn, max(hour) AS mx FROM hourly GROUP BY 1),
+spine AS (SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour
+          FROM bounds)
+SELECT s.event_type, s.hour,
+       coalesce(h.n, 0) AS n_events,
+       last_value(h.hour_sum IGNORE NULLS)
+         OVER (PARTITION BY s.event_type ORDER BY s.hour
+               ROWS UNBOUNDED PRECEDING) AS filled_sum,
+       CAST(h.n IS NULL AS BIGINT) AS is_gap
+FROM spine s LEFT JOIN hourly h ON s.event_type = h.event_type AND s.hour = h.hour""",
+        "a15_grouped_corr": """
+WITH m AS (
+  SELECT l_returnflag, l_linestatus, count(*) AS n,
+         sum(CAST(round(l_quantity * 100) AS HUGEINT)) AS sx,
+         sum(CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sy,
+         sum(CAST(round(l_quantity * 100) AS HUGEINT)
+             * CAST(round(l_quantity * 100) AS HUGEINT)) AS sxx,
+         sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+             * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS syy,
+         sum(CAST(round(l_quantity * 100) AS HUGEINT)
+             * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sxy
+  FROM lineitem GROUP BY 1, 2),
+d AS (
+  SELECT l_returnflag, l_linestatus, n,
+         CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+         CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+         CAST(syy AS DOUBLE) AS syyd, CAST(sxy AS DOUBLE) AS sxyd
+  FROM m)
+SELECT l_returnflag, l_linestatus, n,
+       CASE WHEN nd * sxxd - sxd * sxd > 0 AND nd * syyd - syd * syd > 0
+            THEN round((nd * sxyd - sxd * syd)
+                       / (sqrt(nd * sxxd - sxd * sxd) * sqrt(nd * syyd - syd * syd)), 6)
+       END AS corr_xy,
+       CASE WHEN nd * sxxd - sxd * sxd > 0
+            THEN round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6)
+       END AS slope_yx
+FROM d""",
+        "d21_semantic_dedup": f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT e.vec_id, e.label FROM e
+WHERE NOT EXISTS (
+  SELECT 1 FROM e o
+  WHERE o.label = e.label AND o.vec_id < e.vec_id
+    AND {_COS.format(a='o.v', b='e.v')} >= 0.4)""",
     }

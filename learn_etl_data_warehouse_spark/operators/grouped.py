@@ -40,6 +40,67 @@ def zscore_native(
     )
 
 
+def grouped_corr(
+    df: DataFrame,
+    keys: list[str],
+    x: str,
+    y: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-group Pearson correlation and least-squares slope, engine-exact.
+
+    ``F.corr`` (and DuckDB's ``corr``) accumulate double moments in
+    partition order — nondeterministic in the last ulp, so the two
+    engines can disagree after rounding. Instead accumulate the five
+    moment sums (n, Σx, Σy, Σx², Σy², Σxy) over *integers* (values
+    rounded at ``scale``, products in DECIMAL(38,0) — exact, associative,
+    order-free), then evaluate the closed forms once per group on the
+    exact moments. The single double-precision evaluation of identical
+    exact inputs is IEEE-deterministic across engines; results are
+    rounded to 6 decimals.
+
+        corr  = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²))
+        slope = (nΣxy − ΣxΣy) / (nΣx²−(Σx)²)        (y on x)
+
+    Scale note: this is one partial-aggregated shuffle on the group key —
+    the same plan shape as any groupBy().agg(); the moment trick adds no
+    extra pass. Magnitudes: Σ(xy) for cent-scaled TPC-H measures stays
+    ~1e16–1e17 ≪ the 1e38 decimal ceiling.
+
+    Zero-variance (or singleton) groups yield null corr/slope.
+    """
+    xi = F.round(F.col(x) * scale).cast("long").cast("decimal(38,0)")
+    yi = F.round(F.col(y) * scale).cast("long").cast("decimal(38,0)")
+    agg = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(xi).alias("_sx"),
+        F.sum(yi).alias("_sy"),
+        F.sum(xi * xi).alias("_sxx"),
+        F.sum(yi * yi).alias("_syy"),
+        F.sum(xi * yi).alias("_sxy"),
+    )
+    n = F.col("_n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    cov_num = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    corr = F.when(
+        (var_x > 0) & (var_y > 0),
+        F.round(cov_num / (F.sqrt(var_x) * F.sqrt(var_y)), 6),
+    )
+    slope = F.when(var_x > 0, F.round(cov_num / var_x, 6))
+    return agg.select(
+        *keys,
+        F.col("_n").alias("n"),
+        corr.alias("corr_xy"),
+        slope.alias("slope_yx"),
+    )
+
+
 def zscore_grouped_pandas(
     df: DataFrame,
     key: str = "o_custkey",

@@ -657,3 +657,40 @@ def ivfpq_topk(
         F.col("ivf_cell").isin(probes)
     )
     return pq_topk(candidates, codebooks, query_vec, k, vec_col, id_col)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    cluster_col: str,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style embedding dedup: within each cluster, drop every
+    vector that has a LOWER-id neighbor at cosine ≥ ``threshold``.
+
+    The public SemDeDup recipe (Abbas et al. 2023) k-means-clusters the
+    embeddings, then removes near-duplicates only *within* clusters so
+    the pairwise cost is Σ|cluster|², never corpus². Here the cluster
+    column is a parameter: pass a given partition (the fixture's
+    ``label``) for an oracle-exact run, or :func:`ivf_assign` cells from
+    :func:`ivf_build_centroids` for the self-contained production path —
+    the plan is identical either way (one key-equality join on the
+    cluster, one anti join).
+
+    Keep rule: a row survives iff NO lower-id in-cluster neighbor exists
+    at or above the threshold (independent-drop variant — the rule
+    evaluates against all lower-id rows, not just surviving ones, which
+    makes it order-free, single-pass, and expressible as NOT EXISTS for
+    the oracle; chained/greedy keeping is :func:`connected_components`'
+    job, see d09/d10).
+
+    Scale: the pairwise stage is bounded by the largest cluster
+    (choose n_cells so clusters are ~√corpus); nothing is collected.
+    """
+    pairs = pairwise_near_dups(
+        df, threshold=threshold, vec_col=vec_col, id_col=id_col,
+        bucket_col=cluster_col,
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")

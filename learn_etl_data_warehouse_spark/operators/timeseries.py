@@ -1,0 +1,87 @@
+"""Time-spine gap filling (hypertable `time_bucket_gapfill` analog).
+
+Hourly aggregates have holes wherever a key saw no events; downstream
+consumers (dashboards, rollup merges, forecasting features) want a dense
+series with explicit zeros / carried-forward values. Spark has no
+``GAPFILL`` operator — the Spark-first composition is:
+
+1. aggregate to the hourly grain (one shuffle on ``(key, hour)``),
+2. derive each key's ``[min_hour, max_hour]`` from that *aggregate*
+   (tiny — one row per key),
+3. explode a per-key ``sequence(min, max, interval 1 hour)`` spine
+   (narrow generation, no shuffle: the spine is built from the bounds
+   row, never from raw events),
+4. left-join the hourly aggregate back onto the spine (key-equality),
+5. zero-fill counts; forward-fill measures with
+   ``last(col, ignorenulls=True)`` over a per-key ordered window.
+
+Scale notes (100 TB): the expensive input pass is the grain aggregation,
+which any rollup needs anyway; the spine adds O(keys × hours) rows that
+never touch raw data. The forward-fill window partitions by key — fine
+for high-cardinality keys (users, devices); for a *low*-cardinality key
+(like ``event_type`` here) each partition holds only the key's hour
+range, which is bounded by calendar time, not data volume, so a single
+task per key is acceptable. Multi-year spines at sub-minute grain should
+raise the grain or split the spine by (key, month) before the window.
+
+The whole plan is native Column expressions — deterministic and
+oracle-twinnable (DuckDB ``generate_series`` + ``last_value IGNORE
+NULLS``); measures go through ``fixed_point_sum`` so the filled values
+are engine-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from learn_etl_data_warehouse_spark.functions.aggregates import fixed_point_sum
+
+
+def hourly_gapfill(
+    df: DataFrame,
+    key: str = "event_type",
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """Dense per-key hourly series with zero-filled counts and
+    forward-filled sums.
+
+    Returns ``(key, hour, n_events, filled_sum, is_gap)`` where ``hour``
+    covers every hour in the key's own [first, last] active range,
+    ``n_events`` is 0 on gap hours, ``filled_sum`` carries the last
+    observed hourly sum forward (never null: the range starts at an
+    observed hour), and ``is_gap`` flags synthesized rows (BIGINT 0/1 so
+    the driver's canonicalizer sees a scalar).
+    """
+    hourly = (
+        df.groupBy(
+            F.col(key), F.date_trunc("hour", F.col(ts)).alias("hour")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            fixed_point_sum(F.col(value), 100).alias("_hour_sum"),
+        )
+    )
+    bounds = hourly.groupBy(key).agg(
+        F.min("hour").alias("_mn"), F.max("hour").alias("_mx")
+    )
+    spine = bounds.select(
+        key,
+        F.explode(
+            F.sequence(F.col("_mn"), F.col("_mx"), F.expr("interval 1 hour"))
+        ).alias("hour"),
+    )
+    joined = spine.join(hourly, [key, "hour"], "left")
+    w = (
+        Window.partitionBy(key)
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        F.col(key),
+        F.col("hour"),
+        F.coalesce("_n", F.lit(0)).alias("n_events"),
+        F.last("_hour_sum", ignorenulls=True).over(w).alias("filled_sum"),
+        F.col("_n").isNull().cast("long").alias("is_gap"),
+    )

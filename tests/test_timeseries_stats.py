@@ -1,0 +1,153 @@
+"""Operator tests for the r5 additions: hourly_gapfill (time-spine
+forward fill), grouped_corr (exact-moment Pearson), semantic_dedup
+(SemDeDup-style within-cluster drop). Each also has an oracle-backed
+queries() entry; these tests pin the operator semantics directly."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+
+
+class TestHourlyGapfill:
+    def test_fills_gaps_and_forward_fills(self, spark):
+        from learn_etl_data_warehouse_spark.operators.timeseries import (
+            hourly_gapfill,
+        )
+
+        t0 = dt.datetime(2024, 1, 1, 0, 30)
+        rows = [
+            ("a", t0, 10.0),                             # hour 0
+            ("a", t0 + dt.timedelta(hours=0, minutes=10), 5.0),
+            ("a", t0 + dt.timedelta(hours=3), 7.5),      # hours 1-2 are gaps
+            ("b", t0 + dt.timedelta(hours=1), 1.0),      # single-hour key
+        ]
+        out = hourly_gapfill(_events(spark, rows)).orderBy("event_type", "hour")
+        got = [tuple(r) for r in out.collect()]
+        h = dt.datetime(2024, 1, 1, 0)
+        assert got == [
+            ("a", h, 2, 15.0, 0),
+            ("a", h + dt.timedelta(hours=1), 0, 15.0, 1),   # gap, carried sum
+            ("a", h + dt.timedelta(hours=2), 0, 15.0, 1),
+            ("a", h + dt.timedelta(hours=3), 1, 7.5, 0),
+            ("b", h + dt.timedelta(hours=1), 1, 1.0, 0),
+        ]
+
+    def test_series_is_dense_per_key_on_fixture(self, spark, sf_small):
+        import __spark_entry__ as entrymod
+
+        out = entrymod.queries()["e09_hourly_gapfill"](spark, sf_small)
+        per_key = out.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("hour").alias("mn"),
+            F.max("hour").alias("mx"),
+            F.sum("is_gap").alias("gaps"),
+            F.count_distinct("hour").alias("distinct_hours"),
+        )
+        for r in per_key.collect():
+            span_hours = int((r["mx"] - r["mn"]).total_seconds()) // 3600 + 1
+            assert r["n"] == span_hours, "spine must cover every hour in range"
+            assert r["n"] == r["distinct_hours"], "no duplicate spine rows"
+        # filled_sum never null: the spine starts at an observed hour
+        assert out.filter(F.col("filled_sum").isNull()).count() == 0
+
+
+class TestGroupedCorr:
+    def test_matches_numpy_moments(self, spark, sf_small):
+        from learn_etl_data_warehouse_spark.operators.grouped import grouped_corr
+
+        from learn_etl_data_warehouse_spark.sources.parquet import load_table
+
+        li = load_table(spark, sf_small, "lineitem")
+        out = {
+            (r["l_returnflag"], r["l_linestatus"]): r
+            for r in grouped_corr(
+                li, ["l_returnflag", "l_linestatus"],
+                x="l_quantity", y="l_extendedprice",
+            ).collect()
+        }
+        pdf = li.select(
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"
+        ).toPandas()
+        for (rf, ls), grp in pdf.groupby(["l_returnflag", "l_linestatus"]):
+            x = np.round(grp["l_quantity"].to_numpy() * 100)
+            y = np.round(grp["l_extendedprice"].to_numpy() * 100)
+            want_corr = np.corrcoef(x, y)[0, 1]
+            want_slope = np.polyfit(x, y, 1)[0]
+            got = out[(rf, ls)]
+            assert got["n"] == len(grp)
+            assert got["corr_xy"] == pytest.approx(want_corr, abs=1e-5)
+            assert got["slope_yx"] == pytest.approx(want_slope, abs=1e-4)
+
+    def test_degenerate_groups_yield_null(self, spark):
+        from learn_etl_data_warehouse_spark.operators.grouped import grouped_corr
+
+        df = spark.createDataFrame(
+            [("k1", 1.0, 2.0), ("k1", 1.0, 5.0), ("k2", 3.0, 4.0)],
+            "k string, x double, y double",
+        )
+        rows = {r["k"]: r for r in grouped_corr(df, ["k"], "x", "y").collect()}
+        assert rows["k1"]["corr_xy"] is None      # zero x-variance
+        assert rows["k1"]["slope_yx"] is None
+        assert rows["k2"]["corr_xy"] is None      # singleton group
+        assert rows["k2"]["n"] == 1
+
+
+class TestSemanticDedup:
+    def test_keep_rule_matches_bruteforce(self, spark, sf_small):
+        from learn_etl_data_warehouse_spark.operators.similarity import (
+            semantic_dedup,
+        )
+        from learn_etl_data_warehouse_spark.sources.parquet import load_table
+
+        emb = load_table(spark, sf_small, "embeddings")
+        kept = {
+            r["vec_id"]
+            for r in semantic_dedup(emb, cluster_col="label", threshold=0.4)
+            .select("vec_id").collect()
+        }
+        pdf = emb.toPandas()
+        vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in pdf.itertuples()}
+        labels = dict(zip(pdf["vec_id"], pdf["label"]))
+        want = set()
+        ids = sorted(vecs)
+        for i in ids:
+            vi = vecs[i]
+            drop = False
+            for j in ids:
+                if j >= i or labels[j] != labels[i]:
+                    continue
+                vj = vecs[j]
+                cos = float(vi @ vj / (np.linalg.norm(vi) * np.linalg.norm(vj)))
+                if round(cos, 6) >= 0.4:
+                    drop = True
+                    break
+            if not drop:
+                want.add(i)
+        assert kept == want
+        assert len(kept) < len(ids), "threshold must actually drop something"
+
+    def test_production_path_with_ivf_cells(self, spark, sf_small):
+        """Self-contained path: clusters from the deterministic IVF
+        build, not a given label — same plan, smoke + invariants."""
+        from learn_etl_data_warehouse_spark.operators import similarity
+        from learn_etl_data_warehouse_spark.sources.parquet import load_table
+
+        emb = load_table(spark, sf_small, "embeddings")
+        cents = similarity.ivf_build_centroids(emb, n_cells=8, iterations=1)
+        clustered = similarity.ivf_assign(emb, cents)
+        kept = similarity.semantic_dedup(clustered, cluster_col="ivf_cell")
+        n_in, n_kept = emb.count(), kept.count()
+        assert 0 < n_kept <= n_in
+        # deterministic: second run identical
+        kept2 = similarity.semantic_dedup(clustered, cluster_col="ivf_cell")
+        assert {r["vec_id"] for r in kept.select("vec_id").collect()} == {
+            r["vec_id"] for r in kept2.select("vec_id").collect()
+        }
