@@ -137,6 +137,7 @@ def _stage_table(
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         os.rename(src, dst)
         manifest["partitions"][rel] = txn_id
+        mw._invalidate_bloom(manifest, rel)
         manifest.setdefault("stats", {})[rel] = mw._version_stats(dst)
     if rels != ["."]:
         import shutil

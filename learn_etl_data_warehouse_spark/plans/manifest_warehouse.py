@@ -94,6 +94,14 @@ def _version_stats(version_dir: str) -> dict:
     return {name: [mins[name], maxs[name]] for name in mins}
 
 
+def _invalidate_bloom(manifest: dict, rel: str) -> None:
+    """A partition's bloom describes ONE data version — drop it whenever
+    the partition's version changes (absent bloom = 'can't prune',
+    always safe). Every site that assigns ``manifest['partitions'][rel]``
+    must call this; ``add_bloom_index`` refreshes."""
+    manifest.get("bloom", {}).pop(rel, None)
+
+
 def _manifest_path(table: str) -> str:
     return os.path.join(table, MANIFEST)
 
@@ -145,6 +153,7 @@ def commit_versioned(
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         os.rename(src, dst)
         manifest["partitions"][rel] = txn_id
+        _invalidate_bloom(manifest, rel)
         manifest.setdefault("stats", {})[rel] = _version_stats(dst)
     shutil.rmtree(staging, ignore_errors=True)
     _publish(table, manifest, txn_id)
@@ -294,6 +303,7 @@ def compact_partition(
         df = df.coalesce(target_files)
     df.write.mode("overwrite").parquet(dst)
     manifest["partitions"][rel] = txn_id
+    _invalidate_bloom(manifest, rel)
     manifest.setdefault("stats", {})[rel] = _version_stats(dst)
     _publish(table, manifest, txn_id)
     return txn_id
@@ -347,9 +357,11 @@ def _rewrite_partitions(
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         os.rename(src, dst)
         manifest["partitions"][rel] = txn_id
+        _invalidate_bloom(manifest, rel)
         manifest.setdefault("stats", {})[rel] = _version_stats(dst)
     for rel in affected - written:  # every row deleted / moved away
         manifest["partitions"].pop(rel, None)
+        _invalidate_bloom(manifest, rel)
         manifest.setdefault("stats", {}).pop(rel, None)
     shutil.rmtree(staging, ignore_errors=True)
 
@@ -535,6 +547,7 @@ def manifest_stream_sink(table: str):
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         os.rename(staging, dst)
         manifest["partitions"][rel] = txn_id
+        _invalidate_bloom(manifest, rel)
         manifest.setdefault("stats", {})[rel] = _version_stats(dst)
         _publish(table, manifest, txn_id)
 
@@ -614,5 +627,122 @@ def clone_table(src: str, dst: str) -> str:
         stats = manifest.get("stats", {}).get(rel)
         if stats is not None:
             new_manifest["stats"][rel] = stats
+        bloom = manifest.get("bloom", {}).get(rel)
+        if bloom is not None:  # clone holds identical data → bloom valid
+            new_manifest.setdefault("bloom", {})[rel] = bloom
     _publish(dst, new_manifest, txn_id)
     return txn_id
+
+
+def _bloom_bits(values, n_bits: int = 4096, k: int = 4) -> int:
+    """Bloom bitset (as a Python int) over an iterable of values: k bit
+    positions per value via double hashing of the value's md5 — stable
+    across runs/engines, no RNG."""
+    import hashlib
+
+    bits = 0
+    for v in values:
+        if v is None:
+            continue
+        digest = hashlib.md5(str(v).encode()).digest()
+        h1 = int.from_bytes(digest[:8], "big")
+        h2 = int.from_bytes(digest[8:], "big") | 1  # odd → full cycle
+        for i in range(k):
+            bits |= 1 << ((h1 + i * h2) % n_bits)
+    return bits
+
+
+def _bloom_may_contain(hex_bits: str, value, n_bits: int = 4096, k: int = 4) -> bool:
+    import hashlib
+
+    bits = int(hex_bits, 16)
+    digest = hashlib.md5(str(value).encode()).digest()
+    h1 = int.from_bytes(digest[:8], "big")
+    h2 = int.from_bytes(digest[8:], "big") | 1
+    return all(bits >> ((h1 + i * h2) % n_bits) & 1 for i in range(k))
+
+
+def add_bloom_index(table: str, cols: list[str], n_bits: int = 4096) -> str:
+    """Delta ``BLOOMFILTER INDEX`` analog for POINT LOOKUPS on
+    non-partition columns: min/max stats prune nothing when a column's
+    values are scattered across its range in every partition (ids,
+    hashes, emails) — a membership sketch does. Computes a per-partition-
+    version bloom bitset for each of ``cols`` over the CURRENT snapshot
+    and republishes as a metadata-only txn (same data versions; old
+    manifest stays retained for time travel).
+
+    Sizing: at default 4096 bits / k=4 the false-positive rate is ~2.4%
+    at 500 distinct values per partition — a false positive only costs a
+    wasted partition read, never correctness. Values are read driver-side
+    here (the versions are local parquet, same trade as
+    ``_version_stats``); at 100 TB the write job's tasks would fold the
+    same bitsets through an accumulator — OR-merging is associative, so
+    the manifest shape is identical. New commits to a partition drop its
+    bloom (absent bloom = "can't prune" = always safe); re-run the
+    indexer to refresh."""
+    import pyarrow.parquet as pq
+
+    manifest = read_manifest(table)
+    if not manifest["partitions"]:
+        raise FileNotFoundError(f"no committed snapshot at {table}")
+    blooms = manifest.setdefault("bloom", {})
+    for rel, txn in sorted(manifest["partitions"].items()):
+        vdir = os.path.join(table, rel, f"{TXN_COL_PREFIX}{txn}")
+        per_col: dict[str, str] = {}
+        for col in cols:
+            bits = 0
+            for fname in sorted(os.listdir(vdir)):
+                if not fname.endswith(".parquet"):
+                    continue
+                t = pq.read_table(os.path.join(vdir, fname), columns=[col])
+                bits |= _bloom_bits(t.column(col).to_pylist(), n_bits)
+            per_col[col] = f"{bits:x}"
+        blooms[rel] = {"n_bits": n_bits, "cols": per_col}
+    txn_id = uuid.uuid4().hex[:12]
+    # metadata-only publication: partitions keep their data versions
+    _publish(table, manifest, txn_id)
+    return txn_id
+
+
+def read_snapshot_point(
+    spark: SparkSession,
+    table: str,
+    lookups: dict,
+    as_of: str | None = None,
+) -> DataFrame:
+    """Point-lookup read: like :func:`read_snapshot` but additionally
+    drops every partition whose bloom PROVES it can't contain ALL the
+    ``{col: value}`` equalities. Partitions without a bloom for a looked-
+    up column are kept (safe). The caller still applies the real filter —
+    this only shrinks the scan, exactly like ``prune=``."""
+    manifest = _manifest_as_of(table, as_of)
+    blooms = manifest.get("bloom", {})
+    keep = []
+    for rel, txn in sorted(manifest["partitions"].items()):
+        entry = blooms.get(rel)
+        ok = True
+        if entry:
+            for col, value in lookups.items():
+                hex_bits = entry["cols"].get(col)
+                if hex_bits is not None and not _bloom_may_contain(
+                    hex_bits, value, entry["n_bits"]
+                ):
+                    ok = False
+                    break
+        if ok:
+            keep.append((rel, txn))
+    if not keep:
+        # bloom-proved absent everywhere: empty frame with table schema
+        any_rel, any_txn = next(iter(sorted(manifest["partitions"].items())))
+        return (
+            spark.read.option("basePath", table)
+            .parquet(os.path.join(table, any_rel, f"{TXN_COL_PREFIX}{any_txn}"))
+            .drop("txn")
+            .filter(F.lit(False))
+        )
+    paths = [
+        os.path.join(table, rel, f"{TXN_COL_PREFIX}{txn}") for rel, txn in keep
+    ]
+    return (
+        spark.read.option("basePath", table).parquet(*paths).drop("txn")
+    )

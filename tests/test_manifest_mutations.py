@@ -419,3 +419,85 @@ def test_clone_is_independent_of_source(spark, tmp_path):
     delete_where(spark, dst, F.col("id") >= 90)
     assert len(as_set(dst)) == 90
     assert len(as_set(src)) == 50
+
+
+class TestBloomIndex:
+    """Point-lookup data skipping (add_bloom_index / read_snapshot_point):
+    min/max stats can't prune scattered id-like columns; the membership
+    sketch can — and an absent/invalidated bloom must never lie."""
+
+    def test_point_lookup_prunes_and_never_drops_matches(self, spark, vtable):
+        from learn_etl_data_warehouse_spark.plans.manifest_warehouse import (
+            add_bloom_index,
+            read_snapshot_point,
+        )
+
+        table, _ = vtable
+        add_bloom_index(table, ["id", "cat"])
+        # id=105 lives only in batch_id=1 → batch 0's bloom prunes it
+        hit = read_snapshot_point(spark, table, {"id": 105})
+        assert all("batch_id=1" in f for f in hit.inputFiles())
+        assert hit.filter(F.col("id") == 105).count() == 1
+        # every present id must survive its own lookup (no false negatives)
+        for i in list(range(10)) + [99] + list(range(100, 110)):
+            got = read_snapshot_point(spark, table, {"id": i})
+            assert got.filter(F.col("id") == i).count() == 1, i
+        # conjunctive lookup: cat='c' ∧ id=5 can match nowhere
+        nothing = read_snapshot_point(spark, table, {"id": 5, "cat": "c"})
+        assert nothing.inputFiles() == []
+        assert nothing.count() == 0
+
+    def test_new_commit_invalidates_stale_bloom(self, spark, vtable):
+        from learn_etl_data_warehouse_spark.plans.manifest_warehouse import (
+            add_bloom_index,
+            read_manifest,
+            read_snapshot_point,
+        )
+
+        table, sink = vtable
+        add_bloom_index(table, ["id"])
+        # bloom for batch 0 says id=500 is absent…
+        assert read_snapshot_point(spark, table, {"id": 500}).count() == 0
+        # …then batch 0 is REWRITTEN to contain id=500: the stale bloom
+        # must be dropped by the commit, or the lookup would miss it
+        nb0 = spark.createDataFrame([(500, 1.0, "a")], "id INT, v DOUBLE, cat STRING")
+        sink(nb0, 0)
+        assert "batch_id=0" not in read_manifest(table).get("bloom", {})
+        assert (
+            read_snapshot_point(spark, table, {"id": 500})
+            .filter(F.col("id") == 500)
+            .count()
+            == 1
+        )
+        # refresh restores pruning with the new content
+        add_bloom_index(table, ["id"])
+        again = read_snapshot_point(spark, table, {"id": 500})
+        assert all("batch_id=0" in f for f in again.inputFiles())
+
+    def test_delete_and_clone_keep_bloom_honest(self, spark, vtable):
+        from learn_etl_data_warehouse_spark.plans.manifest_warehouse import (
+            add_bloom_index,
+            clone_table,
+            delete_where,
+            read_manifest,
+            read_snapshot_point,
+        )
+
+        table, _ = vtable
+        add_bloom_index(table, ["id"])
+        delete_where(spark, table, "id = 3")
+        # the rewritten partition lost its bloom (absent = can't prune)
+        assert "batch_id=0" not in read_manifest(table).get("bloom", {})
+        # blooomless batch 0 is kept (safe), batch 1's bloom still prunes
+        cand = read_snapshot_point(spark, table, {"id": 4})
+        assert all("batch_id=0" in f for f in cand.inputFiles())
+        assert cand.filter(F.col("id") == 4).count() == 1
+        # clone carries the untouched partition's bloom (same data)
+        dst = table + "_clone"
+        clone_table(table, dst)
+        assert "batch_id=1" in read_manifest(dst).get("bloom", {})
+        # batch 1's carried bloom still prunes on the clone (id=4 is only
+        # in batch 0, which stays — bloomless — as the safe candidate)
+        hit = read_snapshot_point(spark, dst, {"id": 4})
+        assert all("batch_id=0" in f for f in hit.inputFiles())
+        assert hit.filter(F.col("id") == 4).count() == 1
