@@ -151,3 +151,43 @@ class TestSemanticDedup:
         assert {r["vec_id"] for r in kept.select("vec_id").collect()} == {
             r["vec_id"] for r in kept2.select("vec_id").collect()
         }
+
+
+class TestUDTFSurface:
+    """Python UDTF (Spark 4 table function) — the 1→N escape hatch —
+    must agree row-for-row with its native split+posexplode twin, the
+    same native-vs-UDF contract as the cleaning layer."""
+
+    def test_udtf_matches_native_on_fixture(self, spark, sf_small):
+        from learn_etl_data_warehouse_spark.functions.udtf_text import (
+            split_sentences_native,
+            split_sentences_udtf,
+        )
+        from learn_etl_data_warehouse_spark.sources.parquet import load_table
+
+        docs = load_table(spark, sf_small, "documents")
+        native = {
+            tuple(r) for r in split_sentences_native(docs).collect()
+        }
+        via_udtf = {
+            tuple(r) for r in split_sentences_udtf(spark, docs).collect()
+        }
+        assert native == via_udtf
+        assert len(native) > 0
+
+    def test_udtf_handles_null_and_empty(self, spark):
+        from learn_etl_data_warehouse_spark.functions.udtf_text import (
+            split_sentences_native,
+            split_sentences_udtf,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "One. Two! Three? "), (2, None), (3, "   "), (4, "No split")],
+            "doc_id long, text string",
+        )
+        native = {tuple(r) for r in split_sentences_native(df).collect()}
+        via_udtf = {tuple(r) for r in split_sentences_udtf(spark, df).collect()}
+        assert native == via_udtf
+        assert native == {
+            (1, 0, "One"), (1, 1, "Two"), (1, 2, "Three"), (4, 0, "No split")
+        }
