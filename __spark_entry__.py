@@ -1998,6 +1998,27 @@ def q_d21(spark, sf_dir):
     )
 
 
+def q_t14(spark, sf_dir):
+    """Vocabulary build (r5): top-1000 corpus tokens with dense
+    rank-assigned ids — the word→id table a tokenizer trains against
+    (operators/text.py::build_vocab; distributed top-k via TakeOrdered,
+    id window only over the bounded result)."""
+    return text.build_vocab(_t(spark, sf_dir, "documents"), size=1000)
+
+
+def q_d22(spark, sf_dir):
+    """Quality-ranked near-dup removal (r5): d09's duplicate clusters,
+    but each cluster keeps its highest-quality member instead of its
+    lowest id (operators/dedup.py::dedup_keep_best — the selection
+    policy production dedup wants; min-id keeps whichever copy was
+    crawled first)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.7, max_doc_freq=50)
+    return dedup.dedup_keep_best(
+        docs, pairs, text.quality_score("text")
+    ).select("doc_id", "source", "lang")
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -2115,8 +2136,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d19_quality_weighted_sample": q_d19,
         "d20_bag_of_words_dedup": q_d20,
         "d21_semantic_dedup": q_d21,
+        "d22_dedup_keep_best": q_d22,
         "e09_hourly_gapfill": q_e09,
         "a15_grouped_corr": q_a15,
+        "t14_vocab_build": q_t14,
         "s07_quantize_int8": q_s07,
         "s08_random_projection": q_s08,
         "w01_running_total": q_w01,
@@ -3290,4 +3313,52 @@ WHERE NOT EXISTS (
   SELECT 1 FROM e o
   WHERE o.label = e.label AND o.vec_id < e.vec_id
     AND {_COS.format(a='o.v', b='e.v')} >= 0.4)""",
+        "t14_vocab_build": """
+WITH tk AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+            FROM documents),
+c AS (SELECT token, count(*) AS n FROM tk WHERE token <> '' GROUP BY 1),
+r AS (SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rn FROM c)
+SELECT CAST(rn AS BIGINT) AS token_id, token, n FROM r WHERE rn <= 1000""",
+        "d22_dedup_keep_best": (
+            grams_cte.replace("WITH toks", "WITH RECURSIVE toks")
+            + f""",
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+  WHERE round(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) >= 0.7),
+sym AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT s, d FROM sym UNION SELECT s, s FROM sym
+  UNION
+  SELECT reach.id, sym.d FROM reach JOIN sym ON reach.r = sym.s
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+qb AS (
+  SELECT doc_id,
+         CAST({_TC} AS BIGINT) AS tc,
+         len(list_distinct({_TOKS_L})) AS dt,
+         length(text) AS n,
+         length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS stripped
+  FROM documents),
+qr AS (
+  SELECT doc_id, tc, dt,
+         CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE)
+              ELSE CAST(n - stripped AS DOUBLE) / CAST(n AS DOUBLE) END AS pr
+  FROM qb),
+qq AS (
+  SELECT doc_id,
+         round(CAST(0.4 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), CAST(tc AS DOUBLE) / CAST(64.0 AS DOUBLE))
+               + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - pr)
+               + CAST(0.3 AS DOUBLE) * (CASE WHEN tc = 0 THEN CAST(0.0 AS DOUBLE)
+                                        ELSE CAST(dt AS DOUBLE) / CAST(tc AS DOUBLE) END), 6) AS quality
+  FROM qr),
+ranked AS (
+  SELECT comp.id, comp.component, qq.quality,
+         row_number() OVER (PARTITION BY comp.component
+                            ORDER BY qq.quality DESC, comp.id) AS rn
+  FROM comp JOIN qq ON qq.doc_id = comp.id),
+losers AS (SELECT id FROM ranked WHERE rn > 1)
+SELECT d.doc_id, d.source, d.lang FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.id = d.doc_id)"""
+        ),
     }

@@ -704,3 +704,40 @@ def dedup_bag_of_words(
         .filter(F.col("_rn") == 1)
         .drop("_bfp", "_rn")
     )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    quality: Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup removal that keeps each cluster's BEST member, not its
+    lowest id: cluster the pair graph with :func:`connected_components`,
+    rank members by (quality DESC, id ASC), drop everyone but rank 1.
+    Documents in no pair pass through untouched. This is the selection
+    policy production corpus dedup actually wants — min-id keeps
+    whichever duplicate happened to be crawled first; quality-ranked
+    keeps the cleanest copy.
+
+    ``quality`` must be a deterministic rounded expression (e.g.
+    ``text.quality_score``) so the ranking is engine-stable. Scale: the
+    per-cluster window partitions on the component id — cluster sizes
+    are bounded by the pair-generation stage's own caps (d02's doc-freq
+    cap / d03's bucket bound), so no window partition can go quadratic.
+    """
+    cc = connected_components(pairs)
+    member_q = cc.join(
+        df.select(F.col(id_col).alias("id"), quality.alias("_q")), "id"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("component").orderBy(
+        F.col("_q").desc(), F.col("id")
+    )
+    losers = (
+        member_q.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select(F.col("id").alias(id_col))
+    )
+    return df.join(losers, id_col, "left_anti")

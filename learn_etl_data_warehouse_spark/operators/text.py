@@ -476,3 +476,36 @@ def gopher_rules(
         n_stop.alias("n_stopwords"),
         kept.alias("kept"),
     )
+
+
+def build_vocab(
+    df: DataFrame, text_col: str = "text", size: int = 1000
+) -> DataFrame:
+    """Vocabulary construction: the top-``size`` whitespace tokens by
+    corpus frequency, assigned dense ids by rank — the word→id table a
+    tokenizer/embedding pipeline trains against.
+
+    Deterministic end to end: rank order is (count DESC, token ASC), so
+    ties can't reshuffle ids between runs or engines. Scale shape: one
+    explode + partial-aggregated shuffle on the token (type counts, not
+    corpus rows, leave the aggregation), then ``orderBy().limit(size)``
+    — Spark's TakeOrdered, a distributed top-k that keeps ``size`` rows
+    per partition and never materializes a global sort. Only the final
+    id assignment (a window over the already-limited ``size`` rows) is
+    single-partition, and it is bounded by construction.
+
+    Returns (token_id BIGINT starting at 1, token, n_occurrences).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.explode(tokens(F.lower(_c(text_col)))).alias("token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.col("n").desc(), F.col("token")).limit(size)
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return top.select(
+        F.row_number().over(w).cast("long").alias("token_id"),
+        "token",
+        "n",
+    )

@@ -191,3 +191,39 @@ class TestUDTFSurface:
         assert native == {
             (1, 0, "One"), (1, 1, "Two"), (1, 2, "Three"), (4, 0, "No split")
         }
+
+
+class TestVocabAndKeepBest:
+    def test_vocab_ids_are_dense_ranked_and_deterministic(self, spark, sf_small):
+        from learn_etl_data_warehouse_spark.operators.text import build_vocab
+        from learn_etl_data_warehouse_spark.sources.parquet import load_table
+
+        docs = load_table(spark, sf_small, "documents")
+        v1 = [tuple(r) for r in build_vocab(docs).orderBy("token_id").collect()]
+        v2 = [tuple(r) for r in build_vocab(docs).orderBy("token_id").collect()]
+        assert v1 == v2, "ids must not reshuffle between runs"
+        assert [r[0] for r in v1] == list(range(1, len(v1) + 1)), "dense ids"
+        counts = [r[2] for r in v1]
+        assert counts == sorted(counts, reverse=True), "ranked by frequency"
+        # ties break by token ascending
+        for (id1, t1, n1), (id2, t2, n2) in zip(v1, v1[1:]):
+            if n1 == n2:
+                assert t1 < t2
+
+    def test_keep_best_prefers_quality_over_min_id(self, spark):
+        from learn_etl_data_warehouse_spark.operators.dedup import dedup_keep_best
+
+        # doc 1 (low quality) and doc 2 (high quality) are duplicates;
+        # doc 3 is untouched. min-id would keep 1 — keep-best must keep 2.
+        docs = spark.createDataFrame(
+            [(1, "a a a a"), (2, "clean diverse useful text here"), (3, "solo")],
+            "doc_id long, text string",
+        )
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        from learn_etl_data_warehouse_spark.operators.text import quality_score
+
+        kept = {
+            r["doc_id"]
+            for r in dedup_keep_best(docs, pairs, quality_score("text")).collect()
+        }
+        assert kept == {2, 3}
