@@ -55,6 +55,8 @@ HEADLINE = [
     "d17_hot_span_scrub",
     "j06_salted_hot_join",
     "e08_outer_attribution",
+    "e09_hourly_gapfill",
+    "d21_semantic_dedup",
 ]
 
 # Reference-parity ETL (EP1 at shard grain): not a queries() entry — it
