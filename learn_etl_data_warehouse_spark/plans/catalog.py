@@ -152,7 +152,10 @@ def _stage_table(
 def _flip_live_manifest(table: str, manifest: dict) -> None:
     """Converge the table's live ``_MANIFEST.json`` to an
     already-published catalog state (idempotent; NOT a publication point
-    for catalog readers)."""
+    for catalog readers, so it bypasses the optimistic-concurrency check
+    deliberately — which also means raw ``manifest_warehouse`` mutators
+    racing a catalog commit on a MEMBER table can be overwritten: like
+    vacuum, mutations to member tables go through the catalog)."""
     tmp = mw._manifest_path(table) + f".tmp-{manifest['txn']}"
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
@@ -187,17 +190,37 @@ def catalog_commit(
             **{name: m["txn"] for name, m in staged.items()},
         },
     }
-    # retained copy first (catalog time travel), then THE atomic swap
-    with open(os.path.join(catalog_dir, f"_CATALOG-{cat_txn}.json"), "w") as fh:
-        json.dump(new_cat, fh)
-    tmp = _catalog_path(catalog_dir) + f".tmp-{cat_txn}"
-    with open(tmp, "w") as fh:
-        json.dump(new_cat, fh)
-    os.replace(tmp, _catalog_path(catalog_dir))
+    _publish_catalog(catalog_dir, new_cat, base_txn=cat["txn"])
     # post-publication convergence of the live per-table manifests
     for name, manifest in sorted(staged.items()):
         _flip_live_manifest(_table_path(catalog_dir, name), manifest)
     return cat_txn
+
+
+def _publish_catalog(catalog_dir: str, new_cat: dict, base_txn) -> None:
+    """Catalog publication with the same optimistic-concurrency contract
+    as table commits: the check-and-swap runs under a commit lock, and a
+    catalog that moved past ``base_txn`` while this writer was staging
+    raises :class:`manifest_warehouse.ConcurrentWriteError` instead of
+    silently discarding the interleaved transaction. The loser's staged
+    table versions are vacuumable garbage."""
+    cat_txn = new_cat["txn"]
+    with mw._commit_lock(catalog_dir):
+        current = read_catalog(catalog_dir)["txn"]
+        if current != base_txn:
+            raise mw.ConcurrentWriteError(
+                f"catalog moved {base_txn!r} → {current!r} during commit "
+                f"of {cat_txn!r}; retry against the new catalog"
+            )
+        # retained copy first (catalog time travel), then THE atomic swap
+        with open(
+            os.path.join(catalog_dir, f"_CATALOG-{cat_txn}.json"), "w"
+        ) as fh:
+            json.dump(new_cat, fh)
+        tmp = _catalog_path(catalog_dir) + f".tmp-{cat_txn}"
+        with open(tmp, "w") as fh:
+            json.dump(new_cat, fh)
+        os.replace(tmp, _catalog_path(catalog_dir))
 
 
 def repair_catalog_tables(catalog_dir: str) -> list[str]:

@@ -160,18 +160,85 @@ def commit_versioned(
     return txn_id
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another transaction published between this writer's snapshot read
+    and its commit. Nothing was published; the caller's staged version
+    dirs are vacuumable garbage. Retry the operation against the new
+    snapshot (Delta's optimistic-concurrency contract)."""
+
+
+from contextlib import contextmanager  # noqa: E402 — module layout
+
+
+@contextmanager
+def _commit_lock(table: str, timeout: float = 10.0, stale: float = 120.0):
+    """Filesystem mutex around the check-and-swap: ``os.mkdir`` is atomic
+    on one filesystem, which is the deployment this layer targets (like
+    Delta, which needs an external lock service — DynamoDB — on S3; the
+    same slot-in applies here). A crashed committer's lock goes stale
+    and is stolen after ``stale`` seconds of inactivity."""
+    import time
+
+    lock = os.path.join(table, "_COMMIT.lock")
+    t0 = time.monotonic()
+    while True:
+        try:
+            os.mkdir(lock)
+            break
+        except FileExistsError:
+            try:
+                age = time.time() - os.stat(lock).st_mtime
+            except OSError:
+                continue  # holder just released; retry immediately
+            if age > stale:
+                try:
+                    os.rmdir(lock)  # steal a dead committer's lock
+                except OSError:
+                    pass
+                continue
+            if time.monotonic() - t0 > timeout:
+                raise ConcurrentWriteError(
+                    f"commit lock on {table} held for {timeout}s — "
+                    "another committer is live (or raise the timeout)"
+                )
+            time.sleep(0.05)
+    try:
+        yield
+    finally:
+        try:
+            os.rmdir(lock)
+        except OSError:
+            pass
+
+
 def _publish(table: str, manifest: dict, txn_id: str) -> None:
     """PUBLICATION POINT: one atomic file swap flips the whole snapshot.
     The per-txn manifest copy is retained first (time-travel log — the
     Delta transaction-log analog; vacuum prunes copies whose data is
-    gone)."""
-    manifest["txn"] = txn_id
-    with open(os.path.join(table, f"_MANIFEST-{txn_id}.json"), "w") as fh:
-        json.dump(manifest, fh)
-    tmp = _manifest_path(table) + f".tmp-{txn_id}"
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    os.replace(tmp, _manifest_path(table))
+    gone).
+
+    OPTIMISTIC CONCURRENCY: ``manifest`` still carries the txn id the
+    writer's read-modify-write started from; if the live manifest moved
+    past it while the writer was staging, committing would silently
+    discard the interleaved transaction (lost update) — instead the
+    check-and-swap runs under the commit lock and raises
+    :class:`ConcurrentWriteError`, leaving the table on the competing
+    writer's snapshot and this writer's staging as vacuumable garbage."""
+    base_txn = manifest.get("txn")
+    with _commit_lock(table):
+        current = read_manifest(table)["txn"]
+        if current != base_txn:
+            raise ConcurrentWriteError(
+                f"snapshot moved {base_txn!r} → {current!r} during commit "
+                f"of {txn_id!r}; retry against the new snapshot"
+            )
+        manifest["txn"] = txn_id
+        with open(os.path.join(table, f"_MANIFEST-{txn_id}.json"), "w") as fh:
+            json.dump(manifest, fh)
+        tmp = _manifest_path(table) + f".tmp-{txn_id}"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, _manifest_path(table))
 
 
 def _stats_may_match(stats: dict, prune: dict) -> bool:

@@ -158,3 +158,36 @@ def test_unknown_table_and_empty_commit_fail_loudly(spark, tmp_path):
     _commit_pair(spark, cdir, version=1)
     with pytest.raises(FileNotFoundError, match="not in catalog"):
         cat.catalog_read(spark, cdir, "nope")
+
+
+def test_concurrent_catalog_commit_detected(spark, tmp_path, monkeypatch):
+    """Two catalog writers race: the one that publishes second must get
+    ConcurrentWriteError, not silently swallow the first one's tables."""
+    cdir = str(tmp_path / "wh")
+    _commit_pair(spark, cdir, version=1)
+
+    orig_stage = cat._stage_table
+    fired = {"done": False}
+
+    def race(table, df, partition_by, txn_id, replace):
+        staged = orig_stage(table, df, partition_by, txn_id, replace)
+        if not fired["done"]:
+            fired["done"] = True
+            # a competing multi-table commit lands while this one stages
+            monkeypatch.setattr(cat, "_stage_table", orig_stage)
+            _commit_pair(spark, cdir, version=11)
+            monkeypatch.setattr(cat, "_stage_table", race)
+        return staged
+
+    monkeypatch.setattr(cat, "_stage_table", race)
+    with pytest.raises(mw.ConcurrentWriteError, match="catalog moved"):
+        _commit_pair(spark, cdir, version=2)
+    monkeypatch.setattr(cat, "_stage_table", orig_stage)
+    # the competing commit's pair is live and mutually consistent
+    fact = cat.catalog_read(spark, cdir, "fact")
+    assert fact.agg(F.max("amount")).first()[0] == 39.0 * 11
+    # retry succeeds
+    _commit_pair(spark, cdir, version=3)
+    assert cat.catalog_read(spark, cdir, "fact").agg(
+        F.max("amount")
+    ).first()[0] == 39.0 * 3

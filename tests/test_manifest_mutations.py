@@ -501,3 +501,74 @@ class TestBloomIndex:
         hit = read_snapshot_point(spark, dst, {"id": 4})
         assert all("batch_id=0" in f for f in hit.inputFiles())
         assert hit.filter(F.col("id") == 4).count() == 1
+
+
+class TestOptimisticConcurrency:
+    """Interleaved writers must never lose an update: the second
+    committer's check-and-swap detects the moved snapshot and raises,
+    leaving the table on the competing writer's state and the loser's
+    staging as vacuumable garbage (Delta's optimistic contract)."""
+
+    def test_interleaved_delete_raises_and_loses_nothing(
+        self, spark, vtable, monkeypatch
+    ):
+        import learn_etl_data_warehouse_spark.plans.manifest_warehouse as mw
+
+        table, sink = vtable
+        competing = spark.createDataFrame(
+            [(777, 7.0, "z")], "id INT, v DOUBLE, cat STRING"
+        )
+        orig = mw._rewrite_partitions
+
+        def race(spark_, table_, manifest, new_rows, affected, part_cols, txn_id):
+            # a competing commit lands AFTER delete_where read its
+            # snapshot but BEFORE it publishes
+            sink(competing, 7)
+            return orig(
+                spark_, table_, manifest, new_rows, affected, part_cols, txn_id
+            )
+
+        monkeypatch.setattr(mw, "_rewrite_partitions", race)
+        with pytest.raises(mw.ConcurrentWriteError, match="snapshot moved"):
+            delete_where(spark, table, "id = 3")
+        monkeypatch.setattr(mw, "_rewrite_partitions", orig)
+        # the competing commit SURVIVED (no lost update)…
+        snap = read_snapshot(spark, table)
+        assert snap.filter(F.col("id") == 777).count() == 1
+        # …and the aborted delete published nothing
+        assert snap.filter(F.col("id") == 3).count() == 1
+        # retry against the new snapshot succeeds and keeps both effects
+        assert delete_where(spark, table, "id = 3") is not None
+        snap2 = read_snapshot(spark, table)
+        assert snap2.filter(F.col("id") == 3).count() == 0
+        assert snap2.filter(F.col("id") == 777).count() == 1
+        # the loser's orphan staging/version dirs vacuum away cleanly
+        vacuum(table)
+        assert read_snapshot(spark, table).count() == snap2.count()
+
+    def test_held_lock_times_out(self, spark, vtable):
+        import learn_etl_data_warehouse_spark.plans.manifest_warehouse as mw
+
+        table, sink = vtable
+        lock = os.path.join(table, "_COMMIT.lock")
+        os.mkdir(lock)  # a live committer holds the lock
+        b = spark.createDataFrame([(1, 1.0, "a")], "id INT, v DOUBLE, cat STRING")
+        with pytest.raises(mw.ConcurrentWriteError, match="commit lock"):
+            with mw._commit_lock(table, timeout=0.3):
+                pass
+        os.rmdir(lock)
+        sink(b, 9)  # lock released → commits flow again
+
+    def test_stale_lock_is_stolen(self, spark, vtable):
+        import time
+
+        import learn_etl_data_warehouse_spark.plans.manifest_warehouse as mw
+
+        table, sink = vtable
+        lock = os.path.join(table, "_COMMIT.lock")
+        os.mkdir(lock)  # a CRASHED committer left this behind
+        old = time.time() - 3600
+        os.utime(lock, (old, old))
+        b = spark.createDataFrame([(2222, 2.0, "a")], "id INT, v DOUBLE, cat STRING")
+        sink(b, 9)  # steals the stale lock instead of deadlocking
+        assert read_snapshot(spark, table).filter(F.col("id") == 2222).count() == 1
