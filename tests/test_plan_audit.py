@@ -40,3 +40,29 @@ def test_headliners_exist_and_are_registered(spark):
     queries = entrymod.queries()
     missing = [n for n in bench.HEADLINE if n not in queries]
     assert not missing, f"bench headliners missing from queries(): {missing}"
+
+
+def test_filters_and_projection_reach_the_scan(spark, sf_small):
+    """Catalyst must push q06's predicates into the parquet scan
+    (PushedFilters) and prune the projection to the four referenced
+    columns (ReadSchema) — the 'free at 100 TB if you stay declarative'
+    guarantees. A regression here (e.g. a UDF wrapping the filter column)
+    silently turns a 4-column pruned scan into a full-table read."""
+    df = entrymod.queries()["q06_forecast_revenue"](spark, sf_small)
+    # formatted mode: the default toString truncates long scan lines,
+    # which can hide (or fake) the PushedFilters clause
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, "q06 must read parquet directly"
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert read_cols == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"
+    }, f"column pruning lost: scan reads {read_cols}"
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed and "IsNotNull" in pushed.group(1), (
+        "predicates no longer reach the parquet scan"
+    )

@@ -853,3 +853,92 @@ def test_stream_windowed_topk_matches_batch(spark, sf_small, tmp_path):
     )
     assert len(closed) >= 5, "expected several closed windows"
     assert got == want
+
+
+def test_streaming_cdf_with_deletes_matches_batch(spark, sf_small, tmp_path):
+    """Delete-aware streaming IVM: a change-data-feed STREAM (insert and
+    delete rows) applied batch-by-batch through maintain_rollup, with the
+    delete-touched groups' min/max refreshed from the surviving snapshot
+    at the end — the full IVM loop, streaming edition. Final state must
+    equal hourly_preagg over the surviving events exactly.
+
+    File delivery order matters (a delete must follow its insert), and
+    FileStreamSource batch order is NOT reliably mtime-ordered — so this
+    uses the repo's checkpointed availableNow-restart pattern (one file
+    per run, same checkpoint), like the sessionizer tests."""
+    from pyspark.sql import functions as F
+
+    from learn_etl_data_warehouse_spark.operators.rollups import (
+        hourly_preagg,
+        maintain_rollup,
+        refresh_rollup_groups,
+    )
+
+    events = load_table(spark, sf_small, "events")
+    cohort = F.col("event_id") % 7
+    ins_a = events.filter(cohort < 3).withColumn("_change_type", F.lit("insert"))
+    ins_b = events.filter(cohort >= 3).withColumn("_change_type", F.lit("insert"))
+    dels = events.filter(cohort == 2).withColumn("_change_type", F.lit("delete"))
+    survivors = events.filter(cohort != 2)
+
+    cdf_dir = str(tmp_path / "cdf_stream")
+    rollup_dir = str(tmp_path / "rollup")
+    dirty_dir = str(tmp_path / "dirty")
+    hourly_preagg(events.limit(0)).write.mode("overwrite").parquet(rollup_dir)
+    schema = ins_a.schema
+
+    def apply_cdf(batch_df, batch_id):
+        s = batch_df.sparkSession
+        prev = s.read.parquet(rollup_dir)
+        maintained, dirty = maintain_rollup(prev, batch_df)
+        out = maintained.collect()  # materialize before overwriting input
+        dirty_rows = dirty.collect()
+        s.createDataFrame(out, maintained.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(rollup_dir)
+        if dirty_rows:
+            s.createDataFrame(dirty_rows, dirty.schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(dirty_dir)
+
+    import os
+    import shutil
+
+    for i, frame in enumerate([ins_a, ins_b, dels]):
+        frame.coalesce(1).write.parquet(
+            str(tmp_path / f"file{i}"), mode="overwrite"
+        )
+        # one file per availableNow run → guaranteed in-order delivery
+        src = str(tmp_path / "arrivals")
+        os.makedirs(src, exist_ok=True)
+        for f in os.listdir(str(tmp_path / f"file{i}")):
+            if f.endswith(".parquet"):
+                shutil.copy(
+                    str(tmp_path / f"file{i}" / f), os.path.join(src, f"b{i}.parquet")
+                )
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.foreachBatch(apply_cdf)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(180)
+        finally:
+            q.stop()
+
+    maintained = spark.read.parquet(rollup_dir)
+    # deletes really marked groups dirty (null min/max awaiting refresh)
+    dirty = spark.read.parquet(dirty_dir).distinct()
+    assert dirty.count() > 0
+    assert maintained.filter(F.col("min_value").isNull()).count() > 0
+    final = refresh_rollup_groups(maintained, survivors, dirty)
+
+    key = lambda r: (r["hour"], r["event_type"])  # noqa: E731
+    got = {key(r): (r["n"], r["sum_fp"], r["min_value"], r["max_value"])
+           for r in final.collect()}
+    want = {key(r): (r["n"], r["sum_fp"], r["min_value"], r["max_value"])
+            for r in hourly_preagg(survivors).collect()}
+    assert got == want
