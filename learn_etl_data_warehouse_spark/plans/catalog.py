@@ -144,6 +144,7 @@ def _stage_table(
 
         shutil.rmtree(staging, ignore_errors=True)
     manifest["txn"] = txn_id
+    manifest["seq"] = int(manifest.get("seq", 0)) + 1  # history ordering
     with open(os.path.join(table, f"_MANIFEST-{txn_id}.json"), "w") as fh:
         json.dump(manifest, fh)
     return manifest

@@ -233,6 +233,9 @@ def _publish(table: str, manifest: dict, txn_id: str) -> None:
                 f"of {txn_id!r}; retry against the new snapshot"
             )
         manifest["txn"] = txn_id
+        # monotonic commit sequence — orders the retained-manifest history
+        # so vacuum retention can keep "the last N snapshots"
+        manifest["seq"] = int(manifest.get("seq", 0)) + 1
         with open(os.path.join(table, f"_MANIFEST-{txn_id}.json"), "w") as fh:
             json.dump(manifest, fh)
         tmp = _manifest_path(table) + f".tmp-{txn_id}"
@@ -621,18 +624,35 @@ def manifest_stream_sink(table: str):
     return commit_batch
 
 
-def vacuum(table: str) -> int:
-    """Delete txn directories the CURRENT manifest no longer references
-    (old snapshots + crashed writes), plus the time-travel manifests
-    whose data just became unreadable. Returns the number of data dirs
+def vacuum(table: str, keep_last: int = 1) -> int:
+    """Delete txn directories no RETAINED manifest references (old
+    snapshots + crashed writes), plus the time-travel manifests whose
+    data just became unreadable. Returns the number of data dirs
     removed. Safe at any time: the manifest swap is the only publication
-    point, so anything unreferenced is garbage by definition — but it
-    ends time travel to the vacuumed versions, exactly like Delta's
-    VACUUM retention floor."""
+    point, so anything unreferenced is garbage by definition.
+
+    ``keep_last`` is the retention window (Delta's ``VACUUM ... RETAIN``
+    analog, counted in snapshots rather than hours — commit cadence, not
+    wall clock, is what a reproducibility contract cares about): the
+    newest ``keep_last`` snapshots by commit sequence stay time-
+    travelable; everything older is collected. The default (1) keeps
+    only the live snapshot — the original behavior."""
     manifest = read_manifest(table)
+    history = [manifest]
+    if keep_last > 1:
+        for entry in os.listdir(table):
+            if entry.startswith("_MANIFEST-") and entry.endswith(".json"):
+                with open(os.path.join(table, entry)) as fh:
+                    m = json.load(fh)
+                if m["txn"] != manifest["txn"]:
+                    history.append(m)
+        history.sort(key=lambda m: int(m.get("seq", 0)), reverse=True)
+        history = history[:keep_last]
+    retained_txns = {m["txn"] for m in history}
     live = {
         os.path.join(rel, f"{TXN_COL_PREFIX}{txn}")
-        for rel, txn in manifest["partitions"].items()
+        for m in history
+        for rel, txn in m["partitions"].items()
     }
     removed = 0
     for dirpath, dirnames, _ in os.walk(table):
@@ -651,11 +671,14 @@ def vacuum(table: str) -> int:
         if entry.startswith(".txn-staging-"):
             shutil.rmtree(os.path.join(table, entry), ignore_errors=True)
             removed += 1
-    # historical manifests other than the live one now point at vacuumed
-    # data — drop them so time travel fails loudly at open, not mid-scan
+    # historical manifests outside the retention window now point at
+    # vacuumed data — drop them so time travel fails loudly at open, not
+    # mid-scan
     for entry in os.listdir(table):
-        if entry.startswith("_MANIFEST-") and entry != f"_MANIFEST-{manifest['txn']}.json":
-            os.remove(os.path.join(table, entry))
+        if entry.startswith("_MANIFEST-") and entry.endswith(".json"):
+            txn = entry[len("_MANIFEST-"):-len(".json")]
+            if txn not in retained_txns:
+                os.remove(os.path.join(table, entry))
     return removed
 
 

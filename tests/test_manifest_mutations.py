@@ -572,3 +572,52 @@ class TestOptimisticConcurrency:
         b = spark.createDataFrame([(2222, 2.0, "a")], "id INT, v DOUBLE, cat STRING")
         sink(b, 9)  # steals the stale lock instead of deadlocking
         assert read_snapshot(spark, table).filter(F.col("id") == 2222).count() == 1
+
+
+class TestVacuumRetention:
+    def test_keep_last_n_preserves_time_travel_window(self, spark, vtable):
+        from learn_etl_data_warehouse_spark.plans.manifest_warehouse import (
+            read_snapshot,
+            vacuum,
+        )
+
+        table, sink = vtable
+        t1 = read_manifest(table)["txn"]  # after batches 0+1
+        b2 = spark.createDataFrame(
+            [(300, 3.0, "r")], "id INT, v DOUBLE, cat STRING"
+        )
+        sink(b2, 2)
+        t2 = read_manifest(table)["txn"]
+        b0r = spark.createDataFrame(
+            [(301, 4.0, "r")], "id INT, v DOUBLE, cat STRING"
+        )
+        sink(b0r, 0)  # REWRITES batch 0 → t1/t2's batch-0 version goes old
+        t3 = read_manifest(table)["txn"]
+
+        vacuum(table, keep_last=2)  # retain t3 (live) + t2
+        # t2 still time travels, including the superseded batch-0 version
+        snap_t2 = read_snapshot(spark, table, as_of=t2)
+        assert snap_t2.filter(F.col("id") == 0).count() == 1  # old batch 0
+        assert snap_t2.count() == 22
+        # t1 fell out of the window: fails loudly at open
+        with pytest.raises(OSError):
+            read_snapshot(spark, table, as_of=t1)
+        # live snapshot intact (rewritten batch 0 + batches 1, 2)
+        live = read_snapshot(spark, table)
+        assert live.filter(F.col("id") == 301).count() == 1
+        assert live.filter(F.col("id") == 0).count() == 0
+
+        vacuum(table)  # default: collapse to the live snapshot only
+        with pytest.raises(OSError):
+            read_snapshot(spark, table, as_of=t2)
+        assert read_snapshot(spark, table).count() == live.count()
+        assert read_manifest(table)["txn"] == t3
+
+    def test_commit_seq_is_monotonic(self, spark, vtable):
+        table, sink = vtable
+        s0 = read_manifest(table)["seq"]
+        sink(
+            spark.createDataFrame([(1, 1.0, "a")], "id INT, v DOUBLE, cat STRING"),
+            5,
+        )
+        assert read_manifest(table)["seq"] == s0 + 1
