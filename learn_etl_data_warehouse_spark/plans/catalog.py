@@ -207,12 +207,13 @@ def _publish_catalog(catalog_dir: str, new_cat: dict, base_txn) -> None:
     table versions are vacuumable garbage."""
     cat_txn = new_cat["txn"]
     with mw._commit_lock(catalog_dir):
-        current = read_catalog(catalog_dir)["txn"]
-        if current != base_txn:
+        current_cat = read_catalog(catalog_dir)
+        if current_cat["txn"] != base_txn:
             raise mw.ConcurrentWriteError(
-                f"catalog moved {base_txn!r} → {current!r} during commit "
-                f"of {cat_txn!r}; retry against the new catalog"
+                f"catalog moved {base_txn!r} → {current_cat['txn']!r} "
+                f"during commit of {cat_txn!r}; retry against the new catalog"
             )
+        new_cat["seq"] = int(current_cat.get("seq", 0)) + 1
         # retained copy first (catalog time travel), then THE atomic swap
         with open(
             os.path.join(catalog_dir, f"_CATALOG-{cat_txn}.json"), "w"
@@ -241,19 +242,44 @@ def repair_catalog_tables(catalog_dir: str) -> list[str]:
     return repaired
 
 
-def catalog_vacuum(catalog_dir: str) -> int:
+def catalog_vacuum(catalog_dir: str, keep_last: int = 1) -> int:
     """Vacuum every member table — but ALWAYS repair first, so a live
     manifest left stale by a crash can never cause the vacuum to collect
     data the catalog still references. Raw ``manifest_warehouse.vacuum``
-    on a member table must go through here for the same reason. Also
-    prunes historical catalog files (ends catalog time travel, like
-    table vacuum ends table time travel). Returns dirs removed."""
+    on a member table must go through here for the same reason.
+
+    ``keep_last`` retains the newest N CATALOG snapshots (by the
+    catalog's commit seq): their cross-table views stay time-travelable
+    as wholes — each member table keeps exactly the table txns those
+    retained catalogs reference (explicit pins, not per-table windows,
+    so the retained history is mutually consistent across tables).
+    Older catalog files and the table versions only they referenced are
+    collected. Returns dirs removed."""
     repair_catalog_tables(catalog_dir)
     cat = read_catalog(catalog_dir)
+    retained = [cat]
+    older = []
+    for entry in os.listdir(catalog_dir):
+        if entry.startswith("_CATALOG-") and entry.endswith(".json"):
+            with open(os.path.join(catalog_dir, entry)) as fh:
+                c = json.load(fh)
+            if c["txn"] != cat["txn"]:
+                older.append(c)
+    older.sort(key=lambda c: int(c.get("seq", 0)), reverse=True)
+    retained += older[: max(keep_last - 1, 0)]
+    retained_cat_txns = {c["txn"] for c in retained}
+    pins: dict[str, set] = {}
+    for c in retained:
+        for name, table_txn in c["tables"].items():
+            pins.setdefault(name, set()).add(table_txn)
     removed = 0
     for name in sorted(cat["tables"]):
-        removed += mw.vacuum(_table_path(catalog_dir, name))
+        removed += mw.vacuum(
+            _table_path(catalog_dir, name), keep_txns=pins.get(name, set())
+        )
     for entry in os.listdir(catalog_dir):
-        if entry.startswith("_CATALOG-") and entry != f"_CATALOG-{cat['txn']}.json":
-            os.remove(os.path.join(catalog_dir, entry))
+        if entry.startswith("_CATALOG-") and entry.endswith(".json"):
+            txn = entry[len("_CATALOG-"):-len(".json")]
+            if txn not in retained_cat_txns:
+                os.remove(os.path.join(catalog_dir, entry))
     return removed

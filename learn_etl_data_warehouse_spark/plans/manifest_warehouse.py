@@ -624,7 +624,7 @@ def manifest_stream_sink(table: str):
     return commit_batch
 
 
-def vacuum(table: str, keep_last: int = 1) -> int:
+def vacuum(table: str, keep_last: int = 1, keep_txns: set | None = None) -> int:
     """Delete txn directories no RETAINED manifest references (old
     snapshots + crashed writes), plus the time-travel manifests whose
     data just became unreadable. Returns the number of data dirs
@@ -636,18 +636,29 @@ def vacuum(table: str, keep_last: int = 1) -> int:
     wall clock, is what a reproducibility contract cares about): the
     newest ``keep_last`` snapshots by commit sequence stay time-
     travelable; everything older is collected. The default (1) keeps
-    only the live snapshot — the original behavior."""
+    only the live snapshot — the original behavior.
+
+    ``keep_txns`` pins EXPLICIT snapshot txns additionally (the catalog
+    layer uses this: a member table must retain whatever txns the
+    retained catalogs reference, which is a set of pins, not a seq
+    window)."""
     manifest = read_manifest(table)
     history = [manifest]
-    if keep_last > 1:
+    if keep_last > 1 or keep_txns:
+        older = []
         for entry in os.listdir(table):
             if entry.startswith("_MANIFEST-") and entry.endswith(".json"):
                 with open(os.path.join(table, entry)) as fh:
                     m = json.load(fh)
                 if m["txn"] != manifest["txn"]:
-                    history.append(m)
-        history.sort(key=lambda m: int(m.get("seq", 0)), reverse=True)
-        history = history[:keep_last]
+                    older.append(m)
+        older.sort(key=lambda m: int(m.get("seq", 0)), reverse=True)
+        window = {m["txn"] for m in older[: max(keep_last - 1, 0)]}
+        history += [
+            m
+            for m in older
+            if m["txn"] in window or (keep_txns and m["txn"] in keep_txns)
+        ]
     retained_txns = {m["txn"] for m in history}
     live = {
         os.path.join(rel, f"{TXN_COL_PREFIX}{txn}")

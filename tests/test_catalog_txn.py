@@ -191,3 +191,37 @@ def test_concurrent_catalog_commit_detected(spark, tmp_path, monkeypatch):
     assert cat.catalog_read(spark, cdir, "fact").agg(
         F.max("amount")
     ).first()[0] == 39.0 * 3
+
+
+def test_catalog_retention_keeps_consistent_pairs(spark, tmp_path):
+    """catalog_vacuum(keep_last=2): the two newest CATALOG snapshots stay
+    time-travelable as wholes (fact+rollup mutually consistent), older
+    ones are collected — whole-warehouse retention."""
+    cdir = str(tmp_path / "wh")
+    t1 = _commit_pair(spark, cdir, version=1)
+    t2 = _commit_pair(spark, cdir, version=2)
+    t3 = _commit_pair(spark, cdir, version=3)
+
+    cat.catalog_vacuum(cdir, keep_last=2)
+    # t2's PAIR still reads and is mutually consistent
+    fact_t2 = cat.catalog_read(spark, cdir, "fact", as_of=t2)
+    roll_t2 = cat.catalog_read(spark, cdir, "rollup", as_of=t2)
+    assert fact_t2.agg(F.max("amount")).first()[0] == 39.0 * 2
+    assert {
+        (r["part"], r["n"], r["amount_fp"])
+        for r in _rollup(spark, fact_t2).collect()
+    } == {(r["part"], r["n"], r["amount_fp"]) for r in roll_t2.collect()}
+    # t1 fell out of the window
+    with pytest.raises(OSError):
+        cat.catalog_read(spark, cdir, "fact", as_of=t1)
+    # live pair intact
+    assert (
+        cat.catalog_read(spark, cdir, "fact").agg(F.max("amount")).first()[0]
+        == 39.0 * 3
+    )
+    assert t3 == cat.read_catalog(cdir)["txn"]
+    # collapsing to live-only ends t2 travel too
+    cat.catalog_vacuum(cdir)
+    with pytest.raises(OSError):
+        cat.catalog_read(spark, cdir, "rollup", as_of=t2)
+    assert cat.catalog_read(spark, cdir, "rollup").count() == 4
