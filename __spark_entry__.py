@@ -2019,6 +2019,49 @@ def q_d22(spark, sf_dir):
     ).select("doc_id", "source", "lang")
 
 
+def q_a16(spark, sf_dir):
+    """Exact per-group MODE (r5): most frequent order priority per year,
+    deterministic tie-break (count DESC, value ASC) — count + rank, the
+    distributed form of the MODE() aggregate."""
+    from pyspark.sql import Window
+
+    df = _t(spark, sf_dir, "orders").withColumn(
+        "year", F.year("o_orderdate").cast("long")
+    )
+    counts = df.groupBy("year", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("year").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority")
+    )
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("year", F.col("o_orderpriority").alias("mode_priority"), "n")
+    )
+
+
+def q_r03(spark, sf_dir):
+    """Nearest-event join (r5): each purchase matched to the CLOSEST
+    click of the same user within ±5 minutes — either direction, the
+    bidirectional complement of r01's backward as-of
+    (operators/asof.py::nearest_join, bucketize-then-verify + per-left
+    argmin)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    return asof.nearest_join(
+        purchases, clicks, key="user_id", ts="ts", left_id="event_id",
+        payload_cols=["click_value"], tolerance_seconds=300,
+    ).select("event_id", "user_id", "ts", "nearest_ts", "click_value")
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -2139,7 +2182,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d22_dedup_keep_best": q_d22,
         "e09_hourly_gapfill": q_e09,
         "a15_grouped_corr": q_a15,
+        "a16_group_mode": q_a16,
         "t14_vocab_build": q_t14,
+        "r03_nearest_event": q_r03,
         "s07_quantize_int8": q_s07,
         "s08_random_projection": q_s08,
         "w01_running_total": q_w01,
@@ -3313,6 +3358,29 @@ WHERE NOT EXISTS (
   SELECT 1 FROM e o
   WHERE o.label = e.label AND o.vec_id < e.vec_id
     AND {_COS.format(a='o.v', b='e.v')} >= 0.4)""",
+        "a16_group_mode": """
+WITH c AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS year, o_orderpriority,
+         count(*) AS n
+  FROM orders GROUP BY 1, 2)
+SELECT year, o_orderpriority AS mode_priority, n FROM c
+QUALIFY row_number() OVER (PARTITION BY year
+                           ORDER BY n DESC, o_orderpriority) = 1""",
+        "r03_nearest_event": """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, max(value) AS click_value FROM events
+      WHERE event_type = 'click' GROUP BY 1, 2),
+cand AS (
+  SELECT p.event_id, c.ts AS click_ts, c.click_value,
+         abs(epoch_us(p.ts) - epoch_us(c.ts)) AS adiff
+  FROM p JOIN c ON p.user_id = c.user_id
+   AND abs(epoch_us(p.ts) - epoch_us(c.ts)) <= 300000000),
+best AS (
+  SELECT event_id, click_ts, click_value FROM cand
+  QUALIFY row_number() OVER (PARTITION BY event_id
+                             ORDER BY adiff, click_ts) = 1)
+SELECT p.event_id, p.user_id, p.ts, b.click_ts AS nearest_ts, b.click_value
+FROM p LEFT JOIN best b ON p.event_id = b.event_id""",
         "t14_vocab_build": """
 WITH tk AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
             FROM documents),

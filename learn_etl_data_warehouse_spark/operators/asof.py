@@ -118,3 +118,63 @@ def event_pairs_within(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    left_id: str,
+    payload_cols: list[str],
+    tolerance_seconds: int,
+) -> DataFrame:
+    """Nearest-neighbor-in-time join: every left row, plus the payload of
+    the single right row (same key) CLOSEST in time within ±tolerance —
+    either direction, unlike :func:`asof_join`'s backward-only match.
+    Left rows with no right row in range keep null payload.
+
+    Same bucketize-then-verify shape as :func:`event_pairs_within`
+    (candidates from the three neighbor tolerance-buckets, exact filter),
+    then an argmin per left row: ``row_number`` ordered by (|Δt|, right
+    ts) — deterministic given ``right`` deduped per (key, ts) and
+    ``left_id`` unique. One key-equality shuffle plus a per-left-row
+    window whose partition is bounded by the rows inside one tolerance
+    window — never quadratic.
+    """
+    tol_us = tolerance_seconds * 1_000_000
+    lid = left_id
+    l = left.withColumn("_us", F.unix_micros(F.col(ts)))
+    r = right.select(
+        F.col(key),
+        F.unix_micros(F.col(ts)).alias("_rus"),
+        F.col(ts).alias("_rts"),
+        *[F.col(c) for c in payload_cols],
+    ).withColumn(
+        "_b",
+        F.explode(
+            F.array(
+                (F.col("_rus") / tol_us).cast("long") - 1,
+                (F.col("_rus") / tol_us).cast("long"),
+                (F.col("_rus") / tol_us).cast("long") + 1,
+            )
+        ),
+    )
+    cand = (
+        l.withColumn("_b", (F.col("_us") / tol_us).cast("long"))
+        .join(r, [key, "_b"])
+        .filter(F.abs(F.col("_us") - F.col("_rus")) <= tol_us)
+        .dropDuplicates([lid, "_rus"])
+    )
+    w = Window.partitionBy(lid).orderBy(
+        F.abs(F.col("_us") - F.col("_rus")).asc(), F.col("_rus").asc()
+    )
+    best = (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(lid, F.col("_rts"), *[F.col(c) for c in payload_cols])
+    )
+    out = l.join(
+        best.withColumnRenamed("_rts", "nearest_ts"), lid, "left"
+    )
+    return out.drop("_us", "_b")

@@ -227,3 +227,57 @@ class TestVocabAndKeepBest:
             for r in dedup_keep_best(docs, pairs, quality_score("text")).collect()
         }
         assert kept == {2, 3}
+
+
+class TestNearestJoin:
+    def test_forward_match_beats_farther_backward(self, spark):
+        """The bidirectional property asof_join can't express: a click
+        AFTER the purchase that's closer in time must win over an
+        earlier-but-farther one; out-of-tolerance rows yield nulls."""
+        import datetime as dt
+
+        from learn_etl_data_warehouse_spark.operators.asof import nearest_join
+
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+        purchases = spark.createDataFrame(
+            [(1, 7, t0), (2, 7, t0 + dt.timedelta(minutes=30)), (3, 8, t0)],
+            "event_id long, user_id long, ts timestamp",
+        )
+        clicks = spark.createDataFrame(
+            [
+                (7, t0 - dt.timedelta(seconds=200), 1.0),  # 200s before
+                (7, t0 + dt.timedelta(seconds=90), 2.0),   # 90s after → wins
+            ],
+            "user_id long, ts timestamp, click_value double",
+        )
+        out = {
+            r["event_id"]: (r["nearest_ts"], r["click_value"])
+            for r in nearest_join(
+                purchases, clicks, key="user_id", ts="ts",
+                left_id="event_id", payload_cols=["click_value"],
+                tolerance_seconds=300,
+            ).collect()
+        }
+        assert out[1] == (t0 + dt.timedelta(seconds=90), 2.0)
+        assert out[2] == (None, None)  # nothing within ±300 s
+        assert out[3] == (None, None)  # other user
+
+    def test_exact_tie_breaks_to_earlier_click(self, spark):
+        import datetime as dt
+
+        from learn_etl_data_warehouse_spark.operators.asof import nearest_join
+
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+        purchases = spark.createDataFrame(
+            [(1, 7, t0)], "event_id long, user_id long, ts timestamp"
+        )
+        clicks = spark.createDataFrame(
+            [(7, t0 - dt.timedelta(seconds=60), 1.0),
+             (7, t0 + dt.timedelta(seconds=60), 2.0)],
+            "user_id long, ts timestamp, click_value double",
+        )
+        row = nearest_join(
+            purchases, clicks, key="user_id", ts="ts", left_id="event_id",
+            payload_cols=["click_value"], tolerance_seconds=300,
+        ).collect()[0]
+        assert row["click_value"] == 1.0  # equal |Δt| → earlier ts wins
