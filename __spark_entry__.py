@@ -2062,6 +2062,21 @@ def q_r03(spark, sf_dir):
     ).select("event_id", "user_id", "ts", "nearest_ts", "click_value")
 
 
+def q_s12(spark, sf_dir):
+    """Two-stage retrieval (r5): IVF-PQ top-50 candidates → EXACT cosine
+    re-rank top-10 (operators/similarity.py::rerank_exact) — the
+    standard production ANN shape: the index bounds how many vectors are
+    touched, the re-rank restores exact ordering among them. Rows-only
+    (kmeans floats upstream); ordering-vs-bruteforce and recall pinned
+    in tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    cents = similarity.ivf_build_centroids(emb, n_cells=16, iterations=1)
+    books = similarity.pq_train(emb, m=4, n_codes=16)
+    cand = similarity.ivfpq_topk(emb, cents, books, q, k=50, nprobe=4)
+    return similarity.rerank_exact(emb, cand, q, k=10)
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -2243,6 +2258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s09_pq_codes": q_s09,
         "s10_pq_adc_topk": q_s10,
         "s11_ivfpq_topk": q_s11,
+        "s12_rerank_exact": q_s12,
         "m02_media_features": q_m02,
         "m03_media_resize": q_m03,
         "m04_frame_sampling": q_m04,

@@ -707,3 +707,28 @@ def semantic_dedup(
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
+
+
+def rerank_exact(
+    df: DataFrame,
+    candidates: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage retrieval's second stage: re-score an ANN candidate set
+    (any (id, …) frame — IVF-PQ top-N, LSH bucket hits) with EXACT
+    cosine against the full-precision vectors, return the true top-k of
+    the candidates. The standard production shape: the ANN stage bounds
+    HOW MANY vectors are touched, the re-rank restores exact ordering
+    among them — recall is the ANN stage's, precision of the final
+    ranking is exact.
+
+    Plan: semi-join the vector table to the candidate ids (broadcast —
+    candidates are top-N-sized by construction), then the same
+    TakeOrdered top-k as :func:`cosine_topk`. Never scores the corpus.
+    """
+    ids = candidates.select(F.col(id_col)).distinct()
+    subset = df.join(F.broadcast(ids), id_col, "left_semi")
+    return cosine_topk(subset, query_vec, k=k, vec_col=vec_col, id_col=id_col)

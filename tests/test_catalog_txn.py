@@ -225,3 +225,15 @@ def test_catalog_retention_keeps_consistent_pairs(spark, tmp_path):
     with pytest.raises(OSError):
         cat.catalog_read(spark, cdir, "rollup", as_of=t2)
     assert cat.catalog_read(spark, cdir, "rollup").count() == 4
+
+
+def test_catalog_read_prunes_via_manifest_stats(spark, tmp_path):
+    """catalog_read passes prune= down to the retained manifest's stats —
+    data skipping works through the catalog resolution path too."""
+    cdir = str(tmp_path / "wh")
+    _commit_pair(spark, cdir, version=1)
+    # amounts: part p3 holds ids 3,7,…,39 → amount up to 39; p0 max 36
+    pruned = cat.catalog_read(spark, cdir, "fact", prune={"amount": (38.5, None)})
+    files = pruned.inputFiles()
+    assert files and all("part=p3" in f for f in files)
+    assert pruned.filter(F.col("amount") >= 38.5).count() == 1  # id 39

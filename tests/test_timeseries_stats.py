@@ -281,3 +281,109 @@ class TestNearestJoin:
             payload_cols=["click_value"], tolerance_seconds=300,
         ).collect()[0]
         assert row["click_value"] == 1.0  # equal |Δt| → earlier ts wins
+
+
+class TestRerank:
+    def test_rerank_recall_at_least_ann_and_exact_on_candidates(
+        self, spark, sf_small
+    ):
+        """IVF-PQ top-50 → exact re-rank top-10: the re-ranked list must
+        be exactly the brute-force ordering restricted to the candidate
+        set, and its recall vs global exact top-10 must be ≥ the raw ADC
+        top-10's recall (re-ranking can only fix ordering, not lose
+        candidates)."""
+        from learn_etl_data_warehouse_spark.operators import similarity
+        from learn_etl_data_warehouse_spark.sources.parquet import load_table
+
+        emb = load_table(spark, sf_small, "embeddings")
+        q = [r["embedding"] for r in emb.filter("vec_id = 0").collect()][0]
+        q = [float(x) for x in q]
+        cents = similarity.ivf_build_centroids(emb, n_cells=8, iterations=1)
+        books = similarity.pq_train(emb, m=4, n_codes=16)
+        cand50 = similarity.ivfpq_topk(emb, cents, books, q, k=50, nprobe=4)
+        reranked = similarity.rerank_exact(emb, cand50, q, k=10)
+        got = [r["vec_id"] for r in reranked.collect()]
+
+        exact_global = [
+            r["vec_id"] for r in similarity.cosine_topk(emb, q, k=10).collect()
+        ]
+        adc10 = {r["vec_id"] for r in cand50.limit(10).collect()}
+        cand_ids = {r["vec_id"] for r in cand50.collect()}
+        # exact ordering restricted to candidates
+        want = [
+            r["vec_id"]
+            for r in similarity.cosine_topk(
+                emb.filter(F.col("vec_id").isin(list(cand_ids))), q, k=10
+            ).collect()
+        ]
+        assert got == want
+        top = set(exact_global)
+        assert len(set(got) & top) >= len(adc10 & top)
+
+
+class TestPropertyFuzz:
+    """Hypothesis fuzz for the session's determinism-critical pieces."""
+
+    def test_grouped_corr_matches_numpy_on_random_frames(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from learn_etl_data_warehouse_spark.operators.grouped import grouped_corr
+
+        vals = st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        )
+
+        @settings(
+            max_examples=15,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(
+            st.lists(st.tuples(st.integers(0, 2), vals, vals), min_size=2, max_size=40)
+        )
+        def check(rows):
+            df = spark.createDataFrame(
+                [(f"g{g}", float(x), float(y)) for g, x, y in rows],
+                "k string, x double, y double",
+            )
+            out = {r["k"]: r for r in grouped_corr(df, ["k"], "x", "y").collect()}
+            for g in {f"g{g}" for g, _, _ in rows}:
+                xs = np.round([x * 100 for gg, x, _ in rows if f"g{gg}" == g])
+                ys = np.round([y * 100 for gg, _, y in rows if f"g{gg}" == g])
+                got = out[g]
+                assert got["n"] == len(xs)
+                if len(xs) < 2 or np.var(xs) == 0 or np.var(ys) == 0:
+                    assert got["corr_xy"] is None
+                else:
+                    want = np.corrcoef(xs, ys)[0, 1]
+                    if abs(want) <= 1:  # numerically meaningful
+                        assert got["corr_xy"] == pytest.approx(want, abs=2e-5)
+
+        check()
+
+    def test_bloom_never_false_negative(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from learn_etl_data_warehouse_spark.plans.manifest_warehouse import (
+            _bloom_bits,
+            _bloom_may_contain,
+        )
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            st.lists(
+                st.one_of(st.integers(), st.text(max_size=20)),
+                min_size=1,
+                max_size=100,
+            )
+        )
+        def check(values):
+            bits = f"{_bloom_bits(values):x}"
+            for v in values:
+                assert _bloom_may_contain(bits, v), (
+                    "bloom false negative — pruning would drop real data"
+                )
+
+        check()
