@@ -496,12 +496,49 @@ def build_vocab(
 
     Returns (token_id BIGINT starting at 1, token, n_occurrences).
     """
-    from pyspark.sql import Window
+    return vocab_from_counts(token_counts_table(df, text_col), size)
 
+
+def token_counts_table(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus token-frequency table (token, n) — the aggregation state
+    :func:`build_vocab` ranks. Factored out so it can be maintained
+    incrementally (:func:`maintain_token_counts`)."""
     toks = df.select(
         F.explode(tokens(F.lower(_c(text_col)))).alias("token")
     ).filter(F.col("token") != "")
-    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    return toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+
+
+def maintain_token_counts(
+    prev_counts: DataFrame, batch: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Incremental maintenance of the token-count table from an APPEND
+    batch: counts are additive states, so the update is one outer-join
+    sum against the (small) batch's own counts — the full corpus is
+    never re-aggregated. The vocab itself is re-derived from the
+    maintained counts by :func:`vocab_from_counts`, whose cost is the
+    bounded top-V ranking, not a corpus pass. (Deletes would subtract
+    the same way; a count reaching 0 drops out — counts stay exact
+    either direction, unlike min/max in the rollup maintainer.)"""
+    delta = token_counts_table(batch, text_col).withColumnRenamed("n", "_dn")
+    return (
+        prev_counts.join(delta, "token", "full_outer")
+        .select(
+            "token",
+            (
+                F.coalesce(F.col("n"), F.lit(0))
+                + F.coalesce(F.col("_dn"), F.lit(0))
+            ).alias("n"),
+        )
+        .filter(F.col("n") > 0)
+    )
+
+
+def vocab_from_counts(counts: DataFrame, size: int = 1000) -> DataFrame:
+    """Rank the count table into the dense-id vocab (see
+    :func:`build_vocab` for the determinism/scale contract)."""
+    from pyspark.sql import Window
+
     top = counts.orderBy(F.col("n").desc(), F.col("token")).limit(size)
     w = Window.orderBy(F.col("n").desc(), F.col("token"))
     return top.select(

@@ -847,3 +847,47 @@ def read_snapshot_point(
     return (
         spark.read.option("basePath", table).parquet(*paths).drop("txn")
     )
+
+
+def optimize_table(
+    spark: SparkSession,
+    table: str,
+    target_files: int = 1,
+    cluster_by: list[str] | None = None,
+    zorder: bool = False,
+    bloom_cols: list[str] | None = None,
+    min_files: int = 2,
+) -> dict:
+    """The OPTIMIZE entry point a table owner actually runs: compact
+    every partition whose current version has at least ``min_files``
+    files (small-file debt from streaming/backfill commits), optionally
+    clustering the rewrite (``cluster_by``/``zorder`` — see
+    :func:`compact_partition`), then refresh the bloom index for
+    ``bloom_cols`` over the resulting snapshot. Returns
+    ``{"compacted": [rels], "skipped": [rels], "bloom_txn": id|None}``.
+
+    Each partition compaction is its own transaction (publish-per-
+    partition keeps the lock window tiny and a crash loses nothing —
+    finished partitions stay optimized); the bloom refresh is one final
+    metadata-only txn. Partitions already at or below the file target
+    are skipped, so re-running OPTIMIZE is cheap and idempotent —
+    maintenance cost follows the small-file debt, not the table size."""
+    manifest = read_manifest(table)
+    if not manifest["partitions"]:
+        raise FileNotFoundError(f"no committed snapshot at {table}")
+    compacted, skipped = [], []
+    for rel, txn in sorted(manifest["partitions"].items()):
+        vdir = os.path.join(table, rel, f"{TXN_COL_PREFIX}{txn}")
+        n_files = sum(
+            1 for f in os.listdir(vdir) if f.endswith(".parquet")
+        )
+        if n_files >= min_files or (cluster_by and n_files > target_files):
+            compact_partition(
+                spark, table, rel, target_files=target_files,
+                cluster_by=cluster_by, zorder=zorder,
+            )
+            compacted.append(rel)
+        else:
+            skipped.append(rel)
+    bloom_txn = add_bloom_index(table, bloom_cols) if bloom_cols else None
+    return {"compacted": compacted, "skipped": skipped, "bloom_txn": bloom_txn}

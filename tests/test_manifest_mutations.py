@@ -621,3 +621,47 @@ class TestVacuumRetention:
             5,
         )
         assert read_manifest(table)["seq"] == s0 + 1
+
+
+class TestOptimizeTable:
+    def test_optimize_compacts_refreshes_bloom_and_is_idempotent(
+        self, spark, vtable
+    ):
+        from learn_etl_data_warehouse_spark.plans.manifest_warehouse import (
+            optimize_table,
+            read_snapshot,
+            read_snapshot_point,
+        )
+
+        table, sink = vtable
+        # make batch 0 a small-file mess: re-commit it as 4 files
+        b0 = spark.createDataFrame(
+            [(i, float(i), "a") for i in range(10)] + [(99, None, "a")],
+            "id INT, v DOUBLE, cat STRING",
+        ).repartition(4)
+        sink(b0, 0)
+        before = {
+            (r["id"], r["v"], r["cat"])
+            for r in read_snapshot(spark, table).collect()
+        }
+        report = optimize_table(spark, table, bloom_cols=["id"])
+        assert "batch_id=0" in report["compacted"]
+        # data identical, files compacted
+        after = {
+            (r["id"], r["v"], r["cat"])
+            for r in read_snapshot(spark, table).collect()
+        }
+        assert after == before
+        m = read_manifest(table)
+        vdir = os.path.join(
+            table, "batch_id=0", f"txn={m['partitions']['batch_id=0']}"
+        )
+        assert sum(1 for f in os.listdir(vdir) if f.endswith(".parquet")) == 1
+        # bloom refreshed over the NEW versions → point lookups prune
+        hit = read_snapshot_point(spark, table, {"id": 105})
+        assert all("batch_id=1" in f for f in hit.inputFiles())
+        # idempotent: a second run finds nothing to do (everything at
+        # one file now) and every partition reports as skipped
+        report2 = optimize_table(spark, table, bloom_cols=["id"])
+        assert report2["compacted"] == []
+        assert set(report2["skipped"]) == set(read_manifest(table)["partitions"])

@@ -387,3 +387,58 @@ class TestPropertyFuzz:
                 )
 
         check()
+
+
+class TestIncrementalVocab:
+    def test_maintained_counts_equal_full_rebuild(self, spark, sf_small):
+        from learn_etl_data_warehouse_spark.operators.text import (
+            build_vocab,
+            maintain_token_counts,
+            token_counts_table,
+            vocab_from_counts,
+        )
+        from learn_etl_data_warehouse_spark.sources.parquet import load_table
+
+        docs = load_table(spark, sf_small, "documents")
+        part_a = docs.filter("doc_id % 3 != 0")
+        part_b = docs.filter("doc_id % 3 = 0")
+        maintained = maintain_token_counts(
+            token_counts_table(part_a), part_b
+        )
+        want_counts = {
+            (r["token"], r["n"]) for r in token_counts_table(docs).collect()
+        }
+        got_counts = {(r["token"], r["n"]) for r in maintained.collect()}
+        assert got_counts == want_counts
+        # and the ranked vocab over maintained counts == full build
+        got_vocab = [tuple(r) for r in vocab_from_counts(maintained).orderBy("token_id").collect()]
+        want_vocab = [tuple(r) for r in build_vocab(docs).orderBy("token_id").collect()]
+        assert got_vocab == want_vocab
+
+    def test_delete_batch_subtracts_exactly(self, spark):
+        from learn_etl_data_warehouse_spark.operators.text import (
+            maintain_token_counts,
+            token_counts_table,
+        )
+
+        corpus = spark.createDataFrame(
+            [(1, "a b b"), (2, "b c")], "doc_id long, text string"
+        )
+        prev = token_counts_table(corpus)
+        # subtract doc 2 by maintaining with negated counts
+        doc2 = spark.createDataFrame([(2, "b c")], "doc_id long, text string")
+        neg = token_counts_table(doc2).select(
+            "token", (-F.col("n")).alias("n")
+        )
+        # maintain_token_counts takes a batch frame; emulate the delete
+        # path by joining the negated delta the same way
+        merged = (
+            prev.join(neg.withColumnRenamed("n", "_dn"), "token", "full_outer")
+            .select(
+                "token",
+                (F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("_dn"), F.lit(0))).alias("n"),
+            )
+            .filter(F.col("n") > 0)
+        )
+        got = {(r["token"], r["n"]) for r in merged.collect()}
+        assert got == {("a", 1), ("b", 2)}  # doc 1 only; 'c' dropped out
