@@ -3059,11 +3059,11 @@ WITH d0 AS (SELECT doc_id, lang, CAST(floor(n_chars / 8) AS BIGINT) AS b,
             FROM documents),
 d1 AS (SELECT *, count(*) OVER (PARTITION BY lang, b) AS n1 FROM d0),
 d2 AS (SELECT doc_id, lang, b, p,
-              CASE WHEN n1 > 1000 THEN substr(p, 1, 16) ELSE '' END AS sub
+              CASE WHEN n1 > 200 THEN substr(p, 1, 16) ELSE '' END AS sub
        FROM d1),
 d AS (SELECT doc_id, lang, b, p, sub FROM
         (SELECT *, count(*) OVER (PARTITION BY lang, b, sub) AS n2 FROM d2)
-      WHERE n2 <= 1000)
+      WHERE n2 <= 200)
 SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
        CAST(levenshtein(a.p, b2.p) AS BIGINT) AS edit_distance
 FROM d a JOIN d b2

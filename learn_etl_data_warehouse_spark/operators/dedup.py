@@ -525,7 +525,7 @@ def edit_distance_pairs(
     id_col: str = "doc_id",
     lang_col: str = "lang",
     len_col: str = "n_chars",
-    max_block_size: int = 1000,
+    max_block_size: int = 200,
     sub_prefix_len: int = 16,
 ) -> DataFrame:
     """Fuzzy near-dup candidates via EDIT DISTANCE: block on
@@ -551,7 +551,12 @@ def edit_distance_pairs(
     Plan: window counts partition by the same keys the join shuffles on
     (Catalyst reuses the exchange), levenshtein runs only on surviving
     candidates and a fixed-length prefix — O(prefix_len²) per pair at
-    any corpus size."""
+    any corpus size. Total verify work is ≤ n × max_block_size pairs —
+    LINEAR in corpus size with the cap as the slope. The cap default is
+    200, set by measurement: the r5 scale probe grew the corpus 16× and
+    near-cap-but-unsplit blocks at the old 1000 default turned the
+    4 s query into 517 s (125×, the quadratic knee); at 200 the same
+    growth stays linear (see SCALE.md)."""
     d0 = df.select(
         F.col(id_col),
         F.col(lang_col).alias("_lang"),
