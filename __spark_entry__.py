@@ -2077,6 +2077,55 @@ def q_s12(spark, sf_dir):
     return similarity.rerank_exact(emb, cand, q, k=10)
 
 
+def q_e10(spark, sf_dir):
+    """Weekly cohort retention (r5c): users cohorted by first-event day,
+    distinct-active counts per (cohort, week offset) with retention
+    ratios (operators/product_analytics.py::cohort_retention — the
+    calendar-bounded cohort-size side is broadcast)."""
+    from learn_etl_data_warehouse_spark.operators.product_analytics import (
+        cohort_retention,
+    )
+
+    return cohort_retention(_t(spark, sf_dir, "events"))
+
+
+def q_e11(spark, sf_dir):
+    """Growth accounting (r5c): DAU / new users / cumulative users per
+    day (operators/product_analytics.py::growth_accounting — cumulative
+    distinct via first-occurrence + running sum; the unpartitioned
+    window runs over ≤ one row per calendar day)."""
+    from learn_etl_data_warehouse_spark.operators.product_analytics import (
+        growth_accounting,
+    )
+
+    return growth_accounting(_t(spark, sf_dir, "events"))
+
+
+def q_f02(spark, sf_dir):
+    """Event-transition matrix (r5c): per-user time-ordered (state →
+    next state) bigram counts with per-source probabilities — the Markov
+    view of user journeys (operators/product_analytics.py::
+    transition_matrix; event_id pins same-timestamp order)."""
+    from learn_etl_data_warehouse_spark.operators.product_analytics import (
+        transition_matrix,
+    )
+
+    return transition_matrix(_t(spark, sf_dir, "events"))
+
+
+def q_a17(spark, sf_dir):
+    """Robust outlier stats (r5c): per-event-type median / MAD /
+    |v−med| > 3·MAD counts on fixed-point values
+    (operators/grouped.py::mad_outliers — exact integer percentiles
+    interpolate to exact binary fractions, so the doubles are
+    bit-stable; oracle twin is quantile_cont)."""
+    from learn_etl_data_warehouse_spark.operators.grouped import mad_outliers
+
+    return mad_outliers(
+        _t(spark, sf_dir, "events"), keys=["event_type"], value="value"
+    )
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -2200,6 +2249,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a16_group_mode": q_a16,
         "t14_vocab_build": q_t14,
         "r03_nearest_event": q_r03,
+        "e10_cohort_retention": q_e10,
+        "e11_growth_accounting": q_e11,
+        "f02_user_transitions": q_f02,
+        "a17_mad_outliers": q_a17,
         "s07_quantize_int8": q_s07,
         "s08_random_projection": q_s08,
         "w01_running_total": q_w01,
@@ -3374,6 +3427,59 @@ WHERE NOT EXISTS (
   SELECT 1 FROM e o
   WHERE o.label = e.label AND o.vec_id < e.vec_id
     AND {_COS.format(a='o.v', b='e.v')} >= 0.4)""",
+        "e10_cohort_retention": """
+WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+           FROM events GROUP BY 1),
+sz AS (SELECT cohort_day, count(*) AS cohort_size FROM f GROUP BY 1),
+cells AS (
+  SELECT f.cohort_day,
+         CAST((CAST(e.ts AS DATE) - f.cohort_day) // 7 AS BIGINT) AS offset_week,
+         count(DISTINCT e.user_id) AS active_users
+  FROM events e JOIN f ON e.user_id = f.user_id
+  GROUP BY 1, 2)
+SELECT CAST(c.cohort_day AS TIMESTAMP) AS cohort_day,
+       c.offset_week, c.active_users,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       round(CAST(c.active_users AS DOUBLE)
+             / CAST(s.cohort_size AS DOUBLE), 6) AS retention
+FROM cells c JOIN sz s ON c.cohort_day = s.cohort_day""",
+        "e11_growth_accounting": """
+WITH d AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM d GROUP BY 1),
+f AS (SELECT user_id, min(day) AS day FROM d GROUP BY 1),
+nu AS (SELECT day, count(*) AS new_users FROM f GROUP BY 1)
+SELECT CAST(dau.day AS TIMESTAMP) AS day, dau.dau,
+       CAST(coalesce(nu.new_users, 0) AS BIGINT) AS new_users,
+       CAST(sum(coalesce(nu.new_users, 0))
+            OVER (ORDER BY dau.day ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_users
+FROM dau LEFT JOIN nu ON dau.day = nu.day""",
+        "f02_user_transitions": """
+WITH s AS (
+  SELECT event_type AS from_state,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_state
+  FROM events),
+c AS (SELECT from_state, to_state, count(*) AS n FROM s
+      WHERE to_state IS NOT NULL GROUP BY 1, 2)
+SELECT from_state, to_state, n,
+       round(CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY from_state) AS DOUBLE),
+             6) AS p
+FROM c""",
+        "a17_mad_outliers": """
+WITH b AS (SELECT event_type, CAST(round(value * 10000) AS BIGINT) AS v
+           FROM events),
+m AS (SELECT event_type, quantile_cont(v, 0.5) AS med FROM b GROUP BY 1),
+d AS (SELECT b.event_type,
+             abs(CAST(b.v AS DOUBLE) - m.med) AS dev, m.med
+      FROM b JOIN m USING (event_type)),
+s AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1)
+SELECT d.event_type, count(*) AS n,
+       min(d.med) AS median_fp, min(s.mad) AS mad_fp,
+       count(*) FILTER (WHERE d.dev > 3 * s.mad) AS n_outliers
+FROM d JOIN s ON d.event_type = s.event_type
+GROUP BY 1""",
         "a16_group_mode": """
 WITH c AS (
   SELECT CAST(year(o_orderdate) AS BIGINT) AS year, o_orderpriority,

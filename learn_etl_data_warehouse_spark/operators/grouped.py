@@ -101,6 +101,55 @@ def grouped_corr(
     )
 
 
+def mad_outliers(
+    df: DataFrame,
+    keys: list[str],
+    value: str,
+    scale: int = 10_000,
+    k: float = 3.0,
+) -> DataFrame:
+    """Per-group robust outlier stats via median absolute deviation.
+
+    The z-score flags outliers against mean/stddev, which outliers
+    themselves corrupt; the MAD rule (|v − median| > k·MAD) is the
+    robust version. Engine-exact by the same discipline as
+    ``grouped_corr``: values are fixed-point longs (``round(v·scale)``),
+    and exact percentiles over integers interpolate to exact binary
+    fractions (x or x±0.5 for the median of longs, quarters for the MAD
+    of those deviations), so the doubles are bit-stable cross-engine —
+    the DuckDB twin is ``quantile_cont``.
+
+    Three aggregations + two joins, all on the same group key — one
+    logical shuffle partitioning reused across stages. Exact percentile
+    sorts within each group's partition; bounded-cardinality keys
+    (event_type) mean few large groups, which is exactly the
+    single-pass-sort shape ``percentile`` handles without driver state.
+
+    Returns ``(keys…, n, median_fp, mad_fp, n_outliers)`` — the fixed
+    -point stats are left unscaled so every column is hash-exact.
+    """
+    vfp = F.round(F.col(value) * scale).cast("long")
+    base = df.select(*keys, vfp.alias("_v"))
+    med = base.groupBy(*keys).agg(F.percentile("_v", 0.5).alias("_med"))
+    dev = base.join(med, keys).select(
+        *keys,
+        F.col("_med"),
+        F.abs(F.col("_v").cast("double") - F.col("_med")).alias("_dev"),
+    )
+    mad = dev.groupBy(*keys).agg(F.percentile("_dev", 0.5).alias("_mad"))
+    return (
+        dev.join(mad, keys)
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("_med").alias("median_fp"),
+            F.min("_mad").alias("mad_fp"),
+            F.count(F.when(F.col("_dev") > F.lit(k) * F.col("_mad"), 1))
+            .alias("n_outliers"),
+        )
+    )
+
+
 def zscore_grouped_pandas(
     df: DataFrame,
     key: str = "o_custkey",
