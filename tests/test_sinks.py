@@ -171,3 +171,52 @@ def test_sqlite_jdbc_partitioned_read_matches_shim(spark, sf_small, tmp_path):
     assert jdbc.rdd.getNumPartitions() > 1
     assert sorted(jdbc.columns) == sorted(shim.columns)
     assert jdbc.count() == shim.count()
+
+
+def test_orc_roundtrip_and_pushdown(spark, sf_small, tmp_path):
+    """lineitem -> zstd ORC -> back must be value-identical, and a
+    measure filter must reach the ORC scan (pushdown parity with the
+    parquet source)."""
+    from learn_etl_data_warehouse_spark.sources.orc import read_orc, write_orc
+
+    out = str(tmp_path / "lineitem_orc")
+    li = load_table(spark, sf_small, "lineitem")
+    write_orc(li, out)
+    back = read_orc(spark, out)
+    assert sorted(back.columns) == sorted(li.columns)
+    flt = back.filter(F.col("l_quantity") < 5.0).select("l_orderkey", "l_quantity")
+    plan = flt._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "l_quantity" in plan.split("PushedFilters")[1][:200]
+    want = li.filter(F.col("l_quantity") < 5.0).select("l_orderkey", "l_quantity")
+    assert sorted(map(tuple, flt.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_orc_partitioned_write_prunes(spark, sf_small, tmp_path):
+    """partitionBy flows through the ORC sink and prunes at scan."""
+    from learn_etl_data_warehouse_spark.sources.orc import read_orc, write_orc
+
+    out = str(tmp_path / "orders_orc")
+    orders = load_table(spark, sf_small, "orders")
+    write_orc(orders, out, partition_by=["o_orderstatus"])
+    back = read_orc(spark, out).filter(F.col("o_orderstatus") == "O")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert back.count() == orders.filter(F.col("o_orderstatus") == "O").count()
+    assert "o_orderstatus" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_orc_timestamp_roundtrip(spark, sf_small, tmp_path):
+    """Both session-zone and NTZ timestamps survive the ORC round-trip
+    type- and value-exactly under the pinned-UTC session."""
+    from learn_etl_data_warehouse_spark.sources.orc import read_orc, write_orc
+
+    out = str(tmp_path / "events_orc")
+    ev = load_table(spark, sf_small, "events").withColumn(
+        "ts_ntz", F.col("ts").cast("timestamp_ntz")
+    )
+    write_orc(ev, out)
+    back = read_orc(spark, out)
+    assert dict(back.dtypes)["ts"] == "timestamp"
+    assert dict(back.dtypes)["ts_ntz"] == "timestamp_ntz"
+    a = sorted(map(tuple, back.select("event_id", "ts", "ts_ntz").collect()))
+    b = sorted(map(tuple, ev.select("event_id", "ts", "ts_ntz").collect()))
+    assert a == b
