@@ -139,6 +139,11 @@ def commit_versioned(
     if shards is not None:
         raw = raw.filter(F.col(SHARD_COL).isin(shards))
     cleaned = clean_fact(raw)
+    manifest = read_manifest(table)
+    # fail-fast BEFORE staging: the check must not read the staged dir —
+    # `.txn-staging-*` is dot-prefixed precisely so Spark readers ignore
+    # it, which would make a staged-read validation silently vacuous
+    _enforce_constraints(cleaned, manifest, f"commit_versioned({txn_id})")
     # stage in a txn-private root, then MOVE each partition's files under
     # the table's versioned layout (rename within one fs; data files are
     # never rewritten)
@@ -146,7 +151,6 @@ def commit_versioned(
     cleaned.write.partitionBy(SHARD_COL, "quarter").mode("overwrite").parquet(
         staging
     )
-    manifest = read_manifest(table)
     for rel in _written_partitions(staging):
         src = os.path.join(staging, rel)
         dst = os.path.join(table, rel, f"{TXN_COL_PREFIX}{txn_id}")
@@ -502,6 +506,9 @@ def merge_upsert(
     part_cols = _partition_cols(manifest)
     snap = read_snapshot(spark, table)
     updates = updates.select(*snap.columns)  # align column order
+    # survivors already passed the gate when committed; only the offered
+    # rows can introduce a violation
+    _enforce_constraints(updates, manifest, "merge_upsert")
     keys = updates.select(*key_cols).distinct()
     affected = {
         _rel_for_row(r, part_cols)
@@ -535,6 +542,63 @@ def merge_upsert(
         part_cols,
         txn_id,
     )
+    _publish(table, manifest, txn_id)
+    return txn_id
+
+
+class ConstraintViolation(RuntimeError):
+    """Data offered for commit (or already in the table, for
+    ``add_constraint``) violates a table CHECK constraint. Nothing was
+    published."""
+
+
+def _enforce_constraints(df: DataFrame, manifest: dict, op: str) -> None:
+    """Fail-before-publish gate: one aggregate job over the offered rows
+    (only the constraint columns are read from the staged parquet)."""
+    cons = manifest.get("constraints") or {}
+    if not cons:
+        return
+    from .expectations import violation_counts
+
+    bad = violation_counts(df, cons)
+    if bad:
+        raise ConstraintViolation(
+            f"{op}: constraint violations {bad}; nothing published"
+        )
+
+
+def add_constraint(
+    spark: SparkSession, table: str, name: str, expr: str
+) -> str:
+    """Attach a CHECK constraint to the table (Delta ``ADD CONSTRAINT``
+    analog). The constraint is a SQL boolean expression persisted in the
+    manifest, so it governs EVERY future writer path (batch commit,
+    merge, stream sink) — table-attached governance, unlike the
+    per-pipeline rules of ``plans/expectations.py`` which this reuses
+    for evaluation. Like Delta, the existing snapshot is scanned first:
+    a constraint current data violates is refused, so a reader can trust
+    that a published constraint holds over the whole table. Publishing
+    is a metadata-only transaction (no data files move)."""
+    manifest = read_manifest(table)
+    if not manifest["partitions"]:
+        raise FileNotFoundError(f"no committed snapshot at {table}")
+    probe = dict(manifest, constraints={name: expr})
+    _enforce_constraints(
+        read_snapshot(spark, table), probe, f"add_constraint({name!r})"
+    )
+    manifest.setdefault("constraints", {})[name] = expr
+    txn_id = uuid.uuid4().hex[:12]
+    _publish(table, manifest, txn_id)
+    return txn_id
+
+
+def drop_constraint(table: str, name: str) -> str:
+    """Remove a CHECK constraint (metadata-only transaction)."""
+    manifest = read_manifest(table)
+    if name not in (manifest.get("constraints") or {}):
+        raise KeyError(f"no constraint {name!r} on {table}")
+    del manifest["constraints"][name]
+    txn_id = uuid.uuid4().hex[:12]
     _publish(table, manifest, txn_id)
     return txn_id
 
@@ -611,6 +675,11 @@ def manifest_stream_sink(table: str):
         manifest = read_manifest(table)
         rel = f"batch_id={batch_id}"
         txn_id = f"b{batch_id}-{uuid.uuid4().hex[:8]}"
+        # fail-fast before staging (a staged-dir read would be vacuous:
+        # Spark ignores the dot-prefixed staging path by design)
+        _enforce_constraints(
+            df, manifest, f"manifest_stream_sink(batch {batch_id})"
+        )
         staging = os.path.join(table, f".txn-staging-{txn_id}")
         df.write.mode("overwrite").parquet(staging)
         dst = os.path.join(table, rel, f"{TXN_COL_PREFIX}{txn_id}")
@@ -712,6 +781,8 @@ def clone_table(src: str, dst: str) -> str:
     os.makedirs(dst, exist_ok=True)
     txn_id = uuid.uuid4().hex[:12]
     new_manifest = {"txn": None, "partitions": {}, "stats": {}}
+    if manifest.get("constraints"):  # governance travels with the table
+        new_manifest["constraints"] = dict(manifest["constraints"])
     for rel, txn in sorted(manifest["partitions"].items()):
         src_dir = os.path.join(src, rel, f"{TXN_COL_PREFIX}{txn}")
         dst_dir = os.path.join(dst, rel, f"{TXN_COL_PREFIX}{txn_id}")

@@ -665,3 +665,82 @@ class TestOptimizeTable:
         report2 = optimize_table(spark, table, bloom_cols=["id"])
         assert report2["compacted"] == []
         assert set(report2["skipped"]) == set(read_manifest(table)["partitions"])
+
+
+class TestCheckConstraints:
+    """Table-attached CHECK constraints: validated against existing data
+    at ADD, enforced fail-before-publish on every writer path."""
+
+    def test_add_validates_existing_and_gates_future_batches(self, spark, vtable):
+        from learn_etl_data_warehouse_spark.plans.manifest_warehouse import (
+            ConstraintViolation,
+            add_constraint,
+            drop_constraint,
+        )
+
+        table, sink = vtable
+        # existing data has a NULL v -> a NOT NULL constraint must refuse
+        with pytest.raises(ConstraintViolation, match="v_not_null"):
+            add_constraint(spark, table, "v_not_null", "v IS NOT NULL")
+
+        add_constraint(spark, table, "id_nonneg", "id >= 0")
+        assert read_manifest(table)["constraints"] == {"id_nonneg": "id >= 0"}
+
+        before_txn = read_manifest(table)["txn"]
+        bad = spark.createDataFrame(
+            [(-1, 5.0, "z")], "id INT, v DOUBLE, cat STRING"
+        )
+        with pytest.raises(ConstraintViolation, match="id_nonneg"):
+            sink(bad, 2)
+        m = read_manifest(table)
+        assert m["txn"] == before_txn          # nothing published
+        assert "batch_id=2" not in m["partitions"]
+        # and no staging garbage left behind
+        assert not [e for e in os.listdir(table) if e.startswith(".txn-staging")]
+
+        ok = spark.createDataFrame(
+            [(200, 5.0, "z")], "id INT, v DOUBLE, cat STRING"
+        )
+        sink(ok, 2)
+        assert read_snapshot(spark, table).count() == 22
+
+        drop_constraint(table, "id_nonneg")
+        sink(bad, 3)  # allowed again after drop
+        assert read_snapshot(spark, table).filter("id < 0").count() == 1
+
+    def test_merge_upsert_enforces(self, spark, vtable):
+        from learn_etl_data_warehouse_spark.plans.manifest_warehouse import (
+            ConstraintViolation,
+            add_constraint,
+            merge_upsert,
+        )
+
+        table, _ = vtable
+        add_constraint(spark, table, "cat_known", "cat IN ('a','b','c','z')")
+        before_txn = read_manifest(table)["txn"]
+        bad = spark.createDataFrame(
+            [(5, 5.0, "??", 0)], "id INT, v DOUBLE, cat STRING, batch_id INT"
+        )
+        with pytest.raises(ConstraintViolation, match="cat_known"):
+            merge_upsert(spark, table, bad, key_cols=["id"])
+        assert read_manifest(table)["txn"] == before_txn
+
+        good = spark.createDataFrame(
+            [(5, 55.0, "z", 0)], "id INT, v DOUBLE, cat STRING, batch_id INT"
+        )
+        merge_upsert(spark, table, good, key_cols=["id"])
+        [r] = read_snapshot(spark, table).filter("id = 5").collect()
+        assert (r["v"], r["cat"]) == (55.0, "z")
+
+    def test_clone_carries_constraints(self, spark, vtable, tmp_path):
+        from learn_etl_data_warehouse_spark.plans.manifest_warehouse import (
+            add_constraint,
+            clone_table,
+            read_manifest as rm,
+        )
+
+        table, _ = vtable
+        add_constraint(spark, table, "id_nonneg", "id >= 0")
+        dst = str(tmp_path / "cloned")
+        clone_table(table, dst)
+        assert rm(dst)["constraints"] == {"id_nonneg": "id >= 0"}

@@ -201,3 +201,39 @@ def test_compaction_is_value_identical_and_shrinks_files(
         if f.endswith(".parquet")
     ]
     assert len(part_files) == 1
+
+
+def test_commit_versioned_enforces_constraints(spark, tmp_path, landings):
+    """A CHECK constraint added after the first commit gates the next
+    batch ETL commit: the violating backfill publishes nothing and
+    leaves no staging garbage."""
+    from learn_etl_data_warehouse_spark.plans.manifest_warehouse import (
+        ConstraintViolation,
+        add_constraint,
+        read_manifest,
+        read_snapshot,
+    )
+
+    landing, _ = landings
+    table = str(tmp_path / "wh_constrained")
+    os.makedirs(table)
+    commit_versioned(spark, landing, table)
+    assert read_snapshot(spark, table).filter("distance < 0").count() == 0
+    add_constraint(spark, table, "dist_nonneg", "distance >= 0")
+
+    # a corrupted backfill: every distance negated
+    bad_landing = str(tmp_path / "landing_bad")
+    corrupted = (
+        read_sharded_fact(spark, landing)
+        .withColumn(
+            "distance", (-F.col("distance").cast("double")).cast("string")
+        )
+        .drop(SHARD_COL)
+    )
+    write_sharded_exports(corrupted, bad_landing, n_shards=8)
+    before = read_manifest(table)["txn"]
+    with pytest.raises(ConstraintViolation, match="dist_nonneg"):
+        commit_versioned(spark, bad_landing, table)
+    m = read_manifest(table)
+    assert m["txn"] == before
+    assert not [e for e in os.listdir(table) if e.startswith(".txn-staging")]
