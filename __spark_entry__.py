@@ -2077,6 +2077,23 @@ def q_s12(spark, sf_dir):
     return similarity.rerank_exact(emb, cand, q, k=10)
 
 
+def q_d24(spark, sf_dir):
+    """Incremental MinHash-LSH dedup (r5c): the daily-ingest path — new
+    docs (id ≥ 300) deduped against the stored corpus index without
+    re-reading corpus text (operators/dedup.py::minhash_dedup_against;
+    full-rebuild conformance in test_operators.py). Rows-only:
+    xxhash64-derived candidates."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs, buckets = dedup.minhash_index(
+        docs.filter("doc_id < 300"), num_hashes=64, bands=16
+    )
+    survivors, _, _ = dedup.minhash_dedup_against(
+        docs.filter("doc_id >= 300"), sigs, buckets,
+        num_hashes=64, bands=16, threshold=0.5,
+    )
+    return survivors.select("doc_id", "source", "lang")
+
+
 def q_e10(spark, sf_dir):
     """Weekly cohort retention (r5c): users cohorted by first-event day,
     distinct-active counts per (cohort, week offset) with retention
@@ -2301,6 +2318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a09_approx_distinct": q_a09,
         "a14_approx_percentiles": q_a14,
         "d03_minhash_lsh_pairs": q_d03,
+        "d24_incremental_neardup": q_d24,
         "d04_simhash": q_d04,
         "d05_simhash_near_pairs": q_d05,
         "d06_corpus_clean_pipeline": q_d06,

@@ -235,6 +235,155 @@ def minhash_signatures(
     )
 
 
+def _band_buckets(
+    sig: DataFrame, num_hashes: int, bands: int, id_col: str
+) -> DataFrame:
+    """(_id, band, bucket) relation from a signature table: each band's
+    slice of the signature hashed to one bucket id — the slim LSH join
+    key, shared by the one-shot and incremental paths."""
+    rows_per_band = num_hashes // bands
+    return sig.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("signature").getItem(b * rows_per_band + r)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_band"),
+    ).select("_id", "_band.band", "_band.bucket")
+
+
+def minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """The persistable LSH index over a corpus: ``(signatures, buckets)``
+    where signatures is ``(id, signature array<long>)`` and buckets is
+    the slim ``(_id, band, bucket)`` relation. Write both as tables
+    (bucket-partitioned on ``(band, bucket)`` at scale) and the daily
+    ingest never re-reads corpus text — the index IS the dedup state,
+    and it grows by appending each accepted batch's rows
+    (:func:`minhash_dedup_against` returns them)."""
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    return sig, _band_buckets(sig, num_hashes, bands, id_col)
+
+
+def minhash_dedup_against(
+    new_docs: DataFrame,
+    index_sigs: DataFrame,
+    index_buckets: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Incremental near-dup dedup: the steady-state ingest path
+    (:func:`dedup_against`'s exact analog, lifted to MinHash+LSH).
+
+    A new document is dropped when an LSH candidate neighbor at
+    ``est_jaccard ≥ threshold`` exists in the indexed corpus, or among
+    LOWER-ID new-batch documents (the same deterministic lower-id-wins
+    rule as the one-shot pipeline). Only the new batch's text is ever
+    shingled — the corpus contributes its stored signatures and bucket
+    keys, so per-day cost is proportional to the batch plus the touched
+    buckets, never the accumulated corpus. That asymmetry is the whole
+    point at 100 TB: the one-shot pass is a full-corpus shuffle; this is
+    a keyed join against a static, bucket-partitioned index.
+
+    Returns ``(survivors, new_sigs, new_buckets)`` — survivors is the
+    filtered ``new_docs``; the other two, filtered to survivors, are the
+    index-append rows that keep the state current for the next batch.
+
+    Bucket-size capping note: the one-shot path's ``max_bucket_size``
+    guard is a build-time property of the index (apply it when the index
+    is built); the incremental join inherits whatever capping the stored
+    buckets carry.
+    """
+    assert num_hashes % bands == 0
+    sig_new = minhash_signatures(new_docs, text_col, id_col, num_hashes, shingle_n)
+    banded_new = _band_buckets(sig_new, num_hashes, bands, id_col)
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with(F.col("_sa"), F.col("_sb"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes)),
+        6,
+    )
+    # new vs corpus: candidate ids via the bucket join, then one
+    # signature verify per distinct pair
+    vs_corpus = (
+        banded_new.select(F.col("_id").alias("_new"), "band", "bucket")
+        .join(
+            index_buckets.select(F.col("_id").alias("_old"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .select("_new", "_old")
+        .dropDuplicates(["_new", "_old"])
+        .join(
+            sig_new.select(F.col(id_col).alias("_new"), F.col("signature").alias("_sa")),
+            "_new",
+        )
+        .join(
+            index_sigs.select(F.col(id_col).alias("_old"), F.col("signature").alias("_sb")),
+            "_old",
+        )
+        .filter(est >= threshold)
+        .select(F.col("_new").alias(id_col))
+        .distinct()
+    )
+    # new vs new: same banding within the batch, lower id wins
+    a = banded_new.alias("a")
+    b = banded_new.alias("b")
+    vs_new = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("_keep"), F.col("b._id").alias("_drop"))
+        .dropDuplicates(["_keep", "_drop"])
+        .join(
+            sig_new.select(F.col(id_col).alias("_keep"), F.col("signature").alias("_sa")),
+            "_keep",
+        )
+        .join(
+            sig_new.select(F.col(id_col).alias("_drop"), F.col("signature").alias("_sb")),
+            "_drop",
+        )
+        .filter(est >= threshold)
+        .select(F.col("_drop").alias(id_col))
+        .distinct()
+    )
+    dropped = vs_corpus.union(vs_new).distinct()
+    survivors = new_docs.join(dropped, id_col, "left_anti")
+    keep_ids = survivors.select(id_col)
+    new_sigs = sig_new.join(keep_ids, id_col, "left_semi")
+    new_buckets = banded_new.join(
+        keep_ids.select(F.col(id_col).alias("_id")), "_id", "left_semi"
+    )
+    return survivors, new_sigs, new_buckets
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -266,7 +415,6 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, est_jaccard), id_a < id_b, distinct.
     """
     assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
     # No persist: the two verify-join sides are identical subplans (one
     # reused exchange), so dropping the cache re-runs the narrow
     # signature stage once more while freeing CacheManager for the rest
@@ -279,25 +427,7 @@ def minhash_lsh_pairs(
     # computing the 64-way comparison) per candidate multiplies that
     # cost ×bands. Dedup the bare id pairs first, then join the cached
     # signatures back exactly once per distinct pair.
-    banded = sig.select(
-        F.col(id_col).alias("_id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col("signature").getItem(b * rows_per_band + r)
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("_band"),
-    ).select("_id", "_band.band", "_band.bucket")
+    banded = _band_buckets(sig, num_hashes, bands, id_col)
     if max_bucket_size is not None:
         # over-cap bucket list is small by construction (≤ rows/cap);
         # broadcast anti-join against the banded relation

@@ -985,3 +985,47 @@ def test_ivfpq_recall_and_pruning(spark, sf_small):
     assert 7 in partial
     recall = len(set(partial) & set(full_pq)) / 10
     assert recall >= 0.3, f"IVF-PQ nprobe=3 recall vs ADC too low: {recall}"
+
+
+def test_incremental_minhash_matches_full_rebuild(spark, sf_small):
+    """Split the corpus at a doc_id boundary (corpus ids < new ids, the
+    real monotonic-ingest shape): the incremental path's survivors must
+    equal the one-shot full-corpus rule 'new doc n drops iff some pair
+    (x, n) with x < n at est >= threshold exists'."""
+    docs = load_table(spark, sf_small, "documents")
+    corpus = docs.filter("doc_id < 300")
+    new = docs.filter("doc_id >= 300")
+    sigs, buckets = dedup.minhash_index(corpus, num_hashes=64, bands=16)
+    survivors, new_sigs, new_buckets = dedup.minhash_dedup_against(
+        new, sigs, buckets, num_hashes=64, bands=16, threshold=0.5
+    )
+    got = {r["doc_id"] for r in survivors.select("doc_id").collect()}
+
+    full_pairs = dedup.minhash_lsh_pairs(
+        docs, num_hashes=64, bands=16, threshold=0.5
+    ).collect()
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    dropped = {r["id_b"] for r in full_pairs if r["id_b"] in new_ids}
+    want = new_ids - dropped
+    assert got == want
+    assert dropped, "fixture should drop at least one near-dup new doc"
+    # the index-append rows cover exactly the survivors
+    assert {r["doc_id"] for r in new_sigs.select("doc_id").collect()} == got
+    assert {r["_id"] for r in new_buckets.select("_id").collect()} == got
+
+
+def test_incremental_minhash_empty_corpus_index(spark, sf_small):
+    """Bootstrapping: an empty index degrades to within-batch dedup."""
+    docs = load_table(spark, sf_small, "documents")
+    empty = docs.filter("doc_id < 0")
+    sigs, buckets = dedup.minhash_index(empty, num_hashes=64, bands=16)
+    survivors, _, _ = dedup.minhash_dedup_against(
+        docs, sigs, buckets, num_hashes=64, bands=16, threshold=0.5
+    )
+    got = {r["doc_id"] for r in survivors.select("doc_id").collect()}
+    pairs = dedup.minhash_lsh_pairs(
+        docs, num_hashes=64, bands=16, threshold=0.5
+    ).collect()
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    want = all_ids - {r["id_b"] for r in pairs}
+    assert got == want
