@@ -57,6 +57,11 @@ HEADLINE = [
     "e08_outer_attribution",
     "e09_hourly_gapfill",
     "d21_semantic_dedup",
+    # r5 continuation operators
+    "e10_cohort_retention",
+    "f02_user_transitions",
+    "a17_mad_outliers",
+    "d24_incremental_neardup",
 ]
 
 # Reference-parity ETL (EP1 at shard grain): not a queries() entry — it

@@ -446,6 +446,39 @@ def stream_windowed_user_counts(
     )
 
 
+def stream_daily_active_users(
+    spark,
+    source_dir: str,
+    schema,
+    watermark_hours: int = 1,
+):
+    """Streaming DAU — the continuous twin of
+    ``operators/product_analytics.py::growth_accounting``'s ``dau``
+    column. Distinct-count streaming needs two stateful stages:
+
+    1. ``dropDuplicates([day, user_id])`` — first sighting of a user on
+       a day survives; replays and later same-day events are dropped.
+       State is (days in watermark) × (active users), bounded by the
+       watermark, NOT stream history.
+    2. a 1-day tumbling-window count over the surviving rows — plain
+       counting, because upstream already made rows distinct. Append
+       mode emits each closed day exactly once.
+
+    COUNT(DISTINCT) is not directly window-able in a streaming agg;
+    this dedup-then-count decomposition is the standard shape. Days
+    still inside the watermark have not emitted yet — the conformance
+    test compares only watermark-closed days."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        stream.withColumn("day", F.date_trunc("day", F.col("ts")))
+        .withWatermark("ts", f"{watermark_hours} hours")
+        .dropDuplicates(["day", "user_id"])
+        .groupBy(F.window(F.col("ts"), "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("dau"))
+        .select(F.col("w.start").alias("day"), "dau")
+    )
+
+
 def windowed_topk_sink(out_path: str, k: int = 3):
     """foreachBatch ranking stage of the streaming leaderboard: because
     append-mode window rows FINALIZE together (one batch contains every
