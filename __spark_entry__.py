@@ -2148,6 +2148,36 @@ def q_a17(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
+def q_t15(spark, sf_dir):
+    """Sliding-window chunking (r5 cont.): cut each document into
+    32-token windows advancing by 24 — the context-bounded unit a
+    trainer or retrieval index ingests (operators/text.py::
+    chunk_documents). Narrow explode, zero shuffles; the chunk count is
+    non-negative integer arithmetic so the DuckDB twin is bit-exact.
+    (32/24 on the 10-99-token fixture corpus makes multi-chunk docs the
+    common case, so the overlap path is the one being certified.)"""
+    return text.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_size=32, stride=24
+    )
+
+
+def q_g02(spark, sf_dir):
+    """Fixed-point PageRank (r5 cont.) over the part co-occurrence graph
+    (parts bought together in one order): 5 power-iteration rounds in
+    integer micro-units (operators/graph.py) — the oracle unrolls the
+    identical rounds as chained CTEs, certifying the Pregel-as-joins
+    shape value-exact end to end."""
+    from learn_etl_data_warehouse_spark.operators.graph import (
+        cooccurrence_edges,
+        pagerank_fixed_point,
+    )
+
+    edges = cooccurrence_edges(_t(spark, sf_dir, "lineitem"))
+    return pagerank_fixed_point(edges, iterations=5).select(
+        F.col("node").alias("part_id"), "rank_micros"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: star join + quarter rollup on sf0.001 (revenue per region
     per quarter) — exercises scan, broadcast joins, derived partition key,
@@ -2312,6 +2342,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p15_string_functions": q_p15,
         "p16_date_functions": q_p16,
         "a13_quantile_bins": q_a13,
+        "t15_chunking": q_t15,
+        "g02_part_pagerank": q_g02,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
         # rows are all hash-verifiable
@@ -2363,6 +2395,24 @@ inter AS (
   FROM dg a JOIN dg b ON a.g = b.g AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 """
+    # g02: unrolled power iteration — every operand is a non-negative
+    # integer, so DuckDB's flooring // and Spark's truncating div agree.
+    pr_sql = """
+WITH li AS (SELECT l_orderkey AS gk, l_partkey AS item FROM lineitem),
+edges AS (SELECT DISTINCT a.item AS src, b.item AS dst
+          FROM li a JOIN li b ON a.gk = b.gk AND a.item <> b.item),
+deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micros FROM deg)"""
+    for _i in range(1, 6):
+        pr_sql += f""",
+r{_i} AS (SELECT e.dst AS node,
+          CAST(150000 + (85 * CAST(sum(r.rank_micros // d.deg) AS BIGINT)) // 100
+               AS BIGINT) AS rank_micros
+          FROM r{_i - 1} r
+          JOIN deg d ON d.node = r.node
+          JOIN edges e ON e.src = r.node
+          GROUP BY e.dst)"""
+    pr_sql += "\nSELECT node AS part_id, rank_micros FROM r5"
     lang_hits = ", ".join(
         f"len(list_filter({_TOKS_L}, x -> list_contains({markers!r}, x))) AS h_{code}"
         for code, markers in sorted(text.LANG_MARKERS.items())
@@ -3527,6 +3577,16 @@ WITH tk AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
 c AS (SELECT token, count(*) AS n FROM tk WHERE token <> '' GROUP BY 1),
 r AS (SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rn FROM c)
 SELECT CAST(rn AS BIGINT) AS token_id, token, n FROM r WHERE rn <= 1000""",
+        "t15_chunking": """
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+c AS (SELECT doc_id, toks,
+             1 + (greatest(len(toks) - 32, 0) + 23) // 24 AS nc FROM t),
+e AS (SELECT doc_id, toks, unnest(generate_series(0, nc - 1)) AS cid FROM c)
+SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+       CAST(len(list_slice(toks, cid * 24 + 1, cid * 24 + 32)) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(list_slice(toks, cid * 24 + 1, cid * 24 + 32), ' ') AS chunk_text
+FROM e""",
+        "g02_part_pagerank": pr_sql,
         "d22_dedup_keep_best": (
             grams_cte.replace("WITH toks", "WITH RECURSIVE toks")
             + f""",

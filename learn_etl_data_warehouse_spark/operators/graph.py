@@ -1,0 +1,106 @@
+"""Graph analytics over join-derived edge sets.
+
+Connected components (duplicate clustering) lives in
+``operators/dedup.py``; this module holds the rank-propagation side:
+an item co-occurrence graph built from a fact table and a fixed-point
+PageRank whose arithmetic is exact integers, so an external SQL engine
+reproduces it bit-for-bit (the repo's oracle-determinism contract —
+floating-point power iteration would drift across engines at the
+ulp level and hash-mismatch).
+
+Scale notes: both operators are pure join/aggregate pipelines — no
+collect, no Python, no driver-side graph object. The co-occurrence
+self-join is key-equality on the order id with fan-out bounded by the
+per-order line count (≤7 in TPC-H-shaped data), and each PageRank
+iteration is one shuffle on the destination node — the standard
+Pregel-as-joins shape that survives a 1000-executor scale-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cooccurrence_edges(
+    fact: DataFrame,
+    group_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+) -> DataFrame:
+    """Undirected co-occurrence edges: two items are linked when they
+    appear in the same group (parts bought together in one order).
+
+    Emits BOTH directions of every edge, distinct, self-loops excluded —
+    the symmetric edge list the rank iteration consumes directly (every
+    node then has out-degree ≥ 1, so there are no dangling nodes to
+    special-case). The self-join is key-equality on ``group_col``; its
+    fan-out per group is (lines per group)², bounded by the data model,
+    not by corpus size.
+    """
+    li = fact.select(
+        F.col(group_col).alias("_gk"), F.col(item_col).alias("_item")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._gk") == F.col("b._gk"))
+            & (F.col("a._item") != F.col("b._item")),
+        )
+        .select(
+            F.col("a._item").alias("src"), F.col("b._item").alias("dst")
+        )
+        .distinct()
+    )
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping_pct: int = 85,
+    init_micros: int = 1_000_000,
+) -> DataFrame:
+    """Fixed-iteration PageRank in integer micro-units.
+
+    rank₀ = ``init_micros`` for every node; each round every node sends
+    ``rank div out_degree`` to each neighbor and receives
+    ``base + damping · Σ(incoming) div 100`` where
+    ``base = init_micros · (100 − damping_pct) div 100``. All operands
+    are non-negative integers, so truncating (Spark ``div``) and
+    flooring (DuckDB ``//``) division agree and the result is exact —
+    the oracle unrolls the same ``iterations`` rounds as chained CTEs.
+
+    Per round: one key-equality join rank→degree (co-partitioned on the
+    node), one join onto the edge list, one sum-shuffle on the
+    destination. Plan depth grows linearly with ``iterations`` (a fixed
+    small constant); for convergence-driven variants reuse the
+    localCheckpoint-per-round pattern from
+    ``dedup.py::connected_components``.
+
+    Returns (node, rank_micros BIGINT).
+    """
+    if not 0 <= damping_pct <= 100:
+        raise ValueError("damping_pct must be in [0, 100]")
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    base = init_micros * (100 - damping_pct) // 100
+    ranks = deg.select(
+        "node", F.lit(init_micros).cast("long").alias("rank_micros")
+    )
+    for _ in range(iterations):
+        contrib = (
+            ranks.join(deg, "node")
+            .select("node", F.expr("rank_micros div deg").alias("_c"))
+            .join(edges, F.col("node") == F.col("src"))
+            .select(F.col("dst").alias("_to"), "_c")
+        )
+        ranks = contrib.groupBy(F.col("_to").alias("node")).agg(
+            (
+                F.lit(base)
+                + F.expr(f"({damping_pct} * sum(_c)) div 100")
+            )
+            .cast("long")
+            .alias("rank_micros")
+        )
+    return ranks

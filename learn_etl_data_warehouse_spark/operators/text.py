@@ -546,3 +546,56 @@ def vocab_from_counts(counts: DataFrame, size: int = 1000) -> DataFrame:
         "token",
         "n",
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window chunking: cut each document into token windows of
+    ``chunk_size`` advancing by ``stride`` (overlap = chunk_size −
+    stride) — the unit a context-bounded trainer or retrieval index
+    ingests. A document shorter than one window yields exactly one
+    (possibly short) chunk; the final window is allowed to run short
+    rather than re-reading the tail twice.
+
+    Deterministic and engine-portable by construction: the chunk count
+    is pure non-negative integer arithmetic (``1 + ceil(extra/stride)``
+    computed as ``(extra + stride − 1) div stride``, identical under
+    truncating and flooring division because the operands are
+    non-negative), and chunk text is a positional slice — no hashing,
+    no RNG.
+
+    Scale shape: narrow per-row work only (split → sequence → explode →
+    slice), zero shuffles and zero Python; output rows ≈ input rows ×
+    mean(n_tokens)/stride, and the explode fan-out is bounded per row by
+    the document length, so there is no hot key to skew a downstream
+    exchange.
+
+    Returns (id, chunk_id BIGINT 0-based, n_chunk_tokens, chunk_text).
+    """
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    toks = tokens(_c(text_col))
+    extra = F.greatest(F.size(toks) - chunk_size, F.lit(0))
+    n_chunks = (
+        F.lit(1) + F.floor((extra + F.lit(stride - 1)) / F.lit(stride))
+    ).cast("long")
+    exploded = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+            "chunk_id"
+        ),
+    )
+    start = (F.col("chunk_id") * stride + 1).cast("int")
+    chunk = F.slice(F.col("_toks"), start, F.lit(chunk_size))
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

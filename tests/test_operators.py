@@ -1029,3 +1029,95 @@ def test_incremental_minhash_empty_corpus_index(spark, sf_small):
     all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
     want = all_ids - {r["id_b"] for r in pairs}
     assert got == want
+
+
+# --- sliding-window chunking (r5 cont.) ------------------------------------
+
+
+def test_chunk_documents_covers_every_token_once_per_window(spark):
+    """Chunk starts advance by exactly `stride`; the union of windows
+    covers every token; a non-overlapping config (stride == chunk_size)
+    reassembles the original text verbatim."""
+    from learn_etl_data_warehouse_spark.operators.text import chunk_documents
+
+    txt = " ".join(f"w{i}" for i in range(70))
+    df = spark.createDataFrame([(1, txt), (2, "a b"), (3, "solo")], ["doc_id", "text"])
+    out = chunk_documents(df, chunk_size=32, stride=24).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 70 tokens -> 1 + ceil(38/24) = 3 chunks; short docs -> exactly 1
+    assert len(by_doc[1]) == 3 and len(by_doc[2]) == 1 and len(by_doc[3]) == 1
+    chunks = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    toks = txt.split()
+    for r in chunks:
+        start = r["chunk_id"] * 24
+        assert r["chunk_text"].split() == toks[start : start + 32]
+        assert r["n_chunk_tokens"] == len(r["chunk_text"].split())
+    covered = set()
+    for r in chunks:
+        covered.update(range(r["chunk_id"] * 24, r["chunk_id"] * 24 + r["n_chunk_tokens"]))
+    assert covered == set(range(70))
+    # non-overlap reassembly
+    flat = chunk_documents(df.filter("doc_id = 1"), chunk_size=16, stride=16)
+    parts = [
+        r["chunk_text"]
+        for r in sorted(flat.collect(), key=lambda r: r["chunk_id"])
+    ]
+    assert " ".join(parts) == txt
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    from learn_etl_data_warehouse_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, stride=0)
+
+
+# --- fixed-point PageRank (r5 cont.) ---------------------------------------
+
+
+def test_pagerank_matches_integer_reference_on_known_graph(spark):
+    """5 rounds on a small asymmetric graph must equal a plain-Python
+    integer power iteration — same floor division, same damping."""
+    from learn_etl_data_warehouse_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    undirected = [(1, 2), (2, 3), (3, 1), (3, 4)]
+    edges = [(a, b) for a, b in undirected] + [(b, a) for a, b in undirected]
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["rank_micros"]
+        for r in pagerank_fixed_point(edf, iterations=5).collect()
+    }
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+    ranks = {n: 1_000_000 for n in deg}
+    for _ in range(5):
+        recv = {n: 0 for n in deg}
+        for a, b in edges:
+            recv[b] += ranks[a] // deg[a]
+        ranks = {n: 150_000 + (85 * s) // 100 for n, s in recv.items()}
+    assert got == ranks
+    # hub node 3 (degree 3) must out-rank the degree-2 ring nodes
+    assert got[3] == max(got.values()) and got[4] == min(got.values())
+
+
+def test_cooccurrence_edges_symmetric_no_selfloops(spark):
+    from learn_etl_data_warehouse_spark.operators.graph import (
+        cooccurrence_edges,
+    )
+
+    fact = spark.createDataFrame(
+        [(10, 1), (10, 2), (10, 2), (10, 3), (20, 2), (20, 5)],
+        ["l_orderkey", "l_partkey"],
+    )
+    got = {(r["src"], r["dst"]) for r in cooccurrence_edges(fact).collect()}
+    want_undirected = {(1, 2), (1, 3), (2, 3), (2, 5)}
+    want = want_undirected | {(b, a) for a, b in want_undirected}
+    assert got == want
