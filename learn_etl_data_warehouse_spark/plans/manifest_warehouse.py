@@ -962,3 +962,109 @@ def optimize_table(
             skipped.append(rel)
     bloom_txn = add_bloom_index(table, bloom_cols) if bloom_cols else None
     return {"compacted": compacted, "skipped": skipped, "bloom_txn": bloom_txn}
+
+
+def analyze_table(
+    spark: SparkSession, table: str, columns: list[str] | None = None
+) -> str:
+    """``ANALYZE TABLE … COMPUTE STATISTICS`` analog: one distributed
+    pass over the current snapshot collecting row count, per-column
+    approximate NDV (HLL) and null counts, plus the snapshot's total
+    data bytes from the committed file sizes — the inputs a planner
+    needs for join-strategy and selectivity decisions. Published as a
+    metadata-only transaction (same data versions, old manifest retained
+    for time travel), exactly like :func:`add_bloom_index`.
+
+    Staleness contract (mirrors the bloom invalidation problem, solved
+    without hooks): the stats block records the partition→txn mapping it
+    described; :func:`table_stats` returns it only while the live
+    mapping is IDENTICAL, so any later data commit makes the stats
+    read as absent rather than silently wrong.
+
+    Scale: the aggregation is one ``df.agg`` over HLL sketches and
+    predicate counts — partial-aggregated, a single bounded row reaches
+    the driver regardless of table size; file sizes come from the
+    manifest's own listing, not a data scan."""
+    from pyspark.sql.types import AtomicType
+
+    manifest = read_manifest(table)
+    if not manifest["partitions"]:
+        raise FileNotFoundError(f"no committed snapshot at {table}")
+    df = read_snapshot(spark, table)
+    part_cols = set(_partition_cols(manifest)) | {SHARD_COL}
+    if columns is None:
+        columns = [
+            f.name
+            for f in df.schema.fields
+            if f.name not in part_cols and isinstance(f.dataType, AtomicType)
+        ]
+    aggs = [F.count(F.lit(1)).alias("_rc")]
+    for c in columns:
+        aggs.append(F.approx_count_distinct(c).alias(f"_ndv_{c}"))
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_nul_{c}")
+        )
+    row = df.agg(*aggs).collect()[0]  # ONE bounded row
+    data_bytes = 0
+    for rel, txn in manifest["partitions"].items():
+        vdir = os.path.join(table, rel, f"{TXN_COL_PREFIX}{txn}")
+        for fname in os.listdir(vdir):
+            if fname.endswith(".parquet"):
+                data_bytes += os.path.getsize(os.path.join(vdir, fname))
+    manifest["table_stats"] = {
+        "as_of": dict(manifest["partitions"]),
+        "row_count": int(row["_rc"]),
+        "data_bytes": int(data_bytes),
+        "columns": {
+            c: {
+                "ndv": int(row[f"_ndv_{c}"]),
+                "nulls": int(row[f"_nul_{c}"] or 0),
+            }
+            for c in columns
+        },
+    }
+    txn_id = uuid.uuid4().hex[:12]
+    _publish(table, manifest, txn_id)
+    return txn_id
+
+
+def table_stats(table: str) -> dict | None:
+    """The last :func:`analyze_table` result, or ``None`` when absent or
+    STALE (any partition's data version moved since the analyze — the
+    always-safe reading, matching how absent blooms mean 'can't
+    prune')."""
+    manifest = read_manifest(table)
+    stats = manifest.get("table_stats")
+    if stats is None or stats["as_of"] != manifest["partitions"]:
+        return None
+    return {k: v for k, v in stats.items() if k != "as_of"}
+
+
+def broadcast_advice(
+    table: str, threshold_bytes: int = 10 << 20
+) -> dict:
+    """Join-side strategy advice from stored stats — the decision
+    Spark's own CBO makes from catalog statistics, surfaced for tables
+    that live behind this manifest (where Spark sees only file lists and
+    can't consult a metastore). ``broadcast`` only when FRESH stats
+    prove the data is under the threshold; stale or missing stats fall
+    back to ``shuffle`` — the safe default, never the reverse (a wrongly
+    broadcast 100 GB side is an OOM; a wrongly shuffled 5 MB side is
+    just a slower join)."""
+    stats = table_stats(table)
+    if stats is None:
+        return {
+            "strategy": "shuffle",
+            "reason": "no fresh statistics; defaulting to shuffle-safe",
+        }
+    if stats["data_bytes"] <= threshold_bytes:
+        return {
+            "strategy": "broadcast",
+            "reason": f"{stats['data_bytes']} B <= {threshold_bytes} B",
+            **stats,
+        }
+    return {
+        "strategy": "shuffle",
+        "reason": f"{stats['data_bytes']} B > {threshold_bytes} B",
+        **stats,
+    }

@@ -237,3 +237,43 @@ def test_commit_versioned_enforces_constraints(spark, tmp_path, landings):
     m = read_manifest(table)
     assert m["txn"] == before
     assert not [e for e in os.listdir(table) if e.startswith(".txn-staging")]
+
+
+def test_analyze_table_stats_and_staleness(spark, tmp_path, landings):
+    from learn_etl_data_warehouse_spark.plans.manifest_warehouse import (
+        analyze_table,
+        broadcast_advice,
+        table_stats,
+    )
+
+    landing, landing2 = landings
+    table = str(tmp_path / "wh")
+    commit_versioned(spark, landing, table)
+    snap = read_snapshot(spark, table)
+    n = snap.count()
+
+    assert table_stats(table) is None  # never analyzed
+    analyze_table(spark, table)
+    stats = table_stats(table)
+    assert stats is not None and stats["row_count"] == n
+    exact_ndv = snap.select("driver_id").distinct().count()
+    got_ndv = stats["columns"]["driver_id"]["ndv"]
+    assert abs(got_ndv - exact_ndv) <= max(1, int(0.05 * exact_ndv))
+    assert all(v["nulls"] >= 0 for v in stats["columns"].values())
+
+    # the analyze publish is metadata-only: data unchanged, history moves
+    assert read_snapshot(spark, table).count() == n
+
+    # small table + fresh stats -> broadcast; tiny threshold -> shuffle
+    assert broadcast_advice(table)["strategy"] == "broadcast"
+    assert broadcast_advice(table, threshold_bytes=1)["strategy"] == "shuffle"
+
+    # any data commit makes the stats read as ABSENT, never silently wrong
+    commit_versioned(spark, landing2, table, shards=[3])
+    assert table_stats(table) is None
+    advice = broadcast_advice(table)
+    assert advice["strategy"] == "shuffle" and "no fresh" in advice["reason"]
+
+    # re-analyze heals
+    analyze_table(spark, table)
+    assert table_stats(table) is not None
