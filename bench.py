@@ -62,6 +62,8 @@ HEADLINE = [
     "f02_user_transitions",
     "a17_mad_outliers",
     "d24_incremental_neardup",
+    "t15_chunking",
+    "g02_part_pagerank",
 ]
 
 # Reference-parity ETL (EP1 at shard grain): not a queries() entry — it

@@ -283,3 +283,33 @@ def catalog_vacuum(catalog_dir: str, keep_last: int = 1) -> int:
             if txn not in retained_cat_txns:
                 os.remove(os.path.join(catalog_dir, entry))
     return removed
+
+
+def register_catalog_views(
+    spark: SparkSession,
+    catalog_dir: str,
+    as_of: str | None = None,
+    prefix: str = "",
+) -> str:
+    """Expose every member table as a Spark SQL temp view pinned to ONE
+    catalog transaction, so ``spark.sql`` users query the governed
+    warehouse with plain SQL — the metastore-registration step this
+    manifest catalog otherwise lacks.
+
+    The catalog is read ONCE and the resolved txn is passed to every
+    ``catalog_read``, so all views belong to the same commit even if
+    writers land new transactions mid-registration; and because each
+    view's DataFrame resolves the manifest to an explicit file list at
+    registration, later commits cannot shift an already-registered view
+    (re-register to advance). Returns the pinned catalog txn — hand it
+    to a second session to reproduce the exact same multi-table view.
+    """
+    catalog = read_catalog(catalog_dir, as_of)
+    if not catalog["tables"]:
+        raise FileNotFoundError(f"empty or missing catalog at {catalog_dir}")
+    pinned = catalog["txn"] if as_of is None else as_of
+    for name in sorted(catalog["tables"]):
+        catalog_read(
+            spark, catalog_dir, name, as_of=pinned
+        ).createOrReplaceTempView(prefix + name)
+    return pinned

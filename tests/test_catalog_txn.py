@@ -237,3 +237,55 @@ def test_catalog_read_prunes_via_manifest_stats(spark, tmp_path):
     files = pruned.inputFiles()
     assert files and all("part=p3" in f for f in files)
     assert pruned.filter(F.col("amount") >= 38.5).count() == 1  # id 39
+
+
+def test_register_catalog_views_pins_one_txn(spark, tmp_path):
+    cdir = str(tmp_path / "wh")
+    t1 = _commit_pair(spark, cdir, version=1)
+    pinned = cat.register_catalog_views(spark, cdir)
+    assert pinned == t1
+    # plain SQL over the governed pair — and the pair is consistent
+    joined = spark.sql(
+        """SELECT f.part, count(*) AS n
+           FROM fact f JOIN rollup r ON f.part = r.part
+           GROUP BY f.part"""
+    )
+    assert joined.count() > 0
+    sql_rollup = {
+        (r["part"], r["n"], r["amount_fp"]) for r in spark.sql(
+            """SELECT part, count(*) AS n,
+                      sum(CAST(round(amount * 100) AS BIGINT)) AS amount_fp
+               FROM fact GROUP BY part"""
+        ).collect()
+    }
+    stored = {
+        (r["part"], r["n"], r["amount_fp"]) for r in spark.sql(
+            "SELECT part, n, amount_fp FROM rollup"
+        ).collect()
+    }
+    assert sql_rollup == stored
+
+    # a NEW commit must not shift the already-registered views...
+    t2 = _commit_pair(spark, cdir, version=3)
+    still = {
+        (r["part"], r["n"], r["amount_fp"]) for r in spark.sql(
+            "SELECT part, n, amount_fp FROM rollup"
+        ).collect()
+    }
+    assert still == stored
+    # ...but re-registration advances to the new pinned txn
+    assert cat.register_catalog_views(spark, cdir) == t2
+    advanced = {
+        (r["part"], r["n"], r["amount_fp"]) for r in spark.sql(
+            "SELECT part, n, amount_fp FROM rollup"
+        ).collect()
+    }
+    assert advanced != stored
+
+    # historical pin reproduces the t1 view exactly
+    assert cat.register_catalog_views(spark, cdir, as_of=t1, prefix="h_") == t1
+    assert {
+        (r["part"], r["n"], r["amount_fp"]) for r in spark.sql(
+            "SELECT part, n, amount_fp FROM h_rollup"
+        ).collect()
+    } == stored
