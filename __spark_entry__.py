@@ -2161,6 +2161,21 @@ def q_t15(spark, sf_dir):
     )
 
 
+def q_t16(spark, sf_dir):
+    """Fuzzy decontamination (r5 cont.): (train, eval) pairs whose
+    distinct-3-gram Jaccard reaches 50%, threshold compared in
+    cross-multiplied integers (operators/text.py::fuzzy_decontamination)
+    — the per-eval-document near-dup leak rule complementing t08's
+    corpus-level containment count. Same train/eval split as t08."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.fuzzy_decontamination(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        n=3,
+        threshold_pct=50,
+    )
+
+
 def q_g02(spark, sf_dir):
     """Fixed-point PageRank (r5 cont.) over the part co-occurrence graph
     (parts bought together in one order): 5 power-iteration rounds in
@@ -2343,6 +2358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p16_date_functions": q_p16,
         "a13_quantile_bins": q_a13,
         "t15_chunking": q_t15,
+        "t16_fuzzy_decontamination": q_t16,
         "g02_part_pagerank": q_g02,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
@@ -3587,6 +3603,24 @@ SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
        array_to_string(list_slice(toks, cid * 24 + 1, cid * 24 + 32), ' ') AS chunk_text
 FROM e""",
         "g02_part_pagerank": pr_sql,
+        "t16_fuzzy_decontamination": """
+WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)] END) AS g
+  FROM toks),
+dg0 AS (SELECT DISTINCT doc_id, g FROM grams),
+tr AS (SELECT doc_id, g FROM dg0 WHERE doc_id % 20 <> 0),
+ev AS (SELECT doc_id AS eval_id, g FROM dg0 WHERE doc_id % 20 = 0),
+sa AS (SELECT doc_id, count(*) AS sa FROM tr GROUP BY 1),
+sb AS (SELECT eval_id, count(*) AS sb FROM ev GROUP BY 1),
+inter AS (SELECT tr.doc_id, ev.eval_id, count(*) AS i
+          FROM tr JOIN ev USING (g) GROUP BY 1, 2)
+SELECT i.doc_id, i.eval_id, CAST(i.i AS BIGINT) AS n_shared,
+       CAST(sa.sa + sb.sb - i.i AS BIGINT) AS union_sz
+FROM inter i JOIN sa USING (doc_id) JOIN sb USING (eval_id)
+WHERE 100 * i.i >= 50 * (sa.sa + sb.sb - i.i)""",
         "d22_dedup_keep_best": (
             grams_cte.replace("WITH toks", "WITH RECURSIVE toks")
             + f""",

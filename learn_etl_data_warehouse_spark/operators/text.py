@@ -223,6 +223,73 @@ def contamination(
     )
 
 
+def fuzzy_decontamination(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    threshold_pct: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Document-level fuzzy decontamination: (train, eval) pairs whose
+    DISTINCT word-n-gram Jaccard similarity reaches ``threshold_pct`` —
+    the near-duplicate leak rule that catches paraphrased or lightly
+    edited eval examples :func:`contamination`'s corpus-level gram
+    containment can't attribute to a specific eval document.
+
+    The threshold compares in cross-multiplied integers
+    (``100·|A∩B| ≥ pct·|A∪B|``) — no float ratio anywhere, so an
+    external SQL engine reproduces the pair set exactly.
+
+    Plan: per-side distinct grams (narrow shingling) → inner join on the
+    gram with the eval side broadcast (an eval benchmark is bounded by
+    construction; pass ``broadcast_eval=False`` for corpus-vs-corpus) →
+    one aggregation keyed by the (train, eval) pair. Candidate fan-out
+    is bounded by shared-gram count against a benchmark-sized set — at
+    100 TB this is d02's inverted-index shape with one side pinned
+    small, which is why it broadcasts instead of shuffling the corpus.
+
+    Returns (doc_id, eval_id, n_shared, union_sz) for flagged pairs.
+    """
+    from .dedup import word_ngrams
+
+    grams = lambda c: F.array_distinct(word_ngrams(c, n))  # noqa: E731
+    dg = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(grams(F.col(text_col))).alias("_g"),
+    )
+    eg = eval_docs.select(
+        F.col(id_col).alias("eval_id"),
+        F.explode(grams(F.col(text_col))).alias("_g"),
+    )
+    sa = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(grams(F.col(text_col))).alias("_sa"),
+    )
+    sb = eval_docs.select(
+        F.col(id_col).alias("eval_id"),
+        F.size(grams(F.col(text_col))).alias("_sb"),
+    )
+    if broadcast_eval:
+        eg, sb = F.broadcast(eg), F.broadcast(sb)
+    inter = dg.join(eg, "_g").groupBy("doc_id", "eval_id").agg(
+        F.count(F.lit(1)).alias("_i")
+    )
+    union = F.col("_sa") + F.col("_sb") - F.col("_i")
+    return (
+        inter.join(sa, "doc_id")
+        .join(sb, "eval_id")
+        .filter(F.lit(100) * F.col("_i") >= F.lit(threshold_pct) * union)
+        .select(
+            "doc_id",
+            "eval_id",
+            F.col("_i").cast("long").alias("n_shared"),
+            union.cast("long").alias("union_sz"),
+        )
+    )
+
+
 #: PII patterns, ordered: each stage's replacement token must not match a
 #: later pattern (emails scrub first so their digits can't look like
 #: phone fragments). Deliberately simple regexes — deterministic and

@@ -1121,3 +1121,26 @@ def test_cooccurrence_edges_symmetric_no_selfloops(spark):
     want_undirected = {(1, 2), (1, 3), (2, 3), (2, 5)}
     want = want_undirected | {(b, a) for a, b in want_undirected}
     assert got == want
+
+
+def test_fuzzy_decontamination_threshold_boundary(spark):
+    """Pairs at exactly the threshold are kept, below dropped; the
+    integer cross-multiplication must not wobble at the boundary."""
+    from learn_etl_data_warehouse_spark.operators.text import (
+        fuzzy_decontamination,
+    )
+
+    # doc 1 vs eval 100: tokens a..f -> grams {abc,bcd,cde,def} (4);
+    # eval shares {abc,bcd} of its {abc,bcd,cdx} (3) -> J = 2/5 = 40%
+    train = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "zz yy xx ww")], ["doc_id", "text"]
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, "a b c d x")], ["doc_id", "text"]
+    )
+    at = fuzzy_decontamination(train, eval_docs, n=3, threshold_pct=40).collect()
+    assert [(r["doc_id"], r["eval_id"], r["n_shared"], r["union_sz"]) for r in at] == [
+        (1, 100, 2, 5)
+    ]
+    below = fuzzy_decontamination(train, eval_docs, n=3, threshold_pct=41).collect()
+    assert below == []
