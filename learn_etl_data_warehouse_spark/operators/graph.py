@@ -85,15 +85,20 @@ def pagerank_fixed_point(
         F.count(F.lit(1)).alias("deg")
     )
     base = init_micros * (100 - damping_pct) // 100
+    # The degree is a property of the STATIC edge list — attach it once
+    # so each round is a single join + sum instead of rank→deg→edges
+    # (one fewer shuffle per iteration; the attached plan is shared
+    # across rounds via exchange reuse).
+    ed = edges.join(deg.withColumnRenamed("node", "src"), "src").select(
+        F.col("src").alias("node"), "dst", "deg"
+    )
     ranks = deg.select(
         "node", F.lit(init_micros).cast("long").alias("rank_micros")
     )
     for _ in range(iterations):
-        contrib = (
-            ranks.join(deg, "node")
-            .select("node", F.expr("rank_micros div deg").alias("_c"))
-            .join(edges, F.col("node") == F.col("src"))
-            .select(F.col("dst").alias("_to"), "_c")
+        contrib = ranks.join(ed, "node").select(
+            F.col("dst").alias("_to"),
+            F.expr("rank_micros div deg").alias("_c"),
         )
         ranks = contrib.groupBy(F.col("_to").alias("node")).agg(
             (
