@@ -1068,3 +1068,19 @@ def broadcast_advice(
         "reason": f"{stats['data_bytes']} B > {threshold_bytes} B",
         **stats,
     }
+
+
+def read_snapshot_advised(
+    spark: SparkSession, table: str, threshold_bytes: int = 10 << 20, **kw
+) -> DataFrame:
+    """:func:`read_snapshot` with the join-strategy advice APPLIED: when
+    fresh statistics prove the snapshot is under ``threshold_bytes`` the
+    returned frame carries the broadcast hint, so any join a caller
+    writes against it plans as a BroadcastHashJoin without the caller
+    hand-placing hints — the CBO behavior Spark itself provides only for
+    metastore-registered tables. Stale/missing stats return the plain
+    frame (shuffle-safe), never the reverse."""
+    df = read_snapshot(spark, table, **kw)
+    if broadcast_advice(table, threshold_bytes)["strategy"] == "broadcast":
+        return F.broadcast(df)
+    return df

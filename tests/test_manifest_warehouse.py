@@ -277,3 +277,34 @@ def test_analyze_table_stats_and_staleness(spark, tmp_path, landings):
     # re-analyze heals
     analyze_table(spark, table)
     assert table_stats(table) is not None
+
+
+def test_read_snapshot_advised_drives_join_strategy(spark, tmp_path, landings):
+    """Fresh under-threshold stats put a broadcast hint on the returned
+    frame (the join plans as BroadcastHashJoin); stale stats fall back
+    to the plain shuffle-safe frame."""
+    from learn_etl_data_warehouse_spark.plans.manifest_warehouse import (
+        analyze_table,
+        read_snapshot_advised,
+    )
+
+    landing, landing2 = landings
+    table = str(tmp_path / "wh")
+    commit_versioned(spark, landing, table)
+    analyze_table(spark, table)
+
+    probe = spark.range(2000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 500).cast("string").alias("driver_id"),
+    )
+    dim = read_snapshot_advised(spark, table)  # small table, fresh stats
+    plan = probe.join(dim, "driver_id")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    commit_versioned(spark, landing2, table, shards=[3])  # stats now stale
+    dim2 = read_snapshot_advised(spark, table)
+    # no hint from us once stats are stale; tiny parquet may still
+    # auto-broadcast by Spark's own size estimate, so assert on the
+    # HINT in the logical plan, not the physical operator
+    logical2 = dim2._jdf.queryExecution().logical().toString()
+    assert "ResolvedHint" not in logical2 and "UnresolvedHint" not in logical2
