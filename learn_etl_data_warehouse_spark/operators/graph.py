@@ -59,6 +59,7 @@ def pagerank_fixed_point(
     iterations: int = 5,
     damping_pct: int = 85,
     init_micros: int = 1_000_000,
+    materialize_edges: bool = True,
 ) -> DataFrame:
     """Fixed-iteration PageRank in integer micro-units.
 
@@ -81,6 +82,15 @@ def pagerank_fixed_point(
     """
     if not 0 <= damping_pct <= 100:
         raise ValueError("damping_pct must be in [0, 100]")
+    if materialize_edges:
+        # The edge list is referenced ~2× per round; without an explicit
+        # cut the unrolled plan re-derives it from the SOURCE each time
+        # (plan audit: 22 raw scans for 5 rounds). Exchange reuse papers
+        # over that locally, but at 100 TB re-scanning the fact table is
+        # never acceptable when the derived edge list is orders of
+        # magnitude smaller — truncate lineage once, like
+        # dedup.py::connected_components does per round.
+        edges = edges.localCheckpoint(eager=True)
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
