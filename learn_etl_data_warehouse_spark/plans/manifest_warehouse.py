@@ -1084,3 +1084,39 @@ def read_snapshot_advised(
     if broadcast_advice(table, threshold_bytes)["strategy"] == "broadcast":
         return F.broadcast(df)
     return df
+
+
+def table_history(table: str) -> list[dict]:
+    """``DESCRIBE HISTORY`` analog: the retained snapshots, newest
+    first, from the per-txn manifest copies (the transaction log).
+    Each row reports the commit sequence, txn id, partition count, how
+    many partitions that commit rewrote relative to its predecessor,
+    and whether the snapshot is still time-travelable (vacuum trims the
+    log; the LIVE snapshot always is). Pure driver-side metadata — one
+    directory listing of small JSON files."""
+    entries = []
+    for fname in os.listdir(table):
+        if fname.startswith("_MANIFEST-") and fname.endswith(".json"):
+            with open(os.path.join(table, fname)) as fh:
+                m = json.load(fh)
+            entries.append(m)
+    entries.sort(key=lambda m: m.get("seq", 0), reverse=True)
+    live_txn = read_manifest(table).get("txn")
+    out = []
+    for i, m in enumerate(entries):
+        prev = entries[i + 1] if i + 1 < len(entries) else {"partitions": {}}
+        changed = sum(
+            1
+            for rel, txn in m["partitions"].items()
+            if prev["partitions"].get(rel) != txn
+        ) + sum(1 for rel in prev["partitions"] if rel not in m["partitions"])
+        out.append(
+            {
+                "seq": m.get("seq", 0),
+                "txn": m["txn"],
+                "is_live": m["txn"] == live_txn,
+                "n_partitions": len(m["partitions"]),
+                "n_changed_partitions": changed,
+            }
+        )
+    return out

@@ -308,3 +308,26 @@ def test_read_snapshot_advised_drives_join_strategy(spark, tmp_path, landings):
     # HINT in the logical plan, not the physical operator
     logical2 = dim2._jdf.queryExecution().logical().toString()
     assert "ResolvedHint" not in logical2 and "UnresolvedHint" not in logical2
+
+
+def test_table_history_orders_and_counts_changes(spark, tmp_path, landings):
+    from learn_etl_data_warehouse_spark.plans.manifest_warehouse import (
+        table_history,
+    )
+
+    landing, landing2 = landings
+    table = str(tmp_path / "wh_hist")
+    t1 = commit_versioned(spark, landing, table)
+    t2 = commit_versioned(spark, landing2, table, shards=[3])
+    hist = table_history(table)
+    assert [h["txn"] for h in hist] == [t2, t1]
+    assert hist[0]["is_live"] and not hist[1]["is_live"]
+    assert hist[0]["seq"] == hist[1]["seq"] + 1
+    # t2 rewrote only shard 3's partitions
+    assert 0 < hist[0]["n_changed_partitions"] < hist[0]["n_partitions"]
+    # the first commit changed every partition (no predecessor)
+    assert hist[1]["n_changed_partitions"] == hist[1]["n_partitions"]
+    # vacuum trims the log to the live snapshot
+    vacuum(table)
+    hist2 = table_history(table)
+    assert [h["txn"] for h in hist2] == [t2]

@@ -1144,3 +1144,36 @@ def test_fuzzy_decontamination_threshold_boundary(spark):
     ]
     below = fuzzy_decontamination(train, eval_docs, n=3, threshold_pct=41).collect()
     assert below == []
+
+
+def test_chunk_documents_matches_python_model_over_random_shapes(spark):
+    """One batch of seeded random (length, content) shapes vs an
+    independent Python model of the window arithmetic — the same
+    fuzz-vs-model strategy the cleaning functions use."""
+    import random
+
+    from learn_etl_data_warehouse_spark.operators.text import chunk_documents
+
+    rng = random.Random(20260814)
+    docs, model = [], {}
+    for doc_id in range(60):
+        n_tok = rng.choice([1, 2, 7, 23, 24, 25, 31, 32, 33, 55, 96, 200])
+        toks = [f"t{rng.randrange(50)}" for _ in range(n_tok)]
+        docs.append((doc_id, " ".join(toks)))
+        chunks = []
+        start = 0
+        while True:
+            window = toks[start : start + 32]
+            chunks.append((len(chunks), len(window), " ".join(window)))
+            if start + 32 >= n_tok:
+                break
+            start += 24
+        model[doc_id] = chunks
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {}
+    for r in chunk_documents(df, chunk_size=32, stride=24).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["n_chunk_tokens"], r["chunk_text"])
+        )
+    got = {k: sorted(v) for k, v in got.items()}
+    assert got == model
