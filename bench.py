@@ -130,17 +130,25 @@ def main() -> None:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - start
 
-    # Three passes per query, report the min: first execution pays one-off
-    # codegen/JIT; steady state is what a long-running cluster job sees,
-    # and n=3 damps the same-JVM jitter documented in SCALE.md (r4: was
+    # Three INTERLEAVED passes over the whole list, report each query's
+    # min across passes: first execution pays one-off codegen/JIT;
+    # steady state is what a long-running cluster job sees, and n=3
+    # damps the same-JVM jitter documented in SCALE.md (r4: was
     # min-of-two, which let single outliers through — see j05).
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        samples = []
-        for _ in range(3):
-            samples.append(run(name))
+    # Interleaving (r5c2) decorrelates HOST stalls from any one query:
+    # with three consecutive reps, a sustained slow-host window lands on
+    # all of one query's samples and survives the min (observed: t08 at
+    # 34.7 s, ~30× its base, while neighbors were normal); spread as
+    # full passes, the same stall inflates one pass of many queries and
+    # every per-query min rejects it.
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(3):
+        for name in HEADLINE:
+            samples[name].append(run(name))
             spark.catalog.clearCache()
-        timings[name] = round(min(samples), 3)
+    timings: dict[str, float] = {
+        name: round(min(s), 3) for name, s in samples.items()
+    }
 
     etl = _run_sharded_etl(spark)
     if etl is not None:
