@@ -2193,6 +2193,29 @@ def q_g02(spark, sf_dir):
     )
 
 
+def q_g03(spark, sf_dir):
+    """Per-node triangle counts (r5 cont.) over the part co-occurrence
+    graph via degree-ordered orientation (operators/graph.py::
+    triangle_counts — each triangle materialized exactly once as its
+    doubly-oriented wedge plus closing edge, the O(m^1.5) shape). Exact
+    integer counts; the oracle runs the identical orientation in SQL.
+    The driver query runs on a 30%-of-orders slice — the co-occurrence
+    graph is dense (every order is a clique) and wedge volume grows
+    ~cubically with the slice, so the slice keeps the certification
+    exact while the repeated sweeps stay cheap; the operator itself is
+    unscoped."""
+    from learn_etl_data_warehouse_spark.operators.graph import (
+        cooccurrence_edges,
+        triangle_counts,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 < 3)
+    edges = cooccurrence_edges(li)
+    return triangle_counts(edges).select(
+        F.col("node").alias("part_id"), "n_triangles"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: star join + quarter rollup on sf0.001 (revenue per region
     per quarter) — exercises scan, broadcast joins, derived partition key,
@@ -2360,6 +2383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t15_chunking": q_t15,
         "t16_fuzzy_decontamination": q_t16,
         "g02_part_pagerank": q_g02,
+        "g03_triangle_counts": q_g03,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
         # rows are all hash-verifiable
@@ -3603,6 +3627,24 @@ SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
        array_to_string(list_slice(toks, cid * 24 + 1, cid * 24 + 32), ' ') AS chunk_text
 FROM e""",
         "g02_part_pagerank": pr_sql,
+        "g03_triangle_counts": """
+WITH li AS (SELECT l_orderkey AS gk, l_partkey AS item FROM lineitem
+            WHERE l_orderkey % 10 < 3),
+edges AS (SELECT DISTINCT a.item AS src, b.item AS dst
+          FROM li a JOIN li b ON a.gk = b.gk AND a.item <> b.item),
+deg AS (SELECT src AS n, count(*) AS d FROM edges GROUP BY 1),
+o AS (SELECT e.src, e.dst FROM edges e
+      JOIN deg du ON du.n = e.src
+      JOIN deg dv ON dv.n = e.dst
+      WHERE (du.d < dv.d) OR (du.d = dv.d AND e.src < e.dst)),
+wg AS (SELECT a.src AS u, a.dst AS v, b.dst AS x
+       FROM o a JOIN o b ON a.dst = b.src),
+t AS (SELECT u, v, x FROM wg JOIN o ON o.src = wg.u AND o.dst = wg.x),
+c AS (SELECT u AS node FROM t
+      UNION ALL SELECT v FROM t
+      UNION ALL SELECT x FROM t)
+SELECT node AS part_id, CAST(count(*) AS BIGINT) AS n_triangles
+FROM c GROUP BY node""",
         "t16_fuzzy_decontamination": """
 WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
 grams AS (

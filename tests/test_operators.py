@@ -1177,3 +1177,29 @@ def test_chunk_documents_matches_python_model_over_random_shapes(spark):
         )
     got = {k: sorted(v) for k, v in got.items()}
     assert got == model
+
+
+def test_triangle_counts_on_known_graphs(spark):
+    """K4: every node sits in C(3,2)=3 triangles; a path has none; the
+    degree-ordered orientation must not double- or under-count."""
+    from learn_etl_data_warehouse_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(spark.createDataFrame(k4, ["src", "dst"])).collect()
+    }
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    path = [(0, 1), (1, 2), (2, 3)]
+    sym = path + [(b, a) for a, b in path]
+    assert triangle_counts(spark.createDataFrame(sym, ["src", "dst"])).count() == 0
+
+    # one triangle hanging off a path: only the 3 cycle nodes count
+    g = [(0, 1), (1, 2), (2, 0), (2, 3)]
+    sym = g + [(b, a) for a, b in g]
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(spark.createDataFrame(sym, ["src", "dst"])).collect()
+    }
+    assert got == {0: 1, 1: 1, 2: 1}
