@@ -2193,6 +2193,49 @@ def q_g02(spark, sf_dir):
     )
 
 
+def q_w06(spark, sf_dir):
+    """Navigation-window battery (r5 cont.): lead / lag-2 / partition-
+    wide nth_value + first/last over an explicit ROWS frame — §2.5
+    breadth beyond w01-w05. Ordering is total ((o_orderdate,
+    o_orderkey)), so every navigation value is engine-exact."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.lag("o_orderkey", 2).over(w).alias("prev2_order"),
+        F.nth_value(cents, 2).over(wf).alias("second_price_cents"),
+        F.first("o_orderkey").over(wf).alias("first_order"),
+        F.last("o_orderkey").over(wf).alias("last_order"),
+    )
+
+
+def q_a18(spark, sf_dir):
+    """FILTER-clause conditional aggregates (r5 cont.): per event_type,
+    counts and integer-cent sums restricted by independent predicates in
+    ONE pass — the SQL `agg FILTER (WHERE …)` surface, expressed
+    natively as when()-guarded aggregates (still one partial-aggregated
+    shuffle; no per-predicate scans)."""
+    e = _t(spark, sf_dir, "events")
+    big = F.col("value") > 100.0
+    morning = F.hour("ts") < 12
+    cents = F.round(F.col("value") * 100).cast("long")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(big, 1)).alias("n_big"),
+        F.count(F.when(morning, 1)).alias("n_morning"),
+        F.sum(F.when(big, cents).otherwise(F.lit(0))).alias("big_cents"),
+        F.sum(F.when(morning & big, cents).otherwise(F.lit(0))).alias(
+            "morning_big_cents"
+        ),
+    )
+
+
 def q_g03(spark, sf_dir):
     """Per-node triangle counts (r5 cont.) over the part co-occurrence
     graph via degree-ordered orientation (operators/graph.py::
@@ -2384,6 +2427,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t16_fuzzy_decontamination": q_t16,
         "g02_part_pagerank": q_g02,
         "g03_triangle_counts": q_g03,
+        "w06_navigation_windows": q_w06,
+        "a18_filtered_aggregates": q_a18,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
         # rows are all hash-verifiable
@@ -3627,6 +3672,29 @@ SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
        array_to_string(list_slice(toks, cid * 24 + 1, cid * 24 + 32), ' ') AS chunk_text
 FROM e""",
         "g02_part_pagerank": pr_sql,
+        "w06_navigation_windows": """
+SELECT o_custkey, o_orderkey,
+       lead(o_orderkey, 1) OVER w AS next_order,
+       lag(o_orderkey, 2) OVER w AS prev2_order,
+       nth_value(CAST(round(o_totalprice * 100) AS BIGINT), 2) OVER wf
+           AS second_price_cents,
+       first_value(o_orderkey) OVER wf AS first_order,
+       last_value(o_orderkey) OVER wf AS last_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+        "a18_filtered_aggregates": """
+SELECT event_type,
+       count(*) AS n,
+       count(*) FILTER (WHERE value > 100.0) AS n_big,
+       count(*) FILTER (WHERE hour(ts) < 12) AS n_morning,
+       CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+                     FILTER (WHERE value > 100.0), 0) AS BIGINT) AS big_cents,
+       CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+                     FILTER (WHERE hour(ts) < 12 AND value > 100.0), 0)
+            AS BIGINT) AS morning_big_cents
+FROM events GROUP BY event_type""",
         "g03_triangle_counts": """
 WITH li AS (SELECT l_orderkey AS gk, l_partkey AS item FROM lineitem
             WHERE l_orderkey % 10 < 3),
