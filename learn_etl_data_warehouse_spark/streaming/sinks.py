@@ -12,6 +12,8 @@ union of batch directories; a replayed batch replaces itself.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 
 def idempotent_parquet_sink(out_dir: str):
     """Returns a ``foreachBatch`` function writing each micro-batch to
@@ -36,3 +38,75 @@ def start_idempotent_stream(stream_df, out_dir: str, checkpoint_dir: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_ingest_sink(
+    catalog_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+):
+    """foreachBatch handler for the STREAMING corpus-ingest path: each
+    micro-batch is near-dup-deduped against the persisted MinHash-LSH
+    index (corpus text is never re-read — the index IS the dedup
+    state), then the survivors and the index growth commit as ONE
+    catalog transaction, so `docs`, `sigs` and `buckets` flip together:
+    a reader can never see a document the index doesn't know about, or
+    index rows for documents that aren't published.
+
+    Each batch lands as its own ``ingest_batch=<id>`` partition in all
+    three member tables (`catalog_commit(replace=False)` upserts only
+    the arriving partition — append economics, no table rewrite), so at
+    100 TB per-batch cost follows the BATCH, not the corpus.
+
+    Exactly-once comes from the dedup semantics themselves, not from
+    txn bookkeeping: a replayed batch's documents are exact duplicates
+    of their already-indexed selves (est_jaccard = 1 ≥ threshold), so
+    every one is dropped, the survivor set is empty, and the batch
+    commits nothing — the pipeline is idempotent by CONTENT. A crash
+    before the catalog swap publishes nothing (all-or-nothing catalog
+    commit) and the replay then applies normally.
+    """
+    from learn_etl_data_warehouse_spark.operators import dedup
+    from learn_etl_data_warehouse_spark.plans import catalog as cat
+
+    mh = dict(
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+    )
+
+    def handle(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        tables = set(cat.read_catalog(catalog_dir)["tables"])
+        if {"sigs", "buckets"} <= tables:
+            sigs = cat.catalog_read(spark, catalog_dir, "sigs").drop(
+                "ingest_batch"
+            )
+            buckets = cat.catalog_read(spark, catalog_dir, "buckets").drop(
+                "ingest_batch"
+            )
+        else:  # bootstrap: empty index degrades to within-batch dedup
+            sigs, buckets = dedup.minhash_index(batch_df.limit(0), **mh)
+        survivors, new_sigs, new_buckets = dedup.minhash_dedup_against(
+            batch_df, sigs, buckets, threshold=threshold, **mh
+        )
+        b = F.lit(int(batch_id))
+        writes = {
+            "docs": (survivors.withColumn("ingest_batch", b), ["ingest_batch"]),
+            "sigs": (new_sigs.withColumn("ingest_batch", b), ["ingest_batch"]),
+            "buckets": (
+                new_buckets.withColumn("ingest_batch", b),
+                ["ingest_batch"],
+            ),
+        }
+        if survivors.isEmpty():
+            return  # fully-duplicate (or replayed) batch: nothing to publish
+        cat.catalog_commit(spark, catalog_dir, writes, replace=False)
+
+    return handle

@@ -991,3 +991,89 @@ def test_stream_daily_active_users_matches_batch(spark, sf_small, tmp_path):
     }
     assert got == want
     assert len(want) >= 25  # the fixture spans ~30 days; most must close
+
+
+def test_dedup_ingest_sink_atomic_and_content_idempotent(spark, tmp_path, sf_small):
+    """Streaming corpus ingest: per-batch dedup against the persisted
+    index, survivors + index growth committed as ONE catalog txn.
+    Conformance vs the sequential incremental operator calls; replayed
+    batches publish nothing (content idempotence); a crash before the
+    catalog swap publishes nothing."""
+    from learn_etl_data_warehouse_spark.operators import dedup
+    from learn_etl_data_warehouse_spark.plans import catalog as cat
+    from learn_etl_data_warehouse_spark.sources.parquet import load_table
+    from learn_etl_data_warehouse_spark.streaming.sinks import dedup_ingest_sink
+
+    docs = load_table(spark, sf_small, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    cdir = str(tmp_path / "cat")
+    handler = dedup_ingest_sink(cdir, threshold=0.5)
+    batches = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    for i, b in enumerate(batches):
+        handler(b, i)
+
+    got_ids = {
+        r["doc_id"] for r in cat.catalog_read(spark, cdir, "docs").collect()
+    }
+
+    # conformance: the same incremental operator applied sequentially
+    sigs, buckets = dedup.minhash_index(docs.limit(0))
+    want_ids: set = set()
+    for b in batches:
+        surv, new_sigs, new_buckets = dedup.minhash_dedup_against(
+            b, sigs, buckets, threshold=0.5
+        )
+        want_ids |= {r["doc_id"] for r in surv.collect()}
+        sigs = sigs.unionByName(new_sigs)
+        buckets = buckets.unionByName(new_buckets)
+    assert got_ids == want_ids and got_ids  # non-trivial corpus
+
+    # atomicity: the three member tables describe the same survivor set
+    sig_ids = {
+        r["doc_id"] for r in cat.catalog_read(spark, cdir, "sigs").collect()
+    }
+    bucket_ids = {
+        r["_id"] for r in cat.catalog_read(spark, cdir, "buckets").collect()
+    }
+    assert sig_ids == got_ids and bucket_ids == got_ids
+
+    # content idempotence: a replayed batch is all exact dups -> no txn
+    txn_before = cat.read_catalog(cdir)["txn"]
+    handler(batches[1], 1)
+    assert cat.read_catalog(cdir)["txn"] == txn_before
+
+    # crash before the catalog swap publishes nothing
+    import os as _os
+
+    fresh = spark.range(1_000_000, 1_000_040).selectExpr(
+        "id AS doc_id",
+        "concat_ws(' ', transform(sequence(1, 20),"
+        " j -> concat('nv', (id * 37 + j * 101) % 99991))) AS text",
+        "'xx' AS lang",
+        "'fresh' AS source",
+    )
+    real_replace = _os.replace
+
+    def crash_on_catalog(src, dst):
+        if _os.path.basename(dst) == cat.CATALOG:
+            raise OSError("injected crash before catalog swap")
+        return real_replace(src, dst)
+
+    cat.os.replace = crash_on_catalog
+    try:
+        with pytest.raises(OSError, match="injected crash"):
+            handler(fresh, 3)
+    finally:
+        cat.os.replace = real_replace
+    assert cat.read_catalog(cdir)["txn"] == txn_before
+    assert {
+        r["doc_id"] for r in cat.catalog_read(spark, cdir, "docs").collect()
+    } == got_ids
+    # the replay then applies normally
+    handler(fresh, 3)
+    assert cat.read_catalog(cdir)["txn"] != txn_before
+    now = {
+        r["doc_id"] for r in cat.catalog_read(spark, cdir, "docs").collect()
+    }
+    assert got_ids < now  # fresh survivors landed
