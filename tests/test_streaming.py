@@ -1077,3 +1077,57 @@ def test_dedup_ingest_sink_atomic_and_content_idempotent(spark, tmp_path, sf_sma
         r["doc_id"] for r in cat.catalog_read(spark, cdir, "docs").collect()
     }
     assert got_ids < now  # fresh survivors landed
+
+
+def test_dedup_ingest_sink_end_to_end_stream_restarts(spark, tmp_path, sf_small):
+    """The ingest sink under a REAL checkpointed stream: two availableNow
+    runs over a growing file source (one file per run, the repo's
+    ordered-delivery pattern); the second run processes only the new
+    file, and the final catalog equals the direct-call result."""
+    from learn_etl_data_warehouse_spark.plans import catalog as cat
+    from learn_etl_data_warehouse_spark.sources.parquet import load_table
+    from learn_etl_data_warehouse_spark.streaming.sinks import dedup_ingest_sink
+
+    docs = load_table(spark, sf_small, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    src = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    cdir = str(tmp_path / "cat")
+    handler = dedup_ingest_sink(cdir, threshold=0.5)
+    schema = docs.schema
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.foreachBatch(handler)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    ids_after_1 = {
+        r["doc_id"] for r in cat.catalog_read(spark, cdir, "docs").collect()
+    }
+    assert ids_after_1
+
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    ids_after_2 = {
+        r["doc_id"] for r in cat.catalog_read(spark, cdir, "docs").collect()
+    }
+    # the second run added only odd-id survivors on top of run 1's set
+    assert ids_after_1 <= ids_after_2
+    assert any(i % 2 == 1 for i in ids_after_2 - ids_after_1)
+    # index stays in lockstep with the docs table across restarts
+    sig_ids = {
+        r["doc_id"] for r in cat.catalog_read(spark, cdir, "sigs").collect()
+    }
+    assert sig_ids == ids_after_2
