@@ -2291,6 +2291,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # hash-checkable. Every window entry must be scalar-only AND
     # oracle-backed (both pinned by tests/test_driver_window.py) and
     # sf0.01+sf0.1-swept in the round it rotates in.
+    # r6 rotation candidates (never driver-checked, all swept ×3 scales
+    # in r5 continuations): e09 a15 a16 r03 t14 d21 d22 e10 e11 f02 a17
+    # t15 t16 g02 g03 w06 a18 — plus the then-stalest green cohort per
+    # the standing staleness-first policy.
     return {
         # -- never driver-checked (r5 additions) (5) -----------------------
         "ivm01_maintained_rollup": q_ivm01,
