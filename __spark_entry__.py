@@ -2193,6 +2193,40 @@ def q_g02(spark, sf_dir):
     )
 
 
+def q_d25(spark, sf_dir):
+    """Training-chunk export (r5 cont.): the d18 corpus build (C4 →
+    span scrub → exact dedup → domain mix) carried through the FINAL
+    training artifact — 32/24 sliding-window chunks of the surviving
+    rebuilt text. The whole six-stage pipeline is value-exact
+    cross-engine: the oracle chains d18's CTEs with t15's chunk CTEs."""
+    from learn_etl_data_warehouse_spark.operators.sampling import domain_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = (
+        text.c4_filters(docs, keep_cols=["text", "source"])
+        .filter("kept")
+        .select("doc_id", "text", "source")
+    )
+    scrubbed = dedup.hot_span_scrub(kept, span_len=6, max_df=1)
+    rebuilt = (
+        scrubbed.filter("n_kept > 0")
+        .select("doc_id", F.col("text_clean").alias("text"))
+        .join(kept.select("doc_id", "source"), "doc_id")
+    )
+    deduped = dedup.dedup_exact(rebuilt)
+    rates = {
+        "src0": 1.0,
+        "src1": 0.75,
+        "src2": 0.5,
+        "src3": 0.25,
+        "src4": 0.1,
+    }
+    mixed = domain_mix(deduped, rates, default_rate=0.05)
+    return text.chunk_documents(
+        mixed.select("doc_id", "text"), chunk_size=32, stride=24
+    )
+
+
 def q_w06(spark, sf_dir):
     """Navigation-window battery (r5 cont.): lead / lag-2 / partition-
     wide nth_value + first/last over an explicit ROWS frame — §2.5
@@ -2433,6 +2467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g03_triangle_counts": q_g03,
         "w06_navigation_windows": q_w06,
         "a18_filtered_aggregates": q_a18,
+        "d25_training_chunks": q_d25,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
         # rows are all hash-verifiable
@@ -2506,7 +2541,7 @@ r{_i} AS (SELECT e.dst AS node,
         f"len(list_filter({_TOKS_L}, x -> list_contains({markers!r}, x))) AS h_{code}"
         for code, markers in sorted(text.LANG_MARKERS.items())
     ).replace("'", "'")
-    return {
+    out = {
         "p01_clean_sci_notation": """
 SELECT c_custkey,
        CAST(replace(replace('6.' || lpad(CAST(c_custkey AS VARCHAR), 9, '0') || 'E9',
@@ -3778,3 +3813,19 @@ SELECT d.doc_id, d.source, d.lang FROM documents d
 WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.id = d.doc_id)"""
         ),
     }
+    # d25: the d18 pipeline certified through the FINAL training
+    # artifact — chain the corpus CTEs (through `mix`) with t15's chunk
+    # CTEs, joining text back from the rebuilt stage.
+    d18 = out["d18_corpus_build_scrubbed"]
+    corpus_cte = d18[: d18.index(",\nb AS (")]
+    out["d25_training_chunks"] = corpus_cte + """,
+corpus AS (SELECT m.doc_id, r.text FROM mix m JOIN rb r ON m.doc_id = r.doc_id),
+ct AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ctoks FROM corpus),
+cc AS (SELECT doc_id, ctoks,
+              1 + (greatest(len(ctoks) - 32, 0) + 23) // 24 AS nc FROM ct),
+ce AS (SELECT doc_id, ctoks, unnest(generate_series(0, nc - 1)) AS cid FROM cc)
+SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+       CAST(len(list_slice(ctoks, cid * 24 + 1, cid * 24 + 32)) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(list_slice(ctoks, cid * 24 + 1, cid * 24 + 32), ' ') AS chunk_text
+FROM ce"""
+    return out
