@@ -76,3 +76,20 @@ def test_unknown_routes_404(served):
         with pytest.raises(urllib.error.HTTPError) as e:
             _get(f"{served}{path}")
         assert e.value.code == 404
+
+
+def test_quickstart_example_runs_clean(spark, tmp_path):
+    """The examples/quickstart.py tour must run end-to-end (it is the
+    documented first-contact surface — a broken example is a doc bug)."""
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples",
+        "quickstart.py",
+    )
+    spec = importlib.util.spec_from_file_location("quickstart", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main(str(tmp_path / "qs"))
