@@ -2193,6 +2193,16 @@ def q_g02(spark, sf_dir):
     )
 
 
+def q_t17(spark, sf_dir):
+    """BPE round-0 pair statistics (r5 cont.): global adjacent
+    character-pair counts within words, top-200 under the strict total
+    order (n DESC, a, b) — the argmax table a byte-pair-encoding
+    trainer consumes (operators/text.py::bpe_pair_counts; the full
+    iterative trainer bpe_train is conformance-tested against a
+    pure-Python Sennrich reference)."""
+    return text.bpe_pair_counts(_t(spark, sf_dir, "documents"), top=200)
+
+
 def q_d25(spark, sf_dir):
     """Training-chunk export (r5 cont.): the d18 corpus build (C4 →
     span scrub → exact dedup → domain mix) carried through the FINAL
@@ -2468,6 +2478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w06_navigation_windows": q_w06,
         "a18_filtered_aggregates": q_a18,
         "d25_training_chunks": q_d25,
+        "t17_bpe_pair_counts": q_t17,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
         # rows are all hash-verifiable
@@ -3711,6 +3722,14 @@ SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
        array_to_string(list_slice(toks, cid * 24 + 1, cid * 24 + 32), ' ') AS chunk_text
 FROM e""",
         "g02_part_pagerank": pr_sql,
+        "t17_bpe_pair_counts": """
+WITH w0 AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+            FROM documents),
+ww AS (SELECT w FROM w0 WHERE w <> '' AND len(w) >= 2),
+p AS (SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b
+      FROM ww, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) t),
+c AS (SELECT a, b, count(*) AS n FROM p GROUP BY 1, 2)
+SELECT a, b, CAST(n AS BIGINT) AS n FROM c ORDER BY n DESC, a, b LIMIT 200""",
         "w06_navigation_windows": """
 SELECT o_custkey, o_orderkey,
        lead(o_orderkey, 1) OVER w AS next_order,

@@ -666,3 +666,113 @@ def chunk_documents(
         F.size(chunk).cast("long").alias("n_chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", top: int = 200
+) -> DataFrame:
+    """Round-0 BPE statistics: global counts of adjacent CHARACTER
+    pairs within words — the argmax table a byte-pair-encoding trainer
+    consumes each merge round (Sennrich-style: overlapping pairs count
+    naively, so ``"aaa"`` contributes 2 to (a, a)).
+
+    One explode per word and one partial-aggregated shuffle keyed by
+    the pair; the top-``top`` cut is a distributed TakeOrdered under
+    the strict total order (n DESC, a, b) — deterministic, bounded,
+    engine-portable. Returns (a, b, n)."""
+    words = (
+        df.select(F.explode(tokens(F.lower(_c(text_col)))).alias("w"))
+        .filter(F.col("w") != "")
+        .filter(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " i -> struct(substring(w, i, 1) AS a,"
+                "             substring(w, i + 1, 1) AS b))"
+            )
+        ).alias("p")
+    )
+    counts = pairs.groupBy("p.a", "p.b").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return counts.orderBy(F.col("n").desc(), "a", "b").limit(top)
+
+
+def _merge_pair_fold(a: str, b: str):
+    """Greedy left-to-right application of one BPE merge to a symbol
+    array, as a pure Column fold: walk the symbols, and whenever the
+    accumulated tail is ``a`` and the next symbol is ``b``, replace the
+    tail with the concatenation — exactly the canonical merge (runs of
+    a repeated symbol merge at floor(k/2) positions)."""
+    a_lit, b_lit = F.lit(a), F.lit(b)
+
+    def step(acc, s):
+        last = F.element_at(acc, -1)
+        merged = F.concat(
+            F.slice(acc, F.lit(1), F.size(acc) - 1),
+            F.array(F.concat(last, s)),
+        )
+        return F.when(
+            (F.size(acc) > 0) & (last == a_lit) & (s == b_lit), merged
+        ).otherwise(F.concat(acc, F.array(s)))
+
+    return lambda syms: F.aggregate(
+        syms, F.expr("CAST(array() AS array<string>)"), step
+    )
+
+
+def bpe_train(
+    df: DataFrame, rounds: int = 5, text_col: str = "text"
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Distributed BPE tokenizer training, the canonical algorithm:
+    build the word-frequency table once, then per round (1) count
+    adjacent symbol pairs weighted by word frequency, (2) pick the
+    argmax pair under the total order (count DESC, pair ASC), (3)
+    greedily merge it corpus-wide via :func:`_merge_pair_fold`.
+
+    Scale shape: the corpus is read ONCE (the word-frequency table is
+    the training state — its size is vocabulary-bounded, not
+    corpus-bounded); each round is one pair-count shuffle over that
+    table plus a narrow fold, and only the single argmax row reaches
+    the driver (the same bounded-driver-decision pattern as
+    connected_components' convergence count). localCheckpoint truncates
+    the per-round plan growth.
+
+    Returns (merges, symbolized) where merges is [(a, b, count)] in
+    merge order and symbolized is the final (w, freq, syms) table.
+    Conformance-tested against a pure-Python Sennrich reference."""
+    words = (
+        df.select(F.explode(tokens(F.lower(_c(text_col)))).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    cur = wf.select(
+        "w", "freq", F.split("w", "(?!$)").alias("syms")
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(rounds):
+        pairs = (
+            cur.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(2, size(syms)),"
+                        " i -> struct(syms[i - 2] AS a, syms[i - 1] AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").cast("long").alias("n"))
+        )
+        top = pairs.orderBy(F.col("n").desc(), "a", "b").limit(1).collect()
+        if not top:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        merges.append((a, b, n))
+        cur = cur.select(
+            "w", "freq", _merge_pair_fold(a, b)(F.col("syms")).alias("syms")
+        ).localCheckpoint(eager=True)
+    return merges, cur

@@ -1203,3 +1203,51 @@ def test_triangle_counts_on_known_graphs(spark):
         for r in triangle_counts(spark.createDataFrame(sym, ["src", "dst"])).collect()
     }
     assert got == {0: 1, 1: 1, 2: 1}
+
+
+def test_bpe_train_matches_sennrich_reference(spark):
+    """Distributed BPE vs a pure-Python canonical implementation:
+    identical merge sequence (incl. overlap handling and tie-breaks)
+    and identical final symbolization."""
+    from collections import Counter
+
+    from learn_etl_data_warehouse_spark.operators.text import bpe_train
+
+    corpus = [
+        "aaa banana bandana",
+        "aaa aaa banana",
+        "abab abab bb low lower lowest",
+        "low low low newer newer wider",
+    ]
+    df = spark.createDataFrame([(t,) for t in corpus], ["text"])
+    got_merges, got_table = bpe_train(df, rounds=6)
+
+    # canonical reference (Sennrich get_stats/merge semantics)
+    wf = Counter(w for t in corpus for w in t.lower().split())
+    syms = {w: list(w) for w in wf}
+    want_merges = []
+    for _ in range(6):
+        stats = Counter()
+        for w, f in wf.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                stats[(s[i], s[i + 1])] += f
+        if not stats:
+            break
+        (a, b), n = min(
+            stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        want_merges.append((a, b, n))
+        for w in syms:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    assert got_merges == want_merges
+    got_syms = {r["w"]: list(r["syms"]) for r in got_table.collect()}
+    assert got_syms == syms
