@@ -776,3 +776,37 @@ def bpe_train(
             "w", "freq", _merge_pair_fold(a, b)(F.col("syms")).alias("syms")
         ).localCheckpoint(eager=True)
     return merges, cur
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]] | list[tuple[str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned BPE merge list to a corpus: per document, words
+    are symbolized to characters and every merge is folded through IN
+    TRAINING ORDER (the order is the algorithm — later merges build on
+    earlier ones). Pure narrow Column work: one fold per merge, no
+    shuffle, no Python in the loop — the encode pass a trainer runs
+    over 100 TB after `bpe_train` fixes the vocabulary on a sample.
+
+    Returns (id, n_words, n_tokens, tokens array<string> flattened
+    across the document's words in order)."""
+    word_syms = F.transform(
+        tokens(F.lower(_c(text_col))), lambda w: F.split(w, r"(?!$)")
+    )
+    def _per_word(fold):
+        # single-parameter closure: F.transform inspects the lambda's
+        # arity, and a defaulted second argument would be mistaken for
+        # the optional index parameter
+        return lambda s: fold(s)
+
+    enc = word_syms
+    for m in merges:
+        enc = F.transform(enc, _per_word(_merge_pair_fold(m[0], m[1])))
+    return df.select(
+        F.col(id_col),
+        F.size(word_syms).cast("long").alias("n_words"),
+        F.flatten(enc).alias("tokens"),
+    ).withColumn("n_tokens", F.size("tokens").cast("long"))

@@ -1251,3 +1251,25 @@ def test_bpe_train_matches_sennrich_reference(spark):
     assert got_merges == want_merges
     got_syms = {r["w"]: list(r["syms"]) for r in got_table.collect()}
     assert got_syms == syms
+
+
+def test_bpe_encode_applies_merges_in_training_order(spark):
+    """Encoding with the learned merges reproduces the trainer's final
+    symbolization word-for-word; merge order matters and is honored."""
+    from learn_etl_data_warehouse_spark.operators.text import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    corpus = ["low lower lowest aaa", "banana low abab aaa"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], ["doc_id", "text"]
+    )
+    merges, table = bpe_train(df, rounds=5)
+    final_syms = {r["w"]: list(r["syms"]) for r in table.collect()}
+    out = {r["doc_id"]: r for r in bpe_encode(df, merges).collect()}
+    for i, t in enumerate(corpus):
+        want = [s for w in t.lower().split() for s in final_syms[w]]
+        assert list(out[i]["tokens"]) == want
+        assert out[i]["n_words"] == len(t.split())
+        assert out[i]["n_tokens"] == len(want)
