@@ -2193,6 +2193,32 @@ def q_g02(spark, sf_dir):
     )
 
 
+def q_r05(spark, sf_dir):
+    """Spatial radius self-join (r5 cont.): all point pairs within
+    10,000 micro-degree units, grid-blocked at cell == radius so
+    candidates come from 3×3 neighbor cells only — never an all-pairs
+    cross join (operators/spatial.py::grid_radius_join). Coordinates
+    and distances are exact BIGINT fixed-point, so the pair set is
+    engine-portable. Points synthesized from event ids (deterministic),
+    sliced to a fixed 5,000-point budget — pair volume in a fixed area
+    grows quadratically with points, so the slice keeps repeated sweeps
+    cheap while the operator stays unscoped."""
+    from learn_etl_data_warehouse_spark.operators.spatial import (
+        grid_radius_join,
+    )
+
+    pts = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 5000)
+        .select(
+            F.col("event_id").alias("pid"),
+            ((F.col("event_id") * 2654435761) % 1000000).alias("x"),
+            ((F.col("event_id") * 40503) % 1000000).alias("y"),
+        )
+    )
+    return grid_radius_join(pts, radius=10000)
+
+
 def q_t17(spark, sf_dir):
     """BPE round-0 pair statistics (r5 cont.): global adjacent
     character-pair counts within words, top-200 under the strict total
@@ -2479,6 +2505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a18_filtered_aggregates": q_a18,
         "d25_training_chunks": q_d25,
         "t17_bpe_pair_counts": q_t17,
+        "r05_spatial_pairs": q_r05,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
         # rows are all hash-verifiable
@@ -3722,6 +3749,24 @@ SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
        array_to_string(list_slice(toks, cid * 24 + 1, cid * 24 + 32), ' ') AS chunk_text
 FROM e""",
         "g02_part_pagerank": pr_sql,
+        "r05_spatial_pairs": """
+WITH p AS (SELECT event_id AS pid,
+                  (event_id * 2654435761) % 1000000 AS x,
+                  (event_id * 40503) % 1000000 AS y
+           FROM events WHERE event_id < 5000),
+cells AS (SELECT pid, x, y,
+                 CAST(floor(x / 10000) AS BIGINT) AS cx,
+                 CAST(floor(y / 10000) AS BIGINT) AS cy FROM p),
+o AS (SELECT dx, dy FROM (VALUES (-1), (0), (1)) a(dx),
+                         (VALUES (-1), (0), (1)) b(dy)),
+e AS (SELECT pid AS pid2, x AS x2, y AS y2,
+             cx + dx AS ecx, cy + dy AS ecy FROM cells, o)
+SELECT c.pid AS id_a, e.pid2 AS id_b,
+       CAST((c.x - e.x2) * (c.x - e.x2)
+            + (c.y - e.y2) * (c.y - e.y2) AS BIGINT) AS dist_sq
+FROM cells c JOIN e ON c.cx = e.ecx AND c.cy = e.ecy AND c.pid < e.pid2
+WHERE (c.x - e.x2) * (c.x - e.x2) + (c.y - e.y2) * (c.y - e.y2)
+      <= 100000000""",
         "t17_bpe_pair_counts": """
 WITH w0 AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
             FROM documents),

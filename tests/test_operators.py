@@ -1273,3 +1273,36 @@ def test_bpe_encode_applies_merges_in_training_order(spark):
         assert list(out[i]["tokens"]) == want
         assert out[i]["n_words"] == len(t.split())
         assert out[i]["n_tokens"] == len(want)
+
+
+def test_grid_radius_join_matches_bruteforce(spark):
+    """Grid-blocked pairs == brute-force pairs, including boundary
+    distances (inclusive), cross-cell neighbors, and coincident points;
+    each pair emitted exactly once."""
+    import itertools
+    import random
+
+    from learn_etl_data_warehouse_spark.operators.spatial import (
+        grid_radius_join,
+    )
+
+    rng = random.Random(7)
+    pts = [(i, rng.randrange(0, 5000), rng.randrange(0, 5000)) for i in range(120)]
+    pts += [(200, 999, 999), (201, 1000, 999), (202, 999 + 600, 999 + 800)]  # r=1000 boundary: 600²+800²=1000²
+    pts += [(300, 42, 42), (301, 42, 42)]  # coincident
+    df = spark.createDataFrame(pts, ["pid", "x", "y"])
+    r = 1000
+    got = sorted(
+        (row["id_a"], row["id_b"], row["dist_sq"])
+        for row in grid_radius_join(df, radius=r).collect()
+    )
+    want = sorted(
+        (a[0], b[0], (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2)
+        for a, b in itertools.combinations(sorted(pts), 2)
+        if (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2 <= r * r
+    )
+    assert got == want
+    assert (200, 202, 1000000) in got  # exactly-at-radius kept
+    assert (300, 301, 0) in got
+    with pytest.raises(ValueError):
+        grid_radius_join(df, radius=0)
