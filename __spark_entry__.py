@@ -2350,6 +2350,150 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def q_fp01(spark, sf_dir):
+    """Market-basket association rules (r5 cont.): part pairs
+    co-purchased in >= 2 orders with integer-fixed-point support /
+    confidence(ppm) / lift(micro) — basket-key self-join (per-order
+    quadratic, basket size is a small constant at any SF), never
+    all-pairs (operators/basket.py::frequent_pairs)."""
+    from learn_etl_data_warehouse_spark.operators.basket import (
+        frequent_pairs,
+    )
+
+    return frequent_pairs(
+        _t(spark, sf_dir, "lineitem"),
+        basket_col="l_orderkey",
+        item_col="l_partkey",
+        min_pair_support=2,
+    )
+
+
+def q_j07(spark, sf_dir):
+    """FULL OUTER reconciliation (r5 cont.): per-day counts + cents of
+    status-P vs status-F orders, full-outer on the day so days with
+    only one side survive with zero-filled measures — the join type the
+    registry lacked (j01 inner, j03 left, set01/set02 anti/semi)."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "day", F.to_date("o_orderdate")
+    )
+
+    def side(status: str, pfx: str) -> DataFrame:
+        return (
+            o.filter(F.col("o_orderstatus") == status)
+            .groupBy("day")
+            .agg(
+                F.count(F.lit(1)).alias(f"{pfx}_n"),
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                ).alias(f"{pfx}_cents"),
+            )
+        )
+
+    return (
+        side("P", "p")
+        .join(side("F", "f"), "day", "full_outer")
+        .select(
+            # timestamp, not date: the parity canon stringifies
+            # pd.Timestamp on both engines (DuckDB DATE → datetime64)
+            F.col("day").cast("timestamp").alias("day"),
+            F.coalesce("p_n", F.lit(0)).alias("p_n"),
+            F.coalesce("p_cents", F.lit(0)).alias("p_cents"),
+            F.coalesce("f_n", F.lit(0)).alias("f_n"),
+            F.coalesce("f_cents", F.lit(0)).alias("f_cents"),
+            (
+                F.coalesce("p_cents", F.lit(0))
+                - F.coalesce("f_cents", F.lit(0))
+            ).alias("net_cents"),
+        )
+    )
+
+
+def q_r04(spark, sf_dir):
+    """Interval-overlap self-join (r5 cont.): pairs of same-customer
+    orders whose 31-day [orderdate, orderdate+30] windows overlap, with
+    exact overlap length in days — the interval × interval complement
+    of r02's point-pair range join
+    (operators/joins.py::interval_overlap_join; per-customer group
+    size is SF-constant, so the keyed quadratic is bounded)."""
+    from learn_etl_data_warehouse_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("s"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("e"),
+    )
+    ov = interval_overlap_join(
+        o, key="o_custkey", start="s", end="e", id_col="o_orderkey"
+    )
+    return ov.select(
+        F.col("k").alias("o_custkey"),
+        "id_a",
+        "id_b",
+        (
+            F.datediff(F.least("e_a", "e_b"), F.greatest("s_a", "s_b"))
+            + 1
+        )
+        .cast("long")
+        .alias("overlap_days"),
+    )
+
+
+def q_a19(spark, sf_dir):
+    """2-D Pareto frontier (r5 cont.): parts not dominated under
+    (minimize retail price, maximize size) — bucketed running-max
+    skyline, no all-pairs dominance join
+    (operators/skyline.py::pareto_frontier_2d); criteria are exact
+    integers (cents / size) so the frontier is engine-portable."""
+    from learn_etl_data_warehouse_spark.operators.skyline import (
+        pareto_frontier_2d,
+    )
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100)
+        .cast("long")
+        .alias("price_cents"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    return pareto_frontier_2d(
+        p, "price_cents", "size", bucket_width=10000
+    ).select("p_partkey", "price_cents", "size")
+
+
+def q_t18(spark, sf_dir):
+    """Bigram LM table (r5 cont.): top-3 next-token continuations per
+    context word with integer-ppm conditional probability — the
+    count/rank skeleton of vocab building applied to adjacent-token
+    statistics (operators/text.py::bigram_lm)."""
+    return text.bigram_lm(
+        _t(spark, sf_dir, "documents"), min_context=5, top=3
+    )
+
+
+def q_pf01(spark, sf_dir):
+    """Column profiling (r5 cont.): exact long-form per-column stats
+    (rows / non-null / null / distinct) for the orders table in ONE
+    aggregation pass + stack — the audit-grade twin of the warehouse's
+    HLL analyze_table (operators/profiling.py::column_profile)."""
+    from learn_etl_data_warehouse_spark.operators.profiling import (
+        column_profile,
+    )
+
+    return column_profile(
+        _t(spark, sf_dir, "orders"),
+        [
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderpriority",
+        ],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -2506,6 +2650,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d25_training_chunks": q_d25,
         "t17_bpe_pair_counts": q_t17,
         "r05_spatial_pairs": q_r05,
+        "fp01_association_rules": q_fp01,
+        "j07_full_outer_days": q_j07,
+        "r04_interval_overlap": q_r04,
+        "a19_pareto_frontier": q_a19,
+        "t18_bigram_lm": q_t18,
+        "pf01_column_profile": q_pf01,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
         # rows are all hash-verifiable
@@ -3877,6 +4027,93 @@ SELECT d.doc_id, d.source, d.lang FROM documents d
 WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.id = d.doc_id)"""
         ),
     }
+    out["fp01_association_rules"] = """
+WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+           WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+n AS (SELECT it, count(*) AS n_item FROM b GROUP BY 1),
+tot AS (SELECT count(DISTINCT bk) AS n_baskets FROM b),
+p AS (SELECT l.it AS item_a, r.it AS item_b, count(*) AS pair_n
+      FROM b l JOIN b r ON l.bk = r.bk AND l.it < r.it GROUP BY 1, 2)
+SELECT p.item_a, p.item_b, CAST(p.pair_n AS BIGINT) AS pair_n,
+       CAST(na.n_item AS BIGINT) AS n_a, CAST(nb.n_item AS BIGINT) AS n_b,
+       CAST(tot.n_baskets AS BIGINT) AS n_baskets,
+       CAST((1000000 * p.pair_n) // na.n_item AS BIGINT) AS conf_ppm,
+       CAST((1000000 * p.pair_n * tot.n_baskets)
+            // (na.n_item * nb.n_item) AS BIGINT) AS lift_micros
+FROM p JOIN n na ON na.it = p.item_a
+       JOIN n nb ON nb.it = p.item_b, tot
+WHERE p.pair_n >= 2"""
+    out["j07_full_outer_days"] = """
+WITH p AS (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS p_n,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS p_cents
+           FROM orders WHERE o_orderstatus = 'P' GROUP BY 1),
+f AS (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS f_n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS f_cents
+      FROM orders WHERE o_orderstatus = 'F' GROUP BY 1)
+SELECT coalesce(p.day, f.day) AS day,
+       CAST(coalesce(p.p_n, 0) AS BIGINT) AS p_n,
+       CAST(coalesce(p.p_cents, 0) AS BIGINT) AS p_cents,
+       CAST(coalesce(f.f_n, 0) AS BIGINT) AS f_n,
+       CAST(coalesce(f.f_cents, 0) AS BIGINT) AS f_cents,
+       CAST(coalesce(p.p_cents, 0) - coalesce(f.f_cents, 0)
+            AS BIGINT) AS net_cents
+FROM p FULL OUTER JOIN f ON p.day = f.day"""
+    out["r04_interval_overlap"] = """
+WITH o AS (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS s,
+                  CAST(o_orderdate AS DATE) + 30 AS e FROM orders)
+SELECT a.o_custkey, a.o_orderkey AS id_a, b.o_orderkey AS id_b,
+       CAST(date_diff('day', greatest(a.s, b.s), least(a.e, b.e)) + 1
+            AS BIGINT) AS overlap_days
+FROM o a JOIN o b
+  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+ AND a.s <= b.e AND b.s <= a.e"""
+    out["a19_pareto_frontier"] = """
+WITH p AS (SELECT p_partkey,
+                  CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+                  CAST(p_size AS BIGINT) AS size FROM part),
+d AS (SELECT *,
+             max(size) OVER (ORDER BY price_cents
+                             RANGE BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS m_lower,
+             max(size) OVER (PARTITION BY price_cents) AS m_eq
+      FROM p)
+SELECT p_partkey, price_cents, size FROM d
+WHERE NOT (coalesce(m_lower, -4611686018427387904) >= size
+           OR m_eq > size)"""
+    out["t18_bigram_lm"] = """
+WITH toks AS (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+              FROM documents),
+t2 AS (SELECT t FROM toks WHERE len(t) >= 2),
+pr AS (SELECT unnest(t[1:len(t) - 1]) AS w1, unnest(t[2:len(t)]) AS w2
+       FROM t2),
+p2 AS (SELECT w1, w2 FROM pr WHERE w1 <> '' AND w2 <> ''),
+bi AS (SELECT w1, w2, count(*) AS n2 FROM p2 GROUP BY 1, 2),
+ctx AS (SELECT w1, CAST(sum(n2) AS BIGINT) AS n1 FROM bi GROUP BY 1),
+j AS (SELECT bi.w1, bi.w2, CAST(bi.n2 AS BIGINT) AS n2, ctx.n1
+      FROM bi JOIN ctx USING (w1) WHERE ctx.n1 >= 5),
+r AS (SELECT *, (1000000 * n2) // n1 AS cond_ppm,
+             row_number() OVER (PARTITION BY w1
+                                ORDER BY n2 DESC, w2) AS rn
+      FROM j)
+SELECT w1, w2, n2, n1, CAST(cond_ppm AS BIGINT) AS cond_ppm
+FROM r WHERE rn <= 3"""
+    out["pf01_column_profile"] = "\nUNION ALL".join(
+        f"""
+SELECT '{c}' AS column_name, count(*) AS n_rows,
+       count({c}) AS n_nonnull,
+       count(*) - count({c}) AS n_null,
+       count(DISTINCT {c}) AS n_distinct
+FROM orders"""
+        for c in [
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderpriority",
+        ]
+    )
     # d25: the d18 pipeline certified through the FINAL training
     # artifact — chain the corpus CTEs (through `mix`) with t15's chunk
     # CTEs, joining text back from the rebuilt stage.

@@ -72,3 +72,42 @@ def roleplay_join(
             "left",
         ).drop(f"__{role}_key")
     return out
+
+
+def interval_overlap_join(
+    intervals: DataFrame,
+    key: str,
+    start: str,
+    end: str,
+    id_col: str,
+) -> DataFrame:
+    """Self-join of [start, end] intervals that OVERLAP within a key.
+
+    Returns (k, id_a, id_b, s_a, e_a, s_b, e_b) with id_a < id_b and
+    s_a <= e_b AND s_b <= e_a (closed-interval overlap). The interval ×
+    interval complement of asof.py's point-pair range join (r02).
+
+    Scale shape: an equi-join on ``key`` followed by the non-equi
+    overlap filter — per-key quadratic, so the key must bound group
+    size (orders-per-customer is a constant in TPC-H-shaped data
+    regardless of SF). For unkeyed interval joins, grid-block on a
+    time-bucket key first exactly as spatial.py::grid_radius_join does
+    in space.
+    """
+    a = intervals.select(
+        F.col(key).alias("k"),
+        F.col(id_col).alias("id_a"),
+        F.col(start).alias("s_a"),
+        F.col(end).alias("e_a"),
+    )
+    b = intervals.select(
+        F.col(key).alias("k"),
+        F.col(id_col).alias("id_b"),
+        F.col(start).alias("s_b"),
+        F.col(end).alias("e_b"),
+    )
+    return a.join(b, "k").filter(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.col("s_a") <= F.col("e_b"))
+        & (F.col("s_b") <= F.col("e_a"))
+    )

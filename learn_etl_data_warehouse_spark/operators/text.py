@@ -810,3 +810,52 @@ def bpe_encode(
         F.size(word_syms).cast("long").alias("n_words"),
         F.flatten(enc).alias("tokens"),
     ).withColumn("n_tokens", F.size("tokens").cast("long"))
+
+
+def bigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    min_context: int = 5,
+    top: int = 3,
+) -> DataFrame:
+    """Bigram language-model table: top continuations per context word.
+
+    Counts adjacent lowercase token pairs across the corpus, keeps
+    contexts seen >= ``min_context`` times, and returns the ``top``
+    continuations per context under the strict order (count DESC, word
+    ASC). Conditional probability is integer ppm (truncating division
+    on non-negative counts → engine-portable).
+
+    Scale shape: one narrow explode, one hash agg on (w1, w2), a
+    re-agg on w1 for context totals, and a w1-partitioned top-k window
+    — the same count/rank skeleton as vocab building (t14), never a
+    driver-side vocabulary.
+    """
+    from pyspark.sql import Window
+
+    t = df.select(tokens(F.lower(_c(text_col))).alias("t")).filter(
+        F.size("t") >= 2
+    )
+    pairs = (
+        t.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    ctx = bi.groupBy("w1").agg(F.sum("n2").alias("n1"))
+    w = Window.partitionBy("w1").orderBy(F.col("n2").desc(), F.col("w2"))
+    return (
+        bi.join(ctx, "w1")
+        .filter(F.col("n1") >= int(min_context))
+        .withColumn("cond_ppm", F.expr("(1000000 * n2) div n1"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(top))
+        .select("w1", "w2", "n2", "n1", "cond_ppm")
+    )

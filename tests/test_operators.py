@@ -1306,3 +1306,123 @@ def test_grid_radius_join_matches_bruteforce(spark):
     assert (300, 301, 0) in got
     with pytest.raises(ValueError):
         grid_radius_join(df, radius=0)
+
+
+def test_pareto_frontier_matches_bruteforce(spark):
+    from learn_etl_data_warehouse_spark.operators.skyline import (
+        pareto_frontier_2d,
+    )
+
+    # deterministic pseudo-random points, including exact duplicates
+    # and same-price ties
+    pts = [
+        (i, (i * 2654435761) % 997, (i * 40503) % 89) for i in range(300)
+    ]
+    pts += [(1000, pts[5][1], pts[5][2]), (1001, 500, 42), (1002, 500, 42)]
+    df = spark.createDataFrame(pts, "id long, price long, sz long")
+    got = {
+        r.id
+        for r in pareto_frontier_2d(
+            df, "price", "sz", bucket_width=100
+        ).collect()
+    }
+    want = set()
+    for i, p, s in pts:
+        dominated = any(
+            p2 <= p and s2 >= s and (p2 < p or s2 > s)
+            for (_j, p2, s2) in pts
+        )
+        if not dominated:
+            want.add(i)
+    assert got == want and got
+
+
+def test_interval_overlap_join_small_example(spark):
+    from learn_etl_data_warehouse_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    rows = [
+        # key 1: [0,10] overlaps [10,20] (closed endpoints touch),
+        # [0,10] vs [11,30] disjoint, [10,20] overlaps [11,30]
+        (1, 101, 0, 10),
+        (1, 102, 10, 20),
+        (1, 103, 11, 30),
+        # key 2: same spans as 101/103 but must not pair across keys
+        (2, 201, 0, 10),
+        (2, 202, 11, 30),
+    ]
+    df = spark.createDataFrame(rows, "k0 long, id long, s long, e long")
+    out = interval_overlap_join(df, key="k0", start="s", end="e", id_col="id")
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    assert got == {(101, 102), (102, 103)}
+
+
+def test_frequent_pairs_counts_confidence_lift(spark):
+    from learn_etl_data_warehouse_spark.operators.basket import (
+        frequent_pairs,
+    )
+
+    baskets = [
+        (1, "a"), (1, "b"), (1, "b"),  # duplicate line collapses
+        (2, "a"), (2, "b"), (2, "c"),
+        (3, "a"), (3, "c"),
+        (4, "d"),
+    ]
+    df = spark.createDataFrame(baskets, "bk long, it string")
+    out = {
+        (r.item_a, r.item_b): r
+        for r in frequent_pairs(
+            df, "bk", "it", min_pair_support=2
+        ).collect()
+    }
+    assert set(out) == {("a", "b"), ("a", "c")}
+    ab = out[("a", "b")]
+    # a in 3 baskets, b in 2, pair in 2, 4 baskets total
+    assert (ab.pair_n, ab.n_a, ab.n_b, ab.n_baskets) == (2, 3, 2, 4)
+    assert ab.conf_ppm == (1_000_000 * 2) // 3
+    assert ab.lift_micros == (1_000_000 * 2 * 4) // (3 * 2)
+
+
+def test_bigram_lm_counts_and_topk(spark):
+    from learn_etl_data_warehouse_spark.operators.text import bigram_lm
+
+    docs = [
+        (1, "the cat sat"),
+        (2, "the cat ran"),
+        (3, "the dog sat"),
+        (4, "the cat sat"),
+        (5, "x"),  # single token: no bigrams
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = bigram_lm(df, min_context=3, top=1).collect()
+    rows = {(r.w1, r.w2): r for r in out}
+    # contexts with n1 >= 3: 'the' (4) and 'cat' (3)
+    assert set(rows) == {("the", "cat"), ("cat", "sat")}
+    the = rows[("the", "cat")]
+    assert (the.n2, the.n1) == (3, 4)
+    assert the.cond_ppm == (1_000_000 * 3) // 4
+    cat = rows[("cat", "sat")]
+    assert (cat.n2, cat.n1, cat.cond_ppm) == (2, 3, 666_666)
+
+
+def test_column_profile_nulls_and_distinct(spark):
+    from learn_etl_data_warehouse_spark.operators.profiling import (
+        column_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "x"), (4, "y")], "a long, b string"
+    )
+    out = {r.column_name: r for r in column_profile(df, ["a", "b"]).collect()}
+    assert out["a"].n_rows == 4 and out["a"].n_null == 0
+    assert out["a"].n_distinct == 4
+    assert (out["b"].n_nonnull, out["b"].n_null, out["b"].n_distinct) == (
+        3,
+        1,
+        2,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        column_profile(df, [])
