@@ -2494,6 +2494,32 @@ def q_pf01(spark, sf_dir):
     )
 
 
+def q_t19(spark, sf_dir):
+    """Bigram-LM document scoring (r5 cont.): every document scored by
+    the truncating-mean conditional probability (ppm) of its bigrams
+    under a corpus-trained bigram LM — the fixed-point analog of the
+    KenLM-perplexity quality filters used in web-corpus curation
+    (operators/text.py::lm_score_documents, chains t18's LM table
+    without top-k truncation)."""
+    return text.lm_score_documents(_t(spark, sf_dir, "documents"))
+
+
+def q_e12(spark, sf_dir):
+    """Linear multi-touch attribution (r5 cont.): each purchase's value
+    split EXACTLY (integer micro-units, remainder to the earliest
+    click) across the user's clicks in the preceding 30-minute window —
+    conserved per purchase to the micro
+    (streaming/events.py::multitouch_credit_batch; same
+    user-equi-join + µs range shape as e06). Values are non-negative in
+    this domain so truncating and flooring division agree
+    cross-engine."""
+    from learn_etl_data_warehouse_spark.streaming.events import (
+        multitouch_credit_batch,
+    )
+
+    return multitouch_credit_batch(_t(spark, sf_dir, "events"), 30)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -2656,6 +2682,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a19_pareto_frontier": q_a19,
         "t18_bigram_lm": q_t18,
         "pf01_column_profile": q_pf01,
+        "t19_lm_doc_score": q_t19,
+        "e12_multitouch_credit": q_e12,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
         # rows are all hash-verifiable
@@ -4114,6 +4142,46 @@ FROM orders"""
             "o_orderpriority",
         ]
     )
+    out["t19_lm_doc_score"] = """
+WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+              FROM documents),
+t2 AS (SELECT doc_id, t FROM toks WHERE len(t) >= 2),
+pr AS (SELECT doc_id, unnest(t[1:len(t) - 1]) AS w1, unnest(t[2:len(t)]) AS w2
+       FROM t2),
+p2 AS (SELECT doc_id, w1, w2 FROM pr WHERE w1 <> '' AND w2 <> ''),
+bi AS (SELECT w1, w2, count(*) AS n2 FROM p2 GROUP BY 1, 2),
+ctx AS (SELECT w1, CAST(sum(n2) AS BIGINT) AS n1 FROM bi GROUP BY 1),
+lm AS (SELECT bi.w1, bi.w2,
+              CAST((1000000 * CAST(bi.n2 AS BIGINT)) // ctx.n1 AS BIGINT)
+                  AS cond_ppm
+       FROM bi JOIN ctx USING (w1)),
+s AS (SELECT p2.doc_id, lm.cond_ppm FROM p2 LEFT JOIN lm USING (w1, w2))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(count(cond_ppm) AS BIGINT) AS n_known,
+       CAST(CAST(sum(coalesce(cond_ppm, 0)) AS BIGINT) // count(*)
+            AS BIGINT) AS score_ppm
+FROM s GROUP BY doc_id"""
+    out["e12_multitouch_credit"] = """
+WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+           FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+             CAST(round(value * 100) AS BIGINT) * 10000 AS value_micros
+      FROM events WHERE event_type = 'purchase'),
+pr AS (SELECT c.user_id, c.click_id, c.click_ts, p.purchase_id,
+              p.value_micros
+       FROM c JOIN p ON c.user_id = p.user_id
+       WHERE epoch_us(p.purchase_ts) - epoch_us(c.click_ts)
+             BETWEEN 0 AND 30 * 60 * 1000000),
+w AS (SELECT *, count(*) OVER (PARTITION BY purchase_id) AS n_touches,
+             row_number() OVER (PARTITION BY purchase_id
+                                ORDER BY click_ts, click_id) AS rn
+      FROM pr)
+SELECT user_id, purchase_id, click_id,
+       CAST(n_touches AS BIGINT) AS n_touches,
+       CAST(value_micros // n_touches
+            + CASE WHEN rn = 1 THEN value_micros % n_touches
+                   ELSE 0 END AS BIGINT) AS credit_micros
+FROM w"""
     # d25: the d18 pipeline certified through the FINAL training
     # artifact — chain the corpus CTEs (through `mix`) with t15's chunk
     # CTEs, joining text back from the rebuilt stage.

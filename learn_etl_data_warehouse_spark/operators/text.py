@@ -816,7 +816,7 @@ def bigram_lm(
     df: DataFrame,
     text_col: str = "text",
     min_context: int = 5,
-    top: int = 3,
+    top: int | None = 3,
 ) -> DataFrame:
     """Bigram language-model table: top continuations per context word.
 
@@ -850,12 +850,65 @@ def bigram_lm(
     )
     bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
     ctx = bi.groupBy("w1").agg(F.sum("n2").alias("n1"))
-    w = Window.partitionBy("w1").orderBy(F.col("n2").desc(), F.col("w2"))
-    return (
+    out = (
         bi.join(ctx, "w1")
         .filter(F.col("n1") >= int(min_context))
         .withColumn("cond_ppm", F.expr("(1000000 * n2) div n1"))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= int(top))
-        .select("w1", "w2", "n2", "n1", "cond_ppm")
+    )
+    if top is not None:
+        w = Window.partitionBy("w1").orderBy(
+            F.col("n2").desc(), F.col("w2")
+        )
+        out = out.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") <= int(top)
+        )
+    return out.select("w1", "w2", "n2", "n1", "cond_ppm")
+
+
+def lm_score_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lm: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document LM-likelihood quality score in integer ppm.
+
+    Scores each document by the mean conditional probability (ppm,
+    truncating mean) of its adjacent-token bigrams under a bigram LM —
+    the fixed-point analog of the KenLM-perplexity quality filters used
+    in web-corpus curation. ``lm`` defaults to a model trained on the
+    corpus itself (``bigram_lm(top=None, min_context=1)``); pass a
+    pretrained table (w1, w2, cond_ppm) to score against held-out
+    statistics — bigrams absent from the LM score 0 and are reported
+    via ``n_known``.
+
+    Documents with < 2 tokens have no bigrams and are omitted (no
+    0/0 score). One explode, two hash aggs, one (w1, w2) equi-join —
+    no Python, no driver state.
+    """
+    if lm is None:
+        lm = bigram_lm(df, text_col=text_col, min_context=1, top=None)
+    t = df.select(
+        F.col(id_col), tokens(F.lower(_c(text_col))).alias("t")
+    ).filter(F.size("t") >= 2)
+    bg = (
+        t.select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select(id_col, "p.w1", "p.w2")
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    j = bg.join(lm.select("w1", "w2", "cond_ppm"), ["w1", "w2"], "left")
+    return j.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.count("cond_ppm").alias("n_known"),
+        F.expr("sum(coalesce(cond_ppm, 0)) div count(1)").alias(
+            "score_ppm"
+        ),
     )

@@ -502,3 +502,65 @@ def windowed_topk_sink(out_path: str, k: int = 3):
         )
 
     return rank
+
+
+def multitouch_credit_batch(
+    events: DataFrame, attribution_minutes: int = 30
+) -> DataFrame:
+    """Linear multi-touch attribution with EXACT integer credit splits.
+
+    Each purchase's value is divided evenly (in micro-currency units)
+    across every click of the same user in the preceding
+    ``attribution_minutes`` window; the integer remainder goes to the
+    EARLIEST click (ties broken by click_id) so per-purchase credit is
+    conserved to the micro: sum(credit_micros) == round(value·100)·10⁴.
+
+    Same join shape as :func:`attribution_pairs_batch` (user_id
+    equi-join + microsecond range filter); the split needs only
+    purchase-partitioned windows, so state stays inside the purchase's
+    click group. Deterministic integer arithmetic end-to-end →
+    oracle-checkable.
+    """
+    from pyspark.sql import Window
+
+    lag_bound_us = attribution_minutes * 60 * 1_000_000
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        (F.round(F.col("value") * 100).cast("long") * 10_000).alias(
+            "value_micros"
+        ),
+    )
+    lag_us = F.unix_micros(F.col("purchase_ts")) - F.unix_micros(
+        F.col("click_ts")
+    )
+    pairs = clicks.join(purchases, "user_id").filter(
+        (lag_us >= 0) & (lag_us <= lag_bound_us)
+    )
+    wn = Window.partitionBy("purchase_id")
+    wr = Window.partitionBy("purchase_id").orderBy(
+        F.col("click_ts"), F.col("click_id")
+    )
+    return (
+        pairs.withColumn("n_touches", F.count(F.lit(1)).over(wn))
+        .withColumn("_rn", F.row_number().over(wr))
+        .select(
+            "user_id",
+            "purchase_id",
+            "click_id",
+            "n_touches",
+            (
+                F.expr("value_micros div n_touches")
+                + F.when(
+                    F.col("_rn") == 1,
+                    F.expr("value_micros % n_touches"),
+                ).otherwise(F.lit(0))
+            ).alias("credit_micros"),
+        )
+    )

@@ -1426,3 +1426,28 @@ def test_column_profile_nulls_and_distinct(spark):
 
     with _pytest.raises(ValueError):
         column_profile(df, [])
+
+
+def test_lm_score_documents_self_and_pretrained(spark):
+    from learn_etl_data_warehouse_spark.operators.text import (
+        bigram_lm,
+        lm_score_documents,
+    )
+
+    docs = [(1, "a b"), (2, "a b a c"), (3, "z")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # corpus bigrams: (a,b)x2 (b,a)x1 (a,c)x1 → P(b|a)=2/3, P(a|b)=1,
+    # P(c|a)=1/3
+    out = {r.doc_id: r for r in lm_score_documents(df).collect()}
+    assert set(out) == {1, 2}  # doc 3 has no bigrams
+    assert out[1].n_bigrams == 1 and out[1].n_known == 1
+    assert out[1].score_ppm == 666_666
+    # doc 2: bigrams (a,b),(b,a),(a,c) → (666666+1000000+333333)//3
+    assert out[2].score_ppm == (666_666 + 1_000_000 + 333_333) // 3
+    # pretrained LM missing (a,c): scores 0 for it, n_known drops
+    lm = bigram_lm(df, min_context=1, top=None).filter("w2 <> 'c'")
+    out2 = {
+        r.doc_id: r for r in lm_score_documents(df, lm=lm).collect()
+    }
+    assert out2[2].n_known == 2
+    assert out2[2].score_ppm == (666_666 + 1_000_000 + 0) // 3

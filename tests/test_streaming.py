@@ -1131,3 +1131,48 @@ def test_dedup_ingest_sink_end_to_end_stream_restarts(spark, tmp_path, sf_small)
         r["doc_id"] for r in cat.catalog_read(spark, cdir, "sigs").collect()
     }
     assert sig_ids == ids_after_2
+
+
+def test_multitouch_credit_conserved_and_remainder_to_earliest(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from learn_etl_data_warehouse_spark.streaming.events import (
+        multitouch_credit_batch,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, user, typ, offset_min, value=0.0):
+        return (eid, t0 + dt.timedelta(minutes=offset_min), user, typ, value, "{}")
+
+    rows = [
+        # user 1: three clicks then a 10.00 purchase → 3 touches
+        ev(1, 1, "click", 0),
+        ev(2, 1, "click", 5),
+        ev(3, 1, "click", 10),
+        ev(4, 1, "purchase", 20, 10.00),
+        # user 2: one click out of window, one in
+        ev(5, 2, "click", -60),
+        ev(6, 2, "click", 15),
+        ev(7, 2, "purchase", 25, 3.33),
+        # user 3: purchase with no clicks → no rows
+        ev(8, 3, "purchase", 0, 99.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = multitouch_credit_batch(df, 30)
+    rows_out = out.collect()
+    by_purchase = {}
+    for r in rows_out:
+        by_purchase.setdefault(r.purchase_id, []).append(r)
+    assert set(by_purchase) == {4, 7}
+    # conservation: credits sum to round(value*100)*10^4 per purchase
+    assert sum(r.credit_micros for r in by_purchase[4]) == 10_000_000
+    assert sum(r.credit_micros for r in by_purchase[7]) == 3_330_000
+    # remainder lands on the EARLIEST click (id 1): 10_000_000 = 3*3_333_333 + 1
+    credits = {r.click_id: r.credit_micros for r in by_purchase[4]}
+    assert credits == {1: 3_333_334, 2: 3_333_333, 3: 3_333_333}
+    assert {r.click_id for r in by_purchase[7]} == {6}
