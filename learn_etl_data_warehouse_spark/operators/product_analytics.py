@@ -144,3 +144,77 @@ def transition_matrix(
             6,
         ).alias("p"),
     )
+
+
+def session_paths(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    max_steps: int = 3,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Top-of-session path analysis: the first ``max_steps`` event
+    types of each session, joined with '>', counted across sessions.
+
+    Sessionization is the same gaps-and-islands pattern as
+    streaming/events.py::session_windows_batch (lag → new-session flag
+    → running sum), so paths and session windows agree by
+    construction. Ordering inside a session is (ts, event_id) — total,
+    so the path string is deterministic cross-engine.
+
+    Scale shape: two key-partitioned windows + two hash aggs; the path
+    alphabet (event types) is bounded, so the final count table is
+    tiny regardless of input size.
+    """
+    from pyspark.sql import Window
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    byk = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col("event_id").asc()
+    )
+    flagged = events.withColumn(
+        "_new",
+        (
+            F.coalesce(
+                F.unix_micros(F.col(ts_col))
+                - F.unix_micros(F.lag(ts_col).over(byk)),
+                F.lit(gap_us + 1),
+            )
+            > gap_us
+        ).cast("long"),
+    ).withColumn(
+        "_sid",
+        F.sum("_new").over(
+            byk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(key_col, "_sid").orderBy(
+            F.col(ts_col).asc(), F.col("event_id").asc()
+        )
+    )
+    steps = flagged.withColumn("_rn", rn).filter(
+        F.col("_rn") <= int(max_steps)
+    )
+    paths = steps.groupBy(key_col, "_sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(ts_col),
+                            F.col("event_id"),
+                            F.col(type_col),
+                        )
+                    )
+                ),
+                lambda s: s[type_col],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.countDistinct(key_col).alias("n_users"),
+    )

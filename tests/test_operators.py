@@ -1451,3 +1451,67 @@ def test_lm_score_documents_self_and_pretrained(spark):
     }
     assert out2[2].n_known == 2
     assert out2[2].score_ppm == (666_666 + 1_000_000 + 0) // 3
+
+
+def test_session_paths_truncation_and_counts(spark):
+    import datetime as dt
+
+    from learn_etl_data_warehouse_spark.operators.product_analytics import (
+        session_paths,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+
+    def ev(eid, user, typ, offset_min):
+        return (eid, t0 + dt.timedelta(minutes=offset_min), user, typ, 0.0, "{}")
+
+    rows = [
+        # user 1 session A: 4 events → path truncated to first 3
+        ev(1, 1, "view", 0),
+        ev(2, 1, "click", 1),
+        ev(3, 1, "view", 2),
+        ev(4, 1, "purchase", 3),
+        # user 1 session B after a 60-min gap
+        ev(5, 1, "view", 63),
+        # user 2: same first-3 path as user 1's session A
+        ev(6, 2, "view", 0),
+        ev(7, 2, "click", 1),
+        ev(8, 2, "view", 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = {r.path: r for r in session_paths(df, 30, 3).collect()}
+    assert set(out) == {"view>click>view", "view"}
+    assert out["view>click>view"].n_sessions == 2
+    assert out["view>click>view"].n_users == 2
+    assert out["view"].n_sessions == 1 and out["view"].n_users == 1
+
+
+def test_sorted_neighborhood_pairs_linear_candidates(spark):
+    from learn_etl_data_warehouse_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+    import pytest as _pytest
+
+    docs = [
+        (1, "alpha alpha", "en"),
+        (2, "alpha  alpha", "en"),  # whitespace-normalizes to doc 1's key
+        (3, "beta", "en"),
+        (4, "gamma", "en"),
+        (5, "alpha alpha", "id"),  # other block: never pairs with en
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    out = sorted_neighborhood_pairs(df, window=2).collect()
+    pairs = {(r.id_a, r.id_b, r.gap) for r in out}
+    # en order by key: 1,2 (alpha alpha), 3 (beta), 4 (gamma)
+    assert pairs == {
+        (1, 2, 1), (1, 3, 2), (2, 3, 1), (2, 4, 2), (3, 4, 1),
+    }
+    by = {(r.id_a, r.id_b): r for r in out}
+    assert by[(1, 2)].key_lev == 0  # normalized keys identical
+    assert all(r.block == "en" for r in out)
+    # linear volume: at most `window` pairs per record
+    assert len(out) <= 2 * len(docs)
+    with _pytest.raises(ValueError):
+        sorted_neighborhood_pairs(df, window=0)
