@@ -2546,6 +2546,24 @@ def q_d26(spark, sf_dir):
     )
 
 
+def q_g04(spark, sf_dir):
+    """Fixed-round k-core peeling (r5 cont.): 3 rounds of dropping
+    degree<4 nodes from the part co-occurrence graph, surviving
+    (node, degree) — deterministic fixed iterations so the oracle
+    unrolls the identical peels as chained CTEs
+    (operators/graph.py::kcore_filter; same 30%-order slice rationale
+    as g03 — the operator itself is unscoped)."""
+    from learn_etl_data_warehouse_spark.operators.graph import (
+        cooccurrence_edges,
+        kcore_filter,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 < 3)
+    return kcore_filter(cooccurrence_edges(li), k=4, rounds=3).select(
+        F.col("node").alias("part_id"), "deg"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -2712,6 +2730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e12_multitouch_credit": q_e12,
         "path01_session_paths": q_path01,
         "d26_sorted_neighborhood": q_d26,
+        "g04_kcore": q_g04,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
         # rows are all hash-verifiable
@@ -4247,6 +4266,25 @@ UNION ALL
 SELECT id0, id2, CAST(2 AS BIGINT), CAST(levenshtein(k, k2) AS BIGINT),
        block
 FROM w WHERE id2 IS NOT NULL"""
+    # g04: fixed-round k-core peel unrolled — each round re-derives
+    # degrees and keeps only edges whose BOTH endpoints pass k.
+    kc_sql = """
+WITH li AS (SELECT l_orderkey AS gk, l_partkey AS item FROM lineitem
+            WHERE l_orderkey % 10 < 3),
+e0 AS (SELECT DISTINCT a.item AS src, b.item AS dst
+       FROM li a JOIN li b ON a.gk = b.gk AND a.item <> b.item)"""
+    for _i in range(1, 4):
+        kc_sql += f""",
+d{_i} AS (SELECT src, count(*) AS n FROM e{_i - 1} GROUP BY 1),
+k{_i} AS (SELECT src FROM d{_i} WHERE n >= 4),
+e{_i} AS (SELECT e.src, e.dst FROM e{_i - 1} e
+          JOIN k{_i} a ON a.src = e.src
+          JOIN k{_i} b ON b.src = e.dst)"""
+    kc_sql += (
+        "\nSELECT src AS part_id, CAST(count(*) AS BIGINT) AS deg"
+        "\nFROM e3 GROUP BY 1"
+    )
+    out["g04_kcore"] = kc_sql
     # d25: the d18 pipeline certified through the FINAL training
     # artifact — chain the corpus CTEs (through `mix`) with t15's chunk
     # CTEs, joining text back from the rebuilt stage.

@@ -173,3 +173,45 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
+
+
+def kcore_filter(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 3,
+    materialize_edges: bool = True,
+) -> DataFrame:
+    """Fixed-round k-core peeling: repeatedly drop nodes of degree < k.
+
+    Runs exactly ``rounds`` peels (the g02 posture — a fixed iteration
+    count keeps the computation deterministic and oracle-unrollable;
+    a converged k-core loops until no node falls below k, which at
+    scale you'd drive with the d10 changed-count convergence pattern).
+    Input must be the symmetric distinct edge list
+    (:func:`cooccurrence_edges`); returns surviving (node, deg) where
+    deg is the node's degree in the final surviving subgraph.
+
+    Each round is one degree aggregation + two shuffle semi-joins on
+    the edge list — no collect, no driver-side graph. The base edge
+    list is localCheckpoint'ed by default so the unrolled lineage
+    never re-embeds the upstream co-occurrence self-join (the measured
+    g02 lesson).
+    """
+    if k < 1 or rounds < 1:
+        raise ValueError("kcore_filter: k and rounds must be >= 1")
+    e = edges.select("src", "dst")
+    if materialize_edges:
+        e = e.localCheckpoint()
+    for _ in range(int(rounds)):
+        keep = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+            .filter(F.col("_deg") >= int(k))
+            .select("src")
+        )
+        e = e.join(keep, "src", "left_semi").join(
+            keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
+        )
+    return e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )

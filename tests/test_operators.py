@@ -1515,3 +1515,25 @@ def test_sorted_neighborhood_pairs_linear_candidates(spark):
     assert len(out) <= 2 * len(docs)
     with _pytest.raises(ValueError):
         sorted_neighborhood_pairs(df, window=0)
+
+
+def test_kcore_peels_pendants_keeps_core(spark):
+    import pytest as _pytest
+
+    from learn_etl_data_warehouse_spark.operators.graph import kcore_filter
+
+    und = [(1, 2), (2, 3), (1, 3), (1, 4)]  # triangle 1-2-3, pendant 4
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und],
+        "src long, dst long",
+    )
+    core2 = {
+        r.node: r.deg
+        for r in kcore_filter(edges, k=2, rounds=2).collect()
+    }
+    # pendant 4 peeled in round 1; the triangle is the stable 2-core
+    assert core2 == {1: 2, 2: 2, 3: 2}
+    # k=3: the triangle's degree-2 nodes all fall → empty graph
+    assert kcore_filter(edges, k=3, rounds=2).count() == 0
+    with _pytest.raises(ValueError):
+        kcore_filter(edges, k=0)
