@@ -37,6 +37,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -240,6 +241,10 @@ def _publish(table: str, manifest: dict, txn_id: str) -> None:
         # monotonic commit sequence — orders the retained-manifest history
         # so vacuum retention can keep "the last N snapshots"
         manifest["seq"] = int(manifest.get("seq", 0)) + 1
+        # wall-clock commit stamp (µs) — resolves AS OF <timestamp>
+        # time travel; seq stays the authoritative ORDER (clock skew
+        # can't reorder history, it only moves the as-of cutover point)
+        manifest["committed_at_us"] = time.time_ns() // 1000
         with open(os.path.join(table, f"_MANIFEST-{txn_id}.json"), "w") as fh:
             json.dump(manifest, fh)
         tmp = _manifest_path(table) + f".tmp-{txn_id}"
@@ -267,6 +272,7 @@ def read_snapshot(
     as_of: str | None = None,
     prune: dict | None = None,
     merge_schema: bool = False,
+    as_of_ts_us: int | None = None,
 ) -> DataFrame:
     """Load the table AS OF the current manifest — or a historical one
     (``as_of=<txn id>``, time travel: any retained txn manifest whose
@@ -288,6 +294,8 @@ def read_snapshot(
     versions committed with extra columns union into one schema (absent
     columns read NULL) — pay the footer-merge cost only when evolution
     actually happened."""
+    if as_of is None and as_of_ts_us is not None:
+        as_of = txn_as_of_timestamp(table, as_of_ts_us)
     if as_of is not None:
         with open(os.path.join(table, f"_MANIFEST-{as_of}.json")) as fh:
             manifest = json.load(fh)
@@ -1117,6 +1125,38 @@ def table_history(table: str) -> list[dict]:
                 "is_live": m["txn"] == live_txn,
                 "n_partitions": len(m["partitions"]),
                 "n_changed_partitions": changed,
+                "committed_at_us": m.get("committed_at_us"),
             }
         )
     return out
+
+
+def txn_as_of_timestamp(table: str, ts_us: int) -> str:
+    """Resolve ``AS OF <timestamp>`` to the txn that was live then.
+
+    Returns the highest-seq RETAINED snapshot whose commit stamp is
+    <= ``ts_us`` (µs epoch). seq stays the authoritative history
+    order — a skewed clock can only move a snapshot's as-of cutover
+    point, never reorder commits. Raises if the timestamp predates the
+    retained history (vacuum trims the log — same loud-failure posture
+    as snapshot_diff) or the table predates commit stamps.
+    """
+    best = None
+    entries = []
+    for fname in os.listdir(table):
+        if fname.startswith("_MANIFEST-") and fname.endswith(".json"):
+            with open(os.path.join(table, fname)) as fh:
+                entries.append(json.load(fh))
+    entries.sort(key=lambda m: m.get("seq", 0))
+    for m in entries:
+        if m.get("committed_at_us") is not None and (
+            m["committed_at_us"] <= ts_us
+        ):
+            best = m
+    if best is None:
+        raise ValueError(
+            f"no retained snapshot of {table!r} at or before ts_us="
+            f"{ts_us} (history vacuumed, or table predates commit "
+            "stamps)"
+        )
+    return best["txn"]

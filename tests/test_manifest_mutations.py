@@ -744,3 +744,58 @@ class TestCheckConstraints:
         dst = str(tmp_path / "cloned")
         clone_table(table, dst)
         assert rm(dst)["constraints"] == {"id_nonneg": "id >= 0"}
+
+
+def test_as_of_timestamp_time_travel(spark, vtable):
+    import time as _time
+
+    from learn_etl_data_warehouse_spark.plans.manifest_warehouse import (
+        table_history,
+        txn_as_of_timestamp,
+    )
+
+    table, sink = vtable
+    hist = table_history(table)
+    assert all(h["committed_at_us"] is not None for h in hist)
+    # stamp strictly between the two existing commits, then a third
+    t_mid = hist[0]["committed_at_us"]  # newest (batch 1) commit stamp
+    _time.sleep(0.002)
+    t_before_b2 = _time.time_ns() // 1000
+    _time.sleep(0.002)
+    b2 = spark.createDataFrame(
+        [(i, float(i), "d") for i in range(200, 205)],
+        "id INT, v DOUBLE, cat STRING",
+    )
+    sink(b2, 2)
+
+    # as-of between commit 2 and commit 3 → the 21-row snapshot
+    txn = txn_as_of_timestamp(table, t_before_b2)
+    assert txn == read_manifest_txn_at_seq(table, 2)
+    snap = read_snapshot(spark, table, as_of_ts_us=t_before_b2)
+    assert snap.count() == 21
+    assert snap.filter(F.col("cat") == "d").count() == 0
+    # the same instant resolved through read_snapshot's as_of param
+    assert (
+        read_snapshot(spark, table, as_of=txn).count() == snap.count()
+    )
+    # as-of "now" → live snapshot including batch 2
+    now = _time.time_ns() // 1000
+    assert read_snapshot(spark, table, as_of_ts_us=now).count() == 26
+    # exactly at a commit stamp → that commit is visible (<= semantics)
+    assert (
+        read_snapshot(spark, table, as_of_ts_us=t_mid).count() == 21
+    )
+    # before history began → loud failure
+    with pytest.raises(ValueError):
+        txn_as_of_timestamp(table, hist[-1]["committed_at_us"] - 1)
+
+
+def read_manifest_txn_at_seq(table, seq):
+    from learn_etl_data_warehouse_spark.plans.manifest_warehouse import (
+        table_history,
+    )
+
+    for h in table_history(table):
+        if h["seq"] == seq:
+            return h["txn"]
+    raise AssertionError(f"no seq {seq}")
