@@ -2564,6 +2564,130 @@ def q_g04(spark, sf_dir):
     )
 
 
+def q_w07(spark, sf_dir):
+    """NTILE quartiles (r5 cont.): orders bucketed into four
+    equal-height tiles per status over a deterministic
+    (price_cents, orderkey) total order — the SQL-standard ntile both
+    engines define identically."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("cents"), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "cents",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+def q_set05(spark, sf_dir):
+    """INTERSECT ALL / EXCEPT ALL (r5 cont.): multiset semantics over
+    per-segment nation-key bags — completes the §2.5 set-op family
+    (set01-04 cover anti/semi/INTERSECT/EXCEPT DISTINCT). Both results
+    tagged into one output."""
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    b = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        "c_nationkey"
+    )
+    return a.intersectAll(b).withColumn(
+        "op", F.lit("intersect_all")
+    ).unionAll(a.exceptAll(b).withColumn("op", F.lit("except_all")))
+
+
+def q_a20(spark, sf_dir):
+    """Nearest-rank winsorization (r5 cont.): per-status p05/p95 cents
+    thresholds at rank ceil(q·n) computed in PURE integer arithmetic
+    ((5n+99) div 100 — no float percentile interpolation anywhere), and
+    the clipped fixed-point sum + clip counts. The all-integer twin of
+    a17's interpolated robust stats."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("status").orderBy("cents")
+    r = o.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("status"))
+    )
+    th = r.groupBy("status").agg(
+        F.min(
+            F.when(F.expr("rn >= (5 * n + 99) div 100"), F.col("cents"))
+        ).alias("p05_cents"),
+        F.min(
+            F.when(F.expr("rn >= (95 * n + 99) div 100"), F.col("cents"))
+        ).alias("p95_cents"),
+        F.max("n").alias("n"),
+    )
+    return (
+        o.join(th, "status")
+        .groupBy("status", "p05_cents", "p95_cents", "n")
+        .agg(
+            F.sum(
+                F.greatest(
+                    F.least(F.col("cents"), F.col("p95_cents")),
+                    F.col("p05_cents"),
+                )
+            ).alias("winsorized_cents"),
+            F.sum(
+                (F.col("cents") < F.col("p05_cents")).cast("long")
+            ).alias("n_clipped_low"),
+            F.sum(
+                (F.col("cents") > F.col("p95_cents")).cast("long")
+            ).alias("n_clipped_high"),
+        )
+    )
+
+
+def q_r06(spark, sf_dir):
+    """Activity islands (r5 cont.): maximal runs of CONSECUTIVE active
+    calendar days per user via the epoch-day − row_number
+    gaps-and-islands key (all-integer, no session gap parameter) —
+    start/end/length of each streak."""
+    from pyspark.sql import Window
+
+    d = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias(
+                "epoch_day"
+            ),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("epoch_day")
+    g = d.withColumn(
+        "island", F.col("epoch_day") - F.row_number().over(w)
+    )
+    return (
+        g.groupBy("user_id", "island")
+        .agg(
+            F.min("epoch_day").alias("start_day"),
+            F.max("epoch_day").alias("end_day"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .select(
+            "user_id",
+            F.timestamp_seconds(F.col("start_day") * 86400).alias(
+                "start_day"
+            ),
+            F.timestamp_seconds(F.col("end_day") * 86400).alias(
+                "end_day"
+            ),
+            "n_days",
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -2731,6 +2855,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path01_session_paths": q_path01,
         "d26_sorted_neighborhood": q_d26,
         "g04_kcore": q_g04,
+        "w07_ntile_quartiles": q_w07,
+        "set05_multiset_ops": q_set05,
+        "a20_winsorized_sums": q_a20,
+        "r06_activity_islands": q_r06,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
         # rows are all hash-verifiable
@@ -4285,6 +4413,62 @@ e{_i} AS (SELECT e.src, e.dst FROM e{_i - 1} e
         "\nFROM e3 GROUP BY 1"
     )
     out["g04_kcore"] = kc_sql
+    out["w07_ntile_quartiles"] = """
+SELECT o_orderkey, o_orderstatus,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+       CAST(ntile(4) OVER (PARTITION BY o_orderstatus
+                           ORDER BY CAST(round(o_totalprice * 100) AS BIGINT),
+                                    o_orderkey) AS BIGINT) AS quartile
+FROM orders"""
+    out["set05_multiset_ops"] = """
+SELECT c_nationkey, 'intersect_all' AS op FROM (
+  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  INTERSECT ALL
+  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+UNION ALL
+SELECT c_nationkey, 'except_all' AS op FROM (
+  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  EXCEPT ALL
+  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')"""
+    out["a20_winsorized_sums"] = """
+WITH o AS (SELECT o_orderstatus AS status,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+r AS (SELECT status, cents,
+             row_number() OVER (PARTITION BY status ORDER BY cents) AS rn,
+             count(*) OVER (PARTITION BY status) AS n
+      FROM o),
+th AS (SELECT status,
+              min(CASE WHEN rn >= (5 * n + 99) // 100 THEN cents END)
+                  AS p05_cents,
+              min(CASE WHEN rn >= (95 * n + 99) // 100 THEN cents END)
+                  AS p95_cents,
+              CAST(max(n) AS BIGINT) AS n
+       FROM r GROUP BY status)
+SELECT o.status, th.p05_cents, th.p95_cents, th.n,
+       CAST(sum(greatest(least(o.cents, th.p95_cents), th.p05_cents))
+            AS BIGINT) AS winsorized_cents,
+       CAST(sum(CASE WHEN o.cents < th.p05_cents THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clipped_low,
+       CAST(sum(CASE WHEN o.cents > th.p95_cents THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clipped_high
+FROM o JOIN th USING (status)
+GROUP BY o.status, th.p05_cents, th.p95_cents, th.n"""
+    out["r06_activity_islands"] = """
+WITH d AS (SELECT DISTINCT user_id,
+                  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+                      AS epoch_day
+           FROM events),
+g AS (SELECT user_id, epoch_day,
+             epoch_day - row_number() OVER (PARTITION BY user_id
+                                            ORDER BY epoch_day) AS island
+      FROM d)
+SELECT user_id,
+       CAST(to_timestamp(min(epoch_day) * 86400) AS TIMESTAMP)
+           AS start_day,
+       CAST(to_timestamp(max(epoch_day) * 86400) AS TIMESTAMP) AS end_day,
+       CAST(count(*) AS BIGINT) AS n_days
+FROM g GROUP BY user_id, island"""
     # d25: the d18 pipeline certified through the FINAL training
     # artifact — chain the corpus CTEs (through `mix`) with t15's chunk
     # CTEs, joining text back from the rebuilt stage.
