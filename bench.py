@@ -64,6 +64,9 @@ HEADLINE = [
     "d24_incremental_neardup",
     "t15_chunking",
     "g02_part_pagerank",
+    # r5 continuation-3 operators
+    "fp01_association_rules",
+    "t19_lm_doc_score",
 ]
 
 # Reference-parity ETL (EP1 at shard grain): not a queries() entry — it
