@@ -137,8 +137,16 @@ def main() -> int:
     ap.add_argument("--factors", default="1,4,16")
     ap.add_argument("--out", default="/tmp/scale_probe")
     ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated queries() names (default: built-in set)",
+    )
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
+    probe_queries = (
+        args.queries.split(",") if args.queries else QUERIES
+    )
 
     spark = (
         SparkSession.builder.master(
@@ -152,11 +160,11 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
 
-    results: dict[str, dict[int, float]] = {q: {} for q in QUERIES}
+    results: dict[str, dict[int, float]] = {q: {} for q in probe_queries}
     for n in factors:
         sf_dir = os.path.join(args.out, f"x{n}")
         amplify(spark, sf_dir, n)
-        for q in QUERIES:
+        for q in probe_queries:
             best = float("inf")
             for _ in range(args.repeat):
                 t0 = time.perf_counter()
