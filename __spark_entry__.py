@@ -2688,6 +2688,19 @@ def q_r06(spark, sf_dir):
     )
 
 
+def q_s13(spark, sf_dir):
+    """MMR diversified re-rank (r5 cont.): exact-cosine top-50 pool
+    selected distributedly, then greedy maximal-marginal-relevance
+    picks 10 results trading relevance against redundancy
+    (operators/similarity.py::mmr_rerank; only pool×dim floats reach
+    the driver — the IVF-centroid bounded-metadata posture). Rows-only:
+    float cosine chain; determinism + diversity pinned in tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.mmr_rerank(
+        emb, _query_vec(spark, sf_dir), k=10, pool=50
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -2877,6 +2890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s10_pq_adc_topk": q_s10,
         "s11_ivfpq_topk": q_s11,
         "s12_rerank_exact": q_s12,
+        "s13_mmr_rerank": q_s13,
         "m02_media_features": q_m02,
         "m03_media_resize": q_m03,
         "m04_frame_sampling": q_m04,

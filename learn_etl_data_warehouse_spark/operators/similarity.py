@@ -732,3 +732,74 @@ def rerank_exact(
     ids = candidates.select(F.col(id_col)).distinct()
     subset = df.join(F.broadcast(ids), id_col, "left_semi")
     return cosine_topk(subset, query_vec, k=k, vec_col=vec_col, id_col=id_col)
+
+
+def mmr_rerank(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    pool: int = 50,
+    lam: float = 0.5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k.
+
+    Greedy MMR: repeatedly take argmax of
+    ``lam·sim(q,d) − (1−lam)·max_{s∈selected} sim(d,s)`` — relevance
+    traded against redundancy with what's already picked.
+
+    Scale shape: the candidate POOL is selected distributedly (exact
+    cosine over the whole corpus, top ``pool`` with deterministic
+    tie-break), then the greedy loop runs driver-side over the bounded
+    pool — pool×dim floats reach the driver, the IVF-centroid posture
+    (bounded metadata, never the corpus). The loop is inherently
+    sequential (each pick changes the next score), so distributing it
+    buys nothing at k picks from a bounded pool; determinism comes
+    from the total order (score DESC, id ASC) at every pick.
+
+    Returns (rank, id, rel, score) for the k picks, floats rounded to
+    6 decimals.
+    """
+    qv = [float(v) for v in query_vec]
+    qlit = F.array(*[F.lit(v) for v in qv])
+    cand = (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .withColumn(
+            "_rel", F.round(cosine_similarity(F.col("_v"), qlit), 6)
+        )
+        .orderBy(F.col("_rel").desc(), F.col("_id").asc())
+        .limit(int(pool))
+        .collect()
+    )
+    import math
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na > 0 and nb > 0 else 0.0
+
+    selected: list = []
+    remaining = list(cand)
+    while remaining and len(selected) < int(k):
+        best = None
+        best_key = None
+        for r in remaining:
+            div = max(
+                (cos(r["_v"], s[1]["_v"]) for s in selected),
+                default=0.0,
+            )
+            score = lam * r["_rel"] - (1.0 - lam) * div
+            key = (score, -r["_id"])
+            if best_key is None or key > best_key:
+                best, best_key = r, key
+        selected.append((round(best_key[0], 6), best))
+        remaining.remove(best)
+    rows = [
+        (i + 1, r["_id"], float(r["_rel"]), float(score))
+        for i, (score, r) in enumerate(selected)
+    ]
+    return df.sparkSession.createDataFrame(
+        rows, f"rank long, {id_col} long, rel double, score double"
+    )

@@ -1537,3 +1537,29 @@ def test_kcore_peels_pendants_keeps_core(spark):
     assert kcore_filter(edges, k=3, rounds=2).count() == 0
     with _pytest.raises(ValueError):
         kcore_filter(edges, k=0)
+
+
+def test_mmr_rerank_diversifies_and_is_deterministic(spark):
+    from learn_etl_data_warehouse_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    q = [1.0, 0.0, 0.0]
+    vecs = [
+        (1, [1.0, 0.0, 0.0]),      # rel 1.0
+        (2, [0.999, 0.04, 0.0]),   # near-duplicate of 1, rel ~1.0
+        (3, [0.7, 0.7, 0.0]),      # diverse, rel ~0.71
+        (4, [0.0, 1.0, 0.0]),      # orthogonal to q
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = mmr_rerank(df, q, k=2, pool=4, lam=0.5).collect()
+    picks = [r.vec_id for r in sorted(out, key=lambda r: r.rank)]
+    # rank 1 is pure relevance; rank 2 skips the near-duplicate (its
+    # redundancy penalty ~1.0 outweighs its relevance edge over 3)
+    assert picks == [1, 3]
+    # plain top-2 by relevance would have been [1, 2]
+    out2 = mmr_rerank(df, q, k=2, pool=4, lam=0.5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    # lam=1.0 degenerates to pure relevance order
+    pure = mmr_rerank(df, q, k=2, pool=4, lam=1.0).collect()
+    assert [r.vec_id for r in sorted(pure, key=lambda r: r.rank)] == [1, 2]
