@@ -2701,6 +2701,25 @@ def q_s13(spark, sf_dir):
     )
 
 
+def q_d27(spark, sf_dir):
+    """LM-scored corpus curation (r5 cont.): the t19 bigram-LM quality
+    gate applied as a corpus filter (score_ppm >= 35000, ~the median)
+    with per-(source, lang) survivor stats — the KenLM-filter stage of
+    a web-corpus pipeline chained end-to-end, integer throughout."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = text.lm_score_documents(docs)
+    return (
+        docs.join(scored, "doc_id")
+        .filter(F.col("score_ppm") >= 35000)
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(text.token_count(F.col("text"))).alias("total_tokens"),
+            F.sum("score_ppm").alias("sum_score_ppm"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -2872,6 +2891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set05_multiset_ops": q_set05,
         "a20_winsorized_sums": q_a20,
         "r06_activity_islands": q_r06,
+        "d27_lm_quality_corpus": q_d27,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
         # rows are all hash-verifiable
@@ -4483,6 +4503,16 @@ SELECT user_id,
        CAST(to_timestamp(max(epoch_day) * 86400) AS TIMESTAMP) AS end_day,
        CAST(count(*) AS BIGINT) AS n_days
 FROM g GROUP BY user_id, island"""
+    # d27: t19's LM scorer as a corpus quality gate — the t19 oracle
+    # nests as a parenthesized WITH subquery, then filter + stats.
+    out["d27_lm_quality_corpus"] = f"""
+WITH scores AS ({out["t19_lm_doc_score"]})
+SELECT d.source, d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum({_TC}) AS BIGINT) AS total_tokens,
+       CAST(sum(s.score_ppm) AS BIGINT) AS sum_score_ppm
+FROM documents d JOIN scores s ON s.doc_id = d.doc_id
+WHERE s.score_ppm >= 35000
+GROUP BY 1, 2""".replace("trim(text)", "trim(d.text)")
     # d25: the d18 pipeline certified through the FINAL training
     # artifact — chain the corpus CTEs (through `mix`) with t15's chunk
     # CTEs, joining text back from the rebuilt stage.
