@@ -2720,6 +2720,54 @@ def q_d27(spark, sf_dir):
     )
 
 
+def q_pf02(spark, sf_dir):
+    """Categorical drift monitor (r5 cont.): order-priority share (ppm)
+    in the pre-1995 baseline vs the current period, with the absolute
+    per-category share drift — the feature-drift check an ML pipeline
+    runs between snapshots, in pure integer arithmetic (one shuffle:
+    agg on (category, period), then a tiny pivot join)."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "period",
+        F.when(F.year("o_orderdate") < 1995, F.lit("base")).otherwise(
+            F.lit("current")
+        ),
+    )
+    c = o.groupBy("o_orderpriority", "period").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = o.groupBy("period").agg(F.count(F.lit(1)).alias("tot"))
+    s = (
+        c.join(tot, "period")
+        .withColumn("share_ppm", F.expr("(1000000 * n) div tot"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(F.col("period") == "base", F.col("n"))).alias(
+                "base_n"
+            ),
+            F.sum(
+                F.when(F.col("period") == "current", F.col("n"))
+            ).alias("cur_n"),
+            F.sum(
+                F.when(F.col("period") == "base", F.col("share_ppm"))
+            ).alias("base_ppm"),
+            F.sum(
+                F.when(F.col("period") == "current", F.col("share_ppm"))
+            ).alias("cur_ppm"),
+        )
+    )
+    return s.select(
+        "o_orderpriority",
+        F.coalesce("base_n", F.lit(0)).alias("base_n"),
+        F.coalesce("cur_n", F.lit(0)).alias("cur_n"),
+        F.coalesce("base_ppm", F.lit(0)).alias("base_ppm"),
+        F.coalesce("cur_ppm", F.lit(0)).alias("cur_ppm"),
+        F.abs(
+            F.coalesce("cur_ppm", F.lit(0))
+            - F.coalesce("base_ppm", F.lit(0))
+        ).alias("drift_ppm"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -2892,6 +2940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a20_winsorized_sums": q_a20,
         "r06_activity_islands": q_r06,
         "d27_lm_quality_corpus": q_d27,
+        "pf02_category_drift": q_pf02,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
         # rows are all hash-verifiable
@@ -4513,6 +4562,29 @@ SELECT d.source, d.lang, CAST(count(*) AS BIGINT) AS n_docs,
 FROM documents d JOIN scores s ON s.doc_id = d.doc_id
 WHERE s.score_ppm >= 35000
 GROUP BY 1, 2""".replace("trim(text)", "trim(d.text)")
+    out["pf02_category_drift"] = """
+WITH o AS (SELECT o_orderpriority,
+                  CASE WHEN year(o_orderdate) < 1995 THEN 'base'
+                       ELSE 'current' END AS period
+           FROM orders),
+c AS (SELECT o_orderpriority, period, count(*) AS n FROM o GROUP BY 1, 2),
+t AS (SELECT period, count(*) AS tot FROM o GROUP BY 1),
+s AS (SELECT c.o_orderpriority, c.period, c.n,
+             (1000000 * c.n) // t.tot AS share_ppm
+      FROM c JOIN t USING (period))
+SELECT o_orderpriority,
+       CAST(coalesce(sum(CASE WHEN period = 'base' THEN n END), 0)
+            AS BIGINT) AS base_n,
+       CAST(coalesce(sum(CASE WHEN period = 'current' THEN n END), 0)
+            AS BIGINT) AS cur_n,
+       CAST(coalesce(sum(CASE WHEN period = 'base' THEN share_ppm END), 0)
+            AS BIGINT) AS base_ppm,
+       CAST(coalesce(sum(CASE WHEN period = 'current' THEN share_ppm END), 0)
+            AS BIGINT) AS cur_ppm,
+       CAST(abs(coalesce(sum(CASE WHEN period = 'current' THEN share_ppm END), 0)
+                - coalesce(sum(CASE WHEN period = 'base' THEN share_ppm END), 0))
+            AS BIGINT) AS drift_ppm
+FROM s GROUP BY 1"""
     # d25: the d18 pipeline certified through the FINAL training
     # artifact — chain the corpus CTEs (through `mix`) with t15's chunk
     # CTEs, joining text back from the rebuilt stage.

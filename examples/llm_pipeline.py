@@ -1,0 +1,79 @@
+"""Runnable tour of the LLM-data-pipeline surface: quality filters →
+dedup → LM scoring → domain mix → chunking → tokenizer.
+
+    python examples/llm_pipeline.py
+
+Reads the sf0.001 documents fixture and runs the curation stages a
+training-data pipeline chains at scale, printing what each stage kept.
+Every stage shown here is a driver-contract query with a DuckDB oracle
+twin (see COVERAGE.md for the evidence map); this example just walks
+them in pipeline order.
+"""
+import os
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+from pyspark.sql import functions as F
+
+from learn_etl_data_warehouse_spark.operators import dedup, text
+from learn_etl_data_warehouse_spark.operators.sampling import domain_mix
+from learn_etl_data_warehouse_spark.session import get_spark
+from learn_etl_data_warehouse_spark.sources.parquet import load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def main() -> None:
+    spark = get_spark(master="local[4]")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_table(spark, SF_DIR, "documents")
+    n0 = docs.count()
+    print(f"corpus: {n0} docs")
+
+    # 1. heuristic quality gates (C4 + Gopher families)
+    kept = text.c4_filters(docs).filter(F.col("kept")).select("doc_id")
+    docs1 = docs.join(kept, "doc_id", "left_semi")
+    print(f"c4_filters kept {docs1.count()}/{n0}")
+
+    # 2. exact dedup on normalized text
+    docs2 = dedup.dedup_exact(docs1)
+    print(f"exact dedup kept {docs2.count()}")
+
+    # 3. bigram-LM quality score (the KenLM-filter analog, integer ppm)
+    scored = text.lm_score_documents(docs2)
+    docs3 = (
+        docs2.join(scored, "doc_id")
+        .filter(F.col("score_ppm") >= 35000)
+        .select(docs2["*"])
+    )
+    print(f"LM gate (>=35000 ppm) kept {docs3.count()}")
+
+    # 4. domain mix: keep all of src0/src1, downsample the rest
+    # (md5-bucket thresholds, RNG-free and growth-stable)
+    mixed = domain_mix(
+        docs3, {"src0": 1.0, "src1": 1.0}, default_rate=0.5
+    )
+    print(f"domain mix kept {mixed.count()}")
+
+    # 5. sliding-window chunking into training sequences
+    chunks = text.chunk_documents(mixed, chunk_size=32, stride=24)
+    print(f"chunks: {chunks.count()}")
+
+    # 6. BPE tokenizer: train 5 merges on the surviving corpus, encode
+    merges, _vocab = text.bpe_train(mixed, rounds=5)
+    enc = text.bpe_encode(mixed, merges)
+    stats = enc.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.avg("n_tokens").alias("avg_tokens_per_doc"),
+    ).collect()[0]
+    print(
+        f"bpe: {len(merges)} merges, {stats['total_tokens']} tokens, "
+        f"avg {stats['avg_tokens_per_doc']:.1f}/doc"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
