@@ -831,8 +831,17 @@ def bigram_lm(
     — the same count/rank skeleton as vocab building (t14), never a
     driver-side vocabulary.
     """
-    from pyspark.sql import Window
+    return bigram_lm_from_counts(
+        bigram_counts_table(df, text_col), min_context, top
+    )
 
+
+def bigram_counts_table(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The raw (w1, w2, n2) adjacent-pair count table — the additive
+    STATE a bigram LM derives from (one narrow explode + one hash
+    agg)."""
     t = df.select(tokens(F.lower(_c(text_col))).alias("t")).filter(
         F.size("t") >= 2
     )
@@ -848,7 +857,44 @@ def bigram_lm(
         .select("p.w1", "p.w2")
         .filter((F.col("w1") != "") & (F.col("w2") != ""))
     )
-    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    return pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+
+
+def maintain_bigram_counts(
+    prev_counts: DataFrame, batch: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Incremental LM maintenance from an APPEND batch: pair counts are
+    additive states, so the update is one outer-join sum against the
+    batch's own (small) count table — the corpus is never re-tokenized.
+    The LM itself re-derives from the maintained counts via
+    :func:`bigram_lm_from_counts`, whose cost is count-table-sized,
+    not corpus-sized. (Deletes subtract the same way; a pair reaching
+    0 drops out.) The same posture as :func:`maintain_token_counts`."""
+    delta = bigram_counts_table(batch, text_col).withColumnRenamed(
+        "n2", "_dn"
+    )
+    return (
+        prev_counts.join(delta, ["w1", "w2"], "full_outer")
+        .select(
+            "w1",
+            "w2",
+            (
+                F.coalesce(F.col("n2"), F.lit(0))
+                + F.coalesce(F.col("_dn"), F.lit(0))
+            ).alias("n2"),
+        )
+        .filter(F.col("n2") > 0)
+    )
+
+
+def bigram_lm_from_counts(
+    bi: DataFrame, min_context: int = 5, top: int | None = 3
+) -> DataFrame:
+    """Derive the LM table (context totals, ppm conditionals, optional
+    per-context top-k) from a (w1, w2, n2) count table — the read side
+    of the incremental maintenance split."""
+    from pyspark.sql import Window
+
     ctx = bi.groupBy("w1").agg(F.sum("n2").alias("n1"))
     out = (
         bi.join(ctx, "w1")

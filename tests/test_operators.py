@@ -1563,3 +1563,29 @@ def test_mmr_rerank_diversifies_and_is_deterministic(spark):
     # lam=1.0 degenerates to pure relevance order
     pure = mmr_rerank(df, q, k=2, pool=4, lam=1.0).collect()
     assert [r.vec_id for r in sorted(pure, key=lambda r: r.rank)] == [1, 2]
+
+
+def test_maintain_bigram_counts_matches_full_rebuild(spark):
+    from learn_etl_data_warehouse_spark.operators.text import (
+        bigram_counts_table,
+        bigram_lm,
+        bigram_lm_from_counts,
+        maintain_bigram_counts,
+    )
+
+    docs = [(i, f"w{i % 3} w{(i + 1) % 3} w{i % 2} end") for i in range(20)]
+    full = spark.createDataFrame(docs, "doc_id long, text string")
+    first = full.filter("doc_id < 12")
+    batch = full.filter("doc_id >= 12")
+    maintained = maintain_bigram_counts(
+        bigram_counts_table(first), batch
+    )
+    want = sorted(map(tuple, bigram_counts_table(full).collect()))
+    got = sorted(map(tuple, maintained.collect()))
+    assert got == want
+    # the derived LM from maintained state == LM trained from scratch
+    lm_inc = bigram_lm_from_counts(maintained, min_context=1, top=None)
+    lm_full = bigram_lm(full, min_context=1, top=None)
+    assert sorted(map(tuple, lm_inc.collect())) == sorted(
+        map(tuple, lm_full.collect())
+    )
