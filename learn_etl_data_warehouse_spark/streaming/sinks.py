@@ -110,3 +110,69 @@ def dedup_ingest_sink(
         cat.catalog_commit(spark, catalog_dir, writes, replace=False)
 
     return handle
+
+
+def lm_stats_ingest_sink(catalog_dir: str, text_col: str = "text"):
+    """foreachBatch handler maintaining bigram-LM statistics
+    incrementally: each micro-batch's pair counts merge additively into
+    the stored (w1, w2, n2) state (`maintain_bigram_counts` — the
+    corpus is never re-tokenized) and publish as ONE catalog
+    transaction together with a batch ledger.
+
+    Exactly-once here is LEDGER-derived, the complement of
+    `dedup_ingest_sink`'s content-derived idempotence: counts are NOT
+    idempotent under replay (re-adding a batch doubles it), so the
+    commit includes an `lm_applied` row keyed by batch id and the
+    handler skips batches already in the ledger. Ledger + counts flip
+    in one catalog swap, so a crash between them is impossible — a
+    crash before the swap publishes neither, and the replay then
+    applies exactly once.
+
+    The counts table lands under a single `state=live` partition
+    (upsert replaces exactly that partition — the merged state IS the
+    new table); the ledger appends one `ingest_batch=<id>` partition
+    per batch. The ledger read is one row per batch — bounded
+    metadata, not data.
+    """
+    from learn_etl_data_warehouse_spark.operators.text import (
+        bigram_counts_table,
+        maintain_bigram_counts,
+    )
+    from learn_etl_data_warehouse_spark.plans import catalog as cat
+
+    def handle(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        tables = set(cat.read_catalog(catalog_dir)["tables"])
+        if "lm_applied" in tables:
+            applied = {
+                r.batch_id
+                for r in cat.catalog_read(spark, catalog_dir, "lm_applied")
+                .select("batch_id")
+                .collect()
+            }
+            if int(batch_id) in applied:
+                return  # replayed batch: already folded into the state
+        if "lm_counts" in tables:
+            prev = cat.catalog_read(spark, catalog_dir, "lm_counts").select(
+                "w1", "w2", "n2"
+            )
+            merged = maintain_bigram_counts(prev, batch_df, text_col)
+        else:
+            merged = bigram_counts_table(batch_df, text_col)
+        ledger = spark.createDataFrame(
+            [(int(batch_id),)], "batch_id long"
+        ).withColumn("ingest_batch", F.lit(int(batch_id)))
+        cat.catalog_commit(
+            spark,
+            catalog_dir,
+            {
+                "lm_counts": (
+                    merged.withColumn("state", F.lit("live")),
+                    ["state"],
+                ),
+                "lm_applied": (ledger, ["ingest_batch"]),
+            },
+            replace=False,
+        )
+
+    return handle

@@ -1176,3 +1176,48 @@ def test_multitouch_credit_conserved_and_remainder_to_earliest(spark):
     credits = {r.click_id: r.credit_micros for r in by_purchase[4]}
     assert credits == {1: 3_333_334, 2: 3_333_333, 3: 3_333_333}
     assert {r.click_id for r in by_purchase[7]} == {6}
+
+
+def test_lm_stats_ingest_sink_incremental_and_replay_safe(spark, tmp_path):
+    from learn_etl_data_warehouse_spark.operators.text import (
+        bigram_counts_table,
+    )
+    from learn_etl_data_warehouse_spark.plans import catalog as cat
+    from learn_etl_data_warehouse_spark.streaming.sinks import (
+        lm_stats_ingest_sink,
+    )
+
+    cdir = str(tmp_path / "lmcat")
+    docs = [
+        (i, f"tok{i % 3} tok{(i + 1) % 3} tok{i % 2} tail") for i in range(20)
+    ]
+    full = spark.createDataFrame(docs, "doc_id long, text string")
+    b0 = full.filter("doc_id < 8")
+    b1 = full.filter("doc_id >= 8")
+    handle = lm_stats_ingest_sink(cdir)
+
+    handle(b0, 0)
+    handle(b1, 1)
+    got = sorted(
+        map(
+            tuple,
+            cat.catalog_read(spark, cdir, "lm_counts")
+            .select("w1", "w2", "n2")
+            .collect(),
+        )
+    )
+    want = sorted(map(tuple, bigram_counts_table(full).collect()))
+    assert got == want
+    # ledger-derived exactly-once: replaying batch 1 changes nothing
+    txn_before = cat.read_catalog(cdir)["txn"]
+    handle(b1, 1)
+    assert cat.read_catalog(cdir)["txn"] == txn_before
+    got2 = sorted(
+        map(
+            tuple,
+            cat.catalog_read(spark, cdir, "lm_counts")
+            .select("w1", "w2", "n2")
+            .collect(),
+        )
+    )
+    assert got2 == want
