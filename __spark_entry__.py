@@ -2781,8 +2781,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sf0.01+sf0.1-swept in the round it rotates in.
     # r6 rotation candidates (never driver-checked, all swept ×3 scales
     # in r5 continuations): e09 a15 a16 r03 t14 d21 d22 e10 e11 f02 a17
-    # t15 t16 g02 g03 w06 a18 — plus the then-stalest green cohort per
-    # the standing staleness-first policy.
+    # t15 t16 g02 g03 w06 a18 t17 r05 d25 — and the r5c3 cohort fp01
+    # j07 r04 a19 t18 t19 pf01 pf02 e12 path01 d26 d27 g04 w07 set05
+    # a20 r06 — plus the then-stalest green cohort per the standing
+    # staleness-first policy.
     return {
         # -- never driver-checked (r5 additions) (5) -----------------------
         "ivm01_maintained_rollup": q_ivm01,
