@@ -2768,6 +2768,99 @@ def q_pf02(spark, sf_dir):
     )
 
 
+def q_a21(spark, sf_dir):
+    """Exact weighted median (r5 cont.): per return flag, the smallest
+    price whose cumulative quantity-weight covers half the total —
+    2·cumw >= tot in integers (cross-multiplied, no float division).
+    Equal prices aggregate their weight BEFORE the cumulative window,
+    so ties are handled identically cross-engine."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("cents"),
+        # Spark CAST(double AS BIGINT) truncates; the DuckDB twin must
+        # trunc() first because ITS cast rounds (invariant 4)
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    g = li.groupBy("l_returnflag", "cents").agg(F.sum("w").alias("wsum"))
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    c = g.withColumn("cumw", F.sum("wsum").over(wc)).withColumn(
+        "tot", F.sum("wsum").over(wt)
+    )
+    return (
+        c.filter(F.col("cumw") * 2 >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("cents").alias("weighted_median_cents"),
+            F.max("tot").alias("total_weight"),
+        )
+    )
+
+
+def q_r07(spark, sf_dir):
+    """Point-in-time feature join (r5 cont.): the feature-store
+    training-set shape — a purchase spine enriched with two feature
+    tables AS OF each purchase's timestamp (operators/asof.py::
+    asof_join, the union-window as-of — one shuffle per feature, no
+    join explosion). Features derive from the same event log: hourly
+    click stats published at the hour boundary, and the user's
+    cumulative event count at each event time. Oracle uses DuckDB's
+    native ASOF JOIN — two engines, two as-of implementations, one
+    result."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    spine = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    f1 = (
+        clicks.groupBy(
+            "user_id",
+            (
+                F.timestamp_micros(
+                    (F.unix_micros("ts") - F.unix_micros("ts") % 3600000000)
+                    + 3600000000
+                )
+            ).alias("ts"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("clicks_1h"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "click_cents"
+            ),
+        )
+    )
+    we = Window.partitionBy("user_id").orderBy(
+        F.col("ts"), F.col("event_id")
+    )
+    f2 = (
+        ev.withColumn("n_events_so_far", F.row_number().over(we))
+        .groupBy("user_id", "ts")
+        .agg(F.max("n_events_so_far").alias("n_events_so_far"))
+    )
+    out = asof.asof_join(
+        spine, f1, key="user_id", ts="ts",
+        payload_cols=["clicks_1h", "click_cents"],
+    )
+    out = asof.asof_join(
+        out.select("user_id", "purchase_id", "ts", "clicks_1h", "click_cents"),
+        f2, key="user_id", ts="ts", payload_cols=["n_events_so_far"],
+    )
+    return out.select(
+        "purchase_id", "user_id", "ts",
+        "clicks_1h", "click_cents", "n_events_so_far",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -2943,6 +3036,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r06_activity_islands": q_r06,
         "d27_lm_quality_corpus": q_d27,
         "pf02_category_drift": q_pf02,
+        "a21_weighted_median": q_a21,
+        "r07_pit_features": q_r07,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
         # rows are all hash-verifiable
@@ -4587,6 +4682,49 @@ SELECT o_orderpriority,
                 - coalesce(sum(CASE WHEN period = 'base' THEN share_ppm END), 0))
             AS BIGINT) AS drift_ppm
 FROM s GROUP BY 1"""
+    out["a21_weighted_median"] = """
+WITH li AS (SELECT l_returnflag,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                   CAST(trunc(l_quantity) AS BIGINT) AS w
+            FROM lineitem),
+g AS (SELECT l_returnflag, cents, CAST(sum(w) AS BIGINT) AS wsum
+      FROM li GROUP BY 1, 2),
+c AS (SELECT *,
+             CAST(sum(wsum) OVER (PARTITION BY l_returnflag ORDER BY cents
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS cumw,
+             CAST(sum(wsum) OVER (PARTITION BY l_returnflag) AS BIGINT)
+                 AS tot
+      FROM g)
+SELECT l_returnflag, CAST(min(cents) AS BIGINT) AS weighted_median_cents,
+       CAST(max(tot) AS BIGINT) AS total_weight
+FROM c WHERE cumw * 2 >= tot GROUP BY 1"""
+    out["r07_pit_features"] = """
+WITH spine AS (SELECT user_id, event_id AS purchase_id, ts FROM events
+               WHERE event_type = 'purchase'),
+cl AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+f1 AS (SELECT user_id,
+              make_timestamp(epoch_us(ts) - epoch_us(ts) % 3600000000
+                             + 3600000000) AS fts,
+              CAST(count(*) AS BIGINT) AS clicks_1h,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS click_cents
+       FROM cl GROUP BY 1, 2),
+r AS (SELECT user_id, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+f2 AS (SELECT user_id, ts AS fts2, CAST(max(rn) AS BIGINT)
+           AS n_events_so_far
+       FROM r GROUP BY 1, 2),
+j1 AS (SELECT s.purchase_id, s.user_id, s.ts, f1.clicks_1h,
+              f1.click_cents
+       FROM spine s ASOF LEFT JOIN f1
+         ON s.user_id = f1.user_id AND s.ts >= f1.fts)
+SELECT j1.purchase_id, j1.user_id, j1.ts, j1.clicks_1h, j1.click_cents,
+       f2.n_events_so_far
+FROM j1 ASOF LEFT JOIN f2
+  ON j1.user_id = f2.user_id AND j1.ts >= f2.fts2"""
     # d25: the d18 pipeline certified through the FINAL training
     # artifact — chain the corpus CTEs (through `mix`) with t15's chunk
     # CTEs, joining text back from the rebuilt stage.
