@@ -2861,6 +2861,25 @@ def q_r07(spark, sf_dir):
     )
 
 
+def q_s14(spark, sf_dir):
+    """Hard-negative mining (r5 cont.): per anchor, the 3 most-similar
+    vectors with a DIFFERENT label (floor 0.2) — contrastive-training
+    data prep (operators/similarity.py::hard_negatives; exact
+    all-pairs on the bounded benchmark corpus, bucket-candidate at
+    scale). Cosines round to 6 decimals (the s01/s02 convention), so
+    the mined set is value-exact cross-engine. The driver query mines
+    anchors with vec_id % 4 == 0 against the FULL negative pool — the
+    g03 slicing rationale: the certification stays exact while the
+    oracle's quadratic pair volume stays sweep-cheap; the operator is
+    unscoped."""
+    return similarity.hard_negatives(
+        _t(spark, sf_dir, "embeddings"),
+        k=3,
+        min_cos=0.2,
+        anchor_filter=F.col("vec_id") % 4 == 0,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -3038,6 +3057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pf02_category_drift": q_pf02,
         "a21_weighted_median": q_a21,
         "r07_pit_features": q_r07,
+        "s14_hard_negatives": q_s14,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
         # rows are all hash-verifiable
@@ -4725,6 +4745,19 @@ SELECT j1.purchase_id, j1.user_id, j1.ts, j1.clicks_1h, j1.click_cents,
        f2.n_events_so_far
 FROM j1 ASOF LEFT JOIN f2
   ON j1.user_id = f2.user_id AND j1.ts >= f2.fts2"""
+    out["s14_hard_negatives"] = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+p0 AS (SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
+              {_COS.format(a='a.v', b='b.v')} AS cosine
+       FROM e a JOIN e b
+         ON a.vec_id <> b.vec_id AND a.label <> b.label
+       WHERE a.vec_id % 4 = 0),
+p AS (SELECT * FROM p0 WHERE cosine >= 0.2),
+r AS (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                   ORDER BY cosine DESC, neg_id) AS rn
+      FROM p)
+SELECT anchor_id, neg_id, cosine, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= 3"""
     # d25: the d18 pipeline certified through the FINAL training
     # artifact — chain the corpus CTEs (through `mix`) with t15's chunk
     # CTEs, joining text back from the rebuilt stage.

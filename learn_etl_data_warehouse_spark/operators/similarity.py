@@ -803,3 +803,65 @@ def mmr_rerank(
     return df.sparkSession.createDataFrame(
         rows, f"rank long, {id_col} long, rel double, score double"
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    k: int = 3,
+    min_cos: float = 0.2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    anchor_filter: Column | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    ``k`` most-similar vectors carrying a DIFFERENT label (similarity
+    floor ``min_cos`` bounds the candidate set). Directed — every
+    anchor ranks its own negatives; ties broken (cosine DESC, id ASC)
+    so the mined set is deterministic and oracle-checkable (cosine
+    rounded to 6 decimals, the s01/s02 convention).
+
+    Exact all-pairs here — right for the bounded benchmark corpus and
+    for verification; at 100 TB run the same ranking over LSH/IVF
+    bucket candidates instead (the two-stage s12 posture), which
+    changes recall, not the ranking rule. ``anchor_filter`` restricts
+    the ANCHOR side only (the negative pool stays full) — per-anchor
+    results are independent, so a slice certifies the ranking rule
+    exactly at a fraction of the pair volume.
+    """
+    from pyspark.sql import Window
+
+    sel = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.col(label_col).alias("_l"),
+    )
+    anchors = sel if anchor_filter is None else df.filter(
+        anchor_filter
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.col(label_col).alias("_l"),
+    )
+    a, b = anchors.alias("a"), sel.alias("b")
+    sim = F.round(cosine_similarity(F.col("a._v"), F.col("b._v")), 6)
+    pairs = (
+        a.join(
+            b,
+            (F.col("a._id") != F.col("b._id"))
+            & (F.col("a._l") != F.col("b._l")),
+        )
+        .select(
+            F.col("a._id").alias("anchor_id"),
+            F.col("b._id").alias("neg_id"),
+            sim.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= float(min_cos))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("neg_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= int(k))
+    )
