@@ -2880,6 +2880,40 @@ def q_s14(spark, sf_dir):
     )
 
 
+def q_g05(spark, sf_dir):
+    """Multi-source BFS reachability (r5 cont.): hop distance from the
+    nearest seed part (part_id % 50 == 0) within 3 rounds over the part
+    co-occurrence graph (operators/graph.py::bfs_hops — frontier
+    expansion as join+min-agg per round; integer hops, oracle unrolls
+    the identical rounds; same 30%-order slice rationale as g03/g04 —
+    the operator itself is unscoped)."""
+    from learn_etl_data_warehouse_spark.operators.graph import (
+        bfs_hops,
+        cooccurrence_edges,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 < 3)
+    edges = cooccurrence_edges(li)
+    seeds = edges.select("src").filter(F.col("src") % 50 == 0).distinct()
+    return bfs_hops(edges, seeds, rounds=3).select(
+        F.col("node").alias("part_id"), "hops"
+    )
+
+
+def q_e13(spark, sf_dir):
+    """Hourly-series autocorrelation (r5 cont.): lag-1/2/3 Pearson
+    autocorrelation of each event_type's hourly count series, the
+    bursty-vs-periodic forecasting diagnostic (operators/timeseries.py::
+    autocorrelation — pairwise-present pairs from a lag self-join of the
+    hourly AGGREGATE, then a15's exact-moment closed form; engine-exact,
+    no native corr())."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        autocorrelation,
+    )
+
+    return autocorrelation(_t(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -3058,6 +3092,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a21_weighted_median": q_a21,
         "r07_pit_features": q_r07,
         "s14_hard_negatives": q_s14,
+        "e13_autocorrelation": q_e13,
+        "g05_bfs_hops": q_g05,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
         # rows are all hash-verifiable
@@ -4613,6 +4649,25 @@ e{_i} AS (SELECT e.src, e.dst FROM e{_i - 1} e
         "\nFROM e3 GROUP BY 1"
     )
     out["g04_kcore"] = kc_sql
+    # g05: multi-source BFS — unroll the 3 frontier rounds exactly as
+    # the operator runs them (UNION ALL + min per round).
+    bfs_sql = """
+WITH li AS (SELECT l_orderkey AS gk, l_partkey AS item FROM lineitem
+            WHERE l_orderkey % 10 < 3),
+e0 AS (SELECT DISTINCT a.item AS src, b.item AS dst
+       FROM li a JOIN li b ON a.gk = b.gk AND a.item <> b.item),
+d0 AS (SELECT DISTINCT src AS node, 0 AS hops FROM e0 WHERE src % 50 = 0)"""
+    for _i in range(1, 4):
+        bfs_sql += f""",
+s{_i} AS (SELECT e.dst AS node, d.hops + 1 AS hops
+          FROM d{_i - 1} d JOIN e0 e ON e.src = d.node),
+d{_i} AS (SELECT node, min(hops) AS hops FROM
+          (SELECT * FROM d{_i - 1} UNION ALL SELECT * FROM s{_i})
+          GROUP BY 1)"""
+    bfs_sql += (
+        "\nSELECT node AS part_id, CAST(hops AS BIGINT) AS hops FROM d3"
+    )
+    out["g05_bfs_hops"] = bfs_sql
     out["w07_ntile_quartiles"] = """
 SELECT o_orderkey, o_orderstatus,
        CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
@@ -4758,6 +4813,38 @@ r AS (SELECT *, row_number() OVER (PARTITION BY anchor_id
       FROM p)
 SELECT anchor_id, neg_id, cosine, CAST(rn AS BIGINT) AS rn
 FROM r WHERE rn <= 3"""
+    out["e13_autocorrelation"] = """
+WITH h AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+         CAST(count(*) AS HUGEINT) AS x
+  FROM events GROUP BY 1, 2),
+p AS (
+  SELECT a.event_type, l.lag, a.x AS x, b.x AS y
+  FROM h a
+  CROSS JOIN (SELECT unnest([1, 2, 3]) AS lag) l
+  JOIN h b ON b.event_type = a.event_type AND b.hr = a.hr + l.lag),
+m AS (
+  SELECT event_type, lag, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+         sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM p GROUP BY 1, 2),
+d AS (
+  SELECT event_type, lag, n, CAST(n AS DOUBLE) AS nd,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+         CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd,
+         CAST(sxy AS DOUBLE) AS sxyd
+  FROM m)
+SELECT event_type, CAST(lag AS BIGINT) AS lag, n,
+       CASE WHEN nd * sxxd - sxd * sxd > 0 AND nd * syyd - syd * syd > 0
+            THEN round((nd * sxyd - sxd * syd)
+                       / (sqrt(nd * sxxd - sxd * sxd)
+                          * sqrt(nd * syyd - syd * syd)), 6)
+       END AS corr_xy,
+       CASE WHEN nd * sxxd - sxd * sxd > 0
+            THEN round((nd * sxyd - sxd * syd)
+                       / (nd * sxxd - sxd * sxd), 6)
+       END AS slope_yx
+FROM d"""
     # d25: the d18 pipeline certified through the FINAL training
     # artifact — chain the corpus CTEs (through `mix`) with t15's chunk
     # CTEs, joining text back from the rebuilt stage.

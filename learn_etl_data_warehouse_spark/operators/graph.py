@@ -215,3 +215,50 @@ def kcore_filter(
     return e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 3,
+    materialize_edges: bool = True,
+) -> DataFrame:
+    """Fixed-round multi-source BFS: hop distance from the nearest seed.
+
+    The reachability primitive behind "how far is every item from the
+    curated seed set" (catalog exploration, influence radius, taint
+    propagation). Runs exactly ``rounds`` frontier expansions — the
+    same fixed-iteration posture as :func:`pagerank_fixed_point`, so
+    the hop distances are pure small integers and an external SQL
+    engine reproduces them by unrolling identical rounds (converged
+    variants would drive the d10 changed-count loop instead).
+
+    Each round is one key-equality join (current distances onto the
+    edge list) plus one min-aggregation on the node — Pregel-as-joins;
+    no collect, no driver-side graph, frontier state lives in the
+    shuffle. ``seeds`` is a one-column DataFrame of seed nodes (its
+    first column is used); nodes never reached within ``rounds`` hops
+    are absent from the result.
+
+    Returns (node, hops BIGINT), hops = min distance ≤ ``rounds``.
+    """
+    if rounds < 1:
+        raise ValueError("bfs_hops: rounds must be >= 1")
+    e = edges.select("src", "dst")
+    if materialize_edges:
+        e = e.localCheckpoint()
+    dist = seeds.select(
+        F.col(seeds.columns[0]).alias("node"),
+        F.lit(0).cast("long").alias("hops"),
+    ).distinct()
+    for _ in range(int(rounds)):
+        step = dist.join(e, dist["node"] == e["src"]).select(
+            F.col("dst").alias("node"),
+            (F.col("hops") + F.lit(1)).cast("long").alias("hops"),
+        )
+        dist = (
+            dist.unionAll(step)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+        )
+    return dist

@@ -85,3 +85,60 @@ def hourly_gapfill(
         F.last("_hour_sum", ignorenulls=True).over(w).alias("filled_sum"),
         F.col("_n").isNull().cast("long").alias("is_gap"),
     )
+
+
+def autocorrelation(
+    df: DataFrame,
+    key: str = "event_type",
+    ts: str = "ts",
+    lags: tuple[int, ...] = (1, 2, 3),
+) -> DataFrame:
+    """Lag-k autocorrelation of each key's hourly activity series.
+
+    The per-key hourly event counts form a time series; its
+    autocorrelation at small lags is the standard "is activity bursty
+    or periodic" diagnostic (a forecasting-feature input). Pairs are
+    formed only where BOTH hours were observed (pairwise-present
+    semantics — no imputation; compose with ``hourly_gapfill`` first if
+    zero-filled semantics are wanted), then the exact-moment Pearson
+    form from ``grouped_corr`` runs per (key, lag), so the result is
+    engine-exact: counts are integers, moment sums are DECIMAL(38,0),
+    and the single double evaluation of identical exact operands is
+    IEEE-stable cross-engine (native ``corr()`` is partition-order
+    nondeterministic — same contract as a15).
+
+    The hour index is ``unix_micros div 3600000000`` — pure BIGINT
+    arithmetic (a double epoch would lose ulps above 2^53 µs; both
+    engines floor the same non-negative division).
+
+    Plan shape: one shuffle to the (key, hour) grain, a narrow explode
+    of the bounded lag list, one key-equality self-join of the hourly
+    aggregate (tiny: O(keys × active hours), never raw events), one
+    moment shuffle on (key, lag). At 100 TB the only data-volume pass
+    is the grain aggregation; everything after runs on the aggregate.
+    """
+    from learn_etl_data_warehouse_spark.operators.grouped import grouped_corr
+
+    us_per_hour = 3_600_000_000
+    hourly = (
+        df.groupBy(
+            F.col(key),
+            F.expr(f"unix_micros({ts}) div {us_per_hour}").alias("_hr"),
+        )
+        .agg(F.count(F.lit(1)).alias("_x"))
+    )
+    lagged = hourly.withColumn(
+        "lag",
+        F.explode(F.array(*[F.lit(int(l)).cast("long") for l in lags])),
+    )
+    probe = hourly.select(
+        F.col(key).alias("_k2"),
+        F.col("_hr").alias("_hr2"),
+        F.col("_x").alias("_y"),
+    )
+    pairs = lagged.join(
+        probe,
+        (F.col(key) == F.col("_k2"))
+        & (F.col("_hr2") == F.col("_hr") + F.col("lag")),
+    ).select(key, "lag", F.col("_x").alias("x"), F.col("_y").alias("y"))
+    return grouped_corr(pairs, keys=[key, "lag"], x="x", y="y", scale=1)

@@ -1205,6 +1205,24 @@ def test_triangle_counts_on_known_graphs(spark):
     assert got == {0: 1, 1: 1, 2: 1}
 
 
+def test_bfs_hops_on_known_graph(spark):
+    """Path 0-1-2-3-4-5 seeded at 0: hops == node index, nodes beyond
+    the round budget absent; two seeds take the MIN distance."""
+    from learn_etl_data_warehouse_spark.operators.graph import bfs_hops
+
+    path = [(i, i + 1) for i in range(5)]
+    sym = path + [(b, a) for a, b in path]
+    edges = spark.createDataFrame(sym, ["src", "dst"])
+
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    got = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds, rounds=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}  # 4,5 unreached in 3 rounds
+
+    seeds2 = spark.createDataFrame([(0,), (5,)], ["node"])
+    got2 = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds2, rounds=2).collect()}
+    assert got2 == {0: 0, 1: 1, 2: 2, 3: 2, 4: 1, 5: 0}
+
+
 def test_bpe_train_matches_sennrich_reference(spark):
     """Distributed BPE vs a pure-Python canonical implementation:
     identical merge sequence (incl. overlap handling and tie-breaks)

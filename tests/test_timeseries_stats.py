@@ -442,3 +442,38 @@ class TestIncrementalVocab:
         )
         got = {(r["token"], r["n"]) for r in merged.collect()}
         assert got == {("a", 1), ("b", 2)}  # doc 1 only; 'c' dropped out
+
+
+class TestAutocorrelation:
+    def test_alternating_series_is_negative_at_lag1(self, spark):
+        from learn_etl_data_warehouse_spark.operators.timeseries import (
+            autocorrelation,
+        )
+
+        # Alternating hourly activity 3,1,3,1,... → autocorr ≈ −1 at
+        # lag 1, ≈ +1 at lag 2 (pairwise-present, fully dense series).
+        t0 = dt.datetime(2024, 1, 1, 0, 15)
+        rows = []
+        for h in range(12):
+            n = 3 if h % 2 == 0 else 1
+            for i in range(n):
+                rows.append(("a", t0 + dt.timedelta(hours=h, minutes=i), 0.0))
+        out = {
+            r["lag"]: r
+            for r in autocorrelation(_events(spark, rows)).collect()
+        }
+        assert out[1]["corr_xy"] == pytest.approx(-1.0, abs=1e-6)
+        assert out[2]["corr_xy"] == pytest.approx(1.0, abs=1e-6)
+        assert out[1]["n"] == 11 and out[2]["n"] == 10
+
+    def test_pairs_are_pairwise_present_across_gaps(self, spark):
+        from learn_etl_data_warehouse_spark.operators.timeseries import (
+            autocorrelation,
+        )
+
+        # Hours 0,1,3 observed → lag-1 pairs (0,1) only; lag-2 pair
+        # (1,3); lag-3 pair (0,3). Gap hour 2 is never imputed.
+        t0 = dt.datetime(2024, 1, 1, 0, 0)
+        rows = [("a", t0 + dt.timedelta(hours=h), 0.0) for h in (0, 1, 3)]
+        out = {r["lag"]: r["n"] for r in autocorrelation(_events(spark, rows)).collect()}
+        assert out == {1: 1, 2: 1, 3: 1}
