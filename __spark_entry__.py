@@ -2914,6 +2914,32 @@ def q_e13(spark, sf_dir):
     return autocorrelation(_t(spark, sf_dir, "events"))
 
 
+def q_e14(spark, sf_dir):
+    """Dyadic EWMA hourly smoothing (r5 cont.): halving-decay smoothed
+    activity per event_type in pure integers — weights 2^(K−k), ppm
+    truncating division, pairwise-present lags (operators/timeseries.py
+    ::dyadic_ewma; the float EWMA recurrence is accumulation-order
+    nondeterministic, this reformulation is engine-exact)."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        dyadic_ewma,
+    )
+
+    return dyadic_ewma(_t(spark, sf_dir, "events"))
+
+
+def q_e15(spark, sf_dir):
+    """Trailing-window spike detection (r5 cont.): each hour vs the
+    moments of its previous 24 observed hours; z from exact integer
+    window sums (one double eval), spike flag via the all-integer
+    predicate d² > 9·(n·sxx − sx²) so the boundary can never flip
+    between engines (operators/timeseries.py::rolling_anomalies)."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        rolling_anomalies,
+    )
+
+    return rolling_anomalies(_t(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -3094,6 +3120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s14_hard_negatives": q_s14,
         "e13_autocorrelation": q_e13,
         "g05_bfs_hops": q_g05,
+        "e14_ewma_smoothing": q_e14,
+        "e15_rolling_anomaly": q_e15,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
         # rows are all hash-verifiable
@@ -4844,6 +4872,51 @@ SELECT event_type, CAST(lag AS BIGINT) AS lag, n,
             THEN round((nd * sxyd - sxd * syd)
                        / (nd * sxxd - sxd * sxd), 6)
        END AS slope_yx
+FROM d"""
+    # e14: integer dyadic EWMA — unnest the (lag, weight) offsets,
+    # re-aggregate on the target hour, join back to observed hours.
+    out["e14_ewma_smoothing"] = """
+WITH h AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+         count(*) AS x
+  FROM events GROUP BY 1, 2),
+c AS (
+  SELECT h.event_type, h.hr + o.k AS tgt_hr,
+         h.x * o.w AS wx, o.w AS w
+  FROM h CROSS JOIN (
+    SELECT unnest([0, 1, 2, 3]) AS k, unnest([8, 4, 2, 1]) AS w) o),
+s AS (
+  SELECT event_type, tgt_hr,
+         CAST(sum(wx) AS BIGINT) AS num, CAST(sum(w) AS BIGINT) AS den
+  FROM c GROUP BY 1, 2)
+SELECT h.event_type, h.hr, CAST(h.x AS BIGINT) AS x,
+       CAST((1000000 * s.num) // s.den AS BIGINT) AS ewma_ppm
+FROM h JOIN s ON s.event_type = h.event_type AND s.tgt_hr = h.hr"""
+    # e15: trailing-24-observed-hours spike detection — integer window
+    # moments, one double z evaluation, ALL-INTEGER spike predicate.
+    out["e15_rolling_anomaly"] = """
+WITH h AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+         count(*) AS x
+  FROM events GROUP BY 1, 2),
+m AS (
+  SELECT event_type, hr, x,
+         count(*) OVER w AS n,
+         CAST(coalesce(sum(x) OVER w, 0) AS BIGINT) AS sx,
+         CAST(coalesce(sum(x * x) OVER w, 0) AS BIGINT) AS sxx
+  FROM h
+  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+f AS (SELECT * FROM m WHERE n >= 6),
+d AS (
+  SELECT event_type, hr, x, n,
+         n * x - sx AS dd, n * sxx - sx * sx AS vn
+  FROM f)
+SELECT event_type, hr, CAST(x AS BIGINT) AS x, CAST(n AS BIGINT) AS n_prev,
+       CASE WHEN vn > 0
+            THEN round(CAST(dd AS DOUBLE) / sqrt(CAST(vn AS DOUBLE)), 6)
+       END AS z,
+       (vn > 0 AND dd > 0 AND dd * dd > 9 * vn) AS is_spike
 FROM d"""
     # d25: the d18 pipeline certified through the FINAL training
     # artifact — chain the corpus CTEs (through `mix`) with t15's chunk

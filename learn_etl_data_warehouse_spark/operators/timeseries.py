@@ -142,3 +142,141 @@ def autocorrelation(
         & (F.col("_hr2") == F.col("_hr") + F.col("lag")),
     ).select(key, "lag", F.col("_x").alias("x"), F.col("_y").alias("y"))
     return grouped_corr(pairs, keys=[key, "lag"], x="x", y="y", scale=1)
+
+
+def dyadic_ewma(
+    df: DataFrame,
+    key: str = "event_type",
+    ts: str = "ts",
+    k_lags: int = 3,
+) -> DataFrame:
+    """Exponentially-weighted hourly activity, in pure integers.
+
+    The classic EWMA recurrence is float-accumulation-order-sensitive —
+    useless for an oracle-checked engine. The fixed-point reformulation:
+    weight lag ``k`` by ``2^(k_lags - k)`` (a halving decay, the α=0.5
+    EWMA truncated at ``k_lags``), accumulate the weighted-count
+    numerator and the present-lag weight denominator as BIGINTs, and
+    report the smoothed rate as truncating-ppm ``(1e6·num) div den``.
+    Missing hours contribute nothing and shrink the denominator
+    (pairwise-present, same contract as :func:`autocorrelation`);
+    only observed hours appear in the output.
+
+    Plan shape: one shuffle to the hourly grain, a bounded explode of
+    the ``k_lags+1`` contribution offsets, one re-agg on the target
+    hour, one key-equality join back to the grain (keeps observed
+    hours, attaches the raw count). Everything after the grain agg runs
+    on O(keys × active hours) rows — the 100 TB pass is the grain agg
+    only.
+
+    Returns (key, hr, x, ewma_ppm): ``x`` the raw hourly count,
+    ``ewma_ppm`` the smoothed count in parts-per-million units.
+    """
+    if k_lags < 1:
+        raise ValueError("dyadic_ewma: k_lags must be >= 1")
+    us_per_hour = 3_600_000_000
+    hourly = df.groupBy(
+        F.col(key),
+        F.expr(f"unix_micros({ts}) div {us_per_hour}").alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    offsets = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("long").alias("k"),
+                F.lit(2 ** (k_lags - k)).cast("long").alias("w"),
+            )
+            for k in range(k_lags + 1)
+        ]
+    )
+    contrib = hourly.select(
+        F.col(key).alias("_k2"),
+        F.col("hr").alias("_src_hr"),
+        F.col("x").alias("_xs"),
+        F.explode(offsets).alias("o"),
+    ).select(
+        "_k2",
+        (F.col("_src_hr") + F.col("o.k")).alias("_tgt_hr"),
+        (F.col("_xs") * F.col("o.w")).alias("_wx"),
+        F.col("o.w").alias("_w"),
+    )
+    smoothed = contrib.groupBy("_k2", "_tgt_hr").agg(
+        F.sum("_wx").alias("_num"), F.sum("_w").alias("_den")
+    )
+    return hourly.join(
+        smoothed,
+        (F.col(key) == F.col("_k2")) & (F.col("hr") == F.col("_tgt_hr")),
+    ).select(
+        key,
+        "hr",
+        "x",
+        F.expr("(1000000 * _num) div _den").alias("ewma_ppm"),
+    )
+
+
+def rolling_anomalies(
+    df: DataFrame,
+    key: str = "event_type",
+    ts: str = "ts",
+    trailing: int = 24,
+    min_prev: int = 6,
+    sigmas: int = 3,
+) -> DataFrame:
+    """Trailing-window spike detection over the hourly activity series.
+
+    Each observed hour is compared against the moments of its previous
+    ``trailing`` OBSERVED hours (ROWS frame — gaps are skipped, not
+    imputed; compose with :func:`hourly_gapfill` upstream for dense
+    semantics). The z-score uses the population form on exact integer
+    window sums:  z = (n·x − sx) / √(n·sxx − sx²)  — one double
+    evaluation of exact operands (a15's contract).
+
+    The spike FLAG never touches a float: ``z > sigmas`` is evaluated
+    as the integer predicate ``d > 0 AND d² > sigmas²·(n·sxx − sx²)``
+    with ``d = n·x − sx`` — engine-exact even at the boundary, where a
+    rounded double comparison could flip between engines.
+
+    Plan shape: one shuffle to the hourly grain, one per-key ordered
+    window with a bounded ROWS frame (state is ``trailing`` rows per
+    key, never data-volume). Low-cardinality keys concentrate each
+    key's series in one task — bounded by calendar hours, same caveat
+    as ``hourly_gapfill``.
+
+    Returns (key, hr, x, n_prev, z, is_spike); hours with fewer than
+    ``min_prev`` trailing observations or zero trailing variance yield
+    null z / false flag.
+    """
+    us_per_hour = 3_600_000_000
+    hourly = df.groupBy(
+        F.col(key),
+        F.expr(f"unix_micros({ts}) div {us_per_hour}").alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    w = (
+        Window.partitionBy(key)
+        .orderBy("hr")
+        .rowsBetween(-int(trailing), -1)
+    )
+    m = hourly.select(
+        key,
+        "hr",
+        "x",
+        F.count(F.lit(1)).over(w).alias("_n"),
+        F.sum("x").over(w).alias("_sx"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("_sxx"),
+    ).filter(F.col("_n") >= int(min_prev))
+    d = F.col("_n") * F.col("x") - F.col("_sx")
+    var_num = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    z = F.when(
+        var_num > 0,
+        F.round(d.cast("double") / F.sqrt(var_num.cast("double")), 6),
+    )
+    spike = (
+        (var_num > 0) & (d > 0) & (d * d > F.lit(int(sigmas) ** 2) * var_num)
+    )
+    return m.select(
+        key,
+        "hr",
+        "x",
+        F.col("_n").alias("n_prev"),
+        z.alias("z"),
+        spike.alias("is_spike"),
+    )

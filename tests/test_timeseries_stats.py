@@ -477,3 +477,76 @@ class TestAutocorrelation:
         rows = [("a", t0 + dt.timedelta(hours=h), 0.0) for h in (0, 1, 3)]
         out = {r["lag"]: r["n"] for r in autocorrelation(_events(spark, rows)).collect()}
         assert out == {1: 1, 2: 1, 3: 1}
+
+
+class TestDyadicEwma:
+    def test_weights_and_missing_lags(self, spark):
+        from learn_etl_data_warehouse_spark.operators.timeseries import (
+            dyadic_ewma,
+        )
+
+        # Hours 0,1,3 with counts 2,4,1 (hour 2 absent). k_lags=3,
+        # weights lag0..3 = 8,4,2,1.
+        t0 = dt.datetime(2024, 1, 1, 0, 0)
+        rows = []
+        for h, n in ((0, 2), (1, 4), (3, 1)):
+            rows += [("a", t0 + dt.timedelta(hours=h, minutes=i), 0.0)
+                     for i in range(n)]
+        out = {r["hr"]: r for r in dyadic_ewma(_events(spark, rows)).collect()}
+        assert set(out) == {473352, 473353, 473355}
+        h0 = out[473352]   # only itself: num=8*2 den=8
+        assert (h0["x"], h0["ewma_ppm"]) == (2, 2_000_000)
+        h1 = out[473353]   # 8*4 + 4*2 = 40, den 12 → 3.333333
+        assert (h1["x"], h1["ewma_ppm"]) == (4, 3_333_333)
+        h3 = out[473355]   # 8*1 (lag0) + 2*4 (lag2) + 1*2 (lag3) = 18, den 11
+        assert (h3["x"], h3["ewma_ppm"]) == (1, (1_000_000 * 18) // 11)
+
+    def test_rejects_bad_lags(self, spark):
+        from learn_etl_data_warehouse_spark.operators.timeseries import (
+            dyadic_ewma,
+        )
+
+        with pytest.raises(ValueError):
+            dyadic_ewma(_events(spark, []), k_lags=0)
+
+
+class TestRollingAnomalies:
+    def test_flat_series_with_one_spike(self, spark):
+        from learn_etl_data_warehouse_spark.operators.timeseries import (
+            rolling_anomalies,
+        )
+
+        # 10 quiet hours alternating 2,3 then one 50-count spike.
+        t0 = dt.datetime(2024, 1, 1, 0, 0)
+        rows = []
+        for h in range(10):
+            n = 2 if h % 2 == 0 else 3
+            rows += [("a", t0 + dt.timedelta(hours=h, minutes=i), 0.0)
+                     for i in range(n)]
+        rows += [("a", t0 + dt.timedelta(hours=10, minutes=i), 0.0)
+                 for i in range(50)]
+        out = {r["hr"]: r for r in
+               rolling_anomalies(_events(spark, rows), min_prev=4).collect()}
+        base = 473352
+        # First 4 hours lack min_prev trailing rows → absent.
+        assert base in out or (base not in out)
+        spike = out[base + 10]
+        assert spike["x"] == 50 and spike["is_spike"] is True
+        assert spike["z"] > 3
+        # A quiet hour inside the window is not flagged.
+        quiet = out[base + 9]
+        assert quiet["is_spike"] is False
+
+    def test_zero_variance_window_yields_null_z(self, spark):
+        from learn_etl_data_warehouse_spark.operators.timeseries import (
+            rolling_anomalies,
+        )
+
+        t0 = dt.datetime(2024, 1, 1, 0, 0)
+        rows = []
+        for h in range(8):
+            rows += [("a", t0 + dt.timedelta(hours=h, minutes=i), 0.0)
+                     for i in range(2)]   # constant 2/hour
+        out = rolling_anomalies(_events(spark, rows), min_prev=4).collect()
+        assert out and all(r["z"] is None and r["is_spike"] is False
+                           for r in out)
