@@ -2940,6 +2940,41 @@ def q_e15(spark, sf_dir):
     return rolling_anomalies(_t(spark, sf_dir, "events"))
 
 
+def q_t20(spark, sf_dir):
+    """PMI collocations (r5 cont.): top-100 statistically-bound word
+    pairs over the document corpus — PMI as the truncating-ppm RATIO
+    (monotone in PMI; libm log is not cross-engine reproducible),
+    marginals from the bigram table itself, DECIMAL(38,0) numerator
+    (operators/text.py::collocations)."""
+    from learn_etl_data_warehouse_spark.operators.text import collocations
+
+    return collocations(_t(spark, sf_dir, "documents"), min_pair=5, top=100)
+
+
+def q_fp02(spark, sf_dir):
+    """Sequential patterns (r5 cont.): part-family A then family B in a
+    strictly later order of the same customer, via the (min_time,
+    max_time) per-(actor,item) profile reduction — no event-level
+    quadratic join (operators/basket.py::sequential_pairs). Families
+    (l_partkey % 100) bound the pair space at any SF."""
+    from learn_etl_data_warehouse_spark.operators.basket import (
+        sequential_pairs,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_partkey") % 100).alias("family")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    ev = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "o_custkey", "o_orderdate", "family"
+    )
+    return sequential_pairs(
+        ev, "o_custkey", "o_orderdate", "family", min_support=3
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -3122,6 +3157,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g05_bfs_hops": q_g05,
         "e14_ewma_smoothing": q_e14,
         "e15_rolling_anomaly": q_e15,
+        "t20_collocations": q_t20,
+        "fp02_sequential_pairs": q_fp02,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
         # rows are all hash-verifiable
@@ -4918,6 +4955,46 @@ SELECT event_type, hr, CAST(x AS BIGINT) AS x, CAST(n AS BIGINT) AS n_prev,
        END AS z,
        (vn > 0 AND dd > 0 AND dd * dd > 9 * vn) AS is_spike
 FROM d"""
+    # t20: PMI collocations — the ratio inside the log in truncating
+    # ppm (monotone in PMI), marginals from the bigram table, HUGEINT
+    # numerator mirroring the Spark DECIMAL(38,0).
+    out["t20_collocations"] = r"""
+WITH toks AS (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+              FROM documents),
+t2 AS (SELECT t FROM toks WHERE len(t) >= 2),
+pr AS (SELECT unnest(t[1:len(t) - 1]) AS w1, unnest(t[2:len(t)]) AS w2
+       FROM t2),
+p2 AS (SELECT w1, w2 FROM pr WHERE w1 <> '' AND w2 <> ''),
+bi AS (SELECT w1, w2, count(*) AS n2 FROM p2 GROUP BY 1, 2),
+lft AS (SELECT w1, sum(n2) AS n_left FROM bi GROUP BY 1),
+rgt AS (SELECT w2, sum(n2) AS n_right FROM bi GROUP BY 1),
+tot AS (SELECT sum(n2) AS n_total FROM bi),
+sc AS (SELECT bi.w1, bi.w2, CAST(bi.n2 AS BIGINT) AS n_pair,
+              CAST(lft.n_left AS BIGINT) AS n_left,
+              CAST(rgt.n_right AS BIGINT) AS n_right,
+              CAST((CAST(1000000 AS HUGEINT) * tot.n_total * bi.n2)
+                   // (CAST(lft.n_left AS HUGEINT) * rgt.n_right)
+                   AS BIGINT) AS pmi_ratio_ppm
+       FROM bi JOIN lft USING (w1) JOIN rgt USING (w2), tot
+       WHERE bi.n2 >= 5)
+SELECT * FROM sc ORDER BY pmi_ratio_ppm DESC, w1, w2 LIMIT 100"""
+    # fp02: sequential A-then-B via the (min_time, max_time) profile
+    # reduction — existence ⟺ min_time(A) < max_time(B).
+    out["fp02_sequential_pairs"] = """
+WITH ev AS (SELECT o.o_custkey AS ak, o.o_orderdate AS tt,
+                   l.l_partkey % 100 AS it
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+prof AS (SELECT ak, it, min(tt) AS tmin, max(tt) AS tmax
+         FROM ev GROUP BY 1, 2),
+n AS (SELECT it, count(*) AS n_item FROM prof GROUP BY 1),
+s AS (SELECT a.it AS item_a, b.it AS item_b, count(*) AS n_seq
+      FROM prof a JOIN prof b
+        ON a.ak = b.ak AND a.it <> b.it AND a.tmin < b.tmax
+      GROUP BY 1, 2)
+SELECT s.item_a, s.item_b, CAST(s.n_seq AS BIGINT) AS n_seq,
+       CAST(n.n_item AS BIGINT) AS n_a,
+       CAST((1000000 * s.n_seq) // n.n_item AS BIGINT) AS conf_ppm
+FROM s JOIN n ON n.it = s.item_a WHERE s.n_seq >= 3"""
     # d25: the d18 pipeline certified through the FINAL training
     # artifact — chain the corpus CTEs (through `mix`) with t15's chunk
     # CTEs, joining text back from the rebuilt stage.

@@ -89,3 +89,78 @@ def frequent_pairs(
             "lift_micros"
         ),
     )
+
+
+def sequential_pairs(
+    df: DataFrame,
+    actor_col: str,
+    time_col: str,
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Sequential patterns: item A then item B in a LATER basket.
+
+    The next-purchase building block ("customers who bought A went on
+    to buy B"): for each actor, pair (A, B) counts once if the actor
+    has A at some time strictly before some occurrence of B. The
+    naive form joins every A-event to every later B-event — quadratic
+    in events per actor. The reduction here: A-then-B exists iff
+    ``min_time(A) < max_time(B)``, so each actor first collapses to
+    one (item, min_time, max_time) row per distinct item, and the
+    per-actor pair join runs on the DISTINCT-ITEM profile (bounded by
+    catalog breadth per actor, not purchase frequency).
+
+    Support counts actors (not occurrences); ``conf_ppm`` is the
+    truncating-ppm share of A-holders who later took B — exact
+    integers throughout, engine-portable.
+
+    Plan shape: one hash agg to the (actor, item) profile, one
+    per-actor self-equi-join, one hash agg on the pair, one item-level
+    re-agg joined back. Same scale posture as :func:`frequent_pairs`;
+    no collect, no broadcast of anything unbounded.
+
+    Returns (item_a, item_b, n_seq, n_a, conf_ppm) with n_seq >=
+    ``min_support``; A != B (self-transitions excluded).
+    """
+    prof = (
+        df.select(
+            F.col(actor_col).alias("ak"),
+            F.col(item_col).alias("it"),
+            F.col(time_col).alias("tt"),
+        )
+        .filter(F.col("ak").isNotNull() & F.col("it").isNotNull())
+        .groupBy("ak", "it")
+        .agg(F.min("tt").alias("tmin"), F.max("tt").alias("tmax"))
+    )
+    item_n = prof.groupBy("it").agg(F.count(F.lit(1)).alias("n_item"))
+    seq = (
+        prof.alias("a")
+        .join(
+            prof.alias("b"),
+            on=[
+                F.col("a.ak") == F.col("b.ak"),
+                F.col("a.it") != F.col("b.it"),
+                F.col("a.tmin") < F.col("b.tmax"),
+            ],
+        )
+        .groupBy(
+            F.col("a.it").alias("item_a"), F.col("b.it").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_seq"))
+        .filter(F.col("n_seq") >= int(min_support))
+    )
+    return (
+        seq.join(
+            item_n.select(
+                F.col("it").alias("item_a"), F.col("n_item").alias("n_a")
+            ),
+            "item_a",
+        )
+        .select(
+            "item_a",
+            "item_b",
+            "n_seq",
+            "n_a",
+            F.expr("(1000000 * n_seq) div n_a").alias("conf_ppm"),
+        )
+    )

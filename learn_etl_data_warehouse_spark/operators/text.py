@@ -958,3 +958,60 @@ def lm_score_documents(
             "score_ppm"
         ),
     )
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_pair: int = 5,
+    top: int = 100,
+) -> DataFrame:
+    """PMI-ranked collocations (statistically-bound word pairs).
+
+    Pointwise mutual information compares a bigram's joint frequency
+    with what its parts predict — the standard collocation extractor
+    ("new york" scores high, "of the" low). The usual ``log`` form is
+    not cross-engine reproducible (libm ``log`` is not correctly
+    rounded), so the score is the RATIO inside the log, in truncating
+    ppm over exact integers:
+
+        pmi_ratio_ppm = (1e6 · N · c(w1,w2)) div (c(w1,·) · c(·,w2))
+
+    with every marginal derived from the bigram table itself (left
+    occurrences, right occurrences, total bigrams) — monotone in PMI,
+    so the ranking is identical. The numerator runs in DECIMAL(38,0)
+    (1e6·N·c overflows BIGINT near ~1e12 bigram corpora).
+
+    Plan shape: the bigram count table (one narrow explode + one hash
+    agg — shared shape with ``bigram_counts_table``), two re-aggs on
+    single words (tiny), two key-equality joins, one 1-row broadcast
+    total, and a TakeOrdered top-``top`` under the strict order
+    (score DESC, w1, w2). No driver-side vocabulary, no Python.
+
+    Returns (w1, w2, n_pair, n_left, n_right, pmi_ratio_ppm).
+    """
+    all_bi = bigram_counts_table(df, text_col)
+    bi = all_bi.filter(F.col("n2") >= int(min_pair))
+    left = all_bi.groupBy("w1").agg(F.sum("n2").alias("n_left"))
+    right = all_bi.groupBy("w2").agg(F.sum("n2").alias("n_right"))
+    total = all_bi.agg(F.sum("n2").alias("n_total"))
+    out = (
+        bi.join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            F.col("n2").alias("n_pair"),
+            "n_left",
+            "n_right",
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * n_total * n2)"
+                " div (CAST(n_left AS DECIMAL(38,0)) * n_right)"
+                " AS BIGINT)"
+            ).alias("pmi_ratio_ppm"),
+        )
+    )
+    return out.orderBy(
+        F.col("pmi_ratio_ppm").desc(), "w1", "w2"
+    ).limit(int(top))

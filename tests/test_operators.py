@@ -1641,3 +1641,52 @@ def test_hard_negatives_label_and_rank_semantics(spark):
     ).collect()
     assert {r.anchor_id for r in sliced} == {1}
     assert sorted(r.neg_id for r in sliced) == sorted(mine[1])
+
+
+def test_collocations_pmi_ranking(spark):
+    """PMI ratio on a tiny corpus, checked by hand: (new, york) is the
+    only pair above min_pair; marginals come from the bigram table."""
+    from learn_etl_data_warehouse_spark.operators.text import collocations
+
+    docs = spark.createDataFrame(
+        [(1, "new york new york"), (2, "the cat"), (3, "the dog"),
+         (4, "new york times")],
+        "doc_id long, text string",
+    )
+    rows = collocations(docs, min_pair=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # bigrams: (new,york)x3 (york,new)x1 (york,times)x1 (the,cat)x1
+    # (the,dog)x1 → N=7; left(new)=3, right(york)=3.
+    assert (r["w1"], r["w2"], r["n_pair"], r["n_left"], r["n_right"]) == (
+        "new", "york", 3, 3, 3)
+    assert r["pmi_ratio_ppm"] == (1_000_000 * 7 * 3) // 9
+
+
+def test_sequential_pairs_min_time_reduction(spark):
+    """A-then-B via the (min_time, max_time) profile reduction: order
+    matters, self-pairs excluded, support counts actors."""
+    import datetime as dt
+
+    from learn_etl_data_warehouse_spark.operators.basket import (
+        sequential_pairs,
+    )
+
+    d = dt.date
+    rows = [
+        # actor 1: A@d1, B@d2, A@d3  → A→B and B→A both exist
+        (1, d(2024, 1, 1), "A"), (1, d(2024, 1, 2), "B"),
+        (1, d(2024, 1, 3), "A"),
+        # actor 2: C@d0, A@d1 → C→A only
+        (2, d(2024, 1, 1), "C"), (2, d(2024, 1, 2), "A"),
+    ]
+    df = spark.createDataFrame(rows, "ak long, ts date, it string")
+    got = {
+        (r["item_a"], r["item_b"]): (r["n_seq"], r["n_a"], r["conf_ppm"])
+        for r in sequential_pairs(df, "ak", "ts", "it", min_support=1).collect()
+    }
+    assert got == {
+        ("A", "B"): (1, 2, 500_000),
+        ("B", "A"): (1, 1, 1_000_000),
+        ("C", "A"): (1, 1, 1_000_000),
+    }
