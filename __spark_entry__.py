@@ -2975,6 +2975,43 @@ def q_fp02(spark, sf_dir):
     )
 
 
+def q_g06(spark, sf_dir):
+    """Common-neighbor link prediction (r5 cont.): unlinked part pairs
+    sharing >= 2 co-purchase neighbors, Jaccard-scored in integer ppm
+    (operators/graph.py::common_neighbor_scores — wedge join through
+    the center node + anti-join on direct edges; same 30%-order slice
+    rationale as g03/g05, the wedge volume is Σ deg², not corpus
+    linear)."""
+    from learn_etl_data_warehouse_spark.operators.graph import (
+        common_neighbor_scores,
+        cooccurrence_edges,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 < 3)
+    edges = cooccurrence_edges(li)
+    return common_neighbor_scores(edges, min_common=2).select(
+        F.col("src").alias("part_a"),
+        F.col("dst").alias("part_b"),
+        "common_n",
+        "deg_a",
+        "deg_b",
+        "jaccard_ppm",
+    )
+
+
+def q_a22(spark, sf_dir):
+    """Per-group min-max scaling (r5 cont.): order totals normalized to
+    [0,1] within their status group — exact-integer bounds, ONE double
+    evaluation (subtract exact, divide correctly-rounded: the a15
+    contract), agg+join instead of a 3-partition window
+    (operators/grouped.py::minmax_normalize)."""
+    from learn_etl_data_warehouse_spark.operators.grouped import (
+        minmax_normalize,
+    )
+
+    return minmax_normalize(_t(spark, sf_dir, "orders"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -3159,6 +3196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e15_rolling_anomaly": q_e15,
         "t20_collocations": q_t20,
         "fp02_sequential_pairs": q_fp02,
+        "g06_link_prediction": q_g06,
+        "a22_minmax_normalize": q_a22,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
         # rows are all hash-verifiable
@@ -4995,6 +5034,38 @@ SELECT s.item_a, s.item_b, CAST(s.n_seq AS BIGINT) AS n_seq,
        CAST(n.n_item AS BIGINT) AS n_a,
        CAST((1000000 * s.n_seq) // n.n_item AS BIGINT) AS conf_ppm
 FROM s JOIN n ON n.it = s.item_a WHERE s.n_seq >= 3"""
+    # g06: common-neighbor link prediction — wedge counts through the
+    # center node, NOT EXISTS anti-join on direct edges.
+    out["g06_link_prediction"] = """
+WITH li AS (SELECT l_orderkey AS gk, l_partkey AS item FROM lineitem
+            WHERE l_orderkey % 10 < 3),
+e AS (SELECT DISTINCT a.item AS src, b.item AS dst
+      FROM li a JOIN li b ON a.gk = b.gk AND a.item <> b.item),
+deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+w AS (SELECT l.src AS src, r.dst AS dst, count(*) AS cn
+      FROM e l JOIN e r ON l.dst = r.src
+      WHERE l.src < r.dst GROUP BY 1, 2),
+f AS (SELECT w.* FROM w
+      WHERE cn >= 2 AND NOT EXISTS (
+        SELECT 1 FROM e WHERE e.src = w.src AND e.dst = w.dst))
+SELECT f.src AS part_a, f.dst AS part_b, CAST(f.cn AS BIGINT) AS common_n,
+       CAST(da.deg AS BIGINT) AS deg_a, CAST(db.deg AS BIGINT) AS deg_b,
+       CAST((1000000 * f.cn) // (da.deg + db.deg - f.cn)
+            AS BIGINT) AS jaccard_ppm
+FROM f JOIN deg da ON da.node = f.src JOIN deg db ON db.node = f.dst"""
+    # a22: per-group min-max scaling — integer bounds, one double eval.
+    out["a22_minmax_normalize"] = """
+WITH c AS (SELECT o_orderstatus, o_orderkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+b AS (SELECT o_orderstatus, min(cents) AS mn, max(cents) AS mx
+      FROM c GROUP BY 1)
+SELECT c.o_orderstatus, c.o_orderkey, c.cents,
+       CASE WHEN b.mx > b.mn
+            THEN round(CAST(c.cents - b.mn AS DOUBLE)
+                       / CAST(b.mx - b.mn AS DOUBLE), 6)
+       END AS norm_01
+FROM c JOIN b USING (o_orderstatus)"""
     # d25: the d18 pipeline certified through the FINAL training
     # artifact — chain the corpus CTEs (through `mix`) with t15's chunk
     # CTEs, joining text back from the rebuilt stage.

@@ -262,3 +262,71 @@ def bfs_hops(
             .agg(F.min("hops").alias("hops"))
         )
     return dist
+
+
+def common_neighbor_scores(
+    edges: DataFrame,
+    min_common: int = 2,
+    exclude_existing: bool = True,
+) -> DataFrame:
+    """Link prediction by shared neighborhoods (common-neighbors /
+    Jaccard).
+
+    For node pairs (a, b), count the shared neighbors through every
+    wedge a–c–b and score the pair by the Jaccard overlap of the two
+    neighborhoods — the classic "people you may know / items bought
+    with both" candidate generator. With ``exclude_existing`` the
+    output keeps only UNLINKED pairs (predicted links); direct edges
+    are removed with one anti-join (the edge list is symmetric, so one
+    direction suffices against a < b pairs).
+
+    Everything is exact integers: ``common_n`` a wedge count, degrees
+    from one re-agg of the edge list, ``jaccard_ppm = (1e6·cn) div
+    (deg_a + deg_b − cn)`` truncating on non-negative operands —
+    engine-portable.
+
+    Scale shape: the wedge join is key-equality on the CENTER node, so
+    cost is Σ_c deg(c)² — the same wedge volume triangle counting pays
+    before orientation. Hub nodes dominate it; at web scale cap or
+    sample hub neighborhoods first (the d02 posting-list cap pattern).
+    ``min_common`` bounds the OUTPUT, not the join — a<b halves the
+    pair space, and no state ever reaches the driver.
+
+    Returns (src, dst, common_n, deg_a, deg_b, jaccard_ppm), src < dst.
+    """
+    e = edges.select("src", "dst")
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    wedges = (
+        e.alias("l")
+        .join(e.alias("r"), F.col("l.dst") == F.col("r.src"))
+        .filter(F.col("l.src") < F.col("r.dst"))
+        .groupBy(
+            F.col("l.src").alias("src"), F.col("r.dst").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("common_n"))
+        .filter(F.col("common_n") >= int(min_common))
+    )
+    if exclude_existing:
+        wedges = wedges.join(e, ["src", "dst"], "left_anti")
+    return (
+        wedges.join(
+            deg.select(F.col("node").alias("src"), F.col("deg").alias("deg_a")),
+            "src",
+        )
+        .join(
+            deg.select(F.col("node").alias("dst"), F.col("deg").alias("deg_b")),
+            "dst",
+        )
+        .select(
+            "src",
+            "dst",
+            "common_n",
+            "deg_a",
+            "deg_b",
+            F.expr(
+                "(1000000 * common_n) div (deg_a + deg_b - common_n)"
+            ).alias("jaccard_ppm"),
+        )
+    )

@@ -173,3 +173,46 @@ def zscore_grouped_pandas(
     # from the actual key/id columns so non-default calls work.
     schema = f"{key} long, {id_col} long, zscore double"
     return df.groupBy(key).applyInPandas(per_group, schema=schema)
+
+
+def minmax_normalize(
+    df: DataFrame,
+    key: str = "o_orderstatus",
+    val: str = "o_totalprice",
+    id_col: str = "o_orderkey",
+) -> DataFrame:
+    """Per-group min-max feature scaling to [0, 1], engine-exact.
+
+    The normalized value ``(x − min) / (max − min)`` is evaluated ONCE
+    in doubles over exact integer (cent-scaled) operands: integers
+    below 2^53 are exact in double, the subtraction of exact integers
+    is exact, and the single division is correctly rounded — so both
+    engines produce bit-identical doubles before the 6-decimal round
+    (the a15 contract). Zero-range groups (max == min) yield null.
+
+    Plan shape: one partial-aggregated groupBy for the per-group
+    bounds, then one key-equality join back. Deliberately NOT a
+    partition-wide window: a low-cardinality key (3 order statuses)
+    would funnel each group through a single window task, while the
+    agg+join form keeps the data pass fully parallel and the bounds
+    table tiny (it broadcasts when small, shuffles when the key is
+    high-cardinality — both correct).
+
+    Returns (key, id_col, cents, norm_01).
+    """
+    cents = F.round(F.col(val) * 100).cast("long")
+    bounds = df.groupBy(key).agg(
+        F.min(cents).alias("_mn"), F.max(cents).alias("_mx")
+    )
+    out = df.select(F.col(key), F.col(id_col), cents.alias("cents")).join(
+        bounds, key
+    )
+    norm = F.when(
+        F.col("_mx") > F.col("_mn"),
+        F.round(
+            (F.col("cents") - F.col("_mn")).cast("double")
+            / (F.col("_mx") - F.col("_mn")).cast("double"),
+            6,
+        ),
+    )
+    return out.select(key, id_col, "cents", norm.alias("norm_01"))

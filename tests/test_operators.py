@@ -1690,3 +1690,51 @@ def test_sequential_pairs_min_time_reduction(spark):
         ("B", "A"): (1, 1, 1_000_000),
         ("C", "A"): (1, 1, 1_000_000),
     }
+
+
+def test_common_neighbor_scores_predicts_unlinked_pairs(spark):
+    """Triangle 0-1-2 with tail 2-3: (0,3)/(1,3) are the predicted
+    links (shared neighbor 2); direct edges drop unless kept."""
+    from learn_etl_data_warehouse_spark.operators.graph import (
+        common_neighbor_scores,
+    )
+
+    und = [(0, 1), (1, 2), (0, 2), (2, 3)]
+    sym = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(sym, ["src", "dst"])
+
+    got = {
+        (r["src"], r["dst"]): (r["common_n"], r["deg_a"], r["deg_b"],
+                               r["jaccard_ppm"])
+        for r in common_neighbor_scores(edges, min_common=1).collect()
+    }
+    # deg: 0→2, 1→2, 2→3, 3→1
+    assert got == {
+        (0, 3): (1, 2, 1, 500_000),
+        (1, 3): (1, 2, 1, 500_000),
+    }
+
+    kept = {
+        (r["src"], r["dst"])
+        for r in common_neighbor_scores(
+            edges, min_common=1, exclude_existing=False
+        ).collect()
+    }
+    assert (0, 1) in kept and (0, 2) in kept and (0, 3) in kept
+
+
+def test_minmax_normalize_bounds_and_degenerate_group(spark):
+    from learn_etl_data_warehouse_spark.operators.grouped import (
+        minmax_normalize,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 15.0), ("b", 4, 7.0)],
+        "k string, i long, v double",
+    )
+    got = {
+        r["i"]: r["norm_01"]
+        for r in minmax_normalize(df, "k", "v", "i").collect()
+    }
+    assert got[1] == 0.0 and got[2] == 1.0 and got[3] == 0.5
+    assert got[4] is None
