@@ -3012,6 +3012,50 @@ def q_a22(spark, sf_dir):
     return minmax_normalize(_t(spark, sf_dir, "orders"))
 
 
+def q_a23(spark, sf_dir):
+    """Per-nation spend concentration (r5 cont.): Gini coefficient of
+    customer order spend — sorted-rank closed form over DECIMAL(38,0)
+    integer moments, one double evaluation (operators/grouped.py::
+    gini_concentration). Zero-spend customers stay in the population
+    (LEFT join + coalesce 0); nation is the bounded broadcast dim."""
+    from learn_etl_data_warehouse_spark.operators.grouped import (
+        gini_concentration,
+    )
+
+    sp = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "_sp"
+            )
+        )
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    pop = c.join(sp, c["c_custkey"] == sp["o_custkey"], "left").select(
+        "c_nationkey", F.coalesce(F.col("_sp"), F.lit(0)).alias("cents")
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    base = pop.join(
+        F.broadcast(n), pop["c_nationkey"] == n["n_nationkey"]
+    ).select("n_name", "cents")
+    return gini_concentration(base, "n_name", "cents")
+
+
+def q_pf03(spark, sf_dir):
+    """Two-sample KS drift (r5 cont.): distributional distance between
+    urgent and low-priority order totals — integer cross-difference of
+    cumulative counts, no float CDFs (operators/profiling.py::
+    ks_drift); the numeric companion to pf02's categorical monitor."""
+    from learn_etl_data_warehouse_spark.operators.profiling import ks_drift
+
+    oc = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return ks_drift(oc, "o_orderpriority", "cents", "1-URGENT", "5-LOW")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -3198,6 +3242,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fp02_sequential_pairs": q_fp02,
         "g06_link_prediction": q_g06,
         "a22_minmax_normalize": q_a22,
+        "a23_gini_concentration": q_a23,
+        "pf03_ks_drift": q_pf03,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
         # rows are all hash-verifiable
@@ -5066,6 +5112,54 @@ SELECT c.o_orderstatus, c.o_orderkey, c.cents,
                        / CAST(b.mx - b.mn AS DOUBLE), 6)
        END AS norm_01
 FROM c JOIN b USING (o_orderstatus)"""
+    # a23: per-nation Gini — sorted-rank closed form, HUGEINT moments,
+    # one double evaluation with the same association as the engine.
+    out["a23_gini_concentration"] = """
+WITH sp AS (SELECT o_custkey,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sp
+            FROM orders GROUP BY 1),
+pop AS (SELECT c.c_nationkey, CAST(coalesce(sp.sp, 0) AS BIGINT) AS cents
+        FROM customer c LEFT JOIN sp ON sp.o_custkey = c.c_custkey),
+b AS (SELECT n.n_name, pop.cents
+      FROM pop JOIN nation n ON n.n_nationkey = pop.c_nationkey),
+r AS (SELECT n_name, cents,
+             row_number() OVER (PARTITION BY n_name ORDER BY cents) AS i
+      FROM b),
+m AS (SELECT n_name, count(*) AS n,
+             sum(CAST(cents AS HUGEINT)) AS sx,
+             sum(CAST(i AS HUGEINT) * cents) AS six
+      FROM r GROUP BY 1)
+SELECT n_name, CAST(n AS BIGINT) AS n_members,
+       CAST(sx AS BIGINT) AS total_cents,
+       CASE WHEN sx > 0
+            THEN round((2.0 * CAST(six AS DOUBLE)
+                        - (CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+       END AS gini
+FROM m"""
+    # pf03: two-sample KS — integer cross-difference of cumulative
+    # counts, max over the joint value grid.
+    out["pf03_ks_drift"] = """
+WITH s AS (SELECT o_orderpriority AS g,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS v
+           FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+pv AS (SELECT v,
+              sum(CASE WHEN g = '1-URGENT' THEN 1 ELSE 0 END) AS na,
+              sum(CASE WHEN g = '5-LOW' THEN 1 ELSE 0 END) AS nb
+       FROM s GROUP BY 1),
+c AS (SELECT sum(na) OVER w AS ca, sum(nb) OVER w AS cb
+      FROM pv
+      WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)),
+t AS (SELECT CAST(sum(na) AS HUGEINT) AS ta,
+             CAST(sum(nb) AS HUGEINT) AS tb, count(*) AS nv FROM pv),
+d AS (SELECT max(abs(CAST(c.ca AS HUGEINT) * t.tb
+                     - CAST(c.cb AS HUGEINT) * t.ta)) AS dmax
+      FROM c, t)
+SELECT CAST(t.ta AS BIGINT) AS n_a, CAST(t.tb AS BIGINT) AS n_b,
+       CAST(t.nv AS BIGINT) AS n_values,
+       CAST((1000000 * d.dmax) // (t.ta * t.tb) AS BIGINT) AS d_ppm
+FROM t, d"""
     # d25: the d18 pipeline certified through the FINAL training
     # artifact — chain the corpus CTEs (through `mix`) with t15's chunk
     # CTEs, joining text back from the rebuilt stage.

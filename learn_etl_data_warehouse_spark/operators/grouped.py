@@ -216,3 +216,61 @@ def minmax_normalize(
         ),
     )
     return out.select(key, id_col, "cents", norm.alias("norm_01"))
+
+
+def gini_concentration(
+    df: DataFrame,
+    key: str,
+    val_cents: str,
+) -> DataFrame:
+    """Per-group Gini coefficient of an integer measure, engine-exact.
+
+    Inequality-of-spend in one number per group (0 = everyone equal,
+    →1 = one member holds everything), via the sorted-rank closed form
+
+        G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ)
+
+    with xᵢ ascending and i = 1..n the DENSE position under the strict
+    order (value, then input row order made strict by the caller's id —
+    ties in x contribute symmetrically, so any strict tiebreak yields
+    the same G; row_number here is ordered by value only and remains
+    correct because equal values are interchangeable in the formula).
+
+    Both moment sums run as DECIMAL(38,0) over exact integers (rank ×
+    cents products overflow BIGINT near 2^63 for ~1e9-member groups);
+    the closed form is ONE double evaluation + 6-decimal round (the
+    a15 contract). Empty/zero-total groups yield null.
+
+    Scale shape: one shuffle to the (key, member) grain, one per-group
+    ordered window for ranks, one moment agg on the key. The window
+    partitions by group — bounded by members-per-group; for a single
+    global Gini over ~1e9 members switch the rank to the d14 two-pass
+    per-shard offset pattern.
+
+    Returns (key, n_members, total_cents, gini).
+    """
+    x = F.col(val_cents).cast("decimal(38,0)")
+    w = Window.partitionBy(key).orderBy(F.col(val_cents).asc())
+    ranked = df.select(
+        F.col(key),
+        x.alias("_x"),
+        F.row_number().over(w).cast("decimal(38,0)").alias("_i"),
+    )
+    agg = ranked.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("_x").alias("_sx"),
+        F.sum(F.col("_i") * F.col("_x")).alias("_six"),
+    )
+    n = F.col("n_members").cast("double")
+    sx = F.col("_sx").cast("double")
+    six = F.col("_six").cast("double")
+    gini = F.when(
+        F.col("_sx") > 0,
+        F.round((2.0 * six - (n + 1.0) * sx) / (n * sx), 6),
+    )
+    return agg.select(
+        key,
+        "n_members",
+        F.col("_sx").cast("long").alias("total_cents"),
+        gini.alias("gini"),
+    )

@@ -16,7 +16,7 @@ scale prefer analyze_table's HLL path and keep this for audits.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -47,4 +47,76 @@ def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
         "n_nonnull",
         (F.col("n_rows") - F.col("n_nonnull")).alias("n_null"),
         "n_distinct",
+    )
+
+
+def ks_drift(
+    df: DataFrame,
+    group_col: str,
+    val_cents: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance, fully in integers.
+
+    The drift monitor's distributional companion to the categorical
+    chi-square-style check (``pf02``): D = max |F_a(x) − F_b(x)| over
+    the two samples' empirical CDFs. The float-free reformulation:
+    at each distinct value, with cumulative counts c_a, c_b and totals
+    n_a, n_b,  |F_a − F_b| ∝ |c_a·n_b − c_b·n_a|  — the max of that
+    integer cross-difference, reported as truncating
+    ``d_ppm = (1e6·max|·|) div (n_a·n_b)``. No float CDFs, no
+    tolerance: engine-exact at every boundary.
+
+    Scale shape: one hash agg to (value, per-group counts), one
+    ORDERED window for the cumulative sums, one max-agg. The
+    cumulative window is a single ordered partition — fine up to
+    ~1e7–1e8 distinct values (the CDF grid, not the row count); for
+    more, replace the window with the d14 per-shard-offset two-pass
+    prefix sum. Counts cross-multiplied in DECIMAL(38,0) (c·n
+    overflows BIGINT near 3e9×3e9).
+
+    Returns one row: (n_a, n_b, n_values, d_ppm).
+    """
+    g = F.col(group_col)
+    per_val = (
+        df.filter(g.isin([group_a, group_b]))
+        .groupBy(F.col(val_cents).alias("v"))
+        .agg(
+            F.sum(F.when(g == group_a, 1).otherwise(0)).alias("_na"),
+            F.sum(F.when(g == group_b, 1).otherwise(0)).alias("_nb"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_val.select(
+        F.sum("_na").over(w).cast("decimal(38,0)").alias("_ca"),
+        F.sum("_nb").over(w).cast("decimal(38,0)").alias("_cb"),
+    )
+    totals = per_val.agg(
+        F.sum("_na").cast("decimal(38,0)").alias("_ta"),
+        F.sum("_nb").cast("decimal(38,0)").alias("_tb"),
+        F.count(F.lit(1)).alias("n_values"),
+    )
+    joined = cum.crossJoin(F.broadcast(totals))
+    diff = F.abs(
+        F.col("_ca") * F.col("_tb") - F.col("_cb") * F.col("_ta")
+    )
+    return (
+        joined.agg(
+            F.max(F.col("_ta")).alias("_ta"),
+            F.max(F.col("_tb")).alias("_tb"),
+            F.max(F.col("n_values")).alias("n_values"),
+            F.max(diff).alias("_d"),
+        )
+        .select(
+            F.col("_ta").cast("long").alias("n_a"),
+            F.col("_tb").cast("long").alias("n_b"),
+            "n_values",
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * _d)"
+                " div (_ta * _tb) AS BIGINT)"
+            ).alias("d_ppm"),
+        )
     )

@@ -1738,3 +1738,37 @@ def test_minmax_normalize_bounds_and_degenerate_group(spark):
     }
     assert got[1] == 0.0 and got[2] == 1.0 and got[3] == 0.5
     assert got[4] is None
+
+
+def test_gini_concentration_known_distributions(spark):
+    from learn_etl_data_warehouse_spark.operators.grouped import (
+        gini_concentration,
+    )
+
+    rows = (
+        [("eq", 5)] * 4                      # perfectly equal → 0
+        + [("one", 0)] * 3 + [("one", 10)]   # one holds all → (n-1)/n
+        + [("zero", 0)] * 2                  # zero total → null
+    )
+    df = spark.createDataFrame(rows, "k string, cents long")
+    got = {r["k"]: r for r in gini_concentration(df, "k", "cents").collect()}
+    assert got["eq"]["gini"] == 0.0
+    assert got["one"]["gini"] == 0.75
+    assert got["zero"]["gini"] is None
+    assert (got["one"]["n_members"], got["one"]["total_cents"]) == (4, 10)
+
+
+def test_ks_drift_exact_statistic(spark):
+    from learn_etl_data_warehouse_spark.operators.profiling import ks_drift
+
+    rows = [("a", v) for v in (1, 2, 3, 4)] + [("b", v) for v in (3, 4, 5, 6)]
+    df = spark.createDataFrame(rows, "g string, cents long")
+    r = ks_drift(df, "g", "cents", "a", "b").collect()[0]
+    # max |F_a - F_b| = 2/4 at v=2 → 500000 ppm over 6 distinct values
+    assert (r["n_a"], r["n_b"], r["n_values"], r["d_ppm"]) == (
+        4, 4, 6, 500_000)
+
+    same = ks_drift(df.filter(F.col("g") == "a").union(
+        df.filter(F.col("g") == "a").withColumn("g", F.lit("b"))),
+        "g", "cents", "a", "b").collect()[0]
+    assert same["d_ppm"] == 0
