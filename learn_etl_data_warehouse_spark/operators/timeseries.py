@@ -245,11 +245,37 @@ def rolling_anomalies(
     ``min_prev`` trailing observations or zero trailing variance yield
     null z / false flag.
     """
+    return anomalies_from_hourly(
+        hourly_counts(df, key, ts), key, trailing, min_prev, sigmas
+    )
+
+
+def hourly_counts(
+    df: DataFrame, key: str = "event_type", ts: str = "ts"
+) -> DataFrame:
+    """The (key, hr, x) hourly-count grain — the additive STATE the
+    time-series diagnostics derive from (one shuffle; hr is BIGINT
+    ``unix_micros div 3.6e9``). Counts merge under addition, so the
+    streaming maintainer (``streaming/sinks.py::anomaly_alert_sink``)
+    keeps this table incrementally and re-derives diagnostics at
+    state-size cost, never re-scanning the event history."""
     us_per_hour = 3_600_000_000
-    hourly = df.groupBy(
+    return df.groupBy(
         F.col(key),
         F.expr(f"unix_micros({ts}) div {us_per_hour}").alias("hr"),
     ).agg(F.count(F.lit(1)).alias("x"))
+
+
+def anomalies_from_hourly(
+    hourly: DataFrame,
+    key: str = "event_type",
+    trailing: int = 24,
+    min_prev: int = 6,
+    sigmas: int = 3,
+) -> DataFrame:
+    """:func:`rolling_anomalies` on a pre-aggregated (key, hr, x)
+    table — the read side of the incremental split (cost is
+    state-sized, input-volume-free)."""
     w = (
         Window.partitionBy(key)
         .orderBy("hr")

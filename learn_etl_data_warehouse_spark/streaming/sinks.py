@@ -176,3 +176,100 @@ def lm_stats_ingest_sink(catalog_dir: str, text_col: str = "text"):
         )
 
     return handle
+
+
+def anomaly_alert_sink(
+    catalog_dir: str,
+    key: str = "event_type",
+    ts: str = "ts",
+    trailing: int = 24,
+    min_prev: int = 6,
+    sigmas: int = 3,
+):
+    """foreachBatch handler for streaming spike detection: each
+    micro-batch's hourly counts merge ADDITIVELY into the stored
+    (key, hr, x) state, the trailing-window anomaly derivation
+    (`operators/timeseries.py::anomalies_from_hourly`) re-runs over
+    the maintained state — state-sized cost, the event history is
+    never re-scanned — and the flagged hours publish as the
+    `spike_alerts` table. Counts, alerts, and the batch ledger flip in
+    ONE catalog transaction.
+
+    Exactly-once is LEDGER-derived (the `lm_stats_ingest_sink`
+    posture): counts are not replay-idempotent, so a batch already in
+    `anomaly_applied` is skipped; ledger and state commit atomically,
+    so no crash point can double-apply.
+
+    Alert semantics: alerts are derived from the CURRENT state, so a
+    late-arriving batch can retroactively flag (or unflag) an earlier
+    hour — the published table is always the full, consistent
+    diagnosis of the data seen so far, not an append-only alert log
+    (readers wanting history can time-travel the catalog).
+    """
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        anomalies_from_hourly,
+        hourly_counts,
+    )
+    from learn_etl_data_warehouse_spark.plans import catalog as cat
+
+    def handle(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        tables = set(cat.read_catalog(catalog_dir)["tables"])
+        if "anomaly_applied" in tables:
+            applied = {
+                r.batch_id
+                for r in cat.catalog_read(
+                    spark, catalog_dir, "anomaly_applied"
+                )
+                .select("batch_id")
+                .collect()
+            }
+            if int(batch_id) in applied:
+                return  # replayed batch: already folded into the state
+        delta = hourly_counts(batch_df, key, ts)
+        if "hourly_counts" in tables:
+            prev = cat.catalog_read(spark, catalog_dir, "hourly_counts").select(
+                key, "hr", "x"
+            )
+            merged = (
+                prev.withColumnRenamed("x", "_px")
+                .join(
+                    delta.withColumnRenamed("x", "_dx"),
+                    [key, "hr"],
+                    "full_outer",
+                )
+                .select(
+                    key,
+                    "hr",
+                    (
+                        F.coalesce(F.col("_px"), F.lit(0))
+                        + F.coalesce(F.col("_dx"), F.lit(0))
+                    ).alias("x"),
+                )
+            )
+        else:
+            merged = delta
+        alerts = anomalies_from_hourly(
+            merged, key, trailing, min_prev, sigmas
+        ).filter(F.col("is_spike"))
+        ledger = spark.createDataFrame(
+            [(int(batch_id),)], "batch_id long"
+        ).withColumn("ingest_batch", F.lit(int(batch_id)))
+        cat.catalog_commit(
+            spark,
+            catalog_dir,
+            {
+                "hourly_counts": (
+                    merged.withColumn("state", F.lit("live")),
+                    ["state"],
+                ),
+                "spike_alerts": (
+                    alerts.withColumn("state", F.lit("live")),
+                    ["state"],
+                ),
+                "anomaly_applied": (ledger, ["ingest_batch"]),
+            },
+            replace=False,
+        )
+
+    return handle

@@ -1221,3 +1221,110 @@ def test_lm_stats_ingest_sink_incremental_and_replay_safe(spark, tmp_path):
         )
     )
     assert got2 == want
+
+
+def test_anomaly_alert_sink_incremental_matches_batch(spark, tmp_path, sf_small):
+    """Streaming spike detection: hourly state maintained additively
+    across batches equals the batch twin, alerts equal the batch
+    rolling_anomalies over all data, replay is a ledgered no-op."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        hourly_counts,
+        rolling_anomalies,
+    )
+    from learn_etl_data_warehouse_spark.plans import catalog as cat
+    from learn_etl_data_warehouse_spark.sources.parquet import load_table
+    from learn_etl_data_warehouse_spark.streaming.sinks import (
+        anomaly_alert_sink,
+    )
+
+    ev = load_table(spark, sf_small, "events").select("ts", "event_type")
+    cdir = str(tmp_path / "anomcat")
+    handle = anomaly_alert_sink(cdir)
+
+    b0 = ev.filter(F.dayofmonth("ts") % 2 == 0)
+    b1 = ev.filter(F.dayofmonth("ts") % 2 == 1)
+    handle(b0, 0)
+    handle(b1, 1)
+
+    got_state = sorted(
+        map(
+            tuple,
+            cat.catalog_read(spark, cdir, "hourly_counts")
+            .select("event_type", "hr", "x")
+            .collect(),
+        )
+    )
+    want_state = sorted(map(tuple, hourly_counts(ev).collect()))
+    assert got_state == want_state
+
+    got_alerts = sorted(
+        map(
+            tuple,
+            cat.catalog_read(spark, cdir, "spike_alerts")
+            .select("event_type", "hr", "x", "n_prev", "z")
+            .collect(),
+        )
+    )
+    want_alerts = sorted(
+        map(
+            tuple,
+            rolling_anomalies(ev)
+            .filter("is_spike")
+            .select("event_type", "hr", "x", "n_prev", "z")
+            .collect(),
+        )
+    )
+    assert got_alerts == want_alerts
+
+    # ledger-derived exactly-once: replaying batch 1 changes nothing
+    txn_before = cat.read_catalog(cdir)["txn"]
+    handle(b1, 1)
+    assert cat.read_catalog(cdir)["txn"] == txn_before
+
+
+def test_anomaly_alert_sink_end_to_end_stream(spark, tmp_path, sf_small):
+    """The alert sink under a real checkpointed availableNow stream:
+    final state equals the batch twin regardless of batch order
+    (additive merge + state-derived alerts)."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        hourly_counts,
+    )
+    from learn_etl_data_warehouse_spark.plans import catalog as cat
+    from learn_etl_data_warehouse_spark.sources.parquet import load_table
+    from learn_etl_data_warehouse_spark.streaming.sinks import (
+        anomaly_alert_sink,
+    )
+
+    ev = load_table(spark, sf_small, "events").select("ts", "event_type")
+    src = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    cdir = str(tmp_path / "cat")
+    ev.filter(F.dayofmonth("ts") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    ev.filter(F.dayofmonth("ts") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .parquet(src)
+        .writeStream.foreachBatch(anomaly_alert_sink(cdir))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    got = sorted(
+        map(
+            tuple,
+            cat.catalog_read(spark, cdir, "hourly_counts")
+            .select("event_type", "hr", "x")
+            .collect(),
+        )
+    )
+    assert got == sorted(map(tuple, hourly_counts(ev).collect()))
