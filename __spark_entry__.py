@@ -3056,6 +3056,46 @@ def q_pf03(spark, sf_dir):
     return ks_drift(oc, "o_orderpriority", "cents", "1-URGENT", "5-LOW")
 
 
+def q_a24(spark, sf_dir):
+    """Full CUBE aggregate (r5 cont.): all 2³ rollup combinations of
+    (year, status, priority) in one pass with grouping_id
+    disambiguating aggregated-away nulls — completes the a07 ROLLUP /
+    a10 GROUPING SETS family (Spark and DuckDB share the SQL-standard
+    GROUPING bitmask: first column = MSB, 1 = aggregated)."""
+    df = _t(spark, sf_dir, "orders").withColumn(
+        "year", F.year("o_orderdate").cast("long")
+    )
+    return df.cube("year", "o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        ),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+
+
+def q_a25(spark, sf_dir):
+    """Approximate heavy hitters (r5 cont., rows-only): sketch-based
+    top-20 part families by line count via Spark 4's native
+    ``approx_top_k`` (mergeable sketch, one pass, JVM-side) —
+    posexploded to scalar rows. Declared rows-only: the sketch's
+    internal layout is engine-specific; the repo test pins exactness
+    when capacity exceeds the distinct count."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 100).alias("family")
+    )
+    sk = li.agg(
+        F.expr("approx_top_k(family, 20, 1000)").alias("tk")
+    )
+    return sk.select(
+        F.posexplode("tk").alias("rk", "s")
+    ).select(
+        F.col("rk").cast("long").alias("rk"),
+        F.col("s.item").alias("family"),
+        F.col("s.count").alias("est_n"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -3244,11 +3284,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a22_minmax_normalize": q_a22,
         "a23_gini_concentration": q_a23,
         "pf03_ks_drift": q_pf03,
+        "a24_cube_aggregate": q_a24,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
         # rows are all hash-verifiable
         "a09_approx_distinct": q_a09,
         "a14_approx_percentiles": q_a14,
+        "a25_approx_topk": q_a25,
         "d03_minhash_lsh_pairs": q_d03,
         "d24_incremental_neardup": q_d24,
         "d04_simhash": q_d04,
@@ -5160,6 +5202,17 @@ SELECT CAST(t.ta AS BIGINT) AS n_a, CAST(t.tb AS BIGINT) AS n_b,
        CAST(t.nv AS BIGINT) AS n_values,
        CAST((1000000 * d.dmax) // (t.ta * t.tb) AS BIGINT) AS d_ppm
 FROM t, d"""
+    # a24: full CUBE — SQL-standard GROUPING bitmask matches Spark's
+    # grouping_id (first column = MSB, 1 = aggregated away).
+    out["a24_cube_aggregate"] = """
+SELECT year, o_orderstatus, o_orderpriority, count(*) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+            AS BIGINT) AS cents,
+       CAST(GROUPING(year, o_orderstatus, o_orderpriority)
+            AS BIGINT) AS gid
+FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+             o_orderstatus, o_orderpriority, o_totalprice FROM orders)
+GROUP BY CUBE(year, o_orderstatus, o_orderpriority)"""
     # d25: the d18 pipeline certified through the FINAL training
     # artifact — chain the corpus CTEs (through `mix`) with t15's chunk
     # CTEs, joining text back from the rebuilt stage.

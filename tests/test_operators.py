@@ -1772,3 +1772,27 @@ def test_ks_drift_exact_statistic(spark):
         df.filter(F.col("g") == "a").withColumn("g", F.lit("b"))),
         "g", "cents", "a", "b").collect()[0]
     assert same["d_ppm"] == 0
+
+
+def test_approx_topk_exact_at_capacity(spark, sf_small):
+    """a25's approx_top_k with capacity (1000) far above the distinct
+    count (100 families) must be EXACT: returned counts equal true
+    counts, the returned set is the true top-20, ranks non-increasing."""
+    import __spark_entry__ as entrymod
+
+    got = entrymod.queries()["a25_approx_topk"](spark, sf_small).collect()
+    li = (
+        spark.read.parquet(f"{sf_small}/lineitem.parquet")
+        .select((F.col("l_partkey") % 100).alias("family"))
+        .groupBy("family")
+        .count()
+    )
+    exact = {r["family"]: r["count"] for r in li.collect()}
+    top20_counts = sorted(exact.values(), reverse=True)[:20]
+
+    assert len(got) == 20
+    for r in got:
+        assert r["est_n"] == exact[r["family"]]
+    assert sorted((r["est_n"] for r in got), reverse=True) == top20_counts
+    ranks = [r["est_n"] for r in sorted(got, key=lambda r: r["rk"])]
+    assert all(a >= b for a, b in zip(ranks, ranks[1:]))
