@@ -143,3 +143,50 @@ def checked_stream_sink(
             )
 
     return gated_commit
+
+
+def observed_fail_sink(table: str, rules: dict[str, str | Column]):
+    """Single-pass fail-before-publish: ``checked_stream_sink('fail')``
+    without its extra scan.
+
+    The two-pass 'fail' gate runs one aggregate job to count
+    violations, then a second pass to write — fine for small batches,
+    a doubled read at 100 TB ingest rates. Here the per-rule violation
+    counters ride the STAGING WRITE itself via Spark's Observation API
+    (``df.observe`` — accumulator-style metrics collected by the same
+    job that materializes the batch), and the manifest sink's
+    ``pre_publish`` hook checks them after the write but BEFORE the
+    atomic manifest swap. A violating batch therefore costs exactly one
+    pass, never publishes (readers keep the old snapshot), and leaves
+    only an unreferenced txn dir — a crashed write, collected by the
+    next ``vacuum``.
+
+    Semantics match ``checked_stream_sink('fail')`` exactly: NULL
+    predicates count as violations; the raised ExpectationError carries
+    the same per-rule counts.
+    """
+    from pyspark.sql import Observation
+
+    from .manifest_warehouse import manifest_stream_sink
+
+    def gated_commit(df: DataFrame, batch_id: int) -> None:
+        if not rules:
+            manifest_stream_sink(table)(df, batch_id)
+            return
+        obs = Observation()
+        aggs = [
+            F.count(
+                F.when(~F.coalesce(_as_col(rule), F.lit(False)), F.lit(1))
+            ).alias(name)
+            for name, rule in sorted(rules.items())
+        ]
+        observed = df.observe(obs, *aggs)
+
+        def check() -> None:
+            counts = {k: int(v) for k, v in obs.get.items() if v}
+            if counts:
+                raise ExpectationError(counts)
+
+        manifest_stream_sink(table, pre_publish=check)(observed, batch_id)
+
+    return gated_commit

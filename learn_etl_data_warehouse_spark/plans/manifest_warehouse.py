@@ -669,7 +669,7 @@ def snapshot_diff(
     return inserts.unionByName(deletes)
 
 
-def manifest_stream_sink(table: str):
+def manifest_stream_sink(table: str, pre_publish=None):
     """``foreachBatch`` function committing each micro-batch as ONE
     manifest transaction under its own ``batch_id=N`` partition —
     end-to-end exactly-once into the versioned warehouse: a replayed
@@ -677,7 +677,14 @@ def manifest_stream_sink(table: str):
     version becomes vacuumable garbage) instead of appending a
     duplicate, and the atomic manifest swap means a reader sees each
     batch entirely or not at all. Combines ``streaming/sinks.py``'s
-    idempotent-by-batch-id layout with snapshot isolation."""
+    idempotent-by-batch-id layout with snapshot isolation.
+
+    ``pre_publish`` (optional, zero-arg) runs after the staging write
+    but BEFORE the manifest swap — the hook point for single-pass
+    checks that ride the write itself (``plans/expectations.py::
+    observed_fail_sink``'s Observation counters). If it raises, the
+    batch is never published: the written txn dir is unreferenced —
+    exactly a crashed write — and the next ``vacuum`` collects it."""
 
     def commit_batch(df, batch_id: int) -> None:
         manifest = read_manifest(table)
@@ -693,6 +700,8 @@ def manifest_stream_sink(table: str):
         dst = os.path.join(table, rel, f"{TXN_COL_PREFIX}{txn_id}")
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         os.rename(staging, dst)
+        if pre_publish is not None:
+            pre_publish()
         manifest["partitions"][rel] = txn_id
         _invalidate_bloom(manifest, rel)
         manifest.setdefault("stats", {})[rel] = _version_stats(dst)

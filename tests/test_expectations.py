@@ -107,3 +107,46 @@ def test_drop_mode_and_bad_config(spark, frame, tmp_path, RULES):
 
 def test_violation_counts_empty_rules(spark, frame):
     assert violation_counts(frame, {}) == {}
+
+
+def test_observed_fail_sink_single_pass_same_semantics(
+    spark, frame, tmp_path, RULES
+):
+    """The Observation-based gate: identical counts and transactional
+    abort as two-pass 'fail', with the violating batch's orphan txn
+    collected by vacuum."""
+    from learn_etl_data_warehouse_spark.plans.expectations import (
+        observed_fail_sink,
+    )
+    from learn_etl_data_warehouse_spark.plans.manifest_warehouse import (
+        vacuum,
+    )
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    sink = observed_fail_sink(table, RULES)
+    clean = frame.filter(F.col("id") == 1)
+    sink(clean, 0)
+    assert read_snapshot(spark, table).count() == 1
+
+    txn_before = read_manifest(table)["txn"]
+    with pytest.raises(ExpectationError) as ei:
+        sink(frame, 1)
+    assert ei.value.counts == {
+        "id_not_null": 1, "v_nonneg": 2, "cat_known": 1}
+    # never published: same snapshot, and the orphaned staging txn is
+    # vacuumable garbage
+    assert read_manifest(table)["txn"] == txn_before
+    assert read_snapshot(spark, table).count() == 1
+    assert vacuum(table) >= 1
+    assert read_snapshot(spark, table).count() == 1
+
+    # clean follow-up batch still publishes normally
+    sink(clean.withColumn("id", F.lit(7)), 2)
+    assert read_snapshot(spark, table).count() == 2
+
+    # empty rules short-circuit straight to the plain sink
+    sink2 = observed_fail_sink(str(tmp_path / "t2"), {})
+    os.makedirs(str(tmp_path / "t2"), exist_ok=True)
+    sink2(clean, 0)
+    assert read_snapshot(spark, str(tmp_path / "t2")).count() == 1
