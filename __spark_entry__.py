@@ -3096,6 +3096,24 @@ def q_a25(spark, sf_dir):
     )
 
 
+def q_g07(spark, sf_dir):
+    """Label-propagation communities (r5 cont.): 3 majority+min-label
+    rounds over the part co-occurrence graph — deterministic LPA the
+    oracle reproduces by unrolling identical rounds
+    (operators/graph.py::label_propagation; same 30%-order slice as
+    g03/g05/g06)."""
+    from learn_etl_data_warehouse_spark.operators.graph import (
+        cooccurrence_edges,
+        label_propagation,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 < 3)
+    edges = cooccurrence_edges(li)
+    return label_propagation(edges, rounds=3).select(
+        F.col("node").alias("part_id"), "label"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -3285,6 +3303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a23_gini_concentration": q_a23,
         "pf03_ks_drift": q_pf03,
         "a24_cube_aggregate": q_a24,
+        "g07_lpa_communities": q_g07,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
         # rows are all hash-verifiable
@@ -5213,6 +5232,26 @@ SELECT year, o_orderstatus, o_orderpriority, count(*) AS n,
 FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
              o_orderstatus, o_orderpriority, o_totalprice FROM orders)
 GROUP BY CUBE(year, o_orderstatus, o_orderpriority)"""
+    # g07: label propagation — unroll the 3 majority+min-label rounds
+    # exactly as the operator runs them.
+    lpa_sql = """
+WITH li AS (SELECT l_orderkey AS gk, l_partkey AS item FROM lineitem
+            WHERE l_orderkey % 10 < 3),
+e0 AS (SELECT DISTINCT a.item AS src, b.item AS dst
+       FROM li a JOIN li b ON a.gk = b.gk AND a.item <> b.item),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM e0)"""
+    for _i in range(1, 4):
+        lpa_sql += f""",
+nb{_i} AS (SELECT e.dst AS node, l.label
+           FROM e0 e JOIN l{_i - 1} l ON l.node = e.src),
+c{_i} AS (SELECT node, label, count(*) AS c FROM nb{_i} GROUP BY 1, 2),
+l{_i} AS (SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY c DESC, label) AS rn
+            FROM c{_i}) WHERE rn = 1)"""
+    lpa_sql += "\nSELECT node AS part_id, label FROM l3"
+    out["g07_lpa_communities"] = lpa_sql
     # d25: the d18 pipeline certified through the FINAL training
     # artifact — chain the corpus CTEs (through `mix`) with t15's chunk
     # CTEs, joining text back from the rebuilt stage.

@@ -330,3 +330,58 @@ def common_neighbor_scores(
             ).alias("jaccard_ppm"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    materialize_edges: bool = True,
+) -> DataFrame:
+    """Fixed-round label propagation (community detection).
+
+    Every node starts as its own community; each round it adopts the
+    most frequent label among its neighbors, ties broken by the
+    SMALLEST label — the determinism twist that makes classic LPA
+    (random tie-breaks, oscillation-prone) oracle-checkable: majority
+    + min-label is a pure function of the previous round, so an
+    external engine reproduces it by unrolling identical rounds. Runs
+    exactly ``rounds`` rounds (the g02/g05 fixed-iteration posture).
+
+    Distinct from connected components (d09): CC merges everything
+    reachable; majority-vote LPA lets densely-knit regions keep their
+    own label inside one component — the community structure.
+
+    Each round is one key-equality join (labels onto the symmetric
+    edge list), one (node, label) count agg, and one per-node top-1
+    window (bounded by the node's distinct neighbor labels). No
+    driver state; ``materialize_edges`` localCheckpoints the edge list
+    so the unrolled lineage doesn't re-derive it per round.
+
+    Returns (node, label): label = the community representative id.
+    """
+    from pyspark.sql import Window
+
+    if rounds < 1:
+        raise ValueError("label_propagation: rounds must be >= 1")
+    e = edges.select("src", "dst")
+    if materialize_edges:
+        e = e.localCheckpoint()
+    labels = e.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(int(rounds)):
+        nb = e.join(labels, e["src"] == labels["node"]).select(
+            F.col("dst").alias("node"), "label"
+        )
+        counts = nb.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.col("_c").desc(), F.col("label").asc()
+        )
+        labels = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", "label")
+        )
+    return labels

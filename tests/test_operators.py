@@ -1796,3 +1796,20 @@ def test_approx_topk_exact_at_capacity(spark, sf_small):
     assert sorted((r["est_n"] for r in got), reverse=True) == top20_counts
     ranks = [r["est_n"] for r in sorted(got, key=lambda r: r["rk"])]
     assert all(a >= b for a, b in zip(ranks, ranks[1:]))
+
+
+def test_label_propagation_two_communities(spark):
+    """Two triangles bridged by one edge: after 3 majority+min-label
+    rounds each triangle converges to its own community label."""
+    from learn_etl_data_warehouse_spark.operators.graph import (
+        label_propagation,
+    )
+
+    und = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    sym = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(sym, ["src", "dst"])
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, rounds=3).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 2, 4: 2, 5: 2}
