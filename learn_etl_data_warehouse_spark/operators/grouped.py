@@ -274,3 +274,41 @@ def gini_concentration(
         F.col("_sx").cast("long").alias("total_cents"),
         gini.alias("gini"),
     )
+
+
+def weighted_mean_native(
+    df: DataFrame, key: str, val: str, wt: str
+) -> DataFrame:
+    """Per-group weighted mean, native expressions (the fast path:
+    whole-stage codegen, partial aggregation). Null when total weight
+    is 0. Returns (key, wmean)."""
+    num = F.sum(F.col(val) * F.col(wt))
+    den = F.sum(F.col(wt))
+    return df.groupBy(key).agg(
+        F.when(den != 0, num / den).alias("wmean")
+    )
+
+
+def weighted_mean_pandas(
+    df: DataFrame, key: str, val: str, wt: str
+) -> DataFrame:
+    """The same aggregate as a GROUPED_AGG ``pandas_udf`` — the
+    series-to-scalar UDAF flavor, completing the declared pandas
+    escape-hatch taxonomy (scalar ``pandas_udf`` twins in
+    functions/cleaning_pandas.py, per-group ``applyInPandas`` here,
+    per-batch ``mapInPandas`` in multimodal, stateful
+    ``applyInPandasWithState`` in streaming). Arrow moves each group's
+    two columns into one pandas call — use ONLY when the aggregate
+    genuinely can't be expressed as native expressions (this one can;
+    it exists as the conformance twin the tests hold against
+    :func:`weighted_mean_native`)."""
+    import pandas as pd  # noqa: F401 — pandas_udf resolves the hint
+
+    @F.pandas_udf("double")
+    def _wmean(v: "pd.Series", w: "pd.Series") -> float:
+        tw = w.sum()
+        if tw == 0:
+            return None
+        return float((v * w).sum() / tw)
+
+    return df.groupBy(key).agg(_wmean(F.col(val), F.col(wt)).alias("wmean"))

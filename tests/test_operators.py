@@ -1813,3 +1813,38 @@ def test_label_propagation_two_communities(spark):
         for r in label_propagation(edges, rounds=3).collect()
     }
     assert got == {0: 0, 1: 0, 2: 0, 3: 2, 4: 2, 5: 2}
+
+
+def test_weighted_mean_grouped_agg_udf_matches_native(spark, sf_small):
+    """GROUPED_AGG pandas_udf conformance twin: same per-group weighted
+    mean as the native expression path (quantity-weighted price per
+    return flag), including a zero-weight group → null."""
+    from learn_etl_data_warehouse_spark.operators.grouped import (
+        weighted_mean_native,
+        weighted_mean_pandas,
+    )
+
+    li = spark.read.parquet(f"{sf_small}/lineitem.parquet").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    nat = {
+        r["l_returnflag"]: r["wmean"]
+        for r in weighted_mean_native(
+            li, "l_returnflag", "l_extendedprice", "l_quantity"
+        ).collect()
+    }
+    pud = {
+        r["l_returnflag"]: r["wmean"]
+        for r in weighted_mean_pandas(
+            li, "l_returnflag", "l_extendedprice", "l_quantity"
+        ).collect()
+    }
+    assert set(nat) == set(pud) and len(nat) >= 2
+    for k in nat:
+        assert pud[k] == pytest.approx(nat[k], rel=1e-9)
+
+    zw = spark.createDataFrame(
+        [("z", 5.0, 0.0), ("z", 7.0, 0.0)], "k string, v double, w double"
+    )
+    assert weighted_mean_native(zw, "k", "v", "w").collect()[0]["wmean"] is None
+    assert weighted_mean_pandas(zw, "k", "v", "w").collect()[0]["wmean"] is None
