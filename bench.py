@@ -67,6 +67,12 @@ HEADLINE = [
     # r5 continuation-3 operators
     "fp01_association_rules",
     "t19_lm_doc_score",
+    # r5 continuation-4 operators
+    "e14_ewma_smoothing",
+    "fp02_sequential_pairs",
+    "t20_collocations",
+    "a23_gini_concentration",
+    "g06_link_prediction",
 ]
 
 # Reference-parity ETL (EP1 at shard grain): not a queries() entry — it
