@@ -3114,6 +3114,61 @@ def q_g07(spark, sf_dir):
     )
 
 
+def q_g08(spark, sf_dir):
+    """HITS hubs & authorities (r5 cont.): 2 mutual-reinforcement
+    rounds over the bipartite customer→part purchase graph — good
+    hubs buy authoritative parts and vice versa. Max-normalized in
+    integer micros each half-step (L2 norm is a cross-engine sqrt
+    drift; a positive rescale preserves the ranking), so the oracle
+    unrolls identical rounds exactly
+    (operators/graph.py::hits_fixed_point)."""
+    from learn_etl_data_warehouse_spark.operators.graph import (
+        hits_fixed_point,
+    )
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("hub"),
+            F.col("l_partkey").alias("auth"),
+        )
+        .distinct()
+    )
+    return hits_fixed_point(edges, rounds=2)
+
+
+def q_e16(spark, sf_dir):
+    """Seasonal hour-of-day anomalies (r5 cont.): each hourly bucket
+    vs the mean of the SAME hour-of-day across the period — the
+    daily-seasonality baseline e15's trailing window can't see (3 AM
+    judged against other 3 AMs). mean in truncating micro units, hot/
+    cold flags as pure integer predicates
+    (operators/timeseries.py::seasonal_hourly_anomaly)."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        seasonal_hourly_anomaly,
+    )
+
+    return seasonal_hourly_anomaly(_t(spark, sf_dir, "events"))
+
+
+def q_pf04(spark, sf_dir):
+    """Benford first-digit audit (r5 cont.): per-priority first-digit
+    distribution of o_totalprice vs the fixed Benford ppm constants —
+    the fabricated-numbers / broken-feed detector. Digit from the
+    TRUNCATED integer part (DuckDB cast rounds → oracle truncs
+    first), shares in truncating ppm
+    (operators/profiling.py::benford_profile)."""
+    from learn_etl_data_warehouse_spark.operators.profiling import (
+        benford_profile,
+    )
+
+    return benford_profile(
+        _t(spark, sf_dir, "orders"), "o_totalprice", "o_orderpriority"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -3304,6 +3359,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pf03_ks_drift": q_pf03,
         "a24_cube_aggregate": q_a24,
         "g07_lpa_communities": q_g07,
+        "g08_hits_scores": q_g08,
+        "e16_seasonal_anomaly": q_e16,
+        "pf04_benford_audit": q_pf04,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
         # rows are all hash-verifiable
@@ -5252,6 +5310,81 @@ l{_i} AS (SELECT node, label FROM (
             FROM c{_i}) WHERE rn = 1)"""
     lpa_sql += "\nSELECT node AS part_id, label FROM l3"
     out["g07_lpa_communities"] = lpa_sql
+    # g08: HITS unrolled — max-normalization is (raw·1e6) // max(raw)
+    # on non-negative integers, so DuckDB floor ≡ Spark div; sums go
+    # HUGEINT in DuckDB (cast back), and the rescale multiply is done
+    # in HUGEINT for headroom parity with the BIGINT bound documented
+    # in hits_fixed_point.
+    out["g08_hits_scores"] = """
+WITH e AS (
+  SELECT DISTINCT o_custkey AS hub, l_partkey AS auth
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+h0 AS (SELECT DISTINCT hub, CAST(1000000 AS BIGINT) AS s FROM e),
+ar1 AS (SELECT auth, CAST(sum(s) AS BIGINT) AS raw
+        FROM e JOIN h0 USING (hub) GROUP BY auth),
+a1 AS (SELECT auth, CAST((CAST(raw AS HUGEINT) * 1000000)
+                         // (SELECT max(raw) FROM ar1) AS BIGINT) AS s
+       FROM ar1),
+hr1 AS (SELECT hub, CAST(sum(s) AS BIGINT) AS raw
+        FROM e JOIN a1 USING (auth) GROUP BY hub),
+h1 AS (SELECT hub, CAST((CAST(raw AS HUGEINT) * 1000000)
+                        // (SELECT max(raw) FROM hr1) AS BIGINT) AS s
+       FROM hr1),
+ar2 AS (SELECT auth, CAST(sum(s) AS BIGINT) AS raw
+        FROM e JOIN h1 USING (hub) GROUP BY auth),
+a2 AS (SELECT auth, CAST((CAST(raw AS HUGEINT) * 1000000)
+                         // (SELECT max(raw) FROM ar2) AS BIGINT) AS s
+       FROM ar2),
+hr2 AS (SELECT hub, CAST(sum(s) AS BIGINT) AS raw
+        FROM e JOIN a2 USING (auth) GROUP BY hub),
+h2 AS (SELECT hub, CAST((CAST(raw AS HUGEINT) * 1000000)
+                        // (SELECT max(raw) FROM hr2) AS BIGINT) AS s
+       FROM hr2)
+SELECT 'hub' AS side, hub AS node, s AS score_micros FROM h2
+UNION ALL
+SELECT 'auth' AS side, auth AS node, s AS score_micros FROM a2"""
+    # e16: hod = hr % 24 on the BIGINT unix-hour; sum(x) goes HUGEINT
+    # in DuckDB (multiply before the floor-div stays HUGEINT, cast
+    # back); both flags are integer predicates on both sides.
+    out["e16_seasonal_anomaly"] = """
+WITH h AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hr, count(*) AS x
+  FROM events GROUP BY 1, 2),
+p AS (
+  SELECT event_type, hr % 24 AS hod, count(*) AS n_obs,
+         CAST((sum(x) * 1000000) // count(*) AS BIGINT) AS mean_micros
+  FROM h GROUP BY 1, 2)
+SELECT h.event_type, h.hr, p.hod, h.x, p.n_obs, p.mean_micros,
+       CASE WHEN h.x * 1000000 > 2 * p.mean_micros
+            THEN 'hot' ELSE 'cold' END AS status
+FROM h JOIN p ON h.event_type = p.event_type AND h.hr % 24 = p.hod
+WHERE h.x * 1000000 > 2 * p.mean_micros
+   OR h.x * 2000000 < p.mean_micros"""
+    # pf04: digit from trunc()-then-cast (DuckDB CAST rounds — the
+    # standing trap); Benford constants are the same fixed literals the
+    # operator embeds; n·1e6 // total on non-negative integers.
+    out["pf04_benford_audit"] = """
+WITH v AS (
+  SELECT o_orderpriority AS grp,
+         CAST(substr(CAST(CAST(trunc(o_totalprice) AS BIGINT) AS VARCHAR),
+                     1, 1) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice >= 1),
+c AS (SELECT grp, digit, count(*) AS n FROM v GROUP BY 1, 2),
+t AS (SELECT grp, CAST(sum(n) AS BIGINT) AS total FROM c GROUP BY 1)
+SELECT c.grp, c.digit, c.n,
+       CAST((c.n * 1000000) // t.total AS BIGINT) AS obs_ppm,
+       CAST(CASE c.digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+                         WHEN 3 THEN 124939 WHEN 4 THEN 96910
+                         WHEN 5 THEN 79181 WHEN 6 THEN 66947
+                         WHEN 7 THEN 57992 WHEN 8 THEN 51153
+                         WHEN 9 THEN 45757 END AS BIGINT) AS exp_ppm,
+       abs(CAST((c.n * 1000000) // t.total AS BIGINT) -
+           CAST(CASE c.digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+                             WHEN 3 THEN 124939 WHEN 4 THEN 96910
+                             WHEN 5 THEN 79181 WHEN 6 THEN 66947
+                             WHEN 7 THEN 57992 WHEN 8 THEN 51153
+                             WHEN 9 THEN 45757 END AS BIGINT)) AS dev_ppm
+FROM c JOIN t USING (grp)"""
     # d25: the d18 pipeline certified through the FINAL training
     # artifact — chain the corpus CTEs (through `mix`) with t15's chunk
     # CTEs, joining text back from the rebuilt stage.

@@ -385,3 +385,88 @@ def label_propagation(
             .select("node", "label")
         )
     return labels
+
+
+def hits_fixed_point(
+    edges: DataFrame,
+    rounds: int = 2,
+    scale_micros: int = 1_000_000,
+    materialize_edges: bool = True,
+) -> DataFrame:
+    """Fixed-round HITS (hubs & authorities) over a bipartite edge list.
+
+    ``edges`` carries one row per (hub, auth) link — e.g. customer →
+    part through orders: good hubs are buyers of authoritative parts,
+    authoritative parts are bought by good hubs (the classic
+    Kleinberg mutual-reinforcement pair, reference parity:
+    query-intent ranking over a buyer/product graph).
+
+    Determinism: classic HITS L2-normalizes each half-step — a sqrt
+    that would drift across engines at the ulp level. This variant
+    max-normalizes instead: after each propagation the side's scores
+    are rescaled so its maximum equals ``scale_micros``, i.e.
+    ``score = (raw · scale) div max(raw)`` — all operands non-negative
+    BIGINTs, so truncating (Spark ``div``) and flooring (DuckDB ``//``)
+    agree and an external engine reproduces the result exactly by
+    unrolling identical rounds (the g02/g05/g07 posture). Rankings are
+    identical to L2 normalization (both are positive rescalings).
+
+    Scale shape: each half-round is one key-equality join (scores onto
+    the edge list) + one sum-shuffle on the receiving side + one
+    single-scalar max reduction broadcast back (a 1-row cross join —
+    no collect). Overflow headroom: raw ≤ max-degree · scale ≤ 1e12
+    at a 1e6 max degree, and raw · scale ≤ 1e18 < 2^63 — document any
+    scale_micros increase against that bound.
+
+    Returns (side STRING ∈ {'hub','auth'}, node, score_micros BIGINT).
+    """
+    if rounds < 1:
+        raise ValueError("hits_fixed_point: rounds must be >= 1")
+    e = edges.select("hub", "auth")
+    if materialize_edges:
+        # referenced 2× per round — cut lineage once (the measured g02
+        # lesson: don't re-derive the upstream join per unrolled round)
+        e = e.localCheckpoint()
+
+    def _maxnorm(df: DataFrame, key: str) -> DataFrame:
+        mx = df.agg(F.max("raw").alias("_mx"))
+        return df.crossJoin(F.broadcast(mx)).select(
+            key,
+            F.expr(f"(raw * CAST({int(scale_micros)} AS BIGINT)) div _mx")
+            .cast("long")
+            .alias("s"),
+        )
+
+    hub = (
+        e.select("hub")
+        .distinct()
+        .withColumn("s", F.lit(int(scale_micros)).cast("long"))
+    )
+    auth = None
+    for _ in range(int(rounds)):
+        auth = _maxnorm(
+            e.join(hub, "hub").groupBy("auth").agg(
+                F.sum("s").alias("raw")
+            ),
+            "auth",
+        )
+        hub = _maxnorm(
+            e.join(auth, "auth").groupBy("hub").agg(
+                F.sum("s").alias("raw")
+            ),
+            "hub",
+        )
+    return (
+        hub.select(
+            F.lit("hub").alias("side"),
+            F.col("hub").alias("node"),
+            F.col("s").alias("score_micros"),
+        )
+        .unionAll(
+            auth.select(
+                F.lit("auth").alias("side"),
+                F.col("auth").alias("node"),
+                F.col("s").alias("score_micros"),
+            )
+        )
+    )

@@ -120,3 +120,61 @@ def ks_drift(
             ).alias("d_ppm"),
         )
     )
+
+
+# round(log10(1 + 1/d) * 1e6) for d = 1..9 — fixed integer literals so
+# both engines compare against the same constants (no runtime log10).
+BENFORD_PPM = (301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757)
+
+
+def benford_profile(
+    df: DataFrame, val_col: str, group_col: str
+) -> DataFrame:
+    """First-digit (Benford's law) distribution audit per group — the
+    classic fabricated-numbers / broken-feed detector for positive
+    monetary columns.
+
+    The first significant digit is taken from the TRUNCATED integer
+    part (values < 1 are excluded; Spark's double→long cast truncates,
+    and the oracle must ``trunc()`` first because DuckDB's cast
+    rounds). Observed shares are truncating ppm on non-negative
+    integers; expected shares are the fixed ``BENFORD_PPM`` literals,
+    so the deviation column is engine-exact.
+
+    Plan shape: one shuffle to (group, digit) — ≤ 9 rows per group —
+    then a per-group total re-agg and a tiny join back; nothing scales
+    beyond |groups| · 9 after the first aggregation.
+
+    Returns (grp, digit, n, obs_ppm, exp_ppm, dev_ppm).
+    """
+    v = df.filter(F.col(val_col) >= 1).select(
+        F.col(group_col).alias("grp"),
+        F.substring(
+            F.col(val_col).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit"),
+    )
+    c = v.groupBy("grp", "digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("grp").agg(F.sum("n").alias("_total"))
+    exp_case = (
+        "CASE digit "
+        + " ".join(
+            f"WHEN {d} THEN {p}" for d, p in enumerate(BENFORD_PPM, 1)
+        )
+        + " END"
+    )
+    return (
+        c.join(t, "grp")
+        .select(
+            "grp",
+            "digit",
+            "n",
+            F.expr("(n * 1000000) div _total").cast("long").alias("obs_ppm"),
+            F.expr(exp_case).cast("long").alias("exp_ppm"),
+        )
+        .withColumn(
+            "dev_ppm",
+            F.abs(F.col("obs_ppm") - F.col("exp_ppm")).cast("long"),
+        )
+    )

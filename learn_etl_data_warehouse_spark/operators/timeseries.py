@@ -306,3 +306,60 @@ def anomalies_from_hourly(
         z.alias("z"),
         spike.alias("is_spike"),
     )
+
+
+def seasonal_hourly_anomaly(
+    df: DataFrame,
+    key: str = "event_type",
+    ts: str = "ts",
+    hot_times: int = 2,
+    cold_times: int = 2,
+) -> DataFrame:
+    """Seasonal (hour-of-day) baseline anomalies over the hourly grain.
+
+    Complements :func:`rolling_anomalies` (trailing-window spikes):
+    here each observed hour is compared against the mean of the SAME
+    hour-of-day across the whole period — the daily-seasonality
+    baseline (3 AM traffic is judged against other 3 AMs, not against
+    the preceding afternoon). A bucket is ``hot`` when
+    x > hot_times · mean, ``cold`` when cold_times · x < mean.
+
+    Exact-integer contract: mean_micros = (Σx · 1e6) div n_obs on
+    non-negative operands (truncating ≡ flooring), and both flags are
+    integer predicates — no float ever decides a boundary.
+
+    Plan shape: one shuffle to the hourly grain, one (key, hod) agg
+    over it (24 · |keys| groups), one key-equality join back — the
+    profile side is tiny and broadcast-eligible at any SF; the hourly
+    grain is calendar-bounded, same caveat as ``hourly_gapfill``.
+
+    Returns (key, hr, hod, x, n_obs, mean_micros, status) for flagged
+    buckets only.
+    """
+    if hot_times < 1 or cold_times < 1:
+        raise ValueError("seasonal_hourly_anomaly: ratios must be >= 1")
+    h = hourly_counts(df, key, ts).withColumn(
+        "hod", F.expr("hr % 24").cast("long")
+    )
+    p = h.groupBy(key, "hod").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.expr("(sum(x) * 1000000) div count(1)")
+        .cast("long")
+        .alias("mean_micros"),
+    )
+    j = h.join(F.broadcast(p), [key, "hod"])
+    hot = F.col("x") * 1_000_000 > F.lit(int(hot_times)) * F.col(
+        "mean_micros"
+    )
+    cold = F.col("x") * F.lit(int(cold_times) * 1_000_000) < F.col(
+        "mean_micros"
+    )
+    return j.filter(hot | cold).select(
+        key,
+        "hr",
+        "hod",
+        "x",
+        "n_obs",
+        "mean_micros",
+        F.when(hot, F.lit("hot")).otherwise(F.lit("cold")).alias("status"),
+    )

@@ -1848,3 +1848,85 @@ def test_weighted_mean_grouped_agg_udf_matches_native(spark, sf_small):
     )
     assert weighted_mean_native(zw, "k", "v", "w").collect()[0]["wmean"] is None
     assert weighted_mean_pandas(zw, "k", "v", "w").collect()[0]["wmean"] is None
+
+
+def test_hits_fixed_point_matches_python_mirror(spark):
+    """Integer HITS on a small bipartite graph vs an independent pure-
+    Python mirror of the max-normalized recurrence (the oracle
+    contract in miniature)."""
+    from learn_etl_data_warehouse_spark.operators.graph import (
+        hits_fixed_point,
+    )
+
+    E = [(1, 10), (1, 11), (2, 10), (3, 10), (3, 12)]
+    hubs = sorted({h for h, _ in E})
+    auths = sorted({a for _, a in E})
+    hub = {h: 1_000_000 for h in hubs}
+    for _ in range(2):
+        raw_a = {a: sum(hub[h] for h, x in E if x == a) for a in auths}
+        mx = max(raw_a.values())
+        auth = {a: (raw_a[a] * 1_000_000) // mx for a in auths}
+        raw_h = {h: sum(auth[a] for x, a in E if x == h) for h in hubs}
+        mx = max(raw_h.values())
+        hub = {h: (raw_h[h] * 1_000_000) // mx for h in hubs}
+
+    edges = spark.createDataFrame(E, ["hub", "auth"])
+    got = {
+        (r["side"], r["node"]): r["score_micros"]
+        for r in hits_fixed_point(edges, rounds=2).collect()
+    }
+    want = {("hub", h): s for h, s in hub.items()}
+    want.update({("auth", a): s for a, s in auth.items()})
+    assert got == want
+
+
+def test_seasonal_hourly_anomaly_flags(spark):
+    """Three same-hour-of-day buckets with counts (1, 1, 10): the
+    profile mean is 4e6 micros, so the 10-count bucket is hot and both
+    1-count buckets are cold; an unflagged steady key emits nothing."""
+    import datetime as dt
+
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        seasonal_hourly_anomaly,
+    )
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    for day, n in [(0, 1), (1, 1), (2, 10)]:
+        for i in range(n):
+            rows.append(("a", base + dt.timedelta(days=day, seconds=i)))
+    for day in range(3):  # steady key: never flagged
+        rows.append(("b", base + dt.timedelta(days=day)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {
+        (r["event_type"], r["hr"]): (r["x"], r["mean_micros"], r["status"])
+        for r in seasonal_hourly_anomaly(df).collect()
+    }
+    hr0 = int(base.replace(tzinfo=dt.timezone.utc).timestamp()) // 3600
+    assert got == {
+        ("a", hr0): (1, 4_000_000, "cold"),
+        ("a", hr0 + 24): (1, 4_000_000, "cold"),
+        ("a", hr0 + 48): (10, 4_000_000, "hot"),
+    }
+
+
+def test_benford_profile_digits_and_ppm(spark):
+    """Known digit mix: values 10/11/19/25 (and an excluded 0.5) give
+    digit-1 share 750000 ppm and digit-2 share 250000 ppm with exact
+    deviations from the fixed Benford constants."""
+    from learn_etl_data_warehouse_spark.operators.profiling import (
+        benford_profile,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 10.2), ("g", 11.9), ("g", 19.99), ("g", 25.0), ("g", 0.5)],
+        "grp0 string, v double",
+    )
+    got = {
+        r["digit"]: (r["n"], r["obs_ppm"], r["exp_ppm"], r["dev_ppm"])
+        for r in benford_profile(df, "v", "grp0").collect()
+    }
+    assert got == {
+        1: (3, 750_000, 301_030, 448_970),
+        2: (1, 250_000, 176_091, 73_909),
+    }
