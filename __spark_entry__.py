@@ -3169,6 +3169,22 @@ def q_pf04(spark, sf_dir):
     )
 
 
+def q_km01(spark, sf_dir):
+    """Distributed Lloyd k-means (r5 cont.): 2 exact-integer rounds,
+    k=8, over the quantized embedding corpus — centroids stay
+    distributed (no driver matrix, unlike the IVF index path), every
+    round is broadcast-join + agg + top-1 window, and the oracle
+    replays identical rounds (operators/similarity.py::
+    kmeans_lloyd_exact)."""
+    from learn_etl_data_warehouse_spark.operators.similarity import (
+        kmeans_lloyd_exact,
+    )
+
+    return kmeans_lloyd_exact(
+        _t(spark, sf_dir, "embeddings"), k=8, rounds=2
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -3362,6 +3378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g08_hits_scores": q_g08,
         "e16_seasonal_anomaly": q_e16,
         "pf04_benford_audit": q_pf04,
+        "km01_lloyd_assign": q_km01,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
         # rows are all hash-verifiable
@@ -5385,6 +5402,41 @@ SELECT c.grp, c.digit, c.n,
                              WHEN 7 THEN 57992 WHEN 8 THEN 51153
                              WHEN 9 THEN 45757 END AS BIGINT)) AS dev_ppm
 FROM c JOIN t USING (grp)"""
+    # km01: Lloyd unrolled — quantization is the s08 IEEE-pinned
+    # floor(x·1e6) (+1e6 offset so the centroid mean's floor-div ≡
+    # Spark's truncating div on non-negative sums); argmin tie-break
+    # is (dist_sq, cluster) row_number on both sides.
+    out["km01_lloyd_assign"] = """
+WITH base AS (
+  SELECT vec_id, CAST(pos - 1 AS BIGINT) AS pos,
+         CAST(floor(CAST(embedding[pos] AS DOUBLE) * 1000000) AS BIGINT)
+           + 1000000 AS q
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos) t),
+seeds AS (
+  SELECT vec_id,
+         CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8) s),
+c0 AS (SELECT cluster, pos, q AS val FROM base JOIN seeds USING (vec_id)),
+d1 AS (SELECT b.vec_id, c.cluster,
+              CAST(sum((b.q - c.val) * (b.q - c.val)) AS BIGINT) AS dist_sq
+       FROM base b JOIN c0 c ON b.pos = c.pos GROUP BY 1, 2),
+a1 AS (SELECT vec_id, cluster FROM (
+         SELECT vec_id, cluster,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY dist_sq, cluster) AS rn
+         FROM d1) z WHERE rn = 1),
+c1 AS (SELECT a.cluster, b.pos,
+              CAST(sum(b.q) // count(*) AS BIGINT) AS val
+       FROM a1 a JOIN base b USING (vec_id) GROUP BY 1, 2),
+d2 AS (SELECT b.vec_id, c.cluster,
+              CAST(sum((b.q - c.val) * (b.q - c.val)) AS BIGINT) AS dist_sq
+       FROM base b JOIN c1 c ON b.pos = c.pos GROUP BY 1, 2)
+SELECT vec_id, cluster, dist_sq FROM (
+  SELECT vec_id, cluster, dist_sq,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dist_sq, cluster) AS rn
+  FROM d2) z WHERE rn = 1"""
     # d25: the d18 pipeline certified through the FINAL training
     # artifact — chain the corpus CTEs (through `mix`) with t15's chunk
     # CTEs, joining text back from the rebuilt stage.

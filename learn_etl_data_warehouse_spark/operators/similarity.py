@@ -865,3 +865,105 @@ def hard_negatives(
         pairs.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= int(k))
     )
+
+
+def kmeans_lloyd_exact(
+    df: DataFrame,
+    k: int = 8,
+    rounds: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    offset_micros: int = 1_000_000,
+) -> DataFrame:
+    """Fully-distributed Lloyd k-means in exact integer arithmetic.
+
+    Complements :func:`ivf_build_centroids` (which collects the tiny
+    centroid matrix to the driver for the IVF index path): here the
+    centroids STAY distributed as a (cluster, pos, val) long-form
+    frame, so the whole iteration is joins + aggregations — the shape
+    that runs unchanged on a 1000-executor cluster — and every value
+    is an integer, so an external SQL engine replays the identical
+    rounds exactly (the repo's oracle contract; float Lloyd is
+    accumulation-order nondeterministic).
+
+    Mechanics: components are quantized to
+    ``floor(x · 1e6) + offset_micros`` (the s08 IEEE-pinned float
+    multiply; the offset keeps every value non-negative for components
+    ≥ −offset/1e6, so centroid means use truncating div ≡ DuckDB
+    floor-div). Seeds are the ``k`` smallest ids (cluster = seed rank
+    − 1, no RNG); each round assigns every vector to its argmin
+    squared-distance centroid (ties → smallest cluster id) and
+    re-averages. A cluster that loses all members simply drops out —
+    both engines drop it identically through the group-by.
+
+    Plan shape per round: one broadcast join of the ≤ k·dim centroid
+    frame onto the quantized long form (no shuffle), one
+    (vec_id, cluster) partial-aggregated sum, one per-vector top-1
+    window, one (cluster, pos) re-aggregation. The long form is
+    localCheckpoint'ed once so the unrolled lineage never re-explodes
+    the source. Overflow bound: diff² ≤ (2·(1e6+offset))² ≈ 1.6e13,
+    × dim(64) ≈ 1e15 per vector — far inside BIGINT.
+
+    Returns (vec_id, cluster BIGINT, dist_sq BIGINT) — the final
+    assignment and its squared distance in offset-micro space.
+    """
+    from pyspark.sql import Window
+
+    if k < 1 or rounds < 1:
+        raise ValueError("kmeans_lloyd_exact: k and rounds must be >= 1")
+    base = (
+        df.select(
+            F.col(id_col).alias("vec_id"),
+            F.posexplode(vec_col).alias("pos", "_x"),
+        )
+        .select(
+            "vec_id",
+            F.col("pos").cast("long").alias("pos"),
+            (
+                F.floor(F.col("_x").cast("double") * 1_000_000)
+                + F.lit(int(offset_micros))
+            )
+            .cast("long")
+            .alias("q"),
+        )
+        .localCheckpoint()
+    )
+    seeds = (
+        df.select(F.col(id_col).alias("vec_id"))
+        .orderBy("vec_id")
+        .limit(int(k))
+        .select(
+            "vec_id",
+            (F.row_number().over(Window.orderBy("vec_id")) - 1)
+            .cast("long")
+            .alias("cluster"),
+        )
+    )
+    cents = base.join(seeds, "vec_id").select(
+        "cluster", "pos", F.col("q").alias("val")
+    )
+    assign = None
+    for r in range(int(rounds)):
+        diff = F.col("q") - F.col("val")
+        d = (
+            base.join(F.broadcast(cents), "pos")
+            .groupBy("vec_id", "cluster")
+            .agg(F.sum(diff * diff).alias("dist_sq"))
+        )
+        wa = Window.partitionBy("vec_id").orderBy(
+            F.col("dist_sq").asc(), F.col("cluster").asc()
+        )
+        assign = (
+            d.withColumn("_rn", F.row_number().over(wa))
+            .filter(F.col("_rn") == 1)
+            .select("vec_id", "cluster", "dist_sq")
+        )
+        if r < int(rounds) - 1:
+            cents = (
+                assign.join(base, "vec_id")
+                .groupBy("cluster", "pos")
+                .agg(
+                    F.expr("sum(q) div count(1)").cast("long").alias("val")
+                )
+            )
+    return assign

@@ -1930,3 +1930,31 @@ def test_benford_profile_digits_and_ppm(spark):
         1: (3, 750_000, 301_030, 448_970),
         2: (1, 250_000, 176_091, 73_909),
     }
+
+
+def test_kmeans_lloyd_exact_separates_blobs(spark):
+    """k=2 Lloyd on two tight 2-D blobs: after 2 rounds every vector is
+    assigned with its blob-mates, seeds (ids 0,1 — both in blob A)
+    notwithstanding; a repeat run returns identical assignments."""
+    from learn_etl_data_warehouse_spark.operators.similarity import (
+        kmeans_lloyd_exact,
+    )
+
+    blob_a = [[0.10 + i * 0.001, 0.10] for i in range(4)]
+    blob_b = [[-0.40, -0.40 - i * 0.001] for i in range(4)]
+    rows = [(i, v) for i, v in enumerate(blob_a + blob_b)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_lloyd_exact(df, k=2, rounds=2).collect()
+    }
+    assert len(got) == 8
+    a_labels = {got[i] for i in range(4)}
+    b_labels = {got[i] for i in range(4, 8)}
+    assert len(a_labels) == 1 and len(b_labels) == 1
+    assert a_labels != b_labels
+    again = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_lloyd_exact(df, k=2, rounds=2).collect()
+    }
+    assert again == got
