@@ -3185,6 +3185,27 @@ def q_km01(spark, sf_dir):
     )
 
 
+def q_pf05(spark, sf_dir):
+    """Chi-square independence audit (r5 cont.): per-cell chi-square
+    contributions of order priority × order status — exact contingency
+    marginals, deviation n·O − R·C in DECIMAL(38,0)/HUGEINT, one
+    double evaluation per cell (the a15 contract)
+    (operators/profiling.py::chi_square_independence)."""
+    from learn_etl_data_warehouse_spark.operators.profiling import (
+        chi_square_independence,
+    )
+
+    return chi_square_independence(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", "o_orderstatus"
+    ).select(
+        F.col("a").alias("priority"),
+        F.col("b").alias("status"),
+        "observed",
+        "expected",
+        "chi2_contrib",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -3379,6 +3400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e16_seasonal_anomaly": q_e16,
         "pf04_benford_audit": q_pf04,
         "km01_lloyd_assign": q_km01,
+        "pf05_chi_square": q_pf05,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
         # rows are all hash-verifiable
@@ -5437,6 +5459,25 @@ SELECT vec_id, cluster, dist_sq FROM (
          row_number() OVER (PARTITION BY vec_id
                             ORDER BY dist_sq, cluster) AS rn
   FROM d2) z WHERE rn = 1"""
+    # pf05: deviation and denominator exact in HUGEINT; the double
+    # expressions mirror the Spark operand order exactly (multiply
+    # before divide) so the IEEE evaluations are identical.
+    out["pf05_chi_square"] = """
+WITH c AS (SELECT o_orderpriority AS a, o_orderstatus AS b, count(*) AS o
+           FROM orders GROUP BY 1, 2),
+ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM c GROUP BY 1),
+cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM c GROUP BY 1),
+t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM c)
+SELECT c.a AS priority, c.b AS status, c.o AS observed,
+       round(CAST(ra.ra AS DOUBLE) * CAST(cb.cb AS DOUBLE)
+             / CAST(t.n AS DOUBLE), 6) AS expected,
+       round(CAST(CAST(t.n AS HUGEINT) * c.o
+                  - CAST(ra.ra AS HUGEINT) * cb.cb AS DOUBLE)
+             * CAST(CAST(t.n AS HUGEINT) * c.o
+                    - CAST(ra.ra AS HUGEINT) * cb.cb AS DOUBLE)
+             / CAST(CAST(t.n AS HUGEINT) * ra.ra * cb.cb AS DOUBLE),
+             6) AS chi2_contrib
+FROM c JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN t"""
     # d25: the d18 pipeline certified through the FINAL training
     # artifact — chain the corpus CTEs (through `mix`) with t15's chunk
     # CTEs, joining text back from the rebuilt stage.

@@ -178,3 +178,58 @@ def benford_profile(
             F.abs(F.col("obs_ppm") - F.col("exp_ppm")).cast("long"),
         )
     )
+
+
+def chi_square_independence(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Per-cell chi-square independence audit of two categorical
+    columns — the drift/dependence screen behind "did shipping mode
+    become correlated with priority" style monitoring.
+
+    Exactness contract (the a15/grouped_corr posture): contingency
+    counts and marginals are exact integers; the cell deviation
+    d = n·O − R·C is computed exactly in DECIMAL(38,0) (HUGEINT on the
+    oracle side — headroom to ~1e18-row tables), then the per-cell
+    evaluation d²/(n·R·C) runs in doubles on identical exact operands,
+    which IEEE reproduces across engines, rounded to 6 decimals.
+
+    Plan shape: one shuffle to the (a, b) cell grid, two re-aggs of
+    the tiny cell table for the marginals, one broadcastable 1-row
+    total — past the first aggregation everything is |A|·|B|-sized.
+
+    Returns (a, b, observed, expected, chi2_contrib); Σ chi2_contrib
+    is the test statistic with (|A|−1)(|B|−1) degrees of freedom.
+    """
+    c = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    ra = c.groupBy("a").agg(F.sum("o").alias("ra"))
+    cb = c.groupBy("b").agg(F.sum("o").alias("cb"))
+    tot = c.agg(F.sum("o").alias("n"))
+    j = (
+        c.join(F.broadcast(ra), "a")
+        .join(F.broadcast(cb), "b")
+        .crossJoin(F.broadcast(tot))
+    )
+    dec = "decimal(38,0)"
+    d = (
+        F.col("n").cast(dec) * F.col("o").cast(dec)
+        - F.col("ra").cast(dec) * F.col("cb").cast(dec)
+    )
+    den = F.col("n").cast(dec) * F.col("ra").cast(dec) * F.col("cb").cast(dec)
+    expected = F.round(
+        F.col("ra").cast("double")
+        * F.col("cb").cast("double")
+        / F.col("n").cast("double"),
+        6,
+    )
+    dd = d.cast("double")
+    contrib = F.round(dd * dd / den.cast("double"), 6)
+    return j.select(
+        "a",
+        "b",
+        F.col("o").alias("observed"),
+        expected.alias("expected"),
+        contrib.alias("chi2_contrib"),
+    )

@@ -1958,3 +1958,27 @@ def test_kmeans_lloyd_exact_separates_blobs(spark):
         for r in kmeans_lloyd_exact(df, k=2, rounds=2).collect()
     }
     assert again == got
+
+
+def test_chi_square_independence_2x2(spark):
+    """Hand-computed 2×2 contingency table: expected counts and
+    per-cell chi-square contributions match the closed form."""
+    from learn_etl_data_warehouse_spark.operators.profiling import (
+        chi_square_independence,
+    )
+
+    rows = (
+        [("x", "p")] * 30 + [("x", "q")] * 10
+        + [("y", "p")] * 10 + [("y", "q")] * 50
+    )
+    df = spark.createDataFrame(rows, "u string, v string")
+    got = {
+        (r["a"], r["b"]): (r["observed"], r["expected"], r["chi2_contrib"])
+        for r in chi_square_independence(df, "u", "v").collect()
+    }
+    assert got == {
+        ("x", "p"): (30, 16.0, 12.25),
+        ("x", "q"): (10, 24.0, 8.166667),
+        ("y", "p"): (10, 24.0, 8.166667),
+        ("y", "q"): (50, 36.0, 5.444444),
+    }
