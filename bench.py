@@ -73,6 +73,9 @@ HEADLINE = [
     "t20_collocations",
     "a23_gini_concentration",
     "g06_link_prediction",
+    # r5 continuation-5 operators
+    "km01_lloyd_assign",
+    "g08_hits_scores",
 ]
 
 # Reference-parity ETL (EP1 at shard grain): not a queries() entry — it

@@ -429,6 +429,13 @@ def hits_fixed_point(
         e = e.localCheckpoint()
 
     def _maxnorm(df: DataFrame, key: str) -> DataFrame:
+        # Each half-round's raw frame is referenced twice (the max
+        # reduction and the rescale) and then again by every later
+        # round — without a cut the unrolled lineage doubles per
+        # reference and the 2-round plan carries >100 exchanges
+        # (measured). One node-sized localCheckpoint per half-round
+        # bounds it (the d10/connected-components loop pattern).
+        df = df.localCheckpoint()
         mx = df.agg(F.max("raw").alias("_mx"))
         return df.crossJoin(F.broadcast(mx)).select(
             key,
