@@ -236,3 +236,97 @@ def monthly_rollup(
         .groupBy("year", "month", *key_cols)
         .agg(*aggs)
     )
+
+
+def counted_join_view(
+    a: DataFrame, b: DataFrame, key: str | list[str]
+) -> DataFrame:
+    """The inner equi-join view in COUNTED normal form: one row per
+    distinct joined tuple with its multiplicity ``cnt`` — the
+    representation :func:`maintain_join_view` maintains (multiset
+    deltas apply as integer count arithmetic instead of row surgery).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    j = a.join(b, keys)
+    return j.groupBy(*j.columns).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
+def maintain_join_view(
+    prev: DataFrame,
+    a_new: DataFrame,
+    b_new: DataFrame,
+    diff_a: DataFrame,
+    diff_b: DataFrame,
+    key: str | list[str],
+) -> DataFrame:
+    """Incrementally maintain an inner equi-join view A ⋈ B from the
+    two tables' change-data-feeds — join-view IVM, the companion to
+    :func:`maintain_rollup`'s aggregate IVM.
+
+    Uses the delta formulation that needs only the NEW snapshots (no
+    time-travel read of the old ones):
+
+        Δ(A⋈B) = ΔA⋈B' + A'⋈ΔB − ΔA⋈ΔB
+
+    with multiset signs (insert = +1, delete = −1; the correction term
+    carries −s₁·s₂ because both delta-joins counted the delta×delta
+    tuples once each). The signed delta is aggregated to per-tuple
+    count changes and merged into the counted view: additive, exact,
+    no rescan of the unchanged data.
+
+    Cost: two delta-driven key-equality joins against the current
+    snapshots plus one delta⋈delta — all proportional to the CHANGE
+    volume on the probe side. At warehouse scale the snapshot sides
+    prune to the partitions/files the delta keys can touch (the
+    manifest's stats/bloom skipping; a full-scan fallback is still
+    correct). Column names outside the key must be disjoint.
+
+    Returns the updated counted view (tuples whose count reaches 0
+    drop out).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    clash = (set(a_new.columns) & set(b_new.columns)) - set(keys)
+    if clash:
+        raise ValueError(
+            f"maintain_join_view: non-key column clash {sorted(clash)}"
+        )
+    view_cols = (
+        keys
+        + [c for c in a_new.columns if c not in keys]
+        + [c for c in b_new.columns if c not in keys]
+    )
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    sa = diff_a.withColumn("_sa", sign).drop("_change_type")
+    sb = diff_b.withColumn("_sb", sign).drop("_change_type")
+    t1 = sa.join(b_new, keys).select(
+        *view_cols, F.col("_sa").alias("_sign")
+    )
+    t2 = a_new.join(sb, keys).select(
+        *view_cols, F.col("_sb").alias("_sign")
+    )
+    t3 = sa.join(sb, keys).select(
+        *view_cols, (-(F.col("_sa") * F.col("_sb"))).alias("_sign")
+    )
+    dc = (
+        t1.unionByName(t2)
+        .unionByName(t3)
+        .groupBy(*view_cols)
+        .agg(F.sum("_sign").cast("long").alias("_dcnt"))
+    )
+    return (
+        prev.join(dc, view_cols, "full_outer")
+        .select(
+            *view_cols,
+            (
+                F.coalesce(F.col("cnt"), F.lit(0))
+                + F.coalesce(F.col("_dcnt"), F.lit(0))
+            )
+            .cast("long")
+            .alias("cnt"),
+        )
+        .filter(F.col("cnt") > 0)
+    )

@@ -799,3 +799,96 @@ def read_manifest_txn_at_seq(table, seq):
         if h["seq"] == seq:
             return h["txn"]
     raise AssertionError(f"no seq {seq}")
+
+
+def test_incremental_join_view_maintenance_from_cdf(spark, tmp_path):
+    """Join-view IVM end-to-end: both sides of an inner equi-join
+    mutate (fact inserts + a fact delete; dim delete + re-insert = an
+    update), snapshot_diff CDFs drive maintain_join_view, and the
+    maintained counted view must equal a counted recompute over the
+    new snapshots — including duplicate fact keys (multiplicities),
+    a view tuple that disappears, and delta×delta interaction (the
+    inserted fact row joining the updated dim row)."""
+    from learn_etl_data_warehouse_spark.operators.rollups import (
+        counted_join_view,
+        maintain_join_view,
+    )
+
+    ta = str(tmp_path / "facts")
+    tb = str(tmp_path / "dims")
+    os.makedirs(ta)
+    os.makedirs(tb)
+    sink_a = manifest_stream_sink(ta)
+    sink_b = manifest_stream_sink(tb)
+
+    sink_a(
+        spark.createDataFrame(
+            [(1, 10.0), (1, 11.0), (2, 20.0), (2, 20.0), (3, 30.0)],
+            "k INT, amt DOUBLE",
+        ),
+        0,
+    )
+    sink_b(
+        spark.createDataFrame(
+            [(1, "gold"), (2, "silver"), (4, "bronze")], "k INT, tier STRING"
+        ),
+        0,
+    )
+    txn_a0 = read_manifest(ta)["txn"]
+    txn_b0 = read_manifest(tb)["txn"]
+    # project off the sink's batch_id bookkeeping column: both sides
+    # carry it and the view requires disjoint non-key columns
+    facts = lambda df: df.select("k", "amt")
+    dims = lambda df: df.select("k", "tier")
+    view0 = counted_join_view(
+        facts(read_snapshot(spark, ta, as_of=txn_a0)),
+        dims(read_snapshot(spark, tb, as_of=txn_b0)),
+        "k",
+    )
+
+    # fact side: delete the k=3 row (no dim match — the view must not
+    # change from it), insert k=4, a second k=1 (multiplicity), and a
+    # k=2 (the key whose DIM row also changes: only the −ΔA⋈ΔB
+    # correction keeps that tuple from double-counting)
+    delete_where(spark, ta, F.col("amt") >= 30.0)
+    sink_a(
+        spark.createDataFrame(
+            [(4, 40.0), (1, 10.0), (2, 25.0)], "k INT, amt DOUBLE"
+        ),
+        1,
+    )
+    # dim side: update tier of k=2 (delete + insert), drop nothing else
+    delete_where(spark, tb, F.col("k") == 2)
+    sink_b(
+        spark.createDataFrame([(2, "platinum")], "k INT, tier STRING"), 1
+    )
+
+    maintained = maintain_join_view(
+        view0,
+        facts(read_snapshot(spark, ta)),
+        dims(read_snapshot(spark, tb)),
+        snapshot_diff(spark, ta, from_txn=txn_a0).select(
+            "k", "amt", "_change_type"
+        ),
+        snapshot_diff(spark, tb, from_txn=txn_b0).select(
+            "k", "tier", "_change_type"
+        ),
+        "k",
+    )
+    expected = counted_join_view(
+        facts(read_snapshot(spark, ta)), dims(read_snapshot(spark, tb)), "k"
+    )
+    as_set = lambda df: {
+        (r["k"], r["amt"], r["tier"], r["cnt"]) for r in df.collect()
+    }
+    got = as_set(maintained)
+    assert got == as_set(expected)
+    # the multiplicity path really exercised: k=1 amt=10.0 now counts 2
+    assert (1, 10.0, "gold", 2) in got
+    # inserted fact k=4 joined the pre-existing dim row
+    assert (4, 40.0, "bronze", 1) in got
+    # both-sides-changed key: exactly once (the −ΔA⋈ΔB correction)
+    assert (2, 25.0, "platinum", 1) in got
+    assert (2, 20.0, "platinum", 2) in got
+    # updated dim tuple flows through; the old tier tuple is gone
+    assert not any(t[2] == "silver" for t in got)
