@@ -3206,6 +3206,50 @@ def q_pf05(spark, sf_dir):
     )
 
 
+def q_ivm02(spark, sf_dir):
+    """Join-view IVM end-to-end (r5 cont.): a scripted two-sided txn
+    (fact cohort delete+insert; dim delete+reinsert) drives
+    maintain_join_view's snapshot-only delta formulation
+    ΔA⋈B′ + A′⋈ΔB − ΔA⋈ΔB over the counted orders⋈customer view; the
+    maintained view must equal the counted join of the post-txn
+    snapshots — certified by the driver's oracle, like ivm01 for the
+    aggregate side (operators/rollups.py::maintain_join_view). A
+    deployment applies this to stored snapshot_diff CDFs instead of
+    reconstructing both snapshots from raw."""
+    from learn_etl_data_warehouse_spark.operators.rollups import (
+        counted_join_view,
+        maintain_join_view,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    ck = F.col("o_orderkey") % 10
+    prev = counted_join_view(o.filter(ck != 0), c, "o_custkey")
+    a_new = o.filter(ck != 1)  # post-txn facts: +cohort 0, −cohort 1
+    diff_a = (
+        o.filter(ck == 1)
+        .withColumn("_change_type", F.lit("delete"))
+        .unionByName(
+            o.filter(ck == 0).withColumn("_change_type", F.lit("insert"))
+        )
+    )
+    dim_cohort = F.col("o_custkey") % 100 == 0
+    diff_b = (  # delete + identical re-insert: net no-op that still
+        c.filter(dim_cohort)  # exercises the −ΔA⋈ΔB correction term
+        .withColumn("_change_type", F.lit("delete"))
+        .unionByName(
+            c.filter(dim_cohort).withColumn(
+                "_change_type", F.lit("insert")
+            )
+        )
+    )
+    return maintain_join_view(prev, a_new, c, diff_a, diff_b, "o_custkey")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -3401,6 +3445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pf04_benford_audit": q_pf04,
         "km01_lloyd_assign": q_km01,
         "pf05_chi_square": q_pf05,
+        "ivm02_maintained_join": q_ivm02,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
         # rows are all hash-verifiable
@@ -5478,6 +5523,16 @@ SELECT c.a AS priority, c.b AS status, c.o AS observed,
              / CAST(CAST(t.n AS HUGEINT) * ra.ra * cb.cb AS DOUBLE),
              6) AS chi2_contrib
 FROM c JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN t"""
+    # ivm02: the oracle is the counted join over the POST-txn
+    # snapshots — the defining IVM equivalence, like ivm01's direct
+    # aggregation oracle. o_totalprice passes through unaggregated
+    # (raw stored doubles hash identically).
+    out["ivm02_maintained_join"] = """
+SELECT o_custkey, o_orderkey, o_totalprice, c_mktsegment,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderkey % 10 <> 1
+GROUP BY 1, 2, 3, 4"""
     # d25: the d18 pipeline certified through the FINAL training
     # artifact — chain the corpus CTEs (through `mix`) with t15's chunk
     # CTEs, joining text back from the rebuilt stage.
