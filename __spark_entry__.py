@@ -3250,6 +3250,29 @@ def q_ivm02(spark, sf_dir):
     return maintain_join_view(prev, a_new, c, diff_a, diff_b, "o_custkey")
 
 
+def q_t21(spark, sf_dir):
+    """Flesch-style readability (r5 cont.): per-doc reading-ease in
+    integer micros — words/sentences/vowel-group syllables from three
+    codegen'd regexp counts, both divisions truncating on non-negative
+    operands, no float ratio (operators/text.py::readability_scores)."""
+    return text.readability_scores(
+        _t(spark, sf_dir, "documents")
+    ).withColumnRenamed("id", "doc_id")
+
+
+def q_e17(spark, sf_dir):
+    """Cumulative audience growth (r5 cont.): first-touch reduction per
+    user (min epoch-day), day-grain new-user counts, one running sum
+    over the calendar-bounded day axis — exact cumulative distinct
+    without per-day COUNT(DISTINCT) rescans
+    (operators/product_analytics.py::cumulative_new_actors)."""
+    from learn_etl_data_warehouse_spark.operators.product_analytics import (
+        cumulative_new_actors,
+    )
+
+    return cumulative_new_actors(_t(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -3446,6 +3469,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "km01_lloyd_assign": q_km01,
         "pf05_chi_square": q_pf05,
         "ivm02_maintained_join": q_ivm02,
+        "t21_readability": q_t21,
+        "e17_cumulative_users": q_e17,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
         # rows are all hash-verifiable
@@ -5533,6 +5558,34 @@ SELECT o_custkey, o_orderkey, o_totalprice, c_mktsegment,
 FROM orders JOIN customer ON o_custkey = c_custkey
 WHERE o_orderkey % 10 <> 1
 GROUP BY 1, 2, 3, 4"""
+    # t21: the three counting regexes are class/run patterns with
+    # identical Java-regex/RE2 semantics; divisions are non-negative
+    # truncating (DuckDB // ≡ Spark div).
+    out["t21_readability"] = """
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+           AS n_words,
+         greatest(CAST(1 AS BIGINT),
+                  CAST(len(regexp_extract_all(lower(text), '[.!?]+'))
+                       AS BIGINT)) AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+           AS n_syllables
+  FROM documents)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CAST(206835000 - (1015000 * n_words) // n_sentences
+                      - (84600000 * n_syllables) // n_words
+            AS BIGINT) AS score_micros
+FROM s WHERE n_words > 0"""
+    # e17: default RANGE window frame on a distinct day axis is
+    # identical in both engines.
+    out["e17_cumulative_users"] = """
+WITH fd AS (SELECT user_id, min(epoch_us(ts) // 86400000000) AS day
+            FROM events GROUP BY 1),
+d AS (SELECT day, count(*) AS n_new FROM fd GROUP BY 1)
+SELECT day, n_new,
+       CAST(sum(n_new) OVER (ORDER BY day) AS BIGINT) AS cum_actors
+FROM d"""
     # d25: the d18 pipeline certified through the FINAL training
     # artifact — chain the corpus CTEs (through `mix`) with t15's chunk
     # CTEs, joining text back from the rebuilt stage.

@@ -218,3 +218,32 @@ def session_paths(
         F.count(F.lit(1)).alias("n_sessions"),
         F.countDistinct(key_col).alias("n_users"),
     )
+
+
+def cumulative_new_actors(
+    df: DataFrame, actor_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Cumulative-distinct growth curve: per day, how many actors were
+    seen for the FIRST time, and the running total of distinct actors
+    to date — the audience-growth chart, computed exactly without any
+    per-day COUNT(DISTINCT) rescan.
+
+    The trick is the first-touch reduction: min(epoch-day) per actor
+    (one partial-aggregated shuffle on the actor), then a day-grain
+    count and one running sum over the day axis. The final window is a
+    single ordered partition over |days| rows — calendar-bounded, the
+    pf03 CDF-grid posture, never data-volume.
+
+    Returns (day BIGINT epoch-day, n_new, cum_actors).
+    """
+    us_per_day = 86_400_000_000
+    fd = df.groupBy(F.col(actor_col).alias("_a")).agg(
+        F.expr(f"min(unix_micros({ts_col}) div {us_per_day})").alias("day")
+    )
+    daily = fd.groupBy("day").agg(F.count(F.lit(1)).alias("n_new"))
+    w = Window.orderBy("day")
+    return daily.select(
+        "day",
+        "n_new",
+        F.sum("n_new").over(w).cast("long").alias("cum_actors"),
+    )

@@ -1982,3 +1982,51 @@ def test_chi_square_independence_2x2(spark):
         ("y", "p"): (10, 24.0, 8.166667),
         ("y", "q"): (50, 36.0, 5.444444),
     }
+
+
+def test_readability_scores_hand_computed(spark):
+    """'Hello world. It is fun!' → 5 words, 2 sentence runs, 6 vowel
+    groups; score = 206835000 − 2537500 − 101520000. An empty doc is
+    dropped."""
+    from learn_etl_data_warehouse_spark.operators.text import (
+        readability_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "Hello world. It is fun!"), (2, "???")],
+        "doc_id long, text string",
+    )
+    rows = readability_scores(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id"], r["n_words"], r["n_sentences"], r["n_syllables"]) == (
+        1, 5, 2, 6,
+    )
+    assert r["score_micros"] == 206_835_000 - 2_537_500 - 101_520_000
+
+
+def test_cumulative_new_actors(spark):
+    """First-touch growth: A (day 0 and 1), B (day 0), C (day 2) →
+    day 0 adds 2, day 2 adds 1, cumulative 2 then 3; A's second day
+    never recounts."""
+    import datetime as dt
+
+    from learn_etl_data_warehouse_spark.operators.product_analytics import (
+        cumulative_new_actors,
+    )
+
+    base = dt.datetime(2026, 1, 1)
+    df = spark.createDataFrame(
+        [
+            ("A", base),
+            ("A", base + dt.timedelta(days=1)),
+            ("B", base + dt.timedelta(hours=5)),
+            ("C", base + dt.timedelta(days=2)),
+        ],
+        "user_id string, ts timestamp",
+    )
+    got = [
+        (r["n_new"], r["cum_actors"])
+        for r in cumulative_new_actors(df).orderBy("day").collect()
+    ]
+    assert got == [(2, 2), (1, 3)]
