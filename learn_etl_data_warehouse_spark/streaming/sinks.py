@@ -273,3 +273,93 @@ def anomaly_alert_sink(
         )
 
     return handle
+
+
+def join_view_sink(
+    catalog_dir: str,
+    dim_table_dir: str,
+    key: str | list[str],
+):
+    """foreachBatch handler maintaining a MATERIALIZED JOIN VIEW of a
+    streaming fact feed against a warehouse dimension: each
+    micro-batch is an all-insert CDF, so the join-view IVM delta
+    (`operators/rollups.py::maintain_join_view`) collapses to
+    Δbatch ⋈ dim, merged additively into the stored counted view —
+    change-volume cost, the fact history is never re-joined.
+
+    The dimension is read as a fresh manifest SNAPSHOT per batch (the
+    `enriched_stream_sink` lesson: a path-static join pins its file
+    listing and dies on dim overwrite). Semantics follow from that:
+    a fact row is enriched with the dim version CURRENT AT INGEST —
+    earlier view rows are not retroactively re-enriched (that's the
+    SCD-at-ingest behavior a serving view wants; re-enrichment is a
+    batch maintain_join_view run with the dim's own CDF).
+
+    Exactly-once is LEDGER-derived (the `lm_stats_ingest_sink`
+    posture): counted multiplicities are not replay-idempotent, so a
+    batch already in `join_view_applied` is skipped; view + ledger
+    flip in ONE catalog transaction.
+    """
+    from learn_etl_data_warehouse_spark.operators.rollups import (
+        maintain_join_view,
+    )
+    from learn_etl_data_warehouse_spark.plans import catalog as cat
+    from learn_etl_data_warehouse_spark.plans import manifest_warehouse as mw
+
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def handle(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        tables = set(cat.read_catalog(catalog_dir)["tables"])
+        if "join_view_applied" in tables:
+            applied = {
+                r.batch_id
+                for r in cat.catalog_read(
+                    spark, catalog_dir, "join_view_applied"
+                )
+                .select("batch_id")
+                .collect()
+            }
+            if int(batch_id) in applied:
+                return  # replayed batch: already in the view
+        dim = mw.read_snapshot(spark, dim_table_dir)
+        view_cols = (
+            keys
+            + [c for c in batch_df.columns if c not in keys]
+            + [c for c in dim.columns if c not in keys]
+        )
+        if "join_view" in tables:
+            prev = cat.catalog_read(spark, catalog_dir, "join_view").select(
+                *view_cols, "cnt"
+            )
+        else:
+            prev = (
+                batch_df.join(dim, keys)
+                .select(*view_cols)
+                .limit(0)
+                .withColumn("cnt", F.lit(0).cast("long"))
+            )
+        diff_a = batch_df.withColumn("_change_type", F.lit("insert"))
+        empty_diff_b = dim.withColumn(
+            "_change_type", F.lit("insert")
+        ).limit(0)
+        new_view = maintain_join_view(
+            prev, batch_df, dim, diff_a, empty_diff_b, keys
+        )
+        ledger = spark.createDataFrame(
+            [(int(batch_id),)], "batch_id long"
+        ).withColumn("ingest_batch", F.lit(int(batch_id)))
+        cat.catalog_commit(
+            spark,
+            catalog_dir,
+            {
+                "join_view": (
+                    new_view.withColumn("state", F.lit("live")),
+                    ["state"],
+                ),
+                "join_view_applied": (ledger, ["ingest_batch"]),
+            },
+            replace=False,
+        )
+
+    return handle

@@ -1328,3 +1328,80 @@ def test_anomaly_alert_sink_end_to_end_stream(spark, tmp_path, sf_small):
         )
     )
     assert got == sorted(map(tuple, hourly_counts(ev).collect()))
+
+
+def test_join_view_sink_incremental_and_dim_update(spark, tmp_path):
+    """Streaming materialized join view: two fact batches fold into
+    the counted view change-volume-style and equal the batch twin; a
+    replayed batch is a ledgered no-op; after a dim update, NEW fact
+    rows enrich against the new dim version while earlier view rows
+    keep their at-ingest enrichment (the documented SCD-at-ingest
+    semantics)."""
+    from learn_etl_data_warehouse_spark.operators.rollups import (
+        counted_join_view,
+    )
+    from learn_etl_data_warehouse_spark.plans import catalog as cat
+    from learn_etl_data_warehouse_spark.plans.manifest_warehouse import (
+        delete_where,
+        manifest_stream_sink,
+        read_snapshot,
+    )
+    from learn_etl_data_warehouse_spark.streaming.sinks import join_view_sink
+
+    import os as _os
+
+    dim_dir = str(tmp_path / "dimtable")
+    _os.makedirs(dim_dir)
+    dim_sink = manifest_stream_sink(dim_dir)
+    dim_sink(
+        spark.createDataFrame(
+            [(1, "gold"), (2, "silver")], "k INT, tier STRING"
+        ),
+        0,
+    )
+    dsel = lambda df: df.select("k", "tier")
+
+    cdir = str(tmp_path / "jvcat")
+    handle = join_view_sink(cdir, dim_dir, "k")
+
+    b0 = spark.createDataFrame(
+        [(1, 10.0), (1, 10.0), (2, 20.0)], "k INT, amt DOUBLE"
+    )
+    b1 = spark.createDataFrame([(1, 11.0), (3, 30.0)], "k INT, amt DOUBLE")
+    handle(b0, 0)
+    handle(b1, 1)
+    handle(b1, 1)  # replay: ledgered no-op
+
+    view_cols = ["k", "amt", "tier", "cnt"]
+    got = sorted(
+        tuple(r[c] for c in view_cols)
+        for r in cat.catalog_read(spark, cdir, "join_view").collect()
+    )
+    want = sorted(
+        tuple(r[c] for c in view_cols)
+        for r in counted_join_view(
+            b0.unionByName(b1), dsel(read_snapshot(spark, dim_dir)), "k"
+        ).collect()
+    )
+    assert got == want
+    assert (1, 10.0, "gold", 2) in got  # multiplicity preserved
+    assert not any(t[0] == 3 for t in got)  # no dim match yet
+
+    # dim update: k=1 re-tiered, k=3 appears
+    delete_where(spark, dim_dir, F.col("k") == 1)
+    dim_sink(
+        spark.createDataFrame(
+            [(1, "platinum"), (3, "bronze")], "k INT, tier STRING"
+        ),
+        1,
+    )
+    b2 = spark.createDataFrame([(1, 12.0), (3, 31.0)], "k INT, amt DOUBLE")
+    handle(b2, 2)
+    got2 = sorted(
+        tuple(r[c] for c in view_cols)
+        for r in cat.catalog_read(spark, cdir, "join_view").collect()
+    )
+    # new rows joined the NEW dim; old rows keep their at-ingest tier
+    assert (1, 12.0, "platinum", 1) in got2
+    assert (3, 31.0, "bronze", 1) in got2
+    assert (1, 10.0, "gold", 2) in got2
