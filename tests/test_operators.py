@@ -2030,3 +2030,68 @@ def test_cumulative_new_actors(spark):
         for r in cumulative_new_actors(df).orderBy("day").collect()
     ]
     assert got == [(2, 2), (1, 3)]
+
+
+def test_countmin_sketch_properties(spark):
+    """CM guarantees on a skewed corpus: (1) estimates never
+    undercount; (2) with width >> distinct values the estimates are
+    exact; (3) merging per-half sketches equals building on the
+    union."""
+    from learn_etl_data_warehouse_spark.operators.sketches import (
+        countmin_build,
+        countmin_estimate,
+        countmin_merge,
+    )
+
+    vals = (
+        ["hot"] * 50 + ["warm"] * 20 + [f"cold_{i}" for i in range(30)]
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "w string")
+    truth = {r["w"]: r["c"] for r in df.groupBy("w").count()
+             .withColumnRenamed("count", "c").collect()}
+    keys = df.select("w").distinct()
+
+    tight = countmin_build(df, "w", width=8, depth=3)  # forced collisions
+    est_tight = {
+        r["key"]: r["est"]
+        for r in countmin_estimate(tight, keys, "w", width=8).collect()
+    }
+    assert set(est_tight) == set(truth)
+    assert all(est_tight[k] >= truth[k] for k in truth)
+
+    wide = countmin_build(df, "w", width=4096, depth=4)
+    est_wide = {
+        r["key"]: r["est"]
+        for r in countmin_estimate(wide, keys, "w", width=4096).collect()
+    }
+    assert est_wide == truth
+
+    half_a = spark.createDataFrame([(v,) for v in vals[:40]], "w string")
+    half_b = spark.createDataFrame([(v,) for v in vals[40:]], "w string")
+    merged = countmin_merge(
+        countmin_build(half_a, "w", width=4096, depth=4),
+        countmin_build(half_b, "w", width=4096, depth=4),
+    )
+    direct = countmin_build(df, "w", width=4096, depth=4)
+    as_set = lambda s: {
+        (r["row"], r["bucket"], r["cnt"]) for r in s.collect()
+    }
+    assert as_set(merged) == as_set(direct)
+
+
+def test_schema_drift_report(spark):
+    """Added / removed / retyped / unchanged columns all classified;
+    output is name-ordered and metadata-only."""
+    from learn_etl_data_warehouse_spark.operators.profiling import (
+        schema_drift,
+    )
+
+    old = spark.createDataFrame([], "a int, b string, c double")
+    new = spark.createDataFrame([], "a bigint, b string, d date")
+    got = [tuple(r) for r in schema_drift(old, new).collect()]
+    assert got == [
+        ("a", "type_changed", "int", "bigint"),
+        ("b", "unchanged", "string", "string"),
+        ("c", "removed", "double", None),
+        ("d", "added", None, "date"),
+    ]
