@@ -3273,6 +3273,25 @@ def q_e17(spark, sf_dir):
     return cumulative_new_actors(_t(spark, sf_dir, "events"))
 
 
+def q_fp03(spark, sf_dir):
+    """Frequent 3-itemsets (r5 cont.): part-family triples co-purchased
+    in >= 3 orders via the A-priori prune (sub-pair semi-joins bound
+    the candidate stream before the third join; downward closure makes
+    the prune result-invariant, so the oracle counts triples directly)
+    (operators/basket.py::frequent_triples). Families l_partkey % 50
+    densify support, as fp02 does."""
+    from learn_etl_data_warehouse_spark.operators.basket import (
+        frequent_triples,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_partkey") % 50).alias("family")
+    )
+    return frequent_triples(
+        li, basket_col="l_orderkey", item_col="family", min_support=3
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -3471,6 +3490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm02_maintained_join": q_ivm02,
         "t21_readability": q_t21,
         "e17_cumulative_users": q_e17,
+        "fp03_frequent_triples": q_fp03,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
         # rows are all hash-verifiable
@@ -5586,6 +5606,23 @@ d AS (SELECT day, count(*) AS n_new FROM fd GROUP BY 1)
 SELECT day, n_new,
        CAST(sum(n_new) OVER (ORDER BY day) AS BIGINT) AS cum_actors
 FROM d"""
+    # fp03: the oracle skips the A-priori prune (downward closure
+    # guarantees identical results) and counts ordered triples
+    # directly; support ratio is non-negative truncating ppm.
+    out["fp03_frequent_triples"] = """
+WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey % 50 AS it
+           FROM lineitem
+           WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+tot AS (SELECT count(DISTINCT bk) AS n_baskets FROM b),
+t AS (SELECT l.it AS a, r.it AS b2, s.it AS c, count(*) AS triple_n
+      FROM b l JOIN b r ON l.bk = r.bk AND l.it < r.it
+               JOIN b s ON r.bk = s.bk AND r.it < s.it
+      GROUP BY 1, 2, 3)
+SELECT a AS item_a, b2 AS item_b, c AS item_c,
+       CAST(triple_n AS BIGINT) AS triple_n,
+       CAST(tot.n_baskets AS BIGINT) AS n_baskets,
+       CAST((1000000 * triple_n) // tot.n_baskets AS BIGINT) AS supp_ppm
+FROM t, tot WHERE triple_n >= 3"""
     # d25: the d18 pipeline certified through the FINAL training
     # artifact — chain the corpus CTEs (through `mix`) with t15's chunk
     # CTEs, joining text back from the rebuilt stage.

@@ -164,3 +164,95 @@ def sequential_pairs(
             F.expr("(1000000 * n_seq) div n_a").alias("conf_ppm"),
         )
     )
+
+
+def frequent_triples(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """A-priori frequent 3-itemsets: item triples co-occurring in
+    >= ``min_support`` baskets.
+
+    The classic candidate-generation shape: in-basket ordered pair
+    stream → PRUNE against the frequent-pair set (downward closure: a
+    triple can only be frequent if every sub-pair is, so the semi-
+    joins never change the result — they bound the candidate volume
+    BEFORE the expensive third join and the count shuffle; on TPC-H
+    baskets the volume is ≤ C(basket,3) per order anyway, but on
+    web-scale baskets the prune is what makes level 3 feasible).
+
+    All joins are key-equality on the basket; ratios are truncating
+    ppm on non-negative integers (the fp01 contract).
+
+    Returns (item_a < item_b < item_c, triple_n, n_baskets, supp_ppm).
+    """
+    b = (
+        df.select(
+            F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
+        )
+        .filter(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
+        .distinct()
+    )
+    freq_pairs = (
+        b.alias("l")
+        .join(
+            b.alias("r"),
+            on=[F.col("l.bk") == F.col("r.bk"), F.col("l.it") < F.col("r.it")],
+        )
+        .groupBy(F.col("l.it").alias("pa"), F.col("r.it").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("pn"))
+        .filter(F.col("pn") >= int(min_support))
+        .select("pa", "pb")
+    )
+    duo = (
+        b.alias("l")
+        .join(
+            b.alias("r"),
+            on=[F.col("l.bk") == F.col("r.bk"), F.col("l.it") < F.col("r.it")],
+        )
+        .select(
+            F.col("l.bk").alias("_bk"),
+            F.col("l.it").alias("a"),
+            F.col("r.it").alias("b2"),
+        )
+        .join(
+            freq_pairs,
+            on=[F.col("a") == F.col("pa"), F.col("b2") == F.col("pb")],
+            how="left_semi",
+        )
+    )
+    cand = (
+        duo.join(
+            b.alias("s"),
+            on=[F.col("_bk") == F.col("s.bk"), F.col("b2") < F.col("s.it")],
+        )
+        .select("a", "b2", F.col("s.it").alias("c"))
+        .join(
+            freq_pairs,
+            on=[F.col("b2") == F.col("pa"), F.col("c") == F.col("pb")],
+            how="left_semi",
+        )
+        .join(
+            freq_pairs,
+            on=[F.col("a") == F.col("pa"), F.col("c") == F.col("pb")],
+            how="left_semi",
+        )
+    )
+    triples = (
+        cand.groupBy("a", "b2", "c")
+        .agg(F.count(F.lit(1)).alias("triple_n"))
+        .filter(F.col("triple_n") >= int(min_support))
+    )
+    totals = b.agg(F.countDistinct("bk").alias("n_baskets"))
+    return triples.crossJoin(F.broadcast(totals)).select(
+        F.col("a").alias("item_a"),
+        F.col("b2").alias("item_b"),
+        F.col("c").alias("item_c"),
+        F.col("triple_n").cast("long").alias("triple_n"),
+        F.col("n_baskets").cast("long").alias("n_baskets"),
+        F.expr("(1000000 * triple_n) div n_baskets")
+        .cast("long")
+        .alias("supp_ppm"),
+    )

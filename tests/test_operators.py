@@ -2095,3 +2095,24 @@ def test_schema_drift_report(spark):
         ("c", "removed", "double", None),
         ("d", "added", None, "date"),
     ]
+
+
+def test_frequent_triples_apriori(spark):
+    """Two baskets {1,2,3} make that triple frequent at support 2; a
+    single {1,2,4} basket stays below threshold; support ppm is exact
+    over 3 baskets."""
+    from learn_etl_data_warehouse_spark.operators.basket import (
+        frequent_triples,
+    )
+
+    rows = [
+        (10, 1), (10, 2), (10, 3),
+        (11, 1), (11, 2), (11, 3),
+        (12, 1), (12, 2), (12, 4),
+    ]
+    df = spark.createDataFrame(rows, "bk long, it long")
+    got = [
+        tuple(r)
+        for r in frequent_triples(df, "bk", "it", min_support=2).collect()
+    ]
+    assert got == [(1, 2, 3, 2, 3, 666_666)]
