@@ -3292,6 +3292,19 @@ def q_fp03(spark, sf_dir):
     )
 
 
+def q_e18(spark, sf_dir):
+    """Time-weighted daily average (r5 cont.): each value holds until
+    the next observation (last to midnight) under a TOTAL (ts, id)
+    lead order; weighted mean in micro-units with a DECIMAL(38,0)/
+    HUGEINT numerator and non-negative truncating division
+    (operators/timeseries.py::time_weighted_average)."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        time_weighted_average,
+    )
+
+    return time_weighted_average(_t(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -3491,6 +3504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t21_readability": q_t21,
         "e17_cumulative_users": q_e17,
         "fp03_frequent_triples": q_fp03,
+        "e18_time_weighted_avg": q_e18,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
         # rows are all hash-verifiable
@@ -5623,6 +5637,26 @@ SELECT a AS item_a, b2 AS item_b, c AS item_c,
        CAST(tot.n_baskets AS BIGINT) AS n_baskets,
        CAST((1000000 * triple_n) // tot.n_baskets AS BIGINT) AS supp_ppm
 FROM t, tot WHERE triple_n >= 3"""
+    # e18: lead() under the total (ts_us, event_id) order; numerator
+    # HUGEINT (DuckDB sum of BIGINT products); micro-unit result via
+    # non-negative floor-div ≡ Spark div.
+    out["e18_time_weighted_avg"] = """
+WITH b AS (
+  SELECT event_type, event_id AS id, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         epoch_us(ts) // 86400000000 AS day
+  FROM events),
+w AS (
+  SELECT event_type, day, cents,
+         coalesce(lead(us) OVER (PARTITION BY event_type, day
+                                 ORDER BY us, id),
+                  (day + 1) * 86400000000) - us AS wt
+  FROM b)
+SELECT event_type, day, count(*) AS n_events,
+       CAST(sum(wt) AS BIGINT) AS span_us,
+       CAST((sum(CAST(cents AS HUGEINT) * wt) * 10000) // sum(wt)
+            AS BIGINT) AS twap_micros
+FROM w GROUP BY 1, 2"""
     # d25: the d18 pipeline certified through the FINAL training
     # artifact — chain the corpus CTEs (through `mix`) with t15's chunk
     # CTEs, joining text back from the rebuilt stage.

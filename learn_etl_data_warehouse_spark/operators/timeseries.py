@@ -363,3 +363,51 @@ def seasonal_hourly_anomaly(
         "mean_micros",
         F.when(hot, F.lit("hot")).otherwise(F.lit("cold")).alias("status"),
     )
+
+
+def time_weighted_average(
+    df: DataFrame,
+    key: str = "event_type",
+    ts: str = "ts",
+    val: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-(key, day) time-weighted average — each observation's value
+    holds until the next observation (the last one holds to midnight),
+    so sparse bursts don't dominate the day the way a plain mean lets
+    them (the TWAP/metrics-gauge semantics).
+
+    Exact-integer contract: weights are µs gaps from a lead() window
+    under a TOTAL order (ts, then id — equal timestamps would make
+    lead() partition-order nondeterministic), values are rounded
+    cents, and the weighted mean is
+    ``(Σ cents·weight · 10000) div Σ weight`` — micro-units, numerator
+    in DECIMAL(38,0)/HUGEINT (per-row cents·weight alone can pass
+    1e15), every operand non-negative so truncating ≡ flooring.
+
+    Plan shape: one per-(key, day) ordered window for the lead, one
+    aggregation — same grain discipline as the other daily rollups.
+
+    Returns (key, day, n_events, span_us, twap_micros).
+    """
+    us_day = 86_400_000_000
+    base = df.select(
+        F.col(key),
+        F.col(id_col).alias("_id"),
+        F.expr(f"unix_micros({ts})").alias("_us"),
+        F.round(F.col(val) * 100).cast("long").alias("_cents"),
+    ).withColumn("day", F.expr(f"_us div {us_day}").cast("long"))
+    w = Window.partitionBy(key, "day").orderBy("_us", "_id")
+    weighted = base.withColumn(
+        "_w",
+        F.coalesce(F.lead("_us").over(w), (F.col("day") + 1) * us_day)
+        - F.col("_us"),
+    )
+    return weighted.groupBy(key, "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("_w").cast("long").alias("span_us"),
+        F.expr(
+            "CAST(sum(CAST(_cents AS DECIMAL(38,0)) * _w) * 10000"
+            " div sum(_w) AS BIGINT)"
+        ).alias("twap_micros"),
+    )

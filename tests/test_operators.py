@@ -2116,3 +2116,28 @@ def test_frequent_triples_apriori(spark):
         for r in frequent_triples(df, "bk", "it", min_support=2).collect()
     ]
     assert got == [(1, 2, 3, 2, 3, 666_666)]
+
+
+def test_time_weighted_average_holds_values(spark):
+    """1.00 held for 18h then 3.00 for 6h → TWAP 1.5 exactly
+    (0.75·1 + 0.25·3); a plain mean would say 2.0."""
+    import datetime as dt
+
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        time_weighted_average,
+    )
+
+    d = dt.datetime(2026, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (1, d, "a", 1.0),
+            (2, d + dt.timedelta(hours=18), "a", 3.0),
+        ],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    rows = time_weighted_average(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_events"], r["span_us"], r["twap_micros"]) == (
+        2, 86_400_000_000, 1_500_000,
+    )
