@@ -911,23 +911,9 @@ def kmeans_lloyd_exact(
 
     if k < 1 or rounds < 1:
         raise ValueError("kmeans_lloyd_exact: k and rounds must be >= 1")
-    base = (
-        df.select(
-            F.col(id_col).alias("vec_id"),
-            F.posexplode(vec_col).alias("pos", "_x"),
-        )
-        .select(
-            "vec_id",
-            F.col("pos").cast("long").alias("pos"),
-            (
-                F.floor(F.col("_x").cast("double") * 1_000_000)
-                + F.lit(int(offset_micros))
-            )
-            .cast("long")
-            .alias("q"),
-        )
-        .localCheckpoint()
-    )
+    base = quantize_long_form(
+        df, vec_col, id_col, offset_micros
+    ).localCheckpoint()
     seeds = (
         df.select(F.col(id_col).alias("vec_id"))
         .orderBy("vec_id")
@@ -944,26 +930,132 @@ def kmeans_lloyd_exact(
     )
     assign = None
     for r in range(int(rounds)):
-        diff = F.col("q") - F.col("val")
-        d = (
-            base.join(F.broadcast(cents), "pos")
-            .groupBy("vec_id", "cluster")
-            .agg(F.sum(diff * diff).alias("dist_sq"))
-        )
-        wa = Window.partitionBy("vec_id").orderBy(
-            F.col("dist_sq").asc(), F.col("cluster").asc()
-        )
-        assign = (
-            d.withColumn("_rn", F.row_number().over(wa))
-            .filter(F.col("_rn") == 1)
-            .select("vec_id", "cluster", "dist_sq")
-        )
+        assign = assign_to_centroids(base, cents)
         if r < int(rounds) - 1:
-            cents = (
-                assign.join(base, "vec_id")
-                .groupBy("cluster", "pos")
-                .agg(
-                    F.expr("sum(q) div count(1)").cast("long").alias("val")
-                )
-            )
+            cents = centroids_from_state(kmeans_state(base, assign))
     return assign
+
+
+def quantize_long_form(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    offset_micros: int = 1_000_000,
+) -> DataFrame:
+    """The (vec_id, pos, q) integer long form :func:`kmeans_lloyd_exact`
+    iterates on — factored out so the incremental state maintainer
+    shares the exact same quantization (floor(x·1e6) + offset)."""
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(vec_col).alias("pos", "_x"),
+    ).select(
+        "vec_id",
+        F.col("pos").cast("long").alias("pos"),
+        (
+            F.floor(F.col("_x").cast("double") * 1_000_000)
+            + F.lit(int(offset_micros))
+        )
+        .cast("long")
+        .alias("q"),
+    )
+
+
+def assign_to_centroids(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """Argmin squared-distance assignment of quantized long-form
+    vectors against a (cluster, pos, val) centroid frame — one
+    broadcast join + partial-agg sum + per-vector top-1 window, ties
+    to the smallest cluster (the km01 kernel, shared with the
+    incremental maintainer). Returns (vec_id, cluster, dist_sq)."""
+    from pyspark.sql import Window
+
+    diff = F.col("q") - F.col("val")
+    d = (
+        base.join(F.broadcast(cents), "pos")
+        .groupBy("vec_id", "cluster")
+        .agg(F.sum(diff * diff).alias("dist_sq"))
+    )
+    wa = Window.partitionBy("vec_id").orderBy(
+        F.col("dist_sq").asc(), F.col("cluster").asc()
+    )
+    return (
+        d.withColumn("_rn", F.row_number().over(wa))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "cluster", "dist_sq")
+    )
+
+
+def kmeans_state(base: DataFrame, assign: DataFrame) -> DataFrame:
+    """Additive cluster state (cluster, pos, sum_q, n) from an
+    assignment — the integer sufficient statistic a centroid is
+    derived from (``val = sum_q div n``). Sums and counts merge under
+    addition, so per-batch states roll up exactly (the maintain_rollup
+    taxonomy: this is the all-additive case)."""
+    return (
+        assign.select("vec_id", "cluster")
+        .join(base, "vec_id")
+        .groupBy("cluster", "pos")
+        .agg(
+            F.sum("q").cast("long").alias("sum_q"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+
+
+def centroids_from_state(state: DataFrame) -> DataFrame:
+    """(cluster, pos, val) centroids from the additive state —
+    truncating div on non-negative sums, the km01 arithmetic."""
+    return state.select(
+        "cluster", "pos", F.expr("sum_q div n").cast("long").alias("val")
+    )
+
+
+def maintain_kmeans_state(
+    state: DataFrame,
+    batch: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    offset_micros: int = 1_000_000,
+) -> tuple[DataFrame, DataFrame]:
+    """Online k-means ingestion: assign a NEW batch of vectors against
+    the centroids derived from the CURRENT state, then fold the
+    batch's (cluster, pos) sums into the state additively — the
+    MacQueen-style streaming companion to :func:`kmeans_lloyd_exact`
+    (which re-iterates the whole corpus). Cost is batch-sized: one
+    broadcast assignment + one merge join against the ≤ k·dim state;
+    the indexed history is never rescanned.
+
+    Returns (new_state, batch_assignments). Deterministic and integer-
+    exact end to end, so replay protection can ride the same ledgered
+    sink pattern as the other maintained states.
+    """
+    base = quantize_long_form(batch, vec_col, id_col, offset_micros)
+    assign = assign_to_centroids(base, centroids_from_state(state))
+    delta = kmeans_state(base, assign)
+    merged = (
+        state.withColumnRenamed("sum_q", "_ps")
+        .withColumnRenamed("n", "_pn")
+        .join(
+            delta.withColumnRenamed("sum_q", "_ds").withColumnRenamed(
+                "n", "_dn"
+            ),
+            ["cluster", "pos"],
+            "full_outer",
+        )
+        .select(
+            "cluster",
+            "pos",
+            (
+                F.coalesce(F.col("_ps"), F.lit(0))
+                + F.coalesce(F.col("_ds"), F.lit(0))
+            )
+            .cast("long")
+            .alias("sum_q"),
+            (
+                F.coalesce(F.col("_pn"), F.lit(0))
+                + F.coalesce(F.col("_dn"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n"),
+        )
+    )
+    return merged, assign

@@ -2141,3 +2141,54 @@ def test_time_weighted_average_holds_values(spark):
     assert (r["n_events"], r["span_us"], r["twap_micros"]) == (
         2, 86_400_000_000, 1_500_000,
     )
+
+
+def test_maintain_kmeans_state_online_ingest(spark):
+    """Online k-means: a second batch assigns against the centroids of
+    the current state (blob membership respected) and folds in
+    additively — merged state equals state-over-union under the same
+    assignments, counts and sums exact."""
+    from learn_etl_data_warehouse_spark.operators.similarity import (
+        kmeans_lloyd_exact,
+        kmeans_state,
+        maintain_kmeans_state,
+        quantize_long_form,
+    )
+
+    blob_a = [[0.10 + i * 0.001, 0.10] for i in range(4)]
+    blob_b = [[-0.40, -0.40 - i * 0.001] for i in range(4)]
+    b1 = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(blob_a + blob_b)],
+        "vec_id long, embedding array<float>",
+    )
+    assign1 = kmeans_lloyd_exact(b1, k=2, rounds=2)
+    state1 = kmeans_state(quantize_long_form(b1), assign1)
+
+    # batch 2: one vector per blob, ids disjoint from batch 1
+    b2 = spark.createDataFrame(
+        [(100, [0.101, 0.099]), (101, [-0.401, -0.402])],
+        "vec_id long, embedding array<float>",
+    )
+    state2, assign2 = maintain_kmeans_state(state1, b2)
+
+    got1 = {r["vec_id"]: r["cluster"] for r in assign1.collect()}
+    got2 = {r["vec_id"]: r["cluster"] for r in assign2.collect()}
+    assert got2[100] == got1[0]  # joined blob A's cluster
+    assert got2[101] == got1[4]  # joined blob B's cluster
+
+    merged = {
+        (r["cluster"], r["pos"]): (r["sum_q"], r["n"])
+        for r in state2.collect()
+    }
+    s1 = {
+        (r["cluster"], r["pos"]): (r["sum_q"], r["n"])
+        for r in state1.collect()
+    }
+    d2 = {
+        (r["cluster"], r["pos"]): (r["sum_q"], r["n"])
+        for r in kmeans_state(quantize_long_form(b2), assign2).collect()
+    }
+    for key in set(s1) | set(d2):
+        ps, pn = s1.get(key, (0, 0))
+        ds, dn = d2.get(key, (0, 0))
+        assert merged[key] == (ps + ds, pn + dn)
