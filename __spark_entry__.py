@@ -3305,6 +3305,27 @@ def q_e18(spark, sf_dir):
     return time_weighted_average(_t(spark, sf_dir, "events"))
 
 
+def q_g09(spark, sf_dir):
+    """Personalized PageRank (r5 cont.): restart mass pinned to the
+    seed set (part_id % 50 == 0) over the part co-occurrence graph —
+    seeded relevance ("more like these") where g02 ranks global
+    importance. Integer micro arithmetic, rank-0 nodes drop so state
+    tracks the reached neighborhood; oracle unrolls 3 identical
+    rounds (operators/graph.py::personalized_pagerank; same 30%-order
+    slice as g03/g05/g07)."""
+    from learn_etl_data_warehouse_spark.operators.graph import (
+        cooccurrence_edges,
+        personalized_pagerank,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 < 3)
+    edges = cooccurrence_edges(li)
+    seeds = edges.select("src").filter(F.col("src") % 50 == 0).distinct()
+    return personalized_pagerank(edges, seeds, iterations=3).select(
+        F.col("node").alias("part_id"), "rank_micros"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -3505,6 +3526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e17_cumulative_users": q_e17,
         "fp03_frequent_triples": q_fp03,
         "e18_time_weighted_avg": q_e18,
+        "g09_personalized_pagerank": q_g09,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
         # rows are all hash-verifiable
@@ -5657,6 +5679,32 @@ SELECT event_type, day, count(*) AS n_events,
        CAST((sum(CAST(cents AS HUGEINT) * wt) * 10000) // sum(wt)
             AS BIGINT) AS twap_micros
 FROM w GROUP BY 1, 2"""
+    # g09: PPR unrolled — per-round contribution is (85·Σ(r//deg))//100
+    # on non-negative integers (identical operand order to the Spark
+    # side), restart term 1e6·15//100 = 150000 only on seed nodes,
+    # rank-0 rows dropped via HAVING to mirror the Spark filter.
+    _ppr_round = """
+c{i} AS (SELECT ed.dst AS node,
+                CAST((85 * sum(r // deg)) // 100 AS BIGINT) AS r
+         FROM r{p} JOIN ed ON r{p}.node = ed.node GROUP BY 1),
+r{i} AS (SELECT node, CAST(sum(r) AS BIGINT) AS r
+         FROM (SELECT * FROM base UNION ALL SELECT * FROM c{i}) u{i}
+         GROUP BY 1 HAVING sum(r) > 0)"""
+    out["g09_personalized_pagerank"] = (
+        """
+WITH li AS (SELECT l_orderkey AS gk, l_partkey AS it FROM lineitem
+            WHERE l_orderkey % 10 < 3),
+e AS (SELECT DISTINCT a.it AS src, b.it AS dst
+      FROM li a JOIN li b ON a.gk = b.gk AND a.it <> b.it),
+deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+ed AS (SELECT e.src AS node, e.dst, d.deg FROM e JOIN deg d ON d.node = e.src),
+sd AS (SELECT node FROM deg WHERE node % 50 = 0),
+base AS (SELECT node, CAST(150000 AS BIGINT) AS r FROM sd),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM sd),"""
+        + ",".join(_ppr_round.format(i=i, p=i - 1) for i in range(1, 4))
+        + """
+SELECT node AS part_id, r AS rank_micros FROM r3"""
+    )
     # d25: the d18 pipeline certified through the FINAL training
     # artifact — chain the corpus CTEs (through `mix`) with t15's chunk
     # CTEs, joining text back from the rebuilt stage.

@@ -2192,3 +2192,22 @@ def test_maintain_kmeans_state_online_ingest(spark):
         ps, pn = s1.get(key, (0, 0))
         ds, dn = d2.get(key, (0, 0))
         assert merged[key] == (ps + ds, pn + dn)
+
+
+def test_personalized_pagerank_localizes_at_seed(spark):
+    """Hand-unrolled 3 rounds on the path 0–1–2–3 seeded at node 0:
+    restart mass returns only to the seed and rank decays with
+    distance (node 3 reachable but seed-remote)."""
+    from learn_etl_data_warehouse_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    und = [(0, 1), (1, 2), (2, 3)]
+    sym = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(sym, ["src", "dst"])
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    got = {
+        r["node"]: r["rank_micros"]
+        for r in personalized_pagerank(edges, seeds, iterations=3).collect()
+    }
+    assert got == {0: 204_187, 1: 588_093, 2: 54_187, 3: 153_531}
