@@ -3326,6 +3326,18 @@ def q_g09(spark, sf_dir):
     )
 
 
+def q_e19(spark, sf_dir):
+    """Inter-event gap histogram (r5 cont.): per-type gap distribution
+    bucketed by decimal order of magnitude — digits(gap_µs) via
+    integer→string length, no libm log; lag() under the TOTAL (ts, id)
+    order (operators/timeseries.py::gap_histogram)."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        gap_histogram,
+    )
+
+    return gap_histogram(_t(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -3527,6 +3539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fp03_frequent_triples": q_fp03,
         "e18_time_weighted_avg": q_e18,
         "g09_personalized_pagerank": q_g09,
+        "e19_gap_histogram": q_e19,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
         # rows are all hash-verifiable
@@ -5705,6 +5718,22 @@ r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM sd),"""
         + """
 SELECT node AS part_id, r AS rank_micros FROM r3"""
     )
+    # e19: bucket = length of the non-negative integer gap as VARCHAR
+    # (floor(log10)+1, engine-identical); same total lag order as e18.
+    out["e19_gap_histogram"] = """
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY event_type ORDER BY epoch_us(ts), event_id
+         ) AS gap_us
+  FROM events)
+SELECT event_type,
+       CAST(length(CAST(gap_us AS VARCHAR)) AS BIGINT) AS bucket,
+       count(*) AS n,
+       CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY 1, 2"""
     # d25: the d18 pipeline certified through the FINAL training
     # artifact — chain the corpus CTEs (through `mix`) with t15's chunk
     # CTEs, joining text back from the rebuilt stage.

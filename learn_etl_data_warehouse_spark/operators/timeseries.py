@@ -411,3 +411,44 @@ def time_weighted_average(
             " div sum(_w) AS BIGINT)"
         ).alias("twap_micros"),
     )
+
+
+def gap_histogram(
+    df: DataFrame,
+    key: str = "event_type",
+    ts: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Inter-event gap distribution per key, bucketed by decimal order
+    of magnitude — the burstiness profile (are arrivals ~seconds or
+    ~hours apart, and how heavy is each tail?).
+
+    The bucket is ``digits(gap_µs)`` = the string length of the
+    non-negative integer gap — floor(log10)+1 without touching a libm
+    log (integer→string is identical across engines). Gaps come from
+    one lag() under the TOTAL (ts, id) order per key (the e18
+    discipline: equal timestamps would make lag() partition-order
+    nondeterministic).
+
+    One per-key ordered window + one (key, bucket) aggregation;
+    low-cardinality keys concentrate a key's series in one task —
+    calendar/event-bounded, the standard hourly-grain caveat.
+
+    Returns (key, bucket, n, min_gap_us, max_gap_us).
+    """
+    w = Window.partitionBy(key).orderBy(
+        F.expr(f"unix_micros({ts})"), F.col(id_col)
+    )
+    us = F.expr(f"unix_micros({ts})")
+    g = df.select(
+        F.col(key),
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return g.groupBy(
+        key,
+        F.length(F.col("gap_us").cast("string")).cast("long").alias("bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("gap_us").cast("long").alias("min_gap_us"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+    )

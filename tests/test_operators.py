@@ -2211,3 +2211,30 @@ def test_personalized_pagerank_localizes_at_seed(spark):
         for r in personalized_pagerank(edges, seeds, iterations=3).collect()
     }
     assert got == {0: 204_187, 1: 588_093, 2: 54_187, 3: 153_531}
+
+
+def test_gap_histogram_digit_buckets(spark):
+    """Gaps of 5µs, 5µs and 2,000µs land in digit buckets 1 and 4 with
+    exact min/max; the first event per key has no gap row."""
+    import datetime as dt
+
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        gap_histogram,
+    )
+
+    base = dt.datetime(2026, 1, 1)
+    us = dt.timedelta(microseconds=1)
+    df = spark.createDataFrame(
+        [
+            (1, base, "a"),
+            (2, base + 5 * us, "a"),
+            (3, base + 10 * us, "a"),
+            (4, base + 2010 * us, "a"),
+        ],
+        "event_id long, ts timestamp, event_type string",
+    )
+    got = {
+        (r["event_type"], r["bucket"]): (r["n"], r["min_gap_us"], r["max_gap_us"])
+        for r in gap_histogram(df).collect()
+    }
+    assert got == {("a", 1): (2, 5, 5), ("a", 4): (1, 2000, 2000)}
