@@ -3338,6 +3338,25 @@ def q_e19(spark, sf_dir):
     return gap_histogram(_t(spark, sf_dir, "events"))
 
 
+def q_set06(spark, sf_dir):
+    """Relational DIVISION (r5 cont.): customers whose orders cover
+    EVERY order priority present in the data — the 'bought across all
+    categories' classic the set family lacked. Division as
+    count(distinct covered) == |divisor|: one distinct agg per
+    customer + a 1-row broadcast of the divisor size; no per-element
+    anti-join double negation."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.countDistinct("o_orderpriority").alias("n_priorities")
+    )
+    divisor = o.agg(F.countDistinct("o_orderpriority").alias("_total"))
+    return (
+        per_cust.crossJoin(F.broadcast(divisor))
+        .filter(F.col("n_priorities") == F.col("_total"))
+        .select("o_custkey", "n_priorities")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -3540,6 +3559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e18_time_weighted_avg": q_e18,
         "g09_personalized_pagerank": q_g09,
         "e19_gap_histogram": q_e19,
+        "set06_relational_division": q_set06,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
         # rows are all hash-verifiable
@@ -5734,6 +5754,14 @@ SELECT event_type,
        CAST(max(gap_us) AS BIGINT) AS max_gap_us
 FROM g WHERE gap_us IS NOT NULL
 GROUP BY 1, 2"""
+    # set06: division as count(distinct covered) == |divisor|.
+    out["set06_relational_division"] = """
+WITH pc AS (SELECT o_custkey,
+                   count(DISTINCT o_orderpriority) AS n_priorities
+            FROM orders GROUP BY 1),
+t AS (SELECT count(DISTINCT o_orderpriority) AS total FROM orders)
+SELECT o_custkey, CAST(n_priorities AS BIGINT) AS n_priorities
+FROM pc, t WHERE pc.n_priorities = t.total"""
     # d25: the d18 pipeline certified through the FINAL training
     # artifact — chain the corpus CTEs (through `mix`) with t15's chunk
     # CTEs, joining text back from the rebuilt stage.

@@ -220,3 +220,39 @@ def test_orc_timestamp_roundtrip(spark, sf_small, tmp_path):
     a = sorted(map(tuple, back.select("event_id", "ts", "ts_ntz").collect()))
     b = sorted(map(tuple, ev.select("event_id", "ts", "ts_ntz").collect()))
     assert a == b
+
+
+def test_read_fixed_width_parses_copybook_layout(spark, tmp_path):
+    """1-based column spec: ids, right-padded names, and amounts parse
+    with trim+cast; a blank line is skipped; permissive mode turns an
+    uncastable field into NULL instead of an ANSI throw."""
+    from learn_etl_data_warehouse_spark.sources.fixed_width import (
+        read_fixed_width,
+    )
+
+    p = tmp_path / "feed.txt"
+    p.write_text(
+        "001Widget    00123.45\n"
+        "002Gadget    00067.89\n"
+        "\n"
+        "003Broken    0bad9.99\n"
+    )
+    spec = [
+        ("id", 1, 3, "INT"),
+        ("name", 4, 10, "STRING"),
+        ("amount", 14, 8, "DOUBLE"),
+    ]
+    ok = read_fixed_width(
+        spark, str(p), spec, permissive=True
+    ).orderBy("id")
+    rows = [(r["id"], r["name"], r["amount"]) for r in ok.collect()]
+    assert rows == [
+        (1, "Widget", 123.45),
+        (2, "Gadget", 67.89),
+        (3, "Broken", None),
+    ]
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        read_fixed_width(spark, str(p), spec).collect()  # ANSI throw
