@@ -3357,6 +3357,20 @@ def q_set06(spark, sf_dir):
     )
 
 
+def q_e20(spark, sf_dir):
+    """FULL-OUTER attribution (r5 cont.): clicks without conversion AND
+    organic purchases in one report — completes the stream-stream join
+    matrix (inner e06, left-outer e08, full-outer here); the streaming
+    twin's watermark-closed region is conformance-tested against this
+    exact batch (streaming/events.py::attribution_full_batch). Time
+    bound inside the join condition; user key coalesced across sides."""
+    from learn_etl_data_warehouse_spark.streaming.events import (
+        attribution_full_batch,
+    )
+
+    return attribution_full_batch(_t(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -3560,6 +3574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g09_personalized_pagerank": q_g09,
         "e19_gap_histogram": q_e19,
         "set06_relational_division": q_set06,
+        "e20_full_attribution": q_e20,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
         # rows are all hash-verifiable
@@ -5762,6 +5777,23 @@ WITH pc AS (SELECT o_custkey,
 t AS (SELECT count(DISTINCT o_orderpriority) AS total FROM orders)
 SELECT o_custkey, CAST(n_priorities AS BIGINT) AS n_priorities
 FROM pc, t WHERE pc.n_priorities = t.total"""
+    # e20: FULL JOIN with the bound inside ON (a post-join WHERE would
+    # drop the unmatched rows of both sides); user coalesced.
+    out["e20_full_attribution"] = """
+WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+           FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id AS p_user_id, event_id AS purchase_id,
+             ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase')
+SELECT coalesce(c.user_id, p.p_user_id) AS user_id,
+       c.click_id, p.purchase_id,
+       epoch_us(p.purchase_ts) - epoch_us(c.click_ts) AS lag_us,
+       (c.click_id IS NOT NULL AND p.purchase_id IS NOT NULL)
+         AS attributed
+FROM c FULL JOIN p
+  ON c.user_id = p.p_user_id
+ AND epoch_us(p.purchase_ts) - epoch_us(c.click_ts)
+       BETWEEN 0 AND 1800000000"""
     # d25: the d18 pipeline certified through the FINAL training
     # artifact — chain the corpus CTEs (through `mix`) with t15's chunk
     # CTEs, joining text back from the rebuilt stage.

@@ -564,3 +564,109 @@ def multitouch_credit_batch(
             ).alias("credit_micros"),
         )
     )
+
+
+def attribution_full_batch(
+    events: DataFrame, attribution_minutes: int = 30
+) -> DataFrame:
+    """FULL-OUTER attribution: clicks without conversions AND
+    conversions without a preceding click (the organic-purchase rows a
+    left join drops) in one report. Batch twin of
+    :func:`stream_attribution_full`; the time bound lives inside the
+    join condition (a post-join WHERE would silently drop the
+    unmatched rows from both sides), and the user key is coalesced
+    across sides so every row still carries its user."""
+    lag_bound_us = attribution_minutes * 60 * 1_000_000
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    lag_us = F.unix_micros(F.col("purchase_ts")) - F.unix_micros(
+        F.col("click_ts")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (lag_us >= 0)
+        & (lag_us <= lag_bound_us),
+        "full",
+    )
+    return joined.select(
+        F.coalesce(F.col("user_id"), F.col("p_user_id")).alias("user_id"),
+        "click_id",
+        "purchase_id",
+        lag_us.alias("lag_us"),
+        (
+            F.col("click_id").isNotNull()
+            & F.col("purchase_id").isNotNull()
+        ).alias("attributed"),
+    )
+
+
+def stream_attribution_full(
+    spark,
+    source_dir: str,
+    schema,
+    attribution_minutes: int = 30,
+    watermark_minutes: int = 30,
+):
+    """STREAM-STREAM full-outer form of :func:`attribution_full_batch`
+    — completes the join matrix (inner e06, left-outer e08, full-outer
+    here). Null rows on EITHER side trail the joint watermark: an
+    unmatched click emits when the purchase watermark passes
+    click_ts + window, an unmatched purchase when the click watermark
+    passes purchase_ts — a terminating run leaves both open tails
+    unemitted, so conformance compares the watermark-closed region
+    exactly and checks the tail is a subset of the batch twin (the e08
+    harness, applied symmetrically)."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", f"{watermark_minutes} minutes")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", f"{watermark_minutes} minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"""
+            user_id = p_user_id AND
+            purchase_ts >= click_ts AND
+            purchase_ts <= click_ts + INTERVAL {attribution_minutes} MINUTES
+            """
+        ),
+        "fullOuter",
+    )
+    lag_us = F.unix_micros(F.col("purchase_ts")) - F.unix_micros(
+        F.col("click_ts")
+    )
+    return joined.select(
+        F.coalesce(F.col("user_id"), F.col("p_user_id")).alias("user_id"),
+        "click_id",
+        "purchase_id",
+        lag_us.alias("lag_us"),
+        (
+            F.col("click_id").isNotNull()
+            & F.col("purchase_id").isNotNull()
+        ).alias("attributed"),
+        F.col("click_ts"),
+        F.col("purchase_ts"),
+    )

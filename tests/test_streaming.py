@@ -1405,3 +1405,80 @@ def test_join_view_sink_incremental_and_dim_update(spark, tmp_path):
     assert (1, 12.0, "platinum", 1) in got2
     assert (3, 31.0, "bronze", 1) in got2
     assert (1, 10.0, "gold", 2) in got2
+
+
+def test_stream_stream_full_attribution_matches_batch(spark, sf_small, tmp_path):
+    """Full-outer stream-stream join: the watermark-closed region must
+    equal the batch twin exactly — including null rows on BOTH sides
+    (clicks without conversion AND organic purchases); the open tail
+    may only emit a subset."""
+    import datetime
+
+    from learn_etl_data_warehouse_spark.streaming.events import (
+        attribution_full_batch,
+        stream_attribution_full,
+    )
+
+    events = load_table(spark, sf_small, "events")
+    staged = str(tmp_path / "events_full_attr")
+    events.write.mode("overwrite").parquet(staged)
+    joined = stream_attribution_full(
+        spark, staged, events.schema, attribution_minutes=30,
+        watermark_minutes=30,
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_stream_full_attr")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    side_max = events.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).groupBy("event_type").agg(F.max("ts").alias("m")).collect()
+    joint = min(r["m"] for r in side_max)
+    closed = joint - datetime.timedelta(minutes=30 + 30 + 1)
+    key = lambda r: (r["user_id"], r["click_id"], r["purchase_id"],
+                     r["lag_us"], r["attributed"])
+    anchor = lambda r: r["click_ts"] if r["click_ts"] is not None else r[
+        "purchase_ts"
+    ]
+    norm = lambda t: tuple(
+        (x is None, 0 if x is None else x) for x in t
+    )
+    got_all = spark.table("t_stream_full_attr").collect()
+    got_closed = sorted(
+        (key(r) for r in got_all if anchor(r) <= closed), key=norm
+    )
+
+    batch = attribution_full_batch(events, attribution_minutes=30)
+    clicks_ts = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purch_ts = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch_rows = (
+        batch.join(clicks_ts, "click_id", "left")
+        .join(purch_ts, "purchase_id", "left")
+        .collect()
+    )
+    want_closed = sorted(
+        (key(r) for r in batch_rows if anchor(r) <= closed), key=norm
+    )
+    assert want_closed, "closed region should be non-empty"
+    assert any(
+        r[4] is False and r[1] is not None for r in want_closed
+    ), "should contain unattributed clicks"
+    assert any(
+        r[1] is None for r in want_closed
+    ), "should contain organic purchases (no preceding click)"
+    assert got_closed == want_closed
+    want_all = {key(r) for r in batch_rows}
+    assert all(key(r) in want_all for r in got_all)
