@@ -3371,6 +3371,33 @@ def q_e20(spark, sf_dir):
     return attribution_full_batch(_t(spark, sf_dir, "events"))
 
 
+def q_e21(spark, sf_dir):
+    """Rolling 7-day distinct users (r5 cont.): sliding COUNT DISTINCT
+    via the day-grain reduction — distinct (day, user) pairs once, then
+    a broadcast range join against the tiny day spine and one distinct
+    agg per window end. Windowed distinct is not decomposable, so the
+    re-aggregation runs on the day-grain pairs (calendar-bounded), never
+    the raw events."""
+    us_day = 86_400_000_000
+    du = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.expr(f"unix_micros(ts) div {us_day}").cast("long").alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    spine = du.select(F.col("day").alias("w_day")).distinct()
+    j = du.join(
+        F.broadcast(spine),
+        (F.col("day") <= F.col("w_day"))
+        & (F.col("day") >= F.col("w_day") - 6),
+    )
+    return j.groupBy(F.col("w_day").alias("day")).agg(
+        F.countDistinct("user_id").alias("n_users_7d")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -3575,6 +3602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e19_gap_histogram": q_e19,
         "set06_relational_division": q_set06,
         "e20_full_attribution": q_e20,
+        "e21_rolling_distinct_users": q_e21,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
         # rows are all hash-verifiable
@@ -5794,6 +5822,15 @@ FROM c FULL JOIN p
   ON c.user_id = p.p_user_id
  AND epoch_us(p.purchase_ts) - epoch_us(c.click_ts)
        BETWEEN 0 AND 1800000000"""
+    # e21: sliding distinct on the day-grain pair reduction; the spine
+    # join bounds are inclusive on both sides.
+    out["e21_rolling_distinct_users"] = """
+WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+            FROM events),
+sp AS (SELECT DISTINCT day AS w_day FROM du)
+SELECT sp.w_day AS day, count(DISTINCT du.user_id) AS n_users_7d
+FROM du JOIN sp ON du.day <= sp.w_day AND du.day >= sp.w_day - 6
+GROUP BY 1"""
     # d25: the d18 pipeline certified through the FINAL training
     # artifact — chain the corpus CTEs (through `mix`) with t15's chunk
     # CTEs, joining text back from the rebuilt stage.
