@@ -3398,6 +3398,20 @@ def q_e21(spark, sf_dir):
     )
 
 
+def q_e22(spark, sf_dir):
+    """Rolling 7-day distinct users, HLL-sketched (r5 cont.): per-day
+    DataSketches HLL state unioned per window end — state-sized
+    sliding distinct, the scale path beside e21's exact day-grain
+    re-agg (operators/sketches.py::rolling_distinct_hll). Rows-only:
+    the sketch is engine-specific; a tolerance test pins it within
+    HLL error of the exact answer."""
+    from learn_etl_data_warehouse_spark.operators.sketches import (
+        rolling_distinct_hll,
+    )
+
+    return rolling_distinct_hll(_t(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -3606,6 +3620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
         # rows are all hash-verifiable
+        "e22_rolling_distinct_hll": q_e22,
         "a09_approx_distinct": q_a09,
         "a14_approx_percentiles": q_a14,
         "a25_approx_topk": q_a25,

@@ -99,3 +99,54 @@ def countmin_estimate(
             .alias("est")
         )
     )
+
+
+def daily_hll_sketches(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-day HLL sketch of distinct ``key_col`` — the MERGEABLE
+    distinct-count state (Spark's native Apache DataSketches HLL,
+    ``hll_sketch_agg``). One sketch row per day; sketches union
+    losslessly, so any window/rollup over days is a state-sized
+    re-aggregation — the 100 TB answer to exact sliding distinct
+    (e21's day-grain pair reduction re-scans pairs; this re-scans
+    ~1 KB sketches)."""
+    us_day = 86_400_000_000
+    return df.groupBy(
+        F.expr(f"unix_micros({ts_col}) div {us_day}")
+        .cast("long")
+        .alias("day")
+    ).agg(F.expr(f"hll_sketch_agg({key_col})").alias("sk"))
+
+
+def rolling_distinct_hll(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Sliding-window distinct estimate: union the member days'
+    sketches per window end and estimate — the approximate twin of the
+    exact e21 query (conformance-tested within HLL error bounds).
+    Rows-only by nature: the sketch binary is engine-specific.
+
+    Returns (day, n_users_est BIGINT)."""
+    daily = daily_hll_sketches(df, key_col, ts_col)
+    spine = daily.select(F.col("day").alias("w_day")).distinct()
+    j = daily.join(
+        F.broadcast(spine),
+        (F.col("day") <= F.col("w_day"))
+        & (F.col("day") >= F.col("w_day") - (int(window_days) - 1)),
+    )
+    return (
+        j.groupBy(F.col("w_day").alias("day"))
+        .agg(F.expr("hll_union_agg(sk)").alias("u"))
+        .select(
+            "day",
+            F.expr("hll_sketch_estimate(u)").cast("long").alias(
+                "n_users_est"
+            ),
+        )
+    )

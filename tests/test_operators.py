@@ -2238,3 +2238,39 @@ def test_gap_histogram_digit_buckets(spark):
         for r in gap_histogram(df).collect()
     }
     assert got == {("a", 1): (2, 5, 5), ("a", 4): (1, 2000, 2000)}
+
+
+def test_rolling_distinct_hll_within_error(spark, sf_small):
+    """The HLL sliding distinct tracks the exact e21 twin within HLL
+    error (lgK=12 default → well under 5%) on every window end, and
+    the day axis matches exactly."""
+    from learn_etl_data_warehouse_spark.operators.sketches import (
+        rolling_distinct_hll,
+    )
+    from learn_etl_data_warehouse_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_small, "events")
+    est = {
+        r["day"]: r["n_users_est"]
+        for r in rolling_distinct_hll(ev).collect()
+    }
+    us_day = 86_400_000_000
+    du = ev.select(
+        F.expr(f"unix_micros(ts) div {us_day}").cast("long").alias("day"),
+        "user_id",
+    ).distinct()
+    spine = du.select(F.col("day").alias("w_day")).distinct()
+    exact = {
+        r["w_day"]: r["n"]
+        for r in du.join(
+            spine,
+            (F.col("day") <= F.col("w_day"))
+            & (F.col("day") >= F.col("w_day") - 6),
+        )
+        .groupBy("w_day")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for d in exact:
+        assert abs(est[d] - exact[d]) <= max(1, exact[d] * 0.05)
