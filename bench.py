@@ -76,6 +76,9 @@ HEADLINE = [
     # r5 continuation-5 operators
     "km01_lloyd_assign",
     "g08_hits_scores",
+    "fp03_frequent_triples",
+    "g09_personalized_pagerank",
+    "e18_time_weighted_avg",
 ]
 
 # Reference-parity ETL (EP1 at shard grain): not a queries() entry — it
