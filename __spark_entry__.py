@@ -3412,6 +3412,31 @@ def q_e22(spark, sf_dir):
     return rolling_distinct_hll(_t(spark, sf_dir, "events"))
 
 
+def q_a26(spark, sf_dir):
+    """ABC / Pareto contribution classes (r5 cont.): parts ranked by
+    discounted revenue, cumulative-share ≤80% → A, ≤95% → B, else C.
+    The classic inventory-concentration report — and a global-order
+    running sum done WITHOUT a single-partition window: two-level
+    cumsum over (digit-count, 2-digit-prefix) value buckets, only the
+    tiny bucket-totals frame is globally ordered
+    (operators/contribution.py::abc_classification). DECIMAL(38,0)
+    accumulation; class predicates are integer comparisons, so the
+    HUGEINT oracle (plain global window) agrees exactly."""
+    from learn_etl_data_warehouse_spark.operators.contribution import (
+        abc_classification,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("part_id")).agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1_000_000
+            ).cast("long")
+        ).alias("rev_micros")
+    )
+    return abc_classification(rev, "rev_micros", "part_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -3637,6 +3662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s10_pq_adc_topk": q_s10,
         "s11_ivfpq_topk": q_s11,
         "s12_rerank_exact": q_s12,
+        "a26_abc_classification": q_a26,
         "s13_mmr_rerank": q_s13,
         "m02_media_features": q_m02,
         "m03_media_resize": q_m03,
@@ -5861,4 +5887,25 @@ SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
        CAST(len(list_slice(ctoks, cid * 24 + 1, cid * 24 + 32)) AS BIGINT) AS n_chunk_tokens,
        array_to_string(list_slice(ctoks, cid * 24 + 1, cid * 24 + 32), ' ') AS chunk_text
 FROM ce"""
+    # a26: the oracle is the textbook single global window; DuckDB's
+    # sum(BIGINT) OVER → HUGEINT matches the Spark side's DECIMAL(38,0)
+    # accumulation, and the class cut is an integer predicate.
+    out["a26_abc_classification"] = """
+WITH r AS (
+  SELECT l_partkey AS part_id,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000)
+                       AS BIGINT)) AS BIGINT) AS rev_micros
+  FROM lineitem GROUP BY 1),
+c AS (
+  SELECT part_id, rev_micros,
+         sum(rev_micros) OVER (ORDER BY rev_micros DESC, part_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cum,
+         sum(rev_micros) OVER () AS tot
+  FROM r)
+SELECT part_id, rev_micros,
+       CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+            WHEN cum * 100 <= tot * 95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM c"""
     return out

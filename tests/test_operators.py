@@ -2274,3 +2274,32 @@ def test_rolling_distinct_hll_within_error(spark, sf_small):
     assert set(est) == set(exact)
     for d in exact:
         assert abs(est[d] - exact[d]) <= max(1, exact[d] * 0.05)
+
+
+def test_abc_classification_matches_bruteforce(spark):
+    from learn_etl_data_warehouse_spark.operators.contribution import (
+        abc_classification,
+    )
+
+    # ties (two 500s straddling a class edge), a zero, and magnitudes
+    # spanning several digit-count buckets
+    rows = [
+        (1, 9_000), (2, 500), (3, 500), (4, 50), (5, 0),
+        (6, 7), (7, 123_456), (8, 99), (9, 100), (10, 3),
+    ]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r["k"]: r["abc_class"]
+        for r in abc_classification(df, "v", "k").collect()
+    }
+
+    ordered = sorted(rows, key=lambda r: (-r[1], r[0]))
+    total = sum(v for _, v in rows)
+    cum, want = 0, {}
+    for k, v in ordered:
+        cum += v
+        want[k] = "A" if cum * 100 <= total * 80 else (
+            "B" if cum * 100 <= total * 95 else "C"
+        )
+    assert got == want
+    assert len(got) == len(rows)
