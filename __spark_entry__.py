@@ -3437,6 +3437,28 @@ def q_a26(spark, sf_dir):
     return abc_classification(rev, "rev_micros", "part_id")
 
 
+def q_g10(spark, sf_dir):
+    """Bounded weighted shortest paths (r5 cont.): 3-round multi-source
+    Bellman-Ford from the seed parts (part_id % 50 == 0) over the part
+    co-occurrence graph with integer affinity costs
+    (w = ceil(1e6 / co_count)) — "how cheaply can every part be reached
+    from the curated set", the weighted companion to g05's hop counts.
+    Pure non-negative integer relaxation; the oracle unrolls 3
+    identical rounds (operators/graph.py::shortest_paths,
+    weighted_cooccurrence_edges; same 30%-order slice as g03/g05/g09)."""
+    from learn_etl_data_warehouse_spark.operators.graph import (
+        shortest_paths,
+        weighted_cooccurrence_edges,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 < 3)
+    edges = weighted_cooccurrence_edges(li)
+    seeds = edges.select("src").filter(F.col("src") % 50 == 0).distinct()
+    return shortest_paths(edges, seeds, rounds=3).select(
+        F.col("node").alias("part_id"), F.col("cost").alias("cost_micros")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -3663,6 +3685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s11_ivfpq_topk": q_s11,
         "s12_rerank_exact": q_s12,
         "a26_abc_classification": q_a26,
+        "g10_weighted_shortest_paths": q_g10,
         "s13_mmr_rerank": q_s13,
         "m02_media_features": q_m02,
         "m03_media_resize": q_m03,
@@ -5908,4 +5931,27 @@ SELECT part_id, rev_micros,
             WHEN cum * 100 <= tot * 95 THEN 'B'
             ELSE 'C' END AS abc_class
 FROM c"""
+    # g10: Bellman-Ford unrolled — edge cost (1e6 + n - 1) // n on
+    # non-negative integers matches Spark's `div` ceil formulation;
+    # each round is the identical relax-then-min CTE pair.
+    _bf_round = """,
+s{i} AS (SELECT e.dst AS node, d.cost + e.w AS cost
+         FROM d{p} d JOIN ew e ON e.src = d.node),
+d{i} AS (SELECT node, min(cost) AS cost FROM
+         (SELECT * FROM d{p} UNION ALL SELECT * FROM s{i}) u{i}
+         GROUP BY 1)"""
+    out["g10_weighted_shortest_paths"] = (
+        """
+WITH li AS (SELECT l_orderkey AS gk, l_partkey AS item FROM lineitem
+            WHERE l_orderkey % 10 < 3),
+en AS (SELECT a.item AS src, b.item AS dst, count(DISTINCT a.gk) AS n
+       FROM li a JOIN li b ON a.gk = b.gk AND a.item <> b.item
+       GROUP BY 1, 2),
+ew AS (SELECT src, dst, (1000000 + n - 1) // n AS w FROM en),
+d0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS cost
+       FROM ew WHERE src % 50 = 0)"""
+        + "".join(_bf_round.format(i=i, p=i - 1) for i in range(1, 4))
+        + """
+SELECT node AS part_id, CAST(cost AS BIGINT) AS cost_micros FROM d3"""
+    )
     return out

@@ -557,3 +557,85 @@ def personalized_pagerank(
             .filter(F.col("rank_micros") > 0)
         )
     return ranks
+
+
+def weighted_cooccurrence_edges(
+    fact: DataFrame,
+    group_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    affinity_scale: int = 1_000_000,
+) -> DataFrame:
+    """Co-occurrence edges with an integer traversal cost: the more
+    groups a pair shares, the cheaper the hop —
+    ``w = ceil(affinity_scale / n_groups)`` computed as the pure
+    integer ``(scale + n - 1) div n``, so an external engine's
+    non-negative floor division reproduces it exactly.
+
+    Returns BOTH directions of every edge: (src, dst, w BIGINT).
+    """
+    li = fact.select(
+        F.col(group_col).alias("_gk"), F.col(item_col).alias("_item")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    counted = (
+        a.join(
+            b,
+            (F.col("a._gk") == F.col("b._gk"))
+            & (F.col("a._item") != F.col("b._item")),
+        )
+        .select(
+            F.col("a._item").alias("src"),
+            F.col("b._item").alias("dst"),
+            F.col("a._gk").alias("_gk"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.countDistinct("_gk").alias("_n"))
+    )
+    return counted.select(
+        "src",
+        "dst",
+        F.expr(f"({affinity_scale} + _n - 1) div _n").cast("long").alias("w"),
+    )
+
+
+def shortest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 3,
+    weight_col: str = "w",
+    materialize_edges: bool = True,
+) -> DataFrame:
+    """Fixed-round multi-source Bellman-Ford: cheapest weighted path
+    cost from the nearest seed within ``rounds`` hops.
+
+    The weighted companion to :func:`bfs_hops` (hop counts ignore edge
+    affinity; this relaxes integer costs): each round is one
+    key-equality join (current costs onto the edge list) plus one
+    min-aggregation on the node — Pregel-as-joins, no driver-side
+    graph. Costs are sums of non-negative integers, so a SQL oracle
+    reproduces them by unrolling ``rounds`` identical relaxations.
+    Nodes unreachable within ``rounds`` hops are absent.
+
+    Returns (node, cost BIGINT) — cost = min path weight ≤ ``rounds``
+    edges; seeds carry cost 0.
+    """
+    if rounds < 1:
+        raise ValueError("shortest_paths: rounds must be >= 1")
+    e = edges.select("src", "dst", F.col(weight_col).alias("_w"))
+    if materialize_edges:
+        e = e.localCheckpoint()
+    dist = seeds.select(
+        F.col(seeds.columns[0]).alias("node"),
+        F.lit(0).cast("long").alias("cost"),
+    ).distinct()
+    for _ in range(int(rounds)):
+        step = dist.join(e, dist["node"] == e["src"]).select(
+            F.col("dst").alias("node"),
+            (F.col("cost") + F.col("_w")).cast("long").alias("cost"),
+        )
+        dist = (
+            dist.unionAll(step)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+        )
+    return dist

@@ -2303,3 +2303,22 @@ def test_abc_classification_matches_bruteforce(spark):
         )
     assert got == want
     assert len(got) == len(rows)
+
+
+def test_shortest_paths_relaxes_cheaper_multihop(spark):
+    from learn_etl_data_warehouse_spark.operators.graph import shortest_paths
+
+    # 0→3 direct costs 100; 0→1→2→3 costs 30 but needs 3 rounds
+    edges = spark.createDataFrame(
+        [(0, 3, 100), (0, 1, 10), (1, 2, 10), (2, 3, 10), (4, 0, 5)],
+        "src long, dst long, w long",
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+
+    got1 = {r["node"]: r["cost"] for r in
+            shortest_paths(edges, seeds, rounds=1).collect()}
+    assert got1 == {0: 0, 3: 100, 1: 10}
+
+    got3 = {r["node"]: r["cost"] for r in
+            shortest_paths(edges, seeds, rounds=3).collect()}
+    assert got3 == {0: 0, 1: 10, 2: 20, 3: 30}  # multihop won; 4 unreached
