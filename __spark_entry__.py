@@ -3459,6 +3459,39 @@ def q_g10(spark, sf_dir):
     )
 
 
+def q_pf06(spark, sf_dir):
+    """Referential-integrity audit (r5 cont.): orphan-FK counts for
+    every declared relationship in the star schema plus the untyped
+    events.user_id edge — the pre-load data-quality gate that catches
+    broken extracts before they poison joins. One left-anti-shaped
+    left join per relationship reduced to a single audit row
+    (operators/profiling.py::fk_orphan_audit); integer ppm."""
+    from learn_etl_data_warehouse_spark.operators.profiling import (
+        fk_orphan_audit,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    events = _t(spark, sf_dir, "events")
+    return fk_orphan_audit(
+        [
+            ("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey"),
+            ("lineitem.l_partkey->part", li, "l_partkey", part, "p_partkey"),
+            ("lineitem.l_suppkey->supplier", li, "l_suppkey", supplier, "s_suppkey"),
+            ("orders.o_custkey->customer", orders, "o_custkey", customer, "c_custkey"),
+            ("customer.c_nationkey->nation", customer, "c_nationkey", nation, "n_nationkey"),
+            ("supplier.s_nationkey->nation", supplier, "s_nationkey", nation, "n_nationkey"),
+            ("nation.n_regionkey->region", nation, "n_regionkey", region, "r_regionkey"),
+            ("events.user_id->customer", events, "user_id", customer, "c_custkey"),
+        ]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -3686,6 +3719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s12_rerank_exact": q_s12,
         "a26_abc_classification": q_a26,
         "g10_weighted_shortest_paths": q_g10,
+        "pf06_fk_orphan_audit": q_pf06,
         "s13_mmr_rerank": q_s13,
         "m02_media_features": q_m02,
         "m03_media_resize": q_m03,
@@ -5953,5 +5987,33 @@ d0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS cost
         + "".join(_bf_round.format(i=i, p=i - 1) for i in range(1, 4))
         + """
 SELECT node AS part_id, CAST(cost AS BIGINT) AS cost_micros FROM d3"""
+    )
+    # pf06: one audit SELECT per relationship; sums cast back from
+    # DuckDB's HUGEINT, ppm via non-negative floor-div.
+    _audit = """
+SELECT '{name}' AS relationship,
+       count(*) AS total_rows,
+       CAST(sum(CASE WHEN c.{fk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_fk_rows,
+       CAST(sum(CASE WHEN c.{fk} IS NOT NULL AND p._pk IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS orphan_rows,
+       CAST((1000000 * sum(CASE WHEN c.{fk} IS NOT NULL AND p._pk IS NULL
+                           THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+         AS orphan_ppm
+FROM {child} c LEFT JOIN (SELECT DISTINCT {pk} AS _pk FROM {parent}) p
+  ON c.{fk} = p._pk"""
+    _rels = [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+        ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+    ]
+    out["pf06_fk_orphan_audit"] = "\nUNION ALL".join(
+        _audit.format(name=n, child=c, fk=fk, parent=p, pk=pk)
+        for n, c, fk, p, pk in _rels
     )
     return out

@@ -266,3 +266,48 @@ def schema_drift(old: DataFrame, new: DataFrame) -> DataFrame:
         rows,
         "column_name string, status string, old_type string, new_type string",
     )
+
+
+def fk_orphan_audit(
+    specs: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity audit: for each (name, child, fk_col,
+    parent, pk_col) relationship, count child rows whose non-null FK
+    has no parent key. NULL FKs are reported separately, not as
+    violations (a null reference is absence, not breakage).
+
+    One left join per relationship (child FK onto the DISTINCT parent
+    keys — Catalyst picks broadcast vs shuffle per side size), each
+    reduced to a single audit row before the union, so the result is
+    always ``len(specs)`` rows regardless of data size. orphan_ppm is
+    the non-negative integer ``(1e6 · orphans) div total``.
+    """
+    if not specs:
+        raise ValueError("fk_orphan_audit: specs must be non-empty")
+    frames = []
+    for name, child, fk_col, parent, pk_col in specs:
+        p = parent.select(F.col(pk_col).alias("_pk")).distinct()
+        j = child.select(F.col(fk_col).alias("_fk")).join(
+            p, F.col("_fk") == F.col("_pk"), "left"
+        )
+        is_null = F.col("_fk").isNull()
+        is_orphan = F.col("_fk").isNotNull() & F.col("_pk").isNull()
+        frames.append(
+            j.agg(
+                F.count(F.lit(1)).alias("total_rows"),
+                F.sum(is_null.cast("long")).alias("null_fk_rows"),
+                F.sum(is_orphan.cast("long")).alias("orphan_rows"),
+            ).select(
+                F.lit(name).alias("relationship"),
+                "total_rows",
+                "null_fk_rows",
+                "orphan_rows",
+                F.expr("(1000000 * orphan_rows) div total_rows")
+                .cast("long")
+                .alias("orphan_ppm"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

@@ -2322,3 +2322,23 @@ def test_shortest_paths_relaxes_cheaper_multihop(spark):
     got3 = {r["node"]: r["cost"] for r in
             shortest_paths(edges, seeds, rounds=3).collect()}
     assert got3 == {0: 0, 1: 10, 2: 20, 3: 30}  # multihop won; 4 unreached
+
+
+def test_fk_orphan_audit_counts_orphans_and_nulls(spark):
+    from learn_etl_data_warehouse_spark.operators.profiling import (
+        fk_orphan_audit,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None), (5, 20)],
+        "id long, fk long",
+    )
+    parent = spark.createDataFrame([(10,), (20,), (30,)], "pk long")
+    rows = fk_orphan_audit([("child->parent", child, "fk", parent, "pk")]).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["relationship"] == "child->parent"
+    assert r["total_rows"] == 5
+    assert r["null_fk_rows"] == 1   # the None FK is absence, not breakage
+    assert r["orphan_rows"] == 1    # fk=99 has no parent
+    assert r["orphan_ppm"] == 200_000
