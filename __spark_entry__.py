@@ -3492,6 +3492,20 @@ def q_pf06(spark, sf_dir):
     )
 
 
+def q_knn01(spark, sf_dir):
+    """k-NN majority-vote labeling (r5 cont.): every vector takes the
+    majority label of its 5 exact nearest neighbors by cosine — the
+    label-transfer / auto-labeling pass after embedding a corpus
+    (operators/similarity.py::knn_classify on the s02 block-pair
+    kernel). Deterministic: cosine ties → neighbor id, vote ties →
+    label; the oracle is the same two-row_number SQL."""
+    from learn_etl_data_warehouse_spark.operators.similarity import (
+        knn_classify,
+    )
+
+    return knn_classify(_t(spark, sf_dir, "embeddings"), k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -3720,6 +3734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a26_abc_classification": q_a26,
         "g10_weighted_shortest_paths": q_g10,
         "pf06_fk_orphan_audit": q_pf06,
+        "knn01_majority_label": q_knn01,
         "s13_mmr_rerank": q_s13,
         "m02_media_features": q_m02,
         "m03_media_resize": q_m03,
@@ -6016,4 +6031,22 @@ FROM {child} c LEFT JOIN (SELECT DISTINCT {pk} AS _pk FROM {parent}) p
         _audit.format(name=n, child=c, fk=fk, parent=p, pk=pk)
         for n, c, fk, p, pk in _rels
     )
+    # knn01: identical tie-breaks — cosine desc + neighbor id for the
+    # rank, votes desc + label for the vote.
+    out["knn01_majority_label"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+p AS (SELECT a.vec_id AS id, b.vec_id AS nbr, b.label AS nl,
+             {_COS.format(a='a.v', b='b.v')} AS c
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+r AS (SELECT id, nl,
+             row_number() OVER (PARTITION BY id ORDER BY c DESC, nbr) AS rn
+      FROM p),
+v AS (SELECT id, nl, count(*) AS votes FROM r WHERE rn <= 5 GROUP BY 1, 2),
+w AS (SELECT id, nl, votes,
+             row_number() OVER (PARTITION BY id
+                                ORDER BY votes DESC, nl) AS vr
+      FROM v)
+SELECT id AS vec_id, CAST(nl AS BIGINT) AS pred_label,
+       CAST(votes AS BIGINT) AS votes
+FROM w WHERE vr = 1"""
     return out

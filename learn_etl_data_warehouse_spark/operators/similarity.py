@@ -15,7 +15,7 @@ not RNG state.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -1059,3 +1059,61 @@ def maintain_kmeans_state(
         )
     )
     return merged, assign
+
+
+def knn_classify(
+    df: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote label assignment — the label-transfer /
+    auto-labeling pass a curation pipeline runs to propagate a small
+    labeled set onto unlabeled vectors (here every vector votes for
+    every other, the leave-one-out self-consistency variant).
+
+    Exact top-k by cosine via :func:`cosine_pairs_blocked` at
+    threshold −1 (all pairs — recall exactly 1; at corpus scale swap
+    in :func:`lsh_near_pairs`/:func:`ivf_topk` candidates, the vote is
+    unchanged). Fully deterministic: neighbor rank breaks cosine ties
+    by neighbor id ascending, the vote breaks count ties by label
+    ascending — so a SQL oracle with the same two row_numbers agrees
+    exactly.
+
+    Returns (``id_col``, pred_label BIGINT, votes BIGINT).
+    """
+    if k < 1:
+        raise ValueError("knn_classify: k must be >= 1")
+    labels = df.select(
+        F.col(id_col).alias("_nbr"), F.col(label_col).cast("long").alias("_nl")
+    )
+    pairs = cosine_pairs_blocked(
+        df, threshold=-1.0, vec_col=vec_col, id_col=id_col
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("_id"), F.col("id_b").alias("_nbr"), "cosine"
+    ).unionAll(
+        pairs.select(
+            F.col("id_b").alias("_id"), F.col("id_a").alias("_nbr"), "cosine"
+        )
+    )
+    rank_w = Window.partitionBy("_id").orderBy(
+        F.desc("cosine"), F.asc("_nbr")
+    )
+    topk = (
+        sym.withColumn("_rn", F.row_number().over(rank_w))
+        .filter(F.col("_rn") <= k)
+        .join(labels, "_nbr")
+    )
+    votes = topk.groupBy("_id", "_nl").agg(F.count(F.lit(1)).alias("votes"))
+    vote_w = Window.partitionBy("_id").orderBy(F.desc("votes"), F.asc("_nl"))
+    return (
+        votes.withColumn("_vr", F.row_number().over(vote_w))
+        .filter(F.col("_vr") == 1)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_nl").alias("pred_label"),
+            F.col("votes").cast("long").alias("votes"),
+        )
+    )

@@ -2342,3 +2342,25 @@ def test_fk_orphan_audit_counts_orphans_and_nulls(spark):
     assert r["null_fk_rows"] == 1   # the None FK is absence, not breakage
     assert r["orphan_rows"] == 1    # fk=99 has no parent
     assert r["orphan_ppm"] == 200_000
+
+
+def test_knn_classify_majority_vote(spark):
+    from learn_etl_data_warehouse_spark.operators.similarity import (
+        knn_classify,
+    )
+
+    # two tight clusters on orthogonal axes; vec 4 leans toward cluster A
+    rows = [
+        (0, [1.0, 0.0, 0.05], 7),
+        (1, [1.0, 0.02, 0.0], 7),
+        (2, [0.0, 1.0, 0.03], 9),
+        (3, [0.02, 1.0, 0.0], 9),
+        (4, [0.9, 0.1, 0.0], 9),  # mislabeled: its neighbors say 7
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r["vec_id"]: (r["pred_label"], r["votes"])
+           for r in knn_classify(df, k=2).collect()}
+    assert got[0] == (7, 1) or got[0][0] == 7      # nearest two: 1 (7) and 4 (9) → tie → label asc = 7
+    assert got[4][0] == 7                           # neighbors 0 and 1 both labeled 7
+    assert got[2][0] == 9 and got[3][0] == 9
+    assert set(got) == {0, 1, 2, 3, 4}
