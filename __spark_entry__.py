@@ -3506,6 +3506,21 @@ def q_knn01(spark, sf_dir):
     return knn_classify(_t(spark, sf_dir, "embeddings"), k=5)
 
 
+def q_e23(spark, sf_dir):
+    """CUSUM changepoint (r5 cont.): per event_type, the hour where the
+    cumulative deviation of hourly counts from the series mean peaks —
+    the level-shift detector completing the anomaly family (e15
+    rolling, e16 seasonal, e23 regime change). Integer-exact: deviations
+    multiplied through by the series length (n·T − total) accumulate in
+    DECIMAL(38,0)/HUGEINT; |S| ties break earliest
+    (operators/timeseries.py::cusum_changepoint)."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    return cusum_changepoint(_t(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -3735,6 +3750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g10_weighted_shortest_paths": q_g10,
         "pf06_fk_orphan_audit": q_pf06,
         "knn01_majority_label": q_knn01,
+        "e23_cusum_changepoint": q_e23,
         "s13_mmr_rerank": q_s13,
         "m02_media_features": q_m02,
         "m03_media_resize": q_m03,
@@ -6049,4 +6065,26 @@ w AS (SELECT id, nl, votes,
 SELECT id AS vec_id, CAST(nl AS BIGINT) AS pred_label,
        CAST(votes AS BIGINT) AS votes
 FROM w WHERE vr = 1"""
+    # e23: deviations ×T keep the CUSUM integer (HUGEINT accumulation);
+    # |S| ties break to the earliest hour on both sides.
+    out["e23_cusum_changepoint"] = """
+WITH h AS (SELECT event_type AS key, date_trunc('hour', ts) AS hour,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2),
+st AS (SELECT key, hour, n,
+              count(*) OVER (PARTITION BY key) AS t,
+              sum(n) OVER (PARTITION BY key) AS total
+       FROM h),
+c AS (SELECT key, hour, t,
+             sum(CAST(n AS HUGEINT) * t - total) OVER (
+               PARTITION BY key ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      FROM st),
+r AS (SELECT key, hour, s, t,
+             row_number() OVER (PARTITION BY key
+                                ORDER BY abs(s) DESC, hour) AS rn
+      FROM c)
+SELECT key AS event_type, hour AS cp_hour, CAST(s AS BIGINT) AS cusum_peak,
+       CAST(t AS BIGINT) AS n_hours
+FROM r WHERE rn = 1"""
     return out

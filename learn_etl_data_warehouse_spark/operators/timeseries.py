@@ -452,3 +452,64 @@ def gap_histogram(
         F.min("gap_us").cast("long").alias("min_gap_us"),
         F.max("gap_us").cast("long").alias("max_gap_us"),
     )
+
+
+def cusum_changepoint(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """CUSUM changepoint detection over each key's hourly count series:
+    the hour where the cumulative deviation from the series mean peaks
+    — the classic level-shift locator (did this event type's rate
+    change, and when?).
+
+    Engine-exact integer formulation: the float CUSUM
+    S_t = Σ(n_i − mean) is accumulation-order nondeterministic, so the
+    deviations are multiplied through by the series length T —
+    S'_t = Σ(n_i·T − total) = T·S_t — which preserves the argmax
+    exactly and keeps every operand an integer. Accumulation runs in
+    DECIMAL(38,0) (n_i·T reaches ~1e14 at warehouse scale and the
+    running sum adds ~1e5 terms — past BIGINT's 9.2e18 margin).
+
+    Observed hours only (an all-zero hour contributes no row; the gap
+    semantics are "per observed-hour counts", matching
+    :func:`autocorrelation`'s grain). Ties on |S'| break to the
+    EARLIEST hour. Windows are partitioned by key — no global order.
+
+    Returns (key, cp_hour TIMESTAMP, cusum_peak BIGINT — signed S' at
+    the peak, n_hours BIGINT).
+    """
+    hourly = events.groupBy(
+        F.col(key_col).alias("key"),
+        F.date_trunc("hour", F.col(ts_col)).alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+    per_key = Window.partitionBy("key")
+    run = (
+        Window.partitionBy("key")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dev = (
+        F.col("n").cast("decimal(38,0)") * F.col("t")
+        - F.col("total").cast("decimal(38,0)")
+    )
+    scored = (
+        hourly.withColumn("t", F.count(F.lit(1)).over(per_key))
+        .withColumn("total", F.sum("n").over(per_key))
+        .withColumn("s", F.sum(dev).over(run))
+    )
+    pick = Window.partitionBy("key").orderBy(
+        F.abs(F.col("s")).desc(), F.asc("hour")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(pick))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("key").alias(key_col),
+            F.col("hour").alias("cp_hour"),
+            F.col("s").cast("long").alias("cusum_peak"),
+            F.col("t").cast("long").alias("n_hours"),
+        )
+    )

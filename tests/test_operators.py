@@ -2364,3 +2364,25 @@ def test_knn_classify_majority_vote(spark):
     assert got[4][0] == 7                           # neighbors 0 and 1 both labeled 7
     assert got[2][0] == 9 and got[3][0] == 9
     assert set(got) == {0, 1, 2, 3, 4}
+
+
+def test_cusum_changepoint_finds_level_shift(spark):
+    from datetime import datetime
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    # 3 hours at rate 1, then 3 hours at rate 5; mean 3, T=6, total 18.
+    # S' = n·6 − 18 cumulated: −12, −24, −36, −24, −12, 0 → peak |−36|
+    # at the LAST low hour (02:00), the classic CUSUM boundary.
+    rows = []
+    for h, n in enumerate([1, 1, 1, 5, 5, 5]):
+        for i in range(n):
+            rows.append((datetime(2024, 1, 1, h, i), "a", 1.0))
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    got = cusum_changepoint(df).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["cp_hour"] == datetime(2024, 1, 1, 2, 0)
+    assert r["cusum_peak"] == -36
+    assert r["n_hours"] == 6
