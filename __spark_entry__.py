@@ -3521,6 +3521,23 @@ def q_e23(spark, sf_dir):
     return cusum_changepoint(_t(spark, sf_dir, "events"))
 
 
+def q_d28(spark, sf_dir):
+    """Exact stratified split (r5 cont.): largest-remainder quota per
+    lang stratum + md5-ranked in-stratum selection — the total train
+    size is exactly (80·N) div 100 and every stratum is within one row
+    of its proportional share, where d07's Bernoulli split only hits
+    proportions in expectation
+    (operators/sampling.py::exact_stratified_split)."""
+    from learn_etl_data_warehouse_spark.operators.sampling import (
+        exact_stratified_split,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_stratified_split(docs, train_pct=80).select(
+        "doc_id", "lang", "split"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -3751,6 +3768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pf06_fk_orphan_audit": q_pf06,
         "knn01_majority_label": q_knn01,
         "e23_cusum_changepoint": q_e23,
+        "d28_exact_stratified_split": q_d28,
         "s13_mmr_rerank": q_s13,
         "m02_media_features": q_m02,
         "m03_media_resize": q_m03,
@@ -6087,4 +6105,23 @@ r AS (SELECT key, hour, s, t,
 SELECT key AS event_type, hour AS cp_hour, CAST(s AS BIGINT) AS cusum_peak,
        CAST(t AS BIGINT) AS n_hours
 FROM r WHERE rn = 1"""
+    # d28: largest-remainder quotas (pure integer div/mod; extras by
+    # remainder desc, stratum asc) + the d11 md5 rank idiom.
+    out["d28_exact_stratified_split"] = """
+WITH c AS (SELECT lang AS s, count(*) AS n FROM documents GROUP BY 1),
+a AS (SELECT s, n, (80 * n) // 100 AS base, (80 * n) % 100 AS rem FROM c),
+q AS (SELECT s,
+             base + (CASE WHEN row_number() OVER (ORDER BY rem DESC, s)
+                          <= (SELECT (80 * sum(n)) // 100 FROM c)
+                             - (SELECT sum(base) FROM a)
+                     THEN 1 ELSE 0 END) AS quota
+      FROM a),
+r AS (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS rk
+      FROM documents)
+SELECT r.doc_id, r.lang,
+       CASE WHEN rk <= quota THEN 'train' ELSE 'holdout' END AS split
+FROM r JOIN q ON r.lang = q.s"""
     return out

@@ -232,3 +232,72 @@ def quality_weighted_sample(
         .filter(b < thresh)
         .select(F.col(id_col), "quality")
     )
+
+
+def exact_stratified_split(
+    df: DataFrame,
+    train_pct: int = 80,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-count stratified train/holdout split by largest-remainder
+    allocation: the TOTAL train size is exactly ``(pct·N) div 100`` and
+    each stratum's quota is ``(pct·n_k) div 100`` plus at most one —
+    extras go to the strata with the largest integer remainders
+    (``(pct·n_k) mod 100``, ties by stratum ascending). Bernoulli
+    splits (:func:`train_val_test_split`) only hit proportions in
+    expectation; this one hits them exactly, which is what a small
+    eval-set budget needs.
+
+    Row selection inside a stratum is the same engine-portable md5
+    ranking as :func:`hash_ranked_sample` — RNG-free, reproducible,
+    growth-stable. Work: one shuffle on the stratum key for the rank
+    window + a tiny remainder-ranking window over ONE ROW PER STRATUM
+    (bounded by the label alphabet, never by corpus size), broadcast
+    back.
+
+    Returns the input rows + split STRING ('train' / 'holdout').
+    """
+    if not (0 < train_pct < 100):
+        raise ValueError("exact_stratified_split: need 0 < train_pct < 100")
+    counts = df.groupBy(F.col(strata_col).alias("_s")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    base = (F.lit(train_pct) * F.col("_n")).cast("long")
+    alloc = counts.select(
+        "_s",
+        "_n",
+        F.expr(f"({train_pct} * _n) div 100").alias("_base"),
+        (base % 100).alias("_rem"),
+    )
+    tot = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rem_rank = Window.orderBy(F.desc("_rem"), F.asc("_s"))
+    quotas = (
+        alloc.withColumn("_target", F.expr(f"({train_pct} * sum(_n) over ()) div 100"))
+        .withColumn("_sum_base", F.sum("_base").over(tot))
+        .withColumn("_rr", F.row_number().over(rem_rank))
+        .select(
+            "_s",
+            (
+                F.col("_base")
+                + (F.col("_rr") <= F.col("_target") - F.col("_sum_base")).cast("long")
+            ).alias("_quota"),
+        )
+    )
+    key = F.md5(F.col(id_col).cast("string").cast("binary"))
+    w = Window.partitionBy(strata_col).orderBy(key.asc(), F.col(id_col).asc())
+    ranked = df.withColumn("_rank", F.row_number().over(w).cast("long"))
+    return (
+        ranked.join(
+            F.broadcast(quotas), ranked[strata_col] == quotas["_s"]
+        )
+        .withColumn(
+            "split",
+            F.when(F.col("_rank") <= F.col("_quota"), "train").otherwise(
+                "holdout"
+            ),
+        )
+        .drop("_s", "_quota", "_rank")
+    )

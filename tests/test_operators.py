@@ -2386,3 +2386,28 @@ def test_cusum_changepoint_finds_level_shift(spark):
     assert r["cp_hour"] == datetime(2024, 1, 1, 2, 0)
     assert r["cusum_peak"] == -36
     assert r["n_hours"] == 6
+
+
+def test_exact_stratified_split_hits_exact_totals(spark):
+    from learn_etl_data_warehouse_spark.operators.sampling import (
+        exact_stratified_split,
+    )
+
+    # stratum sizes chosen so 80% quotas have remainders: 7, 9, 11
+    rows = [(i, "a") for i in range(7)]
+    rows += [(100 + i, "b") for i in range(9)]
+    rows += [(200 + i, "c") for i in range(11)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = exact_stratified_split(df, train_pct=80).collect()
+    assert len(out) == 27
+    train = [r for r in out if r["split"] == "train"]
+    assert len(train) == (80 * 27) // 100  # exactly 21, not "about 80%"
+    per = {}
+    for r in train:
+        per[r["lang"]] = per.get(r["lang"], 0) + 1
+    # base quotas 5/7/8 (= floor(.8 n)); one extra by largest remainder:
+    # rems 60/20/80 -> extra goes to 'c'
+    assert per == {"a": 5, "b": 7, "c": 9}
+    # determinism: same result twice
+    out2 = exact_stratified_split(df, train_pct=80).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
