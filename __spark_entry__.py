@@ -3538,6 +3538,19 @@ def q_d28(spark, sf_dir):
     )
 
 
+def q_ml01(spark, sf_dir):
+    """Nearest-centroid confusion matrix (r5 cont.): classify every
+    vector to its most-cosine-similar label centroid (s05's fixed-point
+    means, broadcast — map-side classification) and count (true, pred)
+    cells — the separability eval for an embedding + labeling pipeline
+    (operators/similarity.py::nearest_centroid_confusion)."""
+    from learn_etl_data_warehouse_spark.operators.similarity import (
+        nearest_centroid_confusion,
+    )
+
+    return nearest_centroid_confusion(_t(spark, sf_dir, "embeddings"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -3769,6 +3782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn01_majority_label": q_knn01,
         "e23_cusum_changepoint": q_e23,
         "d28_exact_stratified_split": q_d28,
+        "ml01_centroid_confusion": q_ml01,
         "s13_mmr_rerank": q_s13,
         "m02_media_features": q_m02,
         "m03_media_resize": q_m03,
@@ -6124,4 +6138,31 @@ r AS (SELECT doc_id, lang,
 SELECT r.doc_id, r.lang,
        CASE WHEN rk <= quota THEN 'train' ELSE 'holdout' END AS split
 FROM r JOIN q ON r.lang = q.s"""
+    # ml01: s05's half-up fixed-point centroid rebuilt per (label, dim),
+    # assembled dim-ordered, then the standard round-6 cosine argmax
+    # with (sim desc, label asc) — identical tie order to the Spark side.
+    _cmean = (
+        "CAST(CASE WHEN sum(CAST(round(CAST(embedding[pos] AS DOUBLE) * 1000000) AS BIGINT)) < 0 "
+        "THEN -floor((2 * abs(sum(CAST(round(CAST(embedding[pos] AS DOUBLE) * 1000000) AS BIGINT))) + count(*)) "
+        "/ (2 * count(*))) "
+        "ELSE floor((2 * sum(CAST(round(CAST(embedding[pos] AS DOUBLE) * 1000000) AS BIGINT)) + count(*)) "
+        "/ (2 * count(*))) END AS DOUBLE) / 1000000"
+    )
+    out["ml01_centroid_confusion"] = f"""
+WITH cent AS (
+  SELECT label AS cl, pos, {_cmean} AS c
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos) t
+  GROUP BY label, pos),
+cv AS (SELECT cl, list(c ORDER BY pos) AS v FROM cent GROUP BY 1),
+e AS (SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings),
+s AS (SELECT e.vec_id, CAST(e.label AS BIGINT) AS tl, cv.cl,
+             {_COS.format(a='ev', b='v')} AS sim
+      FROM e, cv),
+r AS (SELECT vec_id, tl, cl,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, cl) AS rn
+      FROM s)
+SELECT tl AS true_label, CAST(cl AS BIGINT) AS pred_label, count(*) AS n
+FROM r WHERE rn = 1 GROUP BY 1, 2"""
     return out

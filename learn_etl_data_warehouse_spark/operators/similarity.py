@@ -1117,3 +1117,60 @@ def knn_classify(
             F.col("votes").cast("long").alias("votes"),
         )
     )
+
+
+def nearest_centroid_confusion(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Nearest-centroid classification + confusion matrix: assign every
+    vector to the label whose fixed-point centroid it is most cosine-
+    similar to, then count (true_label, pred_label) cells — the
+    embedding-quality eval a labeling pipeline runs ("are the clusters
+    actually separable?").
+
+    Centroids use the same engine-exact fixed-point mean as the s05
+    surface (round(v·1e6)→int sum→half-up div), so an external engine
+    rebuilds bit-identical centroid doubles; similarities are round-6
+    cosines with (label asc) tie-break. The centroid frame is one row
+    per label — broadcast, so classification is a map-side cross join,
+    no shuffle beyond the tiny centroid aggregation.
+
+    Returns (true_label BIGINT, pred_label BIGINT, n BIGINT).
+    """
+    from learn_etl_data_warehouse_spark.functions.aggregates import (
+        fixed_point_avg,
+    )
+
+    ex = df.select(
+        F.col(label_col).alias("_cl"), F.posexplode(vec_col).alias("_p", "_v")
+    )
+    cent_long = ex.groupBy("_cl", "_p").agg(
+        fixed_point_avg(F.col("_v").cast("double"), 1_000_000, 6).alias("_c")
+    )
+    cents = cent_long.groupBy("_cl").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_p", "_c"))),
+            lambda s: s["_c"],
+        ).alias("_cv")
+    )
+    sim = F.round(
+        cosine_similarity(F.col(vec_col), F.col("_cv")), 6
+    ).alias("_sim")
+    scored = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).cast("long").alias("_true"),
+        F.col(vec_col).alias(vec_col),
+    ).crossJoin(F.broadcast(cents)).select("_id", "_true", "_cl", sim)
+    pick = Window.partitionBy("_id").orderBy(F.desc("_sim"), F.asc("_cl"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(pick))
+        .filter(F.col("_rn") == 1)
+        .groupBy(
+            F.col("_true").alias("true_label"),
+            F.col("_cl").cast("long").alias("pred_label"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

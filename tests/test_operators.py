@@ -2411,3 +2411,22 @@ def test_exact_stratified_split_hits_exact_totals(spark):
     # determinism: same result twice
     out2 = exact_stratified_split(df, train_pct=80).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_nearest_centroid_confusion_separable_clusters(spark):
+    from learn_etl_data_warehouse_spark.operators.similarity import (
+        nearest_centroid_confusion,
+    )
+
+    # perfectly separable clusters on orthogonal axes + one off vector
+    rows = [
+        (0, [1.0, 0.0], 1), (1, [0.9, 0.1], 1),
+        (2, [0.0, 1.0], 2), (3, [0.1, 0.9], 2),
+        (4, [0.8, 0.2], 2),  # labeled 2 but sits in cluster 1's cone
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    cells = {(r["true_label"], r["pred_label"]): r["n"]
+             for r in nearest_centroid_confusion(df).collect()}
+    assert cells[(1, 1)] == 2           # cluster 1 pure
+    assert cells.get((2, 1), 0) >= 1    # the off vector crosses over
+    assert sum(cells.values()) == 5
