@@ -1169,3 +1169,43 @@ def txn_as_of_timestamp(table: str, ts_us: int) -> str:
             "stamps)"
         )
     return best["txn"]
+
+
+def export_file_manifest(
+    table: str, out_path: str | None = None, as_of: str | None = None
+) -> str:
+    """Export the snapshot's data files as a plain text manifest (one
+    absolute parquet path per line) — the symlink-manifest interop
+    pattern (Delta's ``GENERATE symlink_format_manifest`` / Hive
+    SymlinkTextInputFormat): an external engine with no knowledge of
+    ``_MANIFEST.json`` reads EXACTLY this snapshot by globbing nothing
+    and listing nothing, just opening the listed files.
+
+    The export pins the resolved txn= version dirs, so later commits
+    never change what a consumer of this manifest reads (snapshot
+    isolation for external readers); ``vacuum`` is what eventually
+    invalidates old exports, same as old manifests. Partition columns
+    are Hive-encoded in the paths — readers opt into
+    ``hive_partitioning`` and drop the internal ``txn`` dir column.
+
+    Atomic: written to a temp file then os.replace'd. Returns the
+    manifest path (default ``_SYMLINK-<txn>.txt`` in the table root).
+    """
+    manifest = _manifest_as_of(table, as_of)
+    txn = manifest["txn"]
+    files = []
+    for rel, part_txn in sorted(manifest["partitions"].items()):
+        vdir = os.path.join(table, rel, f"{TXN_COL_PREFIX}{part_txn}")
+        names = sorted(
+            n for n in os.listdir(vdir)
+            if n.endswith(".parquet") and not n.startswith((".", "_"))
+        )
+        if not names:
+            raise FileNotFoundError(f"no data files under {vdir}")
+        files.extend(os.path.abspath(os.path.join(vdir, n)) for n in names)
+    dest = out_path or os.path.join(table, f"_SYMLINK-{txn}.txt")
+    tmp = dest + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(files) + "\n")
+    os.replace(tmp, dest)
+    return dest

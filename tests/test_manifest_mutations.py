@@ -892,3 +892,52 @@ def test_incremental_join_view_maintenance_from_cdf(spark, tmp_path):
     assert (2, 20.0, "platinum", 2) in got
     # updated dim tuple flows through; the old tier tuple is gone
     assert not any(t[2] == "silver" for t in got)
+
+
+class TestSymlinkManifestExport:
+    def test_external_reader_sees_exact_snapshot(self, spark, vtable):
+        import duckdb
+
+        from learn_etl_data_warehouse_spark.plans.manifest_warehouse import (
+            export_file_manifest,
+        )
+
+        table, sink = vtable
+        path = export_file_manifest(table)
+        files = [l for l in open(path).read().splitlines() if l]
+        assert files and all(f.endswith(".parquet") for f in files)
+
+        snap = {
+            (r["id"], r["v"], r["cat"])
+            for r in read_snapshot(spark, table).collect()
+        }
+        con = duckdb.connect()
+        ext = {
+            (r[0], r[1], r[2])
+            for r in con.execute(
+                "SELECT id, v, cat FROM read_parquet(?, hive_partitioning=1)",
+                [files],
+            ).fetchall()
+        }
+        assert ext == snap
+
+        # a later commit must NOT change what the old export reads
+        b2 = spark.createDataFrame(
+            [(500, 500.0, "z")], "id INT, v DOUBLE, cat STRING"
+        )
+        sink(b2, 2)
+        ext2 = {
+            (r[0], r[1], r[2])
+            for r in con.execute(
+                "SELECT id, v, cat FROM read_parquet(?, hive_partitioning=1)",
+                [files],
+            ).fetchall()
+        }
+        assert ext2 == snap  # pinned: snapshot isolation for externals
+        # while a fresh export picks the new batch up
+        files3 = [
+            l
+            for l in open(export_file_manifest(table)).read().splitlines()
+            if l
+        ]
+        assert len(files3) > len(files)
