@@ -79,6 +79,10 @@ HEADLINE = [
     "fp03_frequent_triples",
     "g09_personalized_pagerank",
     "e18_time_weighted_avg",
+    # r5 continuation-6 operators
+    "a26_abc_classification",
+    "g10_weighted_shortest_paths",
+    "knn01_majority_label",
 ]
 
 # Reference-parity ETL (EP1 at shard grain): not a queries() entry — it

@@ -247,3 +247,127 @@ def cumulative_new_actors(
         "n_new",
         F.sum("n_new").over(w).cast("long").alias("cum_actors"),
     )
+
+
+def rfm_segments(
+    orders: DataFrame,
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    recency_days: tuple[int, int, int] = (30, 180, 365),
+    frequency_orders: tuple[int, int, int] = (2, 5, 10),
+    monetary_cents: tuple[int, int, int] = (
+        10_000_00,
+        50_000_00,
+        200_000_00,
+    ),
+) -> DataFrame:
+    """RFM customer segmentation with FIXED business-rule bins: score
+    1-4 per dimension (4 = best), segment = 'R{r}F{f}M{m}'.
+
+    Deliberately NOT quantile-binned: global exact quartiles need a
+    total-order rank (one partition holding every customer) and make
+    scores data-drift-relative; fixed cutoffs are how production RFM
+    is usually specified, are stable across reruns, and keep the whole
+    plan one aggregation + pure per-row predicates — no global window,
+    embarrassingly scalable. (For drift-relative bins see a13's
+    quantile buckets.)
+
+    Recency anchors to max(date) over the INPUT (one tiny agg,
+    broadcast back), so the operator is reproducible on a frozen
+    snapshot rather than wall-clock-dependent. Money is compared in
+    integer cents. Returns (cust, recency_days, n_orders,
+    total_cents, r_score, f_score, m_score, segment).
+    """
+    per_cust = orders.groupBy(F.col(cust_col).alias("cust")).agg(
+        F.max(date_col).alias("_last"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col(amount_col) * 100).cast("long")).alias(
+            "total_cents"
+        ),
+    )
+    anchor = orders.agg(F.max(date_col).alias("_anchor"))
+    scored = per_cust.crossJoin(F.broadcast(anchor)).withColumn(
+        "recency_days", F.datediff(F.col("_anchor"), F.col("_last")).cast("long")
+    )
+
+    def _score(col, cuts, ascending_good):
+        lo, mid, hi = cuts
+        if ascending_good:  # bigger value = better (freq, monetary)
+            return (
+                F.when(col >= hi, 4)
+                .when(col >= mid, 3)
+                .when(col >= lo, 2)
+                .otherwise(1)
+            )
+        return (  # smaller value = better (recency)
+            F.when(col <= lo, 4)
+            .when(col <= mid, 3)
+            .when(col <= hi, 2)
+            .otherwise(1)
+        )
+
+    r = _score(F.col("recency_days"), recency_days, False)
+    f = _score(F.col("n_orders"), frequency_orders, True)
+    m = _score(F.col("total_cents"), monetary_cents, True)
+    return scored.select(
+        "cust",
+        "recency_days",
+        "n_orders",
+        "total_cents",
+        r.cast("long").alias("r_score"),
+        f.cast("long").alias("f_score"),
+        m.cast("long").alias("m_score"),
+        F.concat(
+            F.lit("R"), r.cast("string"),
+            F.lit("F"), f.cast("string"),
+            F.lit("M"), m.cast("string"),
+        ).alias("segment"),
+    )
+
+
+def topn_with_others(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    measure_col,
+    n: int = 3,
+) -> DataFrame:
+    """Top-N keys per group by an integer measure, plus one 'OTHERS'
+    rollup row per group carrying the remainder — the standard
+    "top 3 parts per nation and everything else" report shape, so a
+    consumer sees both the leaders and the conserved group total.
+
+    ``measure_col`` must be an integer Column expression (aggregated
+    per (group, key) first). Rank ties break by key ascending. One
+    shuffle for the (group, key) agg, one group-partitioned window —
+    no global order anywhere.
+
+    Returns (group, key STRING — the key cast to string or 'OTHERS',
+    measure BIGINT, rnk BIGINT — OTHERS carries rnk 0).
+    """
+    per_key = df.groupBy(
+        F.col(group_col).alias("grp"), F.col(key_col).alias("_key")
+    ).agg(measure_col.cast("long").alias("measure"))
+    w = Window.partitionBy("grp").orderBy(
+        F.desc("measure"), F.asc("_key")
+    )
+    ranked = per_key.withColumn("_rnk", F.row_number().over(w))
+    top = ranked.filter(F.col("_rnk") <= n).select(
+        "grp",
+        F.col("_key").cast("string").alias("key"),
+        "measure",
+        F.col("_rnk").cast("long").alias("rnk"),
+    )
+    others = (
+        ranked.filter(F.col("_rnk") > n)
+        .groupBy("grp")
+        .agg(F.sum("measure").cast("long").alias("measure"))
+        .select(
+            "grp",
+            F.lit("OTHERS").alias("key"),
+            "measure",
+            F.lit(0).cast("long").alias("rnk"),
+        )
+    )
+    return top.unionByName(others)
