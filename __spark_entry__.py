@@ -3551,6 +3551,48 @@ def q_ml01(spark, sf_dir):
     return nearest_centroid_confusion(_t(spark, sf_dir, "embeddings"))
 
 
+def q_ca01(spark, sf_dir):
+    """RFM segmentation (r5 cont.): recency/frequency/monetary scores
+    1-4 from FIXED business-rule bins (not global quantiles — those
+    need a total-order rank, one partition holding every customer, and
+    drift with the data). One per-customer agg + broadcast anchor +
+    pure per-row predicates; money compared in integer cents
+    (operators/product_analytics.py::rfm_segments)."""
+    from learn_etl_data_warehouse_spark.operators.product_analytics import (
+        rfm_segments,
+    )
+
+    return rfm_segments(_t(spark, sf_dir, "orders"))
+
+
+def q_a27(spark, sf_dir):
+    """Top-3 parts per supplier nation by discounted revenue + one
+    conserved OTHERS rollup per nation (r5 cont.) — the classic
+    leaders-and-remainder report; group-partitioned window only, ties
+    by part id (operators/product_analytics.py::topn_with_others)."""
+    from learn_etl_data_warehouse_spark.operators.product_analytics import (
+        topn_with_others,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    joined = li.join(
+        supplier, li.l_suppkey == supplier.s_suppkey
+    ).join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+    rev = F.sum(
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1_000_000
+        ).cast("long")
+    )
+    return topn_with_others(
+        joined, "n_name", "l_partkey", rev, n=3
+    ).select(
+        F.col("grp").alias("n_name"), "key",
+        F.col("measure").alias("rev_micros"), "rnk",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -3783,6 +3825,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e23_cusum_changepoint": q_e23,
         "d28_exact_stratified_split": q_d28,
         "ml01_centroid_confusion": q_ml01,
+        "ca01_rfm_segments": q_ca01,
+        "a27_topn_with_others": q_a27,
         "s13_mmr_rerank": q_s13,
         "m02_media_features": q_m02,
         "m03_media_resize": q_m03,
@@ -6165,4 +6209,57 @@ r AS (SELECT vec_id, tl, cl,
       FROM s)
 SELECT tl AS true_label, CAST(cl AS BIGINT) AS pred_label, count(*) AS n
 FROM r WHERE rn = 1 GROUP BY 1, 2"""
+    # ca01: fixed-bin RFM — date_diff day grain on the timestamp
+    # column matches Spark's datediff(to-date) because the fixture's
+    # o_orderdate carries no sub-day component; integer cents.
+    out["ca01_rfm_segments"] = """
+WITH pc AS (SELECT o_custkey AS cust, max(o_orderdate) AS last_d,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS total_cents
+            FROM orders GROUP BY 1),
+an AS (SELECT max(o_orderdate) AS anchor FROM orders),
+s AS (SELECT cust,
+             date_diff('day', last_d, anchor) AS recency_days,
+             n_orders, total_cents
+      FROM pc, an),
+sc AS (SELECT cust, recency_days, n_orders, total_cents,
+              CASE WHEN recency_days <= 30 THEN 4
+                   WHEN recency_days <= 180 THEN 3
+                   WHEN recency_days <= 365 THEN 2 ELSE 1 END AS r_score,
+              CASE WHEN n_orders >= 10 THEN 4
+                   WHEN n_orders >= 5 THEN 3
+                   WHEN n_orders >= 2 THEN 2 ELSE 1 END AS f_score,
+              CASE WHEN total_cents >= 20000000 THEN 4
+                   WHEN total_cents >= 5000000 THEN 3
+                   WHEN total_cents >= 1000000 THEN 2 ELSE 1 END AS m_score
+       FROM s)
+SELECT cust, CAST(recency_days AS BIGINT) AS recency_days,
+       CAST(n_orders AS BIGINT) AS n_orders, total_cents,
+       CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       'R' || r_score || 'F' || f_score || 'M' || m_score AS segment
+FROM sc"""
+    # a27: leaders + conserved OTHERS; rank ties by part id, OTHERS rnk 0.
+    out["a27_topn_with_others"] = """
+WITH pk AS (SELECT n_name AS grp, l_partkey AS k,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                       * 1000000) AS BIGINT)) AS BIGINT)
+                     AS measure
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY 1, 2),
+r AS (SELECT grp, k, measure,
+             row_number() OVER (PARTITION BY grp
+                                ORDER BY measure DESC, k) AS rnk
+      FROM pk)
+SELECT grp AS n_name, CAST(k AS VARCHAR) AS key,
+       measure AS rev_micros, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 3
+UNION ALL
+SELECT grp AS n_name, 'OTHERS', CAST(sum(measure) AS BIGINT),
+       CAST(0 AS BIGINT)
+FROM r WHERE rnk > 3 GROUP BY grp"""
     return out

@@ -2430,3 +2430,44 @@ def test_nearest_centroid_confusion_separable_clusters(spark):
     assert cells[(1, 1)] == 2           # cluster 1 pure
     assert cells.get((2, 1), 0) >= 1    # the off vector crosses over
     assert sum(cells.values()) == 5
+
+
+def test_rfm_segments_fixed_bins(spark):
+    from datetime import datetime
+    from learn_etl_data_warehouse_spark.operators.product_analytics import (
+        rfm_segments,
+    )
+
+    d = datetime  # anchor = 2024-12-31 (customer 3's last order)
+    rows = [
+        # cust 1: recent (10d), 2 orders, small money -> R4 F2 M1
+        (1, d(2024, 12, 21), 100.0), (1, d(2024, 1, 1), 100.0),
+        # cust 2: stale (>365d), 1 order, big money -> R1 F1 M4
+        (2, d(2023, 6, 1), 250_000.0),
+        # cust 3: anchor row itself -> recency 0 -> R4
+        (3, d(2024, 12, 31), 60_000.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate timestamp, o_totalprice double"
+    )
+    got = {r["cust"]: r for r in rfm_segments(df).collect()}
+    assert got[1]["segment"] == "R4F2M1"
+    assert got[2]["segment"] == "R1F1M4"
+    assert got[3]["recency_days"] == 0 and got[3]["segment"] == "R4F1M3"
+
+
+def test_topn_with_others_conserves_totals(spark):
+    from learn_etl_data_warehouse_spark.operators.product_analytics import (
+        topn_with_others,
+    )
+
+    rows = [("g", k, v) for k, v in
+            [(1, 50), (2, 40), (3, 30), (4, 20), (5, 10), (6, 5)]]
+    rows += [("h", 1, 7)]  # group smaller than n: no OTHERS row
+    df = spark.createDataFrame(rows, "grp string, k long, v long")
+    out = topn_with_others(df, "grp", "k", F.sum("v"), n=3).collect()
+    g = {r["key"]: (r["measure"], r["rnk"]) for r in out if r["grp"] == "g"}
+    assert g == {"1": (50, 1), "2": (40, 2), "3": (30, 3), "OTHERS": (35, 0)}
+    assert sum(m for m, _ in g.values()) == 155  # conserved
+    h = [r for r in out if r["grp"] == "h"]
+    assert len(h) == 1 and h[0]["key"] == "1"
