@@ -256,3 +256,42 @@ def test_read_fixed_width_parses_copybook_layout(spark, tmp_path):
 
     with _pytest.raises(Exception):
         read_fixed_width(spark, str(p), spec).collect()  # ANSI throw
+
+
+class TestXmlSource:
+    def test_round_trip_and_quarantine(self, spark, tmp_path):
+        from pyspark.sql import types as T
+
+        from learn_etl_data_warehouse_spark.sources.xml import (
+            read_xml,
+            split_corrupt,
+            write_xml,
+        )
+
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("name", T.StringType()),
+                T.StructField("v", T.DoubleType()),
+            ]
+        )
+        src = str(tmp_path / "in.xml")
+        with open(src, "w") as fh:
+            fh.write(
+                "<rows>\n"
+                "<row><id>1</id><name>a&amp;b</name><v>1.5</v></row>\n"
+                "<row><id>oops</id><name>bad</name><v>2.0</v></row>\n"
+                "<row><id>2</id><name>c</name><v>-3.25</v></row>\n"
+                "</rows>\n"
+            )
+        clean, bad = split_corrupt(read_xml(spark, src, "row", schema))
+        rows = {r["id"]: (r["name"], r["v"]) for r in clean.collect()}
+        assert rows == {1: ("a&b", 1.5), 2: ("c", -3.25)}
+        assert bad.count() == 1  # the mistyped id quarantines, not fails
+
+        out = str(tmp_path / "out_xml")
+        write_xml(clean, out, row_tag="row")
+        back = read_xml(spark, out + "/*.xml", "row", schema)
+        clean2, bad2 = split_corrupt(back)
+        assert bad2.count() == 0
+        assert {r["id"]: (r["name"], r["v"]) for r in clean2.collect()} == rows
