@@ -42,6 +42,7 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from . import manifest_warehouse as mw
 
@@ -312,4 +313,72 @@ def register_catalog_views(
         catalog_read(
             spark, catalog_dir, name, as_of=pinned
         ).createOrReplaceTempView(prefix + name)
+    return pinned
+
+
+MASK_POLICIES = ("hash", "redact", "last4", "null")
+
+
+def _masked(col: str, policy: str):
+    c = F.col(col)
+    if policy == "hash":
+        # deterministic pseudonym: joins/group-bys on the masked column
+        # still line up across tables masked with the same policy
+        return F.concat(
+            F.lit("h_"), F.lower(F.hex(F.xxhash64(c.cast("string"))))
+        ).alias(col)
+    if policy == "redact":
+        return F.lit("[REDACTED]").alias(col)
+    if policy == "last4":
+        s = c.cast("string")
+        return F.concat(
+            F.lit("***"), F.substring(s, -4, 4)
+        ).alias(col)
+    if policy == "null":
+        return F.lit(None).cast("string").alias(col)
+    raise ValueError(f"unknown mask policy {policy!r}; use {MASK_POLICIES}")
+
+
+def register_masked_views(
+    spark: SparkSession,
+    catalog_dir: str,
+    masks: dict[str, dict[str, str]],
+    as_of: str | None = None,
+    prefix: str = "masked_",
+) -> str:
+    """Column-masking governance layer over the catalog: register every
+    member table as a temp view with PII columns rewritten per policy —
+    'hash' (deterministic xxhash64 pseudonym, join-stable), 'redact'
+    (constant), 'last4' (suffix-only), 'null'. Tables absent from
+    ``masks`` register unmasked under the same prefix, so a consumer
+    session sees ONE consistent masked surface and never needs (or
+    gets) the raw views.
+
+    Masking is applied INSIDE the registered view's plan — there is no
+    unmasked intermediate a ``spark.sql`` user can reach through the
+    masked name — and the whole surface pins to one catalog txn, same
+    as :func:`register_catalog_views`. Unknown columns in a mask spec
+    raise (a typo'd mask that silently no-ops is a leak). Returns the
+    pinned txn.
+    """
+    catalog = read_catalog(catalog_dir, as_of)
+    if not catalog["tables"]:
+        raise FileNotFoundError(f"empty or missing catalog at {catalog_dir}")
+    pinned = catalog["txn"] if as_of is None else as_of
+    unknown_tables = set(masks) - set(catalog["tables"])
+    if unknown_tables:
+        raise ValueError(f"mask spec for non-member tables: {sorted(unknown_tables)}")
+    for name in sorted(catalog["tables"]):
+        df = catalog_read(spark, catalog_dir, name, as_of=pinned)
+        spec = masks.get(name, {})
+        missing = set(spec) - set(df.columns)
+        if missing:
+            raise ValueError(
+                f"mask spec for {name!r} names absent columns: {sorted(missing)}"
+            )
+        cols = [
+            _masked(c, spec[c]) if c in spec else F.col(c)
+            for c in df.columns
+        ]
+        df.select(*cols).createOrReplaceTempView(prefix + name)
     return pinned

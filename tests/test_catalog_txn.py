@@ -289,3 +289,40 @@ def test_register_catalog_views_pins_one_txn(spark, tmp_path):
             "SELECT part, n, amount_fp FROM h_rollup"
         ).collect()
     } == stored
+
+
+def test_masked_views_enforce_policies(spark, tmp_path):
+    cdir = str(tmp_path / "cat_masked")
+    fact = spark.createDataFrame(
+        [(1, "alice@example.com", "4111111111119999", 10.0),
+         (2, "bob@example.com", "5500000000004321", 20.0),
+         (3, "alice@example.com", "4111111111119999", 30.0)],
+        "id long, email string, card string, amount double",
+    )
+    cat.catalog_commit(spark, cdir, {"users": (fact, [])})
+    txn = cat.register_masked_views(
+        spark, cdir,
+        masks={"users": {"email": "hash", "card": "last4", "amount": "null"}},
+    )
+    assert txn
+    rows = spark.sql(
+        "SELECT id, email, card, amount FROM masked_users ORDER BY id"
+    ).collect()
+    raw = {"alice@example.com", "bob@example.com",
+           "4111111111119999", "5500000000004321"}
+    for r in rows:
+        assert r["email"].startswith("h_") and r["email"] not in raw
+        assert r["card"].startswith("***") and len(r["card"]) == 7
+        assert r["amount"] is None
+    # hash masking is join-stable: same raw value -> same pseudonym
+    assert rows[0]["email"] == rows[2]["email"]
+    assert rows[0]["email"] != rows[1]["email"]
+    assert rows[0]["card"] == "***9999"
+    # typo'd specs fail loudly instead of silently leaking
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="absent columns"):
+        cat.register_masked_views(spark, cdir, masks={"users": {"emial": "hash"}})
+    with _pytest.raises(ValueError, match="non-member"):
+        cat.register_masked_views(spark, cdir, masks={"nope": {"x": "hash"}})
+    with _pytest.raises(ValueError, match="unknown mask policy"):
+        cat.register_masked_views(spark, cdir, masks={"users": {"email": "rot13"}})
