@@ -330,3 +330,67 @@ def maintain_join_view(
         )
         .filter(F.col("cnt") > 0)
     )
+
+
+def distinct_count_state(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Build the maintainable state behind a COUNT(DISTINCT value) per
+    group: one (group, value, cnt) row per distinct pair. COUNT DISTINCT
+    is the classic non-additive aggregate — a delete can't be applied to
+    the distinct count itself (was that the value's last occurrence?),
+    but it IS additive on this counted state, which is the standard IVM
+    reduction. State size is bounded by the number of DISTINCT pairs,
+    not rows."""
+    return df.groupBy(
+        F.col(group_col).alias("grp"), F.col(value_col).alias("val")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+
+
+def maintain_distinct_state(
+    prev: DataFrame, diff: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Apply a change-data-feed (``_change_type`` insert/delete rows) to
+    a :func:`distinct_count_state` table: ±1 per row onto the pair's
+    occurrence count, pairs reaching 0 drop out (the value no longer
+    exists in the group — exactly when the distinct count must shrink).
+    Cost: one shuffle over the DIFF's distinct pairs + a key-equality
+    merge; the raw table is never rescanned.
+
+    Over-deletes (a delete for a pair the state doesn't hold) would
+    leave a negative count and silently corrupt later merges — they
+    raise instead, same fail-loud posture as the expectations gate.
+    """
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    d = diff.groupBy(
+        F.col(group_col).alias("grp"), F.col(value_col).alias("val")
+    ).agg(F.sum(sign).cast("long").alias("_d"))
+    merged = (
+        prev.join(d, ["grp", "val"], "full_outer")
+        .select(
+            "grp",
+            "val",
+            (
+                F.coalesce(F.col("cnt"), F.lit(0))
+                + F.coalesce(F.col("_d"), F.lit(0))
+            ).cast("long").alias("cnt"),
+        )
+    )
+    bad = merged.filter(F.col("cnt") < 0)
+    if not bad.isEmpty():
+        sample = bad.limit(3).collect()
+        raise ValueError(
+            f"maintain_distinct_state: over-delete on pairs {sample} — "
+            "the diff deletes values the state never held"
+        )
+    return merged.filter(F.col("cnt") > 0)
+
+
+def distinct_count_view(state: DataFrame) -> DataFrame:
+    """The served view over :func:`distinct_count_state`: exact
+    COUNT(DISTINCT value) per group — just counting live pairs."""
+    return state.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct")
+    )

@@ -2471,3 +2471,37 @@ def test_topn_with_others_conserves_totals(spark):
     assert sum(m for m, _ in g.values()) == 155  # conserved
     h = [r for r in out if r["grp"] == "h"]
     assert len(h) == 1 and h[0]["key"] == "1"
+
+
+def test_maintain_distinct_state_lifecycle(spark):
+    import pytest as _pytest
+    from learn_etl_data_warehouse_spark.operators.rollups import (
+        distinct_count_state,
+        distinct_count_view,
+        maintain_distinct_state,
+    )
+
+    base = spark.createDataFrame(
+        [("g", 1), ("g", 1), ("g", 2), ("h", 9)], "grp_c string, v long"
+    )
+    state = distinct_count_state(base, "grp_c", "v")
+    assert {(r["grp"], r["val"], r["cnt"]) for r in state.collect()} == {
+        ("g", 1, 2), ("g", 2, 1), ("h", 9, 1)
+    }
+
+    # delete ONE of g's two v=1 rows: v=1 must SURVIVE (cnt 2->1);
+    # delete g's only v=2 row: the distinct count must shrink
+    diff = spark.createDataFrame(
+        [("g", 1, "delete"), ("g", 2, "delete"), ("h", 8, "insert")],
+        "grp_c string, v long, _change_type string",
+    )
+    new = maintain_distinct_state(state, diff, "grp_c", "v")
+    view = {r["grp"]: r["n_distinct"] for r in distinct_count_view(new).collect()}
+    assert view == {"g": 1, "h": 2}
+
+    # over-delete fails loudly instead of corrupting the state
+    over = spark.createDataFrame(
+        [("g", 777, "delete")], "grp_c string, v long, _change_type string"
+    )
+    with _pytest.raises(ValueError, match="over-delete"):
+        maintain_distinct_state(new, over, "grp_c", "v")
