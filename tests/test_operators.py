@@ -2505,3 +2505,27 @@ def test_maintain_distinct_state_lifecycle(spark):
     )
     with _pytest.raises(ValueError, match="over-delete"):
         maintain_distinct_state(new, over, "grp_c", "v")
+
+
+def test_community_modularity_two_triangles(spark):
+    from learn_etl_data_warehouse_spark.operators.graph import (
+        community_modularity,
+    )
+
+    # two triangles joined by one bridge edge; 2m = 14 directed edges
+    und = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 4)], "node long, label long"
+    )
+    got = {r["community"]: r for r in
+           community_modularity(edges, labels).collect()}
+    for c in (1, 4):
+        r = got[c]
+        assert r["n_nodes"] == 3
+        assert r["intra_edges"] == 6   # directed count inside a triangle
+        assert r["deg_sum"] == 7       # 2+2+3 (bridge endpoint has deg 3)
+        assert abs(r["q_term"] - (6 / 14 - (7 / 14) ** 2)) < 1e-12
+    assert sum(r["q_term"] for r in got.values()) > 0  # real structure
