@@ -3642,6 +3642,29 @@ def q_g11(spark, sf_dir):
     return community_modularity(edges, label_propagation(edges, rounds=3))
 
 
+def q_a28(spark, sf_dir):
+    """Histogram-state percentiles (r5 cont.): p50/p95/p99 of the event
+    value per type, answered from MERGEABLE day-grain log-bucket
+    histograms — the scalable percentile-dashboard pattern (quantiles
+    don't merge; bucket counts do; a11's exact ranks need a total
+    order). Buckets are (digit_count, first_digit) of integer cents;
+    the answer is each bucket's integer lower bound via the pure
+    predicate cum·100 ≥ q·total — engine-exact over the bucketing
+    (operators/sketches.py::value_histogram_state/
+    histogram_percentiles; building day states then merging exercises
+    the associativity the dashboard relies on)."""
+    from learn_etl_data_warehouse_spark.operators.sketches import (
+        histogram_percentiles,
+        value_histogram_state,
+    )
+
+    state = value_histogram_state(_t(spark, sf_dir, "events"))
+    return histogram_percentiles(state).select(
+        F.col("key").alias("event_type"),
+        "p50_cents_lb", "p95_cents_lb", "p99_cents_lb",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -3878,6 +3901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a27_topn_with_others": q_a27,
         "ivm03_maintained_distinct": q_ivm03,
         "g11_community_modularity": q_g11,
+        "a28_histogram_percentiles": q_a28,
         "s13_mmr_rerank": q_s13,
         "m02_media_features": q_m02,
         "m03_media_resize": q_m03,
@@ -6343,4 +6367,31 @@ SELECT dl.label AS community, CAST(dl.n_nodes AS BIGINT) AS n_nodes,
          * (CAST(dl.deg_sum AS DOUBLE) / CAST(tm.two_m AS DOUBLE))
          AS q_term
 FROM dl LEFT JOIN ie ON ie.label = dl.label, tm"""
+    # a28: identical integer bucketing (string length / first char),
+    # identical lower-bound construction (digit || zeros), identical
+    # nearest-rank predicate — day grain is irrelevant to the merged
+    # answer by associativity, so the oracle buckets directly.
+    out["a28_histogram_percentiles"] = """
+WITH c AS (SELECT event_type AS key,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+b AS (SELECT key, length(CAST(cents AS VARCHAR)) AS dc,
+             CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS fd,
+             count(*) AS n
+      FROM c GROUP BY 1, 2, 3),
+m AS (SELECT key,
+             CAST(fd || repeat('0', dc - 1) AS BIGINT) AS lb,
+             sum(n) OVER (PARTITION BY key ORDER BY dc, fd
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum,
+             sum(n) OVER (PARTITION BY key) AS total
+      FROM b)
+SELECT key AS event_type,
+       CAST(min(CASE WHEN cum * 100 >= 50 * total THEN lb END) AS BIGINT)
+         AS p50_cents_lb,
+       CAST(min(CASE WHEN cum * 100 >= 95 * total THEN lb END) AS BIGINT)
+         AS p95_cents_lb,
+       CAST(min(CASE WHEN cum * 100 >= 99 * total THEN lb END) AS BIGINT)
+         AS p99_cents_lb
+FROM m GROUP BY 1"""
     return out

@@ -150,3 +150,77 @@ def rolling_distinct_hll(
             ),
         )
     )
+
+
+def value_histogram_state(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Mergeable log-bucket value histogram at day grain — the
+    percentile-dashboard state the hourly_preagg pattern can't carry
+    (quantiles aren't mergeable, but BUCKET COUNTS are). Buckets are
+    (digit_count, first_digit) of the non-negative integer cent value:
+    ~2-significant-figure resolution, ≤ ~180 buckets for BIGINT range,
+    purely integer-derived (string length + first char — no libm log),
+    so any engine buckets identically. Day states merge to ANY coarser
+    grain by summing counts.
+
+    Returns (key, day BIGINT — epoch days, dc, fd, n BIGINT).
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    s = cents.cast("string")
+    us_day = 86_400_000_000
+    return (
+        events.select(
+            F.col(key_col).alias("key"),
+            F.expr(f"unix_micros({ts_col}) div {us_day}")
+            .cast("long")
+            .alias("day"),
+            F.length(s).alias("dc"),
+            F.substring(s, 1, 1).cast("int").alias("fd"),
+        )
+        .groupBy("key", "day", "dc", "fd")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def histogram_percentiles(
+    state: DataFrame, qs: tuple[int, ...] = (50, 95, 99)
+) -> DataFrame:
+    """Answer p{q} per key from merged histogram states: the first
+    bucket whose cumulative count covers q% of the total, reported as
+    the bucket's integer lower bound (fd·10^(dc−1) cents, built by
+    string repetition — no float pow). Nearest-rank on buckets via the
+    pure integer predicate cum·100 ≥ q·total, so the answer is exact
+    over the bucketing (±one bucket of true, i.e. ~2 significant
+    figures) and engine-identical. The cumsum window is per-key over a
+    BOUNDED bucket alphabet — never over rows."""
+    from pyspark.sql import Window
+
+    merged = state.groupBy("key", "dc", "fd").agg(
+        F.sum("n").cast("long").alias("n")
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("dc", "fd")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("key")
+    lb = F.concat(
+        F.col("fd").cast("string"), F.repeat(F.lit("0"), F.col("dc") - 1)
+    ).cast("long")
+    scored = merged.select(
+        "key",
+        lb.alias("_lb"),
+        F.sum("n").over(w).alias("_cum"),
+        F.sum("n").over(tot).alias("_tot"),
+    )
+    aggs = [
+        F.min(
+            F.when(F.col("_cum") * 100 >= q * F.col("_tot"), F.col("_lb"))
+        ).alias(f"p{q}_cents_lb")
+        for q in qs
+    ]
+    return scored.groupBy("key").agg(*aggs)

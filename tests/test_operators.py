@@ -2529,3 +2529,34 @@ def test_community_modularity_two_triangles(spark):
         assert r["deg_sum"] == 7       # 2+2+3 (bridge endpoint has deg 3)
         assert abs(r["q_term"] - (6 / 14 - (7 / 14) ** 2)) < 1e-12
     assert sum(r["q_term"] for r in got.values()) > 0  # real structure
+
+
+def test_histogram_percentiles_merge_and_bounds(spark):
+    from datetime import datetime
+    from learn_etl_data_warehouse_spark.operators.sketches import (
+        histogram_percentiles,
+        value_histogram_state,
+    )
+
+    # 100 rows spread over two days: values 1.00..100.00 dollars
+    rows = [
+        (datetime(2024, 1, 1 + (i % 2), 0, i % 60), "a", float(i))
+        for i in range(1, 101)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    state = value_histogram_state(df)
+    assert state.filter(F.col("day").isNull()).count() == 0
+    got = histogram_percentiles(state).collect()[0]
+    # cents 100..10000; true p50 = 5000 -> bucket lb 5000 (dc=4, fd=5)
+    assert got["p50_cents_lb"] == 5000
+    # p95 rank 95 -> cents 9500 -> bucket lb 9000; p99 -> 9900 -> 9000
+    assert got["p95_cents_lb"] == 9000
+    # bucket answer is a LOWER bound within ~2 significant figures
+    assert got["p99_cents_lb"] in (9000, 10000)
+
+    # mergeability: day-grain state == direct single-day bucketing
+    one_day = df.withColumn("ts", F.lit(datetime(2024, 1, 1)))
+    direct = histogram_percentiles(value_histogram_state(one_day)).collect()[0]
+    assert (got["p50_cents_lb"], got["p95_cents_lb"], got["p99_cents_lb"]) == (
+        direct["p50_cents_lb"], direct["p95_cents_lb"], direct["p99_cents_lb"]
+    )
