@@ -1,5 +1,5 @@
 """Runnable tour of the LLM-data-pipeline surface: quality filters →
-dedup → LM scoring → domain mix → chunking → tokenizer.
+dedup → LM scoring → domain mix → exact split → chunking → tokenizer.
 
     python examples/llm_pipeline.py
 
@@ -57,13 +57,26 @@ def main() -> None:
     )
     print(f"domain mix kept {mixed.count()}")
 
-    # 5. sliding-window chunking into training sequences
-    chunks = text.chunk_documents(mixed, chunk_size=32, stride=24)
+    # 5. exact-count stratified holdout: train size is exactly
+    # (98·N) div 100 with per-lang proportions within one row
+    from learn_etl_data_warehouse_spark.operators.sampling import (
+        exact_stratified_split,
+    )
+
+    split = exact_stratified_split(mixed, train_pct=98)
+    train = split.filter(F.col("split") == "train").drop("split")
+    print(
+        f"exact split: {train.count()} train / "
+        f"{split.filter(F.col('split') == 'holdout').count()} holdout"
+    )
+
+    # 6. sliding-window chunking into training sequences
+    chunks = text.chunk_documents(train, chunk_size=32, stride=24)
     print(f"chunks: {chunks.count()}")
 
-    # 6. BPE tokenizer: train 5 merges on the surviving corpus, encode
-    merges, _vocab = text.bpe_train(mixed, rounds=5)
-    enc = text.bpe_encode(mixed, merges)
+    # 7. BPE tokenizer: train 5 merges on the TRAIN side only, encode
+    merges, _vocab = text.bpe_train(train, rounds=5)
+    enc = text.bpe_encode(train, merges)
     stats = enc.agg(
         F.sum("n_tokens").alias("total_tokens"),
         F.avg("n_tokens").alias("avg_tokens_per_doc"),
