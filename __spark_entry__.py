@@ -3665,6 +3665,29 @@ def q_a28(spark, sf_dir):
     )
 
 
+def q_r08(spark, sf_dir):
+    """Forward as-of join (r5 cont.): each click picks the EARLIEST
+    purchase value at-or-after it per user — pandas merge_asof
+    direction='forward'; completes the as-of family (r01 backward,
+    r03 nearest-event, r08 forward; asof.py::asof_join_forward —
+    union-and-carry mirrored onto the FOLLOWING frame, one key
+    shuffle). The payload is a carried raw double, hash-safe."""
+    from learn_etl_data_warehouse_spark.operators import asof
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("next_purchase_value"))
+    )
+    return asof.asof_join_forward(
+        clicks, purchases, "user_id", "ts", ["next_purchase_value"]
+    ).select("event_id", "user_id", "next_purchase_value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -3902,6 +3925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm03_maintained_distinct": q_ivm03,
         "g11_community_modularity": q_g11,
         "a28_histogram_percentiles": q_a28,
+        "r08_asof_forward": q_r08,
         "s13_mmr_rerank": q_s13,
         "m02_media_features": q_m02,
         "m03_media_resize": q_m03,
@@ -6394,4 +6418,23 @@ SELECT key AS event_type,
        CAST(min(CASE WHEN cum * 100 >= 99 * total THEN lb END) AS BIGINT)
          AS p99_cents_lb
 FROM m GROUP BY 1"""
+    # r08: the same union-and-carry, left rows side 0 sort before right
+    # rows at equal ts (inclusive >=); first_value IGNORE NULLS over the
+    # FOLLOWING frame.
+    out["r08_asof_forward"] = """
+WITH c AS (SELECT user_id, ts, event_id FROM events
+           WHERE event_type = 'click'),
+p AS (SELECT user_id, ts, max(value) AS pv FROM events
+      WHERE event_type = 'purchase' GROUP BY 1, 2),
+u AS (SELECT user_id, ts, event_id, CAST(NULL AS DOUBLE) AS pv, 0 AS side
+      FROM c
+      UNION ALL
+      SELECT user_id, ts, NULL, pv, 1 FROM p),
+w AS (SELECT user_id, ts, event_id, side,
+             first_value(pv IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, side
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS npv
+      FROM u)
+SELECT event_id, user_id, npv AS next_purchase_value
+FROM w WHERE side = 0"""
     return out

@@ -2560,3 +2560,35 @@ def test_histogram_percentiles_merge_and_bounds(spark):
     assert (got["p50_cents_lb"], got["p95_cents_lb"], got["p99_cents_lb"]) == (
         direct["p50_cents_lb"], direct["p95_cents_lb"], direct["p99_cents_lb"]
     )
+
+
+def test_asof_nearest_matches_bruteforce(spark):
+    from datetime import datetime
+    from learn_etl_data_warehouse_spark.operators.asof import (
+        asof_join_nearest,
+    )
+
+    d = datetime
+    left_rows = [  # (key, ts, lid)
+        (1, d(2024, 1, 1, 0, 10), 100),  # back@0:08 (2m) vs fwd@0:13 (3m) -> back
+        (1, d(2024, 1, 1, 0, 12), 101),  # back 4m vs fwd 1m -> fwd
+        (1, d(2024, 1, 1, 0, 8), 102),   # exact-ts right -> tie -> back (0m)
+        (2, d(2024, 1, 1, 1, 0), 103),   # only fwd exists
+        (3, d(2024, 1, 1, 2, 0), 104),   # no right rows at all
+    ]
+    right_rows = [
+        (1, d(2024, 1, 1, 0, 8), 8.0),
+        (1, d(2024, 1, 1, 0, 13), 13.0),
+        (2, d(2024, 1, 1, 1, 30), 30.0),
+    ]
+    left = spark.createDataFrame(left_rows, "k long, ts timestamp, lid long")
+    right = spark.createDataFrame(right_rows, "k long, ts timestamp, pv double")
+    got = {r["lid"]: r["pv"] for r in
+           asof_join_nearest(left, right, "k", "ts", ["pv"]).collect()}
+    assert got == {100: 8.0, 101: 13.0, 102: 8.0, 103: 30.0, 104: None}
+
+    # tolerance: 10 minutes drops key 2's 30-minute-away match
+    got_tol = {r["lid"]: r["pv"] for r in
+               asof_join_nearest(left, right, "k", "ts", ["pv"],
+                                 tolerance_us=10 * 60 * 1_000_000).collect()}
+    assert got_tol == {100: 8.0, 101: 13.0, 102: 8.0, 103: None, 104: None}
