@@ -363,3 +363,71 @@ def join_view_sink(
         )
 
     return handle
+
+
+def sla_percentile_sink(catalog_dir: str):
+    """foreachBatch handler for streaming SLA percentiles: each
+    micro-batch's (key, day, dc, fd, n) log-bucket histogram counts
+    (operators/sketches.py::value_histogram_state) merge ADDITIVELY
+    into the stored state — bucket counts are the mergeable reduction
+    of percentiles, which themselves aren't — and the served
+    p50/p95/p99 table (histogram_percentiles) republishes from the
+    maintained state, state-sized cost, the event history never
+    re-scanned. State, served percentiles, and the batch ledger flip
+    in ONE catalog transaction.
+
+    Exactly-once is LEDGER-derived (the lm_stats/anomaly posture —
+    counts are not replay-idempotent): a batch already in
+    ``sla_applied`` is skipped; a crash before the swap publishes
+    nothing and the replay then applies exactly once.
+    """
+    from learn_etl_data_warehouse_spark.operators.sketches import (
+        histogram_percentiles,
+        value_histogram_state,
+    )
+    from learn_etl_data_warehouse_spark.plans import catalog as cat
+
+    def handle(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        tables = set(cat.read_catalog(catalog_dir)["tables"])
+        if "sla_applied" in tables:
+            applied = {
+                r.batch_id
+                for r in cat.catalog_read(spark, catalog_dir, "sla_applied")
+                .select("batch_id")
+                .collect()
+            }
+            if int(batch_id) in applied:
+                return
+        delta = value_histogram_state(batch_df)
+        if "sla_state" in tables:
+            prev = cat.catalog_read(spark, catalog_dir, "sla_state").select(
+                "key", "day", "dc", "fd", "n"
+            )
+            merged = (
+                prev.unionByName(delta)
+                .groupBy("key", "day", "dc", "fd")
+                .agg(F.sum("n").cast("long").alias("n"))
+            )
+        else:
+            merged = delta
+        served = histogram_percentiles(merged)
+        ledger = spark.createDataFrame(
+            [(int(batch_id),)], "batch_id long"
+        ).withColumn("ingest_batch", F.lit(int(batch_id)))
+        cat.catalog_commit(
+            spark,
+            catalog_dir,
+            {
+                "sla_state": (
+                    merged.withColumn("state", F.lit("live")), ["state"]
+                ),
+                "sla_percentiles": (
+                    served.withColumn("state", F.lit("live")), ["state"]
+                ),
+                "sla_applied": (ledger, ["ingest_batch"]),
+            },
+            replace=False,
+        )
+
+    return handle

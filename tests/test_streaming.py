@@ -1482,3 +1482,45 @@ def test_stream_stream_full_attribution_matches_batch(spark, sf_small, tmp_path)
     assert got_closed == want_closed
     want_all = {key(r) for r in batch_rows}
     assert all(key(r) in want_all for r in got_all)
+
+
+def test_sla_percentile_sink_incremental_matches_batch(spark, tmp_path, sf_small):
+    """Streaming SLA percentiles: bucket-count state maintained
+    additively across batches equals the direct bucketing of all data,
+    the served p50/p95/p99 equal the batch a28 answer, replay is a
+    ledgered no-op."""
+    from learn_etl_data_warehouse_spark.operators.sketches import (
+        histogram_percentiles,
+        value_histogram_state,
+    )
+    from learn_etl_data_warehouse_spark.plans import catalog as cat
+    from learn_etl_data_warehouse_spark.sources.parquet import load_table
+    from learn_etl_data_warehouse_spark.streaming.sinks import (
+        sla_percentile_sink,
+    )
+
+    ev = load_table(spark, sf_small, "events").select("ts", "event_type", "value")
+    cdir = str(tmp_path / "slacat")
+    handle = sla_percentile_sink(cdir)
+
+    handle(ev.filter(F.dayofmonth("ts") % 2 == 0), 0)
+    handle(ev.filter(F.dayofmonth("ts") % 2 == 1), 1)
+
+    got_state = sorted(map(tuple, cat.catalog_read(spark, cdir, "sla_state")
+                           .select("key", "day", "dc", "fd", "n").collect()))
+    want_state = sorted(map(tuple, value_histogram_state(ev).collect()))
+    assert got_state == want_state
+
+    got_p = sorted(map(tuple, cat.catalog_read(spark, cdir, "sla_percentiles")
+                       .select("key", "p50_cents_lb", "p95_cents_lb",
+                               "p99_cents_lb").collect()))
+    want_p = sorted(map(tuple,
+                        histogram_percentiles(value_histogram_state(ev))
+                        .collect()))
+    assert got_p == want_p
+
+    # replaying batch 1 must change NOTHING (ledger-derived exactly-once)
+    handle(ev.filter(F.dayofmonth("ts") % 2 == 1), 1)
+    again = sorted(map(tuple, cat.catalog_read(spark, cdir, "sla_state")
+                       .select("key", "day", "dc", "fd", "n").collect()))
+    assert again == want_state
