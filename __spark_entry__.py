@@ -3688,6 +3688,18 @@ def q_r08(spark, sf_dir):
     ).select("event_id", "user_id", "next_purchase_value")
 
 
+def q_t23(spark, sf_dir):
+    """Sentence segmentation stats (r5 cont.): per-doc sentence count,
+    truncating-ppm mean words/sentence, longest sentence — the
+    structural profile behind sentence-aware chunking (t21 infers
+    sentences from punctuation; this materializes the segmentation).
+    Pure array expressions, zero explode/shuffle
+    (operators/text.py::sentence_stats)."""
+    from learn_etl_data_warehouse_spark.operators.text import sentence_stats
+
+    return sentence_stats(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -3926,6 +3938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g11_community_modularity": q_g11,
         "a28_histogram_percentiles": q_a28,
         "r08_asof_forward": q_r08,
+        "t23_sentence_stats": q_t23,
         "s13_mmr_rerank": q_s13,
         "m02_media_features": q_m02,
         "m03_media_resize": q_m03,
@@ -6437,4 +6450,26 @@ w AS (SELECT user_id, ts, event_id, side,
       FROM u)
 SELECT event_id, user_id, npv AS next_purchase_value
 FROM w WHERE side = 0"""
+    # t23: identical split/filter pipeline in list expressions; the ppm
+    # mean is the truncating integer div both engines share.
+    out["t23_sentence_stats"] = """
+WITH s AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[.!?]+'),
+                     x -> trim(x) <> '') AS sents
+  FROM documents),
+w AS (
+  SELECT doc_id, len(sents) AS n_sentences,
+         list_transform(sents,
+           x -> len(list_filter(regexp_split_to_array(trim(x), '\\s+'),
+                                t -> t <> ''))) AS wc
+  FROM s)
+SELECT doc_id,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(coalesce(list_sum(wc), 0) AS BIGINT) AS total_words,
+       CAST(CASE WHEN n_sentences > 0
+            THEN (coalesce(list_sum(wc), 0) * 1000000) // n_sentences
+            ELSE 0 END AS BIGINT) AS avg_words_ppm,
+       CAST(coalesce(list_max(wc), 0) AS BIGINT) AS max_sentence_words
+FROM w"""
     return out

@@ -1066,3 +1066,55 @@ def readability_scores(
             ).cast("long"),
         )
     )
+
+
+def sentence_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document sentence segmentation stats: sentence count, mean
+    words per sentence (truncating ppm — no float division), and the
+    longest sentence in words. The structural profile sentence-aware
+    chunkers and readability gates key on (t21 approximates sentences
+    from punctuation counts; this materializes the segmentation).
+
+    Sentences split on ``[.!?]+`` runs, empties dropped after trim —
+    an enders-free non-empty document is one sentence. Entirely
+    array-expression work (split/filter/transform/aggregate — JVM
+    codegen, zero explode, zero shuffle): the classic narrow map.
+
+    Returns (id, n_sentences, total_words, avg_words_ppm,
+    max_sentence_words) — all BIGINT; empty docs report zeros.
+    """
+    sents = F.filter(
+        F.split(F.col(text_col), r"[.!?]+"),
+        lambda s: F.trim(s) != "",
+    )
+    words = lambda s: F.size(  # noqa: E731
+        F.filter(F.split(F.trim(s), r"\s+"), lambda w: w != "")
+    )
+    n_sent = F.size(sents).cast("long")
+    total = F.aggregate(
+        sents, F.lit(0).cast("long"), lambda acc, s: acc + words(s)
+    )
+    mx = F.coalesce(
+        F.array_max(F.transform(sents, words)), F.lit(0)
+    ).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_sent.alias("n_sentences"),
+        total.alias("total_words"),
+        F.when(n_sent > 0, (total * 1_000_000).cast("long"))
+        .otherwise(F.lit(0))
+        .alias("_num"),
+        mx.alias("max_sentence_words"),
+    ).select(
+        id_col,
+        "n_sentences",
+        "total_words",
+        F.when(F.col("n_sentences") > 0,
+               F.expr("_num div n_sentences"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("avg_words_ppm"),
+        "max_sentence_words",
+    )

@@ -2592,3 +2592,23 @@ def test_asof_nearest_matches_bruteforce(spark):
                asof_join_nearest(left, right, "k", "ts", ["pv"],
                                  tolerance_us=10 * 60 * 1_000_000).collect()}
     assert got_tol == {100: 8.0, 101: 13.0, 102: 8.0, 103: None, 104: None}
+
+
+def test_sentence_stats_segmentation(spark):
+    from learn_etl_data_warehouse_spark.operators.text import sentence_stats
+
+    rows = [
+        (1, "One two. Three four five! Six?"),   # 3 sentences: 2,3,1 words
+        (2, "no enders here at all"),             # 1 sentence, 5 words
+        (3, ""),                                  # empty -> zeros
+        (4, "...!!!"),                            # enders only -> zeros
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in sentence_stats(df).collect()}
+    assert (got[1]["n_sentences"], got[1]["total_words"]) == (3, 6)
+    assert got[1]["avg_words_ppm"] == 2_000_000
+    assert got[1]["max_sentence_words"] == 3
+    assert (got[2]["n_sentences"], got[2]["avg_words_ppm"]) == (1, 5_000_000)
+    for d in (3, 4):
+        assert (got[d]["n_sentences"], got[d]["total_words"],
+                got[d]["avg_words_ppm"], got[d]["max_sentence_words"]) == (0, 0, 0, 0)
