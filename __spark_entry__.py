@@ -3700,6 +3700,22 @@ def q_t23(spark, sf_dir):
     return sentence_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_pm01(spark, sf_dir):
+    """Process-mining footprint matrix (r5 cont.): the dense
+    directly-follows + eventually-follows matrix with alpha relation
+    classes (sequence/reverse/parallel/unrelated; loop/self on the
+    diagonal) — the discovery step behind funnel and conformance
+    design; f02 stops at transition counts. Direct via one per-actor
+    lead() under the TOTAL (ts, id) order; eventual EXACTLY from the
+    (actor, type) min/max profile — never an event-level quadratic
+    (operators/process_mining.py::footprint_matrix)."""
+    from learn_etl_data_warehouse_spark.operators.process_mining import (
+        footprint_matrix,
+    )
+
+    return footprint_matrix(_t(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -3939,6 +3955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a28_histogram_percentiles": q_a28,
         "r08_asof_forward": q_r08,
         "t23_sentence_stats": q_t23,
+        "pm01_footprint_matrix": q_pm01,
         "s13_mmr_rerank": q_s13,
         "m02_media_features": q_m02,
         "m03_media_resize": q_m03,
@@ -6472,4 +6489,41 @@ SELECT doc_id,
             ELSE 0 END AS BIGINT) AS avg_words_ppm,
        CAST(coalesce(list_max(wc), 0) AS BIGINT) AS max_sentence_words
 FROM w"""
+    # pm01: identical lead() trace order; eventual from the min/max
+    # profile (exact for pairs); dense matrix via the type-alphabet
+    # cross; relation classes from the direct matrix and its reverse.
+    out["pm01_footprint_matrix"] = """
+WITH d0 AS (
+  SELECT event_type AS t,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events),
+direct AS (SELECT t AS a, nxt AS b, count(*) AS n_direct
+           FROM d0 WHERE nxt IS NOT NULL GROUP BY 1, 2),
+prof AS (SELECT user_id AS u, event_type AS t,
+                min(ts) AS mn, max(ts) AS mx, count(*) AS n
+         FROM events GROUP BY 1, 2),
+ev AS (SELECT pa.t AS a, pb.t AS b,
+              count(DISTINCT pa.u) AS n_users_eventual
+       FROM prof pa JOIN prof pb ON pa.u = pb.u
+       WHERE (pa.t <> pb.t AND pa.mn < pb.mx)
+          OR (pa.t = pb.t AND pa.n >= 2)
+       GROUP BY 1, 2),
+ty AS (SELECT DISTINCT event_type AS t FROM events),
+dense AS (SELECT ta.t AS a, tb.t AS b FROM ty ta, ty tb),
+m AS (SELECT dense.a, dense.b,
+             coalesce(direct.n_direct, 0) AS n_direct,
+             coalesce(ev.n_users_eventual, 0) AS n_users_eventual
+      FROM dense
+      LEFT JOIN direct ON direct.a = dense.a AND direct.b = dense.b
+      LEFT JOIN ev ON ev.a = dense.a AND ev.b = dense.b)
+SELECT m.a, m.b, CAST(m.n_direct AS BIGINT) AS n_direct,
+       CAST(m.n_users_eventual AS BIGINT) AS n_users_eventual,
+       CASE WHEN m.a = m.b THEN
+              CASE WHEN m.n_direct > 0 THEN 'loop' ELSE 'self' END
+            WHEN m.n_direct > 0 AND r.n_direct > 0 THEN 'parallel'
+            WHEN m.n_direct > 0 THEN 'sequence'
+            WHEN r.n_direct > 0 THEN 'reverse'
+            ELSE 'unrelated' END AS relation
+FROM m JOIN m r ON r.a = m.b AND r.b = m.a"""
     return out

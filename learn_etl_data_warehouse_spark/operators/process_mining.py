@@ -1,0 +1,118 @@
+"""Process mining over event logs: the directly-follows /
+eventually-follows footprint matrix of the alpha algorithm — "which
+activities follow which", the discovery step behind conformance
+checking and funnel design.
+
+Reference parity: the reference's event analytics stop at transition
+counts (f02); the footprint adds the eventual ordering relation and the
+alpha relation classes (sequence / parallel / unrelated).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["footprint_matrix"]
+
+
+def footprint_matrix(
+    events: DataFrame,
+    actor_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """The full |types|² footprint: for every ORDERED activity pair
+    (a, b) —
+
+    - ``n_direct``: occurrences where b directly follows a in an
+      actor's (ts, id)-ordered trace (the directly-follows graph);
+    - ``n_users_eventual``: actors with some a-occurrence strictly
+      before some b-occurrence — computed EXACTLY from the per-(actor,
+      type) (min_ts, max_ts) profile (a before b ⟺ min_a < max_b; for
+      a = b, ⟺ the type occurs ≥ 2 times), never an event-level
+      quadratic join;
+    - ``relation`` (alpha classes on the direct graph, a ≠ b):
+      'sequence' (a→b only), 'reverse' (b→a only), 'parallel' (both),
+      'unrelated' (neither); self-pairs report 'loop' when a directly
+      repeats, else 'self'.
+
+    The matrix is dense over the OBSERVED type alphabet (bounded by
+    the label vocabulary, not the log), so absent cells report zeros —
+    a consumer reads "never happens" explicitly. Work: one per-actor
+    window for the direct counts, one profile agg + per-actor
+    self-join for eventual, a broadcast type-alphabet cross for the
+    dense frame.
+
+    Tie order inside a trace is the TOTAL (ts, id) order — the e18
+    determinism posture, so an external engine sorts identically.
+    """
+    ev = events.select(
+        F.col(actor_col).alias("_u"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+        F.col(type_col).alias("_t"),
+    )
+    trace = Window.partitionBy("_u").orderBy("_ts", "_id")
+    direct = (
+        ev.withColumn("_nxt", F.lead("_t").over(trace))
+        .filter(F.col("_nxt").isNotNull())
+        .groupBy(F.col("_t").alias("a"), F.col("_nxt").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_direct"))
+    )
+    prof = ev.groupBy("_u", "_t").agg(
+        F.min("_ts").alias("_mn"),
+        F.max("_ts").alias("_mx"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    pa = prof.select(
+        "_u", F.col("_t").alias("a"), F.col("_mn").alias("_amn"),
+        F.col("_n").alias("_an"),
+    )
+    pb = prof.select(
+        "_u", F.col("_t").alias("b"), F.col("_mx").alias("_bmx")
+    )
+    eventual = (
+        pa.join(pb, "_u")
+        .filter(
+            ((F.col("a") != F.col("b")) & (F.col("_amn") < F.col("_bmx")))
+            | ((F.col("a") == F.col("b")) & (F.col("_an") >= 2))
+        )
+        .groupBy("a", "b")
+        .agg(F.countDistinct("_u").cast("long").alias("n_users_eventual"))
+    )
+    types = ev.select(F.col("_t").alias("a")).distinct()
+    dense = types.crossJoin(
+        F.broadcast(types.select(F.col("a").alias("b")))
+    )
+    m = (
+        dense.join(direct, ["a", "b"], "left")
+        .join(eventual, ["a", "b"], "left")
+        .select(
+            "a",
+            "b",
+            F.coalesce("n_direct", F.lit(0).cast("long")).alias("n_direct"),
+            F.coalesce(
+                "n_users_eventual", F.lit(0).cast("long")
+            ).alias("n_users_eventual"),
+        )
+    )
+    rev = m.select(
+        F.col("a").alias("b"),
+        F.col("b").alias("a"),
+        F.col("n_direct").alias("_n_rev"),
+    )
+    rel = (
+        F.when(
+            F.col("a") == F.col("b"),
+            F.when(F.col("n_direct") > 0, "loop").otherwise("self"),
+        )
+        .when((F.col("n_direct") > 0) & (F.col("_n_rev") > 0), "parallel")
+        .when(F.col("n_direct") > 0, "sequence")
+        .when(F.col("_n_rev") > 0, "reverse")
+        .otherwise("unrelated")
+    )
+    return m.join(rev, ["a", "b"]).select(
+        "a", "b", "n_direct", "n_users_eventual", rel.alias("relation")
+    )

@@ -2612,3 +2612,34 @@ def test_sentence_stats_segmentation(spark):
     for d in (3, 4):
         assert (got[d]["n_sentences"], got[d]["total_words"],
                 got[d]["avg_words_ppm"], got[d]["max_sentence_words"]) == (0, 0, 0, 0)
+
+
+def test_footprint_matrix_relations(spark):
+    from datetime import datetime
+    from learn_etl_data_warehouse_spark.operators.process_mining import (
+        footprint_matrix,
+    )
+
+    d = datetime
+    rows = [  # (user, ts, id, type)
+        # u1: A B A B -> A||B (both directions direct), A loop? no
+        (1, d(2024, 1, 1, 0, 0), 1, "A"), (1, d(2024, 1, 1, 0, 1), 2, "B"),
+        (1, d(2024, 1, 1, 0, 2), 3, "A"), (1, d(2024, 1, 1, 0, 3), 4, "B"),
+        # u2: A C (sequence), C never directly before A anywhere
+        (2, d(2024, 1, 1, 1, 0), 5, "A"), (2, d(2024, 1, 1, 1, 1), 6, "C"),
+        # u3: D D -> self loop
+        (3, d(2024, 1, 1, 2, 0), 7, "D"), (3, d(2024, 1, 1, 2, 1), 8, "D"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, event_type string")
+    got = {(r["a"], r["b"]): r for r in footprint_matrix(df).collect()}
+    assert len(got) == 16  # dense 4x4
+    assert got[("A", "B")]["relation"] == "parallel"
+    assert got[("B", "A")]["relation"] == "parallel"
+    assert got[("A", "C")]["relation"] == "sequence"
+    assert got[("C", "A")]["relation"] == "reverse"
+    assert got[("B", "C")]["relation"] == "unrelated"
+    assert got[("D", "D")]["relation"] == "loop"
+    assert got[("A", "A")]["relation"] == "self"       # repeats, never adjacent
+    assert got[("A", "A")]["n_users_eventual"] == 1    # u1 has A before A
+    assert got[("A", "B")]["n_direct"] == 2
+    assert got[("A", "C")]["n_users_eventual"] == 1
