@@ -1209,3 +1209,39 @@ def export_file_manifest(
         fh.write("\n".join(files) + "\n")
     os.replace(tmp, dest)
     return dest
+
+
+def restore_table(table: str, to_txn: str) -> str:
+    """``RESTORE TABLE ... TO VERSION`` (Delta analog): publish a NEW
+    transaction whose partition map is the retained snapshot
+    ``to_txn``'s — a metadata-only, zero-copy rollback. The bad commits
+    stay in the retained log (the restore is itself just another
+    commit, so history is append-only and the restore is auditable and
+    itself revertible); their data versions become vacuumable once no
+    retained manifest references them.
+
+    Forward-pointing restore semantics: stats, blooms, and constraints
+    travel with the restored partition map (they describe that data).
+    Requires ``to_txn`` to still be retained (not vacuumed) — raises
+    FileNotFoundError otherwise. Publication runs through the
+    optimistic-concurrency check-and-swap like every other commit.
+    Returns the new txn id.
+    """
+    with open(os.path.join(table, f"_MANIFEST-{to_txn}.json")) as fh:
+        target = json.load(fh)
+    live = read_manifest(table)
+    if live.get("txn") == to_txn:
+        return to_txn  # restoring to the live snapshot is a no-op
+    new_txn = uuid.uuid4().hex[:12]
+    manifest = {
+        # base for the OCC check: the live txn this restore read
+        "txn": live.get("txn"),
+        "seq": live.get("seq", 0),
+        "partitions": dict(target["partitions"]),
+        "stats": dict(target.get("stats", {})),
+        "bloom": dict(target.get("bloom", {})),
+        "constraints": dict(target.get("constraints", {})),
+        "restored_from": to_txn,
+    }
+    _publish(table, manifest, new_txn)
+    return new_txn

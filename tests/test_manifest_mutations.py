@@ -941,3 +941,69 @@ class TestSymlinkManifestExport:
             if l
         ]
         assert len(files3) > len(files)
+
+
+class TestRestoreTable:
+    def test_restore_is_zero_copy_and_auditable(self, spark, vtable):
+        from learn_etl_data_warehouse_spark.plans.manifest_warehouse import (
+            restore_table,
+            table_history,
+            vacuum,
+        )
+
+        table, sink = vtable
+        v1 = read_manifest(table)["txn"]
+        before = sorted(
+            map(tuple, read_snapshot(spark, table).select("id").collect())
+        )
+
+        # a bad commit lands...
+        bad = spark.createDataFrame(
+            [(666, 6.66, "oops")], "id INT, v DOUBLE, cat STRING"
+        )
+        sink(bad, 2)
+        assert read_snapshot(spark, table).filter("id = 666").count() == 1
+
+        # ...restore rolls the partition map back, zero copy
+        new_txn = restore_table(table, v1)
+        after = sorted(
+            map(tuple, read_snapshot(spark, table).select("id").collect())
+        )
+        assert after == before
+        assert read_manifest(table)["txn"] == new_txn
+        assert read_manifest(table)["restored_from"] == v1
+
+        # history is append-only: the bad commit is still there, and
+        # the restore is the newest entry
+        hist = table_history(table)
+        assert hist[0]["txn"] == new_txn and hist[0]["is_live"]
+        assert any(h["txn"] == v1 for h in hist)
+        assert len(hist) >= 3
+
+        # restoring to the live snapshot is a no-op
+        assert restore_table(table, new_txn) == new_txn
+
+        # the bad batch's data version survives until vacuumed; after
+        # live-only vacuum the restored snapshot still reads fine
+        vacuum(table)
+        assert sorted(
+            map(tuple, read_snapshot(spark, table).select("id").collect())
+        ) == before
+
+    def test_restore_to_vacuumed_txn_fails_loudly(self, spark, vtable):
+        import pytest as _pytest
+
+        from learn_etl_data_warehouse_spark.plans.manifest_warehouse import (
+            restore_table,
+            vacuum,
+        )
+
+        table, sink = vtable
+        v1 = read_manifest(table)["txn"]
+        sink(
+            spark.createDataFrame([(7, 7.0, "x")], "id INT, v DOUBLE, cat STRING"),
+            2,
+        )
+        vacuum(table)  # v1's manifest is collected
+        with _pytest.raises(FileNotFoundError):
+            restore_table(table, v1)
