@@ -78,3 +78,62 @@ def test_interval_overlap_fuzz_vs_bruteforce(spark, ivs):
         and b[2] <= a[3]
     }
     assert got == want
+
+
+values = st.lists(st.integers(0, 10**12), min_size=1, max_size=60)
+
+
+@given(values)
+@SETTINGS
+def test_abc_classification_fuzz_vs_bruteforce(spark, vals):
+    from learn_etl_data_warehouse_spark.operators.contribution import (
+        abc_classification,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {r["k"]: r["abc_class"]
+           for r in abc_classification(df, "v", "k").collect()}
+
+    total = sum(vals)
+    cum, want = 0, {}
+    for k, v in sorted(rows, key=lambda r: (-r[1], r[0])):
+        cum += v
+        want[k] = ("A" if cum * 100 <= total * 80
+                   else "B" if cum * 100 <= total * 95 else "C")
+    assert got == want
+
+
+strata = st.lists(
+    st.tuples(st.sampled_from(["en", "de", "fr", "ja"]), st.integers(0, 10**6)),
+    min_size=1,
+    max_size=50,
+    unique_by=lambda t: t[1],
+)
+
+
+@given(strata, st.integers(1, 99))
+@SETTINGS
+def test_exact_stratified_split_fuzz_invariants(spark, rows, pct):
+    from learn_etl_data_warehouse_spark.operators.sampling import (
+        exact_stratified_split,
+    )
+
+    df = spark.createDataFrame(
+        [(i, lang) for lang, i in rows], "doc_id long, lang string"
+    )
+    out = exact_stratified_split(df, train_pct=pct).collect()
+    assert len(out) == len(rows)  # no row lost or duplicated
+    n = len(rows)
+    train = [r for r in out if r["split"] == "train"]
+    assert len(train) == (pct * n) // 100  # exact total, always
+
+    # per-stratum quota within one of its proportional share
+    per_n, per_t = {}, {}
+    for r in out:
+        per_n[r["lang"]] = per_n.get(r["lang"], 0) + 1
+        if r["split"] == "train":
+            per_t[r["lang"]] = per_t.get(r["lang"], 0) + 1
+    for lang, nk in per_n.items():
+        base = (pct * nk) // 100
+        assert per_t.get(lang, 0) in (base, base + 1)
