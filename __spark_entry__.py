@@ -3950,6 +3950,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set06_relational_division": q_set06,
         "e20_full_attribution": q_e20,
         "e21_rolling_distinct_users": q_e21,
+        # -- r5c6 additions (oracle-backed, banked; swept ×3 scales) ------
+        "a26_abc_classification": q_a26,
+        "g10_weighted_shortest_paths": q_g10,
+        "pf06_fk_orphan_audit": q_pf06,
+        "knn01_majority_label": q_knn01,
+        "e23_cusum_changepoint": q_e23,
+        "d28_exact_stratified_split": q_d28,
+        "ml01_centroid_confusion": q_ml01,
+        "ca01_rfm_segments": q_ca01,
+        "a27_topn_with_others": q_a27,
+        "ivm03_maintained_distinct": q_ivm03,
+        "g11_community_modularity": q_g11,
+        "a28_histogram_percentiles": q_a28,
+        "r08_asof_forward": q_r08,
+        "t23_sentence_stats": q_t23,
+        "pm01_footprint_matrix": q_pm01,
+        "ops01_shipping_lag": q_ops01,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
         # rows are all hash-verifiable
@@ -3970,22 +3987,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s10_pq_adc_topk": q_s10,
         "s11_ivfpq_topk": q_s11,
         "s12_rerank_exact": q_s12,
-        "a26_abc_classification": q_a26,
-        "g10_weighted_shortest_paths": q_g10,
-        "pf06_fk_orphan_audit": q_pf06,
-        "knn01_majority_label": q_knn01,
-        "e23_cusum_changepoint": q_e23,
-        "d28_exact_stratified_split": q_d28,
-        "ml01_centroid_confusion": q_ml01,
-        "ca01_rfm_segments": q_ca01,
-        "a27_topn_with_others": q_a27,
-        "ivm03_maintained_distinct": q_ivm03,
-        "g11_community_modularity": q_g11,
-        "a28_histogram_percentiles": q_a28,
-        "r08_asof_forward": q_r08,
-        "t23_sentence_stats": q_t23,
-        "pm01_footprint_matrix": q_pm01,
-        "ops01_shipping_lag": q_ops01,
         "s13_mmr_rerank": q_s13,
         "m02_media_features": q_m02,
         "m03_media_resize": q_m03,

@@ -83,6 +83,8 @@ HEADLINE = [
     "a26_abc_classification",
     "g10_weighted_shortest_paths",
     "knn01_majority_label",
+    "a28_histogram_percentiles",
+    "pm01_footprint_matrix",
 ]
 
 # Reference-parity ETL (EP1 at shard grain): not a queries() entry — it
