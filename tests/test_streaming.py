@@ -1524,3 +1524,55 @@ def test_sla_percentile_sink_incremental_matches_batch(spark, tmp_path, sf_small
     again = sorted(map(tuple, cat.catalog_read(spark, cdir, "sla_state")
                        .select("key", "day", "dc", "fd", "n").collect()))
     assert again == want_state
+
+
+def test_sla_percentile_sink_end_to_end_stream(spark, tmp_path, sf_small):
+    """The SLA sink under a real checkpointed availableNow stream:
+    final served percentiles equal the batch a28 answer regardless of
+    micro-batch slicing."""
+    from learn_etl_data_warehouse_spark.operators.sketches import (
+        histogram_percentiles,
+        value_histogram_state,
+    )
+    from learn_etl_data_warehouse_spark.plans import catalog as cat
+    from learn_etl_data_warehouse_spark.sources.parquet import load_table
+    from learn_etl_data_warehouse_spark.streaming.sinks import (
+        sla_percentile_sink,
+    )
+
+    ev = load_table(spark, sf_small, "events").select("ts", "event_type", "value")
+    src = str(tmp_path / "incoming_sla")
+    ckpt = str(tmp_path / "ckpt_sla")
+    cdir = str(tmp_path / "cat_sla")
+    ev.filter(F.dayofmonth("ts") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    ev.filter(F.dayofmonth("ts") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .parquet(src)
+        .writeStream.foreachBatch(sla_percentile_sink(cdir))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    got = sorted(
+        map(
+            tuple,
+            cat.catalog_read(spark, cdir, "sla_percentiles")
+            .select("key", "p50_cents_lb", "p95_cents_lb", "p99_cents_lb")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, histogram_percentiles(value_histogram_state(ev)).collect())
+    )
+    assert got == want
