@@ -3745,6 +3745,26 @@ def q_ops01(spark, sf_dir):
     )
 
 
+def q_a29(spark, sf_dir):
+    """EXACT global percentiles without a global sort (r5 cont.):
+    p50/p95/p99 of order value in cents by two-scan distributed
+    selection — bucket-CDF walk over the (digit-count, 2-digit-prefix)
+    value buckets, then a distinct-value CDF inside only the target
+    buckets. a11/a20 rank every row in ONE partition; here the only
+    ordered frames are ≤ ~1.1k buckets and one bucket's distinct
+    values (functions/aggregates.py::exact_percentiles_selection).
+    The oracle is the classic global nearest-rank — same integer
+    ranks, so values agree exactly."""
+    from learn_etl_data_warehouse_spark.functions.aggregates import (
+        exact_percentiles_selection,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    return exact_percentiles_selection(o, "cents")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -3967,6 +3987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t23_sentence_stats": q_t23,
         "pm01_footprint_matrix": q_pm01,
         "ops01_shipping_lag": q_ops01,
+        "a29_exact_percentiles_selection": q_a29,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
         # rows are all hash-verifiable
@@ -6571,4 +6592,19 @@ SELECT priority, count(*) AS n_lines,
        CAST((1000000 * sum(CASE WHEN lag > 90 THEN 1 ELSE 0 END))
             // count(*) AS BIGINT) AS late_ppm
 FROM j GROUP BY 1"""
+    # a29: the classic global nearest-rank twin — identical ceil rank
+    # (q·n + 99) // 100, identical cent rounding.
+    out["a29_exact_percentiles_selection"] = """
+WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn,
+             count(*) OVER () AS n
+      FROM o)
+SELECT CAST(min(CASE WHEN rn >= (50 * n + 99) // 100 THEN cents END)
+            AS BIGINT) AS p50,
+       CAST(min(CASE WHEN rn >= (95 * n + 99) // 100 THEN cents END)
+            AS BIGINT) AS p95,
+       CAST(min(CASE WHEN rn >= (99 * n + 99) // 100 THEN cents END)
+            AS BIGINT) AS p99
+FROM r"""
     return out

@@ -68,3 +68,105 @@ def fixed_point_avg(
     num = s * F.lit(out_scale)
     den = F.lit(scale).cast("long") * n
     return _half_up_div(num, den).cast("double") / F.lit(out_scale)
+
+
+def exact_percentiles_selection(
+    df, value_col: str, qs: tuple[int, ...] = (50, 95, 99)
+):
+    """EXACT nearest-rank percentiles of a non-negative integer column
+    with NO global sort/window — the two-scan distributed selection:
+
+    1. rows bucket by (digit_count, 2-digit prefix) — the a26 value-
+       ordered bucketing, ≤ ~1.1k buckets at any size — and one small
+       agg counts each bucket; the bucket CDF locates, per q, the
+       bucket containing global rank ``ceil(q·n/100)``;
+    2. ONLY the target buckets' rows are re-aggregated per distinct
+       VALUE (a hash agg, still no row-level ordering) and the
+       within-bucket value CDF — a window over the bucket's DISTINCT
+       values — names the exact answer.
+
+    The classic formulation (`a11`, `a20`) ranks every row in one
+    total order: a single partition holding the table. Here the only
+    ordered frames are the bucket list and one bucket's distinct
+    values. Equal-value mass is free (it collapses in the hash agg);
+    the residual skew case — one bucket holding many DISTINCT values —
+    is bounded by the 2-digit bucket width (one decade/10) of the
+    value domain, not by row count.
+
+    Returns a 1-row DataFrame (p{q} BIGINT per q). Engine-exact: pure
+    integer ranks (ceil via (q·n + 99) div 100), so a SQL oracle using
+    global nearest-rank agrees.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("long")
+    s = v.cast("string")
+    bucketed = df.select(
+        v.alias("_v"), F.length(s).alias("_dc"),
+        F.substring(s, 1, 2).cast("int").alias("_p2"),
+    )
+    border = Window.orderBy("_dc", "_p2")
+    counts = (
+        bucketed.groupBy("_dc", "_p2")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .withColumn(
+            "_cum",
+            F.sum("_bn").over(
+                border.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn(
+            "_below",
+            F.col("_cum") - F.col("_bn"),
+        )
+        .withColumn(
+            "_n",
+            F.sum("_bn").over(
+                Window.partitionBy().rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+    )
+    # per q: the unique bucket where the target rank lands
+    targets = counts.select(
+        "_dc", "_p2", "_below", "_n",
+        F.col("_cum"),
+        *[
+            (
+                (F.expr(f"({q} * _n + 99) div 100") > F.col("_below"))
+                & (F.expr(f"({q} * _n + 99) div 100") <= F.col("_cum"))
+            ).alias(f"_is_q{q}")
+            for q in qs
+        ],
+    )
+    hosts_a_target = targets[f"_is_q{qs[0]}"]
+    for q in qs[1:]:
+        hosts_a_target = hosts_a_target | targets[f"_is_q{q}"]
+    targets = targets.filter(hosts_a_target)
+    refined = bucketed.join(
+        F.broadcast(targets), ["_dc", "_p2"]
+    ).groupBy(
+        "_dc", "_p2", "_below", "_n",
+        *[f"_is_q{q}" for q in qs],
+        F.col("_v"),
+    ).agg(F.count(F.lit(1)).alias("_vn"))
+    in_bucket = Window.partitionBy("_dc", "_p2").orderBy("_v")
+    refined = refined.withColumn(
+        "_vcum",
+        F.col("_below")
+        + F.sum("_vn").over(
+            in_bucket.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col(f"_is_q{q}")
+                & (F.col("_vcum") >= F.expr(f"({q} * _n + 99) div 100")),
+                F.col("_v"),
+            )
+        ).alias(f"p{q}")
+        for q in qs
+    ]
+    return refined.groupBy().agg(*aggs)

@@ -2643,3 +2643,25 @@ def test_footprint_matrix_relations(spark):
     assert got[("A", "A")]["n_users_eventual"] == 1    # u1 has A before A
     assert got[("A", "B")]["n_direct"] == 2
     assert got[("A", "C")]["n_users_eventual"] == 1
+
+
+def test_exact_percentiles_selection_vs_sorted(spark):
+    import random
+    from learn_etl_data_warehouse_spark.functions.aggregates import (
+        exact_percentiles_selection,
+    )
+
+    random.seed(11)
+    cases = [
+        [random.randint(0, 10**9) for _ in range(997)],
+        [5] * 100,            # all equal: one bucket, one distinct value
+        [0, 0, 0, 1],         # zeros + boundary
+        [42],                 # single row
+    ]
+    for vals in cases:
+        df = spark.createDataFrame([(v,) for v in vals], "x long")
+        row = exact_percentiles_selection(df, "x").collect()[0]
+        sv = sorted(vals)
+        n = len(sv)
+        for q in (50, 95, 99):
+            assert row[f"p{q}"] == sv[(q * n + 99) // 100 - 1]
