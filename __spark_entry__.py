@@ -3765,6 +3765,26 @@ def q_a29(spark, sf_dir):
     return exact_percentiles_selection(o, "cents")
 
 
+def q_g12(spark, sf_dir):
+    """Item-item collaborative filtering (r5 cont.): top-3 "customers
+    also bought" per part by cosine over customer-incidence vectors —
+    ranked on the INTEGER pico-score (n²·1e12) div (deg_a·deg_b), a
+    monotone transform of cosine² (a float rank could tie-break
+    differently cross-engine); g06 predicts unlinked pairs, this
+    serves the linked ones (operators/graph.py::item_item_topk; same
+    30%-order slice as the graph family)."""
+    from learn_etl_data_warehouse_spark.operators.graph import (
+        item_item_topk,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 < 3)
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    baskets = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_custkey", "l_partkey"
+    )
+    return item_item_topk(baskets, "o_custkey", "l_partkey", k=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -3988,6 +4008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pm01_footprint_matrix": q_pm01,
         "ops01_shipping_lag": q_ops01,
         "a29_exact_percentiles_selection": q_a29,
+        "g12_item_item_cf": q_g12,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
         # rows are all hash-verifiable
@@ -6607,4 +6628,26 @@ SELECT CAST(min(CASE WHEN rn >= (50 * n + 99) // 100 THEN cents END)
        CAST(min(CASE WHEN rn >= (99 * n + 99) // 100 THEN cents END)
             AS BIGINT) AS p99
 FROM r"""
+    # g12: identical integer pico-score (HUGEINT // BIGINT product ≡
+    # Spark DECIMAL div on non-negative operands, the e18 probe) and
+    # identical (score desc, partner asc) rank.
+    out["g12_item_item_cf"] = """
+WITH li AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_orderkey % 10 < 3),
+deg AS (SELECT p, count(*) AS d FROM li GROUP BY 1),
+pairs AS (SELECT a.p AS pa, b.p AS pb, count(*) AS nb
+          FROM li a JOIN li b ON a.c = b.c AND a.p <> b.p
+          GROUP BY 1, 2),
+s AS (SELECT pa, pb, nb,
+             (CAST(nb AS HUGEINT) * nb * 1000000000000)
+               // (CAST(da.d AS HUGEINT) * db.d) AS score
+      FROM pairs JOIN deg da ON da.p = pa JOIN deg db ON db.p = pb),
+r AS (SELECT pa, pb, nb, score,
+             row_number() OVER (PARTITION BY pa
+                                ORDER BY score DESC, pb) AS rnk
+      FROM s)
+SELECT pa AS item_a, pb AS item_b, CAST(nb AS BIGINT) AS n_both,
+       CAST(score AS BIGINT) AS score_pico, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 3"""
     return out

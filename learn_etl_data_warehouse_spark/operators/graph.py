@@ -698,3 +698,71 @@ def community_modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
         "deg_sum",
         q.alias("q_term"),
     )
+
+
+def item_item_topk(
+    baskets: DataFrame,
+    actor_col: str,
+    item_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Item-item collaborative filtering: for every item, the top-k
+    co-purchased items by cosine over the actor-incidence vectors —
+    the "customers also bought" serving table (g06 predicts UNLINKED
+    pairs; this ranks the linked ones for recommendation).
+
+    cosine(a, b) = n_ab / √(deg_a·deg_b) on DISTINCT (actor, item)
+    incidence. Ranking happens on the INTEGER pico-score
+    ``(n_ab²·1e12) div (deg_a·deg_b)`` — a monotone transform of
+    cosine² computed in DECIMAL(38,0), so the order (and therefore the
+    whole result) is engine-exact; a float cosine rank could tie-break
+    differently across engines. Ties break by partner item ascending.
+
+    Work: one distinct, one degree agg, one actor-key self-join (pair
+    volume Σ items-per-actor², bounded by basket breadth), one count
+    shuffle, two key joins, one item-partitioned window. Returns
+    (item_a, item_b, n_both, score_pico, rnk).
+    """
+    from pyspark.sql import Window
+
+    b = baskets.select(
+        F.col(actor_col).alias("_c"), F.col(item_col).alias("_p")
+    ).distinct()
+    deg = b.groupBy(F.col("_p")).agg(F.count(F.lit(1)).alias("_d"))
+    l, r = b.alias("l"), b.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l._c") == F.col("r._c"))
+            & (F.col("l._p") != F.col("r._p")),
+        )
+        .groupBy(
+            F.col("l._p").alias("_pa"), F.col("r._p").alias("_pb")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    scored = (
+        pairs.join(deg.withColumnRenamed("_p", "_pa").withColumnRenamed("_d", "_da"), "_pa")
+        .join(deg.withColumnRenamed("_p", "_pb").withColumnRenamed("_d", "_db"), "_pb")
+        .withColumn(
+            "score_pico",
+            F.expr(
+                "(CAST(n_both AS DECIMAL(38,0)) * n_both * 1000000000000)"
+                " div (_da * _db)"
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy("_pa").orderBy(
+        F.desc("score_pico"), F.asc("_pb")
+    )
+    return (
+        scored.withColumn("_rnk", F.row_number().over(w))
+        .filter(F.col("_rnk") <= k)
+        .select(
+            F.col("_pa").alias("item_a"),
+            F.col("_pb").alias("item_b"),
+            "n_both",
+            "score_pico",
+            F.col("_rnk").cast("long").alias("rnk"),
+        )
+    )

@@ -2665,3 +2665,24 @@ def test_exact_percentiles_selection_vs_sorted(spark):
         n = len(sv)
         for q in (50, 95, 99):
             assert row[f"p{q}"] == sv[(q * n + 99) // 100 - 1]
+
+
+def test_item_item_topk_cosine_order(spark):
+    from learn_etl_data_warehouse_spark.operators.graph import item_item_topk
+
+    # actors: 1 buys {A,B,C}; 2 buys {A,B}; 3 buys {A,C}; 4 buys {C,D}
+    rows = [(1, "A"), (1, "B"), (1, "C"), (2, "A"), (2, "B"),
+            (3, "A"), (3, "C"), (4, "C"), (4, "D")]
+    df = spark.createDataFrame(rows, "c long, p string")
+    got = {(r["item_a"], r["rnk"]): r for r in
+           item_item_topk(df, "c", "p", k=2).collect()}
+    # deg: A=3 B=2 C=3 D=1; n: AB=2 AC=2 BC=1 CD=1
+    # from A: cos(A,B)=2/sqrt(6)=.816, cos(A,C)=2/3=.667 -> B first
+    assert got[("A", 1)]["item_b"] == "B" and got[("A", 1)]["n_both"] == 2
+    assert got[("A", 2)]["item_b"] == "C"
+    # pico scores are the exact integer transform
+    assert got[("A", 1)]["score_pico"] == (4 * 10**12) // 6
+    assert got[("A", 2)]["score_pico"] == (4 * 10**12) // 9
+    # from D: only C
+    assert got[("D", 1)]["item_b"] == "C"
+    assert ("D", 2) not in got
