@@ -3785,6 +3785,34 @@ def q_g12(spark, sf_dir):
     return item_item_topk(baskets, "o_custkey", "l_partkey", k=3)
 
 
+def q_e26(spark, sf_dir):
+    """Activation-latency percentiles (r5 cont.): signup → first
+    purchase per user, exact p50/p90/p99 in µs via the two-scan
+    selection (a29's kernel composed over a derived measure — no
+    global sort here either). Users who purchase before signing up
+    (out-of-order fixtures) are excluded by the ≥ 0 guard on both
+    sides."""
+    from learn_etl_data_warehouse_spark.functions.aggregates import (
+        exact_percentiles_selection,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    su = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("_s")
+    )
+    pu = ev.filter(F.col("event_type") == "purchase").groupBy(
+        "user_id"
+    ).agg(F.min("ts").alias("_p"))
+    lat = (
+        su.join(pu, "user_id")
+        .select(
+            (F.unix_micros("_p") - F.unix_micros("_s")).alias("lat_us")
+        )
+        .filter(F.col("lat_us") >= 0)
+    )
+    return exact_percentiles_selection(lat, "lat_us", qs=(50, 90, 99))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -4009,6 +4037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ops01_shipping_lag": q_ops01,
         "a29_exact_percentiles_selection": q_a29,
         "g12_item_item_cf": q_g12,
+        "e26_activation_latency": q_e26,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
         # rows are all hash-verifiable
@@ -6650,4 +6679,23 @@ r AS (SELECT pa, pb, nb, score,
 SELECT pa AS item_a, pb AS item_b, CAST(nb AS BIGINT) AS n_both,
        CAST(score AS BIGINT) AS score_pico, CAST(rnk AS BIGINT) AS rnk
 FROM r WHERE rnk <= 3"""
+    # e26: same derived latency measure, classic global nearest-rank.
+    out["e26_activation_latency"] = """
+WITH su AS (SELECT user_id, min(ts) AS s FROM events
+            WHERE event_type = 'signup' GROUP BY 1),
+pu AS (SELECT user_id, min(ts) AS p FROM events
+       WHERE event_type = 'purchase' GROUP BY 1),
+lat AS (SELECT epoch_us(p) - epoch_us(s) AS lat_us
+        FROM su JOIN pu USING (user_id)
+        WHERE epoch_us(p) - epoch_us(s) >= 0),
+r AS (SELECT lat_us, row_number() OVER (ORDER BY lat_us) AS rn,
+             count(*) OVER () AS n
+      FROM lat)
+SELECT CAST(min(CASE WHEN rn >= (50 * n + 99) // 100 THEN lat_us END)
+            AS BIGINT) AS p50,
+       CAST(min(CASE WHEN rn >= (90 * n + 99) // 100 THEN lat_us END)
+            AS BIGINT) AS p90,
+       CAST(min(CASE WHEN rn >= (99 * n + 99) // 100 THEN lat_us END)
+            AS BIGINT) AS p99
+FROM r"""
     return out
