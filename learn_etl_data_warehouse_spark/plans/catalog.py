@@ -382,3 +382,42 @@ def register_masked_views(
         ]
         df.select(*cols).createOrReplaceTempView(prefix + name)
     return pinned
+
+
+def register_policy_views(
+    spark: SparkSession,
+    catalog_dir: str,
+    policies: dict[str, str],
+    as_of: str | None = None,
+    prefix: str = "scoped_",
+) -> str:
+    """Row-level security layer over the catalog: register member
+    tables as temp views filtered by a SQL boolean policy predicate
+    (e.g. ``"region = 'EU'"`` — the tenant-scoping /
+    row-level-security pattern; :func:`register_masked_views` is the
+    column-level sibling and both compose by chaining prefixes).
+
+    The predicate is applied INSIDE the registered plan — the scoped
+    name cannot reach unscoped rows — and, because it sits directly
+    over the file scan, Catalyst pushes it down like any other filter
+    (partition pruning / stats skipping apply). Tables not in
+    ``policies`` register unfiltered under the same prefix, so the
+    scoped surface is complete. Unknown tables raise; a predicate
+    referencing absent columns fails AT REGISTRATION (the schema is
+    forced), not on first query. Returns the pinned catalog txn.
+    """
+    catalog = read_catalog(catalog_dir, as_of)
+    if not catalog["tables"]:
+        raise FileNotFoundError(f"empty or missing catalog at {catalog_dir}")
+    pinned = catalog["txn"] if as_of is None else as_of
+    unknown = set(policies) - set(catalog["tables"])
+    if unknown:
+        raise ValueError(f"policy for non-member tables: {sorted(unknown)}")
+    for name in sorted(catalog["tables"]):
+        df = catalog_read(spark, catalog_dir, name, as_of=pinned)
+        pred = policies.get(name)
+        if pred is not None:
+            df = df.filter(F.expr(pred))
+            df.schema  # force analysis: bad predicates fail HERE
+        df.createOrReplaceTempView(prefix + name)
+    return pinned

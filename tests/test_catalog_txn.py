@@ -326,3 +326,36 @@ def test_masked_views_enforce_policies(spark, tmp_path):
         cat.register_masked_views(spark, cdir, masks={"nope": {"x": "hash"}})
     with _pytest.raises(ValueError, match="unknown mask policy"):
         cat.register_masked_views(spark, cdir, masks={"users": {"email": "rot13"}})
+
+
+def test_policy_views_scope_rows(spark, tmp_path):
+    cdir = str(tmp_path / "cat_policy")
+    rows = spark.createDataFrame(
+        [(1, "EU", 10.0), (2, "US", 20.0), (3, "EU", 30.0)],
+        "id long, region string, amount double",
+    )
+    cat.catalog_commit(spark, cdir, {"sales": (rows, [])})
+    txn = cat.register_policy_views(
+        spark, cdir, policies={"sales": "region = 'EU'"}
+    )
+    assert txn
+    got = spark.sql("SELECT id FROM scoped_sales ORDER BY id").collect()
+    assert [r["id"] for r in got] == [1, 3]
+    # aggregates through the scoped name can't see unscoped rows
+    assert spark.sql(
+        "SELECT count(*) AS n FROM scoped_sales WHERE region = 'US'"
+    ).collect()[0]["n"] == 0
+
+    import pytest as _pytest
+    with _pytest.raises(Exception):  # absent column fails at registration
+        cat.register_policy_views(
+            spark, cdir, policies={"sales": "tenant_id = 7"}
+        )
+    with _pytest.raises(ValueError, match="non-member"):
+        cat.register_policy_views(spark, cdir, policies={"nope": "1=1"})
+
+    # composes with masking: mask the scoped surface
+    cat.register_masked_views(
+        spark, cdir, masks={"sales": {"amount": "null"}}, prefix="m_"
+    )
+    assert spark.sql("SELECT amount FROM m_sales").collect()[0]["amount"] is None
