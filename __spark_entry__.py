@@ -3813,6 +3813,20 @@ def q_e26(spark, sf_dir):
     return exact_percentiles_selection(lat, "lat_us", qs=(50, 90, 99))
 
 
+def q_t25(spark, sf_dir):
+    """Kneser-Ney-smoothed bigram table (r5 cont.): absolute discount
+    d = 3/4, continuation-probability backoff — the standard n-gram
+    smoother, in PURE integers: multiplying p_KN through by
+    4·c(w1)·Ntot yields one DECIMAL(38,0) quotient (Spark decimal div
+    ≡ HUGEINT //, probed); t18 is the raw-conditional sibling
+    (operators/text.py::bigram_kn)."""
+    from learn_etl_data_warehouse_spark.operators.text import bigram_kn
+
+    return bigram_kn(
+        _t(spark, sf_dir, "documents"), min_context=5, top=3
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -4038,6 +4052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a29_exact_percentiles_selection": q_a29,
         "g12_item_item_cf": q_g12,
         "e26_activation_latency": q_e26,
+        "t25_bigram_kneser_ney": q_t25,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
         # rows are all hash-verifiable
@@ -6698,4 +6713,34 @@ SELECT CAST(min(CASE WHEN rn >= (50 * n + 99) // 100 THEN lat_us END)
        CAST(min(CASE WHEN rn >= (99 * n + 99) // 100 THEN lat_us END)
             AS BIGINT) AS p99
 FROM r"""
+    # t25: t18's pair CTEs + the KN integer quotient — every term
+    # HUGEINT, // matches Spark's decimal div; rank on p_kn_ppm.
+    out["t25_bigram_kneser_ney"] = """
+WITH toks AS (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+              FROM documents),
+t2 AS (SELECT t FROM toks WHERE len(t) >= 2),
+pr AS (SELECT unnest(t[1:len(t) - 1]) AS w1, unnest(t[2:len(t)]) AS w2
+       FROM t2),
+p2 AS (SELECT w1, w2 FROM pr WHERE w1 <> '' AND w2 <> ''),
+bi AS (SELECT w1, w2, count(*) AS n2 FROM p2 GROUP BY 1, 2),
+ctx AS (SELECT w1, CAST(sum(n2) AS BIGINT) AS c1, count(*) AS n1fwd
+        FROM bi GROUP BY 1),
+cont AS (SELECT w2, count(*) AS ncont FROM bi GROUP BY 1),
+tot AS (SELECT count(*) AS ntot FROM bi),
+j AS (SELECT bi.w1, bi.w2, CAST(bi.n2 AS BIGINT) AS n2,
+             (1000000 * (greatest(4 * bi.n2 - 3, 0)
+                           * CAST(tot.ntot AS HUGEINT)
+                         + 3 * ctx.n1fwd * cont.ncont))
+               // (4 * ctx.c1 * CAST(tot.ntot AS HUGEINT)) AS p_kn_ppm
+      FROM bi
+      JOIN ctx ON ctx.w1 = bi.w1
+      JOIN cont ON cont.w2 = bi.w2
+      CROSS JOIN tot
+      WHERE ctx.c1 >= 5),
+r AS (SELECT w1, w2, n2, CAST(p_kn_ppm AS BIGINT) AS p_kn_ppm,
+             row_number() OVER (PARTITION BY w1
+                                ORDER BY p_kn_ppm DESC, w2) AS rnk
+      FROM j)
+SELECT w1, w2, n2, p_kn_ppm, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 3"""
     return out

@@ -1118,3 +1118,70 @@ def sentence_stats(
         .alias("avg_words_ppm"),
         "max_sentence_words",
     )
+
+
+def bigram_kn(
+    df: DataFrame,
+    text_col: str = "text",
+    min_context: int = 5,
+    top: int | None = 3,
+) -> DataFrame:
+    """Kneser-Ney-smoothed bigram table (absolute discount d = 3/4) in
+    PURE integer arithmetic — the LM-pipeline upgrade over t18's raw
+    conditional ppm: rare continuations are discounted and mass is
+    re-routed through the CONTINUATION probability ("how many contexts
+    does w2 follow"), the insight that makes KN the standard n-gram
+    smoother.
+
+        p_KN(w2|w1) = max(c(w1,w2)−d, 0)/c(w1)
+                      + d·N1+(w1,·)/c(w1) · N1+(·,w2)/N1+(·,·)
+
+    With d = 3/4 everything is rational; multiplying through by
+    4·c(w1)·N1+(·,·) gives the single integer quotient
+
+        p_ppm = (1e6·(max(4·n2−3, 0)·Ntot + 3·N1fwd(w1)·Ncont(w2)))
+                div (4·c1(w1)·Ntot)
+
+    evaluated in DECIMAL(38,0) (Spark ``div`` on decimals returns the
+    floored BIGINT and matches HUGEINT ``//`` — probed), so an
+    external engine agrees exactly. Ranking: p_ppm DESC, w2 ASC.
+
+    Derived states are all aggregates of the additive (w1, w2, n2)
+    table: context totals + continuation-type counts per w1, context
+    counts per w2, one global distinct-pair count (a broadcast 1-row
+    frame). Returns (w1, w2, n2, p_kn_ppm, rnk ≤ ``top``).
+    """
+    from pyspark.sql import Window
+
+    c = bigram_counts_table(df, text_col)
+    ctx = c.groupBy("w1").agg(
+        F.sum("n2").cast("long").alias("_c1"),
+        F.count(F.lit(1)).cast("long").alias("_n1fwd"),
+    )
+    cont = c.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("_ncont")
+    )
+    tot = c.agg(F.count(F.lit(1)).cast("long").alias("_ntot"))
+    scored = (
+        c.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("_c1") >= min_context)
+        .withColumn(
+            "p_kn_ppm",
+            F.expr(
+                "(1000000 * (greatest(4 * n2 - 3, 0)"
+                " * CAST(_ntot AS DECIMAL(38,0))"
+                " + 3 * _n1fwd * _ncont))"
+                " div (4 * _c1 * CAST(_ntot AS DECIMAL(38,0)))"
+            ).cast("long"),
+        )
+    )
+    out = scored.select("w1", "w2", "n2", "p_kn_ppm")
+    if top is None:
+        return out
+    w = Window.partitionBy("w1").orderBy(F.desc("p_kn_ppm"), F.asc("w2"))
+    return (
+        out.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= top)
+    )

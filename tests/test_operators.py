@@ -2686,3 +2686,20 @@ def test_item_item_topk_cosine_order(spark):
     # from D: only C
     assert got[("D", 1)]["item_b"] == "C"
     assert ("D", 2) not in got
+
+
+def test_bigram_kn_hand_computed(spark):
+    from learn_etl_data_warehouse_spark.operators.text import bigram_kn
+
+    # corpus "a b a b a c": n2 ab=2 ba=2 ac=1; c1(a)=3, c1(b)=2;
+    # N1fwd(a)=2, N1fwd(b)=1; Ncont(a)=1, Ncont(b)=1, Ncont(c)=1; Ntot=3
+    df = spark.createDataFrame([("a b a b a c",)], "text string")
+    got = {(r["w1"], r["w2"]): r["p_kn_ppm"]
+           for r in bigram_kn(df, min_context=1, top=None).collect()}
+    assert got[("a", "b")] == (1_000_000 * (5 * 3 + 3 * 2 * 1)) // 36  # 583333
+    assert got[("a", "c")] == (1_000_000 * (1 * 3 + 3 * 2 * 1)) // 36  # 250000
+    assert got[("b", "a")] == (1_000_000 * (5 * 3 + 3 * 1 * 1)) // 24  # 750000
+    # discount moved mass off the seen counts: p_KN < raw conditional
+    assert got[("a", "b")] < (1_000_000 * 2) // 3
+    # but the backoff keeps singletons alive
+    assert got[("a", "c")] > 0
