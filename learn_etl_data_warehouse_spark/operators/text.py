@@ -1151,9 +1151,24 @@ def bigram_kn(
     counts per w2, one global distinct-pair count (a broadcast 1-row
     frame). Returns (w1, w2, n2, p_kn_ppm, rnk ≤ ``top``).
     """
+    return bigram_kn_from_counts(
+        bigram_counts_table(df, text_col), min_context, top
+    )
+
+
+def bigram_kn_from_counts(
+    counts: DataFrame,
+    min_context: int = 5,
+    top: int | None = 3,
+) -> DataFrame:
+    """KN scoring over an EXISTING (w1, w2, n2) count table — the
+    derivation half of :func:`bigram_kn`, factored so the incrementally
+    maintained state (``maintain_bigram_counts`` / the lm_stats sink)
+    serves smoothed probabilities without re-tokenizing the corpus;
+    all KN statistics are aggregates of the counts table itself."""
     from pyspark.sql import Window
 
-    c = bigram_counts_table(df, text_col)
+    c = counts
     ctx = c.groupBy("w1").agg(
         F.sum("n2").cast("long").alias("_c1"),
         F.count(F.lit(1)).cast("long").alias("_n1fwd"),

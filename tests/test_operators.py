@@ -2703,3 +2703,24 @@ def test_bigram_kn_hand_computed(spark):
     assert got[("a", "b")] < (1_000_000 * 2) // 3
     # but the backoff keeps singletons alive
     assert got[("a", "c")] > 0
+
+
+def test_bigram_kn_from_maintained_counts_matches_direct(spark):
+    from learn_etl_data_warehouse_spark.operators.text import (
+        bigram_counts_table,
+        bigram_kn,
+        bigram_kn_from_counts,
+        maintain_bigram_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma alpha beta doc{i % 4}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    b0 = docs.filter(F.col("doc_id") < 6)
+    b1 = docs.filter(F.col("doc_id") >= 6)
+    maintained = maintain_bigram_counts(bigram_counts_table(b0), b1)
+    got = sorted(map(tuple,
+                     bigram_kn_from_counts(maintained, min_context=2).collect()))
+    want = sorted(map(tuple, bigram_kn(docs, min_context=2).collect()))
+    assert got == want  # smoothed LM from maintained state == rebuild
