@@ -3840,9 +3840,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sf0.01+sf0.1-swept in the round it rotates in.
     # r6 rotation candidates (never driver-checked, all swept ×3 scales
     # in r5 continuations): e09 a15 a16 r03 t14 d21 d22 e10 e11 f02 a17
-    # t15 t16 g02 g03 w06 a18 t17 r05 d25 — and the r5c3 cohort fp01
+    # t15 t16 g02 g03 w06 a18 t17 r05 d25 — the r5c3 cohort fp01
     # j07 r04 a19 t18 t19 pf01 pf02 e12 path01 d26 d27 g04 w07 set05
-    # a20 r06 — plus the then-stalest green cohort per the standing
+    # a20 r06 — and the r5c6 cohort a26 g10 pf06 knn01 e23 d28 ml01
+    # ca01 a27 ivm03 g11 a28 r08 t23 pm01 ops01 a29 g12 e26 t25 —
+    # plus the then-stalest green cohort per the standing
     # staleness-first policy.
     return {
         # -- never driver-checked (r5 additions) (5) -----------------------
