@@ -137,3 +137,84 @@ def test_exact_stratified_split_fuzz_invariants(spark, rows, pct):
     for lang, nk in per_n.items():
         base = (pct * nk) // 100
         assert per_t.get(lang, 0) in (base, base + 1)
+
+
+graphs = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9), st.integers(1, 20)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(graphs)
+@SETTINGS
+def test_shortest_paths_fuzz_vs_bellman_ford_model(spark, raw_edges):
+    from learn_etl_data_warehouse_spark.operators.graph import shortest_paths
+
+    edges = [(a, b, w) for a, b, w in raw_edges if a != b]
+    if not edges:
+        return
+    rounds = 3
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    seeds = sorted({a for a, _, _ in edges})[:2]
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node long")
+    got = {r["node"]: r["cost"] for r in
+           shortest_paths(df, sdf, rounds=rounds).collect()}
+
+    # reference: K rounds of relaxation over the same edge list
+    INF = float("inf")
+    dist = {s: 0 for s in seeds}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for a, b, w in edges:
+            if dist.get(a, INF) + w < nxt.get(b, INF):
+                nxt[b] = dist[a] + w
+        dist = nxt
+    assert got == dist
+
+
+traces = st.lists(
+    st.tuples(st.integers(1, 3), st.integers(0, 50),
+              st.sampled_from(["A", "B", "C"])),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+@given(traces)
+@SETTINGS
+def test_footprint_matrix_fuzz_vs_model(spark, raw):
+    from datetime import datetime, timedelta
+    from learn_etl_data_warehouse_spark.operators.process_mining import (
+        footprint_matrix,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = [(u, base + timedelta(minutes=m), u * 1000 + m, t)
+            for u, m, t in raw]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    got = {(r["a"], r["b"]): (r["n_direct"], r["n_users_eventual"])
+           for r in footprint_matrix(df).collect()}
+
+    # model: per-user ordered traces
+    by_u = {}
+    for u, ts, eid, t in rows:
+        by_u.setdefault(u, []).append((ts, eid, t))
+    direct, eventual = {}, {}
+    for u, tr in by_u.items():
+        tr.sort()
+        types = [t for _, _, t in tr]
+        for x, y in zip(types, types[1:]):
+            direct[(x, y)] = direct.get((x, y), 0) + 1
+        for i, x in enumerate(types):
+            for y in types[i + 1:]:
+                eventual.setdefault((x, y), set()).add(u)
+    alphabet = sorted({t for *_, t in rows})
+    for a in alphabet:
+        for b in alphabet:
+            nd, ne = got[(a, b)]
+            assert nd == direct.get((a, b), 0)
+            assert ne == len(eventual.get((a, b), set()))
