@@ -3827,6 +3827,49 @@ def q_t25(spark, sf_dir):
     )
 
 
+def q_t26(spark, sf_dir):
+    """Vocabulary growth curve (r5 cont.): distinct-token count at
+    20/40/60/80/100% corpus checkpoints — the Heaps'-law diagnostic
+    ("is vocabulary still growing or has the corpus saturated?").
+    Checkpoint thresholds are exact doc_id percentiles via the a29
+    selection kernel (no global row rank); vocab at a checkpoint
+    counts tokens whose FIRST document (min doc_id, one hash agg)
+    falls at or below the threshold. All integers."""
+    from learn_etl_data_warehouse_spark.functions.aggregates import (
+        exact_percentiles_selection,
+    )
+    from learn_etl_data_warehouse_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    th = exact_percentiles_selection(
+        docs.select("doc_id"), "doc_id", qs=(20, 40, 60, 80, 100)
+    )
+    th_long = th.selectExpr(
+        "stack(5, CAST(20 AS BIGINT), p20, CAST(40 AS BIGINT), p40,"
+        " CAST(60 AS BIGINT), p60, CAST(80 AS BIGINT), p80,"
+        " CAST(100 AS BIGINT), p100) AS (checkpoint_pct, _tid)"
+    )
+    ft = (
+        docs.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("_t"))
+        .filter(F.col("_t") != "")
+        .groupBy("_t")
+        .agg(F.min("doc_id").alias("_fd"))
+    )
+    nd = (
+        docs.crossJoin(F.broadcast(th_long))
+        .filter(F.col("doc_id") <= F.col("_tid"))
+        .groupBy("checkpoint_pct")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    vs = (
+        ft.crossJoin(F.broadcast(th_long))
+        .filter(F.col("_fd") <= F.col("_tid"))
+        .groupBy("checkpoint_pct")
+        .agg(F.count(F.lit(1)).cast("long").alias("vocab_size"))
+    )
+    return nd.join(vs, "checkpoint_pct")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -4055,6 +4098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g12_item_item_cf": q_g12,
         "e26_activation_latency": q_e26,
         "t25_bigram_kneser_ney": q_t25,
+        "t26_vocab_growth": q_t26,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
         # rows are all hash-verifiable
@@ -6745,4 +6789,28 @@ r AS (SELECT w1, w2, n2, CAST(p_kn_ppm AS BIGINT) AS p_kn_ppm,
       FROM j)
 SELECT w1, w2, n2, p_kn_ppm, CAST(rnk AS BIGINT) AS rnk
 FROM r WHERE rnk <= 3"""
+    # t26: same nearest-rank thresholds (the oracle may globalize the
+    # rank); vocab counts tokens by first-document id.
+    out["t26_vocab_growth"] = """
+WITH d AS (SELECT doc_id FROM documents),
+r AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn,
+             count(*) OVER () AS n
+      FROM d),
+pcts AS (SELECT unnest([20, 40, 60, 80, 100]) AS pct),
+th AS (SELECT pct,
+              min(CASE WHEN rn >= (pct * n + 99) // 100
+                  THEN doc_id END) AS tid
+       FROM r CROSS JOIN pcts GROUP BY 1),
+ex AS (SELECT doc_id,
+              unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+       FROM documents),
+ft AS (SELECT tok, min(doc_id) AS fd FROM ex WHERE tok <> '' GROUP BY 1),
+nd AS (SELECT th.pct, count(*) AS n_docs
+       FROM th JOIN d ON d.doc_id <= th.tid GROUP BY 1),
+vs AS (SELECT th.pct, count(*) AS vocab_size
+       FROM th JOIN ft ON ft.fd <= th.tid GROUP BY 1)
+SELECT CAST(nd.pct AS BIGINT) AS checkpoint_pct,
+       CAST(nd.n_docs AS BIGINT) AS n_docs,
+       CAST(vs.vocab_size AS BIGINT) AS vocab_size
+FROM nd JOIN vs ON vs.pct = nd.pct"""
     return out
