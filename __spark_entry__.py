@@ -3870,6 +3870,19 @@ def q_t26(spark, sf_dir):
     return nd.join(vs, "checkpoint_pct")
 
 
+def q_d29(spark, sf_dir):
+    """Containment near-dups (r5 cont.): directed |A∩B|/|A| ≥ 80% on
+    word trigrams — the subset-document detector (a short doc embedded
+    in a long one has tiny JACCARD but containment ≈ 1: quotes,
+    boilerplate, page-within-crawl). Same capped posting-list plan and
+    df > 50 blacklist as d02; integer threshold predicate
+    (operators/dedup.py::containment_pairs)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.containment_pairs(
+        docs, n=3, threshold_pct=80, max_doc_freq=50
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -4099,6 +4112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e26_activation_latency": q_e26,
         "t25_bigram_kneser_ney": q_t25,
         "t26_vocab_growth": q_t26,
+        "d29_containment_pairs": q_d29,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
         # rows are all hash-verifiable
@@ -6813,4 +6827,16 @@ SELECT CAST(nd.pct AS BIGINT) AS checkpoint_pct,
        CAST(nd.n_docs AS BIGINT) AS n_docs,
        CAST(vs.vocab_size AS BIGINT) AS vocab_size
 FROM nd JOIN vs ON vs.pct = nd.pct"""
+    # d29: d02's capped trigram skeleton + directed containment; the
+    # threshold and ppm are pure integers.
+    out["d29_containment_pairs"] = grams_cte + """,
+j AS (SELECT id_a, id_b, i, sa.sz AS sz_a, sb.sz AS sz_b
+      FROM inter JOIN sz sa ON sa.doc_id = id_a
+                 JOIN sz sb ON sb.doc_id = id_b),
+d AS (SELECT id_a AS src_id, id_b AS within_id, i, sz_a AS szs FROM j
+      UNION ALL
+      SELECT id_b, id_a, i, sz_b FROM j)
+SELECT src_id, within_id, CAST(i AS BIGINT) AS n_shared,
+       CAST((1000000 * i) // szs AS BIGINT) AS containment_ppm
+FROM d WHERE 100 * i >= 80 * szs"""
     return out

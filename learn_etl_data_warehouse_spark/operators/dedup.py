@@ -945,3 +945,81 @@ def sorted_neighborhood_pairs(
             "block",
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold_pct: int = 80,
+    max_doc_freq: int = 50,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT near-dups: |A∩B| / |A| ≥
+    ``threshold_pct``% — the subset-document detector. A short doc
+    fully embedded in a long one scores containment ≈ 1 while its
+    JACCARD is tiny (the union is dominated by the long doc), so this
+    is the dedup pass that catches quotes, boilerplate inclusion, and
+    page-within-crawl dups that d02's symmetric Jaccard misses.
+
+    Same capped posting-list plan as :func:`ngram_jaccard_pairs`
+    (blacklist semantics on grams with df > ``max_doc_freq`` — the cap
+    is mandatory here, the asymmetric score has the same hot-gram
+    quadratic exposure). The threshold is the pure integer predicate
+    ``100·inter ≥ pct·|A|`` (the t16 no-float-ratio posture);
+    containment_ppm is the truncating integer ppm.
+
+    Emits DIRECTED pairs: (src_id — the contained side, within_id,
+    n_shared, containment_ppm); a near-identical pair appears in both
+    directions.
+    """
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array_distinct(word_ngrams(F.col(text_col), n))
+        ).alias("_g"),
+    )
+    posts = (
+        grams.groupBy("_g")
+        .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
+        .filter(F.size("_ids") <= max_doc_freq)
+    )
+    pair_expr = F.expr(
+        "flatten(transform(_ids, (x, i) -> "
+        "transform(slice(_ids, i + 2, size(_ids)), y -> "
+        "struct(x AS id_a, y AS id_b))))"
+    )
+    inter = (
+        posts.select(F.explode(pair_expr).alias("_p"))
+        .groupBy(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sizes = (
+        posts.select(F.explode("_ids").alias("_id"))
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("_sz"))
+    )
+    j = (
+        inter.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_sz", "_sza"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_sz", "_szb"), "id_b")
+    )
+    directed = j.select(
+        F.col("id_a").alias("src_id"), F.col("id_b").alias("within_id"),
+        F.col("_inter"), F.col("_sza").alias("_szs"),
+    ).unionByName(
+        j.select(
+            F.col("id_b").alias("src_id"), F.col("id_a").alias("within_id"),
+            F.col("_inter"), F.col("_szb").alias("_szs"),
+        )
+    )
+    return (
+        directed.filter(100 * F.col("_inter") >= threshold_pct * F.col("_szs"))
+        .select(
+            "src_id",
+            "within_id",
+            F.col("_inter").cast("long").alias("n_shared"),
+            F.expr("(1000000 * _inter) div _szs").cast("long").alias(
+                "containment_ppm"
+            ),
+        )
+    )

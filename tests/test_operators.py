@@ -2724,3 +2724,24 @@ def test_bigram_kn_from_maintained_counts_matches_direct(spark):
                      bigram_kn_from_counts(maintained, min_context=2).collect()))
     want = sorted(map(tuple, bigram_kn(docs, min_context=2).collect()))
     assert got == want  # smoothed LM from maintained state == rebuild
+
+
+def test_containment_catches_subset_docs_jaccard_misses(spark):
+    from learn_etl_data_warehouse_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    rows = [(1, short), (2, short + " " + filler), (3, "totally unrelated words here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cont = {(r["src_id"], r["within_id"]): r["containment_ppm"]
+            for r in containment_pairs(df, threshold_pct=80).collect()}
+    assert cont[(1, 2)] == 1_000_000   # every trigram of 1 is inside 2
+    assert (2, 1) not in cont          # the long doc is NOT inside the short
+    assert not any(3 in k for k in cont)
+
+    jac = ngram_jaccard_pairs(df, n=3, threshold=0.7, max_doc_freq=50)
+    assert jac.filter("id_a = 1 AND id_b = 2").count() == 0  # Jaccard blind
