@@ -1245,3 +1245,57 @@ def restore_table(table: str, to_txn: str) -> str:
     }
     _publish(table, manifest, new_txn)
     return new_txn
+
+
+def suggest_constraints(table: str) -> dict[str, str]:
+    """Propose CHECK constraints the current data provably satisfies —
+    the stats-to-governance bridge: ``analyze_table``'s null counts
+    yield NOT NULL rules, the commit-time partition [min, max] stats
+    yield numeric range rules. The caller reviews and feeds accepted
+    rules to :func:`add_constraint` (which independently re-verifies
+    table-wide before publishing, so a stale suggestion can refuse but
+    never corrupt).
+
+    Requires FRESH ``analyze_table`` stats (raises otherwise — a
+    suggestion from stale null counts could propose a rule today's
+    data violates); range rules read the partition stats, which are
+    written by the committing transaction itself and therefore always
+    describe the live versions. Returns {rule_name: sql_expr}.
+    """
+    stats = table_stats(table)
+    if stats is None:
+        raise ValueError(
+            f"suggest_constraints: no fresh analyze_table stats for {table}"
+        )
+    manifest = read_manifest(table)
+    out: dict[str, str] = {}
+    for col, cs in sorted(stats["columns"].items()):
+        if cs["nulls"] == 0:
+            out[f"{col}_not_null"] = f"{col} IS NOT NULL"
+    # global numeric ranges from the per-partition commit stats
+    ranges: dict[str, list] = {}
+    for rel_stats in manifest.get("stats", {}).values():
+        for col, mm in rel_stats.items():
+            if not (isinstance(mm, (list, tuple)) and len(mm) == 2):
+                continue
+            lo, hi = mm
+            if not all(
+                isinstance(v, (int, float)) and not isinstance(v, bool)
+                for v in (lo, hi)
+            ):
+                continue
+            cur = ranges.get(col)
+            if cur is None:
+                ranges[col] = [lo, hi]
+            else:
+                cur[0] = min(cur[0], lo)
+                cur[1] = max(cur[1], hi)
+    for col, (lo, hi) in sorted(ranges.items()):
+        if col in stats["columns"] and stats["columns"][col]["nulls"] == 0:
+            out[f"{col}_range"] = f"{col} >= {lo!r} AND {col} <= {hi!r}"
+        else:
+            # nullable columns: range must not reject the nulls
+            out[f"{col}_range"] = (
+                f"{col} IS NULL OR ({col} >= {lo!r} AND {col} <= {hi!r})"
+            )
+    return out

@@ -1007,3 +1007,38 @@ class TestRestoreTable:
         vacuum(table)  # v1's manifest is collected
         with _pytest.raises(FileNotFoundError):
             restore_table(table, v1)
+
+
+class TestSuggestConstraints:
+    def test_suggestions_hold_and_publish(self, spark, vtable):
+        from learn_etl_data_warehouse_spark.plans.manifest_warehouse import (
+            add_constraint,
+            analyze_table,
+            suggest_constraints,
+        )
+
+        table, sink = vtable
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="no fresh"):
+            suggest_constraints(table)  # stats not computed yet
+
+        analyze_table(spark, table)
+        sugg = suggest_constraints(table)
+        # id is never null -> NOT NULL + hard range; v has one NULL ->
+        # no NOT NULL, range must be null-tolerant
+        assert sugg["id_not_null"] == "id IS NOT NULL"
+        assert "v_not_null" not in sugg
+        assert sugg["v_range"].startswith("v IS NULL OR ")
+        assert "id_range" in sugg and "IS NULL" not in sugg["id_range"]
+
+        # every suggestion passes add_constraint's table-wide re-check
+        for name, expr in sugg.items():
+            add_constraint(spark, table, name, expr)
+
+        # a later commit makes the analyze stats stale -> fresh-only
+        sink(
+            spark.createDataFrame([(7, 7.0, "x")], "id INT, v DOUBLE, cat STRING"),
+            9,
+        )
+        with _pytest.raises(ValueError, match="no fresh"):
+            suggest_constraints(table)
