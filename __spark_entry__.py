@@ -3883,6 +3883,56 @@ def q_d29(spark, sf_dir):
     )
 
 
+def q_e27(spark, sf_dir):
+    """Weekday/weekend contrast (r5 cont.): per event_type, mean
+    events per weekday day vs per weekend day and their integer-ppm
+    ratio — the calendar-seasonality angle e16's hour-of-day profile
+    doesn't cover. Day classing via the integer epoch-day mod 7
+    (1970-01-01 was a Thursday: day%7 ∈ {2,3} ⇔ Sat/Sun — pure
+    integer arithmetic, no locale-sensitive dayofweek); means in
+    truncating ppm over the CALENDAR day counts (spanned days, so
+    zero-event days dilute correctly)."""
+    ev = _t(spark, sf_dir, "events")
+    us_day = 86_400_000_000
+    d = ev.select(
+        "event_type",
+        F.expr(f"unix_micros(ts) div {us_day}").cast("long").alias("_day"),
+    )
+    is_we = (F.col("_day") % 7).isin(2, 3)
+    per_type = d.groupBy("event_type").agg(
+        F.sum(is_we.cast("long")).alias("_we_n"),
+        F.sum((~is_we).cast("long")).alias("_wd_n"),
+    )
+    bounds = d.agg(
+        F.min("_day").alias("_lo"), F.max("_day").alias("_hi")
+    )
+    # calendar day counts over the observed span (tiny: two integers)
+    wd_days = F.expr(
+        "aggregate(sequence(_lo, _hi), 0L,"
+        " (acc, x) -> acc + CASE WHEN x % 7 IN (2, 3) THEN 0 ELSE 1 END)"
+    )
+    we_days = F.expr(
+        "aggregate(sequence(_lo, _hi), 0L,"
+        " (acc, x) -> acc + CASE WHEN x % 7 IN (2, 3) THEN 1 ELSE 0 END)"
+    )
+    j = per_type.crossJoin(
+        F.broadcast(bounds.select(wd_days.alias("_wdd"), we_days.alias("_wed")))
+    )
+    wd_ppm = F.expr("(1000000 * _wd_n) div _wdd")
+    we_ppm = F.expr("(1000000 * _we_n) div _wed")
+    return j.select(
+        "event_type",
+        F.col("_wd_n").cast("long").alias("n_weekday"),
+        F.col("_we_n").cast("long").alias("n_weekend"),
+        wd_ppm.cast("long").alias("weekday_rate_ppm"),
+        we_ppm.cast("long").alias("weekend_rate_ppm"),
+        F.when(we_ppm > 0, F.expr(
+            "(1000000 * ((1000000 * _wd_n) div _wdd))"
+            " div ((1000000 * _we_n) div _wed)"
+        )).otherwise(F.lit(None)).cast("long").alias("wd_we_ratio_ppm"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -4113,6 +4163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t25_bigram_kneser_ney": q_t25,
         "t26_vocab_growth": q_t26,
         "d29_containment_pairs": q_d29,
+        "e27_weekday_weekend": q_e27,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
         # rows are all hash-verifiable
@@ -6839,4 +6890,30 @@ d AS (SELECT id_a AS src_id, id_b AS within_id, i, sz_a AS szs FROM j
 SELECT src_id, within_id, CAST(i AS BIGINT) AS n_shared,
        CAST((1000000 * i) // szs AS BIGINT) AS containment_ppm
 FROM d WHERE 100 * i >= 80 * szs"""
+    # e27: epoch-day % 7 ∈ {2,3} ⇔ Sat/Sun (locale-free); the ratio is
+    # the ppm-of-ppms truncating quotient, evaluated on the SAME
+    # intermediate integers both sides.
+    out["e27_weekday_weekend"] = """
+WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day
+           FROM events),
+pt AS (SELECT event_type,
+              sum(CASE WHEN day % 7 IN (2, 3) THEN 1 ELSE 0 END) AS we_n,
+              sum(CASE WHEN day % 7 IN (2, 3) THEN 0 ELSE 1 END) AS wd_n
+       FROM d GROUP BY 1),
+b AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+cal AS (SELECT
+          (SELECT count(*) FROM (SELECT unnest(generate_series(lo, hi)) AS x
+                                 FROM b) t WHERE x % 7 NOT IN (2, 3)) AS wdd,
+          (SELECT count(*) FROM (SELECT unnest(generate_series(lo, hi)) AS x
+                                 FROM b) t WHERE x % 7 IN (2, 3)) AS wed)
+SELECT event_type,
+       CAST(wd_n AS BIGINT) AS n_weekday,
+       CAST(we_n AS BIGINT) AS n_weekend,
+       CAST((1000000 * wd_n) // wdd AS BIGINT) AS weekday_rate_ppm,
+       CAST((1000000 * we_n) // wed AS BIGINT) AS weekend_rate_ppm,
+       CAST(CASE WHEN (1000000 * we_n) // wed > 0
+            THEN (1000000 * ((1000000 * wd_n) // wdd))
+                 // ((1000000 * we_n) // wed)
+            END AS BIGINT) AS wd_we_ratio_ppm
+FROM pt, cal"""
     return out
