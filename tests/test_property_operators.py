@@ -218,3 +218,49 @@ def test_footprint_matrix_fuzz_vs_model(spark, raw):
             nd, ne = got[(a, b)]
             assert nd == direct.get((a, b), 0)
             assert ne == len(eventual.get((a, b), set()))
+
+
+docs_corpus = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d", "e"]), min_size=1, max_size=12),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(docs_corpus)
+@SETTINGS
+def test_containment_pairs_fuzz_vs_model(spark, word_lists):
+    from learn_etl_data_warehouse_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(word_lists)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cap, pct, n = 4, 80, 3
+    got = {(r["src_id"], r["within_id"]): (r["n_shared"], r["containment_ppm"])
+           for r in containment_pairs(df, n=n, threshold_pct=pct,
+                                      max_doc_freq=cap).collect()}
+
+    # model: distinct trigram sets (short docs -> whole text), blacklist
+    # grams with df > cap, directed integer containment
+    def grams(ws):
+        if len(ws) < n:
+            return {" ".join(ws)}
+        return {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+
+    gsets = {i: grams(ws) for i, ws in enumerate(word_lists)}
+    df_count = {}
+    for gs in gsets.values():
+        for g in gs:
+            df_count[g] = df_count.get(g, 0) + 1
+    hot = {g for g, c in df_count.items() if c > cap}
+    gsets = {i: gs - hot for i, gs in gsets.items()}
+    want = {}
+    for i, gi in gsets.items():
+        for j, gj in gsets.items():
+            if i == j or not gi:
+                continue
+            inter = len(gi & gj)
+            if inter and 100 * inter >= pct * len(gi):
+                want[(i, j)] = (inter, (1_000_000 * inter) // len(gi))
+    assert got == want
