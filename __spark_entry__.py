@@ -3933,6 +3933,21 @@ def q_e27(spark, sf_dir):
     )
 
 
+def q_m06(spark, sf_dir):
+    """Media blob dedup (r5 cont.): exact content-hash dedup over the
+    opaque binary payload column — the first pass of any multimodal
+    ingest (identical bytes, one keeper = min media_id) using m01's
+    sha256 metadata; byte-level, so it works for any modality without
+    decoding. The oracle hashes the same UTF-8 bytes."""
+    media = multimodal.attach_media_metadata(
+        multimodal.documents_as_media(_t(spark, sf_dir, "documents"))
+    )
+    return media.groupBy("sha256").agg(
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+        F.min("media_id").cast("long").alias("keep_id"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -4164,6 +4179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t26_vocab_growth": q_t26,
         "d29_containment_pairs": q_d29,
         "e27_weekday_weekend": q_e27,
+        "m06_media_blob_dedup": q_m06,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
         # rows are all hash-verifiable
@@ -6916,4 +6932,10 @@ SELECT event_type,
                  // ((1000000 * we_n) // wed)
             END AS BIGINT) AS wd_we_ratio_ppm
 FROM pt, cal"""
+    # m06: DuckDB sha256(VARCHAR) hashes the same UTF-8 bytes Spark's
+    # sha2(encode(text,'UTF-8'), 256) does; both emit lowercase hex.
+    out["m06_media_blob_dedup"] = """
+SELECT sha256(text) AS sha256, count(*) AS n_copies,
+       CAST(min(doc_id) AS BIGINT) AS keep_id
+FROM documents GROUP BY 1"""
     return out
