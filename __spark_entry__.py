@@ -3948,6 +3948,23 @@ def q_m06(spark, sf_dir):
     )
 
 
+def q_pf07(spark, sf_dir):
+    """Two-sample KS drift (r5 cont.): Kolmogorov–Smirnov distance
+    between the order-value distributions of urgent vs low-priority
+    orders — the NUMERIC companion to pf02's categorical drift
+    monitor. Float-free: at each distinct cent value the CDF gap
+    |F_a−F_b| is the integer cross-difference |c_a·n_b − c_b·n_a| in
+    DECIMAL(38,0)/HUGEINT; reported as the truncating ppm
+    (operators/profiling.py::ks_drift)."""
+    from learn_etl_data_warehouse_spark.operators.profiling import ks_drift
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return ks_drift(o, "o_orderpriority", "cents", "1-URGENT", "5-LOW")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -4180,6 +4197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d29_containment_pairs": q_d29,
         "e27_weekday_weekend": q_e27,
         "m06_media_blob_dedup": q_m06,
+        "pf07_ks_drift": q_pf07,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
         # rows are all hash-verifiable
@@ -6938,4 +6956,26 @@ FROM pt, cal"""
 SELECT sha256(text) AS sha256, count(*) AS n_copies,
        CAST(min(doc_id) AS BIGINT) AS keep_id
 FROM documents GROUP BY 1"""
+    # pf07: cumulative counts and totals cross-multiplied as HUGEINT
+    # (DuckDB sum()) vs DECIMAL(38,0) (Spark); abs() keeps the
+    # numerator non-negative so // ≡ div exactly.
+    out["pf07_ks_drift"] = """
+WITH s AS (SELECT o_orderpriority AS p,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS v
+           FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+pv AS (SELECT v,
+              sum(CASE WHEN p = '1-URGENT' THEN 1 ELSE 0 END) AS na,
+              sum(CASE WHEN p = '5-LOW' THEN 1 ELSE 0 END) AS nb
+       FROM s GROUP BY 1),
+c AS (SELECT sum(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS ca,
+             sum(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cb
+      FROM pv),
+t AS (SELECT sum(na) AS ta, sum(nb) AS tb, count(*) AS n_values FROM pv)
+SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+       n_values,
+       CAST((1000000 * max(abs(ca * tb - cb * ta))) // (ta * tb)
+            AS BIGINT) AS d_ppm
+FROM c, t GROUP BY ta, tb, n_values"""
     return out
