@@ -266,6 +266,38 @@ def _stats_may_match(stats: dict, prune: dict) -> bool:
     return True
 
 
+def _delete_entries(manifest: dict) -> list[dict]:
+    return manifest.get("deletes") or []
+
+
+def _delete_key_groups(spark: SparkSession, table: str, entries: list[dict]):
+    """Yield ``(key_cols, keys_frame)`` per distinct key-column tuple,
+    unioning the delete files that share it (anti-joins against a union
+    of key sets ≡ chained anti-joins, so one join per column tuple, not
+    per delete commit)."""
+    groups: dict[tuple, list[str]] = {}
+    for e in entries:
+        groups.setdefault(tuple(e["cols"]), []).append(e["txn"])
+    for cols, txns in sorted(groups.items()):
+        paths = [
+            os.path.join(table, "_deletes", f"{TXN_COL_PREFIX}{t}")
+            for t in txns
+        ]
+        yield list(cols), spark.read.parquet(*paths).select(*cols).distinct()
+
+
+def _apply_deletes(
+    spark: SparkSession, table: str, manifest: dict, df: DataFrame
+) -> DataFrame:
+    """Merge-on-read: subtract every pending equality-delete key set.
+    Delete key sets are tiny next to the data (that's why they were
+    taken as MOR deletes), so AQE turns each anti-join into a broadcast
+    — the scan stays one pass over the data files."""
+    for cols, keys in _delete_key_groups(spark, table, _delete_entries(manifest)):
+        df = df.join(keys, cols, "left_anti")
+    return df
+
+
 def read_snapshot(
     spark: SparkSession,
     table: str,
@@ -273,6 +305,7 @@ def read_snapshot(
     prune: dict | None = None,
     merge_schema: bool = False,
     as_of_ts_us: int | None = None,
+    apply_deletes: bool = True,
 ) -> DataFrame:
     """Load the table AS OF the current manifest — or a historical one
     (``as_of=<txn id>``, time travel: any retained txn manifest whose
@@ -293,7 +326,12 @@ def read_snapshot(
     ``merge_schema=True`` is the schema-evolution read: partition
     versions committed with extra columns union into one schema (absent
     columns read NULL) — pay the footer-merge cost only when evolution
-    actually happened."""
+    actually happened.
+
+    ``apply_deletes=False`` skips the merge-on-read equality-delete
+    subtraction (:func:`delete_where_mor`) and reads the RAW data files
+    — internal use (materialization/CDF) only; user reads should keep
+    the default or logically-deleted rows resurface."""
     if as_of is None and as_of_ts_us is not None:
         as_of = txn_as_of_timestamp(table, as_of_ts_us)
     if as_of is not None:
@@ -327,12 +365,15 @@ def read_snapshot(
                 .filter(F.lit(False))
             )
         raise FileNotFoundError(f"no committed snapshot at {table}")
-    return (
+    df = (
         spark.read.option("basePath", table)
         .option("mergeSchema", str(merge_schema).lower())
         .parquet(*paths)
         .drop("txn")  # the version dir surfaces as a partition column
     )
+    if apply_deletes:
+        df = _apply_deletes(spark, table, manifest, df)
+    return df
 
 
 def compact_partition(
@@ -491,6 +532,111 @@ def delete_where(
     return txn_id
 
 
+def delete_where_mor(
+    spark: SparkSession,
+    table: str,
+    condition,
+    key_cols: list[str],
+) -> str | None:
+    """MERGE-ON-READ DELETE (Iceberg equality-delete-file analog): rows
+    where ``condition`` is TRUE are logically deleted by writing their
+    ``key_cols`` values as a delete file under ``_deletes/txn=<id>`` and
+    appending a ``deletes`` entry to the manifest — NO data partition is
+    rewritten. Every read path (:func:`read_snapshot`,
+    :func:`read_snapshot_point`, CDF) subtracts the keys with an
+    anti-join; :func:`materialize_deletes` is the copy-on-write
+    compaction that folds them back into the data files.
+
+    This is the fast-delete story :func:`delete_where` (copy-on-write)
+    can't give at 100 TB: CoW rewrites every affected partition at data
+    volume — a GDPR erasure touching 10k partitions rewrites terabytes
+    to remove kilobytes. MOR writes O(matched keys) bytes and publishes
+    in one manifest swap; the read-side cost is one broadcast anti-join
+    per key-column tuple until materialization. ``key_cols`` must
+    uniquely identify the target rows to delete exactly the matched
+    rows (equality-delete semantics: EVERY row matching a written key
+    is deleted — same as Iceberg).
+
+    Returns the txn id, or None when nothing matched."""
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    manifest = read_manifest(table)
+    if not manifest["partitions"]:
+        raise FileNotFoundError(f"no committed snapshot at {table}")
+    # live view: prior MOR deletes apply, so an already-deleted row
+    # can't be re-captured into a new delete file
+    snap = read_snapshot(spark, table)
+    keys = snap.filter(cond).select(*key_cols).distinct()
+    txn_id = uuid.uuid4().hex[:12]
+    staging = os.path.join(table, f".txn-staging-{txn_id}")
+    keys.write.mode("overwrite").parquet(staging)
+    # row count from the staged footers (driver-side metadata read; no
+    # second Spark job over the filter scan)
+    import pyarrow.parquet as pq
+
+    n = sum(
+        pq.ParquetFile(os.path.join(staging, f)).metadata.num_rows
+        for f in os.listdir(staging)
+        if f.endswith(".parquet")
+    )
+    if n == 0:
+        shutil.rmtree(staging, ignore_errors=True)
+        return None
+    dst = os.path.join(table, "_deletes", f"{TXN_COL_PREFIX}{txn_id}")
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    os.rename(staging, dst)
+    manifest.setdefault("deletes", []).append(
+        {"txn": txn_id, "cols": list(key_cols), "n": int(n)}
+    )
+    # row counts moved under unchanged partition versions → analyze
+    # stats are stale (table_stats keys freshness on the deletes list)
+    _publish(table, manifest, txn_id)
+    return txn_id
+
+
+def materialize_deletes(spark: SparkSession, table: str) -> str | None:
+    """Fold pending merge-on-read deletes into the data files (the
+    copy-on-write compaction): rewrite ONLY the partitions that hold a
+    matching row, publish the cleaned versions and the emptied
+    ``deletes`` list in one atomic manifest swap. The logical view is
+    IDENTICAL before and after — this trades one rewrite for removing
+    the per-read anti-joins, and re-enables the raw-file interop paths
+    (:func:`export_file_manifest`). Returns the txn id, or None when no
+    deletes are pending."""
+    manifest = read_manifest(table)
+    entries = _delete_entries(manifest)
+    if not entries:
+        return None
+    part_cols = _partition_cols(manifest)
+    raw = read_snapshot(spark, table, apply_deletes=False)
+    affected: set[str] = set()
+    for cols, keys in _delete_key_groups(spark, table, entries):
+        affected |= {
+            _rel_for_row(r, part_cols)
+            for r in (
+                raw.join(keys, cols, "left_semi")
+                .select(*part_cols)
+                .distinct()
+                .collect()
+            )
+        }
+    txn_id = uuid.uuid4().hex[:12]
+    if affected:
+        in_affected = F.concat_ws(
+            os.sep,
+            *[
+                F.concat(F.lit(f"{c}="), F.col(c).cast("string"))
+                for c in part_cols
+            ],
+        ).isin(sorted(affected))
+        kept = _apply_deletes(spark, table, manifest, raw.filter(in_affected))
+        _rewrite_partitions(
+            spark, table, manifest, kept, affected, part_cols, txn_id
+        )
+    manifest["deletes"] = []
+    _publish(table, manifest, txn_id)
+    return txn_id
+
+
 def merge_upsert(
     spark: SparkSession,
     table: str,
@@ -633,7 +779,17 @@ def snapshot_diff(
     SAME in both manifests are bit-identical by construction and are
     never read — diff cost is proportional to the partitions that
     actually changed, not the table. Requires ``from_txn``'s manifest to
-    still be retained (vacuum ends the diff window, loudly at open)."""
+    still be retained (vacuum ends the diff window, loudly at open).
+
+    Merge-on-read deletes: each side is its manifest's LOGICAL view
+    (raw files minus that snapshot's equality-delete keys). A MOR
+    delete commit changes no partition version, so its CDF rows come
+    from a semi-join of the still-unchanged partitions against the
+    newly-added delete keys — this is the one diff shape whose cost is
+    the table's unchanged region, not the changed partitions (the keys
+    broadcast; materialize to return to partition-proportional diffs).
+    A :func:`materialize_deletes` between the two snapshots diffs
+    empty, as it must — the logical view didn't move."""
     m_old = _manifest_as_of(table, from_txn)
     m_new = _manifest_as_of(table, to_txn)
     changed = {
@@ -642,31 +798,71 @@ def snapshot_diff(
         if m_old["partitions"].get(rel) != m_new["partitions"].get(rel)
     }
 
-    def _side(manifest: dict) -> DataFrame | None:
+    def _frame(manifest: dict, rels) -> DataFrame | None:
         paths = [
             os.path.join(
                 table, rel, f"{TXN_COL_PREFIX}{manifest['partitions'][rel]}"
             )
-            for rel in sorted(changed)
+            for rel in sorted(rels)
             if rel in manifest["partitions"]
         ]
         if not paths:
             return None
-        return (
-            spark.read.option("basePath", table).parquet(*paths).drop("txn")
+        return _apply_deletes(
+            spark,
+            table,
+            manifest,
+            spark.read.option("basePath", table).parquet(*paths).drop("txn"),
         )
 
-    old, new = _side(m_old), _side(m_new)
-    if old is None and new is None:  # no partition changed at all
+    old, new = _frame(m_old, changed), _frame(m_new, changed)
+    parts = []
+    if old is not None and new is not None:
+        parts.append(
+            new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
+        )
+        parts.append(
+            old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
+        )
+    elif new is not None:
+        parts.append(new.withColumn("_change_type", F.lit("insert")))
+    elif old is not None:
+        parts.append(old.withColumn("_change_type", F.lit("delete")))
+
+    # delete-list drift over UNCHANGED partitions (changed ones already
+    # diffed logically above — restricting here prevents double counts)
+    old_del = {e["txn"] for e in _delete_entries(m_old)}
+    new_del = {e["txn"] for e in _delete_entries(m_new)}
+    added = [e for e in _delete_entries(m_new) if e["txn"] not in old_del]
+    removed = [e for e in _delete_entries(m_old) if e["txn"] not in new_del]
+    unchanged = {
+        rel
+        for rel in set(m_old["partitions"]) & set(m_new["partitions"])
+        if m_old["partitions"][rel] == m_new["partitions"][rel]
+    }
+    if added and unchanged:
+        base = _frame(m_old, unchanged)  # old logical view
+        for cols, keys in _delete_key_groups(spark, table, added):
+            parts.append(
+                base.join(keys, cols, "left_semi").withColumn(
+                    "_change_type", F.lit("delete")
+                )
+            )
+    if removed and unchanged:
+        base_new = _frame(m_new, unchanged)  # rows visible again
+        for cols, keys in _delete_key_groups(spark, table, removed):
+            parts.append(
+                base_new.join(keys, cols, "left_semi").withColumn(
+                    "_change_type", F.lit("insert")
+                )
+            )
+    if not parts:  # nothing changed at all
         base = read_snapshot(spark, table, as_of=to_txn).filter(F.lit(False))
         return base.withColumn("_change_type", F.lit(""))
-    if old is None:
-        return new.withColumn("_change_type", F.lit("insert"))
-    if new is None:
-        return old.withColumn("_change_type", F.lit("delete"))
-    inserts = new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
-    deletes = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
-    return inserts.unionByName(deletes)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def manifest_stream_sink(table: str, pre_publish=None):
@@ -751,6 +947,13 @@ def vacuum(table: str, keep_last: int = 1, keep_txns: set | None = None) -> int:
         for m in history
         for rel, txn in m["partitions"].items()
     }
+    # equality-delete files referenced by any retained manifest must
+    # survive — a retained snapshot's logical view depends on them
+    live |= {
+        os.path.join("_deletes", f"{TXN_COL_PREFIX}{e['txn']}")
+        for m in history
+        for e in _delete_entries(m)
+    }
     removed = 0
     for dirpath, dirnames, _ in os.walk(table):
         for entry in list(dirnames):
@@ -819,6 +1022,22 @@ def clone_table(src: str, dst: str) -> str:
         bloom = manifest.get("bloom", {}).get(rel)
         if bloom is not None:  # clone holds identical data → bloom valid
             new_manifest.setdefault("bloom", {})[rel] = bloom
+    # pending merge-on-read deletes are part of the logical snapshot —
+    # link their key files (immutable, same dir names) and carry the list
+    for e in _delete_entries(manifest):
+        src_dir = os.path.join(src, "_deletes", f"{TXN_COL_PREFIX}{e['txn']}")
+        dst_dir = os.path.join(dst, "_deletes", f"{TXN_COL_PREFIX}{e['txn']}")
+        os.makedirs(dst_dir, exist_ok=True)
+        for name in sorted(os.listdir(src_dir)):
+            if not name.endswith(".parquet"):
+                continue
+            s, d = os.path.join(src_dir, name), os.path.join(dst_dir, name)
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
+    if _delete_entries(manifest):
+        new_manifest["deletes"] = [dict(e) for e in _delete_entries(manifest)]
     _publish(dst, new_manifest, txn_id)
     return txn_id
 
@@ -932,8 +1151,14 @@ def read_snapshot_point(
     paths = [
         os.path.join(table, rel, f"{TXN_COL_PREFIX}{txn}") for rel, txn in keep
     ]
-    return (
-        spark.read.option("basePath", table).parquet(*paths).drop("txn")
+    # merge-on-read deletes apply here too — the bloom describes the raw
+    # data files, so a logically-deleted key can bloom-match; the
+    # anti-join keeps it from resurfacing
+    return _apply_deletes(
+        spark,
+        table,
+        manifest,
+        spark.read.option("basePath", table).parquet(*paths).drop("txn"),
     )
 
 
@@ -1030,6 +1255,9 @@ def analyze_table(
                 data_bytes += os.path.getsize(os.path.join(vdir, fname))
     manifest["table_stats"] = {
         "as_of": dict(manifest["partitions"]),
+        # merge-on-read deletes change the logical row counts without
+        # moving any partition version — freshness must key on them too
+        "as_of_deletes": [e["txn"] for e in _delete_entries(manifest)],
         "row_count": int(row["_rc"]),
         "data_bytes": int(data_bytes),
         "columns": {
@@ -1054,7 +1282,13 @@ def table_stats(table: str) -> dict | None:
     stats = manifest.get("table_stats")
     if stats is None or stats["as_of"] != manifest["partitions"]:
         return None
-    return {k: v for k, v in stats.items() if k != "as_of"}
+    if stats.get("as_of_deletes", []) != [
+        e["txn"] for e in _delete_entries(manifest)
+    ]:
+        return None  # a MOR delete landed since the analyze — stale
+    return {
+        k: v for k, v in stats.items() if k not in ("as_of", "as_of_deletes")
+    }
 
 
 def broadcast_advice(
@@ -1192,6 +1426,12 @@ def export_file_manifest(
     manifest path (default ``_SYMLINK-<txn>.txt`` in the table root).
     """
     manifest = _manifest_as_of(table, as_of)
+    if _delete_entries(manifest):
+        raise ValueError(
+            f"export_file_manifest: {table} has pending merge-on-read "
+            "deletes; an external reader of the raw files would resurrect "
+            "logically-deleted rows — run materialize_deletes first"
+        )
     txn = manifest["txn"]
     files = []
     for rel, part_txn in sorted(manifest["partitions"].items()):
@@ -1241,6 +1481,9 @@ def restore_table(table: str, to_txn: str) -> str:
         "stats": dict(target.get("stats", {})),
         "bloom": dict(target.get("bloom", {})),
         "constraints": dict(target.get("constraints", {})),
+        # the restored logical view includes that snapshot's pending
+        # merge-on-read deletes (their key files are retained with it)
+        "deletes": [dict(e) for e in _delete_entries(target)],
         "restored_from": to_txn,
     }
     _publish(table, manifest, new_txn)
