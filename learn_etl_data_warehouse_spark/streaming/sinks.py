@@ -431,3 +431,49 @@ def sla_percentile_sink(catalog_dir: str):
         )
 
     return handle
+
+
+def cdc_apply_sink(
+    table: str,
+    key_cols: list[str],
+    seq_col: str = "_seq",
+    op_col: str = "_op",
+):
+    """foreachBatch handler applying a CHANGE-DATA-CAPTURE feed to a
+    manifest-warehouse table — the "apply the OLTP binlog to the lake"
+    pattern (Delta's ``MERGE``-from-CDC recipe). Each micro-batch of
+    ``(key..., full row..., seq, op)`` change events is reduced to
+    last-write-wins per key by ``seq_col`` (the CDC log sequence
+    number: within one key, later LSN wins; ties are broken by
+    preferring the delete so a same-LSN D/U pair can't resurrect), then
+    applied with ``plans/manifest_warehouse.py::merge_apply`` —
+    deletes, updates and inserts land in ONE atomic manifest swap per
+    batch.
+
+    Exactly-once is CONTENT-derived, like ``dedup_ingest_sink``: a
+    replayed batch re-reduces to the same finalized per-key outcomes,
+    whose re-application is a no-op (upserting the rows the table
+    already holds, deleting keys already gone). No ledger table to
+    maintain; a crash between apply and the stream checkpoint replays
+    harmlessly."""
+    from pyspark.sql import Window
+
+    from learn_etl_data_warehouse_spark.plans.manifest_warehouse import (
+        merge_apply,
+    )
+
+    def handle(batch_df, batch_id: int) -> None:
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.col(seq_col).desc(),
+            (F.col(op_col) == "D").desc(),
+        )
+        final = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", seq_col)
+        )
+        merge_apply(
+            batch_df.sparkSession, table, final, key_cols, op_col=op_col
+        )
+
+    return handle
