@@ -421,3 +421,111 @@ def register_policy_views(
             df.schema  # force analysis: bad predicates fail HERE
         df.createOrReplaceTempView(prefix + name)
     return pinned
+
+
+def catalog_erase_key(
+    spark: SparkSession,
+    catalog_dir: str,
+    key_col: str,
+    values: list,
+) -> str | None:
+    """RIGHT-TO-BE-FORGOTTEN erasure across the WHOLE warehouse in one
+    transaction: every member table carrying ``key_col`` gets a
+    merge-on-read equality-delete for the given values, and a single
+    ``_CATALOG.json`` swap publishes all of them together — no reader
+    can ever observe the subject half-erased (gone from the fact table,
+    still present in the derived rollup).
+
+    The write cost is O(matched keys) per table (delete-key files only;
+    no data partition rewrites) — the erasure is effectively instant at
+    100 TB, which is what an erasure-deadline SLA needs. It is a
+    LOGICAL erasure: raw parquet still holds the bytes, every read path
+    filters them. Compliance then completes physically with
+    :func:`catalog_purge_table` per touched table (rewrites the data
+    files clean) and :func:`catalog_vacuum` (collects historical
+    versions and the delete-key files themselves, which contain the
+    subject's keys). Returns the catalog txn, or None when no table
+    held a matching row."""
+    import pyarrow.parquet as pq
+
+    cat = read_catalog(catalog_dir)
+    if not cat["tables"]:
+        raise FileNotFoundError(f"empty catalog at {catalog_dir}")
+    cat_txn = uuid.uuid4().hex[:12]
+    staged: dict[str, dict] = {}
+    for name, table_txn in sorted(cat["tables"].items()):
+        table = _table_path(catalog_dir, name)
+        with open(os.path.join(table, f"_MANIFEST-{table_txn}.json")) as fh:
+            manifest = json.load(fh)
+        df = mw.read_snapshot(spark, table, as_of=table_txn)
+        if key_col not in df.columns:
+            continue
+        keys = (
+            df.filter(F.col(key_col).isin(values)).select(key_col).distinct()
+        )
+        new_txn = f"{cat_txn}-{name}"
+        staging = os.path.join(table, f".txn-staging-{new_txn}")
+        keys.write.mode("overwrite").parquet(staging)
+        n = sum(
+            pq.ParquetFile(os.path.join(staging, f)).metadata.num_rows
+            for f in os.listdir(staging)
+            if f.endswith(".parquet")
+        )
+        if n == 0:  # subject absent from this table
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
+            continue
+        dst = os.path.join(table, "_deletes", f"{mw.TXN_COL_PREFIX}{new_txn}")
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.rename(staging, dst)
+        manifest.setdefault("deletes", []).append(
+            {"txn": new_txn, "cols": [key_col], "n": int(n)}
+        )
+        manifest["txn"] = new_txn
+        manifest["seq"] = int(manifest.get("seq", 0)) + 1
+        with open(os.path.join(table, f"_MANIFEST-{new_txn}.json"), "w") as fh:
+            json.dump(manifest, fh)
+        staged[name] = manifest
+    if not staged:
+        return None
+    new_cat = {
+        "txn": cat_txn,
+        "tables": {
+            **cat["tables"],
+            **{name: m["txn"] for name, m in staged.items()},
+        },
+    }
+    _publish_catalog(catalog_dir, new_cat, base_txn=cat["txn"])
+    for name, manifest in sorted(staged.items()):
+        _flip_live_manifest(_table_path(catalog_dir, name), manifest)
+    return cat_txn
+
+
+def catalog_purge_table(
+    spark: SparkSession, catalog_dir: str, name: str
+) -> str:
+    """Physically rewrite one member table's data files to its current
+    LOGICAL view (pending merge-on-read deletes folded in) and publish
+    through a catalog transaction — step two of the erasure recipe. The
+    logical view is unchanged; after this the live data files no longer
+    contain the erased bytes, and :func:`catalog_vacuum` can collect
+    the historical versions plus the delete-key files."""
+    cat = read_catalog(catalog_dir)
+    if name not in cat["tables"]:
+        raise FileNotFoundError(f"table {name!r} not in catalog {catalog_dir}")
+    table = _table_path(catalog_dir, name)
+    with open(
+        os.path.join(table, f"_MANIFEST-{cat['tables'][name]}.json")
+    ) as fh:
+        manifest = json.load(fh)
+    rel0 = next(iter(manifest["partitions"]))
+    partition_by = (
+        []
+        if rel0 == "."
+        else [seg.split("=", 1)[0] for seg in rel0.split(os.sep)]
+    )
+    df = catalog_read(spark, catalog_dir, name)
+    return catalog_commit(
+        spark, catalog_dir, {name: (df, partition_by)}, replace=True
+    )

@@ -506,6 +506,7 @@ def delete_where(
     manifest = read_manifest(table)
     if not manifest["partitions"]:
         raise FileNotFoundError(f"no committed snapshot at {table}")
+    manifest = _settle_pending_deletes(spark, table, manifest)
     part_cols = _partition_cols(manifest)
     snap = read_snapshot(spark, table)
     affected = {
@@ -593,6 +594,22 @@ def delete_where_mor(
     return txn_id
 
 
+def _settle_pending_deletes(
+    spark: SparkSession, table: str, manifest: dict
+) -> dict:
+    """Copy-on-write mutators call this first: pending merge-on-read
+    delete keys act as a GLOBAL anti-join filter, so a CoW upsert that
+    re-inserts a previously-MOR-deleted key would be silently swallowed
+    by the read path (and physically-stale copies in unaffected
+    partitions could resurface if the key were naively un-deleted).
+    Materializing first — a logical no-op — removes the interaction
+    entirely; the mutation then runs on a clean table."""
+    if not _delete_entries(manifest):
+        return manifest
+    materialize_deletes(spark, table)
+    return read_manifest(table)
+
+
 def materialize_deletes(spark: SparkSession, table: str) -> str | None:
     """Fold pending merge-on-read deletes into the data files (the
     copy-on-write compaction): rewrite ONLY the partitions that hold a
@@ -657,6 +674,7 @@ def merge_upsert(
     manifest = read_manifest(table)
     if not manifest["partitions"]:
         raise FileNotFoundError(f"no committed snapshot at {table}")
+    manifest = _settle_pending_deletes(spark, table, manifest)
     part_cols = _partition_cols(manifest)
     snap = read_snapshot(spark, table)
     updates = updates.select(*snap.columns)  # align column order
@@ -727,6 +745,7 @@ def merge_apply(
     manifest = read_manifest(table)
     if not manifest["partitions"]:
         raise FileNotFoundError(f"no committed snapshot at {table}")
+    manifest = _settle_pending_deletes(spark, table, manifest)
     part_cols = _partition_cols(manifest)
     snap = read_snapshot(spark, table)
     upserts = (

@@ -225,3 +225,29 @@ def test_restore_revives_rows_and_cdf_reports_inserts(spark, vtable):
         for r in snapshot_diff(spark, table, t1).collect()
     )
     assert revived == [(2, "insert"), (4, "insert")]
+
+
+def test_cow_upsert_after_mor_delete_settles_pending_keys(spark, vtable):
+    """Regression: a CoW merge re-inserting a MOR-deleted key must not be
+    swallowed by the pending anti-join (mutators materialize first)."""
+    from learn_etl_data_warehouse_spark.plans.manifest_warehouse import (
+        merge_upsert,
+    )
+
+    table, _ = vtable
+    delete_where_mor(spark, table, F.col("id") == 5, ["id"])
+    assert not any(
+        r["id"] == 5 for r in read_snapshot(spark, table).collect()
+    )
+    merge_upsert(
+        spark,
+        table,
+        spark.createDataFrame(
+            [(5, 5.5, "back", 0)], "id INT, v DOUBLE, cat STRING, batch_id INT"
+        ),
+        ["id"],
+    )
+    m = read_manifest(table)
+    assert m["deletes"] == []  # settled before the merge
+    got = [r for r in read_snapshot(spark, table).collect() if r["id"] == 5]
+    assert [(r["v"], r["cat"]) for r in got] == [(5.5, "back")]
