@@ -3965,6 +3965,62 @@ def q_pf07(spark, sf_dir):
     return ks_drift(o, "o_orderpriority", "cents", "1-URGENT", "5-LOW")
 
 
+def q_ml02(spark, sf_dir):
+    """Exact ranking AUC (r5 cont.): how well order value separates
+    urgent from low-priority orders — the Mann–Whitney rank-sum
+    formulation keeps every (pos, neg) pair comparison integral (2 per
+    win, 1 per tie) in DECIMAL(38,0)/HUGEINT with ONE truncating ppm
+    division, so no float CDF/trapezoid can drift cross-engine
+    (operators/evaluation.py::auc_ranking). The ranking-quality
+    companion to pf07's distribution distance on the same two samples."""
+    from learn_etl_data_warehouse_spark.operators.evaluation import (
+        auc_ranking,
+    )
+
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    return auc_ranking(
+        o,
+        F.col("o_orderpriority") == "1-URGENT",
+        F.round(F.col("o_totalprice") * 100).cast("long"),
+    )
+
+
+def q_ops02(spark, sf_dir):
+    """Daily order backlog (r5 cont.): how many orders are open (placed
+    but not fully shipped) on each change day — sweep-line interval
+    counting: ±1 deltas at start/end+1, one hash agg, one running sum
+    over the bounded day axis; an interval spanning years costs two
+    delta rows, never a per-day explosion
+    (operators/timeseries.py::daily_open_intervals). Pure integer
+    epoch-day arithmetic."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        daily_open_intervals,
+    )
+
+    epoch = F.lit("1970-01-01")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), epoch).cast("long").alias(
+            "start_day"
+        ),
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.max(
+                F.datediff(F.col("l_shipdate"), epoch).cast("long")
+            ).alias("end_day")
+        )
+    )
+    iv = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "start_day", "end_day"
+    )
+    return daily_open_intervals(iv)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -4198,6 +4254,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e27_weekday_weekend": q_e27,
         "m06_media_blob_dedup": q_m06,
         "pf07_ks_drift": q_pf07,
+        "ml02_auc_ranking": q_ml02,
+        "ops02_order_backlog": q_ops02,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
         # rows are all hash-verifiable
@@ -6978,4 +7036,43 @@ SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
        CAST((1000000 * max(abs(ca * tb - cb * ta))) // (ta * tb)
             AS BIGINT) AS d_ppm
 FROM c, t GROUP BY ta, tb, n_values"""
+    # ml02: rank-sum AUC — per distinct score, positives win 2 per
+    # lower-scored negative and 1 per tied negative; HUGEINT products,
+    # one truncating ppm division (non-negative, // ≡ div).
+    out["ml02_auc_ranking"] = """
+WITH s AS (SELECT (o_orderpriority = '1-URGENT') AS y,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS v
+           FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+ps AS (SELECT v, sum(CASE WHEN y THEN 1 ELSE 0 END) AS np,
+              sum(CASE WHEN y THEN 0 ELSE 1 END) AS nn
+       FROM s GROUP BY 1),
+c AS (SELECT np, nn,
+             sum(nn) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) - nn AS below
+      FROM ps)
+SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+       CAST(sum(nn) AS BIGINT) AS n_neg,
+       count(*) AS n_scores,
+       CAST((1000000 * sum(np * (2 * below + nn)))
+            // (2 * sum(np) * sum(nn)) AS BIGINT) AS auc_ppm
+FROM c"""
+    # ops02: sweep-line interval counting on integer epoch days; the
+    # running sum is over distinct change days (calendar-bounded).
+    out["ops02_order_backlog"] = """
+WITH o AS (SELECT o_orderkey,
+                  epoch_us(o_orderdate) // 86400000000 AS sd
+           FROM orders),
+l AS (SELECT l_orderkey,
+             max(epoch_us(l_shipdate) // 86400000000) AS ed
+      FROM lineitem GROUP BY 1),
+iv AS (SELECT sd, ed FROM o JOIN l ON o_orderkey = l_orderkey),
+d AS (SELECT sd AS day, 1 AS dd FROM iv
+      UNION ALL
+      SELECT ed + 1 AS day, -1 AS dd FROM iv),
+pd AS (SELECT day, sum(dd) AS net_change FROM d GROUP BY 1)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(net_change AS BIGINT) AS net_change,
+       CAST(sum(net_change) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+            PRECEDING AND CURRENT ROW) AS BIGINT) AS open_count
+FROM pd"""
     return out

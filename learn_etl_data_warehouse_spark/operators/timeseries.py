@@ -513,3 +513,43 @@ def cusum_changepoint(
             F.col("t").cast("long").alias("n_hours"),
         )
     )
+
+
+def daily_open_intervals(
+    intervals: DataFrame,
+    start_day: str = "start_day",
+    end_day: str = "end_day",
+) -> DataFrame:
+    """Concurrent-interval counting: how many intervals are OPEN on each
+    day — the order-backlog / active-ticket / occupancy query. Classic
+    sweep-line reformulation: each interval emits (+1 at start_day,
+    −1 at end_day + 1), one aggregation nets the deltas per day, one
+    running sum over the day axis yields the open count. Exact, and
+    never materializes an (interval × day) explosion — an interval
+    spanning 3 years costs 2 delta rows, not 1,095.
+
+    Output rows are the CHANGE days only ``(day, net_change,
+    open_count)``; the count holds between consecutive change days
+    (gap-fill with e09's spine pattern when a dense series is needed).
+
+    Scale shape: one hash agg on day (the sweep events), then one
+    ordered running-sum window over distinct days — bounded by the
+    calendar span, not the interval count; the same benign
+    single-ordered-partition shape as e17's day axis.
+    """
+    deltas = intervals.select(
+        F.col(start_day).alias("day"), F.lit(1).alias("_d")
+    ).unionAll(
+        intervals.select(
+            (F.col(end_day) + 1).alias("day"), F.lit(-1).alias("_d")
+        )
+    )
+    per_day = deltas.groupBy("day").agg(F.sum("_d").alias("net_change"))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_day.select(
+        F.col("day").cast("long").alias("day"),
+        F.col("net_change").cast("long").alias("net_change"),
+        F.sum("net_change").over(w).cast("long").alias("open_count"),
+    )
