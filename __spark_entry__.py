@@ -4021,6 +4021,41 @@ def q_ops02(spark, sf_dir):
     return daily_open_intervals(iv)
 
 
+def q_pf08(spark, sf_dir):
+    """Functional-dependency audit (r5 cont.): which det → dep value
+    dependencies hold exactly across the star schema — key→attribute
+    FDs must hold (c_custkey→c_nationkey, n_nationkey→n_regionkey),
+    coarse→fine ones must not; a flip either way is upstream drift.
+    Exact integer counts per candidate, one narrow aggregation each
+    (operators/profiling.py::fd_discovery — pf06's referential audit
+    lifted from keys to values)."""
+    from learn_etl_data_warehouse_spark.operators.profiling import (
+        fd_discovery,
+    )
+
+    cust = fd_discovery(
+        _t(spark, sf_dir, "customer"),
+        [("c_custkey", "c_nationkey"), ("c_nationkey", "c_mktsegment")],
+        "customer",
+    )
+    orders = fd_discovery(
+        _t(spark, sf_dir, "orders"),
+        [("o_orderkey", "o_custkey"), ("o_custkey", "o_orderpriority")],
+        "orders",
+    )
+    nat = fd_discovery(
+        _t(spark, sf_dir, "nation"),
+        [("n_nationkey", "n_regionkey")],
+        "nation",
+    )
+    ev = fd_discovery(
+        _t(spark, sf_dir, "events"),
+        [("user_id", "event_type")],
+        "events",
+    )
+    return cust.unionAll(orders).unionAll(nat).unionAll(ev)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -4256,6 +4291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pf07_ks_drift": q_pf07,
         "ml02_auc_ranking": q_ml02,
         "ops02_order_backlog": q_ops02,
+        "pf08_fd_discovery": q_pf08,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
         # rows are all hash-verifiable
@@ -7075,4 +7111,27 @@ SELECT CAST(day AS BIGINT) AS day,
        CAST(sum(net_change) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
             PRECEDING AND CURRENT ROW) AS BIGINT) AS open_count
 FROM pd"""
+    # pf08: one grouped count-distinct sub-select per FD candidate;
+    # both-non-null filter makes the NULL semantics explicit and
+    # engine-identical.
+    fd_cases = [
+        ("customer", "c_custkey", "c_nationkey"),
+        ("customer", "c_nationkey", "c_mktsegment"),
+        ("orders", "o_orderkey", "o_custkey"),
+        ("orders", "o_custkey", "o_orderpriority"),
+        ("nation", "n_nationkey", "n_regionkey"),
+        ("events", "user_id", "event_type"),
+    ]
+    out["pf08_fd_discovery"] = "\nUNION ALL\n".join(
+        f"""SELECT '{t}' AS table_name, '{det}' AS determinant,
+       '{dep}' AS dependent,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(coalesce(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_violating,
+       CAST(CASE WHEN coalesce(max(nd), 0) <= 1 THEN 1 ELSE 0 END
+            AS BIGINT) AS holds
+FROM (SELECT {det}, count(DISTINCT {dep}) AS nd FROM {t}
+      WHERE {det} IS NOT NULL AND {dep} IS NOT NULL GROUP BY 1)"""
+        for t, det, dep in fd_cases
+    )
     return out

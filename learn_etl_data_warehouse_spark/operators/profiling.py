@@ -311,3 +311,54 @@ def fk_orphan_audit(
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def fd_discovery(
+    df: DataFrame,
+    candidates: list[tuple[str, str]],
+    table_name: str,
+) -> DataFrame:
+    """Functional-dependency audit: for each candidate ``det → dep``,
+    does every determinant value map to at most one dependent value?
+    The schema-discovery primitive behind normalization advice and
+    silent-denormalization-drift alarms (a violated FD that used to
+    hold means upstream started writing inconsistent attributes —
+    pf06's referential audit for VALUES instead of keys).
+
+    Per candidate: rows with both sides non-null group by the
+    determinant, count distinct dependents, and reduce to
+    ``(n_groups, n_violating, holds)`` — all exact integer counts. One
+    narrow column-pruned aggregation per candidate (candidate lists
+    are small and human-curated, like pf06's relationship list); each
+    is a standard partial-aggregated shuffle at any scale.
+
+    Returns (table_name, determinant, dependent, n_groups,
+    n_violating, holds) with one row per candidate.
+    """
+    if not candidates:
+        raise ValueError("fd_discovery: candidates must be non-empty")
+    out = None
+    for det, dep in candidates:
+        g = (
+            df.filter(F.col(det).isNotNull() & F.col(dep).isNotNull())
+            .groupBy(det)
+            .agg(F.countDistinct(dep).alias("_nd"))
+        )
+        row = g.agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.coalesce(
+                F.sum((F.col("_nd") > 1).cast("long")), F.lit(0)
+            ).cast("long").alias("n_violating"),
+            (F.coalesce(F.max("_nd"), F.lit(0)) <= 1)
+            .cast("long")
+            .alias("holds"),
+        ).select(
+            F.lit(table_name).alias("table_name"),
+            F.lit(det).alias("determinant"),
+            F.lit(dep).alias("dependent"),
+            "n_groups",
+            "n_violating",
+            "holds",
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
