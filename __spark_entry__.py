@@ -4056,6 +4056,21 @@ def q_pf08(spark, sf_dir):
     return cust.unionAll(orders).unionAll(nat).unionAll(ev)
 
 
+def q_t28(spark, sf_dir):
+    """BM25 retrieval top-20 (r5 cont.): Okapi-scored ranking of the
+    corpus for a fixed query-term set, fully integer — tf saturation as
+    one exact rational (k1=6/5, b=3/4 folded), idf as floor-log2 of
+    the truncated odds ratio via bin()-string length (no libm ln; both
+    engines floor identically), DECIMAL(38,0)/HUGEINT numerators
+    (operators/text.py::bm25_scores). The query-time companion to
+    t10's corpus-profiling tf-idf."""
+    from learn_etl_data_warehouse_spark.operators.text import bm25_scores
+
+    return bm25_scores(
+        _t(spark, sf_dir, "documents"), ["spark", "join", "stream"], k=20
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -4292,6 +4307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml02_auc_ranking": q_ml02,
         "ops02_order_backlog": q_ops02,
         "pf08_fd_discovery": q_pf08,
+        "t28_bm25_ranking": q_t28,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept behind the window so the driver's 50 checked
         # rows are all hash-verifiable
@@ -7134,4 +7150,35 @@ FROM (SELECT {det}, count(DISTINCT {dep}) AS nd FROM {t}
       WHERE {det} IS NOT NULL AND {dep} IS NOT NULL GROUP BY 1)"""
         for t, det, dep in fd_cases
     )
+    # t28: idf2 = length(bin((2N+2) // (2df+1))) - 1 — floor-log2 via
+    # binary-string length, exact in both engines; tf_norm numerators
+    # in HUGEINT (BIGINT clears only to T ≈ 4e11 tokens).
+    out["t28_bm25_ranking"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+tot AS (SELECT count(*) AS n, sum(dl) AS t FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('spark', 'join', 'stream') GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+s AS (SELECT tf.doc_id,
+             length(bin((2 * n + 2) // (2 * df + 1))) - 1 AS idf2,
+             (CAST(1000000 AS HUGEINT) * 22 * t * tf)
+               // (CAST(10 AS HUGEINT) * t * tf + 3 * t + 9 * dl * n)
+               AS tfn
+      FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term)
+      CROSS JOIN tot),
+pd AS (SELECT doc_id, count(*) AS n_terms_matched,
+              sum(idf2 * tfn) AS score_ppm
+       FROM s GROUP BY 1),
+r AS (SELECT doc_id,
+             row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS rnk,
+             n_terms_matched, score_ppm
+      FROM pd)
+SELECT doc_id, CAST(rnk AS BIGINT) AS rnk,
+       CAST(n_terms_matched AS BIGINT) AS n_terms_matched,
+       CAST(score_ppm AS BIGINT) AS score_ppm
+FROM r WHERE rnk <= 20"""
     return out

@@ -1200,3 +1200,89 @@ def bigram_kn_from_counts(
         out.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= top)
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Integer-exact BM25 retrieval ranking for a fixed query-term set —
+    the search-scoring companion to ``tfidf_top_terms`` (which profiles
+    a corpus; this ranks documents FOR A QUERY).
+
+    Okapi BM25 with k1 = 6/5, b = 3/4 folded into one rational:
+
+        tf_norm = 22·T·tf / (10·T·tf + 3·T + 9·dl·N)      (ppm, trunc)
+        idf2    = floor(log2(1 + (N + 1)/(df + ½)))
+                = length(bin((2N + 2) div (2df + 1))) − 1  (exact)
+        score   = Σ_terms idf2 · tf_norm_ppm
+
+    with N docs, T total tokens, dl the doc length. The idf uses
+    floor-log2 via the binary-string length of the truncated ratio —
+    floor(log2(x)) = bitlen(floor(x)) − 1 for x ≥ 1, so the usual
+    transcendental ln (libm, not IEEE-pinned cross-engine) never
+    appears; the t10 rationale, kept logarithmic instead of t10's raw
+    N/df ratio. Numerators ride DECIMAL(38,0)/HUGEINT — 1e6·22·T·tf
+    clears BIGINT near T ≈ 4e11 tokens, i.e. well inside a 100 TB
+    corpus.
+
+    Plan: one explode → token stream, reused for doc lengths and the
+    query-term tf (the filter pushes the bounded term list to the
+    scan); dfreq and the (N, T) totals broadcast; final top-k is a
+    TakeOrdered under the (score, id) total order with ranks assigned
+    inside the k-row result — no global sort shuffle.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(_c(text_col)))).alias("term")
+    )
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
+    totals = dl.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_dl").alias("_t")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(list(terms)))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    scored = (
+        tf.join(dl, id_col)
+        .join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(totals))
+        .withColumn(
+            "_idf2",
+            (
+                F.length(F.expr("bin((2 * _n + 2) div (2 * _df + 1))")) - 1
+            ).cast("long"),
+        )
+        .withColumn(
+            "_tfn_ppm",
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * 22 * _t * _tf) div"
+                " (CAST(10 AS DECIMAL(38,0)) * _t * _tf"
+                "  + CAST(3 AS DECIMAL(38,0)) * _t"
+                "  + CAST(9 AS DECIMAL(38,0)) * _dl * _n) AS BIGINT)"
+            ),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+        F.sum(F.col("_idf2") * F.col("_tfn_ppm")).cast("long").alias(
+            "score_ppm"
+        ),
+    )
+    top = per_doc.orderBy(
+        F.col("score_ppm").desc(), F.col(id_col)
+    ).limit(k)
+    w = Window.orderBy(F.col("score_ppm").desc(), F.col(id_col))
+    return top.select(
+        F.col(id_col),
+        F.row_number().over(w).cast("long").alias("rnk"),
+        "n_terms_matched",
+        "score_ppm",
+    )

@@ -478,6 +478,48 @@ def test_tfidf_top_terms_deterministic_ties(spark):
     assert sorted(by_doc[2]) == [(1, "banana"), (2, "apple")]
 
 
+def test_bm25_scores_match_integer_reference(spark):
+    from learn_etl_data_warehouse_spark.operators import text as textops
+
+    docs = [
+        (1, "spark spark join"),
+        (2, "join stream other other"),
+        (3, "other words only here"),
+        (4, "spark join stream spark stream"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    terms = ["spark", "join", "stream"]
+    got = {r["doc_id"]: r for r in textops.bm25_scores(df, terms, k=10).collect()}
+
+    # pure-Python twin of the documented integer formula
+    toks = {d: t.split() for d, t in docs}
+    n_docs = len(docs)
+    total = sum(len(v) for v in toks.values())
+    dfreq = {q: sum(1 for v in toks.values() if q in v) for q in terms}
+    exp = {}
+    for d, v in toks.items():
+        score, matched = 0, 0
+        for q in terms:
+            tf = v.count(q)
+            if not tf:
+                continue
+            matched += 1
+            idf2 = ((2 * n_docs + 2) // (2 * dfreq[q] + 1)).bit_length() - 1
+            tfn = (1_000_000 * 22 * total * tf) // (
+                10 * total * tf + 3 * total + 9 * len(v) * n_docs
+            )
+            score += idf2 * tfn
+        if matched:
+            exp[d] = (matched, score)
+
+    assert set(got) == set(exp)  # doc 3 (no query term) must be absent
+    for d, (matched, score) in exp.items():
+        assert got[d]["n_terms_matched"] == matched
+        assert got[d]["score_ppm"] == score
+    order = sorted(exp, key=lambda d: (-exp[d][1], d))
+    assert [got[d]["rnk"] for d in order] == list(range(1, len(order) + 1))
+
+
 def test_scrub_pii_redacts_and_counts(spark):
     from learn_etl_data_warehouse_spark.operators import text as textops
 
