@@ -3949,20 +3949,31 @@ def q_m06(spark, sf_dir):
 
 
 def q_pf07(spark, sf_dir):
-    """Two-sample KS drift (r5 cont.): Kolmogorov–Smirnov distance
-    between the order-value distributions of urgent vs low-priority
-    orders — the NUMERIC companion to pf02's categorical drift
-    monitor. Float-free: at each distinct cent value the CDF gap
-    |F_a−F_b| is the integer cross-difference |c_a·n_b − c_b·n_a| in
-    DECIMAL(38,0)/HUGEINT; reported as the truncating ppm
-    (operators/profiling.py::ks_drift)."""
+    """Shipping-lag KS drift (r6): Kolmogorov–Smirnov distance between
+    the order-to-ship lag-day distributions (l_shipdate − o_orderdate,
+    integer epoch-day difference) of returned ('R') vs non-returned
+    ('N') lineitems — do returns correlate with slower fulfilment? A
+    DURATION-measure drift monitor complementing pf03's KS on order
+    value (different tables, measure, and group pair). Float-free: at
+    each distinct lag the CDF gap |F_a−F_b| is the integer
+    cross-difference |c_a·n_b − c_b·n_a| in DECIMAL(38,0)/HUGEINT;
+    reported as the truncating ppm (operators/profiling.py::ks_drift)."""
     from learn_etl_data_warehouse_spark.operators.profiling import ks_drift
 
+    epoch = F.lit("1970-01-01")
     o = _t(spark, sf_dir, "orders").select(
-        "o_orderpriority",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), epoch).cast("long").alias("_od"),
     )
-    return ks_drift(o, "o_orderpriority", "cents", "1-URGENT", "5-LOW")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        F.datediff(F.col("l_shipdate"), epoch).cast("long").alias("_sd"),
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_returnflag", (F.col("_sd") - F.col("_od")).alias("lag_days")
+    )
+    return ks_drift(j, "l_returnflag", "lag_days", "R", "N")
 
 
 def q_ml02(spark, sf_dir):
@@ -3972,7 +3983,7 @@ def q_ml02(spark, sf_dir):
     win, 1 per tie) in DECIMAL(38,0)/HUGEINT with ONE truncating ppm
     division, so no float CDF/trapezoid can drift cross-engine
     (operators/evaluation.py::auc_ranking). The ranking-quality
-    companion to pf07's distribution distance on the same two samples."""
+    companion to pf03's distribution distance on the same two samples."""
     from learn_etl_data_warehouse_spark.operators.evaluation import (
         auc_ranking,
     )
@@ -4303,7 +4314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d29_containment_pairs": q_d29,
         "e27_weekday_weekend": q_e27,
         "m06_media_blob_dedup": q_m06,
-        "pf07_ks_drift": q_pf07,
+        "pf07_ks_lag_drift": q_pf07,
         "ml02_auc_ranking": q_ml02,
         "ops02_order_backlog": q_ops02,
         "pf08_fd_discovery": q_pf08,
@@ -7066,16 +7077,21 @@ FROM pt, cal"""
 SELECT sha256(text) AS sha256, count(*) AS n_copies,
        CAST(min(doc_id) AS BIGINT) AS keep_id
 FROM documents GROUP BY 1"""
-    # pf07: cumulative counts and totals cross-multiplied as HUGEINT
-    # (DuckDB sum()) vs DECIMAL(38,0) (Spark); abs() keeps the
-    # numerator non-negative so // ≡ div exactly.
-    out["pf07_ks_drift"] = """
-WITH s AS (SELECT o_orderpriority AS p,
-                  CAST(round(o_totalprice * 100) AS BIGINT) AS v
-           FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+    # pf07: transit-day KS — cumulative counts and totals
+    # cross-multiplied as HUGEINT (DuckDB sum()) vs DECIMAL(38,0)
+    # (Spark); abs() keeps the numerator non-negative so // ≡ div
+    # exactly. Lag = per-column epoch-day difference (midnight-aligned
+    # dates, so this equals Spark's datediff difference — the ops02
+    # pattern).
+    out["pf07_ks_lag_drift"] = """
+WITH s AS (SELECT l_returnflag AS p,
+                  (epoch_us(l_shipdate) // 86400000000)
+                  - (epoch_us(o_orderdate) // 86400000000) AS v
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE l_returnflag IN ('R', 'N')),
 pv AS (SELECT v,
-              sum(CASE WHEN p = '1-URGENT' THEN 1 ELSE 0 END) AS na,
-              sum(CASE WHEN p = '5-LOW' THEN 1 ELSE 0 END) AS nb
+              sum(CASE WHEN p = 'R' THEN 1 ELSE 0 END) AS na,
+              sum(CASE WHEN p = 'N' THEN 1 ELSE 0 END) AS nb
        FROM s GROUP BY 1),
 c AS (SELECT sum(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
                            AND CURRENT ROW) AS ca,

@@ -4,7 +4,7 @@ arithmetic.
 Reference analog: the reference pipeline ships no model-eval surface
 (server.py is report aggregation), but any warehouse feeding a
 classifier needs "how well does this score separate the classes"
-next to the drift monitors (pf02 categorical, pf07 KS). AUC is the
+next to the drift monitors (pf02 categorical, pf03 KS). AUC is the
 standard answer, and the rank-sum (Mann–Whitney U) formulation makes
 it computable exactly — no float CDFs, no trapezoids:
 
@@ -13,7 +13,7 @@ it computable exactly — no float CDFs, no trapezoids:
 per distinct score s with np_s positives and nn_s negatives — each
 (pos, neg) pair counts 2 if pos scores higher, 1 on a tie, 0 otherwise,
 all in DECIMAL(38,0); ONE truncating ppm division at the end, so a
-DuckDB HUGEINT twin agrees exactly (the pf07 determinism pattern).
+DuckDB HUGEINT twin agrees exactly (the pf03 determinism pattern).
 
 Scale shape: one hash agg to (score, np, nn) — the CDF grid, bounded by
 distinct score values, not row count — then one ordered window over
