@@ -123,11 +123,28 @@ def _run_sharded_etl(spark) -> float | None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _calibrate_single_core(n: int = 20_000_000) -> float:
+    """scripts/calibrate.py's single-core loop, inlined: host speed in
+    this container swings 3-4x with zero local load, so every bench
+    JSON carries its own calibration number (min of one pre- and one
+    post-bench probe) — later rounds normalize per-query deltas by this
+    before calling anything a regression."""
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        s = 0
+        for i in range(n):
+            s += i
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    cal_before = _calibrate_single_core()
 
     spark = get_spark(
         app_name="letl-dw-bench",
@@ -179,6 +196,7 @@ def main() -> None:
         timings["etl01_sharded_warehouse"] = round(min([etl] + repeats), 3)
 
     total = round(sum(timings.values()), 3)
+    cal = round(min(cal_before, _calibrate_single_core()), 3)
     print(
         json.dumps(
             {
@@ -187,6 +205,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "calibration_s": cal,
             }
         )
     )
