@@ -2980,8 +2980,9 @@ def q_g06(spark, sf_dir):
     sharing >= 2 co-purchase neighbors, Jaccard-scored in integer ppm
     (operators/graph.py::common_neighbor_scores — wedge join through
     the center node + anti-join on direct edges; same 30%-order slice
-    rationale as g03/g05, the wedge volume is Σ deg², not corpus
-    linear)."""
+    rationale as g03/g05). r6: wedge volume HARD-bounded by the
+    max_neighborhood=200 hub-center cap (broadcast anti-join on the
+    over-cap hub set, mirrored in the oracle) — n·cap, not Σ deg²."""
     from learn_etl_data_warehouse_spark.operators.graph import (
         common_neighbor_scores,
         cooccurrence_edges,
@@ -4085,31 +4086,91 @@ def q_t28(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
-    # the queries with the STALEST driver evidence. r5 rotation: the new
-    # ivm01 + the r3-green cohort (last driver-checked r3; its 50 r4
-    # evidence rows pushed it to stalest) + 4 displaced r1+r2-bank
-    # fillers; the entire r4-green cohort moves behind position 50.
+    # the queries with the STALEST driver evidence. r6 rotation: 30 of
+    # the never-driver-checked r5-continuation queries + the 20 stalest
+    # r4-green entries; the r5-green cohort moves behind position 50.
     # Rows-only (no-oracle) queries stay last so the window is 100%
     # hash-checkable. Every window entry must be scalar-only AND
     # oracle-backed (both pinned by tests/test_driver_window.py) and
     # sf0.01+sf0.1-swept in the round it rotates in.
-    # r6 rotation candidates (never driver-checked, all swept ×3 scales
-    # in r5 continuations): e09 a15 a16 r03 t14 d21 d22 e10 e11 f02 a17
-    # t15 t16 g02 g03 w06 a18 t17 r05 d25 — the r5c3 cohort fp01
-    # j07 r04 a19 t18 t19 pf01 pf02 e12 path01 d26 d27 g04 w07 set05
-    # a20 r06 — and the r5c6 cohort a26 g10 pf06 knn01 e23 d28 ml01
-    # ca01 a27 ivm03 g11 a28 r08 t23 pm01 ops01 a29 g12 e26 t25 —
-    # plus the then-stalest green cohort per the standing
-    # staleness-first policy.
+    # r7 rotation candidates, stalest first: the remaining r4-green
+    # entries (a07/a08/a10/a11, set04, e01/e04/e05, j01/j03, set01/
+    # set02, r02, d01/d02, p-family) and the ~60 still-never-checked
+    # r5-continuation queries (e09 a15 a16 r03 d21 d22 e10 e11 f02 a17
+    # t15 t17 t18 g03 w06 a18 r05 d25 j07 r04 a19 pf02 path01 d26 d27
+    # w07 set05 a20 r06 a21 r07 s14 e13 g05 e14 e15 t20 fp02 g06 a22
+    # a23 pf03 a24 g07 g08 e16 t21 e17 e19 set06 e20 e21 e23 ca01 a27
+    # r08 t23 ops01 e26 t26 d29 e27 m06 ops02).
     return {
-        # -- never driver-checked (r5 additions) (5) -----------------------
+        # ==== DRIVER WINDOW (first 50; order is load-bearing) =========
+        # r6 rotation (staleness-first policy): 30 never-driver-checked
+        # r5-continuation queries (representative slice across the
+        # graph/fp/pf/ivm/ml/a/t/e/d/pm families) + the 20 stalest
+        # r4-green entries (last driver row: r4). The r5-green cohort
+        # (ivm01/t13/d17/j06/e08 + the 45-query r3 cohort) moves behind.
+        # Every window entry is scalar-only AND oracle-backed (pinned by
+        # tests/test_driver_window.py) and must be sf0.01+sf0.1-swept
+        # in the round it rotates in.
+        # -- never driver-checked (r5 continuations) (30) --------------
+        "g02_part_pagerank": q_g02,
+        "g04_kcore": q_g04,
+        "g10_weighted_shortest_paths": q_g10,
+        "g11_community_modularity": q_g11,
+        "g12_item_item_cf": q_g12,
+        "fp01_association_rules": q_fp01,
+        "fp03_frequent_triples": q_fp03,
+        "pf01_column_profile": q_pf01,
+        "pf04_benford_audit": q_pf04,
+        "pf05_chi_square": q_pf05,
+        "pf06_fk_orphan_audit": q_pf06,
+        "pf07_ks_lag_drift": q_pf07,
+        "pf08_fd_discovery": q_pf08,
+        "ivm02_maintained_join": q_ivm02,
+        "ivm03_maintained_distinct": q_ivm03,
+        "km01_lloyd_assign": q_km01,
+        "knn01_majority_label": q_knn01,
+        "ml01_centroid_confusion": q_ml01,
+        "ml02_auc_ranking": q_ml02,
+        "a26_abc_classification": q_a26,
+        "a28_histogram_percentiles": q_a28,
+        "a29_exact_percentiles_selection": q_a29,
+        "t14_vocab_build": q_t14,
+        "t16_fuzzy_decontamination": q_t16,
+        "t19_lm_doc_score": q_t19,
+        "t25_bigram_kneser_ney": q_t25,
+        "t28_bm25_ranking": q_t28,
+        "e12_multitouch_credit": q_e12,
+        "d28_exact_stratified_split": q_d28,
+        "pm01_footprint_matrix": q_pm01,
+        # -- r4-green cohort: stalest driver evidence (20) --------------
+        "t08_decontamination": q_t08,
+        "t09_repetition_metrics": q_t09,
+        "t10_tfidf_top_terms": q_t10,
+        "t11_pii_scrub": q_t11,
+        "t12_c4_filters": q_t12,
+        "e06_attribution_pairs": q_e06,
+        "e07_rollup_merge": q_e07,
+        "d11_hash_ranked_sample": q_d11,
+        "d12_incremental_dedup": q_d12,
+        "d13_edit_distance_pairs": q_d13,
+        "d14_shuffle_shards": q_d14,
+        "d15_domain_mix": q_d15,
+        "d16_corpus_build": q_d16,
+        "s07_quantize_int8": q_s07,
+        "s08_random_projection": q_s08,
+        "w01_running_total": q_w01,
+        "w02_order_gap_days": q_w02,
+        "w03_rank_in_segment": q_w03,
+        "w04_rolling_7day_revenue": q_w04,
+        "r01_asof_join": q_r01,
+        # ================= position 51+: outside driver window ==========
+        # r5-green cohort (freshest driver evidence, CORRECTNESS_r05
+        # 50/50) + the banked oracle-backed remainder; rows-only last.
         "ivm01_maintained_rollup": q_ivm01,
         "t13_gopher_rules": q_t13,
         "d17_hot_span_scrub": q_d17,
         "j06_salted_hot_join": q_j06,
         "e08_outer_attribution": q_e08,
-        # -- r3-green cohort: stalest driver evidence (last checked r3, on
-        #    pre-regen data; re-swept value-exact post-regen in r4c) (45) --
         "f01_event_funnel": q_f01,
         "d07_train_val_split": q_d07,
         "d09_dup_clusters": q_d09,
@@ -4155,28 +4216,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a06_monthly_rollup": q_a06,
         "w05_percent_rank": q_w05,
         "set03_intersect": q_set03,
-        # ================= position 51+: outside driver window ============
-        # displaced by the r5 t13/d17/j06/e08 additions (staleness policy)
         "p07_duration_minutes": q_p07,
         "p08_bool_flags": q_p08,
         "p12_filter_contains": q_p12,
         "p13_json_extract": q_p13,
-        # r4-green cohort: freshest driver evidence (CORRECTNESS_r04 50/50)
-        "t08_decontamination": q_t08,
-        "t09_repetition_metrics": q_t09,
-        "t10_tfidf_top_terms": q_t10,
-        "t11_pii_scrub": q_t11,
-        "t12_c4_filters": q_t12,
-        "e06_attribution_pairs": q_e06,
-        "e07_rollup_merge": q_e07,
-        "d11_hash_ranked_sample": q_d11,
-        "d12_incremental_dedup": q_d12,
-        "d13_edit_distance_pairs": q_d13,
-        "d14_shuffle_shards": q_d14,
-        "d15_domain_mix": q_d15,
-        "d16_corpus_build": q_d16,
-        # r5 additions, banked behind the swept window (oracle-backed; the
-        # parity gate + full sweeps cover them)
         "d18_corpus_build_scrubbed": q_d18,
         "d19_quality_weighted_sample": q_d19,
         "d20_bag_of_words_dedup": q_d20,
@@ -4185,24 +4228,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e09_hourly_gapfill": q_e09,
         "a15_grouped_corr": q_a15,
         "a16_group_mode": q_a16,
-        "t14_vocab_build": q_t14,
         "r03_nearest_event": q_r03,
         "e10_cohort_retention": q_e10,
         "e11_growth_accounting": q_e11,
         "f02_user_transitions": q_f02,
         "a17_mad_outliers": q_a17,
-        "s07_quantize_int8": q_s07,
-        "s08_random_projection": q_s08,
-        "w01_running_total": q_w01,
-        "w02_order_gap_days": q_w02,
-        "w03_rank_in_segment": q_w03,
-        "w04_rolling_7day_revenue": q_w04,
         "a07_rollup_year_status": q_a07,
         "a08_pivot_status": q_a08,
         "a10_grouping_sets": q_a10,
         "a11_exact_percentiles": q_a11,
         "set04_except": q_set04,
-        "r01_asof_join": q_r01,
         "p01_clean_sci_notation": q_p01,
         "p02_remove_after_dot": q_p02,
         "p03_split_date_process": q_p03,
@@ -4228,31 +4263,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d01_dedup_exact": q_d01,
         "d02_ngram_jaccard_pairs": q_d02,
         "e01_tumbling_window": q_e01,
-        # r1+r2-banked fillers and the documented eager-exec exception
         "p14_null_handling": q_p14,
         "p15_string_functions": q_p15,
         "p16_date_functions": q_p16,
         "a13_quantile_bins": q_a13,
         "t15_chunking": q_t15,
-        "t16_fuzzy_decontamination": q_t16,
-        "g02_part_pagerank": q_g02,
         "g03_triangle_counts": q_g03,
         "w06_navigation_windows": q_w06,
         "a18_filtered_aggregates": q_a18,
         "d25_training_chunks": q_d25,
         "t17_bpe_pair_counts": q_t17,
         "r05_spatial_pairs": q_r05,
-        "fp01_association_rules": q_fp01,
         "j07_full_outer_days": q_j07,
         "r04_interval_overlap": q_r04,
         "a19_pareto_frontier": q_a19,
         "t18_bigram_lm": q_t18,
-        "pf01_column_profile": q_pf01,
-        "t19_lm_doc_score": q_t19,
-        "e12_multitouch_credit": q_e12,
         "path01_session_paths": q_path01,
         "d26_sorted_neighborhood": q_d26,
-        "g04_kcore": q_g04,
         "w07_ntile_quartiles": q_w07,
         "set05_multiset_ops": q_set05,
         "a20_winsorized_sums": q_a20,
@@ -4276,52 +4303,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g07_lpa_communities": q_g07,
         "g08_hits_scores": q_g08,
         "e16_seasonal_anomaly": q_e16,
-        "pf04_benford_audit": q_pf04,
-        "km01_lloyd_assign": q_km01,
-        "pf05_chi_square": q_pf05,
-        "ivm02_maintained_join": q_ivm02,
         "t21_readability": q_t21,
         "e17_cumulative_users": q_e17,
-        "fp03_frequent_triples": q_fp03,
         "e18_time_weighted_avg": q_e18,
         "g09_personalized_pagerank": q_g09,
         "e19_gap_histogram": q_e19,
         "set06_relational_division": q_set06,
         "e20_full_attribution": q_e20,
         "e21_rolling_distinct_users": q_e21,
-        # -- r5c6 additions (oracle-backed, banked; swept ×3 scales) ------
-        "a26_abc_classification": q_a26,
-        "g10_weighted_shortest_paths": q_g10,
-        "pf06_fk_orphan_audit": q_pf06,
-        "knn01_majority_label": q_knn01,
         "e23_cusum_changepoint": q_e23,
-        "d28_exact_stratified_split": q_d28,
-        "ml01_centroid_confusion": q_ml01,
         "ca01_rfm_segments": q_ca01,
         "a27_topn_with_others": q_a27,
-        "ivm03_maintained_distinct": q_ivm03,
-        "g11_community_modularity": q_g11,
-        "a28_histogram_percentiles": q_a28,
         "r08_asof_forward": q_r08,
         "t23_sentence_stats": q_t23,
-        "pm01_footprint_matrix": q_pm01,
         "ops01_shipping_lag": q_ops01,
-        "a29_exact_percentiles_selection": q_a29,
-        "g12_item_item_cf": q_g12,
         "e26_activation_latency": q_e26,
-        "t25_bigram_kneser_ney": q_t25,
         "t26_vocab_growth": q_t26,
         "d29_containment_pairs": q_d29,
         "e27_weekday_weekend": q_e27,
         "m06_media_blob_dedup": q_m06,
-        "pf07_ks_lag_drift": q_pf07,
-        "ml02_auc_ranking": q_ml02,
         "ops02_order_backlog": q_ops02,
-        "pf08_fd_discovery": q_pf08,
-        "t28_bm25_ranking": q_t28,
         # rows-only (no oracle by nature) — declared via absence from
-        # oracle_sql(); kept behind the window so the driver's 50 checked
-        # rows are all hash-verifiable
+        # oracle_sql(); kept last so driver-checked rows are all
+        # hash-verifiable
         "e22_rolling_distinct_hll": q_e22,
         "a09_approx_distinct": q_a09,
         "a14_approx_percentiles": q_a14,
@@ -6158,16 +6162,22 @@ SELECT s.item_a, s.item_b, CAST(s.n_seq AS BIGINT) AS n_seq,
        CAST((1000000 * s.n_seq) // n.n_item AS BIGINT) AS conf_ppm
 FROM s JOIN n ON n.it = s.item_a WHERE s.n_seq >= 3"""
     # g06: common-neighbor link prediction — wedge counts through the
-    # center node, NOT EXISTS anti-join on direct edges.
+    # center node, NOT EXISTS anti-join on direct edges. Hub cap
+    # mirrored from common_neighbor_scores(max_neighborhood=200):
+    # wedges through centers with deg > 200 are dropped (true degrees
+    # still feed the Jaccard denominator).
     out["g06_link_prediction"] = """
 WITH li AS (SELECT l_orderkey AS gk, l_partkey AS item FROM lineitem
             WHERE l_orderkey % 10 < 3),
 e AS (SELECT DISTINCT a.item AS src, b.item AS dst
       FROM li a JOIN li b ON a.gk = b.gk AND a.item <> b.item),
 deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+hub AS (SELECT node FROM deg WHERE deg > 200),
 w AS (SELECT l.src AS src, r.dst AS dst, count(*) AS cn
       FROM e l JOIN e r ON l.dst = r.src
-      WHERE l.src < r.dst GROUP BY 1, 2),
+      WHERE l.src < r.dst
+        AND NOT EXISTS (SELECT 1 FROM hub WHERE hub.node = l.dst)
+      GROUP BY 1, 2),
 f AS (SELECT w.* FROM w
       WHERE cn >= 2 AND NOT EXISTS (
         SELECT 1 FROM e WHERE e.src = w.src AND e.dst = w.dst))

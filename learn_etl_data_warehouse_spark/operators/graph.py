@@ -268,6 +268,7 @@ def common_neighbor_scores(
     edges: DataFrame,
     min_common: int = 2,
     exclude_existing: bool = True,
+    max_neighborhood: int | None = 200,
 ) -> DataFrame:
     """Link prediction by shared neighborhoods (common-neighbors /
     Jaccard).
@@ -287,10 +288,18 @@ def common_neighbor_scores(
 
     Scale shape: the wedge join is key-equality on the CENTER node, so
     cost is Σ_c deg(c)² — the same wedge volume triangle counting pays
-    before orientation. Hub nodes dominate it; at web scale cap or
-    sample hub neighborhoods first (the d02 posting-list cap pattern).
-    ``min_common`` bounds the OUTPUT, not the join — a<b halves the
-    pair space, and no state ever reaches the driver.
+    before orientation. Hub centers dominate it, so the join is
+    HARD-bounded by ``max_neighborhood`` (d02's hot-posting-list cap,
+    the d13 fix replayed): centers whose degree exceeds the cap are
+    dropped from wedge generation entirely via a broadcast anti-join
+    on the (small) hub set, bounding wedge volume at n·cap. A
+    super-hub contributes near-zero link-prediction signal anyway
+    (every pair shares it), exactly like a stop-word gram in d02.
+    ``deg_a``/``deg_b`` stay TRUE degrees — the cap shapes candidate
+    generation, not the Jaccard denominator. ``min_common`` bounds the
+    OUTPUT, not the join — a<b halves the pair space, and no state
+    ever reaches the driver. ``max_neighborhood=None`` restores the
+    uncapped exact form (the conformance twin).
 
     Returns (src, dst, common_n, deg_a, deg_b, jaccard_ppm), src < dst.
     """
@@ -298,9 +307,18 @@ def common_neighbor_scores(
     deg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
+    e_l, e_r = e, e
+    if max_neighborhood is not None:
+        hot = deg.filter(F.col("deg") > int(max_neighborhood)).select("node")
+        e_l = e.join(
+            F.broadcast(hot), e["dst"] == hot["node"], "left_anti"
+        )
+        e_r = e.join(
+            F.broadcast(hot), e["src"] == hot["node"], "left_anti"
+        )
     wedges = (
-        e.alias("l")
-        .join(e.alias("r"), F.col("l.dst") == F.col("r.src"))
+        e_l.alias("l")
+        .join(e_r.alias("r"), F.col("l.dst") == F.col("r.src"))
         .filter(F.col("l.src") < F.col("r.dst"))
         .groupBy(
             F.col("l.src").alias("src"), F.col("r.dst").alias("dst")

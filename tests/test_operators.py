@@ -1765,6 +1765,50 @@ def test_common_neighbor_scores_predicts_unlinked_pairs(spark):
     assert (0, 1) in kept and (0, 2) in kept and (0, 3) in kept
 
 
+def test_common_neighbor_scores_hub_cap_bounds_wedges(spark):
+    """Hot-hub skew guard (the d13/d02 cap replayed on g06): a star
+    hub over the cap is dropped as a wedge CENTER, so the quadratic
+    hub fan-out never materializes — but true degrees still feed the
+    Jaccard denominator, and sub-cap structure is untouched."""
+    from learn_etl_data_warehouse_spark.operators.graph import (
+        common_neighbor_scores,
+    )
+
+    # hub 100 connected to leaves 0..9; separate triangle 200-201-202
+    # with tail 202-203 providing a sub-cap prediction (200,203)/(201,203).
+    und = [(100, i) for i in range(10)]
+    und += [(200, 201), (201, 202), (200, 202), (202, 203)]
+    sym = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(sym, ["src", "dst"])
+
+    capped = {
+        (r["src"], r["dst"]): (r["common_n"], r["deg_a"], r["deg_b"])
+        for r in common_neighbor_scores(
+            edges, min_common=1, max_neighborhood=5
+        ).collect()
+    }
+    # No leaf pair survives: their only shared neighbor is the over-cap
+    # hub. The sub-cap triangle tail still predicts through center 202.
+    assert all(a >= 200 for a, _ in capped), capped
+    assert capped == {
+        (200, 203): (1, 2, 1),
+        (201, 203): (1, 2, 1),
+    }
+
+    # Uncapped twin: the 45 leaf pairs appear, degrees identical where
+    # both forms emit the pair (cap shapes candidates, not degrees).
+    uncapped = {
+        (r["src"], r["dst"]): (r["common_n"], r["deg_a"], r["deg_b"])
+        for r in common_neighbor_scores(
+            edges, min_common=1, max_neighborhood=None
+        ).collect()
+    }
+    leaf_pairs = [(a, b) for (a, b) in uncapped if a < 100 and b < 100]
+    assert len(leaf_pairs) == 45
+    for k in capped:
+        assert uncapped[k] == capped[k]
+
+
 def test_minmax_normalize_bounds_and_degenerate_group(spark):
     from learn_etl_data_warehouse_spark.operators.grouped import (
         minmax_normalize,
