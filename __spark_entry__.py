@@ -1998,6 +1998,23 @@ def q_d21(spark, sf_dir):
     )
 
 
+def q_d30(spark, sf_dir):
+    """SemDeDup, bounded-cluster scale path (r6): clusters are IVF
+    cells sized to the corpus (n_cells = ceil(n/256)) so the pairwise
+    stage is capped at ~n·256 comparisons at ANY corpus size — the
+    published SemDeDup recipe, executed (operators/similarity.py::
+    semantic_dedup_auto). d21's label-cluster form stays the
+    oracle-exact twin; this entry is rows-only (float argmax cell
+    assignment), property-tested: no survivor has a lower-id same-cell
+    neighbor at cosine ≥ threshold."""
+    from learn_etl_data_warehouse_spark.operators.similarity import (
+        semantic_dedup_auto,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup_auto(emb, threshold=0.4).select("vec_id", "label")
+
+
 def q_t14(spark, sf_dir):
     """Vocabulary build (r5): top-1000 corpus tokens with dense
     rank-assigned ids — the word→id table a tokenizer trains against
@@ -3507,6 +3524,23 @@ def q_knn01(spark, sf_dir):
     return knn_classify(_t(spark, sf_dir, "embeddings"), k=5)
 
 
+def q_knn02(spark, sf_dir):
+    """k-NN majority labeling, IVF-candidate scale path (r6): same
+    5-neighbor vote as knn01 but candidates come from an id-seeded IVF
+    index (top-2 probed cells of 16) instead of the exact all-pairs
+    kernel — nprobe·n²/n_cells FLOPs, the form that survives 100×
+    (operators/similarity.py::knn_classify_ivf). Rows-only: the float
+    argmax cell assignment isn't portably SQL-expressible; the exact
+    knn01 form is its conformance twin in tests/test_operators.py."""
+    from learn_etl_data_warehouse_spark.operators.similarity import (
+        knn_classify_ivf,
+    )
+
+    return knn_classify_ivf(
+        _t(spark, sf_dir, "embeddings"), k=5, n_cells=16, nprobe=2
+    )
+
+
 def q_e23(spark, sf_dir):
     """CUSUM changepoint (r5 cont.): per event_type, the hour where the
     cumulative deviation of hourly counts from the series mean peaks —
@@ -4344,6 +4378,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s11_ivfpq_topk": q_s11,
         "s12_rerank_exact": q_s12,
         "s13_mmr_rerank": q_s13,
+        "knn02_majority_label_ivf": q_knn02,
+        "d30_semantic_dedup_bounded": q_d30,
         "m02_media_features": q_m02,
         "m03_media_resize": q_m03,
         "m04_frame_sampling": q_m04,

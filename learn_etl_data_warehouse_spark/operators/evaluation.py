@@ -69,8 +69,11 @@ def auc_ranking(
         F.sum("_nn").cast("long").alias("n_neg"),
         F.count(F.lit(1)).alias("n_scores"),
         F.expr(
-            "CAST((CAST(1000000 AS DECIMAL(38,0)) * sum(_pair2))"
+            # a single-class input has zero (pos, neg) pairs — AUC is
+            # undefined, so emit NULL instead of an ANSI divide-by-zero
+            "CASE WHEN sum(_np) = 0 OR sum(_nn) = 0 THEN NULL ELSE"
+            " CAST((CAST(1000000 AS DECIMAL(38,0)) * sum(_pair2))"
             " div (CAST(2 AS DECIMAL(38,0)) * sum(_np) * sum(_nn))"
-            " AS BIGINT)"
+            " AS BIGINT) END"
         ).alias("auc_ppm"),
     )

@@ -278,15 +278,39 @@ def ivf_build_centroids(
     iterations: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    seed: str = "mod",
 ) -> list[list[float]]:
-    """Deterministic k-means-lite for an IVF index: seed cells by
-    ``id % n_cells`` (no RNG → reproducible across runs/cluster sizes),
-    then run Lloyd iterations with the argmin computed JVM-side. Only the
+    """Deterministic k-means-lite for an IVF index: seed cells, then run
+    Lloyd iterations with the argmin computed JVM-side. Only the
     n_cells×dim centroid matrix ever reaches the driver — the data-side
-    work is two narrow passes per iteration plus one small aggregation."""
-    assigned = df.select(
-        (F.col(id_col) % n_cells).cast("int").alias("_cell"), F.col(vec_col).alias("_v")
-    )
+    work is two narrow passes per iteration plus one small aggregation.
+
+    ``seed="mod"`` (historical default, keeps s06/s09-s11 outputs
+    stable): initial cells are ``id % n_cells``. On CLUSTERED data this
+    is a poor start — every seed group is a mixture of all clusters, so
+    every initial centroid sits near the global mean and Lloyd can
+    struggle to split them. ``seed="vectors"`` starts from the
+    ``n_cells`` smallest-id vectors as centroids (the km01 k-smallest-id
+    posture) — distinct data points, so cells separate immediately; use
+    it for the knn02/d30 scale paths. Both are RNG-free."""
+    if seed == "vectors":
+        seed_rows = (
+            df.select(F.col(id_col).alias("_i"), F.col(vec_col).alias("_v"))
+            .orderBy("_i")
+            .limit(int(n_cells))
+            .collect()
+        )
+        seed_vecs = [[float(x) for x in r["_v"]] for r in seed_rows]
+        assigned = ivf_assign(df, seed_vecs, vec_col).select(
+            F.col("ivf_cell").alias("_cell"), F.col(vec_col).alias("_v")
+        )
+    elif seed == "mod":
+        assigned = df.select(
+            (F.col(id_col) % n_cells).cast("int").alias("_cell"),
+            F.col(vec_col).alias("_v"),
+        )
+    else:
+        raise ValueError(f"ivf_build_centroids: unknown seed mode {seed!r}")
     for _ in range(iterations):
         cents = (
             assigned.select("_cell", F.posexplode("_v").alias("_p", "_x"))
@@ -709,6 +733,45 @@ def semantic_dedup(
     return df.join(losers, id_col, "left_anti")
 
 
+def semantic_dedup_auto(
+    df: DataFrame,
+    threshold: float = 0.4,
+    target_cell_size: int = 256,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Scale path for :func:`semantic_dedup` (the verdict's d21 item):
+    clusters come from an IVF index sized to the corpus — ``n_cells =
+    ceil(n / target_cell_size)`` — so the within-cluster pairwise stage
+    is bounded at ~n·target_cell_size comparisons no matter how the
+    corpus grows, instead of inheriting whatever size a given partition
+    column happens to have. This IS the published SemDeDup recipe
+    (k-means cells ∝ corpus size); the label-cluster form stays the
+    oracle-exact twin.
+
+    One bounded driver scalar (the corpus count sizes the codebook) and
+    the n_cells×dim centroid matrix are the only driver state — the
+    codebook grows as n/target_cell_size rows, the standard IVF shape
+    (shard or hierarchical k-means past ~1e6 cells). Keep rule and plan
+    are :func:`semantic_dedup`'s verbatim: drop every vector with a
+    LOWER-id same-cell neighbor at cosine ≥ ``threshold``.
+
+    Returns the surviving rows of ``df`` (cell column projected off).
+    """
+    n = df.count()
+    n_cells = max(4, -(-int(n) // int(target_cell_size)))
+    centroids = ivf_build_centroids(
+        df, n_cells=n_cells, iterations=iterations,
+        vec_col=vec_col, id_col=id_col, seed="vectors",
+    )
+    assigned = ivf_assign(df, centroids, vec_col)
+    return semantic_dedup(
+        assigned, cluster_col="ivf_cell", threshold=threshold,
+        vec_col=vec_col, id_col=id_col,
+    ).drop("ivf_cell")
+
+
 def rerank_exact(
     df: DataFrame,
     candidates: DataFrame,
@@ -1106,6 +1169,12 @@ def knn_classify(
         .filter(F.col("_rn") <= k)
         .join(labels, "_nbr")
     )
+    return _majority_vote(topk, id_col)
+
+
+def _majority_vote(topk: DataFrame, id_col: str) -> DataFrame:
+    """Shared k-NN vote tail: (_id, _nl) neighbor-label rows →
+    (id, pred_label, votes); count ties break by label ascending."""
     votes = topk.groupBy("_id", "_nl").agg(F.count(F.lit(1)).alias("votes"))
     vote_w = Window.partitionBy("_id").orderBy(F.desc("votes"), F.asc("_nl"))
     return (
@@ -1117,6 +1186,84 @@ def knn_classify(
             F.col("votes").cast("long").alias("votes"),
         )
     )
+
+
+def knn_classify_ivf(
+    df: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Scale path for :func:`knn_classify` (the verdict's knn01 item):
+    candidates come from an IVF index instead of the exact all-pairs
+    kernel, so FLOPs are nprobe·n²/n_cells rather than n² — choose
+    ``n_cells ∝ √n`` (or n/target_cell_size) and the pass stays
+    ~linear per vector at 100×.
+
+    Plan: build deterministic IVF centroids (:func:`ivf_build_centroids`
+    — id-seeded, no RNG), assign every corpus vector to its argmax cell,
+    and give every QUERY vector its top-``nprobe`` cells (JVM-side
+    array_sort of (score, cell) structs; the first probe is exactly
+    :func:`ivf_assign`'s cell, ties to the highest cell id). Candidates
+    = corpus vectors in a probed cell; exact cosine ranks the top-k
+    within them (cosine ties → neighbor id asc), then the same majority
+    vote as the exact form (count ties → label asc). A neighbor lives in
+    exactly ONE cell, so no candidate pair duplicates — one key-equality
+    shuffle on the cell id, nothing on the driver but the centroid
+    matrix.
+
+    Recall is the IVF stage's (≥ nprobe/n_cells coverage of the true
+    neighborhood, 1.0 when a vector's true neighbors share its cells);
+    the exact form at ``threshold=-1`` is the conformance twin.
+
+    Returns (``id_col``, pred_label BIGINT, votes BIGINT).
+    """
+    if k < 1:
+        raise ValueError("knn_classify_ivf: k must be >= 1")
+    nprobe = min(int(nprobe), int(n_cells))
+    centroids = ivf_build_centroids(
+        df, n_cells=n_cells, iterations=iterations,
+        vec_col=vec_col, id_col=id_col, seed="vectors",
+    )
+    corpus = ivf_assign(df, centroids, vec_col).select(
+        F.col("ivf_cell").alias("_cell"),
+        F.col(id_col).alias("_nbr"),
+        F.col(vec_col).alias("_nv"),
+        F.col(label_col).cast("long").alias("_nl"),
+    )
+    scored = F.array(
+        *[
+            F.struct(
+                cosine_similarity(
+                    F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])
+                ).alias("score"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    probes = F.slice(F.reverse(F.array_sort(scored)), 1, nprobe)
+    queries_df = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(F.transform(probes, lambda s: s["cell"])).alias("_cell"),
+    )
+    sim = F.round(cosine_similarity(F.col("_qv"), F.col("_nv")), 6)
+    cand = (
+        queries_df.join(corpus, "_cell")
+        .filter(F.col("_id") != F.col("_nbr"))
+        .select("_id", "_nbr", "_nl", sim.alias("cosine"))
+    )
+    rank_w = Window.partitionBy("_id").orderBy(F.desc("cosine"), F.asc("_nbr"))
+    topk = (
+        cand.withColumn("_rn", F.row_number().over(rank_w))
+        .filter(F.col("_rn") <= k)
+    )
+    return _majority_vote(topk, id_col)
 
 
 def nearest_centroid_confusion(

@@ -2452,6 +2452,83 @@ def test_knn_classify_majority_vote(spark):
     assert set(got) == {0, 1, 2, 3, 4}
 
 
+def test_knn_classify_ivf_agrees_with_exact_twin(spark, sf_small):
+    """Conformance for the knn02 scale path. ANN agreement is only a
+    meaningful bar on data with neighbor structure (the fixture's
+    labels are chance-level vs its embeddings — exact kNN itself scores
+    ~10% against them), so: (a) on a synthetic clustered corpus the IVF
+    vote must match the exact all-pairs twin near-perfectly; (b) on the
+    fixture it must label every vector and be run-to-run
+    deterministic."""
+    from learn_etl_data_warehouse_spark.operators.similarity import (
+        knn_classify,
+        knn_classify_ivf,
+    )
+
+    # (a) 8 tight clusters of 25 vectors in 16-dim: cluster c's members
+    # sit on axis c with small deterministic per-row jitter elsewhere.
+    rows = []
+    for c in range(8):
+        for i in range(25):
+            v = [0.0] * 16
+            v[c] = 10.0
+            v[(c + 3) % 16] += 0.01 * (i % 7)
+            v[(c + 5) % 16] += 0.01 * (i % 5)
+            rows.append((c * 25 + i, v, c % 3))
+    syn = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    exact = {r["vec_id"]: r["pred_label"]
+             for r in knn_classify(syn, k=5).collect()}
+    ivf = {r["vec_id"]: r["pred_label"]
+           for r in knn_classify_ivf(syn, k=5, n_cells=8, nprobe=2).collect()}
+    assert set(ivf) == set(exact)
+    agree = sum(1 for v in exact if ivf[v] == exact[v])
+    assert agree / len(exact) >= 0.95, f"agreement {agree}/{len(exact)}"
+
+    # (b) fixture: full coverage + determinism
+    emb = load_table(spark, sf_small, "embeddings")
+    got = {r["vec_id"]: (r["pred_label"], r["votes"])
+           for r in knn_classify_ivf(emb, k=5, n_cells=16, nprobe=2).collect()}
+    assert len(got) == emb.count()
+    got2 = {r["vec_id"]: (r["pred_label"], r["votes"])
+            for r in knn_classify_ivf(emb, k=5, n_cells=16, nprobe=2).collect()}
+    assert got2 == got
+
+
+def test_semantic_dedup_auto_keep_rule_and_determinism(spark, sf_small):
+    """Property gate for the d30 scale path: within every IVF cell the
+    independent-drop rule holds — a survivor has NO lower-id same-cell
+    neighbor at cosine ≥ threshold, and every dropped row HAS one —
+    and the pass is run-to-run deterministic."""
+    from learn_etl_data_warehouse_spark.operators.similarity import (
+        ivf_assign,
+        ivf_build_centroids,
+        pairwise_near_dups,
+        semantic_dedup_auto,
+    )
+    emb = load_table(spark, sf_small, "embeddings")
+    n = emb.count()
+    kept = {r["vec_id"]
+            for r in semantic_dedup_auto(emb, threshold=0.4).collect()}
+    assert 0 < len(kept) < n
+
+    # rebuild the same deterministic cells and check the keep rule
+    n_cells = max(4, -(-n // 256))
+    cents = ivf_build_centroids(emb, n_cells=n_cells, iterations=2, seed="vectors")
+    assigned = ivf_assign(emb, cents)
+    pairs = pairwise_near_dups(
+        assigned, threshold=0.4, bucket_col="ivf_cell"
+    ).collect()
+    has_lower = {p["id_b"] for p in pairs}
+    all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    assert kept == all_ids - has_lower
+
+    kept2 = {r["vec_id"]
+             for r in semantic_dedup_auto(emb, threshold=0.4).collect()}
+    assert kept2 == kept
+
+
 def test_cusum_changepoint_finds_level_shift(spark):
     from datetime import datetime
     from learn_etl_data_warehouse_spark.operators.timeseries import (
@@ -2831,3 +2908,105 @@ def test_containment_catches_subset_docs_jaccard_misses(spark):
 
     jac = ngram_jaccard_pairs(df, n=3, threshold=0.7, max_doc_freq=50)
     assert jac.filter("id_a = 1 AND id_b = 2").count() == 0  # Jaccard blind
+
+
+def test_fd_discovery_holds_almost_holds_and_null_keys(spark):
+    """pf08 edge pins: an FD that holds exactly, one violated by a
+    single determinant, and null handling — rows with a null on EITHER
+    side are excluded before grouping (absence, not violation), and a
+    determinant whose only rows were null-dependent never counts as a
+    group."""
+    from learn_etl_data_warehouse_spark.operators.profiling import (
+        fd_discovery,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # city -> zip holds; zip -> city violated at 10001
+            ("NYC", 10001, "US"),
+            ("NYC", 10001, "US"),
+            ("LA", 90210, "US"),
+            ("SF", None, "US"),        # null dep: excluded from city->zip
+            (None, 10001, "XX"),       # null det: excluded, and the XX
+            ("NYC", 10001, None),      # null dep for zip->country
+        ],
+        "city string, zip long, country string",
+    )
+    got = {
+        (r["determinant"], r["dependent"]): (
+            r["n_groups"], r["n_violating"], r["holds"]
+        )
+        for r in fd_discovery(
+            df,
+            [("city", "zip"), ("zip", "country"), ("city", "country")],
+            "addr",
+        ).collect()
+    }
+    assert got[("city", "zip")] == (2, 0, 1)       # NYC, LA — SF dropped
+    assert got[("zip", "country")] == (2, 1, 0)    # 10001 → {US, XX}
+    assert got[("city", "country")] == (3, 0, 1)   # SF's country is non-null
+
+    # all-null candidate: zero groups must read as "holds" (vacuous)
+    vac = fd_discovery(
+        df.filter(F.col("city").isNull()), [("city", "country")], "addr"
+    ).collect()[0]
+    assert (vac["n_groups"], vac["n_violating"], vac["holds"]) == (0, 0, 1)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        fd_discovery(df, [], "addr")
+
+
+def test_auc_ranking_edge_cases(spark):
+    """ml02 edge pins: perfect separation → 1e6 ppm, perfect inversion
+    → 0, all-ties → exactly 500000 (the ties-averaged rank statistic),
+    and a single-class input must yield a NULL auc (0·n pairs), not an
+    ANSI divide-by-zero."""
+    from learn_etl_data_warehouse_spark.operators.evaluation import (
+        auc_ranking,
+    )
+
+    def auc(rows):
+        df = spark.createDataFrame(rows, "y boolean, s long")
+        return auc_ranking(df, F.col("y"), F.col("s")).collect()[0]
+
+    perfect = auc([(True, 10), (True, 9), (False, 2), (False, 1)])
+    assert perfect["auc_ppm"] == 1_000_000
+    assert (perfect["n_pos"], perfect["n_neg"]) == (2, 2)
+
+    inverted = auc([(False, 10), (False, 9), (True, 2), (True, 1)])
+    assert inverted["auc_ppm"] == 0
+
+    ties = auc([(True, 5), (False, 5), (True, 5), (False, 5)])
+    assert ties["auc_ppm"] == 500_000
+    assert ties["n_scores"] == 1
+
+    single = auc([(True, 3), (True, 7)])
+    assert single["n_neg"] == 0
+    assert single["auc_ppm"] is None
+
+
+def test_daily_open_intervals_edge_cases(spark):
+    """ops02 edge pins: a same-day interval is open exactly one day; a
+    year-spanning interval costs two change rows (no per-day blowup);
+    counts hold between change days and return to zero."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        daily_open_intervals,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (100, 100),     # same-day
+            (100, 464),     # crosses a year boundary
+            (102, 103),
+        ],
+        "start_day long, end_day long",
+    )
+    got = {r["day"]: (r["net_change"], r["open_count"])
+           for r in daily_open_intervals(df).collect()}
+    assert got[100] == (2, 2)
+    assert got[101] == (-1, 1)    # same-day interval closed
+    assert got[102] == (1, 2)
+    assert got[104] == (-1, 1)
+    assert got[465] == (-1, 0)    # sweep nets back to zero
+    assert len(got) == 5          # change days only — 365-day span ≠ 365 rows
