@@ -3526,9 +3526,10 @@ def q_knn01(spark, sf_dir):
 
 def q_knn02(spark, sf_dir):
     """k-NN majority labeling, IVF-candidate scale path (r6): same
-    5-neighbor vote as knn01 but candidates come from an id-seeded IVF
-    index (top-2 probed cells of 16) instead of the exact all-pairs
-    kernel — nprobe·n²/n_cells FLOPs, the form that survives 100×
+    5-neighbor vote as knn01 but candidates come from a corpus-sized
+    IVF index (n_cells = ceil(n/256), top-2 probed cells) instead of
+    the exact all-pairs kernel — per-vector candidate work stays
+    bounded as the corpus grows, the form that survives 100×
     (operators/similarity.py::knn_classify_ivf). Rows-only: the float
     argmax cell assignment isn't portably SQL-expressible; the exact
     knn01 form is its conformance twin in tests/test_operators.py."""
@@ -3536,9 +3537,7 @@ def q_knn02(spark, sf_dir):
         knn_classify_ivf,
     )
 
-    return knn_classify_ivf(
-        _t(spark, sf_dir, "embeddings"), k=5, n_cells=16, nprobe=2
-    )
+    return knn_classify_ivf(_t(spark, sf_dir, "embeddings"), k=5, nprobe=2)
 
 
 def q_e23(spark, sf_dir):

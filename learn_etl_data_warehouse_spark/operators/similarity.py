@@ -1191,18 +1191,23 @@ def _majority_vote(topk: DataFrame, id_col: str) -> DataFrame:
 def knn_classify_ivf(
     df: DataFrame,
     k: int = 5,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     nprobe: int = 2,
     iterations: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     label_col: str = "label",
+    target_cell_size: int = 256,
 ) -> DataFrame:
     """Scale path for :func:`knn_classify` (the verdict's knn01 item):
     candidates come from an IVF index instead of the exact all-pairs
-    kernel, so FLOPs are nprobe·n²/n_cells rather than n² — choose
-    ``n_cells ∝ √n`` (or n/target_cell_size) and the pass stays
-    ~linear per vector at 100×.
+    kernel, so FLOPs are ~nprobe·n·cell_size rather than n². With
+    ``n_cells=None`` (default) the codebook is sized to the corpus —
+    ``n_cells = max(16, ceil(n / target_cell_size))`` — so cell size,
+    and with it per-vector candidate work, stays BOUNDED as the corpus
+    grows (a fixed n_cells would re-grow cells linearly with n and be
+    quadratic again, the embeddings probe's 4× point showed exactly
+    that); one bounded count() sizes it.
 
     Plan: build deterministic IVF centroids (:func:`ivf_build_centroids`
     — id-seeded, no RNG), assign every corpus vector to its argmax cell,
@@ -1224,6 +1229,8 @@ def knn_classify_ivf(
     """
     if k < 1:
         raise ValueError("knn_classify_ivf: k must be >= 1")
+    if n_cells is None:
+        n_cells = max(16, -(-df.count() // int(target_cell_size)))
     nprobe = min(int(nprobe), int(n_cells))
     centroids = ivf_build_centroids(
         df, n_cells=n_cells, iterations=iterations,
