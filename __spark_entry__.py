@@ -4032,6 +4032,41 @@ def q_ml02(spark, sf_dir):
     )
 
 
+def q_ml03(spark, sf_dir):
+    """Threshold-sweep classifier metrics (r6): precision/recall/F1 in
+    truncating ppm at every digit-count score band, cumulated from the
+    top band down — the operating-point table next to ml02's AUC on
+    the same ranking (operators/evaluation.py::threshold_metrics).
+    Band grid is ≤19 rows, so the ordered window is the a28/pf04
+    bounded-grid shape."""
+    from learn_etl_data_warehouse_spark.operators.evaluation import (
+        threshold_metrics,
+    )
+
+    return threshold_metrics(
+        _t(spark, sf_dir, "orders"),
+        F.col("o_orderpriority") == "1-URGENT",
+        F.round(F.col("o_totalprice") * 100).cast("long"),
+    )
+
+
+def q_pf09(spark, sf_dir):
+    """Categorical column profile (r6): distinct counts, EXACT-integer
+    Gini impurity (1e6 − (1e6·Σcnt²) div n², DECIMAL(38,0)/HUGEINT —
+    impurity chosen over entropy precisely to avoid libm log), and
+    top-3 values with ppm shares, nulls profiled as a '<null>' bucket
+    (operators/profiling.py::categorical_profile — pf01's categorical
+    sibling)."""
+    from learn_etl_data_warehouse_spark.operators.profiling import (
+        categorical_profile,
+    )
+
+    return categorical_profile(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderstatus", "o_orderpriority"],
+    )
+
+
 def q_ops02(spark, sf_dir):
     """Daily order backlog (r5 cont.): how many orders are open (placed
     but not fully shipped) on each change day — sweep-line interval
@@ -4172,6 +4207,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t19_lm_doc_score": q_t19,
         "t25_bigram_kneser_ney": q_t25,
         "t28_bm25_ranking": q_t28,
+        "ml03_threshold_metrics": q_ml03,
+        "pf09_categorical_profile": q_pf09,
         "e12_multitouch_credit": q_e12,
         "d28_exact_stratified_split": q_d28,
         "pm01_footprint_matrix": q_pm01,
@@ -7169,6 +7206,63 @@ SELECT CAST(sum(np) AS BIGINT) AS n_pos,
        CAST((1000000 * sum(np * (2 * below + nn)))
             // (2 * sum(np) * sum(nn)) AS BIGINT) AS auc_ppm
 FROM c"""
+    # ml03: digit-band threshold sweep — bounded grid, ppm integers.
+    out["ml03_threshold_metrics"] = """
+WITH s AS (SELECT (o_orderpriority = '1-URGENT') AS y,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS sc
+           FROM orders),
+b AS (SELECT length(CAST(sc AS VARCHAR)) AS band, count(*) AS n,
+             sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos
+      FROM s GROUP BY 1),
+c AS (SELECT CAST(band AS BIGINT) AS band, CAST(n AS BIGINT) AS n,
+             CAST(pos AS BIGINT) AS pos,
+             CAST(sum(n) OVER (ORDER BY band DESC) AS BIGINT) AS cum_n,
+             CAST(sum(pos) OVER (ORDER BY band DESC) AS BIGINT) AS cum_pos,
+             CAST(sum(pos) OVER () AS BIGINT) AS tp
+      FROM b),
+m AS (SELECT band, n, pos, cum_n, cum_pos,
+             CASE WHEN cum_n = 0 THEN NULL
+                  ELSE (1000000 * cum_pos) // cum_n END AS p_ppm,
+             CASE WHEN tp = 0 THEN NULL
+                  ELSE (1000000 * cum_pos) // tp END AS r_ppm
+      FROM c)
+SELECT band, n, pos, cum_n, cum_pos,
+       CAST(p_ppm AS BIGINT) AS precision_ppm,
+       CAST(r_ppm AS BIGINT) AS recall_ppm,
+       CAST(CASE WHEN p_ppm IS NULL OR r_ppm IS NULL OR p_ppm + r_ppm = 0
+                 THEN NULL
+                 ELSE (2 * p_ppm * r_ppm) // (p_ppm + r_ppm) END
+            AS BIGINT) AS f1_ppm
+FROM m"""
+    # pf09: categorical profile — integer Gini impurity, top-3 shares.
+    out["pf09_categorical_profile"] = """
+WITH p AS (
+  SELECT 'o_orderstatus' AS column_name,
+         coalesce(CAST(o_orderstatus AS VARCHAR), '<null>') AS value
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority',
+         coalesce(CAST(o_orderpriority AS VARCHAR), '<null>')
+  FROM orders),
+c AS (SELECT column_name, value, count(*) AS cnt FROM p GROUP BY 1, 2),
+pc AS (SELECT column_name, CAST(count(*) AS BIGINT) AS n_distinct,
+              CAST(sum(cnt) AS HUGEINT) AS n,
+              sum(CAST(cnt AS HUGEINT) * CAST(cnt AS HUGEINT)) AS sumsq
+       FROM c GROUP BY 1),
+g AS (SELECT column_name, n_distinct,
+             CAST(1000000 - (1000000 * sumsq) // (n * n) AS BIGINT)
+               AS gini_ppm,
+             CAST(n AS BIGINT) AS total
+      FROM pc),
+t AS (SELECT column_name, value, cnt,
+             row_number() OVER (PARTITION BY column_name
+                                ORDER BY cnt DESC, value ASC) AS rnk
+      FROM c)
+SELECT t.column_name, CAST(t.rnk AS BIGINT) AS rank, t.value,
+       CAST(t.cnt AS BIGINT) AS cnt,
+       CAST((1000000 * t.cnt) // g.total AS BIGINT) AS share_ppm,
+       g.n_distinct, g.gini_ppm
+FROM t JOIN g USING (column_name) WHERE t.rnk <= 3"""
     # ops02: sweep-line interval counting on integer epoch days; the
     # running sum is over distinct change days (calendar-bounded).
     out["ops02_order_backlog"] = """

@@ -77,3 +77,69 @@ def auc_ranking(
             " AS BIGINT) END"
         ).alias("auc_ppm"),
     )
+
+
+def threshold_metrics(
+    df: DataFrame,
+    label: Column,
+    score: Column,
+) -> DataFrame:
+    """Precision / recall / F1 swept over score thresholds — the
+    operating-point companion to :func:`auc_ranking` (AUC says how well
+    the score RANKS; this says what you get when you CUT at a value).
+
+    Thresholds are the digit-count bands of the positive integer score
+    (e19's integer order-of-magnitude trick — no percentile machinery,
+    no float log10): classifying "predict positive when score has ≥ b
+    digits" for each observed band b, cumulated from the top band down.
+    All metrics are truncating-ppm integers — precision = 1e6·TP div P̂,
+    recall = 1e6·TP div P, F1 as the ppm harmonic mean (2·p·r div
+    (p+r)) — so a HUGEINT oracle agrees exactly; zero denominators
+    yield NULL, never an ANSI error.
+
+    Scale shape: one hash agg to the band grid (≤ 19 rows for BIGINT
+    scores), one ordered window over that grid, integer arithmetic out
+    — the same bounded-grid posture as a28/pf04.
+
+    Returns (band, n, pos, cum_n, cum_pos, precision_ppm, recall_ppm,
+    f1_ppm), one row per non-empty band, descending.
+    """
+    per_band = (
+        df.select(label.cast("boolean").alias("_y"), score.alias("_s"))
+        .filter(F.col("_y").isNotNull() & F.col("_s").isNotNull())
+        .groupBy(F.length(F.col("_s").cast("string")).alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("_y").cast("long")).alias("pos"),
+        )
+    )
+    w = Window.orderBy(F.desc("band")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per_band.select(
+        F.col("band").cast("long").alias("band"),
+        F.col("n").cast("long").alias("n"),
+        F.col("pos").cast("long").alias("pos"),
+        F.sum("n").over(w).cast("long").alias("cum_n"),
+        F.sum("pos").over(w).cast("long").alias("cum_pos"),
+        F.sum("pos").over(tot).cast("long").alias("_total_pos"),
+    )
+    prec = F.expr("CASE WHEN cum_n = 0 THEN NULL"
+                  " ELSE (1000000 * cum_pos) div cum_n END")
+    rec = F.expr("CASE WHEN _total_pos = 0 THEN NULL"
+                 " ELSE (1000000 * cum_pos) div _total_pos END")
+    out = cum.select(
+        "band", "n", "pos", "cum_n", "cum_pos",
+        prec.cast("long").alias("precision_ppm"),
+        rec.cast("long").alias("recall_ppm"),
+    )
+    f1 = F.expr(
+        "CASE WHEN precision_ppm IS NULL OR recall_ppm IS NULL"
+        " OR precision_ppm + recall_ppm = 0 THEN NULL"
+        " ELSE (2 * precision_ppm * recall_ppm)"
+        " div (precision_ppm + recall_ppm) END"
+    )
+    return out.withColumn("f1_ppm", f1.cast("long"))

@@ -362,3 +362,76 @@ def fd_discovery(
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+def categorical_profile(
+    df: DataFrame,
+    columns: list[str],
+) -> DataFrame:
+    """Per-column categorical shape report: distinct-value count, Gini
+    impurity, and the top-3 values with their shares — the
+    cardinality/concentration scan a profiler runs before choosing
+    partition keys or flagging near-constant columns (pf01 covers
+    numeric moments; this is its categorical sibling).
+
+    Gini impurity is EXACT integer arithmetic — ``gini_ppm = 1e6 −
+    (1e6·Σ cntᵢ²) div n²`` with the moment sums in DECIMAL(38,0)
+    (HUGEINT twin) — chosen over Shannon entropy precisely because it
+    needs no libm log (the repo's determinism contract). Nulls profile
+    as the literal '<null>' bucket — a profiler must SEE null mass,
+    not drop it.
+
+    Plan: one stack (unpivot) pass over the pruned columns, one
+    (column, value) hash agg, then per-column: a count-desc/value-asc
+    top-3 window (bounded by the column's distinct values) and a
+    moment agg. Never collects; value space per column is the only
+    cardinality that matters, exactly like any group-by.
+
+    Returns (column_name, rank, value, cnt, share_ppm, n_distinct,
+    gini_ppm), 3 rows max per profiled column.
+    """
+    if not columns:
+        raise ValueError("categorical_profile: columns must be non-empty")
+    stack_expr = "stack({}, {})".format(
+        len(columns),
+        ", ".join(f"'{c}', CAST(`{c}` AS STRING)" for c in columns),
+    )
+    pairs = df.select(
+        F.expr(stack_expr).alias("column_name", "_raw")
+    ).select(
+        "column_name", F.coalesce(F.col("_raw"), F.lit("<null>")).alias("value")
+    )
+    counts = pairs.groupBy("column_name", "value").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_col = counts.groupBy("column_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum("cnt").cast("decimal(38,0)").alias("_n"),
+        F.sum(
+            F.col("cnt").cast("decimal(38,0)")
+            * F.col("cnt").cast("decimal(38,0)")
+        ).alias("_sumsq"),
+    ).select(
+        "column_name",
+        "n_distinct",
+        F.expr(
+            "CAST(1000000 - (CAST(1000000 AS DECIMAL(38,0)) * _sumsq)"
+            " div (_n * _n) AS BIGINT)"
+        ).alias("gini_ppm"),
+        F.col("_n").cast("long").alias("_total"),
+    )
+    top_w = Window.partitionBy("column_name").orderBy(
+        F.desc("cnt"), F.asc("value")
+    )
+    top3 = counts.withColumn("rank", F.row_number().over(top_w)).filter(
+        F.col("rank") <= 3
+    )
+    return top3.join(per_col, "column_name").select(
+        "column_name",
+        F.col("rank").cast("long").alias("rank"),
+        "value",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.expr("(1000000 * cnt) div _total").cast("long").alias("share_ppm"),
+        "n_distinct",
+        "gini_ppm",
+    )

@@ -3010,3 +3010,70 @@ def test_daily_open_intervals_edge_cases(spark):
     assert got[104] == (-1, 1)
     assert got[465] == (-1, 0)    # sweep nets back to zero
     assert len(got) == 5          # change days only — 365-day span ≠ 365 rows
+
+
+def test_threshold_metrics_hand_computed(spark):
+    """ml03 pins: 2-band corpus with hand-computed cumulative P/R/F1;
+    an all-negative input yields NULL recall (zero positives), never an
+    ANSI divide-by-zero."""
+    from learn_etl_data_warehouse_spark.operators.evaluation import (
+        threshold_metrics,
+    )
+
+    # band 3 (100..999): 2 rows, 2 pos; band 2 (10..99): 2 rows, 0 pos
+    df = spark.createDataFrame(
+        [(True, 500), (True, 100), (False, 50), (False, 10)],
+        "y boolean, s long",
+    )
+    got = {r["band"]: r for r in
+           threshold_metrics(df, F.col("y"), F.col("s")).collect()}
+    assert got[3]["cum_n"] == 2 and got[3]["cum_pos"] == 2
+    assert got[3]["precision_ppm"] == 1_000_000
+    assert got[3]["recall_ppm"] == 1_000_000
+    assert got[3]["f1_ppm"] == 1_000_000
+    assert got[2]["cum_n"] == 4 and got[2]["cum_pos"] == 2
+    assert got[2]["precision_ppm"] == 500_000
+    assert got[2]["recall_ppm"] == 1_000_000
+    # harmonic mean of 0.5 and 1.0 = 2/3 → truncating ppm 666666
+    assert got[2]["f1_ppm"] == 666_666
+
+    neg = threshold_metrics(
+        spark.createDataFrame([(False, 7)], "y boolean, s long"),
+        F.col("y"), F.col("s"),
+    ).collect()[0]
+    assert neg["recall_ppm"] is None and neg["f1_ppm"] is None
+    assert neg["precision_ppm"] == 0
+
+
+def test_categorical_profile_gini_topk_and_nulls(spark):
+    """pf09 pins: constant column → gini 0 and one top row; a 50/50
+    column → gini exactly 500000; nulls surface as the '<null>' bucket;
+    count ties break by value ascending; empty column list raises."""
+    from learn_etl_data_warehouse_spark.operators.profiling import (
+        categorical_profile,
+    )
+
+    df = spark.createDataFrame(
+        [("x", "a", None), ("x", "b", "m"), ("x", "a", "m"), ("x", "b", None)],
+        "const string, half string, nully string",
+    )
+    rows = categorical_profile(df, ["const", "half", "nully"]).collect()
+    by_col = {}
+    for r in rows:
+        by_col.setdefault(r["column_name"], []).append(r)
+
+    c = by_col["const"]
+    assert len(c) == 1 and c[0]["value"] == "x" and c[0]["gini_ppm"] == 0
+    assert c[0]["share_ppm"] == 1_000_000 and c[0]["n_distinct"] == 1
+
+    h = sorted(by_col["half"], key=lambda r: r["rank"])
+    assert [r["value"] for r in h] == ["a", "b"]   # tie → value asc
+    assert h[0]["gini_ppm"] == 500_000
+    assert h[0]["share_ppm"] == 500_000
+
+    nl = {r["value"]: r["cnt"] for r in by_col["nully"]}
+    assert nl == {"<null>": 2, "m": 2}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        categorical_profile(df, [])
