@@ -4032,6 +4032,73 @@ def q_ml02(spark, sf_dir):
     )
 
 
+def q_g13(spark, sf_dir):
+    """k-truss edge peeling (r6): 2 fixed rounds dropping co-purchase
+    edges with support < 3 (k=5) — edge-grained cohesion one notch
+    above g04's k-core, via g03's degree-ordered triangle enumeration
+    each round (operators/graph.py::ktruss_edges). Same 30%-order
+    slice rationale as g03/g06: the wedge volume is structural, not
+    corpus-linear. Output support is the value the final filter tested
+    (subgraph entering the last round); the oracle unrolls identical
+    rounds. Slice is 10%% (not g03's 30%%): the truss oracle pays the
+    wedge volume TWICE (one enumeration per round) and DuckDB spilled
+    tens of GB on the 30%% graph at sf0.1."""
+    from learn_etl_data_warehouse_spark.operators.graph import (
+        cooccurrence_edges,
+        ktruss_edges,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 < 1)
+    edges = cooccurrence_edges(li)
+    return ktruss_edges(edges, k=5, rounds=2).select(
+        F.col("src").alias("part_a"),
+        F.col("dst").alias("part_b"),
+        "support",
+    )
+
+
+
+def q_d31(spark, sf_dir):
+    """Dataset card (r6): the per-source corpus summary a training run
+    publishes next to its data — doc/token/char volume, exact-dup rate
+    from d01's fingerprint, truncating-ppm mean tokens, language count
+    and the deterministic dominant language
+    (plans/corpus.py::dataset_card). All integers, fully
+    oracle-checkable — the reporting face of the curation pipeline."""
+    from learn_etl_data_warehouse_spark.plans.corpus import dataset_card
+
+    return dataset_card(_t(spark, sf_dir, "documents"))
+
+
+def q_r09(spark, sf_dir):
+    """Spatial nearest-neighbor join (r6): each query point attached to
+    THE closest reference point within 50,000 micro-units — the
+    geo-attach step ("which depot serves this event"), grid-blocked at
+    cell == radius with an exact-integer (dist², ref id) argmin
+    (operators/spatial.py::grid_nearest_join). r05's deterministic
+    point synthesis, split 10%% queries / 90%% references; the oracle is
+    the brute-force twin (blocking is exact within the radius, so the
+    results are identical by construction)."""
+    from learn_etl_data_warehouse_spark.operators.spatial import (
+        grid_nearest_join,
+    )
+
+    pts = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 5000)
+        .select(
+            F.col("event_id").alias("pid"),
+            ((F.col("event_id") * 2654435761) % 1000000).alias("x"),
+            ((F.col("event_id") * 40503) % 1000000).alias("y"),
+        )
+    )
+    return grid_nearest_join(
+        pts.filter(F.col("pid") % 10 == 0),
+        pts.filter(F.col("pid") % 10 != 0),
+        radius=50000,
+    )
+
+
 def q_ml03(spark, sf_dir):
     """Threshold-sweep classifier metrics (r6): precision/recall/F1 in
     truncating ppm at every digit-count score band, cumulated from the
@@ -4209,6 +4276,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t28_bm25_ranking": q_t28,
         "ml03_threshold_metrics": q_ml03,
         "pf09_categorical_profile": q_pf09,
+        "g13_ktruss_edges": q_g13,
+        "d31_dataset_card": q_d31,
+        "r09_nearest_point": q_r09,
         "e12_multitouch_credit": q_e12,
         "d28_exact_stratified_split": q_d28,
         "pm01_footprint_matrix": q_pm01,
@@ -7336,4 +7406,84 @@ SELECT doc_id, CAST(rnk AS BIGINT) AS rnk,
        CAST(n_terms_matched AS BIGINT) AS n_terms_matched,
        CAST(score_ppm AS BIGINT) AS score_ppm
 FROM r WHERE rnk <= 20"""
+    # g13: k-truss — identical unrolled peels; each round re-derives
+    # degrees/orientation on the surviving subgraph, counts support via
+    # the g03 oriented triangle enumeration, and keeps support >= k-2.
+    kt_sql = """
+WITH li AS (SELECT l_orderkey AS gk, l_partkey AS item FROM lineitem
+            WHERE l_orderkey % 10 < 1),
+e0 AS (SELECT DISTINCT least(a.item, b.item) AS src,
+                       greatest(a.item, b.item) AS dst
+       FROM li a JOIN li b ON a.gk = b.gk AND a.item <> b.item)"""
+    for _r in range(2):
+        kt_sql += f""",
+sym{_r} AS (SELECT src, dst FROM e{_r}
+           UNION ALL SELECT dst, src FROM e{_r}),
+deg{_r} AS (SELECT src AS n, count(*) AS d FROM sym{_r} GROUP BY 1),
+ori{_r} AS (SELECT s.src, s.dst FROM sym{_r} s
+           JOIN deg{_r} du ON du.n = s.src
+           JOIN deg{_r} dv ON dv.n = s.dst
+           WHERE du.d < dv.d OR (du.d = dv.d AND s.src < s.dst)),
+wg{_r} AS (SELECT a.src AS u, a.dst AS v, b.dst AS w
+          FROM ori{_r} a JOIN ori{_r} b ON a.dst = b.src),
+tr{_r} AS (SELECT g.u, g.v, g.w FROM wg{_r} g
+          JOIN ori{_r} o ON o.src = g.u AND o.dst = g.w),
+te{_r} AS (SELECT least(u, v) AS src, greatest(u, v) AS dst FROM tr{_r}
+          UNION ALL SELECT least(v, w), greatest(v, w) FROM tr{_r}
+          UNION ALL SELECT least(u, w), greatest(u, w) FROM tr{_r}),
+sup{_r} AS (SELECT src, dst, count(*) AS support FROM te{_r}
+           GROUP BY 1, 2 HAVING count(*) >= 3),
+e{_r + 1} AS (SELECT src, dst FROM sup{_r})"""
+    kt_sql += """
+SELECT src AS part_a, dst AS part_b, CAST(support AS BIGINT) AS support
+FROM sup1"""
+    out["g13_ktruss_edges"] = kt_sql
+    # r09: nearest-point join — brute-force twin of the grid-blocked
+    # plan (identical results: blocking is exact within the radius).
+    out["r09_nearest_point"] = """
+WITH pts AS (SELECT event_id AS pid,
+                    (event_id * 2654435761) % 1000000 AS x,
+                    (event_id * 40503) % 1000000 AS y
+             FROM events WHERE event_id < 5000),
+q AS (SELECT * FROM pts WHERE pid % 10 = 0),
+r AS (SELECT * FROM pts WHERE pid % 10 <> 0),
+c AS (SELECT q.pid, r.pid AS ref_id,
+             (q.x - r.x) * (q.x - r.x) + (q.y - r.y) * (q.y - r.y) AS d2
+      FROM q, r
+      WHERE (q.x - r.x) * (q.x - r.x) + (q.y - r.y) * (q.y - r.y)
+            <= 2500000000),
+k AS (SELECT pid, ref_id, d2,
+             row_number() OVER (PARTITION BY pid
+                                ORDER BY d2 ASC, ref_id ASC) AS rn
+      FROM c)
+SELECT pid, ref_id, CAST(d2 AS BIGINT) AS dist_sq FROM k WHERE rn = 1"""
+    # d31: dataset card — d01's fingerprint + t01's token count per
+    # source; integer ppm rates; top lang by (count desc, lang asc).
+    out["d31_dataset_card"] = """
+WITH b AS (SELECT source, lang,
+                  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+                  CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                  END AS tc,
+                  length(text) AS n
+           FROM documents),
+ps AS (SELECT source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(tc) AS BIGINT) AS total_tokens,
+              CAST(sum(n) AS BIGINT) AS total_chars,
+              CAST(count(DISTINCT fp) AS BIGINT) AS n_fingerprints,
+              CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+       FROM b GROUP BY 1),
+tl AS (SELECT source, lang, count(*) AS lc FROM b GROUP BY 1, 2),
+tl1 AS (SELECT source, lang AS top_lang,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY lc DESC, lang ASC) AS r
+        FROM tl)
+SELECT ps.source, n_docs, total_tokens, total_chars,
+       CAST((1000000 * total_tokens) // n_docs AS BIGINT) AS mean_tokens_ppm,
+       n_fingerprints,
+       CAST(1000000 - (1000000 * n_fingerprints) // n_docs AS BIGINT)
+         AS dup_ppm,
+       n_langs, tl1.top_lang
+FROM ps JOIN tl1 ON tl1.source = ps.source AND tl1.r = 1"""
     return out

@@ -784,3 +784,96 @@ def item_item_topk(
             F.col("_rnk").cast("long").alias("rnk"),
         )
     )
+
+
+def ktruss_edges(
+    edges: DataFrame,
+    k: int = 4,
+    rounds: int = 2,
+    materialize_edges: bool = True,
+) -> DataFrame:
+    """Fixed-round k-truss peeling: repeatedly drop edges whose SUPPORT
+    (triangles they participate in, within the current subgraph) falls
+    below k−2 — the edge-grained cohesion filter one notch stronger
+    than :func:`kcore_filter`'s node degrees (a k-truss is always
+    inside a (k−1)-core, never vice versa; spam-ring and community-core
+    extraction run on exactly this).
+
+    Runs exactly ``rounds`` peels (the g02/g04 posture: fixed rounds
+    keep the result a pure function of the input so an oracle unrolls
+    identical rounds; convergence at scale is the d10 changed-count
+    loop). Per round, support is counted by the same degree-ordered
+    orientation as :func:`triangle_counts` — each triangle enumerated
+    exactly once with wedge fan-out bounded near √m by the orientation
+    — then exploded to its three canonical (least, greatest) edges and
+    hash-counted. All key-equality joins, no driver state; the
+    canonical edge list is localCheckpoint'ed so the unrolled lineage
+    doesn't re-embed the upstream edge derivation per round.
+
+    Input is the symmetric distinct edge list
+    (:func:`cooccurrence_edges`). Returns surviving canonical edges
+    ``(src, dst, support)``, src < dst, with support as measured in the
+    subgraph ENTERING the final round (the value the last filter
+    tested — the oracle mirrors this exactly).
+    """
+    if k < 3 or rounds < 1:
+        raise ValueError("ktruss_edges: need k >= 3 and rounds >= 1")
+    e = edges.filter(F.col("src") < F.col("dst")).select("src", "dst").distinct()
+    if materialize_edges:
+        e = e.localCheckpoint()
+    last_support = None
+    for _ in range(int(rounds)):
+        sym = e.unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        deg = sym.groupBy(F.col("src").alias("_n")).agg(
+            F.count(F.lit(1)).alias("_d")
+        )
+        ed = (
+            sym.join(deg.withColumnRenamed("_n", "src"), "src")
+            .withColumnRenamed("_d", "_du")
+            .join(
+                deg.withColumnRenamed("_n", "dst").withColumnRenamed(
+                    "_d", "_dv"
+                ),
+                "dst",
+            )
+        )
+        oriented = ed.filter(
+            (F.col("_du") < F.col("_dv"))
+            | ((F.col("_du") == F.col("_dv")) & (F.col("src") < F.col("dst")))
+        ).select("src", "dst")
+        a, b = oriented.alias("a"), oriented.alias("b")
+        wedges = a.join(b, F.col("a.dst") == F.col("b.src")).select(
+            F.col("a.src").alias("u"),
+            F.col("a.dst").alias("v"),
+            F.col("b.dst").alias("w"),
+        )
+        closing = oriented.select(
+            F.col("src").alias("u"), F.col("dst").alias("w")
+        )
+        tris = wedges.join(closing, ["u", "w"])
+        tri_edges = tris.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.least("u", "v").alias("src"),
+                        F.greatest("u", "v").alias("dst"),
+                    ),
+                    F.struct(
+                        F.least("v", "w").alias("src"),
+                        F.greatest("v", "w").alias("dst"),
+                    ),
+                    F.struct(
+                        F.least("u", "w").alias("src"),
+                        F.greatest("u", "w").alias("dst"),
+                    ),
+                )
+            ).alias("_e")
+        ).select(F.col("_e.src").alias("src"), F.col("_e.dst").alias("dst"))
+        support = tri_edges.groupBy("src", "dst").agg(
+            F.count(F.lit(1)).cast("long").alias("support")
+        )
+        last_support = support.filter(F.col("support") >= int(k) - 2)
+        e = e.join(last_support.select("src", "dst"), ["src", "dst"], "left_semi")
+    return e.join(last_support, ["src", "dst"])

@@ -70,10 +70,90 @@ def grid_radius_join(
             & (F.col("_cy") == F.col("_ecy"))
             & (F.col("_id") < F.col("_id2")),
         )
-        .filter(dist_sq <= F.lit(radius) * F.lit(radius))
+        .filter(
+            dist_sq
+            <= F.lit(int(radius)).cast("long") * F.lit(int(radius)).cast("long")
+        )
         .select(
             F.col("_id").alias("id_a"),
             F.col("_id2").alias("id_b"),
             dist_sq.cast("long").alias("dist_sq"),
+        )
+    )
+
+
+def grid_nearest_join(
+    queries: DataFrame,
+    refs: DataFrame,
+    radius: int,
+    id_col: str = "pid",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Nearest-reference-point join: for each query point, THE closest
+    reference point within ``radius`` (the geo-attach step — "which
+    depot/cell-tower/store serves this event"), or no row when none is
+    in range.
+
+    Same exact-integer grid blocking as :func:`grid_radius_join` —
+    cell == radius, query side expanded to its 3×3 neighborhood, one
+    hash join on the cell key — then a per-query argmin ordered by
+    ``(dist_sq, ref id)``: a total order, so the winner is unique and
+    engine-portable (a brute-force SQL twin with the same row_number
+    agrees exactly). Candidates are bounded by local reference density;
+    the window partitions by query id over those candidates only.
+
+    Returns (``id_col``, ref_id, dist_sq), one row per query point with
+    ≥1 in-range reference.
+    """
+    from pyspark.sql import Window
+
+    if radius <= 0:
+        raise ValueError("radius must be positive")
+    cell = F.lit(radius)
+    offsets = F.expr(
+        "explode(transform(sequence(0, 8),"
+        " i -> struct(i div 3 - 1 AS dx, i % 3 - 1 AS dy)))"
+    )
+    q = queries.select(
+        F.col(id_col).alias("_qid"),
+        F.col(x_col).cast("long").alias("_qx"),
+        F.col(y_col).cast("long").alias("_qy"),
+        F.floor(F.col(x_col) / cell).alias("_qcx"),
+        F.floor(F.col(y_col) / cell).alias("_qcy"),
+        offsets.alias("_o"),
+    ).select(
+        "_qid",
+        "_qx",
+        "_qy",
+        (F.col("_qcx") + F.col("_o.dx")).alias("_cx"),
+        (F.col("_qcy") + F.col("_o.dy")).alias("_cy"),
+    )
+    r = refs.select(
+        F.col(id_col).alias("_rid"),
+        F.col(x_col).cast("long").alias("_rx"),
+        F.col(y_col).cast("long").alias("_ry"),
+        F.floor(F.col(x_col) / cell).alias("_cx"),
+        F.floor(F.col(y_col) / cell).alias("_cy"),
+    )
+    dx = F.col("_qx") - F.col("_rx")
+    dy = F.col("_qy") - F.col("_ry")
+    dist_sq = dx * dx + dy * dy
+    cand = (
+        q.join(r, ["_cx", "_cy"])
+        .filter(
+            dist_sq
+            <= F.lit(int(radius)).cast("long") * F.lit(int(radius)).cast("long")
+        )
+        .select("_qid", "_rid", dist_sq.cast("long").alias("dist_sq"))
+    )
+    w = Window.partitionBy("_qid").orderBy(F.asc("dist_sq"), F.asc("_rid"))
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("_qid").alias(id_col),
+            F.col("_rid").alias("ref_id"),
+            "dist_sq",
         )
     )

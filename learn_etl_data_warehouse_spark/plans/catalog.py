@@ -46,6 +46,13 @@ from pyspark.sql import functions as F
 
 from . import manifest_warehouse as mw
 
+
+class ForeignKeyViolation(Exception):
+    """A catalog commit would publish child rows whose foreign key has
+    no parent — the transaction is refused before the atomic swap, so
+    readers never see the inconsistent pair (fail-before-publish, the
+    expectations-gate posture applied across tables)."""
+
 CATALOG = "_CATALOG.json"
 
 
@@ -169,11 +176,26 @@ def catalog_commit(
     catalog_dir: str,
     writes: dict[str, tuple[DataFrame, list[str]]],
     replace: bool = True,
+    enforce_fks: list[tuple[str, str, str, str]] | None = None,
 ) -> str:
     """Commit every table in ``writes`` (``{name: (df, partition_by)}``)
     as ONE transaction: a reader resolving through the catalog sees all
     of them flip together or none at all. Tables not written carry their
-    current snapshot forward unchanged. Returns the catalog txn id."""
+    current snapshot forward unchanged. Returns the catalog txn id.
+
+    ``enforce_fks=[(child, fk_col, parent, pk_col), ...]`` turns pf06's
+    referential AUDIT into a commit-time GUARANTEE: each constraint is
+    validated against the POST-transaction state (staged version for
+    tables written this txn, current published snapshot otherwise) and
+    any non-null child key without a parent raises
+    :class:`ForeignKeyViolation` BEFORE the atomic catalog swap —
+    readers never observe the violating pair, and the loser's staged
+    versions are ordinary vacuumable garbage (the OCC-loser path).
+    Cross-table enforcement only makes sense at the catalog grain:
+    per-table CHECK constraints can't see the other table, and
+    single-table commits could never make a child+parent write atomic.
+    One broadcast-anti-join count per constraint reaches the driver —
+    bounded scalars, the analyze_table posture."""
     if not writes:
         raise ValueError("catalog_commit needs at least one table write")
     os.makedirs(catalog_dir, exist_ok=True)
@@ -185,6 +207,34 @@ def catalog_commit(
         os.makedirs(table, exist_ok=True)
         table_txn = f"{cat_txn}-{name}"
         staged[name] = _stage_table(table, df, partition_by, table_txn, replace)
+
+    def _post_txn(name: str) -> DataFrame:
+        table = _table_path(catalog_dir, name)
+        if name in staged:
+            return mw.read_snapshot(spark, table, as_of=staged[name]["txn"])
+        if name in cat["tables"]:
+            return mw.read_snapshot(spark, table, as_of=cat["tables"][name])
+        raise FileNotFoundError(
+            f"enforce_fks references {name!r}, which is neither written "
+            f"this transaction nor in the catalog"
+        )
+
+    for child, fk_col, parent, pk_col in enforce_fks or []:
+        orphans = (
+            _post_txn(child)
+            .filter(F.col(fk_col).isNotNull())
+            .join(
+                _post_txn(parent).select(F.col(pk_col).alias(fk_col)).distinct(),
+                fk_col,
+                "left_anti",
+            )
+            .count()
+        )
+        if orphans:
+            raise ForeignKeyViolation(
+                f"refusing catalog txn {cat_txn!r}: {orphans} row(s) of "
+                f"{child}.{fk_col} have no parent in {parent}.{pk_col}"
+            )
     new_cat = {
         "txn": cat_txn,
         "tables": {

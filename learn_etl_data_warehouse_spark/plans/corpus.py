@@ -17,7 +17,7 @@ the final corpus matters — the plan then executes once, lazily.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -81,3 +81,62 @@ def clean_corpus(
         "n_input long, n_after_exact long, n_after_neardup long, n_clean long",
     )
     return clean, stats
+
+
+def dataset_card(docs: DataFrame) -> DataFrame:
+    """Per-source dataset card: the one-table corpus summary a training
+    run publishes next to its data (docs, token volume, duplication
+    rate, language mix) — the reporting face of the d01/t01/t03
+    primitives, all in EXACT integers so the card is oracle-checkable.
+
+    Per source: document and char/token volume, distinct normalized
+    fingerprints (d01's md5) → ``dup_ppm = 1e6 − (1e6·distinct) div
+    docs``, mean tokens per doc in truncating ppm, language count and
+    the dominant language (count desc, lang asc — deterministic).
+
+    One scan feeds two hash aggs (per-source moments; per
+    (source, lang) counts + a top-1 window bounded by the language
+    count). No floats, no collect.
+
+    Returns (source, n_docs, total_tokens, total_chars, mean_tokens_ppm,
+    n_fingerprints, dup_ppm, n_langs, top_lang).
+    """
+    base = docs.select(
+        "source",
+        "lang",
+        text.fingerprint("text").alias("_fp"),
+        text.token_count("text").alias("_tc"),
+        F.length("text").alias("_n"),
+    )
+    per_source = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_tc").cast("long").alias("total_tokens"),
+        F.sum("_n").cast("long").alias("total_chars"),
+        F.countDistinct("_fp").cast("long").alias("n_fingerprints"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
+    lang_w = Window.partitionBy("source").orderBy(
+        F.desc("_lc"), F.asc("lang")
+    )
+    top_lang = (
+        base.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("_lc"))
+        .withColumn("_r", F.row_number().over(lang_w))
+        .filter(F.col("_r") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return per_source.join(top_lang, "source").select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "total_chars",
+        F.expr("(1000000 * total_tokens) div n_docs")
+        .cast("long")
+        .alias("mean_tokens_ppm"),
+        "n_fingerprints",
+        F.expr("1000000 - (1000000 * n_fingerprints) div n_docs")
+        .cast("long")
+        .alias("dup_ppm"),
+        "n_langs",
+        "top_lang",
+    )

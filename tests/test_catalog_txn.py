@@ -359,3 +359,89 @@ def test_policy_views_scope_rows(spark, tmp_path):
         spark, cdir, masks={"sales": {"amount": "null"}}, prefix="m_"
     )
     assert spark.sql("SELECT amount FROM m_sales").collect()[0]["amount"] is None
+
+
+class TestForeignKeyEnforcement:
+    """enforce_fks: pf06's audit promoted to a commit-time guarantee —
+    fail-before-publish at the catalog grain."""
+
+    def _dims(self, spark, ids):
+        return spark.createDataFrame([(i, f"d{i}") for i in ids], "pk long, nm string")
+
+    def _children(self, spark, fks):
+        return spark.createDataFrame(
+            [(i, fk) for i, fk in enumerate(fks)], "id long, fk long"
+        )
+
+    FK = [("child", "fk", "dim", "pk")]
+
+    def test_valid_commit_publishes_and_orphan_commit_refuses(
+        self, spark, tmp_path
+    ):
+        cdir = str(tmp_path / "wh")
+        t1 = cat.catalog_commit(
+            spark,
+            cdir,
+            {
+                "dim": (self._dims(spark, [1, 2, 3]), []),
+                "child": (self._children(spark, [1, 2, None]), []),
+            },
+            enforce_fks=self.FK,
+        )
+        assert cat.catalog_read(spark, cdir, "child").count() == 3  # null fk ok
+
+        # orphan child (fk=9) → refused BEFORE the swap; catalog unmoved
+        with pytest.raises(cat.ForeignKeyViolation):
+            cat.catalog_commit(
+                spark,
+                cdir,
+                {"child": (self._children(spark, [1, 9]), [])},
+                enforce_fks=self.FK,
+            )
+        assert cat.read_catalog(cdir)["txn"] == t1
+        got = {r["fk"] for r in cat.catalog_read(spark, cdir, "child").collect()}
+        assert got == {1, 2, None}
+
+    def test_cross_table_pair_write_validates_jointly(self, spark, tmp_path):
+        """Shrinking the dim and re-pointing the children in ONE txn is
+        exactly what single-table enforcement cannot express: each write
+        alone would violate, together they satisfy."""
+        cdir = str(tmp_path / "wh")
+        cat.catalog_commit(
+            spark,
+            cdir,
+            {
+                "dim": (self._dims(spark, [1, 2, 3]), []),
+                "child": (self._children(spark, [3, 3]), []),
+            },
+            enforce_fks=self.FK,
+        )
+        # dim loses pk=3, children move to pk=1 — atomically valid
+        t2 = cat.catalog_commit(
+            spark,
+            cdir,
+            {
+                "dim": (self._dims(spark, [1, 2]), []),
+                "child": (self._children(spark, [1, 1]), []),
+            },
+            enforce_fks=self.FK,
+        )
+        assert cat.read_catalog(cdir)["txn"] == t2
+        # but shrinking the dim ALONE against the standing children fails
+        with pytest.raises(cat.ForeignKeyViolation):
+            cat.catalog_commit(
+                spark,
+                cdir,
+                {"dim": (self._dims(spark, [2]), [])},
+                enforce_fks=self.FK,
+            )
+
+    def test_unknown_table_in_constraint_raises(self, spark, tmp_path):
+        cdir = str(tmp_path / "wh")
+        with pytest.raises(FileNotFoundError):
+            cat.catalog_commit(
+                spark,
+                cdir,
+                {"child": (self._children(spark, [1]), [])},
+                enforce_fks=self.FK,
+            )

@@ -3077,3 +3077,39 @@ def test_categorical_profile_gini_topk_and_nulls(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         categorical_profile(df, [])
+
+
+def test_ktruss_keeps_clique_drops_weaker_structure(spark):
+    """g13 pins: in K5 ∪ K4 ∪ a pendant edge, 5-truss peeling keeps
+    exactly the K5's 10 edges (support 3 each) — K4 edges carry support
+    2 and peel in round 1, the pendant edge carries 0; k < 3 raises."""
+    from learn_etl_data_warehouse_spark.operators.graph import ktruss_edges
+
+    und = []
+    k5 = [1, 2, 3, 4, 5]
+    for i in range(5):
+        for j in range(i + 1, 5):
+            und.append((k5[i], k5[j]))
+    k4 = [11, 12, 13, 14]
+    for i in range(4):
+        for j in range(i + 1, 4):
+            und.append((k4[i], k4[j]))
+    und.append((5, 6))
+    sym = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(sym, ["src", "dst"])
+
+    got = {(r["src"], r["dst"]): r["support"]
+           for r in ktruss_edges(edges, k=5, rounds=2).collect()}
+    assert len(got) == 10
+    assert all(a in k5 and b in k5 for a, b in got)
+    assert set(got.values()) == {3}
+
+    # k=4 additionally keeps the K4 (support 2 >= k-2)
+    got4 = {(r["src"], r["dst"]) for r in
+            ktruss_edges(edges, k=4, rounds=2).collect()}
+    assert len(got4) == 16
+    assert (5, 6) not in got4
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        ktruss_edges(edges, k=2)
