@@ -4221,32 +4221,84 @@ def q_t28(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
-    # the queries with the STALEST driver evidence. r6 rotation: 30 of
-    # the never-driver-checked r5-continuation queries + the 20 stalest
-    # r4-green entries; the r5-green cohort moves behind position 50.
+    # the queries with the STALEST driver evidence. r7 rotation: 46 of
+    # the 69 still-never-driver-checked oracle-backed queries + 4
+    # continuously-verified cores; the r6-green cohort moves behind.
     # Rows-only (no-oracle) queries stay last so the window is 100%
     # hash-checkable. Every window entry must be scalar-only AND
     # oracle-backed (both pinned by tests/test_driver_window.py) and
     # sf0.01+sf0.1-swept in the round it rotates in.
-    # r7 rotation candidates, stalest first: the remaining r4-green
-    # entries (a07/a08/a10/a11, set04, e01/e04/e05, j01/j03, set01/
-    # set02, r02, d01/d02, p-family) and the ~60 still-never-checked
-    # r5-continuation queries (e09 a15 a16 r03 d21 d22 e10 e11 f02 a17
-    # t15 t17 t18 g03 w06 a18 r05 d25 j07 r04 a19 pf02 path01 d26 d27
-    # w07 set05 a20 r06 a21 r07 s14 e13 g05 e14 e15 t20 fp02 g06 a22
-    # a23 pf03 a24 g07 g08 e16 t21 e17 e19 set06 e20 e21 e23 ca01 a27
-    # r08 t23 ops01 e26 t26 d29 e27 m06 ops02).
+    # r8 rotation plan (the final 23 never-checked): g07 g08 e16 t21
+    # e17 e18 g09 e19 set06 e20 e21 e23 ca01 a27 r08 t23 ops01 e26 t26
+    # d29 e27 m06 ops02.
     return {
         # ==== DRIVER WINDOW (first 50; order is load-bearing) =========
-        # r6 rotation (staleness-first policy): 30 never-driver-checked
-        # r5-continuation queries (representative slice across the
-        # graph/fp/pf/ivm/ml/a/t/e/d/pm families) + the 20 stalest
-        # r4-green entries (last driver row: r4). The r5-green cohort
-        # (ivm01/t13/d17/j06/e08 + the 45-query r3 cohort) moves behind.
+        # r7 rotation (staleness-first policy): 46 never-driver-checked
+        # queries (the whole d18-d27/e09-e15/a15-a24/t15-t21-ish slice
+        # the r6 verdict enumerated) + 4 continuously-verified cores
+        # (d01/d02/e01/f01). The r6-green cohort moves behind position
+        # 50. After this rotation exactly 23 oracle-backed queries have
+        # never had a driver row (g07/g08/e16-e27 tail/ca01/a27/r08/
+        # t23/t26/ops01/ops02/d29/m06 + later additions) — rotate those
+        # in next round to finish full driver coverage.
         # Every window entry is scalar-only AND oracle-backed (pinned by
-        # tests/test_driver_window.py) and must be sf0.01+sf0.1-swept
-        # in the round it rotates in.
-        # -- never driver-checked (r5 continuations) (30) --------------
+        # tests/test_driver_window.py) and swept at sf0.01+sf0.1 this
+        # round before banking.
+        # -- never driver-checked until r7 (46) -------------------------
+        "d18_corpus_build_scrubbed": q_d18,
+        "d19_quality_weighted_sample": q_d19,
+        "d20_bag_of_words_dedup": q_d20,
+        "d21_semantic_dedup": q_d21,
+        "d22_dedup_keep_best": q_d22,
+        "e09_hourly_gapfill": q_e09,
+        "a15_grouped_corr": q_a15,
+        "a16_group_mode": q_a16,
+        "r03_nearest_event": q_r03,
+        "e10_cohort_retention": q_e10,
+        "e11_growth_accounting": q_e11,
+        "f02_user_transitions": q_f02,
+        "a17_mad_outliers": q_a17,
+        "t15_chunking": q_t15,
+        "g03_triangle_counts": q_g03,
+        "w06_navigation_windows": q_w06,
+        "a18_filtered_aggregates": q_a18,
+        "d25_training_chunks": q_d25,
+        "t17_bpe_pair_counts": q_t17,
+        "r05_spatial_pairs": q_r05,
+        "j07_full_outer_days": q_j07,
+        "r04_interval_overlap": q_r04,
+        "a19_pareto_frontier": q_a19,
+        "t18_bigram_lm": q_t18,
+        "path01_session_paths": q_path01,
+        "d26_sorted_neighborhood": q_d26,
+        "w07_ntile_quartiles": q_w07,
+        "set05_multiset_ops": q_set05,
+        "a20_winsorized_sums": q_a20,
+        "r06_activity_islands": q_r06,
+        "d27_lm_quality_corpus": q_d27,
+        "pf02_category_drift": q_pf02,
+        "a21_weighted_median": q_a21,
+        "r07_pit_features": q_r07,
+        "s14_hard_negatives": q_s14,
+        "e13_autocorrelation": q_e13,
+        "g05_bfs_hops": q_g05,
+        "e14_ewma_smoothing": q_e14,
+        "e15_rolling_anomaly": q_e15,
+        "t20_collocations": q_t20,
+        "fp02_sequential_pairs": q_fp02,
+        "g06_link_prediction": q_g06,
+        "a22_minmax_normalize": q_a22,
+        "a23_gini_concentration": q_a23,
+        "pf03_ks_drift": q_pf03,
+        "a24_cube_aggregate": q_a24,
+        # -- continuously-verified cores (4) ----------------------------
+        "d01_dedup_exact": q_d01,
+        "d02_ngram_jaccard_pairs": q_d02,
+        "e01_tumbling_window": q_e01,
+        "f01_event_funnel": q_f01,
+        # ================= position 51+: outside driver window ==========
+        # r6-green cohort + banked oracle-backed remainder; rows-only
+        # queries stay last so driver-checked rows are all hash-checkable.
         "g02_part_pagerank": q_g02,
         "g04_kcore": q_g04,
         "g10_weighted_shortest_paths": q_g10,
@@ -4282,7 +4334,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e12_multitouch_credit": q_e12,
         "d28_exact_stratified_split": q_d28,
         "pm01_footprint_matrix": q_pm01,
-        # -- r4-green cohort: stalest driver evidence (20) --------------
         "t08_decontamination": q_t08,
         "t09_repetition_metrics": q_t09,
         "t10_tfidf_top_terms": q_t10,
@@ -4303,15 +4354,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w03_rank_in_segment": q_w03,
         "w04_rolling_7day_revenue": q_w04,
         "r01_asof_join": q_r01,
-        # ================= position 51+: outside driver window ==========
-        # r5-green cohort (freshest driver evidence, CORRECTNESS_r05
-        # 50/50) + the banked oracle-backed remainder; rows-only last.
         "ivm01_maintained_rollup": q_ivm01,
         "t13_gopher_rules": q_t13,
         "d17_hot_span_scrub": q_d17,
         "j06_salted_hot_join": q_j06,
         "e08_outer_attribution": q_e08,
-        "f01_event_funnel": q_f01,
         "d07_train_val_split": q_d07,
         "d09_dup_clusters": q_d09,
         "d10_semantic_clusters": q_d10,
@@ -4360,19 +4407,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p08_bool_flags": q_p08,
         "p12_filter_contains": q_p12,
         "p13_json_extract": q_p13,
-        "d18_corpus_build_scrubbed": q_d18,
-        "d19_quality_weighted_sample": q_d19,
-        "d20_bag_of_words_dedup": q_d20,
-        "d21_semantic_dedup": q_d21,
-        "d22_dedup_keep_best": q_d22,
-        "e09_hourly_gapfill": q_e09,
-        "a15_grouped_corr": q_a15,
-        "a16_group_mode": q_a16,
-        "r03_nearest_event": q_r03,
-        "e10_cohort_retention": q_e10,
-        "e11_growth_accounting": q_e11,
-        "f02_user_transitions": q_f02,
-        "a17_mad_outliers": q_a17,
         "a07_rollup_year_status": q_a07,
         "a08_pivot_status": q_a08,
         "a10_grouping_sets": q_a10,
@@ -4400,46 +4434,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set01_anti_join": q_set01,
         "set02_semi_join": q_set02,
         "r02_event_pairs_range": q_r02,
-        "d01_dedup_exact": q_d01,
-        "d02_ngram_jaccard_pairs": q_d02,
-        "e01_tumbling_window": q_e01,
         "p14_null_handling": q_p14,
         "p15_string_functions": q_p15,
         "p16_date_functions": q_p16,
         "a13_quantile_bins": q_a13,
-        "t15_chunking": q_t15,
-        "g03_triangle_counts": q_g03,
-        "w06_navigation_windows": q_w06,
-        "a18_filtered_aggregates": q_a18,
-        "d25_training_chunks": q_d25,
-        "t17_bpe_pair_counts": q_t17,
-        "r05_spatial_pairs": q_r05,
-        "j07_full_outer_days": q_j07,
-        "r04_interval_overlap": q_r04,
-        "a19_pareto_frontier": q_a19,
-        "t18_bigram_lm": q_t18,
-        "path01_session_paths": q_path01,
-        "d26_sorted_neighborhood": q_d26,
-        "w07_ntile_quartiles": q_w07,
-        "set05_multiset_ops": q_set05,
-        "a20_winsorized_sums": q_a20,
-        "r06_activity_islands": q_r06,
-        "d27_lm_quality_corpus": q_d27,
-        "pf02_category_drift": q_pf02,
-        "a21_weighted_median": q_a21,
-        "r07_pit_features": q_r07,
-        "s14_hard_negatives": q_s14,
-        "e13_autocorrelation": q_e13,
-        "g05_bfs_hops": q_g05,
-        "e14_ewma_smoothing": q_e14,
-        "e15_rolling_anomaly": q_e15,
-        "t20_collocations": q_t20,
-        "fp02_sequential_pairs": q_fp02,
-        "g06_link_prediction": q_g06,
-        "a22_minmax_normalize": q_a22,
-        "a23_gini_concentration": q_a23,
-        "pf03_ks_drift": q_pf03,
-        "a24_cube_aggregate": q_a24,
         "g07_lpa_communities": q_g07,
         "g08_hits_scores": q_g08,
         "e16_seasonal_anomaly": q_e16,
@@ -4464,8 +4462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m06_media_blob_dedup": q_m06,
         "ops02_order_backlog": q_ops02,
         # rows-only (no oracle by nature) — declared via absence from
-        # oracle_sql(); kept last so driver-checked rows are all
-        # hash-verifiable
+        # oracle_sql(); kept last
         "e22_rolling_distinct_hll": q_e22,
         "a09_approx_distinct": q_a09,
         "a14_approx_percentiles": q_a14,
