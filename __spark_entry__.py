@@ -4218,6 +4218,63 @@ def q_t28(spark, sf_dir):
     )
 
 
+def q_d32(spark, sf_dir):
+    """Dataset-card DIFF (r7): card-over-card drift between two corpus
+    versions — per-source old/new/delta for docs, token and char
+    volume, fingerprint distinct/dup-ppm, language mix, plus an
+    added/removed/changed/unchanged status (plans/corpus.py::
+    dataset_card_diff). The "previous snapshot" here is the
+    deterministic doc_id %% 10 != 0 slice (a 10%% ingest batch); in
+    production the two sides are manifest-warehouse snapshots
+    (read_snapshot(as_of_txn=...)) — the e2e test composes it that
+    way. All deltas are signed-integer subtraction; the source-grain
+    join is metadata-sized at any corpus scale."""
+    from learn_etl_data_warehouse_spark.plans.corpus import (
+        dataset_card_diff,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return dataset_card_diff(docs.filter(F.col("doc_id") % 10 != 0), docs)
+
+
+def q_cl01(spark, sf_dir):
+    """Quality-classifier TRAINING loop (r7): 3 batch-perceptron rounds
+    over integer document features with the C4 gate as teacher label —
+    the curation stage the pipeline previously imported rather than
+    trained. Learning rate 1 keeps every update a signed-integer sum
+    (no division anywhere — the one arithmetic shape where Spark and
+    DuckDB agree on negatives), so the oracle unrolls the identical
+    rounds as chained CTEs (operators/classifier.py::perceptron_train).
+    Output is the full weight trajectory (rnd, feature, weight): 18
+    scalar rows pinning all intermediate states. Per round the plan is
+    one corpus scan + partial-aggregate tree; the 6-scalar weight row
+    is the only driver-side value (km01 centroid posture)."""
+    from learn_etl_data_warehouse_spark.operators.classifier import (
+        perceptron_train,
+        quality_features,
+    )
+
+    return perceptron_train(
+        quality_features(_t(spark, sf_dir, "documents")), rounds=3
+    )
+
+
+def q_cl02(spark, sf_dir):
+    """Trained-classifier document scoring (r7): cl01's round-3 weights
+    applied back to the corpus — margin = Σ wⱼ·xⱼ and the binary keep
+    decision, the fast linear gate that replaces re-running the full C4
+    rule stack at serving time (classifier.py::perceptron_score).
+    Weights broadcast; the scoring pass is a pure map at scale."""
+    from learn_etl_data_warehouse_spark.operators.classifier import (
+        perceptron_score,
+        perceptron_train,
+        quality_features,
+    )
+
+    feats = quality_features(_t(spark, sf_dir, "documents"))
+    return perceptron_score(feats, perceptron_train(feats, rounds=3))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -4461,6 +4518,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e27_weekday_weekend": q_e27,
         "m06_media_blob_dedup": q_m06,
         "ops02_order_backlog": q_ops02,
+        "cl01_perceptron_weights": q_cl01,
+        "cl02_perceptron_scores": q_cl02,
+        "d32_dataset_card_diff": q_d32,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept last
         "e22_rolling_distinct_hll": q_e22,
@@ -7483,4 +7543,137 @@ SELECT ps.source, n_docs, total_tokens, total_chars,
          AS dup_ppm,
        n_langs, tl1.top_lang
 FROM ps JOIN tl1 ON tl1.source = ps.source AND tl1.r = 1"""
+    # d32: dataset-card diff — the d31 card computed per side (the old
+    # side is the doc_id % 10 != 0 slice), full-outer-joined on source;
+    # deltas are signed-integer subtraction with counts coalesced to 0.
+    def _card_sql(where: str) -> str:
+        return f"""
+  SELECT ps.source, n_docs, total_tokens, total_chars, n_fingerprints,
+         CAST(1000000 - (1000000 * n_fingerprints) // n_docs AS BIGINT)
+           AS dup_ppm,
+         n_langs, tl1.top_lang
+  FROM (SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(tc) AS BIGINT) AS total_tokens,
+               CAST(sum(n) AS BIGINT) AS total_chars,
+               CAST(count(DISTINCT fp) AS BIGINT) AS n_fingerprints,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM (SELECT source, lang,
+                     md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                       AS fp,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS tc,
+                     length(text) AS n
+              FROM documents {where}) b0
+        GROUP BY 1) ps
+  JOIN (SELECT source, lang AS top_lang,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY lc DESC, lang ASC) AS r
+        FROM (SELECT source, lang, count(*) AS lc
+              FROM documents {where} GROUP BY 1, 2) tl0) tl1
+    ON tl1.source = ps.source AND tl1.r = 1"""
+
+    _d32_metrics = ["n_docs", "total_tokens", "total_chars",
+                    "n_fingerprints", "dup_ppm", "n_langs"]
+    _d32_deltas = ",\n       ".join(
+        f"CAST(coalesce(n.{m}, 0) - coalesce(o.{m}, 0) AS BIGINT) "
+        f"AS {m}_delta" for m in _d32_metrics
+    )
+    _d32_changed = " OR ".join(
+        f"coalesce(n.{m}, 0) <> coalesce(o.{m}, 0)" for m in _d32_metrics
+    ) + (
+        " OR coalesce(n.top_lang, '') <> coalesce(o.top_lang, '')"
+    )
+    out["d32_dataset_card_diff"] = f"""
+WITH old_card AS ({_card_sql("WHERE doc_id % 10 <> 0")}),
+new_card AS ({_card_sql("")})
+SELECT coalesce(o.source, n.source) AS source,
+       {", ".join(f"o.{m} AS {m}_old" for m in _d32_metrics)},
+       {", ".join(f"n.{m} AS {m}_new" for m in _d32_metrics)},
+       {_d32_deltas},
+       o.top_lang AS top_lang_old, n.top_lang AS top_lang_new,
+       CASE WHEN o.n_docs IS NULL THEN 'added'
+            WHEN n.n_docs IS NULL THEN 'removed'
+            WHEN {_d32_changed} THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM old_card o FULL OUTER JOIN new_card n ON o.source = n.source"""
+    # cl01/cl02: batch-perceptron training (lr=1 — signed-integer adds
+    # and multiplies ONLY; no division, the one arithmetic shape where
+    # Spark/DuckDB agree on negatives). Rounds unroll as w0→m1→w1→…
+    # chained CTEs; sum(BIGINT)→HUGEINT cast back per round.
+    _clf = [
+        ("bias", "w_b"),
+        ("n_words_capped", "w_n"),
+        ("mean_word_len_centi", "w_m"),
+        ("punct_permille", "w_p"),
+        ("digit_permille", "w_d"),
+        ("distinct_permille", "w_u"),
+    ]
+    cl_base = r"""
+WITH raw AS (
+  SELECT doc_id, text,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+              AS BIGINT) AS nw,
+         CAST(len(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS nonws,
+         CAST(length(text) AS BIGINT) AS chars,
+         CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+              AS BIGINT) AS punctn,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+              AS BIGINT) AS digitn,
+         CAST(len(list_distinct(regexp_split_to_array(trim(lower(text)),
+              '\s+'))) AS BIGINT) AS uniq
+  FROM documents),
+lab AS (
+  SELECT doc_id,
+         CASE WHEN nw >= 10 AND nw <= 100000
+              AND round(CASE WHEN nw = 0 THEN 0.0
+                        ELSE nonws * 1.0 / nw END, 6) >= 2.0
+              AND round(CASE WHEN nw = 0 THEN 0.0
+                        ELSE nonws * 1.0 / nw END, 6) <= 12.0
+              AND NOT (contains(text, '{') OR contains(text, '}'))
+              AND NOT contains(lower(text), 'lorem ipsum')
+         THEN 1 ELSE 0 END AS label
+  FROM raw),
+f AS (
+  SELECT raw.doc_id,
+         CAST(1 AS BIGINT) AS bias,
+         CAST(least(nw, 1000) AS BIGINT) AS n_words_capped,
+         CAST(CASE WHEN nw = 0 THEN 0
+              ELSE least((nonws * 100) // nw, 2000) END
+              AS BIGINT) AS mean_word_len_centi,
+         CAST(CASE WHEN chars = 0 THEN 0 ELSE (punctn * 1000) // chars END
+              AS BIGINT) AS punct_permille,
+         CAST(CASE WHEN chars = 0 THEN 0 ELSE (digitn * 1000) // chars END
+              AS BIGINT) AS digit_permille,
+         CAST(CASE WHEN nw = 0 THEN 0 ELSE (uniq * 1000) // nw END
+              AS BIGINT) AS distinct_permille,
+         CAST(label AS BIGINT) AS label,
+         CAST(2 * label - 1 AS BIGINT) AS sgn
+  FROM raw JOIN lab USING (doc_id)),
+w0 AS (SELECT """ + ", ".join(
+        f"CAST(0 AS BIGINT) AS {w}" for _, w in _clf
+    ) + ")"
+    _margin = " + ".join(f"{w} * {x}" for x, w in _clf)
+    for _r in range(1, 4):
+        cl_base += f""",
+m{_r} AS (SELECT f.*, CAST({_margin} AS BIGINT) AS margin
+          FROM f, w{_r - 1}),
+w{_r} AS (SELECT """ + ", ".join(
+            f"CAST((SELECT {w} FROM w{_r - 1}) + coalesce(sum(CASE WHEN "
+            f"sgn * margin <= 0 THEN sgn * {x} END), 0) AS BIGINT) AS {w}"
+            for x, w in _clf
+        ) + f"\n          FROM m{_r})"
+    out["cl01_perceptron_weights"] = cl_base + "\n" + "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS rnd, '{x}' AS feature, "
+        f"{w} AS weight FROM w{r}"
+        for r in range(1, 4)
+        for x, w in _clf
+    )
+    out["cl02_perceptron_scores"] = cl_base + f"""
+SELECT f.doc_id, f.label,
+       CAST({_margin} AS BIGINT) AS margin,
+       ({_margin}) > 0 AS pred
+FROM f, w3"""
     return out

@@ -1,0 +1,182 @@
+"""Distributed quality-classifier training — the one LLM-curation stage
+the corpus pipeline previously imported rather than trained (r6 verdict
+item 4).
+
+The model is a batch perceptron over integer document features with
+learning rate 1: per round, every currently-misclassified document
+contributes ``sign · feature`` to the weight update, and weights stay
+exact BIGINTs. No division appears anywhere in the update (Spark ``div``
+truncates toward zero while DuckDB ``//`` floors, so NEGATIVE quotients
+are the classic cross-engine trap — addition/multiplication of signed
+integers is portable), which makes the whole training loop
+oracle-unrollable as chained CTEs, the km01/g02 posture.
+
+Scale shape: one narrow map derives features (no shuffle), then each
+round is ONE aggregation over the corpus producing a single weight row
+that is broadcast back for the next round's margins — per-round cost is
+a map + partial-aggregate tree, the cheapest distributed-training shape
+there is. Weight magnitude grows at most ``rounds · N · max_feature``
+(≈3·10⁹ at 5×10⁵ docs), far inside BIGINT; at 100 TB corpus sizes you
+would switch the margin accumulator to DECIMAL(38,0) before BIGINT is
+at any risk (headroom ≈ 9·10¹⁸).
+
+The teacher signal is the C4 gate (``text.c4_filters``): the trained
+model distills the rule-based gate into a linear scorer, exactly how
+production pipelines bootstrap fastText-style quality classifiers from
+heuristic labels. Reference scope: hariangr/learn_etl_data_warehouse
+has no ML stage (transformer.py:1-63 is cleaning only); this extends
+the engine's corpus-curation surface (SURVEY §2 LLM-pipeline family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import c4_filters, token_count, tokens
+
+# (name, Column-builder) pairs — ordered; "bias" must stay first so the
+# oracle SQL and the pure-Python reference agree on feature order.
+FEATURE_NAMES = [
+    "bias",
+    "n_words_capped",
+    "mean_word_len_centi",
+    "punct_permille",
+    "digit_permille",
+    "distinct_permille",
+]
+
+
+def quality_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Integer feature vector per document + the C4 teacher label.
+
+    All features are non-negative BIGINTs built with truncating division
+    of non-negative operands only (cross-engine exact):
+
+    - ``bias``                 constant 1;
+    - ``n_words_capped``       whitespace word count, capped at 1000;
+    - ``mean_word_len_centi``  (non-ws chars · 100) div words, cap 2000;
+    - ``punct_permille``       (punct chars · 1000) div chars;
+    - ``digit_permille``       (digit chars · 1000) div chars;
+    - ``distinct_permille``    (distinct tokens · 1000) div words.
+
+    ``label`` is the C4 ``kept`` flag as 0/1; ``sgn`` = 2·label − 1.
+    """
+    c = F.col(text_col)
+    teacher = c4_filters(df, text_col=text_col, id_col=id_col).select(
+        id_col, F.col("kept").cast("long").alias("label")
+    )
+    raw = df.select(
+        F.col(id_col),
+        token_count(text_col).cast("long").alias("_nw"),
+        F.length(F.regexp_replace(c, r"\s", "")).cast("long").alias("_nonws"),
+        F.length(c).cast("long").alias("_chars"),
+        F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+        .cast("long")
+        .alias("_punct"),
+        F.length(F.regexp_replace(c, r"[^0-9]", "")).cast("long").alias("_digit"),
+        F.size(F.array_distinct(tokens(F.lower(c)))).cast("long").alias("_uniq"),
+    )
+
+    def ratio(num: str, den: str, scale: int) -> F.Column:
+        return (
+            F.when(F.col(den) == 0, F.lit(0))
+            .otherwise(F.expr(f"({num} * {scale}) div {den}"))
+            .cast("long")
+        )
+
+    feats = raw.select(
+        id_col,
+        F.lit(1).cast("long").alias("bias"),
+        F.least(F.col("_nw"), F.lit(1000)).cast("long").alias("n_words_capped"),
+        F.least(ratio("_nonws", "_nw", 100), F.lit(2000)).alias(
+            "mean_word_len_centi"
+        ),
+        ratio("_punct", "_chars", 1000).alias("punct_permille"),
+        ratio("_digit", "_chars", 1000).alias("digit_permille"),
+        ratio("_uniq", "_nw", 1000).alias("distinct_permille"),
+    )
+    return feats.join(teacher, id_col).withColumn(
+        "sgn", (F.col("label") * 2 - 1).cast("long")
+    )
+
+
+def perceptron_train(
+    feats: DataFrame, rounds: int = 3
+) -> DataFrame:
+    """Batch-perceptron training over :func:`quality_features` output.
+
+    Round t (weights start at 0): a document is misclassified when
+    ``sgn · margin ≤ 0`` with ``margin = Σ_j w_j·x_j`` (zero margin
+    counts — round 1 therefore updates on every document, the standard
+    convention); the update is ``w_j += Σ_misclassified sgn·x_j``.
+    Pure signed-integer adds/multiplies, so DuckDB unrolls the identical
+    rounds (``sum(BIGINT)`` → HUGEINT cast back, the standing trap).
+
+    Returns the weight TRAJECTORY — (rnd, feature, weight) for every
+    round 1..``rounds`` — so the driver row pins all intermediate
+    states, not just the final vector. One corpus aggregation per round;
+    the per-round weight row is collected (6 scalars — bounded driver
+    metadata, the km01 centroid posture) and folded into the next
+    round's margin expression as literals, keeping each round's plan a
+    scan + filter + partial agg with no joins at all.
+    """
+    if rounds < 1:
+        raise ValueError("perceptron_train: rounds must be >= 1")
+    w = {name: 0 for name in FEATURE_NAMES}
+    spark = feats.sparkSession
+    out_rows = []
+    for rnd in range(1, int(rounds) + 1):
+        margin = sum(
+            (F.lit(int(w[name])) * F.col(name) for name in FEATURE_NAMES),
+            start=F.lit(0).cast("long"),
+        )
+        mis = feats.filter((F.col("sgn") * margin) <= 0)
+        delta = mis.agg(
+            *[
+                F.coalesce(F.sum(F.col("sgn") * F.col(name)), F.lit(0))
+                .cast("long")
+                .alias(name)
+                for name in FEATURE_NAMES
+            ]
+        ).first()
+        for name in FEATURE_NAMES:
+            w[name] = int(w[name]) + int(delta[name])
+        out_rows.extend(
+            (rnd, name, int(w[name])) for name in FEATURE_NAMES
+        )
+    return spark.createDataFrame(
+        out_rows, "rnd BIGINT, feature STRING, weight BIGINT"
+    )
+
+
+def perceptron_score(
+    feats: DataFrame, weights: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Score documents with a trained weight vector (final round of a
+    :func:`perceptron_train` trajectory): ``margin = Σ w_j·x_j``,
+    ``pred = margin > 0``. The weight table is tiny by construction —
+    broadcast onto the corpus, a pure map at scale (this is the fast
+    gate the d19/d27-style quality filters consume).
+    """
+    last = weights.agg(F.max("rnd").alias("_r"))
+    wrow = (
+        weights.join(F.broadcast(last), weights["rnd"] == last["_r"])
+        .groupBy()
+        .pivot("feature", FEATURE_NAMES)
+        .agg(F.first("weight"))
+    )
+    joined = feats.crossJoin(F.broadcast(wrow.select(
+        *[F.col(n).alias(f"_w_{n}") for n in FEATURE_NAMES]
+    )))
+    margin = sum(
+        (F.col(f"_w_{n}") * F.col(n) for n in FEATURE_NAMES),
+        start=F.lit(0).cast("long"),
+    )
+    return joined.select(
+        id_col,
+        "label",
+        margin.cast("long").alias("margin"),
+        (margin > 0).alias("pred"),
+    )

@@ -121,6 +121,216 @@ def pagerank_fixed_point(
     return ranks
 
 
+def pagerank_converged(
+    edges: DataFrame,
+    damping_pct: int = 85,
+    init_micros: int = 1_000_000,
+    tol_micros: int = 0,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Run-to-fixpoint PageRank — the production iteration policy for
+    :func:`pagerank_fixed_point` (which runs exactly N rounds so a SQL
+    oracle can unroll it).
+
+    Same integer micro-unit dynamics as the fixed-round form; iteration
+    stops when no node's rank moved by more than ``tol_micros`` between
+    rounds (``0`` = exact integer fixpoint, which the truncating-div
+    quantization reaches on well-behaved graphs), or at ``max_rounds``
+    as the cycle backstop. Each round ends with an eager
+    ``localCheckpoint`` (the d10 changed-count loop shape: lineage stays
+    one round deep, the convergence count is the only driver-side
+    value — 2 jobs per round).
+
+    Because the dynamics are identical, the converged result equals
+    ``pagerank_fixed_point(iterations=N)`` for any N at-or-beyond the
+    convergence round — the conformance test in ``test_operators.py``
+    pins that. Returns (node, rank_micros BIGINT).
+    """
+    if not 0 <= damping_pct <= 100:
+        raise ValueError("damping_pct must be in [0, 100]")
+    if max_rounds < 1:
+        raise ValueError("max_rounds must be >= 1")
+    edges = edges.localCheckpoint(eager=True)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    base = init_micros * (100 - damping_pct) // 100
+    ed = edges.join(deg.withColumnRenamed("node", "src"), "src").select(
+        F.col("src").alias("node"), "dst", "deg"
+    ).localCheckpoint(eager=True)
+    ranks = deg.select(
+        "node", F.lit(init_micros).cast("long").alias("rank_micros")
+    ).localCheckpoint(eager=True)
+    for _ in range(int(max_rounds)):
+        contrib = ranks.join(ed, "node").select(
+            F.col("dst").alias("_to"),
+            F.expr("rank_micros div deg").alias("_c"),
+        )
+        new_ranks = contrib.groupBy(F.col("_to").alias("node")).agg(
+            (
+                F.lit(base)
+                + F.expr(f"({damping_pct} * sum(_c)) div 100")
+            )
+            .cast("long")
+            .alias("rank_micros")
+        ).localCheckpoint(eager=True)
+        moved = (
+            new_ranks.withColumnRenamed("rank_micros", "_new")
+            .join(ranks, "node", "full_outer")
+            .filter(
+                F.abs(
+                    F.coalesce(F.col("_new"), F.lit(0))
+                    - F.coalesce(F.col("rank_micros"), F.lit(0))
+                )
+                > int(tol_micros)
+            )
+            .count()
+        )
+        ranks = new_ranks
+        if moved == 0:
+            break
+    return ranks
+
+
+def kcore_converged(
+    edges: DataFrame,
+    k: int = 2,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Run-to-fixpoint k-core peeling — the production iteration policy
+    for :func:`kcore_filter` (fixed rounds, oracle-unrollable).
+
+    Peels until no node falls below degree ``k`` (the true k-core),
+    detected as an unchanged surviving-edge count between rounds —
+    peeling is monotone (edges only leave), so an equal count means an
+    identical edge set and the loop has reached the fixpoint that
+    ``kcore_filter(rounds=N)`` approximates for any finite N. Each
+    round ends with an eager ``localCheckpoint`` (d10 loop shape).
+
+    Returns surviving (node, deg) — identical to ``kcore_filter`` run
+    with a round budget at-or-beyond convergence (conformance-pinned).
+    """
+    if k < 1 or max_rounds < 1:
+        raise ValueError("kcore_converged: k and max_rounds must be >= 1")
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    n_edges = e.count()
+    for _ in range(int(max_rounds)):
+        keep = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+            .filter(F.col("_deg") >= int(k))
+            .select("src")
+        )
+        e = (
+            e.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        remaining = e.count()
+        if remaining == n_edges:
+            break
+        n_edges = remaining
+    return e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+
+
+def ktruss_converged(
+    edges: DataFrame,
+    k: int = 4,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Run-to-fixpoint k-truss peeling — the production iteration policy
+    for :func:`ktruss_edges` (fixed rounds, oracle-unrollable).
+
+    Drops edges with support < k−2 until the surviving-edge count stops
+    changing (peeling is monotone, so equal count ⇒ identical edge set
+    ⇒ supports recompute identically ⇒ fixpoint). Support per round is
+    the same degree-ordered-orientation triangle count as the fixed
+    form; each round ends with an eager ``localCheckpoint``.
+
+    Returns surviving canonical edges (src, dst, support), src < dst,
+    with support measured in the subgraph entering the final (stable)
+    round — at the fixpoint that IS the support within the surviving
+    subgraph, and equals ``ktruss_edges(rounds=N)`` for any N
+    at-or-beyond convergence (conformance-pinned).
+    """
+    if k < 3 or max_rounds < 1:
+        raise ValueError("ktruss_converged: need k >= 3 and max_rounds >= 1")
+    e = (
+        edges.filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e.count()
+    last_support = None
+    for _ in range(int(max_rounds)):
+        support = _oriented_edge_support(e)
+        last_support = support.filter(F.col("support") >= int(k) - 2)
+        e = e.join(
+            last_support.select("src", "dst"), ["src", "dst"], "left_semi"
+        ).localCheckpoint(eager=True)
+        remaining = e.count()
+        if remaining == n_edges:
+            break
+        n_edges = remaining
+    return e.join(last_support, ["src", "dst"])
+
+
+def _oriented_edge_support(e: DataFrame) -> DataFrame:
+    """Support (triangle membership count) per canonical edge of the
+    subgraph ``e`` (src < dst, distinct) — the ktruss round kernel,
+    shared by the fixed-round and converged forms."""
+    sym = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("_n")).agg(
+        F.count(F.lit(1)).alias("_d")
+    )
+    ed = (
+        sym.join(deg.withColumnRenamed("_n", "src"), "src")
+        .withColumnRenamed("_d", "_du")
+        .join(
+            deg.withColumnRenamed("_n", "dst").withColumnRenamed("_d", "_dv"),
+            "dst",
+        )
+    )
+    oriented = ed.filter(
+        (F.col("_du") < F.col("_dv"))
+        | ((F.col("_du") == F.col("_dv")) & (F.col("src") < F.col("dst")))
+    ).select("src", "dst")
+    a, b = oriented.alias("a"), oriented.alias("b")
+    wedges = a.join(b, F.col("a.dst") == F.col("b.src")).select(
+        F.col("a.src").alias("u"),
+        F.col("a.dst").alias("v"),
+        F.col("b.dst").alias("w"),
+    )
+    closing = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    tris = wedges.join(closing, ["u", "w"])
+    tri_edges = tris.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("u", "v").alias("src"),
+                    F.greatest("u", "v").alias("dst"),
+                ),
+                F.struct(
+                    F.least("v", "w").alias("src"),
+                    F.greatest("v", "w").alias("dst"),
+                ),
+                F.struct(
+                    F.least("u", "w").alias("src"),
+                    F.greatest("u", "w").alias("dst"),
+                ),
+            )
+        ).alias("_e")
+    ).select(F.col("_e.src").alias("src"), F.col("_e.dst").alias("dst"))
+    return tri_edges.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    )
+
+
 def triangle_counts(edges: DataFrame) -> DataFrame:
     """Per-node triangle counts over a symmetric edge list — the
     clustering-structure primitive (cohesion scoring, community
@@ -823,57 +1033,7 @@ def ktruss_edges(
         e = e.localCheckpoint()
     last_support = None
     for _ in range(int(rounds)):
-        sym = e.unionAll(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        deg = sym.groupBy(F.col("src").alias("_n")).agg(
-            F.count(F.lit(1)).alias("_d")
-        )
-        ed = (
-            sym.join(deg.withColumnRenamed("_n", "src"), "src")
-            .withColumnRenamed("_d", "_du")
-            .join(
-                deg.withColumnRenamed("_n", "dst").withColumnRenamed(
-                    "_d", "_dv"
-                ),
-                "dst",
-            )
-        )
-        oriented = ed.filter(
-            (F.col("_du") < F.col("_dv"))
-            | ((F.col("_du") == F.col("_dv")) & (F.col("src") < F.col("dst")))
-        ).select("src", "dst")
-        a, b = oriented.alias("a"), oriented.alias("b")
-        wedges = a.join(b, F.col("a.dst") == F.col("b.src")).select(
-            F.col("a.src").alias("u"),
-            F.col("a.dst").alias("v"),
-            F.col("b.dst").alias("w"),
-        )
-        closing = oriented.select(
-            F.col("src").alias("u"), F.col("dst").alias("w")
-        )
-        tris = wedges.join(closing, ["u", "w"])
-        tri_edges = tris.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.least("u", "v").alias("src"),
-                        F.greatest("u", "v").alias("dst"),
-                    ),
-                    F.struct(
-                        F.least("v", "w").alias("src"),
-                        F.greatest("v", "w").alias("dst"),
-                    ),
-                    F.struct(
-                        F.least("u", "w").alias("src"),
-                        F.greatest("u", "w").alias("dst"),
-                    ),
-                )
-            ).alias("_e")
-        ).select(F.col("_e.src").alias("src"), F.col("_e.dst").alias("dst"))
-        support = tri_edges.groupBy("src", "dst").agg(
-            F.count(F.lit(1)).cast("long").alias("support")
-        )
+        support = _oriented_edge_support(e)
         last_support = support.filter(F.col("support") >= int(k) - 2)
         e = e.join(last_support.select("src", "dst"), ["src", "dst"], "left_semi")
     return e.join(last_support, ["src", "dst"])

@@ -140,3 +140,73 @@ def dataset_card(docs: DataFrame) -> DataFrame:
         "n_langs",
         "top_lang",
     )
+
+
+def dataset_card_diff(old_docs: DataFrame, new_docs: DataFrame) -> DataFrame:
+    """Card-over-card drift between two corpus versions — what a
+    training run reads before trusting a refreshed dataset (the r6
+    verdict's item 6: d31 reports one snapshot; ingestion wants the
+    DELTA between two manifest txns).
+
+    Computes :func:`dataset_card` on both versions and full-outer-joins
+    on source: every metric appears as old/new/delta, with deltas as
+    plain signed-integer SUBTRACTION (no division anywhere near a
+    negative — the cross-engine trap), counts coalesced to 0 for
+    added/removed sources, and a per-source ``status`` of
+    added / removed / changed / unchanged (top-language flips count as
+    changed). Cost is two card scans + one tiny source-grain join —
+    the cards are bounded by source cardinality, so the join is a
+    metadata-sized broadcast at any corpus scale.
+
+    Compose with the manifest warehouse for real snapshot pairs:
+    ``read_snapshot(spark, table, as_of_txn=t)`` for each side (the
+    e2e test does exactly that across a commit).
+    """
+    metrics = ["n_docs", "total_tokens", "total_chars", "n_fingerprints",
+               "dup_ppm", "n_langs"]
+    old = dataset_card(old_docs).select(
+        "source",
+        *[F.col(m).alias(f"{m}_old") for m in metrics],
+        F.col("top_lang").alias("top_lang_old"),
+    )
+    new = dataset_card(new_docs).select(
+        "source",
+        *[F.col(m).alias(f"{m}_new") for m in metrics],
+        F.col("top_lang").alias("top_lang_new"),
+    )
+    j = old.join(new, "source", "full_outer")
+    added = F.col("n_docs_old").isNull()
+    removed = F.col("n_docs_new").isNull()
+    deltas = [
+        (F.coalesce(F.col(f"{m}_new"), F.lit(0))
+         - F.coalesce(F.col(f"{m}_old"), F.lit(0)))
+        .cast("long")
+        .alias(f"{m}_delta")
+        for m in metrics
+    ]
+    changed = (
+        sum(
+            (F.coalesce(F.col(f"{m}_new"), F.lit(0))
+             != F.coalesce(F.col(f"{m}_old"), F.lit(0))).cast("int")
+            for m in metrics
+        )
+        > 0
+    ) | (
+        F.coalesce(F.col("top_lang_new"), F.lit(""))
+        != F.coalesce(F.col("top_lang_old"), F.lit(""))
+    )
+    status = (
+        F.when(added, F.lit("added"))
+        .when(removed, F.lit("removed"))
+        .when(changed, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        "source",
+        *[F.col(f"{m}_old") for m in metrics],
+        *[F.col(f"{m}_new") for m in metrics],
+        *deltas,
+        "top_lang_old",
+        "top_lang_new",
+        status.alias("status"),
+    )

@@ -477,3 +477,54 @@ def cdc_apply_sink(
         )
 
     return handle
+
+
+def geo_enrich_sink(
+    ref_table_dir: str,
+    out_dir: str,
+    radius: int,
+    id_col: str = "pid",
+    x_col: str = "x",
+    y_col: str = "y",
+):
+    """foreachBatch GEO-ATTACH enrichment: each micro-batch of point
+    events gets its nearest reference point within ``radius`` attached
+    ("which depot serves this event") — the streaming twin of the batch
+    r09 join (operators/spatial.py::grid_nearest_join), the r6 verdict's
+    item 5.
+
+    Composition of two proven postures:
+
+    - the reference points are re-read per batch as a manifest-warehouse
+      SNAPSHOT (the ``enriched_stream_sink`` lesson — a path-static join
+      pins its file listing at plan time and dies FILE_NOT_EXIST when
+      the dim is overwritten; snapshot re-resolution gives each batch
+      the latest atomically-published depot set, SCD-at-ingest);
+    - output lands in ``<out>/batch_id=N`` with per-partition overwrite
+      (the ``idempotent_parquet_sink`` posture): enrichment is a pure
+      per-row function of (point, current refs), so a replayed batch
+      rewrites itself byte-for-byte — exactly-once without a ledger.
+
+    Points with no in-range reference keep their row with NULL
+    ref_id/dist_sq (left join — the batch twin's semantics for "no
+    depot in range" are an absent row, so the conformance test compares
+    the attached pairs). Per batch the plan is the same bounded
+    grid-blocked join as r09: cell == radius, 3×3 neighborhood, one
+    hash join on the cell key, per-point (dist², ref id) argmin —
+    candidates bounded by local depot density, never all-pairs.
+    """
+    from ..operators.spatial import grid_nearest_join
+    from ..plans.manifest_warehouse import read_snapshot
+
+    def handle(batch_df, batch_id: int) -> None:
+        refs = read_snapshot(batch_df.sparkSession, ref_table_dir)
+        nearest = grid_nearest_join(
+            batch_df, refs, radius, id_col=id_col, x_col=x_col, y_col=y_col
+        )
+        (
+            batch_df.join(nearest, id_col, "left")
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch_id={batch_id}")
+        )
+
+    return handle

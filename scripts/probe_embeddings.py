@@ -9,11 +9,19 @@ duplicates, the same reason scale_probe rotates document tokens) and
 remaps vec_id to id·N + c so ids stay unique. Then times the
 embedding-family queries through their normal ``queries()`` entries.
 
-Usage:
-    python scripts/probe_embeddings.py [--factors 1,4,16] \
-        [--queries knn02_majority_label_ivf,d30_semantic_dedup_bounded]
+Per-round artifact mode (the r6 verdict's ask — scale shape tracked
+like bench headliners): ``--json PROBE_r07.json`` writes one JSON
+object with per-(query, factor) min-of-N seconds, the growth ratio at
+the top factor, and bench.py's calibration_s so rounds are comparable
+across host-speed windows. Reps are INTERLEAVED as full passes (the
+bench.py shape) so a sustained host stall inflates one pass, and the
+per-cell min rejects it.
 
-Numbers belong in SCALE.md only from an idle machine.
+Usage:
+    python scripts/probe_embeddings.py [--factors 1,4,16] [--reps 2] \
+        [--queries knn02_majority_label_ivf,...] [--json PROBE_r07.json]
+
+Numbers belong in SCALE.md / PROBE_r*.json only from an idle machine.
 """
 
 from __future__ import annotations
@@ -32,13 +40,18 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 import __spark_entry__ as entrymod
+from bench import _calibrate_single_core
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# knn02/d30 are the bounded ANN/dedup production paths; km01 the
+# distributed Lloyd round; d21 stays as the QUADRATIC CONTROL (its
+# label-cluster form is the oracle-exact twin — super-linear growth
+# here is expected and documents what the bounded paths avoid).
 DEFAULT_QUERIES = [
     "knn02_majority_label_ivf",
     "d30_semantic_dedup_bounded",
-    "d21_semantic_dedup",
     "km01_lloyd_assign",
+    "d21_semantic_dedup",
 ]
 
 
@@ -71,8 +84,10 @@ def build(spark: SparkSession, factor: int, out_dir: str) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", default="1,4,16")
+    ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
     ap.add_argument("--out", default="/tmp/emb_probe")
+    ap.add_argument("--json", default=None, help="write PROBE_r*.json here")
     ap.add_argument("--fresh", action="store_true")
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
@@ -86,31 +101,55 @@ def main() -> None:
         .config("spark.driver.memory", "16g")
         .getOrCreate()
     )
+    spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
-    results: dict[str, dict[int, float]] = {n: {} for n in names}
     for factor in factors:
-        fdir = os.path.join(args.out, f"f{factor}")
-        build(spark, factor, fdir)
-        for n in names:
-            t0 = time.monotonic()
-            cnt = qs[n](spark, fdir).count()
-            dt = round(time.monotonic() - t0, 2)
-            results[n][factor] = dt
-            print(json.dumps(
-                {"factor": factor, "query": n, "sec": dt, "rows": cnt}
-            ), flush=True)
-    summary = {
-        n: {
-            "growth_16x": (
-                round(results[n][16] / results[n][1], 1)
-                if 16 in results[n] and 1 in results[n] and results[n][1] > 0
-                else None
-            ),
-            "times": results[n],
-        }
-        for n in names
+        build(spark, factor, os.path.join(args.out, f"f{factor}"))
+
+    cal_before = _calibrate_single_core()
+    best: dict[str, dict[int, float]] = {n: {} for n in names}
+    rows: dict[str, dict[int, int]] = {n: {} for n in names}
+    for rep in range(args.reps):
+        for factor in factors:
+            fdir = os.path.join(args.out, f"f{factor}")
+            for n in names:
+                t0 = time.monotonic()
+                cnt = qs[n](spark, fdir).count()
+                dt = round(time.monotonic() - t0, 2)
+                prev = best[n].get(factor)
+                best[n][factor] = dt if prev is None else min(prev, dt)
+                rows[n][factor] = cnt
+                print(json.dumps(
+                    {"rep": rep, "factor": factor, "query": n,
+                     "sec": dt, "rows": cnt}
+                ), flush=True)
+    cal = round(min(cal_before, _calibrate_single_core()), 3)
+
+    top = max(factors)
+    base = min(factors)
+    result = {
+        "metric": "embeddings_scale_probe",
+        "src": SRC,
+        "factors": factors,
+        "reps": args.reps,
+        "calibration_s": cal,
+        "queries": {
+            n: {
+                "times": {str(f): best[n][f] for f in factors},
+                "rows": {str(f): rows[n][f] for f in factors},
+                f"growth_{top}x": (
+                    round(best[n][top] / best[n][base], 1)
+                    if best[n].get(base) else None
+                ),
+            }
+            for n in names
+        },
     }
-    print(json.dumps({"summary": summary}), flush=True)
+    print(json.dumps(result), flush=True)
+    if args.json:
+        with open(args.json, "w") as fh:
+            json.dump(result, fh, indent=2)
+            fh.write("\n")
 
 
 if __name__ == "__main__":

@@ -157,3 +157,85 @@ def test_bag_of_words_dedup_collapses_permutations(spark):
     assert bag == [1, 3]  # min-id winner per multiset class
     exact = sorted(r["doc_id"] for r in dedup_exact(docs).collect())
     assert 2 in exact  # order-sensitive dedup keeps the permutation
+
+
+def test_dataset_card_diff_statuses_and_deltas(spark):
+    """r7: added/removed/changed/unchanged statuses, coalesced-to-zero
+    deltas for one-sided sources, and top-language flips counting as
+    changed."""
+    from learn_etl_data_warehouse_spark.plans.corpus import (
+        dataset_card_diff,
+    )
+
+    old = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "en", "web"),
+            (2, "alpha beta gamma", "en", "web"),      # dup of 1
+            (3, "uno dos tres cuatro", "es", "books"),
+            (4, "removed source text here", "en", "old_src"),
+            (5, "stable text", "en", "stable"),
+        ],
+        ["doc_id", "text", "lang", "source"],
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "en", "web"),       # dedup'd: one copy
+            (3, "uno dos tres cuatro", "es", "books"),
+            (6, "mas texto en espanol aqui", "es", "books"),
+            (7, "brand new source doc", "en", "new_src"),
+            (5, "stable text", "en", "stable"),
+        ],
+        ["doc_id", "text", "lang", "source"],
+    )
+    rows = {r["source"]: r for r in dataset_card_diff(old, new).collect()}
+    assert rows["new_src"]["status"] == "added"
+    assert rows["new_src"]["n_docs_old"] is None
+    assert rows["new_src"]["n_docs_delta"] == 1
+    assert rows["old_src"]["status"] == "removed"
+    assert rows["old_src"]["n_docs_delta"] == -1
+    assert rows["stable"]["status"] == "unchanged"
+    assert rows["stable"]["n_docs_delta"] == 0
+    # web lost its duplicate: docs 2→1, dup_ppm 500000→0
+    assert rows["web"]["status"] == "changed"
+    assert rows["web"]["n_docs_delta"] == -1
+    assert rows["web"]["dup_ppm_old"] == 500_000
+    assert rows["web"]["dup_ppm_new"] == 0
+    assert rows["web"]["dup_ppm_delta"] == -500_000
+    assert rows["books"]["n_docs_delta"] == 1
+
+
+def test_dataset_card_diff_across_manifest_snapshots(spark, tmp_path):
+    """The production composition: two manifest-warehouse txns of the
+    same documents table, diffed via as-of snapshot reads — the new
+    ingest batch shows up as that source's docs/token delta."""
+    from learn_etl_data_warehouse_spark.plans import manifest_warehouse as mw
+    from learn_etl_data_warehouse_spark.plans.corpus import (
+        dataset_card_diff,
+    )
+
+    import os
+
+    table = str(tmp_path / "docs_table")
+    os.makedirs(table)
+    sink = mw.manifest_stream_sink(table)
+    v1 = spark.createDataFrame(
+        [(1, "one two three", "en", "web"),
+         (2, "cuatro cinco seis", "es", "books")],
+        ["doc_id", "text", "lang", "source"],
+    )
+    sink(v1, 0)
+    t1 = mw.read_manifest(table)["txn"]
+    v2_extra = spark.createDataFrame(
+        [(3, "seven eight nine ten", "en", "web")],
+        ["doc_id", "text", "lang", "source"],
+    )
+    sink(v2_extra, 1)
+
+    old = mw.read_snapshot(spark, table, as_of=t1)
+    new = mw.read_snapshot(spark, table)
+    rows = {r["source"]: r
+            for r in dataset_card_diff(old, new).collect()}
+    assert rows["web"]["status"] == "changed"
+    assert rows["web"]["n_docs_delta"] == 1
+    assert rows["web"]["total_tokens_delta"] == 4
+    assert rows["books"]["status"] == "unchanged"

@@ -3113,3 +3113,191 @@ def test_ktruss_keeps_clique_drops_weaker_structure(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         ktruss_edges(edges, k=2)
+
+
+def test_pagerank_converged_matches_fixed_rounds_at_fixpoint(spark):
+    """r7 verdict item: the run-to-fixpoint production policy must equal
+    the oracle-unrollable fixed-round form once the fixture converges.
+    Two triangles bridged by one edge reach an EXACT integer fixpoint at
+    round 10 (verified by plain-Python power iteration), so converged
+    (tol=0) == fixed(iterations=N) for any N >= 10."""
+    from learn_etl_data_warehouse_spark.operators.graph import (
+        pagerank_converged,
+        pagerank_fixed_point,
+    )
+
+    und = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 4)]
+    sym = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(sym, ["src", "dst"])
+
+    conv = {
+        r["node"]: r["rank_micros"]
+        for r in pagerank_converged(edges, max_rounds=30).collect()
+    }
+    fixed = {
+        r["node"]: r["rank_micros"]
+        for r in pagerank_fixed_point(edges, iterations=15).collect()
+    }
+    assert conv == fixed
+
+    # plain-Python integer power iteration agrees and IS a fixpoint
+    deg = {}
+    for a, b in sym:
+        deg[a] = deg.get(a, 0) + 1
+    ranks = {n: 1_000_000 for n in deg}
+    for _ in range(15):
+        recv = {n: 0 for n in deg}
+        for a, b in sym:
+            recv[b] += ranks[a] // deg[a]
+        new = {n: 150_000 + (85 * s) // 100 for n, s in recv.items()}
+        stable = new == ranks
+        ranks = new
+    assert stable and conv == ranks
+
+
+def test_pagerank_converged_max_rounds_backstop_on_cycling_graph(spark):
+    """Integer PageRank on a star enters a period-2 micro-oscillation
+    (never a tol=0 fixpoint) — max_rounds must bound the loop, and the
+    result must equal the fixed form at exactly that many rounds."""
+    from learn_etl_data_warehouse_spark.operators.graph import (
+        pagerank_converged,
+        pagerank_fixed_point,
+    )
+
+    und = [(1, 2), (1, 3), (1, 4)]
+    sym = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(sym, ["src", "dst"])
+    conv = {
+        r["node"]: r["rank_micros"]
+        for r in pagerank_converged(edges, max_rounds=6).collect()
+    }
+    fixed = {
+        r["node"]: r["rank_micros"]
+        for r in pagerank_fixed_point(edges, iterations=6).collect()
+    }
+    assert conv == fixed
+
+
+def test_kcore_converged_matches_fixed_rounds_after_cascade(spark):
+    """A pendant path off a triangle peels one node per round under
+    k=2 (6→5→4), so convergence takes 3 peels + 1 confirming round;
+    the converged form must equal fixed-round peeling at any
+    at-or-beyond budget and leave exactly the triangle."""
+    from learn_etl_data_warehouse_spark.operators.graph import (
+        kcore_converged,
+        kcore_filter,
+    )
+
+    und = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6)]
+    sym = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(sym, ["src", "dst"])
+
+    conv = {
+        (r["node"], r["deg"]) for r in kcore_converged(edges, k=2).collect()
+    }
+    fixed = {
+        (r["node"], r["deg"])
+        for r in kcore_filter(edges, k=2, rounds=5).collect()
+    }
+    assert conv == fixed == {(1, 2), (2, 2), (3, 2)}
+    # a 2-round budget has NOT converged yet (node 4 still present) —
+    # the converged form is the one that finishes the cascade
+    partial = {
+        r["node"] for r in kcore_filter(edges, k=2, rounds=2).collect()
+    }
+    assert 4 in partial
+
+
+def test_ktruss_converged_matches_fixed_rounds(spark):
+    """K5 ∪ K4 ∪ pendant under k=5: K4 edges (support 2) and the
+    pendant peel, the K5 survives with support 3 — converged equals the
+    fixed form at an at-or-beyond budget, support values included."""
+    from learn_etl_data_warehouse_spark.operators.graph import (
+        ktruss_converged,
+        ktruss_edges,
+    )
+
+    und = []
+    k5 = [1, 2, 3, 4, 5]
+    for i in range(5):
+        for j in range(i + 1, 5):
+            und.append((k5[i], k5[j]))
+    k4 = [11, 12, 13, 14]
+    for i in range(4):
+        for j in range(i + 1, 4):
+            und.append((k4[i], k4[j]))
+    und.append((5, 6))
+    sym = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(sym, ["src", "dst"])
+
+    conv = {
+        (r["src"], r["dst"]): r["support"]
+        for r in ktruss_converged(edges, k=5).collect()
+    }
+    fixed = {
+        (r["src"], r["dst"]): r["support"]
+        for r in ktruss_edges(edges, k=5, rounds=3).collect()
+    }
+    assert conv == fixed
+    assert len(conv) == 10 and set(conv.values()) == {3}
+
+
+def test_perceptron_train_matches_python_reference(spark):
+    """r7 verdict item: the distributed training loop must equal a
+    plain-Python batch perceptron run on the SAME integer features —
+    same misclassification rule (sgn·margin ≤ 0, zero counts), same
+    lr=1 signed-integer updates, whole trajectory compared."""
+    from learn_etl_data_warehouse_spark.operators.classifier import (
+        FEATURE_NAMES,
+        perceptron_score,
+        perceptron_train,
+        quality_features,
+    )
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "short"),
+        (3, "{ code like page } function() { return 1; }"),
+        (4, "a fine prose paragraph with plenty of ordinary words to keep "
+            "the gate satisfied and the mean word length in range"),
+        (5, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"),
+        (6, "numbers 123 456 789 000 111 222 333 444 555 666 777 888"),
+        (7, ""),
+        (8, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+            "eiusmod tempor incididunt ut labore"),
+        (9, "repeat repeat repeat repeat repeat repeat repeat repeat "
+            "repeat repeat repeat repeat"),
+        (10, "balanced text with several distinct tokens and a readable "
+             "structure spanning more than ten words easily"),
+    ]
+    docs = spark.createDataFrame(texts, ["doc_id", "text"])
+    feats = quality_features(docs)
+    rows = {r["doc_id"]: r.asDict() for r in feats.collect()}
+
+    # plain-Python reference on the identical features
+    w = {n: 0 for n in FEATURE_NAMES}
+    expect = []
+    for rnd in range(1, 4):
+        mis = [
+            r for r in rows.values()
+            if r["sgn"] * sum(w[n] * r[n] for n in FEATURE_NAMES) <= 0
+        ]
+        for n in FEATURE_NAMES:
+            w[n] += sum(r["sgn"] * r[n] for r in mis)
+        expect.extend((rnd, n, w[n]) for n in FEATURE_NAMES)
+
+    trained = perceptron_train(feats, rounds=3)
+    got = [(r["rnd"], r["feature"], r["weight"]) for r in trained.collect()]
+    assert sorted(got) == sorted(expect)
+
+    # scoring applies the FINAL round's weights: margin and pred agree
+    scored = {r["doc_id"]: r for r in
+              perceptron_score(feats, trained).collect()}
+    for did, r in rows.items():
+        m = sum(w[n] * r[n] for n in FEATURE_NAMES)
+        assert scored[did]["margin"] == m
+        assert scored[did]["pred"] == (m > 0)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        perceptron_train(feats, rounds=0)

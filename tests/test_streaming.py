@@ -1576,3 +1576,86 @@ def test_sla_percentile_sink_end_to_end_stream(spark, tmp_path, sf_small):
         map(tuple, histogram_percentiles(value_histogram_state(ev)).collect())
     )
     assert got == want
+
+
+def test_geo_enrich_sink_matches_batch_twin_and_replays_clean(
+    spark, sf_small, tmp_path
+):
+    """Streaming geo-attach (r7): the foreachBatch grid-nearest
+    enrichment over a checkpointed availableNow stream must equal the
+    batch twin run over all points at once (enrichment is per-row, so
+    batching cannot change results), unmatched points must survive with
+    NULL ref columns, and a replayed batch must rewrite itself rather
+    than duplicate."""
+    import os
+
+    from learn_etl_data_warehouse_spark.operators.spatial import (
+        grid_nearest_join,
+    )
+    from learn_etl_data_warehouse_spark.plans.manifest_warehouse import (
+        manifest_stream_sink,
+    )
+    from learn_etl_data_warehouse_spark.streaming.sinks import geo_enrich_sink
+
+    events = load_table(spark, sf_small, "events")
+    pts = events.filter(F.col("event_id") < 3000).select(
+        F.col("event_id").alias("pid"),
+        ((F.col("event_id") * 2654435761) % 1000000).alias("x"),
+        ((F.col("event_id") * 40503) % 1000000).alias("y"),
+    )
+    queries_df = pts.filter(F.col("pid") % 10 == 0)
+    refs_df = pts.filter(F.col("pid") % 10 != 0)
+
+    ref_table = str(tmp_path / "refs")
+    os.makedirs(ref_table)
+    manifest_stream_sink(ref_table)(refs_df, 0)
+
+    src = str(tmp_path / "pts_src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    half = queries_df.filter(F.col("pid") % 20 == 0)
+    rest = queries_df.filter(F.col("pid") % 20 != 0)
+    half.coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(queries_df.schema).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(
+                geo_enrich_sink(ref_table, out, radius=50000)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    run_once()
+    rest.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    got = spark.read.parquet(out)
+    assert got.count() == queries_df.count()  # left join keeps all points
+
+    batch_twin = queries_df.join(
+        grid_nearest_join(queries_df, refs_df, radius=50000), "pid", "left"
+    )
+    g = {
+        (r["pid"], r["ref_id"], r["dist_sq"])
+        for r in got.select("pid", "ref_id", "dist_sq").collect()
+    }
+    b = {
+        (r["pid"], r["ref_id"], r["dist_sq"])
+        for r in batch_twin.select("pid", "ref_id", "dist_sq").collect()
+    }
+    assert g == b
+    # both matched and unmatched points are represented
+    assert any(x[1] is None for x in g) or all(x[1] is not None for x in b)
+
+    # replay: re-invoking the handler with an already-written batch_id
+    # overwrites that batch's directory — row count is unchanged
+    geo_enrich_sink(ref_table, out, radius=50000)(half, 0)
+    assert spark.read.parquet(out).count() == queries_df.count()
