@@ -4275,6 +4275,52 @@ def q_cl02(spark, sf_dir):
     return perceptron_score(feats, perceptron_train(feats, rounds=3))
 
 
+def q_cl03(spark, sf_dir):
+    """Trained-classifier EVALUATION vs its teacher (r7): the cl02
+    scores aggregated into one confusion row — tp/fp/fn/tn plus
+    accuracy/precision/recall in truncating ppm (NULL when a ppm
+    denominator is empty, never a div-by-zero). The distillation
+    check a pipeline runs before swapping the rule gate for the
+    linear scorer. One corpus aggregation over cl02's pure-map
+    scoring pass."""
+    from learn_etl_data_warehouse_spark.operators.classifier import (
+        perceptron_score,
+        perceptron_train,
+        quality_features,
+    )
+
+    feats = quality_features(_t(spark, sf_dir, "documents"))
+    scored = perceptron_score(feats, perceptron_train(feats, rounds=3))
+    agg = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("pred") & (F.col("label") == 1)).cast("long"))
+        .cast("long")
+        .alias("tp"),
+        F.sum((F.col("pred") & (F.col("label") == 0)).cast("long"))
+        .cast("long")
+        .alias("fp"),
+        F.sum((~F.col("pred") & (F.col("label") == 1)).cast("long"))
+        .cast("long")
+        .alias("fn"),
+        F.sum((~F.col("pred") & (F.col("label") == 0)).cast("long"))
+        .cast("long")
+        .alias("tn"),
+    )
+    return agg.select(
+        "n", "tp", "fp", "fn", "tn",
+        F.expr("(1000000 * (tp + tn)) div n").cast("long")
+        .alias("accuracy_ppm"),
+        F.when(F.col("tp") + F.col("fp") == 0, F.lit(None))
+        .otherwise(F.expr("(1000000 * tp) div (tp + fp)"))
+        .cast("long")
+        .alias("precision_ppm"),
+        F.when(F.col("tp") + F.col("fn") == 0, F.lit(None))
+        .otherwise(F.expr("(1000000 * tp) div (tp + fn)"))
+        .cast("long")
+        .alias("recall_ppm"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -4521,6 +4567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cl01_perceptron_weights": q_cl01,
         "cl02_perceptron_scores": q_cl02,
         "d32_dataset_card_diff": q_d32,
+        "cl03_classifier_eval": q_cl03,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept last
         "e22_rolling_distinct_hll": q_e22,
@@ -7676,4 +7723,25 @@ SELECT f.doc_id, f.label,
        CAST({_margin} AS BIGINT) AS margin,
        ({_margin}) > 0 AS pred
 FROM f, w3"""
+    out["cl03_classifier_eval"] = cl_base + f""",
+sc AS (SELECT f.label, ({_margin}) > 0 AS pred FROM f, w3),
+cm AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(coalesce(sum(CASE WHEN pred AND label = 1
+                                THEN 1 END), 0) AS BIGINT) AS tp,
+              CAST(coalesce(sum(CASE WHEN pred AND label = 0
+                                THEN 1 END), 0) AS BIGINT) AS fp,
+              CAST(coalesce(sum(CASE WHEN NOT pred AND label = 1
+                                THEN 1 END), 0) AS BIGINT) AS fn,
+              CAST(coalesce(sum(CASE WHEN NOT pred AND label = 0
+                                THEN 1 END), 0) AS BIGINT) AS tn
+       FROM sc)
+SELECT n, tp, fp, fn, tn,
+       CAST((1000000 * (tp + tn)) // n AS BIGINT) AS accuracy_ppm,
+       CAST(CASE WHEN tp + fp = 0 THEN NULL
+            ELSE (1000000 * tp) // (tp + fp) END AS BIGINT)
+         AS precision_ppm,
+       CAST(CASE WHEN tp + fn = 0 THEN NULL
+            ELSE (1000000 * tp) // (tp + fn) END AS BIGINT)
+         AS recall_ppm
+FROM cm"""
     return out

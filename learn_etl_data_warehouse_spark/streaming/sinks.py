@@ -528,3 +528,69 @@ def geo_enrich_sink(
         )
 
     return handle
+
+
+def card_ingest_sink(catalog_dir: str):
+    """foreachBatch handler maintaining the DATASET CARD incrementally
+    (r7): each micro-batch of documents folds into the three
+    card-state tables (plans/corpus.py::card_state_tables — additive
+    per-source moments, counted fingerprint pairs, counted language
+    pairs) and publishes as ONE catalog transaction with a batch
+    ledger. Refreshing the card after an ingest costs change-volume,
+    never a corpus rescan; ``plans.corpus.card_from_state`` over the
+    committed state equals the full :func:`dataset_card` rebuild
+    (conformance-tested), and two committed states diff directly via
+    ``dataset_card_diff``'s card grain.
+
+    Exactly-once is LEDGER-derived (the ``lm_stats_ingest_sink``
+    posture): counts double under replay, so a batch already in
+    ``card_applied`` is skipped; the three state tables + ledger flip
+    in one atomic catalog swap.
+    """
+    from learn_etl_data_warehouse_spark.plans import catalog as cat
+    from learn_etl_data_warehouse_spark.plans.corpus import (
+        card_state_tables,
+        merge_card_state,
+    )
+
+    STATE = {
+        "card_moments": "moments",
+        "card_fp_counts": "fp_counts",
+        "card_lang_counts": "lang_counts",
+    }
+
+    def handle(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        tables = set(cat.read_catalog(catalog_dir)["tables"])
+        if "card_applied" in tables:
+            applied = {
+                r.batch_id
+                for r in cat.catalog_read(spark, catalog_dir, "card_applied")
+                .select("batch_id")
+                .collect()
+            }
+            if int(batch_id) in applied:
+                return  # replayed batch: already folded into the card
+        batch_state = card_state_tables(batch_df)
+        if "card_moments" in tables:
+            prev = {
+                key: cat.catalog_read(spark, catalog_dir, tbl).drop("state")
+                for tbl, key in STATE.items()
+            }
+            merged = merge_card_state(prev, batch_state)
+        else:
+            merged = batch_state
+        ledger = spark.createDataFrame(
+            [(int(batch_id),)], "batch_id long"
+        ).withColumn("ingest_batch", F.lit(int(batch_id)))
+        commit = {
+            tbl: (
+                merged[key].withColumn("state", F.lit("live")),
+                ["state"],
+            )
+            for tbl, key in STATE.items()
+        }
+        commit["card_applied"] = (ledger, ["ingest_batch"])
+        cat.catalog_commit(spark, catalog_dir, commit, replace=False)
+
+    return handle

@@ -1659,3 +1659,46 @@ def test_geo_enrich_sink_matches_batch_twin_and_replays_clean(
     # overwrites that batch's directory — row count is unchanged
     geo_enrich_sink(ref_table, out, radius=50000)(half, 0)
     assert spark.read.parquet(out).count() == queries_df.count()
+
+
+def test_card_ingest_sink_incremental_and_replay_safe(
+    spark, tmp_path, sf_small
+):
+    """r7 card sink: batches fold into the card state under one catalog
+    txn each; a replayed batch id is skipped (ledger exactly-once); the
+    card derived from committed state equals the batch rebuild over
+    everything ingested."""
+    import os
+
+    from learn_etl_data_warehouse_spark.plans import catalog as cat
+    from learn_etl_data_warehouse_spark.plans.corpus import (
+        card_from_state,
+        dataset_card,
+    )
+    from learn_etl_data_warehouse_spark.streaming.sinks import (
+        card_ingest_sink,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    catalog_dir = str(tmp_path / "card_catalog")
+    os.makedirs(catalog_dir)
+    sink = card_ingest_sink(catalog_dir)
+
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b0, 0)  # replay: ledger says applied — must be a no-op
+
+    state = {
+        key: cat.catalog_read(spark, catalog_dir, tbl).drop("state")
+        for tbl, key in {
+            "card_moments": "moments",
+            "card_fp_counts": "fp_counts",
+            "card_lang_counts": "lang_counts",
+        }.items()
+    }
+    got = {r["source"]: r.asDict()
+           for r in card_from_state(state).collect()}
+    want = {r["source"]: r.asDict() for r in dataset_card(docs).collect()}
+    assert got == want
