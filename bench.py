@@ -85,6 +85,9 @@ HEADLINE = [
     "knn01_majority_label",
     "a28_histogram_percentiles",
     "pm01_footprint_matrix",
+    # r7 operators
+    "cl01_perceptron_weights",
+    "d32_dataset_card_diff",
 ]
 
 # Reference-parity ETL (EP1 at shard grain): not a queries() entry — it

@@ -103,7 +103,7 @@ def quality_features(
 
 
 def perceptron_train(
-    feats: DataFrame, rounds: int = 3
+    feats: DataFrame, rounds: int = 3, init: dict[str, int] | None = None
 ) -> DataFrame:
     """Batch-perceptron training over :func:`quality_features` output.
 
@@ -121,10 +121,20 @@ def perceptron_train(
     metadata, the km01 centroid posture) and folded into the next
     round's margin expression as literals, keeping each round's plan a
     scan + filter + partial agg with no joins at all.
+
+    ``init`` warm-starts the weight vector (default all-zero) — the
+    online-training hook: a streaming sink feeds each micro-batch as a
+    1-round continuation of the stored weights
+    (``streaming/sinks.py::classifier_train_sink``).
     """
     if rounds < 1:
         raise ValueError("perceptron_train: rounds must be >= 1")
     w = {name: 0 for name in FEATURE_NAMES}
+    if init is not None:
+        unknown = sorted(set(init) - set(FEATURE_NAMES))
+        if unknown:
+            raise ValueError(f"perceptron_train: unknown init features {unknown}")
+        w.update({k: int(v) for k, v in init.items()})
     spark = feats.sparkSession
     out_rows = []
     for rnd in range(1, int(rounds) + 1):

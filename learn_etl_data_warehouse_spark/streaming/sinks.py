@@ -594,3 +594,73 @@ def card_ingest_sink(catalog_dir: str):
         cat.catalog_commit(spark, catalog_dir, commit, replace=False)
 
     return handle
+
+
+def classifier_train_sink(catalog_dir: str):
+    """foreachBatch ONLINE TRAINING of the quality classifier (r7):
+    each micro-batch of documents runs ONE perceptron round warm-started
+    from the stored weight vector (operators/classifier.py::
+    perceptron_train(init=...)) — sequential mini-batch training, the
+    way a production quality model keeps learning as the corpus grows —
+    and commits weights + a batch ledger in one catalog transaction.
+
+    Exactly-once is LEDGER-derived (the lm_stats posture): a weight
+    update is not replay-idempotent (re-applying a batch moves the
+    vector again), so a batch already in ``clf_applied`` is skipped;
+    weights + ledger flip atomically. The stored table is 6 rows
+    (feature, weight) plus a monotone ``trained_rounds`` counter —
+    bounded metadata. The conformance test pins the streamed result
+    against a plain-Python sequential reference over the same batch
+    sequence.
+    """
+    from learn_etl_data_warehouse_spark.operators.classifier import (
+        FEATURE_NAMES,
+        perceptron_train,
+        quality_features,
+    )
+    from learn_etl_data_warehouse_spark.plans import catalog as cat
+
+    def handle(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        tables = set(cat.read_catalog(catalog_dir)["tables"])
+        if "clf_applied" in tables:
+            applied = {
+                r.batch_id
+                for r in cat.catalog_read(spark, catalog_dir, "clf_applied")
+                .select("batch_id")
+                .collect()
+            }
+            if int(batch_id) in applied:
+                return  # replayed batch: weights already moved
+        init = None
+        rounds_done = 0
+        if "clf_weights" in tables:
+            rows = cat.catalog_read(
+                spark, catalog_dir, "clf_weights"
+            ).collect()
+            init = {r["feature"]: int(r["weight"]) for r in rows}
+            rounds_done = int(rows[0]["trained_rounds"]) if rows else 0
+        feats = quality_features(batch_df)
+        traj = perceptron_train(feats, rounds=1, init=init)
+        new_w = traj.filter(F.col("rnd") == 1).select(
+            "feature", "weight"
+        ).withColumn(
+            "trained_rounds", F.lit(int(rounds_done) + 1).cast("long")
+        )
+        ledger = spark.createDataFrame(
+            [(int(batch_id),)], "batch_id long"
+        ).withColumn("ingest_batch", F.lit(int(batch_id)))
+        cat.catalog_commit(
+            spark,
+            catalog_dir,
+            {
+                "clf_weights": (
+                    new_w.withColumn("state", F.lit("live")),
+                    ["state"],
+                ),
+                "clf_applied": (ledger, ["ingest_batch"]),
+            },
+            replace=False,
+        )
+
+    return handle

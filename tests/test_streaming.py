@@ -1702,3 +1702,48 @@ def test_card_ingest_sink_incremental_and_replay_safe(
            for r in card_from_state(state).collect()}
     want = {r["source"]: r.asDict() for r in dataset_card(docs).collect()}
     assert got == want
+
+
+def test_classifier_train_sink_sequential_and_replay_safe(
+    spark, tmp_path, sf_small
+):
+    """r7 online training: streamed per-batch rounds must equal a
+    plain-Python sequential perceptron over the same batch sequence
+    (warm-started each batch), and a replayed batch id must not move
+    the weights."""
+    import os
+
+    from learn_etl_data_warehouse_spark.operators.classifier import (
+        FEATURE_NAMES,
+        quality_features,
+    )
+    from learn_etl_data_warehouse_spark.plans import catalog as cat
+    from learn_etl_data_warehouse_spark.streaming.sinks import (
+        classifier_train_sink,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    catalog_dir = str(tmp_path / "clf_catalog")
+    os.makedirs(catalog_dir)
+    sink = classifier_train_sink(catalog_dir)
+
+    batches = [docs.filter(F.col("doc_id") % 3 == k) for k in range(3)]
+    for i, b in enumerate(batches):
+        sink(b, i)
+    sink(batches[0], 0)  # replay → no-op
+
+    rows = cat.catalog_read(spark, catalog_dir, "clf_weights").collect()
+    got = {r["feature"]: r["weight"] for r in rows}
+    assert rows[0]["trained_rounds"] == 3
+
+    # python reference: one round per batch, sequential warm start
+    w = {n: 0 for n in FEATURE_NAMES}
+    for b in batches:
+        fr = [r.asDict() for r in quality_features(b).collect()]
+        mis = [
+            r for r in fr
+            if r["sgn"] * sum(w[n] * r[n] for n in FEATURE_NAMES) <= 0
+        ]
+        for n in FEATURE_NAMES:
+            w[n] += sum(r["sgn"] * r[n] for r in mis)
+    assert got == w
