@@ -37,6 +37,23 @@ def main() -> None:
     docs1 = docs.join(kept, "doc_id", "left_semi")
     print(f"c4_filters kept {docs1.count()}/{n0}")
 
+    # 1b. train the fast linear quality model on the rule gate's labels
+    # (fastText-style distillation — cl01/cl02/cl03 in the contract) and
+    # report how faithfully it reproduces the gate it will replace
+    from learn_etl_data_warehouse_spark.operators.classifier import (
+        perceptron_score,
+        perceptron_train,
+        quality_features,
+    )
+
+    feats = quality_features(docs)
+    weights = perceptron_train(feats, rounds=3)
+    scored_clf = perceptron_score(feats, weights)
+    agree = scored_clf.filter(
+        F.col("pred") == (F.col("label") == 1)
+    ).count()
+    print(f"trained classifier agrees with the C4 gate on {agree}/{n0}")
+
     # 2. exact dedup on normalized text
     docs2 = dedup.dedup_exact(docs1)
     print(f"exact dedup kept {docs2.count()}")
