@@ -1635,3 +1635,66 @@ def suggest_constraints(table: str) -> dict[str, str]:
                 f"{col} IS NULL OR ({col} >= {lo!r} AND {col} <= {hi!r})"
             )
     return out
+
+
+def copy_into(
+    spark: SparkSession,
+    table: str,
+    src_files: list[str],
+    fmt: str = "parquet",
+) -> dict:
+    """Idempotent external-file ingest — the COPY INTO surface: land a
+    set of already-written files into the versioned table EXACTLY ONCE,
+    no matter how often the loader re-runs with overlapping file lists
+    (the standard recovery posture for drop-folder / export-bucket
+    feeds).
+
+    The manifest carries a ``copy_history`` set of absolute source
+    paths; files already in it are skipped, the remainder are read,
+    staged, and published as ONE transaction (``ingest=<txn>``
+    partition) that updates history, partitions, and stats in the same
+    atomic manifest swap — a crash before the swap publishes neither
+    rows nor history, so the retry re-lands the same files cleanly.
+    Idempotence is PATH-derived: a re-exported file with new content
+    under the same path is deliberately not re-ingested (that's an
+    update feed — route it through ``merge_apply``/CDC instead).
+
+    At scale the ingest cost is one scan of only the NEW files; the
+    history check is driver-side set membership against manifest
+    metadata (bounded by files-ever-ingested — the same order as the
+    file listing any loader must hold anyway).
+
+    Returns {"files_added": n, "files_skipped": m, "txn": txn or None}.
+    """
+    paths = [os.path.abspath(p) for p in src_files]
+    missing = [p for p in paths if not os.path.exists(p)]
+    if missing:
+        raise FileNotFoundError(f"copy_into: missing source files {missing}")
+    manifest = read_manifest(table)
+    history = set(manifest.get("copy_history", []))
+    new_files = [p for p in paths if p not in history]
+    if not new_files:
+        return {
+            "files_added": 0,
+            "files_skipped": len(paths),
+            "txn": manifest.get("txn"),
+        }
+    df = spark.read.format(fmt).load(new_files)
+    _enforce_constraints(df, manifest, f"copy_into({len(new_files)} files)")
+    txn_id = uuid.uuid4().hex[:12]
+    staging = os.path.join(table, f".txn-staging-{txn_id}")
+    df.write.mode("overwrite").parquet(staging)
+    rel = f"ingest={txn_id}"
+    dst = os.path.join(table, rel, f"{TXN_COL_PREFIX}{txn_id}")
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    os.rename(staging, dst)
+    manifest["partitions"][rel] = txn_id
+    _invalidate_bloom(manifest, rel)
+    manifest.setdefault("stats", {})[rel] = _version_stats(dst)
+    manifest["copy_history"] = sorted(history | set(new_files))
+    _publish(table, manifest, txn_id)
+    return {
+        "files_added": len(new_files),
+        "files_skipped": len(paths) - len(new_files),
+        "txn": txn_id,
+    }

@@ -1042,3 +1042,47 @@ class TestSuggestConstraints:
         )
         with _pytest.raises(ValueError, match="no fresh"):
             suggest_constraints(table)
+
+
+def test_copy_into_exactly_once_over_overlapping_file_lists(
+    spark, tmp_path
+):
+    """r7 COPY INTO: overlapping re-runs land each source file exactly
+    once (path-derived idempotence), each call is one atomic txn, and
+    a full-list replay is a no-op that leaves the snapshot unchanged."""
+    import os
+
+    from learn_etl_data_warehouse_spark.plans import manifest_warehouse as mw
+
+    table = str(tmp_path / "copy_table")
+    os.makedirs(table)
+    drops = []
+    for i in range(3):
+        p = str(tmp_path / f"drop_{i}.parquet")
+        spark.range(i * 10, i * 10 + 10).withColumn(
+            "src_file", F.lit(i)
+        ).coalesce(1).write.mode("overwrite").parquet(p)
+        drops.append(p)
+
+    r1 = mw.copy_into(spark, table, drops[:2])
+    assert r1["files_added"] == 2 and r1["files_skipped"] == 0
+    assert mw.read_snapshot(spark, table).count() == 20
+
+    # overlap: file 1 already ingested, only file 2 lands
+    r2 = mw.copy_into(spark, table, drops[1:])
+    assert r2["files_added"] == 1 and r2["files_skipped"] == 1
+    snap = mw.read_snapshot(spark, table)
+    assert snap.count() == 30
+    assert {r["id"] for r in snap.select("id").collect()} == set(range(30))
+
+    # full replay: pure no-op, txn unchanged
+    before = mw.read_manifest(table)["txn"]
+    r3 = mw.copy_into(spark, table, drops)
+    assert r3 == {"files_added": 0, "files_skipped": 3, "txn": before}
+    assert mw.read_manifest(table)["txn"] == before
+    assert mw.read_snapshot(spark, table).count() == 30
+
+    # missing source file fails fast, before any txn is staged
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        mw.copy_into(spark, table, [str(tmp_path / "nope.parquet")])
