@@ -4275,6 +4275,24 @@ def q_cl02(spark, sf_dir):
     return perceptron_score(feats, perceptron_train(feats, rounds=3))
 
 
+def q_cl04(spark, sf_dir):
+    """SPARSE hashed-feature perceptron (r7): the wide-model variant —
+    64 md5-hashed token slots, weights as a DISTRIBUTED table (margins
+    and updates are joins, the shape a 2^20-slot vocabulary forces;
+    operators/classifier.py::sparse_perceptron_train). 2 rounds, lr=1
+    signed-integer arithmetic, C4 teacher; the oracle unrolls the
+    rounds as join/agg CTE chains. Per round: two key-equality
+    shuffles (by doc for margins, by bucket for updates), no collect
+    at any feature width."""
+    from learn_etl_data_warehouse_spark.operators.classifier import (
+        sparse_perceptron_train,
+    )
+
+    return sparse_perceptron_train(
+        _t(spark, sf_dir, "documents"), buckets=64, rounds=2
+    )
+
+
 def q_cl03(spark, sf_dir):
     """Trained-classifier EVALUATION vs its teacher (r7): the cl02
     scores aggregated into one confusion row — tp/fp/fn/tn plus
@@ -4568,6 +4586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cl02_perceptron_scores": q_cl02,
         "d32_dataset_card_diff": q_d32,
         "cl03_classifier_eval": q_cl03,
+        "cl04_sparse_perceptron": q_cl04,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept last
         "e22_rolling_distinct_hll": q_e22,
@@ -7744,4 +7763,35 @@ SELECT n, tp, fp, fn, tn,
             ELSE (1000000 * tp) // (tp + fn) END AS BIGINT)
          AS recall_ppm
 FROM cm"""
+    # cl04: sparse hashed-feature perceptron — reuse cl_base's raw/lab
+    # prefix (the d25 slice-the-SQL pattern), then 2 unrolled rounds of
+    # join/agg weight updates over the distributed (bucket, weight)
+    # table. Bucket = the repo's portable md5-hex idiom (d14's oracle).
+    _cl_lab_prefix = cl_base.split(",\nf AS (")[0]
+    out["cl04_sparse_perceptron"] = _cl_lab_prefix + r""",
+sgns AS (SELECT raw.doc_id,
+                CAST(2 * lab.label - 1 AS BIGINT) AS sgn
+         FROM raw JOIN lab ON lab.doc_id = raw.doc_id),
+tf AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS bucket,
+         CAST(count(*) AS BIGINT) AS x
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                 AS tok
+        FROM documents WHERE trim(text) <> '') t0
+  GROUP BY 1, 2),
+w1 AS (SELECT bucket, CAST(sum(s.sgn * tf.x) AS BIGINT) AS weight
+       FROM tf JOIN sgns s USING (doc_id) GROUP BY 1),
+mg2 AS (SELECT tf.doc_id, CAST(sum(tf.x * w1.weight) AS BIGINT) AS m
+        FROM tf JOIN w1 USING (bucket) GROUP BY 1),
+mis2 AS (SELECT s.doc_id, s.sgn
+         FROM sgns s LEFT JOIN mg2 ON mg2.doc_id = s.doc_id
+         WHERE s.sgn * coalesce(mg2.m, 0) <= 0),
+d2 AS (SELECT bucket, CAST(sum(m.sgn * tf.x) AS BIGINT) AS d
+       FROM tf JOIN mis2 m USING (doc_id) GROUP BY 1)
+SELECT CAST(coalesce(w1.bucket, d2.bucket) AS BIGINT) AS bucket,
+       CAST(coalesce(w1.weight, 0) + coalesce(d2.d, 0) AS BIGINT)
+         AS weight
+FROM w1 FULL OUTER JOIN d2 ON w1.bucket = d2.bucket"""
     return out

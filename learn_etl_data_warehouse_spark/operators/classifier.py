@@ -190,3 +190,113 @@ def perceptron_score(
         margin.cast("long").alias("margin"),
         (margin > 0).alias("pred"),
     )
+
+
+def hashed_token_features(
+    df: DataFrame,
+    buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sparse hashed bag-of-words features — the fastText-style feature
+    map for the WIDE variant of the quality classifier: each lowered
+    whitespace token hashes to one of ``buckets`` slots via the repo's
+    portable md5-hex idiom (``conv(substr(md5(tok),1,8),16,10) %
+    buckets`` ≡ DuckDB ``('0x'||substr(md5(tok),1,8))::BIGINT %``), and
+    the doc's feature value is the slot's term count.
+
+    Returns (``id_col``, bucket BIGINT, x BIGINT) — one row per
+    (document, occupied slot); empty documents contribute no rows (their
+    margin is the empty sum = 0).
+    """
+    toks = df.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("_tok"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("_tok").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        % F.lit(int(buckets))
+    )
+    return toks.groupBy(id_col, bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+
+
+def sparse_perceptron_train(
+    df: DataFrame,
+    buckets: int = 64,
+    rounds: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Batch perceptron over SPARSE hashed token features with the
+    weight vector as a DISTRIBUTED TABLE — the wide-model counterpart
+    of :func:`perceptron_train` (whose 6 dense weights ride the driver
+    as literals; a 2²⁰-slot hashed vocabulary cannot, so margins and
+    updates become joins):
+
+    - margins: tf ⋈ weights on bucket → per-doc Σ x·w (one shuffle by
+      doc);
+    - misclassified: teacher sgn · margin ≤ 0, docs with no live
+      buckets default to margin 0 (left join + coalesce);
+    - update: tf semi-joined to the misclassified docs, Σ sgn·x per
+      bucket (one shuffle by bucket), full-outer merged into the
+      weight table.
+
+    Same lr=1 signed-integer arithmetic as the dense form — no division
+    anywhere, so the DuckDB oracle unrolls identical rounds as CTE
+    join/agg chains. Teacher label is the C4 gate (cl01's posture).
+    Per round: two key-equality shuffles, no collect at any width.
+    Returns the final weight table (bucket BIGINT, weight BIGINT),
+    rows kept even at weight 0 (merge history is part of the state).
+    """
+    if rounds < 1:
+        raise ValueError("sparse_perceptron_train: rounds must be >= 1")
+    tf = hashed_token_features(
+        df, buckets=buckets, text_col=text_col, id_col=id_col
+    ).localCheckpoint(eager=True)
+    lab = (
+        c4_filters(df, text_col=text_col, id_col=id_col)
+        .select(
+            id_col,
+            (F.col("kept").cast("long") * 2 - 1).cast("long").alias("sgn"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w = None
+    for _ in range(int(rounds)):
+        if w is None:
+            mis = lab
+        else:
+            margins = (
+                tf.join(w, "bucket")
+                .groupBy(id_col)
+                .agg(F.sum(F.col("x") * F.col("weight")).alias("_m"))
+            )
+            mis = (
+                lab.join(margins, id_col, "left")
+                .filter(
+                    F.col("sgn") * F.coalesce(F.col("_m"), F.lit(0)) <= 0
+                )
+                .select(id_col, "sgn")
+            )
+        delta = (
+            tf.join(mis, id_col)
+            .groupBy("bucket")
+            .agg(F.sum(F.col("sgn") * F.col("x")).cast("long").alias("_d"))
+        )
+        if w is None:
+            w = delta.select("bucket", F.col("_d").alias("weight"))
+        else:
+            w = (
+                w.join(delta, "bucket", "full_outer")
+                .select(
+                    "bucket",
+                    (
+                        F.coalesce(F.col("weight"), F.lit(0))
+                        + F.coalesce(F.col("_d"), F.lit(0))
+                    ).cast("long").alias("weight"),
+                )
+            )
+    return w.select("bucket", F.col("weight").cast("long").alias("weight"))

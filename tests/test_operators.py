@@ -3301,3 +3301,61 @@ def test_perceptron_train_matches_python_reference(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         perceptron_train(feats, rounds=0)
+
+
+def test_sparse_perceptron_matches_python_reference(spark):
+    """r7 wide-model variant: the distributed sparse training loop must
+    equal a plain-Python sequential reference over the same hashed
+    features and teacher signs — including the zero-margin default for
+    documents whose buckets carry no weight."""
+    from learn_etl_data_warehouse_spark.operators.classifier import (
+        hashed_token_features,
+        sparse_perceptron_train,
+    )
+    from learn_etl_data_warehouse_spark.operators.text import c4_filters
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "short"),
+        (3, "{ code like page } function() { return 1; }"),
+        (4, "a fine prose paragraph with plenty of ordinary words to keep "
+            "the gate satisfied and the mean word length in range"),
+        (5, ""),
+        (6, "numbers 123 456 789 000 111 222 333 444 555 666 777 888"),
+    ]
+    docs = spark.createDataFrame(texts, ["doc_id", "text"])
+
+    tf = {}
+    for r in hashed_token_features(docs, buckets=16).collect():
+        tf.setdefault(r["doc_id"], {})[r["bucket"]] = r["x"]
+    sgn = {
+        r["doc_id"]: (1 if r["kept"] else -1)
+        for r in c4_filters(docs).collect()
+    }
+
+    w: dict[int, int] = {}
+    for _ in range(3):
+        mis = [
+            d for d in sgn
+            if sgn[d] * sum(w.get(b, 0) * x
+                            for b, x in tf.get(d, {}).items()) <= 0
+        ]
+        delta: dict[int, int] = {}
+        for d in mis:
+            for b, x in tf.get(d, {}).items():
+                delta[b] = delta.get(b, 0) + sgn[d] * x
+        for b, dd in delta.items():
+            w[b] = w.get(b, 0) + dd
+
+    got = {
+        r["bucket"]: r["weight"]
+        for r in sparse_perceptron_train(docs, buckets=16, rounds=3).collect()
+    }
+    assert got == w
+    # empty doc (5) has no feature rows and margin 0 — always counted
+    # misclassified; its absence from tf must not crash either side
+    assert 5 not in tf
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sparse_perceptron_train(docs, rounds=0)
