@@ -4275,6 +4275,25 @@ def q_cl02(spark, sf_dir):
     return perceptron_score(feats, perceptron_train(feats, rounds=3))
 
 
+def q_sv01(spark, sf_dir):
+    """Repeat-purchase survival analysis (r7): Nelson-Aalen cumulative
+    HAZARD of the first→second-order gap per customer, right-censored
+    at the observation horizon (operators/survival.py). Integer-exact
+    by construction: hazards are truncating ppm of non-negative counts
+    and the estimator is a running SUM (the float Kaplan-Meier PRODUCT
+    drifts cross-engine — S(t) ≈ exp(−H(t)) downstream if needed).
+    at_risk comes from a descending cumulative count over the bounded
+    duration-day grid, never a range join; the only windows run over
+    that grid (a26/pf04 bounded-grid posture)."""
+    from learn_etl_data_warehouse_spark.operators.survival import (
+        duration_table,
+        nelson_aalen,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    return nelson_aalen(duration_table(orders, "o_custkey", "o_orderdate"))
+
+
 def q_cl04(spark, sf_dir):
     """SPARSE hashed-feature perceptron (r7): the wide-model variant —
     64 md5-hashed token slots, weights as a DISTRIBUTED table (margins
@@ -4587,6 +4606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d32_dataset_card_diff": q_d32,
         "cl03_classifier_eval": q_cl03,
         "cl04_sparse_perceptron": q_cl04,
+        "sv01_repeat_purchase_hazard": q_sv01,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept last
         "e22_rolling_distinct_hll": q_e22,
@@ -7794,4 +7814,40 @@ SELECT CAST(coalesce(w1.bucket, d2.bucket) AS BIGINT) AS bucket,
        CAST(coalesce(w1.weight, 0) + coalesce(d2.d, 0) AS BIGINT)
          AS weight
 FROM w1 FULL OUTER JOIN d2 ON w1.bucket = d2.bucket"""
+    # sv01: Nelson-Aalen — integer epoch days (ops02's idiom), second
+    # DISTINCT day via a strictly-greater min, at_risk as a descending
+    # cumulative count over the bounded duration grid.
+    out["sv01_repeat_purchase_hazard"] = """
+WITH d AS (SELECT o_custkey,
+                  epoch_us(o_orderdate) // 86400000000 AS day
+           FROM orders),
+per AS (SELECT o_custkey, min(day) AS d1 FROM d GROUP BY 1),
+snd AS (SELECT d.o_custkey, min(d.day) AS d2
+        FROM d JOIN per p ON p.o_custkey = d.o_custkey AND d.day > p.d1
+        GROUP BY 1),
+h AS (SELECT max(day) AS hmax FROM d),
+dur AS (SELECT p.o_custkey,
+               CAST(CASE WHEN s.d2 IS NOT NULL THEN s.d2 - p.d1
+                    ELSE h.hmax - p.d1 END AS BIGINT) AS duration_days,
+               CAST(CASE WHEN s.d2 IS NOT NULL THEN 1 ELSE 0 END
+                    AS BIGINT) AS event
+        FROM per p LEFT JOIN snd s ON s.o_custkey = p.o_custkey
+        CROSS JOIN h),
+counts AS (SELECT duration_days, count(*) AS n_all,
+                  sum(event) AS events
+           FROM dur GROUP BY 1),
+grid AS (SELECT duration_days, events,
+                sum(n_all) OVER (ORDER BY duration_days DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS at_risk
+         FROM counts),
+ev AS (SELECT duration_days, CAST(at_risk AS BIGINT) AS at_risk,
+              CAST(events AS BIGINT) AS events,
+              CAST((1000000 * events) // at_risk AS BIGINT) AS hazard_ppm
+       FROM grid WHERE events > 0)
+SELECT duration_days, at_risk, events, hazard_ppm,
+       CAST(sum(hazard_ppm) OVER (ORDER BY duration_days
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_hazard_ppm
+FROM ev"""
     return out

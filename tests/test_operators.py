@@ -3359,3 +3359,42 @@ def test_sparse_perceptron_matches_python_reference(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         sparse_perceptron_train(docs, rounds=0)
+
+
+def test_nelson_aalen_hand_computed_with_censoring(spark):
+    """r7 survival family: right-censoring, same-day repeats (not a
+    repeat event), at_risk as the descending cumulative count, and the
+    integer-ppm hazard/cumulative-hazard — all against hand arithmetic."""
+    from learn_etl_data_warehouse_spark.operators.survival import (
+        duration_table,
+        nelson_aalen,
+    )
+
+    rows = [
+        ("c1", "1970-01-01"), ("c1", "1970-01-04"),
+        ("c2", "1970-01-01"), ("c2", "1970-01-04"), ("c2", "1970-01-10"),
+        ("c3", "1970-01-01"),                      # censored at horizon
+        ("c4", "1970-01-03"), ("c4", "1970-01-03"),  # same-day: censored
+        ("c5", "1970-01-01"), ("c5", "1970-01-11"),  # horizon-day event
+    ]
+    df = spark.createDataFrame(rows, ["cust", "d"]).select(
+        "cust", F.col("d").cast("timestamp").alias("ts")
+    )
+    dur = {
+        r["cust"]: (r["duration_days"], r["event"])
+        for r in duration_table(df, "cust", "ts").collect()
+    }
+    assert dur == {
+        "c1": (3, 1), "c2": (3, 1), "c3": (10, 0),
+        "c4": (8, 0), "c5": (10, 1),
+    }
+
+    na = {
+        r["duration_days"]: (
+            r["at_risk"], r["events"], r["hazard_ppm"], r["cum_hazard_ppm"]
+        )
+        for r in nelson_aalen(duration_table(df, "cust", "ts")).collect()
+    }
+    # t=3: 5 at risk, 2 events -> 400000 ppm; t=10: 2 at risk (c3 and
+    # c5; c4 censored at 8 already left), 1 event -> 500000 ppm
+    assert na == {3: (5, 2, 400_000, 400_000), 10: (2, 1, 500_000, 900_000)}
