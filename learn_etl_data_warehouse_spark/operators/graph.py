@@ -474,6 +474,102 @@ def bfs_hops(
     return dist
 
 
+def _label_state_converged(
+    init: DataFrame,
+    step,
+    val_col: str,
+    max_rounds: int,
+) -> DataFrame:
+    """Shared run-to-fixpoint driver for monotone node-state iterations
+    (BFS hops, Bellman-Ford costs): apply ``step`` until the (node →
+    value) state is UNCHANGED between rounds — state only grows/improves
+    monotonically, so an empty full-outer diff is the exact fixpoint.
+    d10's loop shape: eager localCheckpoint per round, the diff count is
+    the only driver-side value, lineage stays one round deep."""
+    state = init.localCheckpoint(eager=True)
+    for _ in range(int(max_rounds)):
+        new = step(state).localCheckpoint(eager=True)
+        changed = (
+            new.withColumnRenamed(val_col, "_new")
+            .join(state, "node", "full_outer")
+            .filter(
+                F.col("_new").isNull()
+                | F.col(val_col).isNull()
+                | (F.col("_new") != F.col(val_col))
+            )
+            .count()
+        )
+        state = new
+        if changed == 0:
+            break
+    return state
+
+
+def bfs_converged(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Run-to-fixpoint multi-source BFS — the production policy for
+    :func:`bfs_hops` (fixed rounds, oracle-unrollable): expand until no
+    node's hop count changes and no new node is reached (true shortest
+    hop distances for the whole reachable set). Equals
+    ``bfs_hops(rounds=N)`` for any N at-or-beyond the graph's
+    eccentricity (conformance-pinned). Returns (node, hops BIGINT)."""
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    init = seeds.select(
+        F.col(seeds.columns[0]).alias("node"),
+        F.lit(0).cast("long").alias("hops"),
+    ).distinct()
+
+    def step(dist: DataFrame) -> DataFrame:
+        frontier = dist.join(e, dist["node"] == e["src"]).select(
+            F.col("dst").alias("node"),
+            (F.col("hops") + F.lit(1)).cast("long").alias("hops"),
+        )
+        return (
+            dist.unionAll(frontier)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+        )
+
+    return _label_state_converged(init, step, "hops", max_rounds)
+
+
+def shortest_paths_converged(
+    edges: DataFrame,
+    seeds: DataFrame,
+    weight_col: str = "w",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Run-to-fixpoint multi-source Bellman-Ford — the production policy
+    for :func:`shortest_paths`: relax until no cost improves and no new
+    node is reached (the true cheapest paths; non-negative integer
+    weights guarantee termination within |V| rounds, and ``max_rounds``
+    backstops pathological inputs). Equals ``shortest_paths(rounds=N)``
+    for any sufficient N (conformance-pinned). Returns (node, cost)."""
+    e = edges.select(
+        "src", "dst", F.col(weight_col).alias("_w")
+    ).localCheckpoint(eager=True)
+    init = seeds.select(
+        F.col(seeds.columns[0]).alias("node"),
+        F.lit(0).cast("long").alias("cost"),
+    ).distinct()
+
+    def step(dist: DataFrame) -> DataFrame:
+        relax = dist.join(e, dist["node"] == e["src"]).select(
+            F.col("dst").alias("node"),
+            (F.col("cost") + F.col("_w")).cast("long").alias("cost"),
+        )
+        return (
+            dist.unionAll(relax)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+        )
+
+    return _label_state_converged(init, step, "cost", max_rounds)
+
+
 def common_neighbor_scores(
     edges: DataFrame,
     min_common: int = 2,

@@ -3398,3 +3398,47 @@ def test_nelson_aalen_hand_computed_with_censoring(spark):
     # t=3: 5 at risk, 2 events -> 400000 ppm; t=10: 2 at risk (c3 and
     # c5; c4 censored at 8 already left), 1 event -> 500000 ppm
     assert na == {3: (5, 2, 400_000, 400_000), 10: (2, 1, 500_000, 900_000)}
+
+
+def test_bfs_and_shortest_paths_converged_match_fixed_rounds(spark):
+    """r7: the run-to-fixpoint BFS/Bellman-Ford equal their fixed-round
+    forms once the fixture's diameter is covered — including nodes only
+    reachable beyond the default fixed budget, which the converged form
+    must pick up."""
+    from learn_etl_data_warehouse_spark.operators.graph import (
+        bfs_converged,
+        bfs_hops,
+        shortest_paths,
+        shortest_paths_converged,
+    )
+
+    # path 1→2→3→4→5→6 plus a shortcut 1→4 with a heavy weight
+    und = [(1, 2, 1), (2, 3, 1), (3, 4, 1), (4, 5, 1), (5, 6, 1),
+           (1, 4, 10)]
+    sym = und + [(b, a, w) for a, b, w in und]
+    edges = spark.createDataFrame(sym, ["src", "dst", "w"])
+    seeds = spark.createDataFrame([(1,)], ["node"])
+
+    conv_h = {r["node"]: r["hops"]
+              for r in bfs_converged(edges, seeds).collect()}
+    fixed_h = {r["node"]: r["hops"]
+               for r in bfs_hops(edges, seeds, rounds=8).collect()}
+    assert conv_h == fixed_h
+    assert conv_h[6] == 3  # via the 1→4 shortcut: 1,4,5,6
+    # the default 3-round budget already reaches 6 via the shortcut,
+    # but NOT node 6's 5-hop pure-path alternative — converged picks
+    # the true minimum over all paths regardless of budget
+    assert conv_h[3] == 2
+
+    conv_c = {r["node"]: r["cost"]
+              for r in shortest_paths_converged(edges, seeds).collect()}
+    fixed_c = {r["node"]: r["cost"]
+               for r in shortest_paths(edges, seeds, rounds=8).collect()}
+    assert conv_c == fixed_c
+    # weighted: the 10-cost shortcut loses to the unit path 1→2→3→4
+    assert conv_c[4] == 3 and conv_c[6] == 5
+    # a 2-round fixed budget still carries the shortcut's inflated cost
+    early = {r["node"]: r["cost"]
+             for r in shortest_paths(edges, seeds, rounds=2).collect()}
+    assert early[5] == 11  # via shortcut; converged has the true 4
+    assert conv_c[5] == 4
