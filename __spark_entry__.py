@@ -4294,6 +4294,29 @@ def q_sv01(spark, sf_dir):
     return nelson_aalen(duration_table(orders, "o_custkey", "o_orderdate"))
 
 
+def q_sv02(spark, sf_dir):
+    """Segment-grouped survival (r7): sv01's Nelson-Aalen hazard per
+    customer market segment — independent risk sets per segment (the
+    survival twin of e10's cohort retention; windows partition by
+    segment over the bounded duration grid). The segment attach is one
+    join onto the per-customer duration table, which is already
+    customer-grain — no extra pass over orders."""
+    from learn_etl_data_warehouse_spark.operators.survival import (
+        duration_table,
+        nelson_aalen,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    dur = duration_table(orders, "o_custkey", "o_orderdate").join(
+        cust, "o_custkey"
+    )
+    return nelson_aalen(dur, group_col="segment")
+
+
 def q_cl04(spark, sf_dir):
     """SPARSE hashed-feature perceptron (r7): the wide-model variant —
     64 md5-hashed token slots, weights as a DISTRIBUTED table (margins
@@ -4607,6 +4630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cl03_classifier_eval": q_cl03,
         "cl04_sparse_perceptron": q_cl04,
         "sv01_repeat_purchase_hazard": q_sv01,
+        "sv02_segment_hazard": q_sv02,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept last
         "e22_rolling_distinct_hll": q_e22,
@@ -7847,6 +7871,45 @@ ev AS (SELECT duration_days, CAST(at_risk AS BIGINT) AS at_risk,
        FROM grid WHERE events > 0)
 SELECT duration_days, at_risk, events, hazard_ppm,
        CAST(sum(hazard_ppm) OVER (ORDER BY duration_days
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_hazard_ppm
+FROM ev"""
+    # sv02: the same estimator with every window partitioned by the
+    # customer's market segment (independent risk sets per group).
+    out["sv02_segment_hazard"] = """
+WITH d AS (SELECT o_custkey,
+                  epoch_us(o_orderdate) // 86400000000 AS day
+           FROM orders),
+per AS (SELECT o_custkey, min(day) AS d1 FROM d GROUP BY 1),
+snd AS (SELECT d.o_custkey, min(d.day) AS d2
+        FROM d JOIN per p ON p.o_custkey = d.o_custkey AND d.day > p.d1
+        GROUP BY 1),
+h AS (SELECT max(day) AS hmax FROM d),
+dur AS (SELECT p.o_custkey,
+               CAST(CASE WHEN s.d2 IS NOT NULL THEN s.d2 - p.d1
+                    ELSE h.hmax - p.d1 END AS BIGINT) AS duration_days,
+               CAST(CASE WHEN s.d2 IS NOT NULL THEN 1 ELSE 0 END
+                    AS BIGINT) AS event
+        FROM per p LEFT JOIN snd s ON s.o_custkey = p.o_custkey
+        CROSS JOIN h),
+seg AS (SELECT dur.*, c.c_mktsegment AS segment
+        FROM dur JOIN customer c ON c.c_custkey = dur.o_custkey),
+counts AS (SELECT segment, duration_days, count(*) AS n_all,
+                  sum(event) AS events
+           FROM seg GROUP BY 1, 2),
+grid AS (SELECT segment, duration_days, events,
+                sum(n_all) OVER (PARTITION BY segment
+                                 ORDER BY duration_days DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS at_risk
+         FROM counts),
+ev AS (SELECT segment, duration_days, CAST(at_risk AS BIGINT) AS at_risk,
+              CAST(events AS BIGINT) AS events,
+              CAST((1000000 * events) // at_risk AS BIGINT) AS hazard_ppm
+       FROM grid WHERE events > 0)
+SELECT segment, duration_days, at_risk, events, hazard_ppm,
+       CAST(sum(hazard_ppm) OVER (PARTITION BY segment
+            ORDER BY duration_days
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             AS BIGINT) AS cum_hazard_ppm
 FROM ev"""

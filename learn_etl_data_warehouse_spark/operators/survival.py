@@ -56,7 +56,9 @@ def duration_table(
     )
 
 
-def nelson_aalen(durations: DataFrame) -> DataFrame:
+def nelson_aalen(
+    durations: DataFrame, group_col: str | None = None
+) -> DataFrame:
     """Nelson–Aalen cumulative hazard over a right-censored duration
     table (``duration_table`` output): for each distinct EVENT time t,
 
@@ -73,28 +75,39 @@ def nelson_aalen(durations: DataFrame) -> DataFrame:
     bounded-grid posture: the only window runs over at most a few
     thousand rows regardless of subject count). Returns one row per
     event time, ordered output left to the caller.
+
+    ``group_col`` computes INDEPENDENT hazard curves per group (cohort
+    or segment comparison — the survival twin of e10's retention
+    matrix): every window partitions by the group, so the grid stays
+    bounded per group and groups never share risk sets.
     """
-    counts = durations.groupBy("duration_days").agg(
+    keys = [group_col] if group_col else []
+    counts = durations.groupBy(*keys, "duration_days").agg(
         F.count(F.lit(1)).cast("long").alias("_n_all"),
         F.sum("event").cast("long").alias("events"),
     )
     # at_risk(t) = Σ_{d >= t} n_all(d): cumulative from the largest
     # duration down — one window over the bounded day grid
-    w_desc = Window.orderBy(F.desc("duration_days")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    w_desc = (
+        Window.partitionBy(*keys)
+        .orderBy(F.desc("duration_days"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     grid = counts.withColumn(
         "at_risk", F.sum("_n_all").over(w_desc).cast("long")
     )
     ev = grid.filter(F.col("events") > 0).select(
+        *keys,
         F.col("duration_days"),
         "at_risk",
         "events",
         F.expr("(1000000 * events) div at_risk").cast("long")
         .alias("hazard_ppm"),
     )
-    w_asc = Window.orderBy("duration_days").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    w_asc = (
+        Window.partitionBy(*keys)
+        .orderBy("duration_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return ev.withColumn(
         "cum_hazard_ppm", F.sum("hazard_ppm").over(w_asc).cast("long")
