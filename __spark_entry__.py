@@ -4294,6 +4294,38 @@ def q_sv01(spark, sf_dir):
     return nelson_aalen(duration_table(orders, "o_custkey", "o_orderdate"))
 
 
+def q_g14(spark, sf_dir):
+    """Degree assortativity (r7): Pearson correlation of endpoint
+    degrees over the part co-occurrence graph's directed edge list —
+    the "do hubs link to hubs?" structure metric (positive: social-ish;
+    negative: hub-and-spoke). Degrees are exact integers; the
+    coefficient rides a15's moment pattern (integer sums in
+    DECIMAL(38,0)/HUGEINT, ONE structurally-fixed double evaluation —
+    native corr() is partition-order nondeterministic). Plan: the g02
+    edge derivation + one degree agg + two key-equality joins + one
+    global moment aggregation."""
+    from learn_etl_data_warehouse_spark.operators.graph import (
+        cooccurrence_edges,
+    )
+    from learn_etl_data_warehouse_spark.operators.grouped import grouped_corr
+
+    edges = cooccurrence_edges(_t(spark, sf_dir, "lineitem"))
+    deg = edges.groupBy(F.col("src").alias("_n")).agg(
+        F.count(F.lit(1)).alias("_d")
+    )
+    ed = (
+        edges.join(deg.withColumnRenamed("_n", "src"), "src")
+        .withColumnRenamed("_d", "deg_src")
+        .join(
+            deg.withColumnRenamed("_n", "dst").withColumnRenamed(
+                "_d", "deg_dst"
+            ),
+            "dst",
+        )
+    )
+    return grouped_corr(ed, keys=[], x="deg_src", y="deg_dst", scale=1)
+
+
 def q_sv02(spark, sf_dir):
     """Segment-grouped survival (r7): sv01's Nelson-Aalen hazard per
     customer market segment — independent risk sets per segment (the
@@ -4631,6 +4663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cl04_sparse_perceptron": q_cl04,
         "sv01_repeat_purchase_hazard": q_sv01,
         "sv02_segment_hazard": q_sv02,
+        "g14_degree_assortativity": q_g14,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept last
         "e22_rolling_distinct_hll": q_e22,
@@ -7913,4 +7946,34 @@ SELECT segment, duration_days, at_risk, events, hazard_ppm,
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             AS BIGINT) AS cum_hazard_ppm
 FROM ev"""
+    # g14: degree assortativity — a15's exact-moment pattern (HUGEINT
+    # sums, one fixed double evaluation) over endpoint degrees of the
+    # g02 co-occurrence edge list.
+    out["g14_degree_assortativity"] = """
+WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey <> b.l_partkey),
+deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY 1),
+p AS (SELECT CAST(du.d AS HUGEINT) AS x, CAST(dv.d AS HUGEINT) AS y
+      FROM e JOIN deg du ON du.node = e.src
+             JOIN deg dv ON dv.node = e.dst),
+m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM p),
+d AS (SELECT n, CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+             CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+             CAST(syy AS DOUBLE) AS syyd, CAST(sxy AS DOUBLE) AS sxyd
+      FROM m)
+SELECT CAST(n AS BIGINT) AS n,
+       CASE WHEN nd * sxxd - sxd * sxd > 0 AND nd * syyd - syd * syd > 0
+            THEN round((nd * sxyd - sxd * syd)
+                       / (sqrt(nd * sxxd - sxd * sxd)
+                          * sqrt(nd * syyd - syd * syd)), 6)
+       END AS corr_xy,
+       CASE WHEN nd * sxxd - sxd * sxd > 0
+            THEN round((nd * sxyd - sxd * syd)
+                       / (nd * sxxd - sxd * sxd), 6)
+       END AS slope_yx
+FROM d"""
     return out
