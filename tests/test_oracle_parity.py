@@ -61,6 +61,15 @@ def canon(df: pd.DataFrame):
 def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
     con = duckdb.connect()
     try:
+        # canon() sorts rows before comparing, so insertion order carries
+        # zero semantic weight — and preserving it is what makes DuckDB's
+        # out-of-core hash joins balloon. g13's wedge join at sf0.1 with
+        # default threads=32 + ordered spill exceeded this host's free
+        # disk (r7, 79 GB); threads=4 + unordered completes in ~130 s
+        # with modest spill. Cheap oracles lose a few hundred ms to the
+        # lower thread count — irrelevant next to the Spark side.
+        con.execute("SET threads=4")
+        con.execute("SET preserve_insertion_order=false")
         for t in TESTDATA_TABLES:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
