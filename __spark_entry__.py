@@ -4294,6 +4294,50 @@ def q_sv01(spark, sf_dir):
     return nelson_aalen(duration_table(orders, "o_custkey", "o_orderdate"))
 
 
+def q_ca02(spark, sf_dir):
+    """Cohort lifetime-value decomposition (r7): customers grouped by
+    the quarter of their FIRST order (a01's exact quarter-key format),
+    revenue accumulated by months-since-first-order — the LTV curve a
+    retention team reads next to e10's cohort retention matrix.
+    Month index is pure integer calendar arithmetic (year·12 + month,
+    both engines agree under the UTC session); revenue in exact integer
+    cents; the cumulative sum runs per cohort over the bounded
+    month-index grid (a26's never-global window posture)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    midx = (
+        F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    ).cast("long")
+    first = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("_first_dt")
+    )
+    j = o.join(first, "o_custkey").select(
+        quarter_key(F.col("_first_dt")).alias("cohort"),
+        (
+            midx
+            - (
+                F.year("_first_dt") * 12 + F.month("_first_dt")
+            ).cast("long")
+        ).alias("months_since"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("_cents"),
+    )
+    agg = j.groupBy("cohort", "months_since").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("_cents").cast("long").alias("revenue_cents"),
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("months_since")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return agg.withColumn(
+        "cum_revenue_cents", F.sum("revenue_cents").over(w).cast("long")
+    )
+
+
 def q_g14(spark, sf_dir):
     """Degree assortativity (r7): Pearson correlation of endpoint
     degrees over the part co-occurrence graph's directed edge list —
@@ -4664,6 +4708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sv01_repeat_purchase_hazard": q_sv01,
         "sv02_segment_hazard": q_sv02,
         "g14_degree_assortativity": q_g14,
+        "ca02_cohort_ltv": q_ca02,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept last
         "e22_rolling_distinct_hll": q_e22,
@@ -7976,4 +8021,26 @@ SELECT CAST(n AS BIGINT) AS n,
                        / (nd * sxxd - sxd * sxd), 6)
        END AS slope_yx
 FROM d"""
+    # ca02: cohort LTV — integer month index (year·12 + month), exact
+    # cents, per-cohort running sum over the bounded month grid.
+    out["ca02_cohort_ltv"] = """
+WITH f AS (SELECT o_custkey, min(o_orderdate) AS first_dt
+           FROM orders GROUP BY 1),
+j AS (SELECT CAST(year(f.first_dt) AS VARCHAR) || 'Q' ||
+             CAST(quarter(f.first_dt) AS VARCHAR) AS cohort,
+             CAST((year(o.o_orderdate) * 12 + month(o.o_orderdate))
+                  - (year(f.first_dt) * 12 + month(f.first_dt))
+                  AS BIGINT) AS months_since,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN f ON f.o_custkey = o.o_custkey),
+agg AS (SELECT cohort, months_since,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(cents) AS BIGINT) AS revenue_cents
+        FROM j GROUP BY 1, 2)
+SELECT cohort, months_since, n_orders, revenue_cents,
+       CAST(sum(revenue_cents) OVER (PARTITION BY cohort
+            ORDER BY months_since
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_revenue_cents
+FROM agg"""
     return out
