@@ -264,3 +264,45 @@ def test_containment_pairs_fuzz_vs_model(spark, word_lists):
             if inter and 100 * inter >= pct * len(gi):
                 want[(i, j)] = (inter, (1_000_000 * inter) // len(gi))
     assert got == want
+
+
+durations_strategy = st.lists(
+    st.tuples(st.integers(0, 30), st.booleans()),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(durations_strategy)
+@SETTINGS
+def test_nelson_aalen_fuzz_vs_bruteforce(spark, rows):
+    """r7 survival estimator vs a brute-force model: at_risk counted by
+    direct comparison per event time, hazard as truncating ppm, cum
+    hazard as the running sum over ascending event times."""
+    from learn_etl_data_warehouse_spark.operators.survival import (
+        nelson_aalen,
+    )
+
+    data = [
+        (i, int(d), 1 if ev else 0) for i, (d, ev) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "subject LONG, duration_days LONG, event LONG"
+    )
+    got = {
+        r["duration_days"]: (
+            r["at_risk"], r["events"], r["hazard_ppm"], r["cum_hazard_ppm"]
+        )
+        for r in nelson_aalen(df).collect()
+    }
+
+    event_times = sorted({d for _, d, e in data if e == 1})
+    cum = 0
+    want = {}
+    for t in event_times:
+        at_risk = sum(1 for _, d, _ in data if d >= t)
+        events = sum(1 for _, d, e in data if d == t and e == 1)
+        hazard = (1_000_000 * events) // at_risk
+        cum += hazard
+        want[t] = (at_risk, events, hazard, cum)
+    assert got == want
