@@ -46,13 +46,13 @@ def main() -> None:
         quality_features,
     )
 
-    feats = quality_features(docs)
-    weights = perceptron_train(feats, rounds=3)
+    feats = quality_features(docs, min_words=40)
+    weights = perceptron_train(feats, rounds=8)
     scored_clf = perceptron_score(feats, weights)
     agree = scored_clf.filter(
         F.col("pred") == (F.col("label") == 1)
     ).count()
-    print(f"trained classifier agrees with the C4 gate on {agree}/{n0}")
+    print(f"trained classifier (8 rounds) agrees with the word-floor-40 C4 gate on {agree}/{n0}")
 
     # 2. exact dedup on normalized text
     docs2 = dedup.dedup_exact(docs1)

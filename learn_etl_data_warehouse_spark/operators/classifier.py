@@ -47,7 +47,10 @@ FEATURE_NAMES = [
 
 
 def quality_features(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 10,
 ) -> DataFrame:
     """Integer feature vector per document + the C4 teacher label.
 
@@ -62,11 +65,16 @@ def quality_features(
     - ``distinct_permille``    (distinct tokens · 1000) div words.
 
     ``label`` is the C4 ``kept`` flag as 0/1; ``sgn`` = 2·label − 1.
+    ``min_words`` tunes the teacher's word-count floor — raise it when
+    the corpus clears the C4 default everywhere, so training sees BOTH
+    classes (a single-class teacher makes the perceptron a trivial
+    constant; the driver queries use 40, a ~66/34 split on the
+    fixtures at every scale).
     """
     c = F.col(text_col)
-    teacher = c4_filters(df, text_col=text_col, id_col=id_col).select(
-        id_col, F.col("kept").cast("long").alias("label")
-    )
+    teacher = c4_filters(
+        df, text_col=text_col, id_col=id_col, min_words=min_words
+    ).select(id_col, F.col("kept").cast("long").alias("label"))
     raw = df.select(
         F.col(id_col),
         token_count(text_col).cast("long").alias("_nw"),
@@ -229,6 +237,7 @@ def sparse_perceptron_train(
     rounds: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    min_words: int = 10,
 ) -> DataFrame:
     """Batch perceptron over SPARSE hashed token features with the
     weight vector as a DISTRIBUTED TABLE — the wide-model counterpart
@@ -257,7 +266,7 @@ def sparse_perceptron_train(
         df, buckets=buckets, text_col=text_col, id_col=id_col
     ).localCheckpoint(eager=True)
     lab = (
-        c4_filters(df, text_col=text_col, id_col=id_col)
+        c4_filters(df, text_col=text_col, id_col=id_col, min_words=min_words)
         .select(
             id_col,
             (F.col("kept").cast("long") * 2 - 1).cast("long").alias("sgn"),
