@@ -4300,6 +4300,43 @@ def q_sv01(spark, sf_dir):
     return nelson_aalen(duration_table(orders, "o_custkey", "o_orderdate"))
 
 
+def q_g15(spark, sf_dir):
+    """Degree-distribution profile (r7): node degrees of the part
+    co-occurrence graph bucketed by digit count (the e19 integer
+    log-bucket — length of the decimal string, no libm), with node
+    share in truncating ppm and the bucket's min/max degree — the
+    heavy-tail fingerprint read before choosing hub caps (g06's
+    max_neighborhood) or skew salts (j06). One degree agg + one
+    bounded-grid agg; the share join is a 1-row broadcast."""
+    from learn_etl_data_warehouse_spark.operators.graph import (
+        cooccurrence_edges,
+    )
+
+    edges = cooccurrence_edges(_t(spark, sf_dir, "lineitem"))
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    buckets = deg.groupBy(
+        F.length(F.col("deg").cast("string")).cast("long").alias(
+            "deg_digits"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.min("deg").cast("long").alias("min_deg"),
+        F.max("deg").cast("long").alias("max_deg"),
+    )
+    total = deg.agg(F.count(F.lit(1)).cast("long").alias("_total"))
+    return buckets.crossJoin(F.broadcast(total)).select(
+        "deg_digits",
+        "n_nodes",
+        "min_deg",
+        "max_deg",
+        F.expr("(1000000 * n_nodes) div _total").cast("long").alias(
+            "share_ppm"
+        ),
+    )
+
+
 def q_ca02(spark, sf_dir):
     """Cohort lifetime-value decomposition (r7): customers grouped by
     the quarter of their FIRST order (a01's exact quarter-key format),
@@ -4715,6 +4752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sv02_segment_hazard": q_sv02,
         "g14_degree_assortativity": q_g14,
         "ca02_cohort_ltv": q_ca02,
+        "g15_degree_distribution": q_g15,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept last
         "e22_rolling_distinct_hll": q_e22,
@@ -8049,4 +8087,22 @@ SELECT cohort, months_since, n_orders, revenue_cents,
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             AS BIGINT) AS cum_revenue_cents
 FROM agg"""
+    # g15: degree digits via decimal string length (e19's log-bucket),
+    # share in truncating ppm against the 1-row node total.
+    out["g15_degree_distribution"] = """
+WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey <> b.l_partkey),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        FROM e GROUP BY 1),
+b AS (SELECT CAST(length(CAST(deg AS VARCHAR)) AS BIGINT) AS deg_digits,
+             CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(min(deg) AS BIGINT) AS min_deg,
+             CAST(max(deg) AS BIGINT) AS max_deg
+      FROM deg GROUP BY 1),
+t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM deg)
+SELECT deg_digits, n_nodes, min_deg, max_deg,
+       CAST((1000000 * n_nodes) // total AS BIGINT) AS share_ppm
+FROM b CROSS JOIN t"""
     return out
