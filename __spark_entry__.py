@@ -4266,7 +4266,7 @@ def q_cl01(spark, sf_dir):
 
 
 def q_cl02(spark, sf_dir):
-    """Trained-classifier document scoring (r7): cl01's round-9 weights
+    """Trained-classifier document scoring (r7): cl01's round-8 weights
     applied back to the corpus — margin = Σ wⱼ·xⱼ and the binary keep
     decision, the fast linear gate that replaces re-running the full C4
     rule stack at serving time (classifier.py::perceptron_score).
@@ -4510,23 +4510,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # hash-checkable. Every window entry must be scalar-only AND
     # oracle-backed (both pinned by tests/test_driver_window.py) and
     # sf0.01+sf0.1-swept in the round it rotates in.
-    # r8 rotation plan (the final 23 never-checked): g07 g08 e16 t21
-    # e17 e18 g09 e19 set06 e20 e21 e23 ca01 a27 r08 t23 ops01 e26 t26
-    # d29 e27 m06 ops02.
     return {
         # ==== DRIVER WINDOW (first 50; order is load-bearing) =========
-        # r7 rotation (staleness-first policy): 46 never-driver-checked
-        # queries (the whole d18-d27/e09-e15/a15-a24/t15-t21-ish slice
-        # the r6 verdict enumerated) + 4 continuously-verified cores
-        # (d01/d02/e01/f01). The r6-green cohort moves behind position
-        # 50. After this rotation exactly 23 oracle-backed queries have
-        # never had a driver row (g07/g08/e16-e27 tail/ca01/a27/r08/
-        # t23/t26/ops01/ops02/d29/m06 + later additions) — rotate those
-        # in next round to finish full driver coverage.
-        # Every window entry is scalar-only AND oracle-backed (pinned by
-        # tests/test_driver_window.py) and swept at sf0.01+sf0.1 this
-        # round before banking.
-        # -- never driver-checked until r7 (46) -------------------------
+        # r8 rotation (staleness-first policy): the FINAL 33
+        # never-driver-checked oracle-backed queries (the 23 the r7 plan
+        # enumerated + the 10 r7 additions cl01-cl04/d32/sv01/sv02/g14/
+        # ca02/g15) + the 13 STALEST banked rows (p07/p08/p12-p16 from
+        # r2, a13 from r3, w01-w04/r01 from r4) + 4 continuously-
+        # verified cores (d01/d02/e01/f01). After this round EVERY
+        # oracle-backed query in the registry has a driver row.
+        # STEADY-STATE POLICY (r9 onward): the staleness metric flips
+        # from "never checked" to "oldest driver row". Each round's
+        # window = the 4 cores + the 46 oracle-backed queries with the
+        # OLDEST CORRECTNESS rows (scripts/never_checked.py prints the
+        # ranking; ties break in registry order). With ~222 oracle-
+        # backed queries and 46 rotating slots, every row refreshes
+        # within ~5 rounds; cores refresh every round. New queries are
+        # born never-checked and jump the queue into the next window.
+        # Every window entry must be scalar-only AND oracle-backed
+        # (pinned by tests/test_driver_window.py) and sf0.01+sf0.1-swept
+        # in the round it rotates in.
+        # -- never driver-checked until r8 (33) -------------------------
+        "g07_lpa_communities": q_g07,
+        "g08_hits_scores": q_g08,
+        "e16_seasonal_anomaly": q_e16,
+        "t21_readability": q_t21,
+        "e17_cumulative_users": q_e17,
+        "e18_time_weighted_avg": q_e18,
+        "g09_personalized_pagerank": q_g09,
+        "e19_gap_histogram": q_e19,
+        "set06_relational_division": q_set06,
+        "e20_full_attribution": q_e20,
+        "e21_rolling_distinct_users": q_e21,
+        "e23_cusum_changepoint": q_e23,
+        "ca01_rfm_segments": q_ca01,
+        "a27_topn_with_others": q_a27,
+        "r08_asof_forward": q_r08,
+        "t23_sentence_stats": q_t23,
+        "ops01_shipping_lag": q_ops01,
+        "e26_activation_latency": q_e26,
+        "t26_vocab_growth": q_t26,
+        "d29_containment_pairs": q_d29,
+        "e27_weekday_weekend": q_e27,
+        "m06_media_blob_dedup": q_m06,
+        "ops02_order_backlog": q_ops02,
+        "cl01_perceptron_weights": q_cl01,
+        "cl02_perceptron_scores": q_cl02,
+        "d32_dataset_card_diff": q_d32,
+        "cl03_classifier_eval": q_cl03,
+        "cl04_sparse_perceptron": q_cl04,
+        "sv01_repeat_purchase_hazard": q_sv01,
+        "sv02_segment_hazard": q_sv02,
+        "g14_degree_assortativity": q_g14,
+        "ca02_cohort_ltv": q_ca02,
+        "g15_degree_distribution": q_g15,
+        # -- stalest banked rows promoted (13: r2 p-family, r3 a13,
+        #    r4 w-family + r01) ------------------------------------------
+        "p07_duration_minutes": q_p07,
+        "p08_bool_flags": q_p08,
+        "p12_filter_contains": q_p12,
+        "p13_json_extract": q_p13,
+        "p14_null_handling": q_p14,
+        "p15_string_functions": q_p15,
+        "p16_date_functions": q_p16,
+        "a13_quantile_bins": q_a13,
+        "w01_running_total": q_w01,
+        "w02_order_gap_days": q_w02,
+        "w03_rank_in_segment": q_w03,
+        "w04_rolling_7day_revenue": q_w04,
+        "r01_asof_join": q_r01,
+        # -- continuously-verified cores (4) ----------------------------
+        "d01_dedup_exact": q_d01,
+        "d02_ngram_jaccard_pairs": q_d02,
+        "e01_tumbling_window": q_e01,
+        "f01_event_funnel": q_f01,
+        # ================= position 51+: outside driver window ==========
+        # r7-green cohort (freshest evidence) + banked oracle-backed
+        # remainder; rows-only queries stay last so driver-checked rows
+        # are all hash-checkable.
         "d18_corpus_build_scrubbed": q_d18,
         "d19_quality_weighted_sample": q_d19,
         "d20_bag_of_words_dedup": q_d20,
@@ -4573,14 +4634,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a23_gini_concentration": q_a23,
         "pf03_ks_drift": q_pf03,
         "a24_cube_aggregate": q_a24,
-        # -- continuously-verified cores (4) ----------------------------
-        "d01_dedup_exact": q_d01,
-        "d02_ngram_jaccard_pairs": q_d02,
-        "e01_tumbling_window": q_e01,
-        "f01_event_funnel": q_f01,
-        # ================= position 51+: outside driver window ==========
-        # r6-green cohort + banked oracle-backed remainder; rows-only
-        # queries stay last so driver-checked rows are all hash-checkable.
         "g02_part_pagerank": q_g02,
         "g04_kcore": q_g04,
         "g10_weighted_shortest_paths": q_g10,
@@ -4631,11 +4684,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d16_corpus_build": q_d16,
         "s07_quantize_int8": q_s07,
         "s08_random_projection": q_s08,
-        "w01_running_total": q_w01,
-        "w02_order_gap_days": q_w02,
-        "w03_rank_in_segment": q_w03,
-        "w04_rolling_7day_revenue": q_w04,
-        "r01_asof_join": q_r01,
         "ivm01_maintained_rollup": q_ivm01,
         "t13_gopher_rules": q_t13,
         "d17_hot_span_scrub": q_d17,
@@ -4685,10 +4733,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a06_monthly_rollup": q_a06,
         "w05_percent_rank": q_w05,
         "set03_intersect": q_set03,
-        "p07_duration_minutes": q_p07,
-        "p08_bool_flags": q_p08,
-        "p12_filter_contains": q_p12,
-        "p13_json_extract": q_p13,
         "a07_rollup_year_status": q_a07,
         "a08_pivot_status": q_a08,
         "a10_grouping_sets": q_a10,
@@ -4716,43 +4760,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set01_anti_join": q_set01,
         "set02_semi_join": q_set02,
         "r02_event_pairs_range": q_r02,
-        "p14_null_handling": q_p14,
-        "p15_string_functions": q_p15,
-        "p16_date_functions": q_p16,
-        "a13_quantile_bins": q_a13,
-        "g07_lpa_communities": q_g07,
-        "g08_hits_scores": q_g08,
-        "e16_seasonal_anomaly": q_e16,
-        "t21_readability": q_t21,
-        "e17_cumulative_users": q_e17,
-        "e18_time_weighted_avg": q_e18,
-        "g09_personalized_pagerank": q_g09,
-        "e19_gap_histogram": q_e19,
-        "set06_relational_division": q_set06,
-        "e20_full_attribution": q_e20,
-        "e21_rolling_distinct_users": q_e21,
-        "e23_cusum_changepoint": q_e23,
-        "ca01_rfm_segments": q_ca01,
-        "a27_topn_with_others": q_a27,
-        "r08_asof_forward": q_r08,
-        "t23_sentence_stats": q_t23,
-        "ops01_shipping_lag": q_ops01,
-        "e26_activation_latency": q_e26,
-        "t26_vocab_growth": q_t26,
-        "d29_containment_pairs": q_d29,
-        "e27_weekday_weekend": q_e27,
-        "m06_media_blob_dedup": q_m06,
-        "ops02_order_backlog": q_ops02,
-        "cl01_perceptron_weights": q_cl01,
-        "cl02_perceptron_scores": q_cl02,
-        "d32_dataset_card_diff": q_d32,
-        "cl03_classifier_eval": q_cl03,
-        "cl04_sparse_perceptron": q_cl04,
-        "sv01_repeat_purchase_hazard": q_sv01,
-        "sv02_segment_hazard": q_sv02,
-        "g14_degree_assortativity": q_g14,
-        "ca02_cohort_ltv": q_ca02,
-        "g15_degree_distribution": q_g15,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept last
         "e22_rolling_distinct_hll": q_e22,

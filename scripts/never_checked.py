@@ -15,8 +15,12 @@ sys.path.insert(0, _REPO)
 import __spark_entry__ as entrymod
 
 checked = {}
-for f in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
-    rnd = f.rsplit("_r", 1)[1].split(".")[0]
+rounds = sorted(
+    glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")),
+    key=lambda f: int(f.rsplit("_r", 1)[1].split(".")[0]),
+)
+for f in rounds:
+    rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
     for name in json.load(open(f)):
         checked[name] = rnd  # later rounds overwrite: freshest evidence
 
@@ -31,6 +35,6 @@ for q in never:
 stale = sorted(
     (q for q in order if q in checked), key=lambda q: checked[q]
 )
-print("\nstalest checked (first 15):")
-for q in stale[:15]:
+print("\nstalest checked (first 20):")
+for q in stale[:20]:
     print(f"  r{checked[q]}  {q}")

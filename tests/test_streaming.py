@@ -1603,7 +1603,12 @@ def test_geo_enrich_sink_matches_batch_twin_and_replays_clean(
         ((F.col("event_id") * 2654435761) % 1000000).alias("x"),
         ((F.col("event_id") * 40503) % 1000000).alias("y"),
     )
-    queries_df = pts.filter(F.col("pid") % 10 == 0)
+    # one guaranteed-unmatched probe: far outside the refs' [0, 1e6)
+    # coordinate range, so no ref can sit within radius=50000
+    far = spark.createDataFrame(
+        [(999_999_999, 50_000_000, 50_000_000)], "pid long, x long, y long"
+    )
+    queries_df = pts.filter(F.col("pid") % 10 == 0).unionByName(far)
     refs_df = pts.filter(F.col("pid") % 10 != 0)
 
     ref_table = str(tmp_path / "refs")
@@ -1652,8 +1657,10 @@ def test_geo_enrich_sink_matches_batch_twin_and_replays_clean(
         for r in batch_twin.select("pid", "ref_id", "dist_sq").collect()
     }
     assert g == b
-    # both matched and unmatched points are represented
-    assert any(x[1] is None for x in g) or all(x[1] is not None for x in b)
+    # the far-away probe point survives as a NULL-ref row (left join
+    # keeps unmatched points), and at least one point DID match
+    assert (999_999_999, None, None) in g
+    assert any(x[1] is not None for x in g)
 
     # replay: re-invoking the handler with an already-written batch_id
     # overwrites that batch's directory — row count is unchanged
