@@ -4500,16 +4500,74 @@ def q_cl03(spark, sf_dir):
     )
 
 
+def q_t29(spark, sf_dir):
+    """Unigram-LM tokenizer seed statistics (r8): exact corpus counts
+    of every word substring of length 1-4 — the seed-vocabulary table
+    the SentencePiece-style trainer (operators/unigram.py::
+    unigram_train) selects and EM-refines, completing the tokenizer
+    family next to BPE (t17) and the bigram/KN LMs. Top-200 under the
+    strict (n DESC, piece ASC) order via distributed TakeOrdered; the
+    dense id window runs only over the bounded result (t14 posture).
+    The trainer's Viterbi EM itself is conformance-tested against a
+    pure-Python reference (tests/test_unigram.py) — its integer cost
+    table is driver-computed, so it is not SQL-expressible."""
+    from pyspark.sql import Window
+
+    from learn_etl_data_warehouse_spark.operators.unigram import (
+        unigram_seed_counts,
+    )
+
+    sc = unigram_seed_counts(_t(spark, sf_dir, "documents"), max_len=4)
+    top = sc.orderBy(F.col("n").desc(), "piece").limit(200)
+    w = Window.orderBy(F.col("n").desc(), "piece")
+    return top.select(
+        F.row_number().over(w).cast("long").alias("piece_id"),
+        "piece",
+        F.col("n").alias("n_occurrences"),
+    )
+
+
+def q_d33(spark, sf_dir):
+    """Classifier-gated corpus build (r8 — the r7 verdict's composition
+    ask): cl01's trained 8-round perceptron gates the corpus (pred =
+    margin > 0, the fast linear stand-in for re-running the C4 rule
+    stack), then d19's quality-weighted sampling runs over the
+    survivors — the trained classifier as a consumer-visible pipeline
+    stage (the d16/d18 chain pattern; both stages already oracle-backed
+    on their own). Output carries the classifier margin next to the
+    sampling quality so both gates are visible. Weights broadcast; the
+    gate is a pure map; the sample is a narrow md5-bucket filter."""
+    from learn_etl_data_warehouse_spark.operators.classifier import (
+        perceptron_score,
+        perceptron_train,
+        quality_features,
+    )
+    from learn_etl_data_warehouse_spark.operators.sampling import (
+        quality_weighted_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = quality_features(docs, min_words=40)
+    scored = perceptron_score(feats, perceptron_train(feats, rounds=8))
+    kept = scored.filter(F.col("pred")).select("doc_id", "margin")
+    gated = docs.join(kept, "doc_id")
+    return (
+        quality_weighted_sample(gated)
+        .join(kept, "doc_id")
+        .select("doc_id", "margin", "quality")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
-    # the queries with the STALEST driver evidence. r7 rotation: 46 of
-    # the 69 still-never-driver-checked oracle-backed queries + 4
-    # continuously-verified cores; the r6-green cohort moves behind.
-    # Rows-only (no-oracle) queries stay last so the window is 100%
-    # hash-checkable. Every window entry must be scalar-only AND
-    # oracle-backed (both pinned by tests/test_driver_window.py) and
-    # sf0.01+sf0.1-swept in the round it rotates in.
+    # the queries with the STALEST driver evidence; see the window
+    # comment below for the r8 rotation and the r9+ steady-state
+    # oldest-row refresh policy. Rows-only (no-oracle) queries stay last
+    # so the window is 100% hash-checkable. Every window entry must be
+    # scalar-only AND oracle-backed (both pinned by
+    # tests/test_driver_window.py) and sf0.01+sf0.1-swept in the round
+    # it rotates in.
     return {
         # ==== DRIVER WINDOW (first 50; order is load-bearing) =========
         # r8 rotation (staleness-first policy): the FINAL 33
@@ -4760,6 +4818,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set01_anti_join": q_set01,
         "set02_semi_join": q_set02,
         "r02_event_pairs_range": q_r02,
+        # -- r8 additions (born never-checked; rotate into the r9
+        #    window per the steady-state policy) ------------------------
+        "t29_unigram_seed_pieces": q_t29,
+        "d33_classifier_gated_corpus": q_d33,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept last
         "e22_rolling_distinct_hll": q_e22,
@@ -7967,6 +8029,52 @@ SELECT CAST(coalesce(w1.bucket, d2.bucket) AS BIGINT) AS bucket,
        CAST(coalesce(w1.weight, 0) + coalesce(d2.d, 0) AS BIGINT)
          AS weight
 FROM w1 FULL OUTER JOIN d2 ON w1.bucket = d2.bucket"""
+    # d33: classifier-gated corpus build — cl_base's full training chain
+    # (through w8) gates the docs, then d19's quality CTEs run over the
+    # survivors; the md5-bucket sample predicate is d19's verbatim.
+    out["d33_classifier_gated_corpus"] = cl_base + f""",
+keep AS MATERIALIZED (
+  SELECT f.doc_id, CAST({_margin} AS BIGINT) AS margin
+  FROM f, w8 WHERE ({_margin}) > 0),
+qb AS (
+  SELECT d.doc_id,
+         CAST({_TC} AS BIGINT) AS tc,
+         len(list_distinct({_TOKS_L})) AS dt,
+         length(text) AS n,
+         length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS stripped
+  FROM documents d JOIN keep k ON d.doc_id = k.doc_id),
+qr AS (
+  SELECT doc_id, tc, dt,
+         CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE)
+              ELSE CAST(n - stripped AS DOUBLE) / CAST(n AS DOUBLE) END AS pr
+  FROM qb),
+qq AS (
+  SELECT doc_id,
+         round(CAST(0.4 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), CAST(tc AS DOUBLE) / CAST(64.0 AS DOUBLE))
+               + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - pr)
+               + CAST(0.3 AS DOUBLE) * (CASE WHEN tc = 0 THEN CAST(0.0 AS DOUBLE)
+                                        ELSE CAST(dt AS DOUBLE) / CAST(tc AS DOUBLE) END), 6) AS quality
+  FROM qr)
+SELECT qq.doc_id, k.margin, qq.quality
+FROM qq JOIN keep k ON k.doc_id = qq.doc_id
+WHERE ('0x' || substr(md5('qws:' || CAST(qq.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
+      < CAST(round(least(CAST(1.0 AS DOUBLE), greatest(CAST(0.0 AS DOUBLE), quality)) * 1000000) AS BIGINT)"""
+    # t29: unigram-LM seed pieces — substring counts weighted by word
+    # frequency (identical to counting raw occurrences); sum(BIGINT)
+    # returns HUGEINT in DuckDB, cast back.
+    out["t29_unigram_seed_pieces"] = r"""
+WITH w0 AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+            FROM documents),
+wf AS (SELECT w, count(*) AS freq FROM w0 WHERE w <> '' GROUP BY 1),
+pieces AS (SELECT substr(w, j, l) AS piece, freq
+           FROM wf,
+                LATERAL (SELECT unnest(generate_series(1, len(w))) AS j) tj,
+                (SELECT unnest(generate_series(1, 4)) AS l) tl
+           WHERE j + l - 1 <= len(w)),
+c AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS n FROM pieces GROUP BY 1),
+r AS (SELECT piece, n, row_number() OVER (ORDER BY n DESC, piece) AS rn FROM c)
+SELECT CAST(rn AS BIGINT) AS piece_id, piece, n AS n_occurrences
+FROM r WHERE rn <= 200"""
     # sv01: Nelson-Aalen — integer epoch days (ops02's idiom), second
     # DISTINCT day via a strictly-greater min, at_risk as a descending
     # cumulative count over the bounded duration grid.

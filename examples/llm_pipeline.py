@@ -54,8 +54,25 @@ def main() -> None:
     ).count()
     print(f"trained classifier (8 rounds) agrees with the word-floor-40 C4 gate on {agree}/{n0}")
 
+    # 1c. the trained model's scores GATE the corpus, then d19's
+    # quality-weighted sampling runs over the survivors — the composed
+    # d33 stage (classifier as a pipeline component, not a demo)
+    from learn_etl_data_warehouse_spark.operators.sampling import (
+        quality_weighted_sample,
+    )
+
+    clf_kept = scored_clf.filter(F.col("pred")).select("doc_id")
+    gated = docs1.join(clf_kept, "doc_id", "left_semi")
+    n_gated = gated.count()
+    sampled = quality_weighted_sample(gated)
+    docs1b = gated.join(sampled.select("doc_id"), "doc_id", "left_semi")
+    print(
+        f"classifier gate kept {n_gated}, "
+        f"quality-weighted sample kept {docs1b.count()}"
+    )
+
     # 2. exact dedup on normalized text
-    docs2 = dedup.dedup_exact(docs1)
+    docs2 = dedup.dedup_exact(docs1b)
     print(f"exact dedup kept {docs2.count()}")
 
     # 3. bigram-LM quality score (the KenLM-filter analog, integer ppm)
@@ -101,6 +118,24 @@ def main() -> None:
     print(
         f"bpe: {len(merges)} merges, {stats['total_tokens']} tokens, "
         f"avg {stats['avg_tokens_per_doc']:.1f}/doc"
+    )
+
+    # 7b. unigram-LM (SentencePiece-style) tokenizer: seed + 2 EM
+    # rounds on the TRAIN side, then Viterbi-encode
+    from learn_etl_data_warehouse_spark.operators.unigram import (
+        unigram_encode,
+        unigram_train,
+    )
+
+    vocab, _seg = unigram_train(train, rounds=2, vocab_size=200)
+    uenc = unigram_encode(train, vocab)
+    ustats = uenc.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.avg("n_tokens").alias("avg_tokens_per_doc"),
+    ).collect()[0]
+    print(
+        f"unigram: {len(vocab)} pieces, {ustats['total_tokens']} tokens, "
+        f"avg {ustats['avg_tokens_per_doc']:.1f}/doc"
     )
     spark.stop()
 

@@ -47,16 +47,44 @@ SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # distributed Lloyd round; d21 stays as the QUADRATIC CONTROL (its
 # label-cluster form is the oracle-exact twin — super-linear growth
 # here is expected and documents what the bounded paths avoid).
+# cl01/cl04 (r8, the r7 verdict's ask): the classifier training loops
+# ride the amplified DOCUMENTS table; cl01_one_round isolates the
+# per-training-round cost so a feature-map regression stays visible
+# under round-count noise.
 DEFAULT_QUERIES = [
     "knn02_majority_label_ivf",
     "d30_semantic_dedup_bounded",
     "km01_lloyd_assign",
     "d21_semantic_dedup",
+    "cl01_perceptron_weights",
+    "cl04_sparse_perceptron",
+    "cl01_one_round",
 ]
+
+
+def _cl01_one_round(spark: SparkSession, sf_dir: str):
+    """ONE perceptron training round (cl01 trains 8) — the tracked
+    per-round cost the r7 verdict asked for."""
+    from learn_etl_data_warehouse_spark.operators.classifier import (
+        perceptron_train,
+        quality_features,
+    )
+    from learn_etl_data_warehouse_spark.sources.parquet import load_table
+
+    return perceptron_train(
+        quality_features(load_table(spark, sf_dir, "documents"),
+                         min_words=40),
+        rounds=1,
+    )
+
+
+#: probe-only callables that aren't registry queries
+EXTRA_QUERIES = {"cl01_one_round": _cl01_one_round}
 
 
 def build(spark: SparkSession, factor: int, out_dir: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
+    _build_documents(spark, factor, out_dir)
     dst = os.path.join(out_dir, "embeddings.parquet")
     if os.path.exists(dst):
         return
@@ -79,6 +107,44 @@ def build(spark: SparkSession, factor: int, out_dir: str) -> None:
     for other in copies[1:]:
         df = df.unionAll(other)
     df.repartition(8).write.mode("overwrite").parquet(dst)
+
+
+def _build_documents(
+    spark: SparkSession, factor: int, out_dir: str
+) -> None:
+    """Amplify the documents table with scale_probe.py's token ROTATION
+    (verbatim copies are true near-dups of each other — the artifact the
+    first probe run crawled on) + a unique suffix token, so the
+    document-riding classifier queries grow honestly in the same
+    artifact as the embedding probes."""
+    dst = os.path.join(out_dir, "documents.parquet")
+    if os.path.exists(dst):
+        return
+    docs = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
+    copies = F.explode(
+        F.array(*[F.lit(i) for i in range(factor)])
+    ).alias("_c")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    k = F.pmod(F.col("_c") * 7, F.greatest(F.size(toks), F.lit(1)))
+    rotated = F.concat(
+        F.slice(toks, k + 1, F.size(toks) - k), F.slice(toks, 1, k)
+    )
+    (
+        docs.select("*", copies)
+        .withColumn("doc_id", F.col("doc_id") * factor + F.col("_c"))
+        .withColumn(
+            "text",
+            F.concat(
+                F.array_join(rotated, " "),
+                F.lit(" uniqtok"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .withColumn("n_chars", F.length("text"))
+        .drop("_c")
+        .write.mode("overwrite")
+        .parquet(dst)
+    )
 
 
 def main() -> None:
