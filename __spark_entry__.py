@@ -4558,6 +4558,82 @@ def q_d33(spark, sf_dir):
     )
 
 
+def q_t30(spark, sf_dir):
+    """TextRank keyword extraction (r8): integer fixed-point PageRank
+    (g02's exact kernel, 5 unrolled rounds) over the corpus word
+    ADJACENCY graph — symmetric distinct edges from lowercase token
+    bigrams (bigram_counts_table's tokenization, self-pairs dropped).
+    Top-20 keywords under the strict (rank DESC, word ASC) order via
+    distributed TakeOrdered; the dense id window runs only over the
+    bounded result (t14 posture). The corpus-level flavor of TextRank:
+    graph-centrality keywords next to t10's tf-idf weighting."""
+    from pyspark.sql import Window
+
+    from learn_etl_data_warehouse_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    bg = (
+        text.bigram_counts_table(_t(spark, sf_dir, "documents"))
+        .filter(F.col("w1") != F.col("w2"))
+        .select("w1", "w2")
+    )
+    edges = (
+        bg.select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
+        .unionByName(
+            bg.select(F.col("w2").alias("src"), F.col("w1").alias("dst"))
+        )
+        .distinct()
+    )
+    pr = pagerank_fixed_point(edges, iterations=5)
+    top = pr.orderBy(F.col("rank_micros").desc(), "node").limit(20)
+    w = Window.orderBy(F.col("rank_micros").desc(), "node")
+    return top.select(
+        F.row_number().over(w).cast("long").alias("kw_rank"),
+        F.col("node").alias("word"),
+        "rank_micros",
+    )
+
+
+def q_ml04(spark, sf_dir):
+    """Decision-stump training (r8): the accuracy-optimal threshold
+    split per integer feature against the C4 teacher — exact
+    correct-counts from one cumulative pass over each feature's bounded
+    value grid, strict (correct DESC, threshold ASC, polarity ASC)
+    tie-break (operators/classifier.py::decision_stump_train). The
+    axis-aligned baseline next to the perceptron family: no float
+    impurity anywhere, so the chosen stump is engine-portable."""
+    from learn_etl_data_warehouse_spark.operators.classifier import (
+        decision_stump_train,
+        quality_features,
+    )
+
+    return decision_stump_train(
+        quality_features(_t(spark, sf_dir, "documents"), min_words=40)
+    )
+
+
+def q_ml05(spark, sf_dir):
+    """Classifier margin calibration (r8): cl02's scored corpus
+    bucketed by SIGNED decimal digit count of the margin (the e19/g15
+    integer log-bucket — scale-robust under lr=1 weight growth), with
+    each bucket's observed positive rate in truncating ppm — the
+    reliability profile that says whether a larger margin actually
+    means a more confident keep
+    (operators/classifier.py::margin_calibration)."""
+    from learn_etl_data_warehouse_spark.operators.classifier import (
+        margin_calibration,
+        perceptron_score,
+        perceptron_train,
+        quality_features,
+    )
+
+    feats = quality_features(_t(spark, sf_dir, "documents"), min_words=40)
+    return margin_calibration(
+        perceptron_score(feats, perceptron_train(feats, rounds=8))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -4822,6 +4898,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    window per the steady-state policy) ------------------------
         "t29_unigram_seed_pieces": q_t29,
         "d33_classifier_gated_corpus": q_d33,
+        "ml04_decision_stump": q_ml04,
+        "ml05_margin_calibration": q_ml05,
+        "t30_textrank_keywords": q_t30,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept last
         "e22_rolling_distinct_hll": q_e22,
@@ -8075,6 +8154,93 @@ c AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS n FROM pieces GROUP BY 1),
 r AS (SELECT piece, n, row_number() OVER (ORDER BY n DESC, piece) AS rn FROM c)
 SELECT CAST(rn AS BIGINT) AS piece_id, piece, n AS n_occurrences
 FROM r WHERE rn <= 200"""
+    # ml04: decision stump — cl_base's raw/lab/f prefix (no training
+    # rounds needed), then exact correct-counts from a cumulative pass
+    # over each feature's bounded value grid. sum→HUGEINT cast back.
+    _cl_feat_prefix = cl_base.split(",\nw0 AS")[0]
+    _stump_unpivot = "\n    UNION ALL ".join(
+        f"SELECT '{x}' AS feature, {x} AS value, label FROM f"
+        for x, _ in _clf
+    )
+    out["ml04_decision_stump"] = _cl_feat_prefix + f""",
+s AS ({_stump_unpivot}),
+g AS (SELECT feature, value,
+             CAST(count(*) AS BIGINT) AS n_at,
+             CAST(coalesce(sum(label), 0) AS BIGINT) AS n1_at
+      FROM s GROUP BY 1, 2),
+cgrid AS (SELECT feature, value,
+             CAST(sum(n1_at) OVER wc AS BIGINT) AS le1,
+             CAST(sum(n_at - n1_at) OVER wc AS BIGINT) AS le0,
+             CAST(sum(n1_at) OVER wf AS BIGINT) AS tot1,
+             CAST(sum(n_at - n1_at) OVER wf AS BIGINT) AS tot0
+      FROM g
+      WINDOW wc AS (PARTITION BY feature ORDER BY value
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY feature)),
+cand AS (
+  SELECT feature, value AS threshold, CAST(1 AS BIGINT) AS polarity,
+         le1 + (tot0 - le0) AS correct, tot1 + tot0 AS n FROM cgrid
+  UNION ALL
+  SELECT feature, value, CAST(0 AS BIGINT),
+         le0 + (tot1 - le1), tot1 + tot0 FROM cgrid),
+rk AS (SELECT feature, threshold, polarity,
+              CAST(correct AS BIGINT) AS correct, CAST(n AS BIGINT) AS n,
+              row_number() OVER (PARTITION BY feature
+                ORDER BY correct DESC, threshold, polarity) AS rn
+       FROM cand)
+SELECT feature, threshold, polarity, correct, n,
+       CAST((1000000 * correct) // n AS BIGINT) AS accuracy_ppm
+FROM rk WHERE rn = 1"""
+    # ml05: margin calibration — cl_base through w8, margins bucketed
+    # by signed decimal digit count (string length, no libm log).
+    out["ml05_margin_calibration"] = cl_base + f""",
+mg AS (SELECT f.label, CAST({_margin} AS BIGINT) AS margin FROM f, w8),
+bk AS (SELECT label, margin,
+              CASE WHEN margin = 0 THEN CAST(0 AS BIGINT)
+                   WHEN margin > 0
+                     THEN CAST(length(CAST(margin AS VARCHAR)) AS BIGINT)
+                   ELSE -CAST(length(CAST(-margin AS VARCHAR)) AS BIGINT)
+              END AS bucket
+       FROM mg),
+ag AS (SELECT bucket,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(coalesce(sum(label), 0) AS BIGINT) AS n_pos,
+              CAST(min(margin) AS BIGINT) AS min_margin,
+              CAST(max(margin) AS BIGINT) AS max_margin
+       FROM bk GROUP BY 1)
+SELECT bucket, n, n_pos,
+       CAST((1000000 * n_pos) // n AS BIGINT) AS pos_rate_ppm,
+       min_margin, max_margin
+FROM ag"""
+    # t30: TextRank — g02's unrolled integer PageRank rounds over the
+    # word adjacency graph (token bigrams, symmetric distinct edges).
+    tr_sql = r"""
+WITH tk AS (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+            FROM documents),
+bg AS (SELECT t[i] AS w1, t[i + 1] AS w2
+       FROM tk, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) ti
+       WHERE len(t) >= 2),
+bgf AS (SELECT w1, w2 FROM bg WHERE w1 <> '' AND w2 <> '' AND w1 <> w2),
+edges AS (SELECT DISTINCT w1 AS src, w2 AS dst FROM bgf
+          UNION SELECT w2, w1 FROM bgf),
+deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micros FROM deg)"""
+    for _i in range(1, 6):
+        tr_sql += f""",
+r{_i} AS (SELECT e.dst AS node,
+          CAST(150000 + (85 * CAST(sum(r.rank_micros // d.deg) AS BIGINT)) // 100
+               AS BIGINT) AS rank_micros
+          FROM r{_i - 1} r
+          JOIN deg d ON d.node = r.node
+          JOIN edges e ON e.src = r.node
+          GROUP BY e.dst)"""
+    tr_sql += """,
+rk AS (SELECT node, rank_micros,
+              row_number() OVER (ORDER BY rank_micros DESC, node) AS rn
+       FROM r5)
+SELECT CAST(rn AS BIGINT) AS kw_rank, node AS word, rank_micros
+FROM rk WHERE rn <= 20"""
+    out["t30_textrank_keywords"] = tr_sql
     # sv01: Nelson-Aalen — integer epoch days (ops02's idiom), second
     # DISTINCT day via a strictly-greater min, at_risk as a descending
     # cumulative count over the bounded duration grid.

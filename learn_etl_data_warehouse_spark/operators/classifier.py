@@ -309,3 +309,134 @@ def sparse_perceptron_train(
                 )
             )
     return w.select("bucket", F.col("weight").cast("long").alias("weight"))
+
+
+def decision_stump_train(
+    feats: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact decision-stump training over the integer feature map: for
+    every feature, the accuracy-optimal threshold split against the
+    teacher label, integer-exact end to end.
+
+    A stump predicts ``polarity`` when ``value <= threshold`` and
+    ``1 - polarity`` otherwise; correctness counts come from one
+    cumulative pass over the per-feature VALUE GRID (every feature is a
+    bounded permille/centi/cap domain, so the grid is at most ~2k rows
+    per feature — the a26/pf04 bounded-grid window posture, partitioned
+    by feature). No float impurity: maximizing exact correct-count is
+    the same argmax as minimizing misclassification error, and the
+    tie-break (correct DESC, threshold ASC, polarity ASC) is a strict
+    total order, so the chosen stump is engine-portable.
+
+    Scale shape: one unpivot (narrow), one (feature, value) hash agg,
+    windows over the bounded grid, one bounded top-1 per feature.
+    Returns (feature, threshold, polarity, correct, n, accuracy_ppm) —
+    one row per feature."""
+    from pyspark.sql import Window
+
+    stack_args = ", ".join(f"'{n}', {n}" for n in FEATURE_NAMES)
+    s = feats.select(
+        F.expr(
+            f"stack({len(FEATURE_NAMES)}, {stack_args}) AS (feature, value)"
+        ),
+        "label",
+    )
+    g = s.groupBy("feature", "value").agg(
+        F.count(F.lit(1)).cast("long").alias("n_at"),
+        F.coalesce(F.sum("label"), F.lit(0)).cast("long").alias("n1_at"),
+    )
+    wcum = (
+        Window.partitionBy("feature")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("feature")
+    c = g.select(
+        "feature",
+        "value",
+        F.sum("n1_at").over(wcum).cast("long").alias("le1"),
+        F.sum(F.col("n_at") - F.col("n1_at"))
+        .over(wcum)
+        .cast("long")
+        .alias("le0"),
+        F.sum("n1_at").over(wall).cast("long").alias("tot1"),
+        F.sum(F.col("n_at") - F.col("n1_at"))
+        .over(wall)
+        .cast("long")
+        .alias("tot0"),
+    )
+    cand = c.select(
+        "feature",
+        F.col("value").alias("threshold"),
+        F.lit(1).cast("long").alias("polarity"),
+        (F.col("le1") + F.col("tot0") - F.col("le0"))
+        .cast("long")
+        .alias("correct"),
+        (F.col("tot1") + F.col("tot0")).cast("long").alias("n"),
+    ).unionByName(
+        c.select(
+            "feature",
+            F.col("value").alias("threshold"),
+            F.lit(0).cast("long").alias("polarity"),
+            (F.col("le0") + F.col("tot1") - F.col("le1"))
+            .cast("long")
+            .alias("correct"),
+            (F.col("tot1") + F.col("tot0")).cast("long").alias("n"),
+        )
+    )
+    wbest = Window.partitionBy("feature").orderBy(
+        F.col("correct").desc(), "threshold", "polarity"
+    )
+    return (
+        cand.withColumn("_rn", F.row_number().over(wbest))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "feature",
+            "threshold",
+            "polarity",
+            "correct",
+            "n",
+            F.expr("(1000000 * correct) div n").cast("long")
+            .alias("accuracy_ppm"),
+        )
+    )
+
+
+def margin_calibration(scored: DataFrame) -> DataFrame:
+    """Calibration / reliability profile of classifier margins: bucket
+    by SIGNED decimal digit count (the e19/g15 integer log-bucket —
+    scale-robust, since lr=1 perceptron margins grow with corpus size)
+    and report how often each margin bucket's documents are actually
+    positive. Input is :func:`perceptron_score` output. Integer-exact:
+    the bucket is a string-length expression, the rate is truncating
+    ppm. Returns (bucket, n, n_pos, pos_rate_ppm, min_margin,
+    max_margin)."""
+    bucket = (
+        F.when(F.col("margin") == 0, F.lit(0))
+        .otherwise(
+            F.signum("margin").cast("long")
+            * F.length(F.abs(F.col("margin")).cast("string"))
+        )
+        .cast("long")
+    )
+    return (
+        scored.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.coalesce(F.sum("label"), F.lit(0))
+            .cast("long")
+            .alias("n_pos"),
+            F.min("margin").cast("long").alias("min_margin"),
+            F.max("margin").cast("long").alias("max_margin"),
+        )
+        .select(
+            "bucket",
+            "n",
+            "n_pos",
+            F.expr("(1000000 * n_pos) div n").cast("long")
+            .alias("pos_rate_ppm"),
+            "min_margin",
+            "max_margin",
+        )
+    )

@@ -179,8 +179,9 @@ def main() -> None:
         for factor in factors:
             fdir = os.path.join(args.out, f"f{factor}")
             for n in names:
+                fn = qs.get(n) or EXTRA_QUERIES[n]
                 t0 = time.monotonic()
-                cnt = qs[n](spark, fdir).count()
+                cnt = fn(spark, fdir).count()
                 dt = round(time.monotonic() - t0, 2)
                 prev = best[n].get(factor)
                 best[n][factor] = dt if prev is None else min(prev, dt)

@@ -3442,3 +3442,72 @@ def test_bfs_and_shortest_paths_converged_match_fixed_rounds(spark):
              for r in shortest_paths(edges, seeds, rounds=2).collect()}
     assert early[5] == 11  # via shortcut; converged has the true 4
     assert conv_c[5] == 4
+
+
+def test_decision_stump_matches_brute_force(spark, sf_small):
+    """r8: the stump trainer's per-feature best split must equal a
+    brute-force enumeration over every (threshold, polarity) candidate
+    on the collected features, including the (correct DESC, threshold
+    ASC, polarity ASC) tie-break."""
+    from learn_etl_data_warehouse_spark.operators.classifier import (
+        FEATURE_NAMES,
+        decision_stump_train,
+        quality_features,
+    )
+    from learn_etl_data_warehouse_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    feats = quality_features(docs, min_words=40)
+    rows = [r.asDict() for r in feats.collect()]
+    got = {r["feature"]: r.asDict()
+           for r in decision_stump_train(feats).collect()}
+    assert set(got) == set(FEATURE_NAMES)
+    n = len(rows)
+    for feat in FEATURE_NAMES:
+        best = None
+        for t in sorted({r[feat] for r in rows}):
+            for pol in (0, 1):
+                correct = sum(
+                    1 for r in rows
+                    if (pol if r[feat] <= t else 1 - pol) == r["label"]
+                )
+                cand = (-correct, t, pol)
+                if best is None or cand < best:
+                    best = cand
+        want_correct, want_t, want_pol = -best[0], best[1], best[2]
+        g = got[feat]
+        assert (g["correct"], g["threshold"], g["polarity"]) == (
+            want_correct, want_t, want_pol), feat
+        assert g["n"] == n
+        assert g["accuracy_ppm"] == (1_000_000 * want_correct) // n
+
+
+def test_margin_calibration_buckets_and_rates(spark):
+    """r8: signed digit-count bucketing (0 / ±digits), exact ppm rates,
+    per-bucket margin extrema — pinned on hand-built margins spanning
+    zero, positive, and negative buckets."""
+    from learn_etl_data_warehouse_spark.operators.classifier import (
+        margin_calibration,
+    )
+
+    scored = spark.createDataFrame(
+        [
+            (1, 1, 0, False),     # bucket 0
+            (2, 1, 7, True),      # bucket 1
+            (3, 0, 9, True),      # bucket 1
+            (4, 1, 42, True),     # bucket 2
+            (5, 0, -3, False),    # bucket -1
+            (6, 1, -3000, False), # bucket -4
+            (7, 1, 123456, True), # bucket 6
+        ],
+        "doc_id long, label long, margin long, pred boolean",
+    )
+    got = {r["bucket"]: r.asDict()
+           for r in margin_calibration(scored).collect()}
+    assert set(got) == {0, 1, 2, -1, -4, 6}
+    b1 = got[1]
+    assert (b1["n"], b1["n_pos"], b1["pos_rate_ppm"]) == (2, 1, 500_000)
+    assert (b1["min_margin"], b1["max_margin"]) == (7, 9)
+    assert got[0]["pos_rate_ppm"] == 1_000_000  # label 1, margin 0
+    assert got[-4]["n_pos"] == 1
+    assert got[6]["pos_rate_ppm"] == 1_000_000
