@@ -4595,6 +4595,20 @@ def q_t30(spark, sf_dir):
     )
 
 
+def q_pf10(spark, sf_dir):
+    """Shuffle-key skew audit (r8): the 20 heaviest events.user_id keys
+    with ppm corpus share and the integer ceil-div salt factor that
+    would spread each back to the mean per-key load — the operational
+    diagnosis read before reaching for j06's salted join or AQE skew
+    hints at 100 TB (operators/profiling.py::key_skew_audit; one hash
+    agg + a broadcast 1-row totals frame + TakeOrdered)."""
+    from learn_etl_data_warehouse_spark.operators.profiling import (
+        key_skew_audit,
+    )
+
+    return key_skew_audit(_t(spark, sf_dir, "events"), "user_id")
+
+
 def q_ml04(spark, sf_dir):
     """Decision-stump training (r8): the accuracy-optimal threshold
     split per integer feature against the C4 teacher — exact
@@ -4901,6 +4915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml04_decision_stump": q_ml04,
         "ml05_margin_calibration": q_ml05,
         "t30_textrank_keywords": q_t30,
+        "pf10_key_skew_audit": q_pf10,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept last
         "e22_rolling_distinct_hll": q_e22,
@@ -8241,6 +8256,22 @@ rk AS (SELECT node, rank_micros,
 SELECT CAST(rn AS BIGINT) AS kw_rank, node AS word, rank_micros
 FROM rk WHERE rn <= 20"""
     out["t30_textrank_keywords"] = tr_sql
+    # pf10: key-skew audit — truncating ppm share + ceil-div salt
+    # factor against the mean per-key count.
+    out["pf10_key_skew_audit"] = """
+WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1),
+t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS nkeys FROM c),
+m AS (SELECT total, total // nkeys AS mean_cnt FROM t),
+r AS (SELECT user_id, cnt,
+             row_number() OVER (ORDER BY cnt DESC, user_id) AS rn
+      FROM c)
+SELECT r.user_id, r.cnt,
+       CAST((1000000 * r.cnt) // m.total AS BIGINT) AS share_ppm,
+       CAST((r.cnt + m.mean_cnt - 1) // m.mean_cnt AS BIGINT)
+         AS salt_factor
+FROM r, m WHERE rn <= 20"""
     # sv01: Nelson-Aalen — integer epoch days (ops02's idiom), second
     # DISTINCT day via a strictly-greater min, at_risk as a descending
     # cumulative count over the bounded duration grid.

@@ -88,6 +88,9 @@ HEADLINE = [
     # r7 operators
     "cl01_perceptron_weights",
     "d32_dataset_card_diff",
+    # r8 operators
+    "ml04_decision_stump",
+    "t30_textrank_keywords",
 ]
 
 # Reference-parity ETL (EP1 at shard grain): not a queries() entry — it

@@ -435,3 +435,42 @@ def categorical_profile(
         "n_distinct",
         "gini_ppm",
     )
+
+
+def key_skew_audit(
+    df: DataFrame, key_col: str, top: int = 20
+) -> DataFrame:
+    """Shuffle-key skew audit: the ``top`` heaviest keys with their
+    corpus share and the SALT FACTOR that would spread each one back to
+    the mean partition load — the diagnosis read before reaching for a
+    salted join (j06) or AQE skew hints on a 100 TB shuffle.
+
+    Integer-exact: share is truncating ppm; ``salt_factor`` is the
+    ceiling division ``(cnt + mean − 1) div mean`` against the mean
+    per-key count (a key at the mean gets factor 1). One hash agg on
+    the key, a 1-row totals frame broadcast back, and a distributed
+    TakeOrdered under the strict (cnt DESC, key ASC) order — counts,
+    not rows, leave the aggregation. Returns (key_col, cnt, share_ppm,
+    salt_factor)."""
+    c = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    t = c.agg(
+        F.sum("cnt").cast("long").alias("_total"),
+        F.count(F.lit(1)).cast("long").alias("_nkeys"),
+    ).withColumn("_mean", F.expr("_total div _nkeys").cast("long"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .orderBy(F.col("cnt").desc(), key_col)
+        .limit(top)
+        .select(
+            key_col,
+            "cnt",
+            F.expr("(1000000 * cnt) div _total")
+            .cast("long")
+            .alias("share_ppm"),
+            F.expr("(cnt + _mean - 1) div _mean")
+            .cast("long")
+            .alias("salt_factor"),
+        )
+    )

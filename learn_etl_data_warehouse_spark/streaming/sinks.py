@@ -664,3 +664,67 @@ def classifier_train_sink(catalog_dir: str):
         )
 
     return handle
+
+
+def tokenizer_stats_ingest_sink(
+    catalog_dir: str, text_col: str = "text", max_len: int = 4
+):
+    """foreachBatch handler maintaining unigram-LM tokenizer SEED
+    statistics incrementally: each micro-batch's substring counts merge
+    additively into the stored (piece, n) state
+    (``maintain_unigram_seed_counts`` — the corpus is never
+    re-tokenized) and publish as ONE catalog transaction with a batch
+    ledger. Re-seeding a tokenizer after ingest (``select_vocab`` +
+    ``costs_from_counts`` over the maintained table) costs a
+    vocab-bounded read instead of a 100 TB re-scan.
+
+    Exactly-once is LEDGER-derived (the lm_stats_ingest_sink posture):
+    substring counts are NOT replay-idempotent, so the commit includes
+    a ``tok_applied`` row keyed by batch id in the same catalog swap —
+    a crash between ledger and counts is impossible, and a replayed
+    batch is skipped by the ledger read (one row per batch, bounded
+    metadata)."""
+    from learn_etl_data_warehouse_spark.operators.unigram import (
+        maintain_unigram_seed_counts,
+        unigram_seed_counts,
+    )
+    from learn_etl_data_warehouse_spark.plans import catalog as cat
+
+    def handle(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        tables = set(cat.read_catalog(catalog_dir)["tables"])
+        if "tok_applied" in tables:
+            applied = {
+                r.batch_id
+                for r in cat.catalog_read(spark, catalog_dir, "tok_applied")
+                .select("batch_id")
+                .collect()
+            }
+            if int(batch_id) in applied:
+                return  # replayed batch: already folded into the state
+        if "tok_counts" in tables:
+            prev = cat.catalog_read(spark, catalog_dir, "tok_counts").select(
+                "piece", "n"
+            )
+            merged = maintain_unigram_seed_counts(
+                prev, batch_df, text_col, max_len
+            )
+        else:
+            merged = unigram_seed_counts(batch_df, text_col, max_len)
+        ledger = spark.createDataFrame(
+            [(int(batch_id),)], "batch_id long"
+        ).withColumn("ingest_batch", F.lit(int(batch_id)))
+        cat.catalog_commit(
+            spark,
+            catalog_dir,
+            {
+                "tok_counts": (
+                    merged.withColumn("state", F.lit("live")),
+                    ["state"],
+                ),
+                "tok_applied": (ledger, ["ingest_batch"]),
+            },
+            replace=False,
+        )
+
+    return handle

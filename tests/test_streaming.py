@@ -1754,3 +1754,55 @@ def test_classifier_train_sink_sequential_and_replay_safe(
         for n in FEATURE_NAMES:
             w[n] += sum(r["sgn"] * r[n] for r in mis)
     assert got == w
+
+
+def test_tokenizer_stats_ingest_sink_incremental_and_replay_safe(
+    spark, tmp_path
+):
+    """r8: unigram seed counts maintained across batches equal the
+    batch rebuild; a replayed batch is a ledgered no-op; the maintained
+    state re-seeds a vocabulary identical to batch training's."""
+    from learn_etl_data_warehouse_spark.operators.unigram import (
+        select_vocab,
+        unigram_seed_counts,
+    )
+    from learn_etl_data_warehouse_spark.plans import catalog as cat
+    from learn_etl_data_warehouse_spark.streaming.sinks import (
+        tokenizer_stats_ingest_sink,
+    )
+
+    cdir = str(tmp_path / "tokcat")
+    docs = [
+        (i, f"alpha bet{i % 3} gamma{(i + 1) % 2} tail") for i in range(20)
+    ]
+    full = spark.createDataFrame(docs, "doc_id long, text string")
+    b0 = full.filter("doc_id < 8")
+    b1 = full.filter("doc_id >= 8")
+    handle = tokenizer_stats_ingest_sink(cdir)
+
+    handle(b0, 0)
+    handle(b1, 1)
+    got = sorted(
+        map(
+            tuple,
+            cat.catalog_read(spark, cdir, "tok_counts")
+            .select("piece", "n")
+            .collect(),
+        )
+    )
+    want = sorted(map(tuple, unigram_seed_counts(full).collect()))
+    assert got == want
+    # ledger-derived exactly-once: replaying batch 1 changes nothing
+    txn_before = cat.read_catalog(cdir)["txn"]
+    handle(b1, 1)
+    assert cat.read_catalog(cdir)["txn"] == txn_before
+    assert sorted(
+        map(
+            tuple,
+            cat.catalog_read(spark, cdir, "tok_counts")
+            .select("piece", "n")
+            .collect(),
+        )
+    ) == want
+    # the maintained state seeds the SAME vocabulary as batch training
+    assert select_vocab(got, 50) == select_vocab(want, 50)
