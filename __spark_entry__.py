@@ -4566,32 +4566,14 @@ def q_t30(spark, sf_dir):
     Top-20 keywords under the strict (rank DESC, word ASC) order via
     distributed TakeOrdered; the dense id window runs only over the
     bounded result (t14 posture). The corpus-level flavor of TextRank:
-    graph-centrality keywords next to t10's tf-idf weighting."""
-    from pyspark.sql import Window
-
-    from learn_etl_data_warehouse_spark.operators.graph import (
-        pagerank_fixed_point,
-    )
-
-    bg = (
-        text.bigram_counts_table(_t(spark, sf_dir, "documents"))
-        .filter(F.col("w1") != F.col("w2"))
-        .select("w1", "w2")
-    )
-    edges = (
-        bg.select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
-        .unionByName(
-            bg.select(F.col("w2").alias("src"), F.col("w1").alias("dst"))
-        )
-        .distinct()
-    )
-    pr = pagerank_fixed_point(edges, iterations=5)
-    top = pr.orderBy(F.col("rank_micros").desc(), "node").limit(20)
-    w = Window.orderBy(F.col("rank_micros").desc(), "node")
-    return top.select(
-        F.row_number().over(w).cast("long").alias("kw_rank"),
-        F.col("node").alias("word"),
-        "rank_micros",
+    graph-centrality keywords next to t10's tf-idf weighting. The
+    kernel (text.py::textrank_keywords_from_counts) also accepts the
+    incrementally-MAINTAINED bigram count state, so re-ranking after
+    ingest never re-tokenizes the corpus."""
+    return text.textrank_keywords_from_counts(
+        text.bigram_counts_table(_t(spark, sf_dir, "documents")),
+        iterations=5,
+        top=20,
     )
 
 

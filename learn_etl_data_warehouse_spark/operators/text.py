@@ -1286,3 +1286,40 @@ def bm25_scores(
         "n_terms_matched",
         "score_ppm",
     )
+
+
+def textrank_keywords_from_counts(
+    counts: DataFrame, iterations: int = 5, top: int = 20
+) -> DataFrame:
+    """TextRank keyword ranking from a (w1, w2, ...) adjacent-pair
+    count table — either a fresh :func:`bigram_counts_table` or the
+    incrementally-MAINTAINED state (:func:`maintain_bigram_counts` /
+    the lm_stats ingest sink), so corpus growth never forces a
+    re-tokenization before re-ranking keywords.
+
+    Symmetric distinct word-adjacency edges (self-pairs dropped) feed
+    the integer fixed-point PageRank kernel (graph.py — the g02
+    posture); the top-``top`` cut is a distributed TakeOrdered under
+    the strict (rank DESC, word ASC) order with the dense id window
+    only over the bounded result. Returns (kw_rank, word,
+    rank_micros)."""
+    from pyspark.sql import Window
+
+    from .graph import pagerank_fixed_point
+
+    bg = counts.filter(F.col("w1") != F.col("w2")).select("w1", "w2")
+    edges = (
+        bg.select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
+        .unionByName(
+            bg.select(F.col("w2").alias("src"), F.col("w1").alias("dst"))
+        )
+        .distinct()
+    )
+    pr = pagerank_fixed_point(edges, iterations=iterations)
+    topf = pr.orderBy(F.col("rank_micros").desc(), "node").limit(top)
+    w = Window.orderBy(F.col("rank_micros").desc(), "node")
+    return topf.select(
+        F.row_number().over(w).cast("long").alias("kw_rank"),
+        F.col("node").alias("word"),
+        "rank_micros",
+    )

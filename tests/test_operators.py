@@ -3511,3 +3511,35 @@ def test_margin_calibration_buckets_and_rates(spark):
     assert got[0]["pos_rate_ppm"] == 1_000_000  # label 1, margin 0
     assert got[-4]["n_pos"] == 1
     assert got[6]["pos_rate_ppm"] == 1_000_000
+
+
+def test_textrank_from_maintained_counts_matches_rebuild(spark, sf_small):
+    """r8: TextRank re-ranked from the incrementally-maintained bigram
+    count state equals the full-rebuild ranking — keyword refresh after
+    ingest needs the maintained table, never a corpus re-scan."""
+    from learn_etl_data_warehouse_spark.operators.text import (
+        bigram_counts_table,
+        maintain_bigram_counts,
+        textrank_keywords_from_counts,
+    )
+    from learn_etl_data_warehouse_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    part1 = docs.filter(F.col("doc_id") % 4 != 0)
+    part2 = docs.filter(F.col("doc_id") % 4 == 0)
+    maintained = maintain_bigram_counts(
+        bigram_counts_table(part1), part2
+    )
+    got = [
+        tuple(r)
+        for r in textrank_keywords_from_counts(maintained)
+        .orderBy("kw_rank")
+        .collect()
+    ]
+    want = [
+        tuple(r)
+        for r in textrank_keywords_from_counts(bigram_counts_table(docs))
+        .orderBy("kw_rank")
+        .collect()
+    ]
+    assert got == want and len(got) == 20

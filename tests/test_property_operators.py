@@ -306,3 +306,92 @@ def test_nelson_aalen_fuzz_vs_bruteforce(spark, rows):
         cum += hazard
         want[t] = (at_risk, events, hazard, cum)
     assert got == want
+
+
+# --- r8: unigram Viterbi kernel fuzz ---------------------------------
+
+_words = st.lists(
+    st.text(alphabet="abc", min_size=1, max_size=8),
+    min_size=1,
+    max_size=8,
+    unique=True,
+)
+_costs = st.dictionaries(
+    st.text(alphabet="abc", min_size=1, max_size=3),
+    st.integers(1, 1_000_000),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(_words, _costs)
+@SETTINGS
+def test_viterbi_segment_fuzz_vs_reference(spark, words, costs):
+    """Random piece tables (single chars may be MISSING — the UNK path)
+    against the sequential reference: segmentations and total costs
+    must agree exactly, tie-breaks included."""
+    from learn_etl_data_warehouse_spark.operators.unigram import (
+        viterbi_segment,
+    )
+    from tests.test_unigram import ref_viterbi
+
+    wf = spark.createDataFrame(
+        [(w, 1) for w in words], "w string, freq long"
+    )
+    cost_df = spark.createDataFrame(
+        sorted(costs.items()) or [("zzzz", 1)],
+        "piece string, cost_micros long",
+    )
+    table = dict(costs)
+    got = {
+        r["w"]: (tuple(r["pieces"]), int(r["cost_micros"]))
+        for r in viterbi_segment(wf, cost_df, max_len=3).collect()
+    }
+    for w in words:
+        pieces, cost = ref_viterbi(w, table, max_len=3)
+        assert got[w] == (tuple(pieces), cost), (w, table)
+
+
+# --- r8: decision stump fuzz -----------------------------------------
+
+_feat_rows = st.lists(
+    st.tuples(st.integers(0, 6), st.integers(0, 1)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(_feat_rows)
+@SETTINGS
+def test_decision_stump_fuzz_vs_bruteforce(spark, rows):
+    """Random single-feature tables vs brute-force enumeration of every
+    (threshold, polarity): the trainer must pick the same maximal
+    split under the (correct DESC, threshold ASC, polarity ASC)
+    order."""
+    import learn_etl_data_warehouse_spark.operators.classifier as clf
+
+    df = spark.createDataFrame(
+        [(i, v, lab, 2 * lab - 1) for i, (v, lab) in enumerate(rows)],
+        "doc_id long, bias long, label long, sgn long",
+    )
+    # reuse the trainer with FEATURE_NAMES temporarily narrowed to the
+    # one fuzzed column so the brute-force model stays tiny
+    orig = clf.FEATURE_NAMES
+    clf.FEATURE_NAMES = ["bias"]
+    try:
+        got = clf.decision_stump_train(df).collect()[0]
+    finally:
+        clf.FEATURE_NAMES = orig
+    best = None
+    for t in sorted({v for v, _ in rows}):
+        for pol in (0, 1):
+            correct = sum(
+                1 for v, lab in rows
+                if (pol if v <= t else 1 - pol) == lab
+            )
+            cand = (-correct, t, pol)
+            if best is None or cand < best:
+                best = cand
+    assert (got["correct"], got["threshold"], got["polarity"]) == (
+        -best[0], best[1], best[2]
+    )
