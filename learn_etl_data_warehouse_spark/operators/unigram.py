@@ -132,6 +132,64 @@ def select_vocab(
     return sorted(singles + multis)
 
 
+def _viterbi_py(
+    w: str,
+    cost: dict[str, int],
+    max_len: int = 4,
+    unk: int = UNK_COST_MICROS,
+) -> int:
+    """Driver-side Viterbi TOTAL COST of one string — used only by the
+    loss-pruning pass, which runs over the vocab-bounded PIECE table
+    (never the corpus; the corpus-side Viterbi is the distributed
+    Column fold in :func:`viterbi_segment`). Same recurrence, same
+    (cost, start) tie-break."""
+    n = len(w)
+    dp = [0] * (n + 1)
+    for i in range(1, n + 1):
+        best = None
+        for j in range(max(1, i - max_len + 1), i + 1):
+            c = cost.get(w[j - 1 : i])
+            if c is None and i == j:
+                c = unk
+            if c is None:
+                continue
+            cand = dp[j - 1] + c
+            if best is None or cand < best:
+                best = cand
+        dp[i] = best
+    return dp[n]
+
+
+def loss_prune(
+    counts: list[tuple[str, int]],
+    vocab_size: int,
+    max_len: int = 4,
+) -> list[tuple[str, int]]:
+    """SentencePiece's REAL prune criterion (the upgrade over count
+    ranking): a multi-char piece's value is the LOSS DELTA its removal
+    would cost — ``usage · (alt_cost − own_cost)`` where ``alt_cost``
+    re-segments the piece's own string with the rest of the vocabulary.
+    Keep the ``vocab_size`` highest-delta multis under the strict
+    (delta DESC, piece ASC) order; single chars always survive.
+
+    Integer-exact: usage, alt and own costs are all integers, so the
+    ranking is engine- and platform-portable. Runs at the DRIVER over
+    the vocab-bounded table only (|vocab| Viterbi calls over ≤max_len·
+    a-few-chars strings — microseconds), the same bounded-driver-state
+    posture as the cost table itself."""
+    costs = dict(costs_from_counts(counts))
+    singles = [(p, n) for p, n in counts if len(p) == 1]
+    multis = []
+    for p, n in counts:
+        if len(p) == 1:
+            continue
+        without = {q: c for q, c in costs.items() if q != p}
+        alt = _viterbi_py(p, without, max_len)
+        multis.append((p, n, n * (alt - costs[p])))
+    kept = sorted(multis, key=lambda x: (-x[2], x[0]))[:vocab_size]
+    return sorted(singles + [(p, n) for p, n, _ in kept])
+
+
 def costs_from_counts(
     counts: list[tuple[str, int]]
 ) -> list[tuple[str, int]]:
@@ -238,6 +296,7 @@ def unigram_train(
     max_len: int = 4,
     text_col: str = "text",
     min_seed_count: int = 2,
+    prune: str = "count",
 ) -> tuple[list[tuple[str, int, int]], DataFrame]:
     """Fixed-round unigram-LM tokenizer training.
 
@@ -247,9 +306,16 @@ def unigram_train(
     word frequency), prunes back to ``vocab_size`` and recomputes
     costs. Only the vocab-bounded count table reaches the driver.
 
+    ``prune`` selects the per-round survivor rule: ``"count"`` ranks
+    multis by raw usage; ``"loss"`` is SentencePiece's criterion —
+    rank by the integer loss delta removal would cost
+    (:func:`loss_prune`).
+
     Returns (vocab, segmented) where vocab is [(piece, usage_n,
     cost_micros)] sorted by piece and segmented is the final (w, freq,
     pieces, cost_micros) word table."""
+    if prune not in ("count", "loss"):
+        raise ValueError("prune must be 'count' or 'loss'")
     spark = df.sparkSession
     wf = word_freq_table(df, text_col).localCheckpoint(eager=True)
     seed_rows = [
@@ -274,7 +340,10 @@ def unigram_train(
         # chars survive at their smoothed floor.
         seen = dict(rows)
         kept = [(p, seen.get(p, 0)) for p, _ in vocab]
-        vocab = select_vocab(kept, vocab_size, min_count=1)
+        if prune == "loss":
+            vocab = loss_prune(kept, vocab_size, max_len)
+        else:
+            vocab = select_vocab(kept, vocab_size, min_count=1)
         costs = costs_from_counts(vocab)
     final_seg = viterbi_segment(wf, _cost_frame(spark, costs), max_len)
     cost_map = dict(costs)

@@ -191,3 +191,62 @@ def test_maintain_unigram_seed_counts_matches_rebuild(spark, sf_small):
     m = {r["piece"]: r["n"] for r in maintained.collect()}
     b = {r["piece"]: r["n"] for r in rebuilt.collect()}
     assert m == b
+
+
+def ref_loss_prune(counts, vocab_size, max_len=4):
+    costs = dict(U.costs_from_counts(counts))
+    singles = [(p, n) for p, n in counts if len(p) == 1]
+    multis = []
+    for p, n in counts:
+        if len(p) == 1:
+            continue
+        without = {q: c for q, c in costs.items() if q != p}
+        _, alt = ref_viterbi(p, without, max_len)
+        multis.append((p, n, n * (alt - costs[p])))
+    kept = sorted(multis, key=lambda x: (-x[2], x[0]))[:vocab_size]
+    return sorted(singles + [(p, n) for p, n, _ in kept])
+
+
+def test_unigram_loss_prune_matches_reference(spark, sf_small):
+    """r8: the SentencePiece loss-delta prune rule — trainer vs a
+    reference EM loop whose alt-costs come from the test's OWN Viterbi.
+    vocab_size is small enough that pruning genuinely bites."""
+    docs = load_table(spark, sf_small, "documents").filter(
+        F.col("doc_id") < 150
+    )
+    wf = _word_freqs(docs)
+    got_vocab, got_seg = U.unigram_train(
+        docs, rounds=2, vocab_size=60, max_len=4, prune="loss"
+    )
+    # reference: same seed, loss-prune each round with ref_viterbi
+    seed = Counter()
+    for w, f in wf.items():
+        for j in range(len(w)):
+            for l in range(1, min(4, len(w) - j) + 1):
+                seed[w[j : j + l]] += f
+    vocab = U.select_vocab(list(seed.items()), 60, 2)
+    costs = dict(U.costs_from_counts(vocab))
+    for _ in range(2):
+        usage = Counter()
+        for w, f in wf.items():
+            for p in ref_viterbi(w, costs)[0]:
+                usage[p] += f
+        vocab = ref_loss_prune(
+            [(p, usage.get(p, 0)) for p, _ in vocab], 60
+        )
+        costs = dict(U.costs_from_counts(vocab))
+    assert [(p, n) for p, n, _ in got_vocab] == vocab
+    assert {p: c for p, _, c in got_vocab} == costs
+    got_rows = {
+        r["w"]: (tuple(r["pieces"]), int(r["cost_micros"]))
+        for r in got_seg.collect()
+    }
+    for w in wf:
+        pieces, cost = ref_viterbi(w, costs)
+        assert got_rows[w] == (tuple(pieces), cost), w
+    # the two prune rules genuinely differ on this corpus (else the
+    # test proves nothing)
+    count_vocab, _ = U.unigram_train(
+        docs, rounds=2, vocab_size=60, max_len=4, prune="count"
+    )
+    assert [p for p, _, _ in got_vocab] != [p for p, _, _ in count_vocab]
