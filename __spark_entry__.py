@@ -4577,6 +4577,23 @@ def q_t30(spark, sf_dir):
     )
 
 
+def q_fp04(spark, sf_dir):
+    """Sequential trigram mining (r8): frequent CONSECUTIVE event-type
+    trigrams per user under the total (ts, event_id) order — the
+    sequence n-gram view pm01's min/max footprint provably can't
+    extend to (a middle occurrence between min and max is invisible to
+    the profile reduction; counter-example in the r5c6 notes). Two
+    lead() windows + one hash agg, linear at any scale
+    (operators/basket.py::sequential_trigrams)."""
+    from learn_etl_data_warehouse_spark.operators.basket import (
+        sequential_trigrams,
+    )
+
+    return sequential_trigrams(
+        _t(spark, sf_dir, "events"), min_support=3
+    )
+
+
 def q_pf10(spark, sf_dir):
     """Shuffle-key skew audit (r8): the 20 heaviest events.user_id keys
     with ppm corpus share and the integer ceil-div salt factor that
@@ -4905,6 +4922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml05_margin_calibration": q_ml05,
         "t30_textrank_keywords": q_t30,
         "pf10_key_skew_audit": q_pf10,
+        "fp04_sequential_trigrams": q_fp04,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept last
         "e22_rolling_distinct_hll": q_e22,
@@ -8261,6 +8279,17 @@ SELECT r.user_id, r.cnt,
        CAST((r.cnt + m.mean_cnt - 1) // m.mean_cnt AS BIGINT)
          AS salt_factor
 FROM r, m WHERE rn <= 20"""
+    # fp04: consecutive event-type trigrams per user — two leads under
+    # the total (ts, event_id) order, one hash agg.
+    out["fp04_sequential_trigrams"] = """
+WITH s AS (SELECT user_id, event_type AS t1,
+                  lead(event_type, 1) OVER w AS t2,
+                  lead(event_type, 2) OVER w AS t3
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+FROM s WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+GROUP BY 1, 2, 3 HAVING count(*) >= 3"""
     # sv01: Nelson-Aalen — integer epoch days (ops02's idiom), second
     # DISTINCT day via a strictly-greater min, at_risk as a descending
     # cumulative count over the bounded duration grid.

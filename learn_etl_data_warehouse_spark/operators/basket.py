@@ -256,3 +256,44 @@ def frequent_triples(
         .cast("long")
         .alias("supp_ppm"),
     )
+
+
+def sequential_trigrams(
+    events: DataFrame,
+    actor_col: str = "user_id",
+    ts_col: str = "ts",
+    item_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    min_support: int = 2,
+) -> DataFrame:
+    """Frequent CONSECUTIVE item trigrams per actor — the sequence-
+    mining sibling of :func:`sequential_pairs`: where pairs ask "A then
+    B ever", trigrams ask "A→B→C as three consecutive steps of one
+    actor's timeline" (the n-gram view of behavior; the pm01 footprint
+    matrix is provably NOT extensible to triples from min/max profiles,
+    so this reads the sequence directly).
+
+    Linear by construction: two ``lead()`` windows per event under the
+    TOTAL per-actor order (ts, tiebreak) — never a per-actor cross
+    join — then one hash agg on the trigram. Support is an exact count
+    of occurrences (overlapping trigrams count, the standard n-gram
+    convention). Deterministic: the (ts, tiebreak) order is total, so
+    the trigram multiset is engine-portable. Returns (t1, t2, t3, n)
+    with n >= min_support."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(actor_col).orderBy(ts_col, tiebreak_col)
+    tri = (
+        events.select(
+            F.col(actor_col),
+            F.col(item_col).alias("t1"),
+            F.lead(item_col, 1).over(w).alias("t2"),
+            F.lead(item_col, 2).over(w).alias("t3"),
+        )
+        .filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    )
+    return (
+        tri.groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") >= min_support)
+    )
