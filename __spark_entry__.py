@@ -4577,6 +4577,24 @@ def q_t30(spark, sf_dir):
     )
 
 
+def q_e28(spark, sf_dir):
+    """Theil–Sen robust trend (r8): per event_type, the MEDIAN of all
+    pairwise slopes over the hourly-count grid — robust regression
+    next to a17's MAD outliers (one extreme hour can't move a median
+    of slopes). Slopes are FLOOR divisions of signed micros: Spark div
+    truncates vs DuckDB // floors on negatives, so the Spark side
+    reconstructs flooring as (d − pmod(d, g)) div g — exact, engine-
+    portable. Median is lower nearest-rank; the pair join runs over
+    the calendar-bounded hourly grid, never raw events
+    (operators/timeseries.py::theilsen_trend)."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        hourly_counts,
+        theilsen_trend,
+    )
+
+    return theilsen_trend(hourly_counts(_t(spark, sf_dir, "events")))
+
+
 def q_fp04(spark, sf_dir):
     """Sequential trigram mining (r8): frequent CONSECUTIVE event-type
     trigrams per user under the total (ts, event_id) order — the
@@ -4923,6 +4941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t30_textrank_keywords": q_t30,
         "pf10_key_skew_audit": q_pf10,
         "fp04_sequential_trigrams": q_fp04,
+        "e28_theilsen_trend": q_e28,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept last
         "e22_rolling_distinct_hll": q_e22,
@@ -8290,6 +8309,25 @@ WITH s AS (SELECT user_id, event_type AS t1,
 SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
 FROM s WHERE t2 IS NOT NULL AND t3 IS NOT NULL
 GROUP BY 1, 2, 3 HAVING count(*) >= 3"""
+    # e28: Theil–Sen — DuckDB // floors signed numerators, matching the
+    # Spark side's (d − pmod(d, g)) div g floor reconstruction.
+    out["e28_theilsen_trend"] = """
+WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                  CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+p AS (SELECT a.event_type,
+             CAST(((b.x - a.x) * 1000000) // (b.hr - a.hr) AS BIGINT)
+               AS slope
+      FROM h a JOIN h b
+        ON a.event_type = b.event_type AND a.hr < b.hr),
+r AS (SELECT event_type, slope,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY slope) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS np
+      FROM p)
+SELECT event_type, CAST(np AS BIGINT) AS n_pairs,
+       slope AS median_slope_micro
+FROM r WHERE rn = (np + 1) // 2"""
     # sv01: Nelson-Aalen — integer epoch days (ops02's idiom), second
     # DISTINCT day via a strictly-greater min, at_risk as a descending
     # cumulative count over the bounded duration grid.

@@ -553,3 +553,63 @@ def daily_open_intervals(
         F.col("net_change").cast("long").alias("net_change"),
         F.sum("net_change").over(w).cast("long").alias("open_count"),
     )
+
+
+def theilsen_trend(
+    hourly: DataFrame, key: str = "event_type"
+) -> DataFrame:
+    """Theil–Sen robust trend per key: the MEDIAN of all pairwise
+    slopes over the hourly-count grid — the robust-regression sibling
+    of the MAD outlier family (one extreme hour cannot move a median
+    of slopes, where it drags a least-squares fit arbitrarily).
+
+    Integer-exact across engines: the slope is a FLOOR division
+    ``floor(dy·1e6 / dx)`` — dy is signed, and Spark's ``div``
+    truncates while DuckDB's ``//`` floors, so the Spark side
+    reconstructs flooring as ``(d − pmod(d, g)) div g`` (pmod is
+    non-negative for positive g, the difference is exactly divisible,
+    and div on an exact multiple is exact). The median is nearest-rank
+    (lower) over the per-key slope set — deterministic under ties.
+
+    Scale shape: the pair join is per-key over the HOURLY grid, which
+    is calendar-bounded, not data-bounded (a year is 8,760 rows per
+    key regardless of corpus size); the windows run over that bounded
+    pair set. Returns (key, n_pairs, median_slope_micro) — micro-units
+    of count per hour."""
+    from pyspark.sql import Window
+
+    a = hourly.select(
+        F.col(key), F.col("hr").alias("_ah"), F.col("x").alias("_ax")
+    )
+    b = hourly.select(
+        F.col(key).alias("_bk"),
+        F.col("hr").alias("_bh"),
+        F.col("x").alias("_bx"),
+    )
+    pairs = a.join(
+        b, (F.col(key) == F.col("_bk")) & (F.col("_ah") < F.col("_bh"))
+    ).select(
+        key,
+        (
+            (F.col("_bx") - F.col("_ax")).cast("long") * 1_000_000
+        ).alias("_d"),
+        (F.col("_bh") - F.col("_ah")).cast("long").alias("_g"),
+    )
+    slopes = pairs.select(
+        key,
+        F.expr("(_d - pmod(_d, _g)) div _g").cast("long").alias("slope"),
+    )
+    w = Window.partitionBy(key).orderBy("slope")
+    ranked = slopes.select(
+        key,
+        "slope",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(key)).alias("_np"),
+    )
+    return ranked.filter(
+        F.col("_rn") == F.expr("(_np + 1) div 2")
+    ).select(
+        key,
+        F.col("_np").cast("long").alias("n_pairs"),
+        F.col("slope").alias("median_slope_micro"),
+    )

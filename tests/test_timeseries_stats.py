@@ -550,3 +550,26 @@ class TestRollingAnomalies:
         out = rolling_anomalies(_events(spark, rows), min_prev=4).collect()
         assert out and all(r["z"] is None and r["is_spike"] is False
                            for r in out)
+
+
+def test_theilsen_trend_negative_slopes_floor_division(spark):
+    """r8: declining series → NEGATIVE slopes, where Spark div
+    (truncate) and floor differ — the operator must floor. Hand
+    computation: hours 0,1,3 with counts 10,7,2 give slopes
+    floor(-3e6/1) = -3000000, floor(-8e6/3) = -2666667 (floor, not
+    -2666666!), floor(-5e6/2) = -2500000; lower median of the sorted
+    triple is -2666667."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        theilsen_trend,
+    )
+
+    hourly = spark.createDataFrame(
+        [("a", 0, 10), ("a", 1, 7), ("a", 3, 2)],
+        "event_type string, hr long, x long",
+    )
+    rows = theilsen_trend(hourly).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["event_type"], r["n_pairs"], r["median_slope_micro"]) == (
+        "a", 3, -2666667
+    )
