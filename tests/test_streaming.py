@@ -1806,3 +1806,39 @@ def test_tokenizer_stats_ingest_sink_incremental_and_replay_safe(
     ) == want
     # the maintained state seeds the SAME vocabulary as batch training
     assert select_vocab(got, 50) == select_vocab(want, 50)
+
+
+def test_theilsen_trend_from_maintained_hourly_state(
+    spark, tmp_path, sf_small
+):
+    """r8 composition: the anomaly sink's maintained (key, hr, x) state
+    IS theilsen_trend's input — incremental robust trend after ingest
+    equals the batch twin with no event-history re-scan."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        hourly_counts,
+        theilsen_trend,
+    )
+    from learn_etl_data_warehouse_spark.plans import catalog as cat
+    from learn_etl_data_warehouse_spark.sources.parquet import load_table
+    from learn_etl_data_warehouse_spark.streaming.sinks import (
+        anomaly_alert_sink,
+    )
+
+    ev = load_table(spark, sf_small, "events").select(
+        "ts", "event_type", "event_id"
+    )
+    b0 = ev.filter(F.col("event_id") % 2 == 0)
+    b1 = ev.filter(F.col("event_id") % 2 == 1)
+    cdir = str(tmp_path / "anomcat")
+    handle = anomaly_alert_sink(cdir)
+    handle(b0.drop("event_id"), 0)
+    handle(b1.drop("event_id"), 1)
+
+    state = cat.catalog_read(spark, cdir, "hourly_counts").select(
+        "event_type", "hr", "x"
+    )
+    got = sorted(map(tuple, theilsen_trend(state).collect()))
+    want = sorted(
+        map(tuple, theilsen_trend(hourly_counts(ev)).collect())
+    )
+    assert got == want and len(got) > 0
