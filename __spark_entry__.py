@@ -4577,6 +4577,21 @@ def q_t30(spark, sf_dir):
     )
 
 
+def q_ca03(spark, sf_dir):
+    """RFM transition matrix (r8): the order history split at the
+    integer midpoint epoch-day, both halves scored with ca01's
+    fixed-bin RFM (each anchored to its own period), customers counted
+    per (segment_from, segment_to) cell with NEW/CHURNED
+    pseudo-segments for one-sided customers — the lifecycle-movement
+    view on top of ca01's static snapshot
+    (operators/product_analytics.py::rfm_transitions)."""
+    from learn_etl_data_warehouse_spark.operators.product_analytics import (
+        rfm_transitions,
+    )
+
+    return rfm_transitions(_t(spark, sf_dir, "orders"))
+
+
 def q_e28(spark, sf_dir):
     """Theil–Sen robust trend (r8): per event_type, the MEDIAN of all
     pairwise slopes over the hourly-count grid — robust regression
@@ -4943,6 +4958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pf10_key_skew_audit": q_pf10,
         "fp04_sequential_trigrams": q_fp04,
         "e28_theilsen_trend": q_e28,
+        "ca03_rfm_transitions": q_ca03,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept last
         "e22_rolling_distinct_hll": q_e22,
@@ -8329,6 +8345,45 @@ r AS (SELECT event_type, slope,
 SELECT event_type, CAST(np AS BIGINT) AS n_pairs,
        slope AS median_slope_micro
 FROM r WHERE rn = (np + 1) // 2"""
+    # ca03: RFM transition matrix — ca01's fixed-bin chain run over the
+    # two midpoint-split halves (each anchored to its own period),
+    # full-outer joined on customer with NEW/CHURNED pseudo-segments.
+    _rfm_half = """
+pc{x} AS (SELECT o_custkey AS cust, max(o_orderdate) AS last_d,
+                 count(*) AS n_orders,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS total_cents
+          FROM p{x} GROUP BY 1),
+an{x} AS (SELECT max(o_orderdate) AS anchor FROM p{x}),
+sg{x} AS (SELECT cust,
+               'R' || (CASE WHEN date_diff('day', last_d, anchor) <= 30 THEN 4
+                            WHEN date_diff('day', last_d, anchor) <= 180 THEN 3
+                            WHEN date_diff('day', last_d, anchor) <= 365 THEN 2
+                            ELSE 1 END)
+            || 'F' || (CASE WHEN n_orders >= 10 THEN 4
+                            WHEN n_orders >= 5 THEN 3
+                            WHEN n_orders >= 2 THEN 2 ELSE 1 END)
+            || 'M' || (CASE WHEN total_cents >= 20000000 THEN 4
+                            WHEN total_cents >= 5000000 THEN 3
+                            WHEN total_cents >= 1000000 THEN 2
+                            ELSE 1 END) AS seg
+        FROM pc{x}, an{x})"""
+    out["ca03_rfm_transitions"] = ("""
+WITH d AS (SELECT o_custkey, o_orderdate, o_totalprice,
+                  epoch_us(o_orderdate) // 86400000000 AS day
+           FROM orders),
+b AS (SELECT (min(day) + max(day)) // 2 AS mid FROM d),
+pa AS (SELECT * FROM d, b WHERE day <= mid),
+pb AS (SELECT * FROM d, b WHERE day > mid),"""
+        + _rfm_half.format(x="a")
+        + ","
+        + _rfm_half.format(x="b")
+        + """
+SELECT coalesce(a.seg, 'NEW') AS segment_from,
+       coalesce(q.seg, 'CHURNED') AS segment_to,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM sga a FULL OUTER JOIN sgb q ON a.cust = q.cust
+GROUP BY 1, 2""")
     # sv01: Nelson-Aalen — integer epoch days (ops02's idiom), second
     # DISTINCT day via a strictly-greater min, at_risk as a descending
     # cumulative count over the bounded duration grid.

@@ -371,3 +371,49 @@ def topn_with_others(
         )
     )
     return top.unionByName(others)
+
+
+def rfm_transitions(
+    orders: DataFrame,
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+) -> DataFrame:
+    """Customer-lifecycle TRANSITION matrix: split the order history at
+    the integer midpoint epoch-day, score both halves with
+    :func:`rfm_segments` (each half anchors recency to ITS OWN max
+    date — period-relative, snapshot-reproducible), and count customers
+    per (segment_from, segment_to) cell. Customers absent from a half
+    surface as the 'NEW' / 'CHURNED' pseudo-segments, so the matrix is
+    customer-conserving.
+
+    Deterministic: the split day is ``(min_day + max_day) div 2`` over
+    non-negative epoch days (``datediff`` against 1970-01-01 — the NTZ-
+    safe idiom; ``unix_micros`` THROWS on the TIMESTAMP_NTZ flavor this
+    fixture ships); bins are ca01's fixed business rules. One extra
+    aggregation pair over the ca01 plan; the full-outer join is
+    customer-grain. Returns (segment_from, segment_to, n_customers)."""
+    day = F.datediff(F.col(date_col), F.lit("1970-01-01")).cast("long")
+    bounds = orders.agg(
+        F.min(day).alias("_mn"), F.max(day).alias("_mx")
+    )
+    wm = orders.crossJoin(
+        F.broadcast(bounds.select(F.expr("(_mn + _mx) div 2").alias("_mid")))
+    ).withColumn("_day", day)
+    first = wm.filter(F.col("_day") <= F.col("_mid")).drop("_mid", "_day")
+    second = wm.filter(F.col("_day") > F.col("_mid")).drop("_mid", "_day")
+    sa = rfm_segments(first, cust_col, date_col, amount_col).select(
+        "cust", F.col("segment").alias("segment_from")
+    )
+    sb = rfm_segments(second, cust_col, date_col, amount_col).select(
+        F.col("cust").alias("_cb"), F.col("segment").alias("segment_to")
+    )
+    joined = sa.join(sb, sa["cust"] == sb["_cb"], "full_outer")
+    return (
+        joined.select(
+            F.coalesce("segment_from", F.lit("NEW")).alias("segment_from"),
+            F.coalesce("segment_to", F.lit("CHURNED")).alias("segment_to"),
+        )
+        .groupBy("segment_from", "segment_to")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )

@@ -3543,3 +3543,23 @@ def test_textrank_from_maintained_counts_matches_rebuild(spark, sf_small):
         .collect()
     ]
     assert got == want and len(got) == 20
+
+
+def test_key_skew_audit_shares_and_salt_factors(spark):
+    """r8: hand-built skew — one hot key at 12 of 20 rows. mean per-key
+    count = 20 div 4 = 5 → hot salt = ceil(12/5) = 3; cold keys land at
+    factor 1; shares are truncating ppm."""
+    from learn_etl_data_warehouse_spark.operators.profiling import (
+        key_skew_audit,
+    )
+
+    rows = [(i, "hot") for i in range(12)] + [
+        (100 + i, k) for i, k in enumerate(["a", "a", "a", "b", "b", "b", "c", "c"])
+    ]
+    df = spark.createDataFrame(rows, "event_id long, k string")
+    got = {r["k"]: r.asDict() for r in key_skew_audit(df, "k").collect()}
+    assert got["hot"]["cnt"] == 12
+    assert got["hot"]["share_ppm"] == (1_000_000 * 12) // 20
+    assert got["hot"]["salt_factor"] == 3
+    assert got["a"]["salt_factor"] == 1 and got["c"]["salt_factor"] == 1
+    assert sum(r["cnt"] for r in got.values()) == 20

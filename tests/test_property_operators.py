@@ -395,3 +395,52 @@ def test_decision_stump_fuzz_vs_bruteforce(spark, rows):
     assert (got["correct"], got["threshold"], got["polarity"]) == (
         -best[0], best[1], best[2]
     )
+
+
+# --- r8: Theil-Sen fuzz ----------------------------------------------
+
+_hourly_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2), st.integers(0, 20), st.integers(0, 30)
+    ),
+    min_size=2,
+    max_size=25,
+)
+
+
+@given(_hourly_rows)
+@SETTINGS
+def test_theilsen_fuzz_vs_bruteforce(spark, rows):
+    """Random (key, hr, x) grids — including declining series whose
+    negative slopes exercise the floor-division reconstruction —
+    against a Python median-of-slopes model (// floors, matching)."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        theilsen_trend,
+    )
+
+    grid = {}
+    for k, h, x in rows:
+        grid[(k, h)] = x  # last write wins; dedupe (key, hr)
+    data = [(str(k), h, x) for (k, h), x in sorted(grid.items())]
+    df = spark.createDataFrame(
+        data, "event_type string, hr long, x long"
+    )
+    got = {
+        r["event_type"]: (r["n_pairs"], r["median_slope_micro"])
+        for r in theilsen_trend(df).collect()
+    }
+    by_key = {}
+    for k, h, x in data:
+        by_key.setdefault(k, []).append((h, x))
+    want = {}
+    for k, pts in by_key.items():
+        slopes = [
+            ((x2 - x1) * 1_000_000) // (h2 - h1)
+            for i, (h1, x1) in enumerate(pts)
+            for (h2, x2) in pts[i + 1 :]
+            if h2 > h1
+        ]
+        if slopes:
+            slopes.sort()
+            want[k] = (len(slopes), slopes[(len(slopes) + 1) // 2 - 1])
+    assert got == want
