@@ -4577,6 +4577,26 @@ def q_t30(spark, sf_dir):
     )
 
 
+def q_st01(spark, sf_dir):
+    """Bootstrap uncertainty estimation (r8): 16 deterministic
+    resampling replicates of the mean order value — per replicate each
+    order's multiplicity is a Binomial(3, 1/3) draw from md5 buckets
+    of (replicate, trial, id), the standard Poisson(1) bootstrap
+    approximation made RNG-free (the d19/d11 hash-sampling contract
+    applied to statistical INFERENCE). Replicate means are fixed-point
+    integer cents; their spread is the sampling uncertainty the
+    point-estimate aggregates don't report
+    (operators/sampling.py::bootstrap_replicate_means). One bounded
+    16× explode + one hash agg; 16 scalar rows out."""
+    from learn_etl_data_warehouse_spark.operators.sampling import (
+        bootstrap_replicate_means,
+    )
+
+    return bootstrap_replicate_means(
+        _t(spark, sf_dir, "orders"), "o_totalprice", "o_orderkey"
+    )
+
+
 def q_ca03(spark, sf_dir):
     """RFM transition matrix (r8): the order history split at the
     integer midpoint epoch-day, both halves scored with ca01's
@@ -4959,6 +4979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fp04_sequential_trigrams": q_fp04,
         "e28_theilsen_trend": q_e28,
         "ca03_rfm_transitions": q_ca03,
+        "st01_bootstrap_means": q_st01,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept last
         "e22_rolling_distinct_hll": q_e22,
@@ -8384,6 +8405,27 @@ SELECT coalesce(a.seg, 'NEW') AS segment_from,
        CAST(count(*) AS BIGINT) AS n_customers
 FROM sga a FULL OUTER JOIN sgb q ON a.cust = q.cust
 GROUP BY 1, 2""")
+    # st01: deterministic bootstrap — Binomial(3, 1/3) multiplicities
+    # from the same md5-bucket idiom as d19's sampler.
+    _bs_case = " + ".join(
+        "(CASE WHEN ('0x' || substr(md5('bs:' || rep || '" + f":{j}:"
+        + "' || CAST(id AS VARCHAR)), 1, 8))::BIGINT % 1000000"
+        " < 333333 THEN 1 ELSE 0 END)"
+        for j in range(3)
+    )
+    out["st01_bootstrap_means"] = f"""
+WITH o AS (SELECT o_orderkey AS id,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+r AS (SELECT id, cents, unnest(generate_series(0, 15)) AS rep FROM o),
+w AS (SELECT rep, cents, {_bs_case} AS wt FROM r),
+a AS (SELECT rep, CAST(sum(wt) AS BIGINT) AS n_eff,
+             CAST(sum(wt * cents) AS BIGINT) AS tot
+      FROM w GROUP BY 1)
+SELECT CAST(rep AS BIGINT) AS rep, n_eff,
+       CAST(CASE WHEN n_eff = 0 THEN NULL
+            ELSE tot // n_eff END AS BIGINT) AS mean_cents
+FROM a"""
     # sv01: Nelson-Aalen — integer epoch days (ops02's idiom), second
     # DISTINCT day via a strictly-greater min, at_risk as a descending
     # cumulative count over the bounded duration grid.

@@ -301,3 +301,65 @@ def exact_stratified_split(
         )
         .drop("_s", "_quota", "_rank")
     )
+
+
+def bootstrap_replicate_means(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    reps: int = 16,
+) -> DataFrame:
+    """Deterministic BOOTSTRAP resampling for uncertainty estimation:
+    per replicate, each row's resample multiplicity is a Binomial(3,
+    1/3) draw (the standard Poisson(1) approximation) derived from md5
+    buckets of (replicate, trial, id) — RNG-free, reproducible on any
+    engine, stable under corpus growth, the d19/d11 hash-sampling
+    contract applied to inference. The replicate statistic is the
+    weighted fixed-point mean in integer cents (truncating div of
+    non-negative sums).
+
+    The spread of the ``reps`` replicate means IS the sampling
+    uncertainty of the corpus mean — the piece the point-estimate
+    aggregates (q01/a06) don't report. Plan: one bounded explode
+    (reps× rows, reps fixed), one hash agg on the replicate id;
+    output is ``reps`` scalar rows. Returns (rep, n_eff, mean_cents)
+    where n_eff is the replicate's total resample weight."""
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    base = df.select(
+        F.col(id_col).cast("string").alias("_id"), cents.alias("_cents")
+    )
+    rep = F.explode(
+        F.sequence(F.lit(0), F.lit(int(reps) - 1))
+    ).alias("rep")
+    exploded = base.select("_id", "_cents", rep)
+    wt = sum(
+        (
+            hash_bucket(
+                F.concat(
+                    F.lit("bs:"),
+                    F.col("rep").cast("string"),
+                    F.lit(f":{j}:"),
+                    F.col("_id"),
+                ),
+                1_000_000,
+            )
+            < 333_333
+        ).cast("long")
+        for j in range(3)
+    )
+    return (
+        exploded.withColumn("_wt", wt)
+        .groupBy(F.col("rep").cast("long").alias("rep"))
+        .agg(
+            F.sum("_wt").cast("long").alias("n_eff"),
+            F.sum(F.col("_wt") * F.col("_cents")).cast("long").alias("_tot"),
+        )
+        .select(
+            "rep",
+            "n_eff",
+            F.when(F.col("n_eff") == 0, F.lit(None))
+            .otherwise(F.expr("_tot div n_eff"))
+            .cast("long")
+            .alias("mean_cents"),
+        )
+    )
