@@ -8406,11 +8406,11 @@ SELECT coalesce(a.seg, 'NEW') AS segment_from,
 FROM sga a FULL OUTER JOIN sgb q ON a.cust = q.cust
 GROUP BY 1, 2""")
     # st01: deterministic bootstrap — Binomial(3, 1/3) multiplicities
-    # from the same md5-bucket idiom as d19's sampler.
+    # from three disjoint 8-hex slices of ONE md5 per (row, replicate)
+    # (d19's bucket idiom, hash cost ÷3).
     _bs_case = " + ".join(
-        "(CASE WHEN ('0x' || substr(md5('bs:' || rep || '" + f":{j}:"
-        + "' || CAST(id AS VARCHAR)), 1, 8))::BIGINT % 1000000"
-        " < 333333 THEN 1 ELSE 0 END)"
+        "(CASE WHEN ('0x' || substr(h, " + str(1 + 8 * j) + ", 8))::BIGINT"
+        " % 1000000 < 333333 THEN 1 ELSE 0 END)"
         for j in range(3)
     )
     out["st01_bootstrap_means"] = f"""
@@ -8418,7 +8418,10 @@ WITH o AS (SELECT o_orderkey AS id,
                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
            FROM orders),
 r AS (SELECT id, cents, unnest(generate_series(0, 15)) AS rep FROM o),
-w AS (SELECT rep, cents, {_bs_case} AS wt FROM r),
+hh AS (SELECT rep, cents,
+              md5('bs:' || rep || ':' || CAST(id AS VARCHAR)) AS h
+       FROM r),
+w AS (SELECT rep, cents, {_bs_case} AS wt FROM hh),
 a AS (SELECT rep, CAST(sum(wt) AS BIGINT) AS n_eff,
              CAST(sum(wt * cents) AS BIGINT) AS tot
       FROM w GROUP BY 1)

@@ -332,17 +332,20 @@ def bootstrap_replicate_means(
         F.sequence(F.lit(0), F.lit(int(reps) - 1))
     ).alias("rep")
     exploded = base.select("_id", "_cents", rep)
+    # ONE md5 per (row, replicate); the three Bernoulli trials read
+    # disjoint 8-hex-digit slices of the same digest (each < 2^32, so
+    # the mod-1e6 bias is ~0.03% — the hash cost is the hot-path term
+    # at scale, and this is 3× less hashing than three seeded digests).
+    digest = F.md5(
+        F.concat(
+            F.lit("bs:"), F.col("rep").cast("string"), F.lit(":"),
+            F.col("_id"),
+        ).cast("binary")
+    )
     wt = sum(
         (
-            hash_bucket(
-                F.concat(
-                    F.lit("bs:"),
-                    F.col("rep").cast("string"),
-                    F.lit(f":{j}:"),
-                    F.col("_id"),
-                ),
-                1_000_000,
-            )
+            F.conv(F.substring(digest, 1 + 8 * j, 8), 16, 10)
+            .cast("long") % 1_000_000
             < 333_333
         ).cast("long")
         for j in range(3)
