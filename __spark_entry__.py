@@ -4577,6 +4577,27 @@ def q_t30(spark, sf_dir):
     )
 
 
+def q_st02(spark, sf_dir):
+    """Randomization test (r8): is finished ('F') orders' mean value
+    different from the rest, or is the observed gap ordinary under
+    "labels don't matter"? The observed two-group mean diff (perm_id
+    −1) next to 16 deterministic pseudo-assignments at the observed
+    group rate (md5 buckets, integer-ppm rate from a 1-row broadcast
+    agg) — the inference sibling of st01's bootstrap
+    (operators/sampling.py::permutation_test_means)."""
+    from learn_etl_data_warehouse_spark.operators.sampling import (
+        permutation_test_means,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    return permutation_test_means(
+        orders,
+        "o_totalprice",
+        "o_orderkey",
+        (F.col("o_orderstatus") == "F"),
+    )
+
+
 def q_st01(spark, sf_dir):
     """Bootstrap uncertainty estimation (r8): 16 deterministic
     resampling replicates of the mean order value — per replicate each
@@ -4980,6 +5001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e28_theilsen_trend": q_e28,
         "ca03_rfm_transitions": q_ca03,
         "st01_bootstrap_means": q_st01,
+        "st02_permutation_test": q_st02,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept last
         "e22_rolling_distinct_hll": q_e22,
@@ -8429,6 +8451,44 @@ SELECT CAST(rep AS BIGINT) AS rep, n_eff,
        CAST(CASE WHEN n_eff = 0 THEN NULL
             ELSE tot // n_eff END AS BIGINT) AS mean_cents
 FROM a"""
+    # st02: randomization test — observed diff + 16 rate-preserving
+    # pseudo-assignments (md5 bucket < observed group ppm).
+    out["st02_permutation_test"] = """
+WITH o AS (SELECT o_orderkey AS id,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS g
+           FROM orders),
+obs AS (SELECT CAST(-1 AS BIGINT) AS perm_id,
+               CAST(CASE WHEN sum(g) = 0 THEN NULL
+                    ELSE sum(CASE WHEN g = 1 THEN cents ELSE 0 END)
+                         // sum(g) END AS BIGINT) AS mean_a_cents,
+               CAST(CASE WHEN count(*) - sum(g) = 0 THEN NULL
+                    ELSE sum(CASE WHEN g = 0 THEN cents ELSE 0 END)
+                         // (count(*) - sum(g)) END AS BIGINT)
+                 AS mean_b_cents
+        FROM o),
+t AS (SELECT CAST((1000000 * sum(g)) // count(*) AS BIGINT) AS ppm
+      FROM o),
+r AS (SELECT id, cents, unnest(generate_series(0, 15)) AS p FROM o),
+asg AS (SELECT p, cents,
+               CASE WHEN ('0x' || substr(md5('pt:' || p || ':'
+                         || CAST(id AS VARCHAR)), 1, 8))::BIGINT
+                         % 1000000 < t.ppm
+                    THEN 1 ELSE 0 END AS g
+        FROM r, t),
+pm AS (SELECT CAST(p AS BIGINT) AS perm_id,
+              CAST(CASE WHEN sum(g) = 0 THEN NULL
+                   ELSE sum(CASE WHEN g = 1 THEN cents ELSE 0 END)
+                        // sum(g) END AS BIGINT) AS mean_a_cents,
+              CAST(CASE WHEN count(*) - sum(g) = 0 THEN NULL
+                   ELSE sum(CASE WHEN g = 0 THEN cents ELSE 0 END)
+                        // (count(*) - sum(g)) END AS BIGINT)
+                AS mean_b_cents
+       FROM asg GROUP BY 1),
+u AS (SELECT * FROM obs UNION ALL SELECT * FROM pm)
+SELECT perm_id, mean_a_cents, mean_b_cents,
+       CAST(mean_a_cents - mean_b_cents AS BIGINT) AS diff_cents
+FROM u"""
     # sv01: Nelson-Aalen — integer epoch days (ops02's idiom), second
     # DISTINCT day via a strictly-greater min, at_risk as a descending
     # cumulative count over the bounded duration grid.

@@ -366,3 +366,93 @@ def bootstrap_replicate_means(
             .alias("mean_cents"),
         )
     )
+
+
+def permutation_test_means(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    group_col,
+    perms: int = 16,
+) -> DataFrame:
+    """Deterministic RANDOMIZATION test for a two-group mean
+    difference: the observed group assignment's mean gap, next to
+    ``perms`` pseudo-assignments where each row's group is an
+    md5-bucket draw at the observed group-1 rate (integer ppm from the
+    data, one 1-row agg broadcast back) — the randomization-test
+    variant of a permutation test, exactly reproducible on any engine
+    (true label shuffling needs a total-order permutation; the
+    rate-preserving reassignment is the standard scalable stand-in).
+    If the observed |diff| sits in the tail of the pseudo-assignment
+    diffs, the gap is unlikely under "labels don't matter".
+
+    ``group_col`` is a boolean/0-1 Column or column name. Means are
+    truncating integer cents of non-negative sums; empty pseudo-groups
+    yield NULL means (never hit at realistic sizes). One bounded
+    ``perms``× explode + one hash agg; output is ``perms``+1 scalar
+    rows — the observed row carries ``perm_id = -1``. Returns
+    (perm_id, mean_a_cents, mean_b_cents, diff_cents)."""
+    grp = (
+        F.col(group_col) if isinstance(group_col, str) else group_col
+    ).cast("long")
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    base = df.select(
+        F.col(id_col).cast("string").alias("_id"),
+        cents.alias("_cents"),
+        grp.alias("_g"),
+    )
+
+    def _means(src, g, perm_expr):
+        a_n = F.sum(g).cast("long")
+        b_n = (F.count(F.lit(1)) - F.sum(g)).cast("long")
+        a_sum = F.sum(g * F.col("_cents")).cast("long")
+        b_sum = F.sum((1 - g) * F.col("_cents")).cast("long")
+        out = src.groupBy(perm_expr.alias("perm_id")).agg(
+            a_n.alias("_an"), b_n.alias("_bn"),
+            a_sum.alias("_as"), b_sum.alias("_bs"),
+        )
+        mean_a = (
+            F.when(F.col("_an") == 0, F.lit(None))
+            .otherwise(F.expr("_as div _an")).cast("long")
+        )
+        mean_b = (
+            F.when(F.col("_bn") == 0, F.lit(None))
+            .otherwise(F.expr("_bs div _bn")).cast("long")
+        )
+        return out.select(
+            "perm_id",
+            mean_a.alias("mean_a_cents"),
+            mean_b.alias("mean_b_cents"),
+            (mean_a - mean_b).cast("long").alias("diff_cents"),
+        )
+
+    observed = _means(base, F.col("_g"), F.lit(-1).cast("long"))
+    ppm = base.agg(
+        F.expr("(1000000 * sum(_g)) div count(*)")
+        .cast("long")
+        .alias("_ppm")
+    )
+    exploded = base.crossJoin(F.broadcast(ppm)).select(
+        "_cents",
+        "_id",
+        "_ppm",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(perms) - 1))
+        ).alias("_p"),
+    )
+    pseudo = (
+        hash_bucket(
+            F.concat(
+                F.lit("pt:"), F.col("_p").cast("string"), F.lit(":"),
+                F.col("_id"),
+            ),
+            1_000_000,
+        )
+        < F.col("_ppm")
+    ).cast("long")
+    permuted = _means(
+        exploded.withColumn("_gx", pseudo),
+        F.col("_gx"),
+        F.col("_p").cast("long"),
+    )
+    return observed.unionByName(permuted)
