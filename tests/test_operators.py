@@ -3563,3 +3563,61 @@ def test_key_skew_audit_shares_and_salt_factors(spark):
     assert got["hot"]["salt_factor"] == 3
     assert got["a"]["salt_factor"] == 1 and got["c"]["salt_factor"] == 1
     assert sum(r["cnt"] for r in got.values()) == 20
+
+
+def test_bootstrap_replicate_means_matches_python_hash_model(spark):
+    """r8: the bootstrap's md5-slice weights recomputed in Python —
+    replicate means must match exactly (same digest, same slices,
+    same truncating div)."""
+    import hashlib
+
+    from learn_etl_data_warehouse_spark.operators.sampling import (
+        bootstrap_replicate_means,
+    )
+
+    rows = [(i, float(10 + 3 * i) / 100.0) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, val double")
+    got = {
+        r["rep"]: (r["n_eff"], r["mean_cents"])
+        for r in bootstrap_replicate_means(df, "val", "id").collect()
+    }
+    assert set(got) == set(range(16))
+    for rep in range(16):
+        tot = n_eff = 0
+        for i, v in rows:
+            h = hashlib.md5(f"bs:{rep}:{i}".encode()).hexdigest()
+            wt = sum(
+                1
+                for j in range(3)
+                if int(h[8 * j : 8 * j + 8], 16) % 1_000_000 < 333_333
+            )
+            cents = round(v * 100)
+            n_eff += wt
+            tot += wt * cents
+        want = (n_eff, tot // n_eff if n_eff else None)
+        assert got[rep] == want, rep
+
+
+def test_permutation_test_observed_row_and_shape(spark):
+    """r8: the observed row (perm_id −1) is the direct two-group mean
+    gap; 16 pseudo rows exist; diff is always mean_a − mean_b."""
+    from learn_etl_data_warehouse_spark.operators.sampling import (
+        permutation_test_means,
+    )
+
+    rows = [(i, 100.0 + i, i % 3 == 0) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, val double, flag boolean")
+    out = {
+        r["perm_id"]: r.asDict()
+        for r in permutation_test_means(
+            df, "val", "id", F.col("flag")
+        ).collect()
+    }
+    assert set(out) == {-1, *range(16)}
+    a = [round((100.0 + i) * 100) for i in range(30) if i % 3 == 0]
+    b = [round((100.0 + i) * 100) for i in range(30) if i % 3 != 0]
+    obs = out[-1]
+    assert obs["mean_a_cents"] == sum(a) // len(a)
+    assert obs["mean_b_cents"] == sum(b) // len(b)
+    for r in out.values():
+        assert r["diff_cents"] == r["mean_a_cents"] - r["mean_b_cents"]
