@@ -4577,6 +4577,22 @@ def q_t30(spark, sf_dir):
     )
 
 
+def q_fc01(spark, sf_dir):
+    """Hourly point forecast (r8): next-24h per event_type as
+    profile(hour-of-day) + Theil–Sen slope · Δh — level+seasonality
+    from the e16-style profile mean, trend from e28's median slope,
+    extrapolated from the last observed hour. All fixed-point: the
+    profile is a truncating micro mean, the trend term a signed
+    multiply-add (operators/timeseries.py::forecast_hourly). The
+    named FORECASTING surface composed from already-verified parts."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        forecast_hourly,
+        hourly_counts,
+    )
+
+    return forecast_hourly(hourly_counts(_t(spark, sf_dir, "events")))
+
+
 def q_st02(spark, sf_dir):
     """Randomization test (r8): is finished ('F') orders' mean value
     different from the rest, or is the observed gap ordinary under
@@ -5002,6 +5018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ca03_rfm_transitions": q_ca03,
         "st01_bootstrap_means": q_st01,
         "st02_permutation_test": q_st02,
+        "fc01_hourly_forecast": q_fc01,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept last
         "e22_rolling_distinct_hll": q_e22,
@@ -8489,6 +8506,37 @@ u AS (SELECT * FROM obs UNION ALL SELECT * FROM pm)
 SELECT perm_id, mean_a_cents, mean_b_cents,
        CAST(mean_a_cents - mean_b_cents AS BIGINT) AS diff_cents
 FROM u"""
+    # fc01: additive forecast — e28's slope chain + hour-of-day profile
+    # + a bounded 24-step spine; signed multiply-add only.
+    out["fc01_hourly_forecast"] = """
+WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                  CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+p AS (SELECT a.event_type,
+             CAST(((b.x - a.x) * 1000000) // (b.hr - a.hr) AS BIGINT)
+               AS slope
+      FROM h a JOIN h b
+        ON a.event_type = b.event_type AND a.hr < b.hr),
+rr AS (SELECT event_type, slope,
+              row_number() OVER (PARTITION BY event_type
+                                 ORDER BY slope) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS np
+       FROM p),
+sl AS (SELECT event_type, slope AS ms FROM rr WHERE rn = (np + 1) // 2),
+prof AS (SELECT event_type, hr % 24 AS hod,
+                CAST((1000000 * sum(x)) // count(*) AS BIGINT) AS pm
+         FROM h GROUP BY 1, 2),
+an AS (SELECT event_type, max(hr) AS anchor FROM h GROUP BY 1),
+sp AS (SELECT event_type, anchor + s AS h_future, s AS dh
+       FROM an, (SELECT unnest(generate_series(1, 24)) AS s) t)
+SELECT sp.event_type, CAST(sp.h_future AS BIGINT) AS h_future,
+       CAST(sp.h_future % 24 AS BIGINT) AS hod,
+       CAST(coalesce(prof.pm, 0) + sl.ms * sp.dh AS BIGINT)
+         AS forecast_micro
+FROM sp
+LEFT JOIN prof ON prof.event_type = sp.event_type
+              AND prof.hod = sp.h_future % 24
+JOIN sl ON sl.event_type = sp.event_type"""
     # sv01: Nelson-Aalen — integer epoch days (ops02's idiom), second
     # DISTINCT day via a strictly-greater min, at_risk as a descending
     # cumulative count over the bounded duration grid.

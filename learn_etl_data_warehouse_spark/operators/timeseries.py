@@ -613,3 +613,60 @@ def theilsen_trend(
         F.col("_np").cast("long").alias("n_pairs"),
         F.col("slope").alias("median_slope_micro"),
     )
+
+
+def forecast_hourly(
+    hourly: DataFrame, key: str = "event_type", horizon: int = 24
+) -> DataFrame:
+    """Integer additive point forecast per key: the next ``horizon``
+    hours as ``profile(hod) + slope · Δh`` — the hour-of-day profile
+    mean carries level + seasonality, the Theil–Sen median slope
+    (:func:`theilsen_trend`) extrapolates the trend from the last
+    observed hour. The decomposition every ops dashboard forecast
+    starts from, in the engine's fixed-point style: the profile is a
+    truncating micro mean of non-negative counts, the trend term is a
+    SIGNED multiply-add (no division near a negative), so the forecast
+    is exact cross-engine.
+
+    Scale shape: everything runs on the hourly grid (calendar-bounded);
+    the spine is a bounded per-key sequence explode. Returns (key,
+    h_future, hod, forecast_micro) — micro-counts per hour, possibly
+    negative under a declining trend (clamp downstream if needed)."""
+    slopes = theilsen_trend(hourly, key).select(
+        key, "median_slope_micro"
+    )
+    profile = (
+        hourly.withColumn("hod", F.pmod(F.col("hr"), F.lit(24)))
+        .groupBy(key, "hod")
+        .agg(
+            F.expr("(1000000 * sum(x)) div count(*)")
+            .cast("long")
+            .alias("profile_micro")
+        )
+    )
+    anchor = hourly.groupBy(key).agg(F.max("hr").alias("_anchor"))
+    spine = anchor.select(
+        key,
+        "_anchor",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(int(horizon)))
+        ).alias("_step"),
+    ).select(
+        key,
+        (F.col("_anchor") + F.col("_step")).cast("long").alias("h_future"),
+        F.col("_step").cast("long").alias("_dh"),
+    )
+    return (
+        spine.withColumn("hod", F.pmod(F.col("h_future"), F.lit(24)).cast("long"))
+        .join(profile, [key, "hod"], "left")
+        .join(slopes, key)
+        .select(
+            key,
+            "h_future",
+            "hod",
+            (
+                F.coalesce("profile_micro", F.lit(0))
+                + F.col("median_slope_micro") * F.col("_dh")
+            ).cast("long").alias("forecast_micro"),
+        )
+    )
