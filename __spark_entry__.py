@@ -4768,11 +4768,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (pinned by tests/test_driver_window.py) and sf0.01+sf0.1-swept
         # in the round it rotates in.
         # PROVISIONAL r9 window (drawn from the policy, assuming the r8
-        # window lands green): 11 r8 newborns (t29 d33 ml04 ml05 t30
-        # pf10 fp04 e28 ca03 st01 st02) + 4 cores + the 35 stalest
+        # window lands green): 12 r8 newborns (t29 d33 ml04 ml05 t30
+        # pf10 fp04 e28 ca03 st01 st02 fc01) + 4 cores + the 34 stalest
         # rows — r4-era a07 a08 a10 a11 set04 p01-p04 p06
         # a01-a05(+a03b/a03c) a12 ad01 g01 e04 e05 j01 j03 set01 set02
-        # r02, then r5-era ivm01 t13 d17 j06 e08 d07 d09 d10.
+        # r02, then r5-era ivm01 t13 d17 j06 e08 d07 d09.
         # Re-derive with never_checked.py at rotation time; sweep ×3
         # scales before banking as always.
         # -- never driver-checked until r8 (33) -------------------------
