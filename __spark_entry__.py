@@ -4749,33 +4749,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # it rotates in.
     return {
         # ==== DRIVER WINDOW (first 50; order is load-bearing) =========
-        # r8 rotation (staleness-first policy): the FINAL 33
-        # never-driver-checked oracle-backed queries (the 23 the r7 plan
-        # enumerated + the 10 r7 additions cl01-cl04/d32/sv01/sv02/g14/
-        # ca02/g15) + the 13 STALEST banked rows (p07/p08/p12-p16 from
-        # r2, a13 from r3, w01-w04/r01 from r4) + 4 continuously-
-        # verified cores (d01/d02/e01/f01). After this round EVERY
-        # oracle-backed query in the registry has a driver row.
-        # STEADY-STATE POLICY (r9 onward): the staleness metric flips
-        # from "never checked" to "oldest driver row". Each round's
-        # window = the 4 cores + the 46 oracle-backed queries with the
-        # OLDEST CORRECTNESS rows (scripts/never_checked.py prints the
-        # ranking; ties break in registry order). With ~222 oracle-
-        # backed queries and 46 rotating slots, every row refreshes
-        # within ~5 rounds; cores refresh every round. New queries are
-        # born never-checked and jump the queue into the next window.
-        # Every window entry must be scalar-only AND oracle-backed
-        # (pinned by tests/test_driver_window.py) and sf0.01+sf0.1-swept
-        # in the round it rotates in.
-        # PROVISIONAL r9 window (drawn from the policy, assuming the r8
-        # window lands green): 12 r8 newborns (t29 d33 ml04 ml05 t30
-        # pf10 fp04 e28 ca03 st01 st02 fc01) + 4 cores + the 34 stalest
-        # rows — r4-era a07 a08 a10 a11 set04 p01-p04 p06
-        # a01-a05(+a03b/a03c) a12 ad01 g01 e04 e05 j01 j03 set01 set02
-        # r02, then r5-era ivm01 t13 d17 j06 e08 d07 d09.
-        # Re-derive with never_checked.py at rotation time; sweep ×3
-        # scales before banking as always.
-        # -- never driver-checked until r8 (33) -------------------------
+        # STEADY-STATE POLICY (r9 onward): the staleness metric is
+        # "oldest driver row". Each round's window = the 4 cores + the
+        # 46 oracle-backed queries with the OLDEST CORRECTNESS rows
+        # (scripts/never_checked.py prints the ranking; ties break in
+        # registry order). New queries are born never-checked and jump
+        # the queue into the next window. Every window entry must be
+        # scalar-only AND oracle-backed (pinned by
+        # tests/test_driver_window.py) and sf0.01+sf0.1-swept in the
+        # round it rotates in.
+        # r9 rotation (derived with never_checked.py on the 50/50-green
+        # CORRECTNESS_r08): the 12 r8 newborns + the 34 stalest banked
+        # rows (27 r4-era + 7 r5-era) + 4 cores. The whole r8-green
+        # cohort moves behind the window (freshest evidence).
+        # -- r8 newborns, first driver rows (12) -------------------------
+        "t29_unigram_seed_pieces": q_t29,
+        "d33_classifier_gated_corpus": q_d33,
+        "ml04_decision_stump": q_ml04,
+        "ml05_margin_calibration": q_ml05,
+        "t30_textrank_keywords": q_t30,
+        "pf10_key_skew_audit": q_pf10,
+        "fp04_sequential_trigrams": q_fp04,
+        "e28_theilsen_trend": q_e28,
+        "ca03_rfm_transitions": q_ca03,
+        "st01_bootstrap_means": q_st01,
+        "st02_permutation_test": q_st02,
+        "fc01_hourly_forecast": q_fc01,
+        # -- stalest banked rows promoted (34: 27 r4-era + 7 r5-era) -----
+        "a07_rollup_year_status": q_a07,
+        "a08_pivot_status": q_a08,
+        "a10_grouping_sets": q_a10,
+        "a11_exact_percentiles": q_a11,
+        "set04_except": q_set04,
+        "p01_clean_sci_notation": q_p01,
+        "p02_remove_after_dot": q_p02,
+        "p03_split_date_process": q_p03,
+        "p04_latlng_extract": q_p04,
+        "p06_truncate_distance": q_p06,
+        "a01_quarter_counts": q_a01,
+        "a02_returnflag_counts": q_a02,
+        "a03_histogram_totalprice": q_a03,
+        "a03b_event_type_counts": q_a03b,
+        "a03c_histogram_sql": q_a03c,
+        "a04_distinct_quarters": q_a04,
+        "a05_top3_orders_per_customer": q_a05,
+        "a12_unpivot": q_a12,
+        "ad01_distinct_agg": q_ad01,
+        "g01_grouped_zscore": q_g01,
+        "e04_hourly_event_counts": q_e04,
+        "e05_windowed_topk_users": q_e05,
+        "j01_orders_customer": q_j01,
+        "j03_empty_key_left_join": q_j03,
+        "set01_anti_join": q_set01,
+        "set02_semi_join": q_set02,
+        "r02_event_pairs_range": q_r02,
+        "ivm01_maintained_rollup": q_ivm01,
+        "t13_gopher_rules": q_t13,
+        "d17_hot_span_scrub": q_d17,
+        "j06_salted_hot_join": q_j06,
+        "e08_outer_attribution": q_e08,
+        "d07_train_val_split": q_d07,
+        "d09_dup_clusters": q_d09,
+        # -- continuously-verified cores (4) ----------------------------
+        "d01_dedup_exact": q_d01,
+        "d02_ngram_jaccard_pairs": q_d02,
+        "e01_tumbling_window": q_e01,
+        "f01_event_funnel": q_f01,
+        # ================= position 51+: outside driver window ==========
+        # r8-green cohort (freshest evidence) moved behind the window.
         "g07_lpa_communities": q_g07,
         "g08_hits_scores": q_g08,
         "e16_seasonal_anomaly": q_e16,
@@ -4809,8 +4850,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g14_degree_assortativity": q_g14,
         "ca02_cohort_ltv": q_ca02,
         "g15_degree_distribution": q_g15,
-        # -- stalest banked rows promoted (13: r2 p-family, r3 a13,
-        #    r4 w-family + r01) ------------------------------------------
         "p07_duration_minutes": q_p07,
         "p08_bool_flags": q_p08,
         "p12_filter_contains": q_p12,
@@ -4824,15 +4863,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w03_rank_in_segment": q_w03,
         "w04_rolling_7day_revenue": q_w04,
         "r01_asof_join": q_r01,
-        # -- continuously-verified cores (4) ----------------------------
-        "d01_dedup_exact": q_d01,
-        "d02_ngram_jaccard_pairs": q_d02,
-        "e01_tumbling_window": q_e01,
-        "f01_event_funnel": q_f01,
-        # ================= position 51+: outside driver window ==========
-        # r7-green cohort (freshest evidence) + banked oracle-backed
-        # remainder; rows-only queries stay last so driver-checked rows
-        # are all hash-checkable.
+        # -- banked oracle-backed remainder; rows-only queries stay last
+        #    so driver-checked rows are all hash-checkable ---------------
         "d18_corpus_build_scrubbed": q_d18,
         "d19_quality_weighted_sample": q_d19,
         "d20_bag_of_words_dedup": q_d20,
@@ -4929,13 +4961,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d16_corpus_build": q_d16,
         "s07_quantize_int8": q_s07,
         "s08_random_projection": q_s08,
-        "ivm01_maintained_rollup": q_ivm01,
-        "t13_gopher_rules": q_t13,
-        "d17_hot_span_scrub": q_d17,
-        "j06_salted_hot_join": q_j06,
-        "e08_outer_attribution": q_e08,
-        "d07_train_val_split": q_d07,
-        "d09_dup_clusters": q_d09,
         "d10_semantic_clusters": q_d10,
         "t01_token_counts": q_t01,
         "t02_quality_scores": q_t02,
@@ -4978,47 +5003,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a06_monthly_rollup": q_a06,
         "w05_percent_rank": q_w05,
         "set03_intersect": q_set03,
-        "a07_rollup_year_status": q_a07,
-        "a08_pivot_status": q_a08,
-        "a10_grouping_sets": q_a10,
-        "a11_exact_percentiles": q_a11,
-        "set04_except": q_set04,
-        "p01_clean_sci_notation": q_p01,
-        "p02_remove_after_dot": q_p02,
-        "p03_split_date_process": q_p03,
-        "p04_latlng_extract": q_p04,
-        "p06_truncate_distance": q_p06,
-        "a01_quarter_counts": q_a01,
-        "a02_returnflag_counts": q_a02,
-        "a03_histogram_totalprice": q_a03,
-        "a03b_event_type_counts": q_a03b,
-        "a03c_histogram_sql": q_a03c,
-        "a04_distinct_quarters": q_a04,
-        "a05_top3_orders_per_customer": q_a05,
-        "a12_unpivot": q_a12,
-        "ad01_distinct_agg": q_ad01,
-        "g01_grouped_zscore": q_g01,
-        "e04_hourly_event_counts": q_e04,
-        "e05_windowed_topk_users": q_e05,
-        "j01_orders_customer": q_j01,
-        "j03_empty_key_left_join": q_j03,
-        "set01_anti_join": q_set01,
-        "set02_semi_join": q_set02,
-        "r02_event_pairs_range": q_r02,
-        # -- r8 additions (born never-checked; rotate into the r9
-        #    window per the steady-state policy) ------------------------
-        "t29_unigram_seed_pieces": q_t29,
-        "d33_classifier_gated_corpus": q_d33,
-        "ml04_decision_stump": q_ml04,
-        "ml05_margin_calibration": q_ml05,
-        "t30_textrank_keywords": q_t30,
-        "pf10_key_skew_audit": q_pf10,
-        "fp04_sequential_trigrams": q_fp04,
-        "e28_theilsen_trend": q_e28,
-        "ca03_rfm_transitions": q_ca03,
-        "st01_bootstrap_means": q_st01,
-        "st02_permutation_test": q_st02,
-        "fc01_hourly_forecast": q_fc01,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept last
         "e22_rolling_distinct_hll": q_e22,
