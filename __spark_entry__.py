@@ -8092,7 +8092,12 @@ FROM old_card o FULL OUTER JOIN new_card n ON o.source = n.source"""
         ("digit_permille", "w_d"),
         ("distinct_permille", "w_u"),
     ]
-    cl_base = r"""
+    # Shared classifier-oracle prefixes, composed (NOT string-split —
+    # the r8 ADVICE item): _cl_lab_prefix = raw features + C4 teacher
+    # label; _cl_feat_prefix adds the integer feature map f; cl_base
+    # adds the zero weight row w0 + the 8 unrolled training rounds.
+    # cl04 builds on _cl_lab_prefix, ml04 on _cl_feat_prefix.
+    _cl_lab_prefix = r"""
 WITH raw AS (
   SELECT doc_id, text,
          CAST(CASE WHEN trim(text) = '' THEN 0
@@ -8117,7 +8122,8 @@ lab AS (
               AND NOT (contains(text, '{') OR contains(text, '}'))
               AND NOT contains(lower(text), 'lorem ipsum')
          THEN 1 ELSE 0 END AS label
-  FROM raw),
+  FROM raw)"""
+    _cl_feat_prefix = _cl_lab_prefix + r""",
 f AS MATERIALIZED (
   SELECT raw.doc_id,
          CAST(1 AS BIGINT) AS bias,
@@ -8133,7 +8139,8 @@ f AS MATERIALIZED (
               AS BIGINT) AS distinct_permille,
          CAST(label AS BIGINT) AS label,
          CAST(2 * label - 1 AS BIGINT) AS sgn
-  FROM raw JOIN lab USING (doc_id)),
+  FROM raw JOIN lab USING (doc_id))"""
+    cl_base = _cl_feat_prefix + """,
 w0 AS (SELECT """ + ", ".join(
         f"CAST(0 AS BIGINT) AS {w}" for _, w in _clf
     ) + ")"
@@ -8179,11 +8186,10 @@ SELECT n, tp, fp, fn, tn,
             ELSE (1000000 * tp) // (tp + fn) END AS BIGINT)
          AS recall_ppm
 FROM cm"""
-    # cl04: sparse hashed-feature perceptron — reuse cl_base's raw/lab
-    # prefix (the d25 slice-the-SQL pattern), then 2 unrolled rounds of
-    # join/agg weight updates over the distributed (bucket, weight)
-    # table. Bucket = the repo's portable md5-hex idiom (d14's oracle).
-    _cl_lab_prefix = cl_base.split(",\nf AS MATERIALIZED (")[0]
+    # cl04: sparse hashed-feature perceptron — the shared raw/lab
+    # prefix, then 2 unrolled rounds of join/agg weight updates over
+    # the distributed (bucket, weight) table. Bucket = the repo's
+    # portable md5-hex idiom (d14's oracle).
     out["cl04_sparse_perceptron"] = _cl_lab_prefix + r""",
 sgns AS (SELECT raw.doc_id,
                 CAST(2 * lab.label - 1 AS BIGINT) AS sgn
@@ -8256,10 +8262,9 @@ c AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS n FROM pieces GROUP BY 1),
 r AS (SELECT piece, n, row_number() OVER (ORDER BY n DESC, piece) AS rn FROM c)
 SELECT CAST(rn AS BIGINT) AS piece_id, piece, n AS n_occurrences
 FROM r WHERE rn <= 200"""
-    # ml04: decision stump — cl_base's raw/lab/f prefix (no training
+    # ml04: decision stump — the shared raw/lab/f prefix (no training
     # rounds needed), then exact correct-counts from a cumulative pass
     # over each feature's bounded value grid. sum→HUGEINT cast back.
-    _cl_feat_prefix = cl_base.split(",\nw0 AS")[0]
     _stump_unpivot = "\n    UNION ALL ".join(
         f"SELECT '{x}' AS feature, {x} AS value, label FROM f"
         for x, _ in _clf

@@ -402,15 +402,26 @@ def permutation_test_means(
         grp.alias("_g"),
     )
 
-    def _means(src, g, perm_expr):
+    def _means(src, g, perm_expr=None):
         a_n = F.sum(g).cast("long")
         b_n = (F.count(F.lit(1)) - F.sum(g)).cast("long")
         a_sum = F.sum(g * F.col("_cents")).cast("long")
         b_sum = F.sum((1 - g) * F.col("_cents")).cast("long")
-        out = src.groupBy(perm_expr.alias("perm_id")).agg(
+        aggs = [
             a_n.alias("_an"), b_n.alias("_bn"),
             a_sum.alias("_as"), b_sum.alias("_bs"),
-        )
+        ]
+        if perm_expr is None:
+            # Observed row: a GLOBAL aggregate (always exactly one row,
+            # even on empty input) with perm_id stamped on — a groupBy
+            # on the literal -1 would return 0 rows for an empty frame
+            # while the oracle's ungrouped obs CTE returns 1 NULL row
+            # (the r8 ADVICE empty-input asymmetry).
+            out = src.agg(*aggs).withColumn(
+                "perm_id", F.lit(-1).cast("long")
+            )
+        else:
+            out = src.groupBy(perm_expr.alias("perm_id")).agg(*aggs)
         mean_a = (
             F.when(F.col("_an") == 0, F.lit(None))
             .otherwise(F.expr("_as div _an")).cast("long")
@@ -426,7 +437,7 @@ def permutation_test_means(
             (mean_a - mean_b).cast("long").alias("diff_cents"),
         )
 
-    observed = _means(base, F.col("_g"), F.lit(-1).cast("long"))
+    observed = _means(base, F.col("_g"))
     ppm = base.agg(
         F.expr("(1000000 * sum(_g)) div count(*)")
         .cast("long")

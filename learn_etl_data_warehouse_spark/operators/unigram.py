@@ -362,7 +362,13 @@ def unigram_encode(
     word once (the same Viterbi kernel), then join segmentations back by
     word and reassemble documents in token order. Accepts either
     (piece, cost_micros) pairs or unigram_train's (piece, n,
-    cost_micros) triples. Returns (id, n_words, n_tokens, tokens)."""
+    cost_micros) triples. Returns (id, n_words, n_tokens, tokens).
+
+    Documents whose text is empty or whitespace-only contribute NO
+    words, so they produce NO output row (not a row with n_tokens=0) —
+    left-join the result back to the input on ``id_col`` if every
+    document must survive. Pinned by the blank-doc test in
+    tests/test_unigram.py."""
     spark = df.sparkSession
     pairs = [(t[0], int(t[-1])) for t in costs]
     doc_words = df.select(

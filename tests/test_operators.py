@@ -3621,3 +3621,24 @@ def test_permutation_test_observed_row_and_shape(spark):
     assert obs["mean_b_cents"] == sum(b) // len(b)
     for r in out.values():
         assert r["diff_cents"] == r["mean_a_cents"] - r["mean_b_cents"]
+
+
+def test_permutation_test_empty_input(spark):
+    """r9 (ADVICE fix): an EMPTY frame still yields the observed row —
+    one perm_id −1 row of NULL means, matching the DuckDB oracle's
+    ungrouped obs CTE (a groupBy on the literal −1 would return 0 rows
+    and silently diverge)."""
+    from learn_etl_data_warehouse_spark.operators.sampling import (
+        permutation_test_means,
+    )
+
+    df = spark.createDataFrame(
+        [], "id long, val double, flag boolean"
+    )
+    out = permutation_test_means(df, "val", "id", F.col("flag")).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["perm_id"] == -1
+    assert r["mean_a_cents"] is None
+    assert r["mean_b_cents"] is None
+    assert r["diff_cents"] is None
