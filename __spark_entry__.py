@@ -4593,6 +4593,27 @@ def q_fc01(spark, sf_dir):
     return forecast_hourly(hourly_counts(_t(spark, sf_dir, "events")))
 
 
+def q_d34(spark, sf_dir):
+    """Variable-length EXACT-SUBSTRING repeat scrub (r9, verdict item
+    5): per-document stats of the Lee et al. suffix-array exact
+    substring dedup, built with Manber–Myers prefix doubling — the
+    4/8/16-gram keys each come from one lead() over the previous level
+    (one (doc,pos) window shuffle total), a position starts a repeat of
+    length ≥ L when its L-gram occurs >1 time corpus-wide (WITHIN-doc
+    occurrences count, unlike d17's distinct-doc spans), and the scrub
+    is 8-token coverage (position inside SOME repeated span of length
+    ≥ 8). Completes the dedup family at finer grain than d17's fixed
+    6-token hot-span window
+    (operators/dedup.py::maximal_repeat_stats)."""
+    from learn_etl_data_warehouse_spark.operators.dedup import (
+        maximal_repeat_stats,
+    )
+
+    return maximal_repeat_stats(
+        _t(spark, sf_dir, "documents"), levels=(4, 8, 16), min_len=8
+    )
+
+
 def q_st02(spark, sf_dir):
     """Randomization test (r8): is finished ('F') orders' mean value
     different from the rest, or is the observed gap ordinary under
@@ -5003,6 +5024,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a06_monthly_rollup": q_a06,
         "w05_percent_rank": q_w05,
         "set03_intersect": q_set03,
+        # -- r9 additions (born never-checked; rotate into the r10
+        #    window per the steady-state policy) ------------------------
+        "d34_maximal_repeat_scrub": q_d34,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept last
         "e22_rolling_distinct_hll": q_e22,
@@ -8671,4 +8695,61 @@ t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM deg)
 SELECT deg_digits, n_nodes, min_deg, max_deg,
        CAST((1000000 * n_nodes) // total AS BIGINT) AS share_ppm
 FROM b CROSS JOIN t"""
+    # d34 (r9): prefix-doubling exact-substring repeats — each level's
+    # L-gram is the previous level's string || ' ' || lead(L/2) (null
+    # beyond the doc end propagates through ||), a position starts a
+    # repeat when its (lvl, gram) occurs >1 time corpus-wide, and the
+    # scrub is an 8-token ROWS-window coverage max. sum→HUGEINT cast
+    # back per the standing trap.
+    out["d34_maximal_repeat_scrub"] = r"""
+WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+              FROM documents),
+p0 AS MATERIALIZED (
+  SELECT doc_id, i AS pos, t[i] AS w
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) ti
+  WHERE t[i] <> ''),
+c2 AS (SELECT doc_id, pos, w || ' ' || lead(w, 1) OVER win AS s2
+       FROM p0 WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+c4 AS (SELECT doc_id, pos, s2 || ' ' || lead(s2, 2) OVER win AS s4
+       FROM c2 WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+c8 AS (SELECT doc_id, pos, s4, s4 || ' ' || lead(s4, 4) OVER win AS s8
+       FROM c4 WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+c16 AS MATERIALIZED (
+  SELECT doc_id, pos, s4, s8, s8 || ' ' || lead(s8, 8) OVER win AS s16
+  FROM c8 WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+lv AS MATERIALIZED (
+  SELECT doc_id, pos, 4 AS lvl, s4 AS g FROM c16 WHERE s4 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, pos, 8, s8 FROM c16 WHERE s8 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, pos, 16, s16 FROM c16 WHERE s16 IS NOT NULL),
+hot AS (SELECT lvl, g FROM lv GROUP BY 1, 2 HAVING count(*) > 1),
+fl AS (SELECT lv.doc_id, lv.pos,
+              max(CASE WHEN lv.lvl = 4 AND hot.g IS NOT NULL
+                       THEN 1 ELSE 0 END) AS dup4,
+              max(CASE WHEN lv.lvl = 8 AND hot.g IS NOT NULL
+                       THEN 1 ELSE 0 END) AS dup8,
+              max(CASE WHEN lv.lvl = 16 AND hot.g IS NOT NULL
+                       THEN 1 ELSE 0 END) AS dup16
+       FROM lv LEFT JOIN hot ON hot.lvl = lv.lvl AND hot.g = lv.g
+       GROUP BY 1, 2),
+q AS (SELECT p0.doc_id, p0.pos,
+             coalesce(fl.dup4, 0) AS dup4,
+             coalesce(fl.dup8, 0) AS dup8,
+             coalesce(fl.dup16, 0) AS dup16
+      FROM p0 LEFT JOIN fl
+        ON fl.doc_id = p0.doc_id AND fl.pos = p0.pos),
+cv AS (SELECT doc_id, dup4, dup8, dup16,
+              max(dup8) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+                AS cov
+       FROM q)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(coalesce(sum(dup4), 0) AS BIGINT) AS rep4_starts,
+       CAST(coalesce(sum(dup8), 0) AS BIGINT) AS rep8_starts,
+       CAST(coalesce(sum(dup16), 0) AS BIGINT) AS rep16_starts,
+       CAST(coalesce(sum(cov), 0) AS BIGINT) AS n_covered,
+       CAST(count(*) - coalesce(sum(cov), 0) AS BIGINT) AS n_kept
+FROM cv GROUP BY 1"""
     return out

@@ -1023,3 +1023,143 @@ def containment_pairs(
             ),
         )
     )
+
+
+def maximal_repeat_stats(
+    df: DataFrame,
+    levels: tuple[int, ...] = (4, 8, 16),
+    min_len: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Variable-length EXACT-SUBSTRING repeat detection + scrub stats —
+    the Lee et al. ("Deduplicating Training Data Makes Language Models
+    Better") suffix-array exact-substring pass, re-expressed with the
+    Manber–Myers PREFIX-DOUBLING construction instead of a monolithic
+    suffix array: the dedup family member d17's fixed 6-token hot-span
+    window approximates (r8 verdict item 5).
+
+    For every token position the doubling chain builds the 2·L-gram
+    from the L-gram and its ``lead(L)`` neighbor (one window shuffle
+    total — each step is a ``lead`` over the same (doc, pos) order), so
+    L-gram keys for all power-of-two ``levels`` come out of log₂(max
+    level) narrow column ops, never a per-length re-scan. A position
+    STARTS a repeat of length ≥ L when its L-gram occurs more than once
+    in the corpus — occurrences counted WITHIN documents too (Lee et
+    al. semantics; d17 counts distinct documents, so a doc repeating
+    its own paragraph is invisible there, and d17's fixed window also
+    misses any repeat shorter than 6 tokens — both pinned in
+    tests/test_operators.py).
+
+    The scrub is coverage at ``min_len``: token position p is covered
+    when some duplicated ``min_len``-gram starts within the preceding
+    ``min_len − 1`` positions (a ROWS window max — positions are
+    contiguous), i.e. p lies inside SOME repeated span of length ≥
+    ``min_len``; repeats of any greater length are covered through
+    their contained ``min_len``-grams, which is what makes the fixed
+    detection grain variable-length in effect.
+
+    Scale shape: one (doc,pos) window shuffle for the doubling chain,
+    one hash agg over (level, gram) for the hot set, one key-equality
+    join back (occurrence-linear — no pair join anywhere), one bounded
+    ROWS window for coverage, one per-doc agg. At 100 TB the gram
+    STRINGS in the hot-set shuffle would be swapped for xxhash64
+    fingerprints with a string recheck on the survivors (the d02/d13
+    posture); the fixture keeps strings so the DuckDB oracle is exact.
+
+    Returns one row per non-blank document: (id, n_tokens,
+    rep{L}_starts per level, n_covered, n_kept). Blank/whitespace-only
+    documents produce NO output row.
+    """
+    levels = tuple(sorted(int(x) for x in levels))
+    for lvl in levels:
+        if lvl < 2 or lvl & (lvl - 1):
+            raise ValueError(
+                f"maximal_repeat_stats: level {lvl} is not a power of two >= 2"
+            )
+    if min_len not in levels:
+        raise ValueError("maximal_repeat_stats: min_len must be one of levels")
+    p = (
+        df.select(F.col(id_col), F.posexplode(tokens(text_col)).alias("_pos", "_w"))
+        .filter(F.col("_w") != "")
+    )
+    w_ord = Window.partitionBy(id_col).orderBy("_pos")
+    col_of = {1: "_w"}
+    cur = 1
+    frame = p
+    while cur < levels[-1]:
+        nxt = cur * 2
+        frame = frame.withColumn(
+            f"_s{nxt}",
+            F.concat(
+                F.col(col_of[cur]),
+                F.lit(" "),
+                F.lead(col_of[cur], cur).over(w_ord),
+            ),
+        )
+        col_of[nxt] = f"_s{nxt}"
+        cur = nxt
+    lv = (
+        frame.select(
+            F.col(id_col),
+            "_pos",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(lvl).cast("long").alias("lvl"),
+                            F.col(col_of[lvl]).alias("g"),
+                        )
+                        for lvl in levels
+                    ]
+                )
+            ).alias("_x"),
+        )
+        .select(F.col(id_col), "_pos", F.col("_x.lvl").alias("lvl"), F.col("_x.g").alias("g"))
+        .filter(F.col("g").isNotNull())
+    )
+    hot = (
+        lv.groupBy("lvl", "g")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select("lvl", "g", F.lit(1).alias("_h"))
+    )
+    fl = (
+        lv.join(hot, ["lvl", "g"], "left")
+        .groupBy(id_col, "_pos")
+        .agg(
+            *[
+                F.max(
+                    F.when(
+                        (F.col("lvl") == lvl) & F.col("_h").isNotNull(), 1
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias(f"_dup{lvl}")
+                for lvl in levels
+            ]
+        )
+    )
+    q = p.select(id_col, "_pos").join(fl, [id_col, "_pos"], "left").select(
+        F.col(id_col),
+        "_pos",
+        *[
+            F.coalesce(F.col(f"_dup{lvl}"), F.lit(0)).cast("long").alias(f"_dup{lvl}")
+            for lvl in levels
+        ],
+    )
+    wcov = (
+        Window.partitionBy(id_col)
+        .orderBy("_pos")
+        .rowsBetween(-(min_len - 1), 0)
+    )
+    q = q.withColumn("_cov", F.max(F.col(f"_dup{min_len}")).over(wcov))
+    return q.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        *[
+            F.sum(f"_dup{lvl}").cast("long").alias(f"rep{lvl}_starts")
+            for lvl in levels
+        ],
+        F.sum("_cov").cast("long").alias("n_covered"),
+        (F.count(F.lit(1)) - F.sum("_cov")).cast("long").alias("n_kept"),
+    )

@@ -3642,3 +3642,104 @@ def test_permutation_test_empty_input(spark):
     assert r["mean_a_cents"] is None
     assert r["mean_b_cents"] is None
     assert r["diff_cents"] is None
+
+
+def test_maximal_repeat_catches_what_hot_span_misses(spark):
+    """r9 (verdict item 5): d34's variable-length exact-substring pass
+    catches BOTH failure classes of d17's fixed 6-token hot-span window
+    — a 4-token cross-doc repeat (shorter than the window) and an
+    8-token WITHIN-doc repeat (d17 counts distinct documents) — on a
+    corpus where hot_span_scrub removes nothing."""
+    from learn_etl_data_warehouse_spark.operators.dedup import (
+        hot_span_scrub,
+        maximal_repeat_stats,
+    )
+
+    docs = [
+        (1, "alpha beta gamma delta x1 x2 x3 x4 x5"),
+        (2, "y1 y2 alpha beta gamma delta y3 y4"),
+        (3, "r1 r2 r3 r4 r5 r6 r7 r8 z1 r1 r2 r3 r4 r5 r6 r7 r8"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # d17 is blind on this corpus: no 6-gram is shared across >1 docs.
+    d17 = {r["doc_id"]: r["n_removed"] for r in hot_span_scrub(df).collect()}
+    assert d17 == {1: 0, 2: 0, 3: 0}
+
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["rep4_starts"], r["rep8_starts"],
+            r["rep16_starts"], r["n_covered"], r["n_kept"],
+        )
+        for r in maximal_repeat_stats(df).collect()
+    }
+    # docs 1/2 share the 4-token span (1 duplicated 4-gram start each,
+    # nothing at >= 8 so nothing scrubbed); doc 3 repeats its own
+    # 8-token run — 10 dup 4-gram starts, 2 dup 8-gram starts, and the
+    # 8-coverage scrub leaves only the z1 separator token.
+    assert got[1] == (9, 1, 0, 0, 0, 9)
+    assert got[2] == (8, 1, 0, 0, 0, 8)
+    assert got[3] == (17, 10, 2, 0, 16, 1)
+
+
+def test_maximal_repeat_brute_force_conformance(spark):
+    """d34 vs a pure-Python reference on a deterministic mixed corpus
+    (including a blank doc, which must produce NO output row)."""
+    from collections import Counter
+
+    from learn_etl_data_warehouse_spark.operators.dedup import (
+        maximal_repeat_stats,
+    )
+
+    vocab = ["a", "b", "c", "d", "e"]
+    docs = []
+    for d in range(12):
+        n = (d * 7) % 21
+        docs.append(
+            (d, " ".join(vocab[(d * 3 + i * i) % 5] for i in range(n)))
+        )
+    docs.append((99, "   "))  # blank: no output row
+    levels, min_len = (4, 8, 16), 8
+
+    toks = {d: t.split() for d, t in docs}
+    cnt = {L: Counter() for L in levels}
+    for t in toks.values():
+        for L in levels:
+            for i in range(len(t) - L + 1):
+                cnt[L][tuple(t[i : i + L])] += 1
+    want = {}
+    for d, t in toks.items():
+        if not t:
+            continue
+        n = len(t)
+        dup = {
+            L: [
+                1 if i + L <= n and cnt[L][tuple(t[i : i + L])] > 1 else 0
+                for i in range(n)
+            ]
+            for L in levels
+        }
+        cov = [
+            1
+            if any(
+                dup[min_len][s]
+                for s in range(max(0, p - min_len + 1), p + 1)
+            )
+            else 0
+            for p in range(n)
+        ]
+        want[d] = (
+            n, sum(dup[4]), sum(dup[8]), sum(dup[16]),
+            sum(cov), n - sum(cov),
+        )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["rep4_starts"], r["rep8_starts"],
+            r["rep16_starts"], r["n_covered"], r["n_kept"],
+        )
+        for r in maximal_repeat_stats(df, levels=levels, min_len=min_len).collect()
+    }
+    assert got == want
+    assert 99 not in got
