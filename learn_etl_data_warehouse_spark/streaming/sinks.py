@@ -275,6 +275,105 @@ def anomaly_alert_sink(
     return handle
 
 
+def forecast_refresh_sink(
+    catalog_dir: str,
+    key: str = "event_type",
+    ts: str = "ts",
+    horizon: int = 24,
+):
+    """foreachBatch handler maintaining the FORECASTING surface (r8
+    verdict item 6, fc01's streaming twin): each micro-batch's hourly
+    counts merge ADDITIVELY into the stored (key, hr, x) state — the
+    same state grain `anomaly_alert_sink` keeps — and the full
+    hour-of-day-profile + Theil–Sen forecast
+    (`operators/timeseries.py::forecast_hourly`) re-derives from the
+    maintained state, never re-scanning the event history. Counts,
+    the published `hourly_forecast` table, and the batch ledger flip
+    in ONE catalog transaction.
+
+    State-sized cost is the whole point: the profile/trend derivation
+    runs on the hourly grid (calendar-bounded — a year is 8,760 rows
+    per key regardless of corpus size), so each micro-batch pays
+    O(batch) for the delta agg plus O(state) for the refresh,
+    independent of total events ingested.
+
+    Exactly-once is LEDGER-derived (the `lm_stats_ingest_sink`
+    posture): counts are not replay-idempotent, so a batch already in
+    `forecast_applied` is skipped; ledger and state commit atomically,
+    so no crash point can double-apply.
+
+    Forecast semantics: the published table is always the forecast
+    from ALL data seen so far (anchor = max observed hour per key) —
+    a late batch can move both the profile and the anchor, exactly as
+    a batch re-run over the full history would.
+    """
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        forecast_hourly,
+        hourly_counts,
+    )
+    from learn_etl_data_warehouse_spark.plans import catalog as cat
+
+    def handle(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        tables = set(cat.read_catalog(catalog_dir)["tables"])
+        if "forecast_applied" in tables:
+            applied = {
+                r.batch_id
+                for r in cat.catalog_read(
+                    spark, catalog_dir, "forecast_applied"
+                )
+                .select("batch_id")
+                .collect()
+            }
+            if int(batch_id) in applied:
+                return  # replayed batch: already folded into the state
+        delta = hourly_counts(batch_df, key, ts)
+        if "hourly_counts" in tables:
+            prev = cat.catalog_read(spark, catalog_dir, "hourly_counts").select(
+                key, "hr", "x"
+            )
+            merged = (
+                prev.withColumnRenamed("x", "_px")
+                .join(
+                    delta.withColumnRenamed("x", "_dx"),
+                    [key, "hr"],
+                    "full_outer",
+                )
+                .select(
+                    key,
+                    "hr",
+                    (
+                        F.coalesce(F.col("_px"), F.lit(0))
+                        + F.coalesce(F.col("_dx"), F.lit(0))
+                    ).alias("x"),
+                )
+            )
+        else:
+            merged = delta
+        forecast = forecast_hourly(merged, key, horizon)
+        ledger = spark.createDataFrame(
+            [(int(batch_id),)], "batch_id long"
+        ).withColumn("ingest_batch", F.lit(int(batch_id)))
+        cat.catalog_commit(
+            spark,
+            catalog_dir,
+            {
+                "hourly_counts": (
+                    merged.withColumn("state", F.lit("live")),
+                    ["state"],
+                ),
+                "hourly_forecast": (
+                    forecast.withColumn("state", F.lit("live")),
+                    ["state"],
+                ),
+                "forecast_applied": (ledger, ["ingest_batch"]),
+            },
+            replace=False,
+        )
+
+    return handle
+
+
 def join_view_sink(
     catalog_dir: str,
     dim_table_dir: str,
