@@ -4635,6 +4635,26 @@ def q_st02(spark, sf_dir):
     )
 
 
+def q_st03(spark, sf_dir):
+    """Delete-one-GROUP jackknife (r9): for every order month, the mean
+    order value computed WITHOUT that month next to the overall mean —
+    the influence diagnostic ("which month moves the headline?") that
+    completes the inference family (st01 bootstrap, st02 randomization
+    test). Integer cents throughout; the leave-out mean is
+    (S − s_g) div (N − n_g) on non-negative operands (truncating ≡
+    floor), the delta a signed subtraction of evaluated integers
+    (operators/sampling.py::jackknife_group_means)."""
+    from learn_etl_data_warehouse_spark.operators.sampling import (
+        jackknife_group_means,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    ym = (
+        F.year("o_orderdate") * 100 + F.month("o_orderdate")
+    ).cast("long")
+    return jackknife_group_means(orders, "o_totalprice", ym, "ym")
+
+
 def q_st01(spark, sf_dir):
     """Bootstrap uncertainty estimation (r8): 16 deterministic
     resampling replicates of the mean order value — per replicate each
@@ -5027,6 +5047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r9 additions (born never-checked; rotate into the r10
         #    window per the steady-state policy) ------------------------
         "d34_maximal_repeat_scrub": q_d34,
+        "st03_jackknife_months": q_st03,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept last
         "e22_rolling_distinct_hll": q_e22,
@@ -8752,4 +8773,26 @@ SELECT doc_id,
        CAST(coalesce(sum(cov), 0) AS BIGINT) AS n_covered,
        CAST(count(*) - coalesce(sum(cov), 0) AS BIGINT) AS n_kept
 FROM cv GROUP BY 1"""
+    # st03 (r9): delete-one-group jackknife — leave-out mean in integer
+    # cents; (S − s_g) and (N − n_g) are non-negative so // ≡ Spark div;
+    # sum(BIGINT)→HUGEINT cast back; a group equal to the whole input
+    # yields NULL on both engines.
+    out["st03_jackknife_months"] = """
+WITH g AS (SELECT CAST(EXTRACT(year FROM o_orderdate) * 100
+                       + EXTRACT(month FROM o_orderdate) AS BIGINT) AS ym,
+                  CAST(count(*) AS BIGINT) AS n_g,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS s_g
+           FROM orders GROUP BY 1),
+t AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+             CAST(sum(s_g) AS BIGINT) AS s FROM g),
+j AS (SELECT g.ym, g.n_g,
+             CAST(CASE WHEN t.n = g.n_g THEN NULL
+                  ELSE (t.s - g.s_g) // (t.n - g.n_g) END AS BIGINT)
+               AS jk_mean_cents,
+             CAST(t.s // t.n AS BIGINT) AS overall_mean_cents
+      FROM g CROSS JOIN t)
+SELECT ym, n_g, jk_mean_cents, overall_mean_cents,
+       CAST(jk_mean_cents - overall_mean_cents AS BIGINT) AS delta_cents
+FROM j"""
     return out

@@ -467,3 +467,53 @@ def permutation_test_means(
         F.col("_p").cast("long"),
     )
     return observed.unionByName(permuted)
+
+
+def jackknife_group_means(
+    df: DataFrame,
+    value_col: str,
+    group_col,
+    group_alias: str = "grp",
+) -> DataFrame:
+    """Delete-one-GROUP jackknife sensitivity of the mean: for every
+    group g, the mean over all rows NOT in g — the standard influence
+    diagnostic (which month/segment/source is moving the headline
+    number?) and the grouped sibling of the delete-one jackknife,
+    completing the inference family (st01 bootstrap, st02
+    randomization test).
+
+    Integer-exact: values become rounded cents (the st01/st02 idiom),
+    the leave-out mean is ``(S − s_g) div (N − n_g)`` — numerator and
+    denominator are non-negative (totals dominate any group), so
+    truncating div ≡ DuckDB's floor ``//``; the delta against the
+    overall mean is a SIGNED subtraction of two already-evaluated
+    integers (portable). A group that is the ENTIRE input yields NULL
+    (the r8 ADVICE empty/degenerate-input lesson, applied both
+    engines).
+
+    Scale shape: one hash agg to the group grain, one 1-row global agg
+    broadcast back — group-grain cost, no window, no second scan of
+    the fact. Returns (``group_alias``, n_g, jk_mean_cents,
+    overall_mean_cents, delta_cents).
+    """
+    grp = F.col(group_col) if isinstance(group_col, str) else group_col
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    g = df.groupBy(grp.alias(group_alias)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(cents).cast("long").alias("_s_g"),
+    )
+    t = g.agg(
+        F.sum("n_g").cast("long").alias("_n"),
+        F.sum("_s_g").cast("long").alias("_s"),
+    )
+    jk = F.when(F.col("_n") == F.col("n_g"), F.lit(None)).otherwise(
+        F.expr("(_s - _s_g) div (_n - n_g)")
+    ).cast("long")
+    overall = F.expr("_s div _n").cast("long")
+    return g.crossJoin(F.broadcast(t)).select(
+        group_alias,
+        "n_g",
+        jk.alias("jk_mean_cents"),
+        overall.alias("overall_mean_cents"),
+        (jk - overall).cast("long").alias("delta_cents"),
+    )

@@ -3743,3 +3743,33 @@ def test_maximal_repeat_brute_force_conformance(spark):
     }
     assert got == want
     assert 99 not in got
+
+
+def test_jackknife_group_means_model_and_degenerate(spark):
+    """r9: delete-one-group jackknife vs a hand model; a group that is
+    the entire input yields NULL leave-out mean (both-engine contract)."""
+    from learn_etl_data_warehouse_spark.operators.sampling import (
+        jackknife_group_means,
+    )
+
+    rows = [(1, "a", 10.00), (2, "a", 20.00), (3, "b", 40.00),
+            (4, "b", 50.00), (5, "c", 100.00)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    got = {
+        r["grp"]: (
+            r["n_g"], r["jk_mean_cents"], r["overall_mean_cents"],
+            r["delta_cents"],
+        )
+        for r in jackknife_group_means(df, "v", "g").collect()
+    }
+    cents = {"a": [1000, 2000], "b": [4000, 5000], "c": [10000]}
+    total = sum(sum(v) for v in cents.values())
+    n = 5
+    overall = total // n
+    for g, vals in cents.items():
+        jk = (total - sum(vals)) // (n - len(vals))
+        assert got[g] == (len(vals), jk, overall, jk - overall), g
+
+    one = spark.createDataFrame([(1, "only", 7.0)], "id long, g string, v double")
+    r = jackknife_group_means(one, "v", "g").collect()[0]
+    assert r["jk_mean_cents"] is None and r["delta_cents"] is None
