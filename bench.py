@@ -91,6 +91,8 @@ HEADLINE = [
     # r8 operators
     "ml04_decision_stump",
     "t30_textrank_keywords",
+    # r9 operators
+    "d34_maximal_repeat_scrub",
 ]
 
 # Reference-parity ETL (EP1 at shard grain): not a queries() entry — it
