@@ -4635,6 +4635,23 @@ def q_st02(spark, sf_dir):
     )
 
 
+def q_fc02(spark, sf_dir):
+    """Forecast BACKTEST (r9): hold out the trailing 24 hours of the
+    event grid, run fc01's profile+Theil–Sen forecast on the rest, and
+    score per event_type against the actuals — MAE in truncating
+    micro (non-negative |err| sum over the hour count), signed bias
+    as the UNDIVIDED error sum (a signed mean would hit the div/floor
+    trap), over-forecast hour count. The accuracy surface that tells a
+    deployment whether fc01's model is still earning its keep
+    (operators/timeseries.py::forecast_backtest)."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        forecast_backtest,
+        hourly_counts,
+    )
+
+    return forecast_backtest(hourly_counts(_t(spark, sf_dir, "events")))
+
+
 def q_st03(spark, sf_dir):
     """Delete-one-GROUP jackknife (r9): for every order month, the mean
     order value computed WITHOUT that month next to the overall mean —
@@ -5048,6 +5065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    window per the steady-state policy) ------------------------
         "d34_maximal_repeat_scrub": q_d34,
         "st03_jackknife_months": q_st03,
+        "fc02_forecast_backtest": q_fc02,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept last
         "e22_rolling_distinct_hll": q_e22,
@@ -8795,4 +8813,46 @@ j AS (SELECT g.ym, g.n_g,
 SELECT ym, n_g, jk_mean_cents, overall_mean_cents,
        CAST(jk_mean_cents - overall_mean_cents AS BIGINT) AS delta_cents
 FROM j"""
+    # fc02 (r9): fc01's forecast chain over the train grid (global
+    # cutoff = max hr − 24), scored against the full grid's actuals.
+    # MAE divides a non-negative sum (// ≡ div); bias stays undivided.
+    out["fc02_forecast_backtest"] = """
+WITH h0 AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2),
+cut AS (SELECT max(hr) - 24 AS c FROM h0),
+h AS (SELECT h0.event_type, h0.hr, h0.x FROM h0, cut WHERE h0.hr <= cut.c),
+p AS (SELECT a.event_type,
+             CAST(((b.x - a.x) * 1000000) // (b.hr - a.hr) AS BIGINT)
+               AS slope
+      FROM h a JOIN h b
+        ON a.event_type = b.event_type AND a.hr < b.hr),
+rr AS (SELECT event_type, slope,
+              row_number() OVER (PARTITION BY event_type
+                                 ORDER BY slope) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS np
+       FROM p),
+sl AS (SELECT event_type, slope AS ms FROM rr WHERE rn = (np + 1) // 2),
+prof AS (SELECT event_type, hr % 24 AS hod,
+                CAST((1000000 * sum(x)) // count(*) AS BIGINT) AS pm
+         FROM h GROUP BY 1, 2),
+an AS (SELECT event_type, max(hr) AS anchor FROM h GROUP BY 1),
+sp AS (SELECT event_type, anchor + s AS h_future, s AS dh
+       FROM an, (SELECT unnest(generate_series(1, 24)) AS s) t),
+fc AS (SELECT sp.event_type, sp.h_future,
+              CAST(coalesce(prof.pm, 0) + sl.ms * sp.dh AS BIGINT)
+                AS forecast_micro
+       FROM sp
+       LEFT JOIN prof ON prof.event_type = sp.event_type
+                     AND prof.hod = sp.h_future % 24
+       JOIN sl ON sl.event_type = sp.event_type),
+j AS (SELECT fc.event_type,
+             fc.forecast_micro - coalesce(a.x, 0) * 1000000 AS err
+      FROM fc LEFT JOIN h0 a
+        ON a.event_type = fc.event_type AND a.hr = fc.h_future)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+       CAST(sum(abs(err)) // count(*) AS BIGINT) AS mae_micro,
+       CAST(sum(err) AS BIGINT) AS sum_err_micro,
+       CAST(sum(CASE WHEN err > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_over
+FROM j GROUP BY 1"""
     return out

@@ -670,3 +670,56 @@ def forecast_hourly(
             ).cast("long").alias("forecast_micro"),
         )
     )
+
+
+def forecast_backtest(
+    hourly: DataFrame, key: str = "event_type", horizon: int = 24
+) -> DataFrame:
+    """Rolling-origin BACKTEST of :func:`forecast_hourly` (single
+    origin): hold out the trailing ``horizon`` hours of the grid
+    (global cutoff = max hr − horizon), forecast from the remaining
+    history, and score each key's forecast against the actual hourly
+    counts — the accuracy surface a forecasting deployment watches
+    (is the profile+trend model still earning its keep?).
+
+    Integer-exact: the error is forecast_micro − actual·1e6 (signed
+    subtraction of evaluated integers); MAE divides a NON-NEGATIVE
+    |err| sum by the positive hour count (truncating ≡ floor), while
+    the signed bias is reported as the UNDIVIDED sum (a signed mean
+    would hit the Spark-div-vs-DuckDB-floor trap e28 reconstructs
+    around — not worth it for a diagnostic). Hours with no events
+    score as actual 0 (truthful: the grid omits empty hours).
+
+    Per-key anchors come from the TRAIN grid, so a key that went quiet
+    before the cutoff is scored on its own next-``horizon`` hours (the
+    honest per-key origin); keys with no train history produce no row.
+    Scale shape: fc01's calendar-bounded plan + one left join against
+    the hourly grid + one key-grain agg. Returns (key, n_hours,
+    mae_micro, sum_err_micro, n_over)."""
+    cut = hourly.agg(
+        (F.max("hr") - F.lit(int(horizon))).alias("_cut")
+    )
+    train = (
+        hourly.crossJoin(F.broadcast(cut))
+        .filter(F.col("hr") <= F.col("_cut"))
+        .select(key, "hr", "x")
+    )
+    fc = forecast_hourly(train, key, horizon)
+    actual = hourly.select(
+        F.col(key), F.col("hr").alias("h_future"), F.col("x").alias("_ax")
+    )
+    j = fc.join(actual, [key, "h_future"], "left").select(
+        F.col(key),
+        (
+            F.col("forecast_micro")
+            - F.coalesce(F.col("_ax"), F.lit(0)) * 1_000_000
+        ).cast("long").alias("_err"),
+    )
+    return j.groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.expr("sum(abs(_err)) div count(1)").cast("long").alias("mae_micro"),
+        F.sum("_err").cast("long").alias("sum_err_micro"),
+        F.sum(F.when(F.col("_err") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_over"),
+    )

@@ -3773,3 +3773,23 @@ def test_jackknife_group_means_model_and_degenerate(spark):
     one = spark.createDataFrame([(1, "only", 7.0)], "id long, g string, v double")
     r = jackknife_group_means(one, "v", "g").collect()[0]
     assert r["jk_mean_cents"] is None and r["delta_cents"] is None
+
+
+def test_forecast_backtest_holdout_semantics(spark):
+    """r9: fc02 — a flat series backtests to zero error over exactly
+    `horizon` hours; a key seen ONLY inside the holdout has no train
+    history and produces no row."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        forecast_backtest,
+    )
+
+    rows = [("a", h, 5) for h in range(48)] + [("b", 46, 3), ("b", 47, 9)]
+    hourly = spark.createDataFrame(
+        rows, "event_type string, hr long, x long"
+    )
+    got = {r["event_type"]: r.asDict() for r in forecast_backtest(hourly).collect()}
+    assert set(got) == {"a"}
+    a = got["a"]
+    assert (a["n_hours"], a["mae_micro"], a["sum_err_micro"], a["n_over"]) == (
+        24, 0, 0, 0,
+    )
