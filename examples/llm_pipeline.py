@@ -75,6 +75,18 @@ def main() -> None:
     docs2 = dedup.dedup_exact(docs1b)
     print(f"exact dedup kept {docs2.count()}")
 
+    # 2b. exact-substring repeat report (Lee et al.): how much of the
+    # surviving corpus sits inside repeated spans of >= 8 tokens —
+    # the d34 diagnostic a pipeline watches before deciding to scrub
+    rep = dedup.maximal_repeat_stats(docs2).agg(
+        F.sum("n_tokens").alias("toks"),
+        F.sum("n_covered").alias("covered"),
+    ).collect()[0]
+    print(
+        f"exact-substring repeats (>=8 tokens) cover "
+        f"{rep['covered']}/{rep['toks']} tokens"
+    )
+
     # 3. bigram-LM quality score (the KenLM-filter analog, integer ppm)
     scored = text.lm_score_documents(docs2)
     docs3 = (

@@ -444,3 +444,71 @@ def test_theilsen_fuzz_vs_bruteforce(spark, rows):
             slopes.sort()
             want[k] = (len(slopes), slopes[(len(slopes) + 1) // 2 - 1])
     assert got == want
+
+
+# --- r9: maximal-repeat fuzz -----------------------------------------
+
+_corpora = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=24),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(_corpora)
+@SETTINGS
+def test_maximal_repeat_fuzz_vs_model(spark, word_lists):
+    """Random tiny-alphabet corpora (dense with genuine repeats) vs the
+    pure-Python counter model: per-level duplicated-gram starts and the
+    min_len coverage scrub must agree exactly; empty docs produce no
+    row."""
+    from collections import Counter
+
+    from learn_etl_data_warehouse_spark.operators.dedup import (
+        maximal_repeat_stats,
+    )
+
+    levels, min_len = (2, 4, 8), 4
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(word_lists)]
+    cnt = {L: Counter() for L in levels}
+    for ws in word_lists:
+        for L in levels:
+            for i in range(len(ws) - L + 1):
+                cnt[L][tuple(ws[i : i + L])] += 1
+    want = {}
+    for d, ws in enumerate(word_lists):
+        if not ws:
+            continue
+        n = len(ws)
+        dup = {
+            L: [
+                1 if i + L <= n and cnt[L][tuple(ws[i : i + L])] > 1 else 0
+                for i in range(n)
+            ]
+            for L in levels
+        }
+        cov = [
+            1
+            if any(
+                dup[min_len][s]
+                for s in range(max(0, p - min_len + 1), p + 1)
+            )
+            else 0
+            for p in range(n)
+        ]
+        want[d] = (
+            n, sum(dup[2]), sum(dup[4]), sum(dup[8]),
+            sum(cov), n - sum(cov),
+        )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["rep2_starts"], r["rep4_starts"],
+            r["rep8_starts"], r["n_covered"], r["n_kept"],
+        )
+        for r in maximal_repeat_stats(
+            df, levels=levels, min_len=min_len
+        ).collect()
+    }
+    assert got == want

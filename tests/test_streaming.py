@@ -1348,6 +1348,58 @@ def test_forecast_refresh_sink_incremental_matches_batch(
     assert cat.read_catalog(cdir)["txn"] == txn_before
 
 
+def test_forecast_refresh_sink_end_to_end_stream(spark, tmp_path, sf_small):
+    """r9: the forecast sink under a real checkpointed availableNow
+    stream — the published forecast equals fc01's batch twin over all
+    ingested data."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        forecast_hourly,
+        hourly_counts,
+    )
+    from learn_etl_data_warehouse_spark.plans import catalog as cat
+    from learn_etl_data_warehouse_spark.sources.parquet import load_table
+    from learn_etl_data_warehouse_spark.streaming.sinks import (
+        forecast_refresh_sink,
+    )
+
+    ev = load_table(spark, sf_small, "events").select("ts", "event_type")
+    src = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    cdir = str(tmp_path / "cat")
+    ev.filter(F.dayofmonth("ts") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    ev.filter(F.dayofmonth("ts") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .parquet(src)
+        .writeStream.foreachBatch(forecast_refresh_sink(cdir))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    got = sorted(
+        map(
+            tuple,
+            cat.catalog_read(spark, cdir, "hourly_forecast")
+            .select("event_type", "h_future", "hod", "forecast_micro")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, forecast_hourly(hourly_counts(ev)).collect())
+    )
+    assert got == want
+
+
 def test_anomaly_alert_sink_end_to_end_stream(spark, tmp_path, sf_small):
     """The alert sink under a real checkpointed availableNow stream:
     final state equals the batch twin regardless of batch order
