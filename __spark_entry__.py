@@ -4635,6 +4635,23 @@ def q_st02(spark, sf_dir):
     )
 
 
+def q_d35(spark, sf_dir):
+    """Exact-substring repeat REMOVAL (r9): the actionable form of
+    d34 — every token inside a corpus-duplicated 8-token span is
+    scrubbed and the surviving text rebuilt in original order (d17's
+    collect/sort/join idiom; fully-covered docs keep an empty-string
+    row). Level 8 only: the scrub needs just the min_len grams, so the
+    doubling chain stops at s8 (operators/dedup.py::
+    maximal_repeat_scrub)."""
+    from learn_etl_data_warehouse_spark.operators.dedup import (
+        maximal_repeat_scrub,
+    )
+
+    return maximal_repeat_scrub(
+        _t(spark, sf_dir, "documents"), levels=(8,), min_len=8
+    )
+
+
 def q_fc02(spark, sf_dir):
     """Forecast BACKTEST (r9): hold out the trailing 24 hours of the
     event grid, run fc01's profile+Theil–Sen forecast on the rest, and
@@ -5066,6 +5083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d34_maximal_repeat_scrub": q_d34,
         "st03_jackknife_months": q_st03,
         "fc02_forecast_backtest": q_fc02,
+        "d35_repeat_scrub_rebuild": q_d35,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept last
         "e22_rolling_distinct_hll": q_e22,
@@ -8855,4 +8873,40 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
        CAST(sum(err) AS BIGINT) AS sum_err_micro,
        CAST(sum(CASE WHEN err > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_over
 FROM j GROUP BY 1"""
+    # d35 (r9): d34's coverage chain at level 8 only, rebuilt into the
+    # scrubbed text — string_agg skips the NULLed covered tokens and
+    # orders by position; fully-covered docs coalesce to ''.
+    out["d35_repeat_scrub_rebuild"] = r"""
+WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+              FROM documents),
+p0 AS MATERIALIZED (
+  SELECT doc_id, i AS pos, t[i] AS w
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) ti
+  WHERE t[i] <> ''),
+c2 AS (SELECT doc_id, pos, w || ' ' || lead(w, 1) OVER win AS s2
+       FROM p0 WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+c4 AS (SELECT doc_id, pos, s2 || ' ' || lead(s2, 2) OVER win AS s4
+       FROM c2 WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+c8 AS MATERIALIZED (
+  SELECT doc_id, pos, s4 || ' ' || lead(s4, 4) OVER win AS s8
+  FROM c4 WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+hot AS (SELECT s8 AS g FROM c8 WHERE s8 IS NOT NULL
+        GROUP BY 1 HAVING count(*) > 1),
+fl AS (SELECT c8.doc_id, c8.pos, 1 AS dup8
+       FROM c8 JOIN hot ON hot.g = c8.s8),
+q AS (SELECT p0.doc_id, p0.pos, p0.w,
+             coalesce(fl.dup8, 0) AS dup8
+      FROM p0 LEFT JOIN fl
+        ON fl.doc_id = p0.doc_id AND fl.pos = p0.pos),
+cv AS (SELECT doc_id, pos, w,
+              max(dup8) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+                AS cov
+       FROM q)
+SELECT doc_id,
+       CAST(count(*) - coalesce(sum(cov), 0) AS BIGINT) AS n_kept,
+       CAST(coalesce(sum(cov), 0) AS BIGINT) AS n_removed,
+       coalesce(string_agg(CASE WHEN cov = 0 THEN w END, ' '
+                           ORDER BY pos), '') AS text_clean
+FROM cv GROUP BY 1"""
     return out

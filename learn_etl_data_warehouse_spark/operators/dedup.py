@@ -1071,14 +1071,38 @@ def maximal_repeat_stats(
     rep{L}_starts per level, n_covered, n_kept). Blank/whitespace-only
     documents produce NO output row.
     """
+    q = _repeat_coverage(df, levels, min_len, text_col, id_col)
+    levels = tuple(sorted(int(x) for x in levels))
+    return q.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        *[
+            F.sum(f"_dup{lvl}").cast("long").alias(f"rep{lvl}_starts")
+            for lvl in levels
+        ],
+        F.sum("_cov").cast("long").alias("n_covered"),
+        (F.count(F.lit(1)) - F.sum("_cov")).cast("long").alias("n_kept"),
+    )
+
+
+def _repeat_coverage(
+    df: DataFrame,
+    levels: tuple[int, ...],
+    min_len: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Shared kernel of :func:`maximal_repeat_stats` /
+    :func:`maximal_repeat_scrub`: one row per non-blank token position
+    with the per-level duplicated-gram start flags and the ``min_len``
+    coverage flag — (id, _pos, _w, _dup{L}…, _cov)."""
     levels = tuple(sorted(int(x) for x in levels))
     for lvl in levels:
         if lvl < 2 or lvl & (lvl - 1):
             raise ValueError(
-                f"maximal_repeat_stats: level {lvl} is not a power of two >= 2"
+                f"maximal_repeat: level {lvl} is not a power of two >= 2"
             )
     if min_len not in levels:
-        raise ValueError("maximal_repeat_stats: min_len must be one of levels")
+        raise ValueError("maximal_repeat: min_len must be one of levels")
     p = (
         df.select(F.col(id_col), F.posexplode(tokens(text_col)).alias("_pos", "_w"))
         .filter(F.col("_w") != "")
@@ -1140,9 +1164,12 @@ def maximal_repeat_stats(
             ]
         )
     )
-    q = p.select(id_col, "_pos").join(fl, [id_col, "_pos"], "left").select(
+    q = p.select(id_col, "_pos", "_w").join(
+        fl, [id_col, "_pos"], "left"
+    ).select(
         F.col(id_col),
         "_pos",
+        "_w",
         *[
             F.coalesce(F.col(f"_dup{lvl}"), F.lit(0)).cast("long").alias(f"_dup{lvl}")
             for lvl in levels
@@ -1153,13 +1180,39 @@ def maximal_repeat_stats(
         .orderBy("_pos")
         .rowsBetween(-(min_len - 1), 0)
     )
-    q = q.withColumn("_cov", F.max(F.col(f"_dup{min_len}")).over(wcov))
+    return q.withColumn("_cov", F.max(F.col(f"_dup{min_len}")).over(wcov))
+
+
+def maximal_repeat_scrub(
+    df: DataFrame,
+    levels: tuple[int, ...] = (4, 8, 16),
+    min_len: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ACTIONABLE form of :func:`maximal_repeat_stats`: remove
+    every token covered by a duplicated span of length ≥ ``min_len``
+    and rebuild the surviving text in original order — the Lee et al.
+    exact-substring REMOVAL itself, where the stats form is the
+    diagnostic. The rebuild is d17's idiom: collect (pos, token)
+    structs conditionally (``when`` yields NULL on covered positions
+    and collect_list skips NULLs), array_sort restores order, join
+    with spaces. Fully-covered documents keep their row with an empty
+    ``text_clean`` (the d17 explicit-filter contract). Returns one row
+    per non-blank document: (id, n_kept, n_removed, text_clean)."""
+    q = _repeat_coverage(df, levels, min_len, text_col, id_col)
+    kept_struct = F.when(
+        F.col("_cov") == 0,
+        F.struct(F.col("_pos").alias("p"), F.col("_w").alias("t")),
+    )
     return q.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens"),
-        *[
-            F.sum(f"_dup{lvl}").cast("long").alias(f"rep{lvl}_starts")
-            for lvl in levels
-        ],
-        F.sum("_cov").cast("long").alias("n_covered"),
         (F.count(F.lit(1)) - F.sum("_cov")).cast("long").alias("n_kept"),
+        F.sum("_cov").cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["t"],
+            ),
+            " ",
+        ).alias("text_clean"),
     )

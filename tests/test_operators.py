@@ -3793,3 +3793,36 @@ def test_forecast_backtest_holdout_semantics(spark):
     assert (a["n_hours"], a["mae_micro"], a["sum_err_micro"], a["n_over"]) == (
         24, 0, 0, 0,
     )
+
+
+def test_maximal_repeat_scrub_rebuilds_text(spark):
+    """r9: d35 — the scrub rebuild removes exactly the covered tokens
+    in original order; a doc whose every token is covered keeps its
+    row with empty text_clean; n_kept agrees with the stats form."""
+    from learn_etl_data_warehouse_spark.operators.dedup import (
+        maximal_repeat_scrub,
+        maximal_repeat_stats,
+    )
+
+    docs = [
+        (1, "alpha beta gamma delta x1 x2 x3 x4 x5"),
+        (3, "r1 r2 r3 r4 r5 r6 r7 r8 z1 r1 r2 r3 r4 r5 r6 r7 r8"),
+        (4, "r1 r2 r3 r4 r5 r6 r7 r8"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_kept"], r["n_removed"], r["text_clean"])
+        for r in maximal_repeat_scrub(df, levels=(8,), min_len=8).collect()
+    }
+    # doc 1 has no 8-repeat: untouched. doc 3's run repeats within
+    # itself AND matches doc 4 — only the z1 separator survives. doc 4
+    # is entirely one duplicated span: empty rebuild, row kept.
+    assert got[1] == (9, 0, "alpha beta gamma delta x1 x2 x3 x4 x5")
+    assert got[3] == (1, 16, "z1")
+    assert got[4] == (0, 8, "")
+
+    stats = {
+        r["doc_id"]: r["n_kept"]
+        for r in maximal_repeat_stats(df, levels=(8,), min_len=8).collect()
+    }
+    assert stats == {d: v[0] for d, v in got.items()}
