@@ -4635,6 +4635,52 @@ def q_st02(spark, sf_dir):
     )
 
 
+def q_st04(spark, sf_dir):
+    """CUPED covariate adjustment (r9): per-market-segment mean of
+    1998+ customer spend, adjusted by each customer's pre-1998 order
+    count as the pre-period covariate — θ = Cov(x,y)/Var(x) fit on all
+    customers (a15's integer-moment discipline: DECIMAL(38,0) sums,
+    ONE structurally-fixed double evaluation per output, round 6).
+    The variance-reduction estimator experimentation platforms apply
+    before comparing groups
+    (operators/sampling.py::cuped_adjusted_means)."""
+    from learn_etl_data_warehouse_spark.operators.sampling import (
+        cuped_adjusted_means,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    units = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.year("o_orderdate") < 1998, 1).otherwise(0)
+                ),
+                F.lit(0),
+            ).cast("long").alias("x"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.year("o_orderdate") >= 1998,
+                        F.round(F.col("o_totalprice") * 100).cast("long"),
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            ).cast("long").alias("y"),
+        )
+        .join(
+            cust.select(
+                F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+            ),
+            "o_custkey",
+        )
+    )
+    return cuped_adjusted_means(
+        units, y_col="y", x_col="x", group_col="c_mktsegment"
+    )
+
+
 def q_d35(spark, sf_dir):
     """Exact-substring repeat REMOVAL (r9): the actionable form of
     d34 — every token inside a corpus-duplicated 8-token span is
@@ -5084,6 +5130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st03_jackknife_months": q_st03,
         "fc02_forecast_backtest": q_fc02,
         "d35_repeat_scrub_rebuild": q_d35,
+        "st04_cuped_adjustment": q_st04,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept last
         "e22_rolling_distinct_hll": q_e22,
@@ -8909,4 +8956,46 @@ SELECT doc_id,
        coalesce(string_agg(CASE WHEN cov = 0 THEN w END, ' '
                            ORDER BY pos), '') AS text_clean
 FROM cv GROUP BY 1"""
+    # st04 (r9): CUPED — the a15 moment discipline (HUGEINT sums, one
+    # structurally-fixed double evaluation per output, round 6); the
+    # double expression shapes mirror the Spark side token-for-token.
+    out["st04_cuped_adjustment"] = """
+WITH u AS (
+  SELECT o_custkey,
+         CAST(coalesce(sum(CASE WHEN EXTRACT(year FROM o_orderdate) < 1998
+                           THEN 1 ELSE 0 END), 0) AS BIGINT) AS x,
+         CAST(coalesce(sum(CASE WHEN EXTRACT(year FROM o_orderdate) >= 1998
+                           THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                           ELSE 0 END), 0) AS BIGINT) AS y
+  FROM orders GROUP BY 1),
+uj AS (SELECT u.x, u.y, c.c_mktsegment
+       FROM u JOIN customer c ON c.c_custkey = u.o_custkey),
+g AS (SELECT c_mktsegment,
+             CAST(count(*) AS BIGINT) AS ng,
+             sum(CAST(x AS HUGEINT)) AS sxg,
+             sum(CAST(y AS HUGEINT)) AS syg,
+             sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxxg,
+             sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxyg
+      FROM uj GROUP BY 1),
+t AS (SELECT CAST(sum(ng) AS BIGINT) AS n, sum(sxg) AS sx, sum(syg) AS sy,
+             sum(sxxg) AS sxx, sum(sxyg) AS sxy FROM g),
+d AS (SELECT g.c_mktsegment, g.ng,
+             CAST(t.n AS DOUBLE) AS nd, CAST(t.sx AS DOUBLE) AS sxd,
+             CAST(t.sy AS DOUBLE) AS syd, CAST(t.sxx AS DOUBLE) AS sxxd,
+             CAST(t.sxy AS DOUBLE) AS sxyd,
+             CAST(g.ng AS DOUBLE) AS ngd, CAST(g.sxg AS DOUBLE) AS sxgd,
+             CAST(g.syg AS DOUBLE) AS sygd
+      FROM g CROSS JOIN t)
+SELECT c_mktsegment, ng AS n_units,
+       round(sygd / ngd, 6) AS raw_mean,
+       CASE WHEN nd * sxxd - sxd * sxd > 0
+            THEN round(sygd / ngd
+                       - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd))
+                         * (sxgd / ngd - sxd / nd), 6)
+            ELSE round(sygd / ngd, 6)
+       END AS adjusted_mean,
+       CASE WHEN nd * sxxd - sxd * sxd > 0
+            THEN round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6)
+       END AS theta
+FROM d"""
     return out

@@ -517,3 +517,67 @@ def jackknife_group_means(
         overall.alias("overall_mean_cents"),
         (jk - overall).cast("long").alias("delta_cents"),
     )
+
+
+def cuped_adjusted_means(
+    units: DataFrame,
+    y_col: str = "y",
+    x_col: str = "x",
+    group_col: str = "grp",
+) -> DataFrame:
+    """CUPED covariate-adjusted group means — the variance-reduction
+    estimator every experimentation platform applies before comparing
+    groups: ``adj_g = ȳ_g − θ·(x̄_g − x̄)`` with ``θ = Cov(x,y)/Var(x)``
+    fit on ALL units, where ``x`` is a pre-period covariate (unaffected
+    by group assignment) and ``y`` the metric. Groups whose units had
+    unusually active pre-periods get their means pulled back toward
+    what the covariate predicts.
+
+    Engine-exact by the a15 moment discipline: the input is a
+    UNIT-grain frame with INTEGER ``x``/``y`` (callers pre-scale money
+    to cents), the five moment sums accumulate in DECIMAL(38,0)
+    (exact, order-free), and θ / the adjusted means are evaluated once
+    per group as a STRUCTURALLY FIXED double expression of those exact
+    moments (identical shape in the DuckDB twin), rounded to 6. Var(x)
+    = 0 degenerates to the unadjusted means (θ treated as 0, NULL
+    theta). Scale shape: one group-grain agg + a 1-row broadcast —
+    st03's plan with wider moments. Returns (``group_col``, n_units,
+    raw_mean, adjusted_mean, theta)."""
+    xi = F.col(x_col).cast("long").cast("decimal(38,0)")
+    yi = F.col(y_col).cast("long").cast("decimal(38,0)")
+    g = units.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_ng"),
+        F.sum(xi).alias("_sxg"),
+        F.sum(yi).alias("_syg"),
+        F.sum(xi * xi).alias("_sxxg"),
+        F.sum(xi * yi).alias("_sxyg"),
+    )
+    t = g.agg(
+        F.sum("_ng").cast("long").alias("_n"),
+        F.sum("_sxg").alias("_sx"),
+        F.sum("_syg").alias("_sy"),
+        F.sum("_sxxg").alias("_sxx"),
+        F.sum("_sxyg").alias("_sxy"),
+    )
+    j = g.crossJoin(F.broadcast(t))
+    n = F.col("_n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    var_x = n * sxx - sx * sx
+    theta = (n * sxy - sx * sy) / var_x
+    ng = F.col("_ng").cast("double")
+    raw_mean = F.col("_syg").cast("double") / ng
+    xbar_g = F.col("_sxg").cast("double") / ng
+    xbar = sx / n
+    adj = F.when(
+        var_x > 0, raw_mean - theta * (xbar_g - xbar)
+    ).otherwise(raw_mean)
+    return j.select(
+        group_col,
+        F.col("_ng").alias("n_units"),
+        F.round(raw_mean, 6).alias("raw_mean"),
+        F.round(adj, 6).alias("adjusted_mean"),
+        F.when(var_x > 0, F.round(theta, 6)).alias("theta"),
+    )

@@ -3826,3 +3826,42 @@ def test_maximal_repeat_scrub_rebuilds_text(spark):
         for r in maximal_repeat_stats(df, levels=(8,), min_len=8).collect()
     }
     assert stats == {d: v[0] for d, v in got.items()}
+
+
+def test_cuped_adjusted_means_model_and_degenerate(spark):
+    """r9: CUPED vs a hand model (theta = Cov/Var on all units,
+    adjusted = raw − theta·(x̄_g − x̄)); zero-variance covariate
+    degenerates to the unadjusted means with NULL theta."""
+    from learn_etl_data_warehouse_spark.operators.sampling import (
+        cuped_adjusted_means,
+    )
+
+    rows = [("a", 1, 100), ("a", 3, 300), ("b", 2, 250), ("b", 4, 450),
+            ("b", 6, 600)]
+    df = spark.createDataFrame(rows, "grp string, x long, y long")
+    got = {
+        r["grp"]: (r["n_units"], r["raw_mean"], r["adjusted_mean"], r["theta"])
+        for r in cuped_adjusted_means(df).collect()
+    }
+    n = len(rows)
+    sx = sum(x for _, x, _ in rows); sy = sum(y for _, _, y in rows)
+    sxx = sum(x * x for _, x, _ in rows)
+    sxy = sum(x * y for _, x, y in rows)
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    xbar = sx / n
+    for g in ("a", "b"):
+        xs = [x for gg, x, _ in rows if gg == g]
+        ys = [y for gg, _, y in rows if gg == g]
+        raw = sum(ys) / len(ys)
+        adj = raw - theta * (sum(xs) / len(xs) - xbar)
+        assert got[g] == (
+            len(xs), round(raw, 6), round(adj, 6), round(theta, 6)
+        ), g
+
+    flat = spark.createDataFrame(
+        [("a", 5, 10), ("b", 5, 30)], "grp string, x long, y long"
+    )
+    fr = {r["grp"]: r for r in cuped_adjusted_means(flat).collect()}
+    assert fr["a"]["theta"] is None
+    assert fr["a"]["adjusted_mean"] == fr["a"]["raw_mean"] == 10.0
+    assert fr["b"]["adjusted_mean"] == fr["b"]["raw_mean"] == 30.0
