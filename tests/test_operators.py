@@ -3865,3 +3865,60 @@ def test_cuped_adjusted_means_model_and_degenerate(spark):
     assert fr["a"]["theta"] is None
     assert fr["a"]["adjusted_mean"] == fr["a"]["raw_mean"] == 10.0
     assert fr["b"]["adjusted_mean"] == fr["b"]["raw_mean"] == 30.0
+
+
+def test_incremental_gram_index_and_retroactive_scrub(spark):
+    """r9: the exact-substring index — maintained gram counts over two
+    batches equal the rebuilt counts on the union; scrubbing against
+    the self-derived index equals maximal_repeat_scrub; a newly
+    ingested copycat RETROACTIVELY flips the scrub of the doc it
+    copies."""
+    from learn_etl_data_warehouse_spark.operators.dedup import (
+        gram_counts_table,
+        maintain_gram_counts,
+        maximal_repeat_scrub,
+        scrub_against_index,
+    )
+
+    b0 = spark.createDataFrame(
+        [(1, "q1 q2 q3 q4 q5 q6 q7 q8 tail1"),
+         (2, "u1 u2 u3 u4 u5 u6 u7 u8")],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(3, "intro q1 q2 q3 q4 q5 q6 q7 q8")],
+        "doc_id long, text string",
+    )
+    both = b0.unionByName(b1)
+
+    # maintained == rebuilt
+    maintained = maintain_gram_counts(gram_counts_table(b0), b1)
+    want = sorted(map(tuple, gram_counts_table(both).collect()))
+    assert sorted(map(tuple, maintained.collect())) == want
+
+    # scrub against the self-index == the one-shot scrub
+    got = sorted(
+        map(tuple, scrub_against_index(both, maintained).collect())
+    )
+    ref = sorted(
+        map(
+            tuple,
+            maximal_repeat_scrub(both, levels=(8,), min_len=8).collect(),
+        )
+    )
+    assert got == ref
+
+    # retroactivity: after batch 0 alone, doc 1 is untouched; once the
+    # batch-1 copycat lands in the index, doc 1's run is scrubbed
+    idx0 = gram_counts_table(b0)
+    before = {
+        r["doc_id"]: r["n_removed"]
+        for r in scrub_against_index(b0, idx0).collect()
+    }
+    assert before == {1: 0, 2: 0}
+    after = {
+        r["doc_id"]: (r["n_removed"], r["text_clean"])
+        for r in scrub_against_index(b0, maintained).collect()
+    }
+    assert after[1] == (8, "tail1")
+    assert after[2] == (0, "u1 u2 u3 u4 u5 u6 u7 u8")
