@@ -178,6 +178,85 @@ def lm_stats_ingest_sink(catalog_dir: str, text_col: str = "text"):
     return handle
 
 
+def substring_index_ingest_sink(
+    catalog_dir: str,
+    level: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """foreachBatch handler maintaining the exact-substring dedup INDEX
+    (r9, the d34/d35 family's streaming member): each micro-batch's
+    ``level``-gram counts merge additively into the stored (g, n)
+    state (`dedup.py::maintain_gram_counts` — the corpus is never
+    re-tokenized) and the batch's documents land in a ``docs`` table,
+    all in ONE catalog transaction with a batch ledger.
+
+    The scrub itself stays an on-demand READ
+    (`dedup.py::scrub_against_index` over any doc subset + the live
+    counts) — publishing a full-corpus scrub per batch would re-scan
+    history, which is exactly what the maintained state exists to
+    avoid; the retroactive-flip semantics (a new copycat changes how
+    its victims scrub) follow from reading the CURRENT state.
+
+    Exactly-once is LEDGER-derived (the `lm_stats_ingest_sink`
+    posture): counts are not replay-idempotent, so a batch already in
+    `substring_applied` is skipped; ledger + counts + docs flip in one
+    catalog swap.
+    """
+    from learn_etl_data_warehouse_spark.operators.dedup import (
+        gram_counts_table,
+        maintain_gram_counts,
+    )
+    from learn_etl_data_warehouse_spark.plans import catalog as cat
+
+    def handle(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        tables = set(cat.read_catalog(catalog_dir)["tables"])
+        if "substring_applied" in tables:
+            applied = {
+                r.batch_id
+                for r in cat.catalog_read(
+                    spark, catalog_dir, "substring_applied"
+                )
+                .select("batch_id")
+                .collect()
+            }
+            if int(batch_id) in applied:
+                return  # replayed batch: already folded into the state
+        if "substring_counts" in tables:
+            prev = cat.catalog_read(
+                spark, catalog_dir, "substring_counts"
+            ).select("g", "n")
+            merged = maintain_gram_counts(
+                prev, batch_df, level, text_col, id_col
+            )
+        else:
+            merged = gram_counts_table(batch_df, level, text_col, id_col)
+        ledger = spark.createDataFrame(
+            [(int(batch_id),)], "batch_id long"
+        ).withColumn("ingest_batch", F.lit(int(batch_id)))
+        cat.catalog_commit(
+            spark,
+            catalog_dir,
+            {
+                "substring_counts": (
+                    merged.withColumn("state", F.lit("live")),
+                    ["state"],
+                ),
+                "substring_docs": (
+                    batch_df.select(id_col, text_col).withColumn(
+                        "ingest_batch", F.lit(int(batch_id))
+                    ),
+                    ["ingest_batch"],
+                ),
+                "substring_applied": (ledger, ["ingest_batch"]),
+            },
+            replace=False,
+        )
+
+    return handle
+
+
 def anomaly_alert_sink(
     catalog_dir: str,
     key: str = "event_type",

@@ -1960,3 +1960,52 @@ def test_theilsen_trend_from_maintained_hourly_state(
         map(tuple, theilsen_trend(hourly_counts(ev)).collect())
     )
     assert got == want and len(got) > 0
+
+
+def test_substring_index_sink_incremental_and_replay(spark, tmp_path):
+    """r9: the exact-substring index sink — counts maintained across
+    batches equal the rebuilt counts on everything ingested, the
+    on-demand scrub read shows the retroactive copycat flip, and a
+    replayed batch is a ledgered no-op."""
+    from learn_etl_data_warehouse_spark.operators.dedup import (
+        gram_counts_table,
+        scrub_against_index,
+    )
+    from learn_etl_data_warehouse_spark.plans import catalog as cat
+    from learn_etl_data_warehouse_spark.streaming.sinks import (
+        substring_index_ingest_sink,
+    )
+
+    b0 = spark.createDataFrame(
+        [(1, "q1 q2 q3 q4 q5 q6 q7 q8 tail1"),
+         (2, "u1 u2 u3 u4 u5 u6 u7 u8")],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(3, "intro q1 q2 q3 q4 q5 q6 q7 q8")],
+        "doc_id long, text string",
+    )
+    cdir = str(tmp_path / "sscat")
+    handle = substring_index_ingest_sink(cdir)
+    handle(b0, 0)
+    handle(b1, 1)
+
+    counts = cat.catalog_read(spark, cdir, "substring_counts").select("g", "n")
+    want = sorted(
+        map(tuple, gram_counts_table(b0.unionByName(b1)).collect())
+    )
+    assert sorted(map(tuple, counts.collect())) == want
+
+    docs = cat.catalog_read(spark, cdir, "substring_docs").select(
+        "doc_id", "text"
+    )
+    scrub = {
+        r["doc_id"]: (r["n_removed"], r["text_clean"])
+        for r in scrub_against_index(docs, counts).collect()
+    }
+    assert scrub[1] == (8, "tail1")       # retroactively flipped by doc 3
+    assert scrub[2] == (0, "u1 u2 u3 u4 u5 u6 u7 u8")
+
+    txn_before = cat.read_catalog(cdir)["txn"]
+    handle(b1, 1)
+    assert cat.read_catalog(cdir)["txn"] == txn_before
