@@ -4704,8 +4704,10 @@ def q_fc02(spark, sf_dir):
     score per event_type against the actuals — MAE in truncating
     micro (non-negative |err| sum over the hour count), signed bias
     as the UNDIVIDED error sum (a signed mean would hit the div/floor
-    trap), over-forecast hour count. The accuracy surface that tells a
-    deployment whether fc01's model is still earning its keep
+    trap), over-forecast hour count, plus anchor_gap = cutoff − the
+    key's train anchor (stale keys score in-train-region hours; the
+    gap makes that visible — r9 ADVICE). The accuracy surface that
+    tells a deployment whether fc01's model is still earning its keep
     (operators/timeseries.py::forecast_backtest)."""
     from learn_etl_data_warehouse_spark.operators.timeseries import (
         forecast_backtest,
@@ -4879,11 +4881,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scalar-only AND oracle-backed (pinned by
         # tests/test_driver_window.py) and sf0.01+sf0.1-swept in the
         # round it rotates in.
-        # r9 rotation (derived with never_checked.py on the 50/50-green
-        # CORRECTNESS_r08): the 12 r8 newborns + the 34 stalest banked
-        # rows (27 r4-era + 7 r5-era) + 4 cores. The whole r8-green
-        # cohort moves behind the window (freshest evidence).
-        # -- r8 newborns, first driver rows (12) -------------------------
+        # r10 rotation (derived with never_checked.py on the 50/50-green
+        # CORRECTNESS_r09): the 5 r9 newborns + the 41 stalest banked
+        # rows (all r5-era) + 4 cores. The whole r9-green cohort moves
+        # behind the window (freshest evidence).
+        # -- r9 newborns, first driver rows (5) --------------------------
+        "d34_maximal_repeat_scrub": q_d34,
+        "st03_jackknife_months": q_st03,
+        "fc02_forecast_backtest": q_fc02,
+        "d35_repeat_scrub_rebuild": q_d35,
+        "st04_cuped_adjustment": q_st04,
+        # -- stalest banked rows promoted (41, all r5-era) ----------------
+        "d10_semantic_clusters": q_d10,
+        "t01_token_counts": q_t01,
+        "t02_quality_scores": q_t02,
+        "t03_lang_id": q_t03,
+        "t04_fingerprint": q_t04,
+        "t05_min_gram_fingerprint": q_t05,
+        "t06_sequence_packing": q_t06,
+        "t07_token_df_score": q_t07,
+        "s01_cosine_topk": q_s01,
+        "s02_neardup_pairs_exact": q_s02,
+        "s05_label_centroids": q_s05,
+        "e02_sliding_window": q_e02,
+        "e03_session_windows": q_e03,
+        "m01_media_metadata": q_m01,
+        "m05_decode_batches": q_m05,
+        "q01_pricing_summary": q_q01,
+        "q02_min_balance_supplier": q_q02,
+        "q03_shipping_priority": q_q03,
+        "q04_priority_check": q_q04,
+        "q05_local_supplier_volume": q_q05,
+        "q06_forecast_revenue": q_q06,
+        "q07_nation_pair_volume": q_q07,
+        "q08_market_share": q_q08,
+        "q09_profit_by_nation_year": q_q09,
+        "q10_returned_revenue": q_q10,
+        "q11_important_parts": q_q11,
+        "q12_priority_split": q_q12,
+        "q13_order_count_distribution": q_q13,
+        "q14_promo_ratio": q_q14,
+        "q15_top_supplier": q_q15,
+        "q16_supplier_diversity": q_q16,
+        "q17_small_quantity_revenue": q_q17,
+        "q18_large_volume_customers": q_q18,
+        "q19_disjunctive_predicates": q_q19,
+        "q20_dominant_promo_suppliers": q_q20,
+        "q21_waiting_suppliers": q_q21,
+        "q22_rich_idle_customers": q_q22,
+        "j02_star_region_revenue": q_j02,
+        "j05_roleplay_nations": q_j05,
+        "a06_monthly_rollup": q_a06,
+        "w05_percent_rank": q_w05,
+        # -- continuously-verified cores (4) ----------------------------
+        "d01_dedup_exact": q_d01,
+        "d02_ngram_jaccard_pairs": q_d02,
+        "e01_tumbling_window": q_e01,
+        "f01_event_funnel": q_f01,
+        # ================= position 51+: outside driver window ==========
+        # r9-green cohort (freshest evidence) moved behind the window.
         "t29_unigram_seed_pieces": q_t29,
         "d33_classifier_gated_corpus": q_d33,
         "ml04_decision_stump": q_ml04,
@@ -4896,7 +4952,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st01_bootstrap_means": q_st01,
         "st02_permutation_test": q_st02,
         "fc01_hourly_forecast": q_fc01,
-        # -- stalest banked rows promoted (34: 27 r4-era + 7 r5-era) -----
         "a07_rollup_year_status": q_a07,
         "a08_pivot_status": q_a08,
         "a10_grouping_sets": q_a10,
@@ -4931,13 +4986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e08_outer_attribution": q_e08,
         "d07_train_val_split": q_d07,
         "d09_dup_clusters": q_d09,
-        # -- continuously-verified cores (4) ----------------------------
-        "d01_dedup_exact": q_d01,
-        "d02_ngram_jaccard_pairs": q_d02,
-        "e01_tumbling_window": q_e01,
-        "f01_event_funnel": q_f01,
-        # ================= position 51+: outside driver window ==========
-        # r8-green cohort (freshest evidence) moved behind the window.
+        # r8-green cohort moved behind the window in r9.
         "g07_lpa_communities": q_g07,
         "g08_hits_scores": q_g08,
         "e16_seasonal_anomaly": q_e16,
@@ -5082,55 +5131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d16_corpus_build": q_d16,
         "s07_quantize_int8": q_s07,
         "s08_random_projection": q_s08,
-        "d10_semantic_clusters": q_d10,
-        "t01_token_counts": q_t01,
-        "t02_quality_scores": q_t02,
-        "t03_lang_id": q_t03,
-        "t04_fingerprint": q_t04,
-        "t05_min_gram_fingerprint": q_t05,
-        "t06_sequence_packing": q_t06,
-        "t07_token_df_score": q_t07,
-        "s01_cosine_topk": q_s01,
-        "s02_neardup_pairs_exact": q_s02,
-        "s05_label_centroids": q_s05,
-        "e02_sliding_window": q_e02,
-        "e03_session_windows": q_e03,
-        "m01_media_metadata": q_m01,
-        "m05_decode_batches": q_m05,
-        "q01_pricing_summary": q_q01,
-        "q02_min_balance_supplier": q_q02,
-        "q03_shipping_priority": q_q03,
-        "q04_priority_check": q_q04,
-        "q05_local_supplier_volume": q_q05,
-        "q06_forecast_revenue": q_q06,
-        "q07_nation_pair_volume": q_q07,
-        "q08_market_share": q_q08,
-        "q09_profit_by_nation_year": q_q09,
-        "q10_returned_revenue": q_q10,
-        "q11_important_parts": q_q11,
-        "q12_priority_split": q_q12,
-        "q13_order_count_distribution": q_q13,
-        "q14_promo_ratio": q_q14,
-        "q15_top_supplier": q_q15,
-        "q16_supplier_diversity": q_q16,
-        "q17_small_quantity_revenue": q_q17,
-        "q18_large_volume_customers": q_q18,
-        "q19_disjunctive_predicates": q_q19,
-        "q20_dominant_promo_suppliers": q_q20,
-        "q21_waiting_suppliers": q_q21,
-        "q22_rich_idle_customers": q_q22,
-        "j02_star_region_revenue": q_j02,
-        "j05_roleplay_nations": q_j05,
-        "a06_monthly_rollup": q_a06,
-        "w05_percent_rank": q_w05,
         "set03_intersect": q_set03,
-        # -- r9 additions (born never-checked; rotate into the r10
-        #    window per the steady-state policy) ------------------------
-        "d34_maximal_repeat_scrub": q_d34,
-        "st03_jackknife_months": q_st03,
-        "fc02_forecast_backtest": q_fc02,
-        "d35_repeat_scrub_rebuild": q_d35,
-        "st04_cuped_adjustment": q_st04,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept last
         "e22_rolling_distinct_hll": q_e22,
@@ -8881,6 +8882,8 @@ FROM j"""
     # fc02 (r9): fc01's forecast chain over the train grid (global
     # cutoff = max hr − 24), scored against the full grid's actuals.
     # MAE divides a non-negative sum (// ≡ div); bias stays undivided.
+    # anchor_gap = cutoff − per-key train anchor (r9 ADVICE: stale keys
+    # score in-train-region hours; the gap lets consumers filter them).
     out["fc02_forecast_backtest"] = """
 WITH h0 AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
                    CAST(count(*) AS BIGINT) AS x
@@ -8914,12 +8917,16 @@ fc AS (SELECT sp.event_type, sp.h_future,
 j AS (SELECT fc.event_type,
              fc.forecast_micro - coalesce(a.x, 0) * 1000000 AS err
       FROM fc LEFT JOIN h0 a
-        ON a.event_type = fc.event_type AND a.hr = fc.h_future)
-SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
-       CAST(sum(abs(err)) // count(*) AS BIGINT) AS mae_micro,
-       CAST(sum(err) AS BIGINT) AS sum_err_micro,
-       CAST(sum(CASE WHEN err > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_over
-FROM j GROUP BY 1"""
+        ON a.event_type = fc.event_type AND a.hr = fc.h_future),
+sc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+              CAST(sum(abs(err)) // count(*) AS BIGINT) AS mae_micro,
+              CAST(sum(err) AS BIGINT) AS sum_err_micro,
+              CAST(sum(CASE WHEN err > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_over
+       FROM j GROUP BY 1)
+SELECT sc.event_type, sc.n_hours, sc.mae_micro, sc.sum_err_micro,
+       sc.n_over, CAST(cut.c - an.anchor AS BIGINT) AS anchor_gap
+FROM sc JOIN an ON an.event_type = sc.event_type CROSS JOIN cut"""
     # d35 (r9): d34's coverage chain at level 8 only, rebuilt into the
     # scrubbed text — string_agg skips the NULLed covered tokens and
     # orders by position; fully-covered docs coalesce to ''.

@@ -1031,6 +1031,7 @@ def maximal_repeat_stats(
     min_len: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    fingerprint_grams: bool = False,
 ) -> DataFrame:
     """Variable-length EXACT-SUBSTRING repeat detection + scrub stats —
     the Lee et al. ("Deduplicating Training Data Makes Language Models
@@ -1062,16 +1063,23 @@ def maximal_repeat_stats(
     Scale shape: one (doc,pos) window shuffle for the doubling chain,
     one hash agg over (level, gram) for the hot set, one key-equality
     join back (occurrence-linear — no pair join anywhere), one bounded
-    ROWS window for coverage, one per-doc agg. At 100 TB the gram
-    STRINGS in the hot-set shuffle would be swapped for xxhash64
-    fingerprints with a string recheck on the survivors (the d02/d13
-    posture); the fixture keeps strings so the DuckDB oracle is exact.
+    ROWS window for coverage, one per-doc agg. ``fingerprint_grams=
+    True`` is the 100 TB posture (the d02/d13 hash-then-recheck
+    discipline): the corpus-proportional hot-set count and flag join
+    shuffle 8-byte ``xxhash64(level, gram)`` fingerprints instead of
+    up-to-16-token gram strings, and the exact string recheck runs
+    only on SURVIVOR documents (those holding a fingerprint-hot
+    position) — conformance-tested identical to the string path
+    (tests/test_operators.py). The default keeps strings so the
+    DuckDB oracle compares the exact production plan.
 
     Returns one row per non-blank document: (id, n_tokens,
     rep{L}_starts per level, n_covered, n_kept). Blank/whitespace-only
     documents produce NO output row.
     """
-    q = _repeat_coverage(df, levels, min_len, text_col, id_col)
+    q = _repeat_coverage(
+        df, levels, min_len, text_col, id_col, fingerprint_grams
+    )
     levels = tuple(sorted(int(x) for x in levels))
     return q.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
@@ -1084,29 +1092,12 @@ def maximal_repeat_stats(
     )
 
 
-def _repeat_coverage(
-    df: DataFrame,
-    levels: tuple[int, ...],
-    min_len: int,
-    text_col: str,
-    id_col: str,
+def _level_grams(
+    p: DataFrame, levels: tuple[int, ...], id_col: str
 ) -> DataFrame:
-    """Shared kernel of :func:`maximal_repeat_stats` /
-    :func:`maximal_repeat_scrub`: one row per non-blank token position
-    with the per-level duplicated-gram start flags and the ``min_len``
-    coverage flag — (id, _pos, _w, _dup{L}…, _cov)."""
-    levels = tuple(sorted(int(x) for x in levels))
-    for lvl in levels:
-        if lvl < 2 or lvl & (lvl - 1):
-            raise ValueError(
-                f"maximal_repeat: level {lvl} is not a power of two >= 2"
-            )
-    if min_len not in levels:
-        raise ValueError("maximal_repeat: min_len must be one of levels")
-    p = (
-        df.select(F.col(id_col), F.posexplode(tokens(text_col)).alias("_pos", "_w"))
-        .filter(F.col("_w") != "")
-    )
+    """Prefix-doubling level grams from a (id, _pos, _w) position frame:
+    one row per (position, level) with the non-null ``level``-gram
+    starting there — (id, _pos, lvl, g). One window shuffle total."""
     w_ord = Window.partitionBy(id_col).orderBy("_pos")
     col_of = {1: "_w"}
     cur = 1
@@ -1123,7 +1114,7 @@ def _repeat_coverage(
         )
         col_of[nxt] = f"_s{nxt}"
         cur = nxt
-    lv = (
+    return (
         frame.select(
             F.col(id_col),
             "_pos",
@@ -1142,28 +1133,122 @@ def _repeat_coverage(
         .select(F.col(id_col), "_pos", F.col("_x.lvl").alias("lvl"), F.col("_x.g").alias("g"))
         .filter(F.col("g").isNotNull())
     )
-    hot = (
-        lv.groupBy("lvl", "g")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") > 1)
-        .select("lvl", "g", F.lit(1).alias("_h"))
+
+
+def _repeat_coverage(
+    df: DataFrame,
+    levels: tuple[int, ...],
+    min_len: int,
+    text_col: str,
+    id_col: str,
+    fingerprint_grams: bool = False,
+) -> DataFrame:
+    """Shared kernel of :func:`maximal_repeat_stats` /
+    :func:`maximal_repeat_scrub`: one row per non-blank token position
+    with the per-level duplicated-gram start flags and the ``min_len``
+    coverage flag — (id, _pos, _w, _dup{L}…, _cov).
+
+    ``fingerprint_grams=True`` replaces the gram STRINGS in both
+    corpus-proportional shuffles (hot-set count, flag join) with
+    8-byte ``xxhash64(level, gram)`` fingerprints, then string-rechecks
+    only the survivors: documents holding a fingerprint-hot position
+    rebuild their grams (same doubling chain, survivor docs only) and
+    the exact (level, gram) occurrence count is confirmed before any
+    position is flagged. Every occurrence of a truly duplicated gram
+    shares its fingerprint, so the survivor-local recount equals the
+    global count — no false negatives; fingerprint collisions only add
+    survivors that the string recheck then rejects."""
+    levels = tuple(sorted(int(x) for x in levels))
+    if len(set(levels)) != len(levels):
+        raise ValueError(
+            f"maximal_repeat: duplicate levels in {levels} (r9 ADVICE: "
+            "each level may appear once)"
+        )
+    for lvl in levels:
+        if lvl < 2 or lvl & (lvl - 1):
+            raise ValueError(
+                f"maximal_repeat: level {lvl} is not a power of two >= 2"
+            )
+    if min_len not in levels:
+        raise ValueError("maximal_repeat: min_len must be one of levels")
+    p = (
+        df.select(F.col(id_col), F.posexplode(tokens(text_col)).alias("_pos", "_w"))
+        .filter(F.col("_w") != "")
     )
-    fl = (
-        lv.join(hot, ["lvl", "g"], "left")
-        .groupBy(id_col, "_pos")
-        .agg(
+    lv = _level_grams(p, levels, id_col)
+    if fingerprint_grams:
+        # 100 TB posture: the two corpus-proportional shuffles move
+        # 8-byte fingerprints, never gram strings.
+        lv_light = lv.select(
+            F.col(id_col), "_pos", "lvl", F.xxhash64("lvl", "g").alias("_fp")
+        )
+        hotf = (
+            lv_light.groupBy("_fp")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .select("_fp")
+        )
+        sv = lv_light.join(hotf, "_fp").select(id_col, "_pos", "lvl")
+        # String recheck on survivors: rebuild grams for candidate docs
+        # only (fresh-named keys — same-lineage joins are ambiguous by
+        # attribute id, the r5c5 _bk lesson).
+        sv_docs = sv.select(F.col(id_col).alias("_svid")).distinct()
+        p2 = p.join(
+            sv_docs, p[id_col] == F.col("_svid"), "leftsemi"
+        )
+        lv2 = _level_grams(p2, levels, id_col)
+        svk = sv.select(
+            F.col(id_col).alias("_cid"),
+            F.col("_pos").alias("_cpos"),
+            F.col("lvl").alias("_clvl"),
+        )
+        cand = lv2.join(
+            svk,
+            (F.col(id_col) == F.col("_cid"))
+            & (F.col("_pos") == F.col("_cpos"))
+            & (F.col("lvl") == F.col("_clvl")),
+        ).select(id_col, "_pos", "lvl", "g")
+        hot2 = (
+            cand.groupBy("lvl", "g")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .select(F.col("lvl").alias("_hlvl"), F.col("g").alias("_hg"))
+        )
+        flagged = cand.join(
+            hot2,
+            (F.col("lvl") == F.col("_hlvl")) & (F.col("g") == F.col("_hg")),
+        ).select(id_col, "_pos", "lvl")
+        fl = flagged.groupBy(id_col, "_pos").agg(
             *[
-                F.max(
-                    F.when(
-                        (F.col("lvl") == lvl) & F.col("_h").isNotNull(), 1
-                    ).otherwise(0)
-                )
+                F.max(F.when(F.col("lvl") == lvl, 1).otherwise(0))
                 .cast("long")
                 .alias(f"_dup{lvl}")
                 for lvl in levels
             ]
         )
-    )
+    else:
+        hot = (
+            lv.groupBy("lvl", "g")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .select("lvl", "g", F.lit(1).alias("_h"))
+        )
+        fl = (
+            lv.join(hot, ["lvl", "g"], "left")
+            .groupBy(id_col, "_pos")
+            .agg(
+                *[
+                    F.max(
+                        F.when(
+                            (F.col("lvl") == lvl) & F.col("_h").isNotNull(), 1
+                        ).otherwise(0)
+                    )
+                    .cast("long")
+                    .alias(f"_dup{lvl}")
+                    for lvl in levels
+                ]
+            )
+        )
     q = p.select(id_col, "_pos", "_w").join(
         fl, [id_col, "_pos"], "left"
     ).select(
@@ -1189,6 +1274,7 @@ def maximal_repeat_scrub(
     min_len: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    fingerprint_grams: bool = False,
 ) -> DataFrame:
     """The ACTIONABLE form of :func:`maximal_repeat_stats`: remove
     every token covered by a duplicated span of length ≥ ``min_len``
@@ -1198,9 +1284,13 @@ def maximal_repeat_scrub(
     structs conditionally (``when`` yields NULL on covered positions
     and collect_list skips NULLs), array_sort restores order, join
     with spaces. Fully-covered documents keep their row with an empty
-    ``text_clean`` (the d17 explicit-filter contract). Returns one row
+    ``text_clean`` (the d17 explicit-filter contract).
+    ``fingerprint_grams=True`` selects the hashed-shuffle kernel (see
+    :func:`maximal_repeat_stats` — the 100 TB posture). Returns one row
     per non-blank document: (id, n_kept, n_removed, text_clean)."""
-    q = _repeat_coverage(df, levels, min_len, text_col, id_col)
+    q = _repeat_coverage(
+        df, levels, min_len, text_col, id_col, fingerprint_grams
+    )
     kept_struct = F.when(
         F.col("_cov") == 0,
         F.struct(F.col("_pos").alias("p"), F.col("_w").alias("t")),

@@ -483,9 +483,12 @@ def jackknife_group_means(
     randomization test).
 
     Integer-exact: values become rounded cents (the st01/st02 idiom),
-    the leave-out mean is ``(S − s_g) div (N − n_g)`` — numerator and
-    denominator are non-negative (totals dominate any group), so
-    truncating div ≡ DuckDB's floor ``//``; the delta against the
+    the leave-out mean is ``floor((S − s_g) / (N − n_g))`` with the
+    floor RECONSTRUCTED the e28 way — ``(x − pmod(x, d)) div d`` — so
+    a SIGNED numerator (refunds/credits driving a leave-out sum
+    negative) still matches DuckDB's flooring ``//`` exactly; after
+    subtracting the non-negative ``pmod`` the division is exact and
+    truncation is harmless (r9 ADVICE item). The delta against the
     overall mean is a SIGNED subtraction of two already-evaluated
     integers (portable). A group that is the ENTIRE input yields NULL
     (the r8 ADVICE empty/degenerate-input lesson, applied both
@@ -507,9 +510,11 @@ def jackknife_group_means(
         F.sum("_s_g").cast("long").alias("_s"),
     )
     jk = F.when(F.col("_n") == F.col("n_g"), F.lit(None)).otherwise(
-        F.expr("(_s - _s_g) div (_n - n_g)")
+        F.expr(
+            "(_s - _s_g - pmod(_s - _s_g, _n - n_g)) div (_n - n_g)"
+        )
     ).cast("long")
-    overall = F.expr("_s div _n").cast("long")
+    overall = F.expr("(_s - pmod(_s, _n)) div _n").cast("long")
     return g.crossJoin(F.broadcast(t)).select(
         group_alias,
         "n_g",

@@ -691,11 +691,17 @@ def forecast_backtest(
     score as actual 0 (truthful: the grid omits empty hours).
 
     Per-key anchors come from the TRAIN grid, so a key that went quiet
-    before the cutoff is scored on its own next-``horizon`` hours (the
-    honest per-key origin); keys with no train history produce no row.
-    Scale shape: fc01's calendar-bounded plan + one left join against
-    the hourly grid + one key-grain agg. Returns (key, n_hours,
-    mae_micro, sum_err_micro, n_over)."""
+    before the cutoff is scored on its own next-``horizon`` hours —
+    which for a stale key lie AT OR BEFORE the global cutoff, i.e.
+    inside the nominal train region, where actuals are trivially 0 and
+    the "backtest" measures nothing about the trailing holdout (r9
+    ADVICE item). The per-key staleness is therefore emitted as
+    ``anchor_gap`` = global cutoff − per-key anchor (0 for keys active
+    through the cutoff) so consumers can filter or down-weight stale
+    keys; keys with no train history produce no row. Scale shape:
+    fc01's calendar-bounded plan + one left join against the hourly
+    grid + one key-grain agg + one key-grain gap join. Returns (key,
+    n_hours, mae_micro, sum_err_micro, n_over, anchor_gap)."""
     cut = hourly.agg(
         (F.max("hr") - F.lit(int(horizon))).alias("_cut")
     )
@@ -715,7 +721,7 @@ def forecast_backtest(
             - F.coalesce(F.col("_ax"), F.lit(0)) * 1_000_000
         ).cast("long").alias("_err"),
     )
-    return j.groupBy(key).agg(
+    scored = j.groupBy(key).agg(
         F.count(F.lit(1)).cast("long").alias("n_hours"),
         F.expr("sum(abs(_err)) div count(1)").cast("long").alias("mae_micro"),
         F.sum("_err").cast("long").alias("sum_err_micro"),
@@ -723,3 +729,13 @@ def forecast_backtest(
         .cast("long")
         .alias("n_over"),
     )
+    gap = (
+        train.groupBy(key)
+        .agg(F.max("hr").alias("_anchor"))
+        .crossJoin(F.broadcast(cut))
+        .select(
+            key,
+            (F.col("_cut") - F.col("_anchor")).cast("long").alias("anchor_gap"),
+        )
+    )
+    return scored.join(gap, key)

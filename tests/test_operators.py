@@ -3745,6 +3745,81 @@ def test_maximal_repeat_brute_force_conformance(spark):
     assert 99 not in got
 
 
+def test_maximal_repeat_fingerprint_conformance(spark, sf_small):
+    """r10 (r9 verdict item 2): the hashed-shuffle kernel
+    (fingerprint_grams=True — xxhash64 fingerprints in both
+    corpus-proportional shuffles, string recheck on survivor docs)
+    returns EXACTLY the string path's output, for both the stats and
+    the scrub form, on the real fixture corpus."""
+    from learn_etl_data_warehouse_spark.operators.dedup import (
+        maximal_repeat_scrub,
+        maximal_repeat_stats,
+    )
+    from learn_etl_data_warehouse_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+
+    s_rows = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in maximal_repeat_stats(docs).collect()
+    }
+    f_rows = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in maximal_repeat_stats(docs, fingerprint_grams=True).collect()
+    }
+    assert s_rows == f_rows and len(s_rows) > 0
+
+    s_scrub = {
+        r["doc_id"]: (r["n_kept"], r["n_removed"], r["text_clean"])
+        for r in maximal_repeat_scrub(docs, levels=(8,), min_len=8).collect()
+    }
+    f_scrub = {
+        r["doc_id"]: (r["n_kept"], r["n_removed"], r["text_clean"])
+        for r in maximal_repeat_scrub(
+            docs, levels=(8,), min_len=8, fingerprint_grams=True
+        ).collect()
+    }
+    assert s_scrub == f_scrub
+
+
+def test_maximal_repeat_rejects_duplicate_levels(spark):
+    """r9 ADVICE: a duplicate level must raise a clear ValueError, not
+    a duplicate-alias AnalysisException."""
+    import pytest as _pytest
+
+    from learn_etl_data_warehouse_spark.operators.dedup import (
+        maximal_repeat_stats,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="duplicate levels"):
+        maximal_repeat_stats(df, levels=(8, 8), min_len=8)
+
+
+def test_jackknife_group_means_signed_floor(spark):
+    """r9 ADVICE: refunds/credits driving a leave-out sum negative must
+    still match a floor-division oracle — the reconstruction
+    (x − pmod(x, d)) div d, checked against Python's flooring //."""
+    from learn_etl_data_warehouse_spark.operators.sampling import (
+        jackknife_group_means,
+    )
+
+    rows = [(1, "a", -50.00), (2, "a", -20.25), (3, "b", 10.00),
+            (4, "b", -90.00), (5, "c", 3.33)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    got = {
+        r["grp"]: (r["jk_mean_cents"], r["overall_mean_cents"], r["delta_cents"])
+        for r in jackknife_group_means(df, "v", "g").collect()
+    }
+    cents = {"a": [-5000, -2025], "b": [1000, -9000], "c": [333]}
+    total = sum(sum(v) for v in cents.values())
+    n = 5
+    overall = total // n  # Python // floors — the DuckDB oracle semantics
+    for g, vals in cents.items():
+        jk = (total - sum(vals)) // (n - len(vals))
+        assert got[g] == (jk, overall, jk - overall), g
+
+
 def test_jackknife_group_means_model_and_degenerate(spark):
     """r9: delete-one-group jackknife vs a hand model; a group that is
     the entire input yields NULL leave-out mean (both-engine contract)."""
@@ -3778,21 +3853,32 @@ def test_jackknife_group_means_model_and_degenerate(spark):
 def test_forecast_backtest_holdout_semantics(spark):
     """r9: fc02 — a flat series backtests to zero error over exactly
     `horizon` hours; a key seen ONLY inside the holdout has no train
-    history and produces no row."""
+    history and produces no row. r10 (r9 ADVICE): a key that went
+    quiet BEFORE the cutoff reports its staleness as anchor_gap, while
+    through-cutoff keys report gap 0."""
     from learn_etl_data_warehouse_spark.operators.timeseries import (
         forecast_backtest,
     )
 
-    rows = [("a", h, 5) for h in range(48)] + [("b", 46, 3), ("b", 47, 9)]
+    rows = (
+        [("a", h, 5) for h in range(48)]
+        + [("b", 46, 3), ("b", 47, 9)]
+        + [("c", h, 7) for h in range(10)]
+    )
     hourly = spark.createDataFrame(
         rows, "event_type string, hr long, x long"
     )
     got = {r["event_type"]: r.asDict() for r in forecast_backtest(hourly).collect()}
-    assert set(got) == {"a"}
+    assert set(got) == {"a", "c"}
     a = got["a"]
-    assert (a["n_hours"], a["mae_micro"], a["sum_err_micro"], a["n_over"]) == (
-        24, 0, 0, 0,
-    )
+    assert (
+        a["n_hours"], a["mae_micro"], a["sum_err_micro"], a["n_over"],
+        a["anchor_gap"],
+    ) == (24, 0, 0, 0, 0)
+    # key c's anchor is hour 9 vs global cutoff 23: its 24 scored hours
+    # (10..33) all sit at or before the cutoff — the in-train-region
+    # scoring the gap column exposes (gap 14 = 23 − 9).
+    assert got["c"]["anchor_gap"] == 14
 
 
 def test_maximal_repeat_scrub_rebuilds_text(spark):
