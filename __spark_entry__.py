@@ -3750,6 +3750,49 @@ def q_pm01(spark, sf_dir):
     return footprint_matrix(_t(spark, sf_dir, "events"))
 
 
+def q_pm02(spark, sf_dir):
+    """Performance-annotated directly-follows graph (r10): pm01 tells
+    you WHAT follows what; this edge list tells you WHERE the process
+    waits — per consecutive activity pair in an actor's (ts, id)-
+    ordered trace: traversal count, distinct actors, and min / mean /
+    max gap in integer microseconds (gaps under the total trace order
+    are non-negative, so the mean's truncating div ≡ the oracle's
+    flooring //). One per-actor window + one |alphabet|²-bounded agg
+    (operators/process_mining.py::direct_follows_graph)."""
+    from learn_etl_data_warehouse_spark.operators.process_mining import (
+        direct_follows_graph,
+    )
+
+    return direct_follows_graph(_t(spark, sf_dir, "events"))
+
+
+def q_pf11(spark, sf_dir):
+    """k-anonymity audit (r10): customers grouped by the quasi-
+    identifier tuple (nation, market segment, $1000 balance bucket) —
+    each group's size IS its k; groups under k=5 are re-identification
+    risks a publisher must suppress or generalize. The governance
+    sibling of t11's PII scrub (masking direct identifiers does
+    nothing when the QI combination is unique). Balance buckets shift
+    cents by +100000 so the division runs on non-negative operands
+    (truncating ≡ flooring — the km01 offset idiom); one hash agg,
+    output bounded by the QI alphabet
+    (operators/profiling.py::k_anonymity_audit)."""
+    from learn_etl_data_warehouse_spark.operators.profiling import (
+        k_anonymity_audit,
+    )
+
+    qi = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr(
+            "(cast(round(c_acctbal * 100) as bigint) + 100000) div 100000"
+        ).cast("long").alias("bal_bucket"),
+    )
+    return k_anonymity_audit(
+        qi, ["c_nationkey", "c_mktsegment", "bal_bucket"], k=5
+    )
+
+
 def q_ops01(spark, sf_dir):
     """Shipping-lag profile (r5 cont.): order→ship latency per order
     priority — line count, min/max lag days, truncating-ppm mean, and
@@ -4722,9 +4765,10 @@ def q_st03(spark, sf_dir):
     order value computed WITHOUT that month next to the overall mean —
     the influence diagnostic ("which month moves the headline?") that
     completes the inference family (st01 bootstrap, st02 randomization
-    test). Integer cents throughout; the leave-out mean is
-    (S − s_g) div (N − n_g) on non-negative operands (truncating ≡
-    floor), the delta a signed subtraction of evaluated integers
+    test). Integer cents throughout; the leave-out mean is a signed
+    FLOOR division reconstructed the e28 way — (x − pmod(x, d)) div d —
+    so it matches DuckDB's flooring // for any sign (r9 ADVICE); the
+    delta is a signed subtraction of evaluated integers
     (operators/sampling.py::jackknife_group_means)."""
     from learn_etl_data_warehouse_spark.operators.sampling import (
         jackknife_group_means,
@@ -4735,6 +4779,25 @@ def q_st03(spark, sf_dir):
         F.year("o_orderdate") * 100 + F.month("o_orderdate")
     ).cast("long")
     return jackknife_group_means(orders, "o_totalprice", ym, "ym")
+
+
+def q_st05(spark, sf_dir):
+    """Exact rank-sum test statistics (r10): doubled Wilcoxon rank sums
+    of order value per order priority — the Mann–Whitney / Kruskal–
+    Wallis core, with tied values taking average ranks kept INTEGRAL by
+    doubling (a tied block of n_v values after lt smaller rows adds
+    2·lt + n_v + 1 per member). dev_x2 = rank_sum_x2 − n_g·(N+1) is the
+    signed deviation from the H0 expectation; Σ rank_sum_x2 = N·(N+1)
+    and Σ dev_x2 = 0 (test-pinned). The per-value below-count uses the
+    a26 two-level bucket cumsum — no global single-partition window
+    (operators/sampling.py::rank_sum_test)."""
+    from learn_etl_data_warehouse_spark.operators.sampling import (
+        rank_sum_test,
+    )
+
+    return rank_sum_test(
+        _t(spark, sf_dir, "orders"), "o_totalprice", "o_orderpriority"
+    )
 
 
 def q_st01(spark, sf_dir):
@@ -5132,6 +5195,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s07_quantize_int8": q_s07,
         "s08_random_projection": q_s08,
         "set03_intersect": q_set03,
+        # -- r10 additions (born never-checked; rotate into the r11
+        #    window per the steady-state policy) ------------------------
+        "st05_rank_sum_test": q_st05,
+        "pm02_direct_follows": q_pm02,
+        "pf11_k_anonymity": q_pf11,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept last
         "e22_rolling_distinct_hll": q_e22,
@@ -7729,6 +7797,33 @@ SELECT m.a, m.b, CAST(m.n_direct AS BIGINT) AS n_direct,
             WHEN r.n_direct > 0 THEN 'reverse'
             ELSE 'unrelated' END AS relation
 FROM m JOIN m r ON r.a = m.b AND r.b = m.a"""
+    # pm02 (r10): performance-annotated DFG — gaps under the total
+    # (ts, id) trace order are non-negative, so // ≡ Spark's div.
+    out["pm02_direct_follows"] = """
+WITH h AS (
+  SELECT event_type AS a,
+         lead(event_type) OVER win AS b,
+         epoch_us(lead(ts) OVER win) - epoch_us(ts) AS gap,
+         user_id AS u
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT a, b, CAST(count(*) AS BIGINT) AS n_traversals,
+       CAST(count(DISTINCT u) AS BIGINT) AS n_actors,
+       CAST(min(gap) AS BIGINT) AS min_gap_us,
+       CAST(sum(gap) // count(*) AS BIGINT) AS mean_gap_us,
+       CAST(max(gap) AS BIGINT) AS max_gap_us
+FROM h WHERE b IS NOT NULL GROUP BY 1, 2"""
+    # pf11 (r10): QI bucket shifts cents +100000 → non-negative, so
+    # DuckDB's flooring // equals Spark's truncating div.
+    out["pf11_k_anonymity"] = """
+WITH q AS (SELECT c_nationkey, c_mktsegment,
+                  CAST((CAST(round(c_acctbal * 100) AS BIGINT) + 100000)
+                       // 100000 AS BIGINT) AS bal_bucket
+           FROM customer)
+SELECT c_nationkey, c_mktsegment, bal_bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       count(*) >= 5 AS k_anonymous
+FROM q GROUP BY 1, 2, 3"""
     # ops01: day lags are exact integers (both date columns are
     # midnight timestamps); ppm via non-negative floor-div.
     out["ops01_shipping_lag"] = """
@@ -8879,6 +8974,29 @@ j AS (SELECT g.ym, g.n_g,
 SELECT ym, n_g, jk_mean_cents, overall_mean_cents,
        CAST(jk_mean_cents - overall_mean_cents AS BIGINT) AS delta_cents
 FROM j"""
+    # st05 (r10): doubled rank sums — tied blocks contribute
+    # 2·lt + n_v + 1 per member (average ranks kept integral); the
+    # oracle's global window is the Spark side's two-level bucket
+    # cumsum's semantic twin. sum() → HUGEINT, cast back to BIGINT.
+    out["st05_rank_sum_test"] = """
+WITH base AS (SELECT o_orderpriority AS grp,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS c
+              FROM orders),
+pv AS (SELECT c, CAST(count(*) AS BIGINT) AS n_v FROM base GROUP BY c),
+cum AS (SELECT c, n_v,
+               CAST(sum(n_v) OVER (ORDER BY c) - n_v AS BIGINT) AS lt
+        FROM pv),
+gv AS (SELECT grp, c, CAST(count(*) AS BIGINT) AS n_gv
+       FROM base GROUP BY 1, 2),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+r AS (SELECT gv.grp, CAST(sum(gv.n_gv) AS BIGINT) AS n_g,
+             CAST(sum(gv.n_gv * (2 * cum.lt + cum.n_v + 1)) AS BIGINT)
+               AS rank_sum_x2
+      FROM gv JOIN cum ON cum.c = gv.c GROUP BY 1)
+SELECT r.grp, r.n_g, r.rank_sum_x2,
+       CAST(r.n_g * (t.n + 1) AS BIGINT) AS expected_x2,
+       CAST(r.rank_sum_x2 - r.n_g * (t.n + 1) AS BIGINT) AS dev_x2
+FROM r CROSS JOIN t"""
     # fc02 (r9): fc01's forecast chain over the train grid (global
     # cutoff = max hr − 24), scored against the full grid's actuals.
     # MAE divides a non-negative sum (// ≡ div); bias stays undivided.

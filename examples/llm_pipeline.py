@@ -87,6 +87,28 @@ def main() -> None:
         f"{rep['covered']}/{rep['toks']} tokens"
     )
 
+    # 2c. the INCREMENTAL form of that scrub: build the gram-count
+    # index once from the standing corpus, fold an arriving batch in
+    # (additive merge — change-volume cost, no corpus re-scan), and
+    # scrub the batch against the updated index. This is what the
+    # substring_index_ingest_sink runs per micro-batch; here the
+    # "batch" is the deterministic doc_id % 10 == 0 slice arriving
+    # against the rest.
+    standing = docs2.filter(F.col("doc_id") % 10 != 0)
+    batch = docs2.filter(F.col("doc_id") % 10 == 0)
+    index = dedup.gram_counts_table(standing)
+    index = dedup.maintain_gram_counts(index, batch)
+    scrubbed = dedup.scrub_against_index(batch, index)
+    sc = scrubbed.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_removed").alias("removed"),
+        F.sum("n_kept").alias("kept"),
+    ).collect()[0]
+    print(
+        f"incremental scrub of a {sc['docs']}-doc batch against the "
+        f"maintained index removed {sc['removed']} tokens, kept {sc['kept']}"
+    )
+
     # 3. bigram-LM quality score (the KenLM-filter analog, integer ppm)
     scored = text.lm_score_documents(docs2)
     docs3 = (

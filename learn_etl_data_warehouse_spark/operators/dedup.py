@@ -1032,6 +1032,8 @@ def maximal_repeat_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
     fingerprint_grams: bool = False,
+    fingerprint_min_level: int = 8,
+    fingerprint_recheck: str = "rebuild",
 ) -> DataFrame:
     """Variable-length EXACT-SUBSTRING repeat detection + scrub stats —
     the Lee et al. ("Deduplicating Training Data Makes Language Models
@@ -1065,20 +1067,26 @@ def maximal_repeat_stats(
     join back (occurrence-linear — no pair join anywhere), one bounded
     ROWS window for coverage, one per-doc agg. ``fingerprint_grams=
     True`` is the 100 TB posture (the d02/d13 hash-then-recheck
-    discipline): the corpus-proportional hot-set count and flag join
-    shuffle 8-byte ``xxhash64(level, gram)`` fingerprints instead of
-    up-to-16-token gram strings, and the exact string recheck runs
-    only on SURVIVOR documents (those holding a fingerprint-hot
-    position) — conformance-tested identical to the string path
-    (tests/test_operators.py). The default keeps strings so the
-    DuckDB oracle compares the exact production plan.
+    discipline): for levels ≥ ``fingerprint_min_level`` the
+    corpus-proportional hot-set count and flag join shuffle 8-byte
+    ``xxhash64(level, gram)`` fingerprints instead of up-to-16-token
+    gram strings, and the exact string recheck runs only on SURVIVOR
+    documents (those holding a fingerprint-hot position) —
+    conformance-tested identical to the string path
+    (tests/test_operators.py). Short levels keep strings even under
+    the flag: they are majority-duplicated in natural text (99% of
+    fixture docs hold a dup 4-gram vs ~10% a dup 8-gram), so hashing
+    them degenerates the recheck into a full second pass — see
+    :func:`_repeat_coverage`. The default keeps strings everywhere so
+    the DuckDB oracle compares the exact production plan.
 
     Returns one row per non-blank document: (id, n_tokens,
     rep{L}_starts per level, n_covered, n_kept). Blank/whitespace-only
     documents produce NO output row.
     """
     q = _repeat_coverage(
-        df, levels, min_len, text_col, id_col, fingerprint_grams
+        df, levels, min_len, text_col, id_col, fingerprint_grams,
+        fingerprint_min_level, fingerprint_recheck,
     )
     levels = tuple(sorted(int(x) for x in levels))
     return q.groupBy(id_col).agg(
@@ -1142,6 +1150,8 @@ def _repeat_coverage(
     text_col: str,
     id_col: str,
     fingerprint_grams: bool = False,
+    fingerprint_min_level: int = 8,
+    fingerprint_recheck: str = "rebuild",
 ) -> DataFrame:
     """Shared kernel of :func:`maximal_repeat_stats` /
     :func:`maximal_repeat_scrub`: one row per non-blank token position
@@ -1150,14 +1160,38 @@ def _repeat_coverage(
 
     ``fingerprint_grams=True`` replaces the gram STRINGS in both
     corpus-proportional shuffles (hot-set count, flag join) with
-    8-byte ``xxhash64(level, gram)`` fingerprints, then string-rechecks
-    only the survivors: documents holding a fingerprint-hot position
-    rebuild their grams (same doubling chain, survivor docs only) and
-    the exact (level, gram) occurrence count is confirmed before any
+    8-byte ``xxhash64(level, gram)`` fingerprints for every level ≥
+    ``fingerprint_min_level``, then string-rechecks only the
+    survivors: documents holding a fingerprint-hot position rebuild
+    their grams (same doubling chain, survivor docs only) and the
+    exact (level, gram) occurrence count is confirmed before any
     position is flagged. Every occurrence of a truly duplicated gram
     shares its fingerprint, so the survivor-local recount equals the
     global count — no false negatives; fingerprint collisions only add
-    survivors that the string recheck then rejects."""
+    survivors that the string recheck then rejects.
+
+    Levels BELOW ``fingerprint_min_level`` keep the string path even
+    under the flag: short grams are both cheap to shuffle (~5 bytes per
+    token vs the 8-byte hash) and majority-duplicated in natural text —
+    measured on the fixture corpus, 99% of documents hold a duplicated
+    4-gram but only ~10% a duplicated 8-gram, so hashing level 4 turns
+    the "survivor" recheck into a second full-corpus pass (the first
+    probe ran 3× SLOWER on exactly that shape) while hashing levels
+    ≥ 8 confines the recheck to the genuinely repeat-bearing tail.
+
+    ``fingerprint_recheck`` picks how survivors are confirmed:
+
+    - ``"rebuild"`` — exact string recheck: survivor docs rebuild
+      their long grams and recount. Byte-exact, but the rebuild cost
+      is proportional to the REPEAT-BEARING share of the corpus — on
+      a repeat-saturated corpus (the 16× rotation-amplified probe,
+      where every copy shares nearly all its long grams with its
+      siblings) it degenerates into a second full pass.
+    - ``"hash128"`` — two INDEPENDENT xxhash64 fingerprints are the
+      gram's identity (the content-digest standard every blob-dedup
+      system rests on; collision odds ~2⁻¹²⁸ per pair): one count
+      shuffle on 16-byte keys, one flag join, NO rebuild pass — the
+      shape that survives any repeat density at 100 TB."""
     levels = tuple(sorted(int(x) for x in levels))
     if len(set(levels)) != len(levels):
         raise ValueError(
@@ -1177,55 +1211,142 @@ def _repeat_coverage(
     )
     lv = _level_grams(p, levels, id_col)
     if fingerprint_grams:
-        # 100 TB posture: the two corpus-proportional shuffles move
-        # 8-byte fingerprints, never gram strings.
-        lv_light = lv.select(
-            F.col(id_col), "_pos", "lvl", F.xxhash64("lvl", "g").alias("_fp")
-        )
-        hotf = (
-            lv_light.groupBy("_fp")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > 1)
-            .select("_fp")
-        )
-        sv = lv_light.join(hotf, "_fp").select(id_col, "_pos", "lvl")
-        # String recheck on survivors: rebuild grams for candidate docs
-        # only (fresh-named keys — same-lineage joins are ambiguous by
-        # attribute id, the r5c5 _bk lesson).
-        sv_docs = sv.select(F.col(id_col).alias("_svid")).distinct()
-        p2 = p.join(
-            sv_docs, p[id_col] == F.col("_svid"), "leftsemi"
-        )
-        lv2 = _level_grams(p2, levels, id_col)
-        svk = sv.select(
-            F.col(id_col).alias("_cid"),
-            F.col("_pos").alias("_cpos"),
-            F.col("lvl").alias("_clvl"),
-        )
-        cand = lv2.join(
-            svk,
-            (F.col(id_col) == F.col("_cid"))
-            & (F.col("_pos") == F.col("_cpos"))
-            & (F.col("lvl") == F.col("_clvl")),
-        ).select(id_col, "_pos", "lvl", "g")
-        hot2 = (
-            cand.groupBy("lvl", "g")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > 1)
-            .select(F.col("lvl").alias("_hlvl"), F.col("g").alias("_hg"))
-        )
-        flagged = cand.join(
-            hot2,
-            (F.col("lvl") == F.col("_hlvl")) & (F.col("g") == F.col("_hg")),
-        ).select(id_col, "_pos", "lvl")
-        fl = flagged.groupBy(id_col, "_pos").agg(
+        if fingerprint_recheck not in ("rebuild", "hash128"):
+            raise ValueError(
+                "maximal_repeat: fingerprint_recheck must be 'rebuild' "
+                f"or 'hash128', got {fingerprint_recheck!r}"
+            )
+        fp_min = int(fingerprint_min_level)
+        short_lv = tuple(l for l in levels if l < fp_min)
+        long_lv = tuple(l for l in levels if l >= fp_min)
+        flag_frames = []
+        if short_lv:
+            sl = lv.filter(F.col("lvl").isin(list(short_lv)))
+            hot_s = (
+                sl.groupBy("lvl", "g")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") > 1)
+                .select("lvl", "g", F.lit(1).alias("_h"))
+            )
+            flag_frames.append(
+                sl.join(hot_s, ["lvl", "g"], "left")
+                .groupBy(id_col, "_pos")
+                .agg(
+                    *[
+                        F.max(
+                            F.when(
+                                (F.col("lvl") == lvl)
+                                & F.col("_h").isNotNull(),
+                                1,
+                            ).otherwise(0)
+                        )
+                        .cast("long")
+                        .alias(f"_dup{lvl}")
+                        for lvl in short_lv
+                    ]
+                )
+            )
+        if long_lv and fingerprint_recheck == "hash128":
+            # digest-identity: two independent 64-bit fingerprints ARE
+            # the gram; one 16-byte-key count shuffle + one flag join,
+            # no rebuild pass at any repeat density.
+            lv128 = lv.filter(F.col("lvl").isin(list(long_lv))).select(
+                F.col(id_col), "_pos", "lvl",
+                F.xxhash64("lvl", "g").alias("_fp"),
+                F.xxhash64("g", "lvl", F.lit("mr2")).alias("_fp2"),
+            )
+            hot128 = (
+                lv128.groupBy("_fp", "_fp2")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") > 1)
+                .select("_fp", "_fp2")
+            )
+            flag_frames.append(
+                lv128.join(hot128, ["_fp", "_fp2"])
+                .groupBy(id_col, "_pos")
+                .agg(
+                    *[
+                        F.max(F.when(F.col("lvl") == lvl, 1).otherwise(0))
+                        .cast("long")
+                        .alias(f"_dup{lvl}")
+                        for lvl in long_lv
+                    ]
+                )
+            )
+        elif long_lv:
+            # 100 TB posture: the two corpus-proportional shuffles move
+            # 8-byte fingerprints, never the long gram strings.
+            lv_light = lv.filter(F.col("lvl").isin(list(long_lv))).select(
+                F.col(id_col), "_pos", "lvl",
+                F.xxhash64("lvl", "g").alias("_fp"),
+            )
+            hotf = (
+                lv_light.groupBy("_fp")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") > 1)
+                .select("_fp")
+            )
+            sv = lv_light.join(hotf, "_fp").select(id_col, "_pos", "lvl")
+            # String recheck on survivors: rebuild the long-level grams
+            # for candidate docs only (fresh-named keys — same-lineage
+            # joins are ambiguous by attribute id, the r5c5 _bk lesson).
+            sv_docs = sv.select(F.col(id_col).alias("_svid")).distinct()
+            p2 = p.join(
+                sv_docs, p[id_col] == F.col("_svid"), "leftsemi"
+            )
+            lv2 = _level_grams(p2, long_lv, id_col)
+            svk = sv.select(
+                F.col(id_col).alias("_cid"),
+                F.col("_pos").alias("_cpos"),
+                F.col("lvl").alias("_clvl"),
+            )
+            cand = lv2.join(
+                svk,
+                (F.col(id_col) == F.col("_cid"))
+                & (F.col("_pos") == F.col("_cpos"))
+                & (F.col("lvl") == F.col("_clvl")),
+            ).select(id_col, "_pos", "lvl", "g")
+            hot2 = (
+                cand.groupBy("lvl", "g")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") > 1)
+                .select(F.col("lvl").alias("_hlvl"), F.col("g").alias("_hg"))
+            )
+            flagged = cand.join(
+                hot2,
+                (F.col("lvl") == F.col("_hlvl"))
+                & (F.col("g") == F.col("_hg")),
+            ).select(id_col, "_pos", "lvl")
+            flag_frames.append(
+                flagged.groupBy(id_col, "_pos").agg(
+                    *[
+                        F.max(F.when(F.col("lvl") == lvl, 1).otherwise(0))
+                        .cast("long")
+                        .alias(f"_dup{lvl}")
+                        for lvl in long_lv
+                    ]
+                )
+            )
+        q = p.select(id_col, "_pos", "_w")
+        for flf in flag_frames:
+            q = q.join(flf, [id_col, "_pos"], "left")
+        q = q.select(
+            F.col(id_col),
+            "_pos",
+            "_w",
             *[
-                F.max(F.when(F.col("lvl") == lvl, 1).otherwise(0))
+                F.coalesce(F.col(f"_dup{lvl}"), F.lit(0))
                 .cast("long")
                 .alias(f"_dup{lvl}")
                 for lvl in levels
-            ]
+            ],
         )
+        wcov = (
+            Window.partitionBy(id_col)
+            .orderBy("_pos")
+            .rowsBetween(-(min_len - 1), 0)
+        )
+        return q.withColumn("_cov", F.max(F.col(f"_dup{min_len}")).over(wcov))
     else:
         hot = (
             lv.groupBy("lvl", "g")
@@ -1275,6 +1396,8 @@ def maximal_repeat_scrub(
     text_col: str = "text",
     id_col: str = "doc_id",
     fingerprint_grams: bool = False,
+    fingerprint_min_level: int = 8,
+    fingerprint_recheck: str = "rebuild",
 ) -> DataFrame:
     """The ACTIONABLE form of :func:`maximal_repeat_stats`: remove
     every token covered by a duplicated span of length ≥ ``min_len``
@@ -1289,7 +1412,8 @@ def maximal_repeat_scrub(
     :func:`maximal_repeat_stats` — the 100 TB posture). Returns one row
     per non-blank document: (id, n_kept, n_removed, text_clean)."""
     q = _repeat_coverage(
-        df, levels, min_len, text_col, id_col, fingerprint_grams
+        df, levels, min_len, text_col, id_col, fingerprint_grams,
+        fingerprint_min_level, fingerprint_recheck,
     )
     kept_struct = F.when(
         F.col("_cov") == 0,

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["footprint_matrix"]
+__all__ = ["footprint_matrix", "direct_follows_graph"]
 
 
 def footprint_matrix(
@@ -115,4 +115,54 @@ def footprint_matrix(
     )
     return m.join(rev, ["a", "b"]).select(
         "a", "b", "n_direct", "n_users_eventual", rel.alias("relation")
+    )
+
+
+def direct_follows_graph(
+    events: DataFrame,
+    actor_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """The performance-annotated directly-follows graph — the edge list
+    a process-mining tool renders, with the latency profile that turns
+    "what follows what" (:func:`footprint_matrix`) into "WHERE does the
+    process wait": per ordered activity pair (a, b) that ever occurs
+    consecutively in an actor's trace, the traversal count, distinct
+    actors, and the min / mean / max gap in integer microseconds.
+
+    Determinism: traces order by the TOTAL (ts, id) key (the e18 / fp04
+    posture); gaps under that order are non-negative, so the mean's
+    truncating div ≡ a flooring oracle. One per-actor window + one
+    edge-grain hash agg — row-linear, no pair joins, and the output is
+    bounded by |alphabet|², not the log.
+
+    Returns (a, b, n_traversals, n_actors, min_gap_us, mean_gap_us,
+    max_gap_us).
+    """
+    ev = events.select(
+        F.col(actor_col).alias("_u"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+        F.col(type_col).alias("_t"),
+    )
+    trace = Window.partitionBy("_u").orderBy("_ts", "_id")
+    hops = (
+        ev.withColumn("_nxt", F.lead("_t").over(trace))
+        .withColumn("_nts", F.lead("_ts").over(trace))
+        .filter(F.col("_nxt").isNotNull())
+        .select(
+            F.col("_t").alias("a"),
+            F.col("_nxt").alias("b"),
+            "_u",
+            F.expr("unix_micros(_nts) - unix_micros(_ts)").alias("_gap"),
+        )
+    )
+    return hops.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_traversals"),
+        F.countDistinct("_u").cast("long").alias("n_actors"),
+        F.min("_gap").cast("long").alias("min_gap_us"),
+        F.expr("sum(_gap) div count(1)").cast("long").alias("mean_gap_us"),
+        F.max("_gap").cast("long").alias("max_gap_us"),
     )

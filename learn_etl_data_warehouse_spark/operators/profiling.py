@@ -474,3 +474,32 @@ def key_skew_audit(
             .alias("salt_factor"),
         )
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    qi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple — the
+    re-identification-risk report a dataset publisher runs before
+    release (the governance sibling of the t11 PII scrub: scrubbing
+    direct identifiers does nothing if the QI combination is unique).
+
+    One row per observed QI group with its row count (= the group's k)
+    and the ``k_anonymous`` verdict (count ≥ ``k``); a consumer
+    suppresses or generalizes the failing groups. Output volume is
+    bounded by the QI alphabet's cross product, never the table. One
+    hash agg — no window, no join.
+
+    Returns (*qi_cols, n_rows, k_anonymous).
+    """
+    if k < 2:
+        raise ValueError("k_anonymity_audit: k must be >= 2")
+    return df.groupBy(*qi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    ).select(
+        *qi_cols,
+        "n_rows",
+        (F.col("n_rows") >= k).alias("k_anonymous"),
+    )

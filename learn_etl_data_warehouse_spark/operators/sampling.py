@@ -586,3 +586,93 @@ def cuped_adjusted_means(
         F.round(adj, 6).alias("adjusted_mean"),
         F.when(var_x > 0, F.round(theta, 6)).alias("theta"),
     )
+
+
+def rank_sum_test(
+    df: DataFrame,
+    value_col: str,
+    group_col,
+    group_alias: str = "grp",
+) -> DataFrame:
+    """Exact rank-sum statistics per group — the Mann–Whitney /
+    Kruskal–Wallis family's shared core (two groups → Wilcoxon rank-sum
+    / U; K groups → the rank sums Kruskal–Wallis' H is built from),
+    completing the nonparametric leg of the inference family (st01
+    bootstrap, st02 randomization, st03 jackknife, st04 CUPED).
+
+    Integer-exact: values become rounded cents; tied values take
+    AVERAGE ranks, kept integral by reporting DOUBLED sums — a tied
+    block of ``n_v`` values preceded by ``lt`` smaller rows has average
+    rank ``lt + (n_v + 1)/2``, so each member contributes ``2·lt + n_v
+    + 1`` to the doubled rank sum. The doubled expectation under H0 is
+    ``n_g·(N + 1)``; ``dev_x2`` is their signed difference (evaluated
+    integers, portable). Invariants a test can pin: Σ rank_sum_x2 =
+    N·(N+1), Σ dev_x2 = 0.
+
+    Scale design: the per-value "rows below" count is the a26 two-level
+    construction — distinct values bucket by (digit_count, 2-digit
+    prefix) (strictly value-ordered across buckets for non-negative
+    integers), bucket totals take the only unpartitioned running sum
+    (≤ ~1.1k rows at ANY size), row-level exclusive counts are windows
+    partitioned BY bucket. No global single-partition window anywhere.
+    Accumulation in DECIMAL(38,0) (HUGEINT twin), outputs cast to
+    BIGINT — the doubled sums stay under 2·N² which fits until
+    N ≈ 2·10⁹ rows; past that, return the decimals unchanged.
+
+    Returns one row per group: (``group_alias``, n_g, rank_sum_x2,
+    expected_x2, dev_x2).
+    """
+    grp = F.col(group_col) if isinstance(group_col, str) else group_col
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    base = df.select(grp.alias(group_alias), cents.alias("_c"))
+    pv = base.groupBy("_c").agg(F.count(F.lit(1)).cast("long").alias("_n_v"))
+    s = F.col("_c").cast("string")
+    b = pv.select(
+        "_c",
+        "_n_v",
+        F.length(s).alias("_dc"),
+        F.substring(s, 1, 2).cast("int").alias("_p2"),
+    )
+    dec = F.col("_n_v").cast("decimal(38,0)")
+    totals = b.groupBy("_dc", "_p2").agg(F.sum(dec).alias("_bt"))
+    asc = Window.orderBy(F.asc("_dc"), F.asc("_p2"))
+    below = F.sum("_bt").over(asc.rowsBetween(Window.unboundedPreceding, -1))
+    totals = totals.select(
+        "_dc",
+        "_p2",
+        F.coalesce(below, F.lit(0).cast("decimal(38,0)")).alias("_below"),
+    )
+    in_b = (
+        Window.partitionBy("_dc", "_p2")
+        .orderBy(F.asc("_c"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lt = F.col("_below") + F.coalesce(
+        F.sum(dec).over(in_b), F.lit(0).cast("decimal(38,0)")
+    )
+    pvl = b.join(F.broadcast(totals), ["_dc", "_p2"]).select(
+        "_c", "_n_v", lt.alias("_lt")
+    )
+    gv = base.groupBy(group_alias, "_c").agg(
+        F.count(F.lit(1)).cast("long").alias("_n_gv")
+    )
+    j = gv.join(pvl, "_c")
+    contrib = F.col("_n_gv").cast("decimal(38,0)") * (
+        F.lit(2).cast("decimal(38,0)") * F.col("_lt")
+        + F.col("_n_v")
+        + F.lit(1)
+    )
+    per_g = j.groupBy(group_alias).agg(
+        F.sum("_n_gv").cast("long").alias("n_g"),
+        F.sum(contrib).cast("long").alias("rank_sum_x2"),
+    )
+    total = base.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    return per_g.crossJoin(F.broadcast(total)).select(
+        group_alias,
+        "n_g",
+        "rank_sum_x2",
+        (F.col("n_g") * (F.col("_n") + 1)).cast("long").alias("expected_x2"),
+        (F.col("rank_sum_x2") - F.col("n_g") * (F.col("_n") + 1))
+        .cast("long")
+        .alias("dev_x2"),
+    )

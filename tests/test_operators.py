@@ -3769,6 +3769,14 @@ def test_maximal_repeat_fingerprint_conformance(spark, sf_small):
     }
     assert s_rows == f_rows and len(s_rows) > 0
 
+    h_rows = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in maximal_repeat_stats(
+            docs, fingerprint_grams=True, fingerprint_recheck="hash128"
+        ).collect()
+    }
+    assert s_rows == h_rows
+
     s_scrub = {
         r["doc_id"]: (r["n_kept"], r["n_removed"], r["text_clean"])
         for r in maximal_repeat_scrub(docs, levels=(8,), min_len=8).collect()
@@ -3794,6 +3802,90 @@ def test_maximal_repeat_rejects_duplicate_levels(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="duplicate levels"):
         maximal_repeat_stats(df, levels=(8, 8), min_len=8)
+
+
+def test_rank_sum_test_hand_model_and_invariants(spark):
+    """r10: st05 — doubled rank sums against a hand-ranked example with
+    a tied block spanning both groups; Σ rank_sum_x2 = N·(N+1) and
+    Σ dev_x2 = 0 by construction."""
+    from learn_etl_data_warehouse_spark.operators.sampling import (
+        rank_sum_test,
+    )
+
+    # values (cents): a: 100, 300, 300 | b: 200, 300, 500
+    # sorted: 100(r1), 200(r2), 300·3(avg rank 4), 500(r6)
+    # 2·R_a = 2 + 8 + 8 = 18; 2·R_b = 4 + 8 + 12 = 24; N=6, Σ=42=6·7
+    rows = [("a", 1.00), ("a", 3.00), ("a", 3.00),
+            ("b", 2.00), ("b", 3.00), ("b", 5.00)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r["grp"]: (r["n_g"], r["rank_sum_x2"], r["expected_x2"], r["dev_x2"])
+        for r in rank_sum_test(df, "v", "g").collect()
+    }
+    assert got["a"] == (3, 18, 21, -3)
+    assert got["b"] == (3, 24, 21, 3)
+    assert sum(v[1] for v in got.values()) == 6 * 7
+    assert sum(v[3] for v in got.values()) == 0
+
+
+def test_direct_follows_graph_hand_trace(spark):
+    """r10: pm02 — a two-actor log with a deterministic (ts, id) tie:
+    edge counts, actor counts, and integer gap stats match the hand
+    walk."""
+    from datetime import datetime
+
+    from learn_etl_data_warehouse_spark.operators.process_mining import (
+        direct_follows_graph,
+    )
+
+    def at(sec):
+        return datetime(2024, 1, 1, 0, 0, sec)
+
+    rows = [
+        (1, 10, at(0), "view"), (1, 11, at(5), "cart"),
+        (1, 12, at(35), "buy"),
+        (2, 20, at(0), "view"), (2, 21, at(10), "cart"),
+        # same-ts tie: id order decides cart -> view -> buy
+        (2, 22, at(20), "view"), (2, 23, at(20), "buy"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    got = {
+        (r["a"], r["b"]): (
+            r["n_traversals"], r["n_actors"], r["min_gap_us"],
+            r["mean_gap_us"], r["max_gap_us"],
+        )
+        for r in direct_follows_graph(df).collect()
+    }
+    assert got[("view", "cart")] == (2, 2, 5_000_000, 7_500_000, 10_000_000)
+    assert got[("cart", "buy")] == (1, 1, 30_000_000, 30_000_000, 30_000_000)
+    assert got[("cart", "view")] == (1, 1, 10_000_000, 10_000_000, 10_000_000)
+    assert got[("view", "buy")] == (1, 1, 0, 0, 0)
+    assert set(got) == {
+        ("view", "cart"), ("cart", "buy"), ("cart", "view"), ("view", "buy")
+    }
+
+
+def test_k_anonymity_audit_groups_and_guard(spark):
+    """r10: pf11 — group sizes classify against k and k<2 raises."""
+    import pytest as _pytest
+
+    from learn_etl_data_warehouse_spark.operators.profiling import (
+        k_anonymity_audit,
+    )
+
+    rows = [("x", 1)] * 5 + [("x", 2)] * 2 + [("y", 1)]
+    df = spark.createDataFrame(rows, "seg string, b long")
+    got = {
+        (r["seg"], r["b"]): (r["n_rows"], r["k_anonymous"])
+        for r in k_anonymity_audit(df, ["seg", "b"], k=5).collect()
+    }
+    assert got == {
+        ("x", 1): (5, True), ("x", 2): (2, False), ("y", 1): (1, False),
+    }
+    with _pytest.raises(ValueError):
+        k_anonymity_audit(df, ["seg"], k=1)
 
 
 def test_jackknife_group_means_signed_floor(spark):
