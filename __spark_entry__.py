@@ -2246,6 +2246,23 @@ def q_t17(spark, sf_dir):
     return text.bpe_pair_counts(_t(spark, sf_dir, "documents"), top=200)
 
 
+def q_t31(spark, sf_dir):
+    """WordPiece round-0 merge scores (r10): likelihood-ratio
+    statistics over the ##-symbolized corpus — score_pico = (n_ab ·
+    10¹²) div (n_a · n_b), top-200 under the strict total order
+    (score DESC, a, b). The table where WordPiece diverges from BPE:
+    t17 ranks pairs by raw count, this ranks by surprise under
+    independence (Schuster & Nakajima). Integer pico granularity — a
+    float score could tie-break differently cross-engine (the g12
+    ranking idiom). The full iterative trainer wordpiece_train is
+    conformance-tested against a pure-Python reference; this completes
+    the tokenizer triple (BPE / unigram-LM / WordPiece)
+    (operators/text.py::wordpiece_pair_scores)."""
+    return text.wordpiece_pair_scores(
+        _t(spark, sf_dir, "documents"), top=200
+    )
+
+
 def q_d25(spark, sf_dir):
     """Training-chunk export (r5 cont.): the d18 corpus build (C4 →
     span scrub → exact dedup → domain mix) carried through the FINAL
@@ -3766,6 +3783,22 @@ def q_pm02(spark, sf_dir):
     return direct_follows_graph(_t(spark, sf_dir, "events"))
 
 
+def q_e29(spark, sf_dir):
+    """Seasonal decomposition (r10): observed = seasonal + trend +
+    residual per (event_type, hour), all integer micro-counts — the
+    STL-lite component view tying the family together (e16's profile
+    is the seasonal term, e28's Theil–Sen median slope the trend,
+    anchored at each key's first grid hour; the residual is the signed
+    remainder). Calendar-bounded plan end-to-end
+    (operators/timeseries.py::seasonal_decomposition)."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        hourly_counts,
+        seasonal_decomposition,
+    )
+
+    return seasonal_decomposition(hourly_counts(_t(spark, sf_dir, "events")))
+
+
 def q_pf11(spark, sf_dir):
     """k-anonymity audit (r10): customers grouped by the quasi-
     identifier tuple (nation, market segment, $1000 balance bucket) —
@@ -5200,6 +5233,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st05_rank_sum_test": q_st05,
         "pm02_direct_follows": q_pm02,
         "pf11_k_anonymity": q_pf11,
+        "t31_wordpiece_scores": q_t31,
+        "e29_seasonal_decomposition": q_e29,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept last
         "e22_rolling_distinct_hll": q_e22,
@@ -6473,6 +6508,27 @@ p AS (SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b
       FROM ww, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) t),
 c AS (SELECT a, b, count(*) AS n FROM p GROUP BY 1, 2)
 SELECT a, b, CAST(n AS BIGINT) AS n FROM c ORDER BY n DESC, a, b LIMIT 200""",
+        # t31 (r10): ##-symbolized likelihood-ratio scores; HUGEINT
+        # products, flooring // ≡ Spark div on non-negative operands.
+        "t31_wordpiece_scores": """
+WITH w0 AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+            FROM documents),
+ww AS (SELECT w FROM w0 WHERE w <> ''),
+sy AS (SELECT CASE WHEN i = 1 THEN substr(w, 1, 1)
+                   ELSE '##' || substr(w, i, 1) END AS s
+       FROM ww, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) t),
+sc AS (SELECT s, CAST(count(*) AS BIGINT) AS n_s FROM sy GROUP BY 1),
+pr AS (SELECT CASE WHEN i = 1 THEN substr(w, 1, 1)
+                   ELSE '##' || substr(w, i, 1) END AS a,
+              '##' || substr(w, i + 1, 1) AS b
+       FROM (SELECT w FROM ww WHERE len(w) >= 2) wl,
+            LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) t),
+pc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab FROM pr GROUP BY 1, 2)
+SELECT pc.a, pc.b, pc.n_ab, sa.n_s AS n_a, sb.n_s AS n_b,
+       CAST((CAST(pc.n_ab AS HUGEINT) * 1000000000000)
+            // (CAST(sa.n_s AS HUGEINT) * sb.n_s) AS BIGINT) AS score_pico
+FROM pc JOIN sc sa ON sa.s = pc.a JOIN sc sb ON sb.s = pc.b
+ORDER BY score_pico DESC, pc.a, pc.b LIMIT 200""",
         "w06_navigation_windows": """
 SELECT o_custkey, o_orderkey,
        lead(o_orderkey, 1) OVER w AS next_order,
@@ -8618,6 +8674,37 @@ r AS (SELECT event_type, slope,
 SELECT event_type, CAST(np AS BIGINT) AS n_pairs,
        slope AS median_slope_micro
 FROM r WHERE rn = (np + 1) // 2"""
+    # e29 (r10): STL-lite decomposition — profile micro div on
+    # non-negative sums; trend = signed multiply of evaluated integers
+    # (slope from e28's flooring //, anchored at the key's first hour).
+    out["e29_seasonal_decomposition"] = """
+WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                  CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+prof AS (SELECT event_type, hr % 24 AS hod,
+                CAST((1000000 * sum(x)) // count(*) AS BIGINT) AS pm
+         FROM h GROUP BY 1, 2),
+p AS (SELECT a.event_type,
+             CAST(((b.x - a.x) * 1000000) // (b.hr - a.hr) AS BIGINT)
+               AS slope
+      FROM h a JOIN h b
+        ON a.event_type = b.event_type AND a.hr < b.hr),
+r AS (SELECT event_type, slope,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY slope) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS np
+      FROM p),
+sl AS (SELECT event_type, slope AS ms FROM r WHERE rn = (np + 1) // 2),
+an AS (SELECT event_type, min(hr) AS hr0 FROM h GROUP BY 1)
+SELECT h.event_type, CAST(h.hr AS BIGINT) AS hr, h.x,
+       prof.pm AS seasonal_micro,
+       CAST(sl.ms * (h.hr - an.hr0) AS BIGINT) AS trend_micro,
+       CAST(h.x * 1000000 - prof.pm - sl.ms * (h.hr - an.hr0) AS BIGINT)
+         AS residual_micro
+FROM h
+LEFT JOIN prof ON prof.event_type = h.event_type AND prof.hod = h.hr % 24
+JOIN sl ON sl.event_type = h.event_type
+JOIN an ON an.event_type = h.event_type"""
     # ca03: RFM transition matrix — ca01's fixed-bin chain run over the
     # two midpoint-split halves (each anchored to its own period),
     # full-outer joined on customer with NEW/CHURNED pseudo-segments.

@@ -93,6 +93,9 @@ HEADLINE = [
     "t30_textrank_keywords",
     # r9 operators
     "d34_maximal_repeat_scrub",
+    # r10 operators
+    "st05_rank_sum_test",
+    "t31_wordpiece_scores",
 ]
 
 # Reference-parity ETL (EP1 at shard grain): not a queries() entry — it

@@ -812,6 +812,233 @@ def bpe_encode(
     ).withColumn("n_tokens", F.size("tokens").cast("long"))
 
 
+#: WordPiece continuation-aware symbolization: first char plain, every
+#: later char '##'-prefixed — the representation the merge scores run on.
+_WP_SYMS = (
+    "transform(sequence(1, length(w)),"
+    " i -> CASE WHEN i = 1 THEN substring(w, 1, 1)"
+    "      ELSE '##' || substring(w, i, 1) END)"
+)
+
+
+def wordpiece_pair_scores(
+    df: DataFrame, text_col: str = "text", top: int = 200
+) -> DataFrame:
+    """Round-0 WordPiece statistics: the likelihood-ratio merge scores
+    a WordPiece trainer ranks each round — for every adjacent symbol
+    pair over the ##-symbolized corpus, ``score_pico = (n_ab · 10¹²)
+    div (n_a · n_b)`` (Schuster & Nakajima's count(ab)/(count(a)·
+    count(b)), held integer at pico granularity — the g12 ranking
+    idiom; a float score could tie-break differently cross-engine).
+    BPE (t17) merges the most FREQUENT pair; WordPiece merges the pair
+    most surprising under independence — the score table is where the
+    two trainers diverge.
+
+    One explode for symbol counts, one for pair counts, two joins on
+    the symbol key, DECIMAL(38,0) products (symbol-count squares pass
+    BIGINT around 3·10⁹ symbols). The top-``top`` cut is a distributed
+    TakeOrdered under the strict total order (score DESC, a, b).
+    Returns (a, b, n_ab, n_a, n_b, score_pico)."""
+    words = (
+        df.select(F.explode(tokens(F.lower(_c(text_col)))).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    syms = words.select(F.explode(F.expr(_WP_SYMS)).alias("s"))
+    sym_counts = syms.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("n_s")
+    )
+    pairs = (
+        words.filter(F.length("w") >= 2)
+        .select(F.expr(_WP_SYMS).alias("sy"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(sy)),"
+                    " i -> struct(sy[i - 2] AS a, sy[i - 1] AS b))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.a", "p.b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    scored = (
+        pairs.join(
+            sym_counts.select(
+                F.col("s").alias("a"), F.col("n_s").alias("n_a")
+            ),
+            "a",
+        )
+        .join(
+            sym_counts.select(
+                F.col("s").alias("b"), F.col("n_s").alias("n_b")
+            ),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST((CAST(n_ab AS DECIMAL(38,0)) * 1000000000000)"
+                " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+            ).alias("score_pico"),
+        )
+    )
+    return scored.orderBy(
+        F.col("score_pico").desc(), "a", "b"
+    ).limit(top)
+
+
+def _merge_wp_fold(a: str, b: str, merged: str):
+    """Greedy left-to-right application of one WordPiece merge (the
+    :func:`_merge_pair_fold` walk, but the replacement is the trainer's
+    MERGED symbol — ``a`` + ``b`` with its '##' prefix stripped)."""
+    a_lit, b_lit, m_lit = F.lit(a), F.lit(b), F.lit(merged)
+
+    def step(acc, s):
+        last = F.element_at(acc, -1)
+        repl = F.concat(
+            F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(m_lit)
+        )
+        return F.when(
+            (F.size(acc) > 0) & (last == a_lit) & (s == b_lit), repl
+        ).otherwise(F.concat(acc, F.array(s)))
+
+    return lambda syms: F.aggregate(
+        syms, F.expr("CAST(array() AS array<string>)"), step
+    )
+
+
+def wordpiece_train(
+    df: DataFrame, rounds: int = 5, text_col: str = "text"
+) -> tuple[list[tuple[str, str, str, int]], DataFrame]:
+    """Distributed WordPiece tokenizer training — the third trainer of
+    the tokenizer triple (BPE :func:`bpe_train` merges the most
+    frequent pair; unigram-LM prunes by loss; WordPiece merges the
+    pair with the highest likelihood ratio ``count(ab) / (count(a) ·
+    count(b))``, integerized as ``score_pico``). Per round: (1) symbol
+    and pair counts weighted by word frequency, (2) argmax under the
+    total order (score_pico DESC, a, b) — one row to the driver, (3)
+    greedy corpus-wide merge via :func:`_merge_wp_fold`; the merged
+    symbol is ``a`` + ``b`` minus its '##' prefix, so continuation
+    pieces stay '##'-marked.
+
+    Scale shape is bpe_train's: the word-frequency table is the
+    vocabulary-bounded training state, read-once corpus,
+    localCheckpoint per round, bounded driver decisions.
+    Conformance-tested against a pure-Python reference
+    (tests/test_operators.py). Returns (merges, symbolized) where
+    merges is [(a, b, merged, score_pico)] in merge order."""
+    words = (
+        df.select(F.explode(tokens(F.lower(_c(text_col)))).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    cur = wf.select(
+        "w", "freq", F.expr(_WP_SYMS).alias("syms")
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[str, str, str, int]] = []
+    for _ in range(rounds):
+        sym_counts = (
+            cur.select("freq", F.explode("syms").alias("s"))
+            .groupBy("s")
+            .agg(F.sum("freq").cast("long").alias("n_s"))
+        )
+        pairs = (
+            cur.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(2, size(syms)),"
+                        " i -> struct(syms[i - 2] AS a, syms[i - 1] AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").cast("long").alias("n_ab"))
+        )
+        scored = (
+            pairs.join(
+                sym_counts.select(
+                    F.col("s").alias("a"), F.col("n_s").alias("n_a")
+                ),
+                "a",
+            )
+            .join(
+                sym_counts.select(
+                    F.col("s").alias("b"), F.col("n_s").alias("n_b")
+                ),
+                "b",
+            )
+            .select(
+                "a",
+                "b",
+                F.expr(
+                    "CAST((CAST(n_ab AS DECIMAL(38,0)) * 1000000000000)"
+                    " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+                ).alias("score_pico"),
+            )
+        )
+        top = scored.orderBy(
+            F.col("score_pico").desc(), "a", "b"
+        ).limit(1).collect()
+        if not top:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merged = a + (b[2:] if b.startswith("##") else b)
+        merges.append((a, b, merged, int(top[0]["score_pico"])))
+        cur = cur.select(
+            "w", "freq", _merge_wp_fold(a, b, merged)(F.col("syms")).alias("syms")
+        ).localCheckpoint(eager=True)
+    return merges, cur
+
+
+def wordpiece_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str, str]] | list[tuple[str, str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned WordPiece merge list by MERGE REPLAY in training
+    order (each word symbolizes to ##-marked characters, then every
+    merge folds through) — this reproduces the trainer's own final
+    segmentation exactly; note production WordPiece inference usually
+    runs greedy longest-match against the closed vocabulary instead,
+    which can differ on words whose piece boundaries were never merged
+    (same caveat class as BPE replay vs BPE-dropout). Pure narrow
+    Column work — no shuffle, no Python in the loop.
+
+    Returns (id, n_words, tokens, n_tokens)."""
+    word_syms = F.transform(tokens(F.lower(_c(text_col))), _wp_syms_col)
+
+    def _per_word(fold):
+        # single-parameter closure (the bpe_encode arity lesson)
+        return lambda s: fold(s)
+
+    enc = word_syms
+    for m in merges:
+        enc = F.transform(enc, _per_word(_merge_wp_fold(m[0], m[1], m[2])))
+    return df.select(
+        F.col(id_col),
+        F.size(word_syms).cast("long").alias("n_words"),
+        F.flatten(enc).alias("tokens"),
+    ).withColumn("n_tokens", F.size("tokens").cast("long"))
+
+
+def _wp_syms_col(w: Column) -> Column:
+    """Column form of the ##-symbolization (for use inside transform
+    lambdas, where the `w` name in :data:`_WP_SYMS` is unavailable)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(w)),
+        lambda i: F.when(i == F.lit(1), w.substr(i, F.lit(1))).otherwise(
+            F.concat(F.lit("##"), w.substr(i, F.lit(1)))
+        ),
+    )
+
+
 def bigram_lm(
     df: DataFrame,
     text_col: str = "text",

@@ -739,3 +739,62 @@ def forecast_backtest(
         )
     )
     return scored.join(gap, key)
+
+
+def seasonal_decomposition(
+    hourly: DataFrame, key: str = "event_type"
+) -> DataFrame:
+    """STL-lite additive decomposition of the hourly grid: observed =
+    seasonal + trend + residual, all in integer micro-counts — the
+    diagnostic VIEW behind the family's point tools (e16 flags hot/cold
+    hours against the profile, fc01 projects forward, e28 fits the
+    trend; this lays the components side by side per observation so a
+    consumer sees WHY an hour is anomalous).
+
+    Components: ``seasonal_micro`` is the key's hour-of-day profile
+    mean (truncating micro div on non-negative sums — e16's
+    discipline); ``trend_micro`` is the Theil–Sen median slope
+    (:func:`theilsen_trend`, floor-reconstructed for signed dy) times
+    the hour offset from the key's FIRST grid hour (signed
+    multiply-add, exact); ``residual_micro`` is the signed remainder
+    x·1e6 − seasonal − trend. Keys with a single grid hour have no
+    pairwise slope and are left out (no trend is estimable — the
+    theilsen contract).
+
+    Scale shape: fc01's calendar-bounded plan — one hod-grain agg, one
+    calendar-bounded pair join for the slope, one key-grain anchor agg,
+    all broadcast back onto the grid. Returns (key, hr, x,
+    seasonal_micro, trend_micro, residual_micro)."""
+    us = 1_000_000
+    profile = hourly.select(
+        F.col(key), F.pmod(F.col("hr"), F.lit(24)).alias("hod"), "x"
+    ).groupBy(key, "hod").agg(
+        F.expr(f"({us} * sum(x)) div count(*)")
+        .cast("long")
+        .alias("seasonal_micro")
+    )
+    slopes = theilsen_trend(hourly, key).select(
+        key, "median_slope_micro"
+    )
+    anchor = hourly.groupBy(key).agg(F.min("hr").alias("_hr0"))
+    return (
+        hourly.withColumn("hod", F.pmod(F.col("hr"), F.lit(24)))
+        .join(profile, [key, "hod"], "left")
+        .join(slopes, key)
+        .join(anchor, key)
+        .select(
+            F.col(key),
+            F.col("hr").cast("long").alias("hr"),
+            F.col("x").cast("long").alias("x"),
+            "seasonal_micro",
+            (
+                F.col("median_slope_micro")
+                * (F.col("hr") - F.col("_hr0"))
+            ).cast("long").alias("trend_micro"),
+            (
+                F.col("x") * us
+                - F.col("seasonal_micro")
+                - F.col("median_slope_micro") * (F.col("hr") - F.col("_hr0"))
+            ).cast("long").alias("residual_micro"),
+        )
+    )

@@ -3804,6 +3804,105 @@ def test_maximal_repeat_rejects_duplicate_levels(spark):
         maximal_repeat_stats(df, levels=(8, 8), min_len=8)
 
 
+def test_wordpiece_train_conformance_and_encode(spark):
+    """r10: t31 — the distributed WordPiece trainer reproduces a pure-
+    Python reference exactly (merge sequence incl. integer pico scores
+    and tie-breaks, final segmentations), and merge-replay encoding
+    reproduces the trainer's own segmentation per word."""
+    from collections import Counter
+
+    from learn_etl_data_warehouse_spark.operators.text import (
+        wordpiece_encode,
+        wordpiece_train,
+    )
+
+    corpus = [
+        (1, "hugging hug hugs bug bugs"),
+        (2, "hug hug plug plugs hugging"),
+        (3, "banana bandana ban band"),
+    ]
+    rounds = 6
+
+    wf = Counter(
+        w for _, t in corpus for w in t.lower().split() if w
+    )
+    state = {w: [w[0]] + ["##" + c for c in w[1:]] for w in wf}
+    want_merges = []
+    for _ in range(rounds):
+        sym_c, pair_c = Counter(), Counter()
+        for w, f in wf.items():
+            syms = state[w]
+            for s in syms:
+                sym_c[s] += f
+            for i in range(len(syms) - 1):
+                pair_c[(syms[i], syms[i + 1])] += f
+        best = None
+        for (a, b), n in pair_c.items():
+            score = (n * 10**12) // (sym_c[a] * sym_c[b])
+            key = (-score, a, b)
+            if best is None or key < best[0]:
+                best = (key, a, b, score)
+        if best is None:
+            break
+        _, a, b, score = best
+        merged = a + (b[2:] if b.startswith("##") else b)
+        want_merges.append((a, b, merged, score))
+        for w in state:
+            out = []
+            for s in state[w]:
+                if out and out[-1] == a and s == b:
+                    out[-1] = merged
+                else:
+                    out.append(s)
+            state[w] = out
+
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    merges, cur = wordpiece_train(df, rounds=rounds)
+    assert merges == want_merges
+    got_state = {r["w"]: list(r["syms"]) for r in cur.collect()}
+    assert got_state == state
+
+    enc = {
+        r["doc_id"]: list(r["tokens"])
+        for r in wordpiece_encode(df, merges).collect()
+    }
+    for did, t in corpus:
+        want = [s for w in t.lower().split() for s in state[w]]
+        assert enc[did] == want, did
+
+
+def test_seasonal_decomposition_identity_and_trend(spark):
+    """r10: e29 — observed·1e6 = seasonal + trend + residual row-for-
+    row; a perfectly linear series decomposes with zero residual at
+    hours whose hod profile equals their value; a single-hour key is
+    excluded (no estimable trend)."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        seasonal_decomposition,
+    )
+
+    rows = (
+        # key 'lin': x = hr over hours 0..5 (slope 1e6, hod=hr)
+        [("lin", h, h) for h in range(6)]
+        + [("one", 3, 7)]  # single grid hour: no pairwise slope
+    )
+    hourly = spark.createDataFrame(rows, "event_type string, hr long, x long")
+    got = seasonal_decomposition(hourly).collect()
+    keys = {r["event_type"] for r in got}
+    assert keys == {"lin"}
+    for r in got:
+        assert (
+            r["x"] * 1_000_000
+            == r["seasonal_micro"] + r["trend_micro"] + r["residual_micro"]
+        )
+    by_hr = {r["hr"]: r for r in got}
+    # slope is exactly 1e6; seasonal at hod h is h·1e6; trend h·1e6 from
+    # anchor 0 → residual = h·1e6 − h·1e6 − h·1e6 = −h·1e6
+    for h in range(6):
+        assert by_hr[h]["trend_micro"] == h * 1_000_000
+        assert by_hr[h]["seasonal_micro"] == h * 1_000_000
+        assert by_hr[h]["residual_micro"] == -h * 1_000_000
+
+
 def test_rank_sum_test_hand_model_and_invariants(spark):
     """r10: st05 — doubled rank sums against a hand-ranked example with
     a tied block spanning both groups; Σ rank_sum_x2 = N·(N+1) and
