@@ -4935,6 +4935,27 @@ def q_ml04(spark, sf_dir):
     )
 
 
+def q_ml06(spark, sf_dir):
+    """k-fold cross-validated stump (r10): ml04's exact-argmax stump
+    trained out-of-fold and scored on each held-out fold — the
+    generalization report next to ml04's training accuracy. Folds are
+    RNG-free md5 buckets (the d07 discipline) and the fold axis is a
+    GRID DIMENSION: per (feature, value, k) train counts = total −
+    fold-k counts, so one (k, feature)-partitioned cumulative pass
+    yields all folds' train AND eval correct-counts — no per-fold
+    loop, no row-level eval join
+    (operators/classifier.py::stump_cross_validate)."""
+    from learn_etl_data_warehouse_spark.operators.classifier import (
+        quality_features,
+        stump_cross_validate,
+    )
+
+    return stump_cross_validate(
+        quality_features(_t(spark, sf_dir, "documents"), min_words=40),
+        folds=4,
+    )
+
+
 def q_ml05(spark, sf_dir):
     """Classifier margin calibration (r8): cl02's scored corpus
     bucketed by SIGNED decimal digit count of the margin (the e19/g15
@@ -5235,6 +5256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pf11_k_anonymity": q_pf11,
         "t31_wordpiece_scores": q_t31,
         "e29_seasonal_decomposition": q_e29,
+        "ml06_stump_cross_validation": q_ml06,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept last
         "e22_rolling_distinct_hll": q_e22,
@@ -8577,6 +8599,74 @@ rk AS (SELECT feature, threshold, polarity,
        FROM cand)
 SELECT feature, threshold, polarity, correct, n,
        CAST((1000000 * correct) // n AS BIGINT) AS accuracy_ppm
+FROM rk WHERE rn = 1"""
+    # ml06 (r10): fold axis as a grid dimension — per (feature, value,
+    # k) train counts = total − fold-k counts; one (k, feature)
+    # cumulative pass yields train AND eval correct-counts (union grid,
+    # so the chosen threshold always has an exact eval row).
+    _stump_unpivot_cv = "\n    UNION ALL ".join(
+        f"SELECT '{x}' AS feature, {x} AS value, label, fold FROM fz"
+        for x, _ in _clf
+    )
+    out["ml06_stump_cross_validation"] = _cl_feat_prefix + f""",
+fz AS (SELECT f.*,
+              ('0x' || substr(md5('cv:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                % 4 AS fold
+       FROM f),
+s AS ({_stump_unpivot_cv}),
+g AS (SELECT feature, value, fold,
+             CAST(count(*) AS BIGINT) AS n_at,
+             CAST(coalesce(sum(label), 0) AS BIGINT) AS n1_at
+      FROM s GROUP BY 1, 2, 3),
+tot AS (SELECT feature, value, sum(n_at) AS n_tot, sum(n1_at) AS n1_tot
+        FROM g GROUP BY 1, 2),
+ks AS (SELECT unnest(generate_series(0, 3)) AS k),
+base AS (SELECT t.feature, t.value, ks.k,
+                coalesce(g.n_at, 0) AS n_ev,
+                coalesce(g.n1_at, 0) AS n1_ev,
+                t.n_tot - coalesce(g.n_at, 0) AS n_tr,
+                t.n1_tot - coalesce(g.n1_at, 0) AS n1_tr
+         FROM tot t CROSS JOIN ks
+         LEFT JOIN g ON g.feature = t.feature AND g.value = t.value
+                    AND g.fold = ks.k),
+cg AS (SELECT feature, value, k,
+              sum(n1_tr) OVER wc AS le1_tr,
+              sum(n_tr - n1_tr) OVER wc AS le0_tr,
+              sum(n1_tr) OVER wf AS tot1_tr,
+              sum(n_tr - n1_tr) OVER wf AS tot0_tr,
+              sum(n1_ev) OVER wc AS le1_ev,
+              sum(n_ev - n1_ev) OVER wc AS le0_ev,
+              sum(n1_ev) OVER wf AS tot1_ev,
+              sum(n_ev - n1_ev) OVER wf AS tot0_ev
+       FROM base
+       WINDOW wc AS (PARTITION BY k, feature ORDER BY value
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              wf AS (PARTITION BY k, feature)),
+cand AS (
+  SELECT k, feature, value AS threshold, CAST(1 AS BIGINT) AS polarity,
+         le1_tr + (tot0_tr - le0_tr) AS correct_tr,
+         le1_ev + (tot0_ev - le0_ev) AS correct_ev,
+         tot1_tr + tot0_tr AS n_train, tot1_ev + tot0_ev AS n_eval
+  FROM cg
+  UNION ALL
+  SELECT k, feature, value, CAST(0 AS BIGINT),
+         le0_tr + (tot1_tr - le1_tr), le0_ev + (tot1_ev - le1_ev),
+         tot1_tr + tot0_tr, tot1_ev + tot0_ev
+  FROM cg),
+rk AS (SELECT k, feature, threshold, polarity, correct_tr, correct_ev,
+              n_train, n_eval,
+              row_number() OVER (PARTITION BY k
+                ORDER BY correct_tr DESC, feature, threshold, polarity)
+                AS rn
+       FROM cand)
+SELECT CAST(k AS BIGINT) AS fold, feature, threshold, polarity,
+       CAST(n_train AS BIGINT) AS n_train,
+       CAST(n_eval AS BIGINT) AS n_eval,
+       CAST((1000000 * correct_tr) // n_train AS BIGINT)
+         AS train_accuracy_ppm,
+       CASE WHEN n_eval > 0
+            THEN CAST((1000000 * correct_ev) // n_eval AS BIGINT)
+       END AS eval_accuracy_ppm
 FROM rk WHERE rn = 1"""
     # ml05: margin calibration — cl_base through w8, margins bucketed
     # by signed decimal digit count (string length, no libm log).

@@ -455,3 +455,147 @@ def margin_calibration(scored: DataFrame) -> DataFrame:
             "max_margin",
         )
     )
+
+
+def stump_cross_validate(
+    feats: DataFrame, folds: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """k-fold cross-validated decision stump — the generalization
+    report :func:`decision_stump_train` can't give (its accuracy is
+    training accuracy; a stump that merely memorizes a grid quirk
+    looks identical there). For every fold k: the stump trained on the
+    OTHER folds (exact correct-count argmax under the strict
+    (correct DESC, feature, threshold, polarity) order, now ranked
+    ACROSS features) scored on fold k's held-out rows.
+
+    Fully distributed — no per-fold driver loop: folds come from an
+    RNG-free md5 bucket of the id (the d07 split discipline), and the
+    fold axis is a GRID DIMENSION — per (feature, value, k) the train
+    counts are total − fold-k counts, so one (k, feature)-partitioned
+    cumulative pass yields every fold's train AND eval correct-counts
+    simultaneously (train grids and eval grids share the union value
+    grid, so the chosen threshold always has an exact eval row — no
+    as-of join). Windows stay bounded: folds × the per-feature value
+    grid (~2k rows), never row count.
+
+    Returns one row per fold: (fold, feature, threshold, polarity,
+    n_train, n_eval, train_accuracy_ppm, eval_accuracy_ppm);
+    eval ppm is NULL for an empty fold (vanishingly unlikely past toy
+    sizes)."""
+    from pyspark.sql import Window
+
+    if folds < 2:
+        raise ValueError("stump_cross_validate: folds must be >= 2")
+    from .sampling import hash_bucket
+
+    fold = hash_bucket(
+        F.concat(F.lit("cv:"), F.col(id_col).cast("string")), folds
+    )
+    stack_args = ", ".join(f"'{n}', {n}" for n in FEATURE_NAMES)
+    s = feats.select(
+        F.expr(
+            f"stack({len(FEATURE_NAMES)}, {stack_args}) AS (feature, value)"
+        ),
+        "label",
+        fold.alias("fold"),
+    )
+    g = s.groupBy("feature", "value", "fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_at"),
+        F.coalesce(F.sum("label"), F.lit(0)).cast("long").alias("n1_at"),
+    )
+    tot = g.groupBy("feature", "value").agg(
+        F.sum("n_at").cast("long").alias("n_tot"),
+        F.sum("n1_at").cast("long").alias("n1_tot"),
+    )
+    ks = feats.sparkSession.createDataFrame(
+        [(k,) for k in range(folds)], "k long"
+    )
+    gk = g.select(
+        F.col("feature").alias("_gf"),
+        F.col("value").alias("_gv"),
+        F.col("fold").alias("_gk"),
+        "n_at",
+        "n1_at",
+    )
+    base = (
+        tot.crossJoin(F.broadcast(ks))
+        .join(
+            gk,
+            (F.col("feature") == F.col("_gf"))
+            & (F.col("value") == F.col("_gv"))
+            & (F.col("k") == F.col("_gk")),
+            "left",
+        )
+        .select(
+            "feature",
+            "value",
+            "k",
+            F.coalesce(F.col("n_at"), F.lit(0)).alias("n_ev"),
+            F.coalesce(F.col("n1_at"), F.lit(0)).alias("n1_ev"),
+            (F.col("n_tot") - F.coalesce(F.col("n_at"), F.lit(0))).alias("n_tr"),
+            (F.col("n1_tot") - F.coalesce(F.col("n1_at"), F.lit(0))).alias(
+                "n1_tr"
+            ),
+        )
+    )
+    wcum = (
+        Window.partitionBy("k", "feature")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("k", "feature")
+    c = base.select(
+        "feature",
+        "value",
+        "k",
+        F.sum("n1_tr").over(wcum).cast("long").alias("le1_tr"),
+        F.sum(F.col("n_tr") - F.col("n1_tr")).over(wcum).cast("long").alias("le0_tr"),
+        F.sum("n1_tr").over(wall).cast("long").alias("tot1_tr"),
+        F.sum(F.col("n_tr") - F.col("n1_tr")).over(wall).cast("long").alias("tot0_tr"),
+        F.sum("n1_ev").over(wcum).cast("long").alias("le1_ev"),
+        F.sum(F.col("n_ev") - F.col("n1_ev")).over(wcum).cast("long").alias("le0_ev"),
+        F.sum("n1_ev").over(wall).cast("long").alias("tot1_ev"),
+        F.sum(F.col("n_ev") - F.col("n1_ev")).over(wall).cast("long").alias("tot0_ev"),
+    )
+
+    def _cand(pol: int):
+        if pol == 1:
+            tr = F.col("le1_tr") + F.col("tot0_tr") - F.col("le0_tr")
+            ev = F.col("le1_ev") + F.col("tot0_ev") - F.col("le0_ev")
+        else:
+            tr = F.col("le0_tr") + F.col("tot1_tr") - F.col("le1_tr")
+            ev = F.col("le0_ev") + F.col("tot1_ev") - F.col("le1_ev")
+        return c.select(
+            F.col("k"),
+            "feature",
+            F.col("value").alias("threshold"),
+            F.lit(pol).cast("long").alias("polarity"),
+            tr.cast("long").alias("correct_tr"),
+            ev.cast("long").alias("correct_ev"),
+            (F.col("tot1_tr") + F.col("tot0_tr")).cast("long").alias("n_train"),
+            (F.col("tot1_ev") + F.col("tot0_ev")).cast("long").alias("n_eval"),
+        )
+
+    cand = _cand(1).unionByName(_cand(0))
+    wbest = Window.partitionBy("k").orderBy(
+        F.col("correct_tr").desc(), "feature", "threshold", "polarity"
+    )
+    return (
+        cand.withColumn("_rn", F.row_number().over(wbest))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("k").alias("fold"),
+            "feature",
+            "threshold",
+            "polarity",
+            "n_train",
+            "n_eval",
+            F.expr("(1000000 * correct_tr) div n_train")
+            .cast("long")
+            .alias("train_accuracy_ppm"),
+            F.when(
+                F.col("n_eval") > 0,
+                F.expr("(1000000 * correct_ev) div n_eval"),
+            ).cast("long").alias("eval_accuracy_ppm"),
+        )
+    )

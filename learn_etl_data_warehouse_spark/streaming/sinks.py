@@ -906,3 +906,183 @@ def tokenizer_stats_ingest_sink(
         )
 
     return handle
+
+
+def dfg_ingest_sink(
+    catalog_dir: str,
+    actor_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+):
+    """foreachBatch handler maintaining pm02's performance-annotated
+    directly-follows graph incrementally — the process-mining monitor a
+    deployment keeps live over an event stream.
+
+    State design: edge aggregates are NOT additive at edge grain
+    (n_actors is a COUNT DISTINCT), so the maintained state is the
+    (a, b, actor) grain — ``dfg_edge_actors`` (n, sum_gap, min_gap,
+    max_gap per actor per edge; all four merge under add/least/
+    greatest) — plus ``dfg_tails``: each actor's LAST event (ts, id,
+    type), the boundary state that stitches consecutive batches. Each
+    micro-batch unions the arriving events with the stored tails, takes
+    consecutive pairs per actor under the total (ts, id) order (the
+    tail contributes exactly the one boundary hop; hops among earlier
+    events are already in state), folds them into the actor-grain
+    state, refreshes the tails, and re-derives the published
+    ``dfg_edges`` (n_traversals, n_actors, min/mean/max gap — pm02's
+    exact schema) from the state. All four tables + the ``dfg_applied``
+    ledger flip in ONE catalog transaction.
+
+    Ordering contract: per-actor IN-ORDER arrival across batches (an
+    actor's batch-N events are all later than its stored tail) — the
+    ``stateful.py`` sessionizer's documented assumption; within a batch
+    the total (ts, id) order needs no such care. Exactly-once is
+    LEDGER-derived (hop counts are not replay-idempotent).
+
+    Cost per batch: O(batch) for the hop window + O(state) for the
+    edge re-agg — the state is bounded by |alphabet|² · actors, never
+    by ingested history. Conformance: published dfg_edges ==
+    ``direct_follows_graph`` over all events seen, after EVERY batch
+    (tests/test_streaming.py)."""
+    from pyspark.sql import Window
+
+    from learn_etl_data_warehouse_spark.plans import catalog as cat
+
+    def handle(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        tables = set(cat.read_catalog(catalog_dir)["tables"])
+        if "dfg_applied" in tables:
+            applied = {
+                r.batch_id
+                for r in cat.catalog_read(spark, catalog_dir, "dfg_applied")
+                .select("batch_id")
+                .collect()
+            }
+            if int(batch_id) in applied:
+                return  # replayed batch: already folded into the state
+        ev = batch_df.select(
+            F.col(actor_col).alias("_u"),
+            F.col(ts_col).alias("_ts"),
+            F.col(id_col).alias("_id"),
+            F.col(type_col).alias("_t"),
+        )
+        if "dfg_tails" in tables:
+            tails = cat.catalog_read(spark, catalog_dir, "dfg_tails").select(
+                "_u", "_ts", "_id", "_t"
+            )
+            ev_all = ev.unionByName(tails)
+        else:
+            ev_all = ev
+        trace = Window.partitionBy("_u").orderBy("_ts", "_id")
+        hops = (
+            ev_all.withColumn("_nxt", F.lead("_t").over(trace))
+            .withColumn("_nts", F.lead("_ts").over(trace))
+            .filter(F.col("_nxt").isNotNull())
+            .select(
+                F.col("_t").alias("a"),
+                F.col("_nxt").alias("b"),
+                "_u",
+                F.expr("unix_micros(_nts) - unix_micros(_ts)").alias("_gap"),
+            )
+        )
+        delta = hops.groupBy("a", "b", "_u").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_gap").cast("long").alias("sum_gap"),
+            F.min("_gap").cast("long").alias("min_gap"),
+            F.max("_gap").cast("long").alias("max_gap"),
+        )
+        if "dfg_edge_actors" in tables:
+            prev = cat.catalog_read(spark, catalog_dir, "dfg_edge_actors").select(
+                "a", "b", "_u", "n", "sum_gap", "min_gap", "max_gap"
+            )
+            merged = (
+                prev.select(
+                    "a", "b", "_u",
+                    F.col("n").alias("_pn"),
+                    F.col("sum_gap").alias("_ps"),
+                    F.col("min_gap").alias("_pmn"),
+                    F.col("max_gap").alias("_pmx"),
+                )
+                .join(
+                    delta.select(
+                        "a", "b", "_u",
+                        F.col("n").alias("_dn"),
+                        F.col("sum_gap").alias("_ds"),
+                        F.col("min_gap").alias("_dmn"),
+                        F.col("max_gap").alias("_dmx"),
+                    ),
+                    ["a", "b", "_u"],
+                    "full_outer",
+                )
+                .select(
+                    "a", "b", "_u",
+                    (
+                        F.coalesce(F.col("_pn"), F.lit(0))
+                        + F.coalesce(F.col("_dn"), F.lit(0))
+                    ).cast("long").alias("n"),
+                    (
+                        F.coalesce(F.col("_ps"), F.lit(0))
+                        + F.coalesce(F.col("_ds"), F.lit(0))
+                    ).cast("long").alias("sum_gap"),
+                    F.least(
+                        F.coalesce(F.col("_pmn"), F.col("_dmn")),
+                        F.coalesce(F.col("_dmn"), F.col("_pmn")),
+                    ).cast("long").alias("min_gap"),
+                    F.greatest(
+                        F.coalesce(F.col("_pmx"), F.col("_dmx")),
+                        F.coalesce(F.col("_dmx"), F.col("_pmx")),
+                    ).cast("long").alias("max_gap"),
+                )
+            )
+        else:
+            merged = delta
+        last = Window.partitionBy("_u").orderBy(
+            F.desc("_ts"), F.desc("_id")
+        )
+        batch_tails = (
+            ev.withColumn("_rn", F.row_number().over(last))
+            .filter(F.col("_rn") == 1)
+            .select("_u", "_ts", "_id", "_t")
+        )
+        if "dfg_tails" in tables:
+            kept = tails.join(
+                batch_tails.select(F.col("_u").alias("_bu")),
+                tails["_u"] == F.col("_bu"),
+                "left_anti",
+            )
+            new_tails = kept.unionByName(batch_tails)
+        else:
+            new_tails = batch_tails
+        edges = merged.groupBy("a", "b").agg(
+            F.sum("n").cast("long").alias("n_traversals"),
+            F.count(F.lit(1)).cast("long").alias("n_actors"),
+            F.min("min_gap").cast("long").alias("min_gap_us"),
+            F.expr("sum(sum_gap) div sum(n)").cast("long").alias("mean_gap_us"),
+            F.max("max_gap").cast("long").alias("max_gap_us"),
+        )
+        ledger = spark.createDataFrame(
+            [(int(batch_id),)], "batch_id long"
+        ).withColumn("ingest_batch", F.lit(int(batch_id)))
+        cat.catalog_commit(
+            spark,
+            catalog_dir,
+            {
+                "dfg_edge_actors": (
+                    merged.withColumn("state", F.lit("live")),
+                    ["state"],
+                ),
+                "dfg_tails": (
+                    new_tails.withColumn("state", F.lit("live")),
+                    ["state"],
+                ),
+                "dfg_edges": (
+                    edges.withColumn("state", F.lit("live")),
+                    ["state"],
+                ),
+                "dfg_applied": (ledger, ["ingest_batch"]),
+            },
+            replace=False,
+        )
+
+    return handle

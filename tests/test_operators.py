@@ -3482,6 +3482,61 @@ def test_decision_stump_matches_brute_force(spark, sf_small):
         assert g["accuracy_ppm"] == (1_000_000 * want_correct) // n
 
 
+def test_stump_cross_validate_matches_brute_force(spark, sf_small):
+    """r10: ml06 — per fold, the out-of-fold-trained winner (ranked
+    ACROSS features under (correct DESC, feature, threshold, polarity))
+    and its held-out accuracy must equal a brute-force enumeration on
+    the collected features with the same md5 fold assignment."""
+    import hashlib
+
+    from learn_etl_data_warehouse_spark.operators.classifier import (
+        FEATURE_NAMES,
+        quality_features,
+        stump_cross_validate,
+    )
+    from learn_etl_data_warehouse_spark.sources.parquet import load_table
+
+    folds = 4
+    docs = load_table(spark, sf_small, "documents")
+    feats = quality_features(docs, min_words=40)
+    rows = [r.asDict() for r in feats.collect()]
+    for r in rows:
+        digest = hashlib.md5(f"cv:{r['doc_id']}".encode()).hexdigest()
+        r["fold"] = int(digest[:8], 16) % folds
+
+    got = {r["fold"]: r.asDict()
+           for r in stump_cross_validate(feats, folds=folds).collect()}
+    assert set(got) == set(range(folds))
+
+    for k in range(folds):
+        train = [r for r in rows if r["fold"] != k]
+        ev = [r for r in rows if r["fold"] == k]
+        values = {
+            f: sorted({r[f] for r in rows}) for f in FEATURE_NAMES
+        }  # union grid, as the operator builds it
+        best = None
+        for f in FEATURE_NAMES:
+            for t in values[f]:
+                for pol in (0, 1):
+                    correct = sum(
+                        1 for r in train
+                        if (pol if r[f] <= t else 1 - pol) == r["label"]
+                    )
+                    cand = (-correct, f, t, pol)
+                    if best is None or cand < best:
+                        best = cand
+        _, bf, bt, bp = best
+        ev_correct = sum(
+            1 for r in ev
+            if (bp if r[bf] <= bt else 1 - bp) == r["label"]
+        )
+        g = got[k]
+        assert (g["feature"], g["threshold"], g["polarity"]) == (bf, bt, bp), k
+        assert g["n_train"] == len(train) and g["n_eval"] == len(ev)
+        assert g["train_accuracy_ppm"] == (1_000_000 * -best[0]) // len(train)
+        assert g["eval_accuracy_ppm"] == (1_000_000 * ev_correct) // len(ev)
+
+
 def test_margin_calibration_buckets_and_rates(spark):
     """r8: signed digit-count bucketing (0 / ±digits), exact ppm rates,
     per-bucket margin extrema — pinned on hand-built margins spanning

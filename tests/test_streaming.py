@@ -2009,3 +2009,115 @@ def test_substring_index_sink_incremental_and_replay(spark, tmp_path):
     txn_before = cat.read_catalog(cdir)["txn"]
     handle(b1, 1)
     assert cat.read_catalog(cdir)["txn"] == txn_before
+
+
+def test_dfg_ingest_sink_incremental_matches_batch(spark, tmp_path, sf_small):
+    """r10: the DFG sink's maintained (edge, actor) state + tail
+    stitching equals pm02's batch twin over all events after EVERY
+    batch (batches split by TIME so the per-actor in-order contract
+    holds); a replayed batch is a ledgered no-op."""
+    from learn_etl_data_warehouse_spark.operators.process_mining import (
+        direct_follows_graph,
+    )
+    from learn_etl_data_warehouse_spark.plans import catalog as cat
+    from learn_etl_data_warehouse_spark.sources.parquet import load_table
+    from learn_etl_data_warehouse_spark.streaming.sinks import dfg_ingest_sink
+
+    ev = load_table(spark, sf_small, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    cut = ev.agg(
+        F.expr("percentile_approx(unix_micros(ts), 0.5)").alias("c")
+    ).collect()[0]["c"]
+    b0 = ev.filter(F.expr(f"unix_micros(ts) <= {cut}"))
+    b1 = ev.filter(F.expr(f"unix_micros(ts) > {cut}"))
+    assert b0.count() > 0 and b1.count() > 0
+
+    cdir = str(tmp_path / "dfgcat")
+    handle = dfg_ingest_sink(cdir)
+
+    def published():
+        return sorted(
+            map(
+                tuple,
+                cat.catalog_read(spark, cdir, "dfg_edges")
+                .select(
+                    "a", "b", "n_traversals", "n_actors",
+                    "min_gap_us", "mean_gap_us", "max_gap_us",
+                )
+                .collect(),
+            )
+        )
+
+    handle(b0, 0)
+    assert published() == sorted(
+        map(tuple, direct_follows_graph(b0).collect())
+    )
+
+    handle(b1, 1)
+    assert published() == sorted(
+        map(tuple, direct_follows_graph(ev).collect())
+    )
+
+    txn_before = cat.read_catalog(cdir)["txn"]
+    handle(b1, 1)
+    assert cat.read_catalog(cdir)["txn"] == txn_before
+
+
+def test_dfg_ingest_sink_end_to_end_stream(spark, tmp_path, sf_small):
+    """r10: the DFG sink under real checkpointed availableNow RESTARTS
+    (one file per run — the stateful.py ordered-delivery pattern, since
+    the boundary-hop state needs per-actor in-order batches): after
+    both runs the published edges equal pm02's batch twin."""
+    from learn_etl_data_warehouse_spark.operators.process_mining import (
+        direct_follows_graph,
+    )
+    from learn_etl_data_warehouse_spark.plans import catalog as cat
+    from learn_etl_data_warehouse_spark.sources.parquet import load_table
+    from learn_etl_data_warehouse_spark.streaming.sinks import dfg_ingest_sink
+
+    ev = load_table(spark, sf_small, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    cut = ev.agg(
+        F.expr("percentile_approx(unix_micros(ts), 0.5)").alias("c")
+    ).collect()[0]["c"]
+    src = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    cdir = str(tmp_path / "cat")
+
+    def run_once():
+        q = (
+            spark.readStream.schema(ev.schema)
+            .parquet(src)
+            .writeStream.foreachBatch(dfg_ingest_sink(cdir))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    ev.filter(F.expr(f"unix_micros(ts) <= {cut}")).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    ev.filter(F.expr(f"unix_micros(ts) > {cut}")).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+
+    got = sorted(
+        map(
+            tuple,
+            cat.catalog_read(spark, cdir, "dfg_edges")
+            .select(
+                "a", "b", "n_traversals", "n_actors",
+                "min_gap_us", "mean_gap_us", "max_gap_us",
+            )
+            .collect(),
+        )
+    )
+    assert got == sorted(map(tuple, direct_follows_graph(ev).collect()))
