@@ -3799,6 +3799,35 @@ def q_e29(spark, sf_dir):
     return seasonal_decomposition(hourly_counts(_t(spark, sf_dir, "events")))
 
 
+def q_fc03(spark, sf_dir):
+    """Intermittent-demand rate (r10): per-part Croston-family rate
+    estimation over the sparse daily shipment series — mean nonzero
+    demand, mean inter-demand interval, and the per-day demand rate
+    Σq·(n−1) / (n·span), all truncating micro on non-negative integers
+    (DECIMAL(38,0) numerator). Single-demand parts report NULL
+    interval/rate both engines. Completes the forecasting family:
+    fc01 dense seasonal+trend, fc02 backtest, fc03 the sparse-series
+    estimator those models can't serve
+    (operators/timeseries.py::intermittent_demand_rate)."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        intermittent_demand_rate,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    demand = (
+        li.select(
+            F.col("l_partkey").alias("part_id"),
+            F.datediff(F.col("l_shipdate"), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("d"),
+            F.round("l_quantity").cast("long").alias("q"),
+        )
+        .groupBy("part_id", "d")
+        .agg(F.sum("q").cast("long").alias("qty"))
+    )
+    return intermittent_demand_rate(demand)
+
+
 def q_pf11(spark, sf_dir):
     """k-anonymity audit (r10): customers grouped by the quasi-
     identifier tuple (nation, market segment, $1000 balance bucket) —
@@ -5257,6 +5286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t31_wordpiece_scores": q_t31,
         "e29_seasonal_decomposition": q_e29,
         "ml06_stump_cross_validation": q_ml06,
+        "fc03_intermittent_demand": q_fc03,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept last
         "e22_rolling_distinct_hll": q_e22,
@@ -7891,6 +7921,31 @@ SELECT a, b, CAST(count(*) AS BIGINT) AS n_traversals,
        CAST(sum(gap) // count(*) AS BIGINT) AS mean_gap_us,
        CAST(max(gap) AS BIGINT) AS max_gap_us
 FROM h WHERE b IS NOT NULL GROUP BY 1, 2"""
+    # fc03 (r10): non-negative micro divisions (// ≡ div); HUGEINT
+    # numerator mirrors the Spark DECIMAL(38,0); single-demand parts
+    # NULL out both engines.
+    out["fc03_intermittent_demand"] = """
+WITH demand AS (
+  SELECT l_partkey AS part_id,
+         date_diff('day', TIMESTAMP '1970-01-01', l_shipdate) AS d,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY 1, 2),
+g AS (SELECT part_id, CAST(count(*) AS BIGINT) AS n_demands,
+             CAST(sum(qty) AS BIGINT) AS total_qty,
+             CAST(max(d) - min(d) AS BIGINT) AS span_days
+      FROM demand GROUP BY 1)
+SELECT part_id, n_demands, total_qty, span_days,
+       CAST((1000000 * total_qty) // n_demands AS BIGINT)
+         AS mean_qty_micro,
+       CASE WHEN n_demands >= 2 AND span_days > 0
+            THEN CAST((1000000 * span_days) // (n_demands - 1) AS BIGINT)
+       END AS mean_interval_micro_days,
+       CASE WHEN n_demands >= 2 AND span_days > 0
+            THEN CAST((1000000 * CAST(total_qty AS HUGEINT)
+                       * (n_demands - 1))
+                      // (n_demands * span_days) AS BIGINT)
+       END AS rate_micro_per_day
+FROM g"""
     # pf11 (r10): QI bucket shifts cents +100000 → non-negative, so
     # DuckDB's flooring // equals Spark's truncating div.
     out["pf11_k_anonymity"] = """

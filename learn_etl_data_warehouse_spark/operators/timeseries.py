@@ -798,3 +798,58 @@ def seasonal_decomposition(
             ).cast("long").alias("residual_micro"),
         )
     )
+
+
+def intermittent_demand_rate(
+    demand: DataFrame,
+    key_col: str = "part_id",
+    day_col: str = "d",
+    qty_col: str = "qty",
+) -> DataFrame:
+    """Intermittent-demand rate estimation — the Croston-family
+    long-run estimator for sparse demand series (most parts sell on a
+    few scattered days; a naive daily mean over the calendar is
+    dominated by zeros and an hourly profile is meaningless). Per key,
+    from its demand events only: mean nonzero demand size z = Σq/n,
+    mean inter-demand interval p = (d_last − d_first)/(n−1), and the
+    demand RATE per day z/p = Σq·(n−1) / (n·(d_last − d_first)) —
+    all reported in truncating micro units on non-negative integer
+    operands (flooring-oracle-exact). Croston's original smooths z and
+    p with SES; the long-run mean is its fixed point and is
+    order-free, hence exactly aggregable in one pass.
+
+    Keys with a single demand day have no interval — they report
+    NULL interval/rate (both engines), the fc02 degenerate-input
+    discipline. One hash agg at key grain; no window, no join.
+
+    Returns (key, n_demands, total_qty, span_days, mean_qty_micro,
+    mean_interval_micro_days, rate_micro_per_day)."""
+    us = 1_000_000
+    g = demand.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_demands"),
+        F.sum(F.col(qty_col).cast("long")).cast("long").alias("total_qty"),
+        (F.max(day_col) - F.min(day_col)).cast("long").alias("span_days"),
+    )
+    multi = F.col("n_demands") >= 2
+    return g.select(
+        F.col("key").alias(key_col),
+        "n_demands",
+        "total_qty",
+        "span_days",
+        F.expr(f"({us} * total_qty) div n_demands")
+        .cast("long")
+        .alias("mean_qty_micro"),
+        F.when(
+            multi & (F.col("span_days") > 0),
+            F.expr(f"({us} * span_days) div (n_demands - 1)"),
+        ).cast("long").alias("mean_interval_micro_days"),
+        F.when(
+            multi & (F.col("span_days") > 0),
+            # numerator in DECIMAL(38,0): us·Σq·(n−1) passes BIGINT
+            # around 10⁷ demand rows per key
+            F.expr(
+                f"({us} * CAST(total_qty AS DECIMAL(38,0))"
+                " * (n_demands - 1)) div (n_demands * span_days)"
+            ),
+        ).cast("long").alias("rate_micro_per_day"),
+    )

@@ -3926,6 +3926,33 @@ def test_wordpiece_train_conformance_and_encode(spark):
         assert enc[did] == want, did
 
 
+def test_intermittent_demand_rate_hand_model(spark):
+    """r10: fc03 — a sparse series matches the hand arithmetic; a
+    single-demand key reports NULL interval/rate."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        intermittent_demand_rate,
+    )
+
+    rows = [
+        # key 1: demands of 4 and 8 on days 10 and 20 → z = 6, p = 10,
+        # rate = 12·1/ (2·10) = 0.6/day
+        (1, 10, 4), (1, 20, 8),
+        (2, 5, 7),  # single demand: NULLs
+    ]
+    df = spark.createDataFrame(rows, "part_id long, d long, qty long")
+    got = {r["part_id"]: r.asDict()
+           for r in intermittent_demand_rate(df).collect()}
+    a = got[1]
+    assert (a["n_demands"], a["total_qty"], a["span_days"]) == (2, 12, 10)
+    assert a["mean_qty_micro"] == 6_000_000
+    assert a["mean_interval_micro_days"] == 10_000_000
+    assert a["rate_micro_per_day"] == 600_000
+    b = got[2]
+    assert b["mean_interval_micro_days"] is None
+    assert b["rate_micro_per_day"] is None
+    assert b["mean_qty_micro"] == 7_000_000
+
+
 def test_seasonal_decomposition_identity_and_trend(spark):
     """r10: e29 — observed·1e6 = seasonal + trend + residual row-for-
     row; a perfectly linear series decomposes with zero residual at
