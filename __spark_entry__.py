@@ -4862,6 +4862,24 @@ def q_st05(spark, sf_dir):
     )
 
 
+def q_st06(spark, sf_dir):
+    """Robust MAD outlier profile (r10): per order priority, the exact
+    lower nearest-rank MEDIAN of order value (integer cents), the MAD
+    (same rank rule over |x − median|), and the count of rows whose
+    deviation strictly exceeds 3·MAD — the heavy-tail-robust twin of
+    the mean/stddev anomaly family (e16). Both medians come from the
+    a26/st05 two-level bucket selection kernel applied PER GROUP: no
+    global sort, no single-partition window, no per-group row window
+    (operators/sampling.py::mad_outlier_profile)."""
+    from learn_etl_data_warehouse_spark.operators.sampling import (
+        mad_outlier_profile,
+    )
+
+    return mad_outlier_profile(
+        _t(spark, sf_dir, "orders"), "o_totalprice", "o_orderpriority"
+    )
+
+
 def q_st01(spark, sf_dir):
     """Bootstrap uncertainty estimation (r8): 16 deterministic
     resampling replicates of the mean order value — per replicate each
@@ -5281,6 +5299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r10 additions (born never-checked; rotate into the r11
         #    window per the steady-state policy) ------------------------
         "st05_rank_sum_test": q_st05,
+        "st06_mad_outliers": q_st06,
         "pm02_direct_follows": q_pm02,
         "pf11_k_anonymity": q_pf11,
         "t31_wordpiece_scores": q_t31,
@@ -9229,6 +9248,45 @@ SELECT r.grp, r.n_g, r.rank_sum_x2,
        CAST(r.n_g * (t.n + 1) AS BIGINT) AS expected_x2,
        CAST(r.rank_sum_x2 - r.n_g * (t.n + 1) AS BIGINT) AS dev_x2
 FROM r CROSS JOIN t"""
+    # st06 (r10): lower nearest-rank median at rank (n+1)//2 over the
+    # half-open (lt, lt+n_v] interval of each distinct value; MAD =
+    # same rule over |x − median|; outliers strictly > 3·MAD. The
+    # oracle's per-group windows are the Spark side's group-partitioned
+    # two-level bucket cumsum's semantic twin. All integers.
+    out["st06_mad_outliers"] = """
+WITH base AS (SELECT o_orderpriority AS grp,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS c
+              FROM orders),
+g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_g FROM base GROUP BY 1),
+pv AS (SELECT grp, c, CAST(count(*) AS BIGINT) AS n_v
+       FROM base GROUP BY 1, 2),
+cum AS (SELECT grp, c, n_v,
+               CAST(sum(n_v) OVER (PARTITION BY grp ORDER BY c) - n_v
+                    AS BIGINT) AS lt
+        FROM pv),
+med AS (SELECT cum.grp, cum.c AS median_cents
+        FROM cum JOIN g ON g.grp = cum.grp
+        WHERE cum.lt < (g.n_g + 1) // 2
+          AND cum.lt + cum.n_v >= (g.n_g + 1) // 2),
+dev AS (SELECT b.grp, abs(b.c - m.median_cents) AS d
+        FROM base b JOIN med m ON m.grp = b.grp),
+dv AS (SELECT grp, d, CAST(count(*) AS BIGINT) AS n_v
+       FROM dev GROUP BY 1, 2),
+dcum AS (SELECT grp, d, n_v,
+                CAST(sum(n_v) OVER (PARTITION BY grp ORDER BY d) - n_v
+                     AS BIGINT) AS lt
+         FROM dv),
+mad AS (SELECT dcum.grp, dcum.d AS mad_cents
+        FROM dcum JOIN g ON g.grp = dcum.grp
+        WHERE dcum.lt < (g.n_g + 1) // 2
+          AND dcum.lt + dcum.n_v >= (g.n_g + 1) // 2),
+o AS (SELECT dev.grp,
+             CAST(sum(CASE WHEN dev.d > 3 * mad.mad_cents THEN 1
+                      ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM dev JOIN mad ON mad.grp = dev.grp GROUP BY 1)
+SELECT g.grp, g.n_g, med.median_cents, mad.mad_cents, o.n_outliers
+FROM g JOIN med ON med.grp = g.grp
+JOIN mad ON mad.grp = g.grp JOIN o ON o.grp = g.grp"""
     # fc02 (r9): fc01's forecast chain over the train grid (global
     # cutoff = max hr − 24), scored against the full grid's actuals.
     # MAE divides a non-negative sum (// ≡ div); bias stays undivided.

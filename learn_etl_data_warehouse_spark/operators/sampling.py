@@ -676,3 +676,140 @@ def rank_sum_test(
         .cast("long")
         .alias("dev_x2"),
     )
+
+
+def _group_below_counts(base: DataFrame, group_alias: str) -> DataFrame:
+    """Per-(group, distinct value) exclusive below-counts — the a26/st05
+    two-level bucket construction applied PER GROUP: distinct values
+    bucket by (digit_count, 2-digit prefix) (strictly value-ordered
+    across buckets for NON-NEGATIVE integers — callers must feed
+    non-negative ``_c``), bucket totals take a running sum partitioned
+    by group (≤ ~1.1k bucket rows per group at ANY size), row-level
+    exclusive counts are windows partitioned by (group, bucket). No
+    single-partition window anywhere; the bucket-totals join is
+    broadcast, which assumes a BOUNDED group alphabet (the repo's
+    standing broadcast rule).
+
+    Input: (``group_alias``, _c) rows. Output one row per distinct
+    (group, value): (``group_alias``, _c, _n_v BIGINT, _lt
+    DECIMAL(38,0)).
+    """
+    pv = base.groupBy(group_alias, "_c").agg(
+        F.count(F.lit(1)).cast("long").alias("_n_v")
+    )
+    s = F.col("_c").cast("string")
+    b = pv.select(
+        group_alias,
+        "_c",
+        "_n_v",
+        F.length(s).alias("_dc"),
+        F.substring(s, 1, 2).cast("int").alias("_p2"),
+    )
+    dec = F.col("_n_v").cast("decimal(38,0)")
+    totals = b.groupBy(group_alias, "_dc", "_p2").agg(F.sum(dec).alias("_bt"))
+    asc = Window.partitionBy(group_alias).orderBy(F.asc("_dc"), F.asc("_p2"))
+    below = F.sum("_bt").over(asc.rowsBetween(Window.unboundedPreceding, -1))
+    totals = totals.select(
+        group_alias,
+        "_dc",
+        "_p2",
+        F.coalesce(below, F.lit(0).cast("decimal(38,0)")).alias("_below"),
+    )
+    in_b = (
+        Window.partitionBy(group_alias, "_dc", "_p2")
+        .orderBy(F.asc("_c"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lt = F.col("_below") + F.coalesce(
+        F.sum(dec).over(in_b), F.lit(0).cast("decimal(38,0)")
+    )
+    return b.join(F.broadcast(totals), [group_alias, "_dc", "_p2"]).select(
+        group_alias, "_c", "_n_v", lt.alias("_lt")
+    )
+
+
+def _group_nearest_rank(
+    bc: DataFrame, sizes: DataFrame, group_alias: str, out_alias: str
+) -> DataFrame:
+    """Select, per group, the value at ascending rank ``(n_g + 1) div
+    2`` (the LOWER nearest-rank median) from a below-counts frame: the
+    unique distinct value whose half-open rank interval
+    ``(_lt, _lt + _n_v]`` contains the target. ``sizes`` is the
+    group-bounded (group, n_g) frame (broadcast)."""
+    j = bc.join(F.broadcast(sizes), group_alias)
+    target = F.shiftright(F.col("n_g") + 1, 1).cast("decimal(38,0)")
+    return j.filter(
+        (F.col("_lt") < target) & (F.col("_lt") + F.col("_n_v") >= target)
+    ).select(group_alias, F.col("_c").alias(out_alias))
+
+
+def mad_outlier_profile(
+    df: DataFrame,
+    value_col: str,
+    group_col,
+    group_alias: str = "grp",
+    k: int = 3,
+) -> DataFrame:
+    """Robust per-group outlier profile: exact lower nearest-rank
+    MEDIAN of the value (integer cents), the MAD (median absolute
+    deviation — the same rank rule over ``|x − median|``), and the
+    count of rows whose absolute deviation STRICTLY exceeds ``k·MAD``
+    — the median/MAD robust z-score the mean/stddev anomaly family
+    (e16) is fragile to under heavy tails, completing the robust leg
+    of the inference family next to e28's Theil–Sen median slope.
+
+    Integer-exact: values are rounded cents (must be NON-NEGATIVE —
+    the bucket ordering of the selection kernel requires it, and a
+    price column is); deviations are non-negative by construction;
+    the lower median at rank ``(n+1) div 2`` uses ``shiftright(n+1,
+    1)`` (exact, no float). Known MAD degeneracy: a group where more
+    than half the rows share one value has MAD = 0, so EVERY
+    differing row counts as an outlier — that is the textbook
+    behavior, not a bug.
+
+    Scale design: two passes of the per-group selection kernel (values,
+    then deviations), each a hash agg at (group, distinct value) grain
+    + group-partitioned bucket windows (≤ ~1.1k bucket rows per group);
+    the median/MAD tables are group-bounded and broadcast back. No
+    global sort, no single-partition window, no per-group row window.
+
+    Returns one row per group: (``group_alias``, n_g, median_cents,
+    mad_cents, n_outliers).
+    """
+    grp = F.col(group_col) if isinstance(group_col, str) else group_col
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    base = df.select(grp.alias(group_alias), cents.alias("_c"))
+    sizes = base.groupBy(group_alias).agg(
+        F.count(F.lit(1)).cast("long").alias("n_g")
+    )
+    med = _group_nearest_rank(
+        _group_below_counts(base, group_alias),
+        sizes,
+        group_alias,
+        "median_cents",
+    )
+    dev = base.join(F.broadcast(med), group_alias).select(
+        group_alias,
+        F.col("median_cents"),
+        F.abs(F.col("_c") - F.col("median_cents")).alias("_c"),
+    )
+    mad = _group_nearest_rank(
+        _group_below_counts(dev.select(group_alias, "_c"), group_alias),
+        sizes,
+        group_alias,
+        "mad_cents",
+    )
+    thr = dev.join(F.broadcast(mad), group_alias)
+    out = thr.groupBy(group_alias).agg(
+        F.max("median_cents").cast("long").alias("median_cents"),
+        F.max("mad_cents").cast("long").alias("mad_cents"),
+        F.sum(
+            F.when(F.col("_c") > F.lit(int(k)) * F.col("mad_cents"), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_outliers"),
+    )
+    return out.join(F.broadcast(sizes), group_alias).select(
+        group_alias, "n_g", "median_cents", "mad_cents", "n_outliers"
+    )

@@ -4281,3 +4281,29 @@ def test_incremental_gram_index_and_retroactive_scrub(spark):
     }
     assert after[1] == (8, "tail1")
     assert after[2] == (0, "u1 u2 u3 u4 u5 u6 u7 u8")
+
+
+def test_mad_outlier_profile_hand_model(spark):
+    """r10: st06 — lower nearest-rank median/MAD on a hand example,
+    strict 3·MAD outlier count, and the MAD=0 degeneracy (majority-
+    equal group: every differing row is an outlier, textbook)."""
+    from learn_etl_data_warehouse_spark.operators.sampling import (
+        mad_outlier_profile,
+    )
+
+    # g=a (n=5): cents 100 200 300 400 10000 → median rank 3 = 300;
+    #   devs 200 100 0 100 9700 → sorted 0 100 100 200 9700, MAD = 100;
+    #   outliers: dev > 300 → only 9700 → 1.
+    # g=b (n=4): cents 500 500 500 900 → median rank 2 = 500; devs
+    #   0 0 0 400 → MAD = 0; outliers: dev > 0 → 1 (degeneracy pin).
+    rows = [("a", 1.00), ("a", 2.00), ("a", 3.00), ("a", 4.00),
+            ("a", 100.00),
+            ("b", 5.00), ("b", 5.00), ("b", 5.00), ("b", 9.00)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r["grp"]: (r["n_g"], r["median_cents"], r["mad_cents"],
+                   r["n_outliers"])
+        for r in mad_outlier_profile(df, "v", "g").collect()
+    }
+    assert got["a"] == (5, 300, 100, 1)
+    assert got["b"] == (4, 500, 0, 1)
