@@ -4880,6 +4880,38 @@ def q_st06(spark, sf_dir):
     )
 
 
+def q_sk01(spark, sf_dir):
+    """Deterministic HyperLogLog NDV estimate (r10): distinct customers
+    per order priority from a 64-register md5-derived HLL sketch —
+    register/rho from fixed md5 hex slices (the d11/st01 portable-hash
+    discipline), estimate in pure integer arithmetic (alpha as the
+    709/1000 rational, powers of two as shifts), so unlike the native
+    a09/e22 sketches the ESTIMATE ITSELF is oracle-exact cross-engine.
+    exact_ndv and err_ppm ride along: the query audits its own sketch.
+    Register state is MAX-mergeable → the streaming twin needs no
+    ledger (operators/sketches.py::md5_hll_registers/md5_hll_estimate)."""
+    from learn_etl_data_warehouse_spark.operators.sketches import (
+        md5_hll_estimate,
+        md5_hll_registers,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    regs = md5_hll_registers(orders, "o_custkey", "o_orderpriority")
+    est = md5_hll_estimate(regs)
+    exact = orders.groupBy(
+        F.col("o_orderpriority").alias("grp")
+    ).agg(F.countDistinct("o_custkey").cast("long").alias("exact_ndv"))
+    return est.join(F.broadcast(exact), "grp").select(
+        "grp",
+        "exact_ndv",
+        "est_ndv",
+        "n_zero_registers",
+        F.expr("(abs(est_ndv - exact_ndv) * 1000000) div exact_ndv")
+        .cast("long")
+        .alias("err_ppm"),
+    )
+
+
 def q_st01(spark, sf_dir):
     """Bootstrap uncertainty estimation (r8): 16 deterministic
     resampling replicates of the mean order value — per replicate each
@@ -5300,6 +5332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    window per the steady-state policy) ------------------------
         "st05_rank_sum_test": q_st05,
         "st06_mad_outliers": q_st06,
+        "sk01_hll_ndv": q_sk01,
         "pm02_direct_follows": q_pm02,
         "pf11_k_anonymity": q_pf11,
         "t31_wordpiece_scores": q_t31,
@@ -9287,6 +9320,40 @@ o AS (SELECT dev.grp,
 SELECT g.grp, g.n_g, med.median_cents, mad.mad_cents, o.n_outliers
 FROM g JOIN med ON med.grp = g.grp
 JOIN mad ON mad.grp = g.grp JOIN o ON o.grp = g.grp"""
+    # sk01 (r10): 64-register md5 HLL — reg from 4 hex chars (16 bits,
+    # uniform over 64), rho from a 21-bit slice (22 − length(bin(v)),
+    # bin strips leading zeros identically both engines; v=0 → 22);
+    # estimate all-integer: alpha_64 as 709/1000, 2^k as shifts,
+    # absent registers contribute 2^40. sum() → HUGEINT, cast back.
+    out["sk01_hll_ndv"] = """
+WITH base AS (SELECT o_orderpriority AS grp,
+                     md5(CAST(o_custkey AS VARCHAR)) AS h
+              FROM orders),
+rv AS (SELECT grp,
+              ('0x' || substr(h, 1, 4))::BIGINT % 64 AS reg,
+              ('0x' || substr(h, 5, 6))::BIGINT % 2097152 AS v
+       FROM base),
+regs AS (SELECT grp, reg,
+                CAST(max(CASE WHEN v = 0 THEN 22
+                         ELSE 22 - length(bin(v)) END) AS BIGINT) AS rho
+         FROM rv GROUP BY 1, 2),
+agg AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_used,
+               CAST(sum(1::BIGINT << (40 - CAST(rho AS INT)))
+                    AS BIGINT) AS s_present
+        FROM regs GROUP BY 1),
+est AS (SELECT grp, CAST(64 - n_used AS BIGINT) AS n_zero_registers,
+               CAST(3193052135805681664 //
+                    (1000 * (s_present +
+                             (64 - n_used) * (1::BIGINT << 40)))
+                    AS BIGINT) AS est_ndv
+        FROM agg),
+ex AS (SELECT o_orderpriority AS grp,
+              CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_ndv
+       FROM orders GROUP BY 1)
+SELECT est.grp, ex.exact_ndv, est.est_ndv, est.n_zero_registers,
+       CAST((abs(est.est_ndv - ex.exact_ndv) * 1000000) // ex.exact_ndv
+            AS BIGINT) AS err_ppm
+FROM est JOIN ex ON ex.grp = est.grp"""
     # fc02 (r9): fc01's forecast chain over the train grid (global
     # cutoff = max hr − 24), scored against the full grid's actuals.
     # MAE divides a non-negative sum (// ≡ div); bias stays undivided.

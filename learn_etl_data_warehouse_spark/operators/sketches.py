@@ -224,3 +224,81 @@ def histogram_percentiles(
         for q in qs
     ]
     return scored.groupBy("key").agg(*aggs)
+
+
+def md5_hll_registers(
+    df: DataFrame,
+    key_col: str,
+    group_col,
+    group_alias: str = "grp",
+    m: int = 64,
+) -> DataFrame:
+    """Deterministic HyperLogLog register state per group — md5-derived
+    (the d11/st01 portable-hash discipline), so unlike the native
+    ``approx_count_distinct``/``hll_sketch_agg`` family (a09/e22,
+    rows-only by nature) the whole sketch AND its estimate are
+    reproducible cross-engine and therefore oracle-backable.
+
+    Per key: 4 hex chars of ``md5(key)`` pick the register (uniform —
+    16 bits divisible by ``m`` for power-of-two m), the next 6 hex
+    chars give a 21-bit value ``v``; ``rho`` = leading zeros of the
+    21-bit string + 1 = ``22 − length(bin(v))`` (``bin`` strips leading
+    zeros identically on both engines; v = 0 pins rho = 22). Register
+    state = max(rho) — MAX-MERGEABLE: sketches of disjoint batches (or
+    replays of the SAME batch) fold by per-register max, which is why
+    the streaming twin needs no ledger.
+
+    One hash agg at (group, register) grain; output ≤ m rows per group.
+    """
+    if m & (m - 1) or m > 65536:
+        raise ValueError(f"m must be a power of two <= 65536, got {m}")
+    grp = F.col(group_col) if isinstance(group_col, str) else group_col
+    h = F.md5(F.col(key_col).cast("string").cast("binary"))
+    reg = F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % m
+    v = F.conv(F.substring(h, 5, 6), 16, 10).cast("long") % (1 << 21)
+    rho = F.when(v == 0, F.lit(22)).otherwise(22 - F.length(F.bin(v)))
+    return (
+        df.select(grp.alias(group_alias), reg.alias("reg"), rho.alias("_r"))
+        .groupBy(group_alias, "reg")
+        .agg(F.max("_r").cast("long").alias("rho_max"))
+    )
+
+
+def md5_hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold two register tables: per-register MAX. Idempotent (replays
+    are no-ops) and associative — the additive-state posture of the
+    counted families, but under max."""
+    cols = a.columns
+    return (
+        a.unionByName(b)
+        .groupBy(*[c for c in cols if c != "rho_max"])
+        .agg(F.max("rho_max").cast("long").alias("rho_max"))
+    )
+
+
+def md5_hll_estimate(regs: DataFrame, group_alias: str = "grp", m: int = 64):
+    """Raw HLL estimate from a register table, all-integer: with S =
+    Σ 2^(40−rho) over all m registers (absent registers contribute
+    2^40, i.e. rho = 0), est = (709·m²·2^40) div (1000·S) — alpha_64 ≈
+    0.709 as the 709/1000 rational; every operand stays under 2^63
+    (709·m²·2^40 ≈ 3.2e18 for m = 64; raise m past 1024 and this must
+    move to DECIMAL(38,0)). NO small-range (linear-counting) correction
+    — ``n_zero_registers`` is emitted so a consumer can apply it; the
+    raw estimate is what the oracle pins.
+    """
+    shifted = F.expr("shiftleft(CAST(1 AS BIGINT), 40 - CAST(rho_max AS INT))")
+    agg = regs.groupBy(group_alias).agg(
+        F.count(F.lit(1)).cast("long").alias("_n_used"),
+        F.sum(shifted).cast("long").alias("_s_present"),
+    )
+    num = 709 * m * m * (1 << 40)
+    s = (
+        f"(_s_present + ({m} - _n_used) * CAST({1 << 40} AS BIGINT))"
+    )
+    return agg.select(
+        group_alias,
+        (m - F.col("_n_used")).cast("long").alias("n_zero_registers"),
+        F.expr(f"CAST({num} AS BIGINT) div (1000 * {s})")
+        .cast("long")
+        .alias("est_ndv"),
+    )

@@ -178,6 +178,64 @@ def lm_stats_ingest_sink(catalog_dir: str, text_col: str = "text"):
     return handle
 
 
+def hll_ingest_sink(
+    catalog_dir: str,
+    key_col: str = "o_custkey",
+    group_col: str = "o_orderpriority",
+):
+    """foreachBatch handler maintaining the deterministic md5-HLL NDV
+    sketch (sk01) incrementally: each micro-batch's register table
+    folds into the stored (grp, reg, rho_max) state by per-register
+    MAX, and the derived integer estimate publishes alongside it in ONE
+    catalog transaction (`hll_registers` + `hll_ndv` flip together).
+
+    Exactly-once here is MAX-MERGE-derived — a third idempotence
+    posture next to `dedup_ingest_sink` (content-derived) and the
+    counted sinks (ledger-derived): max is idempotent and associative,
+    so a REPLAYED batch folds to the byte-identical register state and
+    the re-publish is a semantic no-op. No ledger table, no batch
+    bookkeeping — the algebra of the state is the recovery story.
+
+    State is ≤ m registers per group — alphabet-bounded metadata,
+    never data-sized; the estimate re-derivation per batch is a
+    group-grain agg over that bounded state.
+    """
+    from learn_etl_data_warehouse_spark.operators.sketches import (
+        md5_hll_estimate,
+        md5_hll_merge,
+        md5_hll_registers,
+    )
+    from learn_etl_data_warehouse_spark.plans import catalog as cat
+
+    def handle(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        regs = md5_hll_registers(batch_df, key_col, group_col)
+        tables = set(cat.read_catalog(catalog_dir)["tables"])
+        if "hll_registers" in tables:
+            prev = cat.catalog_read(
+                spark, catalog_dir, "hll_registers"
+            ).select("grp", "reg", "rho_max")
+            regs = md5_hll_merge(prev, regs)
+        est = md5_hll_estimate(regs)
+        cat.catalog_commit(
+            spark,
+            catalog_dir,
+            {
+                "hll_registers": (
+                    regs.withColumn("state", F.lit("live")),
+                    ["state"],
+                ),
+                "hll_ndv": (
+                    est.withColumn("state", F.lit("live")),
+                    ["state"],
+                ),
+            },
+            replace=False,
+        )
+
+    return handle
+
+
 def substring_index_ingest_sink(
     catalog_dir: str,
     level: int = 8,

@@ -2121,3 +2121,85 @@ def test_dfg_ingest_sink_end_to_end_stream(spark, tmp_path, sf_small):
         )
     )
     assert got == sorted(map(tuple, direct_follows_graph(ev).collect()))
+
+
+def test_hll_ingest_sink_maintained_and_replay_idempotent(spark, tmp_path):
+    """r10: sk01's streaming twin — published estimate == the batch
+    twin over everything ingested so far after EACH batch; replaying a
+    batch re-commits a byte-identical register state (max-merge-derived
+    exactly-once: the algebra, not a ledger, is the recovery story)."""
+    from learn_etl_data_warehouse_spark.operators.sketches import (
+        md5_hll_estimate,
+        md5_hll_registers,
+    )
+    from learn_etl_data_warehouse_spark.plans import catalog as cat
+    from learn_etl_data_warehouse_spark.streaming.sinks import (
+        hll_ingest_sink,
+    )
+
+    cdir = str(tmp_path / "hllcat")
+    rows = [(i % 37, "a" if i % 2 == 0 else "b") for i in range(200)]
+    full = spark.createDataFrame(rows, "k long, g string")
+    b0 = full.filter("k < 20")
+    b1 = full.filter("k >= 20")
+    handle = hll_ingest_sink(cdir, key_col="k", group_col="g")
+
+    handle(b0, 0)
+    want0 = sorted(
+        map(tuple, md5_hll_estimate(md5_hll_registers(b0, "k", "g")).collect())
+    )
+    got0 = sorted(
+        map(
+            tuple,
+            cat.catalog_read(spark, cdir, "hll_ndv")
+            .select("grp", "n_zero_registers", "est_ndv")
+            .collect(),
+        )
+    )
+    assert got0 == want0
+
+    handle(b1, 1)
+    want = sorted(
+        map(
+            tuple,
+            md5_hll_estimate(md5_hll_registers(full, "k", "g")).collect(),
+        )
+    )
+    state = sorted(
+        map(
+            tuple,
+            cat.catalog_read(spark, cdir, "hll_registers")
+            .select("grp", "reg", "rho_max")
+            .collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            cat.catalog_read(spark, cdir, "hll_ndv")
+            .select("grp", "n_zero_registers", "est_ndv")
+            .collect(),
+        )
+    )
+    assert got == want
+
+    # replay batch 0: the commit happens (no ledger) but the folded
+    # state and estimate are byte-identical — a semantic no-op
+    handle(b0, 0)
+    state2 = sorted(
+        map(
+            tuple,
+            cat.catalog_read(spark, cdir, "hll_registers")
+            .select("grp", "reg", "rho_max")
+            .collect(),
+        )
+    )
+    got2 = sorted(
+        map(
+            tuple,
+            cat.catalog_read(spark, cdir, "hll_ndv")
+            .select("grp", "n_zero_registers", "est_ndv")
+            .collect(),
+        )
+    )
+    assert state2 == state and got2 == want
