@@ -4912,6 +4912,22 @@ def q_sk01(spark, sf_dir):
     )
 
 
+def q_t32(spark, sf_dir):
+    """PMI collocations (r10): the top-30 adjacent word pairs by
+    pointwise-mutual-information lift over the corpus bigram
+    distribution (margins from the same (w1,w2,n2) state the bigram LM
+    maintains — collocations ride the incremental counts). Lift as the
+    g12 integer pico-score (n_ab·N·10¹²) div (n_a·n_b) — the monotone
+    surrogate of log-PMI, no libm; global top-k is
+    TakeOrderedAndProject, never a global sort
+    (operators/text.py::pmi_collocations)."""
+    from learn_etl_data_warehouse_spark.operators.text import (
+        pmi_collocations,
+    )
+
+    return pmi_collocations(_t(spark, sf_dir, "documents"))
+
+
 def q_st01(spark, sf_dir):
     """Bootstrap uncertainty estimation (r8): 16 deterministic
     resampling replicates of the mean order value — per replicate each
@@ -5333,6 +5349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st05_rank_sum_test": q_st05,
         "st06_mad_outliers": q_st06,
         "sk01_hll_ndv": q_sk01,
+        "t32_pmi_collocations": q_t32,
         "pm02_direct_follows": q_pm02,
         "pf11_k_anonymity": q_pf11,
         "t31_wordpiece_scores": q_t31,
@@ -9354,6 +9371,29 @@ SELECT est.grp, ex.exact_ndv, est.est_ndv, est.n_zero_registers,
        CAST((abs(est.est_ndv - ex.exact_ndv) * 1000000) // ex.exact_ndv
             AS BIGINT) AS err_ppm
 FROM est JOIN ex ON ex.grp = est.grp"""
+    # t32 (r10): PMI lift over the bigram distribution — margins are
+    # the bigram table's row/column sums; integer pico lift (HUGEINT
+    # products ≡ Spark DECIMAL(38,0) div); total order on
+    # (lift DESC, w1, w2).
+    out["t32_pmi_collocations"] = r"""
+WITH toks AS (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+              FROM documents),
+t2 AS (SELECT t FROM toks WHERE len(t) >= 2),
+pr AS (SELECT unnest(t[1:len(t) - 1]) AS w1, unnest(t[2:len(t)]) AS w2
+       FROM t2),
+p2 AS (SELECT w1, w2 FROM pr WHERE w1 <> '' AND w2 <> ''),
+bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n2 FROM p2 GROUP BY 1, 2),
+ra AS (SELECT w1, CAST(sum(n2) AS BIGINT) AS n_a FROM bi GROUP BY 1),
+cb AS (SELECT w2, CAST(sum(n2) AS BIGINT) AS n_b FROM bi GROUP BY 1),
+tt AS (SELECT CAST(sum(n2) AS BIGINT) AS nn FROM bi),
+j AS (SELECT bi.w1, bi.w2, bi.n2, ra.n_a, cb.n_b,
+             CAST((CAST(bi.n2 AS HUGEINT) * tt.nn * 1000000000000) //
+                  (CAST(ra.n_a AS HUGEINT) * cb.n_b) AS BIGINT)
+               AS lift_pico
+      FROM bi JOIN ra USING (w1) JOIN cb USING (w2) CROSS JOIN tt
+      WHERE bi.n2 >= 5)
+SELECT w1, w2, n2, n_a, n_b, lift_pico
+FROM j ORDER BY lift_pico DESC, w1, w2 LIMIT 30"""
     # fc02 (r9): fc01's forecast chain over the train grid (global
     # cutoff = max hr − 24), scored against the full grid's actuals.
     # MAE divides a non-negative sum (// ≡ div); bias stays undivided.

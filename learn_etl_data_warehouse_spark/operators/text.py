@@ -1550,3 +1550,56 @@ def textrank_keywords_from_counts(
         F.col("node").alias("word"),
         "rank_micros",
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_pair: int = 5,
+    top: int = 30,
+) -> DataFrame:
+    """Collocation mining by pointwise mutual information over the
+    BIGRAM distribution: for each adjacent pair, lift = P(a,b) /
+    (P(a)·P(b)) with the margins taken over bigram positions (row
+    margin n_a = Σ_b n_ab, column margin n_b = Σ_a n_ab — fully
+    derivable from the (w1, w2, n2) state, so the incremental
+    `maintain_bigram_counts` posture serves collocations too). The
+    top-``top`` pairs by lift are the phrases ("new york") a tokenizer
+    or stop-phrase list wants.
+
+    Integer-exact: lift as the g12 pico-score — (n_ab · N · 10¹²) div
+    (n_a · n_b) in DECIMAL(38,0) (HUGEINT twin); ranking on the integer
+    score with (w1, w2) tie-break, so cross-engine order is total. A
+    float PMI (log) would rank identically but hash differently — the
+    pico lift IS the monotone surrogate (log is monotone), the repo's
+    standing dodge of libm.
+
+    Scale design: one narrow explode + hash aggs at pair/word grain;
+    margins join at word grain (hash join, data-proportional); the
+    global top-k is orderBy().limit() — TakeOrderedAndProject, per-
+    partition heaps + one k-row merge at the driver, NO global sort.
+    ``min_pair`` prunes the rank candidate set before the joins.
+    """
+    bc = bigram_counts_table(df, text_col)
+    ra = bc.groupBy("w1").agg(F.sum("n2").cast("long").alias("n_a"))
+    cb = bc.groupBy("w2").agg(F.sum("n2").cast("long").alias("n_b"))
+    tot = bc.agg(F.sum("n2").cast("long").alias("_nn"))
+    j = (
+        bc.filter(F.col("n2") >= min_pair)
+        .join(ra, "w1")
+        .join(cb, "w2")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "lift_pico",
+            F.expr(
+                "(CAST(n2 AS DECIMAL(38,0)) * _nn * 1000000000000)"
+                " div (CAST(n_a AS DECIMAL(38,0)) * n_b)"
+            ).cast("long"),
+        )
+    )
+    return (
+        j.orderBy(F.desc("lift_pico"), F.asc("w1"), F.asc("w2"))
+        .limit(top)
+        .select("w1", "w2", F.col("n2").cast("long"), "n_a", "n_b",
+                "lift_pico")
+    )

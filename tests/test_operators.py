@@ -4336,3 +4336,24 @@ def test_md5_hll_merge_property_and_accuracy(spark):
     assert sorted(map(tuple, again.collect())) == full
     est = md5_hll_estimate(md5_hll_registers(df, "k", "g")).collect()[0]
     assert abs(est["est_ndv"] - 500) <= 200
+
+
+def test_pmi_collocations_hand_model(spark):
+    """r10: t32 — lift arithmetic pinned on a tiny corpus where one
+    pair crosses min_pair: doc 'a b c a b d' x3 gives (a,b) n2=6,
+    margins n_a=6 (w1=a), n_b=6 (w2=b), N=15 bigrams, lift_pico =
+    6*15*1e12 // 36 = 2.5e12."""
+    from learn_etl_data_warehouse_spark.operators.text import (
+        pmi_collocations,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a b c a b d") for i in range(3)], "doc_id long, text string"
+    )
+    got = pmi_collocations(df, min_pair=5).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["w1"], r["w2"], r["n2"], r["n_a"], r["n_b"]) == (
+        "a", "b", 6, 6, 6,
+    )
+    assert r["lift_pico"] == 2_500_000_000_000
