@@ -4867,10 +4867,13 @@ def q_st06(spark, sf_dir):
     lower nearest-rank MEDIAN of order value (integer cents), the MAD
     (same rank rule over |x − median|), and the count of rows whose
     deviation strictly exceeds 3·MAD — the heavy-tail-robust twin of
-    the mean/stddev anomaly family (e16). Both medians come from the
-    a26/st05 two-level bucket selection kernel applied PER GROUP: no
-    global sort, no single-partition window, no per-group row window
-    (operators/sampling.py::mad_outlier_profile)."""
+    the mean/stddev anomaly family (e16). Distinct from a17
+    (grouped.py::mad_outliers, the INTERPOLATED median via the native
+    percentile aggregate, which buffers each group in executor memory):
+    st06 is the 100 TB form — both medians come from the a26/st05
+    two-level bucket selection kernel applied PER GROUP: no group
+    buffering, no global sort, no single-partition window, no per-group
+    row window (operators/sampling.py::mad_outlier_profile)."""
     from learn_etl_data_warehouse_spark.operators.sampling import (
         mad_outlier_profile,
     )
@@ -4909,6 +4912,36 @@ def q_sk01(spark, sf_dir):
         F.expr("(abs(est_ndv - exact_ndv) * 1000000) div exact_ndv")
         .cast("long")
         .alias("err_ppm"),
+    )
+
+
+def q_ml07(spark, sf_dir):
+    """Two-feature OLS regression (r10): per order priority, totalprice
+    (cents) regressed on (lineitem count, total quantity) — the normal
+    equations evaluated on exact integer moment sums, a15's
+    one-regressor moment discipline extended to the 2×2 Gram system;
+    slopes + R², double expression shapes mirrored token-for-token in
+    the oracle (operators/grouped.py::grouped_ols2)."""
+    from learn_etl_data_warehouse_spark.operators.grouped import (
+        grouped_ols2,
+    )
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("x1"),
+            F.sum(F.round("l_quantity").cast("long"))
+            .cast("long")
+            .alias("x2"),
+        )
+    )
+    orders = _t(spark, sf_dir, "orders")
+    j = orders.join(li, orders.o_orderkey == li.l_orderkey)
+    return grouped_ols2(
+        j, ["o_orderpriority"], "x1", "x2", "o_totalprice"
+    ).select(
+        F.col("o_orderpriority").alias("grp"), "n", "b1", "b2", "r2"
     )
 
 
@@ -5350,6 +5383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st06_mad_outliers": q_st06,
         "sk01_hll_ndv": q_sk01,
         "t32_pmi_collocations": q_t32,
+        "ml07_ols_two_feature": q_ml07,
         "pm02_direct_follows": q_pm02,
         "pf11_k_anonymity": q_pf11,
         "t31_wordpiece_scores": q_t31,
@@ -9394,6 +9428,58 @@ j AS (SELECT bi.w1, bi.w2, bi.n2, ra.n_a, cb.n_b,
       WHERE bi.n2 >= 5)
 SELECT w1, w2, n2, n_a, n_b, lift_pico
 FROM j ORDER BY lift_pico DESC, w1, w2 LIMIT 30"""
+    # ml07 (r10): the 2x2 normal equations on exact integer moments
+    # (HUGEINT twin of DECIMAL(38,0)); every double expression below
+    # mirrors the Spark side token-for-token — ONE IEEE evaluation of
+    # identical exact inputs (the a15/pf05 discipline).
+    out["ml07_ols_two_feature"] = """
+WITH li AS (SELECT l_orderkey,
+                   CAST(count(*) AS BIGINT) AS x1,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                     AS x2
+            FROM lineitem GROUP BY 1),
+b AS (SELECT o.o_orderpriority AS grp, li.x1, li.x2,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS yc
+      FROM orders o JOIN li ON li.l_orderkey = o.o_orderkey),
+m AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(x1 AS HUGEINT)) AS s1,
+             sum(CAST(x2 AS HUGEINT)) AS s2,
+             sum(CAST(yc AS HUGEINT)) AS sy,
+             sum(CAST(x1 AS HUGEINT) * x1) AS s11,
+             sum(CAST(x2 AS HUGEINT) * x2) AS s22,
+             sum(CAST(x1 AS HUGEINT) * x2) AS s12,
+             sum(CAST(x1 AS HUGEINT) * yc) AS s1y,
+             sum(CAST(x2 AS HUGEINT) * yc) AS s2y,
+             sum(CAST(yc AS HUGEINT) * yc) AS syy
+      FROM b GROUP BY 1),
+d AS (SELECT grp, n,
+             CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS s1d,
+             CAST(s2 AS DOUBLE) AS s2d, CAST(sy AS DOUBLE) AS syd,
+             CAST(s11 AS DOUBLE) AS s11d, CAST(s22 AS DOUBLE) AS s22d,
+             CAST(s12 AS DOUBLE) AS s12d, CAST(s1y AS DOUBLE) AS s1yd,
+             CAST(s2y AS DOUBLE) AS s2yd, CAST(syy AS DOUBLE) AS syyd
+      FROM m),
+e AS (SELECT grp, n,
+             nd * s11d - s1d * s1d AS a11,
+             nd * s22d - s2d * s2d AS a22,
+             nd * s12d - s1d * s2d AS a12,
+             nd * s1yd - s1d * syd AS c1,
+             nd * s2yd - s2d * syd AS c2,
+             nd * syyd - syd * syd AS sst
+      FROM d),
+f AS (SELECT grp, n, a11, a22, a12, c1, c2, sst,
+             a11 * a22 - a12 * a12 AS det
+      FROM e)
+SELECT grp, n,
+       CASE WHEN det > 0
+            THEN round((a22 * c1 - a12 * c2) / det, 6) END AS b1,
+       CASE WHEN det > 0
+            THEN round((a11 * c2 - a12 * c1) / det, 6) END AS b2,
+       CASE WHEN det > 0 AND sst > 0
+            THEN round(((a22 * c1 - a12 * c2) / det * c1 +
+                        (a11 * c2 - a12 * c1) / det * c2) / sst, 6)
+            END AS r2
+FROM f"""
     # fc02 (r9): fc01's forecast chain over the train grid (global
     # cutoff = max hr − 24), scored against the full grid's actuals.
     # MAE divides a non-negative sum (// ≡ div); bias stays undivided.

@@ -312,3 +312,82 @@ def weighted_mean_pandas(
         return float((v * w).sum() / tw)
 
     return df.groupBy(key).agg(_wmean(F.col(val), F.col(wt)).alias("wmean"))
+
+
+def grouped_ols2(
+    df: DataFrame,
+    keys: list[str],
+    x1: str,
+    x2: str,
+    y: str,
+    y_scale: int = 100,
+) -> DataFrame:
+    """Per-group TWO-FEATURE least squares (ŷ = b0 + b1·x1 + b2·x2) via
+    the normal equations on exact integer moments — `grouped_corr`'s
+    discipline extended from one regressor to two: accumulate the ten
+    moment sums (n, Σx1, Σx2, Σy, Σx1², Σx2², Σx1x2, Σx1y, Σx2y, Σy²)
+    over integers (x1/x2 already integral, y rounded at ``y_scale``;
+    products in DECIMAL(38,0) — exact, associative, order-free), then
+    evaluate the closed forms ONCE per group in double precision. The
+    double expression shapes are mirrored token-for-token in the
+    oracle, so the single IEEE evaluation of identical exact inputs is
+    cross-engine deterministic (the a15/pf05/g11 pattern).
+
+        A11 = nΣx1²−(Σx1)²   A22 = nΣx2²−(Σx2)²   A12 = nΣx1x2−Σx1Σx2
+        C1  = nΣx1y−Σx1Σy    C2  = nΣx2y−Σx2Σy    det = A11·A22−A12²
+        b1 = (A22·C1−A12·C2)/det      b2 = (A11·C2−A12·C1)/det
+        R² = (b1·C1 + b2·C2)/(nΣy²−(Σy)²)
+
+    Collinear or degenerate groups (det ≤ 0, Gram determinant — never
+    negative in exact arithmetic) yield NULL slopes; zero-variance y
+    yields NULL R². One partial-aggregated shuffle on the group key —
+    the same plan shape as any groupBy().agg(); slopes are in
+    y-units-per-x-unit at ``y_scale`` granularity, rounded to 6
+    decimals.
+    """
+    x1i = F.col(x1).cast("long").cast("decimal(38,0)")
+    x2i = F.col(x2).cast("long").cast("decimal(38,0)")
+    yi = F.round(F.col(y) * y_scale).cast("long").cast("decimal(38,0)")
+    agg = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(x1i).alias("_s1"),
+        F.sum(x2i).alias("_s2"),
+        F.sum(yi).alias("_sy"),
+        F.sum(x1i * x1i).alias("_s11"),
+        F.sum(x2i * x2i).alias("_s22"),
+        F.sum(x1i * x2i).alias("_s12"),
+        F.sum(x1i * yi).alias("_s1y"),
+        F.sum(x2i * yi).alias("_s2y"),
+        F.sum(yi * yi).alias("_syy"),
+    )
+    n = F.col("_n").cast("double")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    sy = F.col("_sy").cast("double")
+    s11 = F.col("_s11").cast("double")
+    s22 = F.col("_s22").cast("double")
+    s12 = F.col("_s12").cast("double")
+    s1y = F.col("_s1y").cast("double")
+    s2y = F.col("_s2y").cast("double")
+    syy = F.col("_syy").cast("double")
+    a11 = n * s11 - s1 * s1
+    a22 = n * s22 - s2 * s2
+    a12 = n * s12 - s1 * s2
+    c1 = n * s1y - s1 * sy
+    c2 = n * s2y - s2 * sy
+    det = a11 * a22 - a12 * a12
+    sst = n * syy - sy * sy
+    b1u = (a22 * c1 - a12 * c2) / det
+    b2u = (a11 * c2 - a12 * c1) / det
+    b1 = F.when(det > 0, F.round(b1u, 6))
+    b2 = F.when(det > 0, F.round(b2u, 6))
+    r2 = F.when(
+        (det > 0) & (sst > 0), F.round((b1u * c1 + b2u * c2) / sst, 6)
+    )
+    return agg.select(
+        *keys,
+        F.col("_n").cast("long").alias("n"),
+        b1.alias("b1"),
+        b2.alias("b2"),
+        r2.alias("r2"),
+    )

@@ -4357,3 +4357,38 @@ def test_pmi_collocations_hand_model(spark):
         "a", "b", 6, 6, 6,
     )
     assert r["lift_pico"] == 2_500_000_000_000
+
+
+def test_grouped_ols2_matches_numpy_and_collinear_null(spark):
+    """r10: ml07 — slopes/R² agree with numpy lstsq on a deterministic
+    group; an exactly collinear group (x2 = 2·x1) yields NULL slopes
+    (det = 0 Gram degeneracy)."""
+    import numpy as np
+
+    from learn_etl_data_warehouse_spark.operators.grouped import (
+        grouped_ols2,
+    )
+
+    rows = []
+    for i in range(40):
+        x1, x2 = i % 7, (i * 3) % 11
+        y = 2.5 * x1 - 1.25 * x2 + 10 + ((i * 5) % 13 - 6) * 0.01
+        rows.append(("ok", x1, x2, y))
+    for i in range(10):
+        rows.append(("bad", i, 2 * i, float(i)))
+    df = spark.createDataFrame(rows, "g string, x1 long, x2 long, v double")
+    got = {
+        r["g"]: r for r in grouped_ols2(df, ["g"], "x1", "x2", "v").collect()
+    }
+    assert got["bad"]["b1"] is None and got["bad"]["r2"] is None
+
+    pts = [(r[1], r[2], r[3]) for r in rows if r[0] == "ok"]
+    A = np.array([[1.0, p[0], p[1]] for p in pts])
+    yv = np.array([round(p[2] * 100) for p in pts])  # the cents the op sees
+    coef, *_ = np.linalg.lstsq(A, yv, rcond=None)
+    assert abs(got["ok"]["b1"] - coef[1]) < 1e-3
+    assert abs(got["ok"]["b2"] - coef[2]) < 1e-3
+    pred = A @ coef
+    sst = ((yv - yv.mean()) ** 2).sum()
+    r2 = 1 - ((yv - pred) ** 2).sum() / sst
+    assert abs(got["ok"]["r2"] - r2) < 1e-6
