@@ -4915,6 +4915,23 @@ def q_sk01(spark, sf_dir):
     )
 
 
+def q_fc04(spark, sf_dir):
+    """EWMA smoothing (r10): each event type's dense hourly series
+    smoothed with the alpha = 1/2 halving recursion in integer micro —
+    s_t = (x_t·10⁶ + s_{t−1}) div 2, the one smoothing weight whose
+    fixed-point recursion is exact cross-engine (add + shift per step,
+    non-negative operands). Sequential by nature → a Column aggregate
+    fold over the calendar-bounded per-key grid; the oracle twin is a
+    recursive CTE over the same grid index
+    (operators/timeseries.py::ewma_smooth)."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        ewma_smooth,
+        hourly_counts,
+    )
+
+    return ewma_smooth(hourly_counts(_t(spark, sf_dir, "events")))
+
+
 def q_ml07(spark, sf_dir):
     """Two-feature OLS regression (r10): per order priority, totalprice
     (cents) regressed on (lineitem count, total quantity) — the normal
@@ -5384,6 +5401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sk01_hll_ndv": q_sk01,
         "t32_pmi_collocations": q_t32,
         "ml07_ols_two_feature": q_ml07,
+        "fc04_ewma_smoothing": q_fc04,
         "pm02_direct_follows": q_pm02,
         "pf11_k_anonymity": q_pf11,
         "t31_wordpiece_scores": q_t31,
@@ -9480,6 +9498,33 @@ SELECT grp, n,
                         (a11 * c2 - a12 * c1) / det * c2) / sst, 6)
             END AS r2
 FROM f"""
+    # fc04 (r10): the alpha=1/2 integer EWMA recursion as a recursive
+    # CTE over the per-key dense grid index — (x*1e6 + prev) // 2 on
+    # non-negative operands matches Spark's truncating div exactly.
+    out["fc04_ewma_smoothing"] = """
+WITH RECURSIVE
+h0 AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+              CAST(count(*) AS BIGINT) AS x
+       FROM events GROUP BY 1, 2),
+bd AS (SELECT event_type, min(hr) AS mn, max(hr) AS mx FROM h0 GROUP BY 1),
+sp AS (SELECT bd.event_type, bd.mn + t.s AS hr, bd.mn AS mn
+       FROM bd, LATERAL (SELECT unnest(generate_series(
+                               0, CAST(bd.mx - bd.mn AS BIGINT))) AS s) t),
+g AS (SELECT sp.event_type, sp.hr, sp.hr - sp.mn AS idx,
+             coalesce(h0.x, 0) AS x
+      FROM sp LEFT JOIN h0 ON h0.event_type = sp.event_type
+                          AND h0.hr = sp.hr),
+r AS (SELECT event_type, hr, idx, x,
+             CAST(x * 1000000 AS BIGINT) AS ewma
+      FROM g WHERE idx = 0
+      UNION ALL
+      SELECT g.event_type, g.hr, g.idx, g.x,
+             CAST((g.x * 1000000 + r.ewma) // 2 AS BIGINT)
+      FROM r JOIN g ON g.event_type = r.event_type
+                   AND g.idx = r.idx + 1)
+SELECT event_type, CAST(hr AS BIGINT) AS hr, CAST(x AS BIGINT) AS n,
+       ewma AS ewma_micro
+FROM r"""
     # fc02 (r9): fc01's forecast chain over the train grid (global
     # cutoff = max hr − 24), scored against the full grid's actuals.
     # MAE divides a non-negative sum (// ≡ div); bias stays undivided.

@@ -853,3 +853,55 @@ def intermittent_demand_rate(
             ),
         ).cast("long").alias("rate_micro_per_day"),
     )
+
+
+def ewma_smooth(hourly: DataFrame, key: str = "event_type") -> DataFrame:
+    """Exponentially-weighted moving average over each key's DENSE
+    hourly grid (gaps zero-filled, e09's spine), with the halving
+    weight alpha = 1/2 kept in INTEGER micro: s₀ = x₀·10⁶, s_t =
+    (x_t·10⁶ + s_{t−1}) div 2 — the truncating step recursion is
+    exact cross-engine (non-negative operands), which a float EWMA
+    never is (every alternative accumulates rounding in engine order).
+    Alpha = 1/2 is the one smoothing weight whose fixed-point
+    recursion needs no scaling tricks — each step is an add and a
+    shift; the level converges to ~2·x within ~20 steady hours.
+
+    The recursion is genuinely sequential, so it runs as a Column
+    ``aggregate`` fold over the per-key hour array — per-key state is
+    the CALENDAR-bounded grid (the e18/fc01 contract: hours in the
+    key's active range, never data-proportional rows). The DuckDB twin
+    is a recursive CTE over the same grid index.
+
+    Returns (key, hr, n, ewma_micro) — the full smoothed series.
+    """
+    bounds = hourly.groupBy(key).agg(
+        F.min("hr").alias("_mn"), F.max("hr").alias("_mx")
+    )
+    spine = bounds.select(
+        key, F.explode(F.sequence(F.col("_mn"), F.col("_mx"))).alias("hr")
+    )
+    g = spine.join(hourly, [key, "hr"], "left").select(
+        key,
+        "hr",
+        F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x"),
+    )
+    arr = g.groupBy(key).agg(
+        F.sort_array(F.collect_list(F.struct("hr", "x"))).alias("_a")
+    )
+    ew = F.expr(
+        "aggregate(_a, CAST(array() AS array<bigint>), (acc, e) ->"
+        " array_append(acc, CASE WHEN size(acc) = 0"
+        " THEN e.x * CAST(1000000 AS BIGINT)"
+        " ELSE (e.x * CAST(1000000 AS BIGINT) + element_at(acc, -1))"
+        " div 2 END))"
+    )
+    z = arr.select(
+        key,
+        F.explode(F.arrays_zip(F.col("_a"), ew.alias("_e"))).alias("_z"),
+    )
+    return z.select(
+        key,
+        F.col("_z._a.hr").cast("long").alias("hr"),
+        F.col("_z._a.x").cast("long").alias("n"),
+        F.col("_z._e").cast("long").alias("ewma_micro"),
+    )

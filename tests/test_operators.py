@@ -4392,3 +4392,28 @@ def test_grouped_ols2_matches_numpy_and_collinear_null(spark):
     sst = ((yv - yv.mean()) ** 2).sum()
     r2 = 1 - ((yv - pred) ** 2).sum() / sst
     assert abs(got["ok"]["r2"] - r2) < 1e-6
+
+
+def test_ewma_smooth_hand_recursion_with_gap(spark):
+    """r10: fc04 — s0 = x0*1e6, s_t = (x_t*1e6 + s_{t-1}) div 2 over
+    the dense grid: 3 events @h0, gap @h1, 1 @h2 gives 3e6 / 1.5e6 /
+    1.25e6."""
+    from datetime import datetime
+
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        ewma_smooth,
+        hourly_counts,
+    )
+
+    rows = [
+        (datetime(2024, 1, 1, 0, 0, s), "a") for s in (0, 1, 2)
+    ] + [(datetime(2024, 1, 1, 2, 0, 0), "a")]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    got = {
+        r["hr"] - 473352: (r["n"], r["ewma_micro"])
+        for r in ewma_smooth(hourly_counts(df)).collect()
+    }
+    # 2024-01-01T00 is hour 473352 since epoch
+    assert got[0] == (3, 3_000_000)
+    assert got[1] == (0, 1_500_000)
+    assert got[2] == (1, 1_250_000)
