@@ -4915,6 +4915,31 @@ def q_sk01(spark, sf_dir):
     )
 
 
+def q_g16(spark, sf_dir):
+    """HyperBall neighborhood function (r10): N(t) for t = 0, 1, 2 over
+    the part co-occurrence graph — per-node HLL ball sketches advanced
+    one hop per round by max-merging neighbors' registers (Boldi &
+    Vigna 2013), made ORACLE-EXACT by the sk01 deterministic md5-HLL
+    kernel (no float HyperBall can be). sum_occupied is the exact
+    small-ball proxy next to the raw integer HLL estimate
+    (operators/graph.py::hyperball_neighborhood). The driver query
+    slices to l_orderkey % 10 < 3 (the g03 budget discipline): the
+    UNSLICED sf0.1 co-occurrence graph has diameter ~2 — round-2
+    registers fully saturate (20k nodes × 64) and propagation volume
+    hits |E|·m, 32 s measured — the slice keeps sweeps affordable
+    without changing the algorithm under test."""
+    from learn_etl_data_warehouse_spark.operators.graph import (
+        cooccurrence_edges,
+        hyperball_neighborhood,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 10 < 3
+    )
+    edges = cooccurrence_edges(li)
+    return hyperball_neighborhood(edges, rounds=2)
+
+
 def q_fc04(spark, sf_dir):
     """EWMA smoothing (r10): each event type's dense hourly series
     smoothed with the alpha = 1/2 halving recursion in integer micro —
@@ -5402,6 +5427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t32_pmi_collocations": q_t32,
         "ml07_ols_two_feature": q_ml07,
         "fc04_ewma_smoothing": q_fc04,
+        "g16_hyperball_neighborhood": q_g16,
         "pm02_direct_follows": q_pm02,
         "pf11_k_anonymity": q_pf11,
         "t31_wordpiece_scores": q_t31,
@@ -9525,6 +9551,59 @@ r AS (SELECT event_type, hr, idx, x,
 SELECT event_type, CAST(hr AS BIGINT) AS hr, CAST(x AS BIGINT) AS n,
        ewma AS ewma_micro
 FROM r"""
+    # g16 (r10): HyperBall unrolled — register max-merge rounds as
+    # MATERIALIZED CTEs (the cl01 fd-limit lesson), per-node estimate
+    # = sk01's integer formula, summed per level. Composed from named
+    # parts (the r8 ADVICE pattern).
+    _hb_rho = (
+        "CASE WHEN ('0x' || substr(hx, 5, 6))::BIGINT % 2097152 = 0"
+        " THEN 22 ELSE 22 - length(bin(('0x' || substr(hx, 5, 6))::BIGINT"
+        " % 2097152)) END"
+    )
+
+    def _hb_round(cur: str, prev: str) -> str:
+        return (
+            f"{cur} AS MATERIALIZED (SELECT node, reg,"
+            " CAST(max(rho) AS BIGINT) AS rho FROM ("
+            f"SELECT node, reg, rho FROM {prev}"
+            " UNION ALL SELECT e.src AS node, r.reg, r.rho"
+            f" FROM edges e JOIN {prev} r ON r.node = e.dst"
+            ") GROUP BY 1, 2)"
+        )
+
+    def _hb_est(lvl: str, t: int) -> str:
+        return (
+            f"a{t} AS (SELECT node, CAST(count(*) AS BIGINT) AS n_used,"
+            " CAST(sum(1::BIGINT << (40 - CAST(rho AS INT))) AS BIGINT)"
+            f" AS s_present FROM {lvl} GROUP BY 1),\n"
+            f"e{t} AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,"
+            " CAST(sum(n_used) AS BIGINT) AS sum_occupied,"
+            " CAST(sum(3193052135805681664 // (1000 * (s_present +"
+            " (64 - n_used) * (1::BIGINT << 40)))) AS BIGINT) AS sum_est"
+            f" FROM a{t})"
+        )
+
+    out["g16_hyperball_neighborhood"] = f"""
+WITH li AS (SELECT l_orderkey AS gk, l_partkey AS item FROM lineitem
+            WHERE l_orderkey % 10 < 3),
+edges AS MATERIALIZED (SELECT DISTINCT a.item AS src, b.item AS dst
+          FROM li a JOIN li b ON a.gk = b.gk AND a.item <> b.item),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+h AS (SELECT node, md5(CAST(node AS VARCHAR)) AS hx FROM nodes),
+r0 AS MATERIALIZED (SELECT node,
+        ('0x' || substr(hx, 1, 4))::BIGINT % 64 AS reg,
+        CAST({_hb_rho} AS BIGINT) AS rho
+      FROM h),
+{_hb_round("r1", "r0")},
+{_hb_round("r2", "r1")},
+{_hb_est("r0", 0)},
+{_hb_est("r1", 1)},
+{_hb_est("r2", 2)}
+SELECT CAST(0 AS BIGINT) AS t, n_nodes, sum_occupied, sum_est FROM e0
+UNION ALL
+SELECT CAST(1 AS BIGINT), n_nodes, sum_occupied, sum_est FROM e1
+UNION ALL
+SELECT CAST(2 AS BIGINT), n_nodes, sum_occupied, sum_est FROM e2"""
     # fc02 (r9): fc01's forecast chain over the train grid (global
     # cutoff = max hr − 24), scored against the full grid's actuals.
     # MAE divides a non-negative sum (// ≡ div); bias stays undivided.

@@ -279,19 +279,26 @@ def md5_hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
 def md5_hll_estimate(regs: DataFrame, group_alias: str = "grp", m: int = 64):
     """Raw HLL estimate from a register table, all-integer: with S =
     Σ 2^(40−rho) over all m registers (absent registers contribute
-    2^40, i.e. rho = 0), est = (709·m²·2^40) div (1000·S) — alpha_64 ≈
-    0.709 as the 709/1000 rational; every operand stays under 2^63
-    (709·m²·2^40 ≈ 3.2e18 for m = 64; raise m past 1024 and this must
-    move to DECIMAL(38,0)). NO small-range (linear-counting) correction
+    2^40, i.e. rho = 0), est = (alpha·m²·2^40) div (1000·S) with alpha
+    the standard HLL bias constant as a per-thousand rational
+    (673/697/709 for m = 16/32/64); every operand stays under 2^63 for
+    m ≤ 64 — larger m would overflow and raises (move to DECIMAL(38,0)
+    first). NO small-range (linear-counting) correction
     — ``n_zero_registers`` is emitted so a consumer can apply it; the
     raw estimate is what the oracle pins.
     """
+    alpha_ppt = {16: 673, 32: 697, 64: 709}
+    if m not in alpha_ppt:
+        raise ValueError(
+            f"m={m} unsupported: the BIGINT estimate constant needs"
+            " m in (16, 32, 64)"
+        )
     shifted = F.expr("shiftleft(CAST(1 AS BIGINT), 40 - CAST(rho_max AS INT))")
     agg = regs.groupBy(group_alias).agg(
         F.count(F.lit(1)).cast("long").alias("_n_used"),
         F.sum(shifted).cast("long").alias("_s_present"),
     )
-    num = 709 * m * m * (1 << 40)
+    num = alpha_ppt[m] * m * m * (1 << 40)
     s = (
         f"(_s_present + ({m} - _n_used) * CAST({1 << 40} AS BIGINT))"
     )

@@ -4417,3 +4417,57 @@ def test_ewma_smooth_hand_recursion_with_gap(spark):
     assert got[0] == (3, 3_000_000)
     assert got[1] == (0, 1_500_000)
     assert got[2] == (1, 1_250_000)
+
+
+def test_hyperball_matches_python_bfs_model(spark):
+    """r10: g16 — on a small graph (path 1-2-3-4 + disjoint edge 5-6)
+    the distributed register rounds equal a Python model that BFS-
+    expands exact balls and applies the identical md5 register/rho/
+    estimate arithmetic."""
+    import hashlib
+
+    from learn_etl_data_warehouse_spark.operators.graph import (
+        hyperball_neighborhood,
+    )
+
+    und = [(1, 2), (2, 3), (3, 4), (5, 6)]
+    edges = und + [(b, a) for a, b in und]
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    nodes = sorted(adj)
+
+    def reg_rho(n):
+        h = hashlib.md5(str(n).encode()).hexdigest()
+        v = int(h[4:10], 16) % (1 << 21)
+        return int(h[:4], 16) % 64, (22 if v == 0 else 22 - v.bit_length())
+
+    def est(ball):
+        regs = {}
+        for n in ball:
+            r, rho = reg_rho(n)
+            regs[r] = max(regs.get(r, 0), rho)
+        s = sum(1 << (40 - rho) for rho in regs.values())
+        s += (64 - len(regs)) << 40
+        return len(regs), (709 * 64 * 64 * (1 << 40)) // (1000 * s)
+
+    balls = {n: {n} for n in nodes}
+    want = []
+    for t in range(3):
+        if t:
+            balls = {
+                n: balls[n] | set().union(*(balls[u] for u in adj[n]))
+                for n in nodes
+            }
+        occ_est = [est(b) for b in balls.values()]
+        want.append(
+            (t, len(nodes), sum(o for o, _ in occ_est),
+             sum(e for _, e in occ_est))
+        )
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = sorted(
+        (r["t"], r["n_nodes"], r["sum_occupied"], r["sum_est"])
+        for r in hyperball_neighborhood(df, rounds=2).collect()
+    )
+    assert got == want
