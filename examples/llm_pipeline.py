@@ -171,6 +171,32 @@ def main() -> None:
         f"unigram: {len(vocab)} pieces, {ustats['total_tokens']} tokens, "
         f"avg {ustats['avg_tokens_per_doc']:.1f}/doc"
     )
+
+    # 9. corpus cardinality audit from the deterministic HLL sketch
+    # (sk01): a 64-register max-mergeable state estimates the final
+    # corpus's distinct-source count next to the exact number — at
+    # 100 TB the sketch is what a per-shard audit actually keeps.
+    from learn_etl_data_warehouse_spark.operators.sketches import (
+        md5_hll_estimate,
+        md5_hll_registers,
+    )
+
+    import math
+
+    tagged = docs2.withColumn("_c", F.lit("corpus"))
+    est = md5_hll_estimate(
+        md5_hll_registers(tagged, "source", "_c")
+    ).collect()[0]
+    exact = docs2.select("source").distinct().count()
+    # small-range (linear counting) correction from the emitted zero-
+    # register count — the consumer-side fix the raw oracle-exact
+    # estimate deliberately leaves out
+    lc = round(64 * math.log(64 / est["n_zero_registers"]))
+    print(
+        f"hll source audit: raw est {est['est_ndv']}, "
+        f"linear-counting {lc}, exact {exact} "
+        f"({est['n_zero_registers']} empty registers)"
+    )
     spark.stop()
 
 

@@ -4471,3 +4471,34 @@ def test_hyperball_matches_python_bfs_model(spark):
         for r in hyperball_neighborhood(df, rounds=2).collect()
     )
     assert got == want
+
+
+def test_auto_salted_join_matches_plain_and_skips_when_uniform(spark):
+    """r10: auto_salted_join — on a 60%-hot-key fixture the routed
+    union equals the plain join for inner AND left (incl. unmatched
+    lefts); on a uniform fixture the plain join comes back unmodified
+    (no Union in the plan)."""
+    from learn_etl_data_warehouse_spark.operators.skew import (
+        auto_salted_join,
+    )
+
+    rows = [(1 if i % 10 < 6 else (i % 50) + 2, i) for i in range(500)]
+    big = spark.createDataFrame(rows, "k long, v long")
+    small = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(0, 40)], "k long, name string"
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            map(tuple, auto_salted_join(big, small, "k", how=how).collect())
+        )
+        want = sorted(map(tuple, big.join(small, "k", how).collect()))
+        assert got == want, how
+
+    uniform = spark.createDataFrame(
+        [((i % 40) + 1, i) for i in range(400)], "k long, v long"
+    )
+    plain = auto_salted_join(uniform, small, "k")
+    assert "Union" not in plain._jdf.queryExecution().analyzed().toString()
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, uniform.join(small, "k").collect())
+    )
