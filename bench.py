@@ -96,6 +96,9 @@ HEADLINE = [
     # r10 operators
     "st05_rank_sum_test",
     "t31_wordpiece_scores",
+    "st06_mad_outliers",
+    "sk01_hll_ndv",
+    "g16_hyperball_neighborhood",
 ]
 
 # Reference-parity ETL (EP1 at shard grain): not a queries() entry — it

@@ -298,6 +298,82 @@ def _apply_deletes(
     return df
 
 
+def _apply_renames(df: DataFrame, manifest: dict) -> DataFrame:
+    """Normalize per-era physical column names to the current LOGICAL
+    schema: each recorded rename either coalesces the two era columns
+    (a mergeSchema read of mixed pre/post-rename files carries both,
+    exactly one non-absent per file) or renames the single present one.
+    Applied in commit order so chained renames compose; a historical
+    manifest (time travel) simply carries fewer renames, so AS-OF reads
+    see that era's names — no special casing."""
+    for r in manifest.get("column_renames") or []:
+        old, new = r["from"], r["to"]
+        if old in df.columns and new in df.columns:
+            df = df.withColumn(new, F.coalesce(F.col(new), F.col(old))).drop(
+                old
+            )
+        elif old in df.columns:
+            df = df.withColumnRenamed(old, new)
+    return df
+
+
+def rename_column(spark: SparkSession, table: str, old: str, new: str) -> str:
+    """RENAME COLUMN WITHOUT REWRITE — the Delta/Iceberg column-mapping
+    analog: a metadata-only transaction records the logical rename; no
+    data file moves. Readers normalize per-era physical names at scan
+    time (:func:`_apply_renames` — mergeSchema + coalesce over the
+    era-split pair), writers write the CURRENT logical schema from the
+    rename txn on, and time travel to a pre-rename txn still sees the
+    old name because the historical manifest predates the rename entry.
+
+    Refused when: ``old`` is a partition column (the name is baked into
+    Hive directory paths), pending merge-on-read deletes exist (their
+    key columns were recorded under the old name — ``materialize_
+    deletes`` first), a CHECK constraint expression mentions ``old``
+    (it would silently stop binding), or ``new`` already exists in the
+    logical schema. Manifest stats and bloom keys for ``old`` remap to
+    ``new`` in the same txn, so data skipping and point-lookup pruning
+    keep working across the rename."""
+    import re
+
+    manifest = read_manifest(table)
+    if not manifest["partitions"]:
+        raise FileNotFoundError(f"no committed snapshot at {table}")
+    if old in _partition_cols(manifest):
+        raise ValueError(
+            f"cannot rename partition column {old!r}: the name is part"
+            " of the Hive directory layout"
+        )
+    if _delete_entries(manifest):
+        raise ValueError(
+            "pending merge-on-read deletes reference physical column"
+            " names: run materialize_deletes() before renaming"
+        )
+    for cname, expr in (manifest.get("constraints") or {}).items():
+        if re.search(rf"\b{re.escape(old)}\b", expr):
+            raise ValueError(
+                f"constraint {cname!r} references {old!r}: drop or"
+                " rewrite it before renaming"
+            )
+    cols = read_snapshot(spark, table).columns
+    if old not in cols:
+        raise KeyError(f"no column {old!r} in the logical schema {cols}")
+    if new in cols:
+        raise ValueError(f"column {new!r} already exists")
+    manifest.setdefault("column_renames", []).append(
+        {"from": old, "to": new}
+    )
+    for rel_stats in (manifest.get("stats") or {}).values():
+        if old in rel_stats:
+            rel_stats[new] = rel_stats.pop(old)
+    for entry in (manifest.get("bloom") or {}).values():
+        if old in entry.get("cols", {}):
+            entry["cols"][new] = entry["cols"].pop(old)
+    txn_id = uuid.uuid4().hex[:12]
+    _publish(table, manifest, txn_id)
+    return txn_id
+
+
 def read_snapshot(
     spark: SparkSession,
     table: str,
@@ -339,6 +415,9 @@ def read_snapshot(
             manifest = json.load(fh)
     else:
         manifest = read_manifest(table)
+    if manifest.get("column_renames"):
+        # mixed-era physical names need the schema union to coalesce
+        merge_schema = True
     parts = sorted(manifest["partitions"].items())
     if prune:
         stats = manifest.get("stats", {})
@@ -356,13 +435,14 @@ def read_snapshot(
             # everything pruned: correct answer is an empty frame with
             # the table schema (one footer read; folds to LocalRelation)
             any_rel, any_txn = next(iter(sorted(manifest["partitions"].items())))
-            return (
+            return _apply_renames(
                 spark.read.option("basePath", table)
                 .parquet(
                     os.path.join(table, any_rel, f"{TXN_COL_PREFIX}{any_txn}")
                 )
                 .drop("txn")
-                .filter(F.lit(False))
+                .filter(F.lit(False)),
+                manifest,
             )
         raise FileNotFoundError(f"no committed snapshot at {table}")
     df = (
@@ -371,6 +451,7 @@ def read_snapshot(
         .parquet(*paths)
         .drop("txn")  # the version dir surfaces as a partition column
     )
+    df = _apply_renames(df, manifest)
     if apply_deletes:
         df = _apply_deletes(spark, table, manifest, df)
     return df
@@ -1235,11 +1316,12 @@ def read_snapshot_point(
     if not keep:
         # bloom-proved absent everywhere: empty frame with table schema
         any_rel, any_txn = next(iter(sorted(manifest["partitions"].items())))
-        return (
+        return _apply_renames(
             spark.read.option("basePath", table)
             .parquet(os.path.join(table, any_rel, f"{TXN_COL_PREFIX}{any_txn}"))
             .drop("txn")
-            .filter(F.lit(False))
+            .filter(F.lit(False)),
+            manifest,
         )
     paths = [
         os.path.join(table, rel, f"{TXN_COL_PREFIX}{txn}") for rel, txn in keep
@@ -1247,12 +1329,16 @@ def read_snapshot_point(
     # merge-on-read deletes apply here too — the bloom describes the raw
     # data files, so a logically-deleted key can bloom-match; the
     # anti-join keeps it from resurfacing
-    return _apply_deletes(
-        spark,
-        table,
-        manifest,
-        spark.read.option("basePath", table).parquet(*paths).drop("txn"),
+    raw = (
+        spark.read.option("basePath", table)
+        .option(
+            "mergeSchema",
+            str(bool(manifest.get("column_renames"))).lower(),
+        )
+        .parquet(*paths)
+        .drop("txn")
     )
+    return _apply_deletes(spark, table, manifest, _apply_renames(raw, manifest))
 
 
 def optimize_table(

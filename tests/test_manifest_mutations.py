@@ -1086,3 +1086,88 @@ def test_copy_into_exactly_once_over_overlapping_file_lists(
     import pytest as _pytest
     with _pytest.raises(FileNotFoundError):
         mw.copy_into(spark, table, [str(tmp_path / "nope.parquet")])
+
+
+def test_rename_column_without_rewrite(spark, vtable):
+    """r10: column mapping — rename is metadata-only (data versions
+    untouched), old-era files + new-era writes unify under the logical
+    name, chained renames compose, time travel shows each era's own
+    name, stats keys remap so pruning keeps working, and the guarded
+    refusals (partition col / existing name / constrained col) raise."""
+    from learn_etl_data_warehouse_spark.plans.manifest_warehouse import (
+        add_constraint,
+        drop_constraint,
+        rename_column,
+    )
+
+    table, sink = vtable
+    pre_txn = read_manifest(table)["txn"]
+    versions_before = dict(read_manifest(table)["partitions"])
+
+    rename_column(spark, table, "v", "amount")
+    m = read_manifest(table)
+    # metadata-only: every partition keeps its data version
+    assert m["partitions"] == versions_before
+    df = read_snapshot(spark, table)
+    assert "amount" in df.columns and "v" not in df.columns
+    assert df.filter(F.col("amount") >= 100).count() == 10
+    # stats keys remapped -> pruning still plans on the new name
+    pruned = read_snapshot(spark, table, prune={"amount": (100, None)})
+    assert all("batch_id=1" in f for f in pruned.inputFiles())
+    # time travel to the pre-rename txn sees the old name
+    assert "v" in read_snapshot(spark, table, as_of=pre_txn).columns
+
+    # a post-rename writer uses the LOGICAL schema; eras unify
+    b2 = spark.createDataFrame(
+        [(200, 200.0, "d")], "id INT, amount DOUBLE, cat STRING"
+    )
+    sink(b2, 2)
+    df2 = read_snapshot(spark, table)
+    assert df2.columns.count("amount") == 1
+    got = {r["id"]: r["amount"] for r in df2.collect()}
+    assert got[200] == 200.0 and got[105] == 105.0 and got[99] is None
+
+    # chained rename composes
+    rename_column(spark, table, "amount", "total")
+    df3 = read_snapshot(spark, table)
+    assert "total" in df3.columns and "amount" not in df3.columns
+    assert df3.filter(F.col("total") >= 100).count() == 11
+
+    # refusals
+    with pytest.raises(ValueError):
+        rename_column(spark, table, "batch_id", "b")
+    with pytest.raises(ValueError):
+        rename_column(spark, table, "cat", "total")
+    add_constraint(spark, table, "cat_set", "cat IN ('a','b','c','d')")
+    with pytest.raises(ValueError):
+        rename_column(spark, table, "cat", "category")
+    drop_constraint(table, "cat_set")
+    rename_column(spark, table, "cat", "category")
+    assert "category" in read_snapshot(spark, table).columns
+
+
+def test_rename_column_mor_refusal_and_bloom_remap(spark, vtable):
+    """r10: rename refuses while MoR delete entries are pending (their
+    key names are physical), and bloom keys remap so point-lookup
+    pruning works under the new name."""
+    from learn_etl_data_warehouse_spark.plans.manifest_warehouse import (
+        add_bloom_index,
+        delete_where_mor,
+        materialize_deletes,
+        read_snapshot_point,
+        rename_column,
+    )
+
+    table, _ = vtable
+    delete_where_mor(spark, table, "id = 99", ["id"])
+    with pytest.raises(ValueError):
+        rename_column(spark, table, "v", "amount")
+    materialize_deletes(spark, table)
+
+    add_bloom_index(table, ["id"])
+    rename_column(spark, table, "id", "row_id")
+    m = read_manifest(table)
+    assert all("row_id" in e["cols"] for e in m["bloom"].values())
+    hit = read_snapshot_point(spark, table, {"row_id": 105})
+    assert all("batch_id=1" in f for f in hit.inputFiles())
+    assert hit.filter(F.col("row_id") == 105).count() == 1
