@@ -4915,6 +4915,24 @@ def q_sk01(spark, sf_dir):
     )
 
 
+def q_a30(spark, sf_dir):
+    """Weighted median (r10): per return flag, the quantity-weighted
+    lower nearest-rank median of extended price — "half the shipped
+    UNITS cost less than this", which the row-median (st06) can't
+    answer. Same per-group two-level bucket selection kernel with
+    counts generalized to weight sums; no global sort, no
+    single-partition window
+    (operators/sampling.py::weighted_median)."""
+    from learn_etl_data_warehouse_spark.operators.sampling import (
+        weighted_median,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "_w", F.round("l_quantity").cast("long")
+    )
+    return weighted_median(li, "l_extendedprice", "_w", "l_returnflag")
+
+
 def q_g16(spark, sf_dir):
     """HyperBall neighborhood function (r10): N(t) for t = 0, 1, 2 over
     the part co-occurrence graph — per-node HLL ball sketches advanced
@@ -5428,6 +5446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml07_ols_two_feature": q_ml07,
         "fc04_ewma_smoothing": q_fc04,
         "g16_hyperball_neighborhood": q_g16,
+        "a30_weighted_median": q_a30,
         "pm02_direct_follows": q_pm02,
         "pf11_k_anonymity": q_pf11,
         "t31_wordpiece_scores": q_t31,
@@ -9604,6 +9623,26 @@ UNION ALL
 SELECT CAST(1 AS BIGINT), n_nodes, sum_occupied, sum_est FROM e1
 UNION ALL
 SELECT CAST(2 AS BIGINT), n_nodes, sum_occupied, sum_est FROM e2"""
+    # a30 (r10): st06's selection with counts generalized to weight
+    # sums — target rank (W+1)//2 over the weighted CDF's half-open
+    # (lt, lt+w_v] intervals.
+    out["a30_weighted_median"] = """
+WITH base AS (SELECT l_returnflag AS grp,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+                     CAST(round(l_quantity) AS BIGINT) AS w
+              FROM lineitem),
+g AS (SELECT grp, CAST(sum(w) AS BIGINT) AS n_g FROM base GROUP BY 1
+      HAVING sum(w) > 0),
+pv AS (SELECT grp, c, CAST(sum(w) AS BIGINT) AS n_v
+       FROM base GROUP BY 1, 2),
+cum AS (SELECT grp, c, n_v,
+               CAST(sum(n_v) OVER (PARTITION BY grp ORDER BY c) - n_v
+                    AS BIGINT) AS lt
+        FROM pv)
+SELECT g.grp, g.n_g AS total_weight, cum.c AS weighted_median_cents
+FROM cum JOIN g ON g.grp = cum.grp
+WHERE cum.lt < (g.n_g + 1) // 2
+  AND cum.lt + cum.n_v >= (g.n_g + 1) // 2"""
     # fc02 (r9): fc01's forecast chain over the train grid (global
     # cutoff = max hr − 24), scored against the full grid's actuals.
     # MAE divides a non-negative sum (// ≡ div); bias stays undivided.

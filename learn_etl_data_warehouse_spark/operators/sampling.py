@@ -678,7 +678,9 @@ def rank_sum_test(
     )
 
 
-def _group_below_counts(base: DataFrame, group_alias: str) -> DataFrame:
+def _group_below_counts(
+    base: DataFrame, group_alias: str, weight: str | None = None
+) -> DataFrame:
     """Per-(group, distinct value) exclusive below-counts — the a26/st05
     two-level bucket construction applied PER GROUP: distinct values
     bucket by (digit_count, 2-digit prefix) (strictly value-ordered
@@ -690,12 +692,17 @@ def _group_below_counts(base: DataFrame, group_alias: str) -> DataFrame:
     broadcast, which assumes a BOUNDED group alphabet (the repo's
     standing broadcast rule).
 
-    Input: (``group_alias``, _c) rows. Output one row per distinct
-    (group, value): (``group_alias``, _c, _n_v BIGINT, _lt
+    With ``weight`` (a non-negative integer column on ``base``), counts
+    become weight SUMS — the ranks turn into the weighted-CDF positions
+    a weighted median selects against.
+
+    Input: (``group_alias``, _c[, weight]) rows. Output one row per
+    distinct (group, value): (``group_alias``, _c, _n_v BIGINT, _lt
     DECIMAL(38,0)).
     """
+    unit = F.lit(1) if weight is None else F.col(weight)
     pv = base.groupBy(group_alias, "_c").agg(
-        F.count(F.lit(1)).cast("long").alias("_n_v")
+        F.sum(unit).cast("long").alias("_n_v")
     )
     s = F.col("_c").cast("string")
     b = pv.select(
@@ -812,4 +819,45 @@ def mad_outlier_profile(
     )
     return out.join(F.broadcast(sizes), group_alias).select(
         group_alias, "n_g", "median_cents", "mad_cents", "n_outliers"
+    )
+
+
+def weighted_median(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    group_col,
+    group_alias: str = "grp",
+) -> DataFrame:
+    """Exact WEIGHTED lower nearest-rank median per group: the smallest
+    value whose weighted CDF reaches ``(W + 1) div 2`` of the group's
+    total weight W — "half the shipped units cost less than this", the
+    quantity-weighted form the plain median (st06) can't answer.
+    Values are rounded cents, weights non-negative integers; selection
+    rides the same per-group two-level bucket kernel as st06 with
+    counts generalized to weight sums — no global sort, no
+    single-partition window, no per-group row window. Zero-total-weight
+    groups produce no row (no rank to select).
+
+    Returns (``group_alias``, total_weight, weighted_median_cents).
+    """
+    grp = F.col(group_col) if isinstance(group_col, str) else group_col
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    w = F.col(weight_col).cast("long")
+    base = df.select(
+        grp.alias(group_alias), cents.alias("_c"), w.alias("_w")
+    )
+    sizes = base.groupBy(group_alias).agg(
+        F.sum("_w").cast("long").alias("n_g")
+    ).filter(F.col("n_g") > 0)
+    sel = _group_nearest_rank(
+        _group_below_counts(base, group_alias, weight="_w"),
+        sizes,
+        group_alias,
+        "weighted_median_cents",
+    )
+    return sel.join(F.broadcast(sizes), group_alias).select(
+        group_alias,
+        F.col("n_g").alias("total_weight"),
+        "weighted_median_cents",
     )

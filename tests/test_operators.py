@@ -4502,3 +4502,20 @@ def test_auto_salted_join_matches_plain_and_skips_when_uniform(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(
         map(tuple, uniform.join(small, "k").collect())
     )
+
+
+def test_weighted_median_hand_model(spark):
+    """r10: a30 — weighted CDF selection: weights (1,2,1) over values
+    (100,200,300) cents put the (W+1)//2 = 2nd unit at 200; a
+    zero-weight row moves nothing."""
+    from learn_etl_data_warehouse_spark.operators.sampling import (
+        weighted_median,
+    )
+
+    rows = [("a", 1.00, 1), ("a", 2.00, 2), ("a", 3.00, 1),
+            ("a", 0.50, 0)]
+    df = spark.createDataFrame(rows, "g string, v double, w long")
+    [r] = weighted_median(df, "v", "w", "g").collect()
+    assert (r["grp"], r["total_weight"], r["weighted_median_cents"]) == (
+        "a", 4, 200,
+    )
