@@ -4963,9 +4963,13 @@ def q_fc04(spark, sf_dir):
     smoothed with the alpha = 1/2 halving recursion in integer micro —
     s_t = (x_t·10⁶ + s_{t−1}) div 2, the one smoothing weight whose
     fixed-point recursion is exact cross-engine (add + shift per step,
-    non-negative operands). Sequential by nature → a Column aggregate
-    fold over the calendar-bounded per-key grid; the oracle twin is a
-    recursive CTE over the same grid index
+    non-negative operands). Distinct from e14 (dyadic_ewma): that is
+    the FIR approximation — decay truncated at 3 lags, gap hours
+    skipped, windowed re-agg; fc04 is the TRUE infinite-memory IIR
+    recursion over the dense zero-filled grid (gaps decay the level),
+    the form a forecast level/backtest actually consumes. Sequential by
+    nature → a Column aggregate fold over the calendar-bounded per-key
+    grid; the oracle twin is a recursive CTE over the same grid index
     (operators/timeseries.py::ewma_smooth)."""
     from learn_etl_data_warehouse_spark.operators.timeseries import (
         ewma_smooth,
