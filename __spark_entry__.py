@@ -4915,6 +4915,21 @@ def q_sk01(spark, sf_dir):
     )
 
 
+def q_knn03(spark, sf_dir):
+    """k-NN label-agreement audit (r10): per vector, the ppm share of
+    its 5 exact cosine neighbors carrying the vector's OWN label — the
+    cluster-purity / mislabel-detection read (confident-learning's
+    starting signal); knn01 PREDICTS a label from the neighborhood,
+    this SCORES the given one against it. Same deterministic kernel
+    and tie-breaks as knn01
+    (operators/similarity.py::knn_label_agreement)."""
+    from learn_etl_data_warehouse_spark.operators.similarity import (
+        knn_label_agreement,
+    )
+
+    return knn_label_agreement(_t(spark, sf_dir, "embeddings"), k=5)
+
+
 def q_a30(spark, sf_dir):
     """Weighted median (r10): per return flag, the quantity-weighted
     lower nearest-rank median of extended price — "half the shipped
@@ -5451,6 +5466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fc04_ewma_smoothing": q_fc04,
         "g16_hyperball_neighborhood": q_g16,
         "a30_weighted_median": q_a30,
+        "knn03_label_agreement": q_knn03,
         "pm02_direct_follows": q_pm02,
         "pf11_k_anonymity": q_pf11,
         "t31_wordpiece_scores": q_t31,
@@ -9647,6 +9663,29 @@ SELECT g.grp, g.n_g AS total_weight, cum.c AS weighted_median_cents
 FROM cum JOIN g ON g.grp = cum.grp
 WHERE cum.lt < (g.n_g + 1) // 2
   AND cum.lt + cum.n_v >= (g.n_g + 1) // 2"""
+    # knn03 (r10): knn01's exact neighbor ranking, scored against each
+    # vector's OWN label; truncating ppm over neighbors present.
+    out["knn03_label_agreement"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+p AS (SELECT a.vec_id AS id, a.label AS ol, b.vec_id AS nbr, b.label AS nl,
+             round(list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) *
+                    sqrt(list_dot_product(b.v, b.v))), 6) AS c
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+r AS (SELECT id, ol, nl,
+             row_number() OVER (PARTITION BY id ORDER BY c DESC, nbr) AS rn
+      FROM p),
+a AS (SELECT id, ol, CAST(count(*) AS BIGINT) AS n_neighbors,
+             CAST(sum(CASE WHEN nl = ol THEN 1 ELSE 0 END) AS BIGINT)
+               AS agree_n
+      FROM r WHERE rn <= 5 GROUP BY 1, 2)
+SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+       CAST(coalesce(a.n_neighbors, 0) AS BIGINT) AS n_neighbors,
+       CAST(coalesce(a.agree_n, 0) AS BIGINT) AS agree_n,
+       CAST(CASE WHEN a.n_neighbors > 0
+            THEN (1000000 * a.agree_n) // a.n_neighbors END AS BIGINT)
+         AS agree_ppm
+FROM e LEFT JOIN a ON a.id = e.vec_id"""
     # fc02 (r9): fc01's forecast chain over the train grid (global
     # cutoff = max hr − 24), scored against the full grid's actuals.
     # MAE divides a non-negative sum (// ≡ div); bias stays undivided.

@@ -1328,3 +1328,79 @@ def nearest_centroid_confusion(
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def knn_label_agreement(
+    df: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN LABEL-AGREEMENT audit: per vector, how many of its k exact
+    nearest neighbors (cosine) carry the vector's OWN label — the
+    cluster-purity / mislabel-detection diagnostic (a point whose
+    neighborhood disagrees with its label is the standard label-noise
+    candidate; Northcutt-style confident-learning starts here). The
+    complement of knn01: that PREDICTS a label from the neighborhood,
+    this SCORES the given label against it.
+
+    Same exact kernel (cosine_pairs_blocked at threshold −1, ranked by
+    (cosine DESC, neighbor id)), so determinism and the oracle story
+    are knn01's; the agreement rate is truncating ppm over the
+    neighbors actually present (a corpus smaller than k+1 shrinks the
+    denominator, never divides by zero — singleton corpora emit no
+    pairs and the vector keeps n_neighbors = 0 via the left join with
+    agree_ppm NULL).
+
+    Returns (``id_col``, label, n_neighbors, agree_n, agree_ppm).
+    """
+    if k < 1:
+        raise ValueError("knn_label_agreement: k must be >= 1")
+    own = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).cast("long").alias("_ol"),
+    )
+    labels = df.select(
+        F.col(id_col).alias("_nbr"),
+        F.col(label_col).cast("long").alias("_nl"),
+    )
+    pairs = cosine_pairs_blocked(
+        df, threshold=-1.0, vec_col=vec_col, id_col=id_col
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("_id"), F.col("id_b").alias("_nbr"), "cosine"
+    ).unionAll(
+        pairs.select(
+            F.col("id_b").alias("_id"), F.col("id_a").alias("_nbr"), "cosine"
+        )
+    )
+    rank_w = Window.partitionBy("_id").orderBy(
+        F.desc("cosine"), F.asc("_nbr")
+    )
+    topk = (
+        sym.withColumn("_rn", F.row_number().over(rank_w))
+        .filter(F.col("_rn") <= k)
+        .join(labels, "_nbr")
+        .join(own, "_id")
+    )
+    agg = topk.groupBy("_id", "_ol").agg(
+        F.count(F.lit(1)).cast("long").alias("n_neighbors"),
+        F.sum(F.when(F.col("_nl") == F.col("_ol"), 1).otherwise(0))
+        .cast("long")
+        .alias("agree_n"),
+    )
+    return own.join(agg, ["_id", "_ol"], "left").select(
+        F.col("_id").alias(id_col),
+        F.col("_ol").alias("label"),
+        F.coalesce("n_neighbors", F.lit(0)).cast("long").alias(
+            "n_neighbors"
+        ),
+        F.coalesce("agree_n", F.lit(0)).cast("long").alias("agree_n"),
+        F.expr(
+            "CASE WHEN n_neighbors > 0 THEN"
+            " (1000000 * agree_n) div n_neighbors END"
+        )
+        .cast("long")
+        .alias("agree_ppm"),
+    )

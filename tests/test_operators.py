@@ -4519,3 +4519,28 @@ def test_weighted_median_hand_model(spark):
     assert (r["grp"], r["total_weight"], r["weighted_median_cents"]) == (
         "a", 4, 200,
     )
+
+
+def test_knn_label_agreement_hand_model(spark):
+    """r10: knn03 — two collinear pairs with crossed labels: each
+    vector's 1-NN is its collinear partner; the mislabeled pair scores
+    0 ppm agreement, the clean pair 1e6."""
+    from learn_etl_data_warehouse_spark.operators.similarity import (
+        knn_label_agreement,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], 0), (2, [2.0, 0.0], 0),
+        (3, [0.0, 1.0], 1), (4, [0.0, 2.0], 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {
+        r["vec_id"]: (r["n_neighbors"], r["agree_n"], r["agree_ppm"])
+        for r in knn_label_agreement(df, k=1).collect()
+    }
+    assert got[1] == (1, 1, 1_000_000)
+    assert got[2] == (1, 1, 1_000_000)
+    assert got[3] == (1, 0, 0)
+    assert got[4] == (1, 0, 0)
