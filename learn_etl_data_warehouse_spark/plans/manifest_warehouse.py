@@ -298,22 +298,54 @@ def _apply_deletes(
     return df
 
 
+def _schema_ops(manifest: dict) -> list[dict]:
+    """The ordered metadata schema-evolution log: rename / add / drop
+    entries, applied to every read in commit order (``column_renames``
+    is the pre-r10 key for rename-only logs, folded in first for
+    manifests written before add/drop existed)."""
+    legacy = [
+        {"op": "rename", "from": r["from"], "to": r["to"]}
+        for r in manifest.get("column_renames") or []
+    ]
+    return legacy + (manifest.get("schema_ops") or [])
+
+
 def _apply_renames(df: DataFrame, manifest: dict) -> DataFrame:
-    """Normalize per-era physical column names to the current LOGICAL
-    schema: each recorded rename either coalesces the two era columns
-    (a mergeSchema read of mixed pre/post-rename files carries both,
-    exactly one non-absent per file) or renames the single present one.
-    Applied in commit order so chained renames compose; a historical
-    manifest (time travel) simply carries fewer renames, so AS-OF reads
-    see that era's names — no special casing."""
-    for r in manifest.get("column_renames") or []:
-        old, new = r["from"], r["to"]
-        if old in df.columns and new in df.columns:
-            df = df.withColumn(new, F.coalesce(F.col(new), F.col(old))).drop(
-                old
-            )
-        elif old in df.columns:
-            df = df.withColumnRenamed(old, new)
+    """Normalize per-era physical columns to the current LOGICAL
+    schema by replaying the metadata schema-op log in commit order:
+
+    - rename: coalesce the two era columns (a mergeSchema read of
+      mixed pre/post-rename files carries both, exactly one non-absent
+      per file) or rename the single present one;
+    - add-with-default: absent column materializes as the default;
+      present column coalesces era-NULLs to the default (Delta's
+      existing-rows-get-the-default semantics — an explicit NULL
+      written post-add is indistinguishable from absent, documented);
+    - drop: projected away wherever an era still carries it.
+
+    A historical manifest (time travel) simply carries a shorter log,
+    so AS-OF reads see that era's schema — no special casing."""
+    for r in _schema_ops(manifest):
+        if r["op"] == "rename":
+            old, new = r["from"], r["to"]
+            if old in df.columns and new in df.columns:
+                df = df.withColumn(
+                    new, F.coalesce(F.col(new), F.col(old))
+                ).drop(old)
+            elif old in df.columns:
+                df = df.withColumnRenamed(old, new)
+        elif r["op"] == "add":
+            default = F.lit(r.get("default")).cast(r["type"])
+            if r["name"] in df.columns:
+                df = df.withColumn(
+                    r["name"],
+                    F.coalesce(F.col(r["name"]).cast(r["type"]), default),
+                )
+            else:
+                df = df.withColumn(r["name"], default)
+        elif r["op"] == "drop":
+            if r["name"] in df.columns:
+                df = df.drop(r["name"])
     return df
 
 
@@ -360,8 +392,8 @@ def rename_column(spark: SparkSession, table: str, old: str, new: str) -> str:
         raise KeyError(f"no column {old!r} in the logical schema {cols}")
     if new in cols:
         raise ValueError(f"column {new!r} already exists")
-    manifest.setdefault("column_renames", []).append(
-        {"from": old, "to": new}
+    manifest.setdefault("schema_ops", []).append(
+        {"op": "rename", "from": old, "to": new}
     )
     for rel_stats in (manifest.get("stats") or {}).values():
         if old in rel_stats:
@@ -369,6 +401,77 @@ def rename_column(spark: SparkSession, table: str, old: str, new: str) -> str:
     for entry in (manifest.get("bloom") or {}).values():
         if old in entry.get("cols", {}):
             entry["cols"][new] = entry["cols"].pop(old)
+    txn_id = uuid.uuid4().hex[:12]
+    _publish(table, manifest, txn_id)
+    return txn_id
+
+
+def add_column(
+    spark: SparkSession,
+    table: str,
+    name: str,
+    dtype: str,
+    default=None,
+) -> str:
+    """ADD COLUMN WITHOUT REWRITE (metadata-only): the column appears
+    on every read with ``default`` for all existing rows; writers
+    include it from this txn on. Delta's existing-rows-get-the-default
+    semantics, with the same documented boundary: the read-side
+    normalization is coalesce, so an explicit NULL written post-add
+    reads as the default — a writer that needs distinguishable NULLs
+    should add the column with ``default=None`` (plain NULL fill).
+    Refused when the name is already a logical or partition column."""
+    manifest = read_manifest(table)
+    if not manifest["partitions"]:
+        raise FileNotFoundError(f"no committed snapshot at {table}")
+    if name in _partition_cols(manifest):
+        raise ValueError(f"{name!r} is a partition column")
+    if name in read_snapshot(spark, table).columns:
+        raise ValueError(f"column {name!r} already exists")
+    manifest.setdefault("schema_ops", []).append(
+        {"op": "add", "name": name, "type": dtype, "default": default}
+    )
+    txn_id = uuid.uuid4().hex[:12]
+    _publish(table, manifest, txn_id)
+    return txn_id
+
+
+def drop_column(spark: SparkSession, table: str, name: str) -> str:
+    """DROP COLUMN WITHOUT REWRITE (metadata-only): every read projects
+    the column away; the bytes stay in old files until their partitions
+    are next rewritten (compaction / CoW delete), exactly Delta column
+    mapping's drop. Same refusals as rename: partition columns, pending
+    MoR deletes (physical key names), CHECK constraints referencing the
+    column. Stats and bloom entries for the column are removed in the
+    same txn."""
+    import re
+
+    manifest = read_manifest(table)
+    if not manifest["partitions"]:
+        raise FileNotFoundError(f"no committed snapshot at {table}")
+    if name in _partition_cols(manifest):
+        raise ValueError(f"cannot drop partition column {name!r}")
+    if _delete_entries(manifest):
+        raise ValueError(
+            "pending merge-on-read deletes reference physical column"
+            " names: run materialize_deletes() before dropping"
+        )
+    for cname, expr in (manifest.get("constraints") or {}).items():
+        if re.search(rf"\b{re.escape(name)}\b", expr):
+            raise ValueError(
+                f"constraint {cname!r} references {name!r}: drop or"
+                " rewrite it before dropping the column"
+            )
+    cols = read_snapshot(spark, table).columns
+    if name not in cols:
+        raise KeyError(f"no column {name!r} in the logical schema {cols}")
+    manifest.setdefault("schema_ops", []).append(
+        {"op": "drop", "name": name}
+    )
+    for rel_stats in (manifest.get("stats") or {}).values():
+        rel_stats.pop(name, None)
+    for entry in (manifest.get("bloom") or {}).values():
+        entry.get("cols", {}).pop(name, None)
     txn_id = uuid.uuid4().hex[:12]
     _publish(table, manifest, txn_id)
     return txn_id
@@ -415,7 +518,7 @@ def read_snapshot(
             manifest = json.load(fh)
     else:
         manifest = read_manifest(table)
-    if manifest.get("column_renames"):
+    if _schema_ops(manifest):
         # mixed-era physical names need the schema union to coalesce
         merge_schema = True
     parts = sorted(manifest["partitions"].items())
@@ -1333,7 +1436,7 @@ def read_snapshot_point(
         spark.read.option("basePath", table)
         .option(
             "mergeSchema",
-            str(bool(manifest.get("column_renames"))).lower(),
+            str(bool(_schema_ops(manifest))).lower(),
         )
         .parquet(*paths)
         .drop("txn")

@@ -1171,3 +1171,56 @@ def test_rename_column_mor_refusal_and_bloom_remap(spark, vtable):
     hit = read_snapshot_point(spark, table, {"row_id": 105})
     assert all("batch_id=1" in f for f in hit.inputFiles())
     assert hit.filter(F.col("row_id") == 105).count() == 1
+
+
+def test_add_and_drop_column_without_rewrite(spark, vtable):
+    """r10: the schema-evolution triple completed — ADD COLUMN with a
+    default fills existing rows and coalesces era-NULLs; a post-add
+    writer's real values win; DROP COLUMN projects away everywhere;
+    rename composes with both in commit order; AS-OF sees each era's
+    schema; refusals raise."""
+    from learn_etl_data_warehouse_spark.plans.manifest_warehouse import (
+        add_column,
+        drop_column,
+        rename_column,
+    )
+
+    table, sink = vtable
+    pre_txn = read_manifest(table)["txn"]
+    versions_before = dict(read_manifest(table)["partitions"])
+
+    add_column(spark, table, "tier", "string", default="std")
+    m = read_manifest(table)
+    assert m["partitions"] == versions_before  # metadata-only
+    df = read_snapshot(spark, table)
+    assert df.filter(F.col("tier") == "std").count() == df.count()
+
+    # a post-add writer provides real values; old eras keep the default
+    b2 = spark.createDataFrame(
+        [(300, 300.0, "e", "vip")],
+        "id INT, v DOUBLE, cat STRING, tier STRING",
+    )
+    sink(b2, 2)
+    got = {r["id"]: r["tier"] for r in read_snapshot(spark, table).collect()}
+    assert got[300] == "vip" and got[105] == "std"
+
+    # rename the added column, then drop another — ops compose in order
+    rename_column(spark, table, "tier", "service_tier")
+    df2 = read_snapshot(spark, table)
+    assert "service_tier" in df2.columns and "tier" not in df2.columns
+    drop_column(spark, table, "cat")
+    df3 = read_snapshot(spark, table)
+    assert "cat" not in df3.columns
+    assert df3.filter(F.col("service_tier") == "vip").count() == 1
+
+    # AS-OF the pre-evolution txn: original schema
+    old = read_snapshot(spark, table, as_of=pre_txn)
+    assert "cat" in old.columns and "tier" not in old.columns
+
+    # refusals
+    with pytest.raises(ValueError):
+        add_column(spark, table, "v", "double")
+    with pytest.raises(ValueError):
+        drop_column(spark, table, "batch_id")
+    with pytest.raises(KeyError):
+        drop_column(spark, table, "cat")
