@@ -548,12 +548,37 @@ def read_snapshot(
                 manifest,
             )
         raise FileNotFoundError(f"no committed snapshot at {table}")
-    df = (
-        spark.read.option("basePath", table)
-        .option("mergeSchema", str(merge_schema).lower())
-        .parquet(*paths)
-        .drop("txn")  # the version dir surfaces as a partition column
-    )
+    by_scheme: dict[tuple, list[str]] = {}
+    for rel, txn in parts:
+        by_scheme.setdefault(_scheme_of(rel), []).append(
+            os.path.join(table, rel, f"{TXN_COL_PREFIX}{txn}")
+        )
+    if len(by_scheme) == 1:
+        df = (
+            spark.read.option("basePath", table)
+            .option("mergeSchema", str(merge_schema).lower())
+            .parquet(*paths)
+            .drop("txn")
+        )
+    else:
+        # PARTITION EVOLUTION in flight: one basePath can't span two
+        # Hive layouts (Spark refuses conflicting partition columns),
+        # so each scheme era reads separately and the eras union by
+        # name — a row's other-era partition columns read NULL, which
+        # is exact for Hive-style tables (the value lives only in the
+        # path). migrate_partitioning() converges the table.
+        from functools import reduce as _reduce
+
+        eras = [
+            spark.read.option("basePath", table)
+            .option("mergeSchema", str(merge_schema).lower())
+            .parquet(*ps)
+            .drop("txn")
+            for _, ps in sorted(by_scheme.items())
+        ]
+        df = _reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), eras
+        )
     df = _apply_renames(df, manifest)
     if apply_deletes:
         df = _apply_deletes(spark, table, manifest, df)
@@ -629,6 +654,31 @@ def _leaf_partitions(root: str):
                 yield rel
 
 
+def _scheme_of(rel: str) -> tuple[str, ...]:
+    """The partition scheme (ordered column names) a rel path encodes."""
+    return tuple(seg.split("=", 1)[0] for seg in rel.split(os.sep))
+
+
+def _schemes(manifest: dict) -> dict[tuple[str, ...], list[tuple[str, str]]]:
+    """Committed (rel, txn) pairs grouped by partition scheme — more
+    than one group means the table is mid-partition-evolution (old-spec
+    data not yet migrated)."""
+    groups: dict[tuple[str, ...], list[tuple[str, str]]] = {}
+    for rel, txn in sorted(manifest["partitions"].items()):
+        groups.setdefault(_scheme_of(rel), []).append((rel, txn))
+    return groups
+
+
+def _require_single_scheme(manifest: dict, op: str) -> None:
+    schemes = _schemes(manifest)
+    if len(schemes) > 1:
+        raise ValueError(
+            f"{op}: table has {len(schemes)} partition schemes"
+            f" ({sorted('/'.join(s) for s in schemes)}) — run"
+            " migrate_partitioning() to converge before keyed mutations"
+        )
+
+
 def _partition_cols(manifest: dict) -> list[str]:
     """Partition column names, parsed from any manifest rel path."""
     rel = next(iter(manifest["partitions"]))
@@ -691,6 +741,7 @@ def delete_where(
     if not manifest["partitions"]:
         raise FileNotFoundError(f"no committed snapshot at {table}")
     manifest = _settle_pending_deletes(spark, table, manifest)
+    _require_single_scheme(manifest, "delete_where")
     part_cols = _partition_cols(manifest)
     snap = read_snapshot(spark, table)
     affected = {
@@ -807,6 +858,7 @@ def materialize_deletes(spark: SparkSession, table: str) -> str | None:
     entries = _delete_entries(manifest)
     if not entries:
         return None
+    _require_single_scheme(manifest, "materialize_deletes")
     part_cols = _partition_cols(manifest)
     raw = read_snapshot(spark, table, apply_deletes=False)
     affected: set[str] = set()
@@ -859,6 +911,7 @@ def merge_upsert(
     if not manifest["partitions"]:
         raise FileNotFoundError(f"no committed snapshot at {table}")
     manifest = _settle_pending_deletes(spark, table, manifest)
+    _require_single_scheme(manifest, "merge_upsert")
     part_cols = _partition_cols(manifest)
     snap = read_snapshot(spark, table)
     updates = updates.select(*snap.columns)  # align column order
@@ -930,6 +983,7 @@ def merge_apply(
     if not manifest["partitions"]:
         raise FileNotFoundError(f"no committed snapshot at {table}")
     manifest = _settle_pending_deletes(spark, table, manifest)
+    _require_single_scheme(manifest, "merge_apply")
     part_cols = _partition_cols(manifest)
     snap = read_snapshot(spark, table)
     upserts = (
@@ -1181,6 +1235,106 @@ def manifest_stream_sink(table: str, pre_publish=None):
         _publish(table, manifest, txn_id)
 
     return commit_batch
+
+
+def migrate_partitioning(
+    spark: SparkSession, table: str, target_cols: list[str]
+) -> str | None:
+    """PARTITION EVOLUTION, Iceberg-style evolve-then-migrate: a writer
+    may start committing under a NEW partition scheme at any time (the
+    manifest tracks rels per scheme; :func:`read_snapshot` unions the
+    era layouts, since one Hive basePath can't span two specs) — this
+    is the CONVERGENCE step that rewrites every old-spec partition
+    under ``target_cols`` in ONE transaction, after which keyed
+    mutations (which a mixed-scheme table refuses) work again.
+
+    Old-spec partition columns are path-encoded, so the rewrite
+    re-reads them through partition discovery and they land INSIDE the
+    new files as ordinary data columns — nothing is lost. Produced rels
+    that collide with live target-spec partitions are merged: the
+    colliding partitions' current rows ride along in the same rewrite,
+    so the collision's version replacement keeps both eras' rows. Old
+    versions stay readable via time travel until vacuumed.
+
+    Refused while merge-on-read deletes are pending (materialize
+    first). No old-spec partitions → no-op, returns None.
+    """
+    manifest = read_manifest(table)
+    if not manifest["partitions"]:
+        raise FileNotFoundError(f"no committed snapshot at {table}")
+    if _delete_entries(manifest):
+        raise ValueError(
+            "pending merge-on-read deletes: run materialize_deletes()"
+            " before migrating the partition scheme"
+        )
+    target = tuple(target_cols)
+    groups = _schemes(manifest)
+    old_parts = [
+        (rel, txn)
+        for scheme, pairs in groups.items()
+        if scheme != target
+        for rel, txn in pairs
+    ]
+    if not old_parts:
+        return None
+    old_paths = [
+        os.path.join(table, rel, f"{TXN_COL_PREFIX}{txn}")
+        for rel, txn in old_parts
+    ]
+    old_df = (
+        spark.read.option("basePath", table)
+        .option("mergeSchema", "true")
+        .parquet(*old_paths)
+        .drop("txn")
+    )
+    for c in target_cols:
+        if c not in old_df.columns:
+            raise ValueError(
+                f"target partition column {c!r} not present in the"
+                f" old-spec data columns {old_df.columns}"
+            )
+    # rels the migration will produce; live target-spec collisions must
+    # ride along or their current rows would be replaced away
+    produced = {
+        os.sep.join(f"{c}={r[c]}" for c in target_cols)
+        for r in old_df.select(*target_cols).distinct().collect()
+    }
+    colliding = [
+        (rel, txn)
+        for rel, txn in groups.get(target, [])
+        if rel in produced
+    ]
+    if colliding:
+        keep_paths = [
+            os.path.join(table, rel, f"{TXN_COL_PREFIX}{txn}")
+            for rel, txn in colliding
+        ]
+        keep_df = (
+            spark.read.option("basePath", table)
+            .option("mergeSchema", "true")
+            .parquet(*keep_paths)
+            .drop("txn")
+        )
+        old_df = old_df.unionByName(keep_df, allowMissingColumns=True)
+    txn_id = uuid.uuid4().hex[:12]
+    staging = os.path.join(table, f".txn-staging-{txn_id}")
+    old_df.write.partitionBy(*target_cols).mode("overwrite").parquet(staging)
+    written = sorted(_leaf_partitions(staging))
+    for rel, _txn in old_parts:
+        del manifest["partitions"][rel]
+        (manifest.get("stats") or {}).pop(rel, None)
+        (manifest.get("bloom") or {}).pop(rel, None)
+    for rel in written:
+        src = os.path.join(staging, rel)
+        dst = os.path.join(table, rel, f"{TXN_COL_PREFIX}{txn_id}")
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.rename(src, dst)
+        manifest["partitions"][rel] = txn_id
+        _invalidate_bloom(manifest, rel)
+        manifest.setdefault("stats", {})[rel] = _version_stats(dst)
+    shutil.rmtree(staging, ignore_errors=True)
+    _publish(table, manifest, txn_id)
+    return txn_id
 
 
 def vacuum(table: str, keep_last: int = 1, keep_txns: set | None = None) -> int:

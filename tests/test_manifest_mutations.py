@@ -1224,3 +1224,62 @@ def test_add_and_drop_column_without_rewrite(spark, vtable):
         drop_column(spark, table, "batch_id")
     with pytest.raises(KeyError):
         drop_column(spark, table, "cat")
+
+
+def test_partition_evolution_migrate_and_mixed_reads(spark, vtable):
+    """r10: partition evolution — migrate batch_id→cat keeps every row
+    (old partition cols become data columns), time travel shows the old
+    spec, a mixed-scheme table still READS correctly (era union) but
+    REFUSES keyed mutations, and a second migration merges colliding
+    live partitions instead of replacing them away."""
+    from learn_etl_data_warehouse_spark.plans.manifest_warehouse import (
+        delete_where,
+        migrate_partitioning,
+    )
+
+    table, sink = vtable
+    before = sorted(
+        (r["id"], r["v"], r["cat"], r["batch_id"])
+        for r in read_snapshot(spark, table).collect()
+    )
+    pre_txn = read_manifest(table)["txn"]
+
+    assert migrate_partitioning(spark, table, ["cat"]) is not None
+    m = read_manifest(table)
+    assert sorted(m["partitions"]) == ["cat=a", "cat=b", "cat=c"]
+    after = sorted(
+        (r["id"], r["v"], r["cat"], r["batch_id"])
+        for r in read_snapshot(spark, table).collect()
+    )
+    assert after == before  # nothing lost; batch_id now lives as data
+    old = read_snapshot(spark, table, as_of=pre_txn)
+    assert sorted(set(old.columns)) == sorted(set(["id", "v", "cat",
+                                                   "batch_id"]))
+    # idempotent: already converged -> no-op
+    assert migrate_partitioning(spark, table, ["cat"]) is None
+
+    # a new batch arrives under the OLD sink scheme: mixed state
+    b2 = spark.createDataFrame(
+        [(400, 400.0, "a"), (401, 401.0, "d")],
+        "id INT, v DOUBLE, cat STRING",
+    )
+    sink(b2, 2)
+    mixed = read_snapshot(spark, table)
+    assert mixed.count() == len(before) + 2
+    assert mixed.filter(F.col("id") == 400).count() == 1
+    with pytest.raises(ValueError):
+        delete_where(spark, table, "id = 400")
+
+    # converge again: cat=a collides with a live partition and merges
+    migrate_partitioning(spark, table, ["cat"])
+    final = read_snapshot(spark, table)
+    assert sorted(read_manifest(table)["partitions"]) == [
+        "cat=a", "cat=b", "cat=c", "cat=d",
+    ]
+    assert final.count() == len(before) + 2
+    assert final.filter(F.col("cat") == "a").count() == (
+        sum(1 for t in before if t[2] == "a") + 1
+    )
+    # keyed mutations work again
+    delete_where(spark, table, "id = 400")
+    assert read_snapshot(spark, table).filter("id = 400").count() == 0
