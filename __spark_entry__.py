@@ -4915,6 +4915,20 @@ def q_sk01(spark, sf_dir):
     )
 
 
+def q_w08(spark, sf_dir):
+    """Rising streaks (r10): maximal runs of strictly rising
+    consecutive hours per event type over the dense zero-filled grid —
+    the sustained-ramp pattern e16's point anomalies and e23's CUSUM
+    mean shifts both miss; r06's gaps-and-islands idiom on the rising
+    indicator (operators/timeseries.py::rising_streaks)."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        hourly_counts,
+        rising_streaks,
+    )
+
+    return rising_streaks(hourly_counts(_t(spark, sf_dir, "events")))
+
+
 def q_knn03(spark, sf_dir):
     """k-NN label-agreement audit (r10): per vector, the ppm share of
     its 5 exact cosine neighbors carrying the vector's OWN label — the
@@ -5467,6 +5481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g16_hyperball_neighborhood": q_g16,
         "a30_weighted_median": q_a30,
         "knn03_label_agreement": q_knn03,
+        "w08_rising_streaks": q_w08,
         "pm02_direct_follows": q_pm02,
         "pf11_k_anonymity": q_pf11,
         "t31_wordpiece_scores": q_t31,
@@ -9686,6 +9701,30 @@ SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
             THEN (1000000 * a.agree_n) // a.n_neighbors END AS BIGINT)
          AS agree_ppm
 FROM e LEFT JOIN a ON a.id = e.vec_id"""
+    # w08 (r10): gaps-and-islands on the rising indicator over the
+    # dense grid — island key hr − row_number over rising rows only.
+    out["w08_rising_streaks"] = """
+WITH h0 AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2),
+bd AS (SELECT event_type, min(hr) AS mn, max(hr) AS mx FROM h0 GROUP BY 1),
+sp AS (SELECT bd.event_type, bd.mn + t.s AS hr
+       FROM bd, LATERAL (SELECT unnest(generate_series(
+                               0, CAST(bd.mx - bd.mn AS BIGINT))) AS s) t),
+g AS (SELECT sp.event_type, sp.hr, coalesce(h0.x, 0) AS x
+      FROM sp LEFT JOIN h0 ON h0.event_type = sp.event_type
+                          AND h0.hr = sp.hr),
+r AS (SELECT event_type, hr, x,
+             lag(x) OVER (PARTITION BY event_type ORDER BY hr) AS px
+      FROM g),
+ris AS (SELECT event_type, hr,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY hr) AS rn
+        FROM r WHERE x > px)
+SELECT event_type, CAST(min(hr) - 1 AS BIGINT) AS start_hr,
+       CAST(max(hr) AS BIGINT) AS end_hr,
+       CAST(count(*) AS BIGINT) AS steps
+FROM ris GROUP BY event_type, hr - rn HAVING count(*) >= 2"""
     # fc02 (r9): fc01's forecast chain over the train grid (global
     # cutoff = max hr − 24), scored against the full grid's actuals.
     # MAE divides a non-negative sum (// ≡ div); bias stays undivided.

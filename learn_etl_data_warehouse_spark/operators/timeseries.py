@@ -905,3 +905,46 @@ def ewma_smooth(hourly: DataFrame, key: str = "event_type") -> DataFrame:
         F.col("_z._a.x").cast("long").alias("n"),
         F.col("_z._e").cast("long").alias("ewma_micro"),
     )
+
+
+def rising_streaks(
+    hourly: DataFrame, key: str = "event_type", min_steps: int = 2
+) -> DataFrame:
+    """Maximal runs of STRICTLY RISING consecutive hours per key over
+    the dense zero-filled grid (gap hours are real zeros, so a gap
+    breaks a streak honestly) — the monotone-trend micro-pattern scan
+    (≥ ``min_steps`` rising steps = ≥ min_steps+1 increasing values),
+    the sustained-ramp alarm e16's point anomalies and e23's mean-shift
+    CUSUM both miss. Classic gaps-and-islands (r06's idiom): the island
+    key is ``hr − row_number()`` over the rising rows only; windows are
+    per-key over the CALENDAR-bounded grid.
+
+    Returns one row per streak: (key, start_hr, end_hr, steps) where
+    start_hr is the hour the rise started from (first rising hour − 1).
+    """
+    bounds = hourly.groupBy(key).agg(
+        F.min("hr").alias("_mn"), F.max("hr").alias("_mx")
+    )
+    spine = bounds.select(
+        key, F.explode(F.sequence(F.col("_mn"), F.col("_mx"))).alias("hr")
+    )
+    g = spine.join(hourly, [key, "hr"], "left").select(
+        key, "hr", F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x")
+    )
+    w = Window.partitionBy(key).orderBy("hr")
+    rising = g.withColumn("_rise", F.col("x") > F.lag("x").over(w)).filter(
+        F.col("_rise")
+    )
+    isl = rising.withColumn(
+        "_island", F.col("hr") - F.row_number().over(w)
+    )
+    return (
+        isl.groupBy(key, "_island")
+        .agg(
+            (F.min("hr") - 1).cast("long").alias("start_hr"),
+            F.max("hr").cast("long").alias("end_hr"),
+            F.count(F.lit(1)).cast("long").alias("steps"),
+        )
+        .filter(F.col("steps") >= int(min_steps))
+        .select(key, "start_hr", "end_hr", "steps")
+    )

@@ -4544,3 +4544,28 @@ def test_knn_label_agreement_hand_model(spark):
     assert got[2] == (1, 1, 1_000_000)
     assert got[3] == (1, 0, 0)
     assert got[4] == (1, 0, 0)
+
+
+def test_rising_streaks_hand_model(spark):
+    """r10: w08 — counts 1,2,3,1,0,2 (with the 0 a genuine gap hour)
+    give exactly one streak of 2 steps (h0→h2); the gap breaks the
+    1→2 rise at the end (single step, under min_steps)."""
+    from datetime import datetime
+
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        hourly_counts,
+        rising_streaks,
+    )
+
+    counts = {0: 1, 1: 2, 2: 3, 3: 1, 5: 2}  # hour 4 missing -> 0
+    rows = [
+        (datetime(2024, 1, 1, h, 0, s), "a")
+        for h, n in counts.items()
+        for s in range(n)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    got = [
+        (r["start_hr"] - 473352, r["end_hr"] - 473352, r["steps"])
+        for r in rising_streaks(hourly_counts(df)).collect()
+    ]
+    assert got == [(0, 2, 2)]
