@@ -4915,6 +4915,30 @@ def q_sk01(spark, sf_dir):
     )
 
 
+def q_sk02(spark, sf_dir):
+    """KMV set-operation estimates (r10): distinct-customer cardinality
+    of URGENT vs HIGH priority orders, their UNION and INTERSECTION,
+    from k-minimum-values sketches (k=256) — the set algebra HLL
+    structurally can't do (Beyer et al. 2007, the Theta-sketch
+    ancestor). Deterministic 48-bit md5 values + pure integer
+    arithmetic, so every estimate is oracle-exact; exact twins ride
+    along for self-audit. The k-smallest selection never ranks a
+    data-proportional partition: a deterministic NDV-derived threshold
+    keeps ~4k survivors first
+    (operators/sketches.py::kmv_set_estimates)."""
+    from learn_etl_data_warehouse_spark.operators.sketches import (
+        kmv_set_estimates,
+    )
+
+    return kmv_set_estimates(
+        _t(spark, sf_dir, "orders"),
+        "o_custkey",
+        "o_orderpriority",
+        "1-URGENT",
+        "2-HIGH",
+    )
+
+
 def q_w08(spark, sf_dir):
     """Rising streaks (r10): maximal runs of strictly rising
     consecutive hours per event type over the dense zero-filled grid —
@@ -5482,6 +5506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a30_weighted_median": q_a30,
         "knn03_label_agreement": q_knn03,
         "w08_rising_streaks": q_w08,
+        "sk02_kmv_set_estimates": q_sk02,
         "pm02_direct_follows": q_pm02,
         "pf11_k_anonymity": q_pf11,
         "t31_wordpiece_scores": q_t31,
@@ -9725,6 +9750,68 @@ SELECT event_type, CAST(min(hr) - 1 AS BIGINT) AS start_hr,
        CAST(max(hr) AS BIGINT) AS end_hr,
        CAST(count(*) AS BIGINT) AS steps
 FROM ris GROUP BY event_type, hr - rn HAVING count(*) >= 2"""
+    # sk02 (r10): KMV — 48-bit md5 values, deterministic survivor
+    # threshold least(2^48, (2^48*4k)//n), k-smallest per side, union
+    # sketch, matches; est = (k-1)*2^48 // h_k for full sketches (a
+    # short sketch IS the set). All integers; exact twins ride along.
+    out["sk02_kmv_set_estimates"] = """
+WITH base AS (SELECT DISTINCT
+                CASE WHEN o_orderpriority = '1-URGENT' THEN 'a'
+                     ELSE 'b' END AS g,
+                ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12))
+                  ::BIGINT AS h
+              FROM orders
+              WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+sz AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1),
+surv AS (SELECT base.g, base.h FROM base JOIN sz ON sz.g = base.g
+         WHERE base.h < least(281474976710656::BIGINT,
+                              (281474976710656::BIGINT * 1024) //
+                              greatest(sz.n, 1))),
+skk AS (SELECT g, h, rn FROM (
+          SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+          FROM surv) WHERE rn <= 256),
+ea AS (SELECT CAST(CASE WHEN count(*) < 256 THEN count(*)
+              ELSE (255 * 281474976710656::BIGINT) //
+                   max(CASE WHEN rn = 256 THEN h END) END AS BIGINT)
+         AS est_a
+       FROM skk WHERE g = 'a'),
+eb AS (SELECT CAST(CASE WHEN count(*) < 256 THEN count(*)
+              ELSE (255 * 281474976710656::BIGINT) //
+                   max(CASE WHEN rn = 256 THEN h END) END AS BIGINT)
+         AS est_b
+       FROM skk WHERE g = 'b'),
+uskk AS (SELECT h, urn FROM (
+           SELECT h, row_number() OVER (ORDER BY h) AS urn
+           FROM (SELECT DISTINCT h FROM skk)) WHERE urn <= 256),
+ia AS (SELECT DISTINCT h FROM skk WHERE g = 'a'),
+ib AS (SELECT DISTINCT h FROM skk WHERE g = 'b'),
+um AS (SELECT CAST(count(*) AS BIGINT) AS ku,
+              max(CASE WHEN urn = 256 THEN uskk.h END) AS uhk,
+              CAST(sum(CASE WHEN ia.h IS NOT NULL AND ib.h IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS matches
+       FROM uskk LEFT JOIN ia ON ia.h = uskk.h
+                 LEFT JOIN ib ON ib.h = uskk.h),
+ue AS (SELECT CAST(CASE WHEN ku < 256 THEN ku
+              ELSE (255 * 281474976710656::BIGINT) // uhk END AS BIGINT)
+         AS est_union, ku, matches
+       FROM um),
+ex AS (SELECT CAST(sum(a) AS BIGINT) AS exact_a,
+              CAST(sum(b) AS BIGINT) AS exact_b,
+              CAST(sum(a * b) AS BIGINT) AS exact_intersection
+       FROM (SELECT o_custkey,
+                    max(CASE WHEN o_orderpriority = '1-URGENT'
+                        THEN 1 ELSE 0 END) AS a,
+                    max(CASE WHEN o_orderpriority = '2-HIGH'
+                        THEN 1 ELSE 0 END) AS b
+             FROM orders
+             WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+             GROUP BY 1))
+SELECT CAST(256 AS BIGINT) AS k, ea.est_a, ex.exact_a, eb.est_b,
+       ex.exact_b, ue.est_union,
+       CAST((ue.matches * ue.est_union) // greatest(ue.ku, 1) AS BIGINT)
+         AS est_intersection,
+       ex.exact_intersection
+FROM ea, eb, ue, ex"""
     # fc02 (r9): fc01's forecast chain over the train grid (global
     # cutoff = max hr − 24), scored against the full grid's actuals.
     # MAE divides a non-negative sum (// ≡ div); bias stays undivided.

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -308,4 +308,156 @@ def md5_hll_estimate(regs: DataFrame, group_alias: str = "grp", m: int = 64):
         F.expr(f"CAST({num} AS BIGINT) div (1000 * {s})")
         .cast("long")
         .alias("est_ndv"),
+    )
+
+
+def kmv_set_estimates(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    k: int = 256,
+) -> DataFrame:
+    """K-MINIMUM-VALUES set-operation estimates for two groups — the
+    sketch that answers what HLL structurally can't: DISTINCT-count
+    estimates for the UNION and INTERSECTION of two sets (Beyer et al.
+    2007; the Theta-sketch ancestor). Per group, the sketch is the k
+    smallest 48-bit md5 values of the distinct keys; est_ndv =
+    (k−1)·2^48 div h_k for a full sketch (a short sketch IS the set —
+    estimate = its size, exact). The union sketch is the k smallest of
+    the merged value sets; intersection ≈ (matches · est_union) div kU
+    where matches counts union-sketch members present in BOTH sides.
+    Deterministic md5 + pure integer arithmetic end to end, so the
+    whole sketch AND every estimate is oracle-exact (the sk01
+    discipline); exact twins ride along for self-audit.
+
+    Scale design: the k-smallest selection never window-ranks a
+    data-proportional partition — distinct hashes are pre-filtered to
+    h < min(2^48, (2^48·4k) div n) (n = the group's exact NDV, one
+    agg), a deterministic threshold that keeps ~4k survivors (Chernoff
+    concentration), and only that O(k) set is ranked. Both engines
+    apply the identical filter, so parity is immune to the (vanishing)
+    chance of the filter under-keeping — only estimate quality would
+    degrade, never cross-engine agreement.
+
+    Returns ONE row: (k, est_a, exact_a, est_b, exact_b, est_union,
+    est_intersection, exact_intersection).
+    """
+    if k < 2:
+        raise ValueError("kmv_set_estimates: k must be >= 2")
+    two48 = 1 << 48
+    grp = F.col(group_col)
+    h = F.conv(
+        F.substring(
+            F.md5(F.col(key_col).cast("string").cast("binary")), 1, 12
+        ),
+        16,
+        10,
+    ).cast("long")
+    base = (
+        df.filter(grp.isin([group_a, group_b]))
+        .select(
+            F.when(grp == group_a, F.lit("a")).otherwise(F.lit("b")).alias(
+                "_g"
+            ),
+            h.alias("_h"),
+        )
+        .distinct()
+    )
+    sizes = base.groupBy("_g").agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    thr = F.expr(
+        f"least(CAST({two48} AS BIGINT),"
+        f" (CAST({two48} AS BIGINT) * {4 * k}) div greatest(_n, 1))"
+    )
+    surv = base.join(F.broadcast(sizes), "_g").filter(F.col("_h") < thr)
+    w = Window.partitionBy("_g").orderBy(F.asc("_h"))
+    sk = surv.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+
+    def est_for(tag):
+        s = sk.filter(F.col("_g") == tag)
+        agg = s.agg(
+            F.count(F.lit(1)).cast("long").alias("_sz"),
+            F.max(F.when(F.col("_rn") == k, F.col("_h"))).alias("_hk"),
+        )
+        return agg.select(
+            F.when(
+                F.col("_sz") < k, F.col("_sz")
+            )
+            .otherwise(
+                F.expr(f"(CAST({k - 1} AS BIGINT) * {two48}) div _hk")
+            )
+            .cast("long")
+            .alias(f"est_{tag}")
+        )
+
+    union_vals = sk.select("_h").distinct()
+    uw = Window.orderBy(F.asc("_h"))
+    usk = union_vals.withColumn("_urn", F.row_number().over(uw)).filter(
+        F.col("_urn") <= k
+    )
+    in_a = sk.filter(F.col("_g") == "a").select("_h").distinct()
+    in_b = sk.filter(F.col("_g") == "b").select("_h").distinct()
+    marked = (
+        usk.join(in_a.withColumn("_ia", F.lit(1)), "_h", "left")
+        .join(in_b.withColumn("_ib", F.lit(1)), "_h", "left")
+    )
+    uagg = marked.agg(
+        F.count(F.lit(1)).cast("long").alias("_ku"),
+        F.max(F.when(F.col("_urn") == k, F.col("_h"))).alias("_uhk"),
+        F.sum(
+            F.when(F.col("_ia").isNotNull() & F.col("_ib").isNotNull(), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("_matches"),
+    ).select(
+        F.when(F.col("_ku") < k, F.col("_ku"))
+        .otherwise(F.expr(f"(CAST({k - 1} AS BIGINT) * {two48}) div _uhk"))
+        .cast("long")
+        .alias("est_union"),
+        "_ku",
+        "_matches",
+    )
+    exact = (
+        df.filter(grp.isin([group_a, group_b]))
+        .select(
+            F.when(grp == group_a, F.lit("a")).otherwise(F.lit("b")).alias(
+                "_g"
+            ),
+            F.col(key_col).alias("_k"),
+        )
+        .distinct()
+        .groupBy("_k")
+        .agg(
+            F.max(F.when(F.col("_g") == "a", 1).otherwise(0)).alias("_a"),
+            F.max(F.when(F.col("_g") == "b", 1).otherwise(0)).alias("_b"),
+        )
+        .agg(
+            F.sum("_a").cast("long").alias("exact_a"),
+            F.sum("_b").cast("long").alias("exact_b"),
+            F.sum(F.col("_a") * F.col("_b")).cast("long").alias(
+                "exact_intersection"
+            ),
+        )
+    )
+    out = (
+        est_for("a")
+        .crossJoin(est_for("b"))
+        .crossJoin(uagg)
+        .crossJoin(F.broadcast(exact))
+    )
+    return out.select(
+        F.lit(int(k)).cast("long").alias("k"),
+        "est_a",
+        "exact_a",
+        "est_b",
+        "exact_b",
+        "est_union",
+        F.expr("(_matches * est_union) div greatest(_ku, 1)")
+        .cast("long")
+        .alias("est_intersection"),
+        "exact_intersection",
     )

@@ -4569,3 +4569,35 @@ def test_rising_streaks_hand_model(spark):
         for r in rising_streaks(hourly_counts(df)).collect()
     ]
     assert got == [(0, 2, 2)]
+
+
+def test_kmv_set_estimates_short_exact_and_accuracy(spark):
+    """r10: sk02 — groups under k distinct keys make the sketch THE
+    set (estimates exactly equal the truth, incl. intersection); at
+    1000/1000 keys with 500 shared, k=256 estimates land within KMV
+    error bounds."""
+    from learn_etl_data_warehouse_spark.operators.sketches import (
+        kmv_set_estimates,
+    )
+
+    small = spark.createDataFrame(
+        [(i, "x") for i in range(40)] + [(i, "y") for i in range(30, 80)],
+        "k long, g string",
+    )
+    [r] = kmv_set_estimates(small, "k", "g", "x", "y", k=256).collect()
+    assert (r["est_a"], r["exact_a"]) == (40, 40)
+    assert (r["est_b"], r["exact_b"]) == (50, 50)
+    assert r["est_union"] == 80
+    assert (r["est_intersection"], r["exact_intersection"]) == (10, 10)
+
+    big = spark.createDataFrame(
+        [(i, "x") for i in range(1000)]
+        + [(i, "y") for i in range(500, 1500)],
+        "k long, g string",
+    )
+    [r] = kmv_set_estimates(big, "k", "g", "x", "y", k=256).collect()
+    assert r["exact_a"] == 1000 and r["exact_intersection"] == 500
+    assert abs(r["est_a"] - 1000) <= 250
+    assert abs(r["est_b"] - 1000) <= 250
+    assert abs(r["est_union"] - 1500) <= 350
+    assert abs(r["est_intersection"] - 500) <= 250
