@@ -4915,6 +4915,21 @@ def q_sk01(spark, sf_dir):
     )
 
 
+def q_pm03(spark, sf_dir):
+    """Top process variants (r10): each user's full trace as the
+    '>'-joined activity signature under the total (ts, id) order,
+    ranked by actor count — the variant explorer completing the
+    process-mining family (pm01 what CAN follow, pm02 where it WAITS,
+    pm03 which end-to-end paths HAPPEN). Ranking is a
+    TakeOrderedAndProject; per-actor state is business-process-bounded
+    (operators/process_mining.py::process_variants)."""
+    from learn_etl_data_warehouse_spark.operators.process_mining import (
+        process_variants,
+    )
+
+    return process_variants(_t(spark, sf_dir, "events"))
+
+
 def q_sk02(spark, sf_dir):
     """KMV set-operation estimates (r10): distinct-customer cardinality
     of URGENT vs HIGH priority orders, their UNION and INTERSECTION,
@@ -5507,6 +5522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn03_label_agreement": q_knn03,
         "w08_rising_streaks": q_w08,
         "sk02_kmv_set_estimates": q_sk02,
+        "pm03_process_variants": q_pm03,
         "pm02_direct_follows": q_pm02,
         "pf11_k_anonymity": q_pf11,
         "t31_wordpiece_scores": q_t31,
@@ -9812,6 +9828,17 @@ SELECT CAST(256 AS BIGINT) AS k, ea.est_a, ex.exact_a, eb.est_b,
          AS est_intersection,
        ex.exact_intersection
 FROM ea, eb, ue, ex"""
+    # pm03 (r10): traces as ordered string_agg signatures — the same
+    # total (ts, id) order as pm01/pm02; top-k under (n DESC, variant).
+    out["pm03_process_variants"] = """
+WITH tr AS (SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY ts, event_id)
+                     AS variant,
+                   CAST(count(*) AS BIGINT) AS n_steps
+            FROM events GROUP BY 1)
+SELECT variant, n_steps, CAST(count(*) AS BIGINT) AS n_actors
+FROM tr GROUP BY 1, 2
+ORDER BY n_actors DESC, variant LIMIT 10"""
     # fc02 (r9): fc01's forecast chain over the train grid (global
     # cutoff = max hr − 24), scored against the full grid's actuals.
     # MAE divides a non-negative sum (// ≡ div); bias stays undivided.

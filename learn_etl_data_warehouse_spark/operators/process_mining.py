@@ -166,3 +166,47 @@ def direct_follows_graph(
         F.expr("sum(_gap) div count(1)").cast("long").alias("mean_gap_us"),
         F.max("_gap").cast("long").alias("max_gap_us"),
     )
+
+
+def process_variants(
+    events: DataFrame,
+    actor_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    top: int = 10,
+) -> DataFrame:
+    """TOP PROCESS VARIANTS: each actor's full trace rendered as the
+    '>'-joined activity-type signature under the total (ts, id) order,
+    grouped and ranked by actor count — the variant explorer every
+    process-mining tool opens with, completing the family (pm01
+    footprint: what CAN follow; pm02 DFG: where it WAITS; pm03: which
+    end-to-end paths actually HAPPEN, and how rare the tail is).
+
+    Determinism: the same total (ts, id) trace order as pm01/pm02, so
+    same-timestamp ties break identically on both engines; ranking is
+    (n_actors DESC, variant ASC) through a TakeOrderedAndProject — no
+    global sort. Per-actor state is the trace (d17's collect/sort/join
+    idiom) — bounded by business-process length, the pm-family's
+    standing contract, never by corpus size.
+
+    Returns top-``top`` rows: (variant, n_steps, n_actors).
+    """
+    arr = F.expr(
+        f"transform(array_sort(collect_list(struct({ts_col} AS t,"
+        f" {id_col} AS i, {type_col} AS e))), x -> x.e)"
+    )
+    traces = events.groupBy(F.col(actor_col).alias("_actor")).agg(
+        arr.alias("_seq")
+    )
+    sigs = traces.select(
+        F.array_join(F.col("_seq"), ">").alias("variant"),
+        F.size("_seq").cast("long").alias("n_steps"),
+    )
+    return (
+        sigs.groupBy("variant", "n_steps")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_actors"))
+        .orderBy(F.desc("n_actors"), F.asc("variant"))
+        .limit(int(top))
+        .select("variant", "n_steps", "n_actors")
+    )

@@ -4601,3 +4601,37 @@ def test_kmv_set_estimates_short_exact_and_accuracy(spark):
     assert abs(r["est_b"] - 1000) <= 250
     assert abs(r["est_union"] - 1500) <= 350
     assert abs(r["est_intersection"] - 500) <= 250
+
+
+def test_process_variants_hand_trace(spark):
+    """r10: pm03 — two actors share a variant, one diverges; a same-ts
+    tie orders by event_id (the pm-family total order)."""
+    from datetime import datetime
+
+    from learn_etl_data_warehouse_spark.operators.process_mining import (
+        process_variants,
+    )
+
+    def at(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        (10, at(0), 1, "view"), (11, at(5), 1, "cart"),
+        (12, at(9), 1, "buy"),
+        (20, at(0), 2, "view"), (21, at(5), 2, "cart"),
+        (22, at(9), 2, "buy"),
+        # actor 3: same-ts tie at s=5 -> id order decides cart>promo
+        (30, at(0), 3, "view"), (31, at(5), 3, "cart"),
+        (32, at(5), 3, "promo"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = [
+        (r["variant"], r["n_steps"], r["n_actors"])
+        for r in process_variants(df).collect()
+    ]
+    assert got == [
+        ("view>cart>buy", 3, 2),
+        ("view>cart>promo", 3, 1),
+    ]
