@@ -4915,6 +4915,25 @@ def q_sk01(spark, sf_dir):
     )
 
 
+def q_e32(spark, sf_dir):
+    """Decomposition fit strength (r10): per event type, the R² of
+    e29's seasonal+trend against the mean-only model in truncating ppm
+    — the forecastability score that says whether fc01's profile+trend
+    machinery will work on a key BEFORE forecasting it. Centered
+    denominator by the a15 moment identity (no float mean); signed
+    (a fit worse than the flat mean goes negative)
+    (operators/timeseries.py::decomposition_fit)."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        decomposition_fit,
+        hourly_counts,
+        seasonal_decomposition,
+    )
+
+    return decomposition_fit(
+        seasonal_decomposition(hourly_counts(_t(spark, sf_dir, "events")))
+    )
+
+
 def q_pm03(spark, sf_dir):
     """Top process variants (r10): each user's full trace as the
     '>'-joined activity signature under the total (ts, id) order,
@@ -5523,6 +5542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w08_rising_streaks": q_w08,
         "sk02_kmv_set_estimates": q_sk02,
         "pm03_process_variants": q_pm03,
+        "e32_decomposition_fit": q_e32,
         "pm02_direct_follows": q_pm02,
         "pf11_k_anonymity": q_pf11,
         "t31_wordpiece_scores": q_t31,
@@ -9839,6 +9859,24 @@ WITH tr AS (SELECT user_id,
 SELECT variant, n_steps, CAST(count(*) AS BIGINT) AS n_actors
 FROM tr GROUP BY 1, 2
 ORDER BY n_actors DESC, variant LIMIT 10"""
+    # e32 (r10): R² of e29's components vs the mean-only model — the
+    # oracle nests e29's full SQL as a subquery (the d27/g11 pattern,
+    # derived at runtime so the twins can never drift); centered
+    # denominator via the a15 moment identity, HUGEINT throughout.
+    out["e32_decomposition_fit"] = f"""
+WITH d AS ({out["e29_seasonal_decomposition"]}),
+m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+             sum(CAST(x AS HUGEINT)) AS sx,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(residual_micro AS HUGEINT) * residual_micro) AS srr
+      FROM d GROUP BY 1)
+SELECT event_type, n_hours,
+       CAST(CASE WHEN (n_hours * sxx - sx * sx) *
+                      1000000000000::HUGEINT > 0
+            THEN 1000000 - (1000000 * n_hours * srr) //
+                 ((n_hours * sxx - sx * sx) * 1000000000000::HUGEINT)
+            END AS BIGINT) AS fit_ppm
+FROM m"""
     # fc02 (r9): fc01's forecast chain over the train grid (global
     # cutoff = max hr − 24), scored against the full grid's actuals.
     # MAE divides a non-negative sum (// ≡ div); bias stays undivided.

@@ -948,3 +948,42 @@ def rising_streaks(
         .filter(F.col("steps") >= int(min_steps))
         .select(key, "start_hr", "end_hr", "steps")
     )
+
+
+def decomposition_fit(decomp: DataFrame, key: str = "event_type") -> DataFrame:
+    """Model-fit strength of the e29 decomposition, per key: fit_ppm =
+    10⁶ − (10⁶·n·Σresidual²) div ((n·Σx² − (Σx)²)·10¹²) — the R² of
+    seasonal+trend against the mean-only model, in truncating ppm (the
+    forecastability score: ~10⁶ means profile+trend explain the series,
+    ≤ 0 means they fit WORSE than the flat mean — possible and kept
+    signed). The centered denominator uses the a15 moment identity
+    (n·Σx² − (Σx)² = n²·Var exactly, no float mean); the 10¹² factor
+    aligns count² units with micro² residuals. Zero-variance keys
+    yield NULL. Magnitudes: micro²·hours² must stay under the
+    DECIMAL(38,0) ceiling — at 10⁹ events/hour and a 10-year hourly
+    grid the numerator is ~10³⁶, still inside.
+
+    One group agg over e29's output — calendar-bounded like everything
+    in the family. Returns (key, n_hours, fit_ppm).
+    """
+    xd = F.col("x").cast("long").cast("decimal(38,0)")
+    rd = F.col("residual_micro").cast("decimal(38,0)")
+    m = decomp.groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum(xd).alias("_sx"),
+        F.sum(xd * xd).alias("_sxx"),
+        F.sum(rd * rd).alias("_srr"),
+    )
+    ssdev = (
+        "(n_hours * _sxx - _sx * _sx) * CAST(1000000000000 AS DECIMAL(38,0))"
+    )
+    return m.select(
+        key,
+        "n_hours",
+        F.expr(
+            f"CASE WHEN {ssdev} > 0 THEN 1000000 -"
+            f" (1000000 * n_hours * _srr) div ({ssdev}) END"
+        )
+        .cast("long")
+        .alias("fit_ppm"),
+    )

@@ -4635,3 +4635,28 @@ def test_process_variants_hand_trace(spark):
         ("view>cart>buy", 3, 2),
         ("view>cart>promo", 3, 1),
     ]
+
+
+def test_decomposition_fit_kernel(spark):
+    """r10: e32 — zero residuals score exactly 1e6; residuals larger
+    than the deviations go NEGATIVE (worse than the flat mean); a
+    zero-variance key yields NULL."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        decomposition_fit,
+    )
+
+    rows = (
+        [("perfect", x, 0) for x in (1, 2, 3, 4)]
+        + [("bad", x, 50_000_000) for x in (1, 2, 1, 2)]
+        + [("flat", 5, 0), ("flat", 5, 0)]
+    )
+    df = spark.createDataFrame(
+        rows, "event_type string, x long, residual_micro long"
+    )
+    got = {
+        r["event_type"]: r["fit_ppm"]
+        for r in decomposition_fit(df).collect()
+    }
+    assert got["perfect"] == 1_000_000
+    assert got["bad"] < 0
+    assert got["flat"] is None
