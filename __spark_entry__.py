@@ -4915,6 +4915,27 @@ def q_sk01(spark, sf_dir):
     )
 
 
+def q_g17(spark, sf_dir):
+    """Truncated harmonic centrality (r10): the 5 highest-degree parts
+    scored by Σ 1e6 div dist over their 2-hop reach in the co-occurrence
+    graph — the distance-based centrality the rank family
+    (PageRank/HITS/degree) doesn't measure, at the k-hop truncation
+    production systems use (g16's neighborhood function quantifies the
+    tail a deeper k would add). Multi-source BFS as min-merged joins;
+    same l_orderkey % 10 < 3 slice as g03/g16 (seeds are hubs — their
+    2-hop edge volume is the cost)
+    (operators/graph.py::harmonic_centrality_seeds)."""
+    from learn_etl_data_warehouse_spark.operators.graph import (
+        cooccurrence_edges,
+        harmonic_centrality_seeds,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 10 < 3
+    )
+    return harmonic_centrality_seeds(cooccurrence_edges(li))
+
+
 def q_e32(spark, sf_dir):
     """Decomposition fit strength (r10): per event type, the R² of
     e29's seasonal+trend against the mean-only model in truncating ppm
@@ -5543,6 +5564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sk02_kmv_set_estimates": q_sk02,
         "pm03_process_variants": q_pm03,
         "e32_decomposition_fit": q_e32,
+        "g17_harmonic_centrality": q_g17,
         "pm02_direct_follows": q_pm02,
         "pf11_k_anonymity": q_pf11,
         "t31_wordpiece_scores": q_t31,
@@ -9877,6 +9899,38 @@ SELECT event_type, n_hours,
                  ((n_hours * sxx - sx * sx) * 1000000000000::HUGEINT)
             END AS BIGINT) AS fit_ppm
 FROM m"""
+    # g17 (r10): 2 unrolled multi-source BFS min-merge rounds from the
+    # top-5 degree seeds; harmonic sum over the reached set. Integer
+    # throughout; 1000000 // dist on positive dist ≡ Spark div.
+    out["g17_harmonic_centrality"] = """
+WITH li AS (SELECT l_orderkey AS gk, l_partkey AS item FROM lineitem
+            WHERE l_orderkey % 10 < 3),
+edges AS MATERIALIZED (SELECT DISTINCT a.item AS src, b.item AS dst
+          FROM li a JOIN li b ON a.gk = b.gk AND a.item <> b.item),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+        FROM edges GROUP BY 1),
+seeds AS (SELECT node AS seed FROM (
+            SELECT node, row_number() OVER (ORDER BY d DESC, node) AS rn
+            FROM deg) WHERE rn <= 5),
+s0 AS (SELECT seed, seed AS node, CAST(0 AS BIGINT) AS dist FROM seeds),
+s1 AS MATERIALIZED (SELECT seed, node, CAST(min(dist) AS BIGINT) AS dist
+      FROM (SELECT seed, node, dist FROM s0
+            UNION ALL
+            SELECT s0.seed, e.dst AS node, 1 AS dist
+            FROM s0 JOIN edges e ON e.src = s0.node)
+      GROUP BY 1, 2),
+s2 AS MATERIALIZED (SELECT seed, node, CAST(min(dist) AS BIGINT) AS dist
+      FROM (SELECT seed, node, dist FROM s1
+            UNION ALL
+            SELECT s1.seed, e.dst AS node, 2 AS dist
+            FROM s1 JOIN edges e ON e.src = s1.node)
+      GROUP BY 1, 2),
+r AS (SELECT seed, node, dist FROM s2 WHERE node <> seed)
+SELECT seed,
+       CAST(sum(CASE WHEN dist = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_at_1,
+       CAST(sum(CASE WHEN dist = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_at_2,
+       CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_micro
+FROM r GROUP BY 1"""
     # fc02 (r9): fc01's forecast chain over the train grid (global
     # cutoff = max hr − 24), scored against the full grid's actuals.
     # MAE divides a non-negative sum (// ≡ div); bias stays undivided.

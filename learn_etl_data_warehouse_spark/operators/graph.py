@@ -1205,3 +1205,66 @@ def hyperball_neighborhood(
             regs = regs.localCheckpoint()
         out = out.unionByName(level(regs, t))
     return out
+
+
+def harmonic_centrality_seeds(
+    edges: DataFrame, n_seeds: int = 5, rounds: int = 2
+) -> DataFrame:
+    """TRUNCATED HARMONIC CENTRALITY of the ``n_seeds`` highest-degree
+    nodes: multi-source BFS advances all seeds' frontiers together for
+    ``rounds`` hops (state = (seed, node, dist) min-merged per round —
+    the Pregel-as-joins shape), then each seed scores Σ 1e6 div dist
+    over its reached set — the distance-based centrality the rank
+    family (PageRank/HITS/degree) doesn't measure, truncated the way
+    production systems actually compute it (full harmonic centrality
+    is all-pairs; the k-hop truncation is the standard bound, and g16's
+    neighborhood function says how much a deeper k would add).
+
+    Deterministic: seeds break degree ties by node id; distances and
+    the harmonic sum are pure integers. Cost is the seeds' k-hop
+    neighborhood edge volume (n_seeds × |E| worst case) — pair with a
+    sliced/bounded graph like the other unrolled-graph queries.
+
+    Returns (seed, n_at_1, n_at_2..., harmonic_micro) — one row per
+    seed with per-distance reach counts up to ``rounds``.
+    """
+    e = edges.select("src", "dst")
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("_deg")
+    )
+    seeds = (
+        deg.orderBy(F.desc("_deg"), F.asc("node"))
+        .limit(int(n_seeds))
+        .select(F.col("node").alias("seed"))
+    )
+    state = seeds.select(
+        "seed", F.col("seed").alias("node"), F.lit(0).cast("long").alias("dist")
+    )
+    # fresh names on the edge side: state derives from the same edge
+    # frame, so a re-join on src/dst is ambiguous by attribute id (the
+    # fp03 lesson — rename at select, aliases alone don't help)
+    e2 = e.select(F.col("src").alias("_es"), F.col("dst").alias("_ed"))
+    for _t in range(1, int(rounds) + 1):
+        prop = state.join(e2, state["node"] == F.col("_es")).select(
+            "seed",
+            F.col("_ed").alias("node"),
+            F.lit(_t).cast("long").alias("dist"),
+        )
+        state = (
+            state.unionByName(prop)
+            .groupBy("seed", "node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+        )
+    reached = state.filter(F.col("node") != F.col("seed"))
+    aggs = [
+        F.sum(F.when(F.col("dist") == t, 1).otherwise(0))
+        .cast("long")
+        .alias(f"n_at_{t}")
+        for t in range(1, int(rounds) + 1)
+    ]
+    return reached.groupBy("seed").agg(
+        *aggs,
+        F.sum(F.expr("CAST(1000000 AS BIGINT) div dist"))
+        .cast("long")
+        .alias("harmonic_micro"),
+    )

@@ -4660,3 +4660,28 @@ def test_decomposition_fit_kernel(spark):
     assert got["perfect"] == 1_000_000
     assert got["bad"] < 0
     assert got["flat"] is None
+
+
+def test_harmonic_centrality_hand_graph(spark):
+    """r10: g17 — path 1-2-3-4-5 with seeds=top-degree: 2/3/4 have
+    degree 2 (tie→id picks 2,3) plus 1 (degree 1... n_seeds=2 keeps it
+    to 2,3); hand-checked 2-hop reach and harmonic sums."""
+    from learn_etl_data_warehouse_spark.operators.graph import (
+        harmonic_centrality_seeds,
+    )
+
+    und = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    got = {
+        r["seed"]: (r["n_at_1"], r["n_at_2"], r["harmonic_micro"])
+        for r in harmonic_centrality_seeds(edges, n_seeds=2).collect()
+    }
+    # degrees: 1:1, 2:2, 3:2, 4:2, 5:1 -> seeds (deg DESC, id ASC) = 2, 3
+    # seed 2: dist1 {1,3}, dist2 {4}; harmonic = 2*1e6 + 500000
+    # seed 3: dist1 {2,4}, dist2 {1,5}; harmonic = 2*1e6 + 2*500000
+    assert got == {
+        2: (2, 1, 2_500_000),
+        3: (2, 2, 3_000_000),
+    }
