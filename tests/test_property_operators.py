@@ -512,3 +512,136 @@ def test_maximal_repeat_fuzz_vs_model(spark, word_lists):
         ).collect()
     }
     assert got == want
+
+
+groups_vals = st.lists(
+    st.tuples(st.integers(0, 1), st.integers(0, 500)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(groups_vals)
+@SETTINGS
+def test_mad_outlier_profile_fuzz_vs_sorted_model(spark, rows):
+    """r10: st06's per-group selection kernel vs the sorted-list model:
+    lower nearest-rank median at (n+1)//2, MAD same rule over
+    |x − med|, outliers strictly > 3·MAD."""
+    from learn_etl_data_warehouse_spark.operators.sampling import (
+        mad_outlier_profile,
+    )
+
+    data = [("g" + str(g), v / 100.0) for g, v in rows]
+    df = spark.createDataFrame(data, "g string, v double")
+    got = {
+        r["grp"]: (r["n_g"], r["median_cents"], r["mad_cents"],
+                   r["n_outliers"])
+        for r in mad_outlier_profile(df, "v", "g").collect()
+    }
+    by_g: dict = {}
+    for g, v in rows:
+        by_g.setdefault("g" + str(g), []).append(v)
+    for g, vs in by_g.items():
+        s = sorted(vs)
+        med = s[(len(s) + 1) // 2 - 1]
+        d = sorted(abs(x - med) for x in vs)
+        mad = d[(len(d) + 1) // 2 - 1]
+        n_out = sum(1 for x in vs if abs(x - med) > 3 * mad)
+        assert got[g] == (len(vs), med, mad, n_out), g
+
+
+weighted_rows = st.lists(
+    st.tuples(st.integers(0, 300), st.integers(0, 5)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(weighted_rows)
+@SETTINGS
+def test_weighted_median_fuzz_vs_expansion_model(spark, rows):
+    """r10: a30 ≡ st06's rank rule over the weight-EXPANDED multiset
+    (each row repeated w times) — the defining identity of a weighted
+    median."""
+    from learn_etl_data_warehouse_spark.operators.sampling import (
+        weighted_median,
+    )
+
+    data = [("g", v / 100.0, w) for v, w in rows]
+    df = spark.createDataFrame(data, "g string, v double, w long")
+    out = weighted_median(df, "v", "w", "g").collect()
+    expanded = sorted(v for v, w in rows for _ in range(w))
+    if not expanded:
+        assert out == []
+        return
+    [r] = out
+    want = expanded[(len(expanded) + 1) // 2 - 1]
+    assert (r["total_weight"], r["weighted_median_cents"]) == (
+        len(expanded), want,
+    )
+
+
+kmv_sets = st.lists(
+    st.tuples(st.integers(0, 1), st.integers(0, 400)),
+    min_size=2,
+    max_size=60,
+)
+
+
+@given(kmv_sets, st.sampled_from([4, 8, 256]))
+@SETTINGS
+def test_kmv_fuzz_vs_python_model(spark, rows, k):
+    """r10: sk02 vs a Python model applying the identical md5 slices,
+    survivor threshold, k-smallest selection, and integer estimate
+    formulas — exact equality on every output column."""
+    import hashlib
+
+    from learn_etl_data_warehouse_spark.operators.sketches import (
+        kmv_set_estimates,
+    )
+
+    if not any(g == 0 for g, _ in rows) or not any(g == 1 for g, _ in rows):
+        return
+    data = [(v, "x" if g == 0 else "y") for g, v in rows]
+    df = spark.createDataFrame(data, "k long, g string")
+    [r] = kmv_set_estimates(df, "k", "g", "x", "y", k=k).collect()
+
+    two48 = 1 << 48
+
+    def h48(v):
+        return int(
+            hashlib.md5(str(v).encode()).hexdigest()[:12], 16
+        )
+
+    sets = {"x": set(), "y": set()}
+    for v, g in data:
+        sets[g].add(v)
+    sketches = {}
+    for g, keys in sets.items():
+        hs = sorted({h48(v) for v in keys})
+        n = len(hs)
+        thr = min(two48, (two48 * 4 * k) // max(n, 1))
+        surv = [h for h in hs if h < thr][:k]
+        sketches[g] = surv
+    ests = {}
+    for g, sk in sketches.items():
+        ests[g] = (
+            len(sk) if len(sk) < k else ((k - 1) * two48) // sk[k - 1]
+        )
+    uni = sorted(set(sketches["x"]) | set(sketches["y"]))[:k]
+    ku = len(uni)
+    est_u = ku if ku < k else ((k - 1) * two48) // uni[k - 1]
+    matches = sum(
+        1
+        for h in uni
+        if h in set(sketches["x"]) and h in set(sketches["y"])
+    )
+    est_i = (matches * est_u) // max(ku, 1)
+    exact_i = len(sets["x"] & sets["y"])
+    assert (
+        r["est_a"], r["exact_a"], r["est_b"], r["exact_b"],
+        r["est_union"], r["est_intersection"], r["exact_intersection"],
+    ) == (
+        ests["x"], len(sets["x"]), ests["y"], len(sets["y"]),
+        est_u, est_i, exact_i,
+    )
