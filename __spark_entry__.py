@@ -4915,6 +4915,39 @@ def q_sk01(spark, sf_dir):
     )
 
 
+def q_j08(spark, sf_dir):
+    """Tiered BAND JOIN (r10): orders matched to a bounded pricing-tier
+    dimension by value range (lo ≤ cents < hi) — the broadcast
+    BETWEEN-join lookup every rating/billing pipeline runs, the join
+    SHAPE the family still lacked (j01 inner-equi, j03 left-equi, j05
+    role-playing, j06 salted, j07 full-outer, r04 interval×interval,
+    r08 as-of; this is scalar×interval against a DIMENSION). The tier
+    table is literal-bounded → broadcast nested-loop on a 4-row side,
+    never a shuffle; half-open bands partition the domain so every
+    order lands in exactly one tier (count-conservation makes the
+    oracle sharp). Integer cents both sides."""
+    tiers = spark.createDataFrame(
+        [
+            ("T1_small", 0, 5_000_000),
+            ("T2_mid", 5_000_000, 15_000_000),
+            ("T3_large", 15_000_000, 30_000_000),
+            ("T4_jumbo", 30_000_000, 1 << 60),
+        ],
+        "tier string, lo_cents long, hi_cents long",
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("_c")
+    )
+    j = o.join(
+        F.broadcast(tiers),
+        (F.col("_c") >= F.col("lo_cents")) & (F.col("_c") < F.col("hi_cents")),
+    )
+    return j.groupBy("tier").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("_c").cast("long").alias("sum_cents"),
+    )
+
+
 def q_g17(spark, sf_dir):
     """Truncated harmonic centrality (r10): the 5 highest-degree parts
     scored by Σ 1e6 div dist over their 2-hop reach in the co-occurrence
@@ -5565,6 +5598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pm03_process_variants": q_pm03,
         "e32_decomposition_fit": q_e32,
         "g17_harmonic_centrality": q_g17,
+        "j08_tier_band_join": q_j08,
         "pm02_direct_follows": q_pm02,
         "pf11_k_anonymity": q_pf11,
         "t31_wordpiece_scores": q_t31,
@@ -9931,6 +9965,19 @@ SELECT seed,
        CAST(sum(CASE WHEN dist = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_at_2,
        CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_micro
 FROM r GROUP BY 1"""
+    # j08 (r10): scalar-in-band lookup against a literal tier table —
+    # half-open bands, integer cents; sum() → HUGEINT, cast back.
+    out["j08_tier_band_join"] = """
+WITH tiers(tier, lo_cents, hi_cents) AS (VALUES
+    ('T1_small', 0, 5000000),
+    ('T2_mid', 5000000, 15000000),
+    ('T3_large', 15000000, 30000000),
+    ('T4_jumbo', 30000000, 1152921504606846976)),
+o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders)
+SELECT t.tier, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(o.c) AS BIGINT) AS sum_cents
+FROM o JOIN tiers t ON o.c >= t.lo_cents AND o.c < t.hi_cents
+GROUP BY 1"""
     # fc02 (r9): fc01's forecast chain over the train grid (global
     # cutoff = max hr − 24), scored against the full grid's actuals.
     # MAE divides a non-negative sum (// ≡ div); bias stays undivided.

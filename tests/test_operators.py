@@ -4685,3 +4685,26 @@ def test_harmonic_centrality_hand_graph(spark):
         2: (2, 1, 2_500_000),
         3: (2, 2, 3_000_000),
     }
+
+
+def test_j08_band_join_conserves_orders(spark, sf_small):
+    """r10: j08 — half-open bands partition the value domain, so every
+    order lands in exactly ONE tier: Σ n_orders == |orders| and
+    Σ sum_cents == Σ cents."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from pyspark.sql import functions as F
+
+    out = mod.queries()["j08_tier_band_join"](spark, sf_small).collect()
+    orders = mod._t(spark, sf_small, "orders")
+    n = orders.count()
+    tot = orders.select(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+    ).collect()[0][0]
+    assert sum(r["n_orders"] for r in out) == n
+    assert sum(r["sum_cents"] for r in out) == tot
