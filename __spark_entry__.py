@@ -4915,6 +4915,22 @@ def q_sk01(spark, sf_dir):
     )
 
 
+def q_d36(spark, sf_dir):
+    """Oracle-exact MinHash estimate audit (r10): md5-derived 16-hash
+    signatures, candidates from the classic 1-hash band (same first
+    minhash = same bucket — the LSH recall mechanism itself), each
+    candidate pair's estimated Jaccard next to the EXACT token Jaccard
+    with the signed error — the estimator-quality evidence the
+    xxhash64 production path (d03/d24, rows-only) can't give an oracle
+    for. Hot buckets dropped whole at 50 docs (d02's cap, oracle-
+    mirrored) (operators/dedup.py::minhash_estimate_audit)."""
+    from learn_etl_data_warehouse_spark.operators.dedup import (
+        minhash_estimate_audit,
+    )
+
+    return minhash_estimate_audit(_t(spark, sf_dir, "documents"))
+
+
 def q_j08(spark, sf_dir):
     """Tiered BAND JOIN (r10): orders matched to a bounded pricing-tier
     dimension by value range (lo ≤ cents < hi) — the broadcast
@@ -5599,6 +5615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e32_decomposition_fit": q_e32,
         "g17_harmonic_centrality": q_g17,
         "j08_tier_band_join": q_j08,
+        "d36_minhash_estimate_audit": q_d36,
         "pm02_direct_follows": q_pm02,
         "pf11_k_anonymity": q_pf11,
         "t31_wordpiece_scores": q_t31,
@@ -9978,6 +9995,45 @@ SELECT t.tier, CAST(count(*) AS BIGINT) AS n_orders,
        CAST(sum(o.c) AS BIGINT) AS sum_cents
 FROM o JOIN tiers t ON o.c >= t.lo_cents AND o.c < t.hi_cents
 GROUP BY 1"""
+    # d36 (r10): md5 MinHash — 16 per-seed min-aggs and the 16-term
+    # component-match sum are COMPOSED from one Python loop (the r8
+    # ADVICE pattern) so Spark and the oracle can never drift on seed
+    # count; 1-hash band candidates, 50-doc bucket cap mirrored.
+    _mh_cols = ",\n              ".join(
+        f"min(('0x' || substr(md5('{i}:' || t), 1, 12))::BIGINT) AS m{i}"
+        for i in range(16)
+    )
+    _mh_match = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(16)
+    )
+    out["d36_minhash_estimate_audit"] = rf"""
+WITH toks AS (SELECT DISTINCT id, t FROM (
+        SELECT doc_id AS id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+        FROM documents) WHERE t <> ''),
+sig AS MATERIALIZED (
+       SELECT id, CAST(count(*) AS BIGINT) AS n,
+              {_mh_cols}
+       FROM toks GROUP BY 1),
+ok AS (SELECT m0 FROM sig GROUP BY 1 HAVING count(*) <= 50),
+s2 AS (SELECT sig.* FROM sig JOIN ok ON ok.m0 = sig.m0),
+p AS MATERIALIZED (
+      SELECT a.id AS id_a, b.id AS id_b, a.n AS na, b.n AS nb,
+             CAST((1000000 * ({_mh_match})) // 16 AS BIGINT)
+               AS est_jacc_ppm
+      FROM s2 a JOIN s2 b ON a.m0 = b.m0 AND a.id < b.id),
+iv AS (SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS inter
+       FROM p JOIN toks ta ON ta.id = p.id_a
+              JOIN toks tb ON tb.id = p.id_b AND tb.t = ta.t
+       GROUP BY 1, 2)
+SELECT p.id_a, p.id_b, p.est_jacc_ppm,
+       CAST((1000000 * coalesce(iv.inter, 0)) //
+            (p.na + p.nb - coalesce(iv.inter, 0)) AS BIGINT)
+         AS exact_jacc_ppm,
+       CAST(p.est_jacc_ppm -
+            (1000000 * coalesce(iv.inter, 0)) //
+            (p.na + p.nb - coalesce(iv.inter, 0)) AS BIGINT) AS err_ppm
+FROM p LEFT JOIN iv ON iv.id_a = p.id_a AND iv.id_b = p.id_b"""
     # fc02 (r9): fc01's forecast chain over the train grid (global
     # cutoff = max hr − 24), scored against the full grid's actuals.
     # MAE divides a non-negative sum (// ≡ div); bias stays undivided.

@@ -1554,3 +1554,120 @@ def scrub_against_index(
             " ",
         ).alias("text_clean"),
     )
+
+
+def minhash_estimate_audit(
+    docs: DataFrame,
+    k: int = 16,
+    max_bucket: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ORACLE-EXACT MinHash: md5-derived k-hash signatures (the
+    sk01/d11 portable-hash discipline) audited against the EXACT token
+    Jaccard on every candidate pair — the estimator-quality view the
+    xxhash64 production path (d03/d24, rows-only by nature) can't give
+    an oracle for. Candidates come from the classic 1-hash band: docs
+    sharing the same first minhash value bucket together (that IS the
+    LSH recall mechanism), buckets over ``max_bucket`` docs are dropped
+    whole (d02's hot-posting-list cap — a stop-gram bucket is noise).
+
+    est_jacc_ppm = 10⁶·(matching components) div k; exact_jacc_ppm
+    from the distinct-token sets of the pair (|∩| via one token join
+    bounded by capped-bucket pair volume, |∪| = na + nb − |∩|). The
+    audit row carries both plus the signed error — the per-pair
+    evidence behind the "MinHash estimates Jaccard" claim, cross-engine
+    exact.
+
+    Returns (id_a, id_b, est_jacc_ppm, exact_jacc_ppm, err_ppm).
+    """
+    if k < 1:
+        raise ValueError("minhash_estimate_audit: k must be >= 1")
+    toks = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("_t"),
+        )
+        .filter(F.col("_t") != "")
+        .distinct()
+    )
+    mins = [
+        F.min(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"{i}:"), F.col("_t")
+                        ).cast("binary")
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long")
+        ).alias(f"_m{i}")
+        for i in range(int(k))
+    ]
+    sig = toks.groupBy("_id").agg(
+        *mins, F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    sig = sig.select(
+        "_id",
+        "_n",
+        F.col("_m0").alias("_bucket"),
+        F.array(*[F.col(f"_m{i}") for i in range(int(k))]).alias("_sig"),
+    )
+    bsz = sig.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_bn"))
+    sig = sig.join(
+        bsz.filter(F.col("_bn") <= int(max_bucket)).select("_bucket"),
+        "_bucket",
+    )
+    a = sig.select(
+        F.col("_bucket"),
+        F.col("_id").alias("id_a"),
+        F.col("_n").alias("_na"),
+        F.col("_sig").alias("_sa"),
+    )
+    b = sig.select(
+        F.col("_bucket"),
+        F.col("_id").alias("id_b"),
+        F.col("_n").alias("_nb"),
+        F.col("_sig").alias("_sb"),
+    )
+    pairs = a.join(b, "_bucket").filter(F.col("id_a") < F.col("id_b"))
+    pairs = pairs.select(
+        "id_a",
+        "id_b",
+        "_na",
+        "_nb",
+        F.expr(
+            "CAST((1000000 * size(filter(zip_with(_sa, _sb,"
+            f" (x, y) -> x = y), v -> v))) div {int(k)} AS BIGINT)"
+        ).alias("est_jacc_ppm"),
+    )
+    ta = toks.select(F.col("_id").alias("id_a"), F.col("_t").alias("_ta"))
+    tb = toks.select(F.col("_id").alias("id_b"), F.col("_t").alias("_tb"))
+    inter = (
+        pairs.select("id_a", "id_b")
+        .join(ta, "id_a")
+        .join(tb, "id_b")
+        .filter(F.col("_ta") == F.col("_tb"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("_inter"))
+    )
+    out = pairs.join(inter, ["id_a", "id_b"], "left").select(
+        "id_a",
+        "id_b",
+        "est_jacc_ppm",
+        F.expr(
+            "CAST((1000000 * coalesce(_inter, 0)) div"
+            " (_na + _nb - coalesce(_inter, 0)) AS BIGINT)"
+        ).alias("exact_jacc_ppm"),
+    )
+    return out.withColumn(
+        "err_ppm",
+        (F.col("est_jacc_ppm") - F.col("exact_jacc_ppm")).cast("long"),
+    )

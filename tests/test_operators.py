@@ -4708,3 +4708,51 @@ def test_j08_band_join_conserves_orders(spark, sf_small):
     ).collect()[0][0]
     assert sum(r["n_orders"] for r in out) == n
     assert sum(r["sum_cents"] for r in out) == tot
+
+
+def test_minhash_estimate_audit_hand_model(spark):
+    """r10: d36 — identical docs estimate 1e6 exactly (all components
+    equal); an overlapping pair's estimate equals the Python
+    replication of the same md5 minhash arithmetic, and its exact
+    Jaccard matches the set computation."""
+    import hashlib
+
+    from learn_etl_data_warehouse_spark.operators.dedup import (
+        minhash_estimate_audit,
+    )
+
+    d1 = "alpha beta gamma delta"
+    d2 = "alpha beta gamma delta"
+    d3 = "alpha beta epsilon zeta"
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (
+            r["est_jacc_ppm"], r["exact_jacc_ppm"], r["err_ppm"]
+        )
+        for r in minhash_estimate_audit(df).collect()
+    }
+    assert got[(1, 2)] == (1_000_000, 1_000_000, 0)
+
+    def mh(tokens):
+        return [
+            min(
+                int(hashlib.md5(f"{i}:{t}".encode()).hexdigest()[:12], 16)
+                for t in tokens
+            )
+            for i in range(16)
+        ]
+
+    s1, s3 = {"alpha", "beta", "gamma", "delta"}, {
+        "alpha", "beta", "epsilon", "zeta",
+    }
+    m1, m3 = mh(s1), mh(s3)
+    if m1[0] == m3[0]:  # same band bucket -> the pair must appear
+        want_est = (1_000_000 * sum(a == b for a, b in zip(m1, m3))) // 16
+        want_exact = (1_000_000 * len(s1 & s3)) // len(s1 | s3)
+        assert got[(1, 3)] == (
+            want_est, want_exact, want_est - want_exact,
+        )
+    else:
+        assert (1, 3) not in got
