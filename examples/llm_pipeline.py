@@ -109,6 +109,34 @@ def main() -> None:
         f"maintained index removed {sc['removed']} tokens, kept {sc['kept']}"
     )
 
+    # 2d. LSH-tuning audit (d36): before trusting the MinHash near-dup
+    # pass, measure its estimator quality ON THIS CORPUS at the chosen
+    # signature size — est vs exact Jaccard per candidate pair plus the
+    # mean absolute error. This is the report a curation run reads to
+    # pick k (signature width) and the band shape: a fat error at the
+    # dedup threshold means more hashes / more bands, a tight one means
+    # the cheap setting suffices.
+    audit = dedup.minhash_estimate_audit(docs2, k=16)
+    au = audit.agg(
+        F.count(F.lit(1)).alias("pairs"),
+        F.avg(F.abs(F.col("err_ppm"))).alias("mae_ppm"),
+        F.sum(
+            F.when(
+                (F.col("est_jacc_ppm") >= 800_000)
+                != (F.col("exact_jacc_ppm") >= 800_000),
+                1,
+            ).otherwise(0)
+        ).alias("flips"),
+    ).collect()[0]
+    if au["pairs"]:
+        print(
+            f"minhash audit (k=16, 1-hash band): {au['pairs']} candidate "
+            f"pairs, mean |est-exact| {au['mae_ppm']:.0f} ppm, "
+            f"{au['flips']} pairs flip across the 0.8 dedup threshold"
+        )
+    else:
+        print("minhash audit (k=16, 1-hash band): no candidate pairs")
+
     # 3. bigram-LM quality score (the KenLM-filter analog, integer ppm)
     scored = text.lm_score_documents(docs2)
     docs3 = (
@@ -190,11 +218,17 @@ def main() -> None:
     exact = docs2.select("source").distinct().count()
     # small-range (linear counting) correction from the emitted zero-
     # register count — the consumer-side fix the raw oracle-exact
-    # estimate deliberately leaves out
-    lc = round(64 * math.log(64 / est["n_zero_registers"]))
+    # estimate deliberately leaves out. The standard HLL regime switch:
+    # with zero empty registers the corpus is out of the linear-counting
+    # regime (log(64/0) is undefined) — report the raw estimate.
+    if est["n_zero_registers"] > 0:
+        lc = round(64 * math.log(64 / est["n_zero_registers"]))
+        corrected = f"linear-counting {lc}"
+    else:
+        corrected = "linear-counting n/a (no empty registers)"
     print(
         f"hll source audit: raw est {est['est_ndv']}, "
-        f"linear-counting {lc}, exact {exact} "
+        f"{corrected}, exact {exact} "
         f"({est['n_zero_registers']} empty registers)"
     )
     spark.stop()

@@ -1066,19 +1066,34 @@ def maximal_repeat_stats(
     one hash agg over (level, gram) for the hot set, one key-equality
     join back (occurrence-linear — no pair join anywhere), one bounded
     ROWS window for coverage, one per-doc agg. ``fingerprint_grams=
-    True`` is the 100 TB posture (the d02/d13 hash-then-recheck
-    discipline): for levels ≥ ``fingerprint_min_level`` the
-    corpus-proportional hot-set count and flag join shuffle 8-byte
-    ``xxhash64(level, gram)`` fingerprints instead of up-to-16-token
-    gram strings, and the exact string recheck runs only on SURVIVOR
-    documents (those holding a fingerprint-hot position) —
-    conformance-tested identical to the string path
-    (tests/test_operators.py). Short levels keep strings even under
-    the flag: they are majority-duplicated in natural text (99% of
-    fixture docs hold a dup 4-gram vs ~10% a dup 8-gram), so hashing
-    them degenerates the recheck into a full second pass — see
-    :func:`_repeat_coverage`. The default keeps strings everywhere so
-    the DuckDB oracle compares the exact production plan.
+    True`` (the d02/d13 hash-then-recheck discipline): for levels ≥
+    ``fingerprint_min_level`` the corpus-proportional hot-set count and
+    flag join shuffle 8-byte ``xxhash64(level, gram)`` fingerprints
+    instead of up-to-16-token gram strings, and the exact string
+    recheck runs only on SURVIVOR documents (those holding a
+    fingerprint-hot position) — conformance-tested identical to the
+    string path (tests/test_operators.py). Short levels keep strings
+    even under the flag: they are majority-duplicated in natural text
+    (99% of fixture docs hold a dup 4-gram vs ~10% a dup 8-gram), so
+    hashing them degenerates the recheck into a full second pass — see
+    :func:`_repeat_coverage`.
+
+    HONEST SCALE CLAIM (PROBE_FP_r10.json, measured at 1× and 16×
+    sf0.1): the ONLY fingerprint mode that reduces total shuffle bytes
+    is ``fingerprint_recheck='hash128'`` (two independent xxhash64s as
+    the identity check, skipping the string-rebuild pass): 1.35× fewer
+    bytes at both scales. The default ``'rebuild'`` recheck shuffles
+    MORE bytes than the string path at 16× (975 vs 447 MB — the rebuild
+    re-shuffles survivor grams as strings anyway). Neither mode wins
+    WALL TIME on a single 128 GiB local[32] JVM (hash128 is 0.84× at
+    16× here: hash compute exceeds the byte saving when shuffle I/O is
+    not the bottleneck). The recommended cluster-scale mode is
+    ``fingerprint_grams=True, fingerprint_recheck='hash128'``, on the
+    standard argument that multi-node shuffle (network + spill) is the
+    dominant cost at 100 TB — a claim this single-node image CANNOT
+    demonstrate; treat it as shuffle-byte-backed, not wall-time-backed.
+    The default keeps strings everywhere so the DuckDB oracle compares
+    the exact production plan.
 
     Returns one row per non-blank document: (id, n_tokens,
     rep{L}_starts per level, n_covered, n_kept). Blank/whitespace-only

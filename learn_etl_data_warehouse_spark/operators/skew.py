@@ -107,6 +107,14 @@ def auto_salted_join(
         .select(key, "_cnt")
         .collect()
     )
+    # NULL is excluded from hot routing even when it dominates the
+    # distribution: NULL never equi-matches, so salting it buys nothing,
+    # and a None inside isin() makes the predicate NULL (not False) for
+    # every cold key — both branches would then silently drop all
+    # non-hot non-null rows. NULL rows ride the cold path, where the
+    # `| isNull()` keeps them for left joins (inner drops them, as the
+    # plain join would).
+    hot = [r for r in hot if r[key] is not None]
     if not hot:
         return big.join(small, on=key, how=how)
     buckets = min(

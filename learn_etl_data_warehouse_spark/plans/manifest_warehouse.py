@@ -1293,12 +1293,19 @@ def migrate_partitioning(
                 f"target partition column {c!r} not present in the"
                 f" old-spec data columns {old_df.columns}"
             )
-    # rels the migration will produce; live target-spec collisions must
-    # ride along or their current rows would be replaced away
-    produced = {
-        os.sep.join(f"{c}={r[c]}" for c in target_cols)
-        for r in old_df.select(*target_cols).distinct().collect()
-    }
+    txn_id = uuid.uuid4().hex[:12]
+    staging = os.path.join(table, f".txn-staging-{txn_id}")
+    old_df.write.partitionBy(*target_cols).mode("overwrite").parquet(staging)
+    # Live target-spec collisions must ride along or their current rows
+    # would be replaced away. Collisions are derived from the rels Spark
+    # ACTUALLY wrote to staging — never from hand-formatted f"{c}={v}"
+    # strings, which miss Spark's Hive path encoding (URL-escaped
+    # specials, NULL -> __HIVE_DEFAULT_PARTITION__, lowercased booleans);
+    # a missed collision silently drops the live partition's rows from
+    # the new snapshot. When any collide, the rewrite re-runs with those
+    # partitions' rows unioned in (their rows round-trip to exactly
+    # their own rels, so the second pass produces no new collisions).
+    produced = set(_leaf_partitions(staging))
     colliding = [
         (rel, txn)
         for rel, txn in groups.get(target, [])
@@ -1315,10 +1322,10 @@ def migrate_partitioning(
             .parquet(*keep_paths)
             .drop("txn")
         )
-        old_df = old_df.unionByName(keep_df, allowMissingColumns=True)
-    txn_id = uuid.uuid4().hex[:12]
-    staging = os.path.join(table, f".txn-staging-{txn_id}")
-    old_df.write.partitionBy(*target_cols).mode("overwrite").parquet(staging)
+        merged = old_df.unionByName(keep_df, allowMissingColumns=True)
+        merged.write.partitionBy(*target_cols).mode("overwrite").parquet(
+            staging
+        )
     written = sorted(_leaf_partitions(staging))
     for rel, _txn in old_parts:
         del manifest["partitions"][rel]

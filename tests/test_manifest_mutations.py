@@ -1283,3 +1283,44 @@ def test_partition_evolution_migrate_and_mixed_reads(spark, vtable):
     # keyed mutations work again
     delete_where(spark, table, "id = 400")
     assert read_snapshot(spark, table).filter("id = 400").count() == 0
+
+
+def test_migrate_collision_with_hive_encoded_values(spark, tmp_path):
+    """r11 advice fix: collision detection must use Spark's OWN Hive
+    path encoding (URL-escaped specials, NULL ->
+    __HIVE_DEFAULT_PARTITION__) — hand-formatted f'{c}={v}' rels missed
+    these, so a colliding live partition's manifest entry was silently
+    overwritten and its rows vanished from the live snapshot. Fixture:
+    cat values 'x:y' (colon URL-escapes) and NULL, committed under the
+    target spec, then an old-scheme batch with the SAME cat values is
+    migrated — both collisions must merge, zero rows lost."""
+    from learn_etl_data_warehouse_spark.plans.manifest_warehouse import (
+        migrate_partitioning,
+    )
+
+    table = str(tmp_path / "enc_table")
+    os.makedirs(table)
+    sink = manifest_stream_sink(table)
+    # batch 0 under the OLD scheme (batch_id), then converge to cat:
+    # live partitions now include the encoded rels for 'x:y' and NULL
+    b0 = spark.createDataFrame(
+        [(1, 1.0, "x:y"), (2, 2.0, None), (3, 3.0, "plain")],
+        "id INT, v DOUBLE, cat STRING",
+    )
+    sink(b0, 0)
+    assert migrate_partitioning(spark, table, ["cat"]) is not None
+    rels = set(read_manifest(table)["partitions"])
+    assert "cat=x%3Ay" in rels, rels
+    assert "cat=__HIVE_DEFAULT_PARTITION__" in rels, rels
+
+    # an old-scheme batch with the SAME special cat values arrives
+    b1 = spark.createDataFrame(
+        [(10, 10.0, "x:y"), (11, 11.0, None)],
+        "id INT, v DOUBLE, cat STRING",
+    )
+    sink(b1, 1)
+    migrate_partitioning(spark, table, ["cat"])
+    final = read_snapshot(spark, table)
+    assert final.count() == 5  # nothing replaced away
+    assert final.filter(F.col("cat") == "x:y").count() == 2
+    assert final.filter(F.col("cat").isNull()).count() == 2

@@ -4504,6 +4504,47 @@ def test_auto_salted_join_matches_plain_and_skips_when_uniform(spark):
     )
 
 
+def test_auto_salted_join_null_hot_key(spark):
+    """r11 advice fix: a NULL-dominant key column (60% NULLs — the
+    canonical dirty-FK skew input) must not poison hot routing. A None
+    inside isin() made the cold predicate NULL for every cold key, so
+    both branches dropped all non-hot non-null rows (observed: inner
+    returned 0/400, left 600/1000). NULL rides the cold path; the
+    routed result must equal the plain join for inner AND left. Also:
+    ALL-hot-keys-NULL must fall back to the unmodified plain join."""
+    from learn_etl_data_warehouse_spark.operators.skew import (
+        auto_salted_join,
+    )
+
+    rows = [
+        (None if i % 10 < 6 else (i % 20) + 1, i) for i in range(1000)
+    ]
+    big = spark.createDataFrame(rows, "k long, v long")
+    small = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(0, 15)], "k long, name string"
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            map(tuple, auto_salted_join(big, small, "k", how=how).collect()),
+            key=str,
+        )
+        want = sorted(
+            map(tuple, big.join(small, "k", how).collect()), key=str
+        )
+        assert got == want, how
+
+    # NULL is the ONLY hot key -> hot set empties -> plain join, no Union.
+    only_null_hot = spark.createDataFrame(
+        [(None if i % 10 < 6 else (i % 200) + 1, i) for i in range(1000)],
+        "k long, v long",
+    )
+    plain = auto_salted_join(only_null_hot, small, "k")
+    assert "Union" not in plain._jdf.queryExecution().analyzed().toString()
+    assert sorted(map(tuple, plain.collect()), key=str) == sorted(
+        map(tuple, only_null_hot.join(small, "k").collect()), key=str
+    )
+
+
 def test_weighted_median_hand_model(spark):
     """r10: a30 — weighted CDF selection: weights (1,2,1) over values
     (100,200,300) cents put the (W+1)//2 = 2nd unit at 200; a
