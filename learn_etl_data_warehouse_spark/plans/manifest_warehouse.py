@@ -1650,7 +1650,11 @@ def optimize_table(
 
 
 def analyze_table(
-    spark: SparkSession, table: str, columns: list[str] | None = None
+    spark: SparkSession,
+    table: str,
+    columns: list[str] | None = None,
+    sketch_columns: list[str] | None = None,
+    sketch_k: int = 256,
 ) -> str:
     """``ANALYZE TABLE … COMPUTE STATISTICS`` analog: one distributed
     pass over the current snapshot collecting row count, per-column
@@ -1669,7 +1673,18 @@ def analyze_table(
     Scale: the aggregation is one ``df.agg`` over HLL sketches and
     predicate counts — partial-aggregated, a single bounded row reaches
     the driver regardless of table size; file sizes come from the
-    manifest's own listing, not a data scan."""
+    manifest's own listing, not a data scan.
+
+    ``sketch_columns`` additionally stores a K-MINIMUM-VALUES sketch
+    per named column (sk02's kernel: the ``sketch_k`` smallest 48-bit
+    md5 hashes of the column's distinct values, pre-filtered by the
+    deterministic ~4k survivor threshold so the selection never ranks
+    a data-proportional partition). The sketch is O(k) integers of
+    manifest metadata and is what :func:`join_cardinality_advice`
+    consumes for sketch-driven join estimation. A column whose NDV fits
+    entirely under 2·k stores its COMPLETE distinct-hash set
+    (``exact: true``) — set algebra on two exact hash sets is exact,
+    which is what lets the advice PROVE an empty inner join."""
     from pyspark.sql.types import AtomicType
 
     manifest = read_manifest(table)
@@ -1690,6 +1705,42 @@ def analyze_table(
             F.sum(F.col(c).isNull().cast("long")).alias(f"_nul_{c}")
         )
     row = df.agg(*aggs).collect()[0]  # ONE bounded row
+    sketches = {}
+    for c in sketch_columns or []:
+        if c in columns:
+            ndv_hint = int(row[f"_ndv_{c}"])
+        else:
+            ndv_hint = int(df.agg(F.approx_count_distinct(c)).collect()[0][0])
+        two48 = 1 << 48
+        h = F.conv(
+            F.substring(F.md5(F.col(c).cast("string").cast("binary")), 1, 12),
+            16,
+            10,
+        ).cast("long")
+        hashes = df.filter(F.col(c).isNotNull()).select(h.alias("_h"))
+        if ndv_hint <= 2 * sketch_k:
+            vals = sorted(
+                r["_h"] for r in hashes.distinct().collect()
+            )
+            # the COMPLETE distinct-hash set: set algebra on it is exact
+            sketches[c] = {"k": int(sketch_k), "exact": True, "values": vals}
+        else:
+            thr = min(two48, (two48 * 4 * sketch_k) // max(ndv_hint, 1))
+            vals = [
+                r["_h"]
+                for r in (
+                    hashes.filter(F.col("_h") < thr)
+                    .distinct()
+                    .orderBy(F.asc("_h"))
+                    .limit(int(sketch_k))
+                    .collect()
+                )
+            ]
+            sketches[c] = {
+                "k": int(sketch_k),
+                "exact": False,
+                "values": vals,
+            }
     data_bytes = 0
     for rel, txn in manifest["partitions"].items():
         vdir = os.path.join(table, rel, f"{TXN_COL_PREFIX}{txn}")
@@ -1710,6 +1761,7 @@ def analyze_table(
             }
             for c in columns
         },
+        "kmv": sketches,
     }
     txn_id = uuid.uuid4().hex[:12]
     _publish(table, manifest, txn_id)
@@ -1778,6 +1830,164 @@ def read_snapshot_advised(
     if broadcast_advice(table, threshold_bytes)["strategy"] == "broadcast":
         return F.broadcast(df)
     return df
+
+
+def _kmv_intersection(sa: dict, sb: dict) -> dict:
+    """Set-operation estimates from two STORED KMV sketches (pure
+    driver-side integer arithmetic over O(k) values — sk02's estimate
+    algebra applied to the manifest metadata). When BOTH sketches are
+    complete distinct-hash sets (``exact``), the intersection count is
+    exact and ``provably_empty`` is a proof: equal keys hash equal, so
+    zero hash overlap between complete hash sets means zero join
+    matches (a 48-bit collision could only ADD a phantom match, never
+    hide a real one)."""
+    two48 = 1 << 48
+    k = min(int(sa["k"]), int(sb["k"]))
+    va, vb = set(sa["values"]), set(sb["values"])
+    if sa.get("exact") and sb.get("exact"):
+        inter = len(va & vb)
+        return {
+            "est_intersection_ndv": inter,
+            "exact": True,
+            "provably_empty": inter == 0,
+        }
+    merged = sorted(va | vb)
+    usk = merged[:k]
+    if not usk:
+        return {
+            "est_intersection_ndv": 0,
+            "exact": False,
+            "provably_empty": False,
+        }
+    if len(merged) < k:
+        est_union = len(merged)
+    else:
+        est_union = ((k - 1) * two48) // usk[-1]
+    matches = sum(1 for h in usk if h in va and h in vb)
+    est_inter = (matches * est_union) // len(usk)
+    return {
+        "est_intersection_ndv": int(est_inter),
+        "exact": False,
+        "provably_empty": False,
+    }
+
+
+def join_cardinality_advice(
+    table_a: str,
+    key_a: str,
+    table_b: str,
+    key_b: str,
+    broadcast_threshold_bytes: int = 10 << 20,
+) -> dict:
+    """Sketch-driven JOIN estimation between two manifest tables — the
+    classic KMV join-key-overlap estimate (Beyer et al.) wired into the
+    warehouse CBO surface. Requires FRESH :func:`analyze_table` stats
+    on both sides with a stored KMV sketch for each key column
+    (``sketch_columns``); anything stale or missing falls back to
+    ``{"strategy": "shuffle"}`` — absent, never wrong, the
+    :func:`table_stats` contract.
+
+    Output cardinality uses the textbook per-key-multiplicity product:
+    ``|A ⋈ B| ≈ rows_a · rows_b · |keys(A) ∩ keys(B)| / (ndv_a ·
+    ndv_b)`` with the intersection NDV from the sketches instead of a
+    data scan. Strategies, in priority order:
+
+    - ``provably_empty`` — both key sketches are complete hash sets
+      with zero overlap: an INNER join is empty by proof, not estimate.
+    - ``broadcast`` — the smaller side's fresh ``data_bytes`` is under
+      the threshold (``broadcast_side`` names it).
+    - ``shuffle`` — the safe default.
+
+    Everything here is driver-side arithmetic over O(k) manifest
+    integers; no Spark job runs."""
+    out = {
+        "strategy": "shuffle",
+        "reason": "no fresh statistics; defaulting to shuffle-safe",
+    }
+    stats_a, stats_b = table_stats(table_a), table_stats(table_b)
+    if stats_a is None or stats_b is None:
+        return out
+    sk_a = (stats_a.get("kmv") or {}).get(key_a)
+    sk_b = (stats_b.get("kmv") or {}).get(key_b)
+    if sk_a is None or sk_b is None:
+        out["reason"] = (
+            "fresh stats lack a KMV sketch for the join key; re-run"
+            " analyze_table(sketch_columns=[...])"
+        )
+        return out
+    inter = _kmv_intersection(sk_a, sk_b)
+    ndv_a = max(int(stats_a["columns"].get(key_a, {}).get("ndv", 0)), 1)
+    ndv_b = max(int(stats_b["columns"].get(key_b, {}).get("ndv", 0)), 1)
+    est_rows = (
+        int(stats_a["row_count"])
+        * int(stats_b["row_count"])
+        * int(inter["est_intersection_ndv"])
+    ) // (ndv_a * ndv_b)
+    out = {
+        "est_intersection_ndv": inter["est_intersection_ndv"],
+        "intersection_exact": inter["exact"],
+        "est_join_rows": est_rows,
+        "rows_a": stats_a["row_count"],
+        "rows_b": stats_b["row_count"],
+    }
+    if inter["provably_empty"]:
+        out["strategy"] = "provably_empty"
+        out["reason"] = (
+            "complete key-hash sets share zero values: inner join is"
+            " empty by proof"
+        )
+        return out
+    small = min(
+        ("a", int(stats_a["data_bytes"])),
+        ("b", int(stats_b["data_bytes"])),
+        key=lambda t: t[1],
+    )
+    if small[1] <= broadcast_threshold_bytes:
+        out["strategy"] = "broadcast"
+        out["broadcast_side"] = table_a if small[0] == "a" else table_b
+        out["reason"] = (
+            f"side {small[0]} is {small[1]} B <="
+            f" {broadcast_threshold_bytes} B"
+        )
+    else:
+        out["strategy"] = "shuffle"
+        out["reason"] = (
+            f"both sides exceed {broadcast_threshold_bytes} B;"
+            " shuffle-safe"
+        )
+    return out
+
+
+def read_join_advised(
+    spark: SparkSession,
+    table_a: str,
+    key_a: str,
+    table_b: str,
+    key_b: str,
+    how: str = "inner",
+    broadcast_threshold_bytes: int = 10 << 20,
+) -> DataFrame:
+    """Join two manifest tables with :func:`join_cardinality_advice`
+    APPLIED to the plan: a ``provably_empty`` inner join short-circuits
+    through an always-false filter (Catalyst's PropagateEmptyRelation
+    collapses the join to a LocalTableScan — semantics identical, since
+    emptiness was proved, not estimated); a ``broadcast`` verdict hints
+    the proven-small side; anything else is the plain shuffle join.
+    Non-inner joins never take the empty shortcut (an outer join of a
+    proven-empty match set still emits unmatched rows)."""
+    df_a = read_snapshot(spark, table_a)
+    df_b = read_snapshot(spark, table_b)
+    advice = join_cardinality_advice(
+        table_a, key_a, table_b, key_b, broadcast_threshold_bytes
+    )
+    cond = df_a[key_a] == df_b[key_b]
+    if advice["strategy"] == "provably_empty" and how == "inner":
+        return df_a.filter(F.lit(False)).join(df_b, cond, how)
+    if advice["strategy"] == "broadcast":
+        if advice["broadcast_side"] == table_a:
+            return F.broadcast(df_a).join(df_b, cond, how)
+        return df_a.join(F.broadcast(df_b), cond, how)
+    return df_a.join(df_b, cond, how)
 
 
 def table_history(table: str) -> list[dict]:

@@ -331,3 +331,129 @@ def test_table_history_orders_and_counts_changes(spark, tmp_path, landings):
     vacuum(table)
     hist2 = table_history(table)
     assert [h["txn"] for h in hist2] == [t2]
+
+
+def test_kmv_join_cardinality_advice(spark, tmp_path):
+    """r11 (r10 verdict item 4): sketch-driven join estimation. The
+    advice CHANGES with measured key overlap — full overlap on a small
+    dim broadcasts, provably-disjoint complete hash sets collapse the
+    inner join to an empty LocalTableScan (no join operator in the
+    plan), and any later data commit makes the advice fall back to
+    shuffle-safe (absent, never wrong). Inexact sketches (NDV > 2k)
+    estimate intersection NDV and join rows within KMV error."""
+    from learn_etl_data_warehouse_spark.plans.manifest_warehouse import (
+        analyze_table,
+        join_cardinality_advice,
+        manifest_stream_sink,
+        read_join_advised,
+    )
+
+    ta, tb, tc = (str(tmp_path / n) for n in ("ta", "tb", "tc"))
+    for t in (ta, tb, tc):
+        os.makedirs(t)
+    # ta: fact with keys 0..99 (3 rows each); tb: dim keys 0..99;
+    # tc: dim keys 1000..1099 (disjoint from ta)
+    manifest_stream_sink(ta)(
+        spark.createDataFrame(
+            [(i % 100, i) for i in range(300)], "k INT, v INT"
+        ),
+        0,
+    )
+    manifest_stream_sink(tb)(
+        spark.createDataFrame(
+            [(i, f"d{i}") for i in range(100)], "k INT, name STRING"
+        ),
+        0,
+    )
+    manifest_stream_sink(tc)(
+        spark.createDataFrame(
+            [(i, f"d{i}") for i in range(1000, 1100)],
+            "k INT, name STRING",
+        ),
+        0,
+    )
+    for t in (ta, tb, tc):
+        analyze_table(spark, t, sketch_columns=["k"])
+
+    # full overlap, small dim -> broadcast, exact intersection = 100
+    adv = join_cardinality_advice(ta, "k", tb, "k")
+    assert adv["strategy"] == "broadcast"
+    assert adv["intersection_exact"] and adv["est_intersection_ndv"] == 100
+    # exact intersection x approx NDVs: 300*100*100/(ndv_a*ndv_b) ~ 300
+    assert abs(adv["est_join_rows"] - 300) <= 30
+    joined = read_join_advised(spark, ta, "k", tb, "k")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert joined.count() == 300
+
+    # zero overlap between complete hash sets -> provably empty; the
+    # inner join plans as an empty LocalTableScan, NO join operator
+    adv2 = join_cardinality_advice(ta, "k", tc, "k")
+    assert adv2["strategy"] == "provably_empty"
+    assert adv2["est_intersection_ndv"] == 0
+    empty = read_join_advised(spark, ta, "k", tc, "k")
+    eplan = empty._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in eplan and "LocalTableScan" in eplan
+    assert empty.count() == 0
+    # semantics conformance: the real join IS empty
+    assert (
+        read_snapshot(spark, ta)
+        .join(
+            read_snapshot(spark, tc).withColumnRenamed("k", "k2"),
+            F.col("k") == F.col("k2"),
+        )
+        .count()
+        == 0
+    )
+    # a LEFT join never takes the empty shortcut: all 300 left rows
+    left = read_join_advised(spark, ta, "k", tc, "k", how="left")
+    assert left.count() == 300
+    assert "Join" in left._jdf.queryExecution().executedPlan().toString()
+
+    # staleness: one more committed batch -> advice absent, never wrong
+    manifest_stream_sink(tc)(
+        spark.createDataFrame([(0, "d0")], "k INT, name STRING"), 1
+    )
+    adv3 = join_cardinality_advice(ta, "k", tc, "k")
+    assert adv3["strategy"] == "shuffle" and "no fresh" in adv3["reason"]
+    # and the advised join is the PLAIN join (tc now overlaps at k=0)
+    refreshed = read_join_advised(spark, ta, "k", tc, "k")
+    assert refreshed.count() == 3
+
+    # analyze without sketch_columns -> explicit missing-sketch reason
+    analyze_table(spark, tc)
+    adv4 = join_cardinality_advice(ta, "k", tc, "k")
+    assert adv4["strategy"] == "shuffle" and "KMV" in adv4["reason"]
+
+
+def test_kmv_advice_inexact_estimates(spark, tmp_path):
+    """NDV > 2k exercises the estimator branch: 3,000-key sides with
+    50% overlap — est intersection and join rows within KMV error
+    (~1/sqrt(k) for k=256; assert a generous 25%)."""
+    from learn_etl_data_warehouse_spark.plans.manifest_warehouse import (
+        analyze_table,
+        join_cardinality_advice,
+        manifest_stream_sink,
+    )
+
+    ta, tb = str(tmp_path / "big_a"), str(tmp_path / "big_b")
+    for t in (ta, tb):
+        os.makedirs(t)
+    manifest_stream_sink(ta)(
+        spark.createDataFrame(
+            [(i, i) for i in range(3000)], "k INT, v INT"
+        ),
+        0,
+    )
+    manifest_stream_sink(tb)(
+        spark.createDataFrame(
+            [(i, i) for i in range(1500, 4500)], "k INT, v INT"
+        ),
+        0,
+    )
+    for t in (ta, tb):
+        analyze_table(spark, t, sketch_columns=["k"])
+    adv = join_cardinality_advice(ta, "k", tb, "k")
+    assert not adv["intersection_exact"]
+    assert abs(adv["est_intersection_ndv"] - 1500) <= 375
+    assert abs(adv["est_join_rows"] - 1500) <= 600  # ndv error compounds
