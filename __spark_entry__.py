@@ -5347,17 +5347,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scalar-only AND oracle-backed (pinned by
         # tests/test_driver_window.py) and sf0.01+sf0.1-swept in the
         # round it rotates in.
-        # r10 rotation (derived with never_checked.py on the 50/50-green
-        # CORRECTNESS_r09): the 5 r9 newborns + the 41 stalest banked
-        # rows (all r5-era) + 4 cores. The whole r9-green cohort moves
-        # behind the window (freshest evidence).
-        # -- r9 newborns, first driver rows (5) --------------------------
+        # r11 rotation (derived with never_checked.py on the 50/50-green
+        # CORRECTNESS_r10): the 22 r10 newborns earn their first driver
+        # rows + the 24 stalest banked rows (set03 r5; the rest r6-era
+        # graph/fp/pf/ivm/ml/selection families) + 4 cores. The whole
+        # r10-green cohort moves behind the window (freshest evidence).
+        # r12 provisional window: the r11 newborns + 4 cores + the then-
+        # stalest banked rows (re-derive with never_checked.py).
+        # -- r10 newborns, first driver rows (22) ------------------------
+        "st05_rank_sum_test": q_st05,
+        "st06_mad_outliers": q_st06,
+        "sk01_hll_ndv": q_sk01,
+        "t32_pmi_collocations": q_t32,
+        "ml07_ols_two_feature": q_ml07,
+        "fc04_ewma_smoothing": q_fc04,
+        "g16_hyperball_neighborhood": q_g16,
+        "a30_weighted_median": q_a30,
+        "knn03_label_agreement": q_knn03,
+        "w08_rising_streaks": q_w08,
+        "sk02_kmv_set_estimates": q_sk02,
+        "pm03_process_variants": q_pm03,
+        "e32_decomposition_fit": q_e32,
+        "g17_harmonic_centrality": q_g17,
+        "j08_tier_band_join": q_j08,
+        "d36_minhash_estimate_audit": q_d36,
+        "pm02_direct_follows": q_pm02,
+        "pf11_k_anonymity": q_pf11,
+        "t31_wordpiece_scores": q_t31,
+        "e29_seasonal_decomposition": q_e29,
+        "ml06_stump_cross_validation": q_ml06,
+        "fc03_intermittent_demand": q_fc03,
+        # -- stalest banked rows promoted (24: set03 r5, rest r6) ---------
+        "set03_intersect": q_set03,
+        "g02_part_pagerank": q_g02,
+        "g04_kcore": q_g04,
+        "g10_weighted_shortest_paths": q_g10,
+        "g11_community_modularity": q_g11,
+        "g12_item_item_cf": q_g12,
+        "fp01_association_rules": q_fp01,
+        "fp03_frequent_triples": q_fp03,
+        "pf01_column_profile": q_pf01,
+        "pf04_benford_audit": q_pf04,
+        "pf05_chi_square": q_pf05,
+        "pf06_fk_orphan_audit": q_pf06,
+        "pf07_ks_lag_drift": q_pf07,
+        "pf08_fd_discovery": q_pf08,
+        "ivm02_maintained_join": q_ivm02,
+        "ivm03_maintained_distinct": q_ivm03,
+        "km01_lloyd_assign": q_km01,
+        "knn01_majority_label": q_knn01,
+        "ml01_centroid_confusion": q_ml01,
+        "ml02_auc_ranking": q_ml02,
+        "a26_abc_classification": q_a26,
+        "a28_histogram_percentiles": q_a28,
+        "a29_exact_percentiles_selection": q_a29,
+        "t14_vocab_build": q_t14,
+        # -- continuously-verified cores (4) ----------------------------
+        "d01_dedup_exact": q_d01,
+        "d02_ngram_jaccard_pairs": q_d02,
+        "e01_tumbling_window": q_e01,
+        "f01_event_funnel": q_f01,
+        # ================= position 51+: outside driver window ==========
+        # r10-green cohort (freshest evidence) moved behind the window.
         "d34_maximal_repeat_scrub": q_d34,
         "st03_jackknife_months": q_st03,
         "fc02_forecast_backtest": q_fc02,
         "d35_repeat_scrub_rebuild": q_d35,
         "st04_cuped_adjustment": q_st04,
-        # -- stalest banked rows promoted (41, all r5-era) ----------------
         "d10_semantic_clusters": q_d10,
         "t01_token_counts": q_t01,
         "t02_quality_scores": q_t02,
@@ -5399,13 +5455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j05_roleplay_nations": q_j05,
         "a06_monthly_rollup": q_a06,
         "w05_percent_rank": q_w05,
-        # -- continuously-verified cores (4) ----------------------------
-        "d01_dedup_exact": q_d01,
-        "d02_ngram_jaccard_pairs": q_d02,
-        "e01_tumbling_window": q_e01,
-        "f01_event_funnel": q_f01,
-        # ================= position 51+: outside driver window ==========
-        # r9-green cohort (freshest evidence) moved behind the window.
+        # r9-green cohort.
         "t29_unigram_seed_pieces": q_t29,
         "d33_classifier_gated_corpus": q_d33,
         "ml04_decision_stump": q_ml04,
@@ -5547,29 +5597,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a23_gini_concentration": q_a23,
         "pf03_ks_drift": q_pf03,
         "a24_cube_aggregate": q_a24,
-        "g02_part_pagerank": q_g02,
-        "g04_kcore": q_g04,
-        "g10_weighted_shortest_paths": q_g10,
-        "g11_community_modularity": q_g11,
-        "g12_item_item_cf": q_g12,
-        "fp01_association_rules": q_fp01,
-        "fp03_frequent_triples": q_fp03,
-        "pf01_column_profile": q_pf01,
-        "pf04_benford_audit": q_pf04,
-        "pf05_chi_square": q_pf05,
-        "pf06_fk_orphan_audit": q_pf06,
-        "pf07_ks_lag_drift": q_pf07,
-        "pf08_fd_discovery": q_pf08,
-        "ivm02_maintained_join": q_ivm02,
-        "ivm03_maintained_distinct": q_ivm03,
-        "km01_lloyd_assign": q_km01,
-        "knn01_majority_label": q_knn01,
-        "ml01_centroid_confusion": q_ml01,
-        "ml02_auc_ranking": q_ml02,
-        "a26_abc_classification": q_a26,
-        "a28_histogram_percentiles": q_a28,
-        "a29_exact_percentiles_selection": q_a29,
-        "t14_vocab_build": q_t14,
         "t16_fuzzy_decontamination": q_t16,
         "t19_lm_doc_score": q_t19,
         "t25_bigram_kneser_ney": q_t25,
@@ -5597,31 +5624,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d16_corpus_build": q_d16,
         "s07_quantize_int8": q_s07,
         "s08_random_projection": q_s08,
-        "set03_intersect": q_set03,
-        # -- r10 additions (born never-checked; rotate into the r11
-        #    window per the steady-state policy) ------------------------
-        "st05_rank_sum_test": q_st05,
-        "st06_mad_outliers": q_st06,
-        "sk01_hll_ndv": q_sk01,
-        "t32_pmi_collocations": q_t32,
-        "ml07_ols_two_feature": q_ml07,
-        "fc04_ewma_smoothing": q_fc04,
-        "g16_hyperball_neighborhood": q_g16,
-        "a30_weighted_median": q_a30,
-        "knn03_label_agreement": q_knn03,
-        "w08_rising_streaks": q_w08,
-        "sk02_kmv_set_estimates": q_sk02,
-        "pm03_process_variants": q_pm03,
-        "e32_decomposition_fit": q_e32,
-        "g17_harmonic_centrality": q_g17,
-        "j08_tier_band_join": q_j08,
-        "d36_minhash_estimate_audit": q_d36,
-        "pm02_direct_follows": q_pm02,
-        "pf11_k_anonymity": q_pf11,
-        "t31_wordpiece_scores": q_t31,
-        "e29_seasonal_decomposition": q_e29,
-        "ml06_stump_cross_validation": q_ml06,
-        "fc03_intermittent_demand": q_fc03,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept last
         "e22_rolling_distinct_hll": q_e22,
