@@ -111,3 +111,70 @@ def interval_overlap_join(
         & (F.col("s_a") <= F.col("e_b"))
         & (F.col("s_b") <= F.col("e_a"))
     )
+
+
+def fifo_allocate(
+    supplies: DataFrame,
+    demands: DataFrame,
+    part_col: str = "part_id",
+    qty_col: str = "qty",
+    order_cols: tuple[str, ...] = ("ts", "row_id"),
+    id_col: str = "row_id",
+) -> DataFrame:
+    """FIFO quantity allocation — match each demand against supplies in
+    arrival order (first-in-first-out inventory costing / lot
+    matching), the allocation join ERP pipelines hand-loop row by row,
+    re-expressed as ONE interval-overlap join in cumulative-quantity
+    coordinates: per part, supply i owns the cum-qty interval
+    [Σq_{<i}, Σq_{≤i}) and demand j consumes [Σq_{<j}, Σq_{≤j});
+    FIFO allocates exactly their overlap, so the pair set is
+    { (i, j) : intervals overlap } with qty = min(hi) − max(lo) —
+    r04's interval-overlap idiom on running sums instead of
+    timestamps. Each side's running sum is a per-part window under
+    the caller's TOTAL ``order_cols`` order (the e18 determinism
+    posture); all quantities integer.
+
+    Chain-overlap structure bounds the pair volume: allocations ≤
+    n_supplies + n_demands per part (each allocation closes at least
+    one interval), so the join is row-linear, never quadratic.
+    Unmatched tails (oversupply / unmet demand) simply produce no
+    allocation row — read them back as Σalloc < qty on either side.
+
+    Returns (part, supply_id, demand_id, qty_alloc > 0).
+    """
+    from pyspark.sql import Window
+
+    def cum(df: DataFrame, tag: str) -> DataFrame:
+        w = (
+            Window.partitionBy(part_col)
+            .orderBy(*[F.col(c) for c in order_cols])
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        hi = F.sum(F.col(qty_col)).over(w).cast("long")
+        return df.select(
+            F.col(part_col).alias("_part"),
+            F.col(id_col).alias(f"{tag}_id"),
+            (hi - F.col(qty_col)).alias(f"{tag}_lo"),
+            hi.alias(f"{tag}_hi"),
+        )
+
+    s = cum(supplies, "supply")
+    d = cum(demands, "demand")
+    qty = F.least(F.col("supply_hi"), F.col("demand_hi")) - F.greatest(
+        F.col("supply_lo"), F.col("demand_lo")
+    )
+    return (
+        s.join(
+            d,
+            (s["_part"] == d["_part"])
+            & (F.col("supply_lo") < F.col("demand_hi"))
+            & (F.col("demand_lo") < F.col("supply_hi")),
+        )
+        .select(
+            s["_part"].alias("part"),
+            "supply_id",
+            "demand_id",
+            qty.cast("long").alias("qty_alloc"),
+        )
+        .filter(F.col("qty_alloc") > 0)
+    )

@@ -13,7 +13,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["footprint_matrix", "direct_follows_graph"]
+__all__ = [
+    "footprint_matrix",
+    "direct_follows_graph",
+    "conformance_fitness",
+]
 
 
 def footprint_matrix(
@@ -209,4 +213,63 @@ def process_variants(
         .orderBy(F.desc("n_actors"), F.asc("variant"))
         .limit(int(top))
         .select("variant", "n_steps", "n_actors")
+    )
+
+
+def conformance_fitness(
+    events: DataFrame,
+    allowed_pairs: list[tuple[str, str]],
+    actor_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """CONFORMANCE CHECKING against a normative directly-follows model —
+    the validation half of process mining (pm01/pm02/pm03 DISCOVER the
+    process; this scores each trace against the process you intended).
+    ``allowed_pairs`` is the model: the (a, b) activity transitions a
+    conforming trace may make. Every consecutive move in an actor's
+    (ts, id)-ordered trace (the pm-family total order) either matches
+    an allowed pair or counts as a violation; token-replay fitness is
+    the allowed share in ppm.
+
+    The model is a bounded literal (|alphabet|² at most) broadcast to
+    the moves — one per-actor window plus one broadcast join, no
+    alphabet-squared blowup on the data side. Actors with a single
+    event make no moves and produce NO row (a zero-move trace has no
+    defined fitness). Returns (actor, n_moves, n_allowed, n_violations,
+    fitness_ppm)."""
+    ev = events.select(
+        F.col(actor_col).alias("actor"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+        F.col(type_col).alias("_t"),
+    )
+    trace = Window.partitionBy("actor").orderBy("_ts", "_id")
+    moves = ev.withColumn("_nxt", F.lead("_t").over(trace)).filter(
+        F.col("_nxt").isNotNull()
+    )
+    model = moves.sparkSession.createDataFrame(
+        [(a, b) for a, b in allowed_pairs], "_t string, _nxt string"
+    ).withColumn("_ok", F.lit(1))
+    scored = moves.join(F.broadcast(model), ["_t", "_nxt"], "left")
+    return (
+        scored.groupBy("actor")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_moves"),
+            F.sum(F.coalesce(F.col("_ok"), F.lit(0)))
+            .cast("long")
+            .alias("n_allowed"),
+        )
+        .select(
+            "actor",
+            "n_moves",
+            "n_allowed",
+            (F.col("n_moves") - F.col("n_allowed"))
+            .cast("long")
+            .alias("n_violations"),
+            F.expr("(1000000 * n_allowed) div n_moves")
+            .cast("long")
+            .alias("fitness_ppm"),
+        )
     )

@@ -368,6 +368,66 @@ def bootstrap_replicate_means(
     )
 
 
+def bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    reps: int = 16,
+    lo_ppm: int = 125_000,
+    hi_ppm: int = 875_000,
+) -> DataFrame:
+    """Bootstrap CONFIDENCE INTERVAL from the :func:`
+    bootstrap_replicate_means` replicates — the percentile method,
+    nearest-rank form (st01 reports the replicate spread; this reduces
+    it to the interval a decision actually consumes). Bounds are the
+    ceil-rank order statistics at ``lo_ppm``/``hi_ppm`` (defaults:
+    the 12.5%/87.5% band — with 16 replicates the classic 2.5/97.5
+    ranks degenerate to min/max, so the default band is the tightest
+    informative pair), plus the replicate median and the
+    SCALED integer variance n·Σm² − (Σm)² (exact — the float variance
+    of the means would drift cross-engine; a consumer divides by n²
+    once at read time).
+
+    Replicates with zero effective weight (possible only on tiny
+    inputs) are dropped before ranking; ranks are over the n_reps
+    SURVIVING means. One bounded agg over ``reps`` rows — the sorted
+    array is reps-long, never data-proportional. Returns ONE row:
+    (n_reps, ci_lo_cents, ci_hi_cents, median_cents, var_scaled)."""
+    means = bootstrap_replicate_means(df, value_col, id_col, reps).filter(
+        F.col("mean_cents").isNotNull()
+    )
+    arr = F.sort_array(F.collect_list("mean_cents"))
+
+    def at_rank(ppm: int) -> str:
+        # ceil nearest-rank, guarded for the empty-input edge (ANSI
+        # element_at throws out-of-bounds rather than returning NULL)
+        return (
+            f"CASE WHEN size(_a) = 0 THEN NULL ELSE element_at(_a,"
+            f" CAST(greatest(1, ({ppm} * size(_a) + 999999)"
+            f" div 1000000) AS INT)) END"
+        )
+
+    return (
+        means.agg(
+            arr.alias("_a"),
+            F.sum(F.col("mean_cents") * F.col("mean_cents"))
+            .cast("long")
+            .alias("_sq"),
+            F.sum("mean_cents").cast("long").alias("_s"),
+        )
+        .select(
+            F.expr("size(_a)").cast("long").alias("n_reps"),
+            F.expr(at_rank(lo_ppm)).cast("long").alias("ci_lo_cents"),
+            F.expr(at_rank(hi_ppm)).cast("long").alias("ci_hi_cents"),
+            F.expr(at_rank(500_000)).cast("long").alias("median_cents"),
+            F.expr("size(_a) * coalesce(_sq, 0) - coalesce(_s, 0) *"
+                   " coalesce(_s, 0)")
+            .cast("long")
+            .alias("var_scaled"),
+        )
+    )
+
+
 def permutation_test_means(
     df: DataFrame,
     value_col: str,

@@ -1404,3 +1404,45 @@ def knn_label_agreement(
         .cast("long")
         .alias("agree_ppm"),
     )
+
+
+def core_density(
+    df: DataFrame,
+    threshold: float = 0.4,
+    min_pts: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """DBSCAN-style CORE-POINT density audit: per vector, the exact
+    count of neighbors with cosine ≥ ``threshold``, and the core flag
+    (count ≥ ``min_pts``) — the density-estimation half of DBSCAN
+    (the clustering half is :func:`~..dedup.connected_components` over
+    the core subgraph, d10's loop). Embedding-space density is the
+    signal a curation pipeline reads for over-represented regions
+    that near-dup thresholds miss.
+
+    Neighbor counts come from :func:`cosine_pairs_blocked` (exact,
+    recall 1, nothing driver-side); each undirected pair contributes
+    to both endpoints; isolated vectors report 0 via the left join.
+    Returns (vec_id, n_neighbors, is_core ∈ {0, 1})."""
+    pairs = cosine_pairs_blocked(df, threshold, vec_col, id_col, n_blocks)
+    ends = pairs.select(F.col("id_a").alias(id_col)).unionAll(
+        pairs.select(F.col("id_b").alias(id_col))
+    )
+    counts = ends.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_neighbors")
+    )
+    return (
+        df.select(id_col)
+        .join(counts, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_neighbors", F.lit(0))
+            .cast("long")
+            .alias("n_neighbors"),
+            (F.coalesce("n_neighbors", F.lit(0)) >= int(min_pts))
+            .cast("long")
+            .alias("is_core"),
+        )
+    )

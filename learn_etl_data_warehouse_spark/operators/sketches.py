@@ -461,3 +461,128 @@ def kmv_set_estimates(
         .alias("est_intersection"),
         "exact_intersection",
     )
+
+
+def bloom_membership_audit(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    m_bits: int = 8192,
+    k_hashes: int = 2,
+) -> DataFrame:
+    """BLOOM-FILTER membership audit — the fourth sketch next to
+    Count-Min (frequency), HLL (cardinality) and KMV (set ops): an
+    ``m_bits``-bit filter with ``k_hashes`` deterministic md5 hash
+    functions is built from group A's distinct keys, then EVERY group-B
+    distinct key probes it; the audit reports the measured
+    false-positive rate against exact membership — the per-corpus
+    evidence behind choosing m/k (the same instrument d36 is for LSH).
+    Deterministic md5 slices end to end (the sk01 discipline), so the
+    whole filter AND the audit row are oracle-exact; no false negative
+    is possible by construction (a member's bits are all set), which
+    the audit exposes as n_in_bloom ≥ n_members.
+
+    Scale shape: the filter is the DISTINCT (bit-position) set — at
+    most ``m_bits`` rows, never data-proportional after the distinct;
+    probes are a bounded explode (k per key) + one broadcastable join
+    on position. Returns ONE row: (m_bits, k_hashes, n_a, n_b,
+    bits_set, n_in_bloom, n_members, n_false_pos, fp_ppm) where fp_ppm
+    is over the true non-members."""
+    if k_hashes < 1:
+        raise ValueError("bloom_membership_audit: k_hashes must be >= 1")
+    grp = F.col(group_col)
+    base = (
+        df.filter(grp.isin([group_a, group_b]))
+        .select(
+            F.when(grp == group_a, F.lit("a")).otherwise(F.lit("b")).alias(
+                "_g"
+            ),
+            F.col(key_col).cast("string").alias("_k"),
+        )
+        .distinct()
+    )
+
+    def pos(j: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit(f"bf{j}:"), F.col("_k")).cast(
+                            "binary"
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % int(m_bits)
+        )
+
+    a_keys = base.filter(F.col("_g") == "a").select("_k")
+    b_keys = base.filter(F.col("_g") == "b").select("_k")
+    bits = (
+        a_keys.select(
+            F.explode(F.array(*[pos(j) for j in range(k_hashes)])).alias(
+                "_p"
+            )
+        )
+        .distinct()
+        .withColumn("_set", F.lit(1))
+    )
+    probes = b_keys.select(
+        "_k",
+        F.explode(
+            F.array_distinct(F.array(*[pos(j) for j in range(k_hashes)]))
+        ).alias("_p"),
+    )
+    hit = (
+        probes.join(bits, "_p", "left")
+        .groupBy("_k")
+        .agg(
+            (
+                F.count(F.lit(1)) == F.sum(F.coalesce(F.col("_set"), F.lit(0)))
+            )
+            .cast("long")
+            .alias("_in_bloom")
+        )
+    )
+    member = a_keys.select(F.col("_k"), F.lit(1).alias("_member"))
+    audit = hit.join(member, "_k", "left").agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.sum("_in_bloom").cast("long").alias("n_in_bloom"),
+        F.sum(F.coalesce(F.col("_member"), F.lit(0)))
+        .cast("long")
+        .alias("n_members"),
+        F.sum(
+            F.when(
+                (F.col("_in_bloom") == 1) & F.col("_member").isNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_false_pos"),
+    )
+    na = a_keys.agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+    nbits = bits.agg(F.count(F.lit(1)).cast("long").alias("bits_set"))
+    return (
+        audit.crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nbits))
+        .select(
+            F.lit(int(m_bits)).cast("long").alias("m_bits"),
+            F.lit(int(k_hashes)).cast("long").alias("k_hashes"),
+            "n_a",
+            "n_b",
+            "bits_set",
+            "n_in_bloom",
+            "n_members",
+            "n_false_pos",
+            F.expr(
+                "(1000000 * n_false_pos) div greatest(n_b - n_members, 1)"
+            )
+            .cast("long")
+            .alias("fp_ppm"),
+        )
+    )

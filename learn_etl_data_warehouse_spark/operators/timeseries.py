@@ -987,3 +987,68 @@ def decomposition_fit(decomp: DataFrame, key: str = "event_type") -> DataFrame:
         .cast("long")
         .alias("fit_ppm"),
     )
+
+
+def holt_smooth(hourly: DataFrame, key: str = "event_type") -> DataFrame:
+    """HOLT'S LINEAR TREND (double exponential smoothing) over each
+    key's dense hourly grid, alpha = beta = 1/2 in integer micro — the
+    two coupled halving recursions
+
+        l_t = ⌊(x_t·10⁶ + l_{t−1} + b_{t−1}) / 2⌋
+        b_t = ⌊(l_t − l_{t−1} + b_{t−1}) / 2⌋
+
+    (l₀ = x₀·10⁶, b₀ = 0). fc04's EWMA tracks a LEVEL and lags any
+    sustained ramp by design; Holt's second recursion tracks the slope
+    so the one-step forecast l + b catches up — the classic trend-aware
+    upgrade, and the missing middle of the family (fc01 seasonal
+    profile+trend, fc04 level-only IIR). The trend difference is
+    SIGNED, so both engines must FLOOR: Spark reconstructs floor
+    division as (v − pmod(v, 2)) div 2 (the e28 idiom); the DuckDB
+    twin's ``//`` floors natively.
+
+    Same sequential-fold shape as :func:`ewma_smooth` (per-key Column
+    aggregate over the calendar-bounded grid; oracle = recursive CTE).
+    Returns (key, hr, n, level_micro, trend_micro, forecast_micro)
+    with forecast_micro = level + trend, the one-step-ahead value.
+    """
+    bounds = hourly.groupBy(key).agg(
+        F.min("hr").alias("_mn"), F.max("hr").alias("_mx")
+    )
+    spine = bounds.select(
+        key, F.explode(F.sequence(F.col("_mn"), F.col("_mx"))).alias("hr")
+    )
+    g = spine.join(hourly, [key, "hr"], "left").select(
+        key,
+        "hr",
+        F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x"),
+    )
+    arr = g.groupBy(key).agg(
+        F.sort_array(F.collect_list(F.struct("hr", "x"))).alias("_a")
+    )
+    prev_l = "element_at(acc, -1).l"
+    prev_b = "element_at(acc, -1).b"
+    v1 = f"(e.x * CAST(1000000 AS BIGINT) + {prev_l} + {prev_b})"
+    lvl = f"(({v1} - pmod({v1}, 2)) div 2)"
+    v2 = f"({lvl} - {prev_l} + {prev_b})"
+    trd = f"(({v2} - pmod({v2}, 2)) div 2)"
+    fold = F.expr(
+        "aggregate(_a, CAST(array() AS array<struct<l:bigint,b:bigint>>),"
+        " (acc, e) -> array_append(acc, CASE WHEN size(acc) = 0"
+        " THEN named_struct('l', e.x * CAST(1000000 AS BIGINT),"
+        "                   'b', CAST(0 AS BIGINT))"
+        f" ELSE named_struct('l', {lvl}, 'b', {trd}) END))"
+    )
+    z = arr.select(
+        key,
+        F.explode(F.arrays_zip(F.col("_a"), fold.alias("_s"))).alias("_z"),
+    )
+    return z.select(
+        key,
+        F.col("_z._a.hr").cast("long").alias("hr"),
+        F.col("_z._a.x").cast("long").alias("n"),
+        F.col("_z._s.l").cast("long").alias("level_micro"),
+        F.col("_z._s.b").cast("long").alias("trend_micro"),
+        (F.col("_z._s.l") + F.col("_z._s.b"))
+        .cast("long")
+        .alias("forecast_micro"),
+    )
