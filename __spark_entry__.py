@@ -5414,8 +5414,8 @@ def q_fc05(spark, sf_dir):
     hourly grid through the coupled level+trend halving recursions in
     integer micro — the trend-aware middle of the forecasting family
     (fc04's EWMA lags ramps; Holt's slope term catches up). Signed
-    trend differences floor identically cross-engine via the e28
-    pmod reconstruction; oracle = recursive CTE
+    trend differences TRUNCATE identically cross-engine (Spark div ≡
+    DuckDB BIGINT //, probed); oracle = recursive CTE
     (operators/timeseries.py::holt_smooth)."""
     from learn_etl_data_warehouse_spark.operators.timeseries import (
         holt_smooth,
@@ -5781,6 +5781,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d16_corpus_build": q_d16,
         "s07_quantize_int8": q_s07,
         "s08_random_projection": q_s08,
+        # -- r11 additions (born never-checked; rotate into the r12
+        #    window per the steady-state policy) ------------------------
+        "st07_bootstrap_ci": q_st07,
+        "pm04_conformance_fitness": q_pm04,
+        "knn04_core_density": q_knn04,
+        "sk03_bloom_membership_audit": q_sk03,
+        "fc05_holt_linear": q_fc05,
+        "ops03_fifo_allocation": q_ops03,
+        "t33_ngram_novelty": q_t33,
+        "d38_lsh_band_scurve": q_d38,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept last
         "e22_rolling_distinct_hll": q_e22,
@@ -10319,4 +10329,223 @@ SELECT c_mktsegment, ng AS n_units,
             THEN round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6)
        END AS theta
 FROM d"""
+    # st07 (r11): percentile-method bootstrap CI — NESTS st01's SQL as a
+    # parenthesized subquery (the d27 pattern), then ceil nearest-rank
+    # order statistics over the ≤16 replicate means + the scaled integer
+    # variance n·Σm² − (Σm)² (HUGEINT sums cast back).
+    out["st07_bootstrap_ci"] = f"""
+WITH m AS (SELECT mean_cents FROM ({out["st01_bootstrap_means"]})
+           WHERE mean_cents IS NOT NULL),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             list_sort(list(mean_cents)) AS a,
+             sum(CAST(mean_cents AS HUGEINT) * mean_cents) AS sq,
+             sum(CAST(mean_cents AS HUGEINT)) AS sm
+      FROM m)
+SELECT n AS n_reps,
+       CAST(CASE WHEN n = 0 THEN NULL ELSE a[CAST(greatest(1,
+            (125000 * n + 999999) // 1000000) AS INT)] END AS BIGINT)
+         AS ci_lo_cents,
+       CAST(CASE WHEN n = 0 THEN NULL ELSE a[CAST(greatest(1,
+            (875000 * n + 999999) // 1000000) AS INT)] END AS BIGINT)
+         AS ci_hi_cents,
+       CAST(CASE WHEN n = 0 THEN NULL ELSE a[CAST(greatest(1,
+            (500000 * n + 999999) // 1000000) AS INT)] END AS BIGINT)
+         AS median_cents,
+       CAST(n * coalesce(sq, 0) - coalesce(sm, 0) * coalesce(sm, 0)
+            AS BIGINT) AS var_scaled
+FROM s"""
+    # pm04 (r11): token-replay conformance — moves from lead() under
+    # the pm-family total (ts, id) order, allowed set as a VALUES
+    # literal composed from the SAME Python list the Spark side
+    # broadcasts (_PM04_ALLOWED — the d36 shared-literal discipline).
+    _pm04_values = ", ".join(f"('{a}', '{b}')" for a, b in _PM04_ALLOWED)
+    out["pm04_conformance_fitness"] = f"""
+WITH mv AS (SELECT user_id, event_type AS a,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS b
+            FROM events),
+m AS (SELECT * FROM mv WHERE b IS NOT NULL),
+al AS (SELECT * FROM (VALUES {_pm04_values}) AS t(a, b)),
+sc AS (SELECT m.user_id,
+              CASE WHEN al.a IS NOT NULL THEN 1 ELSE 0 END AS ok
+       FROM m LEFT JOIN al ON al.a = m.a AND al.b = m.b)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_moves,
+       CAST(sum(ok) AS BIGINT) AS n_allowed,
+       CAST(count(*) - sum(ok) AS BIGINT) AS n_violations,
+       CAST((1000000 * sum(ok)) // count(*) AS BIGINT) AS fitness_ppm
+FROM sc GROUP BY 1"""
+    # knn04 (r11): s02's exact pair kernel aggregated to per-vector
+    # neighbor counts; isolated vectors report 0 via the left join.
+    out["knn04_core_density"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE {_COS.format(a='a.v', b='b.v')} >= 0.4),
+ends AS (SELECT id_a AS vec_id FROM p
+         UNION ALL SELECT id_b AS vec_id FROM p),
+c AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n FROM ends GROUP BY 1)
+SELECT e.vec_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_neighbors,
+       CAST(CASE WHEN coalesce(c.n, 0) >= 4 THEN 1 ELSE 0 END AS BIGINT)
+         AS is_core
+FROM e LEFT JOIN c ON c.vec_id = e.vec_id"""
+    # sk03 (r11): Bloom membership audit — bit positions from md5
+    # slices mod m (the sk01 discipline), probe requires ALL k
+    # positions set; exact membership from the raw key sets.
+    out["sk03_bloom_membership_audit"] = """
+WITH b0 AS (SELECT DISTINCT
+              CASE WHEN o_orderpriority = '1-URGENT' THEN 'a'
+                   ELSE 'b' END AS g,
+              CAST(o_custkey AS VARCHAR) AS k
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+ak AS (SELECT k FROM b0 WHERE g = 'a'),
+bk AS (SELECT k FROM b0 WHERE g = 'b'),
+bits AS (SELECT DISTINCT p FROM (
+   SELECT ('0x' || substr(md5('bf0:' || k), 1, 8))::BIGINT % 8192 AS p
+   FROM ak
+   UNION ALL
+   SELECT ('0x' || substr(md5('bf1:' || k), 1, 8))::BIGINT % 8192 AS p
+   FROM ak)),
+pr AS (SELECT DISTINCT k, p FROM (
+   SELECT k, ('0x' || substr(md5('bf0:' || k), 1, 8))::BIGINT % 8192 AS p
+   FROM bk
+   UNION ALL
+   SELECT k, ('0x' || substr(md5('bf1:' || k), 1, 8))::BIGINT % 8192 AS p
+   FROM bk)),
+hit AS (SELECT pr.k,
+               CASE WHEN count(*) = sum(CASE WHEN bits.p IS NOT NULL
+                                        THEN 1 ELSE 0 END)
+                    THEN 1 ELSE 0 END AS in_bloom
+        FROM pr LEFT JOIN bits ON bits.p = pr.p GROUP BY pr.k),
+mem AS (SELECT k, 1 AS member FROM ak),
+aud AS (SELECT CAST(count(*) AS BIGINT) AS n_b,
+               CAST(sum(in_bloom) AS BIGINT) AS n_in_bloom,
+               CAST(sum(coalesce(member, 0)) AS BIGINT) AS n_members,
+               CAST(sum(CASE WHEN in_bloom = 1 AND member IS NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+        FROM hit LEFT JOIN mem ON mem.k = hit.k),
+na AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM ak),
+nb2 AS (SELECT CAST(count(*) AS BIGINT) AS bits_set FROM bits)
+SELECT CAST(8192 AS BIGINT) AS m_bits, CAST(2 AS BIGINT) AS k_hashes,
+       n_a, n_b, bits_set, n_in_bloom, n_members, n_false_pos,
+       CAST((1000000 * n_false_pos) // greatest(n_b - n_members, 1)
+            AS BIGINT) AS fp_ppm
+FROM aud, na, nb2"""
+    # fc05 (r11): Holt — fc04's recursive-CTE grid with the coupled
+    # level+trend recursion; DuckDB BIGINT // TRUNCATES toward zero
+    # exactly like Spark div (probed: −5 // 2 = −2 in both), so the
+    # signed trend halving is plain division on both sides.
+    out["fc05_holt_linear"] = """
+WITH RECURSIVE
+h0 AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+              CAST(count(*) AS BIGINT) AS x
+       FROM events GROUP BY 1, 2),
+bd AS (SELECT event_type, min(hr) AS mn, max(hr) AS mx FROM h0 GROUP BY 1),
+sp AS (SELECT bd.event_type, bd.mn + t.s AS hr, bd.mn AS mn
+       FROM bd, LATERAL (SELECT unnest(generate_series(
+                               0, CAST(bd.mx - bd.mn AS BIGINT))) AS s) t),
+g AS (SELECT sp.event_type, sp.hr, sp.hr - sp.mn AS idx,
+             coalesce(h0.x, 0) AS x
+      FROM sp LEFT JOIN h0 ON h0.event_type = sp.event_type
+                          AND h0.hr = sp.hr),
+r AS (SELECT event_type, hr, idx, x,
+             CAST(x * 1000000 AS BIGINT) AS l, CAST(0 AS BIGINT) AS b
+      FROM g WHERE idx = 0
+      UNION ALL
+      SELECT g.event_type, g.hr, g.idx, g.x,
+             CAST((g.x * 1000000 + r.l + r.b) // 2 AS BIGINT) AS l,
+             CAST((((g.x * 1000000 + r.l + r.b) // 2) - r.l + r.b) // 2
+                  AS BIGINT) AS b
+      FROM r JOIN g ON g.event_type = r.event_type
+                   AND g.idx = r.idx + 1)
+SELECT event_type, CAST(hr AS BIGINT) AS hr, CAST(x AS BIGINT) AS n,
+       l AS level_micro, b AS trend_micro,
+       CAST(l + b AS BIGINT) AS forecast_micro
+FROM r"""
+    # ops03 (r11): FIFO — per-part running-sum intervals under the
+    # TOTAL (shipdate, orderkey*10+linenumber) order, interval-overlap
+    # join; ROWS frame explicit (RANGE would merge ties).
+    out["ops03_fifo_allocation"] = """
+WITH li AS (SELECT l_partkey AS part, l_shipdate AS ts,
+                   CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS rid,
+                   CAST(round(l_quantity) AS BIGINT) AS qty,
+                   l_orderkey % 2 AS side
+            FROM lineitem WHERE l_partkey % 10 = 0),
+s AS (SELECT part, rid AS supply_id,
+             sum(qty) OVER w - qty AS lo, sum(qty) OVER w AS hi
+      FROM li WHERE side = 0
+      WINDOW w AS (PARTITION BY part ORDER BY ts, rid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+d AS (SELECT part, rid AS demand_id,
+             sum(qty) OVER w - qty AS lo, sum(qty) OVER w AS hi
+      FROM li WHERE side = 1
+      WINDOW w AS (PARTITION BY part ORDER BY ts, rid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT s.part, s.supply_id, d.demand_id,
+       CAST(least(s.hi, d.hi) - greatest(s.lo, d.lo) AS BIGINT)
+         AS qty_alloc
+FROM s JOIN d ON d.part = s.part AND s.lo < d.hi AND d.lo < s.hi
+WHERE least(s.hi, d.hi) - greatest(s.lo, d.lo) > 0"""
+    # t33 (r11): n-gram novelty — the d02 grams idiom (whole-text gram
+    # under 3 tokens), distinct per doc, min-id first owner.
+    out["t33_ngram_novelty"] = r"""
+WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+              FROM documents WHERE trim(text) <> ''),
+grams AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                ELSE [array_to_string(t[i:i+2], ' ')
+                      FOR i IN range(1, len(t) - 1)] END) AS g
+  FROM toks),
+dg AS (SELECT DISTINCT doc_id, g FROM grams),
+f AS (SELECT g, min(doc_id) AS first_id FROM dg GROUP BY 1)
+SELECT dg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN f.first_id = dg.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST((1000000 * sum(CASE WHEN f.first_id = dg.doc_id
+                           THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+         AS novelty_ppm
+FROM dg JOIN f ON f.g = dg.g
+GROUP BY 1"""
+    # d38 (r11): the measured LSH S-curve — d36's md5 signature kernel
+    # with 4-band × 4-row bucket keys (capped buckets mirrored), ground
+    # truth = exact Jaccard of every token-sharing pair in the sliced
+    # corpus, aggregated per decile.
+    _d38_band_keys = ", ".join(
+        "'" + str(j) + ":' || " + " || ':' || ".join(
+            f"CAST(m{j * 4 + i} AS VARCHAR)" for i in range(4)
+        )
+        for j in range(4)
+    )
+    out["d38_lsh_band_scurve"] = rf"""
+WITH toks AS (SELECT DISTINCT id, t FROM (
+        SELECT doc_id AS id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+        FROM documents WHERE doc_id % 10 = 0) WHERE t <> ''),
+sig AS MATERIALIZED (
+       SELECT id, CAST(count(*) AS BIGINT) AS n,
+              {_mh_cols}
+       FROM toks GROUP BY 1),
+bkt0 AS (SELECT id, unnest([{_d38_band_keys}]) AS bk FROM sig),
+okb AS (SELECT bk FROM bkt0 GROUP BY 1 HAVING count(*) <= 50),
+bkt AS (SELECT bkt0.id, bkt0.bk FROM bkt0 JOIN okb ON okb.bk = bkt0.bk),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM bkt a JOIN bkt b ON a.bk = b.bk AND a.id < b.id),
+iv AS (SELECT ta.id AS id_a, tb.id AS id_b,
+              CAST(count(*) AS BIGINT) AS i
+       FROM toks ta JOIN toks tb ON tb.t = ta.t AND ta.id < tb.id
+       GROUP BY 1, 2),
+pairs AS (SELECT iv.id_a, iv.id_b,
+                 (1000000 * iv.i) //
+                 (sa.n + sb.n - iv.i) AS jacc,
+                 CASE WHEN cand.id_a IS NOT NULL THEN 1 ELSE 0 END AS c
+          FROM iv JOIN sig sa ON sa.id = iv.id_a
+                  JOIN sig sb ON sb.id = iv.id_b
+                  LEFT JOIN cand ON cand.id_a = iv.id_a
+                                AND cand.id_b = iv.id_b)
+SELECT CAST(least(jacc // 100000, 9) AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(c) AS BIGINT) AS n_candidates,
+       CAST((1000000 * sum(c)) // count(*) AS BIGINT) AS capture_ppm
+FROM pairs GROUP BY 1"""
     return out

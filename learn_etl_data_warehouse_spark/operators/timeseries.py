@@ -997,14 +997,17 @@ def holt_smooth(hourly: DataFrame, key: str = "event_type") -> DataFrame:
         l_t = ⌊(x_t·10⁶ + l_{t−1} + b_{t−1}) / 2⌋
         b_t = ⌊(l_t − l_{t−1} + b_{t−1}) / 2⌋
 
-    (l₀ = x₀·10⁶, b₀ = 0). fc04's EWMA tracks a LEVEL and lags any
-    sustained ramp by design; Holt's second recursion tracks the slope
-    so the one-step forecast l + b catches up — the classic trend-aware
-    upgrade, and the missing middle of the family (fc01 seasonal
-    profile+trend, fc04 level-only IIR). The trend difference is
-    SIGNED, so both engines must FLOOR: Spark reconstructs floor
-    division as (v − pmod(v, 2)) div 2 (the e28 idiom); the DuckDB
-    twin's ``//`` floors natively.
+    (l₀ = x₀·10⁶, b₀ = 0; the halving is TRUNCATING division). fc04's
+    EWMA tracks a LEVEL and lags any sustained ramp by design; Holt's
+    second recursion tracks the slope so the one-step forecast l + b
+    catches up — the classic trend-aware upgrade, and the missing
+    middle of the family (fc01 seasonal profile+trend, fc04 level-only
+    IIR). The trend difference is SIGNED; both engines TRUNCATE toward
+    zero (Spark ``div`` ≡ DuckDB BIGINT ``//``, probed r11: −5 // 2 =
+    −2 in both), so the plain div recursion is exact cross-engine —
+    no pmod reconstruction needed (that idiom is for mirroring a
+    FLOORING reference; here the recursion itself is defined with
+    symmetric truncation).
 
     Same sequential-fold shape as :func:`ewma_smooth` (per-key Column
     aggregate over the calendar-bounded grid; oracle = recursive CTE).
@@ -1028,9 +1031,9 @@ def holt_smooth(hourly: DataFrame, key: str = "event_type") -> DataFrame:
     prev_l = "element_at(acc, -1).l"
     prev_b = "element_at(acc, -1).b"
     v1 = f"(e.x * CAST(1000000 AS BIGINT) + {prev_l} + {prev_b})"
-    lvl = f"(({v1} - pmod({v1}, 2)) div 2)"
+    lvl = f"({v1} div 2)"
     v2 = f"({lvl} - {prev_l} + {prev_b})"
-    trd = f"(({v2} - pmod({v2}, 2)) div 2)"
+    trd = f"({v2} div 2)"
     fold = F.expr(
         "aggregate(_a, CAST(array() AS array<struct<l:bigint,b:bigint>>),"
         " (acc, e) -> array_append(acc, CASE WHEN size(acc) = 0"

@@ -4797,3 +4797,240 @@ def test_minhash_estimate_audit_hand_model(spark):
         )
     else:
         assert (1, 3) not in got
+
+
+def test_bootstrap_ci_matches_replicates(spark):
+    """r11: st07 — the CI row must be derivable from st01's replicate
+    means by the same ceil nearest-rank arithmetic in Python."""
+    from learn_etl_data_warehouse_spark.operators.sampling import (
+        bootstrap_ci,
+        bootstrap_replicate_means,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(100 + (i * 37) % 500)) for i in range(200)],
+        "id long, v double",
+    )
+    means = sorted(
+        r["mean_cents"]
+        for r in bootstrap_replicate_means(df, "v", "id").collect()
+        if r["mean_cents"] is not None
+    )
+    n = len(means)
+
+    def rank(ppm):
+        return max(1, (ppm * n + 999_999) // 1_000_000)
+
+    got = bootstrap_ci(df, "v", "id").collect()[0]
+    assert got["n_reps"] == n
+    assert got["ci_lo_cents"] == means[rank(125_000) - 1]
+    assert got["ci_hi_cents"] == means[rank(875_000) - 1]
+    assert got["median_cents"] == means[rank(500_000) - 1]
+    assert got["var_scaled"] == n * sum(m * m for m in means) - sum(means) ** 2
+
+
+def test_conformance_fitness_hand_model(spark):
+    """r11: pm04 — trace replay against a tiny model: user 1 conforms
+    fully, user 2 makes one violating move, a single-event user makes
+    no moves and produces NO row."""
+    from learn_etl_data_warehouse_spark.operators.process_mining import (
+        conformance_fitness,
+    )
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "signup"), (1, t0.replace(minute=1), 2, "view"),
+        (1, t0.replace(minute=2), 3, "click"),
+        (1, t0.replace(minute=3), 4, "purchase"),
+        (2, t0, 5, "view"), (2, t0.replace(minute=1), 6, "purchase"),
+        (2, t0.replace(minute=2), 7, "view"),
+        (3, t0, 8, "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    model = [("signup", "view"), ("view", "click"),
+             ("click", "purchase"), ("purchase", "view")]
+    got = {
+        r["actor"]: (r["n_moves"], r["n_allowed"], r["n_violations"],
+                     r["fitness_ppm"])
+        for r in conformance_fitness(ev, model).collect()
+    }
+    assert got == {
+        1: (3, 3, 0, 1_000_000),
+        2: (2, 1, 1, 500_000),  # view->purchase violates; purchase->view ok
+    }
+
+
+def test_core_density_hand_vectors(spark):
+    """r11: knn04 — three near-identical vectors and one orthogonal:
+    counts (2,2,2,0); core flag at min_pts=2."""
+    from learn_etl_data_warehouse_spark.operators.similarity import (
+        core_density,
+    )
+
+    rows = [
+        (1, [1.0, 0.0]), (2, [1.0, 0.01]), (3, [0.99, 0.0]),
+        (4, [0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: (r["n_neighbors"], r["is_core"])
+        for r in core_density(emb, threshold=0.9, min_pts=2).collect()
+    }
+    assert got == {1: (2, 1), 2: (2, 1), 3: (2, 1), 4: (0, 0)}
+
+
+def test_bloom_membership_audit_python_model(spark):
+    """r11: sk03 — replicate the md5 bit arithmetic in Python on a
+    small fixture; invariants: every member is in-bloom (no false
+    negatives, by construction) and counts match the model exactly."""
+    import hashlib
+
+    from learn_etl_data_warehouse_spark.operators.sketches import (
+        bloom_membership_audit,
+    )
+
+    m_bits, k = 64, 2
+    a_keys = [str(i) for i in range(0, 30)]
+    b_keys = [str(i) for i in range(20, 80)]
+    rows = [(x, "a") for x in a_keys] + [(x, "b") for x in b_keys]
+    df = spark.createDataFrame(rows, "k string, g string")
+
+    def pos(j, key):
+        h = hashlib.md5(f"bf{j}:{key}".encode()).hexdigest()
+        return int(h[:8], 16) % m_bits
+
+    bits = {pos(j, x) for x in a_keys for j in range(k)}
+    in_bloom = [
+        x for x in b_keys
+        if all(pos(j, x) in bits for j in range(k))
+    ]
+    members = [x for x in b_keys if x in set(a_keys)]
+    fps = [x for x in in_bloom if x not in set(a_keys)]
+
+    got = bloom_membership_audit(
+        df, "k", "g", "a", "b", m_bits=m_bits, k_hashes=k
+    ).collect()[0]
+    assert got["n_a"] == len(a_keys) and got["n_b"] == len(b_keys)
+    assert got["bits_set"] == len(bits)
+    assert got["n_in_bloom"] == len(in_bloom)
+    assert got["n_members"] == len(members)
+    assert got["n_false_pos"] == len(fps)
+    assert got["n_in_bloom"] >= got["n_members"]  # no false negatives
+    assert got["fp_ppm"] == (1_000_000 * len(fps)) // max(
+        len(b_keys) - len(members), 1
+    )
+
+
+def test_holt_smooth_python_recursion(spark):
+    """r11: fc05 — the coupled level/trend recursion vs a pure-Python
+    model over a rise-then-fall series (negative trend exercises the
+    signed truncating halving)."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        holt_smooth,
+    )
+
+    xs = [0, 4, 9, 15, 9, 3, 0, 0]
+    hourly = spark.createDataFrame(
+        [("k", h, x) for h, x in enumerate(xs)],
+        "event_type string, hr long, x long",
+    )
+
+    def tdiv2(v):
+        q = abs(v) // 2
+        return q if v >= 0 else -q
+
+    want = []
+    l = b = None
+    for h, x in enumerate(xs):
+        if l is None:
+            l, b = x * 1_000_000, 0
+        else:
+            lp = l
+            l = tdiv2(x * 1_000_000 + lp + b)
+            b = tdiv2(l - lp + b)
+        want.append(("k", h, x, l, b, l + b))
+    got = sorted(
+        map(tuple, holt_smooth(hourly).collect()), key=lambda t: t[1]
+    )
+    assert got == want
+
+
+def test_fifo_allocate_hand_model_and_conservation(spark):
+    """r11: ops03 — the classic lot-matching example: supplies (5, 3)
+    vs demands (4, 4) allocate as s1→d1:4, s1→d2:1, s2→d2:3; total
+    allocated = min(ΣS, ΣD) per part."""
+    from learn_etl_data_warehouse_spark.operators.joins import (
+        fifo_allocate,
+    )
+
+    sup = spark.createDataFrame(
+        [(1, 1, 101, 5), (1, 2, 102, 3), (2, 1, 103, 10)],
+        "part_id long, ts long, row_id long, qty long",
+    )
+    dem = spark.createDataFrame(
+        [(1, 1, 201, 4), (1, 2, 202, 4), (2, 1, 203, 2)],
+        "part_id long, ts long, row_id long, qty long",
+    )
+    got = sorted(
+        map(tuple, fifo_allocate(sup, dem).collect())
+    )
+    assert got == [
+        (1, 101, 201, 4), (1, 101, 202, 1), (1, 102, 202, 3),
+        (2, 103, 203, 2),
+    ]
+    # conservation: per part Σalloc = min(ΣS, ΣD)
+    assert sum(q for p, *_, q in got if p == 1) == min(8, 8)
+    assert sum(q for p, *_, q in got if p == 2) == min(10, 2)
+
+
+def test_ngram_novelty_hand_model(spark):
+    """r11: t33 — shared grams belong to the min id; Σ n_novel equals
+    the corpus distinct-gram vocabulary; blank docs emit no row."""
+    from learn_etl_data_warehouse_spark.operators.dedup import (
+        ngram_novelty,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),       # grams: abc, bcd
+            (2, "a b c e"),       # grams: abc (seen), bce (novel)
+            (3, "x y"),           # short doc: whole-text gram "x y"
+            (4, "   "),           # blank: no row
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty_ppm"])
+        for r in ngram_novelty(docs).collect()
+    }
+    assert got == {
+        1: (2, 2, 1_000_000),
+        2: (2, 1, 500_000),
+        3: (1, 1, 1_000_000),
+    }
+    assert sum(v[1] for v in got.values()) == 4  # vocabulary conservation
+
+
+def test_lsh_band_scurve_captures_identical_pair(spark):
+    """r11: d38 — an identical pair lands in decile 9 and is captured
+    (identical signatures share every band); a disjoint doc forms no
+    ground-truth pair."""
+    from learn_etl_data_warehouse_spark.operators.dedup import (
+        lsh_band_scurve,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "zeta eta theta iota kappa"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["decile"]: r for r in lsh_band_scurve(docs).collect()}
+    assert set(rows) == {9}
+    assert rows[9]["n_pairs"] == 1 and rows[9]["n_candidates"] == 1
+    assert rows[9]["capture_ppm"] == 1_000_000
