@@ -1144,3 +1144,167 @@ def dfg_ingest_sink(
         )
 
     return handle
+
+
+def conformance_ingest_sink(
+    catalog_dir: str,
+    allowed_pairs: list[tuple[str, str]],
+    actor_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+):
+    """foreachBatch handler maintaining pm04's conformance fitness
+    incrementally — the live compliance monitor over an event stream
+    (the dfg_ingest_sink posture applied to the VALIDATION half of
+    process mining).
+
+    State design: per-actor (n_moves, n_allowed) IS additive once the
+    cross-batch boundary hop is stitched, so the state is simpler than
+    the DFG's — ``conf_actor_state`` (additive counters per actor) +
+    ``conf_tails`` (each actor's last event, contributing exactly the
+    one boundary move per batch). Each micro-batch unions arriving
+    events with stored tails, takes consecutive moves per actor under
+    the total (ts, id) order, scores them against the broadcast
+    normative model, folds the per-actor deltas in, refreshes tails,
+    and re-derives the published ``conf_fitness`` (pm04's exact
+    schema) from state. All tables + the ``conf_applied`` ledger flip
+    in ONE catalog transaction; exactly-once is LEDGER-derived (move
+    counts are not replay-idempotent).
+
+    Ordering contract: per-actor in-order arrival across batches (the
+    stateful.py posture). Cost per batch: O(batch) for the move window
+    + O(actors) for the state merge — never history-sized. Conformance:
+    published conf_fitness == ``conformance_fitness`` over all events
+    seen, after EVERY batch (tests/test_streaming.py)."""
+    from pyspark.sql import Window
+
+    from learn_etl_data_warehouse_spark.plans import catalog as cat
+
+    def handle(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        tables = set(cat.read_catalog(catalog_dir)["tables"])
+        if "conf_applied" in tables:
+            applied = {
+                r.batch_id
+                for r in cat.catalog_read(spark, catalog_dir, "conf_applied")
+                .select("batch_id")
+                .collect()
+            }
+            if int(batch_id) in applied:
+                return
+        ev = batch_df.select(
+            F.col(actor_col).alias("_u"),
+            F.col(ts_col).alias("_ts"),
+            F.col(id_col).alias("_id"),
+            F.col(type_col).alias("_t"),
+        )
+        if "conf_tails" in tables:
+            tails = cat.catalog_read(spark, catalog_dir, "conf_tails").select(
+                "_u", "_ts", "_id", "_t"
+            )
+            ev_all = ev.unionByName(tails)
+        else:
+            tails = None
+            ev_all = ev
+        trace = Window.partitionBy("_u").orderBy("_ts", "_id")
+        moves = ev_all.withColumn("_nxt", F.lead("_t").over(trace)).filter(
+            F.col("_nxt").isNotNull()
+        )
+        model = spark.createDataFrame(
+            [(a, b) for a, b in allowed_pairs], "_t string, _nxt string"
+        ).withColumn("_ok", F.lit(1))
+        delta = (
+            moves.join(F.broadcast(model), ["_t", "_nxt"], "left")
+            .groupBy("_u")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_moves"),
+                F.sum(F.coalesce(F.col("_ok"), F.lit(0)))
+                .cast("long")
+                .alias("n_allowed"),
+            )
+        )
+        if "conf_actor_state" in tables:
+            prev = cat.catalog_read(
+                spark, catalog_dir, "conf_actor_state"
+            ).select("_u", "n_moves", "n_allowed")
+            merged = (
+                prev.select(
+                    "_u",
+                    F.col("n_moves").alias("_pm"),
+                    F.col("n_allowed").alias("_pa"),
+                )
+                .join(
+                    delta.select(
+                        "_u",
+                        F.col("n_moves").alias("_dm"),
+                        F.col("n_allowed").alias("_da"),
+                    ),
+                    "_u",
+                    "full_outer",
+                )
+                .select(
+                    "_u",
+                    (
+                        F.coalesce(F.col("_pm"), F.lit(0))
+                        + F.coalesce(F.col("_dm"), F.lit(0))
+                    ).cast("long").alias("n_moves"),
+                    (
+                        F.coalesce(F.col("_pa"), F.lit(0))
+                        + F.coalesce(F.col("_da"), F.lit(0))
+                    ).cast("long").alias("n_allowed"),
+                )
+            )
+        else:
+            merged = delta
+        last = Window.partitionBy("_u").orderBy(F.desc("_ts"), F.desc("_id"))
+        batch_tails = (
+            ev.withColumn("_rn", F.row_number().over(last))
+            .filter(F.col("_rn") == 1)
+            .select("_u", "_ts", "_id", "_t")
+        )
+        if tails is not None:
+            kept = tails.join(
+                batch_tails.select(F.col("_u").alias("_bu")),
+                tails["_u"] == F.col("_bu"),
+                "left_anti",
+            )
+            new_tails = kept.unionByName(batch_tails)
+        else:
+            new_tails = batch_tails
+        fitness = merged.select(
+            F.col("_u").alias("actor"),
+            "n_moves",
+            "n_allowed",
+            (F.col("n_moves") - F.col("n_allowed"))
+            .cast("long")
+            .alias("n_violations"),
+            F.expr("(1000000 * n_allowed) div n_moves")
+            .cast("long")
+            .alias("fitness_ppm"),
+        )
+        ledger = spark.createDataFrame(
+            [(int(batch_id),)], "batch_id long"
+        ).withColumn("ingest_batch", F.lit(int(batch_id)))
+        cat.catalog_commit(
+            spark,
+            catalog_dir,
+            {
+                "conf_actor_state": (
+                    merged.withColumn("state", F.lit("live")),
+                    ["state"],
+                ),
+                "conf_tails": (
+                    new_tails.withColumn("state", F.lit("live")),
+                    ["state"],
+                ),
+                "conf_fitness": (
+                    fitness.withColumn("state", F.lit("live")),
+                    ["state"],
+                ),
+                "conf_applied": (ledger, ["ingest_batch"]),
+            },
+            replace=False,
+        )
+
+    return handle

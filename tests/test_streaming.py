@@ -2203,3 +2203,126 @@ def test_hll_ingest_sink_maintained_and_replay_idempotent(spark, tmp_path):
         )
     )
     assert state2 == state and got2 == want
+
+
+def test_conformance_ingest_sink_matches_batch_twin(spark, tmp_path, sf_small):
+    """r11: the conformance sink's additive per-actor state + tail
+    stitching equals pm04's batch twin over all events after EVERY
+    batch (time-split batches keep the per-actor in-order contract);
+    a replayed batch is a ledgered no-op."""
+    from learn_etl_data_warehouse_spark.operators.process_mining import (
+        conformance_fitness,
+    )
+    from learn_etl_data_warehouse_spark.plans import catalog as cat
+    from learn_etl_data_warehouse_spark.sources.parquet import load_table
+    from learn_etl_data_warehouse_spark.streaming.sinks import (
+        conformance_ingest_sink,
+    )
+
+    model = [
+        ("signup", "view"), ("view", "view"), ("view", "click"),
+        ("click", "view"), ("click", "click"), ("click", "purchase"),
+        ("purchase", "view"),
+    ]
+    ev = load_table(spark, sf_small, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    cut = ev.agg(
+        F.expr("percentile_approx(unix_micros(ts), 0.5)").alias("c")
+    ).collect()[0]["c"]
+    b0 = ev.filter(F.expr(f"unix_micros(ts) <= {cut}"))
+    b1 = ev.filter(F.expr(f"unix_micros(ts) > {cut}"))
+    assert b0.count() > 0 and b1.count() > 0
+
+    cdir = str(tmp_path / "confcat")
+    handle = conformance_ingest_sink(cdir, model)
+
+    def published():
+        return sorted(
+            map(
+                tuple,
+                cat.catalog_read(spark, cdir, "conf_fitness")
+                .select(
+                    "actor", "n_moves", "n_allowed", "n_violations",
+                    "fitness_ppm",
+                )
+                .collect(),
+            )
+        )
+
+    handle(b0, 0)
+    assert published() == sorted(
+        map(tuple, conformance_fitness(b0, model).collect())
+    )
+    handle(b1, 1)
+    assert published() == sorted(
+        map(tuple, conformance_fitness(ev, model).collect())
+    )
+    txn_before = cat.read_catalog(cdir)["txn"]
+    handle(b1, 1)  # replay: ledgered no-op
+    assert cat.read_catalog(cdir)["txn"] == txn_before
+
+
+def test_conformance_ingest_sink_end_to_end_stream(spark, tmp_path, sf_small):
+    """r11: the conformance sink under checkpointed availableNow
+    restarts (one file per run — ordered-delivery pattern): published
+    fitness equals pm04's batch twin after both runs."""
+    from learn_etl_data_warehouse_spark.operators.process_mining import (
+        conformance_fitness,
+    )
+    from learn_etl_data_warehouse_spark.plans import catalog as cat
+    from learn_etl_data_warehouse_spark.sources.parquet import load_table
+    from learn_etl_data_warehouse_spark.streaming.sinks import (
+        conformance_ingest_sink,
+    )
+
+    model = [
+        ("signup", "view"), ("view", "view"), ("view", "click"),
+        ("click", "view"), ("click", "click"), ("click", "purchase"),
+        ("purchase", "view"),
+    ]
+    ev = load_table(spark, sf_small, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    cut = ev.agg(
+        F.expr("percentile_approx(unix_micros(ts), 0.5)").alias("c")
+    ).collect()[0]["c"]
+    src = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    cdir = str(tmp_path / "cat")
+
+    def run_once():
+        q = (
+            spark.readStream.schema(ev.schema)
+            .parquet(src)
+            .writeStream.foreachBatch(conformance_ingest_sink(cdir, model))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    ev.filter(F.expr(f"unix_micros(ts) <= {cut}")).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    ev.filter(F.expr(f"unix_micros(ts) > {cut}")).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+
+    got = sorted(
+        map(
+            tuple,
+            cat.catalog_read(spark, cdir, "conf_fitness")
+            .select(
+                "actor", "n_moves", "n_allowed", "n_violations",
+                "fitness_ppm",
+            )
+            .collect(),
+        )
+    )
+    assert got == sorted(map(tuple, conformance_fitness(ev, model).collect()))
