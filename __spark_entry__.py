@@ -5340,6 +5340,69 @@ _PM04_ALLOWED = [
 ]
 
 
+# pf12's candidate edges: (left table, left key, right table, right key,
+# edge name). ONE Python literal feeds the Spark query AND the oracle's
+# generated UNION ALL (the _PM04_ALLOWED discipline).
+_PF12_EDGES = [
+    ("orders", "o_custkey", "customer", "c_custkey", "orders->customer"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey", "lineitem->orders"),
+    ("customer", "c_nationkey", "nation", "n_nationkey", "customer->nation"),
+    ("lineitem", "l_partkey", "part", "p_partkey", "lineitem->part"),
+]
+
+
+def q_pf12(spark, sf_dir):
+    """Relationship cardinality discovery (r11): the four star-schema
+    edges classified 1:1 / 1:N / N:1 / M:N from per-key multiplicities
+    and key overlap — the cross-table half of profiling next to pf08's
+    within-table FDs and pf06's orphan audit; one key-grain agg per
+    side + one full-outer join per edge
+    (operators/profiling.py::relationship_profile)."""
+    from learn_etl_data_warehouse_spark.operators.profiling import (
+        relationship_profile,
+    )
+
+    out = None
+    for lt, lk, rt, rk, name in _PF12_EDGES:
+        row = relationship_profile(
+            _t(spark, sf_dir, lt), _t(spark, sf_dir, rt), lk, rk, name
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def q_w09(spark, sf_dir):
+    """Strict local extrema (r11): per event type's dense hourly grid,
+    hours strictly above (peak) or below (valley) both neighbors — the
+    turning-point scan complementing e23's level shifts, w08's ramps
+    and e16's point outliers; plateau edges and grid endpoints are
+    never extrema (both conventions oracle-mirrored)
+    (operators/timeseries.py::local_extrema)."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        hourly_counts,
+        local_extrema,
+    )
+
+    return local_extrema(hourly_counts(_t(spark, sf_dir, "events")))
+
+
+def q_a31(spark, sf_dir):
+    """Decile lift / gains table (r11): orders bucketed by the EXACT
+    nearest-rank value deciles from the a29 selection kernel (no
+    global sort), per decile the unit count, value share and lift vs
+    the overall mean in DECIMAL(38,0) ppm — the concentration artifact
+    next to a23's Gini scalar and a26's ABC classes
+    (operators/product_analytics.py::decile_lift)."""
+    from learn_etl_data_warehouse_spark.operators.product_analytics import (
+        decile_lift,
+    )
+
+    u = _t(spark, sf_dir, "orders").select(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents")
+    )
+    return decile_lift(u, "cents")
+
+
 def q_st07(spark, sf_dir):
     """Bootstrap confidence interval (r11): st01's 16 deterministic
     replicate means reduced to the percentile-method interval — ceil
@@ -5791,6 +5854,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ops03_fifo_allocation": q_ops03,
         "t33_ngram_novelty": q_t33,
         "d38_lsh_band_scurve": q_d38,
+        "pf12_relationship_discovery": q_pf12,
+        "w09_local_extrema": q_w09,
+        "a31_decile_lift": q_a31,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept last
         "e22_rolling_distinct_hll": q_e22,
@@ -10548,4 +10614,88 @@ SELECT CAST(least(jacc // 100000, 9) AS BIGINT) AS decile,
        CAST(sum(c) AS BIGINT) AS n_candidates,
        CAST((1000000 * sum(c)) // count(*) AS BIGINT) AS capture_ppm
 FROM pairs GROUP BY 1"""
+    # pf12 (r11): one generated sub-select per candidate edge (the
+    # _PF12_EDGES literal feeds both engines), UNION ALL stitched.
+    _pf12_parts = []
+    for _lt, _lk, _rt, _rk, _name in _PF12_EDGES:
+        _pf12_parts.append(f"""
+SELECT '{_name}' AS edge,
+       CASE WHEN max_left_mult <= 1 AND max_right_mult <= 1 THEN '1:1'
+            WHEN max_left_mult <= 1 THEN '1:N'
+            WHEN max_right_mult <= 1 THEN 'N:1'
+            ELSE 'M:N' END AS rel_type,
+       n_left_rows, n_right_rows, n_left_keys, n_right_keys,
+       n_shared_keys, max_left_mult, max_right_mult,
+       left_orphan_keys, right_orphan_keys
+FROM (
+  SELECT CAST(sum(coalesce(lm, 0)) AS BIGINT) AS n_left_rows,
+         CAST(sum(coalesce(rm, 0)) AS BIGINT) AS n_right_rows,
+         CAST(sum(CASE WHEN lm IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_left_keys,
+         CAST(sum(CASE WHEN rm IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_right_keys,
+         CAST(sum(CASE WHEN lm IS NOT NULL AND rm IS NOT NULL
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_keys,
+         CAST(max(coalesce(lm, 0)) AS BIGINT) AS max_left_mult,
+         CAST(max(coalesce(rm, 0)) AS BIGINT) AS max_right_mult,
+         CAST(sum(CASE WHEN lm IS NOT NULL AND rm IS NULL
+                  THEN 1 ELSE 0 END) AS BIGINT) AS left_orphan_keys,
+         CAST(sum(CASE WHEN lm IS NULL AND rm IS NOT NULL
+                  THEN 1 ELSE 0 END) AS BIGINT) AS right_orphan_keys
+  FROM (SELECT CAST({_lk} AS VARCHAR) AS k, count(*) AS lm
+        FROM {_lt} WHERE {_lk} IS NOT NULL GROUP BY 1) l
+  FULL OUTER JOIN
+       (SELECT CAST({_rk} AS VARCHAR) AS k, count(*) AS rm
+        FROM {_rt} WHERE {_rk} IS NOT NULL GROUP BY 1) r
+  ON l.k = r.k)""")
+    out["pf12_relationship_discovery"] = "\nUNION ALL\n".join(_pf12_parts)
+    # w09 (r11): strict extrema over the dense grid — w08's grid CTEs,
+    # lag+lead, strict comparisons; endpoints lack a neighbor.
+    out["w09_local_extrema"] = """
+WITH h0 AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2),
+bd AS (SELECT event_type, min(hr) AS mn, max(hr) AS mx FROM h0 GROUP BY 1),
+sp AS (SELECT bd.event_type, bd.mn + t.s AS hr
+       FROM bd, LATERAL (SELECT unnest(generate_series(
+                               0, CAST(bd.mx - bd.mn AS BIGINT))) AS s) t),
+g AS (SELECT sp.event_type, sp.hr, coalesce(h0.x, 0) AS x
+      FROM sp LEFT JOIN h0 ON h0.event_type = sp.event_type
+                          AND h0.hr = sp.hr),
+f AS (SELECT event_type, hr, x,
+             lag(x) OVER w AS p, lead(x) OVER w AS n
+      FROM g WINDOW w AS (PARTITION BY event_type ORDER BY hr))
+SELECT event_type, CAST(hr AS BIGINT) AS hr, CAST(x AS BIGINT) AS x,
+       CASE WHEN x > p AND x > n THEN 'peak' ELSE 'valley' END AS kind
+FROM f
+WHERE p IS NOT NULL AND n IS NOT NULL
+  AND ((x > p AND x > n) OR (x < p AND x < n))"""
+    # a31 (r11): decile lift — classic global nearest-rank thresholds
+    # (a29's oracle form), threshold-bucketed deciles, HUGEINT lift.
+    _a31_thr = ", ".join(
+        f"max(CASE WHEN rn = ({q} * n + 99) // 100 THEN v END) AS p{q}"
+        for q in range(10, 100, 10)
+    )
+    _a31_dec = " + ".join(
+        f"(CASE WHEN v > t.p{q} THEN 1 ELSE 0 END)"
+        for q in range(10, 100, 10)
+    )
+    out["a31_decile_lift"] = f"""
+WITH u AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+           FROM orders),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CAST(v AS HUGEINT)) AS BIGINT) AS s FROM u),
+r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM u),
+t AS (SELECT {_a31_thr} FROM r, nn GROUP BY nn.n),
+d AS (SELECT CAST(1 + {_a31_dec} AS BIGINT) AS decile, u.v
+      FROM u CROSS JOIN t),
+per AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_units,
+               CAST(sum(CAST(v AS HUGEINT)) AS BIGINT) AS sum_cents
+        FROM d GROUP BY 1)
+SELECT decile, n_units, sum_cents,
+       CAST((1000000 * CAST(sum_cents AS HUGEINT)) // nn.s AS BIGINT)
+         AS share_ppm,
+       CAST((CAST(sum_cents AS HUGEINT) * nn.n * 1000000) //
+            (CAST(n_units AS HUGEINT) * nn.s) AS BIGINT) AS lift_ppm
+FROM per, nn"""
     return out

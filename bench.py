@@ -99,6 +99,10 @@ HEADLINE = [
     "st06_mad_outliers",
     "sk01_hll_ndv",
     "g16_hyperball_neighborhood",
+    # r11 operators
+    "fc05_holt_linear",
+    "d38_lsh_band_scurve",
+    "pm04_conformance_fitness",
 ]
 
 # Reference-parity ETL (EP1 at shard grain): not a queries() entry — it

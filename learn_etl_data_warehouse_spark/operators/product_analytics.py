@@ -417,3 +417,59 @@ def rfm_transitions(
         .groupBy("segment_from", "segment_to")
         .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
     )
+
+
+def decile_lift(units: DataFrame, cents_col: str = "cents") -> DataFrame:
+    """GAINS / LIFT TABLE: units bucketed into value deciles by the
+    EXACT nearest-rank decile thresholds from the two-scan selection
+    kernel (a29 — no global sort, no single-partition window at any
+    size), each decile reporting its unit count, value share and lift
+    vs the overall mean — the marketing/ops concentration artifact
+    next to a23's single Gini number and a26's ABC classes.
+
+    Decile assignment is THRESHOLD-bucketed: decile = 1 + |{q :
+    value > p_q}| over the nine broadcast thresholds, so tied values
+    land deterministically in the lowest decile containing them (the
+    nearest-rank convention; deciles are therefore within ties of
+    N/10 each, never re-ranked per row). lift_ppm = (sum_d·N·10⁶) div
+    (n_d·S) in DECIMAL(38,0) — the d-mean over the overall mean.
+
+    Returns ≤ 10 rows: (decile, n_units, sum_cents, share_ppm,
+    lift_ppm)."""
+    from learn_etl_data_warehouse_spark.functions.aggregates import (
+        exact_percentiles_selection,
+    )
+
+    qs = tuple(range(10, 100, 10))
+    thr = exact_percentiles_selection(units, cents_col, qs=qs)
+    v = F.col(cents_col).cast("long")
+    dec = F.lit(1)
+    for q in qs:
+        dec = dec + (v > F.col(f"p{q}")).cast("int")
+    per = (
+        units.crossJoin(F.broadcast(thr))
+        .select(v.alias("_v"), dec.cast("long").alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_units"),
+            F.sum("_v").cast("long").alias("sum_cents"),
+        )
+    )
+    tot = units.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(v).cast("long").alias("_s"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n_units",
+        "sum_cents",
+        F.expr("(1000000 * sum_cents) div _s").cast("long").alias(
+            "share_ppm"
+        ),
+        F.expr(
+            "(CAST(sum_cents AS DECIMAL(38,0)) * _n * 1000000)"
+            " div (CAST(n_units AS DECIMAL(38,0)) * _s)"
+        )
+        .cast("long")
+        .alias("lift_ppm"),
+    )

@@ -503,3 +503,96 @@ def k_anonymity_audit(
         "n_rows",
         (F.col("n_rows") >= k).alias("k_anonymous"),
     )
+
+
+def relationship_profile(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    edge_name: str,
+) -> DataFrame:
+    """RELATIONSHIP CARDINALITY DISCOVERY for one candidate join edge —
+    the cross-table half of data profiling (pf08 discovers FDs WITHIN a
+    table; this classifies how two tables relate): from each side's
+    per-key multiplicity and the key overlap, the edge is classified
+    1:1 / 1:N / N:1 / M:N — the fact a schema-inference or
+    join-planning tool needs before trusting a join.
+
+    Per side one key-grain hash agg (key → multiplicity), then ONE
+    full-outer join on the key and one global agg — no row-level
+    product anywhere. NULL keys are excluded (they never equi-match;
+    the j03 convention). Returns ONE row: (edge, rel_type, n_left_rows,
+    n_right_rows, n_left_keys, n_right_keys, n_shared_keys,
+    max_left_mult, max_right_mult, left_orphan_keys,
+    right_orphan_keys)."""
+    lk = (
+        left.filter(F.col(left_key).isNotNull())
+        .groupBy(F.col(left_key).cast("string").alias("_k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_lm"))
+    )
+    rk = (
+        right.filter(F.col(right_key).isNotNull())
+        .groupBy(F.col(right_key).cast("string").alias("_k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_rm"))
+    )
+    j = lk.join(rk, "_k", "full_outer")
+    agg = j.agg(
+        F.sum(F.coalesce(F.col("_lm"), F.lit(0))).cast("long").alias(
+            "n_left_rows"
+        ),
+        F.sum(F.coalesce(F.col("_rm"), F.lit(0))).cast("long").alias(
+            "n_right_rows"
+        ),
+        F.sum(F.col("_lm").isNotNull().cast("long")).cast("long").alias(
+            "n_left_keys"
+        ),
+        F.sum(F.col("_rm").isNotNull().cast("long")).cast("long").alias(
+            "n_right_keys"
+        ),
+        F.sum(
+            (F.col("_lm").isNotNull() & F.col("_rm").isNotNull()).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("n_shared_keys"),
+        F.max(F.coalesce(F.col("_lm"), F.lit(0))).cast("long").alias(
+            "max_left_mult"
+        ),
+        F.max(F.coalesce(F.col("_rm"), F.lit(0))).cast("long").alias(
+            "max_right_mult"
+        ),
+        F.sum(
+            (F.col("_lm").isNotNull() & F.col("_rm").isNull()).cast("long")
+        )
+        .cast("long")
+        .alias("left_orphan_keys"),
+        F.sum(
+            (F.col("_lm").isNull() & F.col("_rm").isNotNull()).cast("long")
+        )
+        .cast("long")
+        .alias("right_orphan_keys"),
+    )
+    rel = (
+        F.when(
+            (F.col("max_left_mult") <= 1) & (F.col("max_right_mult") <= 1),
+            "1:1",
+        )
+        .when(F.col("max_left_mult") <= 1, "1:N")
+        .when(F.col("max_right_mult") <= 1, "N:1")
+        .otherwise("M:N")
+    )
+    return agg.select(
+        F.lit(edge_name).alias("edge"),
+        rel.alias("rel_type"),
+        "n_left_rows",
+        "n_right_rows",
+        "n_left_keys",
+        "n_right_keys",
+        "n_shared_keys",
+        "max_left_mult",
+        "max_right_mult",
+        "left_orphan_keys",
+        "right_orphan_keys",
+    )

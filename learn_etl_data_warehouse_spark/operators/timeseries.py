@@ -1055,3 +1055,46 @@ def holt_smooth(hourly: DataFrame, key: str = "event_type") -> DataFrame:
         .cast("long")
         .alias("forecast_micro"),
     )
+
+
+def local_extrema(hourly: DataFrame, key: str = "event_type") -> DataFrame:
+    """STRICT LOCAL EXTREMA over each key's dense zero-filled hourly
+    grid — hours strictly above (peak) or strictly below (valley) both
+    calendar neighbors, the turning-point pattern scan that complements
+    the family's level shifts (e23 CUSUM), ramps (w08 streaks) and
+    point outliers (e16): a reversal is none of those. Plateau edges
+    are NOT extrema (strict comparisons), and the grid's first/last
+    hour have one neighbor only, so they never qualify — both
+    conventions mirrored in the oracle. One per-key window over the
+    calendar-bounded grid. Returns (key, hr, x, kind ∈ {peak, valley}).
+    """
+    bounds = hourly.groupBy(key).agg(
+        F.min("hr").alias("_mn"), F.max("hr").alias("_mx")
+    )
+    spine = bounds.select(
+        key, F.explode(F.sequence(F.col("_mn"), F.col("_mx"))).alias("hr")
+    )
+    g = spine.join(hourly, [key, "hr"], "left").select(
+        key, "hr", F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x")
+    )
+    w = Window.partitionBy(key).orderBy("hr")
+    flagged = g.select(
+        key,
+        "hr",
+        "x",
+        F.lag("x").over(w).alias("_p"),
+        F.lead("x").over(w).alias("_n"),
+    ).filter(F.col("_p").isNotNull() & F.col("_n").isNotNull())
+    return flagged.filter(
+        ((F.col("x") > F.col("_p")) & (F.col("x") > F.col("_n")))
+        | ((F.col("x") < F.col("_p")) & (F.col("x") < F.col("_n")))
+    ).select(
+        key,
+        "hr",
+        "x",
+        F.when(
+            (F.col("x") > F.col("_p")) & (F.col("x") > F.col("_n")), "peak"
+        )
+        .otherwise("valley")
+        .alias("kind"),
+    )

@@ -5034,3 +5034,91 @@ def test_lsh_band_scurve_captures_identical_pair(spark):
     assert set(rows) == {9}
     assert rows[9]["n_pairs"] == 1 and rows[9]["n_candidates"] == 1
     assert rows[9]["capture_ppm"] == 1_000_000
+
+
+def test_relationship_profile_classifies_edges(spark):
+    """r11: pf12 — multiplicity/overlap classification with orphans;
+    NULL keys excluded."""
+    from learn_etl_data_warehouse_spark.operators.profiling import (
+        relationship_profile,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "z"), (4, "w"), (None, "n")],
+        "k long, v string",
+    )
+    right = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    got = relationship_profile(left, right, "k", "k", "l->r").collect()[0]
+    assert got["edge"] == "l->r" and got["rel_type"] == "N:1"
+    assert got["n_left_rows"] == 4 and got["n_right_rows"] == 3
+    assert got["n_left_keys"] == 3 and got["n_right_keys"] == 3
+    assert got["n_shared_keys"] == 2
+    assert got["max_left_mult"] == 2 and got["max_right_mult"] == 1
+    assert got["left_orphan_keys"] == 1 and got["right_orphan_keys"] == 1
+
+    both_multi = relationship_profile(left, left, "k", "k", "self")
+    assert both_multi.collect()[0]["rel_type"] == "M:N"
+
+
+def test_local_extrema_hand_series(spark):
+    """r11: w09 — strict peaks/valleys only: plateaus and grid
+    endpoints never qualify."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        local_extrema,
+    )
+
+    xs = [1, 3, 2, 2, 5, 0, 0, 4]
+    hourly = spark.createDataFrame(
+        [("k", h, x) for h, x in enumerate(xs)],
+        "event_type string, hr long, x long",
+    )
+    got = sorted(
+        (r["hr"], r["x"], r["kind"])
+        for r in local_extrema(hourly).collect()
+    )
+    # hr1=3 peak; hr2=2 vs (3,2) not strict; hr4=5 peak; hr5=0 vs (5,0)
+    # not strict; plateau 0,0 none; hr7 endpoint excluded
+    assert got == [(1, 3, "peak"), (4, 5, "peak")]
+    # add a strict valley
+    xs2 = [5, 1, 4]
+    h2 = spark.createDataFrame(
+        [("k", h, x) for h, x in enumerate(xs2)],
+        "event_type string, hr long, x long",
+    )
+    assert [
+        (r["hr"], r["kind"]) for r in local_extrema(h2).collect()
+    ] == [(1, "valley")]
+
+
+def test_decile_lift_python_model(spark):
+    """r11: a31 — threshold-bucketed deciles vs a Python model on
+    1..40 cents; shares sum to ~1e6 and lift is the d-mean over the
+    overall mean."""
+    from learn_etl_data_warehouse_spark.operators.product_analytics import (
+        decile_lift,
+    )
+
+    vals = list(range(1, 41))
+    units = spark.createDataFrame([(v,) for v in vals], "cents long")
+    n, s = len(vals), sum(vals)
+    thr = {
+        q: sorted(vals)[(q * n + 99) // 100 - 1] for q in range(10, 100, 10)
+    }
+    model = {}
+    for v in vals:
+        d = 1 + sum(1 for q in thr if v > thr[q])
+        nd, sd = model.get(d, (0, 0))
+        model[d] = (nd + 1, sd + v)
+    got = {
+        r["decile"]: (r["n_units"], r["sum_cents"], r["share_ppm"],
+                      r["lift_ppm"])
+        for r in decile_lift(units).collect()
+    }
+    assert set(got) == set(model)
+    for d, (nd, sd) in model.items():
+        assert got[d] == (
+            nd, sd, (1_000_000 * sd) // s,
+            (sd * n * 1_000_000) // (nd * s),
+        )
