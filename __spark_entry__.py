@@ -5403,6 +5403,15 @@ def q_a31(spark, sf_dir):
     return decile_lift(u, "cents")
 
 
+def q_t34(spark, sf_dir):
+    """Rule-based stemming report (r11): raw vs suffix-folded distinct
+    vocabulary per document under the STEM_SUFFIXES chain (longest
+    suffix first, min-stem guard) — the normalization-gain measurement
+    a text-cleaning pass is judged by; pure string ops, engine-exact
+    (operators/text.py::stem_stats)."""
+    return text.stem_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_st07(spark, sf_dir):
     """Bootstrap confidence interval (r11): st01's 16 deterministic
     replicate means reduced to the percentile-method interval — ceil
@@ -5857,6 +5866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pf12_relationship_discovery": q_pf12,
         "w09_local_extrema": q_w09,
         "a31_decile_lift": q_a31,
+        "t34_stem_stats": q_t34,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept last
         "e22_rolling_distinct_hll": q_e22,
@@ -10698,4 +10708,23 @@ SELECT decile, n_units, sum_cents,
        CAST((CAST(sum_cents AS HUGEINT) * nn.n * 1000000) //
             (CAST(n_units AS HUGEINT) * nn.s) AS BIGINT) AS lift_ppm
 FROM per, nn"""
+    # t34 (r11): the STEM_SUFFIXES chain as a CASE ladder generated
+    # from the SAME Python tuple the Spark transform uses.
+    _t34_case = "CASE " + " ".join(
+        f"WHEN t LIKE '%{sfx}' AND length(t) >= {3 + len(sfx)}"
+        f" THEN substr(t, 1, length(t) - {len(sfx)})"
+        for sfx in text.STEM_SUFFIXES
+    ) + " ELSE t END"
+    out["t34_stem_stats"] = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+  FROM documents WHERE trim(text) <> ''),
+tk AS (SELECT doc_id, t, {_t34_case} AS s FROM toks WHERE t <> '')
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT t) AS BIGINT) AS n_distinct_raw,
+       CAST(count(DISTINCT s) AS BIGINT) AS n_distinct_stem,
+       CAST((1000000 * (count(DISTINCT t) - count(DISTINCT s)))
+            // count(DISTINCT t) AS BIGINT) AS reduction_ppm
+FROM tk GROUP BY 1"""
     return out

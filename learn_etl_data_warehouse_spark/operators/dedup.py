@@ -1863,3 +1863,81 @@ def lsh_band_scurve(
             F.expr("(1000000 * n_candidates) div n_pairs").cast("long"),
         )
     )
+
+
+def novelty_gram_index(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The MEMBERSHIP state behind incremental novelty scoring: the
+    corpus's distinct ``n``-gram set (one column, ``g``). Merges under
+    set union (:func:`maintain_novelty_index`) — the d12/d24 posture at
+    the t33 gram grain; novelty only needs membership, so the state
+    carries no counts."""
+    return (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(F.explode(word_ngrams(F.col(text_col), n)).alias("g"))
+        .distinct()
+    )
+
+
+def maintain_novelty_index(
+    prev: DataFrame, new_docs: DataFrame, n: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Fold an ingest batch into the novelty gram set: distinct union —
+    change-volume cost. Maintained ≡ rebuilt is conformance-tested."""
+    return prev.unionByName(
+        novelty_gram_index(new_docs, n, text_col, id_col)
+    ).distinct()
+
+
+def novelty_against_index(
+    batch: DataFrame,
+    index: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """INCREMENTAL n-gram novelty: score an arriving batch against the
+    standing corpus's gram set without re-scanning history — a batch
+    doc's gram is novel iff it is absent from the index AND the doc is
+    the min-id batch holder (the within-batch tie rule that makes the
+    incremental path EXACTLY ≡ :func:`ngram_novelty` over standing ∪
+    batch for the batch's rows, when batch ids follow standing ids —
+    conformance-tested). Same output schema as ngram_novelty."""
+    dg = (
+        batch.filter(F.trim(F.col(text_col)) != "")
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(word_ngrams(F.col(text_col), n)).alias("_g"),
+        )
+        .distinct()
+    )
+    first = dg.groupBy("_g").agg(F.min("_id").alias("_first"))
+    seen = index.select(F.col("g").alias("_g")).withColumn(
+        "_seen", F.lit(1)
+    )
+    return (
+        dg.join(first, "_g")
+        .join(seen, "_g", "left")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(
+                (
+                    F.col("_seen").isNull()
+                    & (F.col("_first") == F.col("_id"))
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_grams",
+            "n_novel",
+            F.expr("(1000000 * n_novel) div n_grams")
+            .cast("long")
+            .alias("novelty_ppm"),
+        )
+    )

@@ -1603,3 +1603,68 @@ def pmi_collocations(
         .select("w1", "w2", F.col("n2").cast("long"), "n_a", "n_b",
                 "lift_pico")
     )
+
+
+# t34's suffix-strip rules, longest-first; a token >= min_len + len(sfx)
+# chars loses its FIRST matching suffix (Porter-lite, deterministic —
+# ONE Python literal feeds the Spark transform and the oracle's CASE
+# chain).
+STEM_SUFFIXES = ("ing", "edly", "ed", "es", "ly", "s")
+
+
+def stem_column(col, min_stem: int = 3):
+    """Rule-based stem of one (lowercased) token Column — the
+    STEM_SUFFIXES chain as nested CASE: first matching suffix strips
+    when the remainder keeps ``min_stem`` chars. Pure string ops,
+    engine-exact."""
+    c = F.lower(_c(col))
+    # a when-chain evaluates in order, so earlier (longer) suffixes win
+    out = None
+    for sfx in STEM_SUFFIXES:
+        cond = c.endswith(sfx) & (
+            F.length(c) >= int(min_stem) + len(sfx)
+        )
+        branch = F.substring(c, F.lit(1), F.length(c) - F.lit(len(sfx)))
+        out = F.when(cond, branch) if out is None else out.when(cond, branch)
+    return out.otherwise(c)
+
+
+def stem_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """TEXT NORMALIZATION report: per document, raw vs stemmed distinct
+    vocabulary under the STEM_SUFFIXES rule chain — the
+    vocabulary-reduction measurement a normalization pass is judged by
+    (how much does suffix folding shrink the type count). One narrow
+    transform + per-doc agg; blank documents produce NO row. Returns
+    (id, n_tokens, n_distinct_raw, n_distinct_stem, reduction_ppm)
+    with reduction_ppm = 10⁶·(raw − stem) div raw."""
+    toks = (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("_t"),
+        )
+        .filter(F.col("_t") != "")
+    )
+    st = toks.withColumn("_s", stem_column(F.col("_t")))
+    return (
+        st.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.countDistinct("_t").cast("long").alias("n_distinct_raw"),
+            F.countDistinct("_s").cast("long").alias("n_distinct_stem"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_tokens",
+            "n_distinct_raw",
+            "n_distinct_stem",
+            F.expr(
+                "(1000000 * (n_distinct_raw - n_distinct_stem))"
+                " div n_distinct_raw"
+            )
+            .cast("long")
+            .alias("reduction_ppm"),
+        )
+    )

@@ -5122,3 +5122,79 @@ def test_decile_lift_python_model(spark):
             nd, sd, (1_000_000 * sd) // s,
             (sd * n * 1_000_000) // (nd * s),
         )
+
+
+def test_stem_stats_hand_model(spark):
+    """r11: t34 — longest-suffix-first with the min-stem guard:
+    'running'→'runn' (ing), 'beds'→'bed' (s after ed fails the guard?
+    no: 'beds' ends 'es'? no — ends 's', len 4 >= 4 → 'bed'); 'es' only
+    strips when 3+2 chars remain; 'is' keeps (stem would be 1 char)."""
+    from learn_etl_data_warehouse_spark.operators.text import (
+        stem_column,
+        stem_stats,
+    )
+
+    toks = spark.createDataFrame(
+        [("running",), ("boxes",), ("beds",), ("is",), ("sadly",),
+         ("supposedly",), ("cat",)],
+        "t string",
+    )
+    got = {r["t"]: r["s"] for r in toks.select(
+        "t", stem_column("t").alias("s")).collect()}
+    assert got == {
+        "running": "runn",      # ing
+        "boxes": "box",         # es
+        "beds": "bed",          # s (es needs >= 5 chars: 'beds' is 4)
+        "is": "is",             # guard: stem would be 1 char
+        "sadly": "sad",         # ly
+        "supposedly": "suppos",  # edly (longest) wins over ly
+        "cat": "cat",
+    }
+    docs = spark.createDataFrame(
+        [(1, "running runs run"), (2, "   ")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in stem_stats(docs).collect()}
+    assert set(rows) == {1}
+    r = rows[1]
+    # stems: runn, run, run -> 2 distinct vs 3 raw
+    assert (r["n_tokens"], r["n_distinct_raw"], r["n_distinct_stem"]) == (
+        3, 3, 2
+    )
+    assert r["reduction_ppm"] == (1_000_000 * 1) // 3
+
+
+def test_novelty_against_index_matches_batch_rows(spark, sf_small):
+    """r11: the incremental novelty path (batch scored against the
+    standing gram set, min-id tie rule within the batch) is EXACTLY
+    ngram_novelty over standing ∪ batch restricted to batch rows, and
+    the maintained index equals the rebuilt one."""
+    from learn_etl_data_warehouse_spark.operators.dedup import (
+        maintain_novelty_index,
+        ngram_novelty,
+        novelty_against_index,
+        novelty_gram_index,
+    )
+    from learn_etl_data_warehouse_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    standing = docs.filter(F.col("doc_id") < 250)
+    batch = docs.filter(F.col("doc_id") >= 250)
+    idx = novelty_gram_index(standing)
+
+    inc = sorted(
+        map(tuple, novelty_against_index(batch, idx).collect())
+    )
+    full = sorted(
+        map(
+            tuple,
+            ngram_novelty(docs).filter(F.col("doc_id") >= 250).collect(),
+        )
+    )
+    assert inc == full and len(inc) > 0
+
+    maintained = maintain_novelty_index(idx, batch)
+    rebuilt = novelty_gram_index(docs)
+    assert sorted(r["g"] for r in maintained.collect()) == sorted(
+        r["g"] for r in rebuilt.collect()
+    )
