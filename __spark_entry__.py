@@ -10594,10 +10594,19 @@ GROUP BY 1"""
         for j in range(4)
     )
     out["d38_lsh_band_scurve"] = rf"""
-WITH toks AS (SELECT DISTINCT id, t FROM (
-        SELECT doc_id AS id,
-               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
-        FROM documents WHERE doc_id % 10 = 0) WHERE t <> ''),
+WITH tk AS (SELECT doc_id AS id,
+                   regexp_split_to_array(trim(lower(text)), '\s+') AS w
+            FROM documents
+            WHERE doc_id % 10 = 0 AND trim(text) <> ''),
+toks0 AS (SELECT DISTINCT id, t FROM (
+        SELECT id,
+               unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                      ELSE [array_to_string(w[i:i+2], ' ')
+                            FOR i IN range(1, len(w) - 1)] END) AS t
+        FROM tk)),
+dfok AS (SELECT t FROM toks0 GROUP BY 1 HAVING count(*) <= 50),
+toks AS (SELECT toks0.id, toks0.t FROM toks0
+         JOIN dfok ON dfok.t = toks0.t),
 sig AS MATERIALIZED (
        SELECT id, CAST(count(*) AS BIGINT) AS n,
               {_mh_cols}

@@ -166,6 +166,21 @@ def main() -> None:
         f"{split.filter(F.col('split') == 'holdout').count()} holdout"
     )
 
+    # 5b. novelty curriculum: score the train docs' 3-gram novelty
+    # (t33 — grams owned by their min-id doc) and report the spread a
+    # curriculum scheduler would order by; low-novelty docs are
+    # near-rehashes the earlier dedup stages kept.
+    nov = dedup.ngram_novelty(train).agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.min("novelty_ppm").alias("lo"),
+        F.expr("percentile_approx(novelty_ppm, 0.5)").alias("med"),
+        F.max("novelty_ppm").alias("hi"),
+    ).collect()[0]
+    print(
+        f"novelty curriculum: {nov['docs']} docs, novelty ppm "
+        f"min {nov['lo']} / median {nov['med']} / max {nov['hi']}"
+    )
+
     # 6. sliding-window chunking into training sequences
     chunks = text.chunk_documents(train, chunk_size=32, stride=24)
     print(f"chunks: {chunks.count()}")

@@ -1746,6 +1746,7 @@ def lsh_band_scurve(
     bands: int = 4,
     rows_per_band: int = 4,
     max_bucket: int = 50,
+    max_df: int = 50,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -1756,29 +1757,42 @@ def lsh_band_scurve(
     d36's per-pair audit opens (d36 judges estimator error on
     candidates; this judges RECALL SHAPE against ground truth).
 
-    Signatures are d36's oracle-exact md5 k-hash kernel (k = b·r);
-    band j's bucket key is the j-th r-slice of the signature; buckets
-    over ``max_bucket`` docs are dropped whole (the d02/d36 hot-bucket
-    cap, mirrored in the oracle). Ground truth is the exact token
-    Jaccard of every TOKEN-SHARING pair — a token self-join, so the
-    caller bounds the corpus slice (the g03 budget discipline: common
-    tokens make this Σ df² — quadratic in df, it is the labeled
-    ground-truth control, not the production dedup path).
+    The MinHash item is the word 3-GRAM SHINGLE (d02/d03's grain — a
+    unigram vocabulary is too small to discriminate: the fixture's
+    sliced sf0.1 corpus holds 31 distinct words, and real-web stop
+    words are the same failure), df-capped first: shingles held by
+    more than ``max_df`` docs drop from signatures AND ground truth —
+    the d02 hot-posting cap, and what keeps the ground-truth self-join
+    Σ df² ≤ max_df·Σ df, i.e. shingle-LINEAR (the uncapped probe
+    measured 177× at 16× on a dup-saturated corpus, the d13 lesson).
+    Signatures are d36's oracle-exact md5 k-hash kernel (k = b·r) over
+    the capped shingle sets; band j's bucket key is the j-th r-slice
+    of the signature; buckets over ``max_bucket`` docs are dropped
+    whole. Both caps mirrored in the oracle. Ground truth is the exact
+    capped-shingle Jaccard of every shingle-sharing pair; the driver
+    query additionally slices the corpus (the g03 budget discipline).
 
     Returns ≤ 10 rows: (decile, n_pairs, n_candidates, capture_ppm)
     where decile = ⌊exact_jacc/0.1⌋ capped at 9.
     """
     k = int(bands) * int(rows_per_band)
     toks = (
-        docs.select(
+        docs.filter(F.trim(F.col(text_col)) != "")
+        .select(
             F.col(id_col).alias("_id"),
             F.explode(
-                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+                word_ngrams(F.lower(F.col(text_col)), 3)
             ).alias("_t"),
         )
-        .filter(F.col("_t") != "")
         .distinct()
     )
+    df_ok = (
+        toks.groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= int(max_df))
+        .select("_t")
+    )
+    toks = toks.join(df_ok, "_t")
     mins = [
         F.min(
             F.conv(
