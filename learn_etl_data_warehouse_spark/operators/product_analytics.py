@@ -463,9 +463,12 @@ def decile_lift(units: DataFrame, cents_col: str = "cents") -> DataFrame:
         "decile",
         "n_units",
         "sum_cents",
-        F.expr("(1000000 * sum_cents) div _s").cast("long").alias(
-            "share_ppm"
-        ),
+        # DECIMAL(38,0) numerator: 10⁶·sum_cents overflows BIGINT once a
+        # decile holds ~10¹³ cents (the 16× growth probe hit it — a
+        # plain 100 TB input would too); DECIMAL div BIGINT returns long
+        F.expr("(CAST(1000000 AS DECIMAL(38,0)) * sum_cents) div _s")
+        .cast("long")
+        .alias("share_ppm"),
         F.expr(
             "(CAST(sum_cents AS DECIMAL(38,0)) * _n * 1000000)"
             " div (CAST(n_units AS DECIMAL(38,0)) * _s)"
