@@ -42,12 +42,50 @@ def _half_up_div(num: Column, den: Column | int) -> Column:
     return F.when(num < 0, -mag).otherwise(mag)
 
 
-def fixed_point_sum(col: Column, scale: int = 10_000, round_to: int = 2) -> Column:
+def _wide_half_up(s: Column, f: int) -> Column:
+    """Round-half-away-from-zero of DECIMAL(38,0) ``s / f`` with NO
+    float anywhere: magnitude = (2|s| + f) div 2f — Spark's `div` on
+    DECIMAL operands is exact integer division returning BIGINT
+    (`F.call_function` reaches it as a function) — sign restored. The
+    BIGINT quotient bounds the OUTPUT at 2⁶³ scaled units (already the
+    output double's own representable range); the ACCUMULATOR keeps
+    the full 10³⁸."""
+    mag = F.call_function(
+        "div",
+        2 * F.abs(s) + F.lit(f).cast("decimal(38,0)"),
+        F.lit(2 * f).cast("decimal(38,0)"),
+    )
+    return F.when(s < 0, -mag).otherwise(mag)
+
+
+def fixed_point_sum(
+    col: Column, scale: int = 10_000, round_to: int = 2, wide: bool = False
+) -> Column:
     """Order-independent, engine-exact sum of a decimal-valued double
-    column, reported at ``round_to`` decimals."""
-    s = F.sum(F.round(col * scale).cast("long"))
+    column, reported at ``round_to`` decimals.
+
+    ``wide=True`` is the 100 TB accumulator: the default BIGINT sum has
+    per-GROUP headroom 2⁶³/(|value|·scale) rows — ~6×10⁹ rows/group for
+    TPC-H prices at the default scale (≈ SF1000 for q01's four groups),
+    past which ANSI mode THROWS — and `_half_up_div`'s double floor is
+    exact only while 2·|sum| < 2⁵³. The wide path accumulates in
+    DECIMAL(38,0) (10³⁸ headroom) and rounds with a PURE-INTEGER
+    half-up — (2|s| + f) div (2f), Spark DECIMAL div returns BIGINT —
+    so it never touches a float until the final output conversion.
+    Identical to the narrow path wherever both are in range
+    (conformance-pinned); the narrow path stays the default because
+    every oracle hash was earned on it and long sums are the cheaper
+    hot path at test scale. Flip ``wide`` per call site when a
+    deployment's group volume approaches the bound — output values
+    (and oracles) are unchanged."""
     out_scale = 10**round_to
     f = scale // out_scale
+    if wide:
+        s = F.sum(F.round(col * scale).cast("decimal(38,0)"))
+        if f <= 1:
+            return F.round(s.cast("double") / F.lit(scale), round_to)
+        return _wide_half_up(s, f).cast("double") / F.lit(out_scale)
+    s = F.sum(F.round(col * scale).cast("long"))
     if f <= 1:
         # the integer sum is already at (or finer than) the output scale
         return F.round(s.cast("double") / F.lit(scale), round_to)

@@ -5198,3 +5198,38 @@ def test_novelty_against_index_matches_batch_rows(spark, sf_small):
     assert sorted(r["g"] for r in maintained.collect()) == sorted(
         r["g"] for r in rebuilt.collect()
     )
+
+
+def test_fixed_point_sum_wide_accumulator(spark):
+    """r11: the DECIMAL(38,0) wide accumulator equals the narrow BIGINT
+    path wherever both are in range (randomized incl. half-boundary
+    values, three scales), and survives the per-group volume where the
+    narrow path ANSI-throws (~2x10^19 scaled units)."""
+    import random
+
+    from learn_etl_data_warehouse_spark.functions.aggregates import (
+        fixed_point_sum,
+    )
+
+    random.seed(7)
+    vals = [round(random.uniform(-1000, 1000), 4) for _ in range(2000)]
+    vals += [1.005, 2.125, -3.335, 0.00005]
+    df = spark.createDataFrame([(float(x),) for x in vals], "v double")
+    for kw in ({}, {"scale": 100}, {"scale": 10000, "round_to": 4}):
+        n = df.agg(fixed_point_sum(F.col("v"), **kw).alias("s")).collect()[
+            0
+        ]["s"]
+        w = df.agg(
+            fixed_point_sum(F.col("v"), wide=True, **kw).alias("s")
+        ).collect()[0]["s"]
+        assert n == w, kw
+
+    big = spark.range(2_000_000).select(F.lit(1e9).alias("v"))
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
+        big.agg(fixed_point_sum(F.col("v")).alias("s")).collect()
+    assert (
+        big.agg(fixed_point_sum(F.col("v"), wide=True).alias("s")).collect()[
+            0
+        ]["s"]
+        == 2_000_000_000_000_000.0
+    )
