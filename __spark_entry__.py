@@ -5403,6 +5403,33 @@ def q_a31(spark, sf_dir):
     return decile_lift(u, "cents")
 
 
+def q_sk04(spark, sf_dir):
+    """AMS F₂ second-moment sketch (r11): the order-fact customer key's
+    self-join size estimated by 16 deterministic ±1-sign estimators
+    (md5 signs — s08's trick), exact twin + signed error riding along —
+    the join-size/skew number a planner consumes, and the FIFTH sketch
+    (CM / HLL / KMV / Bloom / AMS). Squares in DECIMAL(38,0)
+    (operators/sketches.py::ams_f2_estimate)."""
+    from learn_etl_data_warehouse_spark.operators.sketches import (
+        ams_f2_estimate,
+    )
+
+    return ams_f2_estimate(_t(spark, sf_dir, "orders"), "o_custkey")
+
+
+def q_w10(spark, sf_dir):
+    """Capped sessionization (r11): 30-min inactivity gap AND a 120-min
+    session-duration cap — the GA/Adobe double rule e03's gap-only
+    windows can't express (a break depends on where the current session
+    STARTED: sequential recurrence → per-user fold; recursive-CTE
+    oracle) (operators/timeseries.py::capped_sessions)."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        capped_sessions,
+    )
+
+    return capped_sessions(_t(spark, sf_dir, "events"))
+
+
 def q_t34(spark, sf_dir):
     """Rule-based stemming report (r11): raw vs suffix-folded distinct
     vocabulary per document under the STEM_SUFFIXES chain (longest
@@ -5867,6 +5894,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w09_local_extrema": q_w09,
         "a31_decile_lift": q_a31,
         "t34_stem_stats": q_t34,
+        "sk04_ams_f2": q_sk04,
+        "w10_capped_sessions": q_w10,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept last
         "e22_rolling_distinct_hll": q_e22,
@@ -10736,4 +10765,55 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
        CAST((1000000 * (count(DISTINCT t) - count(DISTINCT s)))
             // count(DISTINCT t) AS BIGINT) AS reduction_ppm
 FROM tk GROUP BY 1"""
+    # sk04 (r11): AMS F2 — per-estimator ±1 signs from md5 slices, Z_j
+    # folded in one key-grain agg, estimate = mean of Z²; HUGEINT
+    # squares mirror the Spark DECIMAL(38,0)s.
+    _ams_z = ",\n       ".join(
+        "CAST(sum((1 - 2 * (('0x' || substr(md5('ams" + str(j) + ":' || k),"
+        " 1, 8))::BIGINT % 2)) * n) AS BIGINT) AS z" + str(j)
+        for j in range(16)
+    )
+    _ams_zsq = " + ".join(
+        f"CAST(z{j} AS HUGEINT) * z{j}" for j in range(16)
+    )
+    out["sk04_ams_f2"] = f"""
+WITH c AS (SELECT CAST(o_custkey AS VARCHAR) AS k,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM orders GROUP BY 1),
+a AS (SELECT {_ams_z},
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       sum(CAST(n AS HUGEINT) * n) AS f2
+      FROM c)
+SELECT CAST(16 AS BIGINT) AS k, n_rows, n_keys,
+       CAST(f2 AS BIGINT) AS f2_exact,
+       CAST(({_ams_zsq}) // 16 AS BIGINT) AS f2_est,
+       CAST((CAST(1000000 AS HUGEINT) * (({_ams_zsq}) // 16)
+             - CAST(1000000 AS HUGEINT) * f2) // f2 AS BIGINT) AS err_ppm
+FROM a"""
+    # w10 (r11): capped sessions — recursive CTE over the per-user
+    # event index; a break depends on the CURRENT session's start, so
+    # the recursion carries (sess, start) forward.
+    out["w10_capped_sessions"] = """
+WITH RECURSIVE
+ev AS (SELECT user_id AS u, epoch_us(ts) AS t,
+              row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS idx
+       FROM events),
+r AS (SELECT u, t, idx, 1 AS sess, t AS start_t
+      FROM ev WHERE idx = 1
+      UNION ALL
+      SELECT ev.u, ev.t, ev.idx,
+             CASE WHEN ev.t - r.t > 1800000000
+                       OR ev.t - r.start_t > 7200000000
+                  THEN r.sess + 1 ELSE r.sess END,
+             CASE WHEN ev.t - r.t > 1800000000
+                       OR ev.t - r.start_t > 7200000000
+                  THEN ev.t ELSE r.start_t END
+      FROM r JOIN ev ON ev.u = r.u AND ev.idx = r.idx + 1)
+SELECT u AS user_id, CAST(sess AS BIGINT) AS session_no,
+       CAST(min(t) AS BIGINT) AS start_us,
+       CAST(max(t) AS BIGINT) AS end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM r GROUP BY 1, 2"""
     return out

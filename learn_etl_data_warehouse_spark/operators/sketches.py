@@ -586,3 +586,73 @@ def bloom_membership_audit(
             .alias("fp_ppm"),
         )
     )
+
+
+def ams_f2_estimate(
+    df: DataFrame, key_col: str, k: int = 16
+) -> DataFrame:
+    """AMS (Alon–Matias–Szegedy) F₂ SECOND-MOMENT sketch: estimates
+    Σ count(key)² — the SELF-JOIN SIZE, the number a join planner wants
+    before joining a key with itself (and the classic skew indicator:
+    F₂ ≫ N²/ndv means hot keys). Each of ``k`` estimators draws a
+    deterministic ±1 sign per key from an md5 slice (s08's sign trick),
+    folds Z_j = Σ sign_j·count into ONE key-grain agg, and the estimate
+    is the mean of Z_j² — E[Z²] = F₂ exactly. Everything integer
+    (squares in DECIMAL(38,0) — a 100 TB Z² exceeds BIGINT; the a31
+    lesson), so estimate AND exact twin are oracle-exact — the fifth
+    sketch (CM frequency / HLL cardinality / KMV set ops / Bloom
+    membership / AMS join size).
+
+    One key-grain hash agg + one k-column fold to a single row.
+    Returns ONE row: (k, n_rows, n_keys, f2_exact, f2_est,
+    err_ppm) with err_ppm signed vs exact."""
+    if k < 1:
+        raise ValueError("ams_f2_estimate: k must be >= 1")
+    counts = df.groupBy(
+        F.col(key_col).cast("string").alias("_k")
+    ).agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    sign = lambda j: (  # noqa: E731
+        1
+        - 2
+        * (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit(f"ams{j}:"), F.col("_k")).cast(
+                            "binary"
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        )
+    )
+    aggs = [
+        F.sum(sign(j) * F.col("_n")).cast("long").alias(f"_z{j}")
+        for j in range(int(k))
+    ] + [
+        F.sum("_n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(F.expr("CAST(_n AS DECIMAL(38,0)) * _n")).alias("_f2"),
+    ]
+    row = counts.agg(*aggs)
+    zsq = " + ".join(
+        f"CAST(_z{j} AS DECIMAL(38,0)) * _z{j}" for j in range(int(k))
+    )
+    return row.select(
+        F.lit(int(k)).cast("long").alias("k"),
+        "n_rows",
+        "n_keys",
+        F.col("_f2").cast("long").alias("f2_exact"),
+        F.expr(f"({zsq}) div {int(k)}").cast("long").alias("f2_est"),
+        F.expr(
+            f"(CAST(1000000 AS DECIMAL(38,0)) * (({zsq}) div {int(k)})"
+            " - CAST(1000000 AS DECIMAL(38,0)) * _f2) div _f2"
+        )
+        .cast("long")
+        .alias("err_ppm"),
+    )

@@ -1098,3 +1098,68 @@ def local_extrema(hourly: DataFrame, key: str = "event_type") -> DataFrame:
         .otherwise("valley")
         .alias("kind"),
     )
+
+
+def capped_sessions(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    max_minutes: int = 120,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Sessionization with BOTH break rules real analytics tools apply
+    (the GA/Adobe convention): a session ends after ``gap_minutes`` of
+    inactivity OR when it has lasted ``max_minutes`` since ITS OWN
+    FIRST EVENT — the cap e03's gap-only windows can't express, because
+    whether an event starts a new session depends on where the current
+    session STARTED, which depends on every earlier break: a genuinely
+    sequential recurrence (the fc04/fc05 class), run as a per-user
+    Column aggregate fold over the (ts, id)-ordered event array; the
+    DuckDB twin is a recursive CTE over the per-user event index.
+
+    Per-user state is the user's event list — bounded by per-user
+    activity, the same contract as e03's per-user windows (a 100 TB
+    deployment shards pathological actors first). Returns one row per
+    session: (user, session_no, start_us, end_us, n_events), all
+    integer µs."""
+    gap_us = int(gap_minutes) * 60_000_000
+    cap_us = int(max_minutes) * 60_000_000
+    ev = events.select(
+        F.col(user_col).alias("_u"),
+        F.expr(f"unix_micros({ts_col})").alias("_t"),
+        F.col(id_col).alias("_id"),
+    )
+    arr = ev.groupBy("_u").agg(
+        F.sort_array(F.collect_list(F.struct("_t", "_id"))).alias("_a")
+    )
+    last = "element_at(acc, -1)"
+    new_sess = (
+        f"(e._t - {last}.end_us > {gap_us})"
+        f" OR (e._t - {last}.start_us > {cap_us})"
+    )
+    fold = F.expr(
+        "aggregate(_a,"
+        " CAST(array() AS"
+        "  array<struct<start_us:bigint,end_us:bigint,n:bigint>>),"
+        " (acc, e) -> CASE"
+        " WHEN size(acc) = 0 THEN"
+        "  array(named_struct('start_us', e._t, 'end_us', e._t,"
+        "                     'n', CAST(1 AS BIGINT)))"
+        f" WHEN {new_sess} THEN"
+        "  array_append(acc, named_struct('start_us', e._t,"
+        "    'end_us', e._t, 'n', CAST(1 AS BIGINT)))"
+        " ELSE concat(slice(acc, 1, size(acc) - 1),"
+        f"  array(named_struct('start_us', {last}.start_us,"
+        f"    'end_us', e._t, 'n', {last}.n + 1))) END)"
+    )
+    z = arr.select(
+        F.col("_u"), F.posexplode(fold).alias("_i", "_s")
+    )
+    return z.select(
+        F.col("_u").alias(user_col),
+        (F.col("_i") + 1).cast("long").alias("session_no"),
+        F.col("_s.start_us").cast("long").alias("start_us"),
+        F.col("_s.end_us").cast("long").alias("end_us"),
+        F.col("_s.n").cast("long").alias("n_events"),
+    )

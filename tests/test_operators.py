@@ -5233,3 +5233,67 @@ def test_fixed_point_sum_wide_accumulator(spark):
         ]["s"]
         == 2_000_000_000_000_000.0
     )
+
+
+def test_ams_f2_python_model(spark):
+    """r11: sk04 — replicate the md5 sign arithmetic in Python on a
+    skewed fixture; estimate and error must match the model exactly
+    (the estimator is deterministic, not sampled)."""
+    import hashlib
+
+    from learn_etl_data_warehouse_spark.operators.sketches import (
+        ams_f2_estimate,
+    )
+
+    rows = [(k,) for k in range(20) for _ in range(k + 1)]
+    df = spark.createDataFrame(rows, "key long")
+    counts = {str(k): k + 1 for k in range(20)}
+
+    def sign(j, key):
+        h = hashlib.md5(f"ams{j}:{key}".encode()).hexdigest()
+        return 1 - 2 * (int(h[:8], 16) % 2)
+
+    zs = [
+        sum(sign(j, k) * n for k, n in counts.items()) for j in range(16)
+    ]
+    f2 = sum(n * n for n in counts.values())
+    est = sum(z * z for z in zs) // 16
+    got = ams_f2_estimate(df, "key").collect()[0]
+    assert got["n_rows"] == sum(counts.values())
+    assert got["n_keys"] == 20
+    assert got["f2_exact"] == f2
+    assert got["f2_est"] == est
+    assert got["err_ppm"] == (1_000_000 * est - 1_000_000 * f2) // f2
+
+
+def test_capped_sessions_hand_traces(spark):
+    """r11: w10 — continuous 10-min-spaced activity splits at the
+    120-min cap even with no gap (the rule e03's gap-only windows
+    cannot express); a >30-min gap still breaks; ties ordered by id."""
+    import datetime as dt
+
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        capped_sessions,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + dt.timedelta(minutes=10 * i), i) for i in range(31)
+    ]  # user 1: 0..300 min, no gaps -> cap splits at >120
+    rows += [(2, t0, 100), (2, t0 + dt.timedelta(minutes=45), 101)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long"
+    )
+    got = {
+        (r["user_id"], r["session_no"]): (
+            r["n_events"],
+            (r["end_us"] - r["start_us"]) // 60_000_000,
+        )
+        for r in capped_sessions(ev).collect()
+    }
+    # user 1: [0..120] 13 events, [130..250] 13, [260..300] 5
+    assert got[(1, 1)] == (13, 120)
+    assert got[(1, 2)] == (13, 120)
+    assert got[(1, 3)] == (5, 40)
+    # user 2: 45-min gap breaks into two singleton sessions
+    assert got[(2, 1)] == (1, 0) and got[(2, 2)] == (1, 0)
