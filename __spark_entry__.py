@@ -5430,6 +5430,22 @@ def q_w10(spark, sf_dir):
     return capped_sessions(_t(spark, sf_dir, "events"))
 
 
+def q_fc06(spark, sf_dir):
+    """Holt–Winters additive smoothing (r11): level + trend + ADAPTIVE
+    24-slot seasonal state per event type, every weight 1/2 in integer
+    micro — the forecasting capstone (fc04 level, fc05 +trend, fc06
+    +seasonality that UPDATES, unlike e16/e29's static profile). All
+    halvings truncate identically cross-engine; the oracle is a
+    recursive CTE carrying the seasonal LIST
+    (operators/timeseries.py::holt_winters_smooth)."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        holt_winters_smooth,
+        hourly_counts,
+    )
+
+    return holt_winters_smooth(hourly_counts(_t(spark, sf_dir, "events")))
+
+
 def q_t34(spark, sf_dir):
     """Rule-based stemming report (r11): raw vs suffix-folded distinct
     vocabulary per document under the STEM_SUFFIXES chain (longest
@@ -5896,6 +5912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t34_stem_stats": q_t34,
         "sk04_ams_f2": q_sk04,
         "w10_capped_sessions": q_w10,
+        "fc06_holt_winters": q_fc06,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept last
         "e22_rolling_distinct_hll": q_e22,
@@ -10816,4 +10833,42 @@ SELECT u AS user_id, CAST(sess AS BIGINT) AS session_no,
        CAST(max(t) AS BIGINT) AS end_us,
        CAST(count(*) AS BIGINT) AS n_events
 FROM r GROUP BY 1, 2"""
+    # fc06 (r11): Holt–Winters — the fc04 grid recursion carrying the
+    # 24-slot seasonal LIST; every halving truncates (// == div on
+    # BIGINT). Level/update expressions composed once in Python and
+    # repeated (SQL can't reference a sibling alias).
+    _hw_sold = "r.s[(g.hr % 24) + 1]"
+    _hw_lvl = f"((g.x * 1000000 - {_hw_sold} + r.l + r.b) // 2)"
+    _hw_sup = f"((g.x * 1000000 - {_hw_lvl} + {_hw_sold}) // 2)"
+    out["fc06_holt_winters"] = f"""
+WITH RECURSIVE
+h0 AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+              CAST(count(*) AS BIGINT) AS x
+       FROM events GROUP BY 1, 2),
+bd AS (SELECT event_type, min(hr) AS mn, max(hr) AS mx FROM h0 GROUP BY 1),
+sp AS (SELECT bd.event_type, bd.mn + t.s AS hr, bd.mn AS mn
+       FROM bd, LATERAL (SELECT unnest(generate_series(
+                               0, CAST(bd.mx - bd.mn AS BIGINT))) AS s) t),
+g AS (SELECT sp.event_type, sp.hr, sp.hr - sp.mn AS idx,
+             coalesce(h0.x, 0) AS x
+      FROM sp LEFT JOIN h0 ON h0.event_type = sp.event_type
+                          AND h0.hr = sp.hr),
+r AS (SELECT event_type, hr, idx, x,
+             CAST(x * 1000000 AS BIGINT) AS l, CAST(0 AS BIGINT) AS b,
+             CAST(0 AS BIGINT) AS sup,
+             [CAST(0 AS BIGINT) FOR i IN range(0, 24)] AS s
+      FROM g WHERE idx = 0
+      UNION ALL
+      SELECT g.event_type, g.hr, g.idx, g.x,
+             CAST({_hw_lvl} AS BIGINT) AS l,
+             CAST(({_hw_lvl} - r.l + r.b) // 2 AS BIGINT) AS b,
+             CAST({_hw_sup} AS BIGINT) AS sup,
+             [CASE WHEN i = g.hr % 24 THEN CAST({_hw_sup} AS BIGINT)
+                   ELSE r.s[i + 1] END
+              FOR i IN range(0, 24)] AS s
+      FROM r JOIN g ON g.event_type = r.event_type
+                   AND g.idx = r.idx + 1)
+SELECT event_type, CAST(hr AS BIGINT) AS hr, CAST(x AS BIGINT) AS n,
+       l AS level_micro, b AS trend_micro, sup AS season_micro
+FROM r"""
     return out

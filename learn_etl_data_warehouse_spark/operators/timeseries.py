@@ -1163,3 +1163,82 @@ def capped_sessions(
         F.col("_s.end_us").cast("long").alias("end_us"),
         F.col("_s.n").cast("long").alias("n_events"),
     )
+
+
+def holt_winters_smooth(
+    hourly: DataFrame, key: str = "event_type", period: int = 24
+) -> DataFrame:
+    """HOLT–WINTERS ADDITIVE smoothing (level + trend + ``period``-slot
+    seasonal state) with every weight 1/2, in integer micro — the
+    forecasting family's capstone recursion (fc04 level, fc05
+    level+trend, fc06 adds the seasonal component e16/e29 estimate only
+    as a STATIC profile; here it ADAPTS):
+
+        l_t = ⌊(x_t·10⁶ − s_{t−1}[h] + l_{t−1} + b_{t−1}) / 2⌋
+        b_t = ⌊(l_t − l_{t−1} + b_{t−1}) / 2⌋
+        s_t[h] = ⌊(x_t·10⁶ − l_t + s_{t−1}[h]) / 2⌋   (h = hr mod period)
+
+    (l₀ = x₀·10⁶, b₀ = 0, s₀ ≡ 0; all divisions TRUNCATE — Spark div ≡
+    DuckDB BIGINT //, the fc05 probe). Genuinely sequential with an
+    ARRAY state, so the fold's accumulator is struct(history, s[]);
+    the seasonal slot updates via transform-with-index. The DuckDB twin
+    is a recursive CTE carrying the seasonal LIST, updated with a
+    range-comprehension. Per-key state = the calendar-bounded grid +
+    ``period`` longs.
+
+    Returns (key, hr, n, level_micro, trend_micro, season_micro) with
+    season_micro the UPDATED seasonal for the row's slot; the one-step
+    forecast for hour t+1 is level + trend + s[h_{t+1}].
+    """
+    p = int(period)
+    bounds = hourly.groupBy(key).agg(
+        F.min("hr").alias("_mn"), F.max("hr").alias("_mx")
+    )
+    spine = bounds.select(
+        key, F.explode(F.sequence(F.col("_mn"), F.col("_mx"))).alias("hr")
+    )
+    g = spine.join(hourly, [key, "hr"], "left").select(
+        key,
+        "hr",
+        F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x"),
+    )
+    arr = g.groupBy(key).agg(
+        F.sort_array(F.collect_list(F.struct("hr", "x"))).alias("_a")
+    )
+    hod = f"CAST(pmod(e.hr, {p}) AS INT)"
+    s_old = f"element_at(acc.s, {hod} + 1)"
+    prev_l = "element_at(acc.hist, -1).l"
+    prev_b = "element_at(acc.hist, -1).b"
+    xl = "e.x * CAST(1000000 AS BIGINT)"
+    lvl = f"(({xl} - {s_old} + {prev_l} + {prev_b}) div 2)"
+    trd = f"(({lvl} - {prev_l} + {prev_b}) div 2)"
+    sup = f"(({xl} - {lvl} + {s_old}) div 2)"
+    fold = F.expr(
+        "aggregate(_a,"
+        " named_struct("
+        "  'hist', CAST(array() AS"
+        "   array<struct<l:bigint,b:bigint,su:bigint>>),"
+        f"  's', array_repeat(CAST(0 AS BIGINT), {p})),"
+        " (acc, e) -> CASE WHEN size(acc.hist) = 0 THEN named_struct("
+        f"  'hist', array(named_struct('l', {xl},"
+        "    'b', CAST(0 AS BIGINT), 'su', CAST(0 AS BIGINT))),"
+        "  's', acc.s)"
+        " ELSE named_struct("
+        f"  'hist', array_append(acc.hist, named_struct('l', {lvl},"
+        f"    'b', {trd}, 'su', {sup})),"
+        f"  's', transform(acc.s, (v, i) -> IF(i = {hod}, {sup}, v)))"
+        " END,"
+        " acc -> acc.hist)"
+    )
+    z = arr.select(
+        key,
+        F.explode(F.arrays_zip(F.col("_a"), fold.alias("_h"))).alias("_z"),
+    )
+    return z.select(
+        key,
+        F.col("_z._a.hr").cast("long").alias("hr"),
+        F.col("_z._a.x").cast("long").alias("n"),
+        F.col("_z._h.l").cast("long").alias("level_micro"),
+        F.col("_z._h.b").cast("long").alias("trend_micro"),
+        F.col("_z._h.su").cast("long").alias("season_micro"),
+    )

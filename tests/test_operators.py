@@ -5297,3 +5297,43 @@ def test_capped_sessions_hand_traces(spark):
     assert got[(1, 3)] == (5, 40)
     # user 2: 45-min gap breaks into two singleton sessions
     assert got[(2, 1)] == (1, 0) and got[(2, 2)] == (1, 0)
+
+
+def test_holt_winters_python_recursion(spark):
+    """r11: fc06 — the coupled level/trend/seasonal recursion vs a
+    pure-Python model over 55 hours (every slot of a period=4 seasonal
+    updates >= 2x, so adaptation is exercised) including a declining
+    stretch (signed truncating halvings)."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        holt_winters_smooth,
+    )
+
+    xs = [(3 + (h % 4) * 2 + (7 if 20 <= h < 30 else 0)) for h in range(55)]
+    hourly = spark.createDataFrame(
+        [("k", h, x) for h, x in enumerate(xs)],
+        "event_type string, hr long, x long",
+    )
+
+    def tdiv2(v):
+        q = abs(v) // 2
+        return q if v >= 0 else -q
+
+    want = []
+    s = [0] * 4
+    l = b = None
+    for h, x in enumerate(xs):
+        hod = h % 4
+        if l is None:
+            l, b, sup = x * 1_000_000, 0, 0
+        else:
+            lp = l
+            l = tdiv2(x * 1_000_000 - s[hod] + lp + b)
+            b = tdiv2(l - lp + b)
+            sup = tdiv2(x * 1_000_000 - l + s[hod])
+            s[hod] = sup
+        want.append(("k", h, x, l, b, sup))
+    got = sorted(
+        map(tuple, holt_winters_smooth(hourly, period=4).collect()),
+        key=lambda t: t[1],
+    )
+    assert got == want
