@@ -5446,6 +5446,23 @@ def q_fc06(spark, sf_dir):
     return holt_winters_smooth(hourly_counts(_t(spark, sf_dir, "events")))
 
 
+def q_e33(spark, sf_dir):
+    """Holt–Winters residual anomalies (r11): each hour scored against
+    the ONE-STEP-AHEAD adaptive forecast (lagged level+trend + the
+    slot's previous post-update seasonal), flagged when |residual|
+    exceeds 3× the per-key median absolute residual — MODEL-BASED
+    anomaly detection, the production upgrade over e16's static
+    profile and e23's level shifts; pure composition of fc06 + two lag
+    windows + a calendar-bounded rank
+    (operators/timeseries.py::hw_residual_anomalies)."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        hourly_counts,
+        hw_residual_anomalies,
+    )
+
+    return hw_residual_anomalies(hourly_counts(_t(spark, sf_dir, "events")))
+
+
 def q_t34(spark, sf_dir):
     """Rule-based stemming report (r11): raw vs suffix-folded distinct
     vocabulary per document under the STEM_SUFFIXES chain (longest
@@ -5913,6 +5930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sk04_ams_f2": q_sk04,
         "w10_capped_sessions": q_w10,
         "fc06_holt_winters": q_fc06,
+        "e33_hw_anomalies": q_e33,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept last
         "e22_rolling_distinct_hll": q_e22,
@@ -10871,4 +10889,33 @@ r AS (SELECT event_type, hr, idx, x,
 SELECT event_type, CAST(hr AS BIGINT) AS hr, CAST(x AS BIGINT) AS n,
        l AS level_micro, b AS trend_micro, sup AS season_micro
 FROM r"""
+    # e33 (r11): HW residual anomalies — NESTS fc06's recursive SQL as
+    # a parenthesized subquery (the e32 pattern), adds the two lag
+    # windows, the signed residual, and the per-key lower nearest-rank
+    # median of |resid| over the calendar-bounded grid.
+    out["e33_hw_anomalies"] = f"""
+WITH hw AS (SELECT * FROM ({out["fc06_holt_winters"]})),
+f AS (SELECT event_type, hr, n,
+             lag(level_micro) OVER wg + lag(trend_micro) OVER wg
+             + coalesce(lag(season_micro) OVER ws, 0) AS forecast_micro
+      FROM hw
+      WINDOW wg AS (PARTITION BY event_type ORDER BY hr),
+             ws AS (PARTITION BY event_type, hr % 24 ORDER BY hr)),
+s AS (SELECT *, n * 1000000 - forecast_micro AS resid_micro FROM f),
+rk AS (SELECT event_type, abs(resid_micro) AS ar,
+              row_number() OVER (PARTITION BY event_type
+                                 ORDER BY abs(resid_micro)) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS nk
+       FROM s WHERE forecast_micro IS NOT NULL),
+md AS (SELECT event_type, CAST(ar AS BIGINT) AS mar
+       FROM rk WHERE rn = (nk + 1) // 2)
+SELECT s.event_type, CAST(s.hr AS BIGINT) AS hr, CAST(s.n AS BIGINT) AS n,
+       CAST(s.forecast_micro AS BIGINT) AS forecast_micro,
+       CAST(s.resid_micro AS BIGINT) AS resid_micro,
+       CAST(coalesce(md.mar, 0) AS BIGINT) AS mar_micro,
+       CAST(CASE WHEN s.forecast_micro IS NOT NULL
+                      AND coalesce(md.mar, 0) > 0
+                      AND abs(s.resid_micro) > 3 * coalesce(md.mar, 0)
+            THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+FROM s LEFT JOIN md ON md.event_type = s.event_type"""
     return out

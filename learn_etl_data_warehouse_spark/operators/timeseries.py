@@ -1242,3 +1242,94 @@ def holt_winters_smooth(
         F.col("_z._h.b").cast("long").alias("trend_micro"),
         F.col("_z._h.su").cast("long").alias("season_micro"),
     )
+
+
+def hw_residual_anomalies(
+    hourly: DataFrame,
+    key: str = "event_type",
+    period: int = 24,
+    k_mar: int = 3,
+) -> DataFrame:
+    """MODEL-BASED anomaly detection: each hour scored against the
+    ONE-STEP-AHEAD Holt–Winters forecast — the production upgrade over
+    e16 (static profile vs mean) and e23 (level shifts): an adaptive
+    model absorbs trend and drifting seasonality, so only genuine
+    surprises flag. Composition, not a new kernel:
+
+    - forecast_t = l_{t−1} + b_{t−1} + s_old[h_t], where l/b lag one
+      grid row and s_old is the PREVIOUS occurrence's updated seasonal
+      (a lag over the (key, slot) partition — fc06 emits the
+      post-update value, and slot h's pre-update state at hour t IS
+      its post-update state at the slot's previous occurrence);
+    - resid_t = x_t·10⁶ − forecast_t (the first grid hour has no
+      forecast and never flags);
+    - threshold = k_mar · (per-key lower nearest-rank median of
+      |resid|) — median ABSOLUTE residual, non-negative by
+      construction so no signed-bucket machinery is needed; the
+      per-key rank window runs over the CALENDAR-BOUNDED grid (the
+      e18/fc01 contract), never data-proportional rows.
+
+    Returns (key, hr, n, forecast_micro, resid_micro, mar_micro,
+    is_anomaly ∈ {0,1}); flag = |resid| > k·mar, mar > 0 (a key whose
+    residuals are majority-zero never flags — the st06 degeneracy
+    convention).
+    """
+    hw = holt_winters_smooth(hourly, key, period)
+    w_grid = Window.partitionBy(key).orderBy("hr")
+    w_slot = Window.partitionBy(
+        key, F.pmod(F.col("hr"), F.lit(int(period)))
+    ).orderBy("hr")
+    scored = hw.select(
+        key,
+        "hr",
+        "n",
+        (
+            F.lag("level_micro").over(w_grid)
+            + F.lag("trend_micro").over(w_grid)
+            + F.coalesce(
+                F.lag("season_micro").over(w_slot), F.lit(0)
+            )
+        ).alias("forecast_micro"),
+    ).withColumn(
+        "resid_micro",
+        F.col("n") * F.lit(1_000_000) - F.col("forecast_micro"),
+    )
+    ranked = scored.filter(F.col("forecast_micro").isNotNull()).select(
+        key,
+        F.abs(F.col("resid_micro")).alias("_ar"),
+    )
+    w_rank = Window.partitionBy(key).orderBy("_ar")
+    # lower nearest-rank median of |resid| per key: rank the
+    # calendar-bounded frame, pick rank (n+1) div 2 via a count join
+    counts = ranked.groupBy(key).agg(F.count(F.lit(1)).alias("_nk"))
+    med = (
+        ranked.withColumn("_rn", F.row_number().over(w_rank))
+        .join(counts, key)
+        .filter(F.col("_rn") == F.expr("(_nk + 1) div 2"))
+        .select(key, F.col("_ar").alias("mar_micro"))
+    )
+    return (
+        scored.join(med, key, "left")
+        .select(
+            key,
+            "hr",
+            "n",
+            "forecast_micro",
+            "resid_micro",
+            F.coalesce("mar_micro", F.lit(0)).cast("long").alias(
+                "mar_micro"
+            ),
+            F.when(
+                F.col("forecast_micro").isNotNull()
+                & (F.coalesce("mar_micro", F.lit(0)) > 0)
+                & (
+                    F.abs(F.col("resid_micro"))
+                    > F.lit(int(k_mar)) * F.coalesce("mar_micro", F.lit(0))
+                ),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("is_anomaly"),
+        )
+    )

@@ -5337,3 +5337,64 @@ def test_holt_winters_python_recursion(spark):
         key=lambda t: t[1],
     )
     assert got == want
+
+
+def test_hw_residual_anomalies_python_model(spark):
+    """r11: e33 — one injected spike on a steady seasonal series: the
+    full Python twin (HW recursion + one-step forecasts + median
+    absolute residual) must agree row-for-row, and the spike hour must
+    flag while steady hours do not."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        hw_residual_anomalies,
+    )
+
+    xs = [3 + (h % 24) % 4 for h in range(72)]
+    xs[50] += 40  # the spike
+    hourly = spark.createDataFrame(
+        [("k", h, x) for h, x in enumerate(xs)],
+        "event_type string, hr long, x long",
+    )
+
+    def tdiv2(v):
+        q = abs(v) // 2
+        return q if v >= 0 else -q
+
+    s = [0] * 24
+    l = b = None
+    hist = []
+    for h, x in enumerate(xs):
+        hod = h % 24
+        s_old = s[hod]
+        if l is None:
+            l, b, sup = x * 1_000_000, 0, 0
+        else:
+            lp = l
+            l = tdiv2(x * 1_000_000 - s_old + lp + b)
+            b = tdiv2(l - lp + b)
+            sup = tdiv2(x * 1_000_000 - l + s_old)
+            s[hod] = sup
+        hist.append((l, b, sup))
+    fore, resid = {}, {}
+    slot_last: dict = {}
+    for h, x in enumerate(xs):
+        if h > 0:
+            pl, pb, _ = hist[h - 1]
+            fore[h] = pl + pb + slot_last.get(h % 24, 0)
+            resid[h] = x * 1_000_000 - fore[h]
+        slot_last[h % 24] = hist[h][2]
+    ars = sorted(abs(r) for r in resid.values())
+    mar = ars[(len(ars) + 1) // 2 - 1]
+    got = {r["hr"]: r for r in hw_residual_anomalies(hourly).collect()}
+    assert len(got) == 72
+    for h in range(72):
+        r = got[h]
+        if h == 0:
+            assert r["forecast_micro"] is None and r["is_anomaly"] == 0
+        else:
+            assert r["forecast_micro"] == fore[h], h
+            assert r["resid_micro"] == resid[h], h
+            assert r["mar_micro"] == mar
+            want_flag = 1 if (mar > 0 and abs(resid[h]) > 3 * mar) else 0
+            assert r["is_anomaly"] == want_flag, h
+    assert got[50]["is_anomaly"] == 1
+    assert sum(r["is_anomaly"] for r in got.values()) <= 6  # spike + echoes
