@@ -5463,6 +5463,49 @@ def q_e33(spark, sf_dir):
     return hw_residual_anomalies(hourly_counts(_t(spark, sf_dir, "events")))
 
 
+def q_pm05(spark, sf_dir):
+    """Process rework metrics (r11): per activity, how many actors
+    re-execute it (rework) and how often it immediately repeats
+    (self-loops) — the waste signal completing the pm family (pm01
+    can-follow, pm02 waits-where, pm03 happens, pm04 conforms, pm05
+    repeats). One (actor, activity) agg + one trace window; output
+    bounded by the activity alphabet
+    (operators/process_mining.py::rework_metrics)."""
+    from learn_etl_data_warehouse_spark.operators.process_mining import (
+        rework_metrics,
+    )
+
+    return rework_metrics(_t(spark, sf_dir, "events"))
+
+
+def q_a33(spark, sf_dir):
+    """Mix-shift revenue decomposition (r11): the 1997→1998 per-nation
+    revenue bridge split into a VOLUME effect (order-count change at
+    the prior per-order rate) and a RATE effect defined as the exact
+    remainder — per-segment conservation volume + rate = delta holds by
+    construction, so the bridge sums to the total (the BI
+    "why did revenue move" artifact)
+    (operators/product_analytics.py::mix_shift_decomposition)."""
+    from learn_etl_data_warehouse_spark.operators.product_analytics import (
+        mix_shift_decomposition,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    units = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .filter(F.expr("year(o_orderdate) IN (1997, 1998)"))
+        .select(
+            F.col("c_nationkey").alias("dim"),
+            F.expr("year(o_orderdate)").cast("int").alias("period"),
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+    )
+    return mix_shift_decomposition(units, prior=1997, current=1998)
+
+
 def q_t34(spark, sf_dir):
     """Rule-based stemming report (r11): raw vs suffix-folded distinct
     vocabulary per document under the STEM_SUFFIXES chain (longest
@@ -5931,6 +5974,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w10_capped_sessions": q_w10,
         "fc06_holt_winters": q_fc06,
         "e33_hw_anomalies": q_e33,
+        "pm05_rework_metrics": q_pm05,
+        "a33_mix_shift": q_a33,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept last
         "e22_rolling_distinct_hll": q_e22,
@@ -10918,4 +10963,56 @@ SELECT s.event_type, CAST(s.hr AS BIGINT) AS hr, CAST(s.n AS BIGINT) AS n,
                       AND abs(s.resid_micro) > 3 * coalesce(md.mar, 0)
             THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
 FROM s LEFT JOIN md ON md.event_type = s.event_type"""
+    # pm05 (r11): rework — (actor, activity) multiplicities + the
+    # trace-window self-loop count under the pm-family total order.
+    out["pm05_rework_metrics"] = """
+WITH per AS (SELECT user_id, event_type AS t, count(*) AS n
+             FROM events GROUP BY 1, 2),
+base AS (SELECT t AS activity,
+                CAST(sum(n) AS BIGINT) AS n_occurrences,
+                CAST(count(*) AS BIGINT) AS n_actors,
+                CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_actors_rework
+         FROM per GROUP BY 1),
+mv AS (SELECT event_type AS t,
+              lead(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS nxt
+       FROM events),
+lp AS (SELECT t AS activity, CAST(count(*) AS BIGINT) AS n_self_loops
+       FROM mv WHERE nxt = t GROUP BY 1)
+SELECT base.activity, base.n_occurrences, base.n_actors,
+       base.n_actors_rework,
+       CAST((1000000 * base.n_actors_rework) // base.n_actors AS BIGINT)
+         AS rework_ppm,
+       CAST(coalesce(lp.n_self_loops, 0) AS BIGINT) AS n_self_loops
+FROM base LEFT JOIN lp ON lp.activity = base.activity"""
+    # a33 (r11): mix-shift bridge — rate effect is the exact remainder,
+    # so volume + rate = delta by construction on both engines.
+    out["a33_mix_shift"] = """
+WITH u AS (SELECT c.c_nationkey AS dim,
+                  EXTRACT(year FROM o.o_orderdate) AS period,
+                  CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+           WHERE EXTRACT(year FROM o.o_orderdate) IN (1997, 1998)),
+g AS (SELECT dim,
+             CAST(coalesce(sum(CASE WHEN period = 1997 THEN 1 END), 0)
+                  AS BIGINT) AS n_prior,
+             CAST(coalesce(sum(CASE WHEN period = 1998 THEN 1 END), 0)
+                  AS BIGINT) AS n_current,
+             CAST(coalesce(sum(CASE WHEN period = 1997 THEN cents END), 0)
+                  AS BIGINT) AS rev_prior,
+             CAST(coalesce(sum(CASE WHEN period = 1998 THEN cents END), 0)
+                  AS BIGINT) AS rev_current
+      FROM u GROUP BY 1)
+SELECT dim, n_prior, n_current, rev_prior, rev_current,
+       CAST(rev_current - rev_prior AS BIGINT) AS delta,
+       CAST((n_current - n_prior) *
+            (CASE WHEN n_prior = 0 THEN 0
+                  ELSE rev_prior // n_prior END) AS BIGINT)
+         AS volume_effect,
+       CAST((rev_current - rev_prior) - (n_current - n_prior) *
+            (CASE WHEN n_prior = 0 THEN 0
+                  ELSE rev_prior // n_prior END) AS BIGINT)
+         AS rate_effect
+FROM g"""
     return out

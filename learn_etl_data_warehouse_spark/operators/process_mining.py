@@ -273,3 +273,60 @@ def conformance_fitness(
             .alias("fitness_ppm"),
         )
     )
+
+
+def rework_metrics(
+    events: DataFrame,
+    actor_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """REWORK metrics per activity — the process-mining waste signal
+    (pm01 can-follow, pm02 waits-where, pm03 what-happens, pm04
+    conforms?, pm05 what REPEATS): an actor re-executing an activity
+    is rework; an immediate a→a move is a self-loop (the tightest
+    rework). One (actor, activity) hash agg + pm01's trace window for
+    the self-loop count; output bounded by the activity alphabet.
+
+    Returns per activity: (activity, n_occurrences, n_actors,
+    n_actors_rework, rework_ppm, n_self_loops) with rework_ppm =
+    10⁶·n_actors_rework div n_actors."""
+    ev = events.select(
+        F.col(actor_col).alias("_u"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+        F.col(type_col).alias("_t"),
+    )
+    per = ev.groupBy("_u", "_t").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    base = per.groupBy(F.col("_t").alias("activity")).agg(
+        F.sum("_n").cast("long").alias("n_occurrences"),
+        F.count(F.lit(1)).cast("long").alias("n_actors"),
+        F.sum((F.col("_n") >= 2).cast("long")).cast("long").alias(
+            "n_actors_rework"
+        ),
+    )
+    trace = Window.partitionBy("_u").orderBy("_ts", "_id")
+    loops = (
+        ev.withColumn("_nxt", F.lead("_t").over(trace))
+        .filter(F.col("_nxt") == F.col("_t"))
+        .groupBy(F.col("_t").alias("activity"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_self_loops"))
+    )
+    return (
+        base.join(loops, "activity", "left")
+        .select(
+            "activity",
+            "n_occurrences",
+            "n_actors",
+            "n_actors_rework",
+            F.expr("(1000000 * n_actors_rework) div n_actors")
+            .cast("long")
+            .alias("rework_ppm"),
+            F.coalesce("n_self_loops", F.lit(0)).cast("long").alias(
+                "n_self_loops"
+            ),
+        )
+    )

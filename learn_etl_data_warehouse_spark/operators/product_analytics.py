@@ -476,3 +476,71 @@ def decile_lift(units: DataFrame, cents_col: str = "cents") -> DataFrame:
         .cast("long")
         .alias("lift_ppm"),
     )
+
+
+def mix_shift_decomposition(
+    units: DataFrame,
+    dim_col: str = "dim",
+    period_col: str = "period",
+    cents_col: str = "cents",
+    prior: str | int = 0,
+    current: str | int = 1,
+) -> DataFrame:
+    """PERIOD-OVER-PERIOD revenue decomposition per segment — the BI
+    "why did revenue move" bridge: for each dimension value, the delta
+    between ``prior`` and ``current`` splits into a VOLUME effect
+    (unit-count change at the prior per-unit rate) and a RATE effect
+    (defined as the exact remainder, so per-segment conservation
+    volume + rate = delta holds by CONSTRUCTION — no float allocation
+    drift, and Σ segments = the total bridge). rate_prior is the
+    truncating per-unit cents rate; segments present in only one
+    period decompose with rate_prior = 0 (pure volume on entry, pure
+    rate on exit is avoided by the remainder definition — the exit
+    case books the loss in volume at the prior rate and the remainder
+    in rate).
+
+    One (dim, period) hash agg + one pivot-shaped self-join on dim.
+    Returns (dim, n_prior, n_current, rev_prior, rev_current, delta,
+    volume_effect, rate_effect)."""
+    g = (
+        units.filter(F.col(period_col).isin([prior, current]))
+        .groupBy(
+            F.col(dim_col).alias("dim"),
+            F.when(F.col(period_col) == prior, F.lit("p"))
+            .otherwise(F.lit("c"))
+            .alias("_w"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum(F.col(cents_col)).cast("long").alias("_rev"),
+        )
+    )
+    wide = g.groupBy("dim").agg(
+        F.coalesce(
+            F.max(F.when(F.col("_w") == "p", F.col("_n"))), F.lit(0)
+        ).alias("n_prior"),
+        F.coalesce(
+            F.max(F.when(F.col("_w") == "c", F.col("_n"))), F.lit(0)
+        ).alias("n_current"),
+        F.coalesce(
+            F.max(F.when(F.col("_w") == "p", F.col("_rev"))), F.lit(0)
+        ).alias("rev_prior"),
+        F.coalesce(
+            F.max(F.when(F.col("_w") == "c", F.col("_rev"))), F.lit(0)
+        ).alias("rev_current"),
+    )
+    rate_p = F.expr(
+        "CASE WHEN n_prior = 0 THEN 0 ELSE rev_prior div n_prior END"
+    )
+    vol = ((F.col("n_current") - F.col("n_prior")) * rate_p).cast("long")
+    delta = (F.col("rev_current") - F.col("rev_prior")).cast("long")
+    return wide.select(
+        "dim",
+        F.col("n_prior").cast("long").alias("n_prior"),
+        F.col("n_current").cast("long").alias("n_current"),
+        F.col("rev_prior").cast("long").alias("rev_prior"),
+        F.col("rev_current").cast("long").alias("rev_current"),
+        delta.alias("delta"),
+        vol.alias("volume_effect"),
+        (delta - vol).cast("long").alias("rate_effect"),
+    )

@@ -5398,3 +5398,69 @@ def test_hw_residual_anomalies_python_model(spark):
             assert r["is_anomaly"] == want_flag, h
     assert got[50]["is_anomaly"] == 1
     assert sum(r["is_anomaly"] for r in got.values()) <= 6  # spike + echoes
+
+
+def test_rework_metrics_hand_trace(spark):
+    """r11: pm05 — actor 1 reworks 'view' (non-consecutive repeat),
+    actor 2 self-loops 'click' (consecutive); singles never count."""
+    import datetime as dt
+
+    from learn_etl_data_warehouse_spark.operators.process_mining import (
+        rework_metrics,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "view"), (1, t0.replace(minute=1), 2, "click"),
+        (1, t0.replace(minute=2), 3, "view"),
+        (2, t0, 4, "click"), (2, t0.replace(minute=1), 5, "click"),
+        (3, t0, 6, "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    got = {
+        r["activity"]: (
+            r["n_occurrences"], r["n_actors"], r["n_actors_rework"],
+            r["rework_ppm"], r["n_self_loops"],
+        )
+        for r in rework_metrics(ev).collect()
+    }
+    assert got == {
+        "view": (3, 2, 1, 500_000, 0),
+        "click": (3, 2, 1, 500_000, 1),
+    }
+
+
+def test_mix_shift_conservation_and_hand_model(spark):
+    """r11: a33 — per-segment volume + rate = delta EXACTLY; entry/exit
+    segments decompose; hand arithmetic pinned."""
+    from learn_etl_data_warehouse_spark.operators.product_analytics import (
+        mix_shift_decomposition,
+    )
+
+    rows = (
+        [("a", 0, 100)] * 4 + [("a", 1, 150)] * 6
+        + [("b", 0, 200)] * 2            # exits
+        + [("c", 1, 300)] * 3            # enters
+    )
+    units = spark.createDataFrame(rows, "dim string, period int, cents long")
+    got = {r["dim"]: r for r in mix_shift_decomposition(units).collect()}
+    for r in got.values():
+        assert r["volume_effect"] + r["rate_effect"] == r["delta"]
+    a = got["a"]  # rate_prior = 400//4 = 100; vol = (6-4)*100 = 200
+    assert (a["delta"], a["volume_effect"], a["rate_effect"]) == (
+        500, 200, 300
+    )
+    b = got["b"]  # exit: vol = (0-2)*200 = -400, rate remainder 0
+    assert (b["delta"], b["volume_effect"], b["rate_effect"]) == (
+        -400, -400, 0
+    )
+    c = got["c"]  # entry: rate_prior 0 -> all delta books as rate
+    assert (c["delta"], c["volume_effect"], c["rate_effect"]) == (
+        900, 0, 900
+    )
+    # the bridge sums to the total delta
+    assert sum(r["delta"] for r in got.values()) == (
+        sum(r["volume_effect"] + r["rate_effect"] for r in got.values())
+    )
