@@ -5463,6 +5463,21 @@ def q_e33(spark, sf_dir):
     return hw_residual_anomalies(hourly_counts(_t(spark, sf_dir, "events")))
 
 
+def q_ml08(spark, sf_dir):
+    """Centroid-margin cluster quality (r11): per label, the misfit
+    count (vectors more similar to ANOTHER label's fixed-point
+    centroid) and the undivided signed margin mass, in exact micro
+    (round-6 cosines lifted ×10⁶ — the s02/ml01 cross-engine-equal
+    precedent) — the simplified-silhouette quality number next to
+    ml01's confusion matrix
+    (operators/similarity.py::centroid_margin_quality)."""
+    from learn_etl_data_warehouse_spark.operators.similarity import (
+        centroid_margin_quality,
+    )
+
+    return centroid_margin_quality(_t(spark, sf_dir, "embeddings"))
+
+
 def q_pm05(spark, sf_dir):
     """Process rework metrics (r11): per activity, how many actors
     re-execute it (rework) and how often it immediately repeats
@@ -5976,6 +5991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e33_hw_anomalies": q_e33,
         "pm05_rework_metrics": q_pm05,
         "a33_mix_shift": q_a33,
+        "ml08_centroid_margin": q_ml08,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept last
         "e22_rolling_distinct_hll": q_e22,
@@ -11015,4 +11031,30 @@ SELECT dim, n_prior, n_current, rev_prior, rev_current,
                   ELSE rev_prior // n_prior END) AS BIGINT)
          AS rate_effect
 FROM g"""
+    # ml08 (r11): centroid margin — ml01's centroid/scoring CTEs, the
+    # round-6 cosine lifted to integer micro, own-vs-best-other pivot.
+    out["ml08_centroid_margin"] = f"""
+WITH cent AS (
+  SELECT label AS cl, pos, {_cmean} AS c
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos) t
+  GROUP BY label, pos),
+cv AS (SELECT cl, list(c ORDER BY pos) AS v FROM cent GROUP BY 1),
+e AS (SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings),
+s AS (SELECT e.vec_id, CAST(e.label AS BIGINT) AS tl, cv.cl,
+             CAST(round(({_COS.format(a='ev', b='v')}) * 1000000)
+                  AS BIGINT) AS m
+      FROM e, cv),
+per AS (SELECT vec_id, tl,
+               max(CASE WHEN CAST(cl AS BIGINT) = tl THEN m END) AS own,
+               max(CASE WHEN CAST(cl AS BIGINT) <> tl THEN m END)
+                 AS other
+        FROM s GROUP BY 1, 2)
+SELECT tl AS label, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN own - other < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_misfit,
+       CAST((1000000 * sum(CASE WHEN own - other < 0 THEN 1 ELSE 0 END))
+            // count(*) AS BIGINT) AS misfit_ppm,
+       CAST(sum(own - other) AS BIGINT) AS sum_margin_micro
+FROM per GROUP BY 1"""
     return out

@@ -1446,3 +1446,83 @@ def core_density(
             .alias("is_core"),
         )
     )
+
+
+def centroid_margin_quality(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """CLUSTER-QUALITY audit via the centroid margin — the simplified-
+    silhouette idea in the repo's exact-integer form: per vector,
+    margin = cos(v, own-label centroid) − max over OTHER labels of
+    cos(v, centroid), both as round-6 cosines lifted to integer micro
+    (the s02/ml01 precedent: round-6 cosines are cross-engine equal, so
+    their micro lift is exact). A NEGATIVE margin means the point sits
+    closer to another label's centroid — the misfit ml01's confusion
+    matrix counts as a miss, here quantified per label with the margin
+    mass kept UNDIVIDED (signed sums never divide — the fc02 bias
+    discipline).
+
+    Same plan as ml01: fixed-point centroids (one tiny agg, broadcast),
+    map-side scoring, one label-grain agg. Returns per label: (label,
+    n, n_misfit, misfit_ppm, sum_margin_micro)."""
+    from learn_etl_data_warehouse_spark.functions.aggregates import (
+        fixed_point_avg,
+    )
+
+    ex = df.select(
+        F.col(label_col).alias("_cl"), F.posexplode(vec_col).alias("_p", "_v")
+    )
+    cent_long = ex.groupBy("_cl", "_p").agg(
+        fixed_point_avg(F.col("_v").cast("double"), 1_000_000, 6).alias("_c")
+    )
+    cents = cent_long.groupBy("_cl").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_p", "_c"))),
+            lambda s: s["_c"],
+        ).alias("_cv")
+    )
+    sim_micro = F.round(
+        F.round(cosine_similarity(F.col(vec_col), F.col("_cv")), 6)
+        * 1_000_000
+    ).cast("long")
+    scored = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(label_col).cast("long").alias("_true"),
+            F.col(vec_col).alias(vec_col),
+        )
+        .crossJoin(F.broadcast(cents))
+        .select("_id", "_true", "_cl", sim_micro.alias("_m"))
+    )
+    per = scored.groupBy("_id", "_true").agg(
+        F.max(
+            F.when(F.col("_cl").cast("long") == F.col("_true"), F.col("_m"))
+        ).alias("_own"),
+        F.max(
+            F.when(F.col("_cl").cast("long") != F.col("_true"), F.col("_m"))
+        ).alias("_other"),
+    )
+    margin = (F.col("_own") - F.col("_other")).cast("long")
+    return (
+        per.select(F.col("_true").alias("label"), margin.alias("_mg"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum((F.col("_mg") < 0).cast("long")).cast("long").alias(
+                "n_misfit"
+            ),
+            F.sum("_mg").cast("long").alias("sum_margin_micro"),
+        )
+        .select(
+            "label",
+            "n",
+            "n_misfit",
+            F.expr("(1000000 * n_misfit) div n").cast("long").alias(
+                "misfit_ppm"
+            ),
+            "sum_margin_micro",
+        )
+    )

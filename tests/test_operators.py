@@ -5464,3 +5464,26 @@ def test_mix_shift_conservation_and_hand_model(spark):
     assert sum(r["delta"] for r in got.values()) == (
         sum(r["volume_effect"] + r["rate_effect"] for r in got.values())
     )
+
+
+def test_centroid_margin_quality_hand_vectors(spark):
+    """r11: ml08 — two tight clusters + one planted misfit (a label-0
+    vector sitting on cluster 1): the misfit flags with a negative
+    margin; clean points carry positive margins."""
+    from learn_etl_data_warehouse_spark.operators.similarity import (
+        centroid_margin_quality,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], 0), (2, [0.99, 0.01], 0),
+        (3, [0.0, 1.0], 1), (4, [0.01, 0.99], 1),
+        (5, [0.0, 1.0], 0),  # mislabeled: sits on cluster 1
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {r["label"]: r for r in centroid_margin_quality(emb).collect()}
+    assert got[1]["n"] == 2 and got[1]["n_misfit"] == 0
+    assert got[1]["sum_margin_micro"] > 0
+    assert got[0]["n"] == 3 and got[0]["n_misfit"] == 1
+    assert got[0]["misfit_ppm"] == 333_333
