@@ -5694,14 +5694,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scalar-only AND oracle-backed (pinned by
         # tests/test_driver_window.py) and sf0.01+sf0.1-swept in the
         # round it rotates in.
-        # r11 rotation (derived with never_checked.py on the 50/50-green
-        # CORRECTNESS_r10): the 22 r10 newborns earn their first driver
-        # rows + the 24 stalest banked rows (set03 r5; the rest r6-era
-        # graph/fp/pf/ivm/ml/selection families) + 4 cores. The whole
-        # r10-green cohort moves behind the window (freshest evidence).
-        # r12 provisional window: the r11 newborns + 4 cores + the then-
-        # stalest banked rows (re-derive with never_checked.py).
-        # -- r10 newborns, first driver rows (22) ------------------------
+        # r12 rotation (derived with never_checked.py on the 50/50-green
+        # CORRECTNESS_r11): the 19 r11 newborns earn their first driver
+        # rows + the 27 stalest banked rows (all r6-era: text/ml/graph/
+        # process families + the d11-d16/s07/s08 block) + 4 cores. The
+        # whole r11-green cohort moves behind the window (freshest
+        # evidence).
+        # r13 provisional window: the r12 newborns + 4 cores + the then-
+        # stalest banked rows (re-derive with never_checked.py; the r7-era
+        # d18-d22/e09/a15... cohort is the front of that queue).
+        # -- r11 newborns, first driver rows (19) ------------------------
+        "st07_bootstrap_ci": q_st07,
+        "pm04_conformance_fitness": q_pm04,
+        "knn04_core_density": q_knn04,
+        "sk03_bloom_membership_audit": q_sk03,
+        "fc05_holt_linear": q_fc05,
+        "ops03_fifo_allocation": q_ops03,
+        "t33_ngram_novelty": q_t33,
+        "d38_lsh_band_scurve": q_d38,
+        "pf12_relationship_discovery": q_pf12,
+        "w09_local_extrema": q_w09,
+        "a31_decile_lift": q_a31,
+        "t34_stem_stats": q_t34,
+        "sk04_ams_f2": q_sk04,
+        "w10_capped_sessions": q_w10,
+        "fc06_holt_winters": q_fc06,
+        "e33_hw_anomalies": q_e33,
+        "pm05_rework_metrics": q_pm05,
+        "a33_mix_shift": q_a33,
+        "ml08_centroid_margin": q_ml08,
+        # -- stalest banked rows promoted (27, all r6-era rows) -----------
+        "t16_fuzzy_decontamination": q_t16,
+        "t19_lm_doc_score": q_t19,
+        "t25_bigram_kneser_ney": q_t25,
+        "t28_bm25_ranking": q_t28,
+        "ml03_threshold_metrics": q_ml03,
+        "pf09_categorical_profile": q_pf09,
+        "g13_ktruss_edges": q_g13,
+        "d31_dataset_card": q_d31,
+        "r09_nearest_point": q_r09,
+        "e12_multitouch_credit": q_e12,
+        "d28_exact_stratified_split": q_d28,
+        "pm01_footprint_matrix": q_pm01,
+        "t08_decontamination": q_t08,
+        "t09_repetition_metrics": q_t09,
+        "t10_tfidf_top_terms": q_t10,
+        "t11_pii_scrub": q_t11,
+        "t12_c4_filters": q_t12,
+        "e06_attribution_pairs": q_e06,
+        "e07_rollup_merge": q_e07,
+        "d11_hash_ranked_sample": q_d11,
+        "d12_incremental_dedup": q_d12,
+        "d13_edit_distance_pairs": q_d13,
+        "d14_shuffle_shards": q_d14,
+        "d15_domain_mix": q_d15,
+        "d16_corpus_build": q_d16,
+        "s07_quantize_int8": q_s07,
+        "s08_random_projection": q_s08,
+        # -- continuously-verified cores (4) ----------------------------
+        "d01_dedup_exact": q_d01,
+        "d02_ngram_jaccard_pairs": q_d02,
+        "e01_tumbling_window": q_e01,
+        "f01_event_funnel": q_f01,
+        # ================= position 51+: outside driver window ==========
+        # r11-green cohort (freshest evidence) moved behind the window.
         "st05_rank_sum_test": q_st05,
         "st06_mad_outliers": q_st06,
         "sk01_hll_ndv": q_sk01,
@@ -5724,7 +5780,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e29_seasonal_decomposition": q_e29,
         "ml06_stump_cross_validation": q_ml06,
         "fc03_intermittent_demand": q_fc03,
-        # -- stalest banked rows promoted (24: set03 r5, rest r6) ---------
         "set03_intersect": q_set03,
         "g02_part_pagerank": q_g02,
         "g04_kcore": q_g04,
@@ -5749,13 +5804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a28_histogram_percentiles": q_a28,
         "a29_exact_percentiles_selection": q_a29,
         "t14_vocab_build": q_t14,
-        # -- continuously-verified cores (4) ----------------------------
-        "d01_dedup_exact": q_d01,
-        "d02_ngram_jaccard_pairs": q_d02,
-        "e01_tumbling_window": q_e01,
-        "f01_event_funnel": q_f01,
-        # ================= position 51+: outside driver window ==========
-        # r10-green cohort (freshest evidence) moved behind the window.
+        # r10-green cohort.
         "d34_maximal_repeat_scrub": q_d34,
         "st03_jackknife_months": q_st03,
         "fc02_forecast_backtest": q_fc02,
@@ -5944,54 +5993,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a23_gini_concentration": q_a23,
         "pf03_ks_drift": q_pf03,
         "a24_cube_aggregate": q_a24,
-        "t16_fuzzy_decontamination": q_t16,
-        "t19_lm_doc_score": q_t19,
-        "t25_bigram_kneser_ney": q_t25,
-        "t28_bm25_ranking": q_t28,
-        "ml03_threshold_metrics": q_ml03,
-        "pf09_categorical_profile": q_pf09,
-        "g13_ktruss_edges": q_g13,
-        "d31_dataset_card": q_d31,
-        "r09_nearest_point": q_r09,
-        "e12_multitouch_credit": q_e12,
-        "d28_exact_stratified_split": q_d28,
-        "pm01_footprint_matrix": q_pm01,
-        "t08_decontamination": q_t08,
-        "t09_repetition_metrics": q_t09,
-        "t10_tfidf_top_terms": q_t10,
-        "t11_pii_scrub": q_t11,
-        "t12_c4_filters": q_t12,
-        "e06_attribution_pairs": q_e06,
-        "e07_rollup_merge": q_e07,
-        "d11_hash_ranked_sample": q_d11,
-        "d12_incremental_dedup": q_d12,
-        "d13_edit_distance_pairs": q_d13,
-        "d14_shuffle_shards": q_d14,
-        "d15_domain_mix": q_d15,
-        "d16_corpus_build": q_d16,
-        "s07_quantize_int8": q_s07,
-        "s08_random_projection": q_s08,
-        # -- r11 additions (born never-checked; rotate into the r12
-        #    window per the steady-state policy) ------------------------
-        "st07_bootstrap_ci": q_st07,
-        "pm04_conformance_fitness": q_pm04,
-        "knn04_core_density": q_knn04,
-        "sk03_bloom_membership_audit": q_sk03,
-        "fc05_holt_linear": q_fc05,
-        "ops03_fifo_allocation": q_ops03,
-        "t33_ngram_novelty": q_t33,
-        "d38_lsh_band_scurve": q_d38,
-        "pf12_relationship_discovery": q_pf12,
-        "w09_local_extrema": q_w09,
-        "a31_decile_lift": q_a31,
-        "t34_stem_stats": q_t34,
-        "sk04_ams_f2": q_sk04,
-        "w10_capped_sessions": q_w10,
-        "fc06_holt_winters": q_fc06,
-        "e33_hw_anomalies": q_e33,
-        "pm05_rework_metrics": q_pm05,
-        "a33_mix_shift": q_a33,
-        "ml08_centroid_margin": q_ml08,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept last
         "e22_rolling_distinct_hll": q_e22,

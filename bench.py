@@ -215,16 +215,41 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     cal = round(min(cal_before, _calibrate_single_core()), 3)
+    full = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "calibration_s": cal,
+    }
+    # The driver's BENCH artifact captures only the LAST 2000 chars of
+    # stdout; at 69+ full-name entries the JSON line overflowed and
+    # "parsed" went null (r10/r11). Full-precision full-name numbers go
+    # to the repo-side bench_out.json; STDOUT gets a compact line —
+    # 2-decimal, no spaces, and per-query keys shortened to their
+    # unique id prefix ("q01", "d38", ...) — that stays well inside the
+    # capture window (~1 kB at 69 entries).
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_out.json"),
+        "w",
+    ) as f:
+        json.dump(full, f)
+        f.write("\n")
+    short = {n.split("_", 1)[0]: round(v, 2) for n, v in timings.items()}
+    assert len(short) == len(timings), "bench id prefixes must be unique"
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": short,
                 "sf": sf,
                 "calibration_s": cal,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -44,17 +44,36 @@ def _half_up_div(num: Column, den: Column | int) -> Column:
 
 def _wide_half_up(s: Column, f: int) -> Column:
     """Round-half-away-from-zero of DECIMAL(38,0) ``s / f`` with NO
-    float anywhere: magnitude = (2|s| + f) div 2f — Spark's `div` on
-    DECIMAL operands is exact integer division returning BIGINT
-    (`F.call_function` reaches it as a function) — sign restored. The
-    BIGINT quotient bounds the OUTPUT at 2⁶³ scaled units (already the
-    output double's own representable range); the ACCUMULATOR keeps
-    the full 10³⁸."""
-    mag = F.call_function(
-        "div",
-        2 * F.abs(s) + F.lit(f).cast("decimal(38,0)"),
-        F.lit(2 * f).cast("decimal(38,0)"),
-    )
+    float anywhere: q = |s| div f (Spark's `div` on DECIMAL operands is
+    exact integer division returning BIGINT; `F.call_function` reaches
+    it), remainder r = |s| pmod f, round up when 2r >= f. Only the
+    remainder (< f) is ever doubled — never the accumulator — so the
+    full DECIMAL(38,0) range survives AGGREGATION; the earlier
+    (2|s| + f) div 2f form gave up half of it to the doubling.
+
+    The OUTPUT is bounded by the BIGINT quotient at 2⁶³ scaled units,
+    and that bound needs an explicit guard: Spark 4's decimal
+    `div`-to-long silently WRAPS past 2⁶³ even under ANSI mode (probed:
+    8×10³⁵ div 100 returns 6646327062946643968, no throw), so an
+    unguarded quotient overflow would be a silent wrong answer, not an
+    error. Out-of-range sums raise_error instead."""
+    fa = F.lit(f).cast("decimal(38,0)")
+    a = F.abs(s)
+    q = F.call_function("div", a, fa)
+    r = F.call_function("pmod", a, fa)
+    mag = q + F.when(r * 2 >= fa, F.lit(1)).otherwise(F.lit(0)).cast("long")
+    bound = F.lit(str(f * (1 << 63))).cast("decimal(38,0)")
+    mag = F.when(
+        a >= bound,
+        F.call_function(
+            "raise_error",
+            F.lit(
+                "fixed_point_sum(wide=True): |sum| exceeds the"
+                " representable output range (2^63 scaled units) —"
+                " Spark's decimal div-to-long would wrap silently here"
+            ),
+        ).cast("long"),
+    ).otherwise(mag)
     return F.when(s < 0, -mag).otherwise(mag)
 
 

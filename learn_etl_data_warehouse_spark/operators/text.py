@@ -1605,10 +1605,14 @@ def pmi_collocations(
     )
 
 
-# t34's suffix-strip rules, longest-first; a token >= min_len + len(sfx)
-# chars loses its FIRST matching suffix (Porter-lite, deterministic —
-# ONE Python literal feeds the Spark transform and the oracle's CASE
-# chain).
+# t34's suffix-strip rules. FIRST MATCH WINS, IN TUPLE ORDER — the
+# tuple is NOT length-sorted, so do not add a suffix assuming a longer
+# entry later in the tuple can win over an earlier shorter one (it
+# can't: e.g. a hypothetical "ings" added after "ing" would never
+# fire). A token >= min_len + len(sfx) chars loses its first matching
+# suffix (Porter-lite, deterministic — ONE Python literal feeds the
+# Spark transform and the oracle's CASE chain, so parity holds for any
+# order, but the stems themselves change if the order changes).
 STEM_SUFFIXES = ("ing", "edly", "ed", "es", "ly", "s")
 
 
@@ -1618,7 +1622,7 @@ def stem_column(col, min_stem: int = 3):
     when the remainder keeps ``min_stem`` chars. Pure string ops,
     engine-exact."""
     c = F.lower(_c(col))
-    # a when-chain evaluates in order, so earlier (longer) suffixes win
+    # a when-chain evaluates in order: earlier TUPLE entries win
     out = None
     for sfx in STEM_SUFFIXES:
         cond = c.endswith(sfx) & (

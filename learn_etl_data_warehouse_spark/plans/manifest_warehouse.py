@@ -1740,6 +1740,11 @@ def analyze_table(
                 "k": int(sketch_k),
                 "exact": False,
                 "values": vals,
+                # the survivor threshold the values were filtered on —
+                # an inexact sketch holding fewer than k values may be
+                # THRESHOLD-limited (HLL ndv_hint overestimate), not
+                # genuinely complete; estimators must know the cutoff
+                "thr": int(thr),
             }
     data_bytes = 0
     for rel, txn in manifest["partitions"].items():
@@ -1860,7 +1865,29 @@ def _kmv_intersection(sa: dict, sb: dict) -> dict:
             "provably_empty": False,
         }
     if len(merged) < k:
-        est_union = len(merged)
+        # Fewer than k merged survivors does NOT prove completeness: an
+        # inexact sketch is filtered on a survivor threshold derived
+        # from the HLL ndv hint, and an overestimated hint truncates the
+        # sketch below k while the true NDV is large. Both sides are
+        # complete below min(thr) (an exact sketch is complete
+        # everywhere, thr = 2^48), so estimate union NDV by hash
+        # density in the jointly-complete region; sketches stored
+        # before `thr` was recorded fall back to the order-statistic
+        # KMV estimator on the merged survivors.
+        thr_floor = two48 if sa.get("exact") else int(sa.get("thr", 0))
+        thr_b = two48 if sb.get("exact") else int(sb.get("thr", 0))
+        min_thr = min(thr_floor, thr_b)
+        if min_thr >= two48:
+            est_union = len(merged)  # both complete: exact union count
+        elif min_thr > 0:
+            below = sum(1 for h in merged if h < min_thr)
+            est_union = max((below * two48) // min_thr, len(merged))
+        elif len(merged) > 1:
+            est_union = max(
+                ((len(merged) - 1) * two48) // merged[-1], len(merged)
+            )
+        else:
+            est_union = len(merged)
     else:
         est_union = ((k - 1) * two48) // usk[-1]
     matches = sum(1 for h in usk if h in va and h in vb)

@@ -457,3 +457,44 @@ def test_kmv_advice_inexact_estimates(spark, tmp_path):
     assert not adv["intersection_exact"]
     assert abs(adv["est_intersection_ndv"] - 1500) <= 375
     assert abs(adv["est_join_rows"] - 1500) <= 600  # ndv error compounds
+
+
+def test_kmv_intersection_threshold_truncated():
+    """r12 (ADVICE): an INEXACT sketch holding fewer than k values may
+    be survivor-threshold-truncated (HLL ndv_hint overestimate), not
+    genuinely complete — len(merged) < k must NOT collapse est_union to
+    len(merged). With the stored `thr`, the estimator reads hash
+    density in the jointly-complete region; legacy sketches without
+    `thr` fall back to the order-statistic KMV estimate."""
+    from learn_etl_data_warehouse_spark.plans.manifest_warehouse import (
+        _kmv_intersection,
+    )
+
+    two48 = 1 << 48
+    thr = two48 // 1000
+    # 10 survivors below thr per side, 5 shared: k=256 never filled, but
+    # the density says true NDV ~ 15,000 across the union.
+    va = [i * (thr // 11) + 1 for i in range(10)]
+    vb = va[:5] + [i * (thr // 11) + 7 for i in range(5, 10)]
+    sa = {"k": 256, "exact": False, "values": va, "thr": thr}
+    sb = {"k": 256, "exact": False, "values": vb, "thr": thr}
+    out = _kmv_intersection(sa, sb)
+    # union density: 15 survivors * 1000 = 15,000; 5/15 shared -> ~5,000
+    assert 4000 <= out["est_intersection_ndv"] <= 6000
+    assert not out["exact"] and not out["provably_empty"]
+
+    # pre-fix behavior would have been est_union = 15 -> est_inter = 5
+    assert out["est_intersection_ndv"] > 15
+
+    # legacy sketches (no thr recorded): order-statistic fallback, still
+    # never the biased-low "complete" shortcut
+    sa_legacy = {"k": 256, "exact": False, "values": va}
+    sb_legacy = {"k": 256, "exact": False, "values": vb}
+    out2 = _kmv_intersection(sa_legacy, sb_legacy)
+    assert out2["est_intersection_ndv"] > 1000
+
+    # exact + truncated-inexact mix: density over min(thr) still applies
+    out3 = _kmv_intersection(
+        {"k": 256, "exact": True, "values": va}, sb
+    )
+    assert out3["est_intersection_ndv"] > 15

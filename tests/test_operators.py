@@ -5234,6 +5234,25 @@ def test_fixed_point_sum_wide_accumulator(spark):
         == 2_000_000_000_000_000.0
     )
 
+    # r12 (ADVICE follow-through): past 2^63 scaled-output units Spark's
+    # decimal div-to-long WRAPS SILENTLY even under ANSI (probed: 8e35
+    # div 100 -> 6646327062946643968) — both the old doubling form and
+    # an unguarded remainder form returned garbage here. The guard must
+    # turn that into an explicit error, never a silent wrong answer.
+    huge = spark.range(8).select(F.lit(1e33).alias("v"))
+    with pytest.raises(Exception, match="representable output range"):
+        huge.agg(
+            fixed_point_sum(F.col("v"), wide=True).alias("s")
+        ).collect()
+
+    # ...and a sum just UNDER the quotient bound still answers exactly
+    # (9e16 rows-worth of value in 9 rows; q ~ 9e18 < 2^63).
+    near = spark.range(9).select(F.lit(1e16).alias("v"))
+    got = near.agg(
+        fixed_point_sum(F.col("v"), wide=True).alias("s")
+    ).collect()[0]["s"]
+    assert got == 9e16
+
 
 def test_ams_f2_python_model(spark):
     """r11: sk04 — replicate the md5 sign arithmetic in Python on a
