@@ -5478,6 +5478,27 @@ def q_ml08(spark, sf_dir):
     return centroid_margin_quality(_t(spark, sf_dir, "embeddings"))
 
 
+def q_s15(spark, sf_dir):
+    """IVF recall audit (r12, the verdict's d38-pattern ask): per-nprobe
+    capture of the EXACT cosine top-10 over a bounded deterministic
+    query budget, integer ppm — the measured recall curve that closes
+    the tuning loop for the IVF family (s06/s11 stay the production
+    kernels; the audit pins the cell geometry's recall at round-6
+    cosine precision, the d21/km01 twin discipline)
+    (operators/similarity.py::ivf_recall_audit)."""
+    return similarity.ivf_recall_audit(_t(spark, sf_dir, "embeddings"))
+
+
+def q_s16(spark, sf_dir):
+    """PQ/ADC recall audit (r12): ADC top-10 vs exact-L2 top-10 as a
+    recall CURVE over prefix-nested codebook sizes {4, 8, 16}, integer
+    ppm. Codebooks are the seed codewords (pq_train round 0) and every
+    distance is floor-micro integer, so the DuckDB twin reproduces the
+    audit bit-for-bit; s09/s10's trained float codebooks remain the
+    production path (operators/similarity.py::pq_adc_recall_audit)."""
+    return similarity.pq_adc_recall_audit(_t(spark, sf_dir, "embeddings"))
+
+
 def q_pm05(spark, sf_dir):
     """Process rework metrics (r11): per activity, how many actors
     re-execute it (rework) and how often it immediately repeats
@@ -5523,8 +5544,8 @@ def q_a33(spark, sf_dir):
 
 def q_t34(spark, sf_dir):
     """Rule-based stemming report (r11): raw vs suffix-folded distinct
-    vocabulary per document under the STEM_SUFFIXES chain (longest
-    suffix first, min-stem guard) — the normalization-gain measurement
+    vocabulary per document under the STEM_SUFFIXES chain (first match
+    wins in tuple order, min-stem guard) — the normalization-gain measurement
     a text-cleaning pass is judged by; pure string ops, engine-exact
     (operators/text.py::stem_stats)."""
     return text.stem_stats(_t(spark, sf_dir, "documents"))
@@ -5993,6 +6014,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a23_gini_concentration": q_a23,
         "pf03_ks_drift": q_pf03,
         "a24_cube_aggregate": q_a24,
+        # -- r12 additions (born never-checked; rotate into the r13
+        #    window per the steady-state policy) ------------------------
+        "s15_ivf_recall_audit": q_s15,
+        "s16_pq_recall_audit": q_s16,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept last
         "e22_rolling_distinct_hll": q_e22,
@@ -11058,4 +11083,104 @@ SELECT tl AS label, CAST(count(*) AS BIGINT) AS n,
             // count(*) AS BIGINT) AS misfit_ppm,
        CAST(sum(own - other) AS BIGINT) AS sum_margin_micro
 FROM per GROUP BY 1"""
+    # s15: cosines over DOUBLE[]-cast lists (the ml08 precedent — Spark's
+    # kernel widens per element before arithmetic); round-6 equality is
+    # the knn01/d21/s02-established cross-engine contract on this data.
+    _c_ec = _COS.format(a="e.v", b="c.cv")
+    _c_qc = _COS.format(a="q.qv", b="c.cv")
+    _c_eq = _COS.format(a="e.v", b="q.qv")
+    out["s15_ivf_recall_audit"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),
+assign AS (
+  SELECT vid, cell FROM (
+    SELECT e.vec_id AS vid, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_c_ec} DESC, c.cell DESC) AS rn
+    FROM e CROSS JOIN cents c) WHERE rn = 1),
+queries AS (SELECT vec_id AS qid, v AS qv FROM e
+            WHERE vec_id % 100 = 0 AND vec_id < 2000),
+qcell AS (
+  SELECT qid, cell,
+         row_number() OVER (PARTITION BY qid ORDER BY cs DESC, cell ASC)
+           AS cell_rank
+  FROM (SELECT q.qid, c.cell, {_c_qc} AS cs
+        FROM queries q CROSS JOIN cents c)),
+gt AS (
+  SELECT qid, vid FROM (
+    SELECT q.qid, e.vec_id AS vid,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY {_c_eq} DESC, e.vec_id ASC) AS rnk
+    FROM queries q JOIN e ON e.vec_id <> q.qid) WHERE rnk <= 10),
+hit AS (SELECT g.qid, qc.cell_rank
+        FROM gt g JOIN assign a ON a.vid = g.vid
+        JOIN qcell qc ON qc.qid = g.qid AND qc.cell = a.cell),
+nq AS (SELECT count(*) AS n FROM queries),
+grid AS (SELECT unnest([1, 2, 4, 8]) AS nprobe)
+SELECT CAST(g.nprobe AS BIGINT) AS nprobe,
+       CAST(sum(CASE WHEN h.cell_rank <= g.nprobe THEN 1 ELSE 0 END)
+            AS BIGINT) AS captured,
+       CAST(10 * (SELECT n FROM nq) AS BIGINT) AS expected,
+       CAST((1000000 * sum(CASE WHEN h.cell_rank <= g.nprobe
+                                THEN 1 ELSE 0 END))
+            // (10 * (SELECT n FROM nq)) AS BIGINT) AS recall_ppm
+FROM grid g CROSS JOIN hit h
+GROUP BY g.nprobe"""
+    # s16: every distance expression is generated by
+    # similarity.l2sq_micros_sql — the token-for-token twin of the
+    # Spark kernel's _l2sq_micros_col (same 1-based positions, same
+    # left-associative add chain, same cast-to-double-first, same
+    # floor(x1e6) lift).
+    _sd = 16  # 64-dim fixture embeddings, m=4 subspaces
+    _l2s = similarity.l2sq_micros_sql
+    _sub_ec = "\nUNION ALL\n".join(
+        f"SELECT e.vec_id AS vid, c.code, {s} AS sub, "
+        f"{_l2s('e.v', 'c.cv', list(range(s * _sd + 1, (s + 1) * _sd + 1)))}"
+        " AS l2 FROM e CROSS JOIN cents c"
+        for s in range(4)
+    )
+    _sub_qc = "\nUNION ALL\n".join(
+        f"SELECT q.qid, c.code, {s} AS sub, "
+        f"{_l2s('q.qv', 'c.cv', list(range(s * _sd + 1, (s + 1) * _sd + 1)))}"
+        " AS t FROM queries q CROSS JOIN cents c"
+        for s in range(4)
+    )
+    _full_eq = _l2s("e.v", "q.qv", list(range(1, 65)))
+    out["s16_pq_recall_audit"] = f"""
+WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+cents AS (SELECT vec_id AS code, v AS cv FROM e WHERE vec_id < 16),
+queries AS (SELECT vec_id AS qid, v AS qv FROM e
+            WHERE vec_id % 100 = 0 AND vec_id < 2000),
+l2all AS ({_sub_ec}),
+grid AS (SELECT unnest([4, 8, 16]) AS n_codes),
+assign AS (
+  SELECT n_codes, vid, sub, code FROM (
+    SELECT g.n_codes, l.vid, l.sub, l.code,
+           row_number() OVER (PARTITION BY g.n_codes, l.vid, l.sub
+                              ORDER BY l.l2 ASC, l.code ASC) AS rn
+    FROM grid g JOIN l2all l ON l.code < g.n_codes) WHERE rn = 1),
+qtab AS ({_sub_qc}),
+adc0 AS (
+  SELECT a.n_codes, t.qid, a.vid, CAST(sum(t.t) AS BIGINT) AS adc
+  FROM assign a JOIN qtab t ON t.sub = a.sub AND t.code = a.code
+  WHERE a.vid <> t.qid
+  GROUP BY a.n_codes, t.qid, a.vid),
+adck AS (SELECT n_codes, qid, vid FROM (
+  SELECT n_codes, qid, vid,
+         row_number() OVER (PARTITION BY n_codes, qid
+                            ORDER BY adc ASC, vid ASC) AS rn
+  FROM adc0) WHERE rn <= 10),
+exact AS (SELECT qid, vid FROM (
+  SELECT q.qid, e.vec_id AS vid,
+         row_number() OVER (PARTITION BY q.qid
+                            ORDER BY {_full_eq} ASC, e.vec_id ASC) AS rn
+  FROM queries q JOIN e ON e.vec_id <> q.qid) WHERE rn <= 10),
+nq AS (SELECT count(*) AS n FROM queries)
+SELECT CAST(a.n_codes AS BIGINT) AS n_codes,
+       CAST(count(*) AS BIGINT) AS captured,
+       CAST(10 * (SELECT n FROM nq) AS BIGINT) AS expected,
+       CAST((1000000 * count(*)) // (10 * (SELECT n FROM nq)) AS BIGINT)
+         AS recall_ppm
+FROM adck a JOIN exact x ON x.qid = a.qid AND x.vid = a.vid
+GROUP BY a.n_codes"""
     return out

@@ -1526,3 +1526,311 @@ def centroid_margin_quality(
             "sum_margin_micro",
         )
     )
+
+
+def ivf_recall_audit(
+    emb: DataFrame,
+    n_cells: int = 8,
+    k: int = 10,
+    query_mod: int = 100,
+    query_cap: int = 2000,
+    nprobes: tuple[int, ...] = (1, 2, 4, 8),
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Oracle-exact IVF recall audit — the d38 pattern applied to the
+    ANN cell geometry: per-``nprobe`` capture of the EXACT cosine top-k,
+    in integer ppm, over a bounded deterministic query budget.
+
+    Geometry is the production IVF shape (argmax-cosine cell
+    assignment, ties to the HIGHEST cell like :func:`ivf_assign`; query
+    cell ranking ties to the LOWEST cell like :func:`ivf_topk`) at
+    round-6 cosine precision so both engines agree bit-for-bit — the
+    d21/km01 twin discipline: the audit pins the recall curve of the
+    geometry; s06/s11 remain the production kernels.
+
+    Capture needs no materialized IVF top-k: an exact-top-k member
+    whose cell is probed ALWAYS survives the candidate top-k (anything
+    outranking it among candidates outranks it globally, and fewer
+    than k rows do), so ``captured(nprobe) = #{exact top-k rows whose
+    cell rank <= nprobe}`` exactly.
+
+    Scale posture: centroids and the query set are fixed budgets
+    (``n_cells`` rows, ``<= query_cap/query_mod`` queries) broadcast to
+    every executor; assignment is a row-linear N x n_cells scan and the
+    ground truth a Q x N broadcast join — linear in the table at fixed
+    audit budget, no all-pairs anywhere."""
+    spark = emb.sparkSession
+    cos6 = lambda a, b: F.round(cosine_similarity(a, b), 6)  # noqa: E731
+    cents = F.broadcast(
+        emb.filter(F.col(id_col) < n_cells).select(
+            F.col(id_col).alias("_cell"), F.col(vec_col).alias("_cv")
+        )
+    )
+    assign = (
+        emb.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+        .join(cents)
+        .select(
+            "_vid", "_cell", cos6(F.col("_v"), F.col("_cv")).alias("_cs")
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("_vid").orderBy(
+                    F.desc("_cs"), F.desc("_cell")
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select("_vid", "_cell")
+    )
+    queries = F.broadcast(
+        emb.filter(
+            (F.col(id_col) % query_mod == 0) & (F.col(id_col) < query_cap)
+        ).select(F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv"))
+    )
+    qcell = (
+        queries.join(cents)
+        .select(
+            "_qid", "_cell", cos6(F.col("_qv"), F.col("_cv")).alias("_cs")
+        )
+        .withColumn(
+            "_cell_rank",
+            F.row_number().over(
+                Window.partitionBy("_qid").orderBy(
+                    F.desc("_cs"), F.asc("_cell")
+                )
+            ),
+        )
+        .select("_qid", "_cell", "_cell_rank")
+    )
+    gt = (
+        emb.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+        .join(queries, F.col("_vid") != F.col("_qid"))
+        .select(
+            "_qid", "_vid", cos6(F.col("_v"), F.col("_qv")).alias("_cs")
+        )
+        .withColumn(
+            "_rnk",
+            F.row_number().over(
+                Window.partitionBy("_qid").orderBy(
+                    F.desc("_cs"), F.asc("_vid")
+                )
+            ),
+        )
+        .filter(F.col("_rnk") <= k)
+        .select("_qid", "_vid")
+    )
+    hit = gt.join(assign, "_vid").join(F.broadcast(qcell), ["_qid", "_cell"])
+    grid = F.broadcast(
+        spark.createDataFrame([(int(n),) for n in nprobes], "nprobe long")
+    )
+    nq = queries.agg(F.count(F.lit(1)).alias("_nq"))
+    return (
+        grid.join(hit)
+        .groupBy("nprobe")
+        .agg(
+            F.sum(
+                (F.col("_cell_rank") <= F.col("nprobe")).cast("long")
+            ).alias("captured")
+        )
+        .join(nq)
+        .select(
+            "nprobe",
+            "captured",
+            (F.lit(int(k)) * F.col("_nq")).cast("long").alias("expected"),
+            F.expr(f"(1000000 * captured) div ({k} * _nq)")
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+        .orderBy("nprobe")
+    )
+
+
+def _l2sq_micros_col(a: Column, b: Column, idxs: list[int]) -> Column:
+    """floor(1e6 · Σ (a[i]−b[i])²) over 1-BASED positions ``idxs`` as a
+    LEFT-ASSOCIATIVE chain of double adds — the token-for-token twin of
+    :func:`l2sq_micros_sql`, so both engines evaluate the identical
+    IEEE expression tree (floats widened to double BEFORE arithmetic;
+    float-typed subtraction would round differently)."""
+    s = None
+    for i in idxs:
+        d = F.element_at(a, i).cast("double") - F.element_at(b, i).cast(
+            "double"
+        )
+        t = d * d
+        s = t if s is None else s + t
+    return F.floor(s * F.lit(1000000.0)).cast("long")
+
+
+def l2sq_micros_sql(a: str, b: str, idxs: list[int]) -> str:
+    """The DuckDB twin of :func:`_l2sq_micros_col`: same 1-based
+    positions, same left-associative add chain, same cast-to-double-
+    first discipline, same floor(×1e6) lift. ONE Python loop shape
+    feeds both engines (the a15/ml07 mirroring discipline)."""
+    terms = [
+        f"(CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        f" * (CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        for i in idxs
+    ]
+    return f"CAST(floor(({' + '.join(terms)}) * 1000000) AS BIGINT)"
+
+
+def pq_adc_recall_audit(
+    emb: DataFrame,
+    m: int = 4,
+    code_grid: tuple[int, ...] = (4, 8, 16),
+    k: int = 10,
+    query_mod: int = 100,
+    query_cap: int = 2000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Oracle-exact PQ/ADC recall audit — d38's measured-capture
+    discipline for the product-quantization path: ADC top-k vs the
+    exact L2 top-k over a bounded query budget, as a recall CURVE over
+    codebook sizes (``code_grid``), in integer ppm. The grid is
+    prefix-nested — the n-code codebook is codewords 0..n-1 of the
+    largest — so per-(vector, sub, code) distances are computed ONCE
+    and each grid point is an argmin over a prefix.
+
+    Twin-geometry framing (the d21/km01 pattern): codebooks are the
+    SEED codewords — subvectors of the ``max(code_grid)`` smallest-id
+    vectors, i.e. :func:`pq_train` at round 0 — and every distance is
+    floor-micro integer (:func:`_l2sq_micros_col`), so the DuckDB
+    oracle reproduces the audit bit-for-bit. :func:`pq_topk`'s trained
+    float codebooks stay the production kernel (recall-tested
+    in-repo); this audits the ADC mechanism itself: per-subspace
+    argmin code assignment (ties to the LOWEST code, like
+    ``_pq_assign_expr``), an m x n lookup table per query, score =
+    sum of m lookups.
+
+    Scale posture: codebooks and queries are fixed budgets broadcast
+    everywhere; assignment is row-linear (N x sum(code_grid) x m
+    bounded expressions), ADC a (grid, sub, code)-key join, ground
+    truth a Q x N broadcast join — linear in the table at fixed audit
+    budget."""
+    spark = emb.sparkSession
+    n_max = max(code_grid)
+    first = emb.select(vec_col).head()
+    dim = len(first[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sd = dim // m
+    sub_idxs = [list(range(s * sd + 1, (s + 1) * sd + 1)) for s in range(m)]
+    cents = F.broadcast(
+        emb.filter(F.col(id_col) < n_max).select(
+            F.col(id_col).alias("_code"), F.col(vec_col).alias("_cv")
+        )
+    )
+    queries = F.broadcast(
+        emb.filter(
+            (F.col(id_col) % query_mod == 0) & (F.col(id_col) < query_cap)
+        ).select(F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv"))
+    )
+    grid = F.broadcast(
+        spark.createDataFrame(
+            [(int(n),) for n in code_grid], "n_codes long"
+        )
+    )
+
+    def _per_sub(a: str, b: str, out: str) -> list:
+        frames = []
+        for s in range(m):
+            frames.append(
+                F.struct(
+                    F.lit(s).cast("long").alias("_sub"),
+                    _l2sq_micros_col(F.col(a), F.col(b), sub_idxs[s]).alias(
+                        out
+                    ),
+                )
+            )
+        return frames
+
+    l2all = (
+        emb.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+        .join(cents)
+        .select(
+            "_vid",
+            "_code",
+            F.explode(F.array(*_per_sub("_v", "_cv", "_l2"))).alias("_e"),
+        )
+        .select("_vid", "_code", F.col("_e._sub").alias("_sub"),
+                F.col("_e._l2").alias("_l2"))
+    )
+    assign = (
+        grid.join(l2all, F.col("_code") < F.col("n_codes"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("n_codes", "_vid", "_sub").orderBy(
+                    F.asc("_l2"), F.asc("_code")
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select("n_codes", "_vid", "_sub", "_code")
+    )
+    qtable = (
+        queries.join(cents)
+        .select(
+            "_qid",
+            "_code",
+            F.explode(F.array(*_per_sub("_qv", "_cv", "_t"))).alias("_e"),
+        )
+        .select("_qid", "_code", F.col("_e._sub").alias("_sub"),
+                F.col("_e._t").alias("_t"))
+    )
+    adc = (
+        assign.join(F.broadcast(qtable), ["_sub", "_code"])
+        .filter(F.col("_vid") != F.col("_qid"))
+        .groupBy("n_codes", "_qid", "_vid")
+        .agg(F.sum("_t").alias("_adc"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("n_codes", "_qid").orderBy(
+                    F.asc("_adc"), F.asc("_vid")
+                )
+            ),
+        )
+        .filter(F.col("_rn") <= k)
+        .select("n_codes", "_qid", "_vid")
+    )
+    exact = (
+        emb.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+        .join(queries, F.col("_vid") != F.col("_qid"))
+        .select(
+            "_qid",
+            "_vid",
+            _l2sq_micros_col(
+                F.col("_v"), F.col("_qv"), list(range(1, dim + 1))
+            ).alias("_l2"),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("_qid").orderBy(
+                    F.asc("_l2"), F.asc("_vid")
+                )
+            ),
+        )
+        .filter(F.col("_rn") <= k)
+        .select("_qid", "_vid")
+    )
+    nq = queries.agg(F.count(F.lit(1)).alias("_nq"))
+    return (
+        adc.join(exact, ["_qid", "_vid"])
+        .groupBy("n_codes")
+        .agg(F.count(F.lit(1)).cast("long").alias("captured"))
+        .join(nq)
+        .select(
+            "n_codes",
+            "captured",
+            (F.lit(int(k)) * F.col("_nq")).cast("long").alias("expected"),
+            F.expr(f"(1000000 * captured) div ({k} * _nq)")
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+        .orderBy("n_codes")
+    )

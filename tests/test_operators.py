@@ -5506,3 +5506,77 @@ def test_centroid_margin_quality_hand_vectors(spark):
     assert got[1]["sum_margin_micro"] > 0
     assert got[0]["n"] == 3 and got[0]["n_misfit"] == 1
     assert got[0]["misfit_ppm"] == 333_333
+
+
+def test_ivf_recall_audit_curve(spark, sf_small):
+    """r12: the oracle-exact IVF recall audit — captured is monotone
+    non-decreasing in nprobe, bounded by expected, and probing ALL
+    cells captures everything (the subset argument: an exact-top-k
+    member in a probed cell always survives the candidate top-k)."""
+    emb = load_table(spark, sf_small, "embeddings")
+    rows = {
+        r["nprobe"]: r
+        for r in similarity.ivf_recall_audit(emb, n_cells=8).collect()
+    }
+    assert sorted(rows) == [1, 2, 4, 8]
+    caps = [rows[n]["captured"] for n in (1, 2, 4, 8)]
+    assert caps == sorted(caps), f"capture not monotone: {caps}"
+    for r in rows.values():
+        assert 0 <= r["captured"] <= r["expected"]
+        assert r["recall_ppm"] == (1_000_000 * r["captured"]) // r["expected"]
+    assert rows[8]["captured"] == rows[8]["expected"], (
+        "nprobe = n_cells probes every cell; recall must be exact"
+    )
+
+
+def test_pq_adc_recall_audit_grid(spark, sf_small):
+    """r12: the PQ/ADC recall audit returns one row per prefix-nested
+    codebook size with consistent integer accounting, and its exact-L2
+    ground truth matches a brute-force Python computation for one
+    query."""
+    emb = load_table(spark, sf_small, "embeddings")
+    out = {
+        r["n_codes"]: r
+        for r in similarity.pq_adc_recall_audit(emb).collect()
+    }
+    assert sorted(out) == [4, 8, 16]
+    for r in out.values():
+        assert 0 <= r["captured"] <= r["expected"]
+        assert r["recall_ppm"] == (1_000_000 * r["captured"]) // r["expected"]
+
+    # brute-force the exact-L2 top-10 for query 0 in Python and confirm
+    # the audit's ground-truth kernel (floor-micro L2) agrees with it:
+    # re-derive via the Spark kernel on a 1-query slice.
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.collect()
+    }
+    q = vecs[0]
+    import math
+    def l2m(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            d = float(x) - float(y)
+            s = s + d * d
+        return math.floor(s * 1_000_000.0)
+    truth = sorted(
+        ((l2m(q, v), vid) for vid, v in vecs.items() if vid != 0)
+    )[:10]
+    from learn_etl_data_warehouse_spark.operators.similarity import (
+        _l2sq_micros_col,
+    )
+    got = (
+        emb.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            _l2sq_micros_col(
+                F.col("embedding"),
+                F.array(*[F.lit(float(x)) for x in q]),
+                list(range(1, len(q) + 1)),
+            ).alias("l2"),
+        )
+        .orderBy(F.asc("l2"), F.asc("vec_id"))
+        .limit(10)
+        .collect()
+    )
+    assert [(r["l2"], r["vec_id"]) for r in got] == truth
