@@ -215,6 +215,71 @@ def main() -> None:
         f"avg {ustats['avg_tokens_per_doc']:.1f}/doc"
     )
 
+    # 8. governed dim join through the warehouse CBO (r12 verdict ask):
+    # land the train corpus and a per-source dim as manifest tables,
+    # analyze both with KMV key sketches, and let read_join_advised
+    # pick the physical strategy from the STORED stats — the broadcast
+    # decision is explain-visible, no hand-placed hint anywhere.
+    import tempfile
+
+    from learn_etl_data_warehouse_spark.plans.manifest_warehouse import (
+        analyze_table,
+        join_cardinality_advice,
+        manifest_stream_sink,
+        read_join_advised,
+    )
+
+    wh = tempfile.mkdtemp(prefix="llm_wh_")
+    t_train = os.path.join(wh, "train_docs")
+    t_dim = os.path.join(wh, "source_dim")
+    for t in (t_train, t_dim):
+        os.makedirs(t)
+    manifest_stream_sink(t_train)(train.select("doc_id", "source"), 0)
+    dim = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total")
+    ).withColumn(
+        "tier",
+        F.when(F.col("n_total") >= 100, F.lit("major")).otherwise(
+            F.lit("minor")
+        ),
+    )
+    manifest_stream_sink(t_dim)(dim, 0)
+    for t in (t_train, t_dim):
+        analyze_table(spark, t, sketch_columns=["source"])
+    adv = join_cardinality_advice(t_train, "source", t_dim, "source")
+    enriched = read_join_advised(spark, t_train, "source", t_dim, "source")
+    plan = enriched._jdf.queryExecution().executedPlan().toString()
+    print(
+        f"warehouse CBO join: strategy={adv['strategy']} "
+        f"(est join rows {adv.get('est_join_rows')}), plan shows "
+        f"{'BroadcastHashJoin' if 'BroadcastHashJoin' in plan else 'shuffle join'}, "
+        f"joined rows {enriched.count()}"
+    )
+
+    # 8b. the proof path: a dim sharing NONE of the corpus's sources is
+    # PROVABLY empty from the complete key sketches alone — the inner
+    # join collapses to a LocalTableScan before touching any data.
+    t_ghost = os.path.join(wh, "ghost_dim")
+    os.makedirs(t_ghost)
+    manifest_stream_sink(t_ghost)(
+        dim.select(
+            F.concat(F.lit("ghost_"), F.col("source")).alias("source"),
+            "n_total",
+            "tier",
+        ),
+        0,
+    )
+    analyze_table(spark, t_ghost, sketch_columns=["source"])
+    adv2 = join_cardinality_advice(t_train, "source", t_ghost, "source")
+    ghost = read_join_advised(spark, t_train, "source", t_ghost, "source")
+    gplan = ghost._jdf.queryExecution().executedPlan().toString()
+    collapsed = "Join" not in gplan and "LocalTableScan" in gplan
+    print(
+        f"warehouse CBO ghost dim: strategy={adv2['strategy']}, "
+        f"{'join collapsed to LocalTableScan' if collapsed else 'NOT collapsed'}"
+        f", rows {ghost.count()}"
+    )
+
     # 9. corpus cardinality audit from the deterministic HLL sketch
     # (sk01): a 64-register max-mergeable state estimates the final
     # corpus's distinct-source count next to the exact number — at
