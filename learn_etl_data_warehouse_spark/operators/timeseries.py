@@ -1333,3 +1333,139 @@ def hw_residual_anomalies(
             .alias("is_anomaly"),
         )
     )
+
+
+def hw_final_state(hw_rows: DataFrame, key: str = "event_type",
+                   period: int = 24) -> DataFrame:
+    """Collapse :func:`holt_winters_smooth` output to one carried-state
+    row per key: (key, last_hr, level_micro, trend_micro, season) with
+    ``season`` the full ``period``-slot array (each slot's LAST update,
+    0 where never updated) — exactly what :func:`holt_winters_continue`
+    resumes from. Bounded: one window over the calendar grid, output =
+    one row per key."""
+    p = int(period)
+    w = Window.partitionBy(key).orderBy(F.desc("hr"))
+    last = (
+        hw_rows.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(key, F.col("hr").alias("last_hr"), "level_micro",
+                "trend_micro")
+    )
+    ws = Window.partitionBy(key, F.pmod(F.col("hr"), F.lit(p))).orderBy(
+        F.desc("hr")
+    )
+    slots = (
+        hw_rows.withColumn("_rn", F.row_number().over(ws))
+        .filter(F.col("_rn") == 1)
+        .groupBy(key)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        F.pmod(F.col("hr"), F.lit(p)).cast("int").alias("k"),
+                        F.col("season_micro").alias("v"),
+                    )
+                )
+            ).alias("_m")
+        )
+        .select(
+            key,
+            F.expr(
+                f"transform(sequence(0, {p - 1}),"
+                " i -> coalesce(_m[i], CAST(0 AS BIGINT)))"
+            ).alias("season"),
+        )
+    )
+    return last.join(slots, key)
+
+
+def holt_winters_continue(
+    hourly: DataFrame,
+    state: DataFrame,
+    key: str = "event_type",
+    period: int = 24,
+) -> DataFrame:
+    """RESUME :func:`holt_winters_smooth` from a carried state — the
+    incremental path of the streaming twin (`hw_refresh_sink`): only
+    hours PAST each key's ``last_hr`` are folded, so a tail-append
+    micro-batch costs O(new hours), not O(grid).
+
+    ``state`` rows are :func:`hw_final_state` shape: (key, last_hr,
+    level_micro, trend_micro, season array<long>[period]). Caller
+    contract: ``hourly`` holds the COMPLETE counts for every hour >
+    last_hr it mentions (gap hours zero-fill here, exactly like the
+    full recursion's spine); any backfill at or before ``last_hr``
+    invalidates the recursion from that point and must take the
+    rebuild path — the sink routes per key.
+
+    The fold body is TOKEN-IDENTICAL to holt_winters_smooth's ELSE
+    branch (the recursion equations live in both places; the
+    continue == full-rebuild conformance test pins them together);
+    only the initial accumulator differs: the carried (l, b, s[])
+    instead of the first-observation seed. Keys in ``state`` with no
+    new hours produce no rows (their state is unchanged)."""
+    p = int(period)
+    st = state.select(
+        key,
+        F.col("last_hr").alias("_lh"),
+        F.col("level_micro").alias("_l0"),
+        F.col("trend_micro").alias("_b0"),
+        F.col("season").alias("_s0"),
+    )
+    mx = hourly.groupBy(key).agg(F.max("hr").alias("_mx"))
+    bounds = st.join(mx, key).filter(F.col("_mx") > F.col("_lh"))
+    spine = bounds.select(
+        key,
+        "_lh",
+        "_l0",
+        "_b0",
+        "_s0",
+        F.explode(
+            F.sequence(F.col("_lh") + 1, F.col("_mx"))
+        ).alias("hr"),
+    )
+    g = spine.join(hourly, [key, "hr"], "left").select(
+        key,
+        "_lh",
+        "_l0",
+        "_b0",
+        "_s0",
+        "hr",
+        F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x"),
+    )
+    arr = g.groupBy(key, "_lh", "_l0", "_b0", "_s0").agg(
+        F.sort_array(F.collect_list(F.struct("hr", "x"))).alias("_a")
+    )
+    hod = f"CAST(pmod(e.hr, {p}) AS INT)"
+    s_old = f"element_at(acc.s, {hod} + 1)"
+    prev_l = "element_at(acc.hist, -1).l"
+    prev_b = "element_at(acc.hist, -1).b"
+    xl = "e.x * CAST(1000000 AS BIGINT)"
+    lvl = f"(({xl} - {s_old} + {prev_l} + {prev_b}) div 2)"
+    trd = f"(({lvl} - {prev_l} + {prev_b}) div 2)"
+    sup = f"(({xl} - {lvl} + {s_old}) div 2)"
+    fold = F.expr(
+        "aggregate(_a,"
+        " named_struct("
+        "  'hist', array(named_struct('l', _l0, 'b', _b0,"
+        "    'su', CAST(0 AS BIGINT))),"
+        "  's', _s0),"
+        " (acc, e) -> named_struct("
+        f"  'hist', array_append(acc.hist, named_struct('l', {lvl},"
+        f"    'b', {trd}, 'su', {sup})),"
+        f"  's', transform(acc.s, (v, i) -> IF(i = {hod}, {sup}, v))),"
+        # drop the carried seed: outputs are the NEW rows only
+        " acc -> slice(acc.hist, 2, size(acc.hist) - 1))"
+    )
+    z = arr.select(
+        key,
+        F.explode(F.arrays_zip(F.col("_a"), fold.alias("_h"))).alias("_z"),
+    )
+    return z.select(
+        key,
+        F.col("_z._a.hr").cast("long").alias("hr"),
+        F.col("_z._a.x").cast("long").alias("n"),
+        F.col("_z._h.l").cast("long").alias("level_micro"),
+        F.col("_z._h.b").cast("long").alias("trend_micro"),
+        F.col("_z._h.su").cast("long").alias("season_micro"),
+    )

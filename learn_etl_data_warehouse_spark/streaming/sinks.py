@@ -1308,3 +1308,228 @@ def conformance_ingest_sink(
         )
 
     return handle
+
+
+def hw_refresh_sink(
+    catalog_dir: str,
+    key: str = "event_type",
+    ts: str = "ts",
+    period: int = 24,
+):
+    """foreachBatch handler maintaining the HOLT–WINTERS surface (r11
+    verdict item 6, fc06's streaming twin): hourly counts merge
+    additively into the stored (key, hr, x) state, and the adaptive
+    (level, trend, period-slot seasonal) recursion state plus the
+    one-step forecast re-derive per micro-batch. Counts, ``hw_state``,
+    ``hw_forecast``, and the batch ledger flip in ONE catalog
+    transaction; exactly-once is LEDGER-derived (the
+    ``forecast_refresh_sink`` posture — an HW fold is not
+    replay-idempotent).
+
+    Cost discipline — the recursion is sequential, so the sink routes
+    PER KEY:
+
+    - a key whose new hours all land PAST its carried ``last_hr``
+      resumes the fold from the stored (l, b, s[]) via
+      :func:`holt_winters_continue` — O(new hours), the true
+      incremental path;
+    - a key with back-filled hours (<= last_hr) or no carried state
+      rebuilds from the merged counts via
+      :func:`holt_winters_smooth` — O(its calendar grid), the
+      correct-by-construction fallback (a backfill invalidates the
+      recursion from that point; there is no honest cheaper repair).
+
+    Either way the published state equals the batch twin — the full
+    recursion over all data seen so far — exactly (conformance-tested
+    after every batch, both paths).
+
+    Published tables: ``hw_hourly_counts`` (the additive grain),
+    ``hw_state`` (key, last_hr, level_micro, trend_micro, season),
+    ``hw_forecast`` (key, hr = last_hr + 1, forecast_micro =
+    level + trend + season[(last_hr + 1) mod period])."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        holt_winters_continue,
+        holt_winters_smooth,
+        hourly_counts,
+        hw_final_state,
+    )
+    from learn_etl_data_warehouse_spark.plans import catalog as cat
+
+    p = int(period)
+
+    def handle(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        tables = set(cat.read_catalog(catalog_dir)["tables"])
+        if "hw_applied" in tables:
+            applied = {
+                r.batch_id
+                for r in cat.catalog_read(spark, catalog_dir, "hw_applied")
+                .select("batch_id")
+                .collect()
+            }
+            if int(batch_id) in applied:
+                return  # replayed batch: already folded into the state
+        delta = hourly_counts(batch_df, key, ts)
+        if "hw_hourly_counts" in tables:
+            prev = cat.catalog_read(
+                spark, catalog_dir, "hw_hourly_counts"
+            ).select(key, "hr", "x")
+            merged = (
+                prev.withColumnRenamed("x", "_px")
+                .join(
+                    delta.withColumnRenamed("x", "_dx"),
+                    [key, "hr"],
+                    "full_outer",
+                )
+                .select(
+                    key,
+                    "hr",
+                    (
+                        F.coalesce(F.col("_px"), F.lit(0))
+                        + F.coalesce(F.col("_dx"), F.lit(0))
+                    ).cast("long").alias("x"),
+                )
+            )
+        else:
+            merged = delta
+        if "hw_state" in tables:
+            state = cat.catalog_read(spark, catalog_dir, "hw_state").select(
+                key, "last_hr", "level_micro", "trend_micro", "season"
+            )
+        else:
+            state = None
+        if state is not None:
+            # per-key routing: tail-append keys continue; back-filled or
+            # unseen keys rebuild from the merged counts
+            dmin = delta.groupBy(key).agg(F.min("hr").alias("_dmn"))
+            routed = dmin.join(
+                state.select(key, "last_hr"), key, "left"
+            ).select(
+                key,
+                F.when(
+                    F.col("last_hr").isNotNull()
+                    & (F.col("_dmn") > F.col("last_hr")),
+                    F.lit("continue"),
+                ).otherwise(F.lit("rebuild")).alias("_route"),
+            )
+            cont_keys = routed.filter(
+                F.col("_route") == "continue"
+            ).select(key)
+            reb_keys = routed.filter(F.col("_route") == "rebuild").select(
+                key
+            )
+            new_cont = holt_winters_continue(
+                merged.join(cont_keys, key, "left_semi"),
+                state.join(cont_keys, key, "left_semi"),
+                key,
+                p,
+            )
+            # carried-state merge: last_hr/level/trend come from the
+            # newest folded row; a seasonal slot keeps its CARRIED
+            # value unless a new row updated it (hw_final_state's
+            # zero-fill would clobber carried slots — 0 is a legal
+            # seasonal value, so updates are merged as map entries,
+            # never sentinel-tested)
+            from pyspark.sql import Window as _W
+
+            w_last = _W.partitionBy(key).orderBy(F.desc("hr"))
+            head = (
+                new_cont.withColumn("_rn", F.row_number().over(w_last))
+                .filter(F.col("_rn") == 1)
+                .select(key, F.col("hr").alias("last_hr"),
+                        "level_micro", "trend_micro")
+            )
+            w_slot = _W.partitionBy(
+                key, F.pmod(F.col("hr"), F.lit(p))
+            ).orderBy(F.desc("hr"))
+            upd = (
+                new_cont.withColumn("_rn", F.row_number().over(w_slot))
+                .filter(F.col("_rn") == 1)
+                .groupBy(key)
+                .agg(
+                    F.map_from_entries(
+                        F.collect_list(
+                            F.struct(
+                                F.pmod(F.col("hr"), F.lit(p))
+                                .cast("int")
+                                .alias("k"),
+                                F.col("season_micro").alias("v"),
+                            )
+                        )
+                    ).alias("_upd")
+                )
+            )
+            carried = state.join(cont_keys, key, "left_semi").select(
+                key, F.col("season").alias("_s_old")
+            )
+            cont_state = (
+                head.join(upd, key)
+                .join(carried, key)
+                .select(
+                    key,
+                    "last_hr",
+                    "level_micro",
+                    "trend_micro",
+                    F.expr(
+                        f"transform(sequence(0, {p - 1}),"
+                        " i -> coalesce(element_at(_upd, i),"
+                        "   element_at(_s_old, i + 1)))"
+                    ).alias("season"),
+                )
+            )
+            reb_state = hw_final_state(
+                holt_winters_smooth(
+                    merged.join(reb_keys, key, "left_semi"), key, p
+                ),
+                key,
+                p,
+            )
+            untouched = state.join(
+                delta.select(key).distinct(), key, "left_anti"
+            )
+            new_state = cont_state.unionByName(reb_state).unionByName(
+                untouched
+            )
+        else:
+            new_state = hw_final_state(
+                holt_winters_smooth(merged, key, p), key, p
+            )
+        forecast = new_state.select(
+            key,
+            (F.col("last_hr") + 1).cast("long").alias("hr"),
+            (
+                F.col("level_micro")
+                + F.col("trend_micro")
+                + F.element_at(
+                    F.col("season"),
+                    (F.pmod(F.col("last_hr") + 1, F.lit(p)) + 1).cast(
+                        "int"
+                    ),
+                )
+            ).cast("long").alias("forecast_micro"),
+        )
+        ledger = spark.createDataFrame(
+            [(int(batch_id),)], "batch_id long"
+        ).withColumn("ingest_batch", F.lit(int(batch_id)))
+        cat.catalog_commit(
+            spark,
+            catalog_dir,
+            {
+                "hw_hourly_counts": (
+                    merged.withColumn("state", F.lit("live")),
+                    ["state"],
+                ),
+                "hw_state": (
+                    new_state.withColumn("state", F.lit("live")),
+                    ["state"],
+                ),
+                "hw_forecast": (
+                    forecast.withColumn("state", F.lit("live")),
+                    ["state"],
+                ),
+                "hw_applied": (ledger, ["ingest_batch"]),
+            },
+            replace=False,
+        )
+
+    return handle

@@ -2326,3 +2326,168 @@ def test_conformance_ingest_sink_end_to_end_stream(spark, tmp_path, sf_small):
         )
     )
     assert got == sorted(map(tuple, conformance_fitness(ev, model).collect()))
+
+
+def _hw_want(spark, ev):
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        holt_winters_smooth,
+        hourly_counts,
+        hw_final_state,
+    )
+
+    st = hw_final_state(holt_winters_smooth(hourly_counts(ev)))
+    return sorted(
+        (
+            r["event_type"],
+            r["last_hr"],
+            r["level_micro"],
+            r["trend_micro"],
+            tuple(r["season"]),
+        )
+        for r in st.collect()
+    )
+
+
+def test_holt_winters_continue_matches_full(spark, sf_small):
+    """r12 (verdict item 6): resuming the HW fold from a carried state
+    reproduces the full recursion's rows past the cut exactly — the
+    incremental path's correctness kernel."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        holt_winters_continue,
+        holt_winters_smooth,
+        hourly_counts,
+        hw_final_state,
+    )
+    from learn_etl_data_warehouse_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_small, "events").select("ts", "event_type")
+    hc = hourly_counts(ev)
+    cut = hc.agg(F.expr("percentile_approx(hr, 0.6)")).collect()[0][0]
+    state = hw_final_state(
+        holt_winters_smooth(hc.filter(F.col("hr") <= cut))
+    )
+    cont = holt_winters_continue(hc.filter(F.col("hr") > cut), state)
+    full = holt_winters_smooth(hc)
+    last = {r["event_type"]: r["last_hr"] for r in state.collect()}
+    want = sorted(
+        tuple(r)
+        for r in full.collect()
+        if r["hr"] > last.get(r["event_type"], -1)
+    )
+    got = sorted(tuple(r) for r in cont.collect())
+    assert got == want and len(got) > 0
+
+
+def test_hw_refresh_sink_conformance_both_paths(spark, tmp_path, sf_small):
+    """r12 (verdict item 6): fc06's streaming twin — after EVERY
+    micro-batch the published hw_state equals the batch twin (the full
+    recursion over all data so far). Batch 1 is a strict tail-append
+    (the continue route); batch 2 back-fills early hours (the rebuild
+    route); a replayed batch is a ledgered no-op."""
+    from learn_etl_data_warehouse_spark.plans import catalog as cat
+    from learn_etl_data_warehouse_spark.sources.parquet import load_table
+    from learn_etl_data_warehouse_spark.streaming.sinks import hw_refresh_sink
+
+    ev = load_table(spark, sf_small, "events").select("ts", "event_type")
+    lo, hi = ev.agg(
+        F.expr("percentile_approx(unix_micros(ts) div 3600000000, 0.33)"),
+        F.expr("percentile_approx(unix_micros(ts) div 3600000000, 0.66)"),
+    ).collect()[0]
+    hr = F.expr("unix_micros(ts) div 3600000000")
+    b0 = ev.filter(hr <= lo)
+    b1 = ev.filter(hr > hi)          # strictly after b0: continue route
+    b2 = ev.filter((hr > lo) & (hr <= hi))  # backfill: rebuild route
+
+    cdir = str(tmp_path / "hwcat")
+    handle = hw_refresh_sink(cdir)
+
+    def got_state():
+        return sorted(
+            (
+                r["event_type"],
+                r["last_hr"],
+                r["level_micro"],
+                r["trend_micro"],
+                tuple(r["season"]),
+            )
+            for r in cat.catalog_read(spark, cdir, "hw_state")
+            .select(
+                "event_type", "last_hr", "level_micro", "trend_micro",
+                "season",
+            )
+            .collect()
+        )
+
+    handle(b0, 0)
+    assert got_state() == _hw_want(spark, b0)
+    handle(b1, 1)
+    assert got_state() == _hw_want(spark, b0.unionByName(b1))
+    handle(b2, 2)
+    assert got_state() == _hw_want(spark, ev)
+
+    # the published one-step forecast derives from the final state
+    fc = {
+        r["event_type"]: (r["hr"], r["forecast_micro"])
+        for r in cat.catalog_read(spark, cdir, "hw_forecast")
+        .select("event_type", "hr", "forecast_micro")
+        .collect()
+    }
+    for k, last_hr, lvl, trd, season in got_state():
+        assert fc[k] == (
+            last_hr + 1,
+            lvl + trd + season[(last_hr + 1) % 24],
+        )
+
+    # ledger-derived exactly-once: replaying batch 2 changes nothing
+    txn_before = cat.read_catalog(cdir)["txn"]
+    handle(b2, 2)
+    assert cat.read_catalog(cdir)["txn"] == txn_before
+
+
+def test_hw_refresh_sink_end_to_end_stream(spark, tmp_path, sf_small):
+    """r12: the HW sink under a real checkpointed availableNow stream —
+    whatever batch split/order the source delivers, the routing's
+    rebuild fallback keeps the final state equal to the batch twin."""
+    from learn_etl_data_warehouse_spark.plans import catalog as cat
+    from learn_etl_data_warehouse_spark.sources.parquet import load_table
+    from learn_etl_data_warehouse_spark.streaming.sinks import hw_refresh_sink
+
+    ev = load_table(spark, sf_small, "events").select("ts", "event_type")
+    src = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    cdir = str(tmp_path / "cat")
+    ev.filter(F.dayofmonth("ts") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    ev.filter(F.dayofmonth("ts") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .parquet(src)
+        .writeStream.foreachBatch(hw_refresh_sink(cdir))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    got = sorted(
+        (
+            r["event_type"],
+            r["last_hr"],
+            r["level_micro"],
+            r["trend_micro"],
+            tuple(r["season"]),
+        )
+        for r in cat.catalog_read(spark, cdir, "hw_state")
+        .select(
+            "event_type", "last_hr", "level_micro", "trend_micro", "season"
+        )
+        .collect()
+    )
+    assert got == _hw_want(spark, ev)
