@@ -5499,6 +5499,186 @@ def q_s16(spark, sf_dir):
     return similarity.pq_adc_recall_audit(_t(spark, sf_dir, "embeddings"))
 
 
+def q_st08(spark, sf_dir):
+    """Mann–Kendall trend test (r12): the nonparametric companion to
+    e28's Theil–Sen slope — S = Σ sign(x_j − x_i) over time-ordered
+    hourly pairs plus the tie-corrected variance NUMERATOR kept
+    undivided (fc02 discipline). Pure integers; the pair join is the
+    calendar-bounded e28 grid self-join
+    (operators/timeseries.py::mann_kendall)."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        hourly_counts,
+        mann_kendall,
+    )
+
+    return mann_kendall(hourly_counts(_t(spark, sf_dir, "events")))
+
+
+def q_fc07(spark, sf_dir):
+    """Holt–Winters MASE backtest (r12): hold out each key's trailing
+    24 hours, fit fc06's recursion on the rest, score the multi-step
+    forecast vs actuals SCALED by the seasonal-naive error — the
+    standard scale-free accuracy number (mase_ppm < 1e6 = HW beats
+    naive). Error masses stay undivided micro sums; the oracle nests
+    fc06's recursive CTE restricted to the train window
+    (operators/timeseries.py::hw_mase_backtest)."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        hourly_counts,
+        hw_mase_backtest,
+    )
+
+    return hw_mase_backtest(hourly_counts(_t(spark, sf_dir, "events")))
+
+
+def q_t35(spark, sf_dir):
+    """Zipf rank-bucket profile (r12): word types and token mass per
+    rank DECADE (1-9, 10-99, ...) — the log-log naturalness skeleton a
+    curation run eyeballs. No global per-word rank (the t26
+    discipline): bucket membership is interval overlap at FREQUENCY
+    grain (operators/text.py::zipf_bucket_stats)."""
+    return text.zipf_bucket_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_d39(spark, sf_dir):
+    """Duplicate provenance audit (r12): of the exact-dup classes d01
+    collapses, how many live inside one source vs span sources — crawl
+    artifact vs real syndication, the dedup diagnostic; reconciles
+    exactly with dedup_exact's drop count
+    (operators/dedup.py::dup_provenance_stats)."""
+    return dedup.dup_provenance_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_ops04(spark, sf_dir):
+    """Little's law conservation audit (r12): order time-in-system mass
+    computed two independent ways — per order (Σ days open) and per day
+    (the ops02 backlog sweep integrated over the horizon) — which must
+    agree EXACTLY; emits both plus the L and W micro rates
+    (operators/timeseries.py::littles_law_check)."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        littles_law_check,
+    )
+
+    epoch = F.lit("1970-01-01")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), epoch).cast("long").alias(
+            "start_day"
+        ),
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.max(
+                F.datediff(F.col("l_shipdate"), epoch).cast("long")
+            ).alias("end_day")
+        )
+    )
+    iv = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "start_day", "end_day"
+    )
+    return littles_law_check(iv)
+
+
+def q_ca04(spark, sf_dir):
+    """Inter-purchase cadence (r12): exact nearest-rank median and P90
+    of the day gaps between a customer's consecutive orders, per market
+    segment — the repeat-cycle clock next to ca01's recency bins.
+    Bounded-domain selection over the (gap → count) table, no global
+    rank (operators/product_analytics.py::inter_purchase_gap_stats)."""
+    from learn_etl_data_warehouse_spark.operators.product_analytics import (
+        inter_purchase_gap_stats,
+    )
+
+    epoch = F.lit("1970-01-01")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    df = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_custkey").alias("cust"),
+        F.datediff(F.col("o_orderdate"), epoch).cast("long").alias("day"),
+        F.col("o_orderkey").alias("oid"),
+    )
+    return inter_purchase_gap_stats(df)
+
+
+def q_ivm04(spark, sf_dir):
+    """Maintained TOP-K view (r12): completes the IVM family's ranking
+    case — the state is the full entity-grain sum table (a top-k view
+    can't maintain just k rows: an outsider can climb on any insert),
+    maintained additively through a scripted insert+delete txn; the
+    view derives by per-group rank. Positive-measure contract: zero
+    sum ⇔ no live rows, so zero rows drop exactly
+    (operators/rollups.py::topk_sums_state/maintain_topk_sums/
+    topk_from_sums). Oracle ranks the post-txn row set directly."""
+    from learn_etl_data_warehouse_spark.operators.rollups import (
+        maintain_topk_sums,
+        topk_from_sums,
+        topk_sums_state,
+    )
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "cents", F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    )
+    base = o.filter(F.col("o_orderkey") % 10 < 7)
+    ins = o.filter(F.col("o_orderkey") % 10 >= 7).withColumn(
+        "_change_type", F.lit("insert")
+    )
+    dele = base.filter(F.col("o_orderkey") % 100 < 10).withColumn(
+        "_change_type", F.lit("delete")
+    )
+    state = topk_sums_state(base, "o_orderpriority", "o_custkey", "cents")
+    state = maintain_topk_sums(
+        state, ins.unionByName(dele), "o_orderpriority", "o_custkey",
+        "cents",
+    )
+    return topk_from_sums(state, "o_orderpriority", "o_custkey", k=3)
+
+
+def q_pf13(spark, sf_dir):
+    """Declarative format-rule audit (r12, the dbt-tests analog): five
+    anchored-pattern / set-membership / JSON-key rules across four
+    tables, each one narrow agg; NULL fails the rule (a value you
+    cannot evaluate has not passed)
+    (operators/profiling.py::format_rules_audit)."""
+    from learn_etl_data_warehouse_spark.operators.profiling import (
+        format_rules_audit,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    events = _t(spark, sf_dir, "events")
+    docs = _t(spark, sf_dir, "documents")
+    rules = [
+        (
+            "orders_priority_format",
+            orders,
+            F.col("o_orderpriority").rlike("^[1-5]-[A-Z ]+$"),
+        ),
+        (
+            "customer_name_format",
+            customer,
+            F.col("c_name").rlike("^Customer#[0-9]{9}$"),
+        ),
+        (
+            "documents_lang_known",
+            docs,
+            F.col("lang").isin("de", "en", "es", "fr", "zh"),
+        ),
+        (
+            "documents_text_nonblank",
+            docs,
+            F.trim(F.col("text")) != "",
+        ),
+        (
+            "events_props_has_k",
+            events,
+            F.get_json_object(F.col("props"), "$.k").isNotNull(),
+        ),
+    ]
+    return format_rules_audit(rules)
+
+
 def q_pm05(spark, sf_dir):
     """Process rework metrics (r11): per activity, how many actors
     re-execute it (rework) and how often it immediately repeats
@@ -6018,6 +6198,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    window per the steady-state policy) ------------------------
         "s15_ivf_recall_audit": q_s15,
         "s16_pq_recall_audit": q_s16,
+        "st08_mann_kendall": q_st08,
+        "fc07_hw_mase": q_fc07,
+        "t35_zipf_buckets": q_t35,
+        "d39_dup_provenance": q_d39,
+        "ops04_littles_law": q_ops04,
+        "ca04_purchase_gaps": q_ca04,
+        "ivm04_maintained_topk": q_ivm04,
+        "pf13_format_rules": q_pf13,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept last
         "e22_rolling_distinct_hll": q_e22,
@@ -11183,4 +11371,227 @@ SELECT CAST(a.n_codes AS BIGINT) AS n_codes,
          AS recall_ppm
 FROM adck a JOIN exact x ON x.qid = a.qid AND x.vid = a.vid
 GROUP BY a.n_codes"""
+    # st08: pairwise sign sum over the calendar-bounded hourly grid
+    # (the e28 self-join) + tie-corrected variance numerator, undivided.
+    out["st08_mann_kendall"] = """
+WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                  CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+s AS (SELECT a.event_type,
+             CAST(sum(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END)
+                  AS BIGINT) AS s_stat
+      FROM h a JOIN h b
+        ON a.event_type = b.event_type AND a.hr < b.hr
+      GROUP BY 1),
+tg AS (SELECT event_type, x, CAST(count(*) AS BIGINT) AS t
+       FROM h GROUP BY 1, 2),
+tt AS (SELECT event_type, CAST(sum(t) AS BIGINT) AS n,
+              CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+       FROM tg GROUP BY 1)
+SELECT s.event_type, tt.n AS n_hours, s.s_stat,
+       CAST(tt.n * (tt.n - 1) * (2 * tt.n + 5) - tt.tie_term
+            AS BIGINT) AS var18_numer
+FROM s JOIN tt ON tt.event_type = s.event_type"""
+    # fc07: fc06's recursive HW CTE restricted to the TRAIN window
+    # (string surgery on the shipped SQL — the d25/e33 nesting
+    # pattern), then holdout scoring vs seasonal-naive.
+    _fc06_h0 = """h0 AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+              CAST(count(*) AS BIGINT) AS x
+       FROM events GROUP BY 1, 2),"""
+    assert _fc06_h0 in out["fc06_holt_winters"]
+    _fc06_train = out["fc06_holt_winters"].replace(
+        _fc06_h0,
+        """hall0 AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+              CAST(count(*) AS BIGINT) AS x
+       FROM events GROUP BY 1, 2),
+cutt AS (SELECT event_type, max(hr) - 24 AS cut FROM hall0 GROUP BY 1),
+h0 AS (SELECT hall0.event_type, hall0.hr, hall0.x
+       FROM hall0 JOIN cutt ON cutt.event_type = hall0.event_type
+       WHERE hall0.hr <= cutt.cut),""",
+        1,
+    )
+    out["fc07_hw_mase"] = f"""
+WITH hwt AS (SELECT * FROM ({_fc06_train})),
+hall AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                CAST(count(*) AS BIGINT) AS x
+         FROM events GROUP BY 1, 2),
+mx AS (SELECT event_type, max(hr) AS mxhr FROM hall GROUP BY 1),
+lastr AS (SELECT event_type, hr AS last_hr, level_micro AS l,
+                 trend_micro AS b
+          FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                             ORDER BY hr DESC) AS rn
+                FROM hwt) WHERE rn = 1),
+slot AS (SELECT event_type, hr % 24 AS slot, season_micro AS sv
+         FROM (SELECT *, row_number() OVER (
+                   PARTITION BY event_type, hr % 24
+                   ORDER BY hr DESC) AS rn
+               FROM hwt) WHERE rn = 1),
+hold AS (SELECT m.event_type, m.mxhr - 23 + t.s AS hr
+         FROM mx m, LATERAL (SELECT unnest(generate_series(0, 23)) AS s) t),
+sc AS (SELECT hd.event_type, hd.hr,
+              coalesce(a.x, 0) AS x, coalesce(p.x, 0) AS x24,
+              l.l + (hd.hr - l.last_hr) * l.b + coalesce(s.sv, 0) AS fhat
+       FROM hold hd
+       JOIN lastr l ON l.event_type = hd.event_type
+       LEFT JOIN hall a ON a.event_type = hd.event_type AND a.hr = hd.hr
+       LEFT JOIN hall p ON p.event_type = hd.event_type
+                        AND p.hr = hd.hr - 24
+       LEFT JOIN slot s ON s.event_type = hd.event_type
+                        AND s.slot = hd.hr % 24)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_holdout,
+       CAST(sum(abs(x * 1000000 - fhat)) AS BIGINT) AS sae_hw_micro,
+       CAST(sum(abs(x - x24) * 1000000) AS BIGINT) AS sae_naive_micro,
+       CASE WHEN CAST(sum(abs(x - x24) * 1000000) AS BIGINT) > 0
+            THEN CAST((1000000 * CAST(sum(abs(x * 1000000 - fhat))
+                                      AS BIGINT))
+                      // CAST(sum(abs(x - x24) * 1000000) AS BIGINT)
+                      AS BIGINT)
+            END AS mase_ppm
+FROM sc GROUP BY 1"""
+    # t35: frequency-grain rank-interval overlap — the run of rank
+    # order at frequency f is the closed interval
+    # [before_f + 1, before_f + cnt_f]; buckets are decimal decades.
+    out["t35_zipf_buckets"] = f"""
+WITH w0 AS (SELECT unnest({_TOKS_L}) AS w FROM documents),
+wc AS (SELECT w, CAST(count(*) AS BIGINT) AS f
+       FROM w0 WHERE w <> '' GROUP BY 1),
+fr AS (SELECT f, CAST(count(*) AS BIGINT) AS cnt FROM wc GROUP BY 1),
+rn AS (SELECT f, cnt,
+              CAST(coalesce(sum(cnt) OVER (ORDER BY f DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS bef
+       FROM fr),
+bk AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS rank_bucket),
+ov AS (SELECT b.rank_bucket, r.f,
+              least(CAST(power(10, b.rank_bucket) AS BIGINT) - 1,
+                    r.bef + r.cnt)
+              - greatest(CAST(power(10, b.rank_bucket - 1) AS BIGINT),
+                         r.bef + 1) + 1 AS n
+       FROM bk b CROSS JOIN rn r)
+SELECT CAST(rank_bucket AS BIGINT) AS rank_bucket,
+       CAST(sum(n) AS BIGINT) AS n_types,
+       CAST(sum(n * f) AS BIGINT) AS sum_freq
+FROM ov WHERE n > 0 GROUP BY 1"""
+    # d39: same normalized-text dup classes as d01 (md5 grouping and
+    # direct text grouping induce identical classes).
+    out["d39_dup_provenance"] = f"""
+WITH g AS (SELECT {_NORM_TEXT} AS nt, CAST(count(*) AS BIGINT) AS n,
+                  CAST(count(DISTINCT source) AS BIGINT) AS ns
+           FROM documents GROUP BY 1 HAVING count(*) > 1)
+SELECT CASE WHEN ns > 1 THEN 'cross_source'
+            ELSE 'within_source' END AS scope,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(n - 1) AS BIGINT) AS n_dup_docs,
+       CAST(sum(n) AS BIGINT) AS n_docs
+FROM g GROUP BY 1"""
+    # ops04: ops02's sweep integrated over the horizon vs the per-order
+    # mass — exact conservation by construction.
+    out["ops04_littles_law"] = """
+WITH o AS (SELECT o_orderkey,
+                  epoch_us(o_orderdate) // 86400000000 AS sd
+           FROM orders),
+l AS (SELECT l_orderkey,
+             max(epoch_us(l_shipdate) // 86400000000) AS ed
+      FROM lineitem GROUP BY 1),
+iv AS (SELECT sd, ed FROM o JOIN l ON o_orderkey = l_orderkey),
+per AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(ed - sd + 1) AS BIGINT) AS tis,
+               CAST(max(ed) - min(sd) + 1 AS BIGINT) AS hz
+        FROM iv),
+d AS (SELECT day, CAST(sum(dd) AS BIGINT) AS net
+      FROM (SELECT sd AS day, 1 AS dd FROM iv
+            UNION ALL SELECT ed + 1, -1 FROM iv)
+      GROUP BY 1),
+r AS (SELECT day,
+             sum(net) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND CURRENT ROW) AS open_c,
+             lead(day) OVER (ORDER BY day) AS nxt
+      FROM d),
+ar AS (SELECT CAST(coalesce(sum(open_c * (nxt - day)), 0) AS BIGINT)
+                AS area FROM r)
+SELECT per.n AS n_intervals, per.hz AS horizon_days,
+       per.tis AS sum_time_in_system_days,
+       ar.area AS backlog_area_days,
+       CAST((1000000 * ar.area) // per.hz AS BIGINT) AS avg_backlog_micro,
+       CAST((1000000 * per.tis) // per.n AS BIGINT)
+         AS avg_time_in_system_micro
+FROM per, ar"""
+    # ca04: bounded-domain nearest-rank selection (a20's ceil rank) on
+    # the per-segment (gap -> count) table.
+    out["ca04_purchase_gaps"] = """
+WITH b AS (SELECT c.c_mktsegment AS seg, o.o_custkey AS cst,
+                  epoch_us(o.o_orderdate) // 86400000000 AS d,
+                  o.o_orderkey AS i
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+g AS (SELECT seg,
+             d - lag(d) OVER (PARTITION BY cst ORDER BY d, i) AS gap
+      FROM b),
+cnts AS (SELECT seg, gap, CAST(count(*) AS BIGINT) AS cnt
+         FROM g WHERE gap IS NOT NULL GROUP BY 1, 2),
+cum AS (SELECT seg, gap,
+               sum(cnt) OVER (PARTITION BY seg ORDER BY gap
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND
+                              CURRENT ROW) AS cum,
+               sum(cnt) OVER (PARTITION BY seg) AS n
+        FROM cnts)
+SELECT seg AS segment, CAST(max(n) AS BIGINT) AS n_gaps,
+       CAST(min(CASE WHEN cum >= (50 * n + 99) // 100 THEN gap END)
+            AS BIGINT) AS median_gap_days,
+       CAST(min(CASE WHEN cum >= (90 * n + 99) // 100 THEN gap END)
+            AS BIGINT) AS p90_gap_days
+FROM cum GROUP BY 1"""
+    # ivm04: the oracle ranks the post-txn row set directly (the
+    # ivm01/ivm03 convention).
+    out["ivm04_maintained_topk"] = """
+WITH live AS (SELECT * FROM orders
+              WHERE (o_orderkey % 10 < 7 AND o_orderkey % 100 >= 10)
+                 OR o_orderkey % 10 >= 7),
+s AS (SELECT o_orderpriority, o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS val
+      FROM live GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY val DESC, o_custkey ASC)
+        AS rnk
+      FROM s)
+SELECT o_orderpriority, o_custkey, val, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 3"""
+    # pf13: one agg per rule; CASE's NULL->ELSE matches Spark's
+    # when/otherwise, so NULL fails in both engines.
+    _pf13_parts = []
+    for _name, _tbl, _pass in [
+        (
+            "orders_priority_format",
+            "orders",
+            "regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')",
+        ),
+        (
+            "customer_name_format",
+            "customer",
+            "regexp_matches(c_name, '^Customer#[0-9]{9}$')",
+        ),
+        (
+            "documents_lang_known",
+            "documents",
+            "lang IN ('de', 'en', 'es', 'fr', 'zh')",
+        ),
+        ("documents_text_nonblank", "documents", "trim(text) <> ''"),
+        (
+            "events_props_has_k",
+            "events",
+            "json_extract(props, '$.k') IS NOT NULL",
+        ),
+    ]:
+        _pf13_parts.append(
+            f"""SELECT '{_name}' AS rule, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN {_pass} THEN 0 ELSE 1 END) AS BIGINT) AS n_fail,
+       CASE WHEN count(*) > 0
+            THEN CAST((1000000 * CAST(sum(CASE WHEN {_pass} THEN 0
+                                          ELSE 1 END) AS BIGINT))
+                      // count(*) AS BIGINT) END AS fail_ppm
+FROM {_tbl}"""
+        )
+    out["pf13_format_rules"] = "\nUNION ALL\n".join(_pf13_parts)
     return out

@@ -103,6 +103,8 @@ HEADLINE = [
     "fc05_holt_linear",
     "d38_lsh_band_scurve",
     "pm04_conformance_fitness",
+    "s15_ivf_recall_audit",
+    "fc07_hw_mase",
 ]
 
 # Reference-parity ETL (EP1 at shard grain): not a queries() entry — it

@@ -1955,3 +1955,47 @@ def novelty_against_index(
             .alias("novelty_ppm"),
         )
     )
+
+
+def dup_provenance_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Duplicate PROVENANCE audit (d39): of the exact-duplicate classes
+    :func:`dedup_exact` collapses, how many live inside one source vs
+    span sources — the diagnostic that tells a curation run whether its
+    duplication is a per-source crawl artifact (fix the feed) or
+    cross-source syndication (dedup is doing real work). Same
+    fingerprint grain as the dedup pass, so the numbers reconcile with
+    it exactly: Σ n_dup_docs over both rows = docs dropped by
+    dedup_exact.
+
+    One fingerprint shuffle + a bounded 2-row output:
+    (scope 'within_source'|'cross_source', n_groups, n_dup_docs,
+    n_docs) — n_dup_docs counts the non-keeper members, n_docs all
+    members of duplicate classes."""
+    g = (
+        docs.withColumn("_fp", fingerprint(text_col))
+        .groupBy("_fp")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.countDistinct(source_col).alias("_ns"),
+        )
+        .filter(F.col("_n") > 1)
+    )
+    return (
+        g.select(
+            F.when(F.col("_ns") > 1, F.lit("cross_source"))
+            .otherwise(F.lit("within_source"))
+            .alias("scope"),
+            "_n",
+        )
+        .groupBy("scope")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum(F.col("_n") - 1).cast("long").alias("n_dup_docs"),
+            F.sum("_n").cast("long").alias("n_docs"),
+        )
+    )

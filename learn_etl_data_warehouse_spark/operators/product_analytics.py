@@ -544,3 +544,85 @@ def mix_shift_decomposition(
         vol.alias("volume_effect"),
         (delta - vol).cast("long").alias("rate_effect"),
     )
+
+
+def inter_purchase_gap_stats(
+    df: DataFrame,
+    segment_col: str = "segment",
+    cust_col: str = "cust",
+    day_col: str = "day",
+    id_col: str = "oid",
+) -> DataFrame:
+    """Inter-purchase cadence per segment (ca04): exact nearest-rank
+    MEDIAN and P90 of the day gaps between a customer's consecutive
+    orders — the repeat-cycle number CRM reorder nudges and stock
+    planning key on (ca01 bins recency once; this measures the
+    customer clock itself).
+
+    Gaps come from one lag under the per-customer total order
+    (day, id — same-day orders gap 0, deterministic); quantiles use
+    BOUNDED-DOMAIN selection: gaps are integer days bounded by the
+    calendar horizon, so per segment the (gap -> count) table is a
+    few-thousand-row frame and the nearest-rank walk is a cumsum over
+    it — no per-row global rank anywhere (the a28/st06 selection
+    posture). Rank convention is a20's ceil form: value at rank
+    (q·n + 99) div 100.
+
+    Returns (segment, n_gaps, median_gap_days, p90_gap_days)."""
+    w = Window.partitionBy(cust_col).orderBy(
+        F.col(day_col).asc(), F.col(id_col).asc()
+    )
+    gaps = (
+        df.select(
+            F.col(segment_col).alias("_seg"),
+            F.col(cust_col).alias("_c"),
+            F.col(day_col).alias("_d"),
+            F.col(id_col).alias("_i"),
+        )
+        .select(
+            "_seg",
+            (F.col("_d") - F.lag("_d").over(
+                Window.partitionBy("_c").orderBy(
+                    F.col("_d").asc(), F.col("_i").asc()
+                )
+            )).alias("_gap"),
+        )
+        .filter(F.col("_gap").isNotNull())
+    )
+    counts = gaps.groupBy("_seg", "_gap").agg(
+        F.count(F.lit(1)).cast("long").alias("_cnt")
+    )
+    ws = Window.partitionBy("_seg").orderBy("_gap").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.partitionBy("_seg")
+    cum = counts.select(
+        "_seg",
+        "_gap",
+        F.sum("_cnt").over(ws).alias("_cum"),
+        F.sum("_cnt").over(wn).alias("_n"),
+    )
+    return (
+        cum.groupBy("_seg")
+        .agg(
+            F.max("_n").cast("long").alias("n_gaps"),
+            F.min(
+                F.when(
+                    F.col("_cum") >= F.expr("(50 * _n + 99) div 100"),
+                    F.col("_gap"),
+                )
+            ).cast("long").alias("median_gap_days"),
+            F.min(
+                F.when(
+                    F.col("_cum") >= F.expr("(90 * _n + 99) div 100"),
+                    F.col("_gap"),
+                )
+            ).cast("long").alias("p90_gap_days"),
+        )
+        .select(
+            F.col("_seg").alias("segment"),
+            "n_gaps",
+            "median_gap_days",
+            "p90_gap_days",
+        )
+    )

@@ -596,3 +596,42 @@ def relationship_profile(
         "left_orphan_keys",
         "right_orphan_keys",
     )
+
+
+def format_rules_audit(rules) -> DataFrame:
+    """Declarative FORMAT-RULE audit (pf13, the dbt-tests analog):
+    ``rules`` is a list of (rule_name, frame, pass_condition Column);
+    each rule contributes one row (rule, n, n_fail, fail_ppm). A NULL
+    condition FAILS the rule (the dbt convention — a value you cannot
+    even evaluate has not passed), via the when().otherwise(1) shape.
+
+    One narrow aggregation per rule, no shuffle beyond each frame's
+    own agg; output bounded by the rule list. fail_ppm is NULL for an
+    empty frame (no honest rate), never a division error."""
+    parts = []
+    for name, df, cond in rules:
+        parts.append(
+            df.agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(
+                    F.when(cond, F.lit(0)).otherwise(F.lit(1))
+                )
+                .cast("long")
+                .alias("n_fail"),
+            ).select(
+                F.lit(name).alias("rule"),
+                "n",
+                F.coalesce(F.col("n_fail"), F.lit(0)).alias("n_fail"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "rule",
+        "n",
+        "n_fail",
+        F.when(
+            F.col("n") > 0, F.expr("(1000000 * n_fail) div n")
+        ).cast("long").alias("fail_ppm"),
+    )

@@ -394,3 +394,87 @@ def distinct_count_view(state: DataFrame) -> DataFrame:
     return state.groupBy("grp").agg(
         F.count(F.lit(1)).cast("long").alias("n_distinct")
     )
+
+
+def topk_sums_state(
+    df: DataFrame, group_cols, entity_cols, val_col: str
+) -> DataFrame:
+    """Entity-grain additive state behind a MAINTAINED TOP-K view
+    (ivm04): per (group, entity) the summed value. A top-k view cannot
+    maintain just its k rows — an entity outside the k can climb past
+    a member on any insert — so the honest state is the full
+    entity-grain sum table (the classic ranking-view IVM result), and
+    it IS additive: inserts merge by addition, deletes by negation.
+    Derive the view with :func:`topk_from_sums` (rank is
+    change-cheap: only groups TOUCHED by a delta need re-ranking at
+    refresh time)."""
+    g = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    e = [entity_cols] if isinstance(entity_cols, str) else list(entity_cols)
+    return df.groupBy(*(g + e)).agg(
+        F.sum(val_col).cast("long").alias("val")
+    )
+
+
+def maintain_topk_sums(
+    state: DataFrame, delta: DataFrame, group_cols, entity_cols,
+    val_col: str
+) -> DataFrame:
+    """Fold a CDF delta (rows carrying ``_change_type``
+    'insert'|'delete') into the entity-grain sum state: signed
+    additive merge; entities whose sum returns to 0 AND were fully
+    deleted remain as zero rows only if still present — zero-sum rows
+    with no remaining contribution are dropped to keep the state
+    proportional to LIVE entities."""
+    g = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    e = [entity_cols] if isinstance(entity_cols, str) else list(entity_cols)
+    signed = delta.select(
+        *(g + e),
+        (
+            F.when(F.col("_change_type") == "delete", -F.col(val_col))
+            .otherwise(F.col(val_col))
+        ).alias("_v"),
+        F.when(F.col("_change_type") == "delete", F.lit(-1))
+        .otherwise(F.lit(1))
+        .alias("_n"),
+    ).groupBy(*(g + e)).agg(
+        F.sum("_v").cast("long").alias("_dv"),
+        F.sum("_n").cast("long").alias("_dn"),
+    )
+    merged = (
+        state.select(*(g + e), F.col("val").alias("_sv"))
+        .join(signed.drop("_dn"), g + e, "full_outer")
+        .select(
+            *(g + e),
+            (
+                F.coalesce(F.col("_sv"), F.lit(0))
+                + F.coalesce(F.col("_dv"), F.lit(0))
+            ).cast("long").alias("val"),
+        )
+    )
+    # POSITIVE-measure contract (revenue cents, counts): an entity's
+    # sum is 0 iff it has no live rows, so dropping zero rows keeps
+    # state == topk_sums_state(live rows) EXACTLY (conformance-
+    # tested). A measure that can go negative would need per-entity
+    # row counts to distinguish "nets to zero" from "gone" — refuse
+    # that case at the call site, don't silently extend this.
+    return merged.filter(F.col("val") != 0)
+
+
+def topk_from_sums(
+    state: DataFrame, group_cols, entity_cols, k: int = 3
+) -> DataFrame:
+    """Derive the TOP-K ranking view from the entity-grain sum state:
+    rank by (val desc, entity asc) per group, keep k. Deterministic
+    under value ties; at refresh time only groups touched by a delta
+    need this window (change-cheap), and each group's frame is its
+    own entity set — no global order anywhere."""
+    g = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    e = [entity_cols] if isinstance(entity_cols, str) else list(entity_cols)
+    w = Window.partitionBy(*g).orderBy(
+        F.desc("val"), *[F.asc(c) for c in e]
+    )
+    return (
+        state.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= int(k))
+        .select(*(g + e), "val", F.col("rnk").cast("long").alias("rnk"))
+    )

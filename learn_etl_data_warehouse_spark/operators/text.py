@@ -1672,3 +1672,69 @@ def stem_stats(
             .alias("reduction_ppm"),
         )
     )
+
+
+def zipf_bucket_stats(docs: DataFrame, max_bucket: int = 7) -> DataFrame:
+    """ZIPF rank-bucket profile of the corpus vocabulary (t35): how
+    many word types and how much token mass sit at ranks 1-9, 10-99,
+    100-999, ... — the log-log rank/frequency skeleton a curation run
+    eyeballs for naturalness (a Zipfian corpus loses mass smoothly per
+    decade; template/boilerplate corpora pile types into one decade).
+
+    NO global per-word rank is materialized (the t26 discipline): a
+    frequency-f run of the descending rank order occupies the CLOSED
+    rank interval [before_f + 1, before_f + cnt_f] where before_f =
+    #types with higher frequency — so bucket membership is interval
+    overlap at FREQUENCY GRAIN (distinct frequency values, O(√tokens)
+    many), and the word-level tie order inside a run can't matter
+    because buckets only count types. One word agg + one bounded
+    freq-grain window + a 7-row bucket explode.
+
+    Returns (rank_bucket, n_types, sum_freq): rank_bucket = decimal
+    digit count of the rank (rank 1-9 -> 1, 10-99 -> 2, ...), buckets
+    with no types omitted."""
+    words = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("_f"))
+    )
+    freqs = words.groupBy("_f").agg(
+        F.count(F.lit(1)).cast("long").alias("_cnt")
+    )
+    wf = Window.orderBy(F.desc("_f")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    runs = freqs.select(
+        "_f",
+        "_cnt",
+        F.coalesce(F.sum("_cnt").over(wf), F.lit(0)).alias("_before"),
+    )
+    b = runs.sparkSession.range(1, int(max_bucket) + 1).select(
+        F.col("id").alias("rank_bucket")
+    )
+    lo = F.expr("CAST(power(10, rank_bucket - 1) AS BIGINT)")
+    hi = F.expr("CAST(power(10, rank_bucket) AS BIGINT) - 1")
+    overlap = (
+        F.least(hi, F.col("_before") + F.col("_cnt"))
+        - F.greatest(lo, F.col("_before") + 1)
+        + 1
+    )
+    return (
+        runs.join(F.broadcast(b))
+        .select(
+            "rank_bucket",
+            "_f",
+            F.when(overlap > 0, overlap).otherwise(F.lit(0)).alias("_n"),
+        )
+        .filter(F.col("_n") > 0)
+        .groupBy("rank_bucket")
+        .agg(
+            F.sum("_n").cast("long").alias("n_types"),
+            F.sum(F.col("_n") * F.col("_f")).cast("long").alias("sum_freq"),
+        )
+    )

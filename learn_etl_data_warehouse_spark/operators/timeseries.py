@@ -1469,3 +1469,243 @@ def holt_winters_continue(
         F.col("_z._h.b").cast("long").alias("trend_micro"),
         F.col("_z._h.su").cast("long").alias("season_micro"),
     )
+
+
+def mann_kendall(hourly: DataFrame, key: str = "event_type") -> DataFrame:
+    """MANN–KENDALL trend test per key over the observed hourly grid —
+    the nonparametric significance companion to :func:`theilsen_trend`
+    (same pairwise geometry: Theil–Sen estimates the slope, the MK S
+    statistic says whether a monotone trend exists at all).
+
+    Pure integers end to end: ``S = Σ_{i<j} sign(x_j − x_i)`` over
+    time-ordered pairs, and the variance's NUMERATOR kept undivided
+    (the fc02 signed-sum discipline) —
+
+        var18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)
+
+    over the tie groups t (hours sharing a count value); the consumer
+    divides by 18 and square-roots in its own float world. No float,
+    no sign-division anywhere.
+
+    Scale shape: the pair join is the e28/theilsen calendar-bounded
+    grid self-join — O(T²) per key where T is the HOUR COUNT of the
+    time span, independent of corpus row volume; tie groups are one
+    value-grain agg. Returns (key, n_hours, s_stat, var18_numer)."""
+    a = hourly.select(
+        F.col(key), F.col("hr").alias("_ah"), F.col("x").alias("_ax")
+    )
+    b = hourly.select(
+        F.col(key).alias("_bk"),
+        F.col("hr").alias("_bh"),
+        F.col("x").alias("_bx"),
+    )
+    s = (
+        a.join(
+            b, (F.col(key) == F.col("_bk")) & (F.col("_ah") < F.col("_bh"))
+        )
+        .select(
+            key,
+            F.when(F.col("_bx") > F.col("_ax"), F.lit(1))
+            .when(F.col("_bx") < F.col("_ax"), F.lit(-1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("_sgn"),
+        )
+        .groupBy(key)
+        .agg(F.sum("_sgn").cast("long").alias("s_stat"))
+    )
+    ties = (
+        hourly.groupBy(key, "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("_t"))
+        .groupBy(key)
+        .agg(
+            F.sum(F.lit(1)).cast("long").alias("_ngroups"),
+            F.sum("_t").cast("long").alias("n_hours"),
+            F.sum(
+                F.col("_t")
+                * (F.col("_t") - 1)
+                * (2 * F.col("_t") + 5)
+            )
+            .cast("long")
+            .alias("_tie_term"),
+        )
+    )
+    return (
+        s.join(ties, key)
+        .select(
+            key,
+            "n_hours",
+            "s_stat",
+            (
+                F.col("n_hours")
+                * (F.col("n_hours") - 1)
+                * (2 * F.col("n_hours") + 5)
+                - F.col("_tie_term")
+            )
+            .cast("long")
+            .alias("var18_numer"),
+        )
+    )
+
+
+def hw_mase_backtest(
+    hourly: DataFrame, key: str = "event_type", period: int = 24
+) -> DataFrame:
+    """MASE backtest of the Holt–Winters forecaster (fc07): hold out
+    each key's trailing ``period`` hours (dense), fit
+    :func:`holt_winters_smooth` on the rest, score the multi-step
+    forecast ``level + h·trend + s[hod]`` against actuals, and scale
+    by the SEASONAL-NAIVE error (|x_t − x_{t−period}| over the same
+    holdout) — the standard scale-free forecast-accuracy number
+    (Hyndman's MASE, seasonal-naive variant on the holdout window).
+
+    Integer discipline: both error masses stay UNDIVIDED micro sums
+    (the fc02 rule — a signed division would hit the truncate/floor
+    trap); the single ratio is non-negative ``(1e6·sae_hw) div
+    sae_naive``, NULL when the naive error is zero (a perfectly
+    seasonal holdout has no honest scale). Forecast arithmetic is
+    signed multiply-add only.
+
+    Returns (key, n_holdout, sae_hw_micro, sae_naive_micro, mase_ppm):
+    mase_ppm < 1e6 means HW beats seasonal-naive on the holdout.
+    Calendar-bounded throughout (the e28/fc06 grid posture)."""
+    p = int(period)
+    mx = hourly.groupBy(key).agg(F.max("hr").alias("_mx"))
+    train = (
+        hourly.join(mx, key)
+        .filter(F.col("hr") <= F.col("_mx") - p)
+        .select(key, "hr", "x")
+    )
+    state = hw_final_state(
+        holt_winters_smooth(train, key, p), key, p
+    )
+    hold = mx.select(
+        key,
+        "_mx",
+        F.explode(
+            F.sequence(F.col("_mx") - (p - 1), F.col("_mx"))
+        ).alias("hr"),
+    )
+    act = (
+        hold.join(hourly, [key, "hr"], "left")
+        .select(key, "hr", F.coalesce("x", F.lit(0)).cast("long").alias("x"))
+    )
+    prev = hourly.select(
+        F.col(key),
+        (F.col("hr") + p).alias("hr"),
+        F.col("x").alias("_x24"),
+    )
+    scored = (
+        act.join(prev, [key, "hr"], "left")
+        .join(state, key)
+        .select(
+            key,
+            "hr",
+            "x",
+            F.coalesce("_x24", F.lit(0)).cast("long").alias("x24"),
+            (
+                F.col("level_micro")
+                + (F.col("hr") - F.col("last_hr")) * F.col("trend_micro")
+                + F.element_at(
+                    F.col("season"),
+                    (F.pmod(F.col("hr"), F.lit(p)) + 1).cast("int"),
+                )
+            ).cast("long").alias("fhat"),
+        )
+    )
+    return (
+        scored.groupBy(key)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_holdout"),
+            F.sum(F.abs(F.col("x") * 1_000_000 - F.col("fhat")))
+            .cast("long")
+            .alias("sae_hw_micro"),
+            F.sum(F.abs(F.col("x") - F.col("x24")) * 1_000_000)
+            .cast("long")
+            .alias("sae_naive_micro"),
+        )
+        .select(
+            key,
+            "n_holdout",
+            "sae_hw_micro",
+            "sae_naive_micro",
+            F.when(
+                F.col("sae_naive_micro") > 0,
+                F.expr("(1000000 * sae_hw_micro) div sae_naive_micro"),
+            ).cast("long").alias("mase_ppm"),
+        )
+    )
+
+
+def littles_law_check(intervals: DataFrame) -> DataFrame:
+    """LITTLE'S LAW conservation audit (ops04) over (start_day,
+    end_day) inclusive service intervals: time-in-system mass computed
+    TWO independent ways —
+
+    - per entity: Σ (end − start + 1)
+    - per day: the backlog sweep integrated over the horizon
+      (±1 deltas at start / end+1, cumulative count × run length
+      between change days)
+
+    — which must agree EXACTLY (each interval contributes exactly its
+    own days to the area), giving L = λ·W in undivided integer form:
+    backlog_area = sum_time_in_system, so avg_backlog = (n/horizon) ×
+    (area/n). The audit emits both masses plus the two micro rates; a
+    mismatch means interval data is corrupt (end < start, double
+    counting), which is the point of computing both sides.
+
+    Scale shape: one hash agg for the per-entity mass, the sweep is
+    the ops02 ±1-delta pattern — an interval spanning years costs two
+    delta rows; the cumsum window runs over CHANGE DAYS (calendar-
+    bounded, single partition by design like a26's bucket totals).
+    Returns ONE row: (n_intervals, horizon_days,
+    sum_time_in_system_days, backlog_area_days, avg_backlog_micro,
+    avg_time_in_system_micro)."""
+    per = intervals.agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum(F.col("end_day") - F.col("start_day") + 1)
+        .cast("long")
+        .alias("sum_time_in_system_days"),
+        (F.max("end_day") - F.min("start_day") + 1)
+        .cast("long")
+        .alias("horizon_days"),
+    )
+    deltas = (
+        intervals.select(
+            F.col("start_day").alias("day"), F.lit(1).alias("_d")
+        )
+        .unionByName(
+            intervals.select(
+                (F.col("end_day") + 1).alias("day"),
+                F.lit(-1).alias("_d"),
+            )
+        )
+        .groupBy("day")
+        .agg(F.sum("_d").alias("_net"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    runs = deltas.select(
+        "day",
+        F.sum("_net").over(w).alias("_open"),
+        F.lead("day").over(Window.orderBy("day")).alias("_next"),
+    )
+    area = runs.agg(
+        F.coalesce(
+            F.sum(F.col("_open") * (F.col("_next") - F.col("day"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("backlog_area_days")
+    )
+    return per.join(area).select(
+        "n_intervals",
+        "horizon_days",
+        "sum_time_in_system_days",
+        "backlog_area_days",
+        F.expr("(1000000 * backlog_area_days) div horizon_days")
+        .cast("long")
+        .alias("avg_backlog_micro"),
+        F.expr("(1000000 * sum_time_in_system_days) div n_intervals")
+        .cast("long")
+        .alias("avg_time_in_system_micro"),
+    )

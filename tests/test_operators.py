@@ -5580,3 +5580,210 @@ def test_pq_adc_recall_audit_grid(spark, sf_small):
         .collect()
     )
     assert [(r["l2"], r["vec_id"]) for r in got] == truth
+
+
+def test_mann_kendall_python_model(spark):
+    """r12: st08 — S and the tie-corrected variance numerator replicate
+    a brute-force Python model on a hand series with ties."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        mann_kendall,
+    )
+
+    xs = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5]
+    rows = [("k", h, x) for h, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "event_type string, hr long, x long")
+    got = mann_kendall(df).collect()[0]
+    s = sum(
+        (0 if xs[j] == xs[i] else (1 if xs[j] > xs[i] else -1))
+        for i in range(len(xs))
+        for j in range(i + 1, len(xs))
+    )
+    n = len(xs)
+    from collections import Counter
+
+    ties = Counter(xs)
+    var18 = n * (n - 1) * (2 * n + 5) - sum(
+        t * (t - 1) * (2 * t + 5) for t in ties.values()
+    )
+    assert (got["n_hours"], got["s_stat"], got["var18_numer"]) == (
+        n,
+        s,
+        var18,
+    )
+
+
+def test_littles_law_conservation(spark):
+    """r12: ops04 — backlog area integrated from the sweep equals the
+    per-interval mass exactly, including overlapping, disjoint, and
+    single-day intervals."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        littles_law_check,
+    )
+
+    iv = [(0, 4), (2, 2), (10, 12), (11, 11), (20, 20)]
+    df = spark.createDataFrame(iv, "start_day long, end_day long")
+    r = littles_law_check(df).collect()[0]
+    want_mass = sum(e - s + 1 for s, e in iv)
+    assert r["sum_time_in_system_days"] == want_mass
+    assert r["backlog_area_days"] == want_mass  # the conservation claim
+    assert r["n_intervals"] == len(iv)
+    assert r["horizon_days"] == 21
+    assert r["avg_time_in_system_micro"] == (1_000_000 * want_mass) // len(iv)
+
+
+def test_maintained_topk_matches_rebuild(spark):
+    """r12: ivm04 — the entity-grain sum state maintained through an
+    insert+delete CDF equals a rebuild on the live rows, INCLUDING an
+    outsider climbing into the top-k on insert and a member dropping
+    out on delete (the silently-unexercised-path lesson from ivm02)."""
+    from learn_etl_data_warehouse_spark.operators.rollups import (
+        maintain_topk_sums,
+        topk_from_sums,
+        topk_sums_state,
+    )
+
+    base_rows = [
+        ("g1", "a", 100), ("g1", "b", 80), ("g1", "c", 60),
+        ("g1", "d", 50), ("g1", "a", 10),
+        ("g2", "x", 5),
+    ]
+    ins_rows = [
+        ("g1", "d", 70),   # outsider climbs into top-3
+        ("g2", "y", 9),
+        ("g3", "z", 1),    # brand-new group
+    ]
+    del_rows = [
+        ("g1", "b", 80),   # member's only mass -> drops out entirely
+        ("g2", "x", 5),
+    ]
+    base = spark.createDataFrame(base_rows, "g string, e string, v long")
+    cdf = spark.createDataFrame(
+        [r + ("insert",) for r in ins_rows]
+        + [r + ("delete",) for r in del_rows],
+        "g string, e string, v long, _change_type string",
+    )
+    state = topk_sums_state(base, "g", "e", "v")
+    state = maintain_topk_sums(state, cdf, "g", "e", "v")
+    live = base_rows + ins_rows
+    for r in del_rows:
+        live.remove(r)
+    rebuilt = topk_sums_state(
+        spark.createDataFrame(live, "g string, e string, v long"),
+        "g", "e", "v",
+    )
+    assert sorted(map(tuple, state.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+    top = {
+        (r["g"], r["rnk"]): (r["e"], r["val"])
+        for r in topk_from_sums(state, "g", "e", k=3).collect()
+    }
+    # g1 live sums: a=110, d=120, c=60 (b fully deleted)
+    assert top[("g1", 1)] == ("d", 120)
+    assert top[("g1", 2)] == ("a", 110)
+    assert top[("g1", 3)] == ("c", 60)
+    assert top[("g2", 1)] == ("y", 9)
+    assert top[("g3", 1)] == ("z", 1)
+
+
+def test_zipf_bucket_stats_python_model(spark):
+    """r12: t35 — bucket type/mass counts replicate a brute-force
+    ranked model, including a frequency run straddling the 9/10 rank
+    boundary."""
+    from collections import Counter
+
+    from learn_etl_data_warehouse_spark.operators.text import (
+        zipf_bucket_stats,
+    )
+
+    # 12 distinct words: 3 with freq 5, 9 with freq 2 (the freq-2 run
+    # spans ranks 4..12 — straddles the bucket-1/bucket-2 boundary)
+    words = []
+    for i in range(3):
+        words += [f"hot{i}"] * 5
+    for i in range(9):
+        words += [f"mid{i}"] * 2
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    got = {
+        r["rank_bucket"]: (r["n_types"], r["sum_freq"])
+        for r in zipf_bucket_stats(docs).collect()
+    }
+    freqs = sorted(Counter(words).values(), reverse=True)
+    model = {}
+    for rank, f in enumerate(freqs, start=1):
+        b = len(str(rank))
+        t, m = model.get(b, (0, 0))
+        model[b] = (t + 1, m + f)
+    assert got == model
+    assert got[1] == (9, 27)   # ranks 1-9: 3 fives + 6 twos
+    assert got[2] == (3, 6)    # ranks 10-12
+
+
+def test_inter_purchase_gap_stats_hand(spark):
+    """r12: ca04 — known gaps give the a20 ceil-rank median/p90;
+    same-day orders gap 0; first orders contribute nothing."""
+    from learn_etl_data_warehouse_spark.operators.product_analytics import (
+        inter_purchase_gap_stats,
+    )
+
+    rows = []
+    # customer 1 (seg A): days 0, 10, 20, 21 -> gaps 10, 10, 1
+    for i, d in enumerate([0, 10, 20, 21]):
+        rows.append(("A", 1, d, i))
+    # customer 2 (seg A): days 5, 5 -> gap 0 (same day)
+    rows += [("A", 2, 5, 100), ("A", 2, 5, 101)]
+    # customer 3 (seg B): single order -> no gap, segment absent
+    rows += [("B", 3, 7, 200)]
+    df = spark.createDataFrame(
+        rows, "segment string, cust long, day long, oid long"
+    )
+    got = {
+        r["segment"]: (r["n_gaps"], r["median_gap_days"], r["p90_gap_days"])
+        for r in inter_purchase_gap_stats(df).collect()
+    }
+    # seg A gaps sorted: [0, 1, 10, 10]; rank_med = ceil(4*50/100) = 2
+    # -> 1; rank_p90 = ceil(4*90/100) = 4 -> 10
+    assert got == {"A": (4, 1, 10)}
+
+
+def test_format_rules_audit_null_fails(spark):
+    """r12: pf13 — a NULL condition fails the rule (dbt convention),
+    and counts are exact per rule."""
+    from learn_etl_data_warehouse_spark.operators.profiling import (
+        format_rules_audit,
+    )
+
+    df = spark.createDataFrame(
+        [("1-URGENT",), ("bogus",), (None,)], "p string"
+    )
+    out = {
+        r["rule"]: (r["n"], r["n_fail"], r["fail_ppm"])
+        for r in format_rules_audit(
+            [("prio", df, F.col("p").rlike("^[1-5]-[A-Z ]+$"))]
+        ).collect()
+    }
+    assert out == {"prio": (3, 2, 666666)}
+
+
+def test_dup_provenance_reconciles_with_dedup(spark):
+    """r12: d39 — scope classification on hand docs, and Σ n_dup_docs
+    equals exactly the rows dedup_exact drops."""
+    rows = [
+        (1, "same text", "s1"), (2, "same  TEXT ", "s1"),   # within s1
+        (3, "cross doc", "s1"), (4, "cross doc", "s2"),
+        (5, "cross doc", "s3"),                              # cross, n=3
+        (6, "unique one", "s1"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r["scope"]: (r["n_groups"], r["n_dup_docs"], r["n_docs"])
+        for r in dedup.dup_provenance_stats(docs).collect()
+    }
+    assert got == {
+        "within_source": (1, 1, 2),
+        "cross_source": (1, 2, 3),
+    }
+    dropped = docs.count() - dedup.dedup_exact(docs).count()
+    assert dropped == sum(v[1] for v in got.values())
