@@ -5540,12 +5540,15 @@ def q_t35(spark, sf_dir):
 
 
 def q_d39(spark, sf_dir):
-    """Duplicate provenance audit (r12): of the exact-dup classes d01
-    collapses, how many live inside one source vs span sources — crawl
-    artifact vs real syndication, the dedup diagnostic; reconciles
-    exactly with dedup_exact's drop count
-    (operators/dedup.py::dup_provenance_stats)."""
-    return dedup.dup_provenance_stats(_t(spark, sf_dir, "documents"))
+    """Near-dup pair provenance (r12): d02's exact n-gram Jaccard pairs
+    classified same-source vs cross-source — crawl artifact vs real
+    syndication, with fixed-point pair mass (round-6 jaccard lifted to
+    ppm). The exact-dup-grain sibling
+    (dedup.py::dup_provenance_stats, unit-tested, reconciles with
+    dedup_exact) is empty below sf0.1 on the fixtures, so the registry
+    row rides the similarity grain
+    (operators/dedup.py::neardup_pair_provenance)."""
+    return dedup.neardup_pair_provenance(_t(spark, sf_dir, "documents"))
 
 
 def q_ops04(spark, sf_dir):
@@ -11474,18 +11477,29 @@ SELECT CAST(rank_bucket AS BIGINT) AS rank_bucket,
        CAST(sum(n) AS BIGINT) AS n_types,
        CAST(sum(n * f) AS BIGINT) AS sum_freq
 FROM ov WHERE n > 0 GROUP BY 1"""
-    # d39: same normalized-text dup classes as d01 (md5 grouping and
-    # direct text grouping induce identical classes).
-    out["d39_dup_provenance"] = f"""
-WITH g AS (SELECT {_NORM_TEXT} AS nt, CAST(count(*) AS BIGINT) AS n,
-                  CAST(count(DISTINCT source) AS BIGINT) AS ns
-           FROM documents GROUP BY 1 HAVING count(*) > 1)
-SELECT CASE WHEN ns > 1 THEN 'cross_source'
-            ELSE 'within_source' END AS scope,
-       CAST(count(*) AS BIGINT) AS n_groups,
-       CAST(sum(n - 1) AS BIGINT) AS n_dup_docs,
-       CAST(sum(n) AS BIGINT) AS n_docs
-FROM g GROUP BY 1"""
+    # d39: d02's pair kernel (the shared grams_cte) + a two-sided
+    # source join; pair mass as round-6 jaccard lifted to ppm.
+    out["d39_dup_provenance"] = (
+        grams_cte
+        + """,
+p AS (SELECT id_a, id_b,
+             round(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE),
+                   6) AS jaccard
+      FROM inter JOIN sz sa ON sa.doc_id = id_a
+                 JOIN sz sb ON sb.doc_id = id_b
+      WHERE round(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE),
+                  6) >= 0.7),
+sc AS (SELECT CASE WHEN da.source = db.source THEN 'same_source'
+                   ELSE 'cross_source' END AS scope,
+              CAST(round(p.jaccard * 1000000) AS BIGINT) AS jp
+       FROM p JOIN documents da ON da.doc_id = p.id_a
+              JOIN documents db ON db.doc_id = p.id_b)
+SELECT scope, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(jp) AS BIGINT) AS sum_jacc_ppm,
+       CAST(CAST(sum(jp) AS BIGINT) // count(*) AS BIGINT)
+         AS mean_jacc_ppm
+FROM sc GROUP BY 1"""
+    )
     # ops04: ops02's sweep integrated over the horizon vs the per-order
     # mass — exact conservation by construction.
     out["ops04_littles_law"] = """

@@ -1999,3 +1999,63 @@ def dup_provenance_stats(
             F.sum("_n").cast("long").alias("n_docs"),
         )
     )
+
+
+def neardup_pair_provenance(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    n: int = 3,
+    threshold: float = 0.7,
+    max_doc_freq: int | None = 50,
+) -> DataFrame:
+    """NEAR-DUP pair provenance (d39): d02's exact n-gram Jaccard pairs
+    classified by whether they stay inside one source or cross sources —
+    crawl artifact vs genuine syndication, at the similarity grain
+    where the small corpus actually HAS structure (the exact-dup grain
+    :func:`dup_provenance_stats` audits is empty below sf0.1 on the
+    fixtures; both operators ship, this one carries the registry row).
+
+    Pair mass is kept fixed-point: each pair contributes
+    round(jaccard·1e6) ppm (the round-6 jaccard is cross-engine exact,
+    its 1e6 lift lands within 1e-10 of an integer — never a half
+    boundary), so sums are order-independent BIGINTs. Returns
+    (scope, n_pairs, sum_jacc_ppm, mean_jacc_ppm)."""
+    pairs = ngram_jaccard_pairs(
+        docs, text_col, id_col, n, threshold, max_doc_freq
+    )
+    src = docs.select(F.col(id_col), F.col(source_col))
+    sa = src.select(
+        F.col(id_col).alias("id_a"), F.col(source_col).alias("_src_a")
+    )
+    sb = src.select(
+        F.col(id_col).alias("id_b"), F.col(source_col).alias("_src_b")
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.when(
+                F.col("_src_a") == F.col("_src_b"), F.lit("same_source")
+            )
+            .otherwise(F.lit("cross_source"))
+            .alias("scope"),
+            F.round(F.col("jaccard") * 1_000_000)
+            .cast("long")
+            .alias("_jp"),
+        )
+        .groupBy("scope")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("_jp").cast("long").alias("sum_jacc_ppm"),
+        )
+        .select(
+            "scope",
+            "n_pairs",
+            "sum_jacc_ppm",
+            F.expr("sum_jacc_ppm div n_pairs").cast("long").alias(
+                "mean_jacc_ppm"
+            ),
+        )
+    )
