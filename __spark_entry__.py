@@ -5682,6 +5682,49 @@ def q_pf13(spark, sf_dir):
     return format_rules_audit(rules)
 
 
+def q_fp05(spark, sf_dir):
+    """Sequential rules (r12): fp02's A-then-B counts completed with
+    lift — the full rule triple (support, confidence, lift) for
+    sequences, matching fp01's basket surface. Lift numerator in
+    DECIMAL(38,0) (the a31 overflow lesson applied from birth); Spark
+    DECIMAL div BIGINT ≡ DuckDB HUGEINT // (the e18 probe)
+    (operators/basket.py::sequential_rules)."""
+    from learn_etl_data_warehouse_spark.operators.basket import (
+        sequential_rules,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_partkey") % 100).alias("family")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    ev = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_custkey", "o_orderdate", "family"
+    )
+    return sequential_rules(
+        ev, "o_custkey", "o_orderdate", "family", min_support=3
+    )
+
+
+def q_g18(spark, sf_dir):
+    """Local clustering coefficient (r12): per-part cohesion 2·tri /
+    (deg·(deg−1)) in truncating ppm over the co-occurrence graph —
+    g03's degree-ordered triangle kernel + the wedge-capacity
+    denominator; same 30%-order slice (the g03 discipline: the
+    unsliced wedge volume grows ~cubically)
+    (operators/graph.py::clustering_coefficient)."""
+    from learn_etl_data_warehouse_spark.operators.graph import (
+        clustering_coefficient,
+        cooccurrence_edges,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 < 3)
+    return clustering_coefficient(cooccurrence_edges(li)).select(
+        F.col("node").alias("part_id"), "deg", "n_triangles", "cc_ppm"
+    )
+
+
 def q_pm05(spark, sf_dir):
     """Process rework metrics (r11): per activity, how many actors
     re-execute it (rework) and how often it immediately repeats
@@ -6209,6 +6252,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ca04_purchase_gaps": q_ca04,
         "ivm04_maintained_topk": q_ivm04,
         "pf13_format_rules": q_pf13,
+        "fp05_sequential_rules": q_fp05,
+        "g18_clustering_coefficient": q_g18,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept last
         "e22_rolling_distinct_hll": q_e22,
@@ -11608,4 +11653,54 @@ FROM r WHERE rnk <= 3"""
 FROM {_tbl}"""
         )
     out["pf13_format_rules"] = "\nUNION ALL\n".join(_pf13_parts)
+    # fp05: fp02's CTEs + the B-side count and actor total; lift in
+    # HUGEINT // (≡ Spark DECIMAL div BIGINT, the e18 probe).
+    out["fp05_sequential_rules"] = """
+WITH ev AS (SELECT o.o_custkey AS ak, o.o_orderdate AS tt,
+                   l.l_partkey % 100 AS it
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+prof AS (SELECT ak, it, min(tt) AS tmin, max(tt) AS tmax
+         FROM ev GROUP BY 1, 2),
+n AS (SELECT it, count(*) AS n_item FROM prof GROUP BY 1),
+na AS (SELECT count(DISTINCT ak) AS n_actors FROM prof),
+s AS (SELECT a.it AS item_a, b.it AS item_b, count(*) AS n_seq
+      FROM prof a JOIN prof b
+        ON a.ak = b.ak AND a.it <> b.it AND a.tmin < b.tmax
+      GROUP BY 1, 2)
+SELECT s.item_a, s.item_b, CAST(s.n_seq AS BIGINT) AS n_seq,
+       CAST(x.n_item AS BIGINT) AS n_a,
+       CAST(y.n_item AS BIGINT) AS n_b,
+       CAST((1000000 * s.n_seq) // x.n_item AS BIGINT) AS conf_ppm,
+       CAST((CAST(1000000000000 AS HUGEINT) * s.n_seq
+             * (SELECT n_actors FROM na))
+            // (x.n_item * y.n_item) AS BIGINT) AS lift_pico
+FROM s JOIN n x ON x.it = s.item_a
+       JOIN n y ON y.it = s.item_b
+WHERE s.n_seq >= 3"""
+    # g18: g03's oriented-triangle SQL + degree join + the ppm
+    # coefficient; triangle-free deg>=2 nodes report 0.
+    out["g18_clustering_coefficient"] = """
+WITH li AS (SELECT l_orderkey AS gk, l_partkey AS item FROM lineitem
+            WHERE l_orderkey % 10 < 3),
+edges AS (SELECT DISTINCT a.item AS src, b.item AS dst
+          FROM li a JOIN li b ON a.gk = b.gk AND a.item <> b.item),
+deg AS (SELECT src AS n, count(*) AS d FROM edges GROUP BY 1),
+o AS (SELECT e.src, e.dst FROM edges e
+      JOIN deg du ON du.n = e.src
+      JOIN deg dv ON dv.n = e.dst
+      WHERE (du.d < dv.d) OR (du.d = dv.d AND e.src < e.dst)),
+wg AS (SELECT a.src AS u, a.dst AS v, b.dst AS x
+       FROM o a JOIN o b ON a.dst = b.src),
+t AS (SELECT u, v, x FROM wg JOIN o ON o.src = wg.u AND o.dst = wg.x),
+c AS (SELECT u AS node FROM t
+      UNION ALL SELECT v FROM t
+      UNION ALL SELECT x FROM t),
+tri AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM c GROUP BY node)
+SELECT deg.n AS part_id, CAST(deg.d AS BIGINT) AS deg,
+       CAST(coalesce(tri.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CAST((2000000 * coalesce(tri.n_triangles, 0))
+            // (deg.d * (deg.d - 1)) AS BIGINT) AS cc_ppm
+FROM deg LEFT JOIN tri ON tri.node = deg.n
+WHERE deg.d >= 2"""
     return out

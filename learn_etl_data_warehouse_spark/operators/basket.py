@@ -297,3 +297,63 @@ def sequential_trigrams(
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .filter(F.col("n") >= min_support)
     )
+
+
+def sequential_rules(
+    df: DataFrame,
+    actor_col: str,
+    time_col: str,
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Sequential RULES (fp05): :func:`sequential_pairs`' A-then-B
+    counts completed into the full rule triple — confidence (share of
+    A-holders who later took B) AND lift (how much likelier than B's
+    base rate) — the association-rule surface fp01 gives baskets,
+    now for sequences.
+
+    Lift is the g12 pico-score with the a31 overflow lesson applied
+    from the start: the numerator 1e12·n_seq·n_actors is accumulated
+    in DECIMAL(38,0) (BIGINT would overflow once n_seq·n_actors passes
+    ~9·10⁶ at planetary actor counts), and Spark's ``DECIMAL div
+    BIGINT`` returns BIGINT matching DuckDB's HUGEINT ``//`` (the e18
+    probe). All other columns are plain integers.
+
+    Returns (item_a, item_b, n_seq, n_a, n_b, conf_ppm, lift_pico);
+    lift_pico > 1e12 means the sequence beats independence."""
+    pairs = sequential_pairs(
+        df, actor_col, time_col, item_col, min_support
+    )
+    base = (
+        df.select(
+            F.col(actor_col).alias("ak"), F.col(item_col).alias("it")
+        )
+        .filter(F.col("ak").isNotNull() & F.col("it").isNotNull())
+        .distinct()
+    )
+    item_n = base.groupBy("it").agg(
+        F.count(F.lit(1)).cast("long").alias("n_b")
+    )
+    n_actors = base.select("ak").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_actors")
+    )
+    return (
+        pairs.join(
+            item_n.withColumnRenamed("it", "item_b"), "item_b"
+        )
+        .join(n_actors)
+        .select(
+            "item_a",
+            "item_b",
+            "n_seq",
+            "n_a",
+            "n_b",
+            "conf_ppm",
+            F.expr(
+                "CAST(1000000000000 AS DECIMAL(38,0)) * n_seq * n_actors"
+                " div (n_a * n_b)"
+            )
+            .cast("long")
+            .alias("lift_pico"),
+        )
+    )

@@ -1268,3 +1268,43 @@ def harmonic_centrality_seeds(
         .cast("long")
         .alias("harmonic_micro"),
     )
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Per-node LOCAL CLUSTERING COEFFICIENT (g18): 2·triangles /
+    (deg·(deg−1)) in truncating ppm over a symmetric distinct edge
+    list — the cohesion number next to :func:`triangle_counts` (which
+    supplies the triangle side via the degree-ordered orientation; the
+    denominator is the node's wedge capacity).
+
+    Integer discipline: cc_ppm = (2e6·tri) div (deg·(deg−1)) — both
+    operands non-negative BIGINTs (2e6·tri stays under 2⁶³ until
+    ~4.6×10¹² triangles per node, far past any real graph's per-node
+    count; the global count can be huge, per-node cannot without
+    deg ~ 3×10⁶, where the wedge volume would be the real problem
+    first). Nodes with deg < 2 have no defined coefficient and are
+    omitted; triangle-free nodes report 0. Returns (node, deg,
+    n_triangles, cc_ppm)."""
+    tri = triangle_counts(edges)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(tri, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+        )
+        .select(
+            "node",
+            "deg",
+            "n_triangles",
+            F.expr("(2000000 * n_triangles) div (deg * (deg - 1))")
+            .cast("long")
+            .alias("cc_ppm"),
+        )
+    )

@@ -5787,3 +5787,51 @@ def test_dup_provenance_reconciles_with_dedup(spark):
     }
     dropped = docs.count() - dedup.dedup_exact(docs).count()
     assert dropped == sum(v[1] for v in got.values())
+
+
+def test_sequential_rules_hand_model(spark):
+    """r12: fp05 — rule counts, confidence, and lift on a hand event
+    log where independence fails in both directions."""
+    from learn_etl_data_warehouse_spark.operators.basket import (
+        sequential_rules,
+    )
+
+    rows = [
+        # actor 1: A@1 -> B@2 ; actor 2: A@1 -> B@3 ; actor 3: B@1 only
+        (1, 1, "A"), (1, 2, "B"),
+        (2, 1, "A"), (2, 3, "B"),
+        (3, 1, "B"),
+    ]
+    df = spark.createDataFrame(rows, "ak long, tt long, it string")
+    out = {
+        (r["item_a"], r["item_b"]): r
+        for r in sequential_rules(df, "ak", "tt", "it", 2).collect()
+    }
+    r = out[("A", "B")]
+    # n_a = 2 A-holders, n_b = 3 B-holders, N = 3 actors, n_seq = 2
+    assert (r["n_seq"], r["n_a"], r["n_b"]) == (2, 2, 3)
+    assert r["conf_ppm"] == 1_000_000
+    assert r["lift_pico"] == (10**12 * 2 * 3) // (2 * 3)
+    assert ("B", "A") not in out  # B-then-A happens for no actor
+
+
+def test_clustering_coefficient_hand_graph(spark):
+    """r12: g18 — a triangle with a pendant: the triangle corners have
+    cc 1 (deg 2) or 1/3 (the deg-3 corner), the pendant is omitted
+    (deg 1), and a deg>=2 node in no triangle reports 0."""
+    from learn_etl_data_warehouse_spark.operators.graph import (
+        clustering_coefficient,
+    )
+
+    und = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (4, 6)]
+    sym = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    got = {
+        r["node"]: (r["deg"], r["n_triangles"], r["cc_ppm"])
+        for r in clustering_coefficient(edges).collect()
+    }
+    assert got[1] == (2, 1, 1_000_000)
+    assert got[2] == (2, 1, 1_000_000)
+    assert got[3] == (3, 1, 333_333)
+    assert got[4] == (3, 0, 0)
+    assert 5 not in got and 6 not in got  # pendants: deg < 2
