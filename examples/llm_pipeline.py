@@ -181,6 +181,20 @@ def main() -> None:
         f"min {nov['lo']} / median {nov['med']} / max {nov['hi']}"
     )
 
+    # 5c. Zipf naturalness skeleton (t35): type/mass per rank decade of
+    # the train corpus — a Zipfian corpus loses mass smoothly per
+    # decade; boilerplate piles types into one. Frequency-grain, no
+    # global rank.
+    zipf = text.zipf_bucket_stats(train).orderBy("rank_bucket").collect()
+    print(
+        "zipf profile: "
+        + ", ".join(
+            f"decade {r['rank_bucket']}: {r['n_types']} types"
+            f"/{r['sum_freq']} tokens"
+            for r in zipf
+        )
+    )
+
     # 6. sliding-window chunking into training sequences
     chunks = text.chunk_documents(train, chunk_size=32, stride=24)
     print(f"chunks: {chunks.count()}")
