@@ -5725,6 +5725,46 @@ def q_g18(spark, sf_dir):
     )
 
 
+def q_g19(spark, sf_dir):
+    """Rich-club coefficient (r12): density of the subgraph induced by
+    nodes of degree > k, per threshold grid — rising φ(k) means hubs
+    wire to each other. Ordered-pair counting matches the symmetric
+    edge list exactly; integer ppm; g03's slice
+    (operators/graph.py::rich_club_coefficient)."""
+    from learn_etl_data_warehouse_spark.operators.graph import (
+        cooccurrence_edges,
+        rich_club_coefficient,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 < 3)
+    return rich_club_coefficient(cooccurrence_edges(li))
+
+
+def q_st09(spark, sf_dir):
+    """Wald–Wolfowitz runs test (r12): hours dichotomized against the
+    per-key nearest-rank-lower median, runs counted in time order —
+    st08 asks "is there a trend", st09 asks "is the sequence random at
+    all". Sufficient statistics only (n_above, n_below, n_runs), exact
+    integers (operators/timeseries.py::runs_test)."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        hourly_counts,
+        runs_test,
+    )
+
+    return runs_test(hourly_counts(_t(spark, sf_dir, "events")))
+
+
+def q_t37(spark, sf_dir):
+    """Token burstiness (r12): Fano factor (variance/mean) of
+    tokens-per-document per source in truncating ppm — 1e6 ≈
+    Poisson-like lengths, far above = template+longform mixes. Moments
+    in DECIMAL(38,0) (the a15/a31 discipline), one non-negative
+    division (operators/text.py::token_burstiness)."""
+    return text.token_burstiness(
+        _t(spark, sf_dir, "documents")
+    ).withColumnRenamed("grp", "source")
+
+
 def q_pm05(spark, sf_dir):
     """Process rework metrics (r11): per activity, how many actors
     re-execute it (rework) and how often it immediately repeats
@@ -6254,6 +6294,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pf13_format_rules": q_pf13,
         "fp05_sequential_rules": q_fp05,
         "g18_clustering_coefficient": q_g18,
+        "g19_rich_club": q_g19,
+        "st09_runs_test": q_st09,
+        "t37_token_burstiness": q_t37,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept last
         "e22_rolling_distinct_hll": q_e22,
@@ -11703,4 +11746,67 @@ SELECT deg.n AS part_id, CAST(deg.d AS BIGINT) AS deg,
             // (deg.d * (deg.d - 1)) AS BIGINT) AS cc_ppm
 FROM deg LEFT JOIN tri ON tri.node = deg.n
 WHERE deg.d >= 2"""
+    # g19: ordered-pair club density per degree threshold.
+    out["g19_rich_club"] = """
+WITH li AS (SELECT l_orderkey AS gk, l_partkey AS item FROM lineitem
+            WHERE l_orderkey % 10 < 3),
+edges AS (SELECT DISTINCT a.item AS src, b.item AS dst
+          FROM li a JOIN li b ON a.gk = b.gk AND a.item <> b.item),
+deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+grid AS (SELECT unnest([10, 50, 100, 200]) AS k),
+club AS (SELECT g.k, d.node FROM grid g JOIN deg d ON d.deg > g.k),
+nn AS (SELECT k, CAST(count(*) AS BIGINT) AS n_nodes
+       FROM club GROUP BY 1),
+ce AS (SELECT c1.k, CAST(count(*) AS BIGINT) AS n_edges
+       FROM edges e JOIN club c1 ON c1.node = e.src
+                    JOIN club c2 ON c2.node = e.dst AND c2.k = c1.k
+       GROUP BY 1)
+SELECT CAST(nn.k AS BIGINT) AS k, nn.n_nodes,
+       CAST(coalesce(ce.n_edges, 0) AS BIGINT) AS n_edges,
+       CAST((1000000 * coalesce(ce.n_edges, 0))
+            // (nn.n_nodes * (nn.n_nodes - 1)) AS BIGINT) AS phi_ppm
+FROM nn LEFT JOIN ce ON ce.k = nn.k
+WHERE nn.n_nodes >= 2"""
+    # st09: nearest-rank-lower median dichotomy, ties dropped, runs
+    # from one lag in hour order.
+    out["st09_runs_test"] = """
+WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                  CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+med AS (SELECT event_type, x AS med FROM (
+          SELECT event_type, x,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY x, hr) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM h) WHERE rn = (n + 1) // 2),
+s AS (SELECT h.event_type, h.hr,
+             CASE WHEN h.x > m.med THEN 1 ELSE 0 END AS s
+      FROM h JOIN med m ON m.event_type = h.event_type
+      WHERE h.x <> m.med),
+f AS (SELECT event_type, s,
+             CASE WHEN lag(s) OVER (PARTITION BY event_type
+                                    ORDER BY hr) IS NULL
+                       OR lag(s) OVER (PARTITION BY event_type
+                                       ORDER BY hr) <> s
+                  THEN 1 ELSE 0 END AS nr
+      FROM s)
+SELECT event_type, CAST(sum(s) AS BIGINT) AS n_above,
+       CAST(sum(1 - s) AS BIGINT) AS n_below,
+       CAST(sum(nr) AS BIGINT) AS n_runs
+FROM f GROUP BY 1"""
+    # t37: integer moments, HUGEINT variance numerator (≡ Spark's
+    # DECIMAL(38,0)), one non-negative truncating division.
+    out["t37_token_burstiness"] = f"""
+WITH m AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum({_TC}) AS BIGINT) AS sum_tokens,
+                  sum(CAST({_TC} AS HUGEINT) * ({_TC})) AS sx2
+           FROM documents GROUP BY 1)
+SELECT source, n_docs, sum_tokens,
+       CASE WHEN sum_tokens > 0
+            THEN CAST((1000000 * (n_docs * sx2
+                                  - CAST(sum_tokens AS HUGEINT)
+                                    * sum_tokens))
+                      // (n_docs * sum_tokens) AS BIGINT)
+            END AS fano_ppm
+FROM m"""
     return out

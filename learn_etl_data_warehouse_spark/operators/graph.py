@@ -1308,3 +1308,53 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
             .alias("cc_ppm"),
         )
     )
+
+
+def rich_club_coefficient(
+    edges: DataFrame, k_grid: tuple[int, ...] = (10, 50, 100, 200)
+) -> DataFrame:
+    """RICH-CLUB coefficient over a symmetric distinct edge list (g19):
+    for each degree threshold k, the density of the subgraph induced by
+    nodes of degree > k — φ(k) = E_k / (N_k·(N_k−1)) counted over
+    ORDERED pairs, which matches the symmetric edge representation
+    exactly (every undirected club edge contributes 2 ordered rows and
+    the denominator counts ordered slots). Rising φ(k) = hubs wire to
+    each other (the rich-club effect); integer ppm, no floats.
+
+    One degree agg + one thresholded semi-join per grid value expressed
+    as a single grid cross-join (the s16 prefix trick is unnecessary —
+    club membership is monotone in k, the filter IS the prefix).
+    Returns (k, n_nodes, n_edges, phi_ppm) for grid values with ≥2 club
+    nodes."""
+    spark = edges.sparkSession
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    grid = F.broadcast(
+        spark.createDataFrame([(int(k),) for k in k_grid], "k long")
+    )
+    club = grid.join(deg, F.col("deg") > F.col("k")).select("k", "node")
+    nn = club.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    ce = (
+        edges.join(club.withColumnRenamed("node", "src"), "src")
+        .join(club.withColumnRenamed("node", "dst"), ["k", "dst"])
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    )
+    return (
+        nn.filter(F.col("n_nodes") >= 2)
+        .join(ce, "k", "left")
+        .select(
+            "k",
+            "n_nodes",
+            F.coalesce("n_edges", F.lit(0)).cast("long").alias("n_edges"),
+            F.expr(
+                "(1000000 * coalesce(n_edges, 0))"
+                " div (n_nodes * (n_nodes - 1))"
+            )
+            .cast("long")
+            .alias("phi_ppm"),
+        )
+    )

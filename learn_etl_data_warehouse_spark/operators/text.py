@@ -1738,3 +1738,44 @@ def zipf_bucket_stats(docs: DataFrame, max_bucket: int = 7) -> DataFrame:
             F.sum(F.col("_n") * F.col("_f")).cast("long").alias("sum_freq"),
         )
     )
+
+
+def token_burstiness(docs: DataFrame, by: str = "source") -> DataFrame:
+    """FANO-FACTOR token burstiness per group (t37): variance-to-mean
+    ratio of tokens-per-document — 1e6 ppm ≈ Poisson-like document
+    lengths, far above = bursty/bimodal (template + longform mixes),
+    far below = near-constant lengths (chunked/truncated corpora). A
+    curation dashboard number next to t02's quality scores.
+
+    The a15 moment discipline: Σx and Σx² accumulate as integers, the
+    variance numerator n·Σx² − (Σx)² is assembled in DECIMAL(38,0)
+    (BIGINT would overflow once Σx² passes ~9·10¹⁸ — ~10¹² long docs),
+    and the single division is the non-negative
+    (1e6·(nΣx² − (Σx)²)) div (n·Σx) — Spark DECIMAL div ≡ DuckDB
+    HUGEINT // (the e18 probe). Returns (group, n_docs, sum_tokens,
+    fano_ppm); fano NULL when the group has no tokens."""
+    x = token_count("text").cast("long")
+    m = (
+        docs.groupBy(F.col(by).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(x).cast("long").alias("sum_tokens"),
+            # accumulate the squares IN decimal — a long sum of x²
+            # overflows at ~9e18 (10¹² long docs), the a31 class
+            F.sum((x * x).cast("decimal(38,0)")).alias("_sx2"),
+        )
+    )
+    return m.select(
+        "grp",
+        "n_docs",
+        "sum_tokens",
+        F.when(
+            F.col("sum_tokens") > 0,
+            F.expr(
+                "(1000000 * (n_docs * _sx2 - CAST(sum_tokens AS"
+                " DECIMAL(38,0)) * sum_tokens)) div (n_docs * sum_tokens)"
+            ),
+        )
+        .cast("long")
+        .alias("fano_ppm"),
+    )

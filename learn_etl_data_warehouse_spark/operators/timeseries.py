@@ -1709,3 +1709,53 @@ def littles_law_check(intervals: DataFrame) -> DataFrame:
         .cast("long")
         .alias("avg_time_in_system_micro"),
     )
+
+
+def runs_test(hourly: DataFrame, key: str = "event_type") -> DataFrame:
+    """WALD–WOLFOWITZ runs test per key over the hourly series (st09):
+    dichotomize each hour against the key's nearest-rank-LOWER median
+    count (hours equal to the median drop, the classic treatment),
+    then count RUNS — maximal stretches of one sign in time order. Few
+    runs = trending/clumped, many = oscillating; with st08 this
+    completes the trend-test pair (MK asks "is there a trend", runs
+    asks "is the sequence random at all").
+
+    Pure integers: the median comes from a per-key rank walk over the
+    calendar-bounded grid (the theilsen window posture), runs from one
+    lag over the surviving hours. The z-score's moments stay with the
+    consumer — n_above, n_below, n_runs are the sufficient statistics
+    and they are exact. Returns (key, n_above, n_below, n_runs)."""
+    wr = Window.partitionBy(key).orderBy("x", "hr")
+    wn = Window.partitionBy(key)
+    med = (
+        hourly.withColumn("_rn", F.row_number().over(wr))
+        .withColumn("_n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("_rn") == F.expr("(_n + 1) div 2"))
+        .select(F.col(key), F.col("x").alias("_med"))
+    )
+    signed = (
+        hourly.join(med, key)
+        .filter(F.col("x") != F.col("_med"))
+        .select(
+            F.col(key),
+            "hr",
+            (F.col("x") > F.col("_med")).cast("int").alias("_s"),
+        )
+    )
+    wt = Window.partitionBy(key).orderBy("hr")
+    flips = signed.select(
+        F.col(key),
+        "_s",
+        F.when(
+            F.lag("_s").over(wt).isNull()
+            | (F.lag("_s").over(wt) != F.col("_s")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("_new_run"),
+    )
+    return flips.groupBy(key).agg(
+        F.sum("_s").cast("long").alias("n_above"),
+        F.sum(1 - F.col("_s")).cast("long").alias("n_below"),
+        F.sum("_new_run").cast("long").alias("n_runs"),
+    )

@@ -5835,3 +5835,73 @@ def test_clustering_coefficient_hand_graph(spark):
     assert got[3] == (3, 1, 333_333)
     assert got[4] == (3, 0, 0)
     assert 5 not in got and 6 not in got  # pendants: deg < 2
+
+
+def test_rich_club_hand_graph(spark):
+    """r12: g19 — a 4-clique wired to pendants: above the pendant
+    degree only the clique survives and its density is exactly 1."""
+    from learn_etl_data_warehouse_spark.operators.graph import (
+        rich_club_coefficient,
+    )
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a != b]
+    pend = []
+    for i in range(4):  # two pendants per clique node -> deg 5 vs 1
+        pend += [(i, 10 + 2 * i), (i, 11 + 2 * i)]
+    sym = clique + pend + [(b, a) for a, b in pend]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    got = {
+        r["k"]: (r["n_nodes"], r["n_edges"], r["phi_ppm"])
+        for r in rich_club_coefficient(edges, k_grid=(1, 4)).collect()
+    }
+    # k=1: clique nodes (deg 5) only; 12 ordered clique edges over
+    # 4*3 ordered slots -> density 1
+    assert got[1] == (4, 12, 1_000_000)
+    # k=4: deg > 4 still the 4 clique nodes (deg 5) -> same club
+    assert got[4] == (4, 12, 1_000_000)
+
+
+def test_runs_test_python_model(spark):
+    """r12: st09 — runs, above/below counts vs a brute-force model on
+    a hand series with median ties (dropped)."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        runs_test,
+    )
+
+    xs = [5, 1, 6, 6, 2, 7, 3, 3, 8, 1, 9]
+    df = spark.createDataFrame(
+        [("k", h, x) for h, x in enumerate(xs)],
+        "event_type string, hr long, x long",
+    )
+    got = runs_test(df).collect()[0]
+    med = sorted(xs)[(len(xs) + 1) // 2 - 1]  # nearest-rank lower
+    signs = [x > med for x in xs if x != med]
+    runs = 1 + sum(signs[i] != signs[i - 1] for i in range(1, len(signs)))
+    assert got["n_above"] == sum(signs)
+    assert got["n_below"] == len(signs) - sum(signs)
+    assert got["n_runs"] == runs
+
+
+def test_token_burstiness_hand(spark):
+    """r12: t37 — Fano ppm against exact integer arithmetic on hand
+    lengths; a constant-length group reads 0; empty text counts 0."""
+    from learn_etl_data_warehouse_spark.operators.text import (
+        token_burstiness,
+    )
+
+    rows = [
+        (1, "a b c", "s1"), (2, "a", "s1"), (3, "a b c d e", "s1"),
+        (4, "x y", "s2"), (5, "p q", "s2"),
+        (6, "", "s3"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r["grp"]: (r["n_docs"], r["sum_tokens"], r["fano_ppm"])
+        for r in token_burstiness(docs).collect()
+    }
+    xs = [3, 1, 5]
+    n, sx, sx2 = len(xs), sum(xs), sum(x * x for x in xs)
+    fano = (1_000_000 * (n * sx2 - sx * sx)) // (n * sx)
+    assert got["s1"] == (3, 9, fano)
+    assert got["s2"] == (2, 4, 0)
+    assert got["s3"] == (1, 0, None)
