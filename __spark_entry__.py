@@ -5987,9 +5987,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # process families + the d11-d16/s07/s08 block) + 4 cores. The
         # whole r11-green cohort moves behind the window (freshest
         # evidence).
-        # r13 provisional window: the r12 newborns + 4 cores + the then-
-        # stalest banked rows (re-derive with never_checked.py; the r7-era
-        # d18-d22/e09/a15... cohort is the front of that queue).
+        # r13 provisional window: the 15 r12 newborns (s15 s16 st08 fc07
+        # t35 d39 ops04 ca04 ivm04 pf13 fp05 g18 g19 st09 t37) + 4 cores
+        # + the 31 then-stalest banked rows (re-derive with
+        # never_checked.py; the r7-era d18-d22/e09/a15... cohort is the
+        # front of that queue).
         # -- r11 newborns, first driver rows (19) ------------------------
         "st07_bootstrap_ci": q_st07,
         "pm04_conformance_fitness": q_pm04,

@@ -2491,3 +2491,123 @@ def test_hw_refresh_sink_end_to_end_stream(spark, tmp_path, sf_small):
         .collect()
     )
     assert got == _hw_want(spark, ev)
+
+
+def test_topk_view_sink_conformance(spark, tmp_path, sf_small):
+    """r12: ivm04's streaming twin — after EVERY micro-batch the
+    published topk_view equals a full rebuild on all rows so far
+    (entity sums are additive; rank derives from state only); a
+    replayed batch is a ledgered no-op."""
+    from learn_etl_data_warehouse_spark.operators.rollups import (
+        topk_from_sums,
+        topk_sums_state,
+    )
+    from learn_etl_data_warehouse_spark.plans import catalog as cat
+    from learn_etl_data_warehouse_spark.sources.parquet import load_table
+    from learn_etl_data_warehouse_spark.streaming.sinks import topk_view_sink
+
+    o = load_table(spark, sf_small, "orders").withColumn(
+        "cents", F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    ).select("o_orderkey", "o_orderpriority", "o_custkey", "cents")
+    b0 = o.filter(F.col("o_orderkey") % 3 == 0)
+    b1 = o.filter(F.col("o_orderkey") % 3 == 1)
+    b2 = o.filter(F.col("o_orderkey") % 3 == 2)
+    cdir = str(tmp_path / "topkcat")
+    handle = topk_view_sink(cdir, "o_orderpriority", "o_custkey", "cents")
+
+    def got():
+        return sorted(
+            map(
+                tuple,
+                cat.catalog_read(spark, cdir, "topk_view")
+                .select("o_orderpriority", "o_custkey", "val", "rnk")
+                .collect(),
+            )
+        )
+
+    def want(df):
+        return sorted(
+            map(
+                tuple,
+                topk_from_sums(
+                    topk_sums_state(
+                        df, "o_orderpriority", "o_custkey", "cents"
+                    ),
+                    "o_orderpriority",
+                    "o_custkey",
+                    k=3,
+                ).collect(),
+            )
+        )
+
+    handle(b0, 0)
+    assert got() == want(b0)
+    handle(b1, 1)
+    assert got() == want(b0.unionByName(b1))
+    handle(b2, 2)
+    assert got() == want(o)
+
+    txn_before = cat.read_catalog(cdir)["txn"]
+    handle(b1, 1)  # replay
+    assert cat.read_catalog(cdir)["txn"] == txn_before
+
+
+def test_topk_view_sink_end_to_end_stream(spark, tmp_path, sf_small):
+    """r12: the top-k sink under a real checkpointed availableNow
+    stream equals the batch rebuild over all ingested rows."""
+    from learn_etl_data_warehouse_spark.operators.rollups import (
+        topk_from_sums,
+        topk_sums_state,
+    )
+    from learn_etl_data_warehouse_spark.plans import catalog as cat
+    from learn_etl_data_warehouse_spark.sources.parquet import load_table
+    from learn_etl_data_warehouse_spark.streaming.sinks import topk_view_sink
+
+    o = load_table(spark, sf_small, "orders").withColumn(
+        "cents", F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    ).select("o_orderkey", "o_orderpriority", "o_custkey", "cents")
+    src = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    cdir = str(tmp_path / "cat")
+    o.filter(F.col("o_orderkey") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    o.filter(F.col("o_orderkey") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    q = (
+        spark.readStream.schema(o.schema)
+        .parquet(src)
+        .writeStream.foreachBatch(
+            topk_view_sink(cdir, "o_orderpriority", "o_custkey", "cents")
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    got = sorted(
+        map(
+            tuple,
+            cat.catalog_read(spark, cdir, "topk_view")
+            .select("o_orderpriority", "o_custkey", "val", "rnk")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            topk_from_sums(
+                topk_sums_state(o, "o_orderpriority", "o_custkey", "cents"),
+                "o_orderpriority",
+                "o_custkey",
+                k=3,
+            ).collect(),
+        )
+    )
+    assert got == want
