@@ -5765,6 +5765,27 @@ def q_t37(spark, sf_dir):
     ).withColumnRenamed("grp", "source")
 
 
+def q_m07(spark, sf_dir):
+    """Media payload audit (r12): per-modality byte mass, size extrema,
+    distinct-content count and duplicate ppm — the ingest ledger a
+    multimodal pipeline checks BEFORE spending decode cycles; native
+    binary expressions only (no codec), so it is the m-family's
+    oracle-backed audit next to the rows-only decode kernels. The
+    fixture payloads get a deterministic doc_id%3 modality mix so the
+    audit exercises a real alphabet
+    (operators/multimodal.py::media_payload_audit)."""
+    media = multimodal.documents_as_media(
+        _t(spark, sf_dir, "documents")
+    ).withColumn(
+        "media_type",
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("media_id") % 3 + 1).cast("int"),
+        ),
+    )
+    return multimodal.media_payload_audit(media)
+
+
 def q_pm05(spark, sf_dir):
     """Process rework metrics (r11): per activity, how many actors
     re-execute it (rework) and how often it immediately repeats
@@ -5987,9 +6008,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # process families + the d11-d16/s07/s08 block) + 4 cores. The
         # whole r11-green cohort moves behind the window (freshest
         # evidence).
-        # r13 provisional window: the 15 r12 newborns (s15 s16 st08 fc07
-        # t35 d39 ops04 ca04 ivm04 pf13 fp05 g18 g19 st09 t37) + 4 cores
-        # + the 31 then-stalest banked rows (re-derive with
+        # r13 provisional window: the 16 r12 newborns (s15 s16 st08 fc07
+        # t35 d39 ops04 ca04 ivm04 pf13 fp05 g18 g19 st09 t37 m07) + 4
+        # cores + the 30 then-stalest banked rows (re-derive with
         # never_checked.py; the r7-era d18-d22/e09/a15... cohort is the
         # front of that queue).
         # -- r11 newborns, first driver rows (19) ------------------------
@@ -6299,6 +6320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g19_rich_club": q_g19,
         "st09_runs_test": q_st09,
         "t37_token_burstiness": q_t37,
+        "m07_payload_audit": q_m07,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept last
         "e22_rolling_distinct_hll": q_e22,
@@ -11811,4 +11833,21 @@ SELECT source, n_docs, sum_tokens,
                       // (n_docs * sum_tokens) AS BIGINT)
             END AS fano_ppm
 FROM m"""
+    # m07: byte-level metadata — strlen() is BYTE length in DuckDB
+    # (matches Spark length(encode(text, 'UTF-8')) on the zh docs too);
+    # sha256(text) the m06 precedent.
+    out["m07_payload_audit"] = """
+WITH m AS (SELECT doc_id AS media_id,
+                  ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1]
+                    AS media_type,
+                  strlen(text) AS bl, sha256(text) AS h
+           FROM documents)
+SELECT media_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(bl) AS BIGINT) AS sum_bytes,
+       CAST(min(bl) AS BIGINT) AS min_bytes,
+       CAST(max(bl) AS BIGINT) AS max_bytes,
+       CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+       CAST((1000000 * (count(*) - count(DISTINCT h))) // count(*)
+            AS BIGINT) AS dup_ppm
+FROM m GROUP BY 1"""
     return out

@@ -458,3 +458,37 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
         F.lit("image").alias("media_type"),
         F.encode(F.col("text"), "UTF-8").alias("payload"),
     )
+
+
+def media_payload_audit(
+    df: DataFrame, type_col: str = "media_type", payload_col: str = "payload"
+) -> DataFrame:
+    """Byte-level PAYLOAD audit per modality (m07): count, byte mass,
+    size extrema, distinct-content count and duplicate ppm — the
+    ingest-ledger numbers a multimodal pipeline checks before spending
+    decode cycles (all from :func:`attach_media_metadata`'s native
+    binary expressions: no codec, no Python, works for any modality).
+    Returns (media_type, n, sum_bytes, min_bytes, max_bytes,
+    n_distinct, dup_ppm); output bounded by the modality alphabet."""
+    m = attach_media_metadata(df, payload_col)
+    return (
+        m.groupBy(type_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("byte_len").cast("long").alias("sum_bytes"),
+            F.min("byte_len").cast("long").alias("min_bytes"),
+            F.max("byte_len").cast("long").alias("max_bytes"),
+            F.countDistinct("sha256").cast("long").alias("n_distinct"),
+        )
+        .select(
+            type_col,
+            "n",
+            "sum_bytes",
+            "min_bytes",
+            "max_bytes",
+            "n_distinct",
+            F.expr("(1000000 * (n - n_distinct)) div n")
+            .cast("long")
+            .alias("dup_ppm"),
+        )
+    )
