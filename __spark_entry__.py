@@ -5786,6 +5786,20 @@ def q_m07(spark, sf_dir):
     return multimodal.media_payload_audit(media)
 
 
+def q_e35(spark, sf_dir):
+    """Peak-window detection (r12): the busiest 3-hour window per key —
+    rolling sum over the DENSE hourly grid (explicit ROWS frame, the
+    w06 discipline), argmax with the earliest tie-break, windows scored
+    only when fully inside the observed span
+    (operators/timeseries.py::peak_window)."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        hourly_counts,
+        peak_window,
+    )
+
+    return peak_window(hourly_counts(_t(spark, sf_dir, "events")))
+
+
 def q_pm05(spark, sf_dir):
     """Process rework metrics (r11): per activity, how many actors
     re-execute it (rework) and how often it immediately repeats
@@ -6008,9 +6022,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # process families + the d11-d16/s07/s08 block) + 4 cores. The
         # whole r11-green cohort moves behind the window (freshest
         # evidence).
-        # r13 provisional window: the 16 r12 newborns (s15 s16 st08 fc07
-        # t35 d39 ops04 ca04 ivm04 pf13 fp05 g18 g19 st09 t37 m07) + 4
-        # cores + the 30 then-stalest banked rows (re-derive with
+        # r13 provisional window: the 17 r12 newborns (s15 s16 st08 fc07
+        # t35 d39 ops04 ca04 ivm04 pf13 fp05 g18 g19 st09 t37 m07 e35)
+        # + 4 cores + the 29 then-stalest banked rows (re-derive with
         # never_checked.py; the r7-era d18-d22/e09/a15... cohort is the
         # front of that queue).
         # -- r11 newborns, first driver rows (19) ------------------------
@@ -6321,6 +6335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st09_runs_test": q_st09,
         "t37_token_burstiness": q_t37,
         "m07_payload_audit": q_m07,
+        "e35_peak_window": q_e35,
         # rows-only (no oracle by nature) — declared via absence from
         # oracle_sql(); kept last
         "e22_rolling_distinct_hll": q_e22,
@@ -11850,4 +11865,30 @@ SELECT media_type, CAST(count(*) AS BIGINT) AS n,
        CAST((1000000 * (count(*) - count(DISTINCT h))) // count(*)
             AS BIGINT) AS dup_ppm
 FROM m GROUP BY 1"""
+    # e35: dense-grid rolling sum with an explicit ROWS frame (w06
+    # discipline), earliest-window tie-break, full windows only.
+    out["e35_peak_window"] = """
+WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                  CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+bd AS (SELECT event_type, min(hr) AS mn, max(hr) AS mx
+       FROM h GROUP BY 1),
+sp AS (SELECT bd.event_type, bd.mn, bd.mn + t.s AS hr
+       FROM bd, LATERAL (SELECT unnest(generate_series(
+                             0, CAST(bd.mx - bd.mn AS BIGINT))) AS s) t),
+g AS (SELECT sp.event_type, sp.mn, sp.hr, coalesce(h.x, 0) AS x
+      FROM sp LEFT JOIN h ON h.event_type = sp.event_type
+                         AND h.hr = sp.hr),
+r AS (SELECT event_type, mn, hr,
+             CAST(sum(x) OVER (PARTITION BY event_type ORDER BY hr
+                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS roll
+      FROM g),
+rk AS (SELECT event_type, hr, roll,
+              row_number() OVER (PARTITION BY event_type
+                                 ORDER BY roll DESC, hr ASC) AS rn
+       FROM r WHERE hr >= mn + 2)
+SELECT event_type, CAST(hr - 2 AS BIGINT) AS peak_start_hr,
+       CAST(hr AS BIGINT) AS peak_end_hr, roll AS peak_count
+FROM rk WHERE rn = 1"""
     return out

@@ -1759,3 +1759,45 @@ def runs_test(hourly: DataFrame, key: str = "event_type") -> DataFrame:
         F.sum(1 - F.col("_s")).cast("long").alias("n_below"),
         F.sum("_new_run").cast("long").alias("n_runs"),
     )
+
+
+def peak_window(
+    hourly: DataFrame, key: str = "event_type", width: int = 3
+) -> DataFrame:
+    """Busiest ``width``-hour window per key (e35): rolling sum over
+    the DENSE hourly grid (zero-filled gaps — a quiet hour inside the
+    window counts), argmax with the earliest-window tie-break — the
+    "when does load peak" ops number, and the capacity-planning
+    companion to e16's per-hour anomalies.
+
+    Explicit ROWS frame (the w06 both-engines discipline); windows are
+    only scored once fully inside the key's observed span (no partial
+    leading windows). Calendar-bounded everywhere. Returns (key,
+    peak_start_hr, peak_end_hr, peak_count)."""
+    w = int(width)
+    bounds = hourly.groupBy(key).agg(
+        F.min("hr").alias("_mn"), F.max("hr").alias("_mx")
+    )
+    spine = bounds.select(
+        key, "_mn",
+        F.explode(F.sequence(F.col("_mn"), F.col("_mx"))).alias("hr"),
+    )
+    g = spine.join(hourly, [key, "hr"], "left").select(
+        key, "_mn", "hr",
+        F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x"),
+    )
+    wr = Window.partitionBy(key).orderBy("hr").rowsBetween(-(w - 1), 0)
+    roll = g.select(
+        key, "_mn", "hr", F.sum("x").over(wr).cast("long").alias("_roll")
+    ).filter(F.col("hr") >= F.col("_mn") + (w - 1))
+    wk = Window.partitionBy(key).orderBy(F.desc("_roll"), F.asc("hr"))
+    return (
+        roll.withColumn("_rn", F.row_number().over(wk))
+        .filter(F.col("_rn") == 1)
+        .select(
+            key,
+            (F.col("hr") - (w - 1)).cast("long").alias("peak_start_hr"),
+            F.col("hr").cast("long").alias("peak_end_hr"),
+            F.col("_roll").alias("peak_count"),
+        )
+    )

@@ -645,3 +645,97 @@ def test_kmv_fuzz_vs_python_model(spark, rows, k):
         ests["x"], len(sets["x"]), ests["y"], len(sets["y"]),
         est_u, est_i, exact_i,
     )
+
+
+mk_series = st.lists(st.integers(0, 8), min_size=2, max_size=40)
+
+
+@given(mk_series)
+@SETTINGS
+def test_mann_kendall_fuzz_vs_bruteforce(spark, xs):
+    """r12: st08 — S and the tie-corrected variance numerator vs a
+    brute-force model on small-alphabet series (ties guaranteed)."""
+    from collections import Counter
+
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        mann_kendall,
+    )
+
+    df = spark.createDataFrame(
+        [("k", h, x) for h, x in enumerate(xs)],
+        "event_type string, hr long, x long",
+    )
+    got = mann_kendall(df).collect()[0]
+    n = len(xs)
+    s = sum(
+        (xs[j] > xs[i]) - (xs[j] < xs[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    var18 = n * (n - 1) * (2 * n + 5) - sum(
+        t * (t - 1) * (2 * t + 5) for t in Counter(xs).values()
+    )
+    assert (got["n_hours"], got["s_stat"], got["var18_numer"]) == (
+        n, s, var18,
+    )
+
+
+ll_intervals = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 10)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(ll_intervals)
+@SETTINGS
+def test_littles_law_fuzz_conservation(spark, ivs):
+    """r12: ops04 — the sweep-integrated backlog area equals the
+    per-interval mass on arbitrary overlapping interval sets, and both
+    match the brute-force day count."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        littles_law_check,
+    )
+
+    rows = [(s, s + d) for s, d in ivs]
+    df = spark.createDataFrame(rows, "start_day long, end_day long")
+    r = littles_law_check(df).collect()[0]
+    brute = sum(
+        sum(1 for (s, e) in rows if s <= d <= e)
+        for d in range(0, 45)
+    )
+    assert r["sum_time_in_system_days"] == brute
+    assert r["backlog_area_days"] == brute
+
+
+runs_series = st.lists(st.integers(0, 5), min_size=3, max_size=40)
+
+
+@given(runs_series)
+@SETTINGS
+def test_runs_test_fuzz_vs_bruteforce(spark, xs):
+    """r12: st09 — runs/above/below vs the brute-force dichotomy on
+    small-alphabet series (median ties guaranteed and dropped)."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        runs_test,
+    )
+
+    df = spark.createDataFrame(
+        [("k", h, x) for h, x in enumerate(xs)],
+        "event_type string, hr long, x long",
+    )
+    out = runs_test(df).collect()
+    med = sorted(xs)[(len(xs) + 1) // 2 - 1]
+    signs = [x > med for x in xs if x != med]
+    if not signs:
+        assert out == [] or (
+            out[0]["n_above"] == 0 and out[0]["n_below"] == 0
+        )
+        return
+    runs = 1 + sum(
+        signs[i] != signs[i - 1] for i in range(1, len(signs))
+    )
+    got = out[0]
+    assert got["n_above"] == sum(signs)
+    assert got["n_below"] == len(signs) - sum(signs)
+    assert got["n_runs"] == runs
