@@ -6016,18 +6016,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scalar-only AND oracle-backed (pinned by
         # tests/test_driver_window.py) and sf0.01+sf0.1-swept in the
         # round it rotates in.
-        # r12 rotation (derived with never_checked.py on the 50/50-green
-        # CORRECTNESS_r11): the 19 r11 newborns earn their first driver
-        # rows + the 27 stalest banked rows (all r6-era: text/ml/graph/
-        # process families + the d11-d16/s07/s08 block) + 4 cores. The
-        # whole r11-green cohort moves behind the window (freshest
+        # r13 rotation (derived with never_checked.py on the 50/50-green
+        # CORRECTNESS_r12): the 17 r12 newborns earn their first driver
+        # rows + the 29 stalest banked rows (the r7-era front of the
+        # queue: d18-d22, e09, a15/a16, r03-r06 era, t15/t17/t18, g03,
+        # w06/w07, a17-a20, d25/d26, j07, path01, set05) + 4 cores. The
+        # whole r12-green cohort moves behind the window (freshest
         # evidence).
-        # r13 provisional window: the 17 r12 newborns (s15 s16 st08 fc07
-        # t35 d39 ops04 ca04 ivm04 pf13 fp05 g18 g19 st09 t37 m07 e35)
-        # + 4 cores + the 29 then-stalest banked rows (re-derive with
-        # never_checked.py; the r7-era d18-d22/e09/a15... cohort is the
+        # r14 provisional window: the r13 newborns (re-derive with
+        # never_checked.py after CORRECTNESS_r13 lands) + 4 cores + the
+        # then-stalest banked rows (the remaining r7-era cohort:
+        # d27, pf02, a21, r07, s14, e13, g05, e14, e15, t20, ... is the
         # front of that queue).
-        # -- r11 newborns, first driver rows (19) ------------------------
+        # -- r12 newborns, first driver rows (17) ------------------------
+        "s15_ivf_recall_audit": q_s15,
+        "s16_pq_recall_audit": q_s16,
+        "st08_mann_kendall": q_st08,
+        "fc07_hw_mase": q_fc07,
+        "t35_zipf_buckets": q_t35,
+        "d39_dup_provenance": q_d39,
+        "ops04_littles_law": q_ops04,
+        "ca04_purchase_gaps": q_ca04,
+        "ivm04_maintained_topk": q_ivm04,
+        "pf13_format_rules": q_pf13,
+        "fp05_sequential_rules": q_fp05,
+        "g18_clustering_coefficient": q_g18,
+        "g19_rich_club": q_g19,
+        "st09_runs_test": q_st09,
+        "t37_token_burstiness": q_t37,
+        "m07_payload_audit": q_m07,
+        "e35_peak_window": q_e35,
+        # -- stalest banked rows promoted (29, all r7-era rows) -----------
+        "d18_corpus_build_scrubbed": q_d18,
+        "d19_quality_weighted_sample": q_d19,
+        "d20_bag_of_words_dedup": q_d20,
+        "d21_semantic_dedup": q_d21,
+        "d22_dedup_keep_best": q_d22,
+        "e09_hourly_gapfill": q_e09,
+        "a15_grouped_corr": q_a15,
+        "a16_group_mode": q_a16,
+        "r03_nearest_event": q_r03,
+        "e10_cohort_retention": q_e10,
+        "e11_growth_accounting": q_e11,
+        "f02_user_transitions": q_f02,
+        "a17_mad_outliers": q_a17,
+        "t15_chunking": q_t15,
+        "g03_triangle_counts": q_g03,
+        "w06_navigation_windows": q_w06,
+        "a18_filtered_aggregates": q_a18,
+        "d25_training_chunks": q_d25,
+        "t17_bpe_pair_counts": q_t17,
+        "r05_spatial_pairs": q_r05,
+        "j07_full_outer_days": q_j07,
+        "r04_interval_overlap": q_r04,
+        "a19_pareto_frontier": q_a19,
+        "t18_bigram_lm": q_t18,
+        "path01_session_paths": q_path01,
+        "d26_sorted_neighborhood": q_d26,
+        "w07_ntile_quartiles": q_w07,
+        "set05_multiset_ops": q_set05,
+        "a20_winsorized_sums": q_a20,
+        # -- continuously-verified cores (4) ----------------------------
+        "d01_dedup_exact": q_d01,
+        "d02_ngram_jaccard_pairs": q_d02,
+        "e01_tumbling_window": q_e01,
+        "f01_event_funnel": q_f01,
+        # ================= position 51+: outside driver window ==========
+        # r12-green cohort (freshest evidence) moved behind the window.
         "st07_bootstrap_ci": q_st07,
         "pm04_conformance_fitness": q_pm04,
         "knn04_core_density": q_knn04,
@@ -6047,7 +6102,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pm05_rework_metrics": q_pm05,
         "a33_mix_shift": q_a33,
         "ml08_centroid_margin": q_ml08,
-        # -- stalest banked rows promoted (27, all r6-era rows) -----------
         "t16_fuzzy_decontamination": q_t16,
         "t19_lm_doc_score": q_t19,
         "t25_bigram_kneser_ney": q_t25,
@@ -6075,13 +6129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d16_corpus_build": q_d16,
         "s07_quantize_int8": q_s07,
         "s08_random_projection": q_s08,
-        # -- continuously-verified cores (4) ----------------------------
-        "d01_dedup_exact": q_d01,
-        "d02_ngram_jaccard_pairs": q_d02,
-        "e01_tumbling_window": q_e01,
-        "f01_event_funnel": q_f01,
-        # ================= position 51+: outside driver window ==========
-        # r11-green cohort (freshest evidence) moved behind the window.
+        # -- banked oracle-backed queries (older evidence) ---------------
         "st05_rank_sum_test": q_st05,
         "st06_mad_outliers": q_st06,
         "sk01_hll_ndv": q_sk01,
@@ -6128,7 +6176,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a28_histogram_percentiles": q_a28,
         "a29_exact_percentiles_selection": q_a29,
         "t14_vocab_build": q_t14,
-        # r10-green cohort.
         "d34_maximal_repeat_scrub": q_d34,
         "st03_jackknife_months": q_st03,
         "fc02_forecast_backtest": q_fc02,
@@ -6175,7 +6222,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j05_roleplay_nations": q_j05,
         "a06_monthly_rollup": q_a06,
         "w05_percent_rank": q_w05,
-        # r9-green cohort.
         "t29_unigram_seed_pieces": q_t29,
         "d33_classifier_gated_corpus": q_d33,
         "ml04_decision_stump": q_ml04,
@@ -6222,7 +6268,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e08_outer_attribution": q_e08,
         "d07_train_val_split": q_d07,
         "d09_dup_clusters": q_d09,
-        # r8-green cohort moved behind the window in r9.
         "g07_lpa_communities": q_g07,
         "g08_hits_scores": q_g08,
         "e16_seasonal_anomaly": q_e16,
@@ -6269,37 +6314,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w03_rank_in_segment": q_w03,
         "w04_rolling_7day_revenue": q_w04,
         "r01_asof_join": q_r01,
-        # -- banked oracle-backed remainder; rows-only queries stay last
-        #    so driver-checked rows are all hash-checkable ---------------
-        "d18_corpus_build_scrubbed": q_d18,
-        "d19_quality_weighted_sample": q_d19,
-        "d20_bag_of_words_dedup": q_d20,
-        "d21_semantic_dedup": q_d21,
-        "d22_dedup_keep_best": q_d22,
-        "e09_hourly_gapfill": q_e09,
-        "a15_grouped_corr": q_a15,
-        "a16_group_mode": q_a16,
-        "r03_nearest_event": q_r03,
-        "e10_cohort_retention": q_e10,
-        "e11_growth_accounting": q_e11,
-        "f02_user_transitions": q_f02,
-        "a17_mad_outliers": q_a17,
-        "t15_chunking": q_t15,
-        "g03_triangle_counts": q_g03,
-        "w06_navigation_windows": q_w06,
-        "a18_filtered_aggregates": q_a18,
-        "d25_training_chunks": q_d25,
-        "t17_bpe_pair_counts": q_t17,
-        "r05_spatial_pairs": q_r05,
-        "j07_full_outer_days": q_j07,
-        "r04_interval_overlap": q_r04,
-        "a19_pareto_frontier": q_a19,
-        "t18_bigram_lm": q_t18,
-        "path01_session_paths": q_path01,
-        "d26_sorted_neighborhood": q_d26,
-        "w07_ntile_quartiles": q_w07,
-        "set05_multiset_ops": q_set05,
-        "a20_winsorized_sums": q_a20,
         "r06_activity_islands": q_r06,
         "d27_lm_quality_corpus": q_d27,
         "pf02_category_drift": q_pf02,
@@ -6317,27 +6331,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a23_gini_concentration": q_a23,
         "pf03_ks_drift": q_pf03,
         "a24_cube_aggregate": q_a24,
-        # -- r12 additions (born never-checked; rotate into the r13
-        #    window per the steady-state policy) ------------------------
-        "s15_ivf_recall_audit": q_s15,
-        "s16_pq_recall_audit": q_s16,
-        "st08_mann_kendall": q_st08,
-        "fc07_hw_mase": q_fc07,
-        "t35_zipf_buckets": q_t35,
-        "d39_dup_provenance": q_d39,
-        "ops04_littles_law": q_ops04,
-        "ca04_purchase_gaps": q_ca04,
-        "ivm04_maintained_topk": q_ivm04,
-        "pf13_format_rules": q_pf13,
-        "fp05_sequential_rules": q_fp05,
-        "g18_clustering_coefficient": q_g18,
-        "g19_rich_club": q_g19,
-        "st09_runs_test": q_st09,
-        "t37_token_burstiness": q_t37,
-        "m07_payload_audit": q_m07,
-        "e35_peak_window": q_e35,
-        # rows-only (no oracle by nature) — declared via absence from
-        # oracle_sql(); kept last
+        # -- rows-only (no-oracle) queries stay LAST so the window is
+        # -- 100% hash-checkable --------------------------------------
         "e22_rolling_distinct_hll": q_e22,
         "a09_approx_distinct": q_a09,
         "a14_approx_percentiles": q_a14,

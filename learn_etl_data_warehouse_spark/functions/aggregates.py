@@ -62,7 +62,12 @@ def _wide_half_up(s: Column, f: int) -> Column:
     q = F.call_function("div", a, fa)
     r = F.call_function("pmod", a, fa)
     mag = q + F.when(r * 2 >= fa, F.lit(1)).otherwise(F.lit(0)).cast("long")
-    bound = F.lit(str(f * (1 << 63))).cast("decimal(38,0)")
+    # Guard at the smallest |s| whose ROUNDED quotient reaches 2^63:
+    # f*(2^63-1) + ceil(f/2) = f*2^63 - floor(f/2). Guarding at f*2^63
+    # alone would let the half-up increment push q from 2^63-1 to 2^63
+    # and surface as a generic ANSI long-overflow instead of this
+    # message (r12 ADVICE).
+    bound = F.lit(str(f * (1 << 63) - f // 2)).cast("decimal(38,0)")
     mag = F.when(
         a >= bound,
         F.call_function(

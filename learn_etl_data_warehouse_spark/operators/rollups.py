@@ -433,16 +433,12 @@ def maintain_topk_sums(
             F.when(F.col("_change_type") == "delete", -F.col(val_col))
             .otherwise(F.col(val_col))
         ).alias("_v"),
-        F.when(F.col("_change_type") == "delete", F.lit(-1))
-        .otherwise(F.lit(1))
-        .alias("_n"),
     ).groupBy(*(g + e)).agg(
         F.sum("_v").cast("long").alias("_dv"),
-        F.sum("_n").cast("long").alias("_dn"),
     )
     merged = (
         state.select(*(g + e), F.col("val").alias("_sv"))
-        .join(signed.drop("_dn"), g + e, "full_outer")
+        .join(signed, g + e, "full_outer")
         .select(
             *(g + e),
             (

@@ -1685,6 +1685,7 @@ def pq_adc_recall_audit(
     query_cap: int = 2000,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int = 64,
 ) -> DataFrame:
     """Oracle-exact PQ/ADC recall audit — d38's measured-capture
     discipline for the product-quantization path: ADC top-k vs the
@@ -1712,8 +1713,11 @@ def pq_adc_recall_audit(
     budget."""
     spark = emb.sparkSession
     n_max = max(code_grid)
-    first = emb.select(vec_col).head()
-    dim = len(first[0])
+    # ``dim`` is a declared parameter (default 64, the embeddings
+    # fixture), NOT probed with a .head() — an eager driver job at
+    # plan-construction time made this the one non-lazy q_* builder
+    # (r12 ADVICE). ArrayType carries no length in the schema; a wrong
+    # dim fails loudly (ANSI element_at past the array end throws).
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sd = dim // m

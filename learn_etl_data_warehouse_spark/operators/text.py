@@ -1748,6 +1748,8 @@ def token_burstiness(docs: DataFrame, by: str = "source") -> DataFrame:
     curation dashboard number next to t02's quality scores.
 
     The a15 moment discipline: Σx and Σx² accumulate as integers, the
+    per-row square is taken AFTER casting x to DECIMAL(38,0) (a BIGINT
+    x·x ANSI-throws for a single doc past ~3·10⁹ tokens) and the
     variance numerator n·Σx² − (Σx)² is assembled in DECIMAL(38,0)
     (BIGINT would overflow once Σx² passes ~9·10¹⁸ — ~10¹² long docs),
     and the single division is the non-negative
@@ -1760,9 +1762,11 @@ def token_burstiness(docs: DataFrame, by: str = "source") -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum(x).cast("long").alias("sum_tokens"),
-            # accumulate the squares IN decimal — a long sum of x²
-            # overflows at ~9e18 (10¹² long docs), the a31 class
-            F.sum((x * x).cast("decimal(38,0)")).alias("_sx2"),
+            # square AND accumulate IN decimal — a BIGINT per-row x*x
+            # ANSI-throws past x ~3e9 tokens, and a long sum of x²
+            # overflows at ~9e18 (10¹² long docs), the a31 class; the
+            # cast-before-multiply matches the DuckDB twin's HUGEINT
+            F.sum(x.cast("decimal(38,0)") * x).alias("_sx2"),
         )
     )
     return m.select(
