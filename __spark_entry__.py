@@ -5499,6 +5499,36 @@ def q_s16(spark, sf_dir):
     return similarity.pq_adc_recall_audit(_t(spark, sf_dir, "embeddings"))
 
 
+# s17 audit budget — ONE set of named constants feeds the Spark builder
+# AND the oracle assembly (the classifier-prefix discipline from r8
+# ADVICE: never retype shared constants on the two sides).
+_S17_BITS = 6
+_S17_K = 10
+_S17_QUERY_MOD = 100
+_S17_QUERY_CAP = 2000
+_S17_RADII = (0, 1, 2)
+
+
+def q_s17(spark, sf_dir):
+    """Hyperplane-LSH recall audit (r13, the r12 verdict's item-3 ask):
+    closes the ANN audit matrix — LSH banding (d38), IVF (s15), PQ/ADC
+    (s16) and now the sign-random-projection bucket path. Per
+    multi-probe Hamming radius {0,1,2}, capture of the exact cosine
+    top-10 in integer ppm over the fixed query budget; bucket bit j =
+    s08's md5-±1-sign integer projection >= 0, so both engines derive
+    identical buckets with no float hyperplane anywhere. lsh_topk's
+    1-bit-flip multi-probe is radius 1
+    (operators/similarity.py::hyperplane_recall_audit)."""
+    return similarity.hyperplane_recall_audit(
+        _t(spark, sf_dir, "embeddings"),
+        n_bits=_S17_BITS,
+        k=_S17_K,
+        query_mod=_S17_QUERY_MOD,
+        query_cap=_S17_QUERY_CAP,
+        radii=_S17_RADII,
+    )
+
+
 def q_st08(spark, sf_dir):
     """Mann–Kendall trend test (r12): the nonparametric companion to
     e28's Theil–Sen slope — S = Σ sign(x_j − x_i) over time-ordered
@@ -5628,6 +5658,41 @@ def q_ivm04(spark, sf_dir):
         "_change_type", F.lit("insert")
     )
     dele = base.filter(F.col("o_orderkey") % 100 < 10).withColumn(
+        "_change_type", F.lit("delete")
+    )
+    state = topk_sums_state(base, "o_orderpriority", "o_custkey", "cents")
+    state = maintain_topk_sums(
+        state, ins.unionByName(dele), "o_orderpriority", "o_custkey",
+        "cents",
+    )
+    return topk_from_sums(state, "o_orderpriority", "o_custkey", k=3)
+
+
+def q_ivm05(spark, sf_dir):
+    """Maintained TOP-K view, CLIMB cohort (r13, the r12 verdict's
+    item-4 ask): ivm04 exercises the additive merge; this delete cohort
+    removes EVERY base row of 1-in-7 customers (o_custkey % 7 == 0), so
+    any top-3 member in that slice vanishes from the state entirely and
+    an outsider must climb into the view — the ranking-IVM transition
+    ivm04's scripted txn doesn't force (driver-visible now, not just in
+    the repo conformance test; tests/test_operators.py pins that a
+    climb actually happens at sf0.001). Oracle ranks the post-txn row
+    set directly (operators/rollups.py::topk_sums_state/
+    maintain_topk_sums/topk_from_sums)."""
+    from learn_etl_data_warehouse_spark.operators.rollups import (
+        maintain_topk_sums,
+        topk_from_sums,
+        topk_sums_state,
+    )
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "cents", F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    )
+    base = o.filter(F.col("o_orderkey") % 10 < 7)
+    ins = o.filter(F.col("o_orderkey") % 10 >= 7).withColumn(
+        "_change_type", F.lit("insert")
+    )
+    dele = base.filter(F.col("o_custkey") % 7 == 0).withColumn(
         "_change_type", F.lit("delete")
     )
     state = topk_sums_state(base, "o_orderpriority", "o_custkey", "cents")
@@ -6331,6 +6396,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a23_gini_concentration": q_a23,
         "pf03_ks_drift": q_pf03,
         "a24_cube_aggregate": q_a24,
+        # -- r13 newborns (born never-checked; r14 window candidates) ----
+        "s17_hyperplane_recall_audit": q_s17,
+        "ivm05_topk_climb": q_ivm05,
         # -- rows-only (no-oracle) queries stay LAST so the window is
         # -- 100% hash-checkable --------------------------------------
         "e22_rolling_distinct_hll": q_e22,
@@ -11496,6 +11564,54 @@ SELECT CAST(a.n_codes AS BIGINT) AS n_codes,
          AS recall_ppm
 FROM adck a JOIN exact x ON x.qid = a.qid AND x.vid = a.vid
 GROUP BY a.n_codes"""
+    # s17: bucket bit j = s08's md5-±1-sign integer projection >= 0
+    # (the sign/floor expressions are s08's oracle tokens verbatim);
+    # capture = counting exact-top-k members by bucket Hamming
+    # distance (the s15 no-materialized-topk argument). Budget
+    # constants shared with q_s17 via the _S17_* module names.
+    _s17_grid = ", ".join(str(int(r)) for r in _S17_RADII)
+    out["s17_hyperplane_recall_audit"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bits AS (
+  SELECT vec_id AS vid, CAST(j AS BIGINT) AS j,
+         CASE WHEN CAST(sum(
+           (CASE WHEN ascii(substr(md5(CAST(pos - 1 AS VARCHAR) || '_' ||
+                                       CAST(j AS VARCHAR)), 1, 1)) % 2 = 0
+                 THEN 1 ELSE -1 END)
+           * CAST(floor(CAST(embedding[pos] AS DOUBLE) * 1000000) AS BIGINT)
+         ) AS BIGINT) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos) t,
+       LATERAL (SELECT unnest(generate_series(0, {_S17_BITS - 1})) AS j) u
+  GROUP BY vec_id, j),
+qbits AS (SELECT vid AS qid, j, bit FROM bits
+          WHERE vid % {_S17_QUERY_MOD} = 0 AND vid < {_S17_QUERY_CAP}),
+queries AS (SELECT vec_id AS qid, v AS qv FROM e
+            WHERE vec_id % {_S17_QUERY_MOD} = 0
+              AND vec_id < {_S17_QUERY_CAP}),
+gt AS (
+  SELECT qid, vid FROM (
+    SELECT q.qid, e.vec_id AS vid,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY {_c_eq} DESC, e.vec_id ASC) AS rnk
+    FROM queries q JOIN e ON e.vec_id <> q.qid) WHERE rnk <= {_S17_K}),
+ham AS (
+  SELECT g.qid, g.vid,
+         CAST(sum(CASE WHEN b.bit <> qb.bit THEN 1 ELSE 0 END) AS BIGINT)
+           AS h
+  FROM gt g JOIN bits b ON b.vid = g.vid
+       JOIN qbits qb ON qb.qid = g.qid AND qb.j = b.j
+  GROUP BY g.qid, g.vid),
+nq AS (SELECT count(*) AS n FROM queries),
+grid AS (SELECT unnest([{_s17_grid}]) AS radius)
+SELECT CAST(g.radius AS BIGINT) AS radius,
+       CAST(sum(CASE WHEN h.h <= g.radius THEN 1 ELSE 0 END) AS BIGINT)
+         AS captured,
+       CAST({_S17_K} * (SELECT n FROM nq) AS BIGINT) AS expected,
+       CAST((1000000 * sum(CASE WHEN h.h <= g.radius THEN 1 ELSE 0 END))
+            // ({_S17_K} * (SELECT n FROM nq)) AS BIGINT) AS recall_ppm
+FROM grid g CROSS JOIN ham h
+GROUP BY g.radius"""
     # st08: pairwise sign sum over the calendar-bounded hourly grid
     # (the e28 self-join) + tie-corrected variance numerator, undivided.
     out["st08_mann_kendall"] = """
@@ -11683,6 +11799,23 @@ FROM cum GROUP BY 1"""
     out["ivm04_maintained_topk"] = """
 WITH live AS (SELECT * FROM orders
               WHERE (o_orderkey % 10 < 7 AND o_orderkey % 100 >= 10)
+                 OR o_orderkey % 10 >= 7),
+s AS (SELECT o_orderpriority, o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS val
+      FROM live GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY val DESC, o_custkey ASC)
+        AS rnk
+      FROM s)
+SELECT o_orderpriority, o_custkey, val, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 3"""
+    # ivm05: the climb cohort — deletes EVERY base row of custkey % 7
+    # customers (entities vanish, outsiders climb); post-txn live set =
+    # inserts plus the base minus that slice.
+    out["ivm05_topk_climb"] = """
+WITH live AS (SELECT * FROM orders
+              WHERE (o_orderkey % 10 < 7 AND o_custkey % 7 <> 0)
                  OR o_orderkey % 10 >= 7),
 s AS (SELECT o_orderpriority, o_custkey,
              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))

@@ -1838,3 +1838,116 @@ def pq_adc_recall_audit(
         )
         .orderBy("n_codes")
     )
+
+def hyperplane_recall_audit(
+    emb: DataFrame,
+    n_bits: int = 8,
+    k: int = 10,
+    query_mod: int = 100,
+    query_cap: int = 2000,
+    radii: tuple[int, ...] = (0, 1, 2),
+    scale: int = 1_000_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Oracle-exact hyperplane-LSH recall audit (s17) — the third leg of
+    the ANN audit matrix (LSH banding d38, IVF s15, PQ/ADC s16): per
+    multi-probe HAMMING RADIUS capture of the exact cosine top-k, in
+    integer ppm, over a bounded deterministic query budget.
+
+    Geometry is the sign-random-projection hash in its oracle-
+    expressible form: bit j of a vector's bucket is
+    ``proj_q(v, j) >= 0`` where proj_q is :func:`random_projection`'s
+    md5-±1-sign INTEGER projection (the s08 discipline — cross-engine
+    exact by construction, no float hyperplane dot anywhere). The
+    float-hyperplane kernels (:func:`add_lsh_buckets` / :func:`lsh_topk`)
+    stay the production path; this audits the hyperplane-LSH MECHANISM
+    — same bucket geometry class, recall curve driver-checkable.
+
+    Capture needs no materialized LSH top-k (the s15 argument): the
+    radius-r candidate set is every vector within Hamming r of the
+    query's bucket, and an exact-top-k member inside the candidate set
+    always survives the candidate exact-cosine top-k (anything
+    outranking it among candidates outranks it globally, and fewer
+    than k rows do) — so ``captured(r) = #{exact top-k rows with
+    hamming(bucket_v, bucket_q) <= r}`` exactly. ``lsh_topk``'s
+    1-bit-flip multi-probe is radius 1; radius 0 is the plain bucket.
+
+    Scale posture: bits are one s08 projection pass (row-linear,
+    dim x n_bits bounded fanout); query bits are a broadcast fixed
+    budget; ground truth a Q x N broadcast join; the hamming join is
+    k x Q x n_bits rows. Linear in the table at fixed audit budget, no
+    all-pairs anywhere."""
+    spark = emb.sparkSession
+    cos6 = lambda a, b: F.round(cosine_similarity(a, b), 6)  # noqa: E731
+    bits = random_projection(
+        emb, k=n_bits, scale=scale, vec_col=vec_col, id_col=id_col
+    ).select(
+        F.col(id_col).alias("_vid"),
+        F.col("j").alias("_j"),
+        (F.col("proj_q") >= 0).cast("int").alias("_bit"),
+    )
+    qbits = F.broadcast(
+        bits.filter(
+            (F.col("_vid") % query_mod == 0) & (F.col("_vid") < query_cap)
+        ).select(
+            F.col("_vid").alias("_qid"),
+            F.col("_j").alias("_j"),
+            F.col("_bit").alias("_qbit"),
+        )
+    )
+    queries = F.broadcast(
+        emb.filter(
+            (F.col(id_col) % query_mod == 0) & (F.col(id_col) < query_cap)
+        ).select(F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv"))
+    )
+    gt = (
+        emb.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+        .join(queries, F.col("_vid") != F.col("_qid"))
+        .select(
+            "_qid", "_vid", cos6(F.col("_v"), F.col("_qv")).alias("_cs")
+        )
+        .withColumn(
+            "_rnk",
+            F.row_number().over(
+                Window.partitionBy("_qid").orderBy(
+                    F.desc("_cs"), F.asc("_vid")
+                )
+            ),
+        )
+        .filter(F.col("_rnk") <= k)
+        .select("_qid", "_vid")
+    )
+    ham = (
+        gt.join(bits, "_vid")
+        .join(qbits, ["_qid", "_j"])
+        .groupBy("_qid", "_vid")
+        .agg(
+            F.sum((F.col("_bit") != F.col("_qbit")).cast("long")).alias(
+                "_h"
+            )
+        )
+    )
+    grid = F.broadcast(
+        spark.createDataFrame([(int(r),) for r in radii], "radius long")
+    )
+    nq = queries.agg(F.count(F.lit(1)).alias("_nq"))
+    return (
+        grid.join(ham)
+        .groupBy("radius")
+        .agg(
+            F.sum((F.col("_h") <= F.col("radius")).cast("long")).alias(
+                "captured"
+            )
+        )
+        .join(nq)
+        .select(
+            "radius",
+            "captured",
+            (F.lit(int(k)) * F.col("_nq")).cast("long").alias("expected"),
+            F.expr(f"(1000000 * captured) div ({k} * _nq)")
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+        .orderBy("radius")
+    )

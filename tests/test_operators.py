@@ -5582,6 +5582,97 @@ def test_pq_adc_recall_audit_grid(spark, sf_small):
     assert [(r["l2"], r["vec_id"]) for r in got] == truth
 
 
+def test_hyperplane_recall_audit_curve(spark, sf_small):
+    """r13: the hyperplane-LSH recall audit (s17) — captured is
+    monotone non-decreasing in radius, bounded by expected, and radius
+    = n_bits captures everything (every bucket is within Hamming
+    n_bits); the bucket-bit kernel replicates a Python md5-sign model
+    for one vector (the d36 replicate-the-arithmetic discipline)."""
+    emb = load_table(spark, sf_small, "embeddings")
+    rows = {
+        r["radius"]: r
+        for r in similarity.hyperplane_recall_audit(
+            emb, n_bits=6, radii=(0, 1, 2, 6)
+        ).collect()
+    }
+    assert sorted(rows) == [0, 1, 2, 6]
+    caps = [rows[n]["captured"] for n in (0, 1, 2, 6)]
+    assert caps == sorted(caps), f"capture not monotone: {caps}"
+    for r in rows.values():
+        assert 0 <= r["captured"] <= r["expected"]
+        assert r["recall_ppm"] == (1_000_000 * r["captured"]) // r["expected"]
+    assert rows[6]["captured"] == rows[6]["expected"], (
+        "radius = n_bits is every bucket; recall must be exact"
+    )
+
+    # Python model of the md5-±1-sign bucket for vector 0: sign(pos, j)
+    # = +1 iff ascii of md5(f"{pos}_{j}")'s first hex char is even; bit
+    # j = (sum sign * floor(v * 1e6)) >= 0.
+    import hashlib
+    import math
+
+    v0 = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    want_bits = []
+    for j in range(6):
+        s = 0
+        for pos, val in enumerate(v0):
+            first = hashlib.md5(f"{pos}_{j}".encode()).hexdigest()[0]
+            sign = 1 if ord(first) % 2 == 0 else -1
+            s += sign * math.floor(float(val) * 1_000_000.0)
+        want_bits.append(1 if s >= 0 else 0)
+    got_bits = [
+        (1 if r["proj_q"] >= 0 else 0)
+        for r in similarity.random_projection(
+            emb.filter(F.col("vec_id") == 0), k=6
+        )
+        .orderBy("j")
+        .collect()
+    ]
+    assert got_bits == want_bits
+
+
+def test_ivm05_cohort_forces_climb(spark, sf_small):
+    """r13: ivm05's scripted delete cohort (all base rows of custkey %
+    7 == 0) must actually force an outsider to CLIMB into the top-3 —
+    the maintained view contains a (priority, cust) member absent from
+    the pre-txn view (the driver-visible transition the r12 verdict
+    asked for)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as em
+    from learn_etl_data_warehouse_spark.operators.rollups import (
+        topk_from_sums,
+        topk_sums_state,
+    )
+
+    o = load_table(spark, sf_small, "orders").withColumn(
+        "cents", F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    )
+    base = o.filter(F.col("o_orderkey") % 10 < 7)
+    pre = {
+        (r["o_orderpriority"], r["o_custkey"])
+        for r in topk_from_sums(
+            topk_sums_state(base, "o_orderpriority", "o_custkey", "cents"),
+            "o_orderpriority",
+            "o_custkey",
+            k=3,
+        ).collect()
+    }
+    post = {
+        (r["o_orderpriority"], r["o_custkey"])
+        for r in em.queries()["ivm05_topk_climb"](spark, sf_small).collect()
+    }
+    climbers = post - pre
+    assert climbers, "delete cohort did not force any climb into top-3"
+    # and at least one climber is NOT a custkey%7 re-insert — a true
+    # outsider promoted by a member's disappearance
+    assert any(c[1] % 7 != 0 for c in climbers), climbers
+
+
 def test_mann_kendall_python_model(spark):
     """r12: st08 — S and the tie-corrected variance numerator replicate
     a brute-force Python model on a hand series with ties."""
