@@ -5819,6 +5819,39 @@ def q_st09(spark, sf_dir):
     return runs_test(hourly_counts(_t(spark, sf_dir, "events")))
 
 
+def q_st10(spark, sf_dir):
+    """Kendall tau-b concordance counts (r13): does hourly volume move
+    WITH hourly audience? st08 is x-vs-time concordance; st10 is
+    x-vs-y. Pure integer pair classes (concordant / discordant /
+    one-sided ties / both-tied), s_stat = C − D kept UNDIVIDED — the
+    consumer assembles tau-b's float in its own world. The st08/e28
+    calendar-bounded pair join: O(hours²) per key, corpus-volume
+    independent (operators/timeseries.py::kendall_tau)."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        hourly_metric_pair,
+        kendall_tau,
+    )
+
+    return kendall_tau(hourly_metric_pair(_t(spark, sf_dir, "events")))
+
+
+def q_st11(spark, sf_dir):
+    """Spearman rank correlation (r13): Pearson (a15) on values,
+    Kendall (st10) on concordance, Spearman on RANKS completes the
+    correlation triple. Tied hours take doubled average ranks (the
+    st05 integral-tie discipline), moments in DECIMAL(38,0)/HUGEINT,
+    and rho is ONE token-mirrored double num / sqrt(den_x · den_y) —
+    the a15/ml07 single-evaluation precedent; rank windows are
+    calendar-bounded per key
+    (operators/timeseries.py::spearman_rho)."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        hourly_metric_pair,
+        spearman_rho,
+    )
+
+    return spearman_rho(hourly_metric_pair(_t(spark, sf_dir, "events")))
+
+
 def q_t37(spark, sf_dir):
     """Token burstiness (r12): Fano factor (variance/mean) of
     tokens-per-document per source in truncating ppm — 1e6 ≈
@@ -6399,6 +6432,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r13 newborns (born never-checked; r14 window candidates) ----
         "s17_hyperplane_recall_audit": q_s17,
         "ivm05_topk_climb": q_ivm05,
+        "st10_kendall_tau": q_st10,
+        "st11_spearman_rho": q_st11,
         # -- rows-only (no-oracle) queries stay LAST so the window is
         # -- 100% hash-checkable --------------------------------------
         "e22_rolling_distinct_hll": q_e22,
@@ -11961,6 +11996,71 @@ SELECT event_type, CAST(sum(s) AS BIGINT) AS n_above,
        CAST(sum(1 - s) AS BIGINT) AS n_below,
        CAST(sum(nr) AS BIGINT) AS n_runs
 FROM f GROUP BY 1"""
+    # st10/st11 share the two-metric hourly grain (x = count, y =
+    # distinct users). st10: the st08 pair join with sign classes per
+    # pair, everything undivided. st11: doubled average ranks
+    # (2·rank + count_equal − 1, the st05 identity), HUGEINT moments,
+    # ONE token-mirrored double num / sqrt(den_x · den_y).
+    _hxy = """h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                  CAST(count(*) AS BIGINT) AS x,
+                  CAST(count(DISTINCT user_id) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2)"""
+    out["st10_kendall_tau"] = f"""
+WITH {_hxy},
+p AS (SELECT a.event_type,
+             CASE WHEN b.x > a.x THEN 1
+                  WHEN b.x < a.x THEN -1 ELSE 0 END AS dx,
+             CASE WHEN b.y > a.y THEN 1
+                  WHEN b.y < a.y THEN -1 ELSE 0 END AS dy
+      FROM h a JOIN h b
+        ON a.event_type = b.event_type AND a.hr < b.hr),
+agg AS (SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(CASE WHEN dx * dy = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS concordant,
+               CAST(sum(CASE WHEN dx * dy = -1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS discordant,
+               CAST(sum(CASE WHEN dx = 0 AND dy <> 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ties_x,
+               CAST(sum(CASE WHEN dy = 0 AND dx <> 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ties_y,
+               CAST(sum(CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ties_xy
+        FROM p GROUP BY 1),
+n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours
+      FROM h GROUP BY 1)
+SELECT n.event_type, n.n_hours, a.n_pairs, a.concordant, a.discordant,
+       CAST(a.concordant - a.discordant AS BIGINT) AS s_stat,
+       a.ties_x, a.ties_y, a.ties_xy
+FROM n JOIN agg a ON a.event_type = n.event_type"""
+    out["st11_spearman_rho"] = f"""
+WITH {_hxy},
+r AS (SELECT event_type,
+             CAST(2 * rank() OVER (PARTITION BY event_type ORDER BY x ASC)
+                  + count(*) OVER (PARTITION BY event_type, x) - 1
+                  AS BIGINT) AS rx,
+             CAST(2 * rank() OVER (PARTITION BY event_type ORDER BY y ASC)
+                  + count(*) OVER (PARTITION BY event_type, y) - 1
+                  AS BIGINT) AS ry
+      FROM h),
+m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+             sum(CAST(rx AS HUGEINT)) AS sx,
+             sum(CAST(ry AS HUGEINT)) AS sy,
+             sum(CAST(rx AS HUGEINT) * rx) AS sxx,
+             sum(CAST(ry AS HUGEINT) * ry) AS syy,
+             sum(CAST(rx AS HUGEINT) * ry) AS sxy
+      FROM r GROUP BY 1),
+d AS (SELECT event_type, n_hours,
+             CAST(n_hours * sxy - sx * sy AS BIGINT) AS num,
+             CAST(n_hours * sxx - sx * sx AS BIGINT) AS den_x,
+             CAST(n_hours * syy - sy * sy AS BIGINT) AS den_y
+      FROM m)
+SELECT event_type, n_hours, num, den_x, den_y,
+       CASE WHEN den_x > 0 AND den_y > 0
+            THEN CAST(num AS DOUBLE)
+                 / sqrt(CAST(den_x AS DOUBLE) * CAST(den_y AS DOUBLE))
+            END AS rho
+FROM d"""
     # t37: integer moments, HUGEINT variance numerator (≡ Spark's
     # DECIMAL(38,0)), one non-negative truncating division.
     out["t37_token_burstiness"] = f"""

@@ -105,7 +105,55 @@ HEADLINE = [
     "pm04_conformance_fitness",
     "s15_ivf_recall_audit",
     "fc07_hw_mase",
+    # r13 operators
+    "s17_hyperplane_recall_audit",
 ]
+
+# The CROSS-ROUND COMPARISON ARTIFACT (r12 verdict item 7): the full
+# headliner list grew to 70+ entries and the documented same-JVM
+# interleave pressure (~1-2%/round creep) started drowning per-query
+# signal. This FROZEN core — the longest-lived comparables spanning
+# every family (TPC-H, joins, dedup, similarity, streaming twins, text,
+# graph, IVM, ML, multimodal) — is what per-round regression judgment
+# runs against: compare core_value (and the core queries' lines)
+# across rounds at matching calibration; the full total remains
+# published but is NOT comparable as the list grows. DO NOT add to or
+# remove from CORE without re-baselining — new operators go to HEADLINE
+# only.
+CORE = frozenset(
+    [
+        "q01_pricing_summary",
+        "q03_shipping_priority",
+        "q05_local_supplier_volume",
+        "j05_roleplay_nations",
+        "a03_histogram_totalprice",
+        "a05_top3_orders_per_customer",
+        "a06_monthly_rollup",
+        "d02_ngram_jaccard_pairs",
+        "d03_minhash_lsh_pairs",
+        "d10_semantic_clusters",
+        "s01_cosine_topk",
+        "s02_neardup_pairs_exact",
+        "s07_quantize_int8",
+        "e01_tumbling_window",
+        "e03_session_windows",
+        "t02_quality_scores",
+        "m02_media_features",
+        "m05_decode_batches",
+        "d13_edit_distance_pairs",
+        "t08_decontamination",
+        "ivm01_maintained_rollup",
+        "d17_hot_span_scrub",
+        "d21_semantic_dedup",
+        "d24_incremental_neardup",
+        "t15_chunking",
+        "g02_part_pagerank",
+        "km01_lloyd_assign",
+        "cl01_perceptron_weights",
+        "d34_maximal_repeat_scrub",
+        "etl01_sharded_warehouse",
+    ]
+)
 
 # Reference-parity ETL (EP1 at shard grain): not a queries() entry — it
 # writes a partitioned warehouse — so it's timed as a special bench stage
@@ -216,6 +264,9 @@ def main() -> None:
         timings["etl01_sharded_warehouse"] = round(min([etl] + repeats), 3)
 
     total = round(sum(timings.values()), 3)
+    core_total = round(
+        sum(v for n, v in timings.items() if n in CORE), 3
+    )
     cal = round(min(cal_before, _calibrate_single_core()), 3)
     full = {
         "metric": "headline_queries_total_runtime",
@@ -224,6 +275,10 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "calibration_s": cal,
+        # cross-round comparable: the frozen CORE set's total (see the
+        # CORE comment — this is the number to trend, not "value")
+        "core_value": core_total,
+        "core_n": sum(1 for n in timings if n in CORE),
     }
     # The driver's BENCH artifact captures only the LAST 2000 chars of
     # stdout; at 69+ full-name entries the JSON line overflowed and
@@ -250,6 +305,7 @@ def main() -> None:
                 "queries": short,
                 "sf": sf,
                 "calibration_s": cal,
+                "core_value": core_total,
             },
             separators=(",", ":"),
         )

@@ -32,6 +32,30 @@ def main() -> None:
     n0 = docs.count()
     print(f"corpus: {n0} docs")
 
+    # 0b. multimodal ingest ledger (m07): the byte-level payload audit a
+    # pipeline runs BEFORE spending decode cycles — per-modality byte
+    # mass, size extrema, distinct-content count and duplicate ppm, all
+    # native binary expressions (no codec touched). The deterministic
+    # doc_id % 3 modality mix mirrors the m07 driver query.
+    from learn_etl_data_warehouse_spark.operators.multimodal import (
+        documents_as_media,
+        media_payload_audit,
+    )
+
+    media = documents_as_media(docs).withColumn(
+        "media_type",
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("media_id") % 3 + 1).cast("int"),
+        ),
+    )
+    for r in media_payload_audit(media).orderBy("media_type").collect():
+        print(
+            f"media ledger [{r['media_type']}]: {r['n']} payloads"
+            f", {r['sum_bytes']} bytes, {r['n_distinct']} distinct"
+            f", dup {r['dup_ppm']} ppm"
+        )
+
     # 1. heuristic quality gates (C4 + Gopher families)
     kept = text.c4_filters(docs).filter(F.col("kept")).select("doc_id")
     docs1 = docs.join(kept, "doc_id", "left_semi")

@@ -1801,3 +1801,176 @@ def peak_window(
             F.col("_roll").alias("peak_count"),
         )
     )
+
+def hourly_metric_pair(
+    df: DataFrame, key: str = "event_type", ts: str = "ts"
+) -> DataFrame:
+    """The (key, hr, x, y) TWO-metric hourly grain the correlation
+    diagnostics run on: x = event count, y = distinct active users —
+    "does volume move with audience?" is the shape st10/st11 answer.
+    One shuffle; y is a per-hour COUNT(DISTINCT), exact at hour grain
+    (the e21 day-grain precedent)."""
+    us_per_hour = 3_600_000_000
+    return df.groupBy(
+        F.col(key),
+        F.expr(f"unix_micros({ts}) div {us_per_hour}").alias("hr"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.countDistinct("user_id").cast("long").alias("y"),
+    )
+
+
+def kendall_tau(
+    hourly: DataFrame, key: str = "event_type", x: str = "x", y: str = "y"
+) -> DataFrame:
+    """KENDALL tau-b concordance counts between two hourly metrics per
+    key (st10) — with :func:`mann_kendall` (x vs TIME) this completes
+    the pairwise-concordance pair: does metric y move WITH metric x?
+
+    Pure integers end to end, every divisor-bearing quantity kept
+    UNDIVIDED (the fc02/st08 discipline): per time-ordered pair,
+    dx = sign(x_j − x_i), dy = sign(y_j − y_i); the outputs are the
+    raw pair classes — concordant (dx·dy = 1), discordant (dx·dy = −1),
+    ties_x / ties_y (tied in exactly one metric), ties_xy (tied in
+    both) — plus s_stat = C − D and n_pairs = n(n−1)/2. The consumer
+    assembles tau-b = S / sqrt((n_pairs − Tx − Txy)(n_pairs − Ty −
+    Txy)) in its own float world.
+
+    Scale shape: the st08/e28 calendar-bounded grid self-join —
+    O(T²) per key in the HOUR COUNT of the span, independent of
+    corpus row volume."""
+    a = hourly.select(
+        F.col(key),
+        F.col("hr").alias("_ah"),
+        F.col(x).alias("_ax"),
+        F.col(y).alias("_ay"),
+    )
+    b = hourly.select(
+        F.col(key).alias("_bk"),
+        F.col("hr").alias("_bh"),
+        F.col(x).alias("_bx"),
+        F.col(y).alias("_by"),
+    )
+    dx = (
+        F.when(F.col("_bx") > F.col("_ax"), F.lit(1))
+        .when(F.col("_bx") < F.col("_ax"), F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    dy = (
+        F.when(F.col("_by") > F.col("_ay"), F.lit(1))
+        .when(F.col("_by") < F.col("_ay"), F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    pairs = (
+        a.join(
+            b, (F.col(key) == F.col("_bk")) & (F.col("_ah") < F.col("_bh"))
+        )
+        .select(key, dx.alias("_dx"), dy.alias("_dy"))
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum((F.col("_dx") * F.col("_dy") == 1).cast("long"))
+            .cast("long")
+            .alias("concordant"),
+            F.sum((F.col("_dx") * F.col("_dy") == -1).cast("long"))
+            .cast("long")
+            .alias("discordant"),
+            F.sum(
+                ((F.col("_dx") == 0) & (F.col("_dy") != 0)).cast("long")
+            )
+            .cast("long")
+            .alias("ties_x"),
+            F.sum(
+                ((F.col("_dy") == 0) & (F.col("_dx") != 0)).cast("long")
+            )
+            .cast("long")
+            .alias("ties_y"),
+            F.sum(
+                ((F.col("_dx") == 0) & (F.col("_dy") == 0)).cast("long")
+            )
+            .cast("long")
+            .alias("ties_xy"),
+        )
+    )
+    n = hourly.groupBy(key).agg(F.count(F.lit(1)).cast("long").alias("n_hours"))
+    return n.join(pairs, key).select(
+        key,
+        "n_hours",
+        "n_pairs",
+        "concordant",
+        "discordant",
+        (F.col("concordant") - F.col("discordant")).cast("long").alias(
+            "s_stat"
+        ),
+        "ties_x",
+        "ties_y",
+        "ties_xy",
+    )
+
+
+def spearman_rho(
+    hourly: DataFrame, key: str = "event_type", x: str = "x", y: str = "y"
+) -> DataFrame:
+    """SPEARMAN rank correlation between two hourly metrics per key
+    (st11) — Pearson (a15) on values, Kendall (st10) on concordance,
+    Spearman on RANKS completes the correlation triple.
+
+    Determinism: tied values take AVERAGE ranks kept integral by
+    DOUBLING (the st05 discipline — a row with ``lt`` strictly-smaller
+    rows and ``n_v`` equals has doubled rank ``2·lt + n_v + 1`` =
+    ``2·rank() + count_equal − 1``); all five moments of the doubled
+    ranks accumulate in DECIMAL(38,0) (HUGEINT twin), and rho is ONE
+    token-mirrored double evaluation num / sqrt(den_x · den_y) — IEEE
+    sqrt/divide are correctly rounded, the a15/ml07 precedent. NULL
+    when either metric is constant (zero denominator).
+
+    Scale shape: rank windows are partitioned BY KEY and the per-key
+    row count is CALENDAR-bounded (hours of span — the e-family
+    justification), so no data-proportional single partition exists;
+    two windows + one agg per key."""
+    wx = Window.partitionBy(key).orderBy(F.asc(x))
+    wy = Window.partitionBy(key).orderBy(F.asc(y))
+    cx = Window.partitionBy(key, x)
+    cy = Window.partitionBy(key, y)
+    rx = (
+        F.lit(2) * F.rank().over(wx) + F.count(F.lit(1)).over(cx) - 1
+    ).cast("long")
+    ry = (
+        F.lit(2) * F.rank().over(wy) + F.count(F.lit(1)).over(cy) - 1
+    ).cast("long")
+    ranked = hourly.select(
+        F.col(key), rx.alias("_rx"), ry.alias("_ry")
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = ranked.groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum(d("_rx")).alias("_sx"),
+        F.sum(d("_ry")).alias("_sy"),
+        F.sum(d("_rx") * d("_rx")).alias("_sxx"),
+        F.sum(d("_ry") * d("_ry")).alias("_syy"),
+        F.sum(d("_rx") * d("_ry")).alias("_sxy"),
+    )
+    n = F.col("n_hours").cast("decimal(38,0)")
+    num = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den_x = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    den_y = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    return m.select(
+        key,
+        "n_hours",
+        num.cast("long").alias("num"),
+        den_x.cast("long").alias("den_x"),
+        den_y.cast("long").alias("den_y"),
+    ).select(
+        key,
+        "n_hours",
+        "num",
+        "den_x",
+        "den_y",
+        F.when(
+            (F.col("den_x") > 0) & (F.col("den_y") > 0),
+            F.col("num").cast("double")
+            / F.sqrt(
+                F.col("den_x").cast("double") * F.col("den_y").cast("double")
+            ),
+        ).alias("rho"),
+    )

@@ -5703,6 +5703,90 @@ def test_mann_kendall_python_model(spark):
     )
 
 
+def test_kendall_tau_python_model(spark):
+    """r13: st10 — pair classes replicate a brute-force Python model on
+    a hand series with ties in one metric, the other, and both."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        kendall_tau,
+    )
+
+    xs = [3, 1, 4, 1, 5, 9, 2, 6]
+    ys = [2, 7, 1, 7, 3, 3, 8, 2]
+    rows = [("k", h, x, y) for h, (x, y) in enumerate(zip(xs, ys))]
+    df = spark.createDataFrame(
+        rows, "event_type string, hr long, x long, y long"
+    )
+    got = kendall_tau(df).collect()[0]
+    C = D = tx = ty = txy = 0
+    n = len(xs)
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = (xs[j] > xs[i]) - (xs[j] < xs[i])
+            dy = (ys[j] > ys[i]) - (ys[j] < ys[i])
+            if dx * dy == 1:
+                C += 1
+            elif dx * dy == -1:
+                D += 1
+            elif dx == 0 and dy == 0:
+                txy += 1
+            elif dx == 0:
+                tx += 1
+            else:
+                ty += 1
+    assert (
+        got["n_hours"],
+        got["n_pairs"],
+        got["concordant"],
+        got["discordant"],
+        got["s_stat"],
+        got["ties_x"],
+        got["ties_y"],
+        got["ties_xy"],
+    ) == (n, n * (n - 1) // 2, C, D, C - D, tx, ty, txy)
+
+
+def test_spearman_rho_python_model(spark):
+    """r13: st11 — doubled-average-rank moments and the single double
+    evaluation replicate a brute-force Python model (incl. ties); a
+    constant metric yields NULL rho."""
+    import math
+
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        spearman_rho,
+    )
+
+    xs = [3, 1, 4, 1, 5, 9, 2, 6]
+    ys = [2, 7, 1, 7, 3, 3, 8, 2]
+    rows = [("k", h, x, y) for h, (x, y) in enumerate(zip(xs, ys))]
+    rows += [("flat", h, 5, y) for h, y in enumerate(ys)]
+    df = spark.createDataFrame(
+        rows, "event_type string, hr long, x long, y long"
+    )
+    out = {r["event_type"]: r for r in spearman_rho(df).collect()}
+
+    def d2rank(vals):
+        return [
+            2 * (1 + sum(w < v for w in vals)) + vals.count(v) - 1
+            for v in vals
+        ]
+
+    rx, ry = d2rank(xs), d2rank(ys)
+    n = len(xs)
+    sx, sy = sum(rx), sum(ry)
+    sxx = sum(v * v for v in rx)
+    syy = sum(v * v for v in ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    num = n * sxy - sx * sy
+    den_x = n * sxx - sx * sx
+    den_y = n * syy - sy * sy
+    got = out["k"]
+    assert (got["num"], got["den_x"], got["den_y"]) == (num, den_x, den_y)
+    assert got["rho"] == float(num) / math.sqrt(
+        float(den_x) * float(den_y)
+    )
+    assert out["flat"]["den_x"] == 0 and out["flat"]["rho"] is None
+
+
 def test_littles_law_conservation(spark):
     """r12: ops04 — backlog area integrated from the sweep equals the
     per-interval mass exactly, including overlapping, disjoint, and
