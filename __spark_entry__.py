@@ -5852,6 +5852,56 @@ def q_st11(spark, sf_dir):
     return spearman_rho(hourly_metric_pair(_t(spark, sf_dir, "events")))
 
 
+def q_pm06(spark, sf_dir):
+    """Start/end activity profile (r13): the alpha algorithm's
+    L_start/L_end sets quantified — per activity, occurrence mass plus
+    how many traces OPEN and CLOSE with it (integer ppm of the global
+    trace count). pm01 gives the ordering relations; discovery also
+    needs the entry/exit alphabet, and a drifting start_ppm is the
+    cheapest instrumentation-change signal. One per-actor window pass
+    under the pm-family (ts, id) total order
+    (operators/process_mining.py::start_end_profile)."""
+    from learn_etl_data_warehouse_spark.operators.process_mining import (
+        start_end_profile,
+    )
+
+    return start_end_profile(_t(spark, sf_dir, "events"))
+
+
+def q_t38(spark, sf_dir):
+    """Character-class & encoding-artifact profile (r13): per source,
+    letter/digit/whitespace/other-ASCII/non-ASCII char masses plus the
+    three intake triage detectors — U+FFFD replacement chars, C0
+    control bleed, UTF-8-as-Latin-1 mojibake signatures. Strip-and-diff
+    counting (length minus class-stripped length), portable Java/RE2
+    classes; the artifact columns are zero on this clean fixture and
+    earn their keep in the corrupted-row unit test
+    (operators/text.py::charclass_profile)."""
+    return text.charclass_profile(
+        _t(spark, sf_dir, "documents")
+    ).withColumnRenamed("grp", "source")
+
+
+# t43 packing budget — shared by the Spark builder and the oracle.
+_T43_CAP = 128
+_T43_SHARDS = 16
+
+
+def q_t43(spark, sf_dir):
+    """Stream-packing audit (r13): pretraining batches concatenate the
+    shuffled token stream and cut every 128 tokens — zero padding, but
+    documents straddling a cut leak attention across sequences. Per
+    d14-geometry shard: bins needed, tail waste, and the
+    boundary-crossing doc count/share, from one per-shard running sum
+    (no total sort — the d14 discipline; the audited order IS the
+    epoch-shuffle order) (operators/text.py::packing_audit)."""
+    return text.packing_audit(
+        _t(spark, sf_dir, "documents"),
+        capacity=_T43_CAP,
+        n_shards=_T43_SHARDS,
+    )
+
+
 def q_t37(spark, sf_dir):
     """Token burstiness (r12): Fano factor (variance/mean) of
     tokens-per-document per source in truncating ppm — 1e6 ≈
@@ -6434,6 +6484,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm05_topk_climb": q_ivm05,
         "st10_kendall_tau": q_st10,
         "st11_spearman_rho": q_st11,
+        "pm06_start_end_profile": q_pm06,
+        "t38_charclass_profile": q_t38,
+        "t43_packing_audit": q_t43,
         # -- rows-only (no-oracle) queries stay LAST so the window is
         # -- 100% hash-checkable --------------------------------------
         "e22_rolling_distinct_hll": q_e22,
@@ -12061,6 +12114,113 @@ SELECT event_type, n_hours, num, den_x, den_y,
                  / sqrt(CAST(den_x AS DOUBLE) * CAST(den_y AS DOUBLE))
             END AS rho
 FROM d"""
+    # pm06: one per-actor window pass under the pm-family (ts, id)
+    # total order; ppm shares divide by the global trace count.
+    out["pm06_start_end_profile"] = """
+WITH ev AS (SELECT user_id AS u, ts, event_id AS id, event_type AS t
+            FROM events),
+f AS (SELECT u, t,
+             row_number() OVER (PARTITION BY u
+                                ORDER BY ts ASC, id ASC) AS ra,
+             row_number() OVER (PARTITION BY u
+                                ORDER BY ts DESC, id DESC) AS rd
+      FROM ev),
+occ AS (SELECT t, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT u) AS BIGINT) AS n_traces
+        FROM ev GROUP BY 1),
+s AS (SELECT t, CAST(count(*) AS BIGINT) AS n_starts
+      FROM f WHERE ra = 1 GROUP BY 1),
+e AS (SELECT t, CAST(count(*) AS BIGINT) AS n_ends
+      FROM f WHERE rd = 1 GROUP BY 1),
+tot AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_tr FROM ev)
+SELECT occ.t AS activity, occ.n_events, occ.n_traces,
+       CAST(coalesce(s.n_starts, 0) AS BIGINT) AS n_starts,
+       CAST(coalesce(e.n_ends, 0) AS BIGINT) AS n_ends,
+       CAST((1000000 * coalesce(s.n_starts, 0))
+            // (SELECT n_tr FROM tot) AS BIGINT) AS start_ppm,
+       CAST((1000000 * coalesce(e.n_ends, 0))
+            // (SELECT n_tr FROM tot) AS BIGINT) AS end_ppm
+FROM occ LEFT JOIN s ON s.t = occ.t LEFT JOIN e ON e.t = occ.t"""
+    # t38: strip-and-diff class masses; regexp_replace needs the 'g'
+    # flag (the standing DuckDB invariant); artifact detectors are
+    # literal contains / one RE2 class match.
+    out["t38_charclass_profile"] = r"""
+WITH per AS (
+  SELECT source,
+         CAST(length(text) AS BIGINT) AS n,
+         CAST(length(text)
+              - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+              AS BIGINT) AS l,
+         CAST(length(text)
+              - length(regexp_replace(text, '[0-9]', '', 'g'))
+              AS BIGINT) AS d,
+         CAST(length(text)
+              - length(regexp_replace(text, '[ \t\n\r]', '', 'g'))
+              AS BIGINT) AS w,
+         CAST(length(text)
+              - length(regexp_replace(text, '[^\x00-\x7f]', '', 'g'))
+              AS BIGINT) AS na,
+         CASE WHEN contains(text, '�') THEN 1 ELSE 0 END AS repl,
+         CASE WHEN regexp_matches(text, '[\x00-\x08\x0b\x0c\x0e-\x1f]')
+              THEN 1 ELSE 0 END AS ctrl,
+         CASE WHEN contains(text, 'â€') OR contains(text, 'Ã©')
+                OR contains(text, 'Ã¨') OR contains(text, 'Ã¼')
+                OR contains(text, 'Ã±') OR contains(text, 'Â«')
+              THEN 1 ELSE 0 END AS moji
+  FROM documents),
+a AS (SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n) AS BIGINT) AS total_chars,
+             CAST(sum(l) AS BIGINT) AS n_letters,
+             CAST(sum(d) AS BIGINT) AS n_digits,
+             CAST(sum(w) AS BIGINT) AS n_whitespace,
+             CAST(sum(na) AS BIGINT) AS n_nonascii,
+             CAST(sum(repl) AS BIGINT) AS n_replacement_docs,
+             CAST(sum(ctrl) AS BIGINT) AS n_control_docs,
+             CAST(sum(moji) AS BIGINT) AS n_mojibake_docs
+      FROM per GROUP BY 1)
+SELECT source, n_docs, total_chars, n_letters, n_digits, n_whitespace,
+       CAST(total_chars - n_letters - n_digits - n_whitespace
+            - n_nonascii AS BIGINT) AS n_other_ascii,
+       n_nonascii, n_replacement_docs, n_control_docs, n_mojibake_docs,
+       CASE WHEN total_chars > 0
+            THEN CAST((1000000 * n_nonascii) // total_chars AS BIGINT)
+            END AS nonascii_ppm
+FROM a"""
+    # t43: d14's md5 shard/order expressions verbatim + the _TC token
+    # count; the running sum is the only window (per-shard, d14's own
+    # shape); all divisions non-negative truncating.
+    out["t43_packing_audit"] = f"""
+WITH b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % {_T43_SHARDS} AS shard,
+         md5('ord:' || CAST(doc_id AS VARCHAR)) AS ok,
+         CAST({_TC} AS BIGINT) AS tok
+  FROM documents),
+s AS (SELECT shard, tok,
+             coalesce(sum(tok) OVER (PARTITION BY shard
+                                     ORDER BY ok, doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS b4
+      FROM b),
+c AS (SELECT shard, tok,
+             CASE WHEN tok > 0
+                   AND b4 // {_T43_CAP} <> (b4 + tok - 1) // {_T43_CAP}
+                  THEN 1 ELSE 0 END AS xb
+      FROM s),
+a AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(tok) AS BIGINT) AS total_tokens,
+             CAST(sum(xb) AS BIGINT) AS n_crossings
+      FROM c GROUP BY 1)
+SELECT CAST(shard AS BIGINT) AS shard, n_docs, total_tokens,
+       CAST((total_tokens + {_T43_CAP - 1}) // {_T43_CAP} AS BIGINT)
+         AS n_bins,
+       CAST(((total_tokens + {_T43_CAP - 1}) // {_T43_CAP}) * {_T43_CAP}
+            - total_tokens AS BIGINT) AS waste_tokens,
+       n_crossings,
+       CAST((1000000 * n_crossings) // n_docs AS BIGINT) AS crossing_ppm
+FROM a"""
     # t37: integer moments, HUGEINT variance numerator (≡ Spark's
     # DECIMAL(38,0)), one non-negative truncating division.
     out["t37_token_burstiness"] = f"""

@@ -17,6 +17,7 @@ __all__ = [
     "footprint_matrix",
     "direct_follows_graph",
     "conformance_fitness",
+    "start_end_profile",
 ]
 
 
@@ -328,5 +329,81 @@ def rework_metrics(
             F.coalesce("n_self_loops", F.lit(0)).cast("long").alias(
                 "n_self_loops"
             ),
+        )
+    )
+
+def start_end_profile(
+    events: DataFrame,
+    actor_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """START/END activity profile (pm06) — the L_start / L_end sets of
+    the alpha algorithm, quantified: per activity, how many traces OPEN
+    with it and how many CLOSE with it, next to its occurrence mass.
+    pm01's footprint gives the ordering relations; discovery also needs
+    the entry/exit alphabet, and a drifting start_ppm is the cheapest
+    signal that instrumentation changed (sessions now begin elsewhere).
+
+    Trace order is the TOTAL (ts, id) order (the pm-family posture);
+    starts/ends come from one per-actor window pass (two row_numbers,
+    same partition — one shuffle), occurrence mass from one type-grain
+    agg, and the ppm shares divide by the GLOBAL trace count
+    (broadcast 1-row) with truncating div both engines. Returns one
+    row per observed activity: (activity, n_events, n_traces,
+    n_starts, n_ends, start_ppm, end_ppm)."""
+    ev = events.select(
+        F.col(actor_col).alias("_u"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+        F.col(type_col).alias("_t"),
+    )
+    w = Window.partitionBy("_u")
+    asc = w.orderBy(F.asc("_ts"), F.asc("_id"))
+    desc = w.orderBy(F.desc("_ts"), F.desc("_id"))
+    flagged = ev.select(
+        "_u",
+        "_t",
+        F.row_number().over(asc).alias("_ra"),
+        F.row_number().over(desc).alias("_rd"),
+    )
+    occ = ev.groupBy("_t").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("_u").cast("long").alias("n_traces"),
+    )
+    starts = (
+        flagged.filter(F.col("_ra") == 1)
+        .groupBy("_t")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_starts"))
+    )
+    ends = (
+        flagged.filter(F.col("_rd") == 1)
+        .groupBy("_t")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ends"))
+    )
+    total = ev.agg(
+        F.countDistinct("_u").cast("long").alias("_n_tr")
+    )
+    return (
+        occ.join(starts, "_t", "left")
+        .join(ends, "_t", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("_t").alias("activity"),
+            "n_events",
+            "n_traces",
+            F.coalesce(F.col("n_starts"), F.lit(0)).cast("long").alias(
+                "n_starts"
+            ),
+            F.coalesce(F.col("n_ends"), F.lit(0)).cast("long").alias(
+                "n_ends"
+            ),
+            F.expr(
+                "(1000000 * coalesce(n_starts, 0)) div _n_tr"
+            ).cast("long").alias("start_ppm"),
+            F.expr(
+                "(1000000 * coalesce(n_ends, 0)) div _n_tr"
+            ).cast("long").alias("end_ppm"),
         )
     )

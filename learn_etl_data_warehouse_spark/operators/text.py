@@ -1783,3 +1783,177 @@ def token_burstiness(docs: DataFrame, by: str = "source") -> DataFrame:
         .cast("long")
         .alias("fano_ppm"),
     )
+
+def charclass_profile(
+    docs: DataFrame, by: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Character-class & encoding-artifact profile per group (t38) —
+    the pre-tokenizer health check a corpus intake runs: class masses
+    (letters / digits / whitespace / other-ASCII / non-ASCII) plus
+    three artifact detectors — U+FFFD replacement chars (decoder
+    already gave up), C0 control chars outside tab/newline/CR (binary
+    bleed), and the classic UTF-8-read-as-Latin-1 mojibake signatures
+    ('â€', 'Ã©', …). The fixture corpus is clean ASCII, so the
+    artifact columns earn their keep in the unit test's corrupted
+    rows; on a real crawl they are the triage numbers.
+
+    Every class count is strip-and-diff — length(text) −
+    length(regexp_replace(text, class, '')) — with character classes
+    chosen to parse identically in Java regex and RE2 (DuckDB needs
+    the 'g' flag, the standing invariant). One narrow projection + one
+    agg; nonascii_ppm divides the non-negative char mass by total
+    chars, truncating both engines."""
+    t = F.col(text_col)
+    n = F.length(t)
+
+    def _cls(pattern: str):
+        return (n - F.length(F.regexp_replace(t, pattern, ""))).cast(
+            "long"
+        )
+
+    letters = _cls("[A-Za-z]")
+    digits = _cls("[0-9]")
+    ws = _cls("[ \\t\\n\\r]")
+    nonascii = _cls("[^\\x00-\\x7f]")
+    per = docs.select(
+        F.col(by).alias("grp"),
+        n.cast("long").alias("_n"),
+        letters.alias("_l"),
+        digits.alias("_d"),
+        ws.alias("_w"),
+        nonascii.alias("_na"),
+        t.contains("�").cast("long").alias("_repl"),
+        t.rlike("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]").cast("long").alias(
+            "_ctrl"
+        ),
+        (
+            t.contains("â€") | t.contains("Ã©")
+            | t.contains("Ã¨") | t.contains("Ã¼")
+            | t.contains("Ã±") | t.contains("Â«")
+        ).cast("long").alias("_moji"),
+    )
+    return (
+        per.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_n").cast("long").alias("total_chars"),
+            F.sum("_l").cast("long").alias("n_letters"),
+            F.sum("_d").cast("long").alias("n_digits"),
+            F.sum("_w").cast("long").alias("n_whitespace"),
+            F.sum("_na").cast("long").alias("n_nonascii"),
+            F.sum("_repl").cast("long").alias("n_replacement_docs"),
+            F.sum("_ctrl").cast("long").alias("n_control_docs"),
+            F.sum("_moji").cast("long").alias("n_mojibake_docs"),
+        )
+        .select(
+            "grp",
+            "n_docs",
+            "total_chars",
+            "n_letters",
+            "n_digits",
+            "n_whitespace",
+            (
+                F.col("total_chars")
+                - F.col("n_letters")
+                - F.col("n_digits")
+                - F.col("n_whitespace")
+                - F.col("n_nonascii")
+            ).cast("long").alias("n_other_ascii"),
+            "n_nonascii",
+            "n_replacement_docs",
+            "n_control_docs",
+            "n_mojibake_docs",
+            F.when(
+                F.col("total_chars") > 0,
+                F.expr("(1000000 * n_nonascii) div total_chars"),
+            ).cast("long").alias("nonascii_ppm"),
+        )
+    )
+
+
+def packing_audit(
+    docs: DataFrame,
+    capacity: int = 128,
+    n_shards: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """STREAM-PACKING audit (t43): pretraining batches are built by
+    concatenating the (shuffled) token stream and cutting every
+    ``capacity`` tokens — zero padding waste, but any document
+    straddling a cut leaks across two training sequences (attention
+    contamination). This audits that trade per shard BEFORE the
+    packing job runs: bins needed, tail waste, and the number/share of
+    BOUNDARY-CROSSING documents.
+
+    Geometry mirrors d14's shuffle exactly (same 'shard:'/'ord:' md5
+    keys, same (ord, id) within-shard order), so the audited order IS
+    the order the epoch shuffle would feed the packer. Per doc:
+    tokens-before via one per-shard running sum (no total sort — the
+    d14 discipline); the doc crosses a cut iff
+    before div capacity ≠ (before + tok − 1) div capacity (tok > 0;
+    all quantities non-negative, truncating div both engines). Returns
+    one row per shard: (shard, n_docs, total_tokens, n_bins,
+    waste_tokens, n_crossings, crossing_ppm)."""
+    from learn_etl_data_warehouse_spark.operators.sampling import (
+        hash_bucket,
+    )
+
+    cap = int(capacity)
+    ord_key = F.md5(
+        F.concat(F.lit("ord:"), F.col(id_col).cast("string")).cast("binary")
+    )
+    base = docs.select(
+        F.col(id_col),
+        hash_bucket(
+            F.concat(F.lit("shard:"), F.col(id_col).cast("string")),
+            n_shards,
+        ).alias("shard"),
+        ord_key.alias("_ord"),
+        token_count(text_col).alias("_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.asc("_ord"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("_tok").over(w), F.lit(0)).cast("long")
+    scored = base.select(
+        "shard",
+        "_tok",
+        before.alias("_before"),
+    ).select(
+        "shard",
+        "_tok",
+        (
+            (F.col("_tok") > 0)
+            & (
+                F.expr(f"_before div {cap}")
+                != F.expr(f"(_before + _tok - 1) div {cap}")
+            )
+        ).cast("long").alias("_cross"),
+    )
+    return (
+        scored.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_tok").cast("long").alias("total_tokens"),
+            F.sum("_cross").cast("long").alias("n_crossings"),
+        )
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            "n_docs",
+            "total_tokens",
+            F.expr(f"(total_tokens + {cap} - 1) div {cap}")
+            .cast("long")
+            .alias("n_bins"),
+            (
+                F.expr(f"((total_tokens + {cap} - 1) div {cap}) * {cap}")
+                - F.col("total_tokens")
+            ).cast("long").alias("waste_tokens"),
+            "n_crossings",
+            F.expr("(1000000 * n_crossings) div n_docs")
+            .cast("long")
+            .alias("crossing_ppm"),
+        )
+    )

@@ -1622,3 +1622,112 @@ def topk_view_sink(
         )
 
     return handle
+
+def correlation_ingest_sink(
+    catalog_dir: str,
+    key: str = "event_type",
+    ts: str = "ts",
+    user: str = "user_id",
+):
+    """foreachBatch handler maintaining the CORRELATION diagnostics
+    (st10 Kendall pair classes + st11 Spearman rank moments) over a
+    stream — the correlation family's streaming twin, completing its
+    batch/incremental/streaming parity like the HW-forecast and LM
+    families.
+
+    The published metrics need the per-hour DISTINCT-user audience,
+    which is not additive at hour grain — so the maintained state is
+    the (key, hr, user, n) grain (the dfg-sink posture: keep the grain
+    that IS additive, derive the non-additive number at read time):
+    per-batch deltas merge by addition, the hourly (x, y) pair is
+    x = Σn, y = row count per (key, hr) — exactly the distinct-user
+    count, since user is the grain — and st10/st11 re-derive from the
+    maintained pair table at state-sized cost (hours², never a
+    re-scan of event history).
+
+    Exactly-once is LEDGER-derived (the anomaly/lm_stats posture):
+    counts are not replay-idempotent, so the batch ledger commits WITH
+    the merged state in ONE catalog transaction; a ledgered batch is a
+    no-op. Batches may split arbitrarily — nothing here needs
+    per-actor in-order delivery."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        kendall_tau,
+        spearman_rho,
+    )
+    from learn_etl_data_warehouse_spark.plans import catalog as cat
+
+    us_per_hour = 3_600_000_000
+
+    def handle(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        tables = set(cat.read_catalog(catalog_dir)["tables"])
+        if "corr_applied" in tables:
+            applied = {
+                r.batch_id
+                for r in cat.catalog_read(spark, catalog_dir, "corr_applied")
+                .select("batch_id")
+                .collect()
+            }
+            if int(batch_id) in applied:
+                return  # replayed batch: already folded into the state
+        delta = batch_df.groupBy(
+            F.col(key),
+            F.expr(f"unix_micros({ts}) div {us_per_hour}").alias("hr"),
+            F.col(user).alias("u"),
+        ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+        if "corr_user_hours" in tables:
+            prev = cat.catalog_read(
+                spark, catalog_dir, "corr_user_hours"
+            ).select(key, "hr", "u", "n")
+            merged = (
+                prev.withColumnRenamed("n", "_pn")
+                .join(
+                    delta.withColumnRenamed("n", "_dn"),
+                    [key, "hr", "u"],
+                    "full_outer",
+                )
+                .select(
+                    key,
+                    "hr",
+                    "u",
+                    (
+                        F.coalesce(F.col("_pn"), F.lit(0))
+                        + F.coalesce(F.col("_dn"), F.lit(0))
+                    ).cast("long").alias("n"),
+                )
+            )
+        else:
+            merged = delta
+        pair = merged.groupBy(key, "hr").agg(
+            F.sum("n").cast("long").alias("x"),
+            F.count(F.lit(1)).cast("long").alias("y"),
+        )
+        ledger = spark.createDataFrame(
+            [(int(batch_id),)], "batch_id long"
+        ).withColumn("ingest_batch", F.lit(int(batch_id)))
+        cat.catalog_commit(
+            spark,
+            catalog_dir,
+            {
+                "corr_user_hours": (
+                    merged.withColumn("state", F.lit("live")),
+                    ["state"],
+                ),
+                "corr_kendall": (
+                    kendall_tau(pair, key).withColumn(
+                        "state", F.lit("live")
+                    ),
+                    ["state"],
+                ),
+                "corr_spearman": (
+                    spearman_rho(pair, key).withColumn(
+                        "state", F.lit("live")
+                    ),
+                    ["state"],
+                ),
+                "corr_applied": (ledger, ["ingest_batch"]),
+            },
+            replace=False,
+        )
+
+    return handle

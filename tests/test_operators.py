@@ -5703,6 +5703,114 @@ def test_mann_kendall_python_model(spark):
     )
 
 
+def test_start_end_profile_hand_traces(spark):
+    """r13: pm06 — two hand traces; starts/ends per activity and the
+    trace-count ppm shares, with the (ts, id) tie broken by id."""
+    from datetime import datetime
+
+    from learn_etl_data_warehouse_spark.operators.process_mining import (
+        start_end_profile,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # u1: A -> B -> C      (tie at the end broken by id: C is last)
+        (1, t0, "u1", "A"),
+        (2, datetime(2024, 1, 1, 1), "u1", "B"),
+        (3, datetime(2024, 1, 1, 2), "u1", "C"),
+        # u2: B -> A           (B opens, A closes)
+        (4, t0, "u2", "B"),
+        (5, datetime(2024, 1, 1, 1), "u2", "A"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id string, event_type string"
+    )
+    got = {r["activity"]: r for r in start_end_profile(df).collect()}
+    assert got["A"]["n_starts"] == 1 and got["A"]["n_ends"] == 1
+    assert got["B"]["n_starts"] == 1 and got["B"]["n_ends"] == 0
+    assert got["C"]["n_starts"] == 0 and got["C"]["n_ends"] == 1
+    assert got["A"]["n_events"] == 2 and got["A"]["n_traces"] == 2
+    assert got["A"]["start_ppm"] == 500_000  # 1 of 2 traces
+    assert got["C"]["end_ppm"] == 500_000
+
+
+def test_charclass_profile_detects_artifacts(spark):
+    """r13: t38 — the artifact detectors fire on hand-corrupted rows
+    (mojibake signature, C0 control bleed, U+FFFD) and the class
+    masses partition total_chars exactly."""
+    from learn_etl_data_warehouse_spark.operators.text import (
+        charclass_profile,
+    )
+
+    rows = [
+        ("clean", "Hello world 42!"),
+        ("moji", "cafÃ© visitors"),          # 'Ã©' signature
+        ("ctrl", "binary\x07bleed"),
+        ("repl", "lost � bytes"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {r["grp"]: r for r in charclass_profile(df).collect()}
+    assert got["moji"]["n_mojibake_docs"] == 1
+    assert got["ctrl"]["n_control_docs"] == 1
+    assert got["repl"]["n_replacement_docs"] == 1
+    assert got["clean"]["n_mojibake_docs"] == 0
+    assert got["clean"]["n_control_docs"] == 0
+    assert got["clean"]["n_replacement_docs"] == 0
+    c = got["clean"]
+    assert c["total_chars"] == len("Hello world 42!")
+    assert (
+        c["n_letters"] + c["n_digits"] + c["n_whitespace"]
+        + c["n_other_ascii"] + c["n_nonascii"]
+    ) == c["total_chars"]
+    assert c["n_letters"] == 10 and c["n_digits"] == 2
+    assert got["moji"]["n_nonascii"] == 2  # the two mojibake bytes
+
+
+def test_packing_audit_python_model(spark):
+    """r13: t43 — bins/waste/crossings replicate a Python model that
+    re-derives the md5 shard + order keys and walks the stream."""
+    import hashlib
+    import math
+
+    from learn_etl_data_warehouse_spark.operators.text import (
+        packing_audit,
+    )
+
+    rows = [(i, " ".join(["tok"] * (3 + i % 7))) for i in range(40)]
+    rows.append((99, "   "))  # blank doc: 0 tokens, never a crossing
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["shard"]: r
+        for r in packing_audit(df, capacity=10, n_shards=4).collect()
+    }
+
+    def bucket(doc_id):
+        h = hashlib.md5(f"shard:{doc_id}".encode()).hexdigest()[:8]
+        return int(h, 16) % 4
+
+    shards = {}
+    for doc_id, txt in rows:
+        tok = len(txt.split()) if txt.strip() else 0
+        ok = hashlib.md5(f"ord:{doc_id}".encode()).hexdigest()
+        shards.setdefault(bucket(doc_id), []).append((ok, doc_id, tok))
+    for sh, docs in shards.items():
+        docs.sort()
+        before = 0
+        crossings = 0
+        for _, _, tok in docs:
+            if tok > 0 and before // 10 != (before + tok - 1) // 10:
+                crossings += 1
+            before += tok
+        total = before
+        r = got[sh]
+        assert r["n_docs"] == len(docs)
+        assert r["total_tokens"] == total
+        assert r["n_bins"] == math.ceil(total / 10)
+        assert r["waste_tokens"] == math.ceil(total / 10) * 10 - total
+        assert r["n_crossings"] == crossings
+        assert r["crossing_ppm"] == (1_000_000 * crossings) // len(docs)
+
+
 def test_kendall_tau_python_model(spark):
     """r13: st10 — pair classes replicate a brute-force Python model on
     a hand series with ties in one metric, the other, and both."""

@@ -2611,3 +2611,129 @@ def test_topk_view_sink_end_to_end_stream(spark, tmp_path, sf_small):
         )
     )
     assert got == want
+
+def test_correlation_ingest_sink_matches_batch(spark, tmp_path, sf_small):
+    """r13: st10/st11's streaming twin — published Kendall pair classes
+    and Spearman moments equal the batch twins over all events seen so
+    far after EACH batch (batches split by event_id PARITY, proving no
+    in-order requirement: the (key, hr, user) state grain is additive);
+    a replayed batch is a ledgered no-op."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        hourly_metric_pair,
+        kendall_tau,
+        spearman_rho,
+    )
+    from learn_etl_data_warehouse_spark.plans import catalog as cat
+    from learn_etl_data_warehouse_spark.sources.parquet import load_table
+    from learn_etl_data_warehouse_spark.streaming.sinks import (
+        correlation_ingest_sink,
+    )
+
+    ev = load_table(spark, sf_small, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    b0 = ev.filter("event_id % 2 = 0")
+    b1 = ev.filter("event_id % 2 = 1")
+    assert b0.count() > 0 and b1.count() > 0
+
+    cdir = str(tmp_path / "corrcat")
+    handle = correlation_ingest_sink(cdir)
+
+    kcols = [
+        "event_type", "n_hours", "n_pairs", "concordant", "discordant",
+        "s_stat", "ties_x", "ties_y", "ties_xy",
+    ]
+    scols = ["event_type", "n_hours", "num", "den_x", "den_y", "rho"]
+
+    def published(tbl, cols):
+        return sorted(
+            map(
+                tuple,
+                cat.catalog_read(spark, cdir, tbl).select(*cols).collect(),
+            )
+        )
+
+    def want(events):
+        pair = hourly_metric_pair(events)
+        return (
+            sorted(map(tuple, kendall_tau(pair).select(*kcols).collect())),
+            sorted(map(tuple, spearman_rho(pair).select(*scols).collect())),
+        )
+
+    handle(b0, 0)
+    wk, ws = want(b0)
+    assert published("corr_kendall", kcols) == wk
+    assert published("corr_spearman", scols) == ws
+
+    handle(b1, 1)
+    wk, ws = want(ev)
+    assert published("corr_kendall", kcols) == wk
+    assert published("corr_spearman", scols) == ws
+
+    txn_before = cat.read_catalog(cdir)["txn"]
+    handle(b1, 1)
+    assert cat.read_catalog(cdir)["txn"] == txn_before
+    assert published("corr_kendall", kcols) == wk
+
+
+def test_correlation_ingest_sink_end_to_end_stream(spark, tmp_path, sf_small):
+    """r13: the correlation sink under a real checkpointed availableNow
+    stream (order-free state, so one multi-file run suffices): after
+    the run the published tables equal the batch twins."""
+    import os
+
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        hourly_metric_pair,
+        kendall_tau,
+    )
+    from learn_etl_data_warehouse_spark.plans import catalog as cat
+    from learn_etl_data_warehouse_spark.sources.parquet import load_table
+    from learn_etl_data_warehouse_spark.streaming.sinks import (
+        correlation_ingest_sink,
+    )
+
+    ev = load_table(spark, sf_small, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    ev.filter("event_id % 2 = 0").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src + "/f0")
+    ev.filter("event_id % 2 = 1").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src + "/f1")
+
+    cdir = str(tmp_path / "cat")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(correlation_ingest_sink(cdir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    kcols = [
+        "event_type", "n_hours", "n_pairs", "concordant", "discordant",
+        "s_stat", "ties_x", "ties_y", "ties_xy",
+    ]
+    got = sorted(
+        map(
+            tuple,
+            cat.catalog_read(spark, cdir, "corr_kendall")
+            .select(*kcols)
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            kendall_tau(hourly_metric_pair(ev)).select(*kcols).collect(),
+        )
+    )
+    assert got == want
