@@ -5478,6 +5478,22 @@ def q_ml08(spark, sf_dir):
     return centroid_margin_quality(_t(spark, sf_dir, "embeddings"))
 
 
+def q_km02(spark, sf_dir):
+    """Davies–Bouldin cluster quality, cosine variant (r13): per
+    cluster, scatter (mean cosine dissimilarity to the own fixed-point
+    centroid) and r_max (worst (scatter_i + scatter_j)/separation over
+    other clusters) — the within/between overlap summary next to
+    ml08's per-point margins, all round-6-micro integers with
+    truncating divs; labels play the cluster role so the DuckDB twin
+    is expressible (the d21 discipline)
+    (operators/similarity.py::davies_bouldin_cosine)."""
+    from learn_etl_data_warehouse_spark.operators.similarity import (
+        davies_bouldin_cosine,
+    )
+
+    return davies_bouldin_cosine(_t(spark, sf_dir, "embeddings"))
+
+
 def q_s15(spark, sf_dir):
     """IVF recall audit (r12, the verdict's d38-pattern ask): per-nprobe
     capture of the EXACT cosine top-10 over a bounded deterministic
@@ -5850,6 +5866,22 @@ def q_st11(spark, sf_dir):
     )
 
     return spearman_rho(hourly_metric_pair(_t(spark, sf_dir, "events")))
+
+
+def q_e36(spark, sf_dir):
+    """Burst-episode detection (r13): exact integer two-state Viterbi
+    over each key's dense hourly grid — L1 emission costs against a
+    base/burst rate pair and a switch penalty, so sustained
+    mildly-hot episodes surface that e16/e23/e15's point tests miss;
+    the optimal path's cost and burst-hour count are carried through
+    one aggregate fold (stay-on-tie canonical path, recursive-CTE
+    oracle twin) (operators/timeseries.py::burst_viterbi)."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        burst_viterbi,
+        hourly_counts,
+    )
+
+    return burst_viterbi(hourly_counts(_t(spark, sf_dir, "events")))
 
 
 def q_pm06(spark, sf_dir):
@@ -6487,6 +6519,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pm06_start_end_profile": q_pm06,
         "t38_charclass_profile": q_t38,
         "t43_packing_audit": q_t43,
+        "km02_davies_bouldin": q_km02,
+        "e36_burst_viterbi": q_e36,
         # -- rows-only (no-oracle) queries stay LAST so the window is
         # -- 100% hash-checkable --------------------------------------
         "e22_rolling_distinct_hll": q_e22,
@@ -11552,6 +11586,39 @@ SELECT tl AS label, CAST(count(*) AS BIGINT) AS n,
             // count(*) AS BIGINT) AS misfit_ppm,
        CAST(sum(own - other) AS BIGINT) AS sum_margin_micro
 FROM per GROUP BY 1"""
+    # km02 (r13): Davies–Bouldin cosine variant — ml08's centroid +
+    # cosine-micro tokens; scatter mean and the r ratio are
+    # non-negative truncating divs; identical centroids (zero
+    # separation) yield NULL r_max both engines.
+    out["km02_davies_bouldin"] = f"""
+WITH cent AS (
+  SELECT label AS cl, pos, {_cmean} AS c
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos) t
+  GROUP BY label, pos),
+cv AS (SELECT cl, list(c ORDER BY pos) AS v FROM cent GROUP BY 1),
+e AS (SELECT label, embedding::DOUBLE[] AS ev FROM embeddings),
+own AS (SELECT CAST(e.label AS BIGINT) AS l,
+               1000000 - CAST(round(({_COS.format(a='ev', b='v')})
+                                    * 1000000) AS BIGINT) AS diss
+        FROM e JOIN cv ON CAST(cv.cl AS BIGINT) = CAST(e.label AS BIGINT)),
+sc AS (SELECT l AS label, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(diss) // count(*) AS BIGINT) AS scatter_micro
+       FROM own GROUP BY 1),
+d AS (SELECT CAST(a.cl AS BIGINT) AS li, CAST(b.cl AS BIGINT) AS lj,
+             1000000 - CAST(round(({_COS.format(a='a.v', b='b.v')})
+                                  * 1000000) AS BIGINT) AS dij
+      FROM cv a JOIN cv b ON a.cl <> b.cl),
+r AS (SELECT d.li AS label,
+             max(CASE WHEN d.dij > 0
+                      THEN (1000000 * (si.scatter_micro + sj.scatter_micro))
+                           // d.dij END) AS rmax
+      FROM d JOIN sc si ON si.label = d.li
+             JOIN sc sj ON sj.label = d.lj
+      GROUP BY 1)
+SELECT sc.label, sc.n, sc.scatter_micro,
+       CAST(r.rmax AS BIGINT) AS r_max_ppm
+FROM sc LEFT JOIN r ON r.label = sc.label"""
     # s15: cosines over DOUBLE[]-cast lists (the ml08 precedent — Spark's
     # kernel widens per element before arithmetic); round-6 equality is
     # the knn01/d21/s02-established cross-engine contract on this data.
@@ -12114,6 +12181,57 @@ SELECT event_type, n_hours, num, den_x, den_y,
                  / sqrt(CAST(den_x AS DOUBLE) * CAST(den_y AS DOUBLE))
             END AS rho
 FROM d"""
+    # e36: fc04's dense-grid recursive-CTE skeleton carrying the
+    # 4-tuple Viterbi state; base case = the fold's init stepped once
+    # (c0 = |x0−r0|, c1 = λ + |x0−r1|, b1 = 1); stay-on-tie via <=.
+    out["e36_burst_viterbi"] = """
+WITH RECURSIVE
+h0 AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+              CAST(count(*) AS BIGINT) AS x
+       FROM events GROUP BY 1, 2),
+bd AS (SELECT event_type, min(hr) AS mn, max(hr) AS mx FROM h0 GROUP BY 1),
+sp AS (SELECT bd.event_type, bd.mn + t.s AS hr, bd.mn AS mn
+       FROM bd, LATERAL (SELECT unnest(generate_series(
+                               0, CAST(bd.mx - bd.mn AS BIGINT))) AS s) t),
+g AS (SELECT sp.event_type, sp.hr, sp.hr - sp.mn AS idx,
+             coalesce(h0.x, 0) AS x
+      FROM sp LEFT JOIN h0 ON h0.event_type = sp.event_type
+                          AND h0.hr = sp.hr),
+rt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+              CAST(sum(x) // count(*) AS BIGINT) AS r0
+       FROM g GROUP BY 1),
+rt2 AS (SELECT event_type, n_hours, r0,
+               CAST(2 * r0 + 1 AS BIGINT) AS r1,
+               CAST(r0 + 1 AS BIGINT) AS lam
+        FROM rt),
+v AS (SELECT g.event_type, g.idx,
+             CAST(abs(g.x - rt2.r0) AS BIGINT) AS c0,
+             CAST(0 AS BIGINT) AS b0,
+             CAST(rt2.lam + abs(g.x - rt2.r1) AS BIGINT) AS c1,
+             CAST(1 AS BIGINT) AS b1
+      FROM g JOIN rt2 ON rt2.event_type = g.event_type
+      WHERE g.idx = 0
+      UNION ALL
+      SELECT g.event_type, g.idx,
+             CAST(least(v.c0, v.c1 + rt2.lam) + abs(g.x - rt2.r0)
+                  AS BIGINT),
+             CAST(CASE WHEN v.c0 <= v.c1 + rt2.lam THEN v.b0 ELSE v.b1
+                  END AS BIGINT),
+             CAST(least(v.c1, v.c0 + rt2.lam) + abs(g.x - rt2.r1)
+                  AS BIGINT),
+             CAST((CASE WHEN v.c1 <= v.c0 + rt2.lam THEN v.b1 ELSE v.b0
+                   END) + 1 AS BIGINT)
+      FROM v JOIN g ON g.event_type = v.event_type
+                   AND g.idx = v.idx + 1
+             JOIN rt2 ON rt2.event_type = v.event_type)
+SELECT rt2.event_type, rt2.n_hours, rt2.r0 AS base_rate,
+       rt2.lam AS switch_cost,
+       CAST(CASE WHEN v.c0 <= v.c1 THEN v.c0 ELSE v.c1 END AS BIGINT)
+         AS total_cost,
+       CAST(CASE WHEN v.c0 <= v.c1 THEN v.b0 ELSE v.b1 END AS BIGINT)
+         AS burst_hours
+FROM v JOIN rt2 ON rt2.event_type = v.event_type
+WHERE v.idx = rt2.n_hours - 1"""
     # pm06: one per-actor window pass under the pm-family (ts, id)
     # total order; ppm shares divide by the global trace count.
     out["pm06_start_end_profile"] = """

@@ -1951,3 +1951,114 @@ def hyperplane_recall_audit(
         )
         .orderBy("radius")
     )
+
+def davies_bouldin_cosine(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """DAVIES–BOULDIN cluster-quality index, cosine variant (km02) —
+    the within/between summary next to ml08's per-point margins: per
+    cluster, scatter = mean cosine DISSIMILARITY to the own centroid
+    and r_max = the worst (scatter_i + scatter_j) / separation_ij over
+    other clusters — high r_max means some neighbor cluster overlaps
+    this one. The classic index is the mean of r_max; the per-cluster
+    rows are kept so the OFFENDING clusters are visible (sum/divide in
+    the consumer's float world if the scalar is wanted).
+
+    Exact-integer discipline: centroids are fixed-point means (the
+    ml01/ml08 twin pattern), every cosine is the round-6 micro lift
+    (cross-engine equal — the s02 precedent), dissimilarity =
+    1e6 − cos_micro is non-negative, scatter's mean and r's ratio are
+    truncating div. Identical centroids (separation 0) yield NULL
+    r_max rather than a division blow-up.
+
+    Plan: one tiny centroid agg (k×dim), broadcast everywhere; one
+    map-side own-centroid pass + label-grain agg; a k²-bounded
+    centroid cross for separations. Labels play the cluster role so
+    the oracle is expressible (the d21 label-cluster twin discipline);
+    production clusterings feed km01's assignment in as labels."""
+    from learn_etl_data_warehouse_spark.functions.aggregates import (
+        fixed_point_avg,
+    )
+
+    ex = df.select(
+        F.col(label_col).alias("_cl"), F.posexplode(vec_col).alias("_p", "_v")
+    )
+    cent_long = ex.groupBy("_cl", "_p").agg(
+        fixed_point_avg(F.col("_v").cast("double"), 1_000_000, 6).alias("_c")
+    )
+    cents = cent_long.groupBy("_cl").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_p", "_c"))),
+            lambda s: s["_c"],
+        ).alias("_cv")
+    )
+    cos_micro = lambda a, b: F.round(  # noqa: E731
+        F.round(cosine_similarity(a, b), 6) * 1_000_000
+    ).cast("long")
+    own = (
+        df.select(
+            F.col(label_col).cast("long").alias("_l"),
+            F.col(vec_col).alias("_ev"),
+        )
+        .join(
+            F.broadcast(cents), F.col("_cl").cast("long") == F.col("_l")
+        )
+        .select(
+            "_l",
+            (F.lit(1_000_000) - cos_micro(F.col("_ev"), F.col("_cv"))).alias(
+                "_diss"
+            ),
+        )
+    )
+    sc = own.groupBy("_l").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_diss").cast("long").alias("_sd"),
+    ).select(
+        F.col("_l").alias("label"),
+        "n",
+        F.expr("_sd div n").cast("long").alias("scatter_micro"),
+    )
+    # fresh names at select for the centroid self-cross (the fp03
+    # attribute-id lesson)
+    a = cents.select(
+        F.col("_cl").cast("long").alias("_li"), F.col("_cv").alias("_vi")
+    )
+    b = cents.select(
+        F.col("_cl").cast("long").alias("_lj"), F.col("_cv").alias("_vj")
+    )
+    d = (
+        a.join(F.broadcast(b), F.col("_li") != F.col("_lj"))
+        .select(
+            "_li",
+            "_lj",
+            (
+                F.lit(1_000_000) - cos_micro(F.col("_vi"), F.col("_vj"))
+            ).alias("_dij"),
+        )
+    )
+    si = sc.select(
+        F.col("label").alias("_li"), F.col("scatter_micro").alias("_si")
+    )
+    sj = sc.select(
+        F.col("label").alias("_lj"), F.col("scatter_micro").alias("_sj")
+    )
+    r = (
+        d.join(F.broadcast(si), "_li")
+        .join(F.broadcast(sj), "_lj")
+        .groupBy("_li")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("_dij") > 0,
+                    F.expr("(1000000 * (_si + _sj)) div _dij"),
+                )
+            ).cast("long").alias("r_max_ppm")
+        )
+        .select(F.col("_li").alias("label"), "r_max_ppm")
+    )
+    return sc.join(r, "label", "left").select(
+        "label", "n", "scatter_micro", "r_max_ppm"
+    )

@@ -1974,3 +1974,79 @@ def spearman_rho(
             ),
         ).alias("rho"),
     )
+
+def burst_viterbi(hourly: DataFrame, key: str = "event_type") -> DataFrame:
+    """BURST detection as an exact integer two-state Viterbi (e36) —
+    the Kleinberg burst-model shape with the float Poisson
+    log-likelihoods replaced by L1 deviation costs so the optimal path
+    is cross-engine exact: state s0 emits at the key's base rate
+    r0 = total div n_hours, state s1 at the burst rate r1 = 2·r0 + 1,
+    emitting count x in state s costs |x − r_s|, and switching states
+    costs λ = r0 + 1. e16/e23/e15 flag POINT anomalies; the Viterbi
+    path finds sustained episodes — a run of mildly-hot hours that no
+    single-hour test fires on — because the switch penalty amortizes
+    over the episode length.
+
+    The DP carries (c0, b0, c1, b1) — best cost ending in each state
+    plus the burst-hours count along that best path — with the
+    deterministic stay-on-tie rule (stay ⟺ stay-cost ≤ switch-cost),
+    so the counted path is THE canonical optimum in both engines. The
+    recursion is genuinely sequential → a Column aggregate fold over
+    the dense zero-filled per-key hour array (the fc04/fc06 posture;
+    calendar-bounded state); the oracle twin is a recursive CTE over
+    the same grid index.
+
+    Returns (key, n_hours, base_rate, switch_cost, total_cost,
+    burst_hours)."""
+    bounds = hourly.groupBy(key).agg(
+        F.min("hr").alias("_mn"), F.max("hr").alias("_mx")
+    )
+    spine = bounds.select(
+        key, F.explode(F.sequence(F.col("_mn"), F.col("_mx"))).alias("hr")
+    )
+    g = spine.join(hourly, [key, "hr"], "left").select(
+        key,
+        "hr",
+        F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x"),
+    )
+    rates = g.groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.expr("sum(x) div count(1)").cast("long").alias("_r0"),
+    ).select(
+        key,
+        "n_hours",
+        "_r0",
+        (F.lit(2) * F.col("_r0") + 1).cast("long").alias("_r1"),
+        (F.col("_r0") + 1).cast("long").alias("_lam"),
+    )
+    arr = g.groupBy(key).agg(
+        F.sort_array(F.collect_list(F.struct("hr", "x"))).alias("_a")
+    ).join(rates, key)
+    fold = F.expr(
+        "aggregate(_a,"
+        " named_struct('c0', CAST(0 AS BIGINT), 'b0', CAST(0 AS BIGINT),"
+        "              'c1', _lam, 'b1', CAST(0 AS BIGINT)),"
+        " (acc, e) -> named_struct("
+        "   'c0', least(acc.c0, acc.c1 + _lam) + abs(e.x - _r0),"
+        "   'b0', IF(acc.c0 <= acc.c1 + _lam, acc.b0, acc.b1),"
+        "   'c1', least(acc.c1, acc.c0 + _lam) + abs(e.x - _r1),"
+        "   'b1', IF(acc.c1 <= acc.c0 + _lam, acc.b1, acc.b0) + 1))"
+    )
+    return arr.select(
+        key,
+        "n_hours",
+        F.col("_r0").alias("base_rate"),
+        F.col("_lam").alias("switch_cost"),
+        fold.alias("_f"),
+    ).select(
+        key,
+        "n_hours",
+        "base_rate",
+        "switch_cost",
+        F.when(
+            F.col("_f.c0") <= F.col("_f.c1"), F.col("_f.c0")
+        ).otherwise(F.col("_f.c1")).cast("long").alias("total_cost"),
+        F.when(
+            F.col("_f.c0") <= F.col("_f.c1"), F.col("_f.b0")
+        ).otherwise(F.col("_f.b1")).cast("long").alias("burst_hours"),
+    )

@@ -5703,6 +5703,80 @@ def test_mann_kendall_python_model(spark):
     )
 
 
+def test_burst_viterbi_python_model(spark):
+    """r13: e36 — total cost and burst-hour count replicate a Python
+    DP with the same stay-on-tie rule on a series with a sustained
+    mildly-hot episode; a flat series stays entirely in the base
+    state."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        burst_viterbi,
+    )
+
+    xs = [1, 1, 2, 1, 5, 6, 5, 5, 1, 0, 1, 1]
+    rows = [("k", h, x) for h, x in enumerate(xs)]
+    rows += [("flat", h, 3) for h in range(8)]
+    df = spark.createDataFrame(rows, "event_type string, hr long, x long")
+    got = {r["event_type"]: r for r in burst_viterbi(df).collect()}
+
+    def model(series):
+        n = len(series)
+        r0 = sum(series) // n
+        r1, lam = 2 * r0 + 1, r0 + 1
+        c0, b0, c1, b1 = 0, 0, lam, 0
+        for x in series:
+            nc0 = min(c0, c1 + lam) + abs(x - r0)
+            nb0 = b0 if c0 <= c1 + lam else b1
+            nc1 = min(c1, c0 + lam) + abs(x - r1)
+            nb1 = (b1 if c1 <= c0 + lam else b0) + 1
+            c0, b0, c1, b1 = nc0, nb0, nc1, nb1
+        return (c0, b0) if c0 <= c1 else (c1, b1)
+
+    want_cost, want_burst = model(xs)
+    assert (got["k"]["total_cost"], got["k"]["burst_hours"]) == (
+        want_cost,
+        want_burst,
+    )
+    # the 4-hour hot episode should be claimed by the burst state
+    assert got["k"]["burst_hours"] == 4
+    assert got["flat"]["burst_hours"] == 0
+    assert got["flat"]["total_cost"] == 0  # flat at the base rate
+
+
+def test_davies_bouldin_hand_clusters(spark):
+    """r13: km02 — exact values on hand clusters (orthogonal axes give
+    exact round-6 cosines): tight clusters score scatter 0, the
+    straddling cluster scores the known dissimilarity, r_max flags the
+    overlap; identical centroids yield NULL r_max."""
+    from learn_etl_data_warehouse_spark.operators.similarity import (
+        davies_bouldin_cosine,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], 0), (1, [1.0, 0.0], 0),
+        (2, [0.0, 1.0], 1), (3, [0.0, 1.0], 1),
+        (4, [1.0, 0.0], 2), (5, [0.0, 1.0], 2),  # straddles both axes
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {r["label"]: r for r in davies_bouldin_cosine(df).collect()}
+    # cluster 2's centroid is [.5, .5]; cos([1,0],[.5,.5]) rounds to
+    # 0.707107 -> dissimilarity 292893
+    assert got[0]["scatter_micro"] == 0 and got[1]["scatter_micro"] == 0
+    assert got[2]["scatter_micro"] == 292893
+    # worst neighbor for every cluster is the straddler (or for the
+    # straddler, either axis): (0 + 292893)*1e6 div 292893 = 1e6
+    assert got[0]["r_max_ppm"] == 1_000_000
+    assert got[2]["r_max_ppm"] == 1_000_000
+
+    dup = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [1.0, 0.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got2 = {r["label"]: r for r in davies_bouldin_cosine(dup).collect()}
+    assert got2[0]["r_max_ppm"] is None and got2[1]["r_max_ppm"] is None
+
+
 def test_start_end_profile_hand_traces(spark):
     """r13: pm06 — two hand traces; starts/ends per activity and the
     trace-count ppm shares, with the (ts, id) tie broken by id."""
