@@ -5884,6 +5884,30 @@ def q_e36(spark, sf_dir):
     return burst_viterbi(hourly_counts(_t(spark, sf_dir, "events")))
 
 
+# e38 budget — shared by the Spark builder and the oracle's CTE chain.
+_E38_K = 12
+
+
+def q_e38(spark, sf_dir):
+    """LTTB downsampling (r13): each key's hourly series decimated to
+    the 12 points that preserve its visual shape — first/last pinned,
+    each middle bucket contributing the largest-triangle point vs the
+    previous winner and the next bucket's average, the float average
+    cleared by multiplying the doubled-area comparison through by the
+    next bucket's count (pure integers, earliest-hour tie-break). The
+    k−2 selection chain is sequential by nature → unrolled 1-row-per-
+    key joins; the oracle is the same chain as CTEs
+    (operators/timeseries.py::lttb_downsample)."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        hourly_counts,
+        lttb_downsample,
+    )
+
+    return lttb_downsample(
+        hourly_counts(_t(spark, sf_dir, "events")), k=_E38_K
+    )
+
+
 def q_pm06(spark, sf_dir):
     """Start/end activity profile (r13): the alpha algorithm's
     L_start/L_end sets quantified — per activity, occurrence mass plus
@@ -6521,6 +6545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t43_packing_audit": q_t43,
         "km02_davies_bouldin": q_km02,
         "e36_burst_viterbi": q_e36,
+        "e38_lttb_downsample": q_e38,
         # -- rows-only (no-oracle) queries stay LAST so the window is
         # -- 100% hash-checkable --------------------------------------
         "e22_rolling_distinct_hll": q_e22,
@@ -12181,6 +12206,56 @@ SELECT event_type, n_hours, num, den_x, den_y,
                  / sqrt(CAST(den_x AS DOUBLE) * CAST(den_y AS DOUBLE))
             END AS rho
 FROM d"""
+    # e38: the LTTB selection chain as k-2 chained CTEs generated by
+    # ONE Python loop (the cl01 unroll discipline); the area expression
+    # is token-for-token the Spark kernel's integer doubled area.
+    _e38_mid = _E38_K - 2
+    _e38_parts = [
+        "s0 AS (SELECT event_type, CAST(0 AS BIGINT) AS bucket, hr, x"
+        " FROM bk WHERE b = 0)"
+    ]
+    for _i in range(1, _e38_mid + 1):
+        _e38_parts.append(f"""s{_i} AS (
+  SELECT event_type, CAST({_i} AS BIGINT) AS bucket, hr, x FROM (
+    SELECT c.event_type, c.hr, c.x,
+           row_number() OVER (PARTITION BY c.event_type
+             ORDER BY abs((p.hr * na.cnt - na.st) * (c.x - p.x)
+                          - (p.hr - c.hr) * (na.sx - p.x * na.cnt)) DESC,
+                      c.hr ASC) AS rn
+    FROM bk c JOIN s{_i - 1} p ON p.event_type = c.event_type
+         JOIN nxt na ON na.event_type = c.event_type AND na.b = {_i}
+    WHERE c.b = {_i}) WHERE rn = 1)""")
+    _e38_parts.append(
+        f"sl AS (SELECT event_type, CAST({_E38_K - 1} AS BIGINT) AS bucket,"
+        f" hr, x FROM bk WHERE b = {_E38_K - 1})"
+    )
+    _e38_union = "\nUNION ALL\n".join(
+        [f"SELECT * FROM s{_i}" for _i in range(_e38_mid + 1)]
+        + ["SELECT * FROM sl"]
+    )
+    out["e38_lttb_downsample"] = f"""
+WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                  CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+ix AS (SELECT event_type, hr, x,
+              row_number() OVER (PARTITION BY event_type
+                                 ORDER BY hr ASC) - 1 AS i,
+              count(*) OVER (PARTITION BY event_type) AS n
+       FROM h),
+bk AS (SELECT event_type, hr, x,
+              CASE WHEN i = 0 THEN 0
+                   WHEN i = n - 1 THEN {_E38_K - 1}
+                   ELSE 1 + ((i - 1) * {_e38_mid}) // (n - 2) END AS b
+       FROM ix),
+nxt AS (SELECT event_type, b - 1 AS b,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(hr) AS BIGINT) AS st,
+               CAST(sum(x) AS BIGINT) AS sx
+        FROM bk WHERE b >= 1 GROUP BY event_type, b),
+{','.join(_e38_parts)}
+SELECT event_type, bucket, CAST(hr AS BIGINT) AS hr,
+       CAST(x AS BIGINT) AS x
+FROM ({_e38_union})"""
     # e36: fc04's dense-grid recursive-CTE skeleton carrying the
     # 4-tuple Viterbi state; base case = the fold's init stepped once
     # (c0 = |x0−r0|, c1 = λ + |x0−r1|, b1 = 1); stay-on-tie via <=.

@@ -2050,3 +2050,124 @@ def burst_viterbi(hourly: DataFrame, key: str = "event_type") -> DataFrame:
             F.col("_f.c0") <= F.col("_f.c1"), F.col("_f.b0")
         ).otherwise(F.col("_f.b1")).cast("long").alias("burst_hours"),
     )
+
+def lttb_downsample(
+    hourly: DataFrame, k: int = 12, key: str = "event_type"
+) -> DataFrame:
+    """LTTB (Largest-Triangle-Three-Buckets) downsampling of each
+    key's hourly series to ``k`` representative points (e38) — the
+    standard dashboard decimation: first/last kept, the n−2 middle
+    points split into k−2 equal buckets, each bucket contributing the
+    point forming the LARGEST triangle with the previously selected
+    point and the NEXT bucket's average. At 100 TB a dashboard can't
+    ship the raw series; LTTB keeps the visual shape (peaks survive,
+    flats collapse).
+
+    Exact-integer form: the float "next-bucket average" is cleared by
+    multiplying the doubled-area comparison through by the next
+    bucket's count —
+
+        A = |(t_prev·cnt − Σt)·(x_c − x_prev) − (t_prev − t_c)·(Σx − x_prev·cnt)|
+
+    an integer identical in both engines; argmax ties break to the
+    EARLIEST hour, so the selection chain is canonical. The chain is
+    sequential in the k−2 buckets (each argmax needs the previous
+    winner) → unrolled as k−2 chained 1-row-per-key joins (the
+    cl01/g02 unroll posture; bucket count is a fixed budget, never
+    data-sized); the oracle twin is the same chain as CTEs. Products
+    stay under BIGINT for calendar-bounded hour spans and counts below
+    ~10⁹/hr; past that, lift the area to DECIMAL(38,0).
+
+    Contract: every key must have at least k points (k ≥ 3 — the
+    bucketing needs n−2 ≥ k−2 so no middle bucket is empty). Returns
+    (key, bucket, hr, x) — exactly k rows per key, bucket 0..k−1 in
+    time order."""
+    if k < 3:
+        raise ValueError("lttb_downsample needs k >= 3")
+    pts = hourly.select(
+        F.col(key),
+        F.col("hr").cast("long").alias("hr"),
+        F.col("x").cast("long").alias("x"),
+    )
+    w = Window.partitionBy(key).orderBy(F.asc("hr"))
+    idx = pts.withColumn("_i", F.row_number().over(w) - 1)
+    n = pts.groupBy(key).agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    p = idx.join(n, key)
+    mid = k - 2
+    bucket = (
+        F.when(F.col("_i") == 0, F.lit(0))
+        .when(F.col("_i") == F.col("_n") - 1, F.lit(k - 1))
+        .otherwise(
+            F.lit(1)
+            + F.expr(f"((_i - 1) * {mid}) div (_n - 2)")
+        )
+        .cast("long")
+    )
+    b = p.select(key, "hr", "x", bucket.alias("_b"))
+    # next-bucket aggregates for each middle bucket: bucket i's "next"
+    # is bucket i+1 (bucket k-1 = the fixed last point, cnt 1)
+    nxt = (
+        b.filter(F.col("_b") >= 1)
+        .groupBy(key, "_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_cnt"),
+            F.sum("hr").cast("long").alias("_st"),
+            F.sum("x").cast("long").alias("_sx"),
+        )
+        .select(
+            key,
+            (F.col("_b") - 1).alias("_b"),
+            "_cnt",
+            "_st",
+            "_sx",
+        )
+    )
+    sel = b.filter(F.col("_b") == 0).select(
+        key,
+        F.lit(0).cast("long").alias("bucket"),
+        "hr",
+        "x",
+    )
+    out = [sel]
+    prev = sel.select(
+        F.col(key), F.col("hr").alias("_ph"), F.col("x").alias("_px")
+    )
+    for i in range(1, mid + 1):
+        area = F.abs(
+            (F.col("_ph") * F.col("_cnt") - F.col("_st"))
+            * (F.col("x") - F.col("_px"))
+            - (F.col("_ph") - F.col("hr"))
+            * (F.col("_sx") - F.col("_px") * F.col("_cnt"))
+        )
+        cand = (
+            b.filter(F.col("_b") == i)
+            .join(prev, key)
+            .join(nxt.filter(F.col("_b") == i).drop("_b"), key)
+            .select(key, "hr", "x", area.alias("_a"))
+        )
+        wi = Window.partitionBy(key).orderBy(F.desc("_a"), F.asc("hr"))
+        s = (
+            cand.withColumn("_rn", F.row_number().over(wi))
+            .filter(F.col("_rn") == 1)
+            .select(
+                F.col(key),
+                F.lit(i).cast("long").alias("bucket"),
+                "hr",
+                "x",
+            )
+        )
+        out.append(s)
+        prev = s.select(
+            F.col(key), F.col("hr").alias("_ph"), F.col("x").alias("_px")
+        )
+    last = b.filter(F.col("_b") == k - 1).select(
+        key,
+        F.lit(k - 1).cast("long").alias("bucket"),
+        "hr",
+        "x",
+    )
+    out.append(last)
+    res = out[0]
+    for s in out[1:]:
+        res = res.unionByName(s)
+    return res

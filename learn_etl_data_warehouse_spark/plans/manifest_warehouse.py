@@ -2285,3 +2285,79 @@ def copy_into(
         "files_skipped": len(paths) - len(new_files),
         "txn": txn_id,
     }
+
+def fsck_table(table: str) -> dict:
+    """FSCK — the warehouse integrity audit (r13): cross-check every
+    retained manifest's file references against the filesystem, both
+    directions, WITHOUT touching anything (vacuum collects; fsck only
+    diagnoses — run it before trusting a restored/copied table, after
+    an operator mishap, or as the scheduled invariant check a lakehouse
+    deployment runs nightly).
+
+    Reports, all as relative paths:
+
+    - ``missing``: (txn-dir, manifest-txn) pairs a RETAINED manifest
+      references but the filesystem lacks (or which contain no parquet
+      part) — a snapshot that would fail mid-scan; unrecoverable by
+      definition (the data is gone), so surfacing it loudly is the
+      whole job. Equality-delete directories referenced by retained
+      manifests are checked the same way (a missing delete dir would
+      silently RESURRECT deleted rows — worse than failing).
+    - ``orphaned``: txn= version dirs on disk no manifest references —
+      crashed writes and stale snapshots; exactly vacuum's collection
+      set, reported instead of removed.
+    - ``staging_leftovers``: crashed ``.txn-staging-*`` roots.
+
+    Driver-side metadata walk only (the vacuum posture): cost is the
+    partition-directory count, never data bytes. Returns a dict with
+    the three lists, ``n_manifests`` checked, and ``ok`` (no missing
+    references — orphans are garbage, not corruption)."""
+    manifests = []
+    live = read_manifest(table)
+    if live.get("txn") is not None:
+        manifests.append(live)
+    for entry in sorted(os.listdir(table)):
+        if entry.startswith("_MANIFEST-") and entry.endswith(".json"):
+            with open(os.path.join(table, entry)) as fh:
+                m = json.load(fh)
+            if m["txn"] != live.get("txn"):
+                manifests.append(m)
+    referenced = set()
+    missing = []
+    for m in manifests:
+        refs = [
+            os.path.join(rel, f"{TXN_COL_PREFIX}{txn}")
+            for rel, txn in m["partitions"].items()
+        ]
+        refs += [
+            os.path.join("_deletes", f"{TXN_COL_PREFIX}{e['txn']}")
+            for e in _delete_entries(m)
+        ]
+        for ref in refs:
+            referenced.add(ref)
+            path = os.path.join(table, ref)
+            has_part = os.path.isdir(path) and any(
+                f.endswith(".parquet") for f in os.listdir(path)
+            )
+            if not has_part:
+                missing.append({"path": ref, "txn": m["txn"]})
+    orphaned = []
+    for dirpath, dirnames, _ in os.walk(table):
+        for entry in list(dirnames):
+            if not entry.startswith(TXN_COL_PREFIX):
+                continue
+            dirnames.remove(entry)  # never descend into version dirs
+            rel = os.path.relpath(dirpath, table)
+            ref = os.path.join(rel, entry)
+            if ref not in referenced:
+                orphaned.append(ref)
+    staging = [
+        e for e in sorted(os.listdir(table)) if e.startswith(".txn-staging-")
+    ]
+    return {
+        "ok": not missing,
+        "n_manifests": len(manifests),
+        "missing": missing,
+        "orphaned": sorted(orphaned),
+        "staging_leftovers": staging,
+    }

@@ -1324,3 +1324,46 @@ def test_migrate_collision_with_hive_encoded_values(spark, tmp_path):
     assert final.count() == 5  # nothing replaced away
     assert final.filter(F.col("cat") == "x:y").count() == 2
     assert final.filter(F.col("cat").isNull()).count() == 2
+
+def test_fsck_clean_corrupted_and_orphaned(spark, vtable, tmp_path):
+    """r13: fsck — a healthy table audits clean; deleting a referenced
+    txn dir surfaces as `missing` (per retained manifest txn); an
+    unreferenced txn dir surfaces as `orphaned` and matches exactly
+    what vacuum would collect; a crashed staging root is reported."""
+    import shutil
+
+    from learn_etl_data_warehouse_spark.plans.manifest_warehouse import (
+        fsck_table,
+        read_manifest,
+        vacuum,
+    )
+
+    table, sink = vtable
+    rep = fsck_table(table)
+    assert rep["ok"] and rep["n_manifests"] >= 1
+    assert rep["missing"] == []
+    # the two superseded snapshots (batch-0-only, then batch-0+1 before
+    # any later commit) leave orphaned version dirs until vacuum
+    baseline_orphans = rep["orphaned"]
+
+    # orphan check equals vacuum's collection set (audit == collector)
+    clone_rep = fsck_table(table)
+    assert clone_rep["orphaned"] == baseline_orphans
+    removed = vacuum(table, keep_last=1)
+    after = fsck_table(table)
+    assert after["orphaned"] == [] and after["ok"]
+    assert removed == len(baseline_orphans)
+
+    # corrupt: remove a referenced version dir -> missing, not ok
+    m = read_manifest(table)
+    rel, txn = sorted(m["partitions"].items())[0]
+    shutil.rmtree(os.path.join(table, rel, f"txn={txn}"))
+    broken = fsck_table(table)
+    assert not broken["ok"]
+    assert any(r["path"].startswith(rel) for r in broken["missing"])
+
+    # crashed staging root is reported
+    os.makedirs(os.path.join(table, ".txn-staging-deadbeef"))
+    assert fsck_table(table)["staging_leftovers"] == [
+        ".txn-staging-deadbeef"
+    ]

@@ -5703,6 +5703,54 @@ def test_mann_kendall_python_model(spark):
     )
 
 
+def test_lttb_downsample_python_model(spark):
+    """r13: e38 — the selection replicates a Python LTTB with the same
+    integer doubled-area argmax and earliest-hour tie-break; first and
+    last points are pinned and output hours are strictly increasing."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        lttb_downsample,
+    )
+
+    xs = [1, 5, 2, 9, 1, 1, 7, 3, 8, 2, 6, 1, 4, 9, 2, 5, 1, 3, 7, 2]
+    rows = [("k", 100 + h, x) for h, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "event_type string, hr long, x long")
+    k = 6
+    got = sorted(
+        (r["bucket"], r["hr"], r["x"])
+        for r in lttb_downsample(df, k=k).collect()
+    )
+
+    pts = [(100 + h, x) for h, x in enumerate(xs)]
+    n, mid = len(pts), k - 2
+    buckets = {0: [pts[0]], k - 1: [pts[-1]]}
+    for i in range(1, n - 1):
+        b = 1 + ((i - 1) * mid) // (n - 2)
+        buckets.setdefault(b, []).append(pts[i])
+    want = [(0, pts[0][0], pts[0][1])]
+    prev = pts[0]
+    for b in range(1, mid + 1):
+        nxt = buckets[b + 1] if b + 1 <= mid else buckets[k - 1]
+        cnt = len(nxt)
+        st = sum(t for t, _ in nxt)
+        sx = sum(v for _, v in nxt)
+        best = max(
+            buckets[b],
+            key=lambda p: (
+                abs(
+                    (prev[0] * cnt - st) * (p[1] - prev[1])
+                    - (prev[0] - p[0]) * (sx - prev[1] * cnt)
+                ),
+                -p[0],
+            ),
+        )
+        want.append((b, best[0], best[1]))
+        prev = best
+    want.append((k - 1, pts[-1][0], pts[-1][1]))
+    assert got == sorted(want)
+    hrs = [h for _, h, _ in sorted(got)]
+    assert hrs == sorted(hrs) and len(set(hrs)) == k
+
+
 def test_burst_viterbi_python_model(spark):
     """r13: e36 — total cost and burst-hour count replicate a Python
     DP with the same stay-on-tie rule on a series with a sustained
