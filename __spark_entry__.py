@@ -5958,6 +5958,22 @@ def q_t43(spark, sf_dir):
     )
 
 
+def q_st12(spark, sf_dir):
+    """Lagged cross-correlation (r13): Pearson r of (volume_t,
+    audience_{t+L}) per key for lags −6..6 — e13 is one series'
+    autocorrelation, st10/st11 the lag-0 association; the CCF locates
+    WHERE the association peaks (volume leading audience). Moments in
+    DECIMAL(38,0)/HUGEINT, one token-mirrored double per (key, lag),
+    calendar-bounded lag join against a 13-row broadcast grid
+    (operators/timeseries.py::lagged_crosscorr)."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        hourly_metric_pair,
+        lagged_crosscorr,
+    )
+
+    return lagged_crosscorr(hourly_metric_pair(_t(spark, sf_dir, "events")))
+
+
 def q_t37(spark, sf_dir):
     """Token burstiness (r12): Fano factor (variance/mean) of
     tokens-per-document per source in truncating ppm — 1e6 ≈
@@ -6546,6 +6562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "km02_davies_bouldin": q_km02,
         "e36_burst_viterbi": q_e36,
         "e38_lttb_downsample": q_e38,
+        "st12_lagged_crosscorr": q_st12,
         # -- rows-only (no-oracle) queries stay LAST so the window is
         # -- 100% hash-checkable --------------------------------------
         "e22_rolling_distinct_hll": q_e22,
@@ -12414,6 +12431,33 @@ SELECT CAST(shard AS BIGINT) AS shard, n_docs, total_tokens,
        n_crossings,
        CAST((1000000 * n_crossings) // n_docs AS BIGINT) AS crossing_ppm
 FROM a"""
+    # st12: the st11 moment/mirror discipline per (key, lag); the lag
+    # join is h-vs-h on hr = hr + lag against a 13-row grid.
+    out["st12_lagged_crosscorr"] = f"""
+WITH {_hxy},
+grid AS (SELECT unnest(generate_series(-6, 6)) AS lag),
+m AS (SELECT a.event_type, g.lag,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             sum(CAST(a.x AS HUGEINT)) AS sx,
+             sum(CAST(b.y AS HUGEINT)) AS sy,
+             sum(CAST(a.x AS HUGEINT) * a.x) AS sxx,
+             sum(CAST(b.y AS HUGEINT) * b.y) AS syy,
+             sum(CAST(a.x AS HUGEINT) * b.y) AS sxy
+      FROM grid g CROSS JOIN h a
+      JOIN h b ON b.event_type = a.event_type
+              AND b.hr = a.hr + g.lag
+      GROUP BY 1, 2),
+dd AS (SELECT event_type, CAST(lag AS BIGINT) AS lag, n_pairs,
+              CAST(n_pairs * sxy - sx * sy AS BIGINT) AS num,
+              CAST(n_pairs * sxx - sx * sx AS BIGINT) AS den_x,
+              CAST(n_pairs * syy - sy * sy AS BIGINT) AS den_y
+       FROM m)
+SELECT event_type, lag, n_pairs, num, den_x, den_y,
+       CASE WHEN den_x > 0 AND den_y > 0
+            THEN CAST(num AS DOUBLE)
+                 / sqrt(CAST(den_x AS DOUBLE) * CAST(den_y AS DOUBLE))
+            END AS r
+FROM dd"""
     # t37: integer moments, HUGEINT variance numerator (≡ Spark's
     # DECIMAL(38,0)), one non-negative truncating division.
     out["t37_token_burstiness"] = f"""

@@ -223,6 +223,24 @@ def main() -> None:
     chunks = text.chunk_documents(train, chunk_size=32, stride=24)
     print(f"chunks: {chunks.count()}")
 
+    # 6b. stream-packing audit (t43): before the packing job runs,
+    # measure what cutting the shuffled token stream every 128 tokens
+    # would cost — bins, tail waste, and the share of docs straddling
+    # a sequence boundary (attention contamination). The audited order
+    # is d14's epoch-shuffle order by construction.
+    pk = text.packing_audit(train, capacity=128, n_shards=4).agg(
+        F.sum("n_docs").alias("docs"),
+        F.sum("total_tokens").alias("toks"),
+        F.sum("n_bins").alias("bins"),
+        F.sum("waste_tokens").alias("waste"),
+        F.sum("n_crossings").alias("cross"),
+    ).collect()[0]
+    print(
+        f"packing audit (cap 128): {pk['docs']} docs / {pk['toks']} tokens"
+        f" -> {pk['bins']} bins, {pk['waste']} waste tokens,"
+        f" {pk['cross']} boundary-crossing docs"
+    )
+
     # 7. BPE tokenizer: train 5 merges on the TRAIN side only, encode
     merges, _vocab = text.bpe_train(train, rounds=5)
     enc = text.bpe_encode(train, merges)

@@ -2171,3 +2171,94 @@ def lttb_downsample(
     for s in out[1:]:
         res = res.unionByName(s)
     return res
+
+def lagged_crosscorr(
+    hourly: DataFrame,
+    max_lag: int = 6,
+    key: str = "event_type",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """LAGGED cross-correlation function (st12) between two hourly
+    metrics per key — "does x LEAD y?": for each lag L in
+    [−max_lag, max_lag], the Pearson correlation of (x_t, y_{t+L})
+    over the hours where both exist. e13 is the autocorrelation of one
+    series; st10/st11 are the lag-0 association; the CCF locates the
+    lag where the association PEAKS (e.g. volume spikes preceding
+    audience growth by L hours).
+
+    The a15/st11 determinism discipline: per (key, lag), the five
+    moments of the matched pairs accumulate in DECIMAL(38,0)
+    (HUGEINT twin), r is ONE token-mirrored double
+    num / sqrt(den_x · den_y) (IEEE-exact both engines), NULL when
+    either side is constant. The lag join is the st08 calendar-bounded
+    self-join against a broadcast (2·max_lag+1)-row grid — O(T·lags)
+    per key, corpus-volume independent. Returns (key, lag, n_pairs,
+    num, den_x, den_y, r)."""
+    spark = hourly.sparkSession
+    a = hourly.select(
+        F.col(key),
+        F.col("hr").alias("_ah"),
+        F.col(x).alias("_ax"),
+    )
+    b = hourly.select(
+        F.col(key).alias("_bk"),
+        F.col("hr").alias("_bh"),
+        F.col(y).alias("_by"),
+    )
+    grid = F.broadcast(
+        spark.createDataFrame(
+            [(int(v),) for v in range(-max_lag, max_lag + 1)], "lag long"
+        )
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = (
+        grid.join(a)
+        .join(
+            b,
+            (F.col(key) == F.col("_bk"))
+            & (F.col("_bh") == F.col("_ah") + F.col("lag")),
+        )
+        .groupBy(key, "lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(d("_ax")).alias("_sx"),
+            F.sum(d("_by")).alias("_sy"),
+            F.sum(d("_ax") * d("_ax")).alias("_sxx"),
+            F.sum(d("_by") * d("_by")).alias("_syy"),
+            F.sum(d("_ax") * d("_by")).alias("_sxy"),
+        )
+    )
+    n = F.col("n_pairs").cast("decimal(38,0)")
+    return (
+        m.select(
+            key,
+            "lag",
+            "n_pairs",
+            (n * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+            .cast("long")
+            .alias("num"),
+            (n * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+            .cast("long")
+            .alias("den_x"),
+            (n * F.col("_syy") - F.col("_sy") * F.col("_sy"))
+            .cast("long")
+            .alias("den_y"),
+        )
+        .select(
+            key,
+            "lag",
+            "n_pairs",
+            "num",
+            "den_x",
+            "den_y",
+            F.when(
+                (F.col("den_x") > 0) & (F.col("den_y") > 0),
+                F.col("num").cast("double")
+                / F.sqrt(
+                    F.col("den_x").cast("double")
+                    * F.col("den_y").cast("double")
+                ),
+            ).alias("r"),
+        )
+    )

@@ -6017,6 +6017,54 @@ def test_spearman_rho_python_model(spark):
     assert out["flat"]["den_x"] == 0 and out["flat"]["rho"] is None
 
 
+def test_lagged_crosscorr_python_model(spark):
+    """r13: st12 — moments and r replicate a Python model at every
+    lag, including the planted lead (y = x shifted by 2 gives r = 1.0
+    exactly at lag +2); constant overlap regions yield NULL."""
+    import math
+
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        lagged_crosscorr,
+    )
+
+    xs = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3]
+    # y leads: y[t] = x[t-2] -> (x_t, y_{t+2}) matches perfectly
+    rows = [("k", h, x, xs[h - 2] if h >= 2 else 7) for h, x in enumerate(xs)]
+    df = spark.createDataFrame(
+        rows, "event_type string, hr long, x long, y long"
+    )
+    got = {
+        (r["event_type"], r["lag"]): r
+        for r in lagged_crosscorr(df, max_lag=3).collect()
+    }
+    for lag in range(-3, 4):
+        pairs = [
+            (xs[t], rows[t + lag][3])
+            for t in range(len(xs))
+            if 0 <= t + lag < len(xs)
+        ]
+        n = len(pairs)
+        sx = sum(a for a, _ in pairs)
+        sy = sum(b for _, b in pairs)
+        sxx = sum(a * a for a, _ in pairs)
+        syy = sum(b * b for _, b in pairs)
+        sxy = sum(a * b for a, b in pairs)
+        num = n * sxy - sx * sy
+        den_x = n * sxx - sx * sx
+        den_y = n * syy - sy * sy
+        g = got[("k", lag)]
+        assert (g["n_pairs"], g["num"], g["den_x"], g["den_y"]) == (
+            n, num, den_x, den_y,
+        )
+        if den_x > 0 and den_y > 0:
+            assert g["r"] == float(num) / math.sqrt(
+                float(den_x) * float(den_y)
+            )
+        else:
+            assert g["r"] is None
+    assert got[("k", 2)]["r"] == 1.0  # the planted lead
+
+
 def test_littles_law_conservation(spark):
     """r12: ops04 — backlog area integrated from the sweep equals the
     per-interval mass exactly, including overlapping, disjoint, and
