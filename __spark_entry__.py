@@ -5958,6 +5958,20 @@ def q_t43(spark, sf_dir):
     )
 
 
+def q_ops05(spark, sf_dir):
+    """Backlog aging report (r13): open (O/P) orders bucketed by days
+    outstanding as of the latest order date — where the open book ages
+    and how much value sits in each band, next to ops01's lag SLA and
+    ops02's backlog sweep; exact integer days via the portable
+    epoch-day idiom (NTZ-safe), fixed business bands
+    (operators/product_analytics.py::backlog_aging)."""
+    from learn_etl_data_warehouse_spark.operators.product_analytics import (
+        backlog_aging,
+    )
+
+    return backlog_aging(_t(spark, sf_dir, "orders"))
+
+
 def q_st12(spark, sf_dir):
     """Lagged cross-correlation (r13): Pearson r of (volume_t,
     audience_{t+L}) per key for lags −6..6 — e13 is one series'
@@ -6563,6 +6577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e36_burst_viterbi": q_e36,
         "e38_lttb_downsample": q_e38,
         "st12_lagged_crosscorr": q_st12,
+        "ops05_backlog_aging": q_ops05,
         # -- rows-only (no-oracle) queries stay LAST so the window is
         # -- 100% hash-checkable --------------------------------------
         "e22_rolling_distinct_hll": q_e22,
@@ -12431,6 +12446,25 @@ SELECT CAST(shard AS BIGINT) AS shard, n_docs, total_tokens,
        n_crossings,
        CAST((1000000 * n_crossings) // n_docs AS BIGINT) AS crossing_ppm
 FROM a"""
+    # ops05: epoch-day ages vs the global max order date; half-open
+    # business bands; cents exact.
+    out["ops05_backlog_aging"] = """
+WITH b AS (SELECT o_orderpriority AS priority, o_orderstatus AS st,
+                  datediff('day', TIMESTAMP '1970-01-01', o_orderdate)
+                    AS d,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders),
+mx AS (SELECT CAST(max(d) AS BIGINT) AS mxd FROM b)
+SELECT priority,
+       CASE WHEN mxd - d <= 30 THEN '0-30'
+            WHEN mxd - d <= 90 THEN '31-90'
+            WHEN mxd - d <= 365 THEN '91-365'
+            ELSE '366+' END AS age_bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(c) AS BIGINT) AS value_cents
+FROM b CROSS JOIN mx
+WHERE st IN ('O', 'P')
+GROUP BY 1, 2"""
     # st12: the st11 moment/mirror discipline per (key, lag); the lag
     # join is h-vs-h on hr = hr + lag against a 13-row grid.
     out["st12_lagged_crosscorr"] = f"""

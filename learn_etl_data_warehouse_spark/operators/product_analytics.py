@@ -626,3 +626,50 @@ def inter_purchase_gap_stats(
             "p90_gap_days",
         )
     )
+
+def backlog_aging(
+    orders: DataFrame,
+    open_statuses: tuple[str, ...] = ("O", "P"),
+    bounds: tuple[int, int, int] = (30, 90, 365),
+) -> DataFrame:
+    """BACKLOG AGING report (ops05): open orders bucketed by days
+    outstanding as of the dataset's latest order date — the classic
+    operations artifact next to ops01's lag SLA (how late do we ship)
+    and ops02's backlog sweep (how much is open over time): WHERE does
+    the open book age, and how much value sits in each band.
+
+    Age is exact integer days via the portable epoch-day idiom
+    (datediff vs 1970-01-01 — o_orderdate reads as TIMESTAMP_NTZ and
+    unix_micros THROWS on NTZ, the r7 lesson); the as-of anchor is the
+    global max order date (1-row broadcast). Fixed half-open bands
+    0..b1 / b1+1..b2 / b2+1..b3 / b3+1.. (business bins by design, the
+    ca01 posture). Returns (priority, age_bucket, n_orders,
+    value_cents) with value in exact cents."""
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+    base = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("_st"),
+        day.cast("long").alias("_d"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("_c"),
+    )
+    anchor = F.broadcast(
+        base.agg(F.max("_d").cast("long").alias("_mx"))
+    )
+    b1, b2, b3 = (int(b) for b in bounds)
+    age = F.col("_mx") - F.col("_d")
+    bucket = (
+        F.when(age <= b1, F.lit(f"0-{b1}"))
+        .when(age <= b2, F.lit(f"{b1 + 1}-{b2}"))
+        .when(age <= b3, F.lit(f"{b2 + 1}-{b3}"))
+        .otherwise(F.lit(f"{b3 + 1}+"))
+    )
+    return (
+        base.filter(F.col("_st").isin(*open_statuses))
+        .crossJoin(anchor)
+        .select("priority", bucket.alias("age_bucket"), "_c")
+        .groupBy("priority", "age_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("_c").cast("long").alias("value_cents"),
+        )
+    )

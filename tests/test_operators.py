@@ -6017,6 +6017,40 @@ def test_spearman_rho_python_model(spark):
     assert out["flat"]["den_x"] == 0 and out["flat"]["rho"] is None
 
 
+def test_backlog_aging_hand_orders(spark):
+    """r13: ops05 — hand orders at known ages land in the right bands,
+    closed (F) orders are excluded, value is exact cents."""
+    from datetime import datetime
+
+    from learn_etl_data_warehouse_spark.operators.product_analytics import (
+        backlog_aging,
+    )
+
+    rows = [
+        # anchor = 2024-12-31 (the max order date, itself open)
+        (1, "1-URGENT", "O", datetime(2024, 12, 31), 10.00),
+        (2, "1-URGENT", "O", datetime(2024, 12, 11), 20.00),  # age 20
+        (3, "1-URGENT", "P", datetime(2024, 10, 2), 30.00),   # age 90
+        (4, "1-URGENT", "O", datetime(2024, 1, 1), 40.00),    # age 365
+        (5, "1-URGENT", "O", datetime(2023, 12, 31), 50.00),  # age 366
+        (6, "1-URGENT", "F", datetime(2024, 12, 30), 60.00),  # closed
+    ]
+    df = spark.createDataFrame(
+        [(a, b, c, d, e) for a, b, c, d, e in rows],
+        "o_orderkey long, o_orderpriority string, o_orderstatus string,"
+        " o_orderdate timestamp, o_totalprice double",
+    )
+    got = {
+        r["age_bucket"]: (r["n_orders"], r["value_cents"])
+        for r in backlog_aging(df).collect()
+    }
+    assert got["0-30"] == (2, 3000)       # ages 0, 20
+    assert got["31-90"] == (1, 3000)      # age 90
+    assert got["91-365"] == (1, 4000)     # age 365
+    assert got["366+"] == (1, 5000)       # age 366
+    assert sum(n for n, _ in got.values()) == 5  # F excluded
+
+
 def test_lagged_crosscorr_python_model(spark):
     """r13: st12 — moments and r replicate a Python model at every
     lag, including the planted lead (y = x shifted by 2 gives r = 1.0
