@@ -5545,6 +5545,18 @@ def q_s17(spark, sf_dir):
     )
 
 
+def q_s18(spark, sf_dir):
+    """Two-stage rerank recall audit (r13): the s12 pipeline (IVF
+    probe → ADC candidate rank → exact re-rank) audited as capture of
+    the exact L2 top-10 per re-rank budget {10,25,50,100} — composes
+    s15's cell geometry with s16's ADC geometry, and the capture
+    argument composes s15's (a gt member survives iff its cell is
+    probed AND its ADC rank reaches the pool). Completes the ANN audit
+    matrix: banding d38 / IVF s15 / PQ-ADC s16 / hyperplane s17 /
+    two-stage s18 (operators/similarity.py::rerank_recall_audit)."""
+    return similarity.rerank_recall_audit(_t(spark, sf_dir, "embeddings"))
+
+
 def q_st08(spark, sf_dir):
     """Mann–Kendall trend test (r12): the nonparametric companion to
     e28's Theil–Sen slope — S = Σ sign(x_j − x_i) over time-ordered
@@ -6578,6 +6590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e38_lttb_downsample": q_e38,
         "st12_lagged_crosscorr": q_st12,
         "ops05_backlog_aging": q_ops05,
+        "s18_rerank_recall_audit": q_s18,
         # -- rows-only (no-oracle) queries stay LAST so the window is
         # -- 100% hash-checkable --------------------------------------
         "e22_rolling_distinct_hll": q_e22,
@@ -11824,6 +11837,84 @@ SELECT CAST(g.radius AS BIGINT) AS radius,
             // ({_S17_K} * (SELECT n FROM nq)) AS BIGINT) AS recall_ppm
 FROM grid g CROSS JOIN ham h
 GROUP BY g.radius"""
+    # s18 (r13): the two-stage rerank audit — s15's cell geometry +
+    # s16's ADC geometry composed; capture = cell-probed AND adc_rank
+    # <= rerank_m (the composed no-materialized-final-ranking
+    # argument). Same generated l2 sub-expressions, new CTE names.
+    _s18_sub_vc = "\nUNION ALL\n".join(
+        f"SELECT er.vec_id AS vid, kc.code, {s} AS sub, "
+        f"{_l2s('er.v', 'kc.kv', list(range(s * _sd + 1, (s + 1) * _sd + 1)))}"
+        " AS l2 FROM er CROSS JOIN kodes kc"
+        for s in range(4)
+    )
+    _s18_sub_qc = "\nUNION ALL\n".join(
+        f"SELECT qr.qid, kc.code, {s} AS sub, "
+        f"{_l2s('qr.qv', 'kc.kv', list(range(s * _sd + 1, (s + 1) * _sd + 1)))}"
+        " AS t FROM qr CROSS JOIN kodes kc"
+        for s in range(4)
+    )
+    _s18_full = _l2s("er.v", "qr.qv", list(range(1, 65)))
+    out["s18_rerank_recall_audit"] = f"""
+WITH ed AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+er AS (SELECT vec_id, embedding AS v FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS cv FROM ed WHERE vec_id < 8),
+kodes AS (SELECT vec_id AS code, v AS kv FROM er WHERE vec_id < 16),
+assign AS (
+  SELECT vid, cell FROM (
+    SELECT e.vec_id AS vid, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_COS.format(a='e.v', b='c.cv')}
+                                DESC, c.cell DESC) AS rn
+    FROM ed e CROSS JOIN cents c) WHERE rn = 1),
+qd AS (SELECT vec_id AS qid, v AS qv FROM ed
+       WHERE vec_id % 100 = 0 AND vec_id < 2000),
+qr AS (SELECT vec_id AS qid, v AS qv FROM er
+       WHERE vec_id % 100 = 0 AND vec_id < 2000),
+qcell AS (
+  SELECT qid, cell FROM (
+    SELECT q.qid, c.cell,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY {_COS.format(a='q.qv', b='c.cv')}
+                                DESC, c.cell ASC) AS cell_rank
+    FROM qd q CROSS JOIN cents c) WHERE cell_rank <= 2),
+vl2 AS ({_s18_sub_vc}),
+vcode AS (
+  SELECT vid, sub, code FROM (
+    SELECT vid, sub, code,
+           row_number() OVER (PARTITION BY vid, sub
+                              ORDER BY l2 ASC, code ASC) AS rn
+    FROM vl2) WHERE rn = 1),
+qtab AS ({_s18_sub_qc}),
+cand AS (SELECT qc.qid, a.vid
+         FROM assign a JOIN qcell qc ON qc.cell = a.cell
+         WHERE a.vid <> qc.qid),
+adc AS (
+  SELECT qid, vid,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY s ASC, vid ASC) AS adc_rank
+  FROM (SELECT c.qid, c.vid, CAST(sum(t.t) AS BIGINT) AS s
+        FROM cand c JOIN vcode vc ON vc.vid = c.vid
+             JOIN qtab t ON t.qid = c.qid AND t.sub = vc.sub
+                        AND t.code = vc.code
+        GROUP BY c.qid, c.vid)),
+gt AS (SELECT qid, vid FROM (
+  SELECT qr.qid, er.vec_id AS vid,
+         row_number() OVER (PARTITION BY qr.qid
+                            ORDER BY {_s18_full} ASC, er.vec_id ASC) AS rn
+  FROM qr JOIN er ON er.vec_id <> qr.qid) WHERE rn <= 10),
+hit AS (SELECT g.qid, a.adc_rank
+        FROM gt g JOIN adc a ON a.qid = g.qid AND a.vid = g.vid),
+nq AS (SELECT count(*) AS n FROM qd),
+grid AS (SELECT unnest([10, 25, 50, 100]) AS rerank_m)
+SELECT CAST(g.rerank_m AS BIGINT) AS rerank_m,
+       CAST(sum(CASE WHEN h.adc_rank <= g.rerank_m THEN 1 ELSE 0 END)
+            AS BIGINT) AS captured,
+       CAST(10 * (SELECT n FROM nq) AS BIGINT) AS expected,
+       CAST((1000000 * sum(CASE WHEN h.adc_rank <= g.rerank_m
+                                THEN 1 ELSE 0 END))
+            // (10 * (SELECT n FROM nq)) AS BIGINT) AS recall_ppm
+FROM grid g CROSS JOIN hit h
+GROUP BY g.rerank_m"""
     # st08: pairwise sign sum over the calendar-bounded hourly grid
     # (the e28 self-join) + tie-corrected variance numerator, undivided.
     out["st08_mann_kendall"] = """

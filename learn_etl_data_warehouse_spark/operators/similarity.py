@@ -2062,3 +2062,204 @@ def davies_bouldin_cosine(
     return sc.join(r, "label", "left").select(
         "label", "n", "scatter_micro", "r_max_ppm"
     )
+
+def rerank_recall_audit(
+    emb: DataFrame,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    n_codes: int = 16,
+    k: int = 10,
+    rerank_grid: tuple[int, ...] = (10, 25, 50, 100),
+    query_mod: int = 100,
+    query_cap: int = 2000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Oracle-exact TWO-STAGE RERANK recall audit (s18) — the s12
+    pipeline's audit, completing the ANN matrix's last leg: IVF cell
+    probe (s15 geometry) → ADC candidate ranking (s16 geometry) →
+    exact re-rank of the top ``rerank_m`` candidates, measured as
+    capture of the exact L2 top-k per rerank budget, integer ppm.
+
+    The capture argument composes s15's: an exact-top-k member
+    survives the final exact re-rank iff it reaches the re-rank pool —
+    i.e. its cell is probed AND its ADC rank among probed-cell
+    candidates is <= rerank_m (anything exact-outranking it in the
+    pool exact-outranks it globally, and fewer than k do). So
+    ``captured(m') = #{gt: cell_rank <= nprobe AND adc_rank <= m'}``
+    with no materialized final ranking. The measured curve answers THE
+    two-stage tuning question: how big must the re-rank pool be before
+    the ADC stage stops costing recall.
+
+    All geometry is the established twin kit: argmax-round-6-cosine
+    cells (ties high, queries tie low — ivf_assign/ivf_topk), seed
+    codebooks = the ``n_codes`` smallest-id vectors (pq_train round
+    0), every distance a floor-micro integer from
+    :func:`_l2sq_micros_col` / :func:`l2sq_micros_sql`. Fixed audit
+    budgets broadcast everywhere; the ADC candidate ranking is the one
+    data-proportional window (per query, vectors in probed cells —
+    the same cost class as s15's assignment scan)."""
+    spark = emb.sparkSession
+    cos6 = lambda a, b: F.round(cosine_similarity(a, b), 6)  # noqa: E731
+    first_dim = 64
+    if first_dim % m != 0:
+        raise ValueError(f"dim {first_dim} not divisible by m={m}")
+    sd = first_dim // m
+    sub_idxs = [list(range(s * sd + 1, (s + 1) * sd + 1)) for s in range(m)]
+    cents = F.broadcast(
+        emb.filter(F.col(id_col) < n_cells).select(
+            F.col(id_col).alias("_cell"), F.col(vec_col).alias("_cv")
+        )
+    )
+    codes = F.broadcast(
+        emb.filter(F.col(id_col) < n_codes).select(
+            F.col(id_col).alias("_code"), F.col(vec_col).alias("_kv")
+        )
+    )
+    queries = F.broadcast(
+        emb.filter(
+            (F.col(id_col) % query_mod == 0) & (F.col(id_col) < query_cap)
+        ).select(F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv"))
+    )
+    assign = (
+        emb.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+        .join(cents)
+        .select(
+            "_vid", "_cell", cos6(F.col("_v"), F.col("_cv")).alias("_cs")
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("_vid").orderBy(
+                    F.desc("_cs"), F.desc("_cell")
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select("_vid", "_cell")
+    )
+    qcell = F.broadcast(
+        queries.join(cents)
+        .select(
+            "_qid", "_cell", cos6(F.col("_qv"), F.col("_cv")).alias("_cs")
+        )
+        .withColumn(
+            "_cell_rank",
+            F.row_number().over(
+                Window.partitionBy("_qid").orderBy(
+                    F.desc("_cs"), F.asc("_cell")
+                )
+            ),
+        )
+        .filter(F.col("_cell_rank") <= nprobe)
+        .select("_qid", "_cell")
+    )
+
+    def _per_sub(a: str, b: str, out: str) -> list:
+        return [
+            F.struct(
+                F.lit(s).cast("long").alias("_sub"),
+                _l2sq_micros_col(F.col(a), F.col(b), sub_idxs[s]).alias(out),
+            )
+            for s in range(m)
+        ]
+
+    vcode = (
+        emb.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+        .join(codes)
+        .select(
+            "_vid",
+            "_code",
+            F.explode(F.array(*_per_sub("_v", "_kv", "_l2"))).alias("_e"),
+        )
+        .select("_vid", F.col("_e._sub").alias("_sub"), "_code",
+                F.col("_e._l2").alias("_l2"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("_vid", "_sub").orderBy(
+                    F.asc("_l2"), F.asc("_code")
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select("_vid", "_sub", "_code")
+    )
+    qtab = F.broadcast(
+        queries.join(codes)
+        .select(
+            "_qid",
+            "_code",
+            F.explode(F.array(*_per_sub("_qv", "_kv", "_t"))).alias("_e"),
+        )
+        .select("_qid", F.col("_e._sub").alias("_sub"), "_code",
+                F.col("_e._t").alias("_t"))
+    )
+    cand = (
+        assign.join(qcell, "_cell")
+        .filter(F.col("_vid") != F.col("_qid"))
+        .select("_qid", "_vid")
+    )
+    adc_rank = (
+        cand.join(vcode, "_vid")
+        .join(qtab, ["_qid", "_sub", "_code"])
+        .groupBy("_qid", "_vid")
+        .agg(F.sum("_t").alias("_adc"))
+        .withColumn(
+            "_adc_rank",
+            F.row_number().over(
+                Window.partitionBy("_qid").orderBy(
+                    F.asc("_adc"), F.asc("_vid")
+                )
+            ),
+        )
+        .select("_qid", "_vid", "_adc_rank")
+    )
+    gt = (
+        emb.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+        .join(queries, F.col("_vid") != F.col("_qid"))
+        .select(
+            "_qid",
+            "_vid",
+            _l2sq_micros_col(
+                F.col("_v"), F.col("_qv"), list(range(1, first_dim + 1))
+            ).alias("_l2"),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("_qid").orderBy(
+                    F.asc("_l2"), F.asc("_vid")
+                )
+            ),
+        )
+        .filter(F.col("_rn") <= k)
+        .select("_qid", "_vid")
+    )
+    hit = gt.join(adc_rank, ["_qid", "_vid"])
+    grid = F.broadcast(
+        spark.createDataFrame(
+            [(int(v),) for v in rerank_grid], "rerank_m long"
+        )
+    )
+    nq = queries.agg(F.count(F.lit(1)).alias("_nq"))
+    return (
+        grid.join(hit)
+        .groupBy("rerank_m")
+        .agg(
+            F.sum(
+                (F.col("_adc_rank") <= F.col("rerank_m")).cast("long")
+            ).alias("captured")
+        )
+        .join(nq)
+        .select(
+            "rerank_m",
+            "captured",
+            (F.lit(int(k)) * F.col("_nq")).cast("long").alias("expected"),
+            F.expr(f"(1000000 * captured) div ({k} * _nq)")
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+        .orderBy("rerank_m")
+    )

@@ -5673,6 +5673,30 @@ def test_ivm05_cohort_forces_climb(spark, sf_small):
     assert any(c[1] % 7 != 0 for c in climbers), climbers
 
 
+def test_rerank_recall_audit_curve(spark, sf_small):
+    """r13: s18 — capture is monotone non-decreasing in the re-rank
+    budget, bounded by expected, with exact ppm accounting; a huge
+    re-rank budget captures exactly the probed-cell gt members (the
+    ADC stage stops costing anything — only the cell probe limits)."""
+    emb = load_table(spark, sf_small, "embeddings")
+    rows = {
+        r["rerank_m"]: r
+        for r in similarity.rerank_recall_audit(
+            emb, rerank_grid=(10, 25, 50, 100, 1_000_000)
+        ).collect()
+    }
+    assert sorted(rows) == [10, 25, 50, 100, 1_000_000]
+    caps = [rows[n]["captured"] for n in (10, 25, 50, 100, 1_000_000)]
+    assert caps == sorted(caps), f"capture not monotone: {caps}"
+    for r in rows.values():
+        assert 0 <= r["captured"] <= r["expected"]
+        assert r["recall_ppm"] == (1_000_000 * r["captured"]) // r["expected"]
+    # at an unbounded pool the ADC ordering is irrelevant: capture ==
+    # the number of exact-L2 top-k members whose cell is probed, which
+    # strictly dominates every finite budget
+    assert caps[-1] >= caps[-2]
+
+
 def test_mann_kendall_python_model(spark):
     """r12: st08 — S and the tie-corrected variance numerator replicate
     a brute-force Python model on a hand series with ties."""
