@@ -739,3 +739,122 @@ def test_runs_test_fuzz_vs_bruteforce(spark, xs):
     assert got["n_above"] == sum(signs)
     assert got["n_below"] == len(signs) - sum(signs)
     assert got["n_runs"] == runs
+
+
+_xy_series = st.lists(
+    st.tuples(st.integers(0, 20), st.integers(0, 20)),
+    min_size=2,
+    max_size=24,
+)
+
+
+@given(_xy_series)
+@SETTINGS
+def test_kendall_tau_fuzz_vs_bruteforce(spark, xy):
+    """r13: st10's pair classes vs the O(n²) Python model on random
+    short two-metric series (heavy ties by construction)."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        kendall_tau,
+    )
+
+    rows = [("k", h, a, b) for h, (a, b) in enumerate(xy)]
+    df = spark.createDataFrame(
+        rows, "event_type string, hr long, x long, y long"
+    )
+    got = kendall_tau(df).collect()[0]
+    C = D = tx = ty = txy = 0
+    n = len(xy)
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = (xy[j][0] > xy[i][0]) - (xy[j][0] < xy[i][0])
+            dy = (xy[j][1] > xy[i][1]) - (xy[j][1] < xy[i][1])
+            if dx * dy == 1:
+                C += 1
+            elif dx * dy == -1:
+                D += 1
+            elif dx == 0 and dy == 0:
+                txy += 1
+            elif dx == 0:
+                tx += 1
+            else:
+                ty += 1
+    assert (
+        got["n_pairs"], got["concordant"], got["discordant"],
+        got["s_stat"], got["ties_x"], got["ties_y"], got["ties_xy"],
+    ) == (n * (n - 1) // 2, C, D, C - D, tx, ty, txy)
+
+
+_burst_series = st.lists(st.integers(0, 30), min_size=1, max_size=30)
+
+
+@given(_burst_series)
+@SETTINGS
+def test_burst_viterbi_fuzz_vs_python_dp(spark, xs):
+    """r13: e36's optimal cost and canonical burst-hour count vs the
+    Python DP with the identical stay-on-tie rule, on random series
+    (dense hours so the grid is the series itself)."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        burst_viterbi,
+    )
+
+    rows = [("k", h, x) for h, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "event_type string, hr long, x long")
+    got = burst_viterbi(df).collect()[0]
+    n = len(xs)
+    r0 = sum(xs) // n
+    r1, lam = 2 * r0 + 1, r0 + 1
+    c0, b0, c1, b1 = 0, 0, lam, 0
+    for x in xs:
+        nc0 = min(c0, c1 + lam) + abs(x - r0)
+        nb0 = b0 if c0 <= c1 + lam else b1
+        nc1 = min(c1, c0 + lam) + abs(x - r1)
+        nb1 = (b1 if c1 <= c0 + lam else b0) + 1
+        c0, b0, c1, b1 = nc0, nb0, nc1, nb1
+    want = (c0, b0) if c0 <= c1 else (c1, b1)
+    assert (got["total_cost"], got["burst_hours"]) == want
+    assert (got["n_hours"], got["base_rate"], got["switch_cost"]) == (
+        n, r0, lam,
+    )
+
+
+_pack_docs = st.lists(st.integers(0, 12), min_size=1, max_size=40)
+
+
+@given(_pack_docs, st.integers(2, 16))
+@SETTINGS
+def test_packing_audit_fuzz_vs_walk(spark, toks, cap):
+    """r13: t43's bins/waste/crossings vs a Python walk that re-derives
+    the md5 shard and order keys, over random token counts (including
+    zero-token docs) and random capacities."""
+    import hashlib
+    import math
+
+    from learn_etl_data_warehouse_spark.operators.text import (
+        packing_audit,
+    )
+
+    rows = [(i, " ".join(["w"] * t) if t else "") for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["shard"]: r
+        for r in packing_audit(df, capacity=cap, n_shards=4).collect()
+    }
+    shards = {}
+    for i, t in enumerate(toks):
+        h = hashlib.md5(f"shard:{i}".encode()).hexdigest()[:8]
+        sh = int(h, 16) % 4
+        ok = hashlib.md5(f"ord:{i}".encode()).hexdigest()
+        shards.setdefault(sh, []).append((ok, i, t))
+    for sh, docs in shards.items():
+        docs.sort()
+        before = 0
+        crossings = 0
+        for _, _, t in docs:
+            if t > 0 and before // cap != (before + t - 1) // cap:
+                crossings += 1
+            before += t
+        r = got[sh]
+        assert r["n_docs"] == len(docs)
+        assert r["total_tokens"] == before
+        assert r["n_bins"] == math.ceil(before / cap)
+        assert r["n_crossings"] == crossings
