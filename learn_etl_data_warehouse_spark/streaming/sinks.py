@@ -1731,3 +1731,117 @@ def correlation_ingest_sink(
         )
 
     return handle
+
+def lttb_dashboard_sink(
+    catalog_dir: str,
+    k: int = 12,
+    key: str = "event_type",
+    ts: str = "ts",
+):
+    """foreachBatch handler maintaining a DASHBOARD-READY downsampled
+    series per key (e38's streaming twin): hourly counts merge
+    ADDITIVELY into the stored (key, hr, x) state — the anomaly-sink
+    state exactly — and the k-point LTTB selection re-derives from the
+    maintained state per micro-batch (state-sized cost: hours per key,
+    never event history). The downsample family joins HW-forecast /
+    LM / novelty / top-k / correlation in batch/streaming parity; a
+    dashboard reads k points per key from `lttb_points`, whatever the
+    stream volume.
+
+    Keys with fewer than k observed hours pass through RAW (bucket =
+    hour rank — a dashboard plots them as-is; LTTB's bucketing needs
+    n >= k), switching to the LTTB selection once enough hours exist.
+    Exactly-once is LEDGER-derived (the anomaly posture): counts are
+    not replay-idempotent; ledger + state + view flip in ONE catalog
+    transaction."""
+    from pyspark.sql import Window
+
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        hourly_counts,
+        lttb_downsample,
+    )
+    from learn_etl_data_warehouse_spark.plans import catalog as cat
+
+    def handle(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        tables = set(cat.read_catalog(catalog_dir)["tables"])
+        if "lttb_applied" in tables:
+            applied = {
+                r.batch_id
+                for r in cat.catalog_read(spark, catalog_dir, "lttb_applied")
+                .select("batch_id")
+                .collect()
+            }
+            if int(batch_id) in applied:
+                return  # replayed batch: already folded into the state
+        delta = hourly_counts(batch_df, key, ts)
+        if "lttb_hourly" in tables:
+            prev = cat.catalog_read(spark, catalog_dir, "lttb_hourly").select(
+                key, "hr", "x"
+            )
+            merged = (
+                prev.withColumnRenamed("x", "_px")
+                .join(
+                    delta.withColumnRenamed("x", "_dx"),
+                    [key, "hr"],
+                    "full_outer",
+                )
+                .select(
+                    key,
+                    "hr",
+                    (
+                        F.coalesce(F.col("_px"), F.lit(0))
+                        + F.coalesce(F.col("_dx"), F.lit(0))
+                    ).cast("long").alias("x"),
+                )
+            )
+        else:
+            merged = delta
+        counts = merged.groupBy(key).agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        big = merged.join(
+            counts.filter(F.col("_n") >= k).select(key), key, "left_semi"
+        )
+        small = merged.join(
+            counts.filter(F.col("_n") < k).select(key), key, "left_semi"
+        )
+        parts = []
+        if big.limit(1).count() > 0:
+            parts.append(lttb_downsample(big, k=k, key=key))
+        raw = small.select(
+            F.col(key),
+            (
+                F.row_number().over(
+                    Window.partitionBy(key).orderBy(F.asc("hr"))
+                )
+                - 1
+            ).cast("long").alias("bucket"),
+            F.col("hr").cast("long").alias("hr"),
+            F.col("x").cast("long").alias("x"),
+        )
+        parts.append(raw)
+        view = parts[0]
+        for p in parts[1:]:
+            view = view.unionByName(p)
+        ledger = spark.createDataFrame(
+            [(int(batch_id),)], "batch_id long"
+        ).withColumn("ingest_batch", F.lit(int(batch_id)))
+        cat.catalog_commit(
+            spark,
+            catalog_dir,
+            {
+                "lttb_hourly": (
+                    merged.withColumn("state", F.lit("live")),
+                    ["state"],
+                ),
+                "lttb_points": (
+                    view.withColumn("state", F.lit("live")),
+                    ["state"],
+                ),
+                "lttb_applied": (ledger, ["ingest_batch"]),
+            },
+            replace=False,
+        )
+
+    return handle

@@ -2737,3 +2737,82 @@ def test_correlation_ingest_sink_end_to_end_stream(spark, tmp_path, sf_small):
         )
     )
     assert got == want
+
+def test_lttb_dashboard_sink_matches_batch(spark, tmp_path, sf_small):
+    """r13: e38's streaming twin — the published k-point series equals
+    the batch LTTB over all events seen so far after EACH batch
+    (parity-split batches: the hourly state is additive, no ordering
+    contract); a replayed batch is a ledgered no-op."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        hourly_counts,
+        lttb_downsample,
+    )
+    from learn_etl_data_warehouse_spark.plans import catalog as cat
+    from learn_etl_data_warehouse_spark.sources.parquet import load_table
+    from learn_etl_data_warehouse_spark.streaming.sinks import (
+        lttb_dashboard_sink,
+    )
+
+    ev = load_table(spark, sf_small, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    b0 = ev.filter("event_id % 2 = 0")
+    b1 = ev.filter("event_id % 2 = 1")
+    cdir = str(tmp_path / "lttbcat")
+    handle = lttb_dashboard_sink(cdir, k=12)
+
+    cols = ["event_type", "bucket", "hr", "x"]
+
+    def published():
+        return sorted(
+            map(
+                tuple,
+                cat.catalog_read(spark, cdir, "lttb_points")
+                .select(*cols)
+                .collect(),
+            )
+        )
+
+    def want(events):
+        return sorted(
+            map(
+                tuple,
+                lttb_downsample(hourly_counts(events), k=12)
+                .select(*cols)
+                .collect(),
+            )
+        )
+
+    handle(b0, 0)
+    assert published() == want(b0)
+    handle(b1, 1)
+    assert published() == want(ev)
+    txn = cat.read_catalog(cdir)["txn"]
+    handle(b1, 1)
+    assert cat.read_catalog(cdir)["txn"] == txn
+
+
+def test_lttb_dashboard_sink_small_key_passthrough(spark, tmp_path):
+    """r13: a key with fewer than k observed hours publishes its RAW
+    hours (bucket = hour rank) instead of failing LTTB's bucketing."""
+    from datetime import datetime
+
+    from learn_etl_data_warehouse_spark.plans import catalog as cat
+    from learn_etl_data_warehouse_spark.streaming.sinks import (
+        lttb_dashboard_sink,
+    )
+
+    rows = [
+        (i, datetime(2024, 1, 1, h), "u", "tiny")
+        for i, h in enumerate([0, 3, 7])
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id string, event_type string"
+    )
+    cdir = str(tmp_path / "tinycat")
+    lttb_dashboard_sink(cdir, k=12)(df, 0)
+    pts = sorted(
+        (r["bucket"], r["x"])
+        for r in cat.catalog_read(spark, cdir, "lttb_points").collect()
+    )
+    assert pts == [(0, 1), (1, 1), (2, 1)]
