@@ -5984,6 +5984,22 @@ def q_ops05(spark, sf_dir):
     return backlog_aging(_t(spark, sf_dir, "orders"))
 
 
+def q_fc09(spark, sf_dir):
+    """Forecast coherence audit (r13): do the per-key fc01 forecasts
+    ADD UP to the forecast of the total? Independent per-series models
+    never cohere exactly; the signed per-hour gap (UNDIVIDED) is what
+    a reconciliation step would distribute. Pure composition of
+    forecast_hourly per key vs on the summed series, engine-exact
+    fixed point end to end
+    (operators/timeseries.py::forecast_coherence)."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        forecast_coherence,
+        hourly_counts,
+    )
+
+    return forecast_coherence(hourly_counts(_t(spark, sf_dir, "events")))
+
+
 def q_st12(spark, sf_dir):
     """Lagged cross-correlation (r13): Pearson r of (volume_t,
     audience_{t+L}) per key for lags −6..6 — e13 is one series'
@@ -6592,6 +6608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st12_lagged_crosscorr": q_st12,
         "ops05_backlog_aging": q_ops05,
         "s18_rerank_recall_audit": q_s18,
+        "fc09_forecast_coherence": q_fc09,
         # -- rows-only (no-oracle) queries stay LAST so the window is
         # -- 100% hash-checkable --------------------------------------
         "e22_rolling_distinct_hll": q_e22,
@@ -12557,6 +12574,62 @@ SELECT priority,
 FROM b CROSS JOIN mx
 WHERE st IN ('O', 'P')
 GROUP BY 1, 2"""
+    # fc09: fc01's pipeline twice — per key (verbatim shape) and on
+    # the summed series — joined on the total's spine; gap undivided.
+    out["fc09_forecast_coherence"] = """
+WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                  CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+p AS (SELECT a.event_type,
+             CAST(((b.x - a.x) * 1000000) // (b.hr - a.hr) AS BIGINT)
+               AS slope
+      FROM h a JOIN h b
+        ON a.event_type = b.event_type AND a.hr < b.hr),
+rr AS (SELECT event_type, slope,
+              row_number() OVER (PARTITION BY event_type
+                                 ORDER BY slope) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS np
+       FROM p),
+sl AS (SELECT event_type, slope AS ms FROM rr WHERE rn = (np + 1) // 2),
+prof AS (SELECT event_type, hr % 24 AS hod,
+                CAST((1000000 * sum(x)) // count(*) AS BIGINT) AS pm
+         FROM h GROUP BY 1, 2),
+an AS (SELECT event_type, max(hr) AS anchor FROM h GROUP BY 1),
+sp AS (SELECT event_type, anchor + s AS h_future, s AS dh
+       FROM an, (SELECT unnest(generate_series(1, 24)) AS s) t),
+fk AS (SELECT sp.event_type, sp.h_future,
+              CAST(coalesce(prof.pm, 0) + sl.ms * sp.dh AS BIGINT) AS f
+       FROM sp
+       LEFT JOIN prof ON prof.event_type = sp.event_type
+                     AND prof.hod = sp.h_future % 24
+       JOIN sl ON sl.event_type = sp.event_type),
+ht AS (SELECT hr, CAST(sum(x) AS BIGINT) AS x FROM h GROUP BY 1),
+pt AS (SELECT CAST(((b.x - a.x) * 1000000) // (b.hr - a.hr) AS BIGINT)
+                AS slope
+       FROM ht a JOIN ht b ON a.hr < b.hr),
+rrt AS (SELECT slope, row_number() OVER (ORDER BY slope) AS rn,
+               count(*) OVER () AS np
+        FROM pt),
+slt AS (SELECT slope AS ms FROM rrt WHERE rn = (np + 1) // 2),
+proft AS (SELECT hr % 24 AS hod,
+                 CAST((1000000 * sum(x)) // count(*) AS BIGINT) AS pm
+          FROM ht GROUP BY 1),
+ant AS (SELECT max(hr) AS anchor FROM ht),
+spt AS (SELECT anchor + s AS h_future, s AS dh
+        FROM ant, (SELECT unnest(generate_series(1, 24)) AS s) t),
+ft AS (SELECT spt.h_future, CAST(spt.h_future % 24 AS BIGINT) AS hod,
+              CAST(coalesce(proft.pm, 0)
+                   + (SELECT ms FROM slt) * spt.dh AS BIGINT) AS f
+       FROM spt LEFT JOIN proft ON proft.hod = spt.h_future % 24),
+ag AS (SELECT h_future, CAST(count(*) AS BIGINT) AS n_keys,
+              CAST(sum(f) AS BIGINT) AS sk
+       FROM fk GROUP BY 1)
+SELECT CAST(ft.h_future AS BIGINT) AS h_future, ft.hod,
+       CAST(coalesce(ag.n_keys, 0) AS BIGINT) AS n_keys,
+       CAST(coalesce(ag.sk, 0) AS BIGINT) AS sum_keys_micro,
+       ft.f AS total_micro,
+       CAST(coalesce(ag.sk, 0) - ft.f AS BIGINT) AS gap_micro
+FROM ft LEFT JOIN ag ON ag.h_future = ft.h_future"""
     # st12: the st11 moment/mirror discipline per (key, lag); the lag
     # join is h-vs-h on hr = hr + lag against a 13-row grid.
     out["st12_lagged_crosscorr"] = f"""

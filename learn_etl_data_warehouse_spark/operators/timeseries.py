@@ -2262,3 +2262,56 @@ def lagged_crosscorr(
             ).alias("r"),
         )
     )
+
+def forecast_coherence(
+    hourly: DataFrame, key: str = "event_type", horizon: int = 24
+) -> DataFrame:
+    """HIERARCHICAL forecast coherence audit (fc09): the classic
+    reconciliation question — do the per-key fc01 forecasts ADD UP to
+    the forecast of the total? Independent per-series models never
+    cohere exactly (each key fits its own profile + median slope; the
+    total fits the summed series), and the signed gap per future hour
+    is the number a reconciliation step (MinT/top-down) would
+    distribute. Pure composition of :func:`forecast_hourly`: once per
+    key, once on the summed series (total hourly x = Σ keys' x), both
+    in the engine's exact fixed-point arithmetic, so the gap is
+    engine-exact — a real modeling diagnostic computed with zero float
+    drift.
+
+    Alignment is by ABSOLUTE future hour: the audit reports each hour
+    of the TOTAL's spine with the count and sum of per-key forecasts
+    landing on it (keys whose history ends earlier forecast other
+    hours and honestly drop out of the sum — n_keys shows it).
+    Returns (h_future, hod, n_keys, sum_keys_micro, total_micro,
+    gap_micro) with gap = sum − total, UNDIVIDED (the fc02 signed-sum
+    discipline)."""
+    per = forecast_hourly(hourly, key, horizon).select(
+        F.col("h_future"), F.col("forecast_micro").alias("_fk")
+    )
+    tot_h = hourly.groupBy("hr").agg(
+        F.sum("x").cast("long").alias("x")
+    ).withColumn(key, F.lit("ALL"))
+    tot = forecast_hourly(tot_h, key, horizon).select(
+        "h_future", "hod", F.col("forecast_micro").alias("_ft")
+    )
+    agg = per.groupBy("h_future").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("_fk").cast("long").alias("sum_keys_micro"),
+    )
+    return (
+        tot.join(agg, "h_future", "left")
+        .select(
+            F.col("h_future"),
+            F.col("hod"),
+            F.coalesce(F.col("n_keys"), F.lit(0)).cast("long").alias(
+                "n_keys"
+            ),
+            F.coalesce(F.col("sum_keys_micro"), F.lit(0)).cast("long")
+            .alias("sum_keys_micro"),
+            F.col("_ft").alias("total_micro"),
+            (
+                F.coalesce(F.col("sum_keys_micro"), F.lit(0))
+                - F.col("_ft")
+            ).cast("long").alias("gap_micro"),
+        )
+    )

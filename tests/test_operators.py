@@ -6041,6 +6041,38 @@ def test_spearman_rho_python_model(spark):
     assert out["flat"]["den_x"] == 0 and out["flat"]["rho"] is None
 
 
+def test_forecast_coherence_single_key_is_exact(spark, sf_small):
+    """r13: fc09 — with ONE key the total series IS the key's series,
+    so every future hour must cohere exactly (gap 0); on the real
+    multi-key fixture the independent per-key models do NOT add up
+    (nonzero gaps — the audit's whole point), and the signed identity
+    gap == sum − total holds row by row."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        forecast_coherence,
+        hourly_counts,
+    )
+
+    one = spark.createDataFrame(
+        [("k", h, 1 + (h * h) % 5) for h in range(48)],
+        "event_type string, hr long, x long",
+    )
+    rows = forecast_coherence(one).collect()
+    assert len(rows) == 24
+    assert all(r["gap_micro"] == 0 and r["n_keys"] == 1 for r in rows)
+
+    ev = load_table(spark, sf_small, "events")
+    rows2 = forecast_coherence(hourly_counts(ev)).collect()
+    n_types = ev.select("event_type").distinct().count()
+    # per-key anchors may trail the global one (a key whose history
+    # ends earlier forecasts other hours) — the documented honest
+    # alignment: counts stay within [0, n_types], never above
+    assert all(0 <= r["n_keys"] <= n_types for r in rows2)
+    assert max(r["n_keys"] for r in rows2) >= 1
+    assert any(r["gap_micro"] != 0 for r in rows2)
+    for r in rows2:
+        assert r["gap_micro"] == r["sum_keys_micro"] - r["total_micro"]
+
+
 def test_backlog_aging_hand_orders(spark):
     """r13: ops05 — hand orders at known ages land in the right bands,
     closed (F) orders are excluded, value is exact cents."""
