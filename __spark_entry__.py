@@ -6285,12 +6285,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # w06/w07, a17-a20, d25/d26, j07, path01, set05) + 4 cores. The
         # whole r12-green cohort moves behind the window (freshest
         # evidence).
-        # r14 provisional window: the 13 r13 newborns (s17, ivm05,
+        # r14 provisional window: the 14 r13 newborns (s17, ivm05,
         # st10, st11, st12, pm06, t38, t43, km02, e36, e38, ops05,
-        # s18) + 4 cores + the 33 then-stalest banked rows (re-derive
-        # with never_checked.py after CORRECTNESS_r13 lands; the
-        # remaining r7-era cohort — d27, pf02, a21, r07, s14, e13,
-        # g05, e14, e15, t20, ... — is the front of that queue).
+        # s18, fc09) + 4 cores + the 32 then-stalest banked rows
+        # (re-derive with never_checked.py after CORRECTNESS_r13
+        # lands; the remaining r7-era cohort — d27, pf02, a21, r07,
+        # s14, e13, g05, e14, e15, t20, ... — is the front of that
+        # queue).
         # -- r12 newborns, first driver rows (17) ------------------------
         "s15_ivf_recall_audit": q_s15,
         "s16_pq_recall_audit": q_s16,
