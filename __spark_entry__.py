@@ -5984,6 +5984,44 @@ def q_ops05(spark, sf_dir):
     return backlog_aging(_t(spark, sf_dir, "orders"))
 
 
+def q_pf15(spark, sf_dir):
+    """Candidate-key discovery (r13): per audited column (plus the
+    lineitem composite PK as a concatenated expression), n_rows vs
+    n_distinct vs NULLs and the key flag — the uniqueness half of
+    schema discovery next to pf08 (FDs) and pf12 (relationships); the
+    audit that catches duplicate-join fan-out at intake
+    (operators/profiling.py::candidate_keys)."""
+    from learn_etl_data_warehouse_spark.operators.profiling import (
+        candidate_keys,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    events = _t(spark, sf_dir, "events")
+    specs = [
+        ("orders", "o_orderkey", orders, F.col("o_orderkey")),
+        ("orders", "o_custkey", orders, F.col("o_custkey")),
+        ("orders", "o_orderstatus", orders, F.col("o_orderstatus")),
+        ("customer", "c_custkey", customer, F.col("c_custkey")),
+        ("customer", "c_name", customer, F.col("c_name")),
+        ("lineitem", "l_orderkey", lineitem, F.col("l_orderkey")),
+        (
+            "lineitem",
+            "l_orderkey|l_linenumber",
+            lineitem,
+            F.concat_ws(
+                "|",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            ),
+        ),
+        ("events", "event_id", events, F.col("event_id")),
+        ("events", "user_id", events, F.col("user_id")),
+    ]
+    return candidate_keys(specs)
+
+
 def q_fc09(spark, sf_dir):
     """Forecast coherence audit (r13): do the per-key fc01 forecasts
     ADD UP to the forecast of the total? Independent per-series models
@@ -6285,9 +6323,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # w06/w07, a17-a20, d25/d26, j07, path01, set05) + 4 cores. The
         # whole r12-green cohort moves behind the window (freshest
         # evidence).
-        # r14 provisional window: the 14 r13 newborns (s17, ivm05,
+        # r14 provisional window: the 15 r13 newborns (s17, ivm05,
         # st10, st11, st12, pm06, t38, t43, km02, e36, e38, ops05,
-        # s18, fc09) + 4 cores + the 32 then-stalest banked rows
+        # s18, fc09, pf15) + 4 cores + the 31 then-stalest banked rows
         # (re-derive with never_checked.py after CORRECTNESS_r13
         # lands; the remaining r7-era cohort — d27, pf02, a21, r07,
         # s14, e13, g05, e14, e15, t20, ... — is the front of that
@@ -6610,6 +6648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ops05_backlog_aging": q_ops05,
         "s18_rerank_recall_audit": q_s18,
         "fc09_forecast_coherence": q_fc09,
+        "pf15_candidate_keys": q_pf15,
         # -- rows-only (no-oracle) queries stay LAST so the window is
         # -- 100% hash-checkable --------------------------------------
         "e22_rolling_distinct_hll": q_e22,
@@ -12575,6 +12614,36 @@ SELECT priority,
 FROM b CROSS JOIN mx
 WHERE st IN ('O', 'P')
 GROUP BY 1, 2"""
+    # pf15: one narrow agg per audited column; the composite passes
+    # the same concat expression; flags as BIGINT 0/1.
+    _pf15_parts = []
+    for _tbl, _cn, _ex in [
+        ("orders", "o_orderkey", "o_orderkey"),
+        ("orders", "o_custkey", "o_custkey"),
+        ("orders", "o_orderstatus", "o_orderstatus"),
+        ("customer", "c_custkey", "c_custkey"),
+        ("customer", "c_name", "c_name"),
+        ("lineitem", "l_orderkey", "l_orderkey"),
+        (
+            "lineitem",
+            "l_orderkey|l_linenumber",
+            "CAST(l_orderkey AS VARCHAR) || '|' ||"
+            " CAST(l_linenumber AS VARCHAR)",
+        ),
+        ("events", "event_id", "event_id"),
+        ("events", "user_id", "user_id"),
+    ]:
+        _pf15_parts.append(f"""
+SELECT '{_tbl}' AS tbl, '{_cn}' AS col,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT {_ex}) AS BIGINT) AS n_distinct,
+       CAST(sum(CASE WHEN ({_ex}) IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       CAST(CASE WHEN count(DISTINCT {_ex}) = count(*)
+                  AND sum(CASE WHEN ({_ex}) IS NULL THEN 1 ELSE 0 END) = 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_candidate_key
+FROM {_tbl}""")
+    out["pf15_candidate_keys"] = "\nUNION ALL\n".join(_pf15_parts)
     # fc09: fc01's pipeline twice — per key (verbatim shape) and on
     # the summed series — joined on the total's spine; gap undivided.
     out["fc09_forecast_coherence"] = """

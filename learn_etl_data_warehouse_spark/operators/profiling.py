@@ -635,3 +635,44 @@ def format_rules_audit(rules) -> DataFrame:
             F.col("n") > 0, F.expr("(1000000 * n_fail) div n")
         ).cast("long").alias("fail_ppm"),
     )
+
+def candidate_keys(specs) -> DataFrame:
+    """CANDIDATE-KEY discovery (pf15): for each audited (table, column
+    expression) pair, is the column a key — n_distinct == n_rows with
+    zero NULLs? The uniqueness half of schema discovery next to pf08
+    (FDs within a table) and pf12 (relationships across tables); a
+    column that silently stops being unique is how duplicate-join
+    fan-out enters a pipeline, and this is the audit that catches it
+    at intake.
+
+    ``specs`` is a list of (table_name, column_name, frame, Column) —
+    composite keys pass a concatenated expression under a descriptive
+    name (the caller owns separator safety). One narrow agg per spec
+    (count / countDistinct / null count), outputs unioned; flags kept
+    as BIGINT 0/1. Returns (tbl, col, n_rows, n_distinct, n_nulls,
+    is_candidate_key)."""
+    parts = []
+    for tbl, col_name, frame, expr in specs:
+        parts.append(
+            frame.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.countDistinct(expr).cast("long").alias("n_distinct"),
+                F.sum(expr.isNull().cast("long")).cast("long").alias(
+                    "n_nulls"
+                ),
+            ).select(
+                F.lit(tbl).alias("tbl"),
+                F.lit(col_name).alias("col"),
+                "n_rows",
+                "n_distinct",
+                "n_nulls",
+                (
+                    (F.col("n_distinct") == F.col("n_rows"))
+                    & (F.col("n_nulls") == 0)
+                ).cast("long").alias("is_candidate_key"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

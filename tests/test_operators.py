@@ -6041,6 +6041,39 @@ def test_spearman_rho_python_model(spark):
     assert out["flat"]["den_x"] == 0 and out["flat"]["rho"] is None
 
 
+def test_candidate_keys_hand_frame(spark):
+    """r13: pf15 — a unique column flags as key, a duplicated one and
+    a NULL-bearing unique one do not; the composite rescues a
+    non-unique pair of columns."""
+    from learn_etl_data_warehouse_spark.operators.profiling import (
+        candidate_keys,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10, "a", 1), (2, 10, "b", 2), (3, 20, None, 1)],
+        "id long, grp long, tag string, seq long",
+    )
+    comp = F.concat_ws(
+        "|", F.col("grp").cast("string"), F.col("seq").cast("string")
+    )
+    out = {
+        r["col"]: r
+        for r in candidate_keys(
+            [
+                ("t", "id", df, F.col("id")),
+                ("t", "grp", df, F.col("grp")),
+                ("t", "tag", df, F.col("tag")),
+                ("t", "grp|seq", df, comp),
+            ]
+        ).collect()
+    }
+    assert out["id"]["is_candidate_key"] == 1
+    assert out["grp"]["is_candidate_key"] == 0  # duplicated
+    assert out["tag"]["is_candidate_key"] == 0  # NULL-bearing
+    assert out["tag"]["n_nulls"] == 1 and out["tag"]["n_distinct"] == 2
+    assert out["grp|seq"]["is_candidate_key"] == 1  # composite rescues
+
+
 def test_forecast_coherence_single_key_is_exact(spark, sf_small):
     """r13: fc09 — with ONE key the total series IS the key's series,
     so every future hour must cohere exactly (gap 0); on the real
