@@ -5984,6 +5984,20 @@ def q_ops05(spark, sf_dir):
     return backlog_aging(_t(spark, sf_dir, "orders"))
 
 
+def q_w11(spark, sf_dir):
+    """Weekly seasonality grid (r13): mean hourly volume per (key,
+    day-of-week, hour-of-day) over the dense zero-filled grid — the
+    weekly axis e16's hour-of-day profile folds away; per-key peak
+    cell flagged with the earliest tie-break. dow = (epoch_day + 3)
+    mod 7, 0 = Monday (operators/timeseries.py::weekly_profile)."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        hourly_counts,
+        weekly_profile,
+    )
+
+    return weekly_profile(hourly_counts(_t(spark, sf_dir, "events")))
+
+
 def q_pf15(spark, sf_dir):
     """Candidate-key discovery (r13): per audited column (plus the
     lineitem composite PK as a concatenated expression), n_rows vs
@@ -6323,9 +6337,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # w06/w07, a17-a20, d25/d26, j07, path01, set05) + 4 cores. The
         # whole r12-green cohort moves behind the window (freshest
         # evidence).
-        # r14 provisional window: the 15 r13 newborns (s17, ivm05,
+        # r14 provisional window: the 16 r13 newborns (s17, ivm05,
         # st10, st11, st12, pm06, t38, t43, km02, e36, e38, ops05,
-        # s18, fc09, pf15) + 4 cores + the 31 then-stalest banked rows
+        # s18, fc09, pf15, w11) + 4 cores + the 30 then-stalest banked rows
         # (re-derive with never_checked.py after CORRECTNESS_r13
         # lands; the remaining r7-era cohort — d27, pf02, a21, r07,
         # s14, e13, g05, e14, e15, t20, ... — is the front of that
@@ -6649,6 +6663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s18_rerank_recall_audit": q_s18,
         "fc09_forecast_coherence": q_fc09,
         "pf15_candidate_keys": q_pf15,
+        "w11_weekly_profile": q_w11,
         # -- rows-only (no-oracle) queries stay LAST so the window is
         # -- 100% hash-checkable --------------------------------------
         "e22_rolling_distinct_hll": q_e22,
@@ -12614,6 +12629,35 @@ SELECT priority,
 FROM b CROSS JOIN mx
 WHERE st IN ('O', 'P')
 GROUP BY 1, 2"""
+    # w11: dense grid (fc04's spine), dow = (epoch_day + 3) % 7 with
+    # 0 = Monday; truncating micro mean; peak via the same rank both
+    # engines.
+    out["w11_weekly_profile"] = """
+WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                  CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+bd AS (SELECT event_type, min(hr) AS mn, max(hr) AS mx FROM h GROUP BY 1),
+sp AS (SELECT bd.event_type, bd.mn + t.s AS hr
+       FROM bd, LATERAL (SELECT unnest(generate_series(
+                               0, CAST(bd.mx - bd.mn AS BIGINT))) AS s) t),
+g AS (SELECT sp.event_type, sp.hr, coalesce(h.x, 0) AS x
+      FROM sp LEFT JOIN h ON h.event_type = sp.event_type
+                         AND h.hr = sp.hr),
+cells AS (SELECT event_type,
+                 CAST(((hr // 24) + 3) % 7 AS BIGINT) AS dow,
+                 CAST(hr % 24 AS BIGINT) AS hod,
+                 CAST(count(*) AS BIGINT) AS n_hours,
+                 CAST(sum(x) AS BIGINT) AS sum_x
+          FROM g GROUP BY 1, 2, 3),
+m AS (SELECT event_type, dow, hod, n_hours, sum_x,
+             CAST((1000000 * sum_x) // n_hours AS BIGINT) AS mean_micro
+      FROM cells)
+SELECT event_type, dow, hod, n_hours, sum_x, mean_micro,
+       CAST(CASE WHEN row_number() OVER (PARTITION BY event_type
+                                         ORDER BY mean_micro DESC,
+                                                  dow ASC, hod ASC) = 1
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_peak
+FROM m"""
     # pf15: one narrow agg per audited column; the composite passes
     # the same concat expression; flags as BIGINT 0/1.
     _pf15_parts = []

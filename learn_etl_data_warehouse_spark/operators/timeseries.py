@@ -2315,3 +2315,62 @@ def forecast_coherence(
             ).cast("long").alias("gap_micro"),
         )
     )
+
+def weekly_profile(hourly: DataFrame, key: str = "event_type") -> DataFrame:
+    """WEEKLY seasonality grid (w11): mean hourly volume per (key,
+    day-of-week, hour-of-day) over the dense zero-filled grid — the
+    weekly axis e16's hour-of-day profile folds away (a Monday-9am
+    spike and a Sunday-9am lull average into the same hod bucket
+    there). The grid is what a staffing/capacity dashboard heatmaps,
+    and the per-key PEAK cell is flagged (earliest (dow, hod)
+    tie-break).
+
+    Conventions mirrored in the oracle: dow = (epoch_day + 3) mod 7
+    with 0 = Monday (1970-01-01 was a Thursday = 3); the profile mean
+    is the truncating micro mean over the key's DENSE grid hours (gap
+    hours are real zeros — a profile computed only over observed hours
+    overstates quiet cells). Returns (key, dow, hod, n_hours,
+    sum_x, mean_micro, is_peak) with is_peak BIGINT 0/1."""
+    bounds = hourly.groupBy(key).agg(
+        F.min("hr").alias("_mn"), F.max("hr").alias("_mx")
+    )
+    spine = bounds.select(
+        key, F.explode(F.sequence(F.col("_mn"), F.col("_mx"))).alias("hr")
+    )
+    g = spine.join(hourly, [key, "hr"], "left").select(
+        key,
+        "hr",
+        F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x"),
+    )
+    cells = (
+        g.select(
+            key,
+            F.pmod(F.expr("hr div 24") + 3, F.lit(7)).cast("long").alias(
+                "dow"
+            ),
+            F.pmod(F.col("hr"), F.lit(24)).cast("long").alias("hod"),
+            "x",
+        )
+        .groupBy(key, "dow", "hod")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.sum("x").cast("long").alias("sum_x"),
+        )
+        .select(
+            key,
+            "dow",
+            "hod",
+            "n_hours",
+            "sum_x",
+            F.expr("(1000000 * sum_x) div n_hours").cast("long").alias(
+                "mean_micro"
+            ),
+        )
+    )
+    w = Window.partitionBy(key).orderBy(
+        F.desc("mean_micro"), F.asc("dow"), F.asc("hod")
+    )
+    return cells.withColumn(
+        "is_peak",
+        (F.row_number().over(w) == 1).cast("long"),
+    )

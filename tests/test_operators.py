@@ -6041,6 +6041,38 @@ def test_spearman_rho_python_model(spark):
     assert out["flat"]["den_x"] == 0 and out["flat"]["rho"] is None
 
 
+def test_weekly_profile_hand_series(spark):
+    """r13: w11 — dow convention pins (1970-01-01 = Thursday = 3),
+    gap hours zero-fill the mean, and the planted weekly spike wins
+    the peak flag."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        weekly_profile,
+    )
+
+    # two weeks of hourly data; hr 0 = 1970-01-01 00:00 (Thursday)
+    rows = []
+    for h in range(24 * 14):
+        dow = ((h // 24) + 3) % 7
+        hod = h % 24
+        x = 50 if (dow == 0 and hod == 9) else 1  # Monday-9am spike
+        if h // 24 == 3 and hod == 3:
+            continue  # gap hour: the FIRST Sunday 3am is unobserved
+        rows.append(("k", h, x))
+    df = spark.createDataFrame(rows, "event_type string, hr long, x long")
+    got = {
+        (r["dow"], r["hod"]): r for r in weekly_profile(df).collect()
+    }
+    assert len(got) == 168  # the full weekly grid
+    assert got[(0, 9)]["is_peak"] == 1
+    assert got[(0, 9)]["mean_micro"] == 50_000_000  # two spike hours / 2
+    # the gap hour zero-fills: two grid hours, one observed -> mean 0.5
+    assert got[(6, 3)]["n_hours"] == 2
+    assert got[(6, 3)]["mean_micro"] == 500_000
+    assert sum(r["is_peak"] for r in got.values()) == 1
+    # hr 0 lands on Thursday = dow 3, hod 0
+    assert got[(3, 0)]["n_hours"] == 2
+
+
 def test_candidate_keys_hand_frame(spark):
     """r13: pf15 — a unique column flags as key, a duplicated one and
     a NULL-bearing unique one do not; the composite rescues a
