@@ -6309,6 +6309,20 @@ def q_d38(spark, sf_dir):
     )
 
 
+def q_e37(spark, sf_dir):
+    """Daily OHLC bars (r13 cont.): open/high/low/close/volume of the
+    event value stream per (event_type, epoch day) — the candlestick
+    grain market-data and metering pipelines roll ticks into.
+    open/close under the tie-free TOTAL (ts, event_id) order via
+    struct-min/max aggregation (NO window, NO sort — one hash agg);
+    exact cents (operators/timeseries.py::ohlc_bars)."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        ohlc_bars,
+    )
+
+    return ohlc_bars(_t(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -6664,6 +6678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fc09_forecast_coherence": q_fc09,
         "pf15_candidate_keys": q_pf15,
         "w11_weekly_profile": q_w11,
+        "e37_ohlc_bars": q_e37,
         # -- rows-only (no-oracle) queries stay LAST so the window is
         # -- 100% hash-checkable --------------------------------------
         "e22_rolling_distinct_hll": q_e22,
@@ -12829,4 +12844,26 @@ rk AS (SELECT event_type, hr, roll,
 SELECT event_type, CAST(hr - 2 AS BIGINT) AS peak_start_hr,
        CAST(hr AS BIGINT) AS peak_end_hr, roll AS peak_count
 FROM rk WHERE rn = 1"""
+    # e37: open/close pinned by row_number under the tie-free total
+    # (ts, event_id) order; the Spark side reaches the same rows via
+    # struct-min/max aggregation (no window) — semantics, not plan,
+    # are what the oracle pins.
+    out["e37_ohlc_bars"] = """
+WITH b AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                  ts, event_id,
+                  CAST(round(value * 100) AS BIGINT) AS c
+           FROM events),
+r AS (SELECT *,
+             row_number() OVER (PARTITION BY event_type, day
+                                ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type, day) AS cnt
+      FROM b)
+SELECT event_type, CAST(day AS BIGINT) AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(CASE WHEN rn = 1 THEN c END) AS BIGINT) AS open_cents,
+       CAST(max(c) AS BIGINT) AS high_cents,
+       CAST(min(c) AS BIGINT) AS low_cents,
+       CAST(max(CASE WHEN rn = cnt THEN c END) AS BIGINT) AS close_cents,
+       CAST(sum(c) AS BIGINT) AS volume_cents
+FROM r GROUP BY 1, 2"""
     return out

@@ -2374,3 +2374,40 @@ def weekly_profile(hourly: DataFrame, key: str = "event_type") -> DataFrame:
         "is_peak",
         (F.row_number().over(w) == 1).cast("long"),
     )
+
+
+def ohlc_bars(df: DataFrame, key: str = "event_type") -> DataFrame:
+    """Daily OHLC bars (e37): per (key, epoch day) the open / high /
+    low / close of the event ``value`` stream plus volume — the
+    candlestick grain every market-data / metering pipeline rolls raw
+    ticks into before charting or gap analysis. high/low/volume are
+    plain aggregates; OPEN and CLOSE are the values at the first and
+    last tick under the TOTAL (ts, event_id) order (the pm-family
+    discipline — the (ts, event_id) grain is tie-free, so "first" is
+    well-defined cross-engine).
+
+    Values ride as exact cents (round(value*100), the e18 convention).
+    Spark side needs NO window and NO sort: open = the c field of
+    min(struct(ts, event_id, c)) — struct comparison is lexicographic,
+    so the min struct IS the earliest tick — one hash aggregation, one
+    shuffle on (key, day). The oracle pins the same semantics via
+    row_number; any engine may pick its own physical strategy.
+
+    Returns (key, day, n_events, open_cents, high_cents, low_cents,
+    close_cents, volume_cents), all BIGINT.
+    """
+    us_per_day = 86_400_000_000
+    b = df.select(
+        F.col(key),
+        F.expr(f"unix_micros(ts) div {us_per_day}").alias("day"),
+        F.struct(F.col("ts"), F.col("event_id"), F.round(F.col("value") * 100)
+                 .cast("long").alias("c")).alias("tick"),
+    )
+    return b.groupBy(key, "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("tick").getField("c").cast("long").alias("open_cents"),
+        F.max("tick.c").cast("long").alias("high_cents"),
+        F.min("tick.c").cast("long").alias("low_cents"),
+        F.max("tick").getField("c").cast("long").alias("close_cents"),
+        F.sum("tick.c").cast("long").alias("volume_cents"),
+    )

@@ -6513,3 +6513,34 @@ def test_token_burstiness_hand(spark):
     assert got["s1"] == (3, 9, fano)
     assert got["s2"] == (2, 4, 0)
     assert got["s3"] == (1, 0, None)
+
+
+def test_ohlc_bars_hand_series(spark):
+    """r13 cont.: e37 — open/close follow the tie-free (ts, event_id)
+    total order (an equal-ts pair breaks by event_id), high/low/volume
+    are plain aggregates, and the epoch-day boundary splits bars."""
+    from datetime import datetime
+
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        ohlc_bars,
+    )
+
+    rows = [
+        (1, datetime(2024, 1, 1, 9, 0, 0), "k", 1.00),
+        (3, datetime(2024, 1, 1, 9, 0, 0), "k", 7.00),  # equal ts, id 3
+        (2, datetime(2024, 1, 1, 12, 0, 0), "k", 0.50),
+        (9, datetime(2024, 1, 2, 1, 0, 0), "k", 2.25),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    got = {r["day"]: r for r in ohlc_bars(df).collect()}
+    d0 = (datetime(2024, 1, 1) - datetime(1970, 1, 1)).days
+    b = got[d0]
+    assert b["open_cents"] == 100  # id 1 wins the equal-ts tie
+    assert b["close_cents"] == 50  # the 12:00 tick is last
+    assert b["high_cents"] == 700 and b["low_cents"] == 50
+    assert b["n_events"] == 3 and b["volume_cents"] == 850
+    nxt = got[d0 + 1]
+    assert nxt["open_cents"] == nxt["close_cents"] == 225
+    assert nxt["n_events"] == 1
