@@ -6323,6 +6323,33 @@ def q_e37(spark, sf_dir):
     return ohlc_bars(_t(spark, sf_dir, "events"))
 
 
+def q_pf16(spark, sf_dir):
+    """ID sequence-hole audit (r13 cont.): per audited id column,
+    n_distinct vs span (max − min + 1), missing-id count and density
+    ppm — the completeness half of schema discovery next to pf15's
+    uniqueness; a feed that silently drops rows shows as new holes in
+    a dense id space, and TPC-H's deliberately ~1-in-4-dense
+    o_orderkey is the honest sparse-by-design baseline. One narrow
+    agg per spec, NO window (operators/profiling.py::id_gap_audit)."""
+    from learn_etl_data_warehouse_spark.operators.profiling import (
+        id_gap_audit,
+    )
+
+    specs = [
+        ("orders", "o_orderkey", _t(spark, sf_dir, "orders"),
+         F.col("o_orderkey")),
+        ("customer", "c_custkey", _t(spark, sf_dir, "customer"),
+         F.col("c_custkey")),
+        ("part", "p_partkey", _t(spark, sf_dir, "part"),
+         F.col("p_partkey")),
+        ("lineitem", "l_orderkey", _t(spark, sf_dir, "lineitem"),
+         F.col("l_orderkey")),
+        ("events", "event_id", _t(spark, sf_dir, "events"),
+         F.col("event_id")),
+    ]
+    return id_gap_audit(specs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -6679,6 +6706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pf15_candidate_keys": q_pf15,
         "w11_weekly_profile": q_w11,
         "e37_ohlc_bars": q_e37,
+        "pf16_id_gap_audit": q_pf16,
         # -- rows-only (no-oracle) queries stay LAST so the window is
         # -- 100% hash-checkable --------------------------------------
         "e22_rolling_distinct_hll": q_e22,
@@ -12866,4 +12894,29 @@ SELECT event_type, CAST(day AS BIGINT) AS day,
        CAST(max(CASE WHEN rn = cnt THEN c END) AS BIGINT) AS close_cents,
        CAST(sum(c) AS BIGINT) AS volume_cents
 FROM r GROUP BY 1, 2"""
+    # pf16: one narrow agg per audited id column; span arithmetic on
+    # four scalars; density = non-negative truncating ppm.
+    _pf16_parts = []
+    for _tbl, _cn in [
+        ("orders", "o_orderkey"),
+        ("customer", "c_custkey"),
+        ("part", "p_partkey"),
+        ("lineitem", "l_orderkey"),
+        ("events", "event_id"),
+    ]:
+        _pf16_parts.append(f"""
+SELECT '{_tbl}' AS tbl, '{_cn}' AS col,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT {_cn}) AS BIGINT) AS n_distinct,
+       CAST(sum(CASE WHEN {_cn} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       CAST(min({_cn}) AS BIGINT) AS min_id,
+       CAST(max({_cn}) AS BIGINT) AS max_id,
+       CAST(max({_cn}) - min({_cn}) + 1 AS BIGINT) AS span,
+       CAST(max({_cn}) - min({_cn}) + 1 - count(DISTINCT {_cn}) AS BIGINT)
+         AS n_missing,
+       CAST((1000000 * count(DISTINCT {_cn}))
+            // (max({_cn}) - min({_cn}) + 1) AS BIGINT) AS density_ppm
+FROM {_tbl}""")
+    out["pf16_id_gap_audit"] = "\nUNION ALL\n".join(_pf16_parts)
     return out

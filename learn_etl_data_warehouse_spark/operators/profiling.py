@@ -676,3 +676,60 @@ def candidate_keys(specs) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def id_gap_audit(specs) -> DataFrame:
+    """ID sequence-hole audit (pf16): for each audited integer id
+    column, how DENSE is the id space — n_distinct vs the span
+    (max − min + 1), the missing-id count, and density in truncating
+    ppm. The completeness half of schema discovery next to pf15
+    (uniqueness): a feed that silently drops rows usually shows up as
+    new holes in a previously dense id sequence long before totals
+    drift far enough to alarm, and TPC-H's o_orderkey (deliberately
+    ~1-in-4 dense) is the honest demonstration that sparse-by-design
+    spaces need a pinned baseline, not a zero-missing assertion.
+
+    ``specs`` is a list of (table_name, column_name, frame, Column)
+    with the Column an integer id expression. One narrow agg per spec
+    (count / countDistinct / min / max — NO window, NO sort: the span
+    arithmetic happens on four scalars), outputs unioned. NULL ids
+    are counted and excluded from the span (min/max ignore NULLs).
+    Returns (tbl, col, n_rows, n_distinct, n_nulls, min_id, max_id,
+    span, n_missing, density_ppm), all BIGINT; an all-NULL column
+    yields NULL span fields.
+    """
+    parts = []
+    for tbl, col_name, frame, expr in specs:
+        parts.append(
+            frame.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.countDistinct(expr).cast("long").alias("n_distinct"),
+                F.sum(expr.isNull().cast("long")).cast("long").alias(
+                    "n_nulls"
+                ),
+                F.min(expr).cast("long").alias("min_id"),
+                F.max(expr).cast("long").alias("max_id"),
+            ).select(
+                F.lit(tbl).alias("tbl"),
+                F.lit(col_name).alias("col"),
+                "n_rows",
+                "n_distinct",
+                "n_nulls",
+                "min_id",
+                "max_id",
+                (F.col("max_id") - F.col("min_id") + 1).cast("long").alias(
+                    "span"
+                ),
+                (
+                    F.col("max_id") - F.col("min_id") + 1
+                    - F.col("n_distinct")
+                ).cast("long").alias("n_missing"),
+                F.expr(
+                    "(1000000 * n_distinct) div (max_id - min_id + 1)"
+                ).cast("long").alias("density_ppm"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

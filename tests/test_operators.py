@@ -6544,3 +6544,35 @@ def test_ohlc_bars_hand_series(spark):
     nxt = got[d0 + 1]
     assert nxt["open_cents"] == nxt["close_cents"] == 225
     assert nxt["n_events"] == 1
+
+
+def test_id_gap_audit_hand_frame(spark):
+    """r13 cont.: pf16 — a dense sequence audits clean, a holed one
+    reports its missing count and truncating density, NULL ids count
+    but stay out of the span."""
+    from learn_etl_data_warehouse_spark.operators.profiling import (
+        id_gap_audit,
+    )
+
+    dense = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    holed = spark.createDataFrame(
+        [(10,), (11,), (14,), (14,), (None,)], "id long"
+    )
+    out = {
+        r["col"]: r
+        for r in id_gap_audit(
+            [
+                ("a", "dense_id", dense, F.col("id")),
+                ("b", "holed_id", holed, F.col("id")),
+            ]
+        ).collect()
+    }
+    d = out["dense_id"]
+    assert d["span"] == 3 and d["n_missing"] == 0
+    assert d["density_ppm"] == 1_000_000
+    h = out["holed_id"]
+    assert h["n_rows"] == 5 and h["n_nulls"] == 1
+    assert h["min_id"] == 10 and h["max_id"] == 14
+    assert h["span"] == 5 and h["n_distinct"] == 3
+    assert h["n_missing"] == 2  # ids 12, 13
+    assert h["density_ppm"] == 600_000
