@@ -6350,6 +6350,47 @@ def q_pf16(spark, sf_dir):
     return id_gap_audit(specs)
 
 
+def q_a34(spark, sf_dir):
+    """HHI market concentration (r13 cont.): per supplier nation, the
+    Herfindahl index of supplier revenue shares as the EXACT rational
+    (1e6·Σv²) div (Σv)² — squaring pre-rounded ppm shares loses the
+    cross terms — plus top-firm share; the "how few suppliers IS this
+    market" scalar next to a23's Gini and a31's decile lift. Lineitem
+    pre-aggregated to supplier grain BEFORE the dim joins (one fact
+    shuffle; nation broadcast per invariant 5); v² in DECIMAL(38,0),
+    the a31 overflow lesson
+    (operators/product_analytics.py::hhi_concentration)."""
+    from learn_etl_data_warehouse_spark.operators.product_analytics import (
+        hhi_concentration,
+    )
+
+    per_supp = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+            ).cast("long").alias("cents")
+        )
+    )
+    joined = (
+        per_supp.join(
+            _t(spark, sf_dir, "supplier"),
+            per_supp["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("grp"),
+            F.col("l_suppkey").alias("entity"),
+            "cents",
+        )
+    )
+    return hhi_concentration(joined)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -6707,6 +6748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w11_weekly_profile": q_w11,
         "e37_ohlc_bars": q_e37,
         "pf16_id_gap_audit": q_pf16,
+        "a34_hhi_concentration": q_a34,
         # -- rows-only (no-oracle) queries stay LAST so the window is
         # -- 100% hash-checkable --------------------------------------
         "e22_rolling_distinct_hll": q_e22,
@@ -12919,4 +12961,26 @@ SELECT '{_tbl}' AS tbl, '{_cn}' AS col,
             // (max({_cn}) - min({_cn}) + 1) AS BIGINT) AS density_ppm
 FROM {_tbl}""")
     out["pf16_id_gap_audit"] = "\nUNION ALL\n".join(_pf16_parts)
+    # a34: supplier mass at supplier grain first, HHI as the exact
+    # rational (1e6·Σv²) // (Σv)² in HUGEINT (≡ Spark DECIMAL(38,0)).
+    out["a34_hhi_concentration"] = """
+WITH ps AS (SELECT l_suppkey,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS v
+            FROM lineitem GROUP BY 1),
+j AS (SELECT n.n_name AS grp, ps.l_suppkey AS e, ps.v
+      FROM ps JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+              JOIN nation n ON n.n_nationkey = s.s_nationkey),
+g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_entities,
+             CAST(sum(v) AS BIGINT) AS total_cents,
+             sum(CAST(v AS HUGEINT) * v) AS sq,
+             CAST(max(v) AS BIGINT) AS mx
+      FROM j GROUP BY 1)
+SELECT grp, n_entities, total_cents,
+       CAST((1000000 * sq)
+            // (CAST(total_cents AS HUGEINT) * total_cents)
+            AS BIGINT) AS hhi_ppm,
+       CAST((CAST(1000000 AS HUGEINT) * mx) // total_cents
+            AS BIGINT) AS top_share_ppm
+FROM g"""
     return out

@@ -673,3 +673,58 @@ def backlog_aging(
             F.sum("_c").cast("long").alias("value_cents"),
         )
     )
+
+
+def hhi_concentration(
+    units: DataFrame,
+    group_col: str = "grp",
+    entity_col: str = "entity",
+    cents_col: str = "cents",
+) -> DataFrame:
+    """Herfindahl–Hirschman concentration index per group (a34): with
+    per-entity mass v_i (exact cents), HHI = Σ (v_i/Σv)² — reported as
+    the EXACT truncating ppm  (1e6 · Σ v_i²) div (Σv)²  rather than a
+    sum of pre-rounded squared shares (squaring ppm shares first loses
+    the cross terms; the exact rational needs one numerator and one
+    denominator). The antitrust/market-structure scalar next to a23's
+    Gini (inequality of the whole distribution) and a31's decile
+    lift (where the mass sits): HHI answers "how few entities IS this
+    market, effectively".
+
+    Overflow posture (the a31 lesson): v_i² runs in DECIMAL(38,0)
+    (HUGEINT on the oracle side) — a BIGINT square dies at ~3e9 cents
+    per entity; the ×1e6 numerator stays decimal until the final
+    truncating div. top_share_ppm = (1e6 · max v) div Σv rides along
+    as the single-firm-dominance view of the same table.
+
+    Plan shape: one shuffle to (group, entity) mass, one re-agg to
+    group grain — |groups| rows out, nothing global.
+
+    Returns (grp, n_entities, total_cents, hhi_ppm, top_share_ppm),
+    all BIGINT.
+    """
+    per_entity = units.groupBy(
+        F.col(group_col).alias("grp"), F.col(entity_col).alias("_e")
+    ).agg(F.sum(cents_col).cast("long").alias("_v"))
+    g = per_entity.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_entities"),
+        F.sum("_v").cast("long").alias("total_cents"),
+        F.sum(
+            F.col("_v").cast("decimal(38,0)") * F.col("_v")
+        ).alias("_sq"),
+        F.max("_v").cast("long").alias("_mx"),
+    )
+    return g.select(
+        "grp",
+        "n_entities",
+        "total_cents",
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * _sq)"
+            " div (CAST(total_cents AS DECIMAL(38,0)) * total_cents)"
+            " AS BIGINT)"
+        ).alias("hhi_ppm"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * _mx)"
+            " div CAST(total_cents AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("top_share_ppm"),
+    )

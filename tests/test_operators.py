@@ -6576,3 +6576,30 @@ def test_id_gap_audit_hand_frame(spark):
     assert h["span"] == 5 and h["n_distinct"] == 3
     assert h["n_missing"] == 2  # ids 12, 13
     assert h["density_ppm"] == 600_000
+
+
+def test_hhi_concentration_hand_frame(spark):
+    """r13 cont.: a34 — a monopoly group pins HHI = 1e6, an equal
+    split pins 1e6/n, and the exact rational beats squared-rounded
+    shares (the 1/3 split truncates to 333333, not 3*(333333)^2)."""
+    from learn_etl_data_warehouse_spark.operators.product_analytics import (
+        hhi_concentration,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("mono", 1, 500),
+            ("even", 1, 100), ("even", 2, 100), ("even", 3, 100),
+            ("skew", 1, 900), ("skew", 2, 100),
+        ],
+        "grp string, entity long, cents long",
+    )
+    out = {r["grp"]: r for r in hhi_concentration(df).collect()}
+    assert out["mono"]["hhi_ppm"] == 1_000_000
+    assert out["mono"]["top_share_ppm"] == 1_000_000
+    assert out["even"]["hhi_ppm"] == 333_333  # exact rational, truncating
+    assert out["even"]["top_share_ppm"] == 333_333
+    # skew: (900^2 + 100^2) / 1000^2 = 0.82
+    assert out["skew"]["hhi_ppm"] == 820_000
+    assert out["skew"]["top_share_ppm"] == 900_000
+    assert out["skew"]["n_entities"] == 2
