@@ -6391,6 +6391,24 @@ def q_a34(spark, sf_dir):
     return hhi_concentration(joined)
 
 
+def q_pm07(spark, sf_dir):
+    """Handover-of-work network (r13 cont.): who hands work to whom —
+    per ordered supplier pair working CONSECUTIVE steps of the same
+    order (trace = the (l_shipdate, l_linenumber, l_suppkey) order —
+    the fixture's composite PK is NOT unique, pf15's own finding, so
+    the resource joins the sort key and remaining ties are edge-
+    interchangeable), handover count, distinct orders, self flag and
+    the min/mean/max lag in integer days. The RESOURCE-grain
+    companion to pm02's activity DFG (org mining: bottleneck
+    resources, ping-pong loops, work that never leaves one supplier)
+    (operators/process_mining.py::handover_network)."""
+    from learn_etl_data_warehouse_spark.operators.process_mining import (
+        handover_network,
+    )
+
+    return handover_network(_t(spark, sf_dir, "lineitem"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -6749,6 +6767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e37_ohlc_bars": q_e37,
         "pf16_id_gap_audit": q_pf16,
         "a34_hhi_concentration": q_a34,
+        "pm07_handover_network": q_pm07,
         # -- rows-only (no-oracle) queries stay LAST so the window is
         # -- 100% hash-checkable --------------------------------------
         "e22_rolling_distinct_hll": q_e22,
@@ -12983,4 +13002,28 @@ SELECT grp, n_entities, total_cents,
        CAST((CAST(1000000 AS HUGEINT) * mx) // total_cents
             AS BIGINT) AS top_share_ppm
 FROM g"""
+    # pm07: per-case lead under the (shipdate, linenumber, suppkey)
+    # order — the composite PK is NOT unique in the fixture, so the
+    # resource joins the sort key (remaining ties are identical in
+    # every key the edges read). Lags non-negative so // ≡ div.
+    out["pm07_handover_network"] = """
+WITH ev AS (SELECT l_orderkey AS c, l_suppkey AS r,
+                   date_diff('day', TIMESTAMP '1970-01-01', l_shipdate)
+                     AS d,
+                   l_linenumber AS s
+            FROM lineitem),
+h AS (SELECT r AS fr,
+             lead(r) OVER w AS tr,
+             c,
+             lead(d) OVER w - d AS lag
+      FROM ev WINDOW w AS (PARTITION BY c ORDER BY d, s, r)),
+e AS (SELECT * FROM h WHERE tr IS NOT NULL)
+SELECT fr AS from_resource, tr AS to_resource,
+       CAST(max(CASE WHEN fr = tr THEN 1 ELSE 0 END) AS BIGINT) AS is_self,
+       CAST(count(*) AS BIGINT) AS n_handovers,
+       CAST(count(DISTINCT c) AS BIGINT) AS n_cases,
+       CAST(min(lag) AS BIGINT) AS min_lag_days,
+       CAST(sum(lag) // count(*) AS BIGINT) AS mean_lag_days,
+       CAST(max(lag) AS BIGINT) AS max_lag_days
+FROM e GROUP BY 1, 2"""
     return out

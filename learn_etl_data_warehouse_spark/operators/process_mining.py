@@ -407,3 +407,70 @@ def start_end_profile(
             ).cast("long").alias("end_ppm"),
         )
     )
+
+
+def handover_network(
+    lineitem: DataFrame,
+    case_col: str = "l_orderkey",
+    resource_col: str = "l_suppkey",
+    date_col: str = "l_shipdate",
+    seq_col: str = "l_linenumber",
+) -> DataFrame:
+    """Handover-of-work social network (pm07): the RESOURCE-grain
+    companion to the activity-grain DFG (pm02) — per ordered resource
+    pair (a, b) that ever works CONSECUTIVE steps of the same case,
+    the handover count, distinct cases, self-handover flag, and the
+    min / mean / max handover lag in integer DAYS. pm02 shows where a
+    process waits between activities; this shows who hands work to
+    whom (the org-mining view: bottleneck people/teams, ping-pong
+    loops, work that never leaves one resource — the is_self edge).
+
+    Determinism: a case's trace orders by (date, seq, resource) —
+    the fixture's (l_orderkey, l_linenumber) is NOT unique (118k dup
+    pairs at sf0.1), so seq alone is no tie-break; adding the
+    resource makes remaining ties IDENTICAL in every key the edges
+    read (equal (d, seq, r) rows are interchangeable — any order
+    yields the same edge multiset), which is the honest form of
+    total-order determinism when the composite PK cannot be trusted
+    (pf15's own finding). Lags under that order are non-negative, so
+    the mean's truncating div ≡ the oracle's flooring //. Dates
+    become integer epoch days via the portable datediff idiom
+    (NTZ-safe — unix_micros THROWS on NTZ, the r7 lesson). One
+    per-case window + one edge-grain hash agg — row-linear, output
+    bounded by |resources|².
+
+    Returns (from_resource, to_resource, is_self, n_handovers,
+    n_cases, min_lag_days, mean_lag_days, max_lag_days), all BIGINT.
+    """
+    ev = lineitem.select(
+        F.col(case_col).alias("_c"),
+        F.col(resource_col).alias("_r"),
+        F.datediff(F.col(date_col), F.lit("1970-01-01")).cast("long").alias(
+            "_d"
+        ),
+        F.col(seq_col).alias("_s"),
+    )
+    trace = Window.partitionBy("_c").orderBy("_d", "_s", "_r")
+    hops = (
+        ev.withColumn("_nr", F.lead("_r").over(trace))
+        .withColumn("_nd", F.lead("_d").over(trace))
+        .filter(F.col("_nr").isNotNull())
+        .select(
+            F.col("_r").alias("from_resource"),
+            F.col("_nr").alias("to_resource"),
+            "_c",
+            (F.col("_nd") - F.col("_d")).alias("_lag"),
+        )
+    )
+    return hops.groupBy("from_resource", "to_resource").agg(
+        F.max(
+            (F.col("from_resource") == F.col("to_resource")).cast("long")
+        ).alias("is_self"),
+        F.count(F.lit(1)).cast("long").alias("n_handovers"),
+        F.countDistinct("_c").cast("long").alias("n_cases"),
+        F.min("_lag").cast("long").alias("min_lag_days"),
+        F.expr("sum(_lag) div count(1)").cast("long").alias(
+            "mean_lag_days"
+        ),
+        F.max("_lag").cast("long").alias("max_lag_days"),
+    )

@@ -6603,3 +6603,40 @@ def test_hhi_concentration_hand_frame(spark):
     assert out["skew"]["hhi_ppm"] == 820_000
     assert out["skew"]["top_share_ppm"] == 900_000
     assert out["skew"]["n_entities"] == 2
+
+
+def test_handover_network_hand_trace(spark):
+    """r13 cont.: pm07 — consecutive steps hand over, self-handovers
+    flag, lags are day-exact, and an equal-(date, seq) tie orders by
+    resource (the fixture's composite PK is not unique)."""
+    from datetime import datetime
+
+    from learn_etl_data_warehouse_spark.operators.process_mining import (
+        handover_network,
+    )
+
+    d = lambda s: datetime.strptime(s, "%Y-%m-%d")
+    rows = [
+        # case 1: 7 -> 7 (self, 0d) -> 9 (2d)
+        (1, 7, d("2024-01-01"), 1),
+        (1, 7, d("2024-01-01"), 2),
+        (1, 9, d("2024-01-03"), 3),
+        # case 2: equal (date, seq) tie -> resource 3 before 5
+        (2, 5, d("2024-02-01"), 1),
+        (2, 3, d("2024-02-01"), 1),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_suppkey long, l_shipdate timestamp,"
+        " l_linenumber long",
+    )
+    out = {
+        (r["from_resource"], r["to_resource"]): r
+        for r in handover_network(df).collect()
+    }
+    assert out[(7, 7)]["is_self"] == 1
+    assert out[(7, 7)]["n_handovers"] == 1
+    assert out[(7, 7)]["mean_lag_days"] == 0
+    assert out[(7, 9)]["mean_lag_days"] == 2
+    assert (3, 5) in out and (5, 3) not in out  # tie orders by resource
+    assert out[(3, 5)]["n_cases"] == 1
