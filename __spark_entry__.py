@@ -6409,6 +6409,30 @@ def q_pm07(spark, sf_dir):
     return handover_network(_t(spark, sf_dir, "lineitem"))
 
 
+def q_st13(spark, sf_dir):
+    """Cohen's kappa (r13 cont.): chance-corrected agreement between
+    two cheap quality raters per document source — rater A = the
+    cl-family teacher rule (n_words ≥ 40), rater B = integer mean
+    word length ≥ 4 (nonws ≥ 4·nw, multiplication not division — no
+    zero-guard needed). Raw agreement (knn03's rate) flatters raters
+    that both lean majority-class; kappa is the exact signed rational
+    that exposes chance (operators/evaluation.py::cohens_kappa)."""
+    from learn_etl_data_warehouse_spark.operators.evaluation import (
+        cohens_kappa,
+    )
+    from learn_etl_data_warehouse_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    nw = token_count("text")
+    nonws = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+    rated = docs.select(
+        F.col("source").alias("grp"),
+        (nw >= 40).cast("long").alias("rater_a"),
+        ((nw > 0) & (nonws >= 4 * nw)).cast("long").alias("rater_b"),
+    )
+    return cohens_kappa(rated)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -6768,6 +6792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pf16_id_gap_audit": q_pf16,
         "a34_hhi_concentration": q_a34,
         "pm07_handover_network": q_pm07,
+        "st13_cohens_kappa": q_st13,
         # -- rows-only (no-oracle) queries stay LAST so the window is
         # -- 100% hash-checkable --------------------------------------
         "e22_rolling_distinct_hll": q_e22,
@@ -13026,4 +13051,45 @@ SELECT fr AS from_resource, tr AS to_resource,
        CAST(sum(lag) // count(*) AS BIGINT) AS mean_lag_days,
        CAST(max(lag) AS BIGINT) AS max_lag_days
 FROM e GROUP BY 1, 2"""
+    # st13: 2x2 cells from conditional sums; kappa as the exact
+    # SIGNED rational in HUGEINT (≡ Spark DECIMAL(38,0)); truncating
+    # // ≡ Spark div on signed operands (the fc05 probe); den = 0
+    # (chance-perfect) yields NULL both engines.
+    out["st13_cohens_kappa"] = """
+WITH f AS (SELECT source,
+                  CAST(CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       END AS BIGINT) AS nw,
+                  CAST(length(regexp_replace(text, '\\s', '', 'g'))
+                       AS BIGINT) AS nonws
+           FROM documents),
+r AS (SELECT source AS grp,
+             CASE WHEN nw >= 40 THEN 1 ELSE 0 END AS a,
+             CASE WHEN nw > 0 AND nonws >= 4 * nw THEN 1 ELSE 0 END AS b
+      FROM f),
+c AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n11,
+             CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n10,
+             CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n01,
+             CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n00
+      FROM r GROUP BY 1),
+k AS (SELECT *,
+             CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+             + CAST(n01 + n00 AS HUGEINT) * (n10 + n00) AS chance
+      FROM c)
+SELECT grp, n_docs, n11, n10, n01, n00,
+       CAST((1000000 * CAST(n11 + n00 AS HUGEINT)) // n_docs
+            AS BIGINT) AS po_ppm,
+       CAST((1000000 * chance) // (CAST(n_docs AS HUGEINT) * n_docs)
+            AS BIGINT) AS pe_ppm,
+       CASE WHEN CAST(n_docs AS HUGEINT) * n_docs = chance THEN NULL
+            ELSE CAST((1000000 * (CAST(n_docs AS HUGEINT) * (n11 + n00)
+                                  - chance))
+                      // (CAST(n_docs AS HUGEINT) * n_docs - chance)
+                      AS BIGINT) END AS kappa_ppm
+FROM k"""
     return out

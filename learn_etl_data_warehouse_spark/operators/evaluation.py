@@ -143,3 +143,71 @@ def threshold_metrics(
         " div (precision_ppm + recall_ppm) END"
     )
     return out.withColumn("f1_ppm", f1.cast("long"))
+
+
+def cohens_kappa(
+    rated: DataFrame,
+    group_col: str = "grp",
+    a_col: str = "rater_a",
+    b_col: str = "rater_b",
+) -> DataFrame:
+    """Cohen's kappa per group (st13): chance-corrected agreement
+    between two binary raters — the honest upgrade of raw agreement
+    (knn03's label-agreement rate) when both raters lean toward the
+    majority class: po can look great while kappa exposes that chance
+    alone explains most of it.
+
+    Exactness contract: with cell counts n11/n10/n01/n00, marginals
+    a1 = n11+n10, b1 = n11+n01 (and complements), kappa is the EXACT
+    rational  (N·agree − (a1·b1 + a0·b0)) / (N² − (a1·b1 + a0·b0))
+    — numerator SIGNED (kappa < 0 = worse than chance; Spark's
+    truncating div ≡ DuckDB BIGINT //, the fc05 probe), products in
+    DECIMAL(38,0)/HUGEINT (N² passes 2^63 at ~3e9 rows — the a31
+    class), ONE truncating div at the end. po_ppm / pe_ppm ride along
+    (both ≤ 1e6, overflow-safe to emit).
+
+    Plan shape: one hash agg to the per-group 2×2 cells (conditional
+    sums — no (a, b)-cell shuffle needed), scalar arithmetic after.
+    Degenerate chance-perfect groups (den = 0: a rater is constant
+    AND matches the other's marginal exactly) yield NULL kappa_ppm —
+    absent, never silently wrong.
+
+    Returns (grp, n_docs, n11, n10, n01, n00, po_ppm, pe_ppm,
+    kappa_ppm), all BIGINT.
+    """
+    a = F.col(a_col).cast("long")
+    b = F.col(b_col).cast("long")
+    cells = rated.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(((a == 1) & (b == 1)).cast("long")).cast("long").alias("n11"),
+        F.sum(((a == 1) & (b == 0)).cast("long")).cast("long").alias("n10"),
+        F.sum(((a == 0) & (b == 1)).cast("long")).cast("long").alias("n01"),
+        F.sum(((a == 0) & (b == 0)).cast("long")).cast("long").alias("n00"),
+    )
+    dec = "CAST(n_docs AS DECIMAL(38,0))"
+    chance = (
+        "(CAST(n11 + n10 AS DECIMAL(38,0)) * (n11 + n01)"
+        " + CAST(n01 + n00 AS DECIMAL(38,0)) * (n10 + n00))"
+    )
+    return cells.select(
+        "grp",
+        "n_docs",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.expr(
+            f"CAST((CAST(1000000 AS DECIMAL(38,0)) * (n11 + n00))"
+            f" div n_docs AS BIGINT)"
+        ).alias("po_ppm"),
+        F.expr(
+            f"CAST((CAST(1000000 AS DECIMAL(38,0)) * {chance})"
+            f" div ({dec} * n_docs) AS BIGINT)"
+        ).alias("pe_ppm"),
+        F.expr(
+            f"CASE WHEN {dec} * n_docs = {chance} THEN NULL"
+            f" ELSE CAST((CAST(1000000 AS DECIMAL(38,0))"
+            f" * ({dec} * (n11 + n00) - {chance}))"
+            f" div ({dec} * n_docs - {chance}) AS BIGINT) END"
+        ).alias("kappa_ppm"),
+    )

@@ -6640,3 +6640,28 @@ def test_handover_network_hand_trace(spark):
     assert out[(7, 9)]["mean_lag_days"] == 2
     assert (3, 5) in out and (5, 3) not in out  # tie orders by resource
     assert out[(3, 5)]["n_cases"] == 1
+
+
+def test_cohens_kappa_hand_frame(spark):
+    """r13 cont.: st13 — the textbook 2x2 pins kappa = 0.4, inverted
+    raters pin the SIGNED -1.0, and two constant-1 raters are
+    chance-perfect (den = 0 -> NULL, absent never wrong)."""
+    from learn_etl_data_warehouse_spark.operators.evaluation import (
+        cohens_kappa,
+    )
+
+    rows = (
+        [("txt", 1, 1)] * 20 + [("txt", 1, 0)] * 5
+        + [("txt", 0, 1)] * 10 + [("txt", 0, 0)] * 15
+        + [("inv", 1, 0)] * 5 + [("inv", 0, 1)] * 5
+        + [("const", 1, 1)] * 4
+    )
+    df = spark.createDataFrame(rows, "grp string, rater_a long, rater_b long")
+    out = {r["grp"]: r for r in cohens_kappa(df).collect()}
+    t = out["txt"]
+    assert (t["n11"], t["n10"], t["n01"], t["n00"]) == (20, 5, 10, 15)
+    assert t["po_ppm"] == 700_000 and t["pe_ppm"] == 500_000
+    assert t["kappa_ppm"] == 400_000
+    assert out["inv"]["kappa_ppm"] == -1_000_000  # worse than chance
+    assert out["const"]["kappa_ppm"] is None  # chance-perfect
+    assert out["const"]["po_ppm"] == 1_000_000
