@@ -6433,6 +6433,25 @@ def q_st13(spark, sf_dir):
     return cohens_kappa(rated)
 
 
+def q_sk05(spark, sf_dir):
+    """Count-Min estimate audit (r13 cont.): the d36/s15 audit
+    posture applied to the frequency sketch — md5-derived CM buckets
+    (256 wide × 3 rows) over l_partkey traffic, and for the 25
+    heaviest parts the min-over-rows estimate vs the exact count,
+    the overestimate (CM never underestimates — the structural
+    invariant) and err_ppm, ALL oracle-exact. The xxhash64 production
+    kernel stays rows-only; this twin makes a CM-math regression
+    driver-detectable — the sketch audit matrix joins the ANN one
+    (operators/sketches.py::md5_cm_estimate_audit)."""
+    from learn_etl_data_warehouse_spark.operators.sketches import (
+        md5_cm_estimate_audit,
+    )
+
+    return md5_cm_estimate_audit(
+        _t(spark, sf_dir, "lineitem"), "l_partkey"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -6793,6 +6812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a34_hhi_concentration": q_a34,
         "pm07_handover_network": q_pm07,
         "st13_cohens_kappa": q_st13,
+        "sk05_cm_estimate_audit": q_sk05,
         # -- rows-only (no-oracle) queries stay LAST so the window is
         # -- 100% hash-checkable --------------------------------------
         "e22_rolling_distinct_hll": q_e22,
@@ -13092,4 +13112,27 @@ SELECT grp, n_docs, n11, n10, n01, n00,
                       // (CAST(n_docs AS HUGEINT) * n_docs - chance)
                       AS BIGINT) END AS kappa_ppm
 FROM k"""
+    # sk05: md5 "j:key" buckets (the sk01 hex-slice discipline);
+    # estimate = min over the 3 rows; top-25 under the total
+    # (exact DESC, key ASC) order.
+    out["sk05_cm_estimate_audit"] = """
+WITH base AS (SELECT l_partkey AS k FROM lineitem),
+hs AS (SELECT j, k,
+              ('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                                  || CAST(k AS VARCHAR)), 1, 4))::BIGINT
+                % 256 AS bucket
+       FROM base CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) t),
+sk AS (SELECT j, bucket, CAST(count(*) AS BIGINT) AS cnt
+       FROM hs GROUP BY 1, 2),
+ex AS (SELECT k, CAST(count(*) AS BIGINT) AS exact_n
+       FROM base GROUP BY 1),
+ka AS (SELECT DISTINCT k, j, bucket FROM hs),
+e AS (SELECT ka.k, CAST(min(sk.cnt) AS BIGINT) AS est_n
+      FROM ka JOIN sk USING (j, bucket) GROUP BY 1)
+SELECT ex.k AS key, ex.exact_n, e.est_n,
+       CAST(e.est_n - ex.exact_n AS BIGINT) AS overest,
+       CAST((1000000 * (e.est_n - ex.exact_n)) // ex.exact_n
+            AS BIGINT) AS err_ppm
+FROM ex JOIN e ON e.k = ex.k
+ORDER BY ex.exact_n DESC, key ASC LIMIT 25"""
     return out

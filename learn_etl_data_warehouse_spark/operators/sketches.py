@@ -656,3 +656,107 @@ def ams_f2_estimate(
         .cast("long")
         .alias("err_ppm"),
     )
+
+
+def md5_cm_sketch(
+    df: DataFrame, key_col: str, width: int = 256, depth: int = 3
+) -> DataFrame:
+    """Deterministic md5-derived Count-Min sketch (sk05) — the
+    oracle-backable twin of :func:`countmin_build` (whose xxhash64
+    buckets no DuckDB twin can reproduce). Per depth row j, the
+    bucket is 4 hex chars of ``md5("j:" || key)`` mod ``width``
+    (uniform — 65536 must divide evenly; the sk01 discipline).
+    Output ≤ depth·width rows; counts are ADDITIVE per (row, bucket)
+    — per-shard / per-day sketches sum, the countmin_merge posture.
+    """
+    if width < 1 or 65536 % width:
+        raise ValueError(
+            f"width must divide 65536 for uniform hex buckets, got {width}"
+        )
+    parts = []
+    for j in range(depth):
+        h = F.md5(
+            F.concat(
+                F.lit(f"{j}:"), F.col(key_col).cast("string")
+            ).cast("binary")
+        )
+        parts.append(
+            df.select(
+                F.lit(j).alias("row"),
+                (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % width)
+                .alias("bucket"),
+            )
+        )
+    return (
+        reduce(lambda a, b: a.unionByName(b), parts)
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def md5_cm_estimate_audit(
+    df: DataFrame,
+    key_col: str,
+    width: int = 256,
+    depth: int = 3,
+    top: int = 25,
+) -> DataFrame:
+    """Count-Min estimate-vs-exact audit (sk05): for the ``top``
+    heaviest keys (exact count DESC, key ASC — a total order), the
+    sketch's min-over-rows estimate next to the exact frequency, the
+    signed-free overestimate (CM NEVER underestimates — est ≥ exact
+    is the structural invariant a failing hash would break) and
+    truncating err_ppm. The d36/s15 audit posture applied to the
+    frequency sketch: the production kernel (xxhash64
+    ``countmin_build``) stays rows-only, this md5 twin makes the
+    ESTIMATE ITSELF oracle-exact so a regression in the CM math is
+    driver-detectable — the sketch audit matrix joins the ANN one.
+
+    Plan shape: one full-scan sketch build (depth projections of one
+    scan, AQE-reused exchange) + one exact count agg; the estimate
+    join touches only |distinct keys| · depth address rows against
+    the ≤ depth·width broadcast-sized sketch.
+
+    Returns (key, exact_n, est_n, overest, err_ppm), all BIGINT.
+    """
+    sketch = md5_cm_sketch(df, key_col, width=width, depth=depth)
+    exact = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("exact_n")
+    )
+    addrs = []
+    for j in range(depth):
+        h = F.md5(
+            F.concat(F.lit(f"{j}:"), F.col("key").cast("string")).cast(
+                "binary"
+            )
+        )
+        addrs.append(
+            exact.select(
+                "key",
+                F.lit(j).alias("row"),
+                (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % width)
+                .alias("bucket"),
+            )
+        )
+    est = (
+        reduce(lambda a, b: a.unionByName(b), addrs)
+        .join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy("key")
+        .agg(F.min("cnt").cast("long").alias("est_n"))
+    )
+    return (
+        exact.join(est, "key")
+        .select(
+            "key",
+            "exact_n",
+            "est_n",
+            (F.col("est_n") - F.col("exact_n")).cast("long").alias(
+                "overest"
+            ),
+            F.expr("(1000000 * (est_n - exact_n)) div exact_n")
+            .cast("long")
+            .alias("err_ppm"),
+        )
+        .orderBy(F.desc("exact_n"), F.asc("key"))
+        .limit(top)
+    )

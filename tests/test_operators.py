@@ -6665,3 +6665,46 @@ def test_cohens_kappa_hand_frame(spark):
     assert out["inv"]["kappa_ppm"] == -1_000_000  # worse than chance
     assert out["const"]["kappa_ppm"] is None  # chance-perfect
     assert out["const"]["po_ppm"] == 1_000_000
+
+
+def test_md5_cm_sketch_and_audit(spark):
+    """r13 cont.: sk05 — the CM no-underestimate invariant holds under
+    forced collisions (width 4), the estimate is exact when width >>
+    keys, and the md5 sketch merges additively (merge == build on the
+    union, the countmin posture)."""
+    from learn_etl_data_warehouse_spark.operators.sketches import (
+        countmin_merge,
+        md5_cm_estimate_audit,
+        md5_cm_sketch,
+    )
+
+    rows = [(k,) for k in range(10) for _ in range(k + 1)]
+    df = spark.createDataFrame(rows, "k long")
+    crowded = {
+        r["key"]: r
+        for r in md5_cm_estimate_audit(df, "k", width=4, depth=2,
+                                       top=10).collect()
+    }
+    assert len(crowded) == 10
+    assert all(r["overest"] >= 0 for r in crowded.values())  # CM invariant
+    assert any(r["overest"] > 0 for r in crowded.values())  # 10 keys / 4
+    assert crowded[9]["exact_n"] == 10
+    roomy = md5_cm_estimate_audit(df, "k", width=256, depth=3,
+                                  top=10).collect()
+    assert all(r["overest"] == 0 for r in roomy)
+    # additive merge: two halves fold to the full-build sketch
+    a = md5_cm_sketch(df.filter(F.col("k") < 5), "k", width=4, depth=2)
+    b = md5_cm_sketch(df.filter(F.col("k") >= 5), "k", width=4, depth=2)
+    merged = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in countmin_merge(a, b).collect()
+    }
+    full = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in md5_cm_sketch(df, "k", width=4, depth=2).collect()
+    }
+    assert merged == full
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        md5_cm_sketch(df, "k", width=100)  # 100 does not divide 65536
