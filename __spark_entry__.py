@@ -6452,6 +6452,20 @@ def q_sk05(spark, sf_dir):
     )
 
 
+def q_km03(spark, sf_dir):
+    """Simplified silhouette (r13 cont.): per cluster, mean/min of the
+    centroid-based silhouette s = (b − a)/max(a, b) in signed ppm plus
+    the misassigned count (b < a — the points km01's next Lloyd round
+    would move); the point-grain complement to km02's cluster-grain
+    overlap index. The k-centroid form IS the 100 TB form (true
+    silhouette is an O(n²) corpus self-join); labels play the cluster
+    role (d21 twin discipline)
+    (operators/similarity.py::simplified_silhouette_cosine)."""
+    return similarity.simplified_silhouette_cosine(
+        _t(spark, sf_dir, "embeddings")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -6813,6 +6827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pm07_handover_network": q_pm07,
         "st13_cohens_kappa": q_st13,
         "sk05_cm_estimate_audit": q_sk05,
+        "km03_simplified_silhouette": q_km03,
         # -- rows-only (no-oracle) queries stay LAST so the window is
         # -- 100% hash-checkable --------------------------------------
         "e22_rolling_distinct_hll": q_e22,
@@ -13135,4 +13150,34 @@ SELECT ex.k AS key, ex.exact_n, e.est_n,
             AS BIGINT) AS err_ppm
 FROM ex JOIN e ON e.k = ex.k
 ORDER BY ex.exact_n DESC, key ASC LIMIT 25"""
+    # km03: km02's centroid/cosine twins; signed truncating // for the
+    # per-point s and the cluster mean; greatest(a,b)=0 -> NULL.
+    out["km03_simplified_silhouette"] = f"""
+WITH cent AS (
+  SELECT label AS cl, pos, {_cmean} AS c
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos) t
+  GROUP BY label, pos),
+cv AS (SELECT cl, list(c ORDER BY pos) AS v FROM cent GROUP BY 1),
+e AS (SELECT vec_id, CAST(label AS BIGINT) AS l, embedding::DOUBLE[] AS ev
+      FROM embeddings),
+dis AS (SELECT e.vec_id, e.l, CAST(cv.cl AS BIGINT) AS kl,
+               1000000 - CAST(round(({_COS.format(a='e.ev', b='cv.v')})
+                                    * 1000000) AS BIGINT) AS diss
+        FROM e CROSS JOIN cv),
+ab AS (SELECT vec_id, l,
+              max(CASE WHEN kl = l THEN diss END) AS a,
+              min(CASE WHEN kl <> l THEN diss END) AS b
+       FROM dis GROUP BY 1, 2),
+s AS (SELECT l, a, b,
+             CASE WHEN greatest(a, b) = 0 THEN NULL
+                  ELSE (1000000 * (b - a)) // greatest(a, b) END AS s
+      FROM ab)
+SELECT l AS label, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(s) AS BIGINT) AS n_scored,
+       CAST(sum(CASE WHEN b < a THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
+       CAST(CASE WHEN count(s) = 0 THEN NULL
+                 ELSE sum(s) // count(s) END AS BIGINT) AS mean_s_ppm,
+       CAST(min(s) AS BIGINT) AS min_s_ppm
+FROM s GROUP BY 1"""
     return out

@@ -2263,3 +2263,102 @@ def rerank_recall_audit(
         )
         .orderBy("rerank_m")
     )
+
+
+def simplified_silhouette_cosine(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette, cosine variant (km03):
+    per point, a = dissimilarity to the OWN centroid and b = min
+    dissimilarity to any OTHER centroid, s = (b − a) / max(a, b) in
+    signed truncating ppm — rolled up per cluster as mean / min s and
+    the misassigned count (b < a: the point sits closer to a
+    neighbor's centroid, exactly what km01's next Lloyd round would
+    move). The true silhouette's O(n²) pairwise pass is replaced by
+    the k-centroid form — the standard scale-out trade, and the only
+    honest one at 100 TB (pairwise a/b would be a self-join on the
+    corpus).
+
+    km02 answers "which CLUSTERS overlap" at cluster grain; km03
+    distributes that to point grain and rolls up, so a cluster whose
+    mean looks fine but holds a misassigned tail is visible
+    (n_negative > 0). Same exactness contract as km02: fixed-point
+    centroids (ml01 twin pattern), round-6 micro cosines (s02
+    precedent), signed truncating div ≡ // (fc05 probe). a = b = 0
+    (point equal to two identical centroids) yields NULL s — counted
+    in n, absent from n_scored; single-cluster inputs score NULL
+    everywhere (no "other" centroid exists).
+
+    Plan: one k×dim centroid agg broadcast into a k-bounded per-point
+    cross — row-linear, no point-point joins.
+
+    Returns (label, n, n_scored, n_negative, mean_s_ppm, min_s_ppm).
+    """
+    from learn_etl_data_warehouse_spark.functions.aggregates import (
+        fixed_point_avg,
+    )
+
+    ex = df.select(
+        F.col(label_col).alias("_cl"), F.posexplode(vec_col).alias("_p", "_v")
+    )
+    cent_long = ex.groupBy("_cl", "_p").agg(
+        fixed_point_avg(F.col("_v").cast("double"), 1_000_000, 6).alias("_c")
+    )
+    cents = cent_long.groupBy("_cl").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_p", "_c"))),
+            lambda s: s["_c"],
+        ).alias("_cv")
+    ).select(F.col("_cl").cast("long").alias("_kl"), "_cv")
+    diss = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(label_col).cast("long").alias("_l"),
+            F.col(vec_col).alias("_ev"),
+        )
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "_id",
+            "_l",
+            "_kl",
+            (
+                F.lit(1_000_000)
+                - F.round(
+                    F.round(cosine_similarity(F.col("_ev"), F.col("_cv")), 6)
+                    * 1_000_000
+                ).cast("long")
+            ).alias("_diss"),
+        )
+    )
+    ab = diss.groupBy("_id", "_l").agg(
+        F.max(F.when(F.col("_kl") == F.col("_l"), F.col("_diss"))).alias(
+            "_a"
+        ),
+        F.min(F.when(F.col("_kl") != F.col("_l"), F.col("_diss"))).alias(
+            "_b"
+        ),
+    )
+    s = ab.select(
+        "_l",
+        "_a",
+        "_b",
+        F.expr(
+            "CASE WHEN greatest(_a, _b) = 0 THEN NULL"
+            " ELSE (1000000 * (_b - _a)) div greatest(_a, _b) END"
+        ).cast("long").alias("_s"),
+    )
+    return s.groupBy(F.col("_l").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count("_s").cast("long").alias("n_scored"),
+        F.sum(
+            F.when(F.col("_b") < F.col("_a"), 1).otherwise(0)
+        ).cast("long").alias("n_negative"),
+        F.expr(
+            "CASE WHEN count(_s) = 0 THEN NULL"
+            " ELSE sum(_s) div count(_s) END"
+        ).cast("long").alias("mean_s_ppm"),
+        F.min("_s").cast("long").alias("min_s_ppm"),
+    )

@@ -6708,3 +6708,41 @@ def test_md5_cm_sketch_and_audit(spark):
 
     with _pt.raises(ValueError):
         md5_cm_sketch(df, "k", width=100)  # 100 does not divide 65536
+
+
+def test_simplified_silhouette_hand_clusters(spark):
+    """r13 cont.: km03 — orthogonal-axis clusters pin the exact ppm
+    values: a misassigned point scores -1e6 and counts in n_negative;
+    identical centroids (a = b = 0) yield NULL, counted in n but not
+    n_scored."""
+    from learn_etl_data_warehouse_spark.operators.similarity import (
+        simplified_silhouette_cosine,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.0, 1.0], 0),  # misassigned: sits ON cluster 1's centroid
+        (3, [0.0, 1.0], 1),
+        (4, [0.0, 1.0], 1),
+        (5, [1.0, 1.0], 2),
+        (6, [1.0, 1.0], 3),  # clusters 2/3: identical centroids
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = {
+        r["label"]: r for r in simplified_silhouette_cosine(df).collect()
+    }
+    c0 = out[0]
+    assert c0["n"] == 2 and c0["n_negative"] == 1
+    # s values: [1,0] -> 0 (clusters 2/3's [1,1] centroid ties the own
+    # centroid at diss 292893, so b = a); [0,1] -> -1000000
+    assert c0["min_s_ppm"] == -1_000_000
+    assert c0["mean_s_ppm"] == -500_000
+    c1 = out[1]
+    assert c1["n_negative"] == 0 and c1["mean_s_ppm"] == 1_000_000
+    for lbl in (2, 3):
+        d = out[lbl]
+        assert d["n"] == 1 and d["n_scored"] == 0
+        assert d["mean_s_ppm"] is None and d["min_s_ppm"] is None
+        assert d["n_negative"] == 0
