@@ -6466,6 +6466,34 @@ def q_km03(spark, sf_dir):
     )
 
 
+def q_ml09(spark, sf_dir):
+    """Bernoulli naive Bayes confusion (r13 cont.): the GENERATIVE
+    classifier next to the discriminative cl/ml family — 5 cheap
+    binary features (digit, integer mean-word-len ≥ 4, comma,
+    terminal punctuation, n_chars ≥ 200) vs the C4-teacher label;
+    Laplace ppm probabilities, posterior as a ≤6-factor DECIMAL(38,0)
+    product (no logs, no float — small feature sets don't need the
+    log trick), tie → class 0
+    (operators/classifier.py::bernoulli_nb_confusion)."""
+    from learn_etl_data_warehouse_spark.operators.classifier import (
+        bernoulli_nb_confusion,
+    )
+    from learn_etl_data_warehouse_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    nw = token_count("text")
+    nonws = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+    feats = docs.select(
+        (nw >= 40).cast("long").alias("y"),
+        F.col("text").rlike("[0-9]").cast("long").alias("f1"),
+        ((nw > 0) & (nonws >= 4 * nw)).cast("long").alias("f2"),
+        (F.instr(F.col("text"), ",") > 0).cast("long").alias("f3"),
+        F.trim(F.col("text")).rlike("[.!?]$").cast("long").alias("f4"),
+        (F.col("n_chars") >= 200).cast("long").alias("f5"),
+    )
+    return bernoulli_nb_confusion(feats)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -6828,6 +6856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st13_cohens_kappa": q_st13,
         "sk05_cm_estimate_audit": q_sk05,
         "km03_simplified_silhouette": q_km03,
+        "ml09_naive_bayes": q_ml09,
         # -- rows-only (no-oracle) queries stay LAST so the window is
         # -- 100% hash-checkable --------------------------------------
         "e22_rolling_distinct_hll": q_e22,
@@ -13180,4 +13209,79 @@ SELECT l AS label, CAST(count(*) AS BIGINT) AS n,
                  ELSE sum(s) // count(s) END AS BIGINT) AS mean_s_ppm,
        CAST(min(s) AS BIGINT) AS min_s_ppm
 FROM s GROUP BY 1"""
+    # ml09: the NB chain loop-generated so both engines share the
+    # feature list and score shape; Laplace ppm in //, posterior
+    # product in HUGEINT (≡ Spark DECIMAL(38,0)); tie -> class 0.
+    _nb_feats = [
+        ("f1", "CASE WHEN regexp_matches(text, '[0-9]') THEN 1 ELSE 0 END"),
+        ("f2", "CASE WHEN nw > 0 AND nonws >= 4 * nw THEN 1 ELSE 0 END"),
+        ("f3", "CASE WHEN strpos(text, ',') > 0 THEN 1 ELSE 0 END"),
+        (
+            "f4",
+            "CASE WHEN regexp_matches(trim(text), '[.!?]$')"
+            " THEN 1 ELSE 0 END",
+        ),
+        ("f5", "CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END"),
+    ]
+    _nb_feat_sel = ",\n             ".join(
+        f"{expr} AS {name}" for name, expr in _nb_feats
+    )
+    _nb_sums = ", ".join(
+        f"CAST(sum({name}) AS BIGINT) AS s{i}"
+        for i, (name, _) in enumerate(_nb_feats)
+    )
+    _nb_pivot = ",\n  ".join(
+        [
+            f"coalesce(max(CASE WHEN c = {c} THEN n END), 0) AS n{c}"
+            for c in (0, 1)
+        ]
+        + [
+            f"coalesce(max(CASE WHEN c = {c} THEN s{i} END), 0)"
+            f" AS s{i}_{c}"
+            for c in (0, 1)
+            for i in range(len(_nb_feats))
+        ]
+    )
+
+    def _nb_score(c):
+        terms = [
+            f"CAST(((n{c} + 1) * 1000000) // (n0 + n1 + 2) AS HUGEINT)"
+        ]
+        for i, (name, _) in enumerate(_nb_feats):
+            terms.append(
+                f"(CASE WHEN {name} = 1"
+                f" THEN ((s{i}_{c} + 1) * 1000000) // (n{c} + 2)"
+                f" ELSE ((n{c} - s{i}_{c} + 1) * 1000000)"
+                f" // (n{c} + 2) END)"
+            )
+        return " * ".join(terms)
+
+    out["ml09_naive_bayes"] = f"""
+WITH base AS (SELECT text, n_chars,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text),
+                                                         '\\s+'))
+                          END AS BIGINT) AS nw,
+                     CAST(length(regexp_replace(text, '\\s', '', 'g'))
+                          AS BIGINT) AS nonws
+              FROM documents),
+feats AS (SELECT CASE WHEN nw >= 40 THEN 1 ELSE 0 END AS y,
+             {_nb_feat_sel}
+          FROM base),
+pc AS (SELECT y AS c, CAST(count(*) AS BIGINT) AS n, {_nb_sums}
+       FROM feats GROUP BY 1),
+st AS (SELECT
+  {_nb_pivot}
+FROM pc),
+scored AS (SELECT CAST(y AS BIGINT) AS y_true,
+                  CAST(CASE WHEN ({_nb_score(1)}) > ({_nb_score(0)})
+                       THEN 1 ELSE 0 END AS BIGINT) AS y_pred
+           FROM feats CROSS JOIN st),
+cells AS (SELECT y_true, y_pred, CAST(count(*) AS BIGINT) AS n_docs
+          FROM scored GROUP BY 1, 2),
+tt AS (SELECT y_true, CAST(sum(n_docs) AS BIGINT) AS t
+       FROM cells GROUP BY 1)
+SELECT cells.y_true, cells.y_pred, cells.n_docs,
+       CAST((1000000 * cells.n_docs) // tt.t AS BIGINT) AS share_ppm
+FROM cells JOIN tt ON tt.y_true = cells.y_true"""
     return out

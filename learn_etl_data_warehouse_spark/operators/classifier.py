@@ -599,3 +599,100 @@ def stump_cross_validate(
             ).cast("long").alias("eval_accuracy_ppm"),
         )
     )
+
+
+def bernoulli_nb_confusion(
+    df: DataFrame,
+    label_col: str = "y",
+    feature_cols: tuple[str, ...] = ("f1", "f2", "f3", "f4", "f5"),
+) -> DataFrame:
+    """Bernoulli naive Bayes, trained and scored fully in-engine with
+    integer arithmetic (ml09) — the GENERATIVE member of the
+    classifier family next to the discriminative perceptrons
+    (cl01-cl04), stump (ml04) and OLS (ml07). Train-on-all /
+    score-on-all, reported as the (y_true, y_pred) confusion cells
+    with within-class shares.
+
+    Determinism design: NB needs no logs when the feature set is
+    SMALL — Laplace-smoothed class-conditional probabilities become
+    truncating ppm integers  p = ((n_fc + 1)·1e6) div (n_c + 2)
+    (each side of the complement computed DIRECTLY — truncated p1 and
+    p0 don't sum to 1e6, so deriving one from the other would drift
+    from the oracle), and the posterior score is the PRODUCT
+    prior · Π p_i in DECIMAL(38,0)/HUGEINT: 1 + |features| factors
+    ≤ 1e6 each, so ≤ 6 factors stay under 1e36 — inside decimal-38,
+    no float, no libm. More than 7 features would overflow and
+    raises. Prediction = larger score, tie → class 0.
+
+    Plan shape: one per-class conditional-sum agg (2 rows), pivoted
+    to ONE broadcast stats row, one map-side scoring pass, one cell
+    agg — two passes over the corpus, nothing quadratic. A
+    single-class corpus trains degenerate priors but never divides
+    by zero (Laplace floors every denominator at 2).
+
+    Returns (y_true, y_pred, n_docs, share_ppm) — share within the
+    true class, truncating ppm.
+    """
+    nf = len(feature_cols)
+    if nf > 7:
+        raise ValueError(
+            f"bernoulli_nb_confusion: {nf} features would overflow the"
+            " DECIMAL(38,0) score product (max 7)"
+        )
+    per_class = df.groupBy(F.col(label_col).alias("_c")).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        *[
+            F.sum(F.col(f).cast("long")).cast("long").alias(f"_s{i}")
+            for i, f in enumerate(feature_cols)
+        ],
+    )
+    aggs = []
+    for c in (0, 1):
+        aggs.append(
+            F.coalesce(
+                F.max(F.when(F.col("_c") == c, F.col("_n"))), F.lit(0)
+            ).alias(f"_n{c}")
+        )
+        for i in range(nf):
+            aggs.append(
+                F.coalesce(
+                    F.max(F.when(F.col("_c") == c, F.col(f"_s{i}"))),
+                    F.lit(0),
+                ).alias(f"_s{i}_{c}")
+            )
+    stats = per_class.agg(*aggs)
+
+    def _score(c: int) -> str:
+        terms = [
+            f"CAST(((_n{c} + 1) * 1000000)"
+            f" div (_n0 + _n1 + 2) AS DECIMAL(38,0))"
+        ]
+        for i, f in enumerate(feature_cols):
+            terms.append(
+                f"(CASE WHEN {f} = 1"
+                f" THEN ((_s{i}_{c} + 1) * 1000000) div (_n{c} + 2)"
+                f" ELSE ((_n{c} - _s{i}_{c} + 1) * 1000000)"
+                f" div (_n{c} + 2) END)"
+            )
+        return " * ".join(terms)
+
+    scored = (
+        df.crossJoin(F.broadcast(stats))
+        .select(
+            F.col(label_col).cast("long").alias("y_true"),
+            F.expr(
+                f"CASE WHEN ({_score(1)}) > ({_score(0)})"
+                " THEN 1 ELSE 0 END"
+            ).cast("long").alias("y_pred"),
+        )
+    )
+    cells = scored.groupBy("y_true", "y_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    tot = cells.groupBy("y_true").agg(F.sum("n_docs").alias("_t"))
+    return cells.join(tot, "y_true").select(
+        "y_true",
+        "y_pred",
+        "n_docs",
+        F.expr("(1000000 * n_docs) div _t").cast("long").alias("share_ppm"),
+    )

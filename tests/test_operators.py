@@ -6746,3 +6746,60 @@ def test_simplified_silhouette_hand_clusters(spark):
         assert d["n"] == 1 and d["n_scored"] == 0
         assert d["mean_s_ppm"] is None and d["min_s_ppm"] is None
         assert d["n_negative"] == 0
+
+
+def test_bernoulli_nb_hand_model(spark):
+    """r13 cont.: ml09 — cells match a pure-Python integer NB model
+    (Laplace ppm //, product posterior, tie -> class 0), and the
+    >7-feature overflow guard raises."""
+    import itertools
+
+    import pytest as _pt
+
+    from learn_etl_data_warehouse_spark.operators.classifier import (
+        bernoulli_nb_confusion,
+    )
+
+    rows = []
+    for i in range(40):
+        y = 1 if i % 2 else 0
+        f1 = y if i % 7 else 1 - y  # mostly aligned with y
+        f2 = (i // 2) % 2  # uninformative
+        rows.append((y, f1, f2))
+    df = spark.createDataFrame(rows, "y long, f1 long, f2 long")
+    got = {
+        (r["y_true"], r["y_pred"]): (r["n_docs"], r["share_ppm"])
+        for r in bernoulli_nb_confusion(
+            df, feature_cols=("f1", "f2")
+        ).collect()
+    }
+
+    n = {c: sum(1 for y, *_ in rows if y == c) for c in (0, 1)}
+    s = {
+        (i, c): sum(f[i] for y, *f in rows if y == c)
+        for i, c in itertools.product((0, 1), (0, 1))
+    }
+
+    def score(c, f):
+        v = ((n[c] + 1) * 1_000_000) // (n[0] + n[1] + 2)
+        for i, fv in enumerate(f):
+            if fv == 1:
+                v *= ((s[(i, c)] + 1) * 1_000_000) // (n[c] + 2)
+            else:
+                v *= ((n[c] - s[(i, c)] + 1) * 1_000_000) // (n[c] + 2)
+        return v
+
+    cells = {}
+    for y, *f in rows:
+        pred = 1 if score(1, f) > score(0, f) else 0
+        cells[(y, pred)] = cells.get((y, pred), 0) + 1
+    want = {
+        (yt, yp): (nd, (1_000_000 * nd) // n[yt])
+        for (yt, yp), nd in cells.items()
+    }
+    assert got == want
+    assert any(yt != yp for yt, yp in got) and any(
+        yt == yp for yt, yp in got
+    )  # neither perfect nor constant
+    with _pt.raises(ValueError):
+        bernoulli_nb_confusion(df, feature_cols=("f1",) * 8)
