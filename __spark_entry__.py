@@ -6494,6 +6494,25 @@ def q_ml09(spark, sf_dir):
     return bernoulli_nb_confusion(feats)
 
 
+def q_fc10(spark, sf_dir):
+    """Prediction-interval coverage audit (r13 cont.): does fc01's
+    UNCERTAINTY hold up, not just its point forecast (fc02's MAE)?
+    Middle-window residuals give per-key nearest-rank 10/90 band
+    quantiles (a20 ceil ranks); the final window scores each actual
+    against [forecast − r_hi, forecast − r_lo] — truncating coverage
+    ppm vs the ~80% nominal, band width alongside. Two rolling
+    origins, all integer
+    (operators/timeseries.py::forecast_interval_coverage)."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        forecast_interval_coverage,
+        hourly_counts,
+    )
+
+    return forecast_interval_coverage(
+        hourly_counts(_t(spark, sf_dir, "events"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -6857,6 +6876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sk05_cm_estimate_audit": q_sk05,
         "km03_simplified_silhouette": q_km03,
         "ml09_naive_bayes": q_ml09,
+        "fc10_interval_coverage": q_fc10,
         # -- rows-only (no-oracle) queries stay LAST so the window is
         # -- 100% hash-checkable --------------------------------------
         "e22_rolling_distinct_hll": q_e22,
@@ -13284,4 +13304,76 @@ tt AS (SELECT y_true, CAST(sum(n_docs) AS BIGINT) AS t
 SELECT cells.y_true, cells.y_pred, cells.n_docs,
        CAST((1000000 * cells.n_docs) // tt.t AS BIGINT) AS share_ppm
 FROM cells JOIN tt ON tt.y_true = cells.y_true"""
+
+    # fc10: the fc02 forecast chain parameterized by cutoff and run
+    # TWICE (residual window + audit window); ceil nearest-rank band,
+    # coverage as truncating ppm.
+    def _fc10_chain(s, cut):
+        return f"""cut{s} AS (SELECT {cut} AS c FROM h0),
+h{s} AS (SELECT h0.event_type, h0.hr, h0.x FROM h0, cut{s}
+         WHERE h0.hr <= cut{s}.c),
+p{s} AS (SELECT a.event_type,
+                CAST(((b.x - a.x) * 1000000) // (b.hr - a.hr) AS BIGINT)
+                  AS slope
+         FROM h{s} a JOIN h{s} b
+           ON a.event_type = b.event_type AND a.hr < b.hr),
+rr{s} AS (SELECT event_type, slope,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY slope) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS np
+          FROM p{s}),
+sl{s} AS (SELECT event_type, slope AS ms FROM rr{s}
+          WHERE rn = (np + 1) // 2),
+prof{s} AS (SELECT event_type, hr % 24 AS hod,
+                   CAST((1000000 * sum(x)) // count(*) AS BIGINT) AS pm
+            FROM h{s} GROUP BY 1, 2),
+an{s} AS (SELECT event_type, max(hr) AS anchor FROM h{s} GROUP BY 1),
+sp{s} AS (SELECT event_type, anchor + s AS h_future, s AS dh
+          FROM an{s}, (SELECT unnest(generate_series(1, 24)) AS s) t),
+fc{s} AS (SELECT sp{s}.event_type, sp{s}.h_future,
+                 CAST(coalesce(prof{s}.pm, 0) + sl{s}.ms * sp{s}.dh
+                      AS BIGINT) AS forecast_micro
+          FROM sp{s}
+          LEFT JOIN prof{s} ON prof{s}.event_type = sp{s}.event_type
+                           AND prof{s}.hod = sp{s}.h_future % 24
+          JOIN sl{s} ON sl{s}.event_type = sp{s}.event_type)"""
+
+    out["fc10_interval_coverage"] = f"""
+WITH h0 AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2),
+{_fc10_chain('a', 'max(hr) - 48')},
+{_fc10_chain('b', 'max(hr) - 24')},
+res AS (SELECT fca.event_type, fca.h_future,
+               CAST(fca.forecast_micro - coalesce(a.x, 0) * 1000000
+                    AS BIGINT) AS r
+        FROM fca LEFT JOIN h0 a ON a.event_type = fca.event_type
+                               AND a.hr = fca.h_future),
+rk AS (SELECT event_type, r,
+              row_number() OVER (PARTITION BY event_type
+                                 ORDER BY r, h_future) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS np
+       FROM res),
+band AS (SELECT event_type,
+                CAST(max(CASE WHEN rn = (10 * np + 99) // 100 THEN r END)
+                     AS BIGINT) AS r_lo,
+                CAST(max(CASE WHEN rn = (90 * np + 99) // 100 THEN r END)
+                     AS BIGINT) AS r_hi
+         FROM rk GROUP BY 1),
+aud AS (SELECT fcb.event_type, band.r_lo, band.r_hi,
+               CASE WHEN coalesce(a.x, 0) * 1000000
+                         >= fcb.forecast_micro - band.r_hi
+                     AND coalesce(a.x, 0) * 1000000
+                         <= fcb.forecast_micro - band.r_lo
+                    THEN 1 ELSE 0 END AS ins
+        FROM fcb LEFT JOIN h0 a ON a.event_type = fcb.event_type
+                               AND a.hr = fcb.h_future
+                 JOIN band ON band.event_type = fcb.event_type)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+       CAST(sum(ins) AS BIGINT) AS n_inside,
+       CAST((1000000 * sum(ins)) // count(*) AS BIGINT) AS coverage_ppm,
+       CAST(max(r_lo) AS BIGINT) AS r_lo_micro,
+       CAST(max(r_hi) AS BIGINT) AS r_hi_micro,
+       CAST(max(r_hi) - max(r_lo) AS BIGINT) AS band_width_micro
+FROM aud GROUP BY 1"""
     return out

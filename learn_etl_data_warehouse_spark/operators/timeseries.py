@@ -2411,3 +2411,123 @@ def ohlc_bars(df: DataFrame, key: str = "event_type") -> DataFrame:
         F.max("tick").getField("c").cast("long").alias("close_cents"),
         F.sum("tick.c").cast("long").alias("volume_cents"),
     )
+
+
+def forecast_interval_coverage(
+    hourly: DataFrame,
+    key: str = "event_type",
+    horizon: int = 24,
+    lo_pct: int = 10,
+    hi_pct: int = 90,
+) -> DataFrame:
+    """Empirical prediction-interval coverage audit (fc10): does the
+    fc01 model's UNCERTAINTY estimate hold up, not just its point
+    forecast (fc02's MAE)? Two rolling origins: the model trained to
+    cutoff − 2·horizon forecasts the MIDDLE window, whose signed
+    residuals give per-key nearest-rank band quantiles (a20 ceil
+    ranks — rank = (pct·n + 99) div 100, pure integers); the model
+    trained to cutoff − horizon forecasts the FINAL window, and each
+    actual is scored against [forecast − r_hi, forecast − r_lo]
+    (residual = forecast − actual, so the actual's band inverts the
+    residual band). Reported per key: hours, hits, truncating
+    coverage ppm, and the band width — a well-calibrated 10/90 band
+    should cover ~80%; a too-narrow band (overconfident model) shows
+    coverage far below nominal.
+
+    All integer end-to-end: residuals are signed micro differences of
+    evaluated fixed-point forecasts, band edges are order statistics
+    (values, not interpolations), coverage is a non-negative
+    truncating div. Keys without enough double-horizon history
+    produce no row (the fc02 staleness posture — absent, never
+    silently wrong). Scale: two calendar-bounded fc01 plans + one
+    horizon-bounded per-key window; nothing data-proportional beyond
+    the hourly grid.
+
+    Returns (key, n_hours, n_inside, coverage_ppm, r_lo_micro,
+    r_hi_micro, band_width_micro).
+    """
+    cuts = hourly.agg(
+        (F.max("hr") - F.lit(int(horizon))).alias("_cb"),
+        (F.max("hr") - F.lit(2 * int(horizon))).alias("_ca"),
+    )
+    train_a = (
+        hourly.crossJoin(F.broadcast(cuts))
+        .filter(F.col("hr") <= F.col("_ca"))
+        .select(key, "hr", "x")
+    )
+    train_b = (
+        hourly.crossJoin(F.broadcast(cuts))
+        .filter(F.col("hr") <= F.col("_cb"))
+        .select(key, "hr", "x")
+    )
+    actual = hourly.select(
+        F.col(key), F.col("hr").alias("h_future"), F.col("x").alias("_ax")
+    )
+    resid = (
+        forecast_hourly(train_a, key, horizon)
+        .join(actual, [key, "h_future"], "left")
+        .select(
+            F.col(key),
+            F.col("h_future"),
+            (
+                F.col("forecast_micro")
+                - F.coalesce(F.col("_ax"), F.lit(0)) * 1_000_000
+            ).cast("long").alias("_r"),
+        )
+    )
+    w = Window.partitionBy(key).orderBy("_r", "h_future")
+    ranked = resid.select(
+        key,
+        "_r",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(key)).alias("_np"),
+    )
+    band = ranked.groupBy(key).agg(
+        F.max(
+            F.when(
+                F.col("_rn")
+                == F.expr(f"({int(lo_pct)} * _np + 99) div 100"),
+                F.col("_r"),
+            )
+        ).cast("long").alias("r_lo_micro"),
+        F.max(
+            F.when(
+                F.col("_rn")
+                == F.expr(f"({int(hi_pct)} * _np + 99) div 100"),
+                F.col("_r"),
+            )
+        ).cast("long").alias("r_hi_micro"),
+    )
+    audit = (
+        forecast_hourly(train_b, key, horizon)
+        .join(actual, [key, "h_future"], "left")
+        .join(band, key)
+        .select(
+            F.col(key),
+            "r_lo_micro",
+            "r_hi_micro",
+            F.when(
+                (
+                    F.coalesce(F.col("_ax"), F.lit(0)) * 1_000_000
+                    >= F.col("forecast_micro") - F.col("r_hi_micro")
+                )
+                & (
+                    F.coalesce(F.col("_ax"), F.lit(0)) * 1_000_000
+                    <= F.col("forecast_micro") - F.col("r_lo_micro")
+                ),
+                1,
+            ).otherwise(0).alias("_in"),
+        )
+    )
+    return audit.groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("_in").cast("long").alias("n_inside"),
+        F.expr("(1000000 * sum(_in)) div count(1)").cast("long").alias(
+            "coverage_ppm"
+        ),
+        F.max("r_lo_micro").cast("long").alias("r_lo_micro"),
+        F.max("r_hi_micro").cast("long").alias("r_hi_micro"),
+        (F.max("r_hi_micro") - F.max("r_lo_micro")).cast("long").alias(
+            "band_width_micro"
+        ),
+    )

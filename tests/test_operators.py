@@ -6803,3 +6803,32 @@ def test_bernoulli_nb_hand_model(spark):
     )  # neither perfect nor constant
     with _pt.raises(ValueError):
         bernoulli_nb_confusion(df, feature_cols=("f1",) * 8)
+
+
+def test_forecast_interval_coverage_hand_series(spark):
+    """r13 cont.: fc10 — a perfectly flat series pins coverage 1e6
+    with a zero-width band; a series whose final window half-breaks
+    pins truncating 50% coverage against the same tight band."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        forecast_interval_coverage,
+    )
+
+    rows = []
+    for h in range(72):
+        rows.append(("k", h, 10))
+        if h >= 48 and h % 2 == 0:
+            rows.append(("m", h, 12))
+        else:
+            rows.append(("m", h, 10))
+    df = spark.createDataFrame(rows, "event_type string, hr long, x long")
+    out = {
+        r["event_type"]: r
+        for r in forecast_interval_coverage(df).collect()
+    }
+    k = out["k"]
+    assert k["n_hours"] == 24 and k["n_inside"] == 24
+    assert k["coverage_ppm"] == 1_000_000
+    assert k["band_width_micro"] == 0
+    m = out["m"]
+    assert m["band_width_micro"] == 0  # mid window was clean
+    assert m["n_inside"] == 12 and m["coverage_ppm"] == 500_000
