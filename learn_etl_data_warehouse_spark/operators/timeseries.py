@@ -2396,6 +2396,22 @@ def ohlc_bars(df: DataFrame, key: str = "event_type") -> DataFrame:
     Returns (key, day, n_events, open_cents, high_cents, low_cents,
     close_cents, volume_cents), all BIGINT.
     """
+    return ohlc_from_state(ohlc_state(df, key))
+
+
+def ohlc_state(df: DataFrame, key: str = "event_type") -> DataFrame:
+    """The MERGEABLE state grain behind :func:`ohlc_bars` (and its
+    streaming twin ``ohlc_ingest_sink``): per (key, day) the counted
+    parts (n, volume — additive), the extrema (high/low — max/min
+    mergeable) and the open/close WITNESS TICKS carried as
+    (ts, event_id, cents) columns — min/max-of-struct mergeable, so
+    two disjoint batches' states fold to the full build's state
+    without revisiting raw events. The counted parts make replays
+    non-idempotent → the sink uses the ledger posture.
+
+    Returns (key, day, n_events, volume_cents, high_cents, low_cents,
+    open_ts, open_id, open_cents, close_ts, close_id, close_cents).
+    """
     us_per_day = 86_400_000_000
     b = df.select(
         F.col(key),
@@ -2405,11 +2421,95 @@ def ohlc_bars(df: DataFrame, key: str = "event_type") -> DataFrame:
     )
     return b.groupBy(key, "day").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.min("tick").getField("c").cast("long").alias("open_cents"),
+        F.sum("tick.c").cast("long").alias("volume_cents"),
         F.max("tick.c").cast("long").alias("high_cents"),
         F.min("tick.c").cast("long").alias("low_cents"),
-        F.max("tick").getField("c").cast("long").alias("close_cents"),
-        F.sum("tick.c").cast("long").alias("volume_cents"),
+        F.min("tick").alias("_o"),
+        F.max("tick").alias("_cl"),
+    ).select(
+        key,
+        "day",
+        "n_events",
+        "volume_cents",
+        "high_cents",
+        "low_cents",
+        F.col("_o.ts").alias("open_ts"),
+        F.col("_o.event_id").cast("long").alias("open_id"),
+        F.col("_o.c").cast("long").alias("open_cents"),
+        F.col("_cl.ts").alias("close_ts"),
+        F.col("_cl.event_id").cast("long").alias("close_id"),
+        F.col("_cl.c").cast("long").alias("close_cents"),
+    )
+
+
+def ohlc_merge_state(
+    prev: DataFrame, delta: DataFrame, key: str = "event_type"
+) -> DataFrame:
+    """Fold two OHLC states: counted parts add, extrema min/max-merge,
+    and the open/close witnesses compare as (ts, id, c) structs —
+    rebuilt as WHOLE-NULL structs for absent sides first (a struct of
+    NULL fields is NOT null, and least/greatest only skip genuinely
+    NULL operands — the trap this helper exists to contain)."""
+    p = prev.select(
+        key, "day",
+        *[F.col(c).alias(f"_p_{c}") for c in prev.columns
+          if c not in (key, "day")],
+    )
+    d = delta.select(
+        key, "day",
+        *[F.col(c).alias(f"_d_{c}") for c in delta.columns
+          if c not in (key, "day")],
+    )
+    j = p.join(d, [key, "day"], "full_outer")
+
+    def _side(tag, which):
+        return F.when(
+            F.col(f"_{tag}_n_events").isNotNull(),
+            F.struct(
+                F.col(f"_{tag}_{which}_ts").alias("ts"),
+                F.col(f"_{tag}_{which}_id").alias("event_id"),
+                F.col(f"_{tag}_{which}_cents").alias("c"),
+            ),
+        )
+
+    o = F.least(_side("p", "open"), _side("d", "open"))
+    c = F.greatest(_side("p", "close"), _side("d", "close"))
+    return j.select(
+        key,
+        "day",
+        (
+            F.coalesce(F.col("_p_n_events"), F.lit(0))
+            + F.coalesce(F.col("_d_n_events"), F.lit(0))
+        ).cast("long").alias("n_events"),
+        (
+            F.coalesce(F.col("_p_volume_cents"), F.lit(0))
+            + F.coalesce(F.col("_d_volume_cents"), F.lit(0))
+        ).cast("long").alias("volume_cents"),
+        F.greatest(F.col("_p_high_cents"), F.col("_d_high_cents"))
+        .cast("long").alias("high_cents"),
+        F.least(F.col("_p_low_cents"), F.col("_d_low_cents"))
+        .cast("long").alias("low_cents"),
+        o.getField("ts").alias("open_ts"),
+        o.getField("event_id").cast("long").alias("open_id"),
+        o.getField("c").cast("long").alias("open_cents"),
+        c.getField("ts").alias("close_ts"),
+        c.getField("event_id").cast("long").alias("close_id"),
+        c.getField("c").cast("long").alias("close_cents"),
+    )
+
+
+def ohlc_from_state(state: DataFrame, key: str = "event_type") -> DataFrame:
+    """Finalize an OHLC state table to the e37 output shape (key, day,
+    n_events, open/high/low/close cents, volume)."""
+    return state.select(
+        key,
+        F.col("day").cast("long").alias("day"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("open_cents").cast("long").alias("open_cents"),
+        F.col("high_cents").cast("long").alias("high_cents"),
+        F.col("low_cents").cast("long").alias("low_cents"),
+        F.col("close_cents").cast("long").alias("close_cents"),
+        F.col("volume_cents").cast("long").alias("volume_cents"),
     )
 
 

@@ -1845,3 +1845,74 @@ def lttb_dashboard_sink(
         )
 
     return handle
+
+
+def ohlc_ingest_sink(
+    catalog_dir: str,
+    key: str = "event_type",
+):
+    """foreachBatch handler maintaining daily OHLC bars per key (e37's
+    streaming twin): the per-batch :func:`~learn_etl_data_warehouse_spark.
+    operators.timeseries.ohlc_state` delta folds into the stored state
+    via :func:`ohlc_merge_state` — counted parts ADD, extrema min/max-
+    merge, and the open/close witness ticks compare as (ts, id, cents)
+    structs, so disjoint batches fold to the full build's state
+    regardless of arrival order (a later batch carrying an EARLIER
+    tick retroactively takes the open — witness merging, not
+    first-batch-wins). The published `ohlc_bars` view re-derives from
+    state per micro-batch at state-size cost.
+
+    Exactly-once is LEDGER-derived (the counted posture: n/volume are
+    not replay-idempotent even though the witness merges are); ledger
+    + state + view flip in ONE catalog transaction. The OHLC family
+    joins HW-forecast / LM / novelty / top-k / correlation / LTTB in
+    batch/streaming parity."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        ohlc_from_state,
+        ohlc_merge_state,
+        ohlc_state,
+    )
+    from learn_etl_data_warehouse_spark.plans import catalog as cat
+
+    def handle(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        tables = set(cat.read_catalog(catalog_dir)["tables"])
+        if "ohlc_applied" in tables:
+            applied = {
+                r.batch_id
+                for r in cat.catalog_read(spark, catalog_dir, "ohlc_applied")
+                .select("batch_id")
+                .collect()
+            }
+            if int(batch_id) in applied:
+                return  # replayed batch: already folded into the state
+        delta = ohlc_state(batch_df, key)
+        if "ohlc_state" in tables:
+            prev = cat.catalog_read(spark, catalog_dir, "ohlc_state").select(
+                *delta.columns
+            )
+            merged = ohlc_merge_state(prev, delta, key)
+        else:
+            merged = delta
+        view = ohlc_from_state(merged, key)
+        ledger = spark.createDataFrame(
+            [(int(batch_id),)], "batch_id long"
+        ).withColumn("ingest_batch", F.lit(int(batch_id)))
+        cat.catalog_commit(
+            spark,
+            catalog_dir,
+            {
+                "ohlc_state": (
+                    merged.withColumn("state", F.lit("live")),
+                    ["state"],
+                ),
+                "ohlc_bars": (
+                    view.withColumn("state", F.lit("live")),
+                    ["state"],
+                ),
+                "ohlc_applied": (ledger, ["ingest_batch"]),
+            },
+            replace=False,
+        )
+
+    return handle

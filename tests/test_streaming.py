@@ -2816,3 +2816,55 @@ def test_lttb_dashboard_sink_small_key_passthrough(spark, tmp_path):
         for r in cat.catalog_read(spark, cdir, "lttb_points").collect()
     )
     assert pts == [(0, 1), (1, 1), (2, 1)]
+
+
+def test_ohlc_ingest_sink_matches_batch(spark, tmp_path, sf_small):
+    """r13 cont.: e37's streaming twin — the published daily bars equal
+    the batch ohlc_bars over all events seen so far after EACH batch.
+    Batches split by event_id PARITY, so a later batch routinely
+    carries an EARLIER tick: the witness merge (not first-batch-wins)
+    must retroactively take the open/close. A replayed batch is a
+    ledgered no-op."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        ohlc_bars,
+    )
+    from learn_etl_data_warehouse_spark.plans import catalog as cat
+    from learn_etl_data_warehouse_spark.sources.parquet import load_table
+    from learn_etl_data_warehouse_spark.streaming.sinks import (
+        ohlc_ingest_sink,
+    )
+
+    ev = load_table(spark, sf_small, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    b0 = ev.filter("event_id % 2 = 0")
+    b1 = ev.filter("event_id % 2 = 1")
+    assert b0.count() > 0 and b1.count() > 0
+
+    cdir = str(tmp_path / "ohlccat")
+    handle = ohlc_ingest_sink(cdir)
+    cols = [
+        "event_type", "day", "n_events", "open_cents", "high_cents",
+        "low_cents", "close_cents", "volume_cents",
+    ]
+
+    def published():
+        return sorted(
+            map(
+                tuple,
+                cat.catalog_read(spark, cdir, "ohlc_bars")
+                .select(*cols)
+                .collect(),
+            )
+        )
+
+    def want(events):
+        return sorted(map(tuple, ohlc_bars(events).select(*cols).collect()))
+
+    handle(b0, 0)
+    assert published() == want(b0)
+    handle(b1, 1)
+    full = want(ev)
+    assert published() == full
+    handle(b1, 1)  # replay: ledgered no-op
+    assert published() == full
