@@ -6513,6 +6513,16 @@ def q_fc10(spark, sf_dir):
     )
 
 
+def q_t39(spark, sf_dir):
+    """Lexical richness (r13 cont.): per source, token mass / vocab /
+    hapax legomena with TTR and hapax-share ppm — the template-vs-
+    organic signal next to t37's burstiness (boilerplate re-uses
+    tokens, organic prose keeps minting one-offs); t26 tracks vocab
+    GROWTH, this is the settled per-source summary
+    (operators/text.py::lexical_richness)."""
+    return text.lexical_richness(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -6877,6 +6887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "km03_simplified_silhouette": q_km03,
         "ml09_naive_bayes": q_ml09,
         "fc10_interval_coverage": q_fc10,
+        "t39_lexical_richness": q_t39,
         # -- rows-only (no-oracle) queries stay LAST so the window is
         # -- 100% hash-checkable --------------------------------------
         "e22_rolling_distinct_hll": q_e22,
@@ -13376,4 +13387,22 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
        CAST(max(r_hi) AS BIGINT) AS r_hi_micro,
        CAST(max(r_hi) - max(r_lo) AS BIGINT) AS band_width_micro
 FROM aud GROUP BY 1"""
+    # t39: the _TOKS_L token grain, (source, token) counts, group
+    # re-agg; zero-token groups NULL the ratios.
+    out["t39_lexical_richness"] = f"""
+WITH toks AS (SELECT source, unnest({_TOKS_L}) AS tok FROM documents),
+t2 AS (SELECT source, tok FROM toks WHERE tok <> ''),
+tc AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+       FROM t2 GROUP BY 1, 2)
+SELECT source,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS vocab,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       CAST(CASE WHEN sum(n) = 0 THEN NULL
+                 ELSE (1000000 * count(*)) // sum(n) END AS BIGINT)
+         AS ttr_ppm,
+       CAST(CASE WHEN count(*) = 0 THEN NULL
+                 ELSE (1000000 * sum(CASE WHEN n = 1 THEN 1 ELSE 0 END))
+                      // count(*) END AS BIGINT) AS hapax_share_ppm
+FROM tc GROUP BY 1"""
     return out

@@ -1957,3 +1957,45 @@ def packing_audit(
             .alias("crossing_ppm"),
         )
     )
+
+
+def lexical_richness(docs: DataFrame, by: str = "source") -> DataFrame:
+    """Lexical-richness profile per group (t39): token mass, distinct
+    vocabulary, HAPAX LEGOMENA (once-only tokens within the group),
+    type-token ratio and hapax share in truncating ppm — the
+    template-vs-organic signal next to t37's burstiness: scraped
+    boilerplate shows a LOW hapax share (the same tokens over and
+    over), organic prose keeps minting one-offs. t26's Heaps curve
+    tracks vocabulary GROWTH over doc ranks; this is the settled
+    per-group summary a curation dashboard shelves next to it.
+
+    One (group, token) shuffle (lowercased whitespace tokens, blanks
+    dropped), one group re-agg — gram-linear. A group with zero
+    tokens yields NULL ratios (absent, never a divide blow-up).
+
+    Returns (group, n_tokens, vocab, hapax, ttr_ppm,
+    hapax_share_ppm), all BIGINT.
+    """
+    toks = docs.select(
+        F.col(by).alias("grp"),
+        F.explode(tokens(F.lower(_c("text")))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    tc = toks.groupBy("grp", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return tc.groupBy(F.col("grp").alias(by)).agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("long").alias(
+            "hapax"
+        ),
+        F.expr(
+            "CASE WHEN sum(n) = 0 THEN NULL"
+            " ELSE (1000000 * count(1)) div sum(n) END"
+        ).cast("long").alias("ttr_ppm"),
+        F.expr(
+            "CASE WHEN count(1) = 0 THEN NULL"
+            " ELSE (1000000 * sum(CASE WHEN n = 1 THEN 1 ELSE 0 END))"
+            " div count(1) END"
+        ).cast("long").alias("hapax_share_ppm"),
+    )

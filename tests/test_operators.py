@@ -6832,3 +6832,31 @@ def test_forecast_interval_coverage_hand_series(spark):
     m = out["m"]
     assert m["band_width_micro"] == 0  # mid window was clean
     assert m["n_inside"] == 12 and m["coverage_ppm"] == 500_000
+
+
+def test_lexical_richness_hand_corpus(spark):
+    """r13 cont.: t39 — hapax counts within the GROUP (a token once in
+    each of two groups is hapax in both), case-folded tokens merge,
+    and TTR/hapax ppm truncate."""
+    from learn_etl_data_warehouse_spark.operators.text import (
+        lexical_richness,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", "the The cat"),     # 'the' x2 (case-folded), 'cat' x1
+            ("a", "cat dog"),          # 'cat' -> x2, 'dog' hapax
+            ("b", "the"),              # 'the' hapax IN b
+            ("c", "   "),              # blank doc: zero tokens
+        ],
+        "source string, text string",
+    )
+    out = {r["source"]: r for r in lexical_richness(df).collect()}
+    a = out["a"]
+    assert a["n_tokens"] == 5 and a["vocab"] == 3
+    assert a["hapax"] == 1  # only 'dog'
+    assert a["ttr_ppm"] == 600_000
+    assert a["hapax_share_ppm"] == 333_333
+    b = out["b"]
+    assert b["vocab"] == 1 and b["hapax"] == 1
+    assert "c" not in out  # zero-token group produces no (grp, tok) rows
