@@ -6523,6 +6523,33 @@ def q_t39(spark, sf_dir):
     return text.lexical_richness(_t(spark, sf_dir, "documents"))
 
 
+def q_pf17(spark, sf_dir):
+    """String-length profile (r13 cont.): per audited varchar column,
+    min/max/sum length + truncating micro mean (CHARACTERS — byte
+    ledgers are m07's job) and the NULL vs BLANK split (present-but-
+    empty rows a NULL audit waves through — the j03 empty-merchant
+    class). The string half of intake profiling next to pf16's id
+    density (operators/profiling.py::string_length_profile)."""
+    from learn_etl_data_warehouse_spark.operators.profiling import (
+        string_length_profile,
+    )
+
+    specs = [
+        ("documents", "text", _t(spark, sf_dir, "documents"),
+         F.col("text")),
+        ("documents", "lang", _t(spark, sf_dir, "documents"),
+         F.col("lang")),
+        ("customer", "c_name", _t(spark, sf_dir, "customer"),
+         F.col("c_name")),
+        ("part", "p_type", _t(spark, sf_dir, "part"), F.col("p_type")),
+        ("orders", "o_orderpriority", _t(spark, sf_dir, "orders"),
+         F.col("o_orderpriority")),
+        ("events", "event_type", _t(spark, sf_dir, "events"),
+         F.col("event_type")),
+    ]
+    return string_length_profile(specs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -6888,6 +6915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml09_naive_bayes": q_ml09,
         "fc10_interval_coverage": q_fc10,
         "t39_lexical_richness": q_t39,
+        "pf17_string_length_profile": q_pf17,
         # -- rows-only (no-oracle) queries stay LAST so the window is
         # -- 100% hash-checkable --------------------------------------
         "e22_rolling_distinct_hll": q_e22,
@@ -13405,4 +13433,33 @@ SELECT source,
                  ELSE (1000000 * sum(CASE WHEN n = 1 THEN 1 ELSE 0 END))
                       // count(*) END AS BIGINT) AS hapax_share_ppm
 FROM tc GROUP BY 1"""
+    # pf17: one narrow agg per audited varchar column; length() is
+    # CHARACTER count on both engines (strlen would be bytes).
+    _pf17_parts = []
+    for _tbl, _cn in [
+        ("documents", "text"),
+        ("documents", "lang"),
+        ("customer", "c_name"),
+        ("part", "p_type"),
+        ("orders", "o_orderpriority"),
+        ("events", "event_type"),
+    ]:
+        _pf17_parts.append(f"""
+SELECT '{_tbl}' AS tbl, '{_cn}' AS col,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN {_cn} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       CAST(sum(CASE WHEN {_cn} IS NOT NULL AND trim({_cn}) = ''
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_blank,
+       CAST(min(length({_cn})) AS BIGINT) AS min_len,
+       CAST(max(length({_cn})) AS BIGINT) AS max_len,
+       CAST(sum(length({_cn})) AS BIGINT) AS sum_len,
+       CAST(CASE WHEN count(*) - sum(CASE WHEN {_cn} IS NULL
+                                     THEN 1 ELSE 0 END) = 0 THEN NULL
+                 ELSE (1000000 * sum(length({_cn})))
+                      // (count(*) - sum(CASE WHEN {_cn} IS NULL
+                                         THEN 1 ELSE 0 END)) END
+            AS BIGINT) AS mean_len_micro
+FROM {_tbl}""")
+    out["pf17_string_length_profile"] = "\nUNION ALL\n".join(_pf17_parts)
     return out

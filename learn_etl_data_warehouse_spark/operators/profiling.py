@@ -733,3 +733,55 @@ def id_gap_audit(specs) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def string_length_profile(specs) -> DataFrame:
+    """String-hygiene profile (pf17): per audited varchar column, the
+    length distribution (min/max/sum + truncating micro mean over
+    NON-NULL values, in CHARACTERS — both engines' length() is
+    character count; byte ledgers are m07's job) and the NULL/blank
+    split — blank = non-NULL but trim-empty, the "present but empty"
+    rows a NULL-count audit (pf01/pf15) silently waves through. The
+    string half of intake profiling next to pf16's id density.
+
+    ``specs`` is (table_name, column_name, frame, Column); one narrow
+    agg per spec, outputs unioned. An all-NULL column yields NULL
+    length fields (absent, never zero-pretending).
+
+    Returns (tbl, col, n_rows, n_null, n_blank, min_len, max_len,
+    sum_len, mean_len_micro), all BIGINT.
+    """
+    parts = []
+    for tbl, col_name, frame, expr in specs:
+        ln = F.length(expr)
+        parts.append(
+            frame.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(expr.isNull().cast("long")).cast("long").alias(
+                    "n_null"
+                ),
+                F.sum(
+                    (expr.isNotNull() & (F.trim(expr) == "")).cast("long")
+                ).cast("long").alias("n_blank"),
+                F.min(ln).cast("long").alias("min_len"),
+                F.max(ln).cast("long").alias("max_len"),
+                F.sum(ln).cast("long").alias("sum_len"),
+            ).select(
+                F.lit(tbl).alias("tbl"),
+                F.lit(col_name).alias("col"),
+                "n_rows",
+                "n_null",
+                "n_blank",
+                "min_len",
+                "max_len",
+                "sum_len",
+                F.expr(
+                    "CASE WHEN n_rows - n_null = 0 THEN NULL"
+                    " ELSE (1000000 * sum_len) div (n_rows - n_null) END"
+                ).cast("long").alias("mean_len_micro"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

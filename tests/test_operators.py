@@ -6860,3 +6860,34 @@ def test_lexical_richness_hand_corpus(spark):
     b = out["b"]
     assert b["vocab"] == 1 and b["hapax"] == 1
     assert "c" not in out  # zero-token group produces no (grp, tok) rows
+
+
+def test_string_length_profile_hand_frame(spark):
+    """r13 cont.: pf17 — NULL vs BLANK split (present-but-empty is not
+    null), character lengths, truncating mean over NON-NULL values,
+    all-NULL column yields NULL length fields."""
+    from learn_etl_data_warehouse_spark.operators.profiling import (
+        string_length_profile,
+    )
+
+    df = spark.createDataFrame(
+        [("abc",), ("  ",), (None,), ("de",)], "s string"
+    )
+    allnull = spark.createDataFrame([(None,), (None,)], "s string")
+    out = {
+        r["col"]: r
+        for r in string_length_profile(
+            [
+                ("t", "s", df, F.col("s")),
+                ("t", "n", allnull, F.col("s")),
+            ]
+        ).collect()
+    }
+    s = out["s"]
+    assert s["n_rows"] == 4 and s["n_null"] == 1 and s["n_blank"] == 1
+    assert s["min_len"] == 2 and s["max_len"] == 3
+    assert s["sum_len"] == 7  # 3 + 2 + 2 (blank keeps its spaces)
+    assert s["mean_len_micro"] == (1_000_000 * 7) // 3
+    n = out["n"]
+    assert n["n_null"] == 2 and n["min_len"] is None
+    assert n["mean_len_micro"] is None
