@@ -6550,6 +6550,21 @@ def q_pf17(spark, sf_dir):
     return string_length_profile(specs)
 
 
+def q_g20(spark, sf_dir):
+    """DFG reciprocity (r13 cont.): per unordered activity pair, both
+    directions' traversal counts + the mutual flag + ping-pong mass
+    (min of the two) — one-way edges are pipeline, heavy mutual edges
+    are rework loops at the PAIR grain (sharper than pm05's
+    per-activity rate); the classic directed-graph statistic the
+    g-family lacked. Self-loops excluded (pm05's job)
+    (operators/process_mining.py::dfg_reciprocity)."""
+    from learn_etl_data_warehouse_spark.operators.process_mining import (
+        dfg_reciprocity,
+    )
+
+    return dfg_reciprocity(_t(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -6916,6 +6931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fc10_interval_coverage": q_fc10,
         "t39_lexical_richness": q_t39,
         "pf17_string_length_profile": q_pf17,
+        "g20_dfg_reciprocity": q_g20,
         # -- rows-only (no-oracle) queries stay LAST so the window is
         # -- 100% hash-checkable --------------------------------------
         "e22_rolling_distinct_hll": q_e22,
@@ -13462,4 +13478,25 @@ SELECT '{_tbl}' AS tbl, '{_cn}' AS col,
             AS BIGINT) AS mean_len_micro
 FROM {_tbl}""")
     out["pf17_string_length_profile"] = "\nUNION ALL\n".join(_pf17_parts)
+    # g20: DFG edge counts via lead over the total (ts, id) trace
+    # order, folded to unordered pairs with conditional sums.
+    out["g20_dfg_reciprocity"] = """
+WITH ev AS (SELECT user_id AS u, ts, event_id AS id, event_type AS t
+            FROM events),
+h AS (SELECT t AS a,
+             lead(t) OVER (PARTITION BY u ORDER BY ts, id) AS b
+      FROM ev),
+e AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n
+      FROM h WHERE b IS NOT NULL AND a <> b GROUP BY 1, 2),
+m AS (SELECT least(a, b) AS lo, greatest(a, b) AS hi,
+             CAST(sum(CASE WHEN a < b THEN n ELSE 0 END) AS BIGINT)
+               AS n_fwd,
+             CAST(sum(CASE WHEN a > b THEN n ELSE 0 END) AS BIGINT)
+               AS n_rev
+      FROM e GROUP BY 1, 2)
+SELECT lo, hi, n_fwd, n_rev,
+       CAST(CASE WHEN n_fwd > 0 AND n_rev > 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS is_mutual,
+       CAST(least(n_fwd, n_rev) AS BIGINT) AS pingpong_n
+FROM m"""
     return out

@@ -18,6 +18,8 @@ __all__ = [
     "direct_follows_graph",
     "conformance_fitness",
     "start_end_profile",
+    "handover_network",
+    "dfg_reciprocity",
 ]
 
 
@@ -473,4 +475,58 @@ def handover_network(
             "mean_lag_days"
         ),
         F.max("_lag").cast("long").alias("max_lag_days"),
+    )
+
+
+def dfg_reciprocity(
+    events: DataFrame,
+    actor_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Directed-edge RECIPROCITY over the directly-follows graph
+    (g20): per unordered activity pair, both directions' traversal
+    counts, the mutual flag and the ping-pong mass (min of the two —
+    the volume provably bouncing back and forth). A process whose DFG
+    is largely one-way is a pipeline; heavy mutual edges are rework
+    loops at the PAIR grain, sharper than pm05's per-activity rework
+    rate, and the graph-measure complement the g-family lacked
+    (reciprocity is THE classic directed-graph statistic).
+
+    Self-loops (a = b) are excluded — same-activity repeats belong to
+    pm05. The fold to unordered pairs is ONE conditional-sum hash agg
+    over the |alphabet|²-bounded edge list (least/greatest on the
+    activity strings, both engines' collation = byte order on ASCII
+    fixtures). Returns (lo, hi, n_fwd, n_rev, is_mutual,
+    pingpong_n), all counts BIGINT; n_fwd = lo→hi traversals.
+    """
+    dfg = direct_follows_graph(
+        events, actor_col, ts_col, type_col, id_col
+    ).filter(F.col("a") != F.col("b"))
+    m = dfg.select(
+        F.least(F.col("a"), F.col("b")).alias("lo"),
+        F.greatest(F.col("a"), F.col("b")).alias("hi"),
+        F.when(F.col("a") < F.col("b"), F.col("n_traversals"))
+        .otherwise(0).alias("_f"),
+        F.when(F.col("a") > F.col("b"), F.col("n_traversals"))
+        .otherwise(0).alias("_r"),
+    )
+    return (
+        m.groupBy("lo", "hi")
+        .agg(
+            F.sum("_f").cast("long").alias("n_fwd"),
+            F.sum("_r").cast("long").alias("n_rev"),
+        )
+        .select(
+            "lo",
+            "hi",
+            "n_fwd",
+            "n_rev",
+            ((F.col("n_fwd") > 0) & (F.col("n_rev") > 0))
+            .cast("long").alias("is_mutual"),
+            F.least(F.col("n_fwd"), F.col("n_rev")).cast("long").alias(
+                "pingpong_n"
+            ),
+        )
     )

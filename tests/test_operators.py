@@ -6891,3 +6891,31 @@ def test_string_length_profile_hand_frame(spark):
     n = out["n"]
     assert n["n_null"] == 2 and n["min_len"] is None
     assert n["mean_len_micro"] is None
+
+
+def test_dfg_reciprocity_hand_trace(spark):
+    """r13 cont.: g20 — a one-way pair, a mutual ping-pong pair, and
+    excluded self-loops, from a single actor's hand trace."""
+    from datetime import datetime, timedelta
+
+    from learn_etl_data_warehouse_spark.operators.process_mining import (
+        dfg_reciprocity,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    seq = ["a", "b", "a", "b", "c", "c", "d"]
+    rows = [
+        (i, t0 + timedelta(hours=i), 1, act) for i, act in enumerate(seq)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {(r["lo"], r["hi"]): r for r in dfg_reciprocity(df).collect()}
+    ab = out[("a", "b")]
+    assert ab["n_fwd"] == 2 and ab["n_rev"] == 1  # a>b>a>b ping-pong
+    assert ab["is_mutual"] == 1 and ab["pingpong_n"] == 1
+    bc = out[("b", "c")]
+    assert bc["n_fwd"] == 1 and bc["n_rev"] == 0
+    assert bc["is_mutual"] == 0 and bc["pingpong_n"] == 0
+    assert ("c", "c") not in out  # self-loop excluded
+    assert ("c", "d") in out
