@@ -6565,6 +6565,20 @@ def q_g20(spark, sf_dir):
     return dfg_reciprocity(_t(spark, sf_dir, "events"))
 
 
+def q_ca05(spark, sf_dir):
+    """New-vs-returning revenue (r13 cont.): per month, revenue split
+    by whether the customer is placing their FIRST-EVER order — e11's
+    acquisition/retention accounting lifted to the revenue grain.
+    First month = customer-grain min-aggregate + equi-join (no
+    window); exact cents; share numerator in DECIMAL(38,0) (a31
+    class) (operators/product_analytics.py::new_returning_revenue)."""
+    from learn_etl_data_warehouse_spark.operators.product_analytics import (
+        new_returning_revenue,
+    )
+
+    return new_returning_revenue(_t(spark, sf_dir, "orders"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -6932,6 +6946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t39_lexical_richness": q_t39,
         "pf17_string_length_profile": q_pf17,
         "g20_dfg_reciprocity": q_g20,
+        "ca05_new_returning_revenue": q_ca05,
         # -- rows-only (no-oracle) queries stay LAST so the window is
         # -- 100% hash-checkable --------------------------------------
         "e22_rolling_distinct_hll": q_e22,
@@ -13499,4 +13514,26 @@ SELECT lo, hi, n_fwd, n_rev,
             AS BIGINT) AS is_mutual,
        CAST(least(n_fwd, n_rev) AS BIGINT) AS pingpong_n
 FROM m"""
+    # ca05: first month per customer as a min-aggregate joined back;
+    # share numerator in HUGEINT (≡ Spark DECIMAL(38,0)).
+    out["ca05_new_returning_revenue"] = """
+WITH b AS (SELECT o_custkey AS c,
+                  CAST(year(o_orderdate) * 100 + month(o_orderdate)
+                       AS BIGINT) AS mk,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS r
+           FROM orders),
+fm AS (SELECT c, min(mk) AS f FROM b GROUP BY 1),
+j AS (SELECT b.mk, b.r,
+             CASE WHEN b.mk = fm.f THEN 1 ELSE 0 END AS nw
+      FROM b JOIN fm ON fm.c = b.c)
+SELECT mk AS month_key,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(nw) AS BIGINT) AS n_new_orders,
+       CAST(sum(r) AS BIGINT) AS revenue_cents,
+       CAST(sum(nw * r) AS BIGINT) AS new_revenue_cents,
+       CAST(sum((1 - nw) * r) AS BIGINT) AS returning_revenue_cents,
+       CAST(CASE WHEN sum(r) = 0 THEN NULL
+                 ELSE (1000000 * CAST(sum(nw * r) AS HUGEINT))
+                      // sum(r) END AS BIGINT) AS new_share_ppm
+FROM j GROUP BY 1"""
     return out

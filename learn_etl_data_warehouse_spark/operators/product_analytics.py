@@ -728,3 +728,57 @@ def hhi_concentration(
             " div CAST(total_cents AS DECIMAL(38,0)) AS BIGINT)"
         ).alias("top_share_ppm"),
     )
+
+
+def new_returning_revenue(
+    orders: DataFrame,
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    price_col: str = "o_totalprice",
+) -> DataFrame:
+    """New-vs-returning revenue bridge (ca05): per calendar month, how
+    much revenue came from customers placing their FIRST-EVER order
+    that month vs the installed base — the acquisition-vs-retention
+    split e11 computes for event users, lifted to the ORDER/revenue
+    grain (a growth chart whose 'new' slice shrinks while total holds
+    is a retention business; the reverse is an acquisition treadmill).
+
+    month = year·100 + month (integer key, NTZ-safe — year()/month()
+    never touch unix_micros); a customer is NEW in exactly their
+    min-month (computed as a customer-grain AGGREGATE + broadcast-less
+    equi-join back — no window over the order history). Revenue in
+    exact cents; the share's ×1e6 numerator is born in DECIMAL(38,0)
+    (the a31 overflow class — 1e6·monthly-cents passes 2^63 at fleet
+    scale) with one truncating div.
+
+    Returns (month_key, n_orders, n_new_orders, revenue_cents,
+    new_revenue_cents, returning_revenue_cents, new_share_ppm), all
+    BIGINT.
+    """
+    b = orders.select(
+        F.col(cust_col).alias("_c"),
+        (
+            F.year(F.col(date_col)) * 100 + F.month(F.col(date_col))
+        ).cast("long").alias("mk"),
+        F.expr(f"CAST(round({price_col} * 100) AS BIGINT)").alias("_r"),
+    )
+    fm = b.groupBy("_c").agg(F.min("mk").alias("_fm"))
+    j = b.join(fm, "_c").withColumn(
+        "_new", (F.col("mk") == F.col("_fm")).cast("long")
+    )
+    return j.groupBy(F.col("mk").alias("month_key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("_new").cast("long").alias("n_new_orders"),
+        F.sum("_r").cast("long").alias("revenue_cents"),
+        F.sum(F.col("_new") * F.col("_r")).cast("long").alias(
+            "new_revenue_cents"
+        ),
+        F.sum((1 - F.col("_new")) * F.col("_r")).cast("long").alias(
+            "returning_revenue_cents"
+        ),
+        F.expr(
+            "CASE WHEN sum(_r) = 0 THEN NULL"
+            " ELSE (CAST(1000000 AS DECIMAL(38,0)) * sum(_new * _r))"
+            " div sum(_r) END"
+        ).cast("long").alias("new_share_ppm"),
+    )

@@ -6919,3 +6919,37 @@ def test_dfg_reciprocity_hand_trace(spark):
     assert bc["is_mutual"] == 0 and bc["pingpong_n"] == 0
     assert ("c", "c") not in out  # self-loop excluded
     assert ("c", "d") in out
+
+
+def test_new_returning_revenue_hand_frame(spark):
+    """r13 cont.: ca05 — a customer is NEW only in their min month
+    (two orders in the first month both count new), shares truncate,
+    and the split conserves total revenue."""
+    from datetime import datetime
+
+    from learn_etl_data_warehouse_spark.operators.product_analytics import (
+        new_returning_revenue,
+    )
+
+    d = lambda s: datetime.strptime(s, "%Y-%m-%d")
+    rows = [
+        (1, d("2024-01-05"), 10.0),
+        (1, d("2024-01-20"), 20.0),  # same first month: still new
+        (1, d("2024-02-10"), 40.0),  # returning
+        (2, d("2024-02-01"), 5.0),   # new in Feb
+    ]
+    df = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate timestamp, o_totalprice double"
+    )
+    out = {r["month_key"]: r for r in new_returning_revenue(df).collect()}
+    jan = out[202401]
+    assert jan["n_orders"] == jan["n_new_orders"] == 2
+    assert jan["new_revenue_cents"] == 3000
+    assert jan["returning_revenue_cents"] == 0
+    assert jan["new_share_ppm"] == 1_000_000
+    feb = out[202402]
+    assert feb["n_new_orders"] == 1
+    assert feb["new_revenue_cents"] == 500
+    assert feb["returning_revenue_cents"] == 4000
+    assert feb["revenue_cents"] == 4500
+    assert feb["new_share_ppm"] == (1_000_000 * 500) // 4500
