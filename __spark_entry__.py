@@ -6579,6 +6579,21 @@ def q_ca05(spark, sf_dir):
     return new_returning_revenue(_t(spark, sf_dir, "orders"))
 
 
+def q_e39(spark, sf_dir):
+    """Anomaly co-occurrence (r13 cont.): which keys go anomalous in
+    the SAME hours — co-flagged counts, same-status subset (shared
+    surge vs cannibalization) and flagged-set Jaccard ppm per key
+    pair, from e16's seasonal flags. Platform-wide incidents light up
+    many keys at once; high-Jaccard pairs share a cause. The
+    hr-equality self-join runs on the anomaly-sparse flagged set only
+    (operators/timeseries.py::anomaly_overlap)."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        anomaly_overlap,
+    )
+
+    return anomaly_overlap(_t(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -6947,6 +6962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pf17_string_length_profile": q_pf17,
         "g20_dfg_reciprocity": q_g20,
         "ca05_new_returning_revenue": q_ca05,
+        "e39_anomaly_overlap": q_e39,
         # -- rows-only (no-oracle) queries stay LAST so the window is
         # -- 100% hash-checkable --------------------------------------
         "e22_rolling_distinct_hll": q_e22,
@@ -13536,4 +13552,35 @@ SELECT mk AS month_key,
                  ELSE (1000000 * CAST(sum(nw * r) AS HUGEINT))
                       // sum(r) END AS BIGINT) AS new_share_ppm
 FROM j GROUP BY 1"""
+    # e39: e16's flag set nested, hr-equality self-join on flagged
+    # rows only, pair fold with key_a < key_b.
+    out["e39_anomaly_overlap"] = """
+WITH h AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hr, count(*) AS x
+  FROM events GROUP BY 1, 2),
+p AS (
+  SELECT event_type, hr % 24 AS hod, count(*) AS n_obs,
+         CAST((sum(x) * 1000000) // count(*) AS BIGINT) AS mean_micros
+  FROM h GROUP BY 1, 2),
+fl AS (
+  SELECT h.event_type AS k, h.hr,
+         CASE WHEN h.x * 1000000 > 2 * p.mean_micros
+              THEN 'hot' ELSE 'cold' END AS status
+  FROM h JOIN p ON h.event_type = p.event_type AND h.hr % 24 = p.hod
+  WHERE h.x * 1000000 > 2 * p.mean_micros
+     OR h.x * 2000000 < p.mean_micros),
+bo AS (
+  SELECT a.k AS key_a, b.k AS key_b,
+         CAST(count(*) AS BIGINT) AS n_both,
+         CAST(sum(CASE WHEN a.status = b.status THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_same_status
+  FROM fl a JOIN fl b ON a.hr = b.hr AND a.k < b.k
+  GROUP BY 1, 2),
+c AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM fl GROUP BY 1)
+SELECT bo.key_a, bo.key_b, ca.n AS n_a, cb.n AS n_b,
+       bo.n_both, bo.n_same_status,
+       CAST((1000000 * bo.n_both) // (ca.n + cb.n - bo.n_both)
+            AS BIGINT) AS jaccard_ppm
+FROM bo JOIN c ca ON ca.k = bo.key_a
+          JOIN c cb ON cb.k = bo.key_b"""
     return out

@@ -2631,3 +2631,73 @@ def forecast_interval_coverage(
             "band_width_micro"
         ),
     )
+
+
+def anomaly_overlap(
+    df: DataFrame,
+    key: str = "event_type",
+    ts: str = "ts",
+    hot_times: int = 2,
+    cold_times: int = 2,
+) -> DataFrame:
+    """Cross-series anomaly co-occurrence (e39): for every key pair
+    that was EVER anomalous in the same hour (e16's seasonal flags),
+    the co-flagged hour count, the same-status subset (both hot /
+    both cold — a shared traffic surge vs one key cannibalizing
+    another) and the truncating Jaccard ppm of their flagged-hour
+    sets. The cross-series diagnostic the per-key anomaly family
+    lacked: platform-wide incidents light up MANY keys at once, and
+    high-Jaccard pairs share a cause.
+
+    Pairs that never co-flag produce no row (absent, never a zero
+    spray over |keys|²). The hr-equality self-join runs on the
+    FLAGGED set only — anomaly-sparse by construction, bounded by the
+    hourly grid, never the event log. Returns (key_a, key_b, n_a,
+    n_b, n_both, n_same_status, jaccard_ppm) with key_a < key_b.
+    """
+    fl = seasonal_hourly_anomaly(
+        df, key, ts, hot_times, cold_times
+    ).select(F.col(key).alias("_k"), "hr", "status")
+    a = fl.select(
+        F.col("_k").alias("key_a"), "hr", F.col("status").alias("_sa")
+    )
+    b = fl.select(
+        F.col("_k").alias("key_b"), "hr", F.col("status").alias("_sb")
+    )
+    both = (
+        a.join(b, "hr")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .groupBy("key_a", "key_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_both"),
+            F.sum(
+                (F.col("_sa") == F.col("_sb")).cast("long")
+            ).cast("long").alias("n_same_status"),
+        )
+    )
+    counts = fl.groupBy(F.col("_k")).agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    return (
+        both.join(
+            counts.select(F.col("_k").alias("key_a"),
+                          F.col("_n").alias("n_a")),
+            "key_a",
+        )
+        .join(
+            counts.select(F.col("_k").alias("key_b"),
+                          F.col("_n").alias("n_b")),
+            "key_b",
+        )
+        .select(
+            "key_a",
+            "key_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            "n_same_status",
+            F.expr(
+                "(1000000 * n_both) div (n_a + n_b - n_both)"
+            ).cast("long").alias("jaccard_ppm"),
+        )
+    )

@@ -6953,3 +6953,42 @@ def test_new_returning_revenue_hand_frame(spark):
     assert feb["returning_revenue_cents"] == 4000
     assert feb["revenue_cents"] == 4500
     assert feb["new_share_ppm"] == (1_000_000 * 500) // 4500
+
+
+def test_anomaly_overlap_hand_series(spark):
+    """r13 cont.: e39 — two keys spiking the same hour co-flag with
+    same-status credit; a third key spiking alone joins no pair; the
+    Jaccard denominator is the union of flagged sets."""
+    from datetime import datetime, timedelta
+
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        anomaly_overlap,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for h in range(48):
+        for k in ("a", "b", "c"):
+            n = 1
+            if h == 10 and k in ("a", "b"):
+                n = 50  # shared surge: a and b co-flag hot
+            if h == 20 and k == "a":
+                n = 50  # a flags alone
+            if h == 30 and k == "c":
+                n = 50  # c flags alone
+            for _ in range(n):
+                rows.append((eid, t0 + timedelta(hours=h), 1, k, 1.0))
+                eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    out = {
+        (r["key_a"], r["key_b"]): r for r in anomaly_overlap(df).collect()
+    }
+    ab = out[("a", "b")]
+    assert ab["n_both"] == 1 and ab["n_same_status"] == 1
+    assert ab["n_a"] == 2 and ab["n_b"] == 1
+    assert ab["jaccard_ppm"] == 500_000  # 1 / (2 + 1 - 1)
+    assert ("a", "c") not in out and ("b", "c") not in out
