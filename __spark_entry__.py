@@ -6594,6 +6594,20 @@ def q_e39(spark, sf_dir):
     return anomaly_overlap(_t(spark, sf_dir, "events"))
 
 
+def q_st14(spark, sf_dir):
+    """Paired sign test (r13 cont.): per key, AM vs PM volume paired
+    BY DAY — the distribution-free paired companion to st05's
+    unpaired rank-sum (pairing removes day-level shifts); n_pos/
+    n_neg/n_tie and the signed UNDIVIDED s_stat, the st08 posture
+    (operators/timeseries.py::sign_test_am_pm)."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        hourly_counts,
+        sign_test_am_pm,
+    )
+
+    return sign_test_am_pm(hourly_counts(_t(spark, sf_dir, "events")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -6963,6 +6977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g20_dfg_reciprocity": q_g20,
         "ca05_new_returning_revenue": q_ca05,
         "e39_anomaly_overlap": q_e39,
+        "st14_sign_test": q_st14,
         # -- rows-only (no-oracle) queries stay LAST so the window is
         # -- 100% hash-checkable --------------------------------------
         "e22_rolling_distinct_hll": q_e22,
@@ -13583,4 +13598,24 @@ SELECT bo.key_a, bo.key_b, ca.n AS n_a, cb.n AS n_b,
             AS BIGINT) AS jaccard_ppm
 FROM bo JOIN c ca ON ca.k = bo.key_a
           JOIN c cb ON cb.k = bo.key_b"""
+    # st14: (key, day) conditional halves, key re-agg; s undivided.
+    out["st14_sign_test"] = """
+WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                  CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+d AS (SELECT event_type, hr // 24 AS d,
+             CAST(sum(CASE WHEN hr % 24 < 12 THEN x ELSE 0 END)
+                  AS BIGINT) AS am,
+             CAST(sum(CASE WHEN hr % 24 >= 12 THEN x ELSE 0 END)
+                  AS BIGINT) AS pm
+      FROM h GROUP BY 1, 2)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN pm > am THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(sum(CASE WHEN pm < am THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+       CAST(sum(CASE WHEN pm = am THEN 1 ELSE 0 END) AS BIGINT) AS n_tie,
+       CAST(sum(CASE WHEN pm > am THEN 1 ELSE 0 END)
+            - sum(CASE WHEN pm < am THEN 1 ELSE 0 END) AS BIGINT)
+         AS s_stat
+FROM d GROUP BY 1"""
     return out

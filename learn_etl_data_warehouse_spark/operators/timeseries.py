@@ -2701,3 +2701,43 @@ def anomaly_overlap(
             ).cast("long").alias("jaccard_ppm"),
         )
     )
+
+
+def sign_test_am_pm(hourly: DataFrame, key: str = "event_type") -> DataFrame:
+    """Paired SIGN TEST (st14): per key, each calendar day pairs its
+    AM (hours 0-11) and PM (hours 12-23) volumes, and the statistic
+    counts which half wins — the distribution-free PAIRED companion
+    to st05's unpaired rank-sum: pairing by day removes day-to-day
+    level shifts (growth, weekday mix) that contaminate an unpaired
+    compare, and the sign test needs no symmetry assumption.
+
+    All integer: n_pos (PM > AM), n_neg, n_tie, and the signed
+    s_stat = n_pos − n_neg UNDIVIDED (the st08/fc02 posture — the
+    consumer normalizes; no float, no binomial tail here: C(n, k)
+    passes DECIMAL(38,0) by n ≈ 130). Days are those the key has ANY
+    observed hour (unobserved half-days are honest zeros). One hash
+    agg to (key, day) with conditional sums, one key re-agg.
+
+    Returns (key, n_pairs, n_pos, n_neg, n_tie, s_stat), all BIGINT.
+    """
+    d = hourly.groupBy(
+        F.col(key), F.expr("hr div 24").cast("long").alias("_d")
+    ).agg(
+        F.sum(F.when(F.expr("hr % 24") < 12, F.col("x")).otherwise(0))
+        .cast("long").alias("_am"),
+        F.sum(F.when(F.expr("hr % 24") >= 12, F.col("x")).otherwise(0))
+        .cast("long").alias("_pm"),
+    )
+    return d.groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("_pm") > F.col("_am"), 1).otherwise(0))
+        .cast("long").alias("n_pos"),
+        F.sum(F.when(F.col("_pm") < F.col("_am"), 1).otherwise(0))
+        .cast("long").alias("n_neg"),
+        F.sum(F.when(F.col("_pm") == F.col("_am"), 1).otherwise(0))
+        .cast("long").alias("n_tie"),
+        (
+            F.sum(F.when(F.col("_pm") > F.col("_am"), 1).otherwise(0))
+            - F.sum(F.when(F.col("_pm") < F.col("_am"), 1).otherwise(0))
+        ).cast("long").alias("s_stat"),
+    )

@@ -6992,3 +6992,29 @@ def test_anomaly_overlap_hand_series(spark):
     assert ab["n_a"] == 2 and ab["n_b"] == 1
     assert ab["jaccard_ppm"] == 500_000  # 1 / (2 + 1 - 1)
     assert ("a", "c") not in out and ("b", "c") not in out
+
+
+def test_sign_test_am_pm_hand_series(spark):
+    """r13 cont.: st14 — planted PM-heavy, AM-heavy, tied and
+    half-empty days pin the sign counts and the signed statistic."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        sign_test_am_pm,
+    )
+
+    rows = [
+        # day 0: PM wins (am 1, pm 3)
+        ("k", 2, 1), ("k", 14, 3),
+        # day 1: AM wins
+        ("k", 26, 5), ("k", 38, 1),
+        # day 2: tie
+        ("k", 50, 2), ("k", 62, 2),
+        # day 3: only an AM hour observed -> pm = 0, AM wins
+        ("k", 75, 4),
+        # day 4: PM wins again
+        ("k", 110, 9),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, hr long, x long")
+    out = sign_test_am_pm(df).collect()[0]
+    assert out["n_pairs"] == 5
+    assert out["n_pos"] == 2 and out["n_neg"] == 2 and out["n_tie"] == 1
+    assert out["s_stat"] == 0
