@@ -858,3 +858,116 @@ def test_packing_audit_fuzz_vs_walk(spark, toks, cap):
         assert r["total_tokens"] == before
         assert r["n_bins"] == math.ceil(before / cap)
         assert r["n_crossings"] == crossings
+
+
+_kappa_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["g1", "g2"]),
+        st.integers(0, 1),
+        st.integers(0, 1),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(_kappa_rows)
+@SETTINGS
+def test_cohens_kappa_fuzz_vs_model(spark, rows):
+    """r13 cont.: st13's kernel vs a pure-Python integer model —
+    cells, po/pe ppm and the signed exact-rational kappa (NULL iff
+    chance-perfect)."""
+    from learn_etl_data_warehouse_spark.operators.evaluation import (
+        cohens_kappa,
+    )
+
+    df = spark.createDataFrame(
+        rows, "grp string, rater_a long, rater_b long"
+    )
+    got = {r["grp"]: r for r in cohens_kappa(df).collect()}
+
+    groups = {}
+    for g, a, b in rows:
+        groups.setdefault(g, []).append((a, b))
+    for g, pairs in groups.items():
+        n = len(pairs)
+        n11 = sum(1 for a, b in pairs if a == 1 and b == 1)
+        n10 = sum(1 for a, b in pairs if a == 1 and b == 0)
+        n01 = sum(1 for a, b in pairs if a == 0 and b == 1)
+        n00 = n - n11 - n10 - n01
+        chance = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+        r = got[g]
+        assert (r["n11"], r["n10"], r["n01"], r["n00"]) == (
+            n11, n10, n01, n00,
+        )
+        assert r["po_ppm"] == (1_000_000 * (n11 + n00)) // n
+        assert r["pe_ppm"] == (1_000_000 * chance) // (n * n)
+        if n * n == chance:
+            assert r["kappa_ppm"] is None
+        else:
+            num = 1_000_000 * (n * (n11 + n00) - chance)
+            den = n * n - chance
+            want = -((-num) // den) if num < 0 else num // den
+            assert r["kappa_ppm"] == want
+
+
+_hhi_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["m1", "m2"]),
+        st.integers(1, 8),
+        st.integers(1, 10_000),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(_hhi_rows)
+@SETTINGS
+def test_hhi_fuzz_vs_model(spark, rows):
+    """r13 cont.: a34's exact rational vs a pure-Python model, plus
+    the 1e6/n <= HHI <= 1e6 bound."""
+    from learn_etl_data_warehouse_spark.operators.product_analytics import (
+        hhi_concentration,
+    )
+
+    df = spark.createDataFrame(rows, "grp string, entity long, cents long")
+    got = {r["grp"]: r for r in hhi_concentration(df).collect()}
+    groups = {}
+    for g, e, c in rows:
+        groups.setdefault(g, {}).setdefault(e, 0)
+        groups[g][e] += c
+    for g, ents in groups.items():
+        tot = sum(ents.values())
+        sq = sum(v * v for v in ents.values())
+        r = got[g]
+        assert r["n_entities"] == len(ents)
+        assert r["total_cents"] == tot
+        assert r["hhi_ppm"] == (1_000_000 * sq) // (tot * tot)
+        assert r["top_share_ppm"] == (1_000_000 * max(ents.values())) // tot
+        assert (1_000_000 // len(ents)) - 1 <= r["hhi_ppm"] <= 1_000_000
+
+
+_cm_keys = st.lists(st.integers(0, 30), min_size=1, max_size=80)
+
+
+@given(_cm_keys)
+@SETTINGS
+def test_md5_cm_fuzz_invariants(spark, keys):
+    """r13 cont.: sk05's CM estimate never underestimates, is exact
+    for keys whose buckets nobody shares, and the audit covers every
+    distinct key when top >= distinct count."""
+    from learn_etl_data_warehouse_spark.operators.sketches import (
+        md5_cm_estimate_audit,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    out = md5_cm_estimate_audit(df, "k", width=16, depth=2, top=100).collect()
+    assert len(out) == len(set(keys))
+    from collections import Counter
+
+    exact = Counter(keys)
+    for r in out:
+        assert r["exact_n"] == exact[r["key"]]
+        assert r["overest"] >= 0
+        assert r["est_n"] == r["exact_n"] + r["overest"]
