@@ -107,6 +107,9 @@ HEADLINE = [
     "fc07_hw_mase",
     # r13 operators
     "s17_hyperplane_recall_audit",
+    # r13 continuation operators
+    "a34_hhi_concentration",
+    "ml09_naive_bayes",
 ]
 
 # The CROSS-ROUND COMPARISON ARTIFACT (r12 verdict item 7): the full
