@@ -56,6 +56,48 @@ def main() -> None:
             f", dup {r['dup_ppm']} ppm"
         )
 
+    # 0c. intake hygiene (pf17 + t39 + st13): the string-length profile
+    # a feed monitor alarms on (NULL vs present-but-blank split), the
+    # per-source lexical-richness shelf (template corpora show a low
+    # hapax share), and Cohen's kappa between the two cheapest quality
+    # raters — raw agreement flatters majority-leaning raters, kappa
+    # does not.
+    from learn_etl_data_warehouse_spark.operators.evaluation import (
+        cohens_kappa,
+    )
+    from learn_etl_data_warehouse_spark.operators.profiling import (
+        string_length_profile,
+    )
+
+    prof = string_length_profile(
+        [("documents", "text", docs, F.col("text"))]
+    ).collect()[0]
+    print(
+        f"intake profile [text]: len {prof['min_len']}-{prof['max_len']}"
+        f" mean {prof['mean_len_micro'] / 1e6:.1f} chars,"
+        f" {prof['n_null']} null / {prof['n_blank']} blank"
+    )
+    rich = text.lexical_richness(docs).orderBy("source").collect()
+    lo = min(rich, key=lambda r: r["hapax_share_ppm"])
+    print(
+        f"lexical richness: {len(rich)} sources; most template-like ="
+        f" {lo['source']} (hapax share {lo['hapax_share_ppm']} ppm,"
+        f" ttr {lo['ttr_ppm']} ppm)"
+    )
+    _nw = text.token_count("text")
+    _nonws = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+    kap = cohens_kappa(
+        docs.select(
+            F.lit("all").alias("grp"),
+            (_nw >= 40).cast("long").alias("rater_a"),
+            ((_nw > 0) & (_nonws >= 4 * _nw)).cast("long").alias("rater_b"),
+        )
+    ).collect()[0]
+    print(
+        f"rater agreement: po {kap['po_ppm']} ppm vs chance"
+        f" {kap['pe_ppm']} ppm -> kappa {kap['kappa_ppm']} ppm"
+    )
+
     # 1. heuristic quality gates (C4 + Gopher families)
     kept = text.c4_filters(docs).filter(F.col("kept")).select("doc_id")
     docs1 = docs.join(kept, "doc_id", "left_semi")
