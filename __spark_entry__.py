@@ -6608,6 +6608,16 @@ def q_st14(spark, sf_dir):
     return sign_test_am_pm(hourly_counts(_t(spark, sf_dir, "events")))
 
 
+def q_t41(spark, sf_dir):
+    """Boilerplate prefixes (r13 cont.): docs grouped on their first 8
+    lowercased tokens — the template screen for form letters whose
+    bodies differ enough to slip past d01's exact dedup while d34's
+    repeat scrub only fires on long verbatim runs; cross-source
+    prefixes are boilerplate, single-source ones are that source's
+    template (operators/text.py::boilerplate_prefixes)."""
+    return text.boilerplate_prefixes(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -6978,6 +6988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ca05_new_returning_revenue": q_ca05,
         "e39_anomaly_overlap": q_e39,
         "st14_sign_test": q_st14,
+        "t41_boilerplate_prefixes": q_t41,
         # -- rows-only (no-oracle) queries stay LAST so the window is
         # -- 100% hash-checkable --------------------------------------
         "e22_rolling_distinct_hll": q_e22,
@@ -13618,4 +13629,20 @@ SELECT event_type,
             - sum(CASE WHEN pm < am THEN 1 ELSE 0 END) AS BIGINT)
          AS s_stat
 FROM d GROUP BY 1"""
+    # t41: first-8-token prefix groups with count >= 2; share numer
+    # in HUGEINT (≡ Spark DECIMAL(38,0)).
+    out["t41_boilerplate_prefixes"] = f"""
+WITH toks AS (SELECT source, {_TOKS_L} AS t FROM documents),
+pr AS (SELECT source,
+              array_to_string(t[1:least(8, len(t))], ' ') AS prefix
+       FROM toks),
+b AS (SELECT source, prefix FROM pr WHERE prefix <> ''),
+tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM b),
+g AS (SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+      FROM b GROUP BY 1 HAVING count(*) >= 2)
+SELECT g.prefix, g.n_docs, g.n_sources,
+       CAST((CAST(1000000 AS HUGEINT) * g.n_docs) // tt.t AS BIGINT)
+         AS share_ppm
+FROM g CROSS JOIN tt"""
     return out

@@ -1999,3 +1999,45 @@ def lexical_richness(docs: DataFrame, by: str = "source") -> DataFrame:
             " div count(1) END"
         ).cast("long").alias("hapax_share_ppm"),
     )
+
+
+def boilerplate_prefixes(
+    docs: DataFrame, k: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """Template/boilerplate detection by shared opening (t41): docs
+    grouped on their first ``k`` lowercased tokens — the cheap
+    screen for form letters, scraped templates and generated pages
+    whose BODIES differ enough to slip past exact dedup (d01) while
+    d34's repeat scrub only fires on long verbatim runs. A prefix
+    held by many docs across many sources is boilerplate; one confined
+    to a single source is that source's template.
+
+    Only prefixes reaching ``min_docs`` emit (aggregate grain — the
+    output is bounded by duplicated-prefix count, never the corpus);
+    share ppm numerator born in DECIMAL(38,0) (the a31 class). Docs
+    shorter than k tokens group on their full token list; blank docs
+    drop. Returns (prefix, n_docs, n_sources, share_ppm).
+    """
+    t = tokens(F.lower(_c("text")))
+    prefix = F.array_join(F.slice(t, 1, int(k)), " ")
+    b = docs.select(
+        F.col("source"), prefix.alias("prefix")
+    ).filter(F.col("prefix") != "")
+    tot = b.agg(F.count(F.lit(1)).alias("_t"))
+    g = (
+        b.groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+        .filter(F.col("n_docs") >= int(min_docs))
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        "prefix",
+        "n_docs",
+        "n_sources",
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * n_docs) div _t"
+            " AS BIGINT)"
+        ).alias("share_ppm"),
+    )

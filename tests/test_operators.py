@@ -7018,3 +7018,33 @@ def test_sign_test_am_pm_hand_series(spark):
     assert out["n_pairs"] == 5
     assert out["n_pos"] == 2 and out["n_neg"] == 2 and out["n_tie"] == 1
     assert out["s_stat"] == 0
+
+
+def test_boilerplate_prefixes_hand_corpus(spark):
+    """r13 cont.: t41 — shared 8-token openings group (case-folded),
+    short docs group on their full list, singletons and blanks drop,
+    and n_sources distinguishes boilerplate from a source template."""
+    from learn_etl_data_warehouse_spark.operators.text import (
+        boilerplate_prefixes,
+    )
+
+    opener = "dear valued customer thank you for your order"
+    df = spark.createDataFrame(
+        [
+            ("s1", opener + " of widgets"),
+            ("s2", opener.upper() + " OF GADGETS"),  # case-folds in
+            ("s1", "short doc"),
+            ("s3", "short doc"),
+            ("s1", "a singleton document body here entirely unique"),
+            ("s1", "   "),
+        ],
+        "source string, text string",
+    )
+    out = {r["prefix"]: r for r in boilerplate_prefixes(df).collect()}
+    assert set(out) == {opener, "short doc"}
+    op = out[opener]
+    assert op["n_docs"] == 2 and op["n_sources"] == 2  # cross-source
+    sh = out["short doc"]
+    assert sh["n_docs"] == 2 and sh["n_sources"] == 2
+    # 5 non-blank docs total -> share 2/5
+    assert op["share_ppm"] == 400_000
