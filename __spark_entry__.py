@@ -6618,6 +6618,21 @@ def q_t41(spark, sf_dir):
     return text.boilerplate_prefixes(_t(spark, sf_dir, "documents"))
 
 
+def q_ops06(spark, sf_dir):
+    """Fulfillment span (r13 cont.): per priority, how long orders
+    stay open across their shipments — last-minus-first ship date at
+    ORDER grain (the multi-shipment spread ops01's per-line lag
+    misses) + the one-and-done share
+    (operators/product_analytics.py::fulfillment_span)."""
+    from learn_etl_data_warehouse_spark.operators.product_analytics import (
+        fulfillment_span,
+    )
+
+    return fulfillment_span(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -6989,6 +7004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e39_anomaly_overlap": q_e39,
         "st14_sign_test": q_st14,
         "t41_boilerplate_prefixes": q_t41,
+        "ops06_fulfillment_span": q_ops06,
         # -- rows-only (no-oracle) queries stay LAST so the window is
         # -- 100% hash-checkable --------------------------------------
         "e22_rolling_distinct_hll": q_e22,
@@ -13645,4 +13661,21 @@ SELECT g.prefix, g.n_docs, g.n_sources,
        CAST((CAST(1000000 AS HUGEINT) * g.n_docs) // tt.t AS BIGINT)
          AS share_ppm
 FROM g CROSS JOIN tt"""
+    # ops06: order-grain span first, then the priority agg; day spans
+    # non-negative so // ≡ div.
+    out["ops06_fulfillment_span"] = """
+WITH po AS (SELECT l_orderkey,
+                   CAST(date_diff('day', min(l_shipdate), max(l_shipdate))
+                        AS BIGINT) AS span
+            FROM lineitem GROUP BY 1),
+j AS (SELECT o.o_orderpriority AS priority, po.span
+      FROM po JOIN orders o ON o.o_orderkey = po.l_orderkey)
+SELECT priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST((1000000 * sum(CASE WHEN span = 0 THEN 1 ELSE 0 END))
+            // count(*) AS BIGINT) AS one_shot_ppm,
+       CAST((1000000 * sum(span)) // count(*) AS BIGINT)
+         AS mean_span_micro,
+       CAST(max(span) AS BIGINT) AS max_span_days
+FROM j GROUP BY 1"""
     return out

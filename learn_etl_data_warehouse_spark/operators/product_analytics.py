@@ -782,3 +782,45 @@ def new_returning_revenue(
             " div sum(_r) END"
         ).cast("long").alias("new_share_ppm"),
     )
+
+
+def fulfillment_span(
+    lineitem: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """Order fulfillment span report (ops06): per priority class, how
+    LONG an order stays open across its shipments — span = last minus
+    first ship date in integer days at ORDER grain (ops01 times each
+    line against order placement; the span is the multi-shipment
+    spread both miss), with the single-shipment share (span = 0: the
+    one-and-done orders a split-shipment cost model excludes).
+
+    Epoch-day idiom for NTZ safety; span mean as truncating micro on
+    non-negative operands; fact pre-aggregated to order grain BEFORE
+    the orders join (one fact shuffle, the a34 discipline).
+
+    Returns (priority, n_orders, one_shot_ppm, mean_span_micro,
+    max_span_days), all BIGINT.
+    """
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        (
+            F.max(F.datediff(F.col("l_shipdate"), F.lit("1970-01-01")))
+            - F.min(F.datediff(F.col("l_shipdate"), F.lit("1970-01-01")))
+        ).cast("long").alias("_span")
+    )
+    j = per_order.join(
+        orders.select(
+            F.col("o_orderkey"), F.col("o_orderpriority").alias("priority")
+        ),
+        per_order["l_orderkey"] == F.col("o_orderkey"),
+    )
+    return j.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.expr(
+            "(1000000 * sum(CASE WHEN _span = 0 THEN 1 ELSE 0 END))"
+            " div count(1)"
+        ).cast("long").alias("one_shot_ppm"),
+        F.expr("(1000000 * sum(_span)) div count(1)").cast("long").alias(
+            "mean_span_micro"
+        ),
+        F.max("_span").cast("long").alias("max_span_days"),
+    )

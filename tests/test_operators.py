@@ -7048,3 +7048,35 @@ def test_boilerplate_prefixes_hand_corpus(spark):
     assert sh["n_docs"] == 2 and sh["n_sources"] == 2
     # 5 non-blank docs total -> share 2/5
     assert op["share_ppm"] == 400_000
+
+
+def test_fulfillment_span_hand_frame(spark):
+    """r13 cont.: ops06 — a one-shot order pins span 0, a split order
+    pins the day spread, and the mixed priority aggregates truncate."""
+    from datetime import datetime
+
+    from learn_etl_data_warehouse_spark.operators.product_analytics import (
+        fulfillment_span,
+    )
+
+    d = lambda s: datetime.strptime(s, "%Y-%m-%d")
+    li = spark.createDataFrame(
+        [
+            (1, d("2024-01-10")), (1, d("2024-01-10")),  # one-shot
+            (2, d("2024-01-01")), (2, d("2024-01-08")),  # 7-day split
+            (3, d("2024-02-01")),                         # single line
+        ],
+        "l_orderkey long, l_shipdate timestamp",
+    )
+    o = spark.createDataFrame(
+        [(1, "1-URGENT"), (2, "1-URGENT"), (3, "2-HIGH")],
+        "o_orderkey long, o_orderpriority string",
+    )
+    out = {r["priority"]: r for r in fulfillment_span(li, o).collect()}
+    u = out["1-URGENT"]
+    assert u["n_orders"] == 2
+    assert u["one_shot_ppm"] == 500_000
+    assert u["mean_span_micro"] == 3_500_000  # (0 + 7) / 2 days
+    assert u["max_span_days"] == 7
+    h = out["2-HIGH"]
+    assert h["one_shot_ppm"] == 1_000_000 and h["max_span_days"] == 0
