@@ -6633,6 +6633,21 @@ def q_ops06(spark, sf_dir):
     )
 
 
+def q_a35(spark, sf_dir):
+    """Bowley quartile skewness (r13 cont.): per priority, the robust
+    bounded asymmetry of order totals from EXACT ceil nearest-rank
+    quartiles on the per-group bucket selection kernel (no global
+    sort); signed UNDIVIDED numerator + truncating ppm, zero IQR →
+    NULL (operators/sampling.py::bowley_skewness)."""
+    from learn_etl_data_warehouse_spark.operators.sampling import (
+        bowley_skewness,
+    )
+
+    return bowley_skewness(
+        _t(spark, sf_dir, "orders"), "o_totalprice", "o_orderpriority"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -7005,6 +7020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st14_sign_test": q_st14,
         "t41_boilerplate_prefixes": q_t41,
         "ops06_fulfillment_span": q_ops06,
+        "a35_bowley_skewness": q_a35,
         # -- rows-only (no-oracle) queries stay LAST so the window is
         # -- 100% hash-checkable --------------------------------------
         "e22_rolling_distinct_hll": q_e22,
@@ -13678,4 +13694,31 @@ SELECT priority,
          AS mean_span_micro,
        CAST(max(span) AS BIGINT) AS max_span_days
 FROM j GROUP BY 1"""
+    # a35: classic per-group nearest-rank twin (value at ceil rank is
+    # well-defined under ties); signed // ≡ Spark div.
+    out["a35_bowley_skewness"] = """
+WITH b AS (SELECT o_orderpriority AS grp,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders),
+r AS (SELECT grp, c,
+             row_number() OVER (PARTITION BY grp ORDER BY c) AS rn,
+             count(*) OVER (PARTITION BY grp) AS n
+      FROM b),
+q AS (SELECT grp, CAST(max(n) AS BIGINT) AS n_g,
+             CAST(max(CASE WHEN rn = (25 * n + 99) // 100 THEN c END)
+                  AS BIGINT) AS q1_cents,
+             CAST(max(CASE WHEN rn = (50 * n + 99) // 100 THEN c END)
+                  AS BIGINT) AS q2_cents,
+             CAST(max(CASE WHEN rn = (75 * n + 99) // 100 THEN c END)
+                  AS BIGINT) AS q3_cents
+      FROM r GROUP BY 1)
+SELECT grp, n_g, q1_cents, q2_cents, q3_cents,
+       CAST(q3_cents - q1_cents AS BIGINT) AS iqr_cents,
+       CAST(q3_cents + q1_cents - 2 * q2_cents AS BIGINT)
+         AS skew_num_cents,
+       CAST(CASE WHEN q3_cents = q1_cents THEN NULL
+                 ELSE (1000000 * (q3_cents + q1_cents - 2 * q2_cents))
+                      // (q3_cents - q1_cents) END AS BIGINT)
+         AS bowley_ppm
+FROM q"""
     return out

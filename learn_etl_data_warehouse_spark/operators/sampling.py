@@ -921,3 +921,68 @@ def weighted_median(
         F.col("n_g").alias("total_weight"),
         "weighted_median_cents",
     )
+
+
+def bowley_skewness(
+    df: DataFrame,
+    value_col: str,
+    group_col,
+    group_alias: str = "grp",
+) -> DataFrame:
+    """Quartile (Bowley) skewness per group (a35): (Q3 + Q1 − 2·Q2) /
+    (Q3 − Q1) from EXACT ceil nearest-rank quartiles — the robust
+    asymmetry scalar next to the MAD profile's robust spread: a
+    moment-based skew (one extreme order away from ±∞) says nothing a
+    heavy-tailed price column can trust; the quartile form is bounded
+    in [−1, 1] and outlier-immune.
+
+    Built on the per-group two-level bucket selection kernel (the
+    a26/st05/st06 machinery — one (group, distinct value) hash agg,
+    group-partitioned bucket windows, NO global sort, NO per-group
+    row window); the three quartile targets are ceil ranks
+    (q·n + 99) div 100 (the a20 rule). The numerator stays SIGNED and
+    UNDIVIDED alongside the truncating ppm (signed div ≡ //, the fc05
+    probe); Q1 = Q3 (zero IQR) yields NULL ppm.
+
+    Values must be non-negative integers (cents) — the bucket
+    ordering's standing precondition. Returns (grp, n_g, q1_cents,
+    q2_cents, q3_cents, iqr_cents, skew_num_cents, bowley_ppm).
+    """
+    grp = F.col(group_col) if isinstance(group_col, str) else group_col
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    base = df.select(grp.alias(group_alias), cents.alias("_c"))
+    sizes = base.groupBy(group_alias).agg(
+        F.count(F.lit(1)).cast("long").alias("n_g")
+    )
+    bc = _group_below_counts(base, group_alias)
+    j = bc.join(F.broadcast(sizes), group_alias)
+    picks = []
+    for q, name in ((25, "q1_cents"), (50, "q2_cents"), (75, "q3_cents")):
+        target = F.expr(f"({q} * n_g + 99) div 100").cast("decimal(38,0)")
+        picks.append(
+            j.filter(
+                (F.col("_lt") < target)
+                & (F.col("_lt") + F.col("_n_v") >= target)
+            ).select(group_alias, F.col("_c").cast("long").alias(name))
+        )
+    out = sizes
+    for p in picks:
+        out = out.join(p, group_alias)
+    return out.select(
+        group_alias,
+        "n_g",
+        "q1_cents",
+        "q2_cents",
+        "q3_cents",
+        (F.col("q3_cents") - F.col("q1_cents")).cast("long").alias(
+            "iqr_cents"
+        ),
+        (
+            F.col("q3_cents") + F.col("q1_cents") - 2 * F.col("q2_cents")
+        ).cast("long").alias("skew_num_cents"),
+        F.expr(
+            "CASE WHEN q3_cents = q1_cents THEN NULL"
+            " ELSE (1000000 * (q3_cents + q1_cents - 2 * q2_cents))"
+            " div (q3_cents - q1_cents) END"
+        ).cast("long").alias("bowley_ppm"),
+    )

@@ -7080,3 +7080,28 @@ def test_fulfillment_span_hand_frame(spark):
     assert u["max_span_days"] == 7
     h = out["2-HIGH"]
     assert h["one_shot_ppm"] == 1_000_000 and h["max_span_days"] == 0
+
+
+def test_bowley_skewness_hand_frame(spark):
+    """r13 cont.: a35 — a hand distribution pins the exact ceil-rank
+    quartiles, the signed numerator, and the zero-IQR NULL."""
+    from learn_etl_data_warehouse_spark.operators.sampling import (
+        bowley_skewness,
+    )
+
+    rows = (
+        # right-skewed: values 1..4 cents x2 each, plus a 100-cent tail
+        [("s", v / 100.0) for v in [1, 1, 2, 2, 3, 3, 4, 4, 100]]
+        # constant group: all quartiles equal -> NULL ppm
+        + [("c", 0.05)] * 4
+    )
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = {r["grp"]: r for r in bowley_skewness(df, "v", "grp").collect()}
+    s = out["s"]
+    # n=9: ranks ceil(25*9/100)=3, ceil(50*9/100)=5, ceil(75*9/100)=7
+    assert (s["q1_cents"], s["q2_cents"], s["q3_cents"]) == (2, 3, 4)
+    assert s["iqr_cents"] == 2 and s["skew_num_cents"] == 0
+    assert s["bowley_ppm"] == 0
+    c = out["c"]
+    assert c["q1_cents"] == c["q3_cents"] == 5
+    assert c["bowley_ppm"] is None
