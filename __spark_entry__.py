@@ -6648,6 +6648,19 @@ def q_a35(spark, sf_dir):
     )
 
 
+def q_e40(spark, sf_dir):
+    """Max drawdown (r13 cont.): per key, the deepest peak-to-trough
+    fall of daily volume + record-day count — the resilience pair
+    next to e37's bars; earliest-day tie via ONE max(struct(dd,
+    −day)) aggregate, calendar-bounded window
+    (operators/timeseries.py::max_drawdown)."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        max_drawdown,
+    )
+
+    return max_drawdown(_t(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -7021,6 +7034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t41_boilerplate_prefixes": q_t41,
         "ops06_fulfillment_span": q_ops06,
         "a35_bowley_skewness": q_a35,
+        "e40_max_drawdown": q_e40,
         # -- rows-only (no-oracle) queries stay LAST so the window is
         # -- 100% hash-checkable --------------------------------------
         "e22_rolling_distinct_hll": q_e22,
@@ -13721,4 +13735,36 @@ SELECT grp, n_g, q1_cents, q2_cents, q3_cents,
                       // (q3_cents - q1_cents) END AS BIGINT)
          AS bowley_ppm
 FROM q"""
+    # e40: daily sums, running-peak window, earliest-tie drawdown via
+    # the same (dd, -day) struct-max rule expressed as row_number.
+    out["e40_max_drawdown"] = """
+WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS v
+           FROM events GROUP BY 1, 2),
+s AS (SELECT event_type, day, v,
+             CASE WHEN v > coalesce(max(v) OVER (PARTITION BY event_type
+                                                 ORDER BY day
+                                                 ROWS BETWEEN UNBOUNDED
+                                                 PRECEDING AND 1
+                                                 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS rec,
+             max(v) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) - v AS dd
+      FROM d),
+rk AS (SELECT event_type, day, dd,
+              row_number() OVER (PARTITION BY event_type
+                                 ORDER BY dd DESC, day ASC) AS rn
+       FROM s)
+SELECT s.event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(s.rec) AS BIGINT) AS n_record_days,
+       CAST(max(s.v) AS BIGINT) AS peak_cents,
+       CAST(max(CASE WHEN rk.rn = 1 THEN rk.dd END) AS BIGINT)
+         AS max_drawdown_cents,
+       CAST(max(CASE WHEN rk.rn = 1 THEN rk.day END) AS BIGINT)
+         AS drawdown_day
+FROM s JOIN rk ON rk.event_type = s.event_type AND rk.day = s.day
+GROUP BY 1"""
     return out

@@ -2741,3 +2741,65 @@ def sign_test_am_pm(hourly: DataFrame, key: str = "event_type") -> DataFrame:
             - F.sum(F.when(F.col("_pm") < F.col("_am"), 1).otherwise(0))
         ).cast("long").alias("s_stat"),
     )
+
+
+def max_drawdown(df: DataFrame, key: str = "event_type") -> DataFrame:
+    """Max drawdown & record days of the daily value series (e40): per
+    key, the deepest peak-to-trough fall of daily volume (in cents)
+    and the count of record-setting days — the resilience pair every
+    financial/capacity dashboard wants next to e37's bars: "how bad
+    did the worst slump get, and how often do we still set highs".
+
+    Series = daily volume_cents (Σ round(value·100) per (key, epoch
+    day), observed days only). running peak = max over days ≤ d (a
+    key-partitioned CALENDAR-BOUNDED window — days, not events);
+    drawdown_d = peak − v_d; the reported max breaks ties on the
+    EARLIEST day via one max(struct(dd, −day)) aggregate (no second
+    pass); a record day strictly exceeds all previous days (the first
+    day is vacuously a record). All integer.
+
+    Returns (key, n_days, n_record_days, peak_cents,
+    max_drawdown_cents, drawdown_day), all BIGINT.
+    """
+    us_per_day = 86_400_000_000
+    daily = (
+        df.select(
+            F.col(key),
+            F.expr(f"unix_micros(ts) div {us_per_day}").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+        .groupBy(key, "day")
+        .agg(F.sum("c").cast("long").alias("v"))
+    )
+    w = Window.partitionBy(key).orderBy("day")
+    prev_max = F.max("v").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run_max = F.max("v").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = daily.select(
+        key,
+        "day",
+        "v",
+        (F.col("v") > F.coalesce(prev_max, F.lit(-1))).cast("long").alias(
+            "_rec"
+        ),
+        (run_max - F.col("v")).cast("long").alias("_dd"),
+    )
+    agg = scored.groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("_rec").cast("long").alias("n_record_days"),
+        F.max("v").cast("long").alias("peak_cents"),
+        F.max(F.struct(F.col("_dd"), (-F.col("day")).alias("_nd"))).alias(
+            "_m"
+        ),
+    )
+    return agg.select(
+        key,
+        "n_days",
+        "n_record_days",
+        "peak_cents",
+        F.col("_m._dd").cast("long").alias("max_drawdown_cents"),
+        (-F.col("_m._nd")).cast("long").alias("drawdown_day"),
+    )

@@ -7105,3 +7105,33 @@ def test_bowley_skewness_hand_frame(spark):
     c = out["c"]
     assert c["q1_cents"] == c["q3_cents"] == 5
     assert c["bowley_ppm"] is None
+
+
+def test_max_drawdown_hand_series(spark):
+    """r13 cont.: e40 — a planted peak/trough pins the drawdown and
+    its EARLIEST tie day; record days count strict new highs (first
+    day vacuously counts)."""
+    from datetime import datetime, timedelta
+
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        max_drawdown,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    d0 = (t0 - datetime(1970, 1, 1)).days
+    # daily volumes: 10, 50 (record), 20 (dd 30), 20 (dd 30 tie), 60
+    vols = [10, 50, 20, 20, 60]
+    rows = []
+    eid = 0
+    for i, v in enumerate(vols):
+        rows.append((eid, t0 + timedelta(days=i), "k", float(v)))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = max_drawdown(df).collect()[0]
+    assert out["n_days"] == 5
+    assert out["n_record_days"] == 3  # days 0, 1, 4
+    assert out["peak_cents"] == 6000
+    assert out["max_drawdown_cents"] == 3000
+    assert out["drawdown_day"] == d0 + 2  # earliest of the tie
