@@ -6661,6 +6661,27 @@ def q_e40(spark, sf_dir):
     return max_drawdown(_t(spark, sf_dir, "events"))
 
 
+def q_m08(spark, sf_dir):
+    """Payload size histogram (r13 cont.): digit-count size buckets
+    per modality (the e19 no-libm log10) with extrema and
+    within-modality shares — the size-mix drift view next to m07's
+    totals ledger; same deterministic doc_id %% 3 modality mix
+    (operators/multimodal.py::media_size_histogram)."""
+    from learn_etl_data_warehouse_spark.operators.multimodal import (
+        documents_as_media,
+        media_size_histogram,
+    )
+
+    media = documents_as_media(_t(spark, sf_dir, "documents")).withColumn(
+        "media_type",
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("media_id") % 3 + 1).cast("int"),
+        ),
+    )
+    return media_size_histogram(media)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -7035,6 +7056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ops06_fulfillment_span": q_ops06,
         "a35_bowley_skewness": q_a35,
         "e40_max_drawdown": q_e40,
+        "m08_payload_histogram": q_m08,
         # -- rows-only (no-oracle) queries stay LAST so the window is
         # -- 100% hash-checkable --------------------------------------
         "e22_rolling_distinct_hll": q_e22,
@@ -13767,4 +13789,25 @@ SELECT s.event_type,
          AS drawdown_day
 FROM s JOIN rk ON rk.event_type = s.event_type AND rk.day = s.day
 GROUP BY 1"""
+    # m08: m07's payload twin (strlen = BYTE length of the UTF-8
+    # text), digit-count buckets via string length.
+    out["m08_payload_histogram"] = """
+WITH m AS (SELECT ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1]
+                    AS media_type,
+                  strlen(text) AS bl
+           FROM documents),
+b AS (SELECT media_type, bl,
+             CAST(length(CAST(bl AS VARCHAR)) AS BIGINT) AS size_bucket
+      FROM m),
+cells AS (SELECT media_type, size_bucket,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(min(bl) AS BIGINT) AS min_bytes,
+                 CAST(max(bl) AS BIGINT) AS max_bytes
+          FROM b GROUP BY 1, 2),
+tt AS (SELECT media_type, CAST(sum(n) AS BIGINT) AS t
+       FROM cells GROUP BY 1)
+SELECT cells.media_type, cells.size_bucket, cells.n,
+       cells.min_bytes, cells.max_bytes,
+       CAST((1000000 * cells.n) // tt.t AS BIGINT) AS share_ppm
+FROM cells JOIN tt ON tt.media_type = cells.media_type"""
     return out

@@ -492,3 +492,41 @@ def media_payload_audit(
             .alias("dup_ppm"),
         )
     )
+
+
+def media_size_histogram(
+    df: DataFrame, type_col: str = "media_type", payload_col: str = "payload"
+) -> DataFrame:
+    """Payload size histogram per modality (m08): digit-count buckets
+    (the e19 log10-by-string-length trick — bucket b spans
+    [10^(b−1), 10^b), no libm) over byte lengths, with per-bucket
+    extrema and the within-modality share — the size-mix view next to
+    m07's totals ledger: a modality whose mass migrates buckets
+    (thumbnails appearing, clips lengthening) drifts HERE before the
+    mean moves. Output bounded by |modalities| · ~10 buckets.
+
+    Returns (media_type, size_bucket, n, min_bytes, max_bytes,
+    share_ppm), all BIGINT; share truncating within modality.
+    """
+    m = attach_media_metadata(df, payload_col)
+    b = m.select(
+        F.col(type_col),
+        F.col("byte_len"),
+        F.length(F.col("byte_len").cast("string")).cast("long").alias(
+            "size_bucket"
+        ),
+    )
+    cells = b.groupBy(type_col, "size_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("byte_len").cast("long").alias("min_bytes"),
+        F.max("byte_len").cast("long").alias("max_bytes"),
+    )
+    tot = cells.groupBy(type_col).agg(F.sum("n").alias("_t"))
+    return cells.join(tot, type_col).select(
+        type_col,
+        "size_bucket",
+        "n",
+        "min_bytes",
+        "max_bytes",
+        F.expr("(1000000 * n) div _t").cast("long").alias("share_ppm"),
+    )

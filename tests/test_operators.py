@@ -7135,3 +7135,30 @@ def test_max_drawdown_hand_series(spark):
     assert out["peak_cents"] == 6000
     assert out["max_drawdown_cents"] == 3000
     assert out["drawdown_day"] == d0 + 2  # earliest of the tie
+
+
+def test_media_size_histogram_hand_frame(spark):
+    """r13 cont.: m08 — digit-count buckets (9 -> 1, 10 -> 2, 100 ->
+    3), per-bucket extrema, truncating within-modality shares."""
+    from learn_etl_data_warehouse_spark.operators.multimodal import (
+        media_size_histogram,
+    )
+
+    rows = [
+        (1, "img", b"x" * 9),
+        (2, "img", b"x" * 10),
+        (3, "img", b"x" * 99),
+        (4, "aud", b"x" * 100),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary"
+    )
+    out = {
+        (r["media_type"], r["size_bucket"]): r
+        for r in media_size_histogram(df).collect()
+    }
+    assert out[("img", 1)]["n"] == 1
+    b2 = out[("img", 2)]
+    assert b2["n"] == 2 and b2["min_bytes"] == 10 and b2["max_bytes"] == 99
+    assert b2["share_ppm"] == 666_666
+    assert out[("aud", 3)]["share_ppm"] == 1_000_000
