@@ -6682,6 +6682,19 @@ def q_m08(spark, sf_dir):
     return media_size_histogram(media)
 
 
+def q_t42(spark, sf_dir):
+    """Repeated sentence openers (r13 cont.): cross-document
+    sentence-grain boilerplate — the reused disclaimer mid-document
+    that t41's doc-prefix screen and d34's long-run scrub both miss;
+    t23's sentence convention, 5-word floor, OPENER grain (first 5
+    words — the full-sentence grain is empty below sf0.1 on this
+    fixture, the d39 precedent resolved by parameter), cross-source
+    flag via n_sources (operators/text.py::repeated_sentences)."""
+    return text.repeated_sentences(
+        _t(spark, sf_dir, "documents"), prefix_words=5
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -7057,6 +7070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a35_bowley_skewness": q_a35,
         "e40_max_drawdown": q_e40,
         "m08_payload_histogram": q_m08,
+        "t42_repeated_sentences": q_t42,
         # -- rows-only (no-oracle) queries stay LAST so the window is
         # -- 100% hash-checkable --------------------------------------
         "e22_rolling_distinct_hll": q_e22,
@@ -13810,4 +13824,23 @@ SELECT cells.media_type, cells.size_bucket, cells.n,
        cells.min_bytes, cells.max_bytes,
        CAST((1000000 * cells.n) // tt.t AS BIGINT) AS share_ppm
 FROM cells JOIN tt ON tt.media_type = cells.media_type"""
+    # t42: t23's [.!?]+ sentence split, case-folded token list,
+    # 5-word floor, OPENER key = first 5 tokens joined.
+    out["t42_repeated_sentences"] = r"""
+WITH sx AS (SELECT doc_id, source,
+                   unnest(regexp_split_to_array(text, '[.!?]+')) AS s
+            FROM documents),
+sent AS (SELECT doc_id, source,
+                list_filter(regexp_split_to_array(lower(trim(s)),
+                                                  '\s+'),
+                            x -> x <> '') AS t
+         FROM sx WHERE trim(s) <> ''),
+f AS (SELECT doc_id, source,
+             array_to_string(t[1:5], ' ') AS sentence_key
+      FROM sent WHERE len(t) >= 5)
+SELECT sentence_key,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+FROM f GROUP BY 1 HAVING count(*) >= 2"""
     return out

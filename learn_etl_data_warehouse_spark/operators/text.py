@@ -2041,3 +2041,64 @@ def boilerplate_prefixes(
             " AS BIGINT)"
         ).alias("share_ppm"),
     )
+
+
+def repeated_sentences(
+    docs: DataFrame,
+    min_words: int = 5,
+    min_occurrences: int = 2,
+    prefix_words: int | None = None,
+) -> DataFrame:
+    """Cross-document repeated sentences (t42): boilerplate at the
+    SENTENCE grain — t41 screens shared DOC openings, d34 long
+    verbatim token runs; this catches the reused disclaimer/footer
+    sentence embedded mid-document that both miss. Sentences follow
+    t23's convention (split on [.!?]+ runs, trim, drop empties),
+    case-folded; a ``min_words`` floor keeps "yes" / "thanks" out of
+    the ledger.
+
+    ``prefix_words`` switches the grouping key from the full sentence
+    to its first-k-word OPENER — the fuzzier screen that also groups
+    near-identical variants ("please contact us at <different
+    numbers>"); on this fixture the full-sentence grain is empty
+    below sf0.1 (rotation-amplified text repeats openers, not whole
+    sentences), so the driver query rides the opener grain and the
+    full-sentence mode is unit-pinned — the d39 empty-grain
+    precedent, resolved by parameter instead of an empty driver row.
+
+    Per repeated key: occurrence count, distinct docs and distinct
+    sources (cross-source = true boilerplate, the t41 distinction).
+    Output bounded by duplicated-key count. One explode + one hash
+    agg, gram-linear. Returns (sentence_key, n_occurrences, n_docs,
+    n_sources).
+    """
+    sents = F.filter(
+        F.split(F.col("text"), r"[.!?]+"), lambda s: F.trim(s) != ""
+    )
+    ex = docs.select(
+        F.col("doc_id"),
+        F.col("source"),
+        F.explode(sents).alias("_s"),
+    ).select(
+        "doc_id",
+        "source",
+        F.filter(
+            F.split(F.lower(F.trim(F.col("_s"))), r"\s+"),
+            lambda w: w != "",
+        ).alias("_t"),
+    )
+    ex = ex.filter(F.size(F.col("_t")) >= int(min_words))
+    if prefix_words is None:
+        key = F.array_join(F.col("_t"), " ")
+    else:
+        key = F.array_join(F.slice(F.col("_t"), 1, int(prefix_words)), " ")
+    return (
+        ex.select("doc_id", "source", key.alias("sentence_key"))
+        .groupBy("sentence_key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+        .filter(F.col("n_occurrences") >= int(min_occurrences))
+    )

@@ -7162,3 +7162,41 @@ def test_media_size_histogram_hand_frame(spark):
     assert b2["n"] == 2 and b2["min_bytes"] == 10 and b2["max_bytes"] == 99
     assert b2["share_ppm"] == 666_666
     assert out[("aud", 3)]["share_ppm"] == 1_000_000
+
+
+def test_repeated_sentences_hand_corpus(spark):
+    """r13 cont.: t42 — FULL-sentence mode groups whitespace-
+    normalized case-folded sentences (the fixture-empty grain the
+    driver query parameterizes around), opener mode groups variants
+    sharing their first words; floors and flags pin."""
+    from learn_etl_data_warehouse_spark.operators.text import (
+        repeated_sentences,
+    )
+
+    disc = "this message is intended only for the named recipient"
+    df = spark.createDataFrame(
+        [
+            ("s1", f"Hello there. {disc}."),
+            ("s2", f"Other body! {disc.upper()}?"),  # case-folds in
+            ("s1", "short one. yes."),  # below the 5-word floor
+            ("s3", "please contact us at 111. irrelevant tail here now."),
+            ("s4", "please contact us at 222, anytime. another sentence."),
+        ],
+        "source string, text string",
+    )
+    docs = df.select(
+        F.monotonically_increasing_id().alias("doc_id"), "source", "text"
+    )
+    full = {
+        r["sentence_key"]: r for r in repeated_sentences(docs).collect()
+    }
+    assert set(full) == {disc}
+    assert full[disc]["n_occurrences"] == 2
+    assert full[disc]["n_sources"] == 2
+    opener = {
+        r["sentence_key"]: r
+        for r in repeated_sentences(docs, prefix_words=4).collect()
+    }
+    # the 'please contact us at' variants group only at opener grain
+    assert "please contact us at" in opener
+    assert opener["please contact us at"]["n_docs"] == 2
