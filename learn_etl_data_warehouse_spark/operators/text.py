@@ -1976,13 +1976,43 @@ def lexical_richness(docs: DataFrame, by: str = "source") -> DataFrame:
     Returns (group, n_tokens, vocab, hapax, ttr_ppm,
     hapax_share_ppm), all BIGINT.
     """
+    return richness_from_counts(
+        source_token_counts_table(docs, by), by
+    )
+
+
+def source_token_counts_table(
+    docs: DataFrame, by: str = "source"
+) -> DataFrame:
+    """The ADDITIVE (group, token, n) state behind
+    :func:`lexical_richness` — counts merge under addition, so the
+    per-source richness shelf maintains incrementally exactly like
+    the LM/vocab families (one small table, counts add)."""
     toks = docs.select(
         F.col(by).alias("grp"),
         F.explode(tokens(F.lower(_c("text")))).alias("tok"),
     ).filter(F.col("tok") != "")
-    tc = toks.groupBy("grp", "tok").agg(
+    return toks.groupBy("grp", "tok").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
+
+
+def maintain_source_token_counts(
+    prev: DataFrame, batch: DataFrame, by: str = "source"
+) -> DataFrame:
+    """Fold a batch's counts into the standing state (additive merge
+    at (group, token) grain) — maintained ≡ rebuild on the union, the
+    conformance-pinned contract."""
+    delta = source_token_counts_table(batch, by)
+    return (
+        prev.unionByName(delta)
+        .groupBy("grp", "tok")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+
+
+def richness_from_counts(tc: DataFrame, by: str = "source") -> DataFrame:
+    """Finalize a (group, token, n) state to the t39 output shape."""
     return tc.groupBy(F.col("grp").alias(by)).agg(
         F.sum("n").cast("long").alias("n_tokens"),
         F.count(F.lit(1)).cast("long").alias("vocab"),

@@ -7200,3 +7200,31 @@ def test_repeated_sentences_hand_corpus(spark):
     # the 'please contact us at' variants group only at opener grain
     assert "please contact us at" in opener
     assert opener["please contact us at"]["n_docs"] == 2
+
+
+def test_maintained_richness_counts_match_rebuild(spark, sf_small):
+    """r13 cont.: t39's incremental twin — per-source token counts
+    fold additively (maintained == rebuild on the union, parity-split
+    batches), and the finalized shelf equals lexical_richness."""
+    from learn_etl_data_warehouse_spark.operators.text import (
+        lexical_richness,
+        maintain_source_token_counts,
+        richness_from_counts,
+        source_token_counts_table,
+    )
+    from learn_etl_data_warehouse_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    b0 = docs.filter("doc_id % 2 = 0")
+    b1 = docs.filter("doc_id % 2 = 1")
+    state = source_token_counts_table(b0)
+    state = maintain_source_token_counts(state, b1)
+    rebuilt = source_token_counts_table(docs)
+    assert sorted(map(tuple, state.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+    cols = ["source", "n_tokens", "vocab", "hapax", "ttr_ppm",
+            "hapax_share_ppm"]
+    assert sorted(
+        map(tuple, richness_from_counts(state).select(*cols).collect())
+    ) == sorted(map(tuple, lexical_richness(docs).select(*cols).collect()))
