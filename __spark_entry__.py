@@ -6695,6 +6695,28 @@ def q_t42(spark, sf_dir):
     )
 
 
+def q_pf18(spark, sf_dir):
+    """Full-row duplicate audit (r13 cont.): per table, rows vs
+    distinct rows by GROUPING ON ALL COLUMNS (NULL-safe, value-grain
+    timestamps — never a string canon, and COUNT(DISTINCT a, b)
+    skips NULL rows on both engines, the trap avoided) — the
+    retried-extract detector completing the intake quartet
+    pf15/pf16/pf17/pf18; clean tables report honest zeros
+    (operators/profiling.py::duplicate_row_audit)."""
+    from learn_etl_data_warehouse_spark.operators.profiling import (
+        duplicate_row_audit,
+    )
+
+    return duplicate_row_audit(
+        [
+            ("lineitem", _t(spark, sf_dir, "lineitem")),
+            ("orders", _t(spark, sf_dir, "orders")),
+            ("events", _t(spark, sf_dir, "events")),
+            ("documents", _t(spark, sf_dir, "documents")),
+        ]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -7071,6 +7093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e40_max_drawdown": q_e40,
         "m08_payload_histogram": q_m08,
         "t42_repeated_sentences": q_t42,
+        "pf18_duplicate_rows": q_pf18,
         # -- rows-only (no-oracle) queries stay LAST so the window is
         # -- 100% hash-checkable --------------------------------------
         "e22_rolling_distinct_hll": q_e22,
@@ -13843,4 +13866,45 @@ SELECT sentence_key,
        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
        CAST(count(DISTINCT source) AS BIGINT) AS n_sources
 FROM f GROUP BY 1 HAVING count(*) >= 2"""
+    # pf18: GROUP BY all columns (NULL-safe, value-grain), scalar
+    # re-agg per table.
+    out["pf18_duplicate_rows"] = """
+SELECT 'lineitem' AS tbl,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_distinct_rows,
+       CAST(sum(n) - count(*) AS BIGINT) AS n_dup_rows,
+       CAST(max(n) AS BIGINT) AS max_multiplicity,
+       CAST((1000000 * (sum(n) - count(*))) // sum(n) AS BIGINT)
+         AS dup_ppm
+FROM (SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate)
+UNION ALL
+
+SELECT 'orders' AS tbl,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_distinct_rows,
+       CAST(sum(n) - count(*) AS BIGINT) AS n_dup_rows,
+       CAST(max(n) AS BIGINT) AS max_multiplicity,
+       CAST((1000000 * (sum(n) - count(*))) // sum(n) AS BIGINT)
+         AS dup_ppm
+FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority)
+UNION ALL
+
+SELECT 'events' AS tbl,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_distinct_rows,
+       CAST(sum(n) - count(*) AS BIGINT) AS n_dup_rows,
+       CAST(max(n) AS BIGINT) AS max_multiplicity,
+       CAST((1000000 * (sum(n) - count(*))) // sum(n) AS BIGINT)
+         AS dup_ppm
+FROM (SELECT count(*) AS n FROM events GROUP BY event_id, ts, user_id, event_type, value, props)
+UNION ALL
+
+SELECT 'documents' AS tbl,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_distinct_rows,
+       CAST(sum(n) - count(*) AS BIGINT) AS n_dup_rows,
+       CAST(max(n) AS BIGINT) AS max_multiplicity,
+       CAST((1000000 * (sum(n) - count(*))) // sum(n) AS BIGINT)
+         AS dup_ppm
+FROM (SELECT count(*) AS n FROM documents GROUP BY doc_id, text, lang, source, n_chars)"""
     return out

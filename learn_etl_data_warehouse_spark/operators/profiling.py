@@ -785,3 +785,53 @@ def string_length_profile(specs) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def duplicate_row_audit(specs) -> DataFrame:
+    """Full-row duplicate audit (pf18): per table, row count vs
+    DISTINCT-row count, the duplicate surplus and the worst
+    multiplicity — completing the intake-profiling quartet (pf15
+    keys / pf16 id density / pf17 strings / pf18 whole-row dups):
+    a retried extract or a doubled file lands EXACT row copies that
+    key-level audits can miss when the table has no trusted key.
+
+    Determinism design: distinctness is computed by GROUPING ON ALL
+    COLUMNS — never a string/hash canonicalization. SQL GROUP BY
+    treats NULLs as equal identically on both engines and compares
+    timestamps at value grain, where a cast-to-string canon would
+    inherit each engine's formatting; and COUNT(DISTINCT a, b, ...)
+    is a trap (it SKIPS rows with any NULL on both engines, silently
+    under-counting). One all-columns hash agg per spec, then a scalar
+    re-agg. A clean table reports zeros — a data-quality audit's
+    healthy answer, not an empty grain.
+
+    ``specs`` is (table_name, frame). Returns (tbl, n_rows,
+    n_distinct_rows, n_dup_rows, max_multiplicity, dup_ppm), all
+    BIGINT.
+    """
+    parts = []
+    for tbl, frame in specs:
+        g = frame.groupBy(*frame.columns).agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        parts.append(
+            g.agg(
+                F.sum("_n").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_distinct_rows"),
+                F.max("_n").cast("long").alias("max_multiplicity"),
+            ).select(
+                F.lit(tbl).alias("tbl"),
+                "n_rows",
+                "n_distinct_rows",
+                (F.col("n_rows") - F.col("n_distinct_rows"))
+                .cast("long").alias("n_dup_rows"),
+                "max_multiplicity",
+                F.expr(
+                    "(1000000 * (n_rows - n_distinct_rows)) div n_rows"
+                ).cast("long").alias("dup_ppm"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

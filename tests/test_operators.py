@@ -7228,3 +7228,32 @@ def test_maintained_richness_counts_match_rebuild(spark, sf_small):
     assert sorted(
         map(tuple, richness_from_counts(state).select(*cols).collect())
     ) == sorted(map(tuple, lexical_richness(docs).select(*cols).collect()))
+
+
+def test_duplicate_row_audit_hand_frame(spark):
+    """r13 cont.: pf18 — a planted exact triple counts 2 surplus rows
+    with multiplicity 3, NULL-bearing copies group as equal (the
+    COUNT(DISTINCT) NULL-skip trap avoided), clean tables zero."""
+    from learn_etl_data_warehouse_spark.operators.profiling import (
+        duplicate_row_audit,
+    )
+
+    dirty = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "a"), (2, None), (2, None), (3, "c")],
+        "k long, v string",
+    )
+    clean = spark.createDataFrame([(1, "x"), (2, "y")], "k long, v string")
+    out = {
+        r["tbl"]: r
+        for r in duplicate_row_audit(
+            [("dirty", dirty), ("clean", clean)]
+        ).collect()
+    }
+    d = out["dirty"]
+    assert d["n_rows"] == 6 and d["n_distinct_rows"] == 3
+    assert d["n_dup_rows"] == 3  # triple surplus 2 + NULL pair surplus 1
+    assert d["max_multiplicity"] == 3
+    assert d["dup_ppm"] == 500_000
+    c = out["clean"]
+    assert c["n_dup_rows"] == 0 and c["dup_ppm"] == 0
+    assert c["max_multiplicity"] == 1
