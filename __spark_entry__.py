@@ -6717,6 +6717,24 @@ def q_pf18(spark, sf_dir):
     )
 
 
+def q_st15(spark, sf_dir):
+    """Two-group bootstrap difference CI (r13 cont.): the urgent-vs-
+    rest mean order-value gap with its uncertainty band — st01's md5
+    resampling stream kept CONSISTENT across groups per replicate,
+    st07's ceil-rank percentile band over the 16 signed differences;
+    st02 tests the gap, st15 sizes it
+    (operators/sampling.py::bootstrap_diff_ci)."""
+    from learn_etl_data_warehouse_spark.operators.sampling import (
+        bootstrap_diff_ci,
+    )
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "is_urgent",
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long"),
+    )
+    return bootstrap_diff_ci(o, "o_totalprice", "o_orderkey", "is_urgent")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -7094,6 +7112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m08_payload_histogram": q_m08,
         "t42_repeated_sentences": q_t42,
         "pf18_duplicate_rows": q_pf18,
+        "st15_bootstrap_diff_ci": q_st15,
         # -- rows-only (no-oracle) queries stay LAST so the window is
         # -- 100% hash-checkable --------------------------------------
         "e22_rolling_distinct_hll": q_e22,
@@ -13907,4 +13926,51 @@ SELECT 'documents' AS tbl,
        CAST((1000000 * (sum(n) - count(*))) // sum(n) AS BIGINT)
          AS dup_ppm
 FROM (SELECT count(*) AS n FROM documents GROUP BY doc_id, text, lang, source, n_chars)"""
+    # st15: st01's md5 weight stream with per-rep conditional group
+    # sums; signed diffs; st07's ceil-rank band over list_sort.
+    out["st15_bootstrap_diff_ci"] = f"""
+WITH o AS (SELECT o_orderkey AS id,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                  CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END AS g
+           FROM orders),
+r AS (SELECT id, cents, g, unnest(generate_series(0, 15)) AS rep FROM o),
+hh AS (SELECT rep, cents, g,
+              md5('bs:' || rep || ':' || CAST(id AS VARCHAR)) AS h
+       FROM r),
+w AS (SELECT rep, cents, g, {_bs_case} AS wt FROM hh),
+a AS (SELECT rep,
+             CAST(sum(CASE WHEN g = 1 THEN wt ELSE 0 END) AS BIGINT)
+               AS na,
+             CAST(sum(CASE WHEN g = 1 THEN wt * cents ELSE 0 END)
+                  AS BIGINT) AS ta,
+             CAST(sum(CASE WHEN g = 0 THEN wt ELSE 0 END) AS BIGINT)
+               AS nb,
+             CAST(sum(CASE WHEN g = 0 THEN wt * cents ELSE 0 END)
+                  AS BIGINT) AS tb
+      FROM w GROUP BY 1),
+d AS (SELECT (ta // na) - (tb // nb) AS d
+      FROM a WHERE na > 0 AND nb > 0),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             list_sort(list(d)) AS arr
+      FROM d),
+obs AS (SELECT CAST(CASE WHEN sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) > 0
+                     AND sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) > 0
+                THEN (sum(CASE WHEN g = 1 THEN cents ELSE 0 END)
+                      // sum(CASE WHEN g = 1 THEN 1 ELSE 0 END))
+                     - (sum(CASE WHEN g = 0 THEN cents ELSE 0 END)
+                        // sum(CASE WHEN g = 0 THEN 1 ELSE 0 END))
+                END AS BIGINT) AS obs_diff_cents
+        FROM o)
+SELECT s.n AS n_reps, obs.obs_diff_cents,
+       CAST(CASE WHEN s.n = 0 THEN NULL ELSE s.arr[CAST(greatest(1,
+            (125000 * s.n + 999999) // 1000000) AS INT)] END AS BIGINT)
+         AS ci_lo_cents,
+       CAST(CASE WHEN s.n = 0 THEN NULL ELSE s.arr[CAST(greatest(1,
+            (500000 * s.n + 999999) // 1000000) AS INT)] END AS BIGINT)
+         AS median_cents,
+       CAST(CASE WHEN s.n = 0 THEN NULL ELSE s.arr[CAST(greatest(1,
+            (875000 * s.n + 999999) // 1000000) AS INT)] END AS BIGINT)
+         AS ci_hi_cents
+FROM s CROSS JOIN obs"""
     return out

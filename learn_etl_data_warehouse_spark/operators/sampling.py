@@ -986,3 +986,117 @@ def bowley_skewness(
             " div (q3_cents - q1_cents) END"
         ).cast("long").alias("bowley_ppm"),
     )
+
+
+def bootstrap_diff_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    flag_col: str,
+    reps: int = 16,
+    lo_ppm: int = 125_000,
+    hi_ppm: int = 875_000,
+) -> DataFrame:
+    """Bootstrap CI for a TWO-GROUP mean difference (st15): st01's
+    deterministic Binomial(3,1/3) resampling stream applied to an
+    A-vs-B question — per replicate both groups' fixed-point means
+    come from the SAME md5 weight draw (group membership is a row
+    property, so one hash stream resamples the whole frame and the
+    per-replicate difference is internally consistent), and the
+    percentile-method band reduces the ``reps`` signed differences
+    with the st07 ceil-rank rule. st02 answers "could this gap be
+    chance?" by BREAKING the grouping; st15 answers "how big is the
+    gap, give or take" by KEEPING it — the estimation-vs-testing
+    pair.
+
+    All integer: per-group means are truncating divs of non-negative
+    sums, the difference is a signed subtraction of evaluated longs,
+    and the band bounds are order statistics over the ≤ ``reps``
+    surviving differences (a replicate that leaves either group
+    empty — tiny inputs only — drops). The OBSERVED full-sample
+    difference rides along. One bounded explode + one rep-grain agg
+    + one reps-row reduction. Returns ONE row: (n_reps,
+    obs_diff_cents, ci_lo_cents, median_cents, ci_hi_cents).
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    base = df.select(
+        F.col(id_col).cast("string").alias("_id"),
+        cents.alias("_cents"),
+        F.col(flag_col).cast("long").alias("_g"),
+    )
+    rep = F.explode(
+        F.sequence(F.lit(0), F.lit(int(reps) - 1))
+    ).alias("rep")
+    exploded = base.select("_id", "_cents", "_g", rep)
+    digest = F.md5(
+        F.concat(
+            F.lit("bs:"), F.col("rep").cast("string"), F.lit(":"),
+            F.col("_id"),
+        ).cast("binary")
+    )
+    wt = sum(
+        (
+            F.conv(F.substring(digest, 1 + 8 * j, 8), 16, 10)
+            .cast("long") % 1_000_000
+            < 333_333
+        ).cast("long")
+        for j in range(3)
+    )
+    per = (
+        exploded.withColumn("_wt", wt)
+        .groupBy("rep")
+        .agg(
+            F.sum(F.when(F.col("_g") == 1, F.col("_wt")).otherwise(0))
+            .cast("long").alias("_na"),
+            F.sum(
+                F.when(F.col("_g") == 1, F.col("_wt") * F.col("_cents"))
+                .otherwise(0)
+            ).cast("long").alias("_ta"),
+            F.sum(F.when(F.col("_g") == 0, F.col("_wt")).otherwise(0))
+            .cast("long").alias("_nb"),
+            F.sum(
+                F.when(F.col("_g") == 0, F.col("_wt") * F.col("_cents"))
+                .otherwise(0)
+            ).cast("long").alias("_tb"),
+        )
+    )
+    diffs = per.select(
+        F.when(
+            (F.col("_na") > 0) & (F.col("_nb") > 0),
+            F.expr("(_ta div _na) - (_tb div _nb)"),
+        ).cast("long").alias("_d")
+    ).filter(F.col("_d").isNotNull())
+    obs = base.agg(
+        F.sum(F.when(F.col("_g") == 1, F.col("_cents")).otherwise(0))
+        .cast("long").alias("_ota"),
+        F.sum((F.col("_g") == 1).cast("long")).cast("long").alias("_ona"),
+        F.sum(F.when(F.col("_g") == 0, F.col("_cents")).otherwise(0))
+        .cast("long").alias("_otb"),
+        F.sum((F.col("_g") == 0).cast("long")).cast("long").alias("_onb"),
+    ).select(
+        F.when(
+            (F.col("_ona") > 0) & (F.col("_onb") > 0),
+            F.expr("(_ota div _ona) - (_otb div _onb)"),
+        ).cast("long").alias("obs_diff_cents")
+    )
+
+    def at_rank(ppm: int) -> str:
+        return (
+            f"CASE WHEN size(_a) = 0 THEN NULL ELSE element_at(_a,"
+            f" CAST(greatest(1, ({ppm} * size(_a) + 999999)"
+            f" div 1000000) AS INT)) END"
+        )
+
+    band = diffs.agg(F.sort_array(F.collect_list("_d")).alias("_a")).select(
+        F.expr("size(_a)").cast("long").alias("n_reps"),
+        F.expr(at_rank(lo_ppm)).cast("long").alias("ci_lo_cents"),
+        F.expr(at_rank(500_000)).cast("long").alias("median_cents"),
+        F.expr(at_rank(hi_ppm)).cast("long").alias("ci_hi_cents"),
+    )
+    return band.crossJoin(obs).select(
+        "n_reps",
+        "obs_diff_cents",
+        "ci_lo_cents",
+        "median_cents",
+        "ci_hi_cents",
+    )

@@ -7257,3 +7257,31 @@ def test_duplicate_row_audit_hand_frame(spark):
     c = out["clean"]
     assert c["n_dup_rows"] == 0 and c["dup_ppm"] == 0
     assert c["max_multiplicity"] == 1
+
+
+def test_bootstrap_diff_ci_hand_frame(spark):
+    """r13 cont.: st15 — constant-valued groups pin every surviving
+    replicate difference exactly (means of a constant are that
+    constant under ANY resampling weights), and a one-group frame
+    yields the absent (not wrong) NULL row."""
+    from learn_etl_data_warehouse_spark.operators.sampling import (
+        bootstrap_diff_ci,
+    )
+
+    rows = [(i, 100.0, 1) for i in range(40)] + [
+        (100 + i, 1.0, 0) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "id long, v double, flag long")
+    out = bootstrap_diff_ci(df, "v", "id", "flag").collect()[0]
+    assert out["obs_diff_cents"] == 9900
+    assert out["n_reps"] >= 1
+    assert (
+        out["ci_lo_cents"] == out["median_cents"]
+        == out["ci_hi_cents"] == 9900
+    )
+    solo = spark.createDataFrame(
+        [(1, 5.0, 1), (2, 6.0, 1)], "id long, v double, flag long"
+    )
+    s = bootstrap_diff_ci(solo, "v", "id", "flag").collect()[0]
+    assert s["obs_diff_cents"] is None and s["n_reps"] == 0
+    assert s["ci_lo_cents"] is None
