@@ -7285,3 +7285,60 @@ def test_bootstrap_diff_ci_hand_frame(spark):
     s = bootstrap_diff_ci(solo, "v", "id", "flag").collect()[0]
     assert s["obs_diff_cents"] is None and s["n_reps"] == 0
     assert s["ci_lo_cents"] is None
+
+
+def test_maintained_customer_months_match_rebuild(spark, sf_small):
+    """r13 cont.: ca05's incremental twin — (customer, month) cells
+    fold additively (maintained == rebuild, parity-split batches) and
+    the finalized bridge equals new_returning_revenue; a late
+    backfill month RECLASSIFIES later months (derived-not-stored
+    newness)."""
+    from datetime import datetime
+
+    from learn_etl_data_warehouse_spark.operators.product_analytics import (
+        customer_month_state,
+        maintain_customer_months,
+        new_returning_from_state,
+        new_returning_revenue,
+    )
+    from learn_etl_data_warehouse_spark.sources.parquet import load_table
+
+    orders = load_table(spark, sf_small, "orders")
+    b0 = orders.filter("o_orderkey % 2 = 0")
+    b1 = orders.filter("o_orderkey % 2 = 1")
+    state = customer_month_state(b0)
+    state = maintain_customer_months(state, b1)
+    rebuilt = customer_month_state(orders)
+    assert sorted(map(tuple, state.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+    cols = ["month_key", "n_orders", "n_new_orders", "revenue_cents",
+            "new_revenue_cents", "returning_revenue_cents",
+            "new_share_ppm"]
+    assert sorted(
+        map(tuple, new_returning_from_state(state).select(*cols).collect())
+    ) == sorted(
+        map(tuple, new_returning_revenue(orders).select(*cols).collect())
+    )
+    # late backfill reclassification: customer 7's Feb order arrives
+    # first; the Jan backfill flips Feb to returning.
+    d = lambda s: datetime.strptime(s, "%Y-%m-%d")
+    feb = spark.createDataFrame(
+        [(7, d("2030-02-05"), 10.0)],
+        "o_custkey long, o_orderdate timestamp, o_totalprice double",
+    )
+    jan = spark.createDataFrame(
+        [(7, d("2030-01-05"), 5.0)],
+        "o_custkey long, o_orderdate timestamp, o_totalprice double",
+    )
+    st = customer_month_state(feb)
+    before = {
+        r["month_key"]: r for r in new_returning_from_state(st).collect()
+    }
+    assert before[203002]["n_new_orders"] == 1
+    st = maintain_customer_months(st, jan)
+    after = {
+        r["month_key"]: r for r in new_returning_from_state(st).collect()
+    }
+    assert after[203002]["n_new_orders"] == 0  # reclassified
+    assert after[203001]["n_new_orders"] == 1
