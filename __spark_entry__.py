@@ -6735,6 +6735,20 @@ def q_st15(spark, sf_dir):
     return bootstrap_diff_ci(o, "o_totalprice", "o_orderkey", "is_urgent")
 
 
+def q_e41(spark, sf_dir):
+    """Week-over-week change (r13 cont.): per (key, Monday-start
+    calendar week — the w11 convention) volume with signed UNDIVIDED
+    delta and DECIMAL-numerator ppm change vs the previous observed
+    week; calendar weeks, not w04's boundary-smearing rolling window
+    (operators/timeseries.py::week_over_week)."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        hourly_counts,
+        week_over_week,
+    )
+
+    return week_over_week(hourly_counts(_t(spark, sf_dir, "events")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -7113,6 +7127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t42_repeated_sentences": q_t42,
         "pf18_duplicate_rows": q_pf18,
         "st15_bootstrap_diff_ci": q_st15,
+        "e41_week_over_week": q_e41,
         # -- rows-only (no-oracle) queries stay LAST so the window is
         # -- 100% hash-checkable --------------------------------------
         "e22_rolling_distinct_hll": q_e22,
@@ -13973,4 +13988,23 @@ SELECT s.n AS n_reps, obs.obs_diff_cents,
             (875000 * s.n + 999999) // 1000000) AS INT)] END AS BIGINT)
          AS ci_hi_cents
 FROM s CROSS JOIN obs"""
+    # e41: Monday-start weeks ((epoch_day + 3) // 7, non-negative),
+    # lag over observed weeks; signed // ≡ div; HUGEINT numerator.
+    out["e41_week_over_week"] = """
+WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                  CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+wk AS (SELECT event_type, ((hr // 24) + 3) // 7 AS week,
+              CAST(sum(x) AS BIGINT) AS n_events
+       FROM h GROUP BY 1, 2),
+lg AS (SELECT event_type, CAST(week AS BIGINT) AS week, n_events,
+              CAST(lag(week) OVER w AS BIGINT) AS prev_week,
+              CAST(lag(n_events) OVER w AS BIGINT) AS prev_n
+       FROM wk WINDOW w AS (PARTITION BY event_type ORDER BY week))
+SELECT event_type, week, n_events, prev_week, prev_n,
+       CAST(n_events - prev_n AS BIGINT) AS delta,
+       CAST(CASE WHEN prev_n IS NULL OR prev_n = 0 THEN NULL
+                 ELSE (CAST(1000000 AS HUGEINT) * (n_events - prev_n))
+                      // prev_n END AS BIGINT) AS change_ppm
+FROM lg"""
     return out

@@ -2803,3 +2803,55 @@ def max_drawdown(df: DataFrame, key: str = "event_type") -> DataFrame:
         F.col("_m._dd").cast("long").alias("max_drawdown_cents"),
         (-F.col("_m._nd")).cast("long").alias("drawdown_day"),
     )
+
+
+def week_over_week(hourly: DataFrame, key: str = "event_type") -> DataFrame:
+    """Week-over-week change (e41): volume per (key, calendar week)
+    with the signed delta and ppm change against the PREVIOUS
+    calendar week — the discrete-week BI staple next to w04's rolling
+    window (a rolling 7-day sum smears week boundaries; a Monday
+    launch reads cleanly only on calendar weeks). Week index =
+    (epoch_day + 3) div 7 — Monday-start, the w11 dow convention
+    (1970-01-01 = Thursday), non-negative so div ≡ flooring.
+
+    The lag is over the key's OBSERVED weeks in week order (a fully
+    silent week yields a gap — the consumer sees the week index jump;
+    gap-filling to zero weeks is e09's job). Signed delta stays
+    UNDIVIDED alongside the ppm (numerator in DECIMAL(38,0), the a31
+    class; signed div ≡ //); the first observed week and zero-volume
+    previous weeks yield NULL change columns. One (key, week) agg +
+    one calendar-bounded lag window.
+
+    Returns (key, week, n_events, prev_week, prev_n, delta,
+    change_ppm), all BIGINT.
+    """
+    wk = (
+        hourly.select(
+            F.col(key),
+            F.expr("((hr div 24) + 3) div 7").cast("long").alias("week"),
+            F.col("x"),
+        )
+        .groupBy(key, "week")
+        .agg(F.sum("x").cast("long").alias("n_events"))
+    )
+    w = Window.partitionBy(key).orderBy("week")
+    lg = wk.select(
+        key,
+        "week",
+        "n_events",
+        F.lag("week").over(w).cast("long").alias("prev_week"),
+        F.lag("n_events").over(w).cast("long").alias("prev_n"),
+    )
+    return lg.select(
+        key,
+        "week",
+        "n_events",
+        "prev_week",
+        "prev_n",
+        (F.col("n_events") - F.col("prev_n")).cast("long").alias("delta"),
+        F.expr(
+            "CASE WHEN prev_n IS NULL OR prev_n = 0 THEN NULL"
+            " ELSE (CAST(1000000 AS DECIMAL(38,0)) * (n_events - prev_n))"
+            " div prev_n END"
+        ).cast("long").alias("change_ppm"),
+    )

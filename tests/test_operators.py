@@ -7342,3 +7342,30 @@ def test_maintained_customer_months_match_rebuild(spark, sf_small):
     }
     assert after[203002]["n_new_orders"] == 0  # reclassified
     assert after[203001]["n_new_orders"] == 1
+
+
+def test_week_over_week_hand_series(spark):
+    """r13 cont.: e41 — Monday-start week boundaries (the w11
+    convention), signed delta, truncating signed ppm, first-week and
+    zero-prev NULLs, observed-week gap semantics."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        week_over_week,
+    )
+
+    rows = [
+        # week 0 of epoch starts Monday 1969-12-29 (day -3);
+        # hr 0 (Thu 1970-01-01) is in week 0; hr 96 (Mon Jan 5) week 1
+        ("k", 0, 10),
+        ("k", 96, 4),     # week 1: delta -6
+        ("k", 96 + 336, 8),  # week 3 (week 2 silent): gap jump
+    ]
+    df = spark.createDataFrame(rows, "event_type string, hr long, x long")
+    out = {r["week"]: r for r in week_over_week(df).collect()}
+    assert set(out) == {0, 1, 3}
+    assert out[0]["prev_n"] is None and out[0]["change_ppm"] is None
+    w1 = out[1]
+    assert w1["delta"] == -6
+    assert w1["change_ppm"] == -600_000
+    w3 = out[3]
+    assert w3["prev_week"] == 1 and w3["prev_n"] == 4
+    assert w3["delta"] == 4 and w3["change_ppm"] == 1_000_000
