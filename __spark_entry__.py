@@ -6749,6 +6749,20 @@ def q_e41(spark, sf_dir):
     return week_over_week(hourly_counts(_t(spark, sf_dir, "events")))
 
 
+def q_fc11(spark, sf_dir):
+    """Forecast disagreement (r13 cont.): fc01's profile+trend and
+    fc06's Holt-Winters fit on the same history, next-24h forecasts
+    side by side with the signed UNDIVIDED gap per hour — the
+    cheapest ensemble diagnostic; aligned per-key anchors by
+    construction (operators/timeseries.py::forecast_disagreement)."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        forecast_disagreement,
+        hourly_counts,
+    )
+
+    return forecast_disagreement(hourly_counts(_t(spark, sf_dir, "events")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -7128,6 +7142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pf18_duplicate_rows": q_pf18,
         "st15_bootstrap_diff_ci": q_st15,
         "e41_week_over_week": q_e41,
+        "fc11_forecast_disagreement": q_fc11,
         # -- rows-only (no-oracle) queries stay LAST so the window is
         # -- 100% hash-checkable --------------------------------------
         "e22_rolling_distinct_hll": q_e22,
@@ -14007,4 +14022,34 @@ SELECT event_type, week, n_events, prev_week, prev_n,
                  ELSE (CAST(1000000 AS HUGEINT) * (n_events - prev_n))
                       // prev_n END AS BIGINT) AS change_ppm
 FROM lg"""
+    # fc11: the fc01 chain at cut max(hr) (no restriction) + fc06's
+    # recursive CTE nested VERBATIM (the fc07 pattern) + the fc07
+    # final-state extraction; signed multiply-add only.
+    out["fc11_forecast_disagreement"] = f"""
+WITH h0 AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2),
+{_fc10_chain('c', 'max(hr)')},
+hwt AS (SELECT * FROM ({out["fc06_holt_winters"]})),
+lastr AS (SELECT event_type, hr AS last_hr, level_micro AS l,
+                 trend_micro AS b
+          FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                             ORDER BY hr DESC) AS rn
+                FROM hwt) WHERE rn = 1),
+slot AS (SELECT event_type, hr % 24 AS slot, season_micro AS sv
+         FROM (SELECT *, row_number() OVER (
+                   PARTITION BY event_type, hr % 24
+                   ORDER BY hr DESC) AS rn
+               FROM hwt) WHERE rn = 1)
+SELECT fcc.event_type, CAST(fcc.h_future AS BIGINT) AS h_future,
+       CAST(fcc.h_future % 24 AS BIGINT) AS hod,
+       fcc.forecast_micro AS f_profile_micro,
+       CAST(l.l + (fcc.h_future - l.last_hr) * l.b + coalesce(s.sv, 0)
+            AS BIGINT) AS f_hw_micro,
+       CAST(fcc.forecast_micro
+            - (l.l + (fcc.h_future - l.last_hr) * l.b
+               + coalesce(s.sv, 0)) AS BIGINT) AS gap_micro
+FROM fcc JOIN lastr l ON l.event_type = fcc.event_type
+LEFT JOIN slot s ON s.event_type = fcc.event_type
+                AND s.slot = fcc.h_future % 24"""
     return out

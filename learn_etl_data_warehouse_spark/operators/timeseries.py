@@ -2855,3 +2855,52 @@ def week_over_week(hourly: DataFrame, key: str = "event_type") -> DataFrame:
             " div prev_n END"
         ).cast("long").alias("change_ppm"),
     )
+
+
+def forecast_disagreement(
+    hourly: DataFrame,
+    key: str = "event_type",
+    horizon: int = 24,
+    period: int = 24,
+) -> DataFrame:
+    """Model-disagreement audit (fc11): the profile+trend forecaster
+    (fc01) and the Holt–Winters forecaster (fc06) fit on the SAME
+    history, their next-``horizon`` forecasts laid side by side with
+    the signed UNDIVIDED gap — the cheapest ensemble diagnostic
+    there is: where independent models agree, trust the number;
+    where they diverge, the gap per hour-of-day says WHICH structure
+    (seasonal profile vs adaptive level/trend) is driving the
+    disagreement. Both models anchor at the key's own last grid hour,
+    so the h_future spines align by construction.
+
+    Engine-exact end to end: fc01's fixed-point forecast joins the
+    HW final state's signed multiply-add (the fc07 formula: level +
+    h·trend + season[hod]) — no float, no division at all. Calendar-
+    bounded everywhere. Returns (key, h_future, hod,
+    f_profile_micro, f_hw_micro, gap_micro), all BIGINT.
+    """
+    p = int(period)
+    fc = forecast_hourly(hourly, key, horizon)
+    state = hw_final_state(holt_winters_smooth(hourly, key, p), key, p)
+    return (
+        fc.join(state, key)
+        .select(
+            F.col(key),
+            F.col("h_future").cast("long").alias("h_future"),
+            F.pmod(F.col("h_future"), F.lit(24)).cast("long").alias("hod"),
+            F.col("forecast_micro").cast("long").alias("f_profile_micro"),
+            (
+                F.col("level_micro")
+                + (F.col("h_future") - F.col("last_hr"))
+                * F.col("trend_micro")
+                + F.element_at(
+                    F.col("season"),
+                    (F.pmod(F.col("h_future"), F.lit(p)) + 1).cast("int"),
+                )
+            ).cast("long").alias("f_hw_micro"),
+        )
+        .withColumn(
+            "gap_micro",
+            (F.col("f_profile_micro") - F.col("f_hw_micro")).cast("long"),
+        )
+    )

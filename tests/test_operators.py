@@ -7369,3 +7369,29 @@ def test_week_over_week_hand_series(spark):
     w3 = out[3]
     assert w3["prev_week"] == 1 and w3["prev_n"] == 4
     assert w3["delta"] == 4 and w3["change_ppm"] == 1_000_000
+
+
+def test_forecast_disagreement_hand_series(spark):
+    """r13 cont.: fc11 — on a perfectly flat series both models
+    forecast the constant exactly, so every gap is zero; a planted
+    step makes them diverge (HW adapts, the profile dilutes) with a
+    nonzero signed gap."""
+    from learn_etl_data_warehouse_spark.operators.timeseries import (
+        forecast_disagreement,
+    )
+
+    rows = []
+    for h in range(96):
+        rows.append(("flat", h, 10))
+        rows.append(("step", h, 10 if h < 72 else 50))
+    df = spark.createDataFrame(rows, "event_type string, hr long, x long")
+    out = forecast_disagreement(df).collect()
+    flat = [r for r in out if r["event_type"] == "flat"]
+    assert len(flat) == 24
+    assert all(r["f_profile_micro"] == 10_000_000 for r in flat)
+    assert all(r["gap_micro"] == 0 for r in flat)
+    step = [r for r in out if r["event_type"] == "step"]
+    assert len(step) == 24
+    assert any(r["gap_micro"] != 0 for r in step)
+    for r in out:  # the identity holds row-wise by construction
+        assert r["gap_micro"] == r["f_profile_micro"] - r["f_hw_micro"]
