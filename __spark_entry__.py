@@ -6763,6 +6763,28 @@ def q_fc11(spark, sf_dir):
     return forecast_disagreement(hourly_counts(_t(spark, sf_dir, "events")))
 
 
+def q_sv03(spark, sf_dir):
+    """Hazard contrast (r13 cont.): BUILDING-vs-MACHINERY repeat-
+    purchase cumulative hazards at every SHARED event time — signed
+    undivided gap + truncating ratio ppm; shared-time rows only (no
+    as-of interpolation convention to defend)
+    (operators/survival.py::hazard_contrast)."""
+    from learn_etl_data_warehouse_spark.operators.survival import (
+        duration_table,
+        hazard_contrast,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    dur = duration_table(orders, "o_custkey", "o_orderdate").join(
+        cust, "o_custkey"
+    )
+    return hazard_contrast(dur, "segment", "BUILDING", "MACHINERY")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -7143,6 +7165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st15_bootstrap_diff_ci": q_st15,
         "e41_week_over_week": q_e41,
         "fc11_forecast_disagreement": q_fc11,
+        "sv03_hazard_contrast": q_sv03,
         # -- rows-only (no-oracle) queries stay LAST so the window is
         # -- 100% hash-checkable --------------------------------------
         "e22_rolling_distinct_hll": q_e22,
@@ -14052,4 +14075,19 @@ SELECT fcc.event_type, CAST(fcc.h_future AS BIGINT) AS h_future,
 FROM fcc JOIN lastr l ON l.event_type = fcc.event_type
 LEFT JOIN slot s ON s.event_type = fcc.event_type
                 AND s.slot = fcc.h_future % 24"""
+    # sv03: sv02's curve SQL nested verbatim, filtered to the two
+    # segments, inner-joined on shared event times.
+    out["sv03_hazard_contrast"] = f"""
+WITH curves AS (SELECT * FROM ({out["sv02_segment_hazard"]})
+                WHERE segment IN ('BUILDING', 'MACHINERY'))
+SELECT a.duration_days,
+       a.at_risk AS at_risk_a, a.cum_hazard_ppm AS cum_a_ppm,
+       b.at_risk AS at_risk_b, b.cum_hazard_ppm AS cum_b_ppm,
+       CAST(a.cum_hazard_ppm - b.cum_hazard_ppm AS BIGINT) AS gap_ppm,
+       CAST(CASE WHEN b.cum_hazard_ppm = 0 THEN NULL
+                 ELSE (1000000 * a.cum_hazard_ppm) // b.cum_hazard_ppm
+                 END AS BIGINT) AS ratio_ppm
+FROM curves a JOIN curves b
+  ON b.duration_days = a.duration_days
+WHERE a.segment = 'BUILDING' AND b.segment = 'MACHINERY'"""
     return out

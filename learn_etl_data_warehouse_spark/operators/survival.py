@@ -112,3 +112,54 @@ def nelson_aalen(
     return ev.withColumn(
         "cum_hazard_ppm", F.sum("hazard_ppm").over(w_asc).cast("long")
     )
+
+
+def hazard_contrast(
+    durations: DataFrame,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Two-group hazard contrast (sv03): segment A's and segment B's
+    Nelson–Aalen cumulative hazards laid side by side at every event
+    time BOTH curves realize — the comparison sv02's independent
+    per-segment curves leave to the eye, made exact: the signed
+    UNDIVIDED cumulative gap plus a truncating ratio ppm. Comparing
+    only at SHARED event times keeps step-function semantics out of
+    it (an as-of interpolation would need a tolerance convention;
+    shared-time rows are engine-exact by construction — absent where
+    curves don't align, never interpolated).
+
+    Same bounded-grid plan as :func:`nelson_aalen` (the contrast is
+    one inner join over the ≤ |day-grid| event rows). Returns
+    (duration_days, at_risk_a, cum_a_ppm, at_risk_b, cum_b_ppm,
+    gap_ppm, ratio_ppm) with ratio NULL when cum_b = 0.
+    """
+    na = nelson_aalen(
+        durations.filter(F.col(group_col).isin([group_a, group_b])),
+        group_col,
+    )
+    a = na.filter(F.col(group_col) == group_a).select(
+        "duration_days",
+        F.col("at_risk").alias("at_risk_a"),
+        F.col("cum_hazard_ppm").alias("cum_a_ppm"),
+    )
+    b = na.filter(F.col(group_col) == group_b).select(
+        "duration_days",
+        F.col("at_risk").alias("at_risk_b"),
+        F.col("cum_hazard_ppm").alias("cum_b_ppm"),
+    )
+    return a.join(b, "duration_days").select(
+        "duration_days",
+        "at_risk_a",
+        "cum_a_ppm",
+        "at_risk_b",
+        "cum_b_ppm",
+        (F.col("cum_a_ppm") - F.col("cum_b_ppm")).cast("long").alias(
+            "gap_ppm"
+        ),
+        F.expr(
+            "CASE WHEN cum_b_ppm = 0 THEN NULL"
+            " ELSE (1000000 * cum_a_ppm) div cum_b_ppm END"
+        ).cast("long").alias("ratio_ppm"),
+    )

@@ -7395,3 +7395,31 @@ def test_forecast_disagreement_hand_series(spark):
     assert any(r["gap_micro"] != 0 for r in step)
     for r in out:  # the identity holds row-wise by construction
         assert r["gap_micro"] == r["f_profile_micro"] - r["f_hw_micro"]
+
+
+def test_hazard_contrast_hand_durations(spark):
+    """r13 cont.: sv03 — only SHARED event times emit (no
+    interpolation), the gap is signed undivided, and the ratio
+    truncates against B's cumulative hazard."""
+    from learn_etl_data_warehouse_spark.operators.survival import (
+        hazard_contrast,
+    )
+
+    rows = (
+        # A: events at t=2 (2 of 4 at risk) and t=5
+        [("A", 2, 1), ("A", 2, 1), ("A", 5, 1), ("A", 6, 0)]
+        # B: events at t=2 (1 of 2) and t=9 (A never reaches 9)
+        + [("B", 2, 1), ("B", 9, 1)]
+    )
+    df = spark.createDataFrame(
+        rows, "segment string, duration_days long, event long"
+    )
+    out = {
+        r["duration_days"]: r
+        for r in hazard_contrast(df, "segment", "A", "B").collect()
+    }
+    assert set(out) == {2}  # t=5 and t=9 are unshared
+    r = out[2]
+    assert r["at_risk_a"] == 4 and r["at_risk_b"] == 2
+    assert r["cum_a_ppm"] == 500_000 and r["cum_b_ppm"] == 500_000
+    assert r["gap_ppm"] == 0 and r["ratio_ppm"] == 1_000_000
