@@ -6785,6 +6785,21 @@ def q_sv03(spark, sf_dir):
     return hazard_contrast(dur, "segment", "BUILDING", "MACHINERY")
 
 
+def q_a36(spark, sf_dir):
+    """Tukey fences (r13 cont.): per priority, boxplot outlier counts
+    from exact ceil-rank quartiles — the 1.5·IQR rule as pure BIGINT
+    (2·x > 2·Q3 + 3·IQR, no halves); the quantile outlier convention
+    next to st06's MAD one, cross-checkable
+    (operators/sampling.py::tukey_fences)."""
+    from learn_etl_data_warehouse_spark.operators.sampling import (
+        tukey_fences,
+    )
+
+    return tukey_fences(
+        _t(spark, sf_dir, "orders"), "o_totalprice", "o_orderpriority"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate checks the
     # FIRST 50 entries only. Window policy (standing, r3+): slots go to
@@ -7166,6 +7181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e41_week_over_week": q_e41,
         "fc11_forecast_disagreement": q_fc11,
         "sv03_hazard_contrast": q_sv03,
+        "a36_tukey_fences": q_a36,
         # -- rows-only (no-oracle) queries stay LAST so the window is
         # -- 100% hash-checkable --------------------------------------
         "e22_rolling_distinct_hll": q_e22,
@@ -14090,4 +14106,35 @@ SELECT a.duration_days,
 FROM curves a JOIN curves b
   ON b.duration_days = a.duration_days
 WHERE a.segment = 'BUILDING' AND b.segment = 'MACHINERY'"""
+    # a36: the a35 nearest-rank quartile twin + the doubled fence
+    # comparisons (no halves).
+    out["a36_tukey_fences"] = """
+WITH b AS (SELECT o_orderpriority AS grp,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders),
+r AS (SELECT grp, c,
+             row_number() OVER (PARTITION BY grp ORDER BY c) AS rn,
+             count(*) OVER (PARTITION BY grp) AS n
+      FROM b),
+q AS (SELECT grp,
+             CAST(max(CASE WHEN rn = (25 * n + 99) // 100 THEN c END)
+                  AS BIGINT) AS q1,
+             CAST(max(CASE WHEN rn = (75 * n + 99) // 100 THEN c END)
+                  AS BIGINT) AS q3
+      FROM r GROUP BY 1),
+f AS (SELECT b.grp, q.q1, q.q3,
+             CASE WHEN 2 * b.c > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                  THEN 1 ELSE 0 END AS hi,
+             CASE WHEN 2 * b.c < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                  THEN 1 ELSE 0 END AS lo
+      FROM b JOIN q ON q.grp = b.grp)
+SELECT grp, CAST(count(*) AS BIGINT) AS n_g,
+       CAST(max(q1) AS BIGINT) AS q1_cents,
+       CAST(max(q3) AS BIGINT) AS q3_cents,
+       CAST(max(q3) - max(q1) AS BIGINT) AS iqr_cents,
+       CAST(sum(lo) AS BIGINT) AS n_low,
+       CAST(sum(hi) AS BIGINT) AS n_high,
+       CAST((1000000 * (sum(lo) + sum(hi))) // count(*) AS BIGINT)
+         AS outlier_ppm
+FROM f GROUP BY 1"""
     return out

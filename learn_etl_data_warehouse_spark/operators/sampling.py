@@ -1100,3 +1100,85 @@ def bootstrap_diff_ci(
         "median_cents",
         "ci_hi_cents",
     )
+
+
+def tukey_fences(
+    df: DataFrame,
+    value_col: str,
+    group_col,
+    group_alias: str = "grp",
+) -> DataFrame:
+    """Tukey boxplot fences per group (a36): Q1/Q3 from the exact
+    ceil nearest-rank selection kernel (the a35 quartiles), fences at
+    1.5·IQR, and the counts beyond each fence — the boxplot's whisker
+    companion to a35's skew scalar and the QUANTILE-based outlier
+    count next to st06's median/MAD one (Tukey fences are the
+    convention BI tools draw; MAD is the robust-statistics one — both
+    now exist, cross-checkable).
+
+    Integer discipline: the 1.5 multiplier never materializes — a
+    point is an outlier iff  2·x > 2·Q3 + 3·IQR  (or mirrored below),
+    pure BIGINT comparisons with no halves. Values non-negative cents
+    (the kernel's standing precondition). Same plan as a35 plus one
+    conditional-count pass over the base.
+
+    Returns (grp, n_g, q1_cents, q3_cents, iqr_cents, n_low,
+    n_high, outlier_ppm), all BIGINT.
+    """
+    grp = F.col(group_col) if isinstance(group_col, str) else group_col
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    base = df.select(grp.alias(group_alias), cents.alias("_c"))
+    sizes = base.groupBy(group_alias).agg(
+        F.count(F.lit(1)).cast("long").alias("n_g")
+    )
+    bc = _group_below_counts(base, group_alias)
+    j = bc.join(F.broadcast(sizes), group_alias)
+    picks = []
+    for q, name in ((25, "q1_cents"), (75, "q3_cents")):
+        target = F.expr(f"({q} * n_g + 99) div 100").cast("decimal(38,0)")
+        picks.append(
+            j.filter(
+                (F.col("_lt") < target)
+                & (F.col("_lt") + F.col("_n_v") >= target)
+            ).select(group_alias, F.col("_c").cast("long").alias(name))
+        )
+    qs = picks[0].join(picks[1], group_alias)
+    flagged = base.join(F.broadcast(qs), group_alias).select(
+        group_alias,
+        "q1_cents",
+        "q3_cents",
+        (
+            2 * F.col("_c")
+            > 2 * F.col("q3_cents")
+            + 3 * (F.col("q3_cents") - F.col("q1_cents"))
+        ).cast("long").alias("_hi"),
+        (
+            2 * F.col("_c")
+            < 2 * F.col("q1_cents")
+            - 3 * (F.col("q3_cents") - F.col("q1_cents"))
+        ).cast("long").alias("_lo"),
+    )
+    return (
+        flagged.groupBy(group_alias)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.max("q1_cents").cast("long").alias("q1_cents"),
+            F.max("q3_cents").cast("long").alias("q3_cents"),
+            F.sum("_lo").cast("long").alias("n_low"),
+            F.sum("_hi").cast("long").alias("n_high"),
+        )
+        .select(
+            group_alias,
+            "n_g",
+            "q1_cents",
+            "q3_cents",
+            (F.col("q3_cents") - F.col("q1_cents")).cast("long").alias(
+                "iqr_cents"
+            ),
+            "n_low",
+            "n_high",
+            F.expr(
+                "(1000000 * (n_low + n_high)) div n_g"
+            ).cast("long").alias("outlier_ppm"),
+        )
+    )

@@ -7423,3 +7423,29 @@ def test_hazard_contrast_hand_durations(spark):
     assert r["at_risk_a"] == 4 and r["at_risk_b"] == 2
     assert r["cum_a_ppm"] == 500_000 and r["cum_b_ppm"] == 500_000
     assert r["gap_ppm"] == 0 and r["ratio_ppm"] == 1_000_000
+
+
+def test_tukey_fences_hand_frame(spark):
+    """r13 cont.: a36 — a planted far-out point trips the high fence,
+    a boundary point exactly AT the fence does not (strict
+    inequality), and the doubled comparison needs no halves."""
+    from learn_etl_data_warehouse_spark.operators.sampling import (
+        tukey_fences,
+    )
+
+    # values in cents/100: ranks over n=9 -> q1 at rank 3, q3 at 7
+    vals = [1, 2, 3, 4, 5, 6, 7, 8, 100]  # q1=3c? ranks: (25*9+99)//100=3
+    rows = [("g", v / 100.0) for v in vals]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = tukey_fences(df, "v", "grp").collect()[0]
+    assert out["q1_cents"] == 3 and out["q3_cents"] == 7
+    assert out["iqr_cents"] == 4
+    # high fence: 2x > 2*7 + 3*4 = 26 -> x > 13 -> only 100
+    assert out["n_high"] == 1 and out["n_low"] == 0
+    assert out["outlier_ppm"] == (1_000_000 * 1) // 9
+    # boundary: x = 13 exactly is NOT an outlier (2*13 = 26, strict >)
+    rows2 = [("b", v / 100.0) for v in [1, 2, 3, 4, 5, 6, 7, 8, 13]]
+    out2 = tukey_fences(
+        spark.createDataFrame(rows2, "grp string, v double"), "v", "grp"
+    ).collect()[0]
+    assert out2["n_high"] == 0
