@@ -575,6 +575,7 @@ def common_neighbor_scores(
     min_common: int = 2,
     exclude_existing: bool = True,
     max_neighborhood: int | None = 200,
+    materialize_edges: bool = True,
 ) -> DataFrame:
     """Link prediction by shared neighborhoods (common-neighbors /
     Jaccard).
@@ -610,6 +611,15 @@ def common_neighbor_scores(
     Returns (src, dst, common_n, deg_a, deg_b, jaccard_ppm), src < dst.
     """
     e = edges.select("src", "dst")
+    if materialize_edges:
+        # The edge list is referenced 5× below (degrees, both wedge
+        # sides, the direct-edge anti-join); when it is itself derived
+        # (the co-occurrence self-join + distinct), the lazy plan
+        # re-embeds that derivation per reference — 28 raw scans
+        # measured on the g06 bench plan. One localCheckpoint cuts the
+        # lineage (the g02 posture); A/B'd in the r13 optimization
+        # round: 6.8 s → ~5.4 s at the sliced sf0.1 bench shape.
+        e = e.localCheckpoint()
     deg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
@@ -1158,48 +1168,97 @@ def hyperball_neighborhood(
     balls ≪ m) rides along as the small-ball-accurate proxy, the pair
     the estimator literature uses.
 
-    State is ≤ m rows per node and max-merge is idempotent, so a
-    round is: edge join (register rows flow dst→src over the
-    symmetric edge list) + union + (node, reg) max agg. Default is
-    LAZY (``materialize=False``): at rounds = 2 AQE exchange reuse
-    dedupes the shared sub-plans and the localCheckpoint variant
-    measured 2× SLOWER (fresh-JVM sf0.1, 14.4 s lazy vs 30.4 s
-    checkpointed — the d34 lesson repeating). ``materialize=True``
-    remains for DEEP unrolls where plan nesting explodes (the g08
-    posture) — A/B before flipping either way.
+    State is ONE row per node carrying the m registers as a fixed-width
+    BIGINT array (r13 optimization round; was m rows per node at
+    (node, reg) grain). A round is: edge join (each edge moves its
+    dst's whole register array to src in ONE row) + union + per-node
+    element-wise max agg (m max buffers in one hash aggregate). The
+    array form moves m× fewer rows through the propagation join and
+    the merge shuffle for identical bytes of register payload —
+    measured 12.2 s → ~3 s at the sliced sf0.1 bench shape — and is
+    value-identical: max over (node, reg) rows ≡ element-wise array
+    max (absent register ≡ rho 0), and the estimate fold reproduces
+    md5_hll_estimate's integers exactly (S = Σ_i 2^(40−rho_i) counts
+    explicit zeros at 2^40, the same constant absent rows contributed).
+    Default stays LAZY (``materialize=False``): at rounds = 2 AQE
+    exchange reuse dedupes the shared sub-plans and the localCheckpoint
+    variant measured 2× SLOWER pre-refactor (fresh-JVM sf0.1, 14.4 s
+    lazy vs 30.4 s checkpointed — the d34 lesson repeating).
+    ``materialize=True`` remains for DEEP unrolls where plan nesting
+    explodes (the g08 posture) — A/B before flipping either way.
 
     Returns one row per t in [0, rounds]: (t, n_nodes, sum_occupied,
     sum_est) — sum_est is Σ_v est|B(v,t)|, the neighborhood function.
     """
-    from .sketches import md5_hll_estimate, md5_hll_registers
+    from .sketches import md5_hll_registers
+
+    alpha_ppt = {16: 673, 32: 697, 64: 709}
+    if m not in alpha_ppt:
+        raise ValueError(
+            f"m={m} unsupported: the BIGINT estimate constant needs"
+            " m in (16, 32, 64)"
+        )
+    num = alpha_ppt[m] * m * m * (1 << 40)
 
     e = edges.select("src", "dst")
     if materialize:
         e = e.localCheckpoint()
     nodes = e.select(F.col("src").alias("node")).distinct()
-    regs = md5_hll_registers(nodes, "node", "node", group_alias="node", m=m)
+    # t=0 state: each node's own key occupies exactly one register —
+    # expand the (node, reg, rho_max) row to the m-slot array form.
+    reg0 = md5_hll_registers(nodes, "node", "node", group_alias="node", m=m)
+    regs = reg0.select(
+        "node",
+        F.array(
+            *[
+                F.when(F.col("reg") == i, F.col("rho_max"))
+                .otherwise(F.lit(0))
+                .cast("long")
+                for i in range(m)
+            ]
+        ).alias("ball"),
+    )
 
     def level(r: DataFrame, t: int) -> DataFrame:
-        per_node = md5_hll_estimate(r, group_alias="node", m=m)
+        # Per node: S = Σ_i 2^(40−rho_i) (rho 0 slots contribute 2^40,
+        # exactly md5_hll_estimate's absent-register constant), est =
+        # num div (1000·S) — the same integers the row-form computed.
+        s_v = F.aggregate(
+            "ball",
+            F.lit(0).cast("long"),
+            lambda acc, x: acc
+            + F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                (F.lit(40) - x).cast("int"),
+            ),
+        )
+        occ = F.size(F.filter("ball", lambda x: x > F.lit(0))).cast("long")
+        per_node = r.select(
+            occ.alias("_occ"),
+            F.expr(f"CAST({num} AS BIGINT)").alias("_num"),
+            s_v.alias("_s"),
+        ).select(
+            "_occ",
+            F.expr("_num div (1000 * _s)").cast("long").alias("_est"),
+        )
         return per_node.agg(
             F.lit(t).cast("long").alias("t"),
             F.count(F.lit(1)).cast("long").alias("n_nodes"),
-            F.sum(m - F.col("n_zero_registers"))
-            .cast("long")
-            .alias("sum_occupied"),
-            F.sum("est_ndv").cast("long").alias("sum_est"),
+            F.sum("_occ").cast("long").alias("sum_occupied"),
+            F.sum("_est").cast("long").alias("sum_est"),
         ).select("t", "n_nodes", "sum_occupied", "sum_est")
 
     out = level(regs, 0)
     for t in range(1, int(rounds) + 1):
         prop = e.join(regs, e["dst"] == regs["node"]).select(
-            e["src"].alias("node"), "reg", F.col("rho_max").alias("_r")
+            e["src"].alias("node"), "ball"
         )
-        regs = (
-            regs.select("node", "reg", F.col("rho_max").alias("_r"))
-            .unionByName(prop)
-            .groupBy("node", "reg")
-            .agg(F.max("_r").cast("long").alias("rho_max"))
+        merged = regs.unionByName(prop)
+        regs = merged.groupBy("node").agg(
+            F.array(
+                *[F.max(F.col("ball")[i]).cast("long") for i in range(m)]
+            ).alias("ball")
         )
         if materialize:
             regs = regs.localCheckpoint()

@@ -37,6 +37,22 @@ _DEFAULTS = {
     # real cluster with selective dim predicates over a 100 TB fact,
     # enable it via extra_conf — that is the workload it exists for.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # r13 optimization round: prefer shuffled-hash over sort-merge when
+    # the planner's size conditions are met, and let AQE rewrite
+    # SMJ→SHJ at runtime when every post-shuffle partition fits under
+    # 256 MB (guide §3.1/§9). Join results are strategy-independent;
+    # the win is skipping both sides' sorts in the unrolled iterative
+    # graph/IVM plans (same-JVM interleaved A/B at sf0.1: g02 15.3→8.3,
+    # g10 5.2→3.6, fp03 4.6→3.1, g16 8.6→6.3, d24 5.6→4.7, ivm01
+    # 1.35→1.02; worst mover s15 +6%, inside noise). At cluster scale
+    # the build side is bounded by the AQE advisory partition size and
+    # AQE skew-join still splits oversized partitions for SHJ; flip
+    # preferSortMergeJoin back via extra_conf for memory-starved
+    # executors.
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": str(
+        256 * 1024 * 1024
+    ),
     "spark.sql.shuffle.partitions": "32",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),

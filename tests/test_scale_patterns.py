@@ -37,7 +37,11 @@ def test_bucketed_join_has_no_shuffle(spark, sf_small, tmp_path):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         plan = joined._jdf.queryExecution().executedPlan().toString()
-        assert "SortMergeJoin" in plan
+        # the invariant under test is the ELIDED EXCHANGE; the join
+        # algorithm on top of the co-located layout is incidental
+        # (sort-merge by default, shuffled-hash since the r13
+        # preferSortMergeJoin=false session default)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
         assert "Exchange hashpartitioning" not in plan, (
             "bucketed join must not shuffle"
         )
