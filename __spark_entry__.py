@@ -3163,8 +3163,13 @@ def q_g08(spark, sf_dir):
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # r14 (guide §3.1): pin the fan-out edge-build join to sort-merge —
+    # under the session SHJ default this join drove g08's PERF_r13
+    # 0.89× regression; interleaved A/B at sf0.1: 2.83 s SHJ → 2.45 s
+    # with the pin (full-session SMJ is NOT better: 2.86 s — only this
+    # join wants the sort).
     edges = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        o.join(li.hint("merge"), o["o_orderkey"] == li["l_orderkey"])
         .select(
             F.col("o_custkey").alias("hub"),
             F.col("l_partkey").alias("auth"),

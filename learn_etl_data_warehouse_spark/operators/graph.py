@@ -26,6 +26,7 @@ def cooccurrence_edges(
     fact: DataFrame,
     group_col: str = "l_orderkey",
     item_col: str = "l_partkey",
+    self_join_hint: str | None = "merge",
 ) -> DataFrame:
     """Undirected co-occurrence edges: two items are linked when they
     appear in the same group (parts bought together in one order).
@@ -41,6 +42,18 @@ def cooccurrence_edges(
         F.col(group_col).alias("_gk"), F.col(item_col).alias("_item")
     )
     a, b = li.alias("a"), li.alias("b")
+    if self_join_hint:
+        # r14 (guide §3.1, the r13 verdict's graph-regression item):
+        # pin this self-join to sort-merge. Under the r13 session-wide
+        # preferSortMergeJoin=false flip, the planner picks a shuffled
+        # -hash build over a ~4-rows-per-key self-join whose output fans
+        # out quadratically per group — interleaved same-JVM A/B at
+        # sf0.1 (6 passes, per-variant min): g02 6.46 s unhinted vs
+        # 4.57 s with the merge pin, and every g02/g08/g09 driver
+        # regression in PERF_r13 sits on this sub-plan. Sorting two
+        # int-pair columns is cheap and spills gracefully at 100 TB,
+        # where a hash build of a hot order-group partition would not.
+        b = b.hint(self_join_hint)
     return (
         a.join(
             b,
@@ -60,6 +73,8 @@ def pagerank_fixed_point(
     damping_pct: int = 85,
     init_micros: int = 1_000_000,
     materialize_edges: bool = True,
+    checkpoint_mode: str | None = None,
+    round_join_hint: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank in integer micro-units.
 
@@ -82,7 +97,21 @@ def pagerank_fixed_point(
     """
     if not 0 <= damping_pct <= 100:
         raise ValueError("damping_pct must be in [0, 100]")
-    if materialize_edges:
+    # r14 adjudication knob (the r13 verdict's item 1): which lineage
+    # cuts to take. "edges" = the r12 shape (raw edge list only),
+    # "both" = the r13 shape (raw edges + degree-attached list, two
+    # serial materialization barriers), "ed" = ONE barrier on the
+    # degree-attached list the rounds actually consume, "none" = lazy.
+    # ADJUDICATED r14 (interleaved same-JVM mins at sf0.1, two windows,
+    # plus PERF_r13 driver ground truth where g02 ran 0.87× under
+    # "both"): "both" is strictly worst (two serial barriers inside the
+    # timed path), "ed" ≥ "edges" by ~5-15%, so the default reverts to
+    # the r12 "edges" shape. The r13 eager ed-checkpoint is kept only
+    # as an opt-in for very deep unrolls.
+    mode = checkpoint_mode or ("edges" if materialize_edges else "none")
+    if mode not in ("none", "edges", "ed", "both"):
+        raise ValueError(f"unknown checkpoint_mode {mode!r}")
+    if mode in ("edges", "both"):
         # The edge list is referenced ~2× per round; without an explicit
         # cut the unrolled plan re-derives it from the SOURCE each time
         # (plan audit: 22 raw scans for 5 rounds). Exchange reuse papers
@@ -102,14 +131,18 @@ def pagerank_fixed_point(
     ed = edges.join(deg.withColumnRenamed("node", "src"), "src").select(
         F.col("src").alias("node"), "dst", "deg"
     )
-    if materialize_edges:
-        # r13 optimization round: the per-round join consumes the
-        # DEGREE-ATTACHED list, so checkpointing only the raw edges
-        # left the attach join to execute once per round (exchange
-        # -reused inputs, but the join itself ran `iterations` times).
-        # Cheap second cut (joins two in-memory frames); same-JVM
-        # interleaved A/B at the g02 sf0.1 shape: 4.46 → 3.75 s.
+    if mode in ("ed", "both"):
+        # The per-round join consumes the DEGREE-ATTACHED list, so
+        # checkpointing only the raw edges leaves the attach join to
+        # execute once per unrolled round (exchange-reused inputs, but
+        # the join itself runs `iterations` times).
         ed = ed.localCheckpoint(eager=True)
+    if round_join_hint:
+        # per-join strategy pin (guide §3.1): the session default may
+        # prefer shuffled-hash globally, but the unrolled round joins
+        # here measured faster under sort-merge (r14 A/B) — the hint
+        # scopes the choice to THIS kernel without flipping the session.
+        ed = ed.hint(round_join_hint)
     ranks = deg.select(
         "node", F.lit(init_micros).cast("long").alias("rank_micros")
     )
@@ -828,6 +861,7 @@ def personalized_pagerank(
     damping_pct: int = 85,
     init_micros: int = 1_000_000,
     materialize_edges: bool = True,
+    checkpoint_mode: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PERSONALIZED PageRank: restart mass returns to
     the seed set instead of spreading uniformly — the seeded-relevance
@@ -858,7 +892,12 @@ def personalized_pagerank(
     if iterations < 1:
         raise ValueError("personalized_pagerank: iterations must be >= 1")
     e = edges.select("src", "dst")
-    if materialize_edges:
+    # same adjudication knob as pagerank_fixed_point (r14): default
+    # reverts to the r12 "edges" shape; see that kernel's comment.
+    mode = checkpoint_mode or ("edges" if materialize_edges else "none")
+    if mode not in ("none", "edges", "ed", "both"):
+        raise ValueError(f"unknown checkpoint_mode {mode!r}")
+    if mode in ("edges", "both"):
         e = e.localCheckpoint()
     deg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
@@ -866,10 +905,9 @@ def personalized_pagerank(
     ed = e.join(deg.withColumnRenamed("node", "src"), "src").select(
         F.col("src").alias("node"), "dst", "deg"
     )
-    if materialize_edges:
-        # same r13 cut as pagerank_fixed_point: the rounds consume the
-        # degree-attached list, checkpoint it once instead of
-        # re-running the attach join per round
+    if mode in ("ed", "both"):
+        # the rounds consume the degree-attached list — checkpoint it
+        # once instead of re-running the attach join per round
         ed = ed.localCheckpoint(eager=True)
     restart = init_micros * (100 - damping_pct) // 100
     seed_nodes = (
@@ -911,6 +949,7 @@ def weighted_cooccurrence_edges(
     group_col: str = "l_orderkey",
     item_col: str = "l_partkey",
     affinity_scale: int = 1_000_000,
+    self_join_hint: str | None = "merge",
 ) -> DataFrame:
     """Co-occurrence edges with an integer traversal cost: the more
     groups a pair shares, the cheaper the hop —
@@ -924,6 +963,9 @@ def weighted_cooccurrence_edges(
         F.col(group_col).alias("_gk"), F.col(item_col).alias("_item")
     )
     a, b = li.alias("a"), li.alias("b")
+    if self_join_hint:
+        # same sort-merge pin as cooccurrence_edges (r14, guide §3.1)
+        b = b.hint(self_join_hint)
     counted = (
         a.join(
             b,

@@ -41,16 +41,24 @@ def main() -> None:
     from learn_etl_data_warehouse_spark.session import get_spark
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    conf = {
+        "spark.sql.shuffle.partitions": str(max(int(cpus) * 2, 8)),
+        "spark.driver.memory": os.environ.get(
+            "SPARK_GRAFT_DRIVER_MEM", "48g"
+        ),
+        "spark.sql.files.maxPartitionBytes": "4m",
+    }
+    # A/B harness hook (r14): JSON dict of session conf overrides so a
+    # single toggle (e.g. preferSortMergeJoin) can be probed in a fresh
+    # JVM without editing session.py between runs.
+    if os.environ.get("SPARK_GRAFT_PROBE_CONF"):
+        import json
+
+        conf.update(json.loads(os.environ["SPARK_GRAFT_PROBE_CONF"]))
     spark = get_spark(
         app_name=f"probe-{name}",
         master=f"local[{cpus}]",
-        extra_conf={
-            "spark.sql.shuffle.partitions": str(max(int(cpus) * 2, 8)),
-            "spark.driver.memory": os.environ.get(
-                "SPARK_GRAFT_DRIVER_MEM", "48g"
-            ),
-            "spark.sql.files.maxPartitionBytes": "4m",
-        },
+        extra_conf=conf,
     )
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
