@@ -270,6 +270,7 @@ def minhash_index(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    materialize: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """The persistable LSH index over a corpus: ``(signatures, buckets)``
     where signatures is ``(id, signature array<long>)`` and buckets is
@@ -277,8 +278,20 @@ def minhash_index(
     (bucket-partitioned on ``(band, bucket)`` at scale) and the daily
     ingest never re-reads corpus text — the index IS the dedup state,
     and it grows by appending each accepted batch's rows
-    (:func:`minhash_dedup_against` returns them)."""
+    (:func:`minhash_dedup_against` returns them).
+
+    ``materialize`` (r14, guide §2.4/§3.3): the signature table is the
+    64-min aggregate over the exploded shingle stream and every consumer
+    re-derives the post-exchange aggregation per reference when left
+    lazy (AQE exchange reuse collapses the scan+partial-agg below the
+    exchange, not the final agg above it). A LAZY ``localCheckpoint``
+    (no job at construction; materialized by the first action) computes
+    it once — interleaved A/B at sf0.1 on d24's index+ingest shape:
+    4.72 → 3.55 s (1.33×). The one-shot pair path (d03) measured a
+    wash and stays un-checkpointed."""
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    if materialize:
+        sig = sig.localCheckpoint(eager=False)
     return sig, _band_buckets(sig, num_hashes, bands, id_col)
 
 
@@ -292,6 +305,7 @@ def minhash_dedup_against(
     bands: int = 16,
     shingle_n: int = 3,
     threshold: float = 0.7,
+    materialize: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Incremental near-dup dedup: the steady-state ingest path
     (:func:`dedup_against`'s exact analog, lifted to MinHash+LSH).
@@ -317,6 +331,12 @@ def minhash_dedup_against(
     """
     assert num_hashes % bands == 0
     sig_new = minhash_signatures(new_docs, text_col, id_col, num_hashes, shingle_n)
+    if materialize:
+        # The new batch's signature table is referenced six times below
+        # (both vs_corpus joins, both vs_new sides, the survivor semis);
+        # a LAZY localCheckpoint computes the 64-min aggregate once (see
+        # minhash_index's note — same r14 A/B, 1.33× on the d24 shape).
+        sig_new = sig_new.localCheckpoint(eager=False)
     banded_new = _band_buckets(sig_new, num_hashes, bands, id_col)
     est = F.round(
         F.size(
@@ -760,11 +780,6 @@ def hot_span_scrub(
     toks = df.select(
         F.col(id_col), tokens(text_col).alias("_t")
     )
-    tok = toks.select(
-        F.col(id_col), F.posexplode("_t").alias("_pos0", "_tok")
-    ).select(
-        F.col(id_col), (F.col("_pos0") + 1).alias("_pos"), F.col("_tok")
-    )
     sh = toks.filter(F.size("_t") >= span_len).select(
         F.col(id_col),
         F.posexplode(
@@ -792,28 +807,42 @@ def hot_span_scrub(
         )
         .distinct()
     )
-    flagged = tok.join(
-        cov.withColumn("_hit", F.lit(1)),
-        [id_col, "_pos"],
-        "left",
+    # r14 rebuild (guide §2.3/§2.4): the old shape exploded EVERY token
+    # to a (doc, pos, tok) row, left-joined coverage at that grain and
+    # re-assembled each document with a collect_list groupBy — two
+    # all-token shuffles to scrub a coverage set that is tiny next to
+    # the corpus. Coverage now aggregates to ONE sorted position array
+    # per touched document and joins back at DOC grain; the rebuild is
+    # pure array arithmetic on the row (array_except of the position
+    # range, element_at projection), so the only remaining all-token
+    # work is the span shingle explode the algorithm needs anyway.
+    # Interleaved A/B at sf0.1: see OPTIMIZATION_r14.md (d17).
+    # Semantics are unchanged: docs with NULL token arrays still drop
+    # (the join input filter mirrors the old posexplode), all-covered
+    # docs still emit an empty-string row.
+    cov_doc = cov.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("_pos")).alias("_cps")
     )
-    kept_struct = F.when(
-        F.col("_hit").isNull(), F.struct(F.col("_pos"), F.col("_tok"))
+    base = toks.filter(F.size("_t") >= 1)
+    kept_positions = F.array_except(
+        F.sequence(F.lit(1), F.size("_t")), F.col("_cps")
     )
-    return flagged.groupBy(id_col).agg(
-        F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+    return base.join(cov_doc, id_col, "left").select(
+        F.col(id_col),
+        (F.size("_t") - F.coalesce(F.size("_cps"), F.lit(0)))
         .cast("long")
         .alias("n_kept"),
-        F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0))
-        .cast("long")
-        .alias("n_removed"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(kept_struct)),
-                lambda x: x["_tok"],
-            ),
-            " ",
-        ).alias("text_clean"),
+        F.coalesce(F.size("_cps"), F.lit(0)).cast("long").alias("n_removed"),
+        F.when(F.col("_cps").isNull(), F.array_join("_t", " "))
+        .otherwise(
+            F.array_join(
+                F.transform(
+                    kept_positions, lambda p: F.element_at(F.col("_t"), p)
+                ),
+                " ",
+            )
+        )
+        .alias("text_clean"),
     )
 
 
