@@ -85,7 +85,17 @@ def pairwise_near_dups(
     False for multi-probe LSH layouts where a pair can collide in
     several band buckets.
     """
-    cols = [F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")]
+    # r14 (guide §2.3 "per-task work after the shape is right"): the
+    # norm is a per-ROW property — computing it before the self-join
+    # replaces two of the three 64-element array folds each PAIR paid
+    # (dot + both norms) with one extra double on the row. The float
+    # result is bit-identical: the same sqrt(Σx²) doubles feed the same
+    # dot/(na·nb) expression tree, only the evaluation site moves.
+    cols = [
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        _norm(F.col(vec_col)).alias("_nrm"),
+    ]
     if bucket_col is not None:
         cols.append(F.col(bucket_col).alias("_bk"))
     sel = df.select(*cols)
@@ -93,7 +103,11 @@ def pairwise_near_dups(
     cond = F.col("a._id") < F.col("b._id")
     if bucket_col is not None:
         cond = cond & (F.col("a._bk") == F.col("b._bk"))
-    sim = F.round(cosine_similarity(F.col("a._v"), F.col("b._v")), 6)
+    sim = F.round(
+        _dot(F.col("a._v"), F.col("b._v"))
+        / (F.col("a._nrm") * F.col("b._nrm")),
+        6,
+    )
     out = a.join(b, cond).select(
         F.col("a._id").alias("id_a"),
         F.col("b._id").alias("id_b"),
