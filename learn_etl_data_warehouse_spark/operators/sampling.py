@@ -846,6 +846,13 @@ def mad_outlier_profile(
     grp = F.col(group_col) if isinstance(group_col, str) else group_col
     cents = F.round(F.col(value_col) * 100).cast("long")
     base = df.select(grp.alias(group_alias), cents.alias("_c"))
+    # r14 (guide §2.4): base is consumed three times (sizes, the value
+    # selection pass, the deviation build) and dev twice (the MAD
+    # selection pass, the outlier count) — lazily materialize both so
+    # the scan+projection and the median join each execute once
+    # instead of per consumer. Order-balanced interleaved A/B at sf0.1:
+    # median 4.42 → 1.63 s; results byte-identical (exceptAll 0/0).
+    base = base.localCheckpoint(eager=False)
     sizes = base.groupBy(group_alias).agg(
         F.count(F.lit(1)).cast("long").alias("n_g")
     )
@@ -859,7 +866,7 @@ def mad_outlier_profile(
         group_alias,
         F.col("median_cents"),
         F.abs(F.col("_c") - F.col("median_cents")).alias("_c"),
-    )
+    ).localCheckpoint(eager=False)
     mad = _group_nearest_rank(
         _group_below_counts(dev.select(group_alias, "_c"), group_alias),
         sizes,
