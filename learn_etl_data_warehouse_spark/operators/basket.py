@@ -31,12 +31,20 @@ def frequent_pairs(
     basket_col: str,
     item_col: str,
     min_pair_support: int = 2,
+    materialize: bool = True,
 ) -> DataFrame:
     """All item pairs co-occurring in >= min_pair_support baskets.
 
     Returns (item_a, item_b, pair_n, n_a, n_b, n_baskets, conf_ppm,
     lift_micros) with item_a < item_b; conf_ppm = P(b|a) in parts per
     million (truncated), lift_micros = lift in micro-units (truncated).
+
+    ``materialize`` (r14, guide §2.4): the distinct (basket, item)
+    frame is referenced four times (both self-join sides, the item
+    margin, the basket total); left lazy, the distinct aggregation
+    re-executes per consumer (AQE exchange reuse dedupes only below
+    the exchange). A LAZY localCheckpoint computes it once — A/B in
+    OPTIMIZATION_r14.md (fp01).
     """
     b = (
         df.select(
@@ -45,6 +53,8 @@ def frequent_pairs(
         .filter(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
         .distinct()
     )
+    if materialize:
+        b = b.localCheckpoint(eager=False)
     item_n = b.groupBy("it").agg(F.count(F.lit(1)).alias("n_item"))
     pairs = (
         b.alias("l")
@@ -97,6 +107,7 @@ def sequential_pairs(
     time_col: str,
     item_col: str,
     min_support: int = 2,
+    materialize: bool = True,
 ) -> DataFrame:
     """Sequential patterns: item A then item B in a LATER basket.
 
@@ -132,6 +143,12 @@ def sequential_pairs(
         .groupBy("ak", "it")
         .agg(F.min("tt").alias("tmin"), F.max("tt").alias("tmax"))
     )
+    if materialize:
+        # r14 (guide §2.4): the (actor, item) profile is consumed three
+        # times (item margin + both self-join sides) — lazy checkpoint
+        # computes the profile aggregation once (A/B: fp02 in
+        # OPTIMIZATION_r14.md).
+        prof = prof.localCheckpoint(eager=False)
     item_n = prof.groupBy("it").agg(F.count(F.lit(1)).alias("n_item"))
     seq = (
         prof.alias("a")
@@ -171,6 +188,7 @@ def frequent_triples(
     basket_col: str,
     item_col: str,
     min_support: int = 2,
+    materialize: bool = True,
 ) -> DataFrame:
     """A-priori frequent 3-itemsets: item triples co-occurring in
     >= ``min_support`` baskets.
@@ -195,18 +213,18 @@ def frequent_triples(
         .filter(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
         .distinct()
     )
-    freq_pairs = (
-        b.alias("l")
-        .join(
-            b.alias("r"),
-            on=[F.col("l.bk") == F.col("r.bk"), F.col("l.it") < F.col("r.it")],
-        )
-        .groupBy(F.col("l.it").alias("pa"), F.col("r.it").alias("pb"))
-        .agg(F.count(F.lit(1)).alias("pn"))
-        .filter(F.col("pn") >= int(min_support))
-        .select("pa", "pb")
-    )
-    duo = (
+    if materialize:
+        # r14 (guide §2.4): b is referenced five times below (both
+        # pair-stream sides, the third-item join, the basket total) —
+        # lazy checkpoint computes the distinct once.
+        b = b.localCheckpoint(eager=False)
+    # r14 (guide §2.4 — compute once what is consumed twice): the old
+    # shape built the IDENTICAL in-basket pair self-join twice, once
+    # aggregated into the frequent-pair set and once as the candidate
+    # duo stream (exchange reuse dedupes the shuffle below, not the
+    # join above). Build the pair stream once and derive both from it;
+    # result-invariant by construction (same rows feed both).
+    pair_stream = (
         b.alias("l")
         .join(
             b.alias("r"),
@@ -217,11 +235,25 @@ def frequent_triples(
             F.col("l.it").alias("a"),
             F.col("r.it").alias("b2"),
         )
-        .join(
-            freq_pairs,
-            on=[F.col("a") == F.col("pa"), F.col("b2") == F.col("pb")],
-            how="left_semi",
+    )
+    if materialize:
+        pair_stream = pair_stream.localCheckpoint(eager=False)
+    freq_pairs = (
+        pair_stream.groupBy(
+            F.col("a").alias("pa"), F.col("b2").alias("pb")
         )
+        .agg(F.count(F.lit(1)).alias("pn"))
+        .filter(F.col("pn") >= int(min_support))
+        .select("pa", "pb")
+    )
+    if materialize:
+        # consumed by three semi-joins below; the set is bounded by the
+        # frequent-pair count (small next to the candidate stream)
+        freq_pairs = freq_pairs.localCheckpoint(eager=False)
+    duo = pair_stream.join(
+        freq_pairs,
+        on=[F.col("a") == F.col("pa"), F.col("b2") == F.col("pb")],
+        how="left_semi",
     )
     cand = (
         duo.join(

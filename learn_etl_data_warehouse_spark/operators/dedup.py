@@ -151,6 +151,13 @@ def ngram_jaccard_pairs(
             grams.groupBy("_g")
             .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
             .filter(F.size("_ids") <= max_doc_freq)
+            # r14 (guide §2.4): posts feeds both the intersection
+            # explode and the set-size explode — the ReusedExchange
+            # noted above dedupes the shuffle, but the collect_list
+            # final aggregation above it still ran once per branch.
+            # Lazy checkpoint builds the posting lists once (A/B in
+            # OPTIMIZATION_r14.md, d02).
+            .localCheckpoint(eager=False)
         )
         pair_expr = F.expr(
             "flatten(transform(_ids, (x, i) -> "
@@ -727,6 +734,10 @@ def edit_distance_pairs(
         .filter(F.col("_n2") <= max_block_size)
         .drop("_n2")
     )
+    # r14 note: a lazy localCheckpoint on d (both self-join sides) was
+    # A/B'd and measured a WASH (med 4.28 → 4.47 s at sf0.1) — the
+    # levenshtein verification dominates, not the blocking windows —
+    # so d stays lazy (the d03 one-shot precedent).
     a, b = d.alias("a"), d.alias("b")
     lev = F.levenshtein(F.col("a._p"), F.col("b._p"))
     return (

@@ -617,6 +617,7 @@ def common_neighbor_scores(
     exclude_existing: bool = True,
     max_neighborhood: int | None = 200,
     materialize_edges: bool = True,
+    wedge_join_hint: str | None = "merge",
 ) -> DataFrame:
     """Link prediction by shared neighborhoods (common-neighbors /
     Jaccard).
@@ -664,6 +665,11 @@ def common_neighbor_scores(
     deg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
+    if materialize_edges:
+        # r14 (guide §2.4): deg is consumed three times (the hub set,
+        # both final degree joins) — one lazy checkpoint runs the
+        # degree aggregation once instead of per consumer.
+        deg = deg.localCheckpoint(eager=False)
     e_l, e_r = e, e
     if max_neighborhood is not None:
         hot = deg.filter(F.col("deg") > int(max_neighborhood)).select("node")
@@ -673,6 +679,13 @@ def common_neighbor_scores(
         e_r = e.join(
             F.broadcast(hot), e["src"] == hot["node"], "left_anti"
         )
+    if wedge_join_hint:
+        # r14 (guide §3.1, the cooccurrence_edges lesson): the wedge
+        # join fans out quadratically per center node — under the
+        # session shuffled-hash default a hot center's build-side
+        # partition is exactly the shape that wants sort-merge's
+        # spill-graceful streaming (A/B in OPTIMIZATION_r14.md, g06).
+        e_r = e_r.hint(wedge_join_hint)
     wedges = (
         e_l.alias("l")
         .join(e_r.alias("r"), F.col("l.dst") == F.col("r.src"))
