@@ -41,14 +41,24 @@ _DEFAULTS = {
     # the planner's size conditions are met, and let AQE rewrite
     # SMJ→SHJ at runtime when every post-shuffle partition fits under
     # 256 MB (guide §3.1/§9). Join results are strategy-independent;
-    # the win is skipping both sides' sorts in the unrolled iterative
-    # graph/IVM plans (same-JVM interleaved A/B at sf0.1: g02 15.3→8.3,
-    # g10 5.2→3.6, fp03 4.6→3.1, g16 8.6→6.3, d24 5.6→4.7, ivm01
-    # 1.35→1.02; worst mover s15 +6%, inside noise). At cluster scale
-    # the build side is bounded by the AQE advisory partition size and
-    # AQE skew-join still splits oversized partitions for SHJ; flip
-    # preferSortMergeJoin back via extra_conf for memory-starved
-    # executors.
+    # the win is skipping both sides' sorts. Driver-verified (PERF_r13,
+    # cold JVM, matched calibration 0.806→0.799): ivm01 1.21×, d10
+    # 1.24×, t30 1.26×, plus the broad mid-size improvement cluster
+    # (st05/st06/d38/d34/s15/d02/sk01/fc05, 1.12-1.32×). The r13
+    # session comment's larger claims (g02 "15.3→8.3" etc.) were
+    # slow-host-window A/Bs with no calibration — superseded. The
+    # quadratic-fan-out self-joins SHJ *hurts* (g02/g08/g09 regressed
+    # 11-15% on the driver) carry per-join sort-merge pins at the
+    # kernel instead (cooccurrence_edges, common_neighbor_scores,
+    # q_g08 — the r14 adjudication), which is guide §3.1's "pick per
+    # join" posture. 100 TB note: the STATIC planner's SHJ pick trusts
+    # size estimates (side < shuffle.partitions × broadcast threshold,
+    # ~2 GB here, and 3× smaller than the other side); a mis-estimated
+    # derived frame can pick a build side that OOMs where SMJ would
+    # spill. SCALE.md §"join strategy" has the arithmetic; on
+    # memory-starved executors flip preferSortMergeJoin back via
+    # extra_conf (runtime-settable, regression-tested in
+    # tests/test_scale_patterns.py::test_prefer_sort_merge_join_flip).
     "spark.sql.join.preferSortMergeJoin": "false",
     "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": str(
         256 * 1024 * 1024

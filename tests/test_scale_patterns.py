@@ -227,3 +227,57 @@ def test_ranked_zorder_resists_skew(spark, tmp_path):
     a = sorted(r["id"] for r in spark.read.parquet(str(tmp_path / "lin")).filter(cond).collect())
     b = sorted(r["id"] for r in spark.read.parquet(str(tmp_path / "rank")).filter(cond).collect())
     assert a == b and a
+
+
+def test_prefer_sort_merge_join_flip(spark, sf_small):
+    """The SHJ session default (r13) must degrade safely at 100 TB: a
+    memory-starved deployment flips ``preferSortMergeJoin`` back via
+    extra_conf / runtime conf and every shuffle join plans as
+    sort-merge again (spill-graceful), with identical results. The conf
+    is runtime-settable — this pins the documented escape hatch
+    (session.py's cluster-posture note, SCALE.md "join strategy at
+    100 TB")."""
+    orders = load_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    # the static SHJ pick additionally needs the build side ≥3× smaller
+    # (muchSmaller) — keep the probe side wide enough to clear it
+    li = load_table(spark, sf_small, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_returnflag", "l_shipdate"
+    )
+    def joined():
+        # fresh Dataset per probe: a Dataset memoizes its QueryExecution,
+        # so a conf change is only visible to a newly built frame
+        return orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_pref = spark.conf.get("spark.sql.join.preferSortMergeJoin")
+    # Suppress broadcast WITHOUT disabling the static SHJ pick: its
+    # build-side bound is autoBroadcastJoinThreshold × shuffle
+    # partitions (the SCALE.md arithmetic) — threshold −1 would zero
+    # that bound too. Half the build side's estimated size keeps
+    # broadcast off while size < threshold × partitions stays true.
+    build_size = int(
+        orders._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    spark.conf.set(
+        "spark.sql.autoBroadcastJoinThreshold", str(max(1, build_size // 2))
+    )
+    try:
+        spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+        j = joined()
+        plan_shj = j._jdf.queryExecution().executedPlan().toString()
+        # the session default (estimates permitting) picks shuffled-hash
+        assert "ShuffledHashJoin" in plan_shj, plan_shj[:2000]
+        n_shj = j.count()
+
+        spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+        j = joined()
+        plan_smj = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan_smj, plan_smj[:2000]
+        assert "ShuffledHashJoin" not in plan_smj
+        assert j.count() == n_shj
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set("spark.sql.join.preferSortMergeJoin", prev_pref)
