@@ -639,6 +639,10 @@ def bernoulli_nb_confusion(
             f"bernoulli_nb_confusion: {nf} features would overflow the"
             " DECIMAL(38,0) score product (max 7)"
         )
+    # r14 note: a lazy checkpoint on the 2×-read feature frame was
+    # A/B'd and measured a WASH at idle (med 1.37 → 1.51 s at sf0.1)
+    # — the regex projection is cheaper than the checkpoint write —
+    # so the frame stays lazy (the d03/d13-checkpoint precedent).
     per_class = df.groupBy(F.col(label_col).alias("_c")).agg(
         F.count(F.lit(1)).cast("long").alias("_n"),
         *[

@@ -739,7 +739,15 @@ def edit_distance_pairs(
     # levenshtein verification dominates, not the blocking windows —
     # so d stays lazy (the d03 one-shot precedent).
     a, b = d.alias("a"), d.alias("b")
-    lev = F.levenshtein(F.col("a._p"), F.col("b._p"))
+    # r14 (guide §1.2 per-task work): BOUNDED levenshtein — the
+    # threshold form computes a banded DP of O(prefix·max_distance)
+    # per pair instead of O(prefix²), returning the EXACT distance for
+    # pairs within the bound and −1 past it, so the kept rows (and
+    # their reported distances) are identical to the unbounded form.
+    # A/B in OPTIMIZATION_r14.md (d13).
+    lev = F.levenshtein(
+        F.col("a._p"), F.col("b._p"), int(max_distance)
+    )
     return (
         a.join(
             b,
@@ -753,7 +761,10 @@ def edit_distance_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
             lev.cast("bigint").alias("edit_distance"),
         )
-        .filter(F.col("edit_distance") <= max_distance)
+        .filter(
+            (F.col("edit_distance") >= 0)
+            & (F.col("edit_distance") <= max_distance)
+        )
     )
 
 
@@ -1789,6 +1800,7 @@ def lsh_band_scurve(
     max_df: int = 50,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize: bool = True,
 ) -> DataFrame:
     """The MEASURED LSH S-CURVE: candidate-capture probability per
     exact-Jaccard decile at a (bands × rows_per_band) MinHash banding —
@@ -1833,6 +1845,14 @@ def lsh_band_scurve(
         .select("_t")
     )
     toks = toks.join(df_ok, "_t")
+    if materialize:
+        # r14 (guide §2.4): the capped token stream feeds the signature
+        # agg AND both ground-truth join sides; the signature table
+        # feeds the band explode AND both set-size joins — lazily
+        # checkpoint each so the explode+distinct+df-cap join and the
+        # k-min agg run once instead of per consumer (A/B in
+        # OPTIMIZATION_r14.md, d38).
+        toks = toks.localCheckpoint(eager=False)
     mins = [
         F.min(
             F.conv(
@@ -1852,6 +1872,8 @@ def lsh_band_scurve(
     sig = toks.groupBy("_id").agg(
         *mins, F.count(F.lit(1)).cast("long").alias("_n")
     )
+    if materialize:
+        sig = sig.localCheckpoint(eager=False)
     bucket_keys = [
         F.concat_ws(
             ":",
@@ -1870,6 +1892,10 @@ def lsh_band_scurve(
     bkt = bkt.join(
         bsz.filter(F.col("_bn") <= int(max_bucket)).select("_bk"), "_bk"
     )
+    if materialize:
+        # both candidate self-join sides re-run the band explode + the
+        # bucket-size filter otherwise
+        bkt = bkt.localCheckpoint(eager=False)
     cand = (
         bkt.select(F.col("_bk"), F.col("_id").alias("id_a"))
         .join(

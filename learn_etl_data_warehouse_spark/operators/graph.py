@@ -1217,7 +1217,7 @@ def hyperball_neighborhood(
     edges: DataFrame,
     rounds: int = 2,
     m: int = 64,
-    materialize: bool = False,
+    materialize: bool | str = False,
 ) -> DataFrame:
     """The NEIGHBORHOOD FUNCTION N(t) by HyperBall (Boldi & Vigna,
     2013): per node, a HyperLogLog sketch of its distance-≤t ball,
@@ -1248,12 +1248,16 @@ def hyperball_neighborhood(
     max (absent register ≡ rho 0), and the estimate fold reproduces
     md5_hll_estimate's integers exactly (S = Σ_i 2^(40−rho_i) counts
     explicit zeros at 2^40, the same constant absent rows contributed).
-    Default stays LAZY (``materialize=False``): at rounds = 2 AQE
-    exchange reuse dedupes the shared sub-plans and the localCheckpoint
-    variant measured 2× SLOWER pre-refactor (fresh-JVM sf0.1, 14.4 s
-    lazy vs 30.4 s checkpointed — the d34 lesson repeating).
-    ``materialize=True`` remains for DEEP unrolls where plan nesting
-    explodes (the g08 posture) — A/B before flipping either way.
+    ``materialize``: ``False`` (default) keeps the fully lazy plan —
+    AQE exchange reuse dedupes the shared sub-plans at rounds = 2.
+    ``"lazy"`` cuts the unrolled lineage with LAZY localCheckpoints on
+    the edge list and each round's register table (no plan-build
+    jobs); ``True`` = eager barriers (the deep-unroll posture).
+    r14 adjudication: three order-balanced A/Bs at sf0.1 disagreed on
+    lazy-plan vs lazy-ckpt (7.57→5.53, 6.60→7.54, 10-rep tiebreak med
+    8.83 vs 8.35) — a WASH inside this multi-stage AQE plan's
+    documented same-JVM variance, so the driver-verified r13 default
+    stays. A/B before flipping for deep unrolls.
 
     Returns one row per t in [0, rounds]: (t, n_nodes, sum_occupied,
     sum_est) — sum_est is Σ_v est|B(v,t)|, the neighborhood function.
@@ -1270,7 +1274,10 @@ def hyperball_neighborhood(
 
     e = edges.select("src", "dst")
     if materialize:
-        e = e.localCheckpoint()
+        # True = eager barrier per cut (the deep-unroll posture);
+        # "lazy" = lazy checkpoints (materialized by the first action,
+        # shared across the level-union branches — no plan-build jobs)
+        e = e.localCheckpoint(eager=materialize is True)
     nodes = e.select(F.col("src").alias("node")).distinct()
     # t=0 state: each node's own key occupies exactly one register —
     # expand the (node, reg, rho_max) row to the m-slot array form.
@@ -1329,7 +1336,7 @@ def hyperball_neighborhood(
             ).alias("ball")
         )
         if materialize:
-            regs = regs.localCheckpoint()
+            regs = regs.localCheckpoint(eager=materialize is True)
         out = out.unionByName(level(regs, t))
     return out
 

@@ -685,6 +685,11 @@ def rank_sum_test(
     grp = F.col(group_col) if isinstance(group_col, str) else group_col
     cents = F.round(F.col(value_col) * 100).cast("long")
     base = df.select(grp.alias(group_alias), cents.alias("_c"))
+    # r14 (guide §2.4, the mad_outlier_profile pattern): base feeds the
+    # value histogram, the (group, value) histogram and the total count
+    # — lazy checkpoint runs the scan+projection once (A/B in
+    # OPTIMIZATION_r14.md, st05).
+    base = base.localCheckpoint(eager=False)
     pv = base.groupBy("_c").agg(F.count(F.lit(1)).cast("long").alias("_n_v"))
     s = F.col("_c").cast("string")
     b = pv.select(

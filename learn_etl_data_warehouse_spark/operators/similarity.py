@@ -1168,6 +1168,10 @@ def knn_classify(
     pairs = cosine_pairs_blocked(
         df, threshold=-1.0, vec_col=vec_col, id_col=id_col
     )
+    # r14 note: a lazy checkpoint on the pair kernel (it feeds both
+    # symmetrization arms) was A/B'd and measured a wash-to-worse at
+    # idle (med 1.47 -> 1.57 s at sf0.1) - AQE exchange reuse already
+    # dedupes the kernel below the union - so it stays lazy.
     sym = pairs.select(
         F.col("id_a").alias("_id"), F.col("id_b").alias("_nbr"), "cosine"
     ).unionAll(
@@ -1382,6 +1386,10 @@ def knn_label_agreement(
     pairs = cosine_pairs_blocked(
         df, threshold=-1.0, vec_col=vec_col, id_col=id_col
     )
+    # r14 note: a lazy checkpoint on the pair kernel (it feeds both
+    # symmetrization arms) was A/B'd and measured a wash-to-worse at
+    # idle (med 1.47 -> 1.57 s at sf0.1) - AQE exchange reuse already
+    # dedupes the kernel below the union - so it stays lazy.
     sym = pairs.select(
         F.col("id_a").alias("_id"), F.col("id_b").alias("_nbr"), "cosine"
     ).unionAll(
@@ -1901,6 +1909,9 @@ def hyperplane_recall_audit(
         F.col("j").alias("_j"),
         (F.col("proj_q") >= 0).cast("int").alias("_bit"),
     )
+    # r14 note: a lazy checkpoint on the 2×-consumed bits projection
+    # was A/B'd twice at idle and measured a wash (2.57/2.58, then
+    # 2.61/2.47 — sign flips inside noise); left lazy.
     qbits = F.broadcast(
         bits.filter(
             (F.col("_vid") % query_mod == 0) & (F.col("_vid") < query_cap)

@@ -843,6 +843,10 @@ def wordpiece_pair_scores(
         df.select(F.explode(tokens(F.lower(_c(text_col)))).alias("w"))
         .filter(F.col("w") != "")
     )
+    # r14 note: lazy checkpoints on the word stream + symbol counts
+    # were A/B'd and measured WORSE at idle (med 2.76 -> 3.37 s at
+    # sf0.1) - materializing the exploded token stream costs more than
+    # re-tokenizing - so both stay lazy.
     syms = words.select(F.explode(F.expr(_WP_SYMS)).alias("s"))
     sym_counts = syms.groupBy("s").agg(
         F.count(F.lit(1)).cast("long").alias("n_s")
@@ -1159,8 +1163,6 @@ def lm_score_documents(
     0/0 score). One explode, two hash aggs, one (w1, w2) equi-join —
     no Python, no driver state.
     """
-    if lm is None:
-        lm = bigram_lm(df, text_col=text_col, min_context=1, top=None)
     t = df.select(
         F.col(id_col), tokens(F.lower(_c(text_col))).alias("t")
     ).filter(F.size("t") >= 2)
@@ -1177,6 +1179,19 @@ def lm_score_documents(
         .select(id_col, "p.w1", "p.w2")
         .filter((F.col("w1") != "") & (F.col("w2") != ""))
     )
+    if lm is None:
+        # r14 (guide §2.4): the self-trained LM's pair stream is the
+        # SAME (tokenize → adjacent-pair → blank-filter) stream the
+        # scoring join reads — bigram_counts_table(df) produces exactly
+        # this multiset (its size ≥ 2 filter matches; the id column
+        # aggregates away). Derive the counts from one lazily
+        # checkpointed stream instead of re-tokenizing the corpus (A/B
+        # in OPTIMIZATION_r14.md, t19).
+        bg = bg.localCheckpoint(eager=False)
+        counts = bg.groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).alias("n2")
+        )
+        lm = bigram_lm_from_counts(counts, min_context=1, top=None)
     j = bg.join(lm.select("w1", "w2", "cond_ppm"), ["w1", "w2"], "left")
     return j.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),

