@@ -16,12 +16,17 @@ SF_ORACLE = os.path.join(TESTDATA, "sf0.01")
 
 @pytest.fixture(scope="session")
 def spark():
+    # r14: the suite ran local[4] on a 32-core box; local[8] cuts the
+    # wall time of the heavy parity/conformance tests ~25% with the
+    # same 4 shuffle partitions (tiny-data tests are overhead-bound
+    # either way). Override via SPARK_GRAFT_TEST_CPUS.
+    cpus = os.environ.get("SPARK_GRAFT_TEST_CPUS", "8")
     s = get_spark(
         app_name="letl-dw-tests",
-        master="local[4]",
+        master=f"local[{cpus}]",
         extra_conf={
             "spark.sql.shuffle.partitions": "4",
-            "spark.driver.memory": "4g",
+            "spark.driver.memory": "6g",
         },
     )
     yield s
@@ -52,9 +57,11 @@ def sf_oracle():
 #
 #     SPARK_GRAFT_FULL_SUITE=1 python -m pytest tests/ -q
 #
-# The tier list is measured, not guessed: every entry cost >= ~7 s in the
-# r14 full-suite run (--durations=60); together they account for ~20 of
-# the ~33 suite minutes.
+# The tier list is measured, not guessed: the first block is every test
+# >= ~7 s in the r14 full-suite run (--durations=60), the second every
+# remaining non-gate test >= ~3.5 s in the re-timed fast-tier run —
+# together they take the default run from ~33 to ~18 minutes while the
+# full gate surface stays in it.
 # ---------------------------------------------------------------------------
 _SLOW_TIER = {
     "test_abc_classification_fuzz_vs_bruteforce",
@@ -103,6 +110,71 @@ _SLOW_TIER = {
     "test_viterbi_segment_fuzz_vs_reference",
     "test_watermark_drops_late_data",
     "test_weighted_median_fuzz_vs_expansion_model",
+    "test_auto_salted_join_matches_plain_and_skips_when_uniform",
+    "test_auto_salted_join_null_hot_key",
+    "test_c4_filters_flag_consistency",
+    "test_cdc_sink_checkpointed_stream_end_to_end",
+    "test_cdc_sink_replay_is_idempotent",
+    "test_cleaning_matches_reference_model",
+    "test_cohens_kappa_fuzz_vs_model",
+    "test_conformance_ingest_sink_end_to_end_stream",
+    "test_conformance_ingest_sink_matches_batch_twin",
+    "test_correlation_ingest_sink_end_to_end_stream",
+    "test_cosine_pairs_blocked_exact_vs_bruteforce",
+    "test_date_process_roundtrip",
+    "test_decision_stump_fuzz_vs_bruteforce",
+    "test_dfg_ingest_sink_end_to_end_stream",
+    "test_dfg_ingest_sink_incremental_matches_batch",
+    "test_domain_mix_membership_is_pointwise_deterministic",
+    "test_erase_flips_all_tables_in_one_txn",
+    "test_exact_percentiles_selection_vs_sorted",
+    "test_forecast_coherence_single_key_is_exact",
+    "test_forecast_refresh_sink_incremental_matches_batch",
+    "test_gopher_rules_flag_consistency",
+    "test_grouped_corr_matches_numpy_on_random_frames",
+    "test_hard_negatives_label_and_rank_semantics",
+    "test_hhi_fuzz_vs_model",
+    "test_hll_ingest_sink_maintained_and_replay_idempotent",
+    "test_hw_refresh_sink_end_to_end_stream",
+    "test_hyperball_matches_python_bfs_model",
+    "test_incremental_join_view_maintenance_from_cdf",
+    "test_incremental_minhash_empty_corpus_index",
+    "test_incremental_minhash_matches_full_rebuild",
+    "test_incremental_rollup_maintenance_from_cdf",
+    "test_interval_overlap_fuzz_vs_bruteforce",
+    "test_ivf_recall_scales_with_nprobe",
+    "test_join_view_sink_incremental_and_dim_update",
+    "test_kcore_converged_matches_fixed_rounds_after_cascade",
+    "test_kmv_set_estimates_short_exact_and_accuracy",
+    "test_lttb_downsample_python_model",
+    "test_maintain_distinct_state_lifecycle",
+    "test_maintain_rollup_dirtiness_is_sticky",
+    "test_maintained_customer_months_match_rebuild",
+    "test_md5_cm_sketch_and_audit",
+    "test_minhash_lsh_max_bucket_size_caps_mega_cluster",
+    "test_nelson_aalen_fuzz_vs_bruteforce",
+    "test_ohlc_ingest_sink_matches_batch",
+    "test_packing_audit_fuzz_vs_walk",
+    "test_pagerank_converged_matches_fixed_rounds_at_fixpoint",
+    "test_pagerank_converged_max_rounds_backstop_on_cycling_graph",
+    "test_point_lookup_prunes_and_never_drops_matches",
+    "test_production_path_with_ivf_cells",
+    "test_ranked_zorder_resists_skew",
+    "test_rerank_recall_audit_curve",
+    "test_scd2_null_value_transitions",
+    "test_sla_percentile_sink_incremental_matches_batch",
+    "test_stream_daily_active_users_matches_batch",
+    "test_stream_stream_attribution_join_matches_batch",
+    "test_stream_stream_outer_attribution_matches_batch",
+    "test_stream_windowed_topk_matches_batch",
+    "test_streaming_cdf_with_deletes_matches_batch",
+    "test_streaming_continuous_aggregate_matches_batch",
+    "test_substring_index_sink_incremental_and_replay",
+    "test_theilsen_fuzz_vs_bruteforce",
+    "test_theilsen_trend_from_maintained_hourly_state",
+    "test_topk_view_sink_conformance",
+    "test_tukey_fences_hand_frame",
+    "test_unigram_loss_prune_matches_reference",
 }
 
 
